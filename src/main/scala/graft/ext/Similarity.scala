@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension, SURVEY.md §7.5).
+  *
+  * Vectors are `array<float>` columns. All arithmetic is built-in array
+  * higher-order functions (`zip_with` + `aggregate`) — codegen'd, per-row,
+  * deterministic left-to-right accumulation in double precision (so results
+  * are bit-reproducible and oracle-comparable).
+  *
+  * Scale paths:
+  *   - [[bruteForceTopK]]: query-set broadcast × corpus scan — exact, O(Q·N),
+  *     right when Q is small (the usual "probe a handful of queries" shape).
+  *   - [[lshBucketTopK]]: sign-random-projection bucketing — each vector maps
+  *     to a small bucket key; candidates shuffle only within buckets
+  *     (IVF-style). Approximate: probes its own bucket.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector: broadcast the (small)
+    * query set against the corpus, window-rank per query.
+    * Ties broken by candidate id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    )
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(q, col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Sign-random-projection bucket key: the sign bits of the vector's dot
+    * products with `planes` fixed pseudo-random hyperplanes. Hyperplanes are
+    * derived deterministically from the vector dimensionality via a hash of
+    * (plane, dim) — reproducible with no stored model.
+    */
+  def srpBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // plane p component d = hash-derived pseudo-random in [-0.5, 0.5)
+      val proj = aggregate(
+        zip_with(
+          vecCol,
+          sequence(lit(0), lit(dim - 1)),
+          (x, d) => x.cast("double") * (pmod(hash(d, lit(p)), lit(1000)).cast("double") / 1000.0 - 0.5)
+        ),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate nearest neighbors: corpus and queries are bucketed by SRP
+    * sign-bits; ranking happens only within a query's own bucket. At 100 TB
+    * the corpus side is a single map+shuffle on small bucket keys instead of
+    * a broadcast × full-scan product.
+    */
+  def lshBucketTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(
+      col(idCol).as("cand_id"),
+      col(vecCol).as("c_vec"),
+      srpBucket(col(vecCol), dim, planes).as("bucket")
+    )
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"),
+        srpBucket(col(vecCol), dim, planes).as("bucket")
+      )
+    )
+    val scored = c
+      .join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+}

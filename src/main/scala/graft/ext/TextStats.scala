@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (north-star
+  * extensions, SURVEY.md §7.5) — generalizes the reference's keyword tagger
+  * (chicago/permit_cleaning.py:810-816) into language-ID, quality scoring,
+  * token counting and content fingerprinting. All per-row column algebra:
+  * map-side only, no shuffle, linear in corpus size.
+  */
+object TextStats {
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword-hit
+    * language heuristic. Deterministic and oracle-expressible; a real
+    * deployment would swap in larger lexicons (same plan shape).
+    */
+  val StopwordLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " a "),
+    "es" -> Seq(" el ", " la ", " de ", " y "),
+    "fr" -> Seq(" le ", " la ", " et ", " de "),
+    "de" -> Seq(" der ", " und ", " die ", " das ")
+  )
+
+  private def occurrences(textCol: Column, term: String): Column = {
+    // count of non-overlapping occurrences via length difference
+    val t = lower(concat(lit(" "), coalesce(textCol, lit("")), lit(" ")))
+    ((length(t) - length(replace(t, lit(term), lit("")))) / term.length).cast("long")
+  }
+
+  /** Stopword-hit score for one language's lexicon. */
+  def langScore(textCol: Column, lexicon: Seq[String]): Column =
+    lexicon.map(occurrences(textCol, _)).reduce(_ + _)
+
+  /** Predicted language = argmax of per-language stopword hits; ties and
+    * zero-hit rows fall back to "und" (undetermined). Priority on ties is
+    * lexicon order (deterministic).
+    */
+  def langId(textCol: Column): Column = {
+    val scores = StopwordLexicons.map { case (lang, lex) => (lang, langScore(textCol, lex)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count (0 for blank/null). */
+  def tokenCount(textCol: Column): Column =
+    when(length(trim(coalesce(textCol, lit("")))) === 0, lit(0))
+      .otherwise(size(split(trim(textCol), "\\s+")))
+      .cast("long")
+
+  /** BPE-ish subword count: word-piece regex split — letters runs, digit
+    * runs, and single punctuation each count as one token (a cheap,
+    * deterministic proxy for byte-pair tokenizer counts).
+    */
+  def subwordCount(textCol: Column): Column =
+    size(
+      regexp_extract_all(
+        coalesce(textCol, lit("")),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"),
+        lit(0)
+      )
+    ).cast("long")
+
+  /** Quality heuristics: character length, token count, mean token length,
+    * punctuation count, stopword ratio — combined into a [0,1] score.
+    * Pure integer/decimal arithmetic until the final rounded ratio, so the
+    * value is oracle-exact.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val nChars = length(coalesce(textCol, lit(""))).cast("double")
+    val nTokens = tokenCount(textCol).cast("double")
+    val stopHits = langScore(textCol, StopwordLexicons.flatMap(_._2)).cast("double")
+    val punct = (length(coalesce(textCol, lit(""))) -
+      length(regexp_replace(coalesce(textCol, lit("")), "[.,;:!?]", ""))).cast("double")
+    // length band 50..5000 chars, some stopwords, light punctuation
+    val lenOk = when(nChars >= 50 && nChars <= 5000, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = when(nTokens > 0, stopHits / nTokens).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    round(
+      lenOk * 0.4 + least(stopRatio * lit(2.0), lit(1.0)) * 0.4 +
+        when(punctRatio <= 0.1, lit(0.2)).otherwise(lit(0.0)),
+      4
+    )
+  }
+
+  /** Rolling polynomial fingerprint of the word sequence:
+    * acc = (acc * 131 + wordHash) mod (2^31 - 1), folded left-to-right,
+    * where wordHash = the first 4 hex chars of md5(word) read as an integer
+    * via digit positions (no engine-specific hash function, so any SQL
+    * oracle can reproduce it).
+    */
+  def fingerprint(textCol: Column): Column = {
+    val tokens = split(trim(coalesce(textCol, lit(""))), "\\s+")
+    val hashes = transform(
+      tokens,
+      w => {
+        val h = md5(w)
+        (0 until 4)
+          .map { j =>
+            conv(substring(h, j + 1, 1), 16, 10).cast("long") * (1L << (4 * (3 - j)))
+          }
+          .reduce(_ + _)
+      }
+    )
+    aggregate(hashes, lit(0L), (acc, x) => (acc * 131L + x) % 2147483647L)
+  }
+}

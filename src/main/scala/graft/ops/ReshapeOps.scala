@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-expansion, reshape and window operators (SURVEY.md §2.4/2.5/2.8).
+  *
+  * Order-sensitivity is the reference's central semantic trap (§7.4): pandas
+  * carries incidental row order, Spark does not. Every operator here makes
+  * ordering explicit — positions come from `posexplode`, per-group picks and
+  * numbering take a caller-supplied deterministic sort key.
+  */
+object ReshapeOps {
+
+  /** X1: split a separator-joined multi-value column, first-occurrence
+    * dedupe, explode one row per value with its 1-based position; rows with a
+    * null list survive as a single row with null value/position
+    * (chicago/permit_cleaning.py:557-611). `posexplode_outer` folds the
+    * reference's three steps (NA split-off P9, cumcount W1, explode) into one
+    * generator — no shuffle at all, scales linearly with input.
+    *
+    * @return df with `valueCol` (one split element) and `posCol` (1-based)
+    */
+  def explodeDelimited(
+      df: DataFrame,
+      listCol: Column,
+      sep: String,
+      valueCol: String,
+      posCol: String
+  ): DataFrame =
+    df.select(
+      col("*"),
+      posexplode_outer(array_distinct(split(listCol, sep)))
+        .as(Seq(posCol, valueCol))
+    ).withColumn(posCol, col(posCol) + lit(1))
+
+  /** X2: unpivot wide value columns to (variable, value) long form, dropping
+    * null values — dplyr `pivot_longer` + `values_drop_na`
+    * (chicago/legacy_permits/helper.R:40-62).
+    */
+  def unpivotWide(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      variableColumnName: String,
+      valueColumnName: String
+  ): DataFrame =
+    df.unpivot(
+        idCols.map(col).toArray,
+        valueCols.map(col).toArray,
+        variableColumnName,
+        valueColumnName
+      )
+      .filter(col(valueColumnName).isNotNull)
+
+  /** A1: order-preserving distinct group-concat — for each key, the group's
+    * values joined by `", "` in first-occurrence order of `orderKey`
+    * (chicago/permit_cleaning.py:754-759: pandas `unique()` preserves
+    * first-occurrence order; we pin that order explicitly via `orderKey`
+    * since Spark partitions destroy incidental order).
+    *
+    * Single hash-aggregate: collect (orderKey, value) structs, sort the
+    * array per group (driver-free, per-row), project values, distinct, join.
+    */
+  def groupConcatDistinct(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      valueCol: Column,
+      orderKey: Column,
+      outName: String
+  ): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(
+        array_join(
+          array_distinct(
+            transform(
+              array_sort(collect_list(struct(orderKey.as("k"), valueCol.as("v")))),
+              x => x.getField("v")
+            )
+          ),
+          ", "
+        ).as(outName)
+      )
+
+  /** A5: duplicate-key flag — true on *all* members of groups with more than
+    * one row (pandas `duplicated(keep=False)`, helper.py:151-153). One
+    * window aggregate, shuffles once on the keys.
+    */
+  def dupFlag(df: DataFrame, keys: Seq[String], outName: String): DataFrame =
+    df.withColumn(
+      outName,
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)) > 1
+    )
+
+  /** A6/O4: first row per group under an explicit deterministic order
+    * (dplyr `group_by %>% slice(1)`,
+    * chicago/legacy_permits/2021/format_legacy_2021.R:48-56 — the reference
+    * relies on incoming sheet order; we require a real sort key, SURVEY §7.4).
+    */
+  def firstPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    df.withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(order: _*))
+      )
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** W2 + S8: global 1..n numbering under `order`, bucketed into chunks of
+    * `chunk` rows, renumbered 1..chunk within each bucket (legacy 250-row
+    * upload batches, format_reviewed_permits_for_upload.py:214-216,:279-299;
+    * `# [LLINE]` helper.py:167,171).
+    *
+    * NOTE 100 TB stance: the global `row_number` over an empty partition
+    * spec serializes through a single task — acceptable only because the
+    * reference semantics demand a single global sequence over what is by
+    * construction a reviewer-scale (≤ a few 100k rows) output. For bulk data
+    * use `bucketByHash` style partitioning instead.
+    */
+  def numberedBuckets(
+      df: DataFrame,
+      order: Seq[Column],
+      chunk: Int,
+      bucketCol: String,
+      lineCol: String
+  ): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn("__gn", row_number().over(w))
+      .withColumn(bucketCol, floor((col("__gn") - 1) / chunk).cast("long"))
+      .withColumn(lineCol, ((col("__gn") - 1) % chunk + 1).cast("long"))
+      .drop("__gn")
+  }
+}

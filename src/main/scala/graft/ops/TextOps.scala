@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / string column algebra from the reference surface (SURVEY.md §2.9).
+  *
+  * Everything here is built-in-function composition (whole-stage codegen
+  * friendly); none of it needs a UDF.
+  */
+object TextOps {
+
+  /** Ordered applicant-name abbreviation map. Order matters: the reference
+    * applies these sequentially with `replace(..., regex=True)`
+    * (chicago/permit_cleaning.py:668-689) so e.g. APARTMENT fires inside
+    * APARTMENTS before APARTMENTS is ever consulted.
+    */
+  val Abbreviations: Seq[(String, String)] = Seq(
+    "ASSOCIATION" -> "ASSN",
+    "COMPANY" -> "CO",
+    "BUILDING" -> "BLDG",
+    "FOUNDATION" -> "FNDN",
+    "ILLINOIS" -> "IL",
+    "STREET" -> "ST",
+    "BOULEVARD" -> "BLVD",
+    "AVENUE" -> "AVE",
+    "APARTMENT" -> "APT",
+    "APARTMENTS" -> "APTS",
+    "MANAGEMENT" -> "MGMT",
+    "CORPORATION" -> "CORP",
+    "INCORPORATED" -> "INC",
+    "LIMITED" -> "LTD",
+    "PLAZA" -> "PLZ"
+  )
+
+  /** Sequential literal-substring rewrite in `Abbreviations` order
+    * (chicago/permit_cleaning.py:668-689).
+    */
+  def abbreviationFold(c: Column): Column =
+    Abbreviations.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+
+  /** The reference's 38-term assessability lexicon, in document order
+    * (chicago/permit_cleaning.py:707-746).
+    */
+  val Keywords: Seq[String] = Seq(
+    "Addition", "Elevator", "Window", "Construction", "Garage", "Roof",
+    "Demolition", "HVAC", "Flatwork", "Expand", "Basement", "Alarm", "Fire",
+    "Bathroom", "Solar", "New", "Attic", "Vacant", "Conversion", "Rehab",
+    "Enclosed porch", "Alteration", "EFP", "ADU", "A.D.U.", "Coach",
+    "Accessory", "Extension", "Dormer", "Erect", "Proposed", "Wreck",
+    "Finish", "Rec Room", "Convert", "Recreation room", "Sun Room", "Season"
+  )
+
+  /** Case-insensitive substring keyword tagging: comma-joined matched terms
+    * in lexicon order (chicago/permit_cleaning.py:810-816). Implemented with
+    * the `filter` higher-order function over an array literal — per-row, no
+    * shuffle, scales linearly.
+    */
+  def keywordTag(textCol: Column, lexicon: Seq[String] = Keywords): Column = {
+    val arr = array(lexicon.map(lit): _*)
+    val lowered = lower(coalesce(textCol, lit("")))
+    array_join(
+      filter(arr, k => lowered.contains(lower(k))),
+      ", "
+    )
+  }
+
+  /** pandas `" ".join` address concat after fillna("") — KEEPS empty slots
+    * (double spaces possible), unlike concat_ws
+    * (chicago/permit_cleaning.py:635-637; SURVEY.md §1.3 NA semantics).
+    */
+  def addressConcat(parts: Column*): Column =
+    parts.map(p => coalesce(p, lit(""))).reduceLeft((a, b) => concat(a, lit(" "), b))
+
+  /** SmartFile description canonicalization: strip the special-char set then
+    * truncate to 259 chars (chicago/permit_cleaning.py:865-871).
+    */
+  def smartfileCanon(c: Column): Column =
+    substring(regexp_replace(c, """[():;+#*&'"@½]""", ""), 1, 259)
+
+  /** `note2 + ",,CHICAGO, IL"` literal suffix (chicago/permit_cleaning.py:864). */
+  def addrDedupeKey(c: Column): Column = concat(c, lit(",,CHICAGO, IL"))
+}

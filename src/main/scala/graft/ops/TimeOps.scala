@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Date/timestamp parsing and rendering (SURVEY.md §2.9 F13–F17).
+  *
+  * The reference coerce-parses ISO-8601 with fractional seconds and renders
+  * several fixed formats; all map to `try_to_timestamp` / `date_format`.
+  */
+object TimeOps {
+
+  /** Coercing ISO-8601 parse with microsecond fraction — invalid input
+    * becomes null instead of failing the job
+    * (chicago/permit_cleaning.py:639-641, `errors="coerce"`).
+    */
+  def parseIsoMicros(c: Column): Column =
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+
+  /** Loose multi-format parse: first format that sticks wins
+    * (chicago/permit_cleaning.py:1012-1020 pd.to_datetime;
+    * format_reviewed_permits_for_upload.py:155-160).
+    */
+  def parseFlexible(c: Column): Column =
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd")),
+      try_to_timestamp(c, lit("MM/dd/yyyy")),
+      try_to_timestamp(c, lit("M/d/yyyy"))
+    )
+
+  /** `%-m/%-d/%Y` (no zero padding) render (chicago/permit_cleaning.py:641). */
+  def renderMDY(c: Column): Column = date_format(c, "M/d/yyyy")
+
+  /** `%m/%d/%Y` zero-padded render
+    * (format_reviewed_permits_for_upload.py:246-253).
+    */
+  def renderMDYPadded(c: Column): Column = date_format(c, "MM/dd/yyyy")
+
+  /** `%Y-%m-%d` render (helper.py:65). */
+  def renderYMD(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Warehouse `permdt` canonical form: microsecond string truncated by 3
+    * chars -> millisecond precision (chicago/permit_cleaning.py:859-863).
+    */
+  def renderPermdt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** Excel serial number (origin 1899-12-30) -> date
+    * (chicago/legacy_permits/2021/format_legacy_2021.R:39-42).
+    */
+  def excelSerialToDate(c: Column): Column =
+    date_add(to_date(lit("1899-12-30")), c.cast("int"))
+
+  /** Year extraction from a parseable date string (helper.py:61-65). */
+  def yearOf(c: Column): Column = year(parseFlexible(c))
+}

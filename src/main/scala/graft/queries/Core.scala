@@ -1,0 +1,512 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver-contract queries exercising the reference's operator inventory
+  * (SURVEY.md §2) over the star-schema fixtures, each with a DuckDB oracle
+  * twin (FIXTURES.md §B mapping). Numeric outputs are computed in decimal or
+  * integer space and only cast to double at the end, so the oracle hash is
+  * exact; timestamps are rendered to strings/dates to dodge physical-type
+  * mismatches between engines.
+  */
+object Core {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A: aggregation (A2/A3 family) --------------------------------
+    "q1_lineitem_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          count(lit(1)).as("n")
+        )
+    },
+    "q3_topn_revenue" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    // ---- P: filters / projections -------------------------------------
+    "p7_date_filter" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+    },
+    "p8_dim_filter" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+    },
+    "p12_conditional_overwrite" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn(
+          "note",
+          when(col("o_orderkey") % 5 === 0, concat(lit("REINSTATED: "), col("o_orderpriority")))
+        )
+        .select(col("o_orderkey"), coalesce(col("note"), col("o_orderpriority")).as("final_note"))
+    },
+    // ---- F: pin / string / date scalar functions ----------------------
+    "f_pin_normalize" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn(
+          "pin_raw",
+          when(col("o_orderkey") % 4 === 0, lpad(col("o_orderkey").cast("string"), 9, "0"))
+            .when(col("o_orderkey") % 4 === 1, lpad(col("o_orderkey").cast("string"), 10, "0"))
+            .when(col("o_orderkey") % 4 === 2, lpad(col("o_orderkey").cast("string"), 13, "0"))
+            .otherwise(PinOps.hyphenate(lpad(col("o_orderkey").cast("string"), 14, "0")))
+        )
+        .select(col("o_orderkey"), col("pin_raw"), PinOps.normalizePin(col("pin_raw")).as("pin14"))
+    },
+    "f_pin_hyphenate" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("pin", lpad(col("o_orderkey").cast("string"), 14, "0"))
+        .select(
+          col("o_orderkey"),
+          PinOps.hyphenate(col("pin")).as("pin_hyph"),
+          PinOps.membershipKey(PinOps.hyphenate(col("pin"))).as("pin_key")
+        )
+    },
+    "f8_abbreviations" -> { (s, dir) =>
+      val suffix = when(col("p_partkey") % 5 === 0, lit("BUILDING MANAGEMENT ASSOCIATION"))
+        .when(col("p_partkey") % 5 === 1, lit("STREET AVENUE BOULEVARD"))
+        .when(col("p_partkey") % 5 === 2, lit("APARTMENTS CORPORATION OF ILLINOIS"))
+        .when(col("p_partkey") % 5 === 3, lit("FOUNDATION PLAZA APARTMENT"))
+        .otherwise(lit("COMPANY LIMITED INCORPORATED"))
+      t(s, dir, "part")
+        .withColumn("applicant", concat(upper(col("p_name")), lit(" "), suffix))
+        .select(col("p_partkey"), TextOps.abbreviationFold(col("applicant")).as("shortened"))
+    },
+    "f11_keyword_tag" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.keywordTag(col("text")).as("matched_keywords"))
+    },
+    "f13_date_render" -> { (s, dir) =>
+      Fixtures.events(s, dir).select(
+        col("event_id"),
+        TimeOps.renderMDY(col("ts")).as("mdy"),
+        TimeOps.renderMDYPadded(col("ts")).as("mdy_padded"),
+        TimeOps.renderYMD(col("ts")).as("ymd"),
+        TimeOps.excelSerialToDate(col("event_id") % 40000).as("excel_date")
+      )
+    },
+    // ---- X: reshape ----------------------------------------------------
+    "x1_explode_pins" -> { (s, dir) =>
+      // Synthesize a " | "-separated pin_list per order (linenumber order,
+      // null for every 50th order), then X1: split + first-occurrence dedupe
+      // + posexplode_outer (SURVEY §2.8).
+      val li = t(s, dir, "lineitem")
+      val lists = li
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(
+                collect_list(
+                  struct(col("l_linenumber").as("k"), lpad(col("l_partkey").cast("string"), 14, "0").as("v"))
+                )
+              ),
+              x => x.getField("v")
+            ),
+            " | "
+          ).as("pin_list")
+        )
+        .withColumn("pin_list", when(col("l_orderkey") % 50 === 0, lit(null)).otherwise(col("pin_list")))
+      ReshapeOps
+        .explodeDelimited(lists, col("pin_list"), " \\| ", "pin", "pos")
+        .select(col("l_orderkey"), col("pos"), col("pin"))
+    },
+    "x2_unpivot" -> { (s, dir) =>
+      ReshapeOps.unpivotWide(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type")),
+        Seq("p_partkey"),
+        Seq("p_name", "p_brand", "p_type"),
+        "attr",
+        "val"
+      )
+    },
+    // ---- A1/A5/A6/W2: group-concat, dup-flag, first-per-group, buckets --
+    "a1_group_concat" -> { (s, dir) =>
+      ReshapeOps.groupConcatDistinct(
+        t(s, dir, "customer"),
+        Seq(col("c_nationkey")),
+        col("c_name"),
+        col("c_custkey"),
+        "names"
+      )
+    },
+    "a5_dup_flag" -> { (s, dir) =>
+      ReshapeOps
+        .dupFlag(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"), "is_dup")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("is_dup"))
+    },
+    "a6_first_per_group" -> { (s, dir) =>
+      // fixture lineitem contains exact-duplicate (orderkey,partkey,linenumber)
+      // rows, so the deterministic tiebreak must extend to the payload cols
+      ReshapeOps
+        .firstPerGroup(
+          t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey"),
+          Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        )
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"))
+    },
+    "w2_s8_numbered_buckets" -> { (s, dir) =>
+      ReshapeOps
+        .numberedBuckets(t(s, dir, "orders"), Seq(col("o_orderkey")), 250, "bucket", "lline")
+        .select(col("o_orderkey"), col("bucket"), col("lline"))
+    },
+    // ---- J: joins -------------------------------------------------------
+    "j1_suggested_pins" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val pinMap = ReshapeOps.groupConcatDistinct(
+        c,
+        Seq(col("c_nationkey").as("map_nation")),
+        lpad(col("c_custkey").cast("string"), 14, "0"),
+        col("c_custkey"),
+        "suggested_pins"
+      )
+      t(s, dir, "orders")
+        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(pinMap), col("c_nationkey") === col("map_nation"), "left")
+        .select(col("o_orderkey"), coalesce(col("suggested_pins"), lit("")).as("suggested_pins"))
+    },
+    "j4_anti_dedupe" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def canon(df: DataFrame): DataFrame =
+        df.select(
+          col("o_orderkey"),
+          lpad(col("o_custkey").cast("string"), 14, "0").as("parid"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("permdt"),
+          col("o_totalprice").cast("decimal(38,2)").as("amount"),
+          TextOps.addrDedupeKey(col("o_orderpriority")).as("note2"),
+          TextOps.smartfileCanon(col("o_orderstatus")).as("user43")
+        )
+      val left = canon(o)
+      val existing = canon(o.filter(col("o_orderkey") % 3 === 0))
+        .drop("o_orderkey")
+      LinkOps
+        .antiDedupe(left, existing, Seq("parid", "permdt", "amount", "note2", "user43"))
+        .select(col("o_orderkey"), col("parid"))
+    },
+    "j5_semi_membership" -> { (s, dir) =>
+      val buildingOrders = t(s, dir, "orders")
+        .join(
+          broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey")
+        )
+        .select(col("o_orderkey"))
+      LinkOps
+        .semiMembership(t(s, dir, "lineitem"), buildingOrders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+    "j6_anti_probe" -> { (s, dir) =>
+      val probes = t(s, dir, "orders")
+        .select(
+          (col("o_custkey") + when(col("o_custkey") % 7 === 0, lit(1000000)).otherwise(lit(0)))
+            .as("probe_key")
+        )
+        .distinct()
+      LinkOps
+        .antiMembership(probes, t(s, dir, "customer"), col("probe_key") === col("c_custkey"))
+        .select(col("probe_key"))
+    },
+    // ---- §2.10: the flagship validate-and-partition ---------------------
+    "vp_upload" -> { (s, dir) => validatePartition(s, dir)._1 },
+    "vp_review" -> { (s, dir) => validatePartition(s, dir)._2 },
+    // ---- U: set ops ------------------------------------------------------
+    "u2_union_distinct" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def slice(y: Int) =
+        o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey"), col("o_orderstatus"))
+      slice(1994).unionByName(slice(1995)).unionByName(slice(1994)).distinct()
+    }
+  )
+
+  /** Synthetic permits over orders×customer + the §2.10 rule suite. Every
+    * divisor below plants one class of invalid row; the universe is the
+    * zero-padded customer key set.
+    */
+  private def validatePartition(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val permits = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey").as("permit_id"),
+        when(col("o_orderkey") % 13 === 0, lpad((col("o_custkey") + 900000).cast("string"), 14, "0"))
+          .when(col("o_orderkey") % 17 === 0, lpad(col("o_custkey").cast("string"), 13, "0"))
+          .when(col("o_orderkey") % 23 === 0, lit("   "))
+          .otherwise(lpad(col("o_custkey").cast("string"), 14, "0"))
+          .as("pin"),
+        when(col("o_orderkey") % 19 === 0, concat(col("c_name"), lit(" "), repeat(lit("X"), 40)))
+          .otherwise(concat(lit("ADDR "), col("c_name")))
+          .as("address"),
+        when(col("o_orderkey") % 23 === 0, lit("")).otherwise(col("o_orderkey").cast("string")).as("permit_no"),
+        when(col("o_orderkey") % 41 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .as("issue_date"),
+        when(col("o_orderkey") % 11 === 0, lit(-5.0)).otherwise(col("o_totalprice")).as("amount"),
+        when(col("o_orderkey") % 37 === 0, repeat(lit("D"), 2001))
+          .otherwise(concat(lit("desc "), col("o_orderpriority")))
+          .as("descr"),
+        when(col("o_orderkey") % 31 === 0, concat(col("c_name"), repeat(lit("A"), 50)))
+          .otherwise(col("c_name"))
+          .as("applicant")
+      )
+    val universe = broadcast(
+      c.select(lpad(col("c_custkey").cast("string"), 14, "0").as("u_pin")).distinct()
+    )
+    val flagged = permits.join(universe, PinOps.membershipKey(col("pin")) === col("u_pin"), "left")
+    import ValidateOps.{Rule, Rules}
+    val rules = Seq(
+      Rules.nonBlank(col("pin"), "pin"),
+      Rules.pin14(col("pin")),
+      Rule("pin_not_in_universe", "PIN is invalid", col("u_pin").isNull),
+      Rules.maxLen(col("address"), 40, "Address"),
+      Rules.nonBlank(col("permit_no"), "permit_no"),
+      Rules.dateParses(col("issue_date")),
+      Rules.amountRange(col("amount")),
+      Rules.maxLen(col("descr"), 2000, "Description"),
+      Rules.maxLen(col("applicant"), 50, "Applicant")
+    )
+    val (upload, review) = ValidateOps.partition(flagged, rules)
+    val outCols = Seq("permit_id", "pin", "address", "permit_no", "issue_date", "amount", "descr", "applicant")
+    (
+      upload.select(outCols.map(col): _*),
+      review.select(outCols.map(col) :+ array_join(col("errors"), "; ").as("errors"): _*)
+    )
+  }
+
+  // ======================= DuckDB oracle twins =========================
+
+  private val abbrevExpr: String =
+    TextOps.Abbreviations.foldLeft("concat(upper(p_name), ' ', suffix)") {
+      case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+    }
+
+  private val keywordListSql: String =
+    TextOps.Keywords.map(k => s"'$k'").mkString("[", ", ", "]")
+
+  /** Shared synthetic-permit + rule-suite SQL (vp_upload / vp_review). */
+  private val vpFlaggedSql: String = """
+    WITH p AS (
+      SELECT o_orderkey AS permit_id,
+        CASE WHEN o_orderkey % 13 = 0 THEN lpad(CAST(o_custkey + 900000 AS VARCHAR), 14, '0')
+             WHEN o_orderkey % 17 = 0 THEN lpad(CAST(o_custkey AS VARCHAR), 13, '0')
+             WHEN o_orderkey % 23 = 0 THEN '   '
+             ELSE lpad(CAST(o_custkey AS VARCHAR), 14, '0') END AS pin,
+        CASE WHEN o_orderkey % 19 = 0 THEN concat(c_name, ' ', repeat('X', 40))
+             ELSE concat('ADDR ', c_name) END AS address,
+        CASE WHEN o_orderkey % 23 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END AS permit_no,
+        CASE WHEN o_orderkey % 41 = 0 THEN 'not-a-date'
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS issue_date,
+        CASE WHEN o_orderkey % 11 = 0 THEN -5.0 ELSE o_totalprice END AS amount,
+        CASE WHEN o_orderkey % 37 = 0 THEN repeat('D', 2001)
+             ELSE concat('desc ', o_orderpriority) END AS descr,
+        CASE WHEN o_orderkey % 31 = 0 THEN concat(c_name, repeat('A', 50)) ELSE c_name END AS applicant
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), u AS (
+      SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS u_pin FROM customer
+    ), f AS (
+      SELECT p.*, concat_ws('; ',
+        CASE WHEN pin IS NULL OR length(trim(pin)) = 0 THEN 'Missing pin' END,
+        CASE WHEN NOT (pin IS NULL OR length(trim(pin)) = 0)
+                  AND length(replace(pin, '-', '')) <> 14 THEN 'PIN is not 14 digits' END,
+        CASE WHEN u_pin IS NULL THEN 'PIN is invalid' END,
+        CASE WHEN length(address) > 40 THEN 'Address > 40 characters' END,
+        CASE WHEN permit_no IS NULL OR length(trim(permit_no)) = 0 THEN 'Missing permit_no' END,
+        CASE WHEN NOT (issue_date IS NULL OR length(trim(issue_date)) = 0)
+                  AND TRY_CAST(issue_date AS TIMESTAMP) IS NULL THEN 'Issue Date is not a valid date' END,
+        CASE WHEN amount IS NULL OR amount < 1 OR amount > 2147483647
+             THEN 'Amount must be a whole number between 1 and 2,147,483,647' END,
+        CASE WHEN length(descr) > 2000 THEN 'Description > 2000 characters' END,
+        CASE WHEN length(applicant) > 50 THEN 'Applicant > 50 characters' END
+      ) AS errors
+      FROM p LEFT JOIN u ON lpad(replace(coalesce(pin, ''), '-', ''), 14, '0') = u.u_pin
+    )
+  """
+
+  val oracles: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_topn_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "p7_date_filter" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'""",
+    "p8_dim_filter" ->
+      """SELECT c_custkey, c_name, n_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND c_mktsegment = 'BUILDING'""",
+    "p12_conditional_overwrite" ->
+      """SELECT o_orderkey,
+         coalesce(CASE WHEN o_orderkey % 5 = 0 THEN concat('REINSTATED: ', o_orderpriority) END,
+                  o_orderpriority) AS final_note
+         FROM orders""",
+    "f_pin_normalize" ->
+      """WITH raw AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+                  WHEN o_orderkey % 4 = 1 THEN lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+                  WHEN o_orderkey % 4 = 2 THEN lpad(CAST(o_orderkey AS VARCHAR), 13, '0')
+                  ELSE concat_ws('-',
+                    substr(lpad(CAST(o_orderkey AS VARCHAR), 14, '0'), 1, 2),
+                    substr(lpad(CAST(o_orderkey AS VARCHAR), 14, '0'), 3, 2),
+                    substr(lpad(CAST(o_orderkey AS VARCHAR), 14, '0'), 5, 3),
+                    substr(lpad(CAST(o_orderkey AS VARCHAR), 14, '0'), 8, 3),
+                    substr(lpad(CAST(o_orderkey AS VARCHAR), 14, '0'), 11, 4)) END AS pin_raw
+           FROM orders)
+         SELECT o_orderkey, pin_raw,
+           CASE WHEN length(replace(pin_raw, '-', '')) = 13 THEN concat('0', replace(pin_raw, '-', ''))
+                WHEN length(replace(pin_raw, '-', '')) = 10 THEN concat(replace(pin_raw, '-', ''), '0000')
+                WHEN length(replace(pin_raw, '-', '')) = 9 THEN concat('0', replace(pin_raw, '-', ''), '0000')
+                ELSE replace(pin_raw, '-', '') END AS pin14
+         FROM raw""",
+    "f_pin_hyphenate" ->
+      """WITH p AS (SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS pin FROM orders)
+         SELECT o_orderkey,
+           concat_ws('-', substr(pin,1,2), substr(pin,3,2), substr(pin,5,3), substr(pin,8,3), substr(pin,11,4)) AS pin_hyph,
+           lpad(replace(concat_ws('-', substr(pin,1,2), substr(pin,3,2), substr(pin,5,3), substr(pin,8,3), substr(pin,11,4)), '-', ''), 14, '0') AS pin_key
+         FROM p""",
+    "f8_abbreviations" ->
+      s"""WITH base AS (
+           SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 5 = 0 THEN 'BUILDING MANAGEMENT ASSOCIATION'
+                  WHEN p_partkey % 5 = 1 THEN 'STREET AVENUE BOULEVARD'
+                  WHEN p_partkey % 5 = 2 THEN 'APARTMENTS CORPORATION OF ILLINOIS'
+                  WHEN p_partkey % 5 = 3 THEN 'FOUNDATION PLAZA APARTMENT'
+                  ELSE 'COMPANY LIMITED INCORPORATED' END AS suffix
+           FROM part)
+         SELECT p_partkey, $abbrevExpr AS shortened FROM base""",
+    "f11_keyword_tag" ->
+      s"""SELECT doc_id,
+          coalesce(array_to_string(list_filter($keywordListSql, k -> contains(lower(coalesce(text, '')), lower(k))), ', '), '') AS matched_keywords
+          FROM documents""",
+    "f13_date_render" ->
+      """SELECT event_id,
+         strftime(ts, '%-m/%-d/%Y') AS mdy,
+         strftime(ts, '%m/%d/%Y') AS mdy_padded,
+         strftime(ts, '%Y-%m-%d') AS ymd,
+         DATE '1899-12-30' + CAST(event_id % 40000 AS INTEGER) AS excel_date
+         FROM events""",
+    "x1_explode_pins" ->
+      """WITH firsts AS (
+           SELECT l_orderkey, lpad(CAST(l_partkey AS VARCHAR), 14, '0') AS pin, min(l_linenumber) AS ln
+           FROM lineitem GROUP BY 1, 2
+         ), numbered AS (
+           SELECT l_orderkey, pin,
+                  CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY ln, pin) AS INTEGER) AS pos
+           FROM firsts
+         )
+         SELECT l_orderkey, pos, pin FROM numbered WHERE l_orderkey % 50 <> 0
+         UNION ALL
+         SELECT DISTINCT l_orderkey, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+         FROM lineitem WHERE l_orderkey % 50 = 0""",
+    "x2_unpivot" ->
+      """SELECT p_partkey, attr, val
+         FROM (SELECT p_partkey, p_name, p_brand, p_type FROM part)
+         UNPIVOT (val FOR attr IN (p_name, p_brand, p_type))""",
+    "a1_group_concat" ->
+      """SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_custkey) AS names
+         FROM customer GROUP BY c_nationkey""",
+    "a5_dup_flag" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber,
+         (count(*) OVER (PARTITION BY l_orderkey, l_partkey)) > 1 AS is_dup
+         FROM lineitem""",
+    "a6_first_per_group" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                            ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+               FROM lineitem)
+         WHERE rn = 1""",
+    "w2_s8_numbered_buckets" ->
+      """SELECT o_orderkey,
+         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 250 AS BIGINT) AS bucket,
+         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) % 250 + 1 AS BIGINT) AS lline
+         FROM orders""",
+    "j1_suggested_pins" ->
+      """WITH pin_map AS (
+           SELECT c_nationkey AS map_nation,
+                  string_agg(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), ', ' ORDER BY c_custkey) AS suggested_pins
+           FROM customer GROUP BY c_nationkey)
+         SELECT o_orderkey, coalesce(suggested_pins, '') AS suggested_pins
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN pin_map ON c_nationkey = map_nation""",
+    "j4_anti_dedupe" ->
+      """WITH canon AS (
+           SELECT o_orderkey,
+             lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS parid,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS permdt,
+             CAST(o_totalprice AS DECIMAL(38,2)) AS amount,
+             concat(o_orderpriority, ',,CHICAGO, IL') AS note2,
+             substr(regexp_replace(o_orderstatus, '[():;+#*&''"@½]', '', 'g'), 1, 259) AS user43
+           FROM orders)
+         SELECT l.o_orderkey, l.parid
+         FROM canon l
+         ANTI JOIN (SELECT DISTINCT parid, permdt, amount, note2, user43
+                    FROM canon WHERE o_orderkey % 3 = 0) r
+         USING (parid, permdt, amount, note2, user43)""",
+    "j5_semi_membership" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING')""",
+    "j6_anti_probe" ->
+      """WITH probes AS (
+           SELECT DISTINCT o_custkey + CASE WHEN o_custkey % 7 = 0 THEN 1000000 ELSE 0 END AS probe_key
+           FROM orders)
+         SELECT probe_key FROM probes
+         ANTI JOIN customer ON probe_key = c_custkey""",
+    "vp_upload" ->
+      (vpFlaggedSql +
+        """SELECT permit_id, pin, address, permit_no, issue_date, amount, descr, applicant
+         FROM f WHERE errors = ''"""),
+    "vp_review" ->
+      (vpFlaggedSql +
+        """SELECT permit_id, pin, address, permit_no, issue_date, amount, descr, applicant, errors
+         FROM f WHERE errors <> ''"""),
+    "u2_union_distinct" ->
+      """SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1994
+         UNION
+         SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1995"""
+  )
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.Sessionize
+
+/** LLM-training-data pipeline queries (north-star extensions, SURVEY.md
+  * §7.5) over the `documents` / `embeddings` / `events` fixtures, with
+  * DuckDB oracle twins. Hash-exactness tricks: shared md5-hex construction
+  * for minhash/simhash/fingerprints (both engines have md5, neither shares
+  * an integer hash), quantized integer dot products for cosine ranks, and
+  * decimal-space sums cast to double at the end.
+  */
+object Extensions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** floor(x*1000+0.5) int quantization — deterministic and identical in
+    * any engine, unlike round() tie modes.
+    */
+  private def qz(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
+  private def ldot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----------------------------------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("fp"))
+    },
+    "ngram_jaccard" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("grams"))
+      val a = g.as("a")
+      val b = g.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          col("a.doc_id").as("id_lo"),
+          col("b.doc_id").as("id_hi"),
+          Dedup.jaccard(col("a.grams"), col("b.grams")).as("jac")
+        )
+    },
+    // ---- similarity search ----------------------------------------------
+    "ann_cosine_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), qz(col("embedding")).as("qv"))
+      )
+      val c = e.select(col("vec_id").as("cand_id"), qz(col("embedding")).as("cv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+      c.join(q, col("query_id") =!= col("cand_id"))
+        .withColumn(
+          "sim",
+          ldot(col("qv"), col("cv")).cast("double") /
+            sqrt(ldot(col("qv"), col("qv")).cast("double") * ldot(col("cv"), col("cv")).cast("double"))
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+    },
+    // Approximate path (SRP-bucketed). Engine-specific hash => rows-only
+    // driver check (no SQL twin), adversarially tested in AnnSpec instead.
+    "ann_lsh_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.lshBucketTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", dim = 64, planes = 6, k = 5)
+    },
+    // ---- text analysis ---------------------------------------------------
+    "text_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+    },
+    "text_quality" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("score")
+      )
+    },
+    "text_token_stats" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.subwordCount(col("text")).as("n_subwords")
+      )
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    },
+    // ---- multimodal plumbing ---------------------------------------------
+    "mm_payload_meta" -> { (s, dir) =>
+      Multimodal
+        .fromText(t(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("asset_id"),
+          col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.digest").as("digest"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height")
+        )
+    },
+    // ---- events / sessionization ------------------------------------------
+    "ev_sessionize" -> { (s, dir) =>
+      val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
+      Sessionize.sessionStats(sessions, "user_id", "ts", "value")
+    },
+    "ev_tumbling" -> { (s, dir) =>
+      Sessionize
+        .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n"),
+          col("total_value")
+        )
+    }
+  )
+
+  // ======================= DuckDB oracle twins =========================
+
+  private def hexval(expr: String): String =
+    s"(strpos('0123456789abcdef', $expr) - 1)"
+
+  /** occ of literal term in padded lowered text (see TextStats.occurrences). */
+  private def occSql(term: String): String =
+    s"CAST((length(p) - length(replace(p, '$term', ''))) / ${term.length} AS BIGINT)"
+
+  private val langScoreSqls: Seq[(String, String)] =
+    TextStats.StopwordLexicons.map { case (lang, lex) =>
+      lang -> lex.map(occSql).mkString(" + ")
+    }
+
+  private val gramsCte: String = """
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM w
+    )
+  """
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
+         FROM documents GROUP BY md5(text)""",
+    "dedup_minhash_pairs" ->
+      (gramsCte + """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        )
+        SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+        FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id"""),
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+            SELECT doc_id,
+              list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')), t -> md5(t)) AS hexes
+            FROM documents
+          ), bits AS (
+            SELECT doc_id, i,
+              list_sum(list_transform(hexes, h ->
+                CASE WHEN (${hexval("substr(h, CAST(i // 4 AS INTEGER) + 1, 1)")} >> CAST(i % 4 AS INTEGER)) % 2 = 1
+                     THEN 1 ELSE -1 END)) AS s
+            FROM tok, range(0, 32) t(i)
+          )
+          SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS fp
+          FROM bits GROUP BY doc_id""",
+    "ngram_jaccard" ->
+      (gramsCte + """
+        SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+          CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) END AS jac
+        FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""),
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, cand_id,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(qv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) *
+               CAST(floor(CAST(cv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(qv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) *
+               CAST(floor(CAST(qv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS naa,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(cv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) *
+               CAST(floor(CAST(cv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS ncc
+           FROM c JOIN q ON query_id <> cand_id
+         ), scored AS (
+           SELECT query_id, cand_id, CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(ncc AS DOUBLE)) AS sim
+           FROM s
+         ), ranked AS (
+           SELECT query_id, cand_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+           FROM scored
+         )
+         SELECT query_id, cand_id, rank, sim FROM ranked WHERE rank <= 5""",
+    "text_lang_id" ->
+      s"""WITH p AS (SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p FROM documents),
+          sc AS (SELECT doc_id, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM p),
+          b AS (SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc)
+          SELECT doc_id,
+            CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+                 ELSE 'und' END AS lang_pred
+          FROM b""",
+    "text_quality" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              concat(' ', lower(coalesce(text, '')), ' ') AS p,
+              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+            FROM documents
+          ), scored AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok,
+              CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+              CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio
+            FROM base
+          )
+          SELECT doc_id, n_tokens,
+            round(len_ok * 0.4 + least(stop_ratio * 2.0, 1.0) * 0.4 +
+                  CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score
+          FROM scored""",
+    "text_token_stats" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subwords
+         FROM documents""",
+    "text_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words FROM documents),
+          h AS (
+            SELECT doc_id, list_transform(words, x -> CAST(
+              ${hexval("substr(md5(x), 1, 1)")} * 4096 +
+              ${hexval("substr(md5(x), 2, 1)")} * 256 +
+              ${hexval("substr(md5(x), 3, 1)")} * 16 +
+              ${hexval("substr(md5(x), 4, 1)")} AS BIGINT)) AS hs
+            FROM w
+          )
+          SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (a, b) -> (a * 131 + b) % 2147483647) AS fp
+          FROM h""",
+    "mm_payload_meta" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS digest,
+         CAST(strpos('0123456789abcdef', substr(sha256(text), 1, 1)) * 64 AS INTEGER) AS width,
+         CAST(strpos('0123456789abcdef', substr(sha256(text), 2, 1)) * 64 AS INTEGER) AS height
+         FROM documents""",
+    "ev_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+           FROM x
+         ), z AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM y
+         )
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM z GROUP BY user_id, session_id""",
+    "ev_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
+}

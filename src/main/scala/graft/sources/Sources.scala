@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY.md §2.1).
+  *
+  * The reference's scans are HTTP JSON (Socrata, S1), warehouse SQL (Athena,
+  * S2), CSV cache (S3) and XLSX (S4/S5). Engine equivalents: schema-pinned
+  * JSON/CSV readers (schemas forced to string where leading zeros matter)
+  * and a parquet-backed cache table standing in for the CSV memo.
+  */
+object Sources {
+
+  /** Socrata-style permit payload schema: everything arrives as strings
+    * (FIXTURES.md A1; chicago/permit_cleaning.py:539-554).
+    */
+  val permitsRawSchema: StructType = StructType(
+    Seq(
+      "permit_", "issue_date", "street_number", "street_direction",
+      "street_name", "work_description", "reported_cost", "contact_1_name",
+      "pin_list"
+    ).map(StructField(_, StringType, nullable = true))
+  )
+
+  /** PIN-universe schema — PINs must never be numeric (leading zeros,
+    * chicago/permit_cleaning.py:1161-1164).
+    */
+  val pinUniverseSchema: StructType = StructType(
+    Seq("pin", "pin10", "prop_address_full").map(StructField(_, StringType, nullable = true))
+  )
+
+  /** S1: JSON array scan with pinned schema (no inference pass — a schema
+    * inference scan doubles the read at scale).
+    */
+  def readPermitsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(permitsRawSchema).json(path)
+
+  /** S3 read: CSV with forced string dtypes (the reference's
+    * `dtype={"pin": "string"}` cache read, chicago/permit_cleaning.py:1158-1164).
+    */
+  def readPinUniverseCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pinUniverseSchema).option("header", "true").csv(path)
+
+  /** S3 write twin. */
+  def writePinUniverseCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Engine-level cache-or-compute: parquet memo keyed by an identifier —
+    * the scalable version of the reference's per-year CSV memo
+    * (chicago/permit_cleaning.py:510-513). Parquet keeps types + statistics
+    * and splits on read, which CSV does not.
+    */
+  def cached(spark: SparkSession, cacheDir: String, key: String)(compute: => DataFrame): DataFrame = {
+    val path = s"$cacheDir/$key.parquet"
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else {
+      val df = compute
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
+  /** S8: batched sink — at most `maxRecords` rows per output file
+    * (format_reviewed_permits_for_upload.py:214-216). Uses the native
+    * writer option instead of a window bucket when per-file numbering is
+    * not needed.
+    */
+  def writeBatched(df: DataFrame, path: String, maxRecords: Int): Unit =
+    df.write.mode("overwrite").option("maxRecordsPerFile", maxRecords.toLong).parquet(path)
+}

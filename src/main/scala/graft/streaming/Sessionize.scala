@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (north-star extension, SURVEY.md §7.5 — the
+  * reference is strictly batch, §2.11). Both a batch formulation (window
+  * functions, oracle-comparable) and the Structured Streaming formulation
+  * (session_window / tumbling window + watermark) of the same semantics.
+  */
+object Sessionize {
+
+  /** Batch sessionization: a session breaks when the gap to the previous
+    * event of the same user exceeds `gapMinutes`. Session id = cumulative
+    * count of breaks per user (1-based). One shuffle on user_id.
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderTiebreak: String,
+      gapMinutes: Int
+  ): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(orderTiebreak))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn(
+        "__new_session",
+        when(
+          col("__prev_ts").isNull ||
+            (unix_micros(col(tsCol)) - unix_micros(col("__prev_ts"))) > gapSec * 1000000L,
+          lit(1L)
+        ).otherwise(lit(0L))
+      )
+      .withColumn(
+        "session_id",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Per-session aggregate over [[sessionizeBatch]] output. */
+  def sessionStats(
+      sessions: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame =
+    sessions
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col(tsCol))).as("start_us"),
+        unix_micros(max(col(tsCol))).as("end_us"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+
+  /** Tumbling-window aggregate (batch formulation): event counts and value
+    * sums per (window, event_type). `date_trunc` keys make the same query
+    * expressible over a stream via `window(ts, "1 hour")`.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col(tsCol)).as("window_start"), col(typeCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+
+  /** Structured Streaming twin of [[tumblingCounts]]: watermarked tumbling
+    * window. Call with a `readStream` DataFrame; the batch tests drive it
+    * with a memory sink.
+    */
+  def tumblingCountsStream(events: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(typeCol), col("n"))
+
+  /** Structured Streaming session windows (gap-based), the streaming twin of
+    * [[sessionizeBatch]].
+    */
+  def sessionWindowStream(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapMinutes: Int
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(session_window(col(tsCol), s"$gapMinutes minutes"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events")
+      )
+}
