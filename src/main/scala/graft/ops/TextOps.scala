@@ -82,4 +82,22 @@ object TextOps {
 
   /** `note2 + ",,CHICAGO, IL"` literal suffix (chicago/permit_cleaning.py:864). */
   def addrDedupeKey(c: Column): Column = concat(c, lit(",,CHICAGO, IL"))
+
+  /** F12: reviewer-facing PIN hyperlink formula synthesis
+    * (chicago/permit_cleaning.py:784-806): null/empty pin -> "NO PIN FOUND";
+    * multi-PIN rows keep plain text; otherwise an =HYPERLINK() formula
+    * wrapping the parcel-viewer URL. Presentation-layer string algebra.
+    */
+  def pinHyperlink(pin: Column, isMulti: Column): Column =
+    when(pin.isNull || length(pin) === 0, lit("NO PIN FOUND"))
+      .when(isMulti, pin)
+      .otherwise(
+        concat(
+          lit("=HYPERLINK(\"https://maps.cookcountyil.gov/cookviewer/?pin="),
+          pin,
+          lit("\", \""),
+          pin,
+          lit("\")")
+        )
+      )
 }

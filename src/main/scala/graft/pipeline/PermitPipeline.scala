@@ -63,6 +63,10 @@ object PermitPipeline {
       "suggested_pins"
     )
     permits
+      // the registry projection already emitted a null `suggested_pins`
+      // placeholder (P1 adds absent columns as null) — drop it before the
+      // join introduces the real one, or the reference is ambiguous
+      .drop("suggested_pins")
       .join(broadcast(pinMap), col("applicant_street_address") === col("prop_address_full"), "left")
       .withColumn("suggested_pins", coalesce(col("suggested_pins"), lit("")))
       .withColumn("property_address", col("applicant_street_address"))

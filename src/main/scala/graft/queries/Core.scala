@@ -241,6 +241,143 @@ object Core {
         o.filter(year(col("o_orderdate")) === y)
           .select(col("o_custkey"), col("o_orderstatus"))
       slice(1994).unionByName(slice(1995)).unionByName(slice(1994)).distinct()
+    },
+    "u1_union_append" -> { (s, dir) =>
+      // bind_rows with missing columns → null-filled (helper.R:56-59)
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1994)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val b = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      a.unionByName(b, allowMissingColumns = true)
+    },
+    // ---- A2/A4: scalar aggregates ----------------------------------------
+    "a2_scalar_max" -> { (s, dir) =>
+      // MAX(taxyr) WHERE cur='Y' twin (chicago/permit_cleaning.py:501-506)
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+    },
+    "a4_minmax_range" -> { (s, dir) =>
+      // sheet date-range derivation (format_reviewed…py:149-169)
+      Fixtures.events(s, dir).agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        count(lit(1)).as("n")
+      )
+    },
+    // ---- J2/J3: two-key join, crosswalk remap ----------------------------
+    "j2_two_key_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val dim = li
+        .groupBy(col("l_partkey").as("d_partkey"), col("l_suppkey").as("d_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("min_price"))
+      li.join(
+          dim,
+          col("l_partkey") === col("d_partkey") && col("l_suppkey") === col("d_suppkey"),
+          "left"
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("min_price"))
+    },
+    "j3_crosswalk_remap" -> { (s, dir) =>
+      // PIN := coalesce(meta_pin, PIN) (2023/format_legacy_2023.R:40-43)
+      val cw = t(s, dir, "nation")
+        .select(col("n_name").as("original_pin"), concat(lit("META_"), col("n_name")).as("meta_pin"))
+        .filter(col("n_nationkey") < 10)
+      val df = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("pin"))
+      LinkOps.lookupRemap(df, cw, "pin", "original_pin", "meta_pin")
+    },
+    // ---- F: remaining scalar-function family -----------------------------
+    "f7_address_concat" -> { (s, dir) =>
+      // pandas " ".join keeps empty slots → double spaces (SURVEY §1.3)
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        TextOps.addressConcat(
+          lit("100"),
+          when(col("c_custkey") % 2 === 0, col("c_mktsegment")),
+          col("c_name")
+        ).as("address")
+      )
+    },
+    "f12_hyperlink" -> { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        TextOps.pinHyperlink(
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(lpad(col("o_custkey").cast("string"), 14, "0")),
+          col("o_orderkey") % 5 === 0
+        ).as("pin_link")
+      )
+    },
+    "f17_year_extract" -> { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        TimeOps.yearOf(date_format(col("o_orderdate"), "MM/dd/yyyy")).as("yr")
+      )
+    },
+    "f18_bround_halfeven" -> { (s, dir) =>
+      // pandas round() is HALF_EVEN; Spark round() is HALF_UP → bround parity
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (floor(col("o_totalprice")) + lit(0.5)).as("x"),
+        bround(floor(col("o_totalprice")) + lit(0.5)).cast("long").as("rounded")
+      )
+    },
+    "f19_decimal_canon" -> { (s, dir) =>
+      // Decimal("{:.2f}") join-key canonicalization (permit_cleaning.py:854-858)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(38,2)").cast("string").as("amount_canon")
+      )
+    },
+    // ---- P10/P11 + F2: blacklist filter, null-fill, digit strip ----------
+    "p10_p11_blacklist_nullfill" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 29 === 0, lit("00000000000000"))
+            .when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(concat(lit("PIN-"), lpad(col("o_custkey").cast("string"), 10, "0")))
+            .as("pin_raw")
+        )
+        .filter(coalesce(col("pin_raw"), lit("")) =!= "00000000000000") // P10
+        .select(
+          col("o_orderkey"),
+          coalesce(col("pin_raw"), lit("")).as("pin_filled"), // P11
+          PinOps.stripNonDigits(coalesce(col("pin_raw"), lit(""))).as("pin_digits") // F2
+        )
+    },
+    // ---- O2: multi-key sort incl. the string-sort quirk ------------------
+    "o2_multikey_sort" -> { (s, dir) =>
+      // "pin10" < "pin2" lexicographically (permit_cleaning.py:609) — the
+      // rank column materializes the order for the hash compare
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        // ×5 pushes values past 9 so the quirk is live: "pin10" < "pin5"
+        concat(lit("pin"), (col("l_linenumber") * 5).cast("string")).as("pin_type"),
+        col("l_partkey")
+      )
+      li.withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("l_orderkey"), col("pin_type"), col("l_partkey"))
+        )
+      )
+    },
+    // ---- S3: CSV cache roundtrip (forced string dtypes) ------------------
+    "s3_csv_roundtrip" -> { (s, dir) =>
+      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"/tmp/graft_cache/pin_universe_$key"
+      val uni = t(s, dir, "customer").select(
+        lpad(col("c_custkey").cast("string"), 14, "0").as("pin"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("pin10"),
+        concat(lit("ADDR "), col("c_name")).as("prop_address_full")
+      )
+      graft.sources.Sources.writePinUniverseCsv(uni, path)
+      graft.sources.Sources.readPinUniverseCsv(s, path)
     }
   )
 
@@ -507,6 +644,76 @@ object Core {
     "u2_union_distinct" ->
       """SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1994
          UNION
-         SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1995"""
+         SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1995""",
+    "u1_union_append" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority
+         FROM orders WHERE year(o_orderdate) = 1994
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1995""",
+    "a2_scalar_max" ->
+      """SELECT strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+         FROM orders WHERE o_orderstatus = 'F'""",
+    "a4_minmax_range" ->
+      """SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+                count(*) AS n
+         FROM events""",
+    "j2_two_key_join" ->
+      """WITH dim AS (
+           SELECT l_partkey AS d_partkey, l_suppkey AS d_suppkey,
+                  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_orderkey, l_linenumber, l_partkey, min_price
+         FROM lineitem
+         LEFT JOIN dim ON l_partkey = d_partkey AND l_suppkey = d_suppkey""",
+    "j3_crosswalk_remap" ->
+      """WITH cw AS (
+           SELECT n_name AS original_pin, concat('META_', n_name) AS meta_pin
+           FROM nation WHERE n_nationkey < 10)
+         SELECT c_custkey, coalesce(meta_pin, n_name) AS pin
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN cw ON n_name = original_pin""",
+    "f7_address_concat" ->
+      """SELECT c_custkey,
+         concat('100', ' ', CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE '' END, ' ', c_name) AS address
+         FROM customer""",
+    "f12_hyperlink" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'NO PIN FOUND'
+              WHEN o_orderkey % 5 = 0 THEN lpad(CAST(o_custkey AS VARCHAR), 14, '0')
+              ELSE concat('=HYPERLINK("https://maps.cookcountyil.gov/cookviewer/?pin=',
+                          lpad(CAST(o_custkey AS VARCHAR), 14, '0'), '", "',
+                          lpad(CAST(o_custkey AS VARCHAR), 14, '0'), '")') END AS pin_link
+         FROM orders""",
+    "f17_year_extract" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders""",
+    "f18_bround_halfeven" ->
+      """SELECT o_orderkey, floor(o_totalprice) + 0.5 AS x,
+         CAST(round_even(floor(o_totalprice) + 0.5, 0) AS BIGINT) AS rounded
+         FROM orders""",
+    "f19_decimal_canon" ->
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS amount_canon
+         FROM orders""",
+    "p10_p11_blacklist_nullfill" ->
+      """WITH p AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 29 = 0 THEN '00000000000000'
+                  WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE concat('PIN-', lpad(CAST(o_custkey AS VARCHAR), 10, '0')) END AS pin_raw
+           FROM orders)
+         SELECT o_orderkey, coalesce(pin_raw, '') AS pin_filled,
+                regexp_replace(coalesce(pin_raw, ''), '[^0-9]', '', 'g') AS pin_digits
+         FROM p WHERE coalesce(pin_raw, '') <> '00000000000000'""",
+    "o2_multikey_sort" ->
+      """SELECT l_orderkey, concat('pin', CAST(l_linenumber * 5 AS VARCHAR)) AS pin_type, l_partkey,
+         CAST(row_number() OVER (ORDER BY l_orderkey,
+              concat('pin', CAST(l_linenumber * 5 AS VARCHAR)), l_partkey) AS INTEGER) AS rank
+         FROM lineitem""",
+    "s3_csv_roundtrip" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
+                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pin10,
+                concat('ADDR ', c_name) AS prop_address_full
+         FROM customer"""
   )
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{PinOps, TextOps}
+import graft.pipeline.PermitPipeline
+
+/** The flagship end-to-end queries: the reference's §3.1 production chain
+  * (explode → normalize → rename → abbreviate → suggested-pins join →
+  * keyword-tag → validate-and-partition) run by [[PermitPipeline.run]] over
+  * reference-shaped permits synthesized deterministically from the fixture
+  * star schema, with a full DuckDB twin of the whole chain.
+  */
+object PipelineQ {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Reference-shaped Socrata permits + PIN universe from orders×customer.
+    * Every modulus plants one §2.10 failure class (same trick as vp_*).
+    */
+  private def run(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val pin14 = lpad(col("o_custkey").cast("string"), 14, "0")
+    val raw = base.select(
+      when(col("o_orderkey") % 23 === 0, lit(""))
+        .otherwise(col("o_orderkey").cast("string")).as("permit_"),
+      when(col("o_orderkey") % 41 === 0, lit("not-a-date"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .as("issue_date"),
+      lit("ADDR").as("street_number"),
+      lit(null).cast("string").as("street_direction"),
+      col("c_name").as("street_name"),
+      when(col("o_orderkey") % 37 === 0, repeat(lit("D"), 2001))
+        .otherwise(concat(lit("New garage near "), col("o_orderpriority")))
+        .as("work_description"),
+      when(col("o_orderkey") % 11 === 0, lit("-5"))
+        .otherwise(floor(col("o_totalprice")).cast("long").cast("string"))
+        .as("reported_cost"),
+      when(col("o_orderkey") % 31 === 0, concat(col("c_name"), repeat(lit("A"), 50)))
+        .otherwise(concat(col("c_name"), lit(" BUILDING COMPANY")))
+        .as("contact_1_name"),
+      when(col("o_orderkey") % 50 === 0, lit(null).cast("string"))
+        .when(col("o_orderkey") % 13 === 0, lpad((col("o_custkey") + 900000).cast("string"), 14, "0"))
+        .when(col("o_orderkey") % 3 === 0, concat(pin14, lit(" | "), PinOps.hyphenate(pin14)))
+        .otherwise(pin14)
+        .as("pin_list")
+    )
+    val universe = t(s, dir, "customer").select(
+      lpad(col("c_custkey").cast("string"), 14, "0").as("pin"),
+      concat(lit("ADDR  "), col("c_name")).as("prop_address_full")
+    )
+    val (up, rev) = PermitPipeline.run(raw, universe, existing = None)
+    val outCols = Seq(
+      "permit_no", "pin", "issue_date", "amount", "applicant",
+      "applicant_street_address", "suggested_pins", "matched_keywords"
+    )
+    (
+      up.select(outCols.map(col): _*),
+      rev.select(outCols.map(col) :+ array_join(col("errors"), "; ").as("errors"): _*)
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_upload" -> { (s, dir) => run(s, dir)._1 },
+    "pipeline_review" -> { (s, dir) => run(s, dir)._2 }
+  )
+
+  private val keywordListSql: String =
+    TextOps.Keywords.map(k => s"'$k'").mkString("[", ", ", "]")
+
+  /** DuckDB twin of the full chain. Mirrors, step for step:
+    * raw synthesis → X1 explode (null rows kept) → F1/F3 pin clean → F7
+    * address concat (empty-slot double space) → F8 abbreviation fold → F18
+    * bround → A1+J1 suggested pins → F11 keywords → §2.10 rule suite.
+    */
+  private val chainSql: String = {
+    val abbrevApplicant =
+      TextOps.Abbreviations.foldLeft("applicant0") { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')"
+      }
+    s"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderpriority, c_name,
+             lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin14
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), raw AS (
+      SELECT
+        CASE WHEN o_orderkey % 23 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END AS permit_no,
+        CASE WHEN o_orderkey % 41 = 0 THEN NULL ELSE strftime(o_orderdate, '%-m/%-d/%Y') END AS issue_date,
+        concat('ADDR', ' ', '', ' ', c_name) AS address,
+        CASE WHEN o_orderkey % 37 = 0 THEN repeat('D', 2001)
+             ELSE concat('New garage near ', o_orderpriority) END AS work_description,
+        CASE WHEN o_orderkey % 11 = 0 THEN CAST(-5 AS BIGINT)
+             ELSE CAST(floor(o_totalprice) AS BIGINT) END AS amount,
+        CASE WHEN o_orderkey % 31 = 0 THEN concat(c_name, repeat('A', 50))
+             ELSE concat(c_name, ' BUILDING COMPANY') END AS applicant0,
+        CASE WHEN o_orderkey % 50 = 0 THEN NULL
+             WHEN o_orderkey % 13 = 0 THEN lpad(CAST(o_custkey + 900000 AS VARCHAR), 14, '0')
+             WHEN o_orderkey % 3 = 0 THEN concat(pin14, ' | ',
+               concat_ws('-', substr(pin14,1,2), substr(pin14,3,2), substr(pin14,5,3),
+                         substr(pin14,8,3), substr(pin14,11,4)))
+             ELSE pin14 END AS pin_list
+      FROM base
+    ), exploded AS (
+      SELECT r.*, unnest(coalesce(list_distinct(string_split(pin_list, ' | ')), [NULL::VARCHAR])) AS solo_pin
+      FROM raw r
+    ), cleaned AS (
+      SELECT permit_no, issue_date, address, work_description, amount,
+        $abbrevApplicant AS applicant,
+        CASE WHEN solo_pin IS NULL THEN ''
+             WHEN length(replace(solo_pin, '-', '')) = 10 THEN concat(replace(solo_pin, '-', ''), '0000')
+             ELSE replace(solo_pin, '-', '') END AS pin
+      FROM exploded
+    ), uni AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS u_pin,
+             concat('ADDR  ', c_name) AS prop_address_full
+      FROM customer
+    ), pinmap AS (
+      SELECT prop_address_full, string_agg(u_pin, ', ' ORDER BY u_pin) AS suggested_pins
+      FROM uni GROUP BY prop_address_full
+    ), joined AS (
+      SELECT c.*, coalesce(m.suggested_pins, '') AS suggested_pins,
+        coalesce(array_to_string(
+          list_filter($keywordListSql, k -> contains(lower(coalesce(work_description, '')), lower(k))), ', '), '')
+          AS matched_keywords,
+        u2.u_pin AS universe_hit
+      FROM cleaned c
+      LEFT JOIN pinmap m ON c.address = m.prop_address_full
+      LEFT JOIN (SELECT DISTINCT u_pin FROM uni) u2
+        ON lpad(replace(coalesce(c.pin, ''), '-', ''), 14, '0') = u2.u_pin
+    ), flagged AS (
+      SELECT permit_no, pin, issue_date, amount, applicant, address AS applicant_street_address,
+             suggested_pins, matched_keywords,
+        concat_ws('; ',
+          CASE WHEN pin IS NULL OR length(trim(pin)) = 0
+                    OR length(replace(pin, '-', '')) <> 14 THEN 'PIN is not 14 digits' END,
+          CASE WHEN address IS NULL OR length(trim(address)) = 0
+                    OR length(address) > 40 THEN 'Address > 40 characters' END,
+          CASE WHEN permit_no IS NULL OR length(trim(permit_no)) = 0 THEN 'Missing permit_no' END,
+          CASE WHEN issue_date IS NULL OR length(trim(issue_date)) = 0 THEN 'Missing issue_date' END,
+          CASE WHEN amount IS NULL OR length(trim(CAST(amount AS VARCHAR))) = 0
+                    OR TRY_CAST(CAST(amount AS VARCHAR) AS DOUBLE) IS NULL
+                    OR amount < 1 OR amount > 2147483647
+               THEN 'Amount must be a whole number between 1 and 2,147,483,647' END,
+          CASE WHEN work_description IS NULL OR length(trim(work_description)) = 0
+                    OR length(work_description) > 2000 THEN 'Work Description > 2000 characters' END,
+          CASE WHEN applicant IS NULL OR length(trim(applicant)) = 0
+                    OR length(applicant) > 50 THEN 'Applicant Name > 50 characters' END,
+          CASE WHEN universe_hit IS NULL THEN 'PIN is invalid' END
+        ) AS errors
+      FROM joined
+    )
+    """
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_upload" ->
+      (chainSql +
+        """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
+                  suggested_pins, matched_keywords
+           FROM flagged WHERE errors = ''"""),
+    "pipeline_review" ->
+      (chainSql +
+        """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
+                  suggested_pins, matched_keywords, errors
+           FROM flagged WHERE errors <> ''""")
+  )
+}

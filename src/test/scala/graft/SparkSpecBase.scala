@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test JVM (Test/fork := true). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  /** Collect a DataFrame to a sorted Seq of row-seqs for order-insensitive
+    * comparison.
+    */
+  def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  def strings(df: DataFrame, colName: String): Seq[String] =
+    df.select(colName).collect().toSeq.map(r => Option(r.get(0)).map(_.toString).orNull)
+}

@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Dedup extensions (SURVEY.md §7.5a). */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps lowest id") {
+    val out = Dedup.exact(docs, $"doc_id", $"text")
+    assert(out.count() == 3)
+    val dupGroup = out.filter($"n_dupes" === 2).collect().head
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhashLshPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))        // exact dup: all bands agree
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught by some band
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never pairs
+  }
+
+  test("minhash signature is a k-array of 8-hex-char minima, equal for equal text") {
+    val sigs = Dedup.minhashSignatures(docs, $"doc_id", $"text", n = 3, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L).size == 8 && sigs(1L).forall(_.matches("^[0-9a-f]{8}$")))
+    assert(sigs(1L) == sigs(4L))       // identical docs → identical signature
+    assert(sigs(1L) != sigs(3L))       // different docs → different signature
+    val overlap12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(overlap12 > 0, "near-dups share some minima")
+  }
+
+  test("simhash32: equal text equal fingerprint; near-dups within small hamming distance") {
+    val fps = docs.select($"doc_id", Dedup.simhash32($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(4L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(1L), fps(2L)) < hamming(fps(1L), fps(3L)))
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0, empty-vs-empty 0.0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String])
+    ).toDF("x", "y")
+    val out = df.select(Dedup.jaccard($"x", $"y").as("j")).collect().map(_.getDouble(0))
+    assert(out sameElements Array(1.0, 0.0, 0.0))
+  }
+
+  test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b")) // fewer words than n: concat_ws skips missing
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Similarity search extensions (SURVEY.md §7.5b). */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 4-dim toy corpus with a known neighborhood structure around v1
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // closest to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 1
+    (4L, Seq(0.7f, 0.3f, 0.0f, 0.0f)),  // second closest to 1
+    (5L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: parallel 1, orthogonal 0, antiparallel -1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine($"a", $"b"), 6).as("c")).collect().map(_.getDouble(0))
+    assert(out sameElements Array(1.0, 0.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
+    val q = vecs.filter($"vec_id" === 1L)
+    val out = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 3L)) // by descending cosine to v1
+  }
+
+  test("lshBucketTopK: same-vector queries land in their own bucket; results subset of brute-force ordering") {
+    val q = vecs.filter($"vec_id" === 1L)
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val approx = Similarity.lshBucketTopK(vecs, q, "vec_id", "embedding", dim = 4, planes = 2, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    // every approximate hit must carry the exact brute-force similarity
+    approx.foreach { case (id, sim) => assert(math.abs(brute(id) - sim) < 1e-9) }
+  }
+
+  test("srpBucket is deterministic and within [0, 2^planes)") {
+    val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
+    val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
+    assert(b1 sameElements b2)
+    assert(b1.forall(b => b >= 0 && b < 8))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extensions (SURVEY.md §7.5c). */
+class TextStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits, und on zero hits") {
+    val df = Seq(
+      "the cat and the dog of a house",
+      "el gato y la casa de madrid",
+      "le chat et la maison de paris",
+      "der hund und die katze das haus",
+      "xyzzy plugh"
+    ).toDF("t")
+    val out = strings(df.select(TextStats.langId($"t").as("v")), "v")
+    assert(out == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("tokenCount: whitespace tokens, 0 for blank and null") {
+    val df = Seq(Some("one two  three"), Some("   "), None).toDF("t")
+    val out = df.select(TextStats.tokenCount($"t").as("v")).collect().map(_.getLong(0))
+    assert(out sameElements Array(3L, 0L, 0L))
+  }
+
+  test("subwordCount splits letter runs, digit runs, single punctuation") {
+    val df = Seq("abc123,def!").toDF("t")
+    // abc | 123 | , | def | ! → 5
+    assert(df.select(TextStats.subwordCount($"t").as("v")).collect().head.getLong(0) == 5L)
+  }
+
+  test("qualityScore is in [0,1] and rewards stopword-rich prose") {
+    val df = Seq(
+      "the cat and the dog of a house with the garden and the tree please",
+      "zz"
+    ).toDF("t")
+    val out = df.select(TextStats.qualityScore($"t").as("v")).collect().map(_.getDouble(0))
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint: deterministic, order-sensitive, stable across runs") {
+    val df = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma").toDF("t")
+    val out = df.select(TextStats.fingerprint($"t").as("v")).collect().map(_.getLong(0))
+    assert(out(0) == out(2))   // same text → same fp
+    assert(out(0) != out(1))   // word order matters (rolling hash)
+    assert(out.forall(v => v >= 0 && v < 2147483647L))
+  }
+}

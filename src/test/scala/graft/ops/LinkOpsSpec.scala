@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** J1–J6 (SURVEY.md §2.3). */
+class LinkOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("lookupRemap: crosswalk hit remaps, miss keeps original (J3)") {
+    val df = Seq("p1", "p2").toDF("pin")
+    val cw = Seq(("p1", "meta1")).toDF("original_pin", "meta_pin")
+    val out = LinkOps.lookupRemap(df, cw, "pin", "original_pin", "meta_pin")
+    assert(strings(out, "pin").sorted == Seq("meta1", "p2"))
+  }
+
+  test("semiMembership keeps only rows in the universe; antiMembership the complement (J5/J6)") {
+    val df = Seq(1, 2, 3).toDF("k")
+    val uni = Seq(2, 3).toDF("u")
+    assert(rows(LinkOps.semiMembership(df, uni, $"k" === $"u")) == Seq(Seq(2), Seq(3)))
+    assert(rows(LinkOps.antiMembership(df, uni, $"k" === $"u")) == Seq(Seq(1)))
+  }
+
+  test("antiDedupe drops rows whose canonical keys exist; nullSafe matches pandas NaN==NaN (J4)") {
+    val left = Seq(
+      (1L, Some("a"), Some("x")),
+      (2L, Some("b"), Some("y")),
+      (3L, Option.empty[String], Some("z"))
+    ).toDF("id", "k1", "k2")
+    val existing = Seq(
+      (Some("a"), Some("x")),
+      (Option.empty[String], Some("z"))
+    ).toDF("k1", "k2")
+
+    // nullSafe=true (pandas semantics): null key matches null key → row 3 dropped
+    val strict = LinkOps.antiDedupe(left, existing, Seq("k1", "k2"), nullSafe = true)
+    assert(strings(strict, "id") == Seq("2"))
+
+    // nullSafe=false (plain SQL =): null never matches → row 3 kept
+    val loose = LinkOps.antiDedupe(left, existing, Seq("k1", "k2"), nullSafe = false)
+    assert(strings(loose, "id").sorted == Seq("2", "3"))
+  }
+
+  test("antiDedupe dedupes the broadcast side (duplicate existing rows are harmless)") {
+    val left = Seq((1L, "a")).toDF("id", "k")
+    val existing = Seq("a", "a", "a").toDF("k")
+    assert(LinkOps.antiDedupe(left, existing, Seq("k")).count() == 0)
+  }
+}

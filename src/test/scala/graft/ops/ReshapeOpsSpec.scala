@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** X1/X2, A1/A5/A6, W2/S8 (SURVEY.md §2.4/2.5/2.8). */
+class ReshapeOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("explodeDelimited: split, first-occurrence dedupe, 1-based pos, null rows survive") {
+    val df = Seq(
+      (1L, "a | b | a | c"), // dup "a" dropped, order kept
+      (2L, null)             // survives with null value/pos
+    ).toDF("id", "pins")
+    val out = ReshapeOps.explodeDelimited(df, $"pins", " \\| ", "pin", "pos")
+      .select($"id", $"pos", $"pin")
+    assert(
+      rows(out) == Seq(
+        Seq(1L, 1, "a"), Seq(1L, 2, "b"), Seq(1L, 3, "c"),
+        Seq(2L, null, null)
+      ).sortBy(_.mkString("|"))
+    )
+  }
+
+  test("unpivotWide drops null values (pivot_longer values_drop_na)") {
+    val df = Seq((1L, Some("x"), Option.empty[String])).toDF("id", "PIN1", "PIN2")
+    val out = ReshapeOps.unpivotWide(df, Seq("id"), Seq("PIN1", "PIN2"), "attr", "val")
+    assert(rows(out) == Seq(Seq(1L, "PIN1", "x")))
+  }
+
+  test("groupConcatDistinct joins unique values in explicit first-occurrence order") {
+    val df = Seq(
+      ("addr1", "p2", 2), ("addr1", "p1", 1), ("addr1", "p2", 3), // dup p2
+      ("addr2", "p9", 1)
+    ).toDF("addr", "pin", "ord")
+    val out = ReshapeOps.groupConcatDistinct(df, Seq($"addr"), $"pin", $"ord", "pins")
+    assert(rows(out) == Seq(Seq("addr1", "p1, p2"), Seq("addr2", "p9")))
+  }
+
+  test("dupFlag marks ALL members of duplicate groups (pandas keep=False)") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k1", "k2")
+    val out = df.transform(d => ReshapeOps.dupFlag(d, Seq("k1", "k2"), "dup"))
+    assert(out.filter($"dup").count() == 2 && out.filter(!$"dup").count() == 1)
+  }
+
+  test("firstPerGroup picks exactly one row per key under the explicit order") {
+    val df = Seq((1, "b", 20), (1, "a", 10), (2, "z", 30)).toDF("k", "v", "x")
+    val out = ReshapeOps.firstPerGroup(df, Seq("k"), Seq($"v"))
+    assert(rows(out.select($"k", $"v")) == Seq(Seq(1, "a"), Seq(2, "z")))
+  }
+
+  test("numberedBuckets: global numbering chunked and renumbered per bucket") {
+    val df = (1 to 7).toDF("n")
+    val out = ReshapeOps.numberedBuckets(df, Seq($"n"), 3, "bucket", "line")
+    assert(
+      rows(out) == Seq(
+        Seq(1, 0L, 1L), Seq(2, 0L, 2L), Seq(3, 0L, 3L),
+        Seq(4, 1L, 1L), Seq(5, 1L, 2L), Seq(6, 1L, 3L),
+        Seq(7, 2L, 1L)
+      ).sortBy(_.mkString("|"))
+    )
+  }
+}

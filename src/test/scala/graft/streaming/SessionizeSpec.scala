@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Batch + Structured Streaming event operators (SURVEY.md §7.5d). */
+class SessionizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    ("u1", ts("2024-01-01 10:00:00"), 1L, 5.0),
+    ("u1", ts("2024-01-01 10:10:00"), 2L, 5.0), // same session (gap 10m < 30m)
+    ("u1", ts("2024-01-01 11:00:00"), 3L, 5.0), // new session (gap 50m)
+    ("u2", ts("2024-01-01 10:00:00"), 4L, 2.0)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  test("sessionizeBatch breaks sessions on gap > threshold, per user") {
+    val out = Sessionize.sessionizeBatch(events, "user_id", "ts", "event_id", 30)
+      .select($"user_id", $"event_id", $"session_id")
+    assert(
+      rows(out) == Seq(
+        Seq("u1", 1L, 1L), Seq("u1", 2L, 1L), Seq("u1", 3L, 2L), Seq("u2", 4L, 1L)
+      ).sortBy(_.mkString("|"))
+    )
+  }
+
+  test("sessionStats aggregates per (user, session)") {
+    val sessions = Sessionize.sessionizeBatch(events, "user_id", "ts", "event_id", 30)
+    val stats = Sessionize.sessionStats(sessions, "user_id", "ts", "value")
+    val u1s1 = stats.filter($"user_id" === "u1" && $"session_id" === 1L).collect().head
+    assert(u1s1.getAs[Long]("n_events") == 2L)
+    assert(u1s1.getAs[Double]("total_value") == 10.0)
+  }
+
+  test("tumblingCounts groups by hour and type") {
+    val typed = events.withColumn("event_type", lit("click"))
+    val out = Sessionize.tumblingCounts(typed, "ts", "event_type")
+    assert(out.count() == 2) // 10:00 and 11:00 hours
+    assert(out.agg(sum($"n")).collect().head.getLong(0) == 4L)
+  }
+
+  test("tumblingCountsStream: watermarked streaming twin matches batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type")
+    val agg = Sessionize.tumblingCountsStream(stream, "ts", "event_type")
+    // data must be queued before an AvailableNow query snapshots its offsets
+    mem.addData(
+      ("u1", ts("2024-01-01 10:00:00"), "click"),
+      ("u1", ts("2024-01-01 10:30:00"), "click"),
+      ("u2", ts("2024-01-01 11:00:00"), "view")
+    )
+    val q = agg.writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tumbling_test").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 11:00:00.0", "view", 1L)
+    ))
+  }
+
+  test("sessionWindowStream: gap-based session windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "ts")
+    val agg = Sessionize.sessionWindowStream(stream, "user_id", "ts", 30)
+    mem.addData(
+      ("u1", ts("2024-01-01 10:00:00")),
+      ("u1", ts("2024-01-01 10:10:00")), // merges into one session
+      ("u1", ts("2024-01-01 12:00:00"))  // separate session
+    )
+    val q = agg.writeStream
+      .format("memory").queryName("session_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_test").collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("n_events")))
+    assert(out.sortBy(_._2).toSeq == Seq(("u1", 1L), ("u1", 2L)))
+  }
+}
