@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (north-star
@@ -22,19 +22,32 @@ object TextStats {
     "de" -> Seq(" der ", " und ", " die ", " das ")
   )
 
-  private def occurrences(textCol: Column, term: String): Column = {
-    // count of non-overlapping occurrences via length difference
-    val t = lower(concat(lit(" "), coalesce(textCol, lit("")), lit(" ")))
-    ((length(t) - length(replace(t, lit(term), lit("")))) / term.length).cast("long")
-  }
+  /** Space-padded lowered text — the shared input every occurrence count
+    * probes. Stage it as a real attribute column (see the staged *DF forms
+    * below) so CollapseProject cannot re-inline the lower+concat per term.
+    */
+  def padded(textCol: Column): Column =
+    concat(lit(" "), lower(coalesce(textCol, lit(""))), lit(" "))
+
+  private def occIn(p: Column, term: String): Column =
+    ((length(p) - length(replace(p, lit(term), lit("")))) / term.length).cast("long")
+
+  private def occurrences(textCol: Column, term: String): Column =
+    occIn(padded(textCol), term)
 
   /** Stopword-hit score for one language's lexicon. */
   def langScore(textCol: Column, lexicon: Seq[String]): Column =
     lexicon.map(occurrences(textCol, _)).reduce(_ + _)
 
+  /** Stopword-hit score over a pre-staged padded attribute. */
+  def langScoreFrom(paddedCol: Column, lexicon: Seq[String]): Column =
+    lexicon.map(occIn(paddedCol, _)).reduce(_ + _)
+
   /** Predicted language = argmax of per-language stopword hits; ties and
     * zero-hit rows fall back to "und" (undetermined). Priority on ties is
-    * lexicon order (deterministic).
+    * lexicon order (deterministic). Convenience single-Column form — the
+    * argmax references each score 3× so inlining re-runs the replace chains;
+    * [[langIdDF]] is the scale path.
     */
   def langId(textCol: Column): Column = {
     val scores = StopwordLexicons.map { case (lang, lex) => (lang, langScore(textCol, lex)) }
@@ -43,6 +56,53 @@ object TextStats {
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Staged langId: padded text and per-language scores each materialize as
+    * attributes, so every replace chain runs exactly once per row.
+    */
+  def langIdDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val scored = df
+      .select(idCol.as("doc_id"), padded(textCol).as("__p"))
+      .select(
+        col("doc_id") +:
+          StopwordLexicons.map { case (lang, lex) => langScoreFrom(col("__p"), lex).as(s"s_$lang") }: _*
+      )
+      .withColumn("best", greatest(StopwordLexicons.map(l => col(s"s_${l._1}")): _*))
+    val pred = StopwordLexicons.foldRight(lit("und"): Column) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === col("best") && col("best") > 0, lit(lang)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
+  /** Staged quality score: (doc_id, n_tokens, score) with the padded text
+    * and intermediate metrics evaluated once each.
+    */
+  def qualityDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), coalesce(textCol, lit("")).as("__t"), padded(textCol).as("__p"))
+      .select(
+        col("doc_id"),
+        length(col("__t")).cast("double").as("__nchars"),
+        tokenCount(col("__t")).as("n_tokens"),
+        langScoreFrom(col("__p"), StopwordLexicons.flatMap(_._2)).cast("double").as("__stop"),
+        (length(col("__t")) - length(regexp_replace(col("__t"), "[.,;:!?]", "")))
+          .cast("double").as("__punct")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(
+          when(col("__nchars") >= 50 && col("__nchars") <= 5000, lit(1.0)).otherwise(lit(0.0)) * 0.4 +
+            least(
+              when(col("n_tokens") > 0, col("__stop") / col("n_tokens").cast("double")).otherwise(lit(0.0)) * 2.0,
+              lit(1.0)
+            ) * 0.4 +
+            when(
+              when(col("__nchars") > 0, col("__punct") / col("__nchars")).otherwise(lit(0.0)) <= 0.1,
+              lit(0.2)
+            ).otherwise(lit(0.0)),
+          4
+        ).as("score")
+      )
 
   /** Whitespace token count (0 for blank/null). */
   def tokenCount(textCol: Column): Column =

@@ -54,18 +54,33 @@ object TextOps {
   )
 
   /** Case-insensitive substring keyword tagging: comma-joined matched terms
-    * in lexicon order (chicago/permit_cleaning.py:810-816). Implemented with
-    * the `filter` higher-order function over an array literal — per-row, no
-    * shuffle, scales linearly.
+    * in lexicon order (chicago/permit_cleaning.py:810-816). `concat_ws` over
+    * per-term `when(contains)` slots (unfired slots are null, which concat_ws
+    * skips) — stays inside whole-stage codegen, unlike an `array`+`filter`
+    * HOF formulation whose lambda is interpreted per element.
     */
   def keywordTag(textCol: Column, lexicon: Seq[String] = Keywords): Column = {
-    val arr = array(lexicon.map(lit): _*)
     val lowered = lower(coalesce(textCol, lit("")))
-    array_join(
-      filter(arr, k => lowered.contains(lower(k))),
-      ", "
-    )
+    concat_ws(", ", lexicon.map(k => when(lowered.contains(k.toLowerCase), lit(k))): _*)
   }
+
+  /** Staged [[keywordTag]]: the lowered text is materialized as an attribute
+    * first so the per-keyword `contains` probes it instead of re-lowering the
+    * text once per lexicon term (38× on the default lexicon — decisive on
+    * long descriptions).
+    */
+  def withKeywordTag(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: Column,
+      outName: String,
+      lexicon: Seq[String] = Keywords
+  ): org.apache.spark.sql.DataFrame =
+    df.withColumn("__kw_lowered", lower(coalesce(textCol, lit(""))))
+      .withColumn(
+        outName,
+        concat_ws(", ", lexicon.map(k => when(col("__kw_lowered").contains(k.toLowerCase), lit(k))): _*)
+      )
+      .drop("__kw_lowered")
 
   /** pandas `" ".join` address concat after fillna("") — KEEPS empty slots
     * (double spaces possible), unlike concat_ws

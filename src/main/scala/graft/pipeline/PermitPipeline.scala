@@ -71,7 +71,7 @@ object PermitPipeline {
       .withColumn("suggested_pins", coalesce(col("suggested_pins"), lit("")))
       .withColumn("property_address", col("applicant_street_address"))
       .drop("prop_address_full")
-      .withColumn("matched_keywords", TextOps.keywordTag(col("work_description")))
+      .transform(TextOps.withKeywordTag(_, col("work_description"), "matched_keywords"))
   }
 
   /** Step 7 (§3.1): J4 dedupe against warehouse rows — canonicalize the 7

@@ -36,11 +36,11 @@ object Extensions {
       Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
     },
     "dedup_simhash" -> { (s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("fp"))
+      Dedup.simhashed(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("fp"))
     },
     "ngram_jaccard" -> { (s, dir) =>
-      val g = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("grams"))
+      val g = Dedup.shingled(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
       val b = g.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
@@ -77,14 +77,10 @@ object Extensions {
     },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+      TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
     "text_quality" -> { (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextStats.tokenCount(col("text")).as("n_tokens"),
-        TextStats.qualityScore(col("text")).as("score")
-      )
+      TextStats.qualityDF(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
     "text_token_stats" -> { (s, dir) =>
       t(s, dir, "documents").select(
