@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** The reference's legacy backfill family (SURVEY.md §3.3:
+  * chicago/legacy_permits/2021|2022|2023/format_legacy_*.R + helper.R/py)
+  * rebuilt as one lazy plan over wide legacy sheets:
+  *
+  * wide PIN1..PINn sheet → X2 unpivot → F4 PIN normalize → F16 Excel-serial
+  * date → J3 crosswalk remap (+P12 reinstated-note coalesce, 2023) → P10
+  * zero-PIN blacklist (2022) → A6 first-per-group dedupe → legacy
+  * flag-column validation (helper.py:110-173, the py twin is canonical per
+  * SURVEY §7.4) → upload/review split with W2 row numbering.
+  *
+  * All map-side except the A6 window (one shuffle on (pin, permit_no)) and
+  * the broadcast crosswalk join.
+  */
+object LegacyPipeline {
+
+  /** X2 + U1: unpivot PIN1..PINn wide columns to one row per (permit, PIN),
+    * dropping null PINs, keeping rows whose pins are ALL null as a single
+    * null-pin row (helper.R:40-62 expand_pins: long ∪ wide-minus-pins,
+    * distinct).
+    */
+  def expandPins(df: DataFrame, pinCols: Seq[String]): DataFrame = {
+    val idCols = df.columns.filterNot(pinCols.contains).toSeq
+    val long = ReshapeOps
+      .unpivotWide(df, idCols, pinCols, "pin_slot", "pin")
+      .drop("pin_slot")
+    val nullOnly = df
+      .filter(pinCols.map(c => col(c).isNull).reduce(_ && _))
+      .select(idCols.map(col) :+ lit(null).cast("string").as("pin"): _*)
+    long.unionByName(nullOnly).distinct()
+  }
+
+  /** F4 + F16: normalize PIN shapes, convert Excel-serial issue dates
+    * (2021/format_legacy_2021.R:33-42).
+    */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("pin", PinOps.normalizePin(col("pin")))
+      .withColumn(
+        "issue_date",
+        date_format(TimeOps.excelSerialToDate(col("date_serial")), "yyyy-MM-dd")
+      )
+      .drop("date_serial")
+
+  /** J3 + P12: crosswalk PIN remap with fallback, then reinstated-note
+    * overwrite (2023/format_legacy_2023.R:40-43,:69-73).
+    */
+  def applyCrosswalk(df: DataFrame, crosswalk: DataFrame): DataFrame = {
+    val remapped = LinkOps.lookupRemap(df, crosswalk, "pin", "original_pin", "meta_pin")
+    if (remapped.columns.contains("reinstated_note"))
+      remapped
+        .withColumn("notes", coalesce(col("reinstated_note"), col("notes")))
+        .drop("reinstated_note")
+    else remapped
+  }
+
+  /** Legacy finalize_columns (helper.py:110-173): named boolean flag columns,
+    * conjunction valid_row, split + 1..n renumber, upload drops the flags.
+    * The py twin's full rule set (incl. valid_amount, pin14_in_data,
+    * duplicate_pin_permit — the R twin omits these, SURVEY §7.4).
+    */
+  def finalize(
+      df: DataFrame,
+      universe: DataFrame
+  ): (DataFrame, DataFrame) = {
+    val u = broadcast(universe.select(col("pin").as("u_pin")).distinct())
+    val joined = df.join(u, PinOps.membershipKey(col("pin")) === col("u_pin"), "left")
+    val dupFlagged = ReshapeOps.dupFlag(joined, Seq("pin", "permit_no"), "duplicate_pin_permit")
+    val flags: Seq[(String, Column)] = Seq(
+      "valid_filled" -> (!(col("pin").isNull || length(trim(col("pin"))) === 0) &&
+        !(col("permit_no").isNull || length(trim(col("permit_no"))) === 0)),
+      "valid_pin" -> (length(regexp_replace(coalesce(col("pin"), lit("")), "[^0-9]", "")) === 14),
+      // permit-no length ∈ {9, 10} (helper.R:104-106)
+      "valid_permit" -> length(trim(coalesce(col("permit_no"), lit("")))).isin(9, 10),
+      "valid_addr_len" -> (length(coalesce(col("address"), lit(""))) <= 40),
+      "valid_note_len" -> (length(coalesce(col("notes"), lit(""))) <= 2000),
+      "valid_name_len" -> (length(coalesce(col("applicant"), lit(""))) <= 50),
+      "valid_amount" -> (col("amount").try_cast("double").isNotNull &&
+        col("amount").try_cast("double") >= 1 &&
+        col("amount").try_cast("double") <= 2147483647L),
+      "pin14_in_data" -> col("u_pin").isNotNull,
+      "not_duplicate" -> !col("duplicate_pin_permit")
+    )
+    val flagged = ValidateOps.withFlags(dupFlagged, flags).drop("u_pin")
+    val upload = flagged
+      .filter(col("valid_row"))
+      .drop(flags.map(_._1) :+ "valid_row" :+ "duplicate_pin_permit": _*)
+    val review = flagged.filter(!col("valid_row"))
+    (
+      ReshapeOps.numberedBuckets(upload, Seq(col("permit_no"), col("pin")), 250, "bucket", "lline"),
+      review
+    )
+  }
+
+  /** Full §3.3 chain. `pinCols` names the wide PIN columns of the sheet. */
+  def run(
+      sheet: DataFrame,
+      pinCols: Seq[String],
+      crosswalk: DataFrame,
+      universe: DataFrame
+  ): (DataFrame, DataFrame) = {
+    val long = normalize(expandPins(sheet, pinCols))
+    val remapped = applyCrosswalk(long, crosswalk)
+      .filter(coalesce(col("pin"), lit("")) =!= "00000000000000") // P10 (2022)
+    val deduped = ReshapeOps.firstPerGroup(
+      remapped,
+      Seq("pin", "permit_no"),
+      // full-payload tiebreak: (pin, permit_no) groups can hold many rows
+      // when both are blank/null, and the pick must be deterministic
+      Seq(col("issue_date"), col("amount"), col("address"), col("notes"), col("applicant"))
+    )
+    finalize(deduped, universe)
+  }
+}

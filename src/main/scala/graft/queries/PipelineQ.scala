@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{PinOps, TextOps}
-import graft.pipeline.PermitPipeline
+import graft.pipeline.{LegacyPipeline, PermitPipeline}
 
 /** The flagship end-to-end queries: the reference's §3.1 production chain
   * (explode → normalize → rename → abbreviate → suggested-pins join →
@@ -62,9 +62,72 @@ object PipelineQ {
     )
   }
 
+  /** Legacy wide-sheet pipeline (§3.3) over a deterministic synthetic
+    * legacy workbook: PIN1..PIN3 wide columns, Excel-serial dates,
+    * 9/10-digit permit numbers, a crosswalk remap and the legacy flag-column
+    * validation.
+    */
+  private def runLegacy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val pin14 = lpad(col("o_custkey").cast("string"), 14, "0")
+    val sheet = base.select(
+      when(col("o_orderkey") % 23 === 0, lit(""))
+        .when(col("o_orderkey") % 2 === 0, lpad(col("o_orderkey").cast("string"), 9, "0"))
+        .otherwise(lpad(col("o_orderkey").cast("string"), 10, "0"))
+        .as("permit_no"),
+      (col("o_orderkey") % 20000 + 30000).cast("int").as("date_serial"),
+      when(col("o_orderkey") % 19 === 0, concat(col("c_name"), repeat(lit("X"), 40)))
+        .otherwise(concat(lit("ADDR "), col("c_name")))
+        .as("address"),
+      concat(lit("note "), col("o_orderpriority")).as("notes"),
+      when(col("o_orderkey") % 29 === 0, lit("REINSTATED 2023")).as("reinstated_note"),
+      col("c_name").as("applicant"),
+      when(col("o_orderkey") % 11 === 0, lit("-5"))
+        .otherwise(floor(col("o_totalprice")).cast("long").cast("string"))
+        .as("amount"),
+      when(col("o_orderkey") % 43 === 0, lit(null).cast("string"))
+        .when(col("o_orderkey") % 4 === 0, PinOps.hyphenate(pin14))
+        .when(col("o_orderkey") % 4 === 1, substring(pin14, 2, 13))
+        .otherwise(pin14)
+        .as("PIN1"),
+      when(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 43 =!= 0, PinOps.hyphenate(pin14))
+        .as("PIN2"),
+      when(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 43 =!= 0, lit("00000000000000"))
+        .as("PIN3")
+    )
+    val crosswalk = t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(
+        lpad(col("c_custkey").cast("string"), 14, "0").as("original_pin"),
+        lpad((col("c_custkey") + 500000).cast("string"), 14, "0").as("meta_pin")
+      )
+    val universe = t(s, dir, "customer").select(
+      when(col("c_custkey") % 10 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
+        .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
+        .as("pin")
+    )
+    LegacyPipeline.run(sheet, Seq("PIN1", "PIN2", "PIN3"), crosswalk, universe)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_upload" -> { (s, dir) => run(s, dir)._1 },
-    "pipeline_review" -> { (s, dir) => run(s, dir)._2 }
+    "pipeline_review" -> { (s, dir) => run(s, dir)._2 },
+    "legacy_upload" -> { (s, dir) =>
+      runLegacy(s, dir)._1.select(
+        col("permit_no"), col("pin"), col("issue_date"), col("amount"),
+        col("address"), col("notes"), col("applicant"), col("bucket"), col("lline")
+      )
+    },
+    "legacy_review" -> { (s, dir) =>
+      runLegacy(s, dir)._2.select(
+        col("permit_no"), col("pin"), col("issue_date"), col("amount"),
+        col("address"), col("notes"), col("applicant"),
+        col("valid_filled"), col("valid_pin"), col("valid_permit"),
+        col("valid_addr_len"), col("valid_amount"), col("pin14_in_data"),
+        col("valid_row")
+      )
+    }
   )
 
   private val keywordListSql: String =
@@ -155,6 +218,100 @@ object PipelineQ {
     """
   }
 
+  /** DuckDB twin of the legacy chain (§3.3). */
+  private val legacySql: String = """
+    WITH sheet AS (
+      SELECT
+        CASE WHEN o_orderkey % 23 = 0 THEN ''
+             WHEN o_orderkey % 2 = 0 THEN lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+             ELSE lpad(CAST(o_orderkey AS VARCHAR), 10, '0') END AS permit_no,
+        CAST(o_orderkey % 20000 + 30000 AS INTEGER) AS date_serial,
+        CASE WHEN o_orderkey % 19 = 0 THEN concat(c_name, repeat('X', 40))
+             ELSE concat('ADDR ', c_name) END AS address,
+        concat('note ', o_orderpriority) AS notes,
+        CASE WHEN o_orderkey % 29 = 0 THEN 'REINSTATED 2023' END AS reinstated_note,
+        c_name AS applicant,
+        CASE WHEN o_orderkey % 11 = 0 THEN '-5'
+             ELSE CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) END AS amount,
+        CASE WHEN o_orderkey % 43 = 0 THEN NULL
+             WHEN o_orderkey % 4 = 0 THEN concat_ws('-',
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 1, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 3, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 5, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 8, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 11, 4))
+             WHEN o_orderkey % 4 = 1 THEN substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 2, 13)
+             ELSE lpad(CAST(o_custkey AS VARCHAR), 14, '0') END AS PIN1,
+        CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 43 <> 0 THEN concat_ws('-',
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 1, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 3, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 5, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 8, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 11, 4)) END AS PIN2,
+        CASE WHEN o_orderkey % 17 = 0 AND o_orderkey % 43 <> 0 THEN '00000000000000' END AS PIN3
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), long0 AS (
+      SELECT permit_no, date_serial, address, notes, reinstated_note, applicant, amount, pin
+      FROM sheet UNPIVOT (pin FOR slot IN (PIN1, PIN2, PIN3))
+    ), nullrows AS (
+      SELECT permit_no, date_serial, address, notes, reinstated_note, applicant, amount,
+             NULL::VARCHAR AS pin
+      FROM sheet WHERE PIN1 IS NULL AND PIN2 IS NULL AND PIN3 IS NULL
+    ), longu AS (
+      SELECT DISTINCT * FROM (SELECT * FROM long0 UNION ALL SELECT * FROM nullrows)
+    ), norm AS (
+      SELECT permit_no, address, notes, reinstated_note, applicant, amount,
+        CASE WHEN pin IS NULL THEN NULL
+             WHEN length(replace(pin, '-', '')) = 13 THEN concat('0', replace(pin, '-', ''))
+             WHEN length(replace(pin, '-', '')) = 10 THEN concat(replace(pin, '-', ''), '0000')
+             WHEN length(replace(pin, '-', '')) = 9 THEN concat('0', replace(pin, '-', ''), '0000')
+             ELSE replace(pin, '-', '') END AS pin,
+        strftime(DATE '1899-12-30' + date_serial, '%Y-%m-%d') AS issue_date
+      FROM longu
+    ), cw AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS original_pin,
+             lpad(CAST(c_custkey + 500000 AS VARCHAR), 14, '0') AS meta_pin
+      FROM customer WHERE c_custkey % 10 = 0
+    ), remap AS (
+      SELECT permit_no, coalesce(meta_pin, pin) AS pin, issue_date, address,
+             coalesce(reinstated_note, notes) AS notes, applicant, amount
+      FROM norm LEFT JOIN cw ON norm.pin = cw.original_pin
+    ), filt AS (
+      SELECT * FROM remap WHERE coalesce(pin, '') <> '00000000000000'
+    ), dedup AS (
+      SELECT permit_no, pin, issue_date, address, notes, applicant, amount
+      FROM (SELECT *, row_number() OVER (PARTITION BY pin, permit_no
+                 ORDER BY issue_date, amount, address, notes, applicant) AS rn
+            FROM filt)
+      WHERE rn = 1
+    ), uni AS (
+      SELECT DISTINCT CASE WHEN c_custkey % 10 = 0
+                           THEN lpad(CAST(c_custkey + 500000 AS VARCHAR), 14, '0')
+                           ELSE lpad(CAST(c_custkey AS VARCHAR), 14, '0') END AS u_pin
+      FROM customer
+    ), flags AS (
+      SELECT d.*,
+        (NOT (pin IS NULL OR length(trim(pin)) = 0)
+         AND NOT (permit_no IS NULL OR length(trim(permit_no)) = 0)) AS valid_filled,
+        (length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 14) AS valid_pin,
+        (length(trim(coalesce(permit_no, ''))) IN (9, 10)) AS valid_permit,
+        (length(coalesce(address, '')) <= 40) AS valid_addr_len,
+        (length(coalesce(notes, '')) <= 2000) AS valid_note_len,
+        (length(coalesce(applicant, '')) <= 50) AS valid_name_len,
+        (TRY_CAST(amount AS DOUBLE) IS NOT NULL AND TRY_CAST(amount AS DOUBLE) >= 1
+         AND TRY_CAST(amount AS DOUBLE) <= 2147483647) AS valid_amount,
+        (u.u_pin IS NOT NULL) AS pin14_in_data,
+        NOT (count(*) OVER (PARTITION BY pin, permit_no) > 1) AS not_duplicate
+      FROM dedup d LEFT JOIN uni u
+        ON lpad(replace(coalesce(d.pin, ''), '-', ''), 14, '0') = u.u_pin
+    ), validated AS (
+      SELECT *, (valid_filled AND valid_pin AND valid_permit AND valid_addr_len
+                 AND valid_note_len AND valid_name_len AND valid_amount
+                 AND pin14_in_data AND not_duplicate) AS valid_row
+      FROM flags
+    )
+  """
+
   val oracles: Map[String, String] = Map(
     "pipeline_upload" ->
       (chainSql +
@@ -165,6 +322,18 @@ object PipelineQ {
       (chainSql +
         """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
                   suggested_pins, matched_keywords, errors
-           FROM flagged WHERE errors <> ''""")
+           FROM flagged WHERE errors <> ''"""),
+    "legacy_upload" ->
+      (legacySql +
+        """SELECT permit_no, pin, issue_date, amount, address, notes, applicant,
+                  CAST((row_number() OVER (ORDER BY permit_no, pin) - 1) // 250 AS BIGINT) AS bucket,
+                  CAST((row_number() OVER (ORDER BY permit_no, pin) - 1) % 250 + 1 AS BIGINT) AS lline
+           FROM validated WHERE valid_row"""),
+    "legacy_review" ->
+      (legacySql +
+        """SELECT permit_no, pin, issue_date, amount, address, notes, applicant,
+                  valid_filled, valid_pin, valid_permit, valid_addr_len, valid_amount,
+                  pin14_in_data, valid_row
+           FROM validated WHERE NOT valid_row""")
   )
 }
