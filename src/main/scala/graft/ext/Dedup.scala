@@ -218,4 +218,49 @@ object Dedup {
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket the vectors (see
+    * [[Similarity.srpBucket]]), generate candidate pairs within each bucket,
+    * keep pairs with cosine ≥ `threshold`. The bucket groupBy is the only
+    * corpus-wide shuffle — candidate volume is Σ bucket² instead of n², the
+    * same scale shape as [[minhashLshPairs]]. Approximate: near-dups split
+    * across buckets are missed (raise `planes` ↔ recall tradeoff).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      planes: Int,
+      threshold: Double
+  ): DataFrame = {
+    val bucketed = df.select(
+      idCol.as("id"),
+      vecCol.as("vec"),
+      Similarity.srpBucket(vecCol, dim, planes).as("bucket")
+    )
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("items"),
+              (x, i) =>
+                transform(
+                  slice(col("items"), i + 2, greatest(size(col("items")) - i - 1, lit(0))),
+                  y => struct(x.getField("id").as("id_lo"), y.getField("id").as("id_hi"),
+                    Similarity.cosine(x.getField("vec"), y.getField("vec")).as("sim"))
+                )
+            )
+          )
+        ).as("p")
+      )
+      .select(col("p.id_lo").as("id_lo"), col("p.id_hi").as("id_hi"),
+        round(col("p.sim"), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
 }

@@ -378,6 +378,35 @@ object Core {
       )
       graft.sources.Sources.writePinUniverseCsv(uni, path)
       graft.sources.Sources.readPinUniverseCsv(s, path)
+    },
+    // ---- S1: schema-pinned JSON scan roundtrip ---------------------------
+    "s1_json_roundtrip" -> { (s, dir) =>
+      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"/tmp/graft_cache/permits_json_$key"
+      val permits = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("permit_"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("issue_date"),
+        lit("100").as("street_number"),
+        lit("W").as("street_direction"),
+        col("o_orderpriority").as("street_name"),
+        concat(lit("work "), col("o_orderstatus")).as("work_description"),
+        floor(col("o_totalprice")).cast("long").cast("string").as("reported_cost"),
+        concat(lit("Clerk#"), col("o_custkey").cast("string")).as("contact_1_name"),
+        lpad(col("o_custkey").cast("string"), 14, "0").as("pin_list")
+      )
+      permits.write.mode("overwrite").json(path)
+      graft.sources.Sources.readPermitsJson(s, path)
+    },
+    // ---- S2: warehouse SQL surface (registered views + spark.sql) --------
+    "s2_sql_scan" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("vw_customer")
+      t(s, dir, "nation").createOrReplaceTempView("vw_nation")
+      s.sql("""
+        SELECT DISTINCT lpad(CAST(c_custkey AS STRING), 14, '0') AS pin,
+               n_name, concat('ADDR ', c_name) AS prop_address_full
+        FROM vw_customer JOIN vw_nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+      """)
     }
   )
 
@@ -714,6 +743,20 @@ object Core {
       """SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
                 lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pin10,
                 concat('ADDR ', c_name) AS prop_address_full
-         FROM customer"""
+         FROM customer""",
+    "s1_json_roundtrip" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
+                '100' AS street_number, 'W' AS street_direction,
+                o_orderpriority AS street_name, concat('work ', o_orderstatus) AS work_description,
+                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS reported_cost,
+                concat('Clerk#', CAST(o_custkey AS VARCHAR)) AS contact_1_name,
+                lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin_list
+         FROM orders""",
+    "s2_sql_scan" ->
+      """SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
+                n_name, concat('ADDR ', c_name) AS prop_address_full
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_mktsegment = 'BUILDING'"""
   )
 }

@@ -119,6 +119,23 @@ object Extensions {
           col("n"),
           col("total_value")
         )
+    },
+    "ev_sliding" -> { (s, dir) =>
+      Sessionize
+        .slidingCounts(Fixtures.events(s, dir), "ts", "event_type", 60, 30)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n")
+        )
+    },
+    // Embedding-cosine near-dup (SRP buckets). Engine-specific hash =>
+    // rows-only driver check; recall adversarially tested in DedupSpec.
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        dim = 64, planes = 4, threshold = 0.2
+      )
     }
   )
 
@@ -288,6 +305,18 @@ object Extensions {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "ev_sliding" ->
+      """WITH half AS (
+           SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0
+           FROM events
+         ), windows AS (
+           SELECT event_type, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS window_start
+           FROM half
+         )
+         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n
+         FROM windows GROUP BY 1, 2"""
   )
 }

@@ -69,6 +69,26 @@ object Sessionize {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
       )
 
+  /** Sliding-window aggregate (batch formulation): each event contributes to
+    * every `slideMinutes`-spaced window of `widthMinutes` covering it —
+    * `window(ts, width, slide)` generates the per-event window set, exactly
+    * what the streaming form uses.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      widthMinutes: Int,
+      slideMinutes: Int
+  ): DataFrame =
+    events
+      .groupBy(
+        window(col(tsCol), s"$widthMinutes minutes", s"$slideMinutes minutes"),
+        col(typeCol)
+      )
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(typeCol), col("n"))
+
   /** Structured Streaming twin of [[tumblingCounts]]: watermarked tumbling
     * window. Call with a `readStream` DataFrame; the batch tests drive it
     * with a memory sink.

@@ -57,6 +57,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out sameElements Array(1.0, 0.0, 0.0))
   }
 
+  test("embeddingNearDupPairs finds planted near-identical vectors, skips distant ones") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))     // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, $"vec_id", $"embedding", dim = 4, planes = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // same SRP bucket + cosine ≈ 1
+  }
+
   test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
     val df = Seq("a b c d", "a b").toDF("t")
     val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))

@@ -44,6 +44,15 @@ class SessionizeSpec extends SparkSpecBase {
     assert(out.agg(sum($"n")).collect().head.getLong(0) == 4L)
   }
 
+  test("slidingCounts: each event lands in width/slide overlapping windows") {
+    val typed = events.withColumn("event_type", lit("click"))
+    val out = Sessionize.slidingCounts(typed, "ts", "event_type", 60, 30)
+    // 4 events × 2 windows each (60m width, 30m slide)
+    assert(out.agg(sum($"n")).collect().head.getLong(0) == 8L)
+    val at0945 = out.filter($"window_start" === ts("2024-01-01 09:30:00")).collect()
+    assert(at0945.head.getAs[Long]("n") == 3L) // the three 10:00–10:10 events
+  }
+
   test("tumblingCountsStream: watermarked streaming twin matches batch counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, String)]
