@@ -80,9 +80,15 @@ object Similarity {
   }
 
   /** Approximate nearest neighbors: corpus and queries are bucketed by SRP
-    * sign-bits; ranking happens only within a query's own bucket. At 100 TB
-    * the corpus side is a single map+shuffle on small bucket keys instead of
-    * a broadcast × full-scan product.
+    * sign-bits; ranking happens only within a query's probed buckets. At
+    * 100 TB the corpus side is a single map+shuffle on small bucket keys
+    * instead of a broadcast × full-scan product.
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's own (standard LSH multi-probe): recall
+    * rises sharply — a near neighbor differing in one sign bit is found —
+    * for `planes`× more query-side rows, which only scales the (small)
+    * broadcast, not the corpus shuffle.
     */
   def lshBucketTopK(
       corpus: DataFrame,
@@ -91,7 +97,8 @@ object Similarity {
       vecCol: String,
       dim: Int,
       planes: Int,
-      k: Int
+      k: Int,
+      multiProbe: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(
@@ -99,16 +106,32 @@ object Similarity {
       col(vecCol).as("c_vec"),
       srpBucket(col(vecCol), dim, planes).as("bucket")
     )
-    val q = broadcast(
-      queries.select(
-        col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"),
-        srpBucket(col(vecCol), dim, planes).as("bucket")
-      )
+    val q0 = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      srpBucket(col(vecCol), dim, planes).as("bucket")
     )
+    val probed =
+      if (!multiProbe) q0
+      else
+        q0.select(
+          col("query_id"),
+          col("q_vec"),
+          explode(
+            array_distinct(
+              array(
+                col("bucket") +:
+                  (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*
+              )
+            )
+          ).as("bucket")
+        )
+    val q = broadcast(probed)
     val scored = c
       .join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
+      // a candidate can surface via several probed buckets — rank each once
+      .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     scored

@@ -155,6 +155,13 @@ object Core {
         "names"
       )
     },
+    "a1_group_concat_agg" -> { (s, dir) =>
+      // same semantics via the typed Aggregator (incremental dedupe — the
+      // 100 TB buffer-bounded path, SURVEY §4.3)
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(graft.ops.agg.DistinctOrderedConcat.column(col("c_custkey"), col("c_name")).as("names"))
+    },
     "a5_dup_flag" -> { (s, dir) =>
       ReshapeOps
         .dupFlag(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey"), "is_dup")
@@ -610,6 +617,9 @@ object Core {
          FROM (SELECT p_partkey, p_name, p_brand, p_type FROM part)
          UNPIVOT (val FOR attr IN (p_name, p_brand, p_type))""",
     "a1_group_concat" ->
+      """SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_custkey) AS names
+         FROM customer GROUP BY c_nationkey""",
+    "a1_group_concat_agg" ->
       """SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_custkey) AS names
          FROM customer GROUP BY c_nationkey""",
     "a5_dup_flag" ->

@@ -73,7 +73,10 @@ object Extensions {
     // driver check (no SQL twin), adversarially tested in AnnSpec instead.
     "ann_lsh_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      Similarity.lshBucketTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", dim = 64, planes = 6, k = 5)
+      Similarity.lshBucketTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, planes = 6, k = 5, multiProbe = true
+      )
     },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>

@@ -28,6 +28,17 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0))
   }
 
+  test("decodePartitioned: per-partition codec path decodes every asset deterministically") {
+    val df = Seq((1L, "hello"), (2L, "world"), (3L, "")).toDF("doc_id", "text")
+    val assets = Multimodal.fromText(df, "doc_id", "text")
+    val out1 = Multimodal.decodePartitioned(assets).collect().sortBy(_.asset_id)
+    val out2 = Multimodal.decodePartitioned(assets).collect().sortBy(_.asset_id)
+    assert(out1.toSeq == out2.toSeq) // deterministic across runs
+    assert(out1.map(_.asset_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out1(0).n_bytes == 5L && out1(0).width > 0 && out1(0).height > 0)
+    assert(out1(2).n_bytes == 0L && out1(2).width == 0) // empty payload
+  }
+
   test("asset schema matches the declared contract") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     val out = Multimodal.fromText(df, "doc_id", "text").drop("decoded")

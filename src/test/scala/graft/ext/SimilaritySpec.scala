@@ -43,6 +43,19 @@ class SimilaritySpec extends SparkSpecBase {
     approx.foreach { case (id, sim) => assert(math.abs(brute(id) - sim) < 1e-9) }
   }
 
+  test("multiProbe recovers neighbors that differ in one sign bit") {
+    val q = vecs.filter($"vec_id" === 1L)
+    val single = Similarity.lshBucketTopK(vecs, q, "vec_id", "embedding", dim = 4, planes = 3, k = 5)
+      .count()
+    val multi = Similarity.lshBucketTopK(vecs, q, "vec_id", "embedding", dim = 4, planes = 3, k = 5,
+      multiProbe = true).count()
+    assert(multi >= single) // probing ±1-bit buckets can only add candidates
+    // and every multi-probe hit is ranked exactly once
+    val ranked = Similarity.lshBucketTopK(vecs, q, "vec_id", "embedding", dim = 4, planes = 3, k = 5,
+      multiProbe = true).collect()
+    assert(ranked.map(_.getLong(1)).distinct.length == ranked.length)
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
