@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed dry pass at the smallest SF: JIT + codegen compile for every
+    // plan shape happens here, so the timed loop measures steady-state
+    // execution rather than charging first-run JVM warmup to whichever
+    // query iterates first.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column; count() would

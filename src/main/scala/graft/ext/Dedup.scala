@@ -234,14 +234,14 @@ object Dedup {
       planes: Int,
       threshold: Double
   ): DataFrame = {
-    val bucketed = df.select(
-      idCol.as("id"),
-      vecCol.as("vec"),
-      Similarity.srpBucket(vecCol, dim, planes).as("bucket")
-    )
+    // norms are staged per VECTOR before pair generation — computing them
+    // inside the pair lambda would redo each one once per candidate pair
+    val bucketed = df
+      .select(idCol.as("id"), vecCol.as("vec"), Similarity.srpBucket(vecCol, dim, planes).as("bucket"))
+      .select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm"))
     bucketed
       .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("items"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("items"))
       .filter(size(col("items")) > 1)
       .select(
         explode(
@@ -251,8 +251,12 @@ object Dedup {
               (x, i) =>
                 transform(
                   slice(col("items"), i + 2, greatest(size(col("items")) - i - 1, lit(0))),
-                  y => struct(x.getField("id").as("id_lo"), y.getField("id").as("id_hi"),
-                    Similarity.cosine(x.getField("vec"), y.getField("vec")).as("sim"))
+                  y => struct(
+                    x.getField("id").as("id_lo"),
+                    y.getField("id").as("id_hi"),
+                    (Similarity.dot(x.getField("vec"), y.getField("vec")) /
+                      (x.getField("nrm") * y.getField("nrm"))).as("sim")
+                  )
                 )
             )
           )
