@@ -404,6 +404,29 @@ object Core {
       permits.write.mode("overwrite").json(path)
       graft.sources.Sources.readPermitsJson(s, path)
     },
+    // ---- S5: metadata-predicate scan (cell-color filter modeled as a
+    // boolean flag column, SURVEY §2.1) ------------------------------------
+    "s5_flag_filter" -> { (s, dir) =>
+      // reviewer flag = fill-color predicate; the engine models formatting
+      // metadata as a data column and filters on it
+      t(s, dir, "orders")
+        .withColumn(
+          "flagged",
+          col("o_orderkey") % 3 === 0 || col("o_orderkey") % 7 === 0
+        )
+        .filter(col("flagged"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    },
+    // ---- S8: batched sink roundtrip (≤250 rows per file) -----------------
+    "s8_batched_sink" -> { (s, dir) =>
+      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"/tmp/graft_cache/batched_$key"
+      val upload = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.Sources.writeBatched(upload, path, 250)
+      s.read.parquet(path)
+    },
     // ---- S2: warehouse SQL surface (registered views + spark.sql) --------
     "s2_sql_scan" -> { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("vw_customer")
@@ -767,6 +790,11 @@ object Core {
       """SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
                 n_name, concat('ADDR ', c_name) AS prop_address_full
          FROM customer JOIN nation ON c_nationkey = n_nationkey
-         WHERE c_mktsegment = 'BUILDING'"""
+         WHERE c_mktsegment = 'BUILDING'""",
+    "s5_flag_filter" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0""",
+    "s8_batched_sink" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'"""
   )
 }
