@@ -49,6 +49,33 @@ class ReshapeOpsSpec extends SparkSpecBase {
     assert(rows(out.select($"k", $"v")) == Seq(Seq(1, "a"), Seq(2, "z")))
   }
 
+  test("property: explode ∘ group-concat round-trips a delimited list") {
+    // SURVEY §5: explode×group-concat round-trip — rebuild the pin_list from
+    // its exploded rows and recover the original (deduped) list
+    val df = Seq((1L, "a | b | c"), (2L, "x | y"), (3L, "q | q | r")).toDF("id", "pins")
+    val exploded = ReshapeOps.explodeDelimited(df, $"pins", " \\| ", "pin", "pos")
+    val rebuilt = ReshapeOps.groupConcatDistinct(
+      exploded.filter($"pin".isNotNull), Seq($"id"), $"pin", $"pos", "pins"
+    ).withColumn("pins", regexp_replace($"pins", ", ", " | "))
+    val expected = Seq(Seq(1L, "a | b | c"), Seq(2L, "x | y"), Seq(3L, "q | r"))
+    assert(rows(rebuilt) == expected.sortBy(_.mkString("|")))
+  }
+
+  test("property: partition outputs are disjoint and union-complete on fixture data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    import graft.ops.ValidateOps
+    val rules = Seq(
+      ValidateOps.Rules.maxLen($"l_returnflag", 0, "returnflag"),
+      ValidateOps.Rules.amountRange($"l_quantity")
+    )
+    val (up, rev) = ValidateOps.partition(li, rules)
+    assert(up.count() + rev.count() == li.count())
+    assert(up.join(rev, Seq("l_orderkey", "l_partkey", "l_linenumber"), "inner").count() == 0 ||
+      // duplicate fixture rows can legitimately land on both sides only as
+      // exact copies — verify via full-row intersection instead
+      up.intersect(rev.drop("errors")).count() == 0)
+  }
+
   test("numberedBuckets: global numbering chunked and renumbered per bucket") {
     val df = (1 to 7).toDF("n")
     val out = ReshapeOps.numberedBuckets(df, Seq($"n"), 3, "bucket", "line")
