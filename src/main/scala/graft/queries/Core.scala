@@ -427,6 +427,20 @@ object Core {
       graft.sources.Sources.writeBatched(upload, path, 250)
       s.read.parquet(path)
     },
+    // ---- S1b: DSv2 connector with real filter/column pushdown ------------
+    "s1_dsv2_pushdown" -> { (s, dir) =>
+      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"/tmp/graft_cache/permits_json_$key"
+      // reuse the s1 payload (written there if this query runs first)
+      if (!new java.io.File(path).exists()) queries("s1_json_roundtrip")(s, dir).count()
+      s.read
+        .format("graft.sources.PermitsJsonSource")
+        .option("path", path)
+        .schema(graft.sources.Sources.permitsRawSchema)
+        .load()
+        .filter(col("issue_date") >= "1995-01-01" && col("issue_date") < "1996-01-01")
+        .select(col("permit_"), col("issue_date"), col("pin_list"))
+    },
     // ---- S2: warehouse SQL surface (registered views + spark.sql) --------
     "s2_sql_scan" -> { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("vw_customer")
@@ -791,6 +805,13 @@ object Core {
                 n_name, concat('ADDR ', c_name) AS prop_address_full
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_mktsegment = 'BUILDING'""",
+    "s1_dsv2_pushdown" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
+                lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin_list
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') >= '1995-01-01'
+           AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') < '1996-01-01'""",
     "s5_flag_filter" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0""",
