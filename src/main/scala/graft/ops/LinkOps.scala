@@ -44,6 +44,31 @@ object LinkOps {
   def antiMembership(df: DataFrame, universe: DataFrame, cond: Column): DataFrame =
     df.join(broadcast(universe), cond, "left_anti")
 
+  /** Skew-mitigating equi-join (SURVEY §4 scale posture): when one join key
+    * carries a disproportionate share of the big side, a plain shuffle join
+    * sends that key's rows to one reducer. Salting splits each key into
+    * `salts` sub-keys: the big side gets a deterministic salt derived from a
+    * high-cardinality column, the small side is replicated once per salt.
+    * Shuffle balance improves by ~`salts`× on the hot key for `salts`× small
+    * side volume. AQE's skew-join handles moderate skew automatically; this
+    * is for the pathological key you know about.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      saltSource: Column,
+      salts: Int
+  ): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted
+      .join(replicated, salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** J4: multi-key anti-join dedupe against an existing-rows table
     * (chicago/permit_cleaning.py:838-883). The right side is deduplicated
     * first (reference `drop_duplicates`, :877 — semantics-preserving for an

@@ -68,4 +68,17 @@ object Sources {
     */
   def writeBatched(df: DataFrame, path: String, maxRecords: Int): Unit =
     df.write.mode("overwrite").option("maxRecordsPerFile", maxRecords.toLong).parquet(path)
+
+  /** Bucketed table write: co-locates both sides of a recurring equi-join so
+    * the join plans with ZERO exchanges (the 100 TB answer to "this join
+    * runs every day on the same keys"). Requires `saveAsTable` (bucketing
+    * metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -41,6 +41,19 @@ class LinkOpsSpec extends SparkSpecBase {
     assert(strings(loose, "id").sorted == Seq("2", "3"))
   }
 
+  test("saltedJoin produces exactly the plain-join result while splitting hot keys") {
+    val big = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")
+    val small = Seq((1, "dim1"), (2, "dim2")).toDF("sk", "attr")
+    val plain = big.join(small, $"k" === $"sk").select($"k", $"payload", $"attr")
+    val salted = LinkOps.saltedJoin(big, small, "k", "sk", $"payload", salts = 4)
+      .select($"k", $"payload", $"attr")
+    assert(rows(salted) == rows(plain))
+    // the hot key's rows spread across distinct salt values
+    val saltSpread = big.filter($"k" === 1)
+      .select(pmod(hash($"payload"), lit(4)).as("s")).distinct().count()
+    assert(saltSpread > 1)
+  }
+
   test("antiDedupe dedupes the broadcast side (duplicate existing rows are harmless)") {
     val left = Seq((1L, "a")).toDF("id", "k")
     val existing = Seq("a", "a", "a").toDF("k")

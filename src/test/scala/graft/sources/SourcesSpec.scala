@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Source/sink helpers: batched sink, parquet memo, bucketed co-location. */
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("writeBatched caps rows per file at maxRecords") {
+    val dir = java.nio.file.Files.createTempDirectory("batched").toString
+    Sources.writeBatched((1 to 1000).toDF("n"), dir, 250)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val sizes = files.map(f => spark.read.parquet(f.getAbsolutePath).count())
+    assert(sizes.sum == 1000L && sizes.max <= 250L)
+  }
+
+  test("cached(): first call computes and memoizes, second call reads the memo") {
+    val dir = java.nio.file.Files.createTempDirectory("memo").toString
+    var computes = 0
+    def compute = { computes += 1; (1 to 10).toDF("n") }
+    val a = Sources.cached(spark, dir, "k1")(compute)
+    val b = Sources.cached(spark, dir, "k1")(compute)
+    assert(computes == 1)
+    assert(a.count() == 10 && b.count() == 10)
+  }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Sources.writeBucketed(o, "bkt_orders", 4, "o_orderkey")
+    Sources.writeBucketed(l, "bkt_lineitem", 4, "l_orderkey")
+    val joined = spark.table("bkt_lineitem")
+      .join(spark.table("bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    // disable broadcast so the join must pick shuffle-or-bucketed SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // the join itself needs no exchange (only the final groupBy shuffles)
+      assert(exchanges <= 1, s"expected bucketed co-located join, plan:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum == l.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+}
