@@ -89,6 +89,41 @@ object ValidateOps {
     )
   }
 
+  /** The reference's dual-implementation contract (§2.10,
+    * chicago/permit_cleaning.py:113-124): every validation rule exists twice
+    * — a Python validator AND a generated Excel error formula — with a
+    * documented obligation to keep them in sync. Here BOTH derive from the
+    * same [[Rule]] list: the Column expression drives execution, and this
+    * renders the reviewer-workbook formula string
+    * (TEXTJOIN-of-IF over per-rule cell formulas,
+    * chicago/permit_cleaning.py:897-908), so they cannot drift.
+    *
+    * `cellRefs` maps rule name -> the A1-style cell reference its column
+    * occupies on the sheet.
+    */
+  def excelErrorFormula(rules: Seq[Rule], cellRefs: Map[String, String]): String = {
+    val parts = rules.flatMap { r =>
+      cellRefs.get(r.name).map { ref =>
+        s"""IF(${excelPredicate(r, ref)},"${r.message}; ","")"""
+      }
+    }
+    s"""=TEXTJOIN("",TRUE,${parts.mkString(",")})"""
+  }
+
+  private val MaxLenMsg = """.* > (\d+) characters""".r
+
+  /** Formula-side predicate per rule family (the Excel twin of `fires`). */
+  private def excelPredicate(r: Rule, ref: String): String = r.name match {
+    case n if n.startsWith("missing_") => s"""LEN(TRIM($ref))=0"""
+    case "pin_not_14"                  => s"""AND(LEN(TRIM($ref))>0,LEN(SUBSTITUTE($ref,"-",""))<>14)"""
+    case n if n.endsWith("_too_long") =>
+      val bound = r.message match { case MaxLenMsg(b) => b; case _ => "0" }
+      s"""LEN($ref)>$bound"""
+    case "amount_invalid"              => s"""OR(NOT(ISNUMBER($ref)),$ref<1,$ref>2147483647)"""
+    case "date_unparseable"            => s"""AND(LEN(TRIM($ref))>0,NOT(ISNUMBER(DATEVALUE($ref))))"""
+    case _                             => "FALSE" // engine-only rule (e.g. universe membership)
+  }
+
   /** Legacy flag-column variant (helper.py:110-173): named boolean
     * `valid_*` columns plus their conjunction `valid_row`. The py twin is
     * canonical (SURVEY.md §7.4 twin-divergence adjudication).

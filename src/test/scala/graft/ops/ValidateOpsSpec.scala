@@ -49,6 +49,19 @@ class ValidateOpsSpec extends SparkSpecBase {
     assert(fired("0") && fired("2147483648") && fired("abc") && fired(""))
   }
 
+  test("excelErrorFormula renders the formula twin from the SAME rule list") {
+    val formula = ValidateOps.excelErrorFormula(
+      rules,
+      Map("pin_not_14" -> "B2", "missing_pin" -> "B2",
+          "missing_permit_no" -> "C2", "amount_invalid" -> "D2")
+    )
+    // every sheet-expressible rule appears with its exact message text
+    assert(formula.contains("""LEN(SUBSTITUTE(B2,"-",""))<>14"""))
+    assert(formula.contains("PIN is not 14 digits; "))
+    assert(formula.contains("""OR(NOT(ISNUMBER(D2)),D2<1,D2>2147483647)"""))
+    assert(formula.startsWith("""=TEXTJOIN("",TRUE,IF("""))
+  }
+
   test("withFlags builds named booleans plus their conjunction (legacy twin)") {
     val flagged = ValidateOps.withFlags(
       df,
