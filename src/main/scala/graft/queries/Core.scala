@@ -16,6 +16,20 @@ object Core {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Socrata-shaped permit payload synthesized from orders (S1 fixtures). */
+  private def permitsPayload(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("permit_"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("issue_date"),
+      lit("100").as("street_number"),
+      lit("W").as("street_direction"),
+      col("o_orderpriority").as("street_name"),
+      concat(lit("work "), col("o_orderstatus")).as("work_description"),
+      floor(col("o_totalprice")).cast("long").cast("string").as("reported_cost"),
+      concat(lit("Clerk#"), col("o_custkey").cast("string")).as("contact_1_name"),
+      lpad(col("o_custkey").cast("string"), 14, "0").as("pin_list")
+    )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A: aggregation (A2/A3 family) --------------------------------
     "q1_lineitem_agg" -> { (s, dir) =>
@@ -390,18 +404,7 @@ object Core {
     "s1_json_roundtrip" -> { (s, dir) =>
       val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
       val path = s"/tmp/graft_cache/permits_json_$key"
-      val permits = t(s, dir, "orders").select(
-        col("o_orderkey").cast("string").as("permit_"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("issue_date"),
-        lit("100").as("street_number"),
-        lit("W").as("street_direction"),
-        col("o_orderpriority").as("street_name"),
-        concat(lit("work "), col("o_orderstatus")).as("work_description"),
-        floor(col("o_totalprice")).cast("long").cast("string").as("reported_cost"),
-        concat(lit("Clerk#"), col("o_custkey").cast("string")).as("contact_1_name"),
-        lpad(col("o_custkey").cast("string"), 14, "0").as("pin_list")
-      )
-      permits.write.mode("overwrite").json(path)
+      permitsPayload(s, dir).write.mode("overwrite").json(path)
       graft.sources.Sources.readPermitsJson(s, path)
     },
     // ---- S5: metadata-predicate scan (cell-color filter modeled as a
@@ -430,9 +433,10 @@ object Core {
     // ---- S1b: DSv2 connector with real filter/column pushdown ------------
     "s1_dsv2_pushdown" -> { (s, dir) =>
       val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val path = s"/tmp/graft_cache/permits_json_$key"
-      // reuse the s1 payload (written there if this query runs first)
-      if (!new java.io.File(path).exists()) queries("s1_json_roundtrip")(s, dir).count()
+      // own path — Verify dumps queries concurrently, so sharing
+      // s1_json_roundtrip's directory would race its overwrite
+      val path = s"/tmp/graft_cache/permits_dsv2_$key"
+      permitsPayload(s, dir).write.mode("overwrite").json(path)
       s.read
         .format("graft.sources.PermitsJsonSource")
         .option("path", path)
