@@ -57,6 +57,36 @@ object TextStats {
     }
   }
 
+  /** Character-trigram profiles for the n-gram language heuristic — the
+    * highest-frequency trigrams (with word-boundary spaces) per language.
+    * Deterministic, oracle-expressible with the same occurrence counting as
+    * the stopword lexicons; real deployments load bigger profiles, same
+    * plan shape.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "and", " an", "ing", "ng "),
+    "es" -> Seq(" de", "de ", "la ", " la", "os ", "ión", "es "),
+    "fr" -> Seq(" le", "le ", " de", "es ", "ent", "eur", "que"),
+    "de" -> Seq("er ", "der", "ein", "ich", "sch", "und", "en ")
+  )
+
+  /** Staged char-n-gram language ID: same argmax shape as [[langIdDF]] but
+    * scoring trigram-profile hits instead of stopwords.
+    */
+  def langIdNgramDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val scored = df
+      .select(idCol.as("doc_id"), padded(textCol).as("__p"))
+      .select(
+        col("doc_id") +:
+          TrigramProfiles.map { case (lang, grams) => langScoreFrom(col("__p"), grams).as(s"s_$lang") }: _*
+      )
+      .withColumn("best", greatest(TrigramProfiles.map(l => col(s"s_${l._1}")): _*))
+    val pred = TrigramProfiles.foldRight(lit("und"): Column) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === col("best") && col("best") > 0, lit(lang)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
   /** Staged langId: padded text and per-language scores each materialize as
     * attributes, so every replace chain runs exactly once per row.
     */

@@ -82,6 +82,9 @@ object Extensions {
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
+    "text_lang_ngram" -> { (s, dir) =>
+      TextStats.langIdNgramDF(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
     "text_quality" -> { (s, dir) =>
       TextStats.qualityDF(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
@@ -154,6 +157,11 @@ object Extensions {
   private val langScoreSqls: Seq[(String, String)] =
     TextStats.StopwordLexicons.map { case (lang, lex) =>
       lang -> lex.map(occSql).mkString(" + ")
+    }
+
+  private val ngramScoreSqls: Seq[(String, String)] =
+    TextStats.TrigramProfiles.map { case (lang, grams) =>
+      lang -> grams.map(occSql).mkString(" + ")
     }
 
   private val gramsCte: String = """
@@ -240,6 +248,14 @@ object Extensions {
           b AS (SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc)
           SELECT doc_id,
             CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+                 ELSE 'und' END AS lang_pred
+          FROM b""",
+    "text_lang_ngram" ->
+      s"""WITH p AS (SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p FROM documents),
+          sc AS (SELECT doc_id, ${ngramScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM p),
+          b AS (SELECT *, greatest(${ngramScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc)
+          SELECT doc_id,
+            CASE ${ngramScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
                  ELSE 'und' END AS lang_pred
           FROM b""",
     "text_quality" ->

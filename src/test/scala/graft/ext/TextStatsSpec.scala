@@ -19,6 +19,18 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out == Seq("en", "es", "fr", "de", "und"))
   }
 
+  test("langIdNgramDF identifies languages from character trigrams") {
+    val df = Seq(
+      (1L, "the weather and the thing"),
+      (2L, "la casa de los árboles de madrid"),
+      (3L, "der fischer und die ich sache"),
+      (4L, "zzz qqq")
+    ).toDF("doc_id", "text")
+    val out = TextStats.langIdNgramDF(df, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "de" && out(4L) == "und")
+  }
+
   test("tokenCount: whitespace tokens, 0 for blank and null") {
     val df = Seq(Some("one two  three"), Some("   "), None).toDF("t")
     val out = df.select(TextStats.tokenCount($"t").as("v")).collect().map(_.getLong(0))
