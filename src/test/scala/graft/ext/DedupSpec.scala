@@ -57,6 +57,23 @@ class DedupSpec extends SparkSpecBase {
     assert(out sameElements Array(1.0, 0.0, 0.0))
   }
 
+  test("LSH recall against exact-Jaccard ground truth on fixture documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // exact ground truth: all-pairs 3-gram Jaccard (50 docs → 1225 pairs)
+    val g = Dedup.shingled(docs, $"doc_id", $"text", 3)
+    val truth = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"),
+        Dedup.jaccard(col("a.grams"), col("b.grams")).as("jac"))
+      .filter($"jac" >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val candidates = Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(candidates.contains).toDouble / truth.size
+    // deterministic (md5-based): expected ≥ 1-(1-s²)^bands ≈ 0.93 at s=0.7
+    assert(recall >= 0.85, s"LSH recall $recall below bound; truth=${truth.size}")
+  }
+
   test("embeddingNearDupPairs finds planted near-identical vectors, skips distant ones") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
