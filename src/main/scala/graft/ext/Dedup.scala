@@ -219,6 +219,26 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each content
+    * digest in an event-time stream. State is the digest set within the
+    * watermark horizon — `dropDuplicatesWithinWatermark` evicts state for
+    * digests older than the watermark, so memory is bounded by the horizon's
+    * arrival rate instead of the full stream history (the streaming twin of
+    * [[exact]]; a training-data ingest pipeline dedupes its firehose this
+    * way).
+    */
+  def streamingExactDedup(
+      stream: DataFrame,
+      textCol: Column,
+      tsCol: String,
+      watermark: String
+  ): DataFrame =
+    stream
+      .withColumn("__digest", md5(textCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the vectors (see
     * [[Similarity.srpBucket]]), generate candidate pairs within each bucket,
     * keep pairs with cosine ≥ `threshold`. The bucket groupBy is the only

@@ -78,6 +78,25 @@ class SessionizeSpec extends SparkSpecBase {
     ))
   }
 
+  test("streamingExactDedup keeps first occurrence per digest within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val deduped = graft.ext.Dedup.streamingExactDedup(stream, col("text"), "ts", "1 hour")
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "alpha"),
+      (2L, ts("2024-01-01 10:05:00"), "alpha"), // dup content within horizon
+      (3L, ts("2024-01-01 10:10:00"), "beta")
+    )
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_test").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(1L, 3L)) // the duplicate "alpha" is dropped
+  }
+
   test("sessionWindowStream: gap-based session windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
