@@ -57,6 +57,86 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-style approximate nearest neighbors: a coarse quantizer assigns
+    * every corpus vector to its nearest centroid (one cell id per vector,
+    * computed map-side); each query probes its `nprobe` nearest cells and
+    * ranks only those cells' members. The cell assignment shuffle is the
+    * only corpus-wide movement — candidate volume is the probed cells'
+    * population, not the corpus.
+    *
+    * Centroids here are a deterministic sample (the `nlist` lowest-id
+    * vectors) collected to the driver — the coarse quantizer is model state
+    * by nature (FAISS trains it with k-means; sampling is the training-free
+    * variant, same plan shape). `nlist × dim` floats must stay driver-small.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    val centroids: Array[Seq[Float]] = corpus
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0))
+
+    // squared-L2 distance to each centroid, centroids inlined as literals;
+    // the distance array is staged as an attribute before the argmin so the
+    // aggregate expressions evaluate once (SCALING.md expression staging)
+    def distances(vec: Column): Column = array(centroids.map { c =>
+      aggregate(
+        zip_with(vec, lit(c.toArray), (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    }: _*)
+
+    val c = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("__d", distances(col("c_vec")))
+      .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .drop("__d")
+
+    // query side: nprobe nearest cells via sorting (distance, idx) structs
+    val q = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .withColumn("__d", distances(col("q_vec")))
+        .withColumn(
+          "cell",
+          explode(
+            slice(
+              transform(
+                array_sort(
+                  zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)), (d, i) => struct(d.as("d"), i.as("i")))
+                ),
+                s => s.getField("i")
+              ),
+              1,
+              nprobe
+            )
+          )
+        )
+        .drop("__d")
+    )
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates(Seq("query_id", "cand_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Sign-random-projection bucket key: the sign bits of the vector's dot
     * products with `planes` fixed pseudo-random hyperplanes. Hyperplanes are
     * derived deterministically from the vector dimensionality via a hash of

@@ -78,6 +78,13 @@ object Extensions {
         dim = 64, planes = 6, k = 5, multiProbe = true
       )
     },
+    // IVF variant (coarse quantizer cells, nprobe probing). Driver-collected
+    // centroid sample => rows-only check; recall spec-tested vs brute force.
+    "ann_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nlist = 16, nprobe = 4, k = 5)
+    },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))

@@ -56,6 +56,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ranked.map(_.getLong(1)).distinct.length == ranked.length)
   }
 
+  test("ivfTopK: every hit carries the exact brute-force similarity; probing more cells only adds") {
+    val q = vecs.filter($"vec_id" === 1L)
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val ivf1 = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", nlist = 3, nprobe = 1, k = 5).collect()
+    val ivf3 = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", nlist = 3, nprobe = 3, k = 5).collect()
+    ivf1.foreach(r => assert(math.abs(brute(r.getLong(1)) - r.getDouble(3)) < 1e-9))
+    assert(ivf3.length >= ivf1.length)
+    // full probing (nprobe = nlist) degenerates to exact: same top-k as brute
+    val fullIds = ivf3.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    val bruteIds = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(fullIds == bruteIds)
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
