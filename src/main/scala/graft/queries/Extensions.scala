@@ -118,6 +118,13 @@ object Extensions {
           col("decoded.height").as("height")
         )
     },
+    // mapPartitions decode path (per-partition codec context; stub codec =>
+    // rows-only check, determinism spec-tested in MultimodalSpec)
+    "mm_decode_partitioned" -> { (s, dir) =>
+      Multimodal
+        .decodePartitioned(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+    },
     // ---- events / sessionization ------------------------------------------
     "ev_sessionize" -> { (s, dir) =>
       val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
