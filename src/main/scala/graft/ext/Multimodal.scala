@@ -118,6 +118,49 @@ object Multimodal {
       }
   }
 
+  /** ======================== STUB ========================
+    * Resize: recompute target dimensions preserving aspect ratio — the
+    * arithmetic is real; the pixel resample a codec would do is not (no
+    * imaging libs in this container). Plan shape: pure projection, map-side.
+    */
+  def resized(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide).cast("double") / greatest(col("width"), lit(1)),
+      lit(maxSide).cast("double") / greatest(col("height"), lit(1)),
+      lit(1.0)
+    )
+    decoded
+      .withColumn("__scale", scale)
+      .withColumn("out_width", floor(col("width") * col("__scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("__scale")).cast("int"))
+      .drop("__scale")
+  }
+
+  /** ======================== STUB ========================
+    * Frame sampling: one output row per sampled frame with its byte-range
+    * into the payload — the explode/offset plumbing a video pipeline needs
+    * (posexplode over the frame index sequence; each row carries a slice
+    * reference, not a copy). The decode of each frame slice is the stubbed
+    * part.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    assets
+      .withColumn("__n", coalesce(nFrames, lit(0)))
+      .select(
+        col("asset_id"),
+        col("media_type"),
+        posexplode(
+          when(
+            col("__n") > 0,
+            filter(sequence(lit(0), col("__n") - 1), i => i % everyNth === 0)
+          ).otherwise(array().cast("array<int>"))
+        ).as(Seq("sample_idx", "frame_idx"))
+      )
+      .withColumn("byte_start", col("frame_idx") * frameBytes)
+      .withColumn("byte_len", lit(frameBytes))
+  }
+
   /** STUB codec: deterministic dims from a byte checksum. */
   private final class FakeCodec extends Serializable {
     def decodeDims(payload: Array[Byte]): (Int, Int) = {

@@ -118,6 +118,16 @@ object Extensions {
           col("decoded.height").as("height")
         )
     },
+    // frame-sampling plumbing: one row per sampled frame with its byte range
+    "mm_frame_sample" -> { (s, dir) =>
+      Multimodal
+        .sampleFrames(
+          Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 64, everyNth = 2
+        )
+        .select(col("asset_id"), col("sample_idx"), col("frame_idx"),
+          col("byte_start"), col("byte_len"))
+    },
     // mapPartitions decode path (per-partition codec context; stub codec =>
     // rows-only check, determinism spec-tested in MultimodalSpec)
     "mm_decode_partitioned" -> { (s, dir) =>
@@ -339,6 +349,18 @@ object Extensions {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "mm_frame_sample" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CAST(floor(octet_length(encode(text)) / 64) AS INTEGER) AS n
+           FROM documents)
+         SELECT asset_id,
+                CAST(f // 2 AS INTEGER) AS sample_idx,
+                CAST(f AS INTEGER) AS frame_idx,
+                CAST(f * 64 AS INTEGER) AS byte_start,
+                CAST(64 AS INTEGER) AS byte_len
+         FROM a, unnest(range(0, n)) t(f)
+         WHERE f % 2 = 0""",
     "ev_sliding" ->
       """WITH half AS (
            SELECT event_type,

@@ -39,6 +39,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out1(2).n_bytes == 0L && out1(2).width == 0) // empty payload
   }
 
+  test("resized preserves aspect ratio and never upscales") {
+    val decoded = Seq((1L, 1024, 512), (2L, 100, 50)).toDF("asset_id", "width", "height")
+    val out = Multimodal.resized(decoded, maxSide = 256).collect()
+      .map(r => r.getAs[Long]("asset_id") -> (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
+    assert(out(1L) == (256, 128)) // scaled down, ratio kept
+    assert(out(2L) == (100, 50))  // already small: untouched
+  }
+
+  test("sampleFrames emits every-nth frame byte ranges, none for short payloads") {
+    val df = Seq((1L, "x" * 200), (2L, "tiny")).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.fromText(df, "doc_id", "text"),
+      frameBytes = 64, everyNth = 2)
+    // 200 bytes → 3 frames (0,1,2) → sampled frames 0 and 2
+    val a1 = out.filter($"asset_id" === 1L).collect()
+      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Int]("byte_start"))).sorted
+    assert(a1.toSeq == Seq((0, 0), (2, 128)))
+    assert(out.filter($"asset_id" === 2L).count() == 0) // 4 bytes < one frame
+  }
+
   test("asset schema matches the declared contract") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     val out = Multimodal.fromText(df, "doc_id", "text").drop("decoded")
