@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{PinOps, TextOps}
-import graft.pipeline.{LegacyPipeline, PermitPipeline}
+import graft.pipeline.{LegacyPipeline, PermitPipeline, ReviewIngestPipeline}
 
 /** The flagship end-to-end queries: the reference's §3.1 production chain
   * (explode → normalize → rename → abbreviate → suggested-pins join →
@@ -110,7 +110,63 @@ object PipelineQ {
     LegacyPipeline.run(sheet, Seq("PIN1", "PIN2", "PIN3"), crosswalk, universe)
   }
 
+  /** §3.2 review-ingestion chain over a synthetic reviewed sheet: the
+    * reviewer's accept flag is a boolean column (S5 model); 2/3 of rows are
+    * flagged for upload.
+    */
+  private def reviewSheet(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val pin14 = lpad(col("o_custkey").cast("string"), 14, "0")
+    base.select(
+      when(col("o_orderkey") % 23 === 0, lit(""))
+        .when(col("o_orderkey") % 2 === 0, lpad(col("o_orderkey").cast("string"), 9, "0"))
+        .otherwise(lpad(col("o_orderkey").cast("string"), 10, "0"))
+        .as("permit_no"),
+      when(col("o_orderkey") % 13 === 0, lpad((col("o_custkey") + 900000).cast("string"), 14, "0"))
+        .when(col("o_orderkey") % 4 === 0, PinOps.hyphenate(pin14))
+        .when(col("o_orderkey") % 4 === 1, substring(pin14, 2, 13))
+        .otherwise(pin14)
+        .as("pin"),
+      when(col("o_orderkey") % 41 === 0, lit("bad-date"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .as("issue_date"),
+      concat(lit("ADDR "), col("c_name")).as("address"),
+      concat(lit("note "), col("o_orderpriority")).as("notes"),
+      col("c_name").as("applicant"),
+      when(col("o_orderkey") % 11 === 0, lit("-5"))
+        .otherwise(floor(col("o_totalprice")).cast("long").cast("string"))
+        .as("amount"),
+      (col("o_orderkey") % 3 =!= 0).as("flagged")
+    )
+  }
+
+  private def runReview(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val universe = t(s, dir, "customer")
+      .select(lpad(col("c_custkey").cast("string"), 14, "0").as("pin"))
+    ReviewIngestPipeline.run(reviewSheet(s, dir), universe)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ri_upload" -> { (s, dir) =>
+      runReview(s, dir)._1.select(
+        col("permit_no"), col("pin"), col("issue_date"), col("amount"),
+        col("address"), col("applicant"), col("bucket"), col("lline")
+      )
+    },
+    "ri_review" -> { (s, dir) =>
+      runReview(s, dir)._2.select(
+        col("permit_no"), col("pin"), col("issue_date"), col("amount"),
+        col("valid_pin"), col("valid_permit"), col("valid_amount"),
+        col("pin14_in_data"), col("valid_row")
+      )
+    },
+    "ri_qc" -> { (s, dir) =>
+      runReview(s, dir)._3.select(col("permit_no"), col("pin"), col("issue_date"))
+    },
+    "ri_date_range" -> { (s, dir) =>
+      ReviewIngestPipeline.dateRange(reviewSheet(s, dir), "issue_date")
+    },
     "pipeline_upload" -> { (s, dir) => run(s, dir)._1 },
     "pipeline_review" -> { (s, dir) => run(s, dir)._2 },
     "legacy_upload" -> { (s, dir) =>
@@ -312,7 +368,88 @@ object PipelineQ {
     )
   """
 
+  /** DuckDB twin of the §3.2 review-ingestion chain. */
+  private val reviewSql: String = """
+    WITH sheet AS (
+      SELECT
+        CASE WHEN o_orderkey % 23 = 0 THEN ''
+             WHEN o_orderkey % 2 = 0 THEN lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+             ELSE lpad(CAST(o_orderkey AS VARCHAR), 10, '0') END AS permit_no,
+        CASE WHEN o_orderkey % 13 = 0 THEN lpad(CAST(o_custkey + 900000 AS VARCHAR), 14, '0')
+             WHEN o_orderkey % 4 = 0 THEN concat_ws('-',
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 1, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 3, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 5, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 8, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 11, 4))
+             WHEN o_orderkey % 4 = 1 THEN substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 2, 13)
+             ELSE lpad(CAST(o_custkey AS VARCHAR), 14, '0') END AS pin,
+        CASE WHEN o_orderkey % 41 = 0 THEN 'bad-date'
+             ELSE strftime(o_orderdate, '%Y-%m-%d') END AS issue_date,
+        concat('ADDR ', c_name) AS address,
+        concat('note ', o_orderpriority) AS notes,
+        c_name AS applicant,
+        CASE WHEN o_orderkey % 11 = 0 THEN '-5'
+             ELSE CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) END AS amount,
+        (o_orderkey % 3 <> 0) AS flagged
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), acc AS (
+      SELECT * FROM sheet WHERE flagged
+    ), norm AS (
+      SELECT permit_no, address, notes, applicant, amount,
+        CASE WHEN pin IS NULL THEN NULL
+             WHEN length(replace(pin, '-', '')) = 13 THEN concat('0', replace(pin, '-', ''))
+             WHEN length(replace(pin, '-', '')) = 10 THEN concat(replace(pin, '-', ''), '0000')
+             WHEN length(replace(pin, '-', '')) = 9 THEN concat('0', replace(pin, '-', ''), '0000')
+             ELSE replace(pin, '-', '') END AS pin,
+        CASE WHEN TRY_CAST(issue_date AS DATE) IS NULL THEN NULL
+             ELSE strftime(TRY_CAST(issue_date AS DATE), '%m/%d/%Y') END AS issue_date
+      FROM acc
+    ), uni AS (
+      SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS u_pin FROM customer
+    ), flags AS (
+      SELECT n.*,
+        (NOT (pin IS NULL OR length(trim(pin)) = 0)
+         AND NOT (permit_no IS NULL OR length(trim(permit_no)) = 0)) AS valid_filled,
+        (length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 14) AS valid_pin,
+        (length(trim(coalesce(permit_no, ''))) IN (9, 10)) AS valid_permit,
+        (length(coalesce(address, '')) <= 40) AS valid_addr_len,
+        (length(coalesce(notes, '')) <= 2000) AS valid_note_len,
+        (length(coalesce(applicant, '')) <= 50) AS valid_name_len,
+        (TRY_CAST(amount AS DOUBLE) IS NOT NULL AND TRY_CAST(amount AS DOUBLE) >= 1
+         AND TRY_CAST(amount AS DOUBLE) <= 2147483647) AS valid_amount,
+        (u.u_pin IS NOT NULL) AS pin14_in_data,
+        NOT (count(*) OVER (PARTITION BY pin, permit_no) > 1) AS not_duplicate
+      FROM norm n LEFT JOIN uni u
+        ON lpad(replace(coalesce(n.pin, ''), '-', ''), 14, '0') = u.u_pin
+    ), validated AS (
+      SELECT *, (valid_filled AND valid_pin AND valid_permit AND valid_addr_len
+                 AND valid_note_len AND valid_name_len AND valid_amount
+                 AND pin14_in_data AND not_duplicate) AS valid_row
+      FROM flags
+    )
+  """
+
   val oracles: Map[String, String] = Map(
+    "ri_upload" ->
+      (reviewSql +
+        """SELECT permit_no, pin, issue_date, amount, address, applicant,
+                  CAST((row_number() OVER (ORDER BY permit_no, pin) - 1) // 250 AS BIGINT) AS bucket,
+                  CAST((row_number() OVER (ORDER BY permit_no, pin) - 1) % 250 + 1 AS BIGINT) AS lline
+           FROM validated WHERE valid_row"""),
+    "ri_review" ->
+      (reviewSql +
+        """SELECT permit_no, pin, issue_date, amount,
+                  valid_pin, valid_permit, valid_amount, pin14_in_data, valid_row
+           FROM validated WHERE NOT valid_row"""),
+    "ri_qc" ->
+      (reviewSql +
+        """SELECT permit_no, pin, issue_date FROM sheet WHERE NOT flagged"""),
+    "ri_date_range" ->
+      (reviewSql +
+        """SELECT strftime(min(TRY_CAST(issue_date AS DATE)), '%Y-%m-%d') AS start_date,
+                  strftime(max(TRY_CAST(issue_date AS DATE)), '%Y-%m-%d') AS end_date
+           FROM sheet"""),
     "pipeline_upload" ->
       (chainSql +
         """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
