@@ -26,5 +26,6 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 69 queries × (warmup + timed) share one heap in Bench; 8g GC-thrashes
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

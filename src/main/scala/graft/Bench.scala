@@ -21,6 +21,9 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // drop leftover broadcast/cache refs from the previous query so its
+      // memory doesn't bill the next one as GC pauses
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column; count() would
       // let Catalyst prune the projections map-only queries exist to measure
