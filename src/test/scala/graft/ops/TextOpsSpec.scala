@@ -45,6 +45,18 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.head.length == 259)
   }
 
+  test("pinHyperlink: null → NO PIN FOUND, multi → plain, else formula (F12)") {
+    val df = Seq(
+      (Option.empty[String], false),
+      (Some("12345678901234"), true),
+      (Some("12345678901234"), false)
+    ).toDF("pin", "multi")
+    val out = strings(df.select(TextOps.pinHyperlink($"pin", $"multi").as("v")), "v")
+    assert(out(0) == "NO PIN FOUND")
+    assert(out(1) == "12345678901234")
+    assert(out(2).startsWith("=HYPERLINK(\"https://maps.cookcountyil.gov") && out(2).endsWith("\"12345678901234\")"))
+  }
+
   test("addrDedupeKey appends the literal warehouse suffix") {
     val df = Seq("100 W MADISON").toDF("t")
     assert(
