@@ -58,37 +58,55 @@ object LegacyPipeline {
     else remapped
   }
 
-  /** Legacy finalize_columns (helper.py:110-173): named boolean flag columns,
-    * conjunction valid_row, split + 1..n renumber, upload drops the flags.
-    * The py twin's full rule set (incl. valid_amount, pin14_in_data,
-    * duplicate_pin_permit — the R twin omits these, SURVEY §7.4).
+  /** Legacy finalize_columns — py twin canonical, reproduced EXACTLY
+    * (helper.py:110-173, SURVEY §7.4):
+    *   - valid_filled: every required column non-null (`notna` — an empty
+    *     string COUNTS as filled, helper.py:117)
+    *   - valid_pin: string length == 14, no digit-stripping (:119-121)
+    *   - valid_permit: length ∈ {9, 10}, no trim (:122-127)
+    *   - length caps addr 40 / note 2000 / name 50 (:128-137)
+    *   - valid_amount: numeric-parseable AND < 2,147,483,647 — no lower
+    *     bound, strict upper (:139-145) — and deliberately ABSENT from the
+    *     valid_row conjunction (:155-164): the flag is shown to reviewers
+    *     but does not gate upload
+    *   - pin14_in_data: exact membership, no zfill at this stage (:147-149)
+    *   - duplicate (PIN, Permit) pairs excluded (:151-153, keep=False)
     */
   def finalize(
       df: DataFrame,
-      universe: DataFrame
+      universe: DataFrame,
+      requiredCols: Seq[String] =
+        Seq("pin", "permit_no", "issue_date", "amount", "address", "applicant", "notes")
   ): (DataFrame, DataFrame) = {
     val u = broadcast(universe.select(col("pin").as("u_pin")).distinct())
-    val joined = df.join(u, PinOps.membershipKey(col("pin")) === col("u_pin"), "left")
+    val joined = df.join(u, col("pin") === col("u_pin"), "left")
     val dupFlagged = ReshapeOps.dupFlag(joined, Seq("pin", "permit_no"), "duplicate_pin_permit")
+    // pandas astype(str) turns null into "nan" before length checks; the
+    // Spark twin wraps each flag in coalesce(_, false/true) to match that
+    // null behavior explicitly
+    val present = requiredCols.filter(df.columns.contains)
     val flags: Seq[(String, Column)] = Seq(
-      "valid_filled" -> (!(col("pin").isNull || length(trim(col("pin"))) === 0) &&
-        !(col("permit_no").isNull || length(trim(col("permit_no"))) === 0)),
-      "valid_pin" -> (length(regexp_replace(coalesce(col("pin"), lit("")), "[^0-9]", "")) === 14),
-      // permit-no length ∈ {9, 10} (helper.R:104-106)
-      "valid_permit" -> length(trim(coalesce(col("permit_no"), lit("")))).isin(9, 10),
-      "valid_addr_len" -> (length(coalesce(col("address"), lit(""))) <= 40),
-      "valid_note_len" -> (length(coalesce(col("notes"), lit(""))) <= 2000),
-      "valid_name_len" -> (length(coalesce(col("applicant"), lit(""))) <= 50),
-      "valid_amount" -> (col("amount").try_cast("double").isNotNull &&
-        col("amount").try_cast("double") >= 1 &&
-        col("amount").try_cast("double") <= 2147483647L),
+      "valid_filled" -> present.map(c => col(c).isNotNull).reduce(_ && _),
+      "valid_pin" -> coalesce(length(col("pin")) === 14, lit(false)),
+      "valid_permit" -> coalesce(length(col("permit_no")).isin(9, 10), lit(false)),
+      "valid_addr_len" -> coalesce(length(col("address")) <= 40, lit(true)),
+      "valid_note_len" -> coalesce(length(col("notes")) <= 2000, lit(true)),
+      "valid_name_len" -> coalesce(length(col("applicant")) <= 50, lit(true)),
       "pin14_in_data" -> col("u_pin").isNotNull,
       "not_duplicate" -> !col("duplicate_pin_permit")
     )
-    val flagged = ValidateOps.withFlags(dupFlagged, flags).drop("u_pin")
+    val flagged = ValidateOps
+      .withFlags(dupFlagged, flags)
+      // computed + shown, but NOT part of valid_row (helper.py:139-164)
+      .withColumn(
+        "valid_amount",
+        col("amount").try_cast("double").isNotNull &&
+          col("amount").try_cast("double") < 2147483647L
+      )
+      .drop("u_pin")
     val upload = flagged
       .filter(col("valid_row"))
-      .drop(flags.map(_._1) :+ "valid_row" :+ "duplicate_pin_permit": _*)
+      .drop(flags.map(_._1) ++ Seq("valid_row", "valid_amount", "duplicate_pin_permit"): _*)
     val review = flagged.filter(!col("valid_row"))
     (
       ReshapeOps.numberedBuckets(upload, Seq(col("permit_no"), col("pin")), 250, "bucket", "lline"),

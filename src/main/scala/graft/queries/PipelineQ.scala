@@ -347,22 +347,22 @@ object PipelineQ {
       FROM customer
     ), flags AS (
       SELECT d.*,
-        (NOT (pin IS NULL OR length(trim(pin)) = 0)
-         AND NOT (permit_no IS NULL OR length(trim(permit_no)) = 0)) AS valid_filled,
-        (length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 14) AS valid_pin,
-        (length(trim(coalesce(permit_no, ''))) IN (9, 10)) AS valid_permit,
-        (length(coalesce(address, '')) <= 40) AS valid_addr_len,
-        (length(coalesce(notes, '')) <= 2000) AS valid_note_len,
-        (length(coalesce(applicant, '')) <= 50) AS valid_name_len,
-        (TRY_CAST(amount AS DOUBLE) IS NOT NULL AND TRY_CAST(amount AS DOUBLE) >= 1
-         AND TRY_CAST(amount AS DOUBLE) <= 2147483647) AS valid_amount,
+        (pin IS NOT NULL AND permit_no IS NOT NULL AND issue_date IS NOT NULL
+         AND amount IS NOT NULL AND address IS NOT NULL AND applicant IS NOT NULL
+         AND notes IS NOT NULL) AS valid_filled,
+        (pin IS NOT NULL AND length(pin) = 14) AS valid_pin,
+        (permit_no IS NOT NULL AND length(permit_no) IN (9, 10)) AS valid_permit,
+        (address IS NULL OR length(address) <= 40) AS valid_addr_len,
+        (notes IS NULL OR length(notes) <= 2000) AS valid_note_len,
+        (applicant IS NULL OR length(applicant) <= 50) AS valid_name_len,
+        (TRY_CAST(amount AS DOUBLE) IS NOT NULL
+         AND TRY_CAST(amount AS DOUBLE) < 2147483647) AS valid_amount,
         (u.u_pin IS NOT NULL) AS pin14_in_data,
         NOT (count(*) OVER (PARTITION BY pin, permit_no) > 1) AS not_duplicate
-      FROM dedup d LEFT JOIN uni u
-        ON lpad(replace(coalesce(d.pin, ''), '-', ''), 14, '0') = u.u_pin
+      FROM dedup d LEFT JOIN uni u ON d.pin = u.u_pin
     ), validated AS (
       SELECT *, (valid_filled AND valid_pin AND valid_permit AND valid_addr_len
-                 AND valid_note_len AND valid_name_len AND valid_amount
+                 AND valid_note_len AND valid_name_len
                  AND pin14_in_data AND not_duplicate) AS valid_row
       FROM flags
     )
@@ -409,22 +409,22 @@ object PipelineQ {
       SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS u_pin FROM customer
     ), flags AS (
       SELECT n.*,
-        (NOT (pin IS NULL OR length(trim(pin)) = 0)
-         AND NOT (permit_no IS NULL OR length(trim(permit_no)) = 0)) AS valid_filled,
-        (length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 14) AS valid_pin,
-        (length(trim(coalesce(permit_no, ''))) IN (9, 10)) AS valid_permit,
-        (length(coalesce(address, '')) <= 40) AS valid_addr_len,
-        (length(coalesce(notes, '')) <= 2000) AS valid_note_len,
-        (length(coalesce(applicant, '')) <= 50) AS valid_name_len,
-        (TRY_CAST(amount AS DOUBLE) IS NOT NULL AND TRY_CAST(amount AS DOUBLE) >= 1
-         AND TRY_CAST(amount AS DOUBLE) <= 2147483647) AS valid_amount,
+        (pin IS NOT NULL AND permit_no IS NOT NULL AND issue_date IS NOT NULL
+         AND amount IS NOT NULL AND address IS NOT NULL AND applicant IS NOT NULL
+         AND notes IS NOT NULL) AS valid_filled,
+        (pin IS NOT NULL AND length(pin) = 14) AS valid_pin,
+        (permit_no IS NOT NULL AND length(permit_no) IN (9, 10)) AS valid_permit,
+        (address IS NULL OR length(address) <= 40) AS valid_addr_len,
+        (notes IS NULL OR length(notes) <= 2000) AS valid_note_len,
+        (applicant IS NULL OR length(applicant) <= 50) AS valid_name_len,
+        (TRY_CAST(amount AS DOUBLE) IS NOT NULL
+         AND TRY_CAST(amount AS DOUBLE) < 2147483647) AS valid_amount,
         (u.u_pin IS NOT NULL) AS pin14_in_data,
         NOT (count(*) OVER (PARTITION BY pin, permit_no) > 1) AS not_duplicate
-      FROM norm n LEFT JOIN uni u
-        ON lpad(replace(coalesce(n.pin, ''), '-', ''), 14, '0') = u.u_pin
+      FROM norm n LEFT JOIN uni u ON n.pin = u.u_pin
     ), validated AS (
       SELECT *, (valid_filled AND valid_pin AND valid_permit AND valid_addr_len
-                 AND valid_note_len AND valid_name_len AND valid_amount
+                 AND valid_note_len AND valid_name_len
                  AND pin14_in_data AND not_duplicate) AS valid_row
       FROM flags
     )
