@@ -98,21 +98,39 @@ object TextOps {
   /** `note2 + ",,CHICAGO, IL"` literal suffix (chicago/permit_cleaning.py:864). */
   def addrDedupeKey(c: Column): Column = concat(c, lit(",,CHICAGO, IL"))
 
-  /** F12: reviewer-facing PIN hyperlink formula synthesis
-    * (chicago/permit_cleaning.py:784-806): null/empty pin -> "NO PIN FOUND";
-    * multi-PIN rows keep plain text; otherwise an =HYPERLINK() formula
-    * wrapping the parcel-viewer URL. Presentation-layer string algebra.
+  /** F12: reviewer-facing PIN hyperlink formula synthesis — exact twin of
+    * make_pin_hyperlink (chicago/permit_cleaning.py:796-806): null ->
+    * "NO PIN FOUND"; strip non-digits and if exactly 14 remain, an
+    * =HYPERLINK() to the assessor PIN page displaying the ORIGINAL string;
+    * anything else (comma-separated multi-PIN lists, empties) passes
+    * through unchanged.
     */
-  def pinHyperlink(pin: Column, isMulti: Column): Column =
-    when(pin.isNull || length(pin) === 0, lit("NO PIN FOUND"))
-      .when(isMulti, pin)
-      .otherwise(
+  def pinHyperlink(pin: Column): Column = {
+    val digits = regexp_replace(pin, "\\D", "")
+    when(pin.isNull, lit("NO PIN FOUND"))
+      .when(
+        length(digits) === 14,
         concat(
-          lit("=HYPERLINK(\"https://maps.cookcountyil.gov/cookviewer/?pin="),
-          pin,
+          lit("=HYPERLINK(\"https://www.cookcountyassessoril.gov/pin/"),
+          digits,
           lit("\", \""),
           pin,
           lit("\")")
+        )
+      )
+      .otherwise(pin)
+  }
+
+  /** CookViewer address search link (chicago/permit_cleaning.py:783-790):
+    * ", Chicago, IL" appended to the search; null address -> empty string.
+    */
+  def addressHyperlink(addr: Column): Column =
+    when(addr.isNull, lit(""))
+      .otherwise(
+        concat(
+          lit("=HYPERLINK(\"https://maps.cookcountyil.gov/cookviewer/?search="),
+          addr,
+          lit(", Chicago, IL\", \"Click here to open CookViewer\")")
         )
       )
 }

@@ -71,6 +71,12 @@ object PermitPipeline {
       .withColumn("suggested_pins", coalesce(col("suggested_pins"), lit("")))
       .withColumn("property_address", col("applicant_street_address"))
       .drop("prop_address_full")
+      // F12 decoration exactly where the reference applies it (:783-806):
+      // CookViewer search link on the inserted property_address, assessor
+      // link on single-PIN suggestions (fillna ran first, so empty stays
+      // empty — the NO PIN FOUND branch is reachable only for true nulls)
+      .withColumn("property_address", TextOps.addressHyperlink(col("property_address")))
+      .withColumn("suggested_pins", TextOps.pinHyperlink(col("suggested_pins")))
       .transform(TextOps.withKeywordTag(_, col("work_description"), "matched_keywords"))
   }
 

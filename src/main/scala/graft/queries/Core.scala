@@ -323,13 +323,19 @@ object Core {
       )
     },
     "f12_hyperlink" -> { (s, dir) =>
+      // null / hyphenated-14 / comma list / short variants exercise each branch
+      val pin14 = lpad(col("o_custkey").cast("string"), 14, "0")
       t(s, dir, "orders").select(
         col("o_orderkey"),
         TextOps.pinHyperlink(
           when(col("o_orderkey") % 7 === 0, lit(null))
-            .otherwise(lpad(col("o_custkey").cast("string"), 14, "0")),
-          col("o_orderkey") % 5 === 0
-        ).as("pin_link")
+            .when(col("o_orderkey") % 5 === 0, concat(pin14, lit(", "), pin14))
+            .when(col("o_orderkey") % 3 === 0, PinOps.hyphenate(pin14))
+            .otherwise(pin14)
+        ).as("pin_link"),
+        TextOps.addressHyperlink(
+          when(col("o_orderkey") % 11 === 0, lit(null)).otherwise(concat(lit("100 W "), col("o_orderpriority")))
+        ).as("addr_link")
       )
     },
     "f17_year_extract" -> { (s, dir) =>
@@ -759,13 +765,34 @@ object Core {
          concat('100', ' ', CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE '' END, ' ', c_name) AS address
          FROM customer""",
     "f12_hyperlink" ->
-      """SELECT o_orderkey,
-         CASE WHEN o_orderkey % 7 = 0 THEN 'NO PIN FOUND'
-              WHEN o_orderkey % 5 = 0 THEN lpad(CAST(o_custkey AS VARCHAR), 14, '0')
-              ELSE concat('=HYPERLINK("https://maps.cookcountyil.gov/cookviewer/?pin=',
-                          lpad(CAST(o_custkey AS VARCHAR), 14, '0'), '", "',
-                          lpad(CAST(o_custkey AS VARCHAR), 14, '0'), '")') END AS pin_link
-         FROM orders""",
+      """WITH p AS (
+           SELECT o_orderkey, o_orderpriority,
+             lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin14,
+             concat_ws('-',
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 1, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 3, 2),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 5, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 8, 3),
+               substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 11, 4)) AS hyph
+           FROM orders
+         ), v AS (
+           SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  WHEN o_orderkey % 5 = 0 THEN concat(pin14, ', ', pin14)
+                  WHEN o_orderkey % 3 = 0 THEN hyph
+                  ELSE pin14 END AS pin
+           FROM p
+         )
+         SELECT o_orderkey,
+           CASE WHEN pin IS NULL THEN 'NO PIN FOUND'
+                WHEN length(regexp_replace(pin, '\D', '', 'g')) = 14
+                THEN concat('=HYPERLINK("https://www.cookcountyassessoril.gov/pin/',
+                            regexp_replace(pin, '\D', '', 'g'), '", "', pin, '")')
+                ELSE pin END AS pin_link,
+           CASE WHEN o_orderkey % 11 = 0 THEN ''
+                ELSE concat('=HYPERLINK("https://maps.cookcountyil.gov/cookviewer/?search=100 W ',
+                            o_orderpriority, ', Chicago, IL", "Click here to open CookViewer")') END AS addr_link
+         FROM v""",
     "f17_year_extract" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders""",
     "f18_bround_halfeven" ->

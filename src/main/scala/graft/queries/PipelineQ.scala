@@ -240,7 +240,12 @@ object PipelineQ {
       SELECT prop_address_full, string_agg(u_pin, ', ' ORDER BY u_pin) AS suggested_pins
       FROM uni GROUP BY prop_address_full
     ), joined AS (
-      SELECT c.*, coalesce(m.suggested_pins, '') AS suggested_pins,
+      SELECT c.*,
+        CASE WHEN length(regexp_replace(coalesce(m.suggested_pins, ''), '\\D', '', 'g')) = 14
+             THEN concat('=HYPERLINK("https://www.cookcountyassessoril.gov/pin/',
+                         regexp_replace(coalesce(m.suggested_pins, ''), '\\D', '', 'g'),
+                         '", "', coalesce(m.suggested_pins, ''), '")')
+             ELSE coalesce(m.suggested_pins, '') END AS suggested_pins,
         coalesce(array_to_string(
           list_filter($keywordListSql, k -> contains(lower(coalesce(work_description, '')), lower(k))), ', '), '')
           AS matched_keywords,

@@ -45,16 +45,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.head.length == 259)
   }
 
-  test("pinHyperlink: null → NO PIN FOUND, multi → plain, else formula (F12)") {
+  test("pinHyperlink: null → NO PIN FOUND, 14-digit → formula keeping original text, else passthrough (F12)") {
     val df = Seq(
-      (Option.empty[String], false),
-      (Some("12345678901234"), true),
-      (Some("12345678901234"), false)
-    ).toDF("pin", "multi")
-    val out = strings(df.select(TextOps.pinHyperlink($"pin", $"multi").as("v")), "v")
+      Option.empty[String],
+      Some("12-34-567-890-1234"),           // hyphens stripped for the URL, kept in display
+      Some("12345678901234, 98765432109876") // multi-PIN list passes through
+    ).toDF("pin")
+    val out = strings(df.select(TextOps.pinHyperlink($"pin").as("v")), "v")
     assert(out(0) == "NO PIN FOUND")
-    assert(out(1) == "12345678901234")
-    assert(out(2).startsWith("=HYPERLINK(\"https://maps.cookcountyil.gov") && out(2).endsWith("\"12345678901234\")"))
+    assert(out(1) == "=HYPERLINK(\"https://www.cookcountyassessoril.gov/pin/12345678901234\", \"12-34-567-890-1234\")")
+    assert(out(2) == "12345678901234, 98765432109876")
+  }
+
+  test("addressHyperlink appends ', Chicago, IL' to the CookViewer search; null → empty") {
+    val df = Seq(Some("100 W MADISON"), Option.empty[String]).toDF("a")
+    val out = strings(df.select(TextOps.addressHyperlink($"a").as("v")), "v")
+    assert(out(0) == "=HYPERLINK(\"https://maps.cookcountyil.gov/cookviewer/?search=100 W MADISON, Chicago, IL\", \"Click here to open CookViewer\")")
+    assert(out(1) == "")
   }
 
   test("addrDedupeKey appends the literal warehouse suffix") {

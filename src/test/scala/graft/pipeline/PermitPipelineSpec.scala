@@ -44,7 +44,10 @@ class PermitPipelineSpec extends SparkSpecBase {
   test("addSuggestedPins joins the collapsed address→pins map and tags keywords") {
     val out = PermitPipeline.addSuggestedPins(PermitPipeline.cleanPermits(raw), universe)
     val p1 = out.filter($"permit_no" === "P1").collect().head
-    assert(p1.getAs[String]("suggested_pins") == "12345678901234")
+    // single suggested PIN gets the assessor-link decoration (F12)
+    assert(p1.getAs[String]("suggested_pins") ==
+      "=HYPERLINK(\"https://www.cookcountyassessoril.gov/pin/12345678901234\", \"12345678901234\")")
+    assert(p1.getAs[String]("property_address").startsWith("=HYPERLINK(\"https://maps.cookcountyil.gov"))
     assert(p1.getAs[String]("matched_keywords") == "Construction, Garage, New")
     val p3 = out.filter($"permit_no" === "P3").collect().head
     assert(p3.getAs[String]("suggested_pins") == "") // address not in universe
