@@ -19,20 +19,25 @@ import graft.ops._
   */
 object LegacyPipeline {
 
-  /** X2 + U1: unpivot PIN1..PINn wide columns to one row per (permit, PIN),
-    * dropping null PINs, keeping rows whose pins are ALL null as a single
-    * null-pin row (helper.R:40-62 expand_pins: long ∪ wide-minus-pins,
-    * distinct).
+  /** X2 + U1: exact twin of expand_pins (helper.R:40-62). The sheet carries
+    * a PRIMARY pin column (`pin`, the select-renamed PIN1) plus extra wide
+    * `PIN\d+` columns; the two are asymmetric:
+    *   - long side: pivot the EXTRA columns, dropping NA values, each
+    *     surviving extra OVERWRITING the primary pin (helper.R:46-55)
+    *   - bind_rows with the original rows minus the extra columns — the
+    *     original row always survives with its primary pin, INCLUDING a
+    *     null one (helper.R:56-59)
+    *   - distinct (helper.R:60)
+    * So a row with a null primary pin and extras yields the extra-pin rows
+    * AND a null-pin row — not just the extras.
     */
-  def expandPins(df: DataFrame, pinCols: Seq[String]): DataFrame = {
-    val idCols = df.columns.filterNot(pinCols.contains).toSeq
+  def expandPins(df: DataFrame, extraPinCols: Seq[String]): DataFrame = {
+    val idCols = df.columns.filterNot(extraPinCols.contains).toSeq
     val long = ReshapeOps
-      .unpivotWide(df, idCols, pinCols, "pin_slot", "pin")
+      .unpivotWide(df.drop("pin"), idCols.filterNot(_ == "pin"), extraPinCols, "pin_slot", "pin")
       .drop("pin_slot")
-    val nullOnly = df
-      .filter(pinCols.map(c => col(c).isNull).reduce(_ && _))
-      .select(idCols.map(col) :+ lit(null).cast("string").as("pin"): _*)
-    long.unionByName(nullOnly).distinct()
+    val originals = df.select(idCols.map(col): _*)
+    long.unionByName(originals).distinct()
   }
 
   /** F4 + F16: normalize PIN shapes, convert Excel-serial issue dates
@@ -114,14 +119,16 @@ object LegacyPipeline {
     )
   }
 
-  /** Full §3.3 chain. `pinCols` names the wide PIN columns of the sheet. */
+  /** Full §3.3 chain. The sheet carries a primary `pin` column;
+    * `extraPinCols` names the extra wide PIN columns.
+    */
   def run(
       sheet: DataFrame,
-      pinCols: Seq[String],
+      extraPinCols: Seq[String],
       crosswalk: DataFrame,
       universe: DataFrame
   ): (DataFrame, DataFrame) = {
-    val long = normalize(expandPins(sheet, pinCols))
+    val long = normalize(expandPins(sheet, extraPinCols))
     val remapped = applyCrosswalk(long, crosswalk)
       .filter(coalesce(col("pin"), lit("")) =!= "00000000000000") // P10 (2022)
     val deduped = ReshapeOps.firstPerGroup(

@@ -86,15 +86,16 @@ object PipelineQ {
       when(col("o_orderkey") % 11 === 0, lit("-5"))
         .otherwise(floor(col("o_totalprice")).cast("long").cast("string"))
         .as("amount"),
+      // primary pin (the select-renamed PIN1): null every 43rd permit —
+      // those rows still survive expand_pins as null-pin rows even when
+      // extra pins exist (helper.R:56-59 asymmetry)
       when(col("o_orderkey") % 43 === 0, lit(null).cast("string"))
         .when(col("o_orderkey") % 4 === 0, PinOps.hyphenate(pin14))
         .when(col("o_orderkey") % 4 === 1, substring(pin14, 2, 13))
         .otherwise(pin14)
-        .as("PIN1"),
-      when(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 43 =!= 0, PinOps.hyphenate(pin14))
-        .as("PIN2"),
-      when(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 43 =!= 0, lit("00000000000000"))
-        .as("PIN3")
+        .as("pin"),
+      when(col("o_orderkey") % 3 === 0, PinOps.hyphenate(pin14)).as("PIN2"),
+      when(col("o_orderkey") % 17 === 0, lit("00000000000000")).as("PIN3")
     )
     val crosswalk = t(s, dir, "customer")
       .filter(col("c_custkey") % 10 === 0)
@@ -107,7 +108,7 @@ object PipelineQ {
         .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
         .as("pin")
     )
-    LegacyPipeline.run(sheet, Seq("PIN1", "PIN2", "PIN3"), crosswalk, universe)
+    LegacyPipeline.run(sheet, Seq("PIN2", "PIN3"), crosswalk, universe)
   }
 
   /** §3.2 review-ingestion chain over a synthetic reviewed sheet: the
@@ -302,24 +303,26 @@ object PipelineQ {
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 8, 3),
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 11, 4))
              WHEN o_orderkey % 4 = 1 THEN substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 2, 13)
-             ELSE lpad(CAST(o_custkey AS VARCHAR), 14, '0') END AS PIN1,
-        CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 43 <> 0 THEN concat_ws('-',
+             ELSE lpad(CAST(o_custkey AS VARCHAR), 14, '0') END AS pin,
+        CASE WHEN o_orderkey % 3 = 0 THEN concat_ws('-',
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 1, 2),
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 3, 2),
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 5, 3),
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 8, 3),
                substr(lpad(CAST(o_custkey AS VARCHAR), 14, '0'), 11, 4)) END AS PIN2,
-        CASE WHEN o_orderkey % 17 = 0 AND o_orderkey % 43 <> 0 THEN '00000000000000' END AS PIN3
+        CASE WHEN o_orderkey % 17 = 0 THEN '00000000000000' END AS PIN3
       FROM orders JOIN customer ON o_custkey = c_custkey
     ), long0 AS (
-      SELECT permit_no, date_serial, address, notes, reinstated_note, applicant, amount, pin
-      FROM sheet UNPIVOT (pin FOR slot IN (PIN1, PIN2, PIN3))
-    ), nullrows AS (
+      -- extras overwrite the primary pin, NA extras dropped (helper.R:46-55)
       SELECT permit_no, date_serial, address, notes, reinstated_note, applicant, amount,
-             NULL::VARCHAR AS pin
-      FROM sheet WHERE PIN1 IS NULL AND PIN2 IS NULL AND PIN3 IS NULL
+             extra AS pin
+      FROM (SELECT * EXCLUDE (pin) FROM sheet) UNPIVOT (extra FOR slot IN (PIN2, PIN3))
+    ), originals AS (
+      -- original rows keep their primary pin, null included (helper.R:56-59)
+      SELECT permit_no, date_serial, address, notes, reinstated_note, applicant, amount, pin
+      FROM sheet
     ), longu AS (
-      SELECT DISTINCT * FROM (SELECT * FROM long0 UNION ALL SELECT * FROM nullrows)
+      SELECT DISTINCT * FROM (SELECT * FROM long0 UNION ALL SELECT * FROM originals)
     ), norm AS (
       SELECT permit_no, address, notes, reinstated_note, applicant, amount,
         CASE WHEN pin IS NULL THEN NULL
