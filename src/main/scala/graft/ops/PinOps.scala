@@ -37,13 +37,26 @@ object PinOps {
 
   /** Normalize common short PIN shapes to canonical 14 digits:
     * 13 -> prepend "0"; 10 -> append "0000"; 9 -> both.
-    * Twin of `helper.py:42-58` / `helper.R:66-83`. Unrecognized lengths pass
+    * R twin (helper.R:66-83): strips HYPHENS only, NA propagates — the
+    * variant the R legacy backfill scripts run. Unrecognized lengths pass
     * through unchanged (the validators catch them downstream).
     */
   def normalizePin(c: Column): Column = {
     val d = stripHyphens(c)
     when(c.isNull, lit(null))
       .when(length(d) === 13, concat(lit("0"), d))
+      .when(length(d) === 10, concat(d, lit("0000")))
+      .when(length(d) === 9, concat(lit("0"), d, lit("0000")))
+      .otherwise(d)
+  }
+
+  /** py twin (helper.py:42-58), the variant the review-ingestion flow runs:
+    * strips ALL non-digit characters, and `str(nan)` means null normalizes
+    * to the empty string rather than propagating.
+    */
+  def normalizePinPy(c: Column): Column = {
+    val d = stripNonDigits(coalesce(c, lit("")))
+    when(length(d) === 13, concat(lit("0"), d))
       .when(length(d) === 10, concat(d, lit("0000")))
       .when(length(d) === 9, concat(lit("0"), d, lit("0000")))
       .otherwise(d)

@@ -38,9 +38,10 @@ object ReviewIngestPipeline {
     val accepted = sheet.filter(col("flagged")).drop("flagged")
     // QC copy: the original minus flagged rows (format_reviewed…py:86-120)
     val qc = sheet.filter(!col("flagged")).drop("flagged")
-    // F4 + F15: normalize pins, render dates for the upload file
+    // F4 + F15: normalize pins (py twin — this flow is the python script,
+    // so non-digits strip and null becomes ""), render dates for upload
     val normalized = accepted
-      .withColumn("pin", PinOps.normalizePin(col("pin")))
+      .withColumn("pin", PinOps.normalizePinPy(col("pin")))
       .withColumn(
         "issue_date",
         TimeOps.renderMDYPadded(TimeOps.parseFlexible(col("issue_date")))

@@ -404,12 +404,15 @@ object PipelineQ {
     ), acc AS (
       SELECT * FROM sheet WHERE flagged
     ), norm AS (
+      -- py normalize_pin: strip ALL non-digits, null -> ''
       SELECT permit_no, address, notes, applicant, amount,
-        CASE WHEN pin IS NULL THEN NULL
-             WHEN length(replace(pin, '-', '')) = 13 THEN concat('0', replace(pin, '-', ''))
-             WHEN length(replace(pin, '-', '')) = 10 THEN concat(replace(pin, '-', ''), '0000')
-             WHEN length(replace(pin, '-', '')) = 9 THEN concat('0', replace(pin, '-', ''), '0000')
-             ELSE replace(pin, '-', '') END AS pin,
+        CASE WHEN length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 13
+               THEN concat('0', regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g'))
+             WHEN length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 10
+               THEN concat(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g'), '0000')
+             WHEN length(regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g')) = 9
+               THEN concat('0', regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g'), '0000')
+             ELSE regexp_replace(coalesce(pin, ''), '[^0-9]', '', 'g') END AS pin,
         CASE WHEN TRY_CAST(issue_date AS DATE) IS NULL THEN NULL
              ELSE strftime(TRY_CAST(issue_date AS DATE), '%m/%d/%Y') END AS issue_date
       FROM acc

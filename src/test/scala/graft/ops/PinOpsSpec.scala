@@ -44,6 +44,12 @@ class PinOpsSpec extends SparkSpecBase {
     assert(strings(once, "v").forall(_.matches("^\\d{14}$")))
   }
 
+  test("normalizePinPy strips all non-digits and maps null to empty (py twin)") {
+    val df = Seq(Some("12-34-567-890-1234"), Some("PIN:1234567890"), None).toDF("p")
+    val out = strings(df.select(PinOps.normalizePinPy($"p").as("v")), "v")
+    assert(out == Seq("12345678901234", "12345678900000", ""))
+  }
+
   test("hyphenate produces XX-XX-XXX-XXX-XXXX and membershipKey round-trips") {
     val df = Seq("12345678901234").toDF("p")
     assert(strings(df.select(PinOps.hyphenate($"p").as("v")), "v") == Seq("12-34-567-890-1234"))
