@@ -87,16 +87,23 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0))
 
-    // squared-L2 distance to each centroid, centroids inlined as literals;
-    // the distance array is staged as an attribute before the argmin so the
-    // aggregate expressions evaluate once (SCALING.md expression staging)
-    def distances(vec: Column): Column = array(centroids.map { c =>
-      aggregate(
-        zip_with(vec, lit(c.toArray), (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0),
-        (acc, v) => acc + v
+    // squared-L2 distances via ONE nested-array literal probed by HOFs —
+    // per-centroid literal expression subtrees would generate (and at each
+    // new centroid set, regenerate) enormous codegen methods; a single
+    // typedLit keeps the plan small and data-independent in shape. The
+    // distance array is staged as an attribute before the argmin so it
+    // evaluates once (SCALING.md expression staging).
+    val cmat = typedLit(centroids.map(_.toSeq).toSeq)
+    def distances(vec: Column): Column =
+      transform(
+        cmat,
+        c =>
+          aggregate(
+            zip_with(vec, c, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0.0),
+            (acc, v) => acc + v
+          )
       )
-    }: _*)
 
     val c = corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
