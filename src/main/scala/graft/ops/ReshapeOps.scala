@@ -54,6 +54,15 @@ object ReshapeOps {
       )
       .filter(col(valueColumnName).isNotNull)
 
+  /** P2: ensure-columns — add any missing column as null, then project the
+    * fixed contract order (helper.R:85-90 ensure_columns; the py twin is the
+    * assign/reindex in organize_columns, permit_cleaning.py:650-663).
+    */
+  def ensureColumns(df: DataFrame, contract: Seq[String]): DataFrame =
+    df.select(contract.map { c =>
+      (if (df.columns.contains(c)) col(c) else lit(null).cast("string")).as(c)
+    }: _*)
+
   /** A1: order-preserving distinct group-concat — for each key, the group's
     * values joined by `", "` in first-occurrence order of `orderKey`
     * (chicago/permit_cleaning.py:754-759: pandas `unique()` preserves

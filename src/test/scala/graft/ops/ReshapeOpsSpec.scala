@@ -22,6 +22,13 @@ class ReshapeOpsSpec extends SparkSpecBase {
     )
   }
 
+  test("ensureColumns adds missing columns as null and fixes the order (P2)") {
+    val df = Seq((1, "x")).toDF("b", "c")
+    val out = ReshapeOps.ensureColumns(df, Seq("a", "b", "c"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(rows(out) == Seq(Seq(null, 1, "x")))
+  }
+
   test("unpivotWide drops null values (pivot_longer values_drop_na)") {
     val df = Seq((1L, Some("x"), Option.empty[String])).toDF("id", "PIN1", "PIN2")
     val out = ReshapeOps.unpivotWide(df, Seq("id"), Seq("PIN1", "PIN2"), "attr", "val")
