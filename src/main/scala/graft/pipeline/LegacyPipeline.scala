@@ -119,6 +119,26 @@ object LegacyPipeline {
     )
   }
 
+  /** Post-upload QC (verify_legacy_uploads.R:6-34): distinct uploaded PINs
+    * anti-joined against the warehouse universe, tagged (year, tab) for the
+    * rbind'd report (:42-93). The reference inlines the pins as a VALUES CTE
+    * to push the probe to Athena — Spark expresses it directly as a
+    * broadcast anti-join.
+    */
+  def findMissingPins(
+      uploaded: DataFrame,
+      universe: DataFrame,
+      year: String,
+      tab: String
+  ): DataFrame =
+    LinkOps
+      .antiMembership(
+        uploaded.select(col("pin").as("meta_pin")).distinct(),
+        universe.select(col("pin").as("u_pin")),
+        col("meta_pin") === col("u_pin")
+      )
+      .select(col("meta_pin"), lit(year).as("year"), lit(tab).as("tab"))
+
   /** Full §3.3 chain. The sheet carries a primary `pin` column;
     * `extraPinCols` names the extra wide PIN columns.
     */

@@ -176,6 +176,21 @@ object PipelineQ {
         col("address"), col("notes"), col("applicant"), col("bucket"), col("lline")
       )
     },
+    "legacy_qc_missing_pins" -> { (s, dir) =>
+      // J6 QC: uploaded pins probed against a RESTRICTED warehouse universe
+      // (every 5th parcel dropped) for two assessment years, rbind'd
+      val up = runLegacy(s, dir)._1
+      val uni2 = t(s, dir, "customer")
+        .select(
+          when(col("c_custkey") % 10 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
+            .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
+            .as("pin")
+        )
+        .filter(col("pin").cast("long") % 5 =!= 0)
+      LegacyPipeline
+        .findMissingPins(up, uni2, "2022", "need_worked")
+        .unionByName(LegacyPipeline.findMissingPins(up, uni2, "2023", "need_worked"))
+    },
     "legacy_review" -> { (s, dir) =>
       runLegacy(s, dir)._2.select(
         col("permit_no"), col("pin"), col("issue_date"), col("amount"),
@@ -477,6 +492,18 @@ object PipelineQ {
                   CAST((row_number() OVER (ORDER BY permit_no, pin) - 1) // 250 AS BIGINT) AS bucket,
                   CAST((row_number() OVER (ORDER BY permit_no, pin) - 1) % 250 + 1 AS BIGINT) AS lline
            FROM validated WHERE valid_row"""),
+    "legacy_qc_missing_pins" ->
+      (legacySql + """
+        , uni2 AS (
+          SELECT u_pin FROM uni WHERE CAST(u_pin AS BIGINT) % 5 <> 0
+        ), up AS (
+          SELECT DISTINCT pin FROM validated WHERE valid_row
+        )
+        SELECT pin AS meta_pin, '2022' AS year, 'need_worked' AS tab
+        FROM up ANTI JOIN uni2 ON pin = u_pin
+        UNION ALL
+        SELECT pin AS meta_pin, '2023' AS year, 'need_worked' AS tab
+        FROM up ANTI JOIN uni2 ON pin = u_pin"""),
     "legacy_review" ->
       (legacySql +
         """SELECT permit_no, pin, issue_date, amount, address, notes, applicant,
