@@ -100,6 +100,76 @@ object Sessionize {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(typeCol), col("n"))
 
+  /** One event for the custom-state sessionizer. */
+  final case class SessionEvent(user_id: String, ts: java.sql.Timestamp, value: Double)
+
+  /** Mutable per-user session state carried between micro-batches. */
+  final case class SessionState(start: Long, end: Long, nEvents: Long, totalValue: Double)
+
+  /** One closed session emitted by [[sessionizeWithState]]. */
+  final case class ClosedSession(
+      user_id: String,
+      start_us: Long,
+      end_us: Long,
+      n_events: Long,
+      total_value: Double
+  )
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: the explicit
+    * state-machine form of [[sessionWindowStream]] for when session logic
+    * outgrows what `session_window` expresses (per-session aggregates beyond
+    * count, emit-on-close semantics, custom eviction). State per user is one
+    * open session; an event past the gap closes and EMITS the previous
+    * session; a group timeout (watermark-driven) flushes the final one.
+    * State volume is bounded by |active users|, not history.
+    */
+  def sessionizeWithState(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int
+  ): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def flush(
+        user: String,
+        rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]
+    ): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(ClosedSession(user, s.start, s.end, s.nEvents, s.totalValue))
+      }
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      var closed = List.empty[ClosedSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.end <= gapUs =>
+            cur = Some(SessionState(s.start, math.max(s.end, us), s.nEvents + 1, s.totalValue + e.value))
+          case Some(s) =>
+            closed ::= ClosedSession(user, s.start, s.end, s.nEvents, s.totalValue)
+            cur = Some(SessionState(us, us, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(us, us, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close the open session once the event-time watermark passes its gap
+        state.setTimeoutTimestamp(s.end / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(flush)
+  }
+
   /** Structured Streaming session windows (gap-based), the streaming twin of
     * [[sessionizeBatch]].
     */

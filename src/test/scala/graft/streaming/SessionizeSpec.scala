@@ -78,6 +78,35 @@ class SessionizeSpec extends SparkSpecBase {
     ))
   }
 
+  test("sessionizeWithState closes sessions on gap and flushes on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Sessionize.SessionEvent]
+    val out = Sessionize.sessionizeWithState(mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream
+      .format("memory").queryName("state_sessions").outputMode("append").start()
+    // batch 1: two sessions' worth of u1 events — first closes when the
+    // second begins (gap > 30m)
+    mem.addData(
+      Sessionize.SessionEvent("u1", ts("2024-01-01 10:00:00"), 5.0),
+      Sessionize.SessionEvent("u1", ts("2024-01-01 10:10:00"), 5.0),
+      Sessionize.SessionEvent("u1", ts("2024-01-01 12:00:00"), 2.0)
+    )
+    q.processAllAvailable()
+    // batch 2: advance the watermark far past 12:00 so the open session
+    // times out and flushes
+    mem.addData(Sessionize.SessionEvent("u2", ts("2024-01-01 20:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.SessionEvent("u2", ts("2024-01-01 23:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("state_sessions").as[Sessionize.ClosedSession].collect()
+      .filter(_.user_id == "u1").sortBy(_.start_us)
+    assert(sessions.length == 2)
+    assert(sessions(0).n_events == 2L && sessions(0).total_value == 10.0)
+    assert(sessions(1).n_events == 1L && sessions(1).total_value == 2.0)
+  }
+
   test("streamingExactDedup keeps first occurrence per digest within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
