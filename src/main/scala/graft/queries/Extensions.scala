@@ -39,6 +39,22 @@ object Extensions {
       Dedup.simhashed(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("fp"))
     },
+    // full two-stage near-dup flow: LSH candidate generation -> exact
+    // n-gram-Jaccard verification, the production dedup shape (candidates
+    // are cheap and approximate; only they pay the exact comparison)
+    "dedup_near_verified" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      cands
+        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
+        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
+        // filter on the RAW similarity, round only for output — filtering
+        // the rounded value would disagree with the oracle at the boundary
+        .select(col("id_lo"), col("id_hi"), Dedup.jaccard(col("g_lo"), col("g_hi")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("id_lo"), col("id_hi"), round(col("jac_raw"), 6).as("jac"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -235,6 +251,34 @@ object Extensions {
           )
           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS fp
           FROM bits GROUP BY doc_id""",
+    "dedup_near_verified" ->
+      (gramsCte + """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        ), cands AS (
+          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT id_lo, id_hi,
+          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
+        FROM cands
+        JOIN g ga ON ga.doc_id = id_lo
+        JOIN g gb ON gb.doc_id = id_hi
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
     "ngram_jaccard" ->
       (gramsCte + """
         SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
