@@ -338,6 +338,23 @@ object Core {
         ).as("addr_link")
       )
     },
+    "f14_parse_flexible" -> { (s, dir) =>
+      // mixed source formats + junk -> first matching format wins, junk
+      // coerces to null (pd.to_datetime loose parse, F14)
+      val d = col("o_orderdate")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        TimeOps.renderYMD(
+          TimeOps.parseFlexible(
+            when(col("o_orderkey") % 5 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+              .when(col("o_orderkey") % 5 === 1, date_format(d, "yyyy-MM-dd HH:mm:ss"))
+              .when(col("o_orderkey") % 5 === 2, date_format(d, "MM/dd/yyyy"))
+              .when(col("o_orderkey") % 5 === 3, lit("certainly-not-a-date"))
+              .otherwise(date_format(d, "yyyy-MM-dd"))
+          )
+        ).as("parsed_ymd")
+      )
+    },
     "f17_year_extract" -> { (s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -793,6 +810,11 @@ object Core {
                 ELSE concat('=HYPERLINK("https://maps.cookcountyil.gov/cookviewer/?search=100 W ',
                             o_orderpriority, ', Chicago, IL", "Click here to open CookViewer")') END AS addr_link
          FROM v""",
+    "f14_parse_flexible" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS parsed_ymd
+         FROM orders""",
     "f17_year_extract" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders""",
     "f18_bround_halfeven" ->
