@@ -187,9 +187,17 @@ object PipelineQ {
             .as("pin")
         )
         .filter(col("pin").cast("long") % 5 =!= 0)
+      // one anti-join, then tag per probed year — a union of two
+      // findMissingPins calls would execute the whole legacy chain once
+      // per branch
       LegacyPipeline
         .findMissingPins(up, uni2, "2022", "need_worked")
-        .unionByName(LegacyPipeline.findMissingPins(up, uni2, "2023", "need_worked"))
+        .drop("year")
+        .select(
+          col("meta_pin"),
+          explode(array(lit("2022"), lit("2023"))).as("year"),
+          col("tab")
+        )
     },
     "legacy_review" -> { (s, dir) =>
       runLegacy(s, dir)._2.select(
