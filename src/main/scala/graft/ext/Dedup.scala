@@ -111,16 +111,24 @@ object Dedup {
   /** MinHash + LSH banding: candidate near-duplicate pairs.
     *
     * Pipeline: staged per-row signature (map-only, single pass) → explode
-    * `bands` rows/doc → group by (band, band-hash) bucket collecting the
-    * sorted id set → in-bucket pair generation with array HOFs → distinct.
-    * One shuffle for the bucket groupBy + one for the distinct; signatures
-    * are computed exactly once (no self-join recompute). Shuffle volume is
-    * `bands × corpus`, never O(n²). Pathologically hot buckets (boilerplate
-    * corpora) are the known LSH skew risk — cap/salt upstream if observed.
+    * `bands` rows/doc → in-bucket pair generation by SELF-JOIN on the
+    * (band, band-hash) key → distinct. Pairs are ROWS, never array elements:
+    * a hot bucket of m members costs m²/2 join-output rows spread across
+    * tasks, not an m²-element array in one row (the single-task OOM shape of
+    * the collect_set formulation this replaces). The two join sides are
+    * byte-identical plans, so ReusedExchange computes the signature shuffle
+    * once. Shuffle volume is `bands × corpus`, never O(n²) corpus-wide.
     *
-    * @param n     word-shingle width
-    * @param k     minhash permutations (multiple of 4)
-    * @param bands LSH bands (k / bands rows per band)
+    * Boilerplate-heavy corpora still make hot buckets expensive (the pairs
+    * themselves are quadratic in bucket size). `maxBucket > 0` bounds that:
+    * buckets with more members are dropped from pair generation — inspect
+    * them with [[oversizedBuckets]] (same parameters) and handle the
+    * quarantined content upstream. The cap is explicit, never silent.
+    *
+    * @param n         word-shingle width
+    * @param k         minhash permutations (multiple of 4)
+    * @param bands     LSH bands (k / bands rows per band)
+    * @param maxBucket drop buckets with more members than this (0 = no cap)
     * @return (id_lo, id_hi) candidate pairs, id_lo < id_hi
     */
   def minhashLshPairs(
@@ -129,12 +137,37 @@ object Dedup {
       textCol: Column,
       n: Int = 3,
       k: Int = 8,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    // pin the shuffle on the bucket key BEFORE self-joining: both sides then
+    // canonicalize to the same exchange and ReusedExchange materializes the
+    // signature computation exactly once (without this, the planner broadcasts
+    // one side at small stats and computes every signature twice)
+    val banded = capBuckets(bandedIds(df, idCol, textCol, n, k, bands), Seq("band", "bh"), maxBucket)
+      .repartition(col("band"), col("bh"))
+    val lo = banded.select(col("band"), col("bh"), col("id").as("id_lo"))
+    val hi = banded.select(col("band"), col("bh"), col("id").as("id_hi"))
+    lo.join(hi, Seq("band", "bh"))
+      .filter(col("id_lo") < col("id_hi"))
+      .select(col("id_lo"), col("id_hi"))
+      .distinct() // a pair collides in several bands; report it once
+  }
+
+  /** One (id, band, bh) row per document per band — the LSH bucket keys the
+    * pair self-join runs on.
+    */
+  private def bandedIds(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      k: Int,
+      bands: Int
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
-    val banded = sig.select(
+    minhashSignatures(df, idCol, textCol, n, k).select(
       col("id"),
       posexplode(
         transform(
@@ -143,27 +176,39 @@ object Dedup {
         )
       ).as(Seq("band", "bh"))
     )
-    banded
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(
-        explode(
-          flatten(
-            transform(
-              col("ids"),
-              (x, i) =>
-                transform(
-                  slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-                  y => struct(x.as("id_lo"), y.as("id_hi"))
-                )
-            )
-          )
-        ).as("p")
-      )
-      .select(col("p.id_lo").as("id_lo"), col("p.id_hi").as("id_hi"))
-      .distinct()
   }
+
+  /** Drop members of buckets larger than `maxBucket` (window count on the
+    * bucket key — same shuffle key as the pair join that follows). No-op
+    * when maxBucket <= 0.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      import org.apache.spark.sql.expressions.Window
+      banded
+        .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
+    }
+
+  /** The quarantine side of [[minhashLshPairs]]' cap: (band, bh, n_members)
+    * for every bucket whose membership exceeds `maxBucket` — the boilerplate
+    * clusters excluded from pair generation, surfaced for upstream handling.
+    */
+  def oversizedBuckets(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): DataFrame =
+    bandedIds(df, idCol, textCol, n, k, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
 
   /** 32-bit SimHash over word tokens. Bit i of the fingerprint is the sign
     * of the sum over tokens of ±1, where the vote is bit (i mod 4) of hex
@@ -240,11 +285,18 @@ object Dedup {
       .drop("__digest")
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the vectors (see
-    * [[Similarity.srpBucket]]), generate candidate pairs within each bucket,
-    * keep pairs with cosine ≥ `threshold`. The bucket groupBy is the only
-    * corpus-wide shuffle — candidate volume is Σ bucket² instead of n², the
-    * same scale shape as [[minhashLshPairs]]. Approximate: near-dups split
-    * across buckets are missed (raise `planes` ↔ recall tradeoff).
+    * [[Similarity.srpBucket]]), generate candidate pairs within each bucket
+    * by self-join, keep pairs with cosine ≥ `threshold`. Pairs are rows —
+    * a hot bucket spreads its m²/2 candidates across tasks instead of
+    * building them inside one row's array (see [[minhashLshPairs]]); the
+    * identical join sides share one shuffle via ReusedExchange. Candidate
+    * volume is Σ bucket² instead of n². Approximate: near-dups split across
+    * buckets are missed (raise `planes` ↔ recall tradeoff).
+    *
+    * Norms are staged per VECTOR before the join — computing them inside
+    * the pair comparison would redo each one once per candidate pair.
+    * `maxBucket > 0` drops buckets with more members (explicit quarantine
+    * cap for degenerate embedding clusters, 0 = no cap).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -252,39 +304,31 @@ object Dedup {
       vecCol: Column,
       dim: Int,
       planes: Int,
-      threshold: Double
+      threshold: Double,
+      maxBucket: Int = 0
   ): DataFrame = {
-    // norms are staged per VECTOR before pair generation — computing them
-    // inside the pair lambda would redo each one once per candidate pair
-    val bucketed = df
-      .select(idCol.as("id"), vecCol.as("vec"), Similarity.srpBucket(vecCol, dim, planes).as("bucket"))
-      .select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm"))
-    bucketed
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("vec"), col("nrm")))).as("items"))
-      .filter(size(col("items")) > 1)
+    // explicit bucket-key repartition: the self-join sides canonicalize to
+    // one exchange, so SRP hashing + norms run once (see minhashLshPairs)
+    val bucketed = capBuckets(
+      df.select(idCol.as("id"), vecCol.as("vec"), Similarity.srpBucket(vecCol, dim, planes).as("bucket"))
+        .select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm")),
+      Seq("bucket"),
+      maxBucket
+    ).repartition(col("bucket"))
+    val lo = bucketed.select(col("bucket"), col("id").as("id_lo"),
+      col("vec").as("vec_lo"), col("nrm").as("nrm_lo"))
+    val hi = bucketed.select(col("bucket"), col("id").as("id_hi"),
+      col("vec").as("vec_hi"), col("nrm").as("nrm_hi"))
+    lo.join(hi, Seq("bucket"))
+      .filter(col("id_lo") < col("id_hi"))
       .select(
-        explode(
-          flatten(
-            transform(
-              col("items"),
-              (x, i) =>
-                transform(
-                  slice(col("items"), i + 2, greatest(size(col("items")) - i - 1, lit(0))),
-                  y => struct(
-                    x.getField("id").as("id_lo"),
-                    y.getField("id").as("id_hi"),
-                    (Similarity.dot(x.getField("vec"), y.getField("vec")) /
-                      (x.getField("nrm") * y.getField("nrm"))).as("sim")
-                  )
-                )
-            )
-          )
-        ).as("p")
+        col("id_lo"),
+        col("id_hi"),
+        round(Similarity.dot(col("vec_lo"), col("vec_hi")) / (col("nrm_lo") * col("nrm_hi")), 6)
+          .as("sim")
       )
-      .select(col("p.id_lo").as("id_lo"), col("p.id_hi").as("id_hi"),
-        round(col("p.sim"), 6).as("sim"))
       .filter(col("sim") >= threshold)
-      .distinct()
+      // no distinct: each id lives in exactly ONE srp bucket, so every pair
+      // is generated at most once — the dedupe shuffle would buy nothing
   }
 }

@@ -85,6 +85,47 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L))) // same SRP bucket + cosine ≈ 1
   }
 
+  test("hot bucket: pairs are rows (no in-row m² arrays) and maxBucket quarantines") {
+    // 10⁴ identical docs — ONE band value shared by all of them, the
+    // boilerplate-corpus skew shape that OOM'd the collect_set formulation
+    // (10⁸ structs in a single row's array). With pair-by-self-join + cap,
+    // the hot bucket is excluded wholesale and the query completes.
+    val hot = spark.range(0, 10000)
+      .select($"id".as("doc_id"), lit("terms of service apply to all users of this site").as("text"))
+    // exact duplicates: every band collides, so the pair survives for sure
+    // (near-dup recall is covered elsewhere; this test is about the cap)
+    val tail = Seq(
+      (20001L, "unique snowflake document about catalyst optimizer rules"),
+      (20002L, "unique snowflake document about catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val docs = hot.unionByName(tail)
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3, k = 8, bands = 4, maxBucket = 100)
+    // plan sanity: pair generation is a join, not an array build
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20001L, 20002L)), s"only the small-bucket near-dup pair survives, got $got")
+    // the quarantine side reports the hot bucket (once per band that collides)
+    val quarantined = Dedup.oversizedBuckets(docs, $"doc_id", $"text", n = 3, k = 8, bands = 4, maxBucket = 100)
+      .collect()
+    assert(quarantined.nonEmpty && quarantined.forall(_.getAs[Long]("n_members") == 10000L))
+  }
+
+  test("embedding hot bucket: cap bounds pair generation, pairs stay correct") {
+    val hot = spark.range(0, 2000)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val tail = Seq(
+      (30001L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (30002L, Seq(0.0f, 0.999f, 0.01f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(
+      hot.unionByName(tail), $"vec_id", $"embedding", dim = 4, planes = 2,
+      threshold = 0.99, maxBucket = 100
+    ).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((30001L, 30002L)), s"hot identical-vector bucket quarantined, got $pairs")
+  }
+
   test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
     val df = Seq("a b c d", "a b").toDF("t")
     val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))
