@@ -139,6 +139,34 @@ object LegacyPipeline {
       )
       .select(col("meta_pin"), lit(year).as("year"), lit(tab).as("tab"))
 
+  /** Multi-year QC in one pass (verify_legacy_uploads.R:42-93): the
+    * reference probes the SAME upload against each assessment year's
+    * universe slice separately (vw_pin_universe is year-partitioned; the
+    * probe joins on pin AND year, :27-29) and rbinds the per-year results.
+    * Instead of re-running the upload chain once per year, the uploaded
+    * pins are crossed with the probed years (a `bands`-style explode) and
+    * ONE broadcast anti-join on (pin, year) against the year-tagged
+    * universe resolves every (year, tab) result set in a single scan.
+    *
+    * @param universeByYear (pin, year) — each year's universe slice
+    */
+  def findMissingPinsByYears(
+      uploaded: DataFrame,
+      universeByYear: DataFrame,
+      years: Seq[String],
+      tab: String
+  ): DataFrame =
+    uploaded
+      .select(col("pin").as("meta_pin"))
+      .distinct()
+      .withColumn("year", explode(array(years.map(lit): _*)))
+      .join(
+        broadcast(universeByYear.select(col("pin").as("meta_pin"), col("year"))),
+        Seq("meta_pin", "year"),
+        "left_anti"
+      )
+      .select(col("meta_pin"), col("year"), lit(tab).as("tab"))
+
   /** Full §3.3 chain. The sheet carries a primary `pin` column;
     * `extraPinCols` names the extra wide PIN columns.
     */

@@ -177,27 +177,25 @@ object PipelineQ {
       )
     },
     "legacy_qc_missing_pins" -> { (s, dir) =>
-      // J6 QC: uploaded pins probed against a RESTRICTED warehouse universe
-      // (every 5th parcel dropped) for two assessment years, rbind'd
+      // J6 QC: the year parameter changes the universe (vw_pin_universe is
+      // year-partitioned) — 2022 drops every 5th parcel, 2023 every 7th, so
+      // the two years' missing-PIN sets genuinely differ. One anti-join on
+      // (pin, year) against the year-tagged universe resolves both probes
+      // without re-running the legacy chain per year.
       val up = runLegacy(s, dir)._1
-      val uni2 = t(s, dir, "customer")
+      val baseUni = t(s, dir, "customer")
         .select(
           when(col("c_custkey") % 10 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
             .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
             .as("pin")
         )
+      val uniByYear = baseUni
         .filter(col("pin").cast("long") % 5 =!= 0)
-      // one anti-join, then tag per probed year — a union of two
-      // findMissingPins calls would execute the whole legacy chain once
-      // per branch
-      LegacyPipeline
-        .findMissingPins(up, uni2, "2022", "need_worked")
-        .drop("year")
-        .select(
-          col("meta_pin"),
-          explode(array(lit("2022"), lit("2023"))).as("year"),
-          col("tab")
+        .withColumn("year", lit("2022"))
+        .unionByName(
+          baseUni.filter(col("pin").cast("long") % 7 =!= 0).withColumn("year", lit("2023"))
         )
+      LegacyPipeline.findMissingPinsByYears(up, uniByYear, Seq("2022", "2023"), "need_worked")
     },
     "legacy_review" -> { (s, dir) =>
       runLegacy(s, dir)._2.select(
@@ -502,16 +500,17 @@ object PipelineQ {
            FROM validated WHERE valid_row"""),
     "legacy_qc_missing_pins" ->
       (legacySql + """
-        , uni2 AS (
-          SELECT u_pin FROM uni WHERE CAST(u_pin AS BIGINT) % 5 <> 0
+        , uniy AS (
+          SELECT u_pin, '2022' AS uy FROM uni WHERE CAST(u_pin AS BIGINT) % 5 <> 0
+          UNION ALL
+          SELECT u_pin, '2023' AS uy FROM uni WHERE CAST(u_pin AS BIGINT) % 7 <> 0
         ), up AS (
           SELECT DISTINCT pin FROM validated WHERE valid_row
+        ), probes AS (
+          SELECT pin, y.year FROM up CROSS JOIN (VALUES ('2022'), ('2023')) y(year)
         )
-        SELECT pin AS meta_pin, '2022' AS year, 'need_worked' AS tab
-        FROM up ANTI JOIN uni2 ON pin = u_pin
-        UNION ALL
-        SELECT pin AS meta_pin, '2023' AS year, 'need_worked' AS tab
-        FROM up ANTI JOIN uni2 ON pin = u_pin"""),
+        SELECT pin AS meta_pin, year, 'need_worked' AS tab
+        FROM probes ANTI JOIN uniy ON pin = u_pin AND year = uy"""),
     "legacy_review" ->
       (legacySql +
         """SELECT permit_no, pin, issue_date, amount, address, notes, applicant,
