@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{PinOps, TextOps}
+import graft.ops.{PinOps, TextOps, TimeOps}
 import graft.pipeline.{LegacyPipeline, PermitPipeline, ReviewIngestPipeline}
 
 /** The flagship end-to-end queries: the reference's §3.1 production chain
@@ -19,11 +19,11 @@ object PipelineQ {
   /** Reference-shaped Socrata permits + PIN universe from orders×customer.
     * Every modulus plants one §2.10 failure class (same trick as vp_*).
     */
-  private def run(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def rawPermits(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
     val pin14 = lpad(col("o_custkey").cast("string"), 14, "0")
-    val raw = base.select(
+    base.select(
       when(col("o_orderkey") % 23 === 0, lit(""))
         .otherwise(col("o_orderkey").cast("string")).as("permit_"),
       when(col("o_orderkey") % 41 === 0, lit("not-a-date"))
@@ -47,11 +47,42 @@ object PipelineQ {
         .otherwise(pin14)
         .as("pin_list")
     )
-    val universe = t(s, dir, "customer").select(
+  }
+
+  private def pinUniverse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
       lpad(col("c_custkey").cast("string"), 14, "0").as("pin"),
       concat(lit("ADDR  "), col("c_name")).as("prop_address_full")
     )
-    val (up, rev) = PermitPipeline.run(raw, universe, existing = None)
+
+  /** The previous run's uploaded rows in warehouse-canonical 7-key form
+    * (the shape `PermitPipeline.dedupeAgainstExisting` expects): the
+    * `%4 == 1` slice of today's cleaned permits, i.e. rows the warehouse
+    * already holds. Canonicalization mirrors dedupeAgainstExisting exactly —
+    * the anti-join must hit on byte-equal keys.
+    */
+  private def warehouseRows(s: SparkSession, dir: String): DataFrame =
+    PermitPipeline
+      .cleanPermits(rawPermits(s, dir))
+      .filter(col("permit_no").try_cast("long") % 4 === 1)
+      .select(
+        col("pin").as("parid"),
+        TimeOps.renderPermdt(TimeOps.parseFlexible(col("issue_date"))).as("permdt"),
+        col("amount").cast("decimal(38,2)").as("amount"),
+        TextOps.addrDedupeKey(col("applicant_street_address")).as("note2"),
+        col("applicant").as("user21"),
+        col("permit_no").as("user28"),
+        TextOps.smartfileCanon(col("work_description")).as("user43")
+      )
+      .filter(col("permdt").isNotNull)
+
+  private def run(
+      s: SparkSession,
+      dir: String,
+      dedupe: Boolean = false
+  ): (DataFrame, DataFrame) = {
+    val existing = if (dedupe) Some(warehouseRows(s, dir)) else None
+    val (up, rev) = PermitPipeline.run(rawPermits(s, dir), pinUniverse(s, dir), existing)
     val outCols = Seq(
       "permit_no", "pin", "issue_date", "amount", "applicant",
       "applicant_street_address", "suggested_pins", "matched_keywords"
@@ -170,6 +201,11 @@ object PipelineQ {
     },
     "pipeline_upload" -> { (s, dir) => run(s, dir)._1 },
     "pipeline_review" -> { (s, dir) => run(s, dir)._2 },
+    // the production deduplicate=True run (permit_cleaning.py:1191-1200):
+    // full §3.1 chain composed WITH the J4 7-key anti-dedupe against the
+    // warehouse rows of the previous upload
+    "pipeline_dedupe_upload" -> { (s, dir) => run(s, dir, dedupe = true)._1 },
+    "pipeline_dedupe_review" -> { (s, dir) => run(s, dir, dedupe = true)._2 },
     "legacy_upload" -> { (s, dir) =>
       runLegacy(s, dir)._1.select(
         col("permit_no"), col("pin"), col("issue_date"), col("amount"),
@@ -211,12 +247,14 @@ object PipelineQ {
   private val keywordListSql: String =
     TextOps.Keywords.map(k => s"'$k'").mkString("[", ", ", "]")
 
-  /** DuckDB twin of the full chain. Mirrors, step for step:
-    * raw synthesis → X1 explode (null rows kept) → F1/F3 pin clean → F7
-    * address concat (empty-slot double space) → F8 abbreviation fold → F18
-    * bround → A1+J1 suggested pins → F11 keywords → §2.10 rule suite.
+  /** DuckDB twin of the full chain (through the suggested-pins join).
+    * Mirrors, step for step: raw synthesis → X1 explode (null rows kept) →
+    * F1/F3 pin clean → F7 address concat (empty-slot double space) → F8
+    * abbreviation fold → F18 bround → A1+J1 suggested pins → F11 keywords.
+    * The §2.10 rule suite is appended by [[flaggedCte]] so the dedupe twin
+    * can interpose the J4 anti-join between `joined` and `flagged`.
     */
-  private val chainSql: String = {
+  private val chainPrefixSql: String = {
     val abbrevApplicant =
       TextOps.Abbreviations.foldLeft("applicant0") { case (acc, (from, to)) =>
         s"replace($acc, '$from', '$to')"
@@ -276,7 +314,13 @@ object PipelineQ {
       LEFT JOIN pinmap m ON c.address = m.prop_address_full
       LEFT JOIN (SELECT DISTINCT u_pin FROM uni) u2
         ON lpad(replace(coalesce(c.pin, ''), '-', ''), 14, '0') = u2.u_pin
-    ), flagged AS (
+    )
+    """
+  }
+
+  /** §2.10 rule suite over `src` (either `joined` or `deduped`). */
+  private def flaggedCte(src: String): String = s"""
+    , flagged AS (
       SELECT permit_no, pin, issue_date, amount, applicant, address AS applicant_street_address,
              suggested_pins, matched_keywords,
         concat_ws('; ',
@@ -296,10 +340,38 @@ object PipelineQ {
                     OR length(applicant) > 50 THEN 'Applicant Name > 50 characters' END,
           CASE WHEN universe_hit IS NULL THEN 'PIN is invalid' END
         ) AS errors
-      FROM joined
+      FROM $src
     )
     """
-  }
+
+  private val chainSql: String = chainPrefixSql + flaggedCte("joined")
+
+  /** J4 twin: warehouse-canonical 7 keys over `joined`, existing = the
+    * %4==1 slice (the previous upload), anti-join interposed before the
+    * rule suite — permdt is millisecond-rendered midnight, note2 carries
+    * the ",,CHICAGO, IL" suffix, user43 is smartfile-canonicalized.
+    */
+  private val dedupeChainSql: String = chainPrefixSql + """
+    , canon AS (
+      SELECT j.*,
+        pin AS parid,
+        CASE WHEN issue_date IS NULL THEN NULL
+             ELSE strftime(strptime(issue_date, '%m/%d/%Y'), '%Y-%m-%d %H:%M:%S.%g') END AS permdt,
+        CAST(amount AS DECIMAL(38,2)) AS amount_canon,
+        concat(address, ',,CHICAGO, IL') AS note2,
+        applicant AS user21,
+        permit_no AS user28,
+        substr(regexp_replace(work_description, '[():;+#*&''"@½]', '', 'g'), 1, 259) AS user43
+      FROM joined j
+    ), existing AS (
+      SELECT DISTINCT parid, permdt, amount_canon, note2, user21, user28, user43
+      FROM canon
+      WHERE TRY_CAST(permit_no AS BIGINT) % 4 = 1 AND permdt IS NOT NULL
+    ), deduped AS (
+      SELECT * FROM canon
+      ANTI JOIN existing USING (parid, permdt, amount_canon, note2, user21, user28, user43)
+    )
+  """ + flaggedCte("deduped")
 
   /** DuckDB twin of the legacy chain (§3.3). */
   private val legacySql: String = """
@@ -489,6 +561,16 @@ object PipelineQ {
            FROM flagged WHERE errors = ''"""),
     "pipeline_review" ->
       (chainSql +
+        """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
+                  suggested_pins, matched_keywords, errors
+           FROM flagged WHERE errors <> ''"""),
+    "pipeline_dedupe_upload" ->
+      (dedupeChainSql +
+        """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
+                  suggested_pins, matched_keywords
+           FROM flagged WHERE errors = ''"""),
+    "pipeline_dedupe_review" ->
+      (dedupeChainSql +
         """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
                   suggested_pins, matched_keywords, errors
            FROM flagged WHERE errors <> ''"""),
