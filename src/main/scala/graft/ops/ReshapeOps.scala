@@ -139,4 +139,35 @@ object ReshapeOps {
       .withColumn(lineCol, ((col("__gn") - 1) % chunk + 1).cast("long"))
       .drop("__gn")
   }
+
+  /** The 100 TB-safe [[numberedBuckets]] alternative: when the sink needs
+    * stable bucket/line addressing but NOT one global 1..n sequence, assign
+    * the bucket by CONTENT hash of the row's key columns and number rows
+    * within each bucket under `order`. Every bucket numbers independently,
+    * so the work distributes across `nBuckets` window partitions instead of
+    * serializing the whole dataset through a single task's sort.
+    *
+    * The bucket hash is the first 8 hex chars of md5(keys) mod `nBuckets` —
+    * a construction any SQL engine reproduces (no engine-private hash), so
+    * results stay oracle-comparable and stable across engines/restarts.
+    * Keys joined with the \\u0001 unit separator so ("ab","c") and ("a","bc") cannot collide.
+    */
+  def numberedBucketsDistributed(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      nBuckets: Int,
+      bucketCol: String,
+      lineCol: String
+  ): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat_ws("\u0001", keys: _*)), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong)
+    )
+    df.withColumn(bucketCol, bucket)
+      .withColumn(
+        lineCol,
+        row_number().over(Window.partitionBy(col(bucketCol)).orderBy(order: _*)).cast("long")
+      )
+  }
 }

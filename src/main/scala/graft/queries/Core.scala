@@ -197,6 +197,19 @@ object Core {
         .numberedBuckets(t(s, dir, "orders"), Seq(col("o_orderkey")), 250, "bucket", "lline")
         .select(col("o_orderkey"), col("bucket"), col("lline"))
     },
+    // the bulk-data variant: content-hash bucket assignment + per-bucket
+    // numbering — 64 independent window partitions instead of one global
+    // sort through a single task
+    "w2_s8_buckets_distributed" -> { (s, dir) =>
+      ReshapeOps
+        .numberedBucketsDistributed(
+          t(s, dir, "orders"),
+          Seq(col("o_orderkey").cast("string")),
+          Seq(col("o_orderkey")),
+          64, "bucket", "lline"
+        )
+        .select(col("o_orderkey"), col("bucket"), col("lline"))
+    },
     // ---- J: joins -------------------------------------------------------
     "j1_suggested_pins" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -701,6 +714,14 @@ object Core {
          CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 250 AS BIGINT) AS bucket,
          CAST((row_number() OVER (ORDER BY o_orderkey) - 1) % 250 + 1 AS BIGINT) AS lline
          FROM orders""",
+    "w2_s8_buckets_distributed" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+           FROM orders)
+         SELECT o_orderkey, CAST(bucket AS BIGINT) AS bucket,
+                CAST(row_number() OVER (PARTITION BY bucket ORDER BY o_orderkey) AS BIGINT) AS lline
+         FROM b""",
     "j1_suggested_pins" ->
       """WITH pin_map AS (
            SELECT c_nationkey AS map_nation,

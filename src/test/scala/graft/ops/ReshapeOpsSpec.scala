@@ -94,4 +94,31 @@ class ReshapeOpsSpec extends SparkSpecBase {
       ).sortBy(_.mkString("|"))
     )
   }
+
+  test("numberedBucketsDistributed: per-bucket 1..n numbering across many tasks") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val df = (1 to 5000).toDF("n")
+    val out = ReshapeOps
+      .numberedBucketsDistributed(df, Seq($"n".cast("string")), Seq($"n"), 64, "bucket", "line")
+    val collected = out.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // every bucket numbers 1..|bucket| contiguously, ordered by n
+    collected.groupBy(_._2).foreach { case (b, rs) =>
+      val lines = rs.sortBy(_._1).map(_._3).toSeq
+      assert(lines == (1L to rs.length.toLong), s"bucket $b numbering broken")
+    }
+    assert(collected.map(_._2).distinct.length > 32, "content hash should spread buckets")
+    // the numbering work really distributes: more than one task emits rows
+    // (the global-sort variant serializes everything through a single task).
+    // AQE rightly coalesces this KB-scale shuffle to one partition, so pin
+    // coalescing off for the assertion — at real scale the partitions stay.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val tasks = out.withColumn("pid", spark_partition_id())
+        .filter($"line" >= 1) // reference the window output so it isn't pruned
+        .select("pid").distinct().count()
+      assert(tasks > 1, s"expected >1 task to produce rows, got $tasks")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
 }
