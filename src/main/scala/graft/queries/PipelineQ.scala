@@ -206,6 +206,22 @@ object PipelineQ {
     // warehouse rows of the previous upload
     "pipeline_dedupe_upload" -> { (s, dir) => run(s, dir, dedupe = true)._1 },
     "pipeline_dedupe_review" -> { (s, dir) => run(s, dir, dedupe = true)._2 },
+    // S6 workbook content contract (permit_cleaning.py:1103-1132): the review
+    // workbook's TWO sheets as one sheet-partitioned output — the Permits
+    // sheet carries the full review contract, the Universe-of-Valid-PINs
+    // sheet the zfilled pin plus its 2-2-3-3-4 hyphenated form. Decoration
+    // (formats/protection) is presentation, scoped out per SURVEY §7.4.
+    "workbook_sheets" -> { (s, dir) =>
+      val permits = run(s, dir)._2
+        .withColumn("sheet", lit("Permits"))
+        .withColumn("pin_padded", lit(null).cast("string"))
+        .withColumn("pin_hyphenated", lit(null).cast("string"))
+      val pins = pinUniverse(s, dir)
+        .select(PinOps.zfill14(col("pin")).as("pin_padded"))
+        .withColumn("sheet", lit("Universe of Valid PINs"))
+        .withColumn("pin_hyphenated", PinOps.hyphenate(col("pin_padded")))
+      permits.unionByName(pins, allowMissingColumns = true)
+    },
     "legacy_upload" -> { (s, dir) =>
       runLegacy(s, dir)._1.select(
         col("permit_no"), col("pin"), col("issue_date"), col("amount"),
@@ -574,6 +590,22 @@ object PipelineQ {
         """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
                   suggested_pins, matched_keywords, errors
            FROM flagged WHERE errors <> ''"""),
+    "workbook_sheets" ->
+      (chainSql +
+        """SELECT 'Permits' AS sheet, permit_no, pin, issue_date, amount, applicant,
+                  applicant_street_address, suggested_pins, matched_keywords, errors,
+                  NULL::VARCHAR AS pin_padded, NULL::VARCHAR AS pin_hyphenated
+           FROM flagged WHERE errors <> ''
+           UNION ALL BY NAME
+           SELECT 'Universe of Valid PINs' AS sheet,
+                  lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin_padded,
+                  concat_ws('-',
+                    substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 1, 2),
+                    substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 3, 2),
+                    substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 5, 3),
+                    substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 8, 3),
+                    substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 11, 4)) AS pin_hyphenated
+           FROM customer"""),
     "legacy_upload" ->
       (legacySql +
         """SELECT permit_no, pin, issue_date, amount, address, notes, applicant,
