@@ -20,6 +20,7 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // drop leftover broadcast/cache refs from the previous query so its
       // memory doesn't bill the next one as GC pauses
@@ -27,14 +28,30 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column; count() would
       // let Catalyst prune the projections map-only queries exist to measure
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // sentinel, NOT elapsed time: a crashing query must never read
+            // as a fast one, and its name goes to stderr for the log
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            -1.0
+        }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    println(line)
+    // the driver tails stdout and has read a truncated line before — keep a
+    // machine-readable copy on disk
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -15,9 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Session-global conf consumed by Fixtures.events — set ONCE before the
+    // pool starts so no query races a conf flip mid-plan.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Queries are independent; submit them from a small thread pool so the
     // scheduler overlaps their (mostly tiny) jobs instead of running 58
-    // plan+execute cycles serially.
+    // plan+execute cycles serially. INVARIANT for query authors: the pool
+    // shares one SparkSession, so any /tmp scratch path or temp-view name a
+    // query touches must be unique to that query (s1 raced s1_dsv2 once).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)

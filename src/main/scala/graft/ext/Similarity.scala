@@ -86,6 +86,11 @@ object Similarity {
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0))
+    // a corpus smaller than nlist yields fewer centroids; probing cells that
+    // don't exist would zip_with null-padded distances and silently drop
+    // neighbors, so clamp the cell count to what was actually collected
+    val cells = centroids.length
+    val probes = math.min(nprobe, cells)
 
     // squared-L2 distances via ONE nested-array literal probed by HOFs —
     // per-centroid literal expression subtrees would generate (and at each
@@ -122,12 +127,12 @@ object Similarity {
             slice(
               transform(
                 array_sort(
-                  zip_with(col("__d"), sequence(lit(0), lit(nlist - 1)), (d, i) => struct(d.as("d"), i.as("i")))
+                  zip_with(col("__d"), sequence(lit(0), lit(cells - 1)), (d, i) => struct(d.as("d"), i.as("i")))
                 ),
                 s => s.getField("i")
               ),
               1,
-              nprobe
+              probes
             )
           )
         )

@@ -71,6 +71,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(fullIds == bruteIds)
   }
 
+  test("ivfTopK clamps to the real centroid count when the corpus is tiny") {
+    // corpus of 4 vectors but nlist=16: only 4 centroids exist — probing
+    // must clamp to them instead of zip_with-padding distances with nulls
+    val q = vecs.filter($"vec_id" === 1L)
+    val out = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", nlist = 16, nprobe = 16, k = 5)
+      .collect()
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(out.length == brute.length, "clamped full probe must see every candidate")
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))

@@ -10,11 +10,6 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize for compare: floats rounded repr, timestamps to str
-    def norm(v):
-        if pd.isna(v if not isinstance(v, (list, tuple)) else None):
-            return None
-        return v
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
 
@@ -66,7 +61,16 @@ def main(sf_dir: str, out_dir: str):
             b = w[c]
             try:
                 if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                    # exact float equality is intentional (decimal-exact
+                    # oracle design); on mismatch report the max abs delta
+                    # so near-misses are diagnosable
                     ok = ((a.isna() & b.isna()) | (a == b)).all()
+                    if not ok:
+                        try:
+                            delta = (a.astype(float) - b.astype(float)).abs().max()
+                            print(f"  [{name}.{c}] max abs delta = {delta}")
+                        except Exception:
+                            pass
                 else:
                     both_na = a.isna() & b.isna()
                     ok = (both_na | (a.astype(str) == b.astype(str))).all()
