@@ -308,10 +308,15 @@ object Dedup {
       maxBucket: Int = 0
   ): DataFrame = {
     // explicit bucket-key repartition: the self-join sides canonicalize to
-    // one exchange, so SRP hashing + norms run once (see minhashLshPairs)
+    // one exchange, so SRP hashing + norms run once (see minhashLshPairs).
+    // Vectors are integer-quantized so the sim math is exact and
+    // engine-reproducible (see Similarity.quantize).
     val bucketed = capBuckets(
-      df.select(idCol.as("id"), vecCol.as("vec"), Similarity.srpBucket(vecCol, dim, planes).as("bucket"))
-        .select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm")),
+      df.select(
+        idCol.as("id"),
+        Similarity.quantize(vecCol).as("vec"),
+        Similarity.srpBucket(vecCol, dim, planes).as("bucket")
+      ).select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm")),
       Seq("bucket"),
       maxBucket
     ).repartition(col("bucket"))

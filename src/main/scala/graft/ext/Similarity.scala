@@ -33,7 +33,8 @@ object Similarity {
 
   /** Exact top-k by cosine for each query vector: broadcast the (small)
     * query set against the corpus, window-rank per query.
-    * Ties broken by candidate id for determinism.
+    * Ties broken by candidate id for determinism. Vectors are integer-
+    * quantized (see [[quantize]]) so the ranking is engine-reproducible.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -44,9 +45,9 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
     )
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val c = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
     val scored = c
       .join(q, col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
@@ -80,12 +81,15 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    val centroids: Array[Seq[Float]] = corpus
+    // centroids are collected as floats then quantized driver-side with the
+    // same floor(x*1000+0.5) rule as the plan-side vectors, so the whole
+    // assignment + ranking pipeline is exact integer math (engine-neutral)
+    val centroids: Array[Seq[Long]] = corpus
       .orderBy(col(idCol))
       .limit(nlist)
       .select(col(vecCol))
       .collect()
-      .map(_.getSeq[Float](0))
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
     // a corpus smaller than nlist yields fewer centroids; probing cells that
     // don't exist would zip_with null-padded distances and silently drop
     // neighbors, so clamp the cell count to what was actually collected
@@ -104,14 +108,14 @@ object Similarity {
         cmat,
         c =>
           aggregate(
-            zip_with(vec, c, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-            lit(0.0),
+            zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+            lit(0L),
             (acc, v) => acc + v
           )
       )
 
     val c = corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
       .withColumn("__d", distances(col("c_vec")))
       .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
       .drop("__d")
@@ -119,7 +123,7 @@ object Similarity {
     // query side: nprobe nearest cells via sorting (distance, idx) structs
     val q = broadcast(
       queries
-        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
         .withColumn("__d", distances(col("q_vec")))
         .withColumn(
           "cell",
@@ -149,21 +153,33 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** floor(x*1000 + 0.5) integer quantization — deterministic in any engine
+    * (unlike round() tie modes), and exact integer arithmetic downstream is
+    * associative, so no engine's summation order can change a result.
+    */
+  def quantize(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
   /** Sign-random-projection bucket key: the sign bits of the vector's dot
-    * products with `planes` fixed pseudo-random hyperplanes. Hyperplanes are
-    * derived deterministically from the vector dimensionality via a hash of
-    * (plane, dim) — reproducible with no stored model.
+    * products with `planes` fixed pseudo-random hyperplanes. Plane `p`'s
+    * component `d` is an INTEGER in [-500, 500) derived from md5(p ∥ "_" ∥ d)
+    * (first 8 hex chars mod 1000, minus 500) and the vector is integer-
+    * quantized before projecting, so the whole projection is exact integer
+    * math: reproducible with no stored model, in ANY engine with md5 —
+    * engine-private hashes (murmur3) would make the buckets unverifiable.
     */
   def srpBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    val q = quantize(vecCol)
     val bits = (0 until planes).map { p =>
-      // plane p component d = hash-derived pseudo-random in [-0.5, 0.5)
       val proj = aggregate(
         zip_with(
-          vecCol,
+          q,
           sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") * (pmod(hash(d, lit(p)), lit(1000)).cast("double") / 1000.0 - 0.5)
+          (x, d) =>
+            x * (pmod(conv(substring(md5(concat(lit(p + "_"), d.cast("string"))), 1, 8), 16, 10)
+              .cast("long"), lit(1000L)) - 500L)
         ),
-        lit(0.0),
+        lit(0L),
         (acc, v) => acc + v
       )
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
@@ -193,14 +209,17 @@ object Similarity {
       multiProbe: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // vectors are integer-quantized for ranking: the dot/norm sums are then
+    // exact integer math (associative), so the reported sim is reproducible
+    // by any engine regardless of its summation order
     val c = corpus.select(
       col(idCol).as("cand_id"),
-      col(vecCol).as("c_vec"),
+      quantize(col(vecCol)).as("c_vec"),
       srpBucket(col(vecCol), dim, planes).as("bucket")
     )
     val q0 = queries.select(
       col(idCol).as("query_id"),
-      col(vecCol).as("q_vec"),
+      quantize(col(vecCol)).as("q_vec"),
       srpBucket(col(vecCol), dim, planes).as("bucket")
     )
     val probed =

@@ -85,8 +85,8 @@ object Extensions {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
     },
-    // Approximate path (SRP-bucketed). Engine-specific hash => rows-only
-    // driver check (no SQL twin), adversarially tested in AnnSpec instead.
+    // Approximate path (SRP-bucketed). md5-derived planes + integer-exact
+    // quantized math => full DuckDB twin; recall also gated in SimilaritySpec.
     "ann_lsh_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.lshBucketTopK(
@@ -94,8 +94,9 @@ object Extensions {
         dim = 64, planes = 6, k = 5, multiProbe = true
       )
     },
-    // IVF variant (coarse quantizer cells, nprobe probing). Driver-collected
-    // centroid sample => rows-only check; recall spec-tested vs brute force.
+    // IVF variant (coarse quantizer cells, nprobe probing). The centroid
+    // sample is deterministic (nlist lowest ids) and the math integer-exact,
+    // so the whole assignment+probe+rank pipeline has a DuckDB twin.
     "ann_ivf_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -144,8 +145,9 @@ object Extensions {
         .select(col("asset_id"), col("sample_idx"), col("frame_idx"),
           col("byte_start"), col("byte_len"))
     },
-    // mapPartitions decode path (per-partition codec context; stub codec =>
-    // rows-only check, determinism spec-tested in MultimodalSpec)
+    // mapPartitions decode path (per-partition codec context; the stub
+    // codec's dims formula is deterministic byte arithmetic, reproduced in
+    // the DuckDB twin via per-char code points — fixture text is ASCII)
     "mm_decode_partitioned" -> { (s, dir) =>
       Multimodal
         .decodePartitioned(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -175,8 +177,8 @@ object Extensions {
           col("n")
         )
     },
-    // Embedding-cosine near-dup (SRP buckets). Engine-specific hash =>
-    // rows-only driver check; recall adversarially tested in DedupSpec.
+    // Embedding-cosine near-dup (SRP buckets). md5-derived planes +
+    // quantized math => full DuckDB twin; recall tested in DedupSpec.
     "dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
@@ -213,6 +215,40 @@ object Extensions {
       FROM w
     )
   """
+
+  // ---- SRP / quantized-vector oracle builders ---------------------------
+  // The Spark side quantizes vectors (floor(x*1000+0.5) -> BIGINT) and does
+  // ALL similarity math in exact integer arithmetic with md5-derived SRP
+  // coefficients, so these twins reproduce results bit-for-bit: integer
+  // sums are associative (no summation-order divergence) and md5 exists in
+  // both engines.
+
+  private val qzCte: String = """
+    WITH qz AS (
+      SELECT vec_id,
+        list_transform(range(1, 65),
+          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    )
+  """
+
+  /** Twin of Similarity.srpBucket over the staged `q` column: plane p's
+    * coefficient d is md5("p_d") first-8-hex mod 1000 minus 500.
+    */
+  private def srpBucketSql(planes: Int): String =
+    (0 until planes)
+      .map { p =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] *
+           (CAST(concat('0x', substr(md5(concat('${p}_', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT)
+            % 1000 - 500))) >= 0 THEN ${1 << p} ELSE 0 END)"""
+      }
+      .mkString(" + ")
+
+  /** Twin of Similarity.cosine over quantized vectors. */
+  private def cosSql(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
+        (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS DOUBLE)) *
+         sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS DOUBLE))))"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -393,6 +429,85 @@ object Extensions {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "mm_decode_partitioned" ->
+      """WITH ch AS (
+           SELECT doc_id,
+             list_transform(range(1, length(coalesce(text, '')) + 1),
+               i -> ascii(substr(text, i, 1))) AS codes
+           FROM documents)
+         SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+           CAST(len(codes) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN len(codes) = 0 THEN 0
+                     ELSE (list_sum(codes) % 16 + 1) * 64 END AS INTEGER) AS width,
+           CAST(CASE WHEN len(codes) = 0 THEN 0
+                     ELSE (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(codes, c -> CAST(c % 16 AS BIGINT))),
+                            (a, b) -> xor(a, b)) + 1) * 64 END AS INTEGER) AS height
+         FROM ch""",
+    "dedup_embedding" ->
+      (qzCte + s"""
+        , bkt AS (SELECT vec_id, q, ${srpBucketSql(4)} AS bucket FROM qz)
+        , prs AS (
+          SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+                 round(${cosSql("a.q", "b.q")}, 6) AS sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_lo, id_hi, sim FROM prs WHERE sim >= 0.2"""),
+    "ann_lsh_topk" ->
+      (qzCte + s"""
+        , bkt AS (SELECT vec_id, q, ${srpBucketSql(6)} AS bucket FROM qz)
+        , probes AS (
+          SELECT vec_id AS query_id,
+                 unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
+          FROM bkt WHERE vec_id < 10
+        ), cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+          FROM probes p JOIN bkt c ON c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        ), scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), ranked AS (
+          SELECT query_id, cand_id, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
+    "ann_ivf_topk" ->
+      (qzCte + s"""
+        , cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 16)
+        ), cdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN cent c
+        ), assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist) WHERE rn = 1
+        ), qprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist WHERE vec_id < 10) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+          FROM qprobe p JOIN assign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ), scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), ranked AS (
+          SELECT query_id, cand_id, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "mm_frame_sample" ->
       """WITH a AS (
            SELECT doc_id AS asset_id,

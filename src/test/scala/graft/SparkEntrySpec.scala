@@ -12,12 +12,9 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("queries without an oracle are the known engine-hash rows-only set") {
+  test("every query has an oracle (no rows-only checks remain)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(
-      rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "dedup_embedding", "mm_decode_partitioned"),
-      s"unexpected rows-only queries: $rowsOnly"
-    )
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("oracle SQL contains no tabs/CR that would break the driver's JSON") {
