@@ -160,25 +160,35 @@ object Similarity {
   def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
-  /** Sign-random-projection bucket key: the sign bits of the vector's dot
-    * products with `planes` fixed pseudo-random hyperplanes. Plane `p`'s
-    * component `d` is an INTEGER in [-500, 500) derived from md5(p ∥ "_" ∥ d)
-    * (first 8 hex chars mod 1000, minus 500) and the vector is integer-
-    * quantized before projecting, so the whole projection is exact integer
-    * math: reproducible with no stored model, in ANY engine with md5 —
+  /** Plane `p`'s component `d`: an INTEGER in [-500, 500) derived from
+    * md5(p ∥ "_" ∥ d) — first 8 hex chars as a number, mod 1000, minus 500.
+    * Computed DRIVER-side once and shipped as literal arrays: the values are
+    * constant per (plane, dim), and deriving them inside a zip_with lambda
+    * would re-hash dim × planes times per ROW (the lambda variable blocks
+    * constant folding). Any engine with md5 reproduces the same table —
     * engine-private hashes (murmur3) would make the buckets unverifiable.
+    */
+  def srpCoefficients(dim: Int, planes: Int): Seq[Seq[Long]] = {
+    def md5Hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until planes).map(p => (0 until dim).map(d => md5Hex8(s"${p}_$d") % 1000L - 500L))
+  }
+
+  /** Sign-random-projection bucket key: the sign bits of the vector's dot
+    * products with `planes` fixed pseudo-random hyperplanes (coefficients
+    * from [[srpCoefficients]]). The vector is integer-quantized before
+    * projecting, so the whole projection is exact integer math —
+    * reproducible with no stored model.
     */
   def srpBucket(vecCol: Column, dim: Int, planes: Int): Column = {
     val q = quantize(vecCol)
+    val coeffs = srpCoefficients(dim, planes)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(
-          q,
-          sequence(lit(0), lit(dim - 1)),
-          (x, d) =>
-            x * (pmod(conv(substring(md5(concat(lit(p + "_"), d.cast("string"))), 1, 8), 16, 10)
-              .cast("long"), lit(1000L)) - 500L)
-        ),
+        zip_with(q, typedLit(coeffs(p)), (x, c) => x * c),
         lit(0L),
         (acc, v) => acc + v
       )
