@@ -70,4 +70,21 @@ class LegacyPipelineSpec extends SparkSpecBase {
     val d = out.filter($"permit_no" === "000000001").select($"issue_date").collect().head.getString(0)
     assert(d == "2023-03-15") // serial 45000
   }
+
+  test("findMissingPinsByYears: each year probes its OWN universe slice") {
+    val uploaded = Seq("A", "B", "C").toDF("pin")
+    // 2022 knows A+B, 2023 knows only A — the missing sets must differ
+    val uniByYear = Seq(("A", "2022"), ("B", "2022"), ("A", "2023"))
+      .toDF("pin", "year")
+    val out = LegacyPipeline
+      .findMissingPinsByYears(uploaded, uniByYear, Seq("2022", "2023"), "need_worked")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(out == Set(
+      ("C", "2022", "need_worked"),
+      ("B", "2023", "need_worked"),
+      ("C", "2023", "need_worked")
+    ))
+  }
 }
