@@ -457,6 +457,19 @@ object Core {
         .select(col("o_orderkey"), col("o_orderstatus"))
     },
     // ---- S8: batched sink roundtrip (≤250 rows per file) -----------------
+    // S4: REAL xlsx scan (JDK-only codec) — write a workbook, scan it back
+    // through the executor-parallel binaryFile reader
+    "s4_xlsx_roundtrip" -> { (s, dir) =>
+      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"/tmp/graft_cache/xlsx_rt_$key/customers.xlsx"
+      val sheet = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("custkey"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment")
+      )
+      graft.sources.Xlsx.writeSheets(Seq("Customers" -> sheet), path)
+      graft.sources.Xlsx.read(s, path, Some("Customers"))
+    },
     "s8_batched_sink" -> { (s, dir) =>
       val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
       val path = s"/tmp/graft_cache/batched_$key"
@@ -889,6 +902,9 @@ object Core {
     "s5_flag_filter" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0""",
+    "s4_xlsx_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS custkey, c_name AS name, c_mktsegment AS segment
+         FROM customer""",
     "s8_batched_sink" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'"""
   )

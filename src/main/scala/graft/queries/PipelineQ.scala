@@ -222,6 +222,22 @@ object PipelineQ {
         .withColumn("pin_hyphenated", PinOps.hyphenate(col("pin_padded")))
       permits.unionByName(pins, allowMissingColumns = true)
     },
+    // S6 end-to-end with a REAL workbook artifact: write the two-sheet
+    // review workbook via the JDK-only xlsx sink, then scan the
+    // Universe-of-Valid-PINs sheet back by name
+    "s6_workbook_roundtrip" -> { (s, dir) =>
+      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val path = s"/tmp/graft_cache/xlsx_wb_$key/review.xlsx"
+      val permits = run(s, dir)._2
+      val pins = pinUniverse(s, dir)
+        .select(PinOps.zfill14(col("pin")).as("pin"))
+        .withColumn("pin_hyphenated", PinOps.hyphenate(col("pin")))
+      graft.sources.Xlsx.writeSheets(
+        Seq("Permits" -> permits, "Universe of Valid PINs" -> pins),
+        path
+      )
+      graft.sources.Xlsx.read(s, path, Some("Universe of Valid PINs"))
+    },
     "legacy_upload" -> { (s, dir) =>
       runLegacy(s, dir)._1.select(
         col("permit_no"), col("pin"), col("issue_date"), col("amount"),
@@ -590,6 +606,15 @@ object PipelineQ {
         """SELECT permit_no, pin, issue_date, amount, applicant, applicant_street_address,
                   suggested_pins, matched_keywords, errors
            FROM flagged WHERE errors <> ''"""),
+    "s6_workbook_roundtrip" ->
+      """SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
+                concat_ws('-',
+                  substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 1, 2),
+                  substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 3, 2),
+                  substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 5, 3),
+                  substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 8, 3),
+                  substr(lpad(CAST(c_custkey AS VARCHAR), 14, '0'), 11, 4)) AS pin_hyphenated
+         FROM customer""",
     "workbook_sheets" ->
       (chainSql +
         """SELECT 'Permits' AS sheet, permit_no, pin, issue_date, amount, applicant,

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** JDK-only XLSX codec (S4 scan / S6 sink). */
+class XlsxSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    s"/tmp/graft_cache/xlsx_spec/$name-${System.nanoTime()}.xlsx"
+
+  test("multi-sheet write → read roundtrip, named-sheet resolution") {
+    val a = Seq(("1", "alpha"), ("2", "beta & <gamma>")).toDF("id", "name")
+    val b = Seq(("x", "9"), ("y", null: String)).toDF("k", "v")
+    val path = tmp("rt")
+    Xlsx.writeSheets(Seq("First" -> a, "Second Sheet" -> b), path)
+    val gotA = Xlsx.read(spark, path, Some("First")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotA == Set(("1", "alpha"), ("2", "beta & <gamma>"))) // XML escaping survives
+    val gotB = Xlsx.read(spark, path, Some("Second Sheet")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotB == Set(("x", "9"), ("y", null))) // null -> blank cell -> null
+    // default = first sheet
+    assert(Xlsx.read(spark, path).columns.toSeq == Seq("id", "name"))
+  }
+
+  test("shared-string cells resolve through xl/sharedStrings.xml") {
+    // hand-built workbook using the shared-strings encoding (our writer uses
+    // inline strings, so this path needs its own fixture)
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    def part(n: String, b: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(b.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>hdr</t></si><si><t>hello</t></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val sheets = Xlsx.parseWorkbook(bos.toByteArray)
+    assert(sheets.length == 1)
+    val (name, header, rows) = sheets.head
+    // row 2 is wider than the header row: header padded (blank name), the
+    // numeric cell read as its raw <v> text
+    assert(name == "S" && header == Seq("hdr", ""))
+    assert(rows == Seq(Seq("hello", "42")))
+  }
+
+  test("sparse rows: skipped cells come back null at their column position") {
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    def part(n: String, b: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(b.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>""" +
+        """<row r="2"><c r="B2"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val (_, header, rows) = Xlsx.parseWorkbook(bos.toByteArray).head
+    assert(header == Seq("a", null, "c").map(h => if (h == null) "" else h))
+    assert(rows == Seq(Seq(null, "7", null)))
+  }
+
+  test("column reference math") {
+    assert(Xlsx.colRef(0) == "A" && Xlsx.colRef(25) == "Z" && Xlsx.colRef(26) == "AA")
+    assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25 && Xlsx.colIndex("BC12") == 54)
+    (0 until 200).foreach(i => assert(Xlsx.colIndex(Xlsx.colRef(i) + "1") == i))
+  }
+}
