@@ -67,7 +67,9 @@ object Dedup {
       (0 until 4).map(w => array_min(transform(hc, h => substring(h, w * 8 + 1, 8))))
     }: _*)
 
-  /** Staged signature pipeline: id + `sig` (array of k hex minima).
+  /** Staged signature pipeline: id + `sig` (array of k hex minima), with
+    * optional carried-through columns (e.g. an event-time column for the
+    * streaming variant).
     *
     * Each stage materializes its intermediate as a named attribute in its own
     * projection. CollapseProject refuses to merge projections whose producer
@@ -76,16 +78,24 @@ object Dedup {
     * per row — the naive single-expression form re-evaluates the split
     * 3×n×k times per row via lambda inlining (measured 150s → <2s at sf0.1).
     */
-  def minhashSignatures(df: DataFrame, idCol: Column, textCol: Column, n: Int, k: Int): DataFrame = {
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      k: Int,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
     require(k % 4 == 0, s"k must be a multiple of 4, got $k")
     val salts = 0 until k / 4
-    df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("words"))
-      .select(col("id"), gramsFromWords(col("words"), n).as("grams"))
+    val kept = carry.map(col)
+    df.select(idCol.as("id") +: kept :+ split(trim(textCol), "\\s+").as("words"): _*)
+      .select(col("id") +: kept :+ gramsFromWords(col("words"), n).as("grams"): _*)
       .select(
-        col("id") +:
+        (col("id") +: kept) ++
           salts.map(s => transform(col("grams"), g => saltedMd5(g, s)).as(s"hex$s")): _*
       )
-      .select(col("id"), sigFromHexes(salts.map(s => col(s"hex$s"))).as("sig"))
+      .select(col("id") +: kept :+ sigFromHexes(salts.map(s => col(s"hex$s"))).as("sig"): _*)
   }
 
   /** Distinct word n-grams from a pre-split `words` attribute (cheap lambda
@@ -283,6 +293,57 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Streaming twin of [[minhashLshPairs]]: near-dup CANDIDATE PAIRS over an
+    * event-time stream via a watermarked stream-stream self-join on the LSH
+    * band buckets. Each arriving doc maps to `bands` (band, band-hash) rows
+    * (stateless, map-side); the self-join keeps per-bucket state only inside
+    * the watermark horizon, so state is bounded by the horizon's arrival
+    * rate — the firehose-ingest shape of a training-data pipeline, where a
+    * doc only needs comparing against the recent window.
+    *
+    * Emits (id_lo, id_hi, band) with id_lo < id_hi; a pair colliding in
+    * several bands surfaces once per band (streaming global dedupe would
+    * need its own state — downstream exact verification is idempotent).
+    */
+  def streamingLshCandidates(
+      stream: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      tsCol: String,
+      watermark: String,
+      horizonSeconds: Long,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val banded = minhashSignatures(stream, idCol, textCol, n, k, carry = Seq(tsCol))
+      .select(
+        col("id"),
+        col(tsCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "|"))
+          )
+        ).as(Seq("band", "bh"))
+      )
+      .withWatermark(tsCol, watermark)
+    val lo = banded.select(col("band"), col("bh"), col("id").as("id_lo"), col(tsCol).as("ts_lo"))
+    val hi = banded.select(col("band"), col("bh"), col("id").as("id_hi"), col(tsCol).as("ts_hi"))
+    lo.join(
+        hi,
+        lo("band") === hi("band") && lo("bh") === hi("bh") &&
+          col("id_lo") < col("id_hi") &&
+          col("ts_hi").between(
+            col("ts_lo") - expr(s"INTERVAL $horizonSeconds SECONDS"),
+            col("ts_lo") + expr(s"INTERVAL $horizonSeconds SECONDS")
+          )
+      )
+      .select(col("id_lo"), col("id_hi"), lo("band").as("band"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the vectors (see
     * [[Similarity.srpBucket]]), generate candidate pairs within each bucket

@@ -126,6 +126,31 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((30001L, 30002L)), s"hot identical-vector bucket quarantined, got $pairs")
   }
 
+  test("streamingLshCandidates: near-dup pairs emerge from the watermarked band self-join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val cands = Dedup.streamingLshCandidates(
+      stream, $"doc_id", $"text", "ts", watermark = "10 minutes", horizonSeconds = 3600)
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", ts("2024-01-01 10:00:00")),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today", ts("2024-01-01 10:05:00")),
+      (3L, "completely different content about spark catalyst optimizer internals", ts("2024-01-01 10:06:00"))
+    )
+    val q = cands.writeStream
+      .format("memory").queryName("lsh_cand_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lsh_cand_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    assert(pairs == Set((1L, 2L)), s"exact dup within horizon must pair, unrelated must not: $pairs")
+  }
+
   test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
     val df = Seq("a b c d", "a b").toDF("t")
     val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))
