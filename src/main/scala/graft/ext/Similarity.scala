@@ -44,13 +44,20 @@ object Similarity {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms are staged once PER SIDE before the join — cosine() inside the
+    // join condition would recompute the query norm N times and each
+    // candidate norm Q times (values identical: exact integer math)
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
+      queries
+        .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
+        .withColumn("q_nrm", norm(col("q_vec")))
     )
-    val c = corpus.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
+    val c = corpus
+      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec")))
     val scored = c
       .join(q, col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -116,14 +123,18 @@ object Similarity {
 
     val c = corpus
       .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec")))
       .withColumn("__d", distances(col("c_vec")))
       .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
       .drop("__d")
 
-    // query side: nprobe nearest cells via sorting (distance, idx) structs
+    // query side: nprobe nearest cells via sorting (distance, idx) structs;
+    // the query norm is staged BEFORE the probe explode (once per query,
+    // not once per probed cell or candidate pair)
     val q = broadcast(
       queries
         .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
+        .withColumn("q_nrm", norm(col("q_vec")))
         .withColumn("__d", distances(col("q_vec")))
         .withColumn(
           "cell",
@@ -147,7 +158,7 @@ object Similarity {
     c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates(Seq("query_id", "cand_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
@@ -222,22 +233,27 @@ object Similarity {
     // vectors are integer-quantized for ranking: the dot/norm sums are then
     // exact integer math (associative), so the reported sim is reproducible
     // by any engine regardless of its summation order
-    val c = corpus.select(
-      col(idCol).as("cand_id"),
-      quantize(col(vecCol)).as("c_vec"),
-      srpBucket(col(vecCol), dim, planes).as("bucket")
-    )
-    val q0 = queries.select(
-      col(idCol).as("query_id"),
-      quantize(col(vecCol)).as("q_vec"),
-      srpBucket(col(vecCol), dim, planes).as("bucket")
-    )
+    val c = corpus
+      .select(
+        col(idCol).as("cand_id"),
+        quantize(col(vecCol)).as("c_vec"),
+        srpBucket(col(vecCol), dim, planes).as("bucket")
+      )
+      .withColumn("c_nrm", norm(col("c_vec")))
+    val q0 = queries
+      .select(
+        col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("q_vec"),
+        srpBucket(col(vecCol), dim, planes).as("bucket")
+      )
+      .withColumn("q_nrm", norm(col("q_vec")))
     val probed =
       if (!multiProbe) q0
       else
         q0.select(
           col("query_id"),
           col("q_vec"),
+          col("q_nrm"),
           explode(
             array_distinct(
               array(
@@ -253,7 +269,7 @@ object Similarity {
       .filter(col("query_id") =!= col("cand_id"))
       // a candidate can surface via several probed buckets — rank each once
       .dropDuplicates(Seq("query_id", "cand_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -69,17 +69,24 @@ object Extensions {
     // ---- similarity search ----------------------------------------------
     "ann_cosine_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+      // self-dots staged per SIDE (computing them in the sim expression
+      // would redo the query one N times and each candidate one Q times);
+      // sim keeps the sqrt(naa*ncc) structure the oracle uses — it is NOT
+      // bit-identical to sqrt(naa)*sqrt(ncc)
       val q = broadcast(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), qz(col("embedding")).as("qv"))
+          .withColumn("naa", ldot(col("qv"), col("qv")))
       )
-      val c = e.select(col("vec_id").as("cand_id"), qz(col("embedding")).as("cv"))
+      val c = e
+        .select(col("vec_id").as("cand_id"), qz(col("embedding")).as("cv"))
+        .withColumn("ncc", ldot(col("cv"), col("cv")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
       c.join(q, col("query_id") =!= col("cand_id"))
         .withColumn(
           "sim",
           ldot(col("qv"), col("cv")).cast("double") /
-            sqrt(ldot(col("qv"), col("qv")).cast("double") * ldot(col("cv"), col("cv")).cast("double"))
+            sqrt(col("naa").cast("double") * col("ncc").cast("double"))
         )
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
