@@ -220,6 +220,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucket)
 
+  /** Cluster resolution over near-dup candidate pairs — the final stage of
+    * a production dedup: group pairs into connected components and elect the
+    * minimum id as each component's canonical document.
+    *
+    * Iterative min-label propagation on DataFrames: every node starts
+    * labeled with itself; each round takes the min of its own and its
+    * neighbors' labels; fixpoint when no label changes. Converges within
+    * the component diameter — LSH candidate clusters are near-cliques, so
+    * 2–3 rounds in practice; `maxIter` bounds adversarial chains. This is
+    * the one deliberately ITERATIVE operator in the engine (GraphX's cc
+    * without the GraphX dependency): a driver loop of joins with
+    * `localCheckpoint` per round to cut lineage — each round is one
+    * self-contained shuffle stage, the classic Spark iterative shape.
+    *
+    * @param pairs (id_lo, id_hi) undirected candidate pairs
+    * @return (doc_id, canonical_id) for every id appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_lo").as("a"), col("id_hi").as("b"))
+    val sym = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym
+      .select(col("a").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(
+          col("id"),
+          col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next")
+        )
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** 32-bit SimHash over word tokens. Bit i of the fingerprint is the sign
     * of the sum over tokens of ±1, where the vote is bit (i mod 4) of hex
     * digit (i div 4) of md5(token). Pure per-row array algebra: fingerprints

@@ -55,6 +55,36 @@ object Extensions {
         .filter(col("jac_raw") >= 0.7)
         .select(col("id_lo"), col("id_hi"), round(col("jac_raw"), 6).as("jac"))
     },
+    // cluster resolution: LSH candidates -> connected components -> one
+    // canonical doc per near-dup cluster (the production dedup tail)
+    "dedup_clusters" -> { (s, dir) =>
+      val cands = Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      Dedup.connectedComponents(cands)
+    },
+    // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
+    // so the LIMIT boundary is deterministic in any engine)
+    "text_vocab_topk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+    // composed training-data quality gate: language + quality score +
+    // token-count bounds in ONE scan (all Column-level ops, no joins)
+    "corpus_filter" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.langId(col("text")).as("lang"),
+          TextStats.qualityScore(col("text")).as("score"),
+          TextStats.tokenCount(col("text")).as("n_tokens")
+        )
+        .filter(col("lang") === "en" && col("score") >= 0.5 &&
+          col("n_tokens").between(5, 1000))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -322,6 +352,64 @@ object Extensions {
         JOIN g gb ON gb.doc_id = id_hi
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    "dedup_clusters" ->
+      (gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        ), cands AS (
+          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_lo AS a, id_hi AS b FROM cands
+          UNION
+          SELECT id_hi, id_lo FROM cands
+        ), reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+          UNION
+          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        )
+        SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),
+    "text_vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+    "corpus_filter" ->
+      s"""WITH base AS (
+            SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p,
+              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+            FROM documents
+          ), sc AS (
+            SELECT *, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM base
+          ), b AS (
+            SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc
+          ), scored AS (
+            SELECT doc_id,
+              CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+                   ELSE 'und' END AS lang,
+              round(CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END * 0.4 +
+                    least(CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2.0, 1.0) * 0.4 +
+                    CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM b
+          )
+          SELECT doc_id, lang, score, n_tokens FROM scored
+          WHERE lang = 'en' AND score >= 0.5 AND n_tokens BETWEEN 5 AND 1000""",
     "ngram_jaccard" ->
       (gramsCte + """
         SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,

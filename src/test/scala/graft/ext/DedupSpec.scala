@@ -151,6 +151,18 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)), s"exact dup within horizon must pair, unrelated must not: $pairs")
   }
 
+  test("connectedComponents: chains resolve to the min id across >1 hop") {
+    // 5-4, 4-3, 3-2, 2-1 is a diameter-4 chain: min-label propagation needs
+    // several rounds, not just one neighbor lookup
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_lo", "id_hi")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(out(_) == 1L), s"chain must collapse to 1: $out")
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out.size == 7)
+  }
+
   test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
     val df = Seq("a b c d", "a b").toDF("t")
     val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))
