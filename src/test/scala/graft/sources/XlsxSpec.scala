@@ -76,6 +76,19 @@ class XlsxSpec extends SparkSpecBase {
     assert(rows == Seq(Seq(null, "7", null)))
   }
 
+  test("many workbooks scan as one DataFrame via glob (one task per file)") {
+    val dir = s"/tmp/graft_cache/xlsx_spec/multi-${System.nanoTime()}"
+    (1 to 3).foreach { i =>
+      val df = Seq((s"$i", s"wb$i")).toDF("id", "src")
+      Xlsx.writeSheets(Seq("Data" -> df), s"$dir/wb$i.xlsx")
+    }
+    val got = Xlsx.read(spark, s"$dir/*.xlsx", Some("Data"))
+    assert(got.columns.toSeq == Seq("id", "src"))
+    assert(got.collect().map(_.getString(1)).sorted.toSeq == Seq("wb1", "wb2", "wb3"))
+    // the scan parallelizes per FILE: 3 files -> 3 input partitions
+    assert(got.rdd.getNumPartitions >= 3)
+  }
+
   test("column reference math") {
     assert(Xlsx.colRef(0) == "A" && Xlsx.colRef(25) == "Z" && Xlsx.colRef(26) == "AA")
     assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25 && Xlsx.colIndex("BC12") == 54)
