@@ -153,9 +153,14 @@ object Dedup {
     // pin the shuffle on the bucket key BEFORE self-joining: both sides then
     // canonicalize to the same exchange and ReusedExchange materializes the
     // signature computation exactly once (without this, the planner broadcasts
-    // one side at small stats and computes every signature twice)
-    val banded = capBuckets(bandedIds(df, idCol, textCol, n, k, bands), Seq("band", "bh"), maxBucket)
-      .repartition(col("band"), col("bh"))
+    // one side at small stats and computes every signature twice). The
+    // repartition comes BEFORE the cap window so the window's clustering
+    // requirement is already satisfied — one exchange total, not two.
+    val banded = capBuckets(
+      bandedIds(df, idCol, textCol, n, k, bands).repartition(col("band"), col("bh")),
+      Seq("band", "bh"),
+      maxBucket
+    )
     val lo = banded.select(col("band"), col("bh"), col("id").as("id_lo"))
     val hi = banded.select(col("band"), col("bh"), col("id").as("id_hi"))
     lo.join(hi, Seq("band", "bh"))
@@ -424,13 +429,15 @@ object Dedup {
     // engine-reproducible (see Similarity.quantize).
     val bucketed = capBuckets(
       df.select(
-        idCol.as("id"),
-        Similarity.quantize(vecCol).as("vec"),
-        Similarity.srpBucket(vecCol, dim, planes).as("bucket")
-      ).select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm")),
+          idCol.as("id"),
+          Similarity.quantize(vecCol).as("vec"),
+          Similarity.srpBucket(vecCol, dim, planes).as("bucket")
+        )
+        .select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm"))
+        .repartition(col("bucket")),
       Seq("bucket"),
       maxBucket
-    ).repartition(col("bucket"))
+    )
     val lo = bucketed.select(col("bucket"), col("id").as("id_lo"),
       col("vec").as("vec_lo"), col("nrm").as("nrm_lo"))
     val hi = bucketed.select(col("bucket"), col("id").as("id_hi"),
