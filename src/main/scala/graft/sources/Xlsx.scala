@@ -40,7 +40,7 @@ object Xlsx {
     * (t="inlineStr"), formula-string (t="str"), and raw numeric/plain <v>.
     * Missing cells inside a row are null; rows are padded to header width.
     */
-  private[sources] def parseWorkbook(bytes: Array[Byte]): Seq[(String, Seq[String], Seq[Seq[String]])] = {
+  private[graft] def parseWorkbook(bytes: Array[Byte]): Seq[(String, Seq[String], Seq[Seq[String]])] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
     val sheetTargets = sheetNameToTarget(parts)
@@ -188,7 +188,7 @@ object Xlsx {
   }
 
   /** "BC12" -> 0-based column index 54. */
-  private[sources] def colIndex(ref: String): Int = {
+  private[graft] def colIndex(ref: String): Int = {
     var i = 0
     var acc = 0
     while (i < ref.length && ref.charAt(i).isLetter) {
@@ -263,7 +263,7 @@ object Xlsx {
     * workbook rels, one sheet part per sheet. Inline strings only (no
     * sharedStrings part needed); no styles (formatting is out of scope).
     */
-  private[sources] def buildWorkbook(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
+  private[graft] def buildWorkbook(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val zip = new ZipOutputStream(bos)
     def part(name: String, body: String): Unit = {
@@ -332,7 +332,7 @@ object Xlsx {
   }
 
   /** 0-based column index -> "A", "Z", "AA", ... */
-  private[sources] def colRef(idx: Int): String = {
+  private[graft] def colRef(idx: Int): String = {
     var i = idx + 1
     val sb = new StringBuilder
     while (i > 0) {
@@ -343,12 +343,17 @@ object Xlsx {
     sb.toString
   }
 
+  /** XML-escape; control characters below 0x20 (except tab/LF/CR) are
+    * illegal in XML 1.0 even as numeric references, so they are dropped —
+    * the same lossy mapping every spreadsheet writer applies.
+    */
   private def escape(s: String): String =
     s.flatMap {
       case '&'  => "&amp;"
       case '<'  => "&lt;"
       case '>'  => "&gt;"
       case '"'  => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
       case c    => c.toString
     }
 }
