@@ -128,14 +128,23 @@ object PipelineQ {
       when(col("o_orderkey") % 3 === 0, PinOps.hyphenate(pin14)).as("PIN2"),
       when(col("o_orderkey") % 17 === 0, lit("00000000000000")).as("PIN3")
     )
-    val crosswalk = t(s, dir, "customer")
+    // the crosswalk workbook carries (meta_pin, year, tab, original_pin);
+    // each year's script filters its own year and projects the two pin
+    // columns before remapping (format_legacy_2022.R:8-14) — only the
+    // probed year's parcels get remapped
+    val crosswalkFull = t(s, dir, "customer")
       .filter(col("c_custkey") % 10 === 0)
       .select(
-        lpad(col("c_custkey").cast("string"), 14, "0").as("original_pin"),
-        lpad((col("c_custkey") + 500000).cast("string"), 14, "0").as("meta_pin")
+        lpad((col("c_custkey") + 500000).cast("string"), 14, "0").as("meta_pin"),
+        when(col("c_custkey") % 20 === 0, lit("2022")).otherwise(lit("2023")).as("year"),
+        lit("need_worked").as("tab"),
+        lpad(col("c_custkey").cast("string"), 14, "0").as("original_pin")
       )
+    val crosswalk = crosswalkFull
+      .filter(col("year") === "2022")
+      .select(col("original_pin"), col("meta_pin"))
     val universe = t(s, dir, "customer").select(
-      when(col("c_custkey") % 10 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
+      when(col("c_custkey") % 20 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
         .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
         .as("pin")
     )
@@ -253,7 +262,7 @@ object PipelineQ {
       val up = runLegacy(s, dir)._1
       val baseUni = t(s, dir, "customer")
         .select(
-          when(col("c_custkey") % 10 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
+          when(col("c_custkey") % 20 === 0, lpad((col("c_custkey") + 500000).cast("string"), 14, "0"))
             .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
             .as("pin")
         )
@@ -457,10 +466,15 @@ object PipelineQ {
              ELSE replace(pin, '-', '') END AS pin,
         strftime(DATE '1899-12-30' + date_serial, '%Y-%m-%d') AS issue_date
       FROM longu
-    ), cw AS (
-      SELECT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS original_pin,
-             lpad(CAST(c_custkey + 500000 AS VARCHAR), 14, '0') AS meta_pin
+    ), cw0 AS (
+      -- the crosswalk workbook shape: (meta_pin, year, tab, original_pin)
+      SELECT lpad(CAST(c_custkey + 500000 AS VARCHAR), 14, '0') AS meta_pin,
+             CASE WHEN c_custkey % 20 = 0 THEN '2022' ELSE '2023' END AS cw_year,
+             lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS original_pin
       FROM customer WHERE c_custkey % 10 = 0
+    ), cw AS (
+      -- per-year prep (format_legacy_2022.R:8-14): filter + project
+      SELECT original_pin, meta_pin FROM cw0 WHERE cw_year = '2022'
     ), remap AS (
       SELECT permit_no, coalesce(meta_pin, pin) AS pin, issue_date, address,
              coalesce(reinstated_note, notes) AS notes, applicant, amount
@@ -474,7 +488,7 @@ object PipelineQ {
             FROM filt)
       WHERE rn = 1
     ), uni AS (
-      SELECT DISTINCT CASE WHEN c_custkey % 10 = 0
+      SELECT DISTINCT CASE WHEN c_custkey % 20 = 0
                            THEN lpad(CAST(c_custkey + 500000 AS VARCHAR), 14, '0')
                            ELSE lpad(CAST(c_custkey AS VARCHAR), 14, '0') END AS u_pin
       FROM customer

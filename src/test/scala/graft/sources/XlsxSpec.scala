@@ -89,6 +89,25 @@ class XlsxSpec extends SparkSpecBase {
     assert(got.rdd.getNumPartitions >= 3)
   }
 
+  test("reads the reference's real production crosswalk workbook") {
+    // produced by Excel/openxlsx, not our own writer — validates the codec
+    // against shared-string encoding and real-world part layout
+    val p = "/root/reference/chicago/legacy_permits/crosswalk.xlsx"
+    assume(new java.io.File(p).exists())
+    val df = Xlsx.read(spark, p)
+    assert(df.columns.toSeq == Seq("meta_pin", "year", "tab", "original_pin"))
+    val rows = df.collect()
+    assert(rows.length == 49)
+    // a real reviewer artifact: mostly 14-digit pin pairs, plus a zero row
+    // and free-text annotation rows at the tail — all read faithfully
+    val pinRows = rows.filter(r =>
+      r.getString(0) != null && r.getString(0).matches("\\d{14}"))
+    assert(pinRows.length >= 45)
+    assert(pinRows.forall(_.getString(3).matches("\\d{14}")))
+    assert(pinRows.map(_.getString(1)).toSet.subsetOf(Set("2021", "2022", "2023")))
+    assert(rows.exists(r => r.getString(0) != null && r.getString(0).contains("Green font")))
+  }
+
   test("column reference math") {
     assert(Xlsx.colRef(0) == "A" && Xlsx.colRef(25) == "Z" && Xlsx.colRef(26) == "AA")
     assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25 && Xlsx.colIndex("BC12") == 54)
