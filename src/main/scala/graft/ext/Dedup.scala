@@ -229,12 +229,14 @@ object Dedup {
     * a production dedup: group pairs into connected components and elect the
     * minimum id as each component's canonical document.
     *
-    * Iterative min-label propagation on DataFrames: every node starts
-    * labeled with itself; each round takes the min of its own and its
-    * neighbors' labels; fixpoint when no label changes. Converges within
-    * the component diameter — LSH candidate clusters are near-cliques, so
-    * 2–3 rounds in practice; `maxIter` bounds adversarial chains. This is
-    * the one deliberately ITERATIVE operator in the engine (GraphX's cc
+    * Iterative min-label propagation WITH edge contraction on DataFrames:
+    * every node starts labeled with itself; each round takes the min of its
+    * own and its neighbors' labels, then REWRITES the edge list through the
+    * new labels (an edge (a,b) becomes (label(a), label(b))). Contraction
+    * shrinks component diameter geometrically, so convergence is
+    * O(log diameter) rounds — a pathological 10⁶-doc boilerplate CHAIN
+    * resolves in ~20 rounds, where plain propagation would need 10⁶. This
+    * is the one deliberately ITERATIVE operator in the engine (GraphX's cc
     * without the GraphX dependency): a driver loop of joins with
     * `localCheckpoint` per round to cut lineage — each round is one
     * self-contained shuffle stage, the classic Spark iterative shape.
@@ -242,13 +244,16 @@ object Dedup {
     * @param pairs (id_lo, id_hi) undirected candidate pairs
     * @return (doc_id, canonical_id) for every id appearing in `pairs`
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_lo").as("a"), col("id_hi").as("b"))
-    val sym = edges
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("id_lo").as("a"), col("id_hi").as("b"))
+    var edges = e0
+      .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var labels = sym
+    // labels over the ORIGINAL node set (contraction rewrites edges to run
+    // between component representatives, so they leave the node set)
+    var labels = edges
       .select(col("a").as("id"))
       .distinct()
       .withColumn("label", col("id"))
@@ -256,20 +261,50 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbrMin = sym
-        .join(labels, sym("b") === labels("id"))
-        .groupBy(sym("a").as("nid"))
-        .agg(min(col("label")).as("nbr_min"))
-      val updated = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      // (1) edge step on the contracted graph: each representative adopts
+      // the min of itself and its neighbors
+      val repNext = edges
+        .groupBy(col("a").as("nid"))
+        .agg(min(col("b")).as("nbr_min"))
+        .select(col("nid"), least(col("nid"), col("nbr_min")).as("rep_next"))
+      val stepped = labels
+        .join(repNext, labels("label") === repNext("nid"), "left")
         .select(
           col("id"),
-          col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next")
+          least(col("label"), coalesce(col("rep_next"), col("label"))).as("l1")
+        )
+      // (2) pointer jump: follow the new label to ITS new label — without
+      // this a doc can point at a node whose own label already moved on
+      // (labels only decrease, so the jump target is always <=)
+      val jumpTo = stepped.select(col("id").as("jid"), col("l1").as("jlab"))
+      val updated = stepped
+        .join(jumpTo, stepped("l1") === jumpTo("jid"), "left")
+        .select(
+          col("id"),
+          col("l1"),
+          least(col("l1"), coalesce(col("jlab"), col("l1"))).as("next")
         )
         .localCheckpoint()
-      changed = updated.filter(col("next") < col("label")).count()
+      changed = updated
+        .join(labels.select(col("id").as("pid"), col("label").as("prev")), col("id") === col("pid"))
+        .filter(col("next") < col("prev"))
+        .count()
       labels = updated.select(col("id"), col("next").as("label"))
+      // (3) contract: rewrite edges through the new labels, drop self-loops
+      // — component diameter shrinks geometrically, so adversarial chains
+      // converge in O(log n) rounds, not O(n)
+      if (changed > 0) {
+        val lab = labels
+        val ea = edges
+          .join(lab, edges("a") === lab("id"))
+          .select(col("label").as("a2"), col("b"))
+        edges = ea
+          .join(lab, ea("b") === lab("id"))
+          .select(col("a2").as("a"), col("label").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+          .localCheckpoint()
+      }
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))

@@ -163,6 +163,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out.size == 7)
   }
 
+  test("connectedComponents: a diameter-200 chain converges within the log-round budget") {
+    // contraction + pointer jumping converge in O(log diameter) rounds —
+    // plain propagation would need 200 rounds and silently stop at maxIter
+    val pairs = spark.range(1, 200)
+      .select($"id".as("id_lo"), ($"id" + 1).as("id_hi"))
+    val out = Dedup.connectedComponents(pairs, maxIter = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 200)
+    assert(out.forall(_._2 == 1L), "every chain member must resolve to id 1")
+  }
+
   test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
     val df = Seq("a b c d", "a b").toDF("t")
     val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))
