@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.streaming.Sessionize
 
 /** LLM-training-data pipeline queries (north-star extensions, SURVEY.md
@@ -71,6 +71,14 @@ object Extensions {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)
+    },
+    // corpus rebalancing: deterministic hash-gated downsampling of the
+    // dominant language stratum (reproducible across retries, unlike rand())
+    "corpus_sample_stratified" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
+      Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5), defaultRate = 1.0)
     },
     // composed training-data quality gate: language + quality score +
     // token-count bounds in ONE scan (all Column-level ops, no joins)
@@ -381,6 +389,18 @@ object Extensions {
           SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
         )
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),
+    "corpus_sample_stratified" ->
+      s"""WITH p AS (SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p FROM documents),
+          sc AS (SELECT doc_id, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM p),
+          b AS (SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc),
+          lng AS (
+            SELECT doc_id,
+              CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+                   ELSE 'und' END AS lang
+            FROM b)
+          SELECT doc_id, lang FROM lng
+          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+                < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END""",
     "text_vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t
