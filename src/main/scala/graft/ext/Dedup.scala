@@ -271,6 +271,7 @@ object Dedup {
         .join(repNext, labels("label") === repNext("nid"), "left")
         .select(
           col("id"),
+          col("label").as("prev"),
           least(col("label"), coalesce(col("rep_next"), col("label"))).as("l1")
         )
       // (2) pointer jump: follow the new label to ITS new label — without
@@ -281,14 +282,11 @@ object Dedup {
         .join(jumpTo, stepped("l1") === jumpTo("jid"), "left")
         .select(
           col("id"),
-          col("l1"),
+          col("prev"),
           least(col("l1"), coalesce(col("jlab"), col("l1"))).as("next")
         )
         .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("id").as("pid"), col("label").as("prev")), col("id") === col("pid"))
-        .filter(col("next") < col("prev"))
-        .count()
+      changed = updated.filter(col("next") < col("prev")).count()
       labels = updated.select(col("id"), col("next").as("label"))
       // (3) contract: rewrite edges through the new labels, drop self-loops
       // — component diameter shrinks geometrically, so adversarial chains
