@@ -36,10 +36,7 @@ object Curation {
       defaultRate: Double = 1.0
   ): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
-    val gate = pmod(
-      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(1000L)
-    )
+    val gate = graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000L)
     val rateCol = rates.foldLeft(lit(math.round(defaultRate * 1000)): Column) {
       case (acc, (k, v)) => when(stratumCol === k, lit(math.round(v * 1000))).otherwise(acc)
     }

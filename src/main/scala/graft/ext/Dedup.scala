@@ -210,6 +210,9 @@ object Dedup {
   /** The quarantine side of [[minhashLshPairs]]' cap: (band, bh, n_members)
     * for every bucket whose membership exceeds `maxBucket` — the boilerplate
     * clusters excluded from pair generation, surfaced for upstream handling.
+    * `maxBucket` must be the positive cap actually used for pairing (0
+    * means "no cap" there, under which nothing is quarantined — asking for
+    * the quarantine of an uncapped run is a caller error, not "everything").
     */
   def oversizedBuckets(
       df: DataFrame,
@@ -218,12 +221,14 @@ object Dedup {
       n: Int = 3,
       k: Int = 8,
       bands: Int = 4,
-      maxBucket: Int = 0
-  ): DataFrame =
+      maxBucket: Int
+  ): DataFrame = {
+    require(maxBucket > 0, "oversizedBuckets needs the positive cap used for pairing")
     bandedIds(df, idCol, textCol, n, k, bands)
       .groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucket)
+  }
 
   /** Cluster resolution over near-dup candidate pairs — the final stage of
     * a production dedup: group pairs into connected components and elect the
@@ -287,6 +292,9 @@ object Dedup {
         )
         .localCheckpoint()
       changed = updated.filter(col("next") < col("prev")).count()
+      // the new round's frames are eagerly materialized — release the
+      // previous round's checkpoint blocks so storage stays 2×, not rounds×
+      freeCheckpoint(labels)
       labels = updated.select(col("id"), col("next").as("label"))
       // (3) contract: rewrite edges through the new labels, drop self-loops
       // — component diameter shrinks geometrically, so adversarial chains
@@ -296,17 +304,28 @@ object Dedup {
         val ea = edges
           .join(lab, edges("a") === lab("id"))
           .select(col("label").as("a2"), col("b"))
-        edges = ea
+        val nextEdges = ea
           .join(lab, ea("b") === lab("id"))
           .select(col("a2").as("a"), col("label").as("b"))
           .filter(col("a") =!= col("b"))
           .distinct()
           .localCheckpoint()
+        freeCheckpoint(edges)
+        edges = nextEdges
       }
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  /** Release a localCheckpoint'ed frame's persisted blocks. The blocks are
+    * RDD-level persists (not CacheManager entries), so `Dataset.unpersist`
+    * cannot reach them — the handle is the LogicalRDD node's rdd.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+      .foreach(_.unpersist(blocking = false))
 
   /** 32-bit SimHash over word tokens. Bit i of the fingerprint is the sign
     * of the sum over tokens of ±1, where the vote is bit (i mod 4) of hex
@@ -459,14 +478,16 @@ object Dedup {
     // explicit bucket-key repartition: the self-join sides canonicalize to
     // one exchange, so SRP hashing + norms run once (see minhashLshPairs).
     // Vectors are integer-quantized so the sim math is exact and
-    // engine-reproducible (see Similarity.quantize).
+    // engine-reproducible; the quantized copy is staged as an attribute so
+    // bucket + norm share one transform per row (see Similarity.srpBucketQ).
     val bucketed = capBuckets(
-      df.select(
-          idCol.as("id"),
-          Similarity.quantize(vecCol).as("vec"),
-          Similarity.srpBucket(vecCol, dim, planes).as("bucket")
+      df.select(idCol.as("id"), Similarity.quantize(vecCol).as("vec"))
+        .select(
+          col("id"),
+          col("vec"),
+          Similarity.srpBucketQ(col("vec"), dim, planes).as("bucket"),
+          Similarity.norm(col("vec")).as("nrm")
         )
-        .select(col("id"), col("vec"), col("bucket"), Similarity.norm(col("vec")).as("nrm"))
         .repartition(col("bucket")),
       Seq("bucket"),
       maxBucket

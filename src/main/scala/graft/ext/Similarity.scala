@@ -193,13 +193,21 @@ object Similarity {
     * from [[srpCoefficients]]). The vector is integer-quantized before
     * projecting, so the whole projection is exact integer math —
     * reproducible with no stored model.
+    *
+    * NOTE: this convenience form embeds the quantize transform in every
+    * plane's subtree (planes× re-evaluation per row once inlined). Callers
+    * that already stage a quantized copy of the vector as its own column —
+    * all the ops in this module do — should pass it to [[srpBucketQ]].
     */
-  def srpBucket(vecCol: Column, dim: Int, planes: Int): Column = {
-    val q = quantize(vecCol)
+  def srpBucket(vecCol: Column, dim: Int, planes: Int): Column =
+    srpBucketQ(quantize(vecCol), dim, planes)
+
+  /** [[srpBucket]] over an ALREADY-quantized vector attribute. */
+  def srpBucketQ(qVec: Column, dim: Int, planes: Int): Column = {
     val coeffs = srpCoefficients(dim, planes)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(q, typedLit(coeffs(p)), (x, c) => x * c),
+        zip_with(qVec, typedLit(coeffs(p)), (x, c) => x * c),
         lit(0L),
         (acc, v) => acc + v
       )
@@ -233,20 +241,24 @@ object Similarity {
     // vectors are integer-quantized for ranking: the dot/norm sums are then
     // exact integer math (associative), so the reported sim is reproducible
     // by any engine regardless of its summation order
+    // quantize staged as an attribute FIRST: bucket + norm both read it, so
+    // the transform runs once per row instead of once per plane (+1)
     val c = corpus
+      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
       .select(
-        col(idCol).as("cand_id"),
-        quantize(col(vecCol)).as("c_vec"),
-        srpBucket(col(vecCol), dim, planes).as("bucket")
+        col("cand_id"),
+        col("c_vec"),
+        srpBucketQ(col("c_vec"), dim, planes).as("bucket"),
+        norm(col("c_vec")).as("c_nrm")
       )
-      .withColumn("c_nrm", norm(col("c_vec")))
     val q0 = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
       .select(
-        col(idCol).as("query_id"),
-        quantize(col(vecCol)).as("q_vec"),
-        srpBucket(col(vecCol), dim, planes).as("bucket")
+        col("query_id"),
+        col("q_vec"),
+        srpBucketQ(col("q_vec"), dim, planes).as("bucket"),
+        norm(col("q_vec")).as("q_nrm")
       )
-      .withColumn("q_nrm", norm(col("q_vec")))
     val probed =
       if (!multiProbe) q0
       else

@@ -160,10 +160,7 @@ object ReshapeOps {
       bucketCol: String,
       lineCol: String
   ): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat_ws("\u0001", keys: _*)), 1, 8), 16, 10).cast("long"),
-      lit(nBuckets.toLong)
-    )
+    val bucket = Hashing.md5Mod(concat_ws("\u0001", keys: _*), nBuckets.toLong)
     df.withColumn(bucketCol, bucket)
       .withColumn(
         lineCol,

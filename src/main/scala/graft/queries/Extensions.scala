@@ -18,11 +18,10 @@ object Extensions {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** floor(x*1000+0.5) int quantization — deterministic and identical in
-    * any engine, unlike round() tie modes.
+  /** The module-wide quantization (see [[Similarity.quantize]]) — one
+    * definition so the oracles cannot drift from the engine.
     */
-  private def qz(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+  private def qz(v: Column): Column = Similarity.quantize(v)
 
   private def ldot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

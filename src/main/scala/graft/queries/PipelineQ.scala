@@ -87,17 +87,30 @@ object PipelineQ {
     * stable codegen path every sink already uses. Keyed by session identity
     * so a stopped test session's spills are never reused.
     */
+  // weak session keys (identity equality): a stopped session's memo map is
+  // GC-evicted with the session, so no frame bound to a dead session can
+  // ever be returned and nothing leaks across the JVM lifetime
   private val flaggedMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  private def memoDisk(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    flaggedMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$key", { k =>
-        val path = "/tmp/graft_cache/memo_" + k.replaceAll("[^0-9a-zA-Z]", "_")
+  private def memoDisk(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = flaggedMemo.synchronized {
+      var m = flaggedMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        flaggedMemo.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(
+      key, { k =>
+        val path = "/tmp/graft_cache/memo_" +
+          s"${System.identityHashCode(s)}_$k".replaceAll("[^0-9a-zA-Z]", "_")
         build.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       }
     )
+  }
 
   private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame =
     memoDisk(s, s"chain|$dir|$dedupe") {

@@ -118,6 +118,7 @@ object Xlsx {
     val r = newReader(bytes)
     val out = Vector.newBuilder[String]
     var inSi = false
+    var inRPh = false // phonetic (furigana) runs are annotations, not value
     val sb = new StringBuilder
     while (r.hasNext) {
       r.next() match {
@@ -125,7 +126,11 @@ object Xlsx {
           inSi = true; sb.clear()
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
           inSi = false; out += sb.toString
-        case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "t" =>
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" =>
+          inRPh = true
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" =>
+          inRPh = false
+        case XMLStreamConstants.START_ELEMENT if inSi && !inRPh && r.getLocalName == "t" =>
           sb.append(r.getElementText) // getElementText advances past </t>
         case _ => ()
       }
@@ -141,7 +146,9 @@ object Xlsx {
     var cellCol = -1
     var cellType = ""
     var inIs = false
+    var inRPh = false
     val text = new StringBuilder
+    val isBuf = new StringBuilder // inline strings may span several rich-text <t> runs
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -151,19 +158,22 @@ object Xlsx {
               val ref = Option(r.getAttributeValue(null, "r"))
               cellCol = ref.map(colIndex).getOrElse(cells.length)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-            case "is" => inIs = true
+            case "is"  => inIs = true; isBuf.clear()
+            case "rPh" => inRPh = true
             case "v" if cells != null =>
               text.clear(); text.append(r.getElementText)
               putCell(cells, cellCol, decode(text.toString, cellType, shared))
-            case "t" if inIs && cells != null =>
-              text.clear(); text.append(r.getElementText)
-              putCell(cells, cellCol, text.toString)
+            case "t" if inIs && !inRPh && cells != null =>
+              isBuf.append(r.getElementText)
             case _ => ()
           }
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "row" => rows += cells.toSeq; cells = null
-            case "is"  => inIs = false
+            case "is" =>
+              inIs = false
+              if (cells != null) putCell(cells, cellCol, isBuf.toString)
+            case "rPh" => inRPh = false
             case _     => ()
           }
         case _ => ()
@@ -206,29 +216,40 @@ object Xlsx {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes))
   }
 
-  /** Scan every workbook under `path` (glob ok) as one DataFrame: header row
-    * of `sheet` (default: each workbook's first sheet) becomes the all-string
-    * schema, one task per workbook file via the binaryFile source — many
-    * workbooks parse in parallel across executors.
+  /** Scan every workbook under `path` (glob ok) as one DataFrame: the
+    * header row of `sheet` (default: each workbook's first sheet) in the
+    * lexicographically FIRST file (deterministic) becomes the all-string
+    * schema; every other workbook's rows are aligned to that schema BY
+    * HEADER NAME — reordered columns land correctly, columns a file lacks
+    * are null, extra columns are dropped. One task per workbook file via
+    * the binaryFile source, so many workbooks parse in parallel across
+    * executors.
     */
   def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path).select("content")
-    val parsed = bin.rdd.flatMap { row =>
-      val all = parseWorkbook(row.getAs[Array[Byte]](0))
-      val chosen = sheet.fold(all.headOption)(s => all.find(_._1 == s))
-      chosen.toSeq.flatMap { case (_, header, rows) =>
-        rows.map(r => Row.fromSeq(r.padTo(header.length, null).take(header.length)))
-      }
-    }
-    // schema from one (driver-side) parse of the first file's header — the
-    // row data itself streams through executors
-    val firstBytes = bin.limit(1).collect().headOption.map(_.getAs[Array[Byte]](0))
+    val bin = spark.read.format("binaryFile").load(path).select("path", "content")
+    // schema from one (driver-side) parse of the deterministic first file —
+    // the row data itself streams through executors
+    val firstBytes = bin.orderBy(col("path")).limit(1).collect()
+      .headOption.map(_.getAs[Array[Byte]]("content"))
     val header = firstBytes
       .map(parseWorkbook)
       .flatMap(all => sheet.fold(all.headOption)(s => all.find(_._1 == s)))
       .map(_._2)
       .getOrElse(Seq.empty)
-    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val refHeader = header.toIndexedSeq
+    val parsed = bin.select("content").rdd.flatMap { row =>
+      val all = parseWorkbook(row.getAs[Array[Byte]](0))
+      val chosen = sheet.fold(all.headOption)(s => all.find(_._1 == s))
+      chosen.toSeq.flatMap { case (_, fileHeader, rows) =>
+        // align this workbook's columns to the reference header by name
+        val slot: Map[String, Int] = fileHeader.zipWithIndex.toMap
+        val take: IndexedSeq[Int] = refHeader.map(h => slot.getOrElse(h, -1))
+        rows.map { r =>
+          Row.fromSeq(take.map(i => if (i >= 0 && i < r.length) r(i) else null))
+        }
+      }
+    }
+    val schema = StructType(refHeader.map(h => StructField(h, StringType, nullable = true)))
     spark.createDataFrame(parsed, schema)
   }
 

@@ -108,6 +108,38 @@ class XlsxSpec extends SparkSpecBase {
     assert(rows.exists(r => r.getString(0) != null && r.getString(0).contains("Green font")))
   }
 
+  test("multi-file scan aligns heterogeneous workbooks by header name") {
+    val dir = s"/tmp/graft_cache/xlsx_spec/hetero-${System.nanoTime()}"
+    // a_* sorts first -> its header (id, src) is the schema; the second
+    // workbook has the columns REVERSED plus an extra one
+    Xlsx.writeSheets(Seq("Data" -> Seq(("1", "wb1")).toDF("id", "src")), s"$dir/a_wb1.xlsx")
+    Xlsx.writeSheets(Seq("Data" -> Seq(("wb2", "extra", "2")).toDF("src", "junk", "id")), s"$dir/b_wb2.xlsx")
+    val got = Xlsx.read(spark, s"$dir/*.xlsx", Some("Data")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("1", "wb1"), ("2", "wb2")), s"by-name alignment broken: $got")
+  }
+
+  test("rich-text inline strings concatenate runs; phonetic runs are skipped") {
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    def part(n: String, b: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(b.getBytes("UTF-8")); zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c><c r="B1" t="s"><v>0</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val (_, header, _) = Xlsx.parseWorkbook(bos.toByteArray).head
+    assert(header == Seq("Hello World", "東京"))
+  }
+
   test("column reference math") {
     assert(Xlsx.colRef(0) == "A" && Xlsx.colRef(25) == "Z" && Xlsx.colRef(26) == "AA")
     assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25 && Xlsx.colIndex("BC12") == 54)
