@@ -166,6 +166,19 @@ object Extensions {
     "text_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
     },
+    // corpus length distribution: exact per-bucket doc counts + bounds (the
+    // standard curation diagnostic before choosing token-length cutoffs)
+    "text_length_histogram" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextStats.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bucket", least(floor(col("n_tokens") / 10), lit(20)).cast("long"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens")
+        )
+    },
     // ---- multimodal plumbing ---------------------------------------------
     "mm_payload_meta" -> { (s, dir) =>
       Multimodal
@@ -496,6 +509,16 @@ object Extensions {
             round(len_ok * 0.4 + least(stop_ratio * 2.0, 1.0) * 0.4 +
                   CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score
           FROM scored""",
+    "text_length_histogram" ->
+      """WITH tok AS (
+           SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+           FROM documents)
+         SELECT CAST(least(n_tokens // 10, 20) AS BIGINT) AS bucket,
+                count(*) AS n_docs,
+                CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+                CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         FROM tok GROUP BY 1""",
     "text_token_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0

@@ -104,8 +104,11 @@ object PipelineQ {
     }
     perSession.computeIfAbsent(
       key, { k =>
+        // pid + session identity in the path: concurrent JVMs (driver verify
+        // alongside a local bench) can never race on one spill directory
         val path = "/tmp/graft_cache/memo_" +
-          s"${System.identityHashCode(s)}_$k".replaceAll("[^0-9a-zA-Z]", "_")
+          s"${ProcessHandle.current().pid()}_${System.identityHashCode(s)}_$k"
+            .replaceAll("[^0-9a-zA-Z]", "_")
         build.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       }
