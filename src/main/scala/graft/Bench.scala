@@ -42,11 +42,16 @@ object Bench {
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: the driver parses this line from a bounded
+    // stdout tail, and full-precision doubles once pushed the line's HEAD
+    // past the tail window (BENCH_r02 parsed:null) — ~90 queries at 3
+    // decimals keeps the whole line comfortably inside it
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
     println(line)
     // the driver tails stdout and has read a truncated line before — keep a
     // machine-readable copy on disk

@@ -315,6 +315,16 @@ object Dedup {
       }
       i += 1
     }
+    // an unconverged exit must be observable, not silent: partially-converged
+    // labels would flow wrong canonical_ids into dedup decisions. Contraction
+    // converges in O(log diameter) rounds, so the default maxIter=25 covers
+    // any graph with diameter < 2^25 — hitting this means maxIter was
+    // lowered or the loop regressed.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter"
+      )
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

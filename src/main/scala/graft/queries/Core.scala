@@ -426,8 +426,7 @@ object Core {
     },
     // ---- S3: CSV cache roundtrip (forced string dtypes) ------------------
     "s3_csv_roundtrip" -> { (s, dir) =>
-      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val path = s"/tmp/graft_cache/pin_universe_$key"
+      val path = Scratch.dir("pin_universe", dir)
       val uni = t(s, dir, "customer").select(
         lpad(col("c_custkey").cast("string"), 14, "0").as("pin"),
         lpad(col("c_custkey").cast("string"), 10, "0").as("pin10"),
@@ -438,8 +437,7 @@ object Core {
     },
     // ---- S1: schema-pinned JSON scan roundtrip ---------------------------
     "s1_json_roundtrip" -> { (s, dir) =>
-      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val path = s"/tmp/graft_cache/permits_json_$key"
+      val path = Scratch.dir("permits_json", dir)
       permitsPayload(s, dir).write.mode("overwrite").json(path)
       graft.sources.Sources.readPermitsJson(s, path)
     },
@@ -460,8 +458,7 @@ object Core {
     // S4: REAL xlsx scan (JDK-only codec) — write a workbook, scan it back
     // through the executor-parallel binaryFile reader
     "s4_xlsx_roundtrip" -> { (s, dir) =>
-      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val path = s"/tmp/graft_cache/xlsx_rt_$key/customers.xlsx"
+      val path = Scratch.dir("xlsx_rt", dir) + "/customers.xlsx"
       val sheet = t(s, dir, "customer").select(
         col("c_custkey").cast("string").as("custkey"),
         col("c_name").as("name"),
@@ -471,8 +468,7 @@ object Core {
       graft.sources.Xlsx.read(s, path, Some("Customers"))
     },
     "s8_batched_sink" -> { (s, dir) =>
-      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val path = s"/tmp/graft_cache/batched_$key"
+      val path = Scratch.dir("batched", dir)
       val upload = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -481,10 +477,9 @@ object Core {
     },
     // ---- S1b: DSv2 connector with real filter/column pushdown ------------
     "s1_dsv2_pushdown" -> { (s, dir) =>
-      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
       // own path — Verify dumps queries concurrently, so sharing
       // s1_json_roundtrip's directory would race its overwrite
-      val path = s"/tmp/graft_cache/permits_dsv2_$key"
+      val path = Scratch.dir("permits_dsv2", dir)
       permitsPayload(s, dir).write.mode("overwrite").json(path)
       s.read
         .format("graft.sources.PermitsJsonSource")

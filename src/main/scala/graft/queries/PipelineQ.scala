@@ -60,10 +60,17 @@ object PipelineQ {
     * `%4 == 1` slice of today's cleaned permits, i.e. rows the warehouse
     * already holds. Canonicalization mirrors dedupeAgainstExisting exactly —
     * the anti-join must hit on byte-equal keys.
+    *
+    * Derived from the FLAGGED frame rather than a fresh `cleanPermits` run:
+    * flag() is row-preserving and every key source column (pin, issue_date,
+    * amount, applicant, applicant_street_address, permit_no,
+    * work_description) passes through it unchanged, so this reads the
+    * already-spilled chain instead of recomputing the clean chain a second
+    * time (the dedupe family's memo build measured 14s vs the plain
+    * chain's 6s at sf0.1 because the chain ran twice in one plan).
     */
-  private def warehouseRows(s: SparkSession, dir: String): DataFrame =
-    PermitPipeline
-      .cleanPermits(rawPermits(s, dir))
+  private def warehouseRows(flagged: DataFrame): DataFrame =
+    flagged
       .filter(col("permit_no").try_cast("long") % 4 === 1)
       .select(
         col("pin").as("parid"),
@@ -87,39 +94,47 @@ object PipelineQ {
     * stable codegen path every sink already uses. Keyed by session identity
     * so a stopped test session's spills are never reused.
     */
-  // weak session keys (identity equality): a stopped session's memo map is
-  // GC-evicted with the session, so no frame bound to a dead session can
-  // ever be returned and nothing leaks across the JVM lifetime
+  // weak session keys (identity equality): a stopped session's memo entry is
+  // GC-evicted with the session. The map VALUE holds only spill-path strings
+  // — a DataFrame value would strongly reference its SparkSession
+  // (Dataset.sparkSession) and pin the weak key forever, the classic
+  // WeakHashMap value→key pitfall — so eviction genuinely happens, and the
+  // pid-scoped spill dirs themselves are deleted by Scratch's shutdown hook.
   private val flaggedMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   private def memoDisk(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = flaggedMemo.synchronized {
       var m = flaggedMemo.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
         flaggedMemo.put(s, m)
       }
       m
     }
-    perSession.computeIfAbsent(
+    val path = perSession.computeIfAbsent(
       key, { k =>
-        // pid + session identity in the path: concurrent JVMs (driver verify
-        // alongside a local bench) can never race on one spill directory
-        val path = "/tmp/graft_cache/memo_" +
-          s"${ProcessHandle.current().pid()}_${System.identityHashCode(s)}_$k"
-            .replaceAll("[^0-9a-zA-Z]", "_")
-        build.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+        // session identity in the path on top of Scratch's pid scoping: two
+        // live sessions in one JVM must not share a spill either
+        val p = Scratch.dir("memo", s"${System.identityHashCode(s)}_$k")
+        build.write.mode("overwrite").parquet(p)
+        p
       }
     )
+    s.read.parquet(path)
   }
 
-  private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame =
-    memoDisk(s, s"chain|$dir|$dedupe") {
-      val existing = if (dedupe) Some(warehouseRows(s, dir)) else None
-      PermitPipeline.runFlagged(rawPermits(s, dir), pinUniverse(s, dir), existing)
+  private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame = {
+    val base = memoDisk(s, s"chain|$dir") {
+      PermitPipeline.runFlagged(rawPermits(s, dir), pinUniverse(s, dir), existing = None)
     }
+    // flag() is row-wise, so running the 7-key anti-join AFTER it selects
+    // exactly the rows runFlagged(existing = Some(...)) would produce — and
+    // both the probe side and the existing side now read the ONE spilled
+    // chain instead of recomputing cleanPermits twice in one plan
+    if (!dedupe) base
+    else PermitPipeline.dedupeAgainstExisting(base, warehouseRows(base))
+  }
 
   private def run(
       s: SparkSession,
@@ -284,8 +299,7 @@ object PipelineQ {
     // review workbook via the JDK-only xlsx sink, then scan the
     // Universe-of-Valid-PINs sheet back by name
     "s6_workbook_roundtrip" -> { (s, dir) =>
-      val key = dir.replaceAll("[^0-9a-zA-Z]", "_")
-      val path = s"/tmp/graft_cache/xlsx_wb_$key/review.xlsx"
+      val path = Scratch.dir("xlsx_wb", dir) + "/review.xlsx"
       val permits = run(s, dir)._2
       val pins = pinUniverse(s, dir)
         .select(PinOps.zfill14(col("pin")).as("pin"))
@@ -458,8 +472,18 @@ object PipelineQ {
       FROM canon
       WHERE TRY_CAST(permit_no AS BIGINT) % 4 = 1 AND permdt IS NOT NULL
     ), deduped AS (
-      SELECT * FROM canon
-      ANTI JOIN existing USING (parid, permdt, amount_canon, note2, user21, user28, user43)
+      -- null-safe key equality (IS NOT DISTINCT FROM), mirroring the
+      -- engine's <=> pandas NaN==NaN semantics: a USING anti-join would
+      -- only agree while the existing slice happens to carry no NULL keys
+      SELECT c.* FROM canon c
+      ANTI JOIN existing e
+        ON c.parid IS NOT DISTINCT FROM e.parid
+       AND c.permdt IS NOT DISTINCT FROM e.permdt
+       AND c.amount_canon IS NOT DISTINCT FROM e.amount_canon
+       AND c.note2 IS NOT DISTINCT FROM e.note2
+       AND c.user21 IS NOT DISTINCT FROM e.user21
+       AND c.user28 IS NOT DISTINCT FROM e.user28
+       AND c.user43 IS NOT DISTINCT FROM e.user43
     )
   """ + flaggedCte("deduped")
 

@@ -1,0 +1,38 @@
+package graft.queries
+
+/** Pid-scoped /tmp scratch paths for query-local artifacts (json/csv/xlsx
+  * roundtrips, chain memo spills). Two concerns, both learned the hard way:
+  *
+  *   - CONCURRENT JVMS: the driver's verify can run alongside a local bench
+  *     on the same sf dir; a path keyed only by the data dir lets one JVM
+  *     overwrite an artifact while the other's scan reads it (flaky
+  *     zip/json parse failures). Every path therefore embeds the pid.
+  *   - CLEANUP: pid-scoped paths are never reused across JVMs, so they are
+  *     garbage the moment this JVM exits — a shutdown hook deletes every
+  *     path registered here (spills included; the memo map only holds path
+  *     strings, so nothing pins a SparkSession — see PipelineQ.memoDisk).
+  */
+object Scratch {
+
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    created.forEach(p => deleteRecursively(new java.io.File(p)))
+  }))
+
+  /** `/tmp/graft_cache/<tag>_<pid>_<sanitized key>`, registered for
+    * deletion at JVM exit.
+    */
+  def dir(tag: String, key: String): String = {
+    val p = s"/tmp/graft_cache/${tag}_${ProcessHandle.current().pid()}_" +
+      key.replaceAll("[^0-9a-zA-Z]", "_")
+    created.add(p)
+    p
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

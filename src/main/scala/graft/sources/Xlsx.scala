@@ -216,33 +216,54 @@ object Xlsx {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes))
   }
 
+  /** Duplicate header names get pandas-style `_2`, `_3`… suffixes (first
+    * occurrence keeps the bare name). Applied to BOTH the schema header and
+    * each file's header before by-name alignment, so the nth "amount"
+    * column of one file lands in the nth "amount" slot of the schema —
+    * without this the by-name slot map silently last-wins and the
+    * StructType carries duplicate field names.
+    */
+  private def mangleDupes(header: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    header.map { h =>
+      val n = seen.getOrElse(h, 0) + 1
+      seen(h) = n
+      if (n == 1) h else s"${h}_$n"
+    }
+  }
+
   /** Scan every workbook under `path` (glob ok) as one DataFrame: the
     * header row of `sheet` (default: each workbook's first sheet) in the
-    * lexicographically FIRST file (deterministic) becomes the all-string
-    * schema; every other workbook's rows are aligned to that schema BY
-    * HEADER NAME — reordered columns land correctly, columns a file lacks
-    * are null, extra columns are dropped. One task per workbook file via
-    * the binaryFile source, so many workbooks parse in parallel across
-    * executors.
+    * lexicographically first file CONTAINING that sheet becomes the
+    * all-string schema (a workbook lacking the sheet contributes no rows
+    * and no schema; if NO file has it, the scan fails loudly instead of
+    * returning a zero-column frame). Every workbook's rows are aligned to
+    * that schema BY HEADER NAME — reordered columns land correctly, columns
+    * a file lacks are null, extra columns are dropped, duplicate header
+    * names are disambiguated positionally (see [[mangleDupes]]). One task
+    * per workbook file via the binaryFile source, so many workbooks parse
+    * in parallel across executors.
     */
   def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path).select("path", "content")
-    // schema from one (driver-side) parse of the deterministic first file —
-    // the row data itself streams through executors
-    val firstBytes = bin.orderBy(col("path")).limit(1).collect()
-      .headOption.map(_.getAs[Array[Byte]]("content"))
-    val header = firstBytes
-      .map(parseWorkbook)
-      .flatMap(all => sheet.fold(all.headOption)(s => all.find(_._1 == s)))
-      .map(_._2)
-      .getOrElse(Seq.empty)
-    val refHeader = header.toIndexedSeq
+    // header probe runs distributed (one parse per file, executors); only
+    // the per-file (path, header) pairs come back to the driver
+    val headers: Array[(String, Seq[String])] = bin.rdd.flatMap { row =>
+      val all = parseWorkbook(row.getAs[Array[Byte]](1))
+      sheet.fold(all.headOption)(s => all.find(_._1 == s))
+        .map(c => row.getString(0) -> c._2)
+    }.collect()
+    require(
+      headers.nonEmpty,
+      s"no workbook under $path contains ${sheet.fold("any sheet")(s => s"sheet '$s'")}"
+    )
+    val refHeader = mangleDupes(headers.minBy(_._1)._2).toIndexedSeq
     val parsed = bin.select("content").rdd.flatMap { row =>
       val all = parseWorkbook(row.getAs[Array[Byte]](0))
       val chosen = sheet.fold(all.headOption)(s => all.find(_._1 == s))
       chosen.toSeq.flatMap { case (_, fileHeader, rows) =>
         // align this workbook's columns to the reference header by name
-        val slot: Map[String, Int] = fileHeader.zipWithIndex.toMap
+        val slot: Map[String, Int] = mangleDupes(fileHeader).zipWithIndex.toMap
         val take: IndexedSeq[Int] = refHeader.map(h => slot.getOrElse(h, -1))
         rows.map { r =>
           Row.fromSeq(take.map(i => if (i >= 0 && i < r.length) r(i) else null))

@@ -174,6 +174,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out.forall(_._2 == 1L), "every chain member must resolve to id 1")
   }
 
+  test("connectedComponents: an unconverged exit throws instead of returning wrong labels") {
+    // a diameter-200 chain cannot converge in 2 rounds — partially-converged
+    // canonical_ids must never flow silently into dedup decisions
+    val pairs = spark.range(1, 200)
+      .select($"id".as("id_lo"), ($"id" + 1).as("id_hi"))
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("wordShingles: distinct n-grams, short docs yield one (possibly partial) gram") {
     val df = Seq("a b c d", "a b").toDF("t")
     val out = df.select(Dedup.wordShingles($"t", 3).as("g")).collect().map(_.getSeq[String](0))

@@ -119,6 +119,38 @@ class XlsxSpec extends SparkSpecBase {
     assert(got == Set(("1", "wb1"), ("2", "wb2")), s"by-name alignment broken: $got")
   }
 
+  test("schema falls back to the first file that HAS the sheet; absent everywhere fails loudly") {
+    val dir = s"/tmp/graft_cache/xlsx_spec/fallback-${System.nanoTime()}"
+    // a_* sorts first but lacks the "Data" sheet — its file must contribute
+    // neither schema nor rows, NOT collapse the scan to zero columns
+    Xlsx.writeSheets(Seq("Other" -> Seq(("x", "y")).toDF("p", "q")), s"$dir/a_other.xlsx")
+    Xlsx.writeSheets(Seq("Data" -> Seq(("1", "wb1")).toDF("id", "src")), s"$dir/b_data.xlsx")
+    val got = Xlsx.read(spark, s"$dir/*.xlsx", Some("Data"))
+    assert(got.columns.toSeq == Seq("id", "src"))
+    assert(got.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("1", "wb1")))
+    val err = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, s"$dir/*.xlsx", Some("Nope")).collect()
+    }
+    assert(err.getMessage.contains("Nope"))
+  }
+
+  test("duplicate header names disambiguate positionally instead of last-wins") {
+    // two "v" columns (hand-built: real-world sheets have them, our own
+    // writer can't): both must survive with distinct schema names, values
+    // kept in their original positions
+    val path = tmp("dupes")
+    val bytes = Xlsx.buildWorkbook(
+      Seq("Data" -> Seq(Seq("k", "v", "v"), Seq("a", "first", "second")))
+    )
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val got = Xlsx.read(spark, path, Some("Data"))
+    assert(got.columns.toSeq == Seq("k", "v", "v_2"))
+    val r = got.collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("a", "first", "second")))
+  }
+
   test("rich-text inline strings concatenate runs; phonetic runs are skipped") {
     val bos = new ByteArrayOutputStream()
     val zip = new ZipOutputStream(bos)
