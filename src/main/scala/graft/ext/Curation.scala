@@ -42,4 +42,48 @@ object Curation {
     }
     df.filter(gate < rateCol)
   }
+
+  /** Sequence packing for training batches: assign documents to packs of
+    * ~`budget` tokens by cumulative fill — pack p of a salt group holds the
+    * docs whose exclusive running token total lands in
+    * [p·budget, (p+1)·budget). A doc straddling a boundary joins the
+    * earlier pack (cumulative-fill semantics, the standard distributed
+    * approximation of greedy bin packing — greedy's "close the bin early"
+    * rule needs a sequential scan).
+    *
+    * DISTRIBUTED by construction: packing runs per salt group
+    * (`id mod salts`), so the window sort shuffles into `salts` independent
+    * partitions instead of one global task — packs never cross salt groups,
+    * which training doesn't care about (any grouping of ~budget tokens is a
+    * valid pack). `budget` must be a power of two so the pack index
+    * (floor of an exact binary division) is bit-identical in any engine.
+    *
+    * @return input columns + n_tokens, cum_tokens (inclusive, within salt),
+    *         pack_id (= salt·10⁶ + local pack), pack_pos (1-based within
+    *         pack)
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: Column,
+      nTokensCol: Column,
+      budget: Int,
+      salts: Int
+  ): DataFrame = {
+    require(budget > 0 && (budget & (budget - 1)) == 0, "budget must be a power of two")
+    import org.apache.spark.sql.expressions.Window
+    val bySalt = Window.partitionBy(col("salt")).orderBy(idCol)
+    val withCum = df
+      .withColumn("salt", pmod(idCol, lit(salts)).cast("long"))
+      .withColumn("n_tokens", nTokensCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(bySalt))
+    val byPack = Window.partitionBy(col("salt"), col("pack_local")).orderBy(idCol)
+    withCum
+      .withColumn(
+        "pack_local",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget).cast("long")
+      )
+      .withColumn("pack_id", col("salt") * 1000000L + col("pack_local"))
+      .withColumn("pack_pos", row_number().over(byPack).cast("long"))
+      .drop("salt", "pack_local")
+  }
 }

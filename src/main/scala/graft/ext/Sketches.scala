@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-style distinct estimation for corpus statistics (north-star
+  * extension, SURVEY.md §7.5). The estimator is KMV (k-minimum-values,
+  * Bar-Yossef et al. 2002): keep the k smallest values of a uniform hash of
+  * the distinct items; with the hash space [0, 2³²) and kth-smallest value
+  * t, the distinct count is ≈ (k-1)·2³² / t.
+  *
+  * Chosen over HyperLogLog deliberately: KMV over a shared md5-derived hash
+  * is reproducible bit-for-bit in ANY engine with md5 + integer arithmetic
+  * (the driver's DuckDB oracle included), while HLL implementations never
+  * agree across engines. Same scale shape: the top-k runs as per-partition
+  * partial limits merged on the driver side of the exchange (Spark's
+  * TakeOrdered), so no global sort materializes.
+  */
+object Sketches {
+
+  /** 32-bit uniform hash of a string column: first 8 hex chars of md5 as a
+    * long in [0, 2³²).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** One-row KMV distinct estimate over `itemCol` of `df`:
+    * (k, k_actual, kth_min, est_distinct, exact_distinct).
+    *
+    * `est_distinct` = (k−1)·2³² div kth_min — integer division, exact in
+    * any engine. When the domain has fewer than k distinct hashes the
+    * sketch degenerates to exact (`est = k_actual`). `exact_distinct`
+    * (distinct items, not hashes) rides along so the estimate is
+    * self-auditing; a production pipeline at 100 TB would drop it and keep
+    * only the sketch path (distinct-of-hash + top-k — no wide rows, no
+    * global sort).
+    */
+  def kmvDistinct(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    val hashes = df.select(hash32(itemCol).as("h")).distinct()
+    val mins = hashes
+      .orderBy(col("h"))
+      .limit(k)
+      .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_actual"))
+    val exact = df.agg(count_distinct(itemCol).as("exact_distinct"))
+    mins
+      .crossJoin(exact)
+      .select(
+        lit(k.toLong).as("k"),
+        col("k_actual"),
+        col("kth_min"),
+        when(col("k_actual") < k, col("k_actual"))
+          .otherwise(expr(s"(${k - 1} * 4294967296L) div kth_min"))
+          .as("est_distinct"),
+        col("exact_distinct")
+      )
+  }
+}

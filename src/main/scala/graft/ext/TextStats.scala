@@ -175,6 +175,84 @@ object TextStats {
     )
   }
 
+  /** PII patterns for [[scrubbedDF]]: conservative regex syntax shared by
+    * Java's regex engine and RE2-family engines, so oracles reproduce the
+    * exact same matches.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing: replace emails/phone numbers with typed placeholder
+    * tags and count what was redacted (the audit trail a curation pipeline
+    * keeps). Emails are replaced before phones so a digit run inside an
+    * email can never double-match. Staged: the text attribute is consumed
+    * by three regex passes but materialized once.
+    */
+  def scrubbedDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), coalesce(textCol, lit("")).as("__t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("__t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("__t"), EmailRe, "<EMAIL>"),
+          PhoneRe,
+          "<PHONE>"
+        ).as("scrubbed")
+      )
+
+  /** Gopher-style repetition signals: duplicate-word fraction, duplicate
+    * word-bigram fraction, and the most frequent word's share of the doc —
+    * the standard filters for boilerplate/degenerate generations. Per-row
+    * array algebra only (the top-share count is O(uniq·words) per row,
+    * bounded by document length — never corpus-quadratic).
+    */
+  def repetitionDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val nb = greatest(size(col("__w")) - 1, lit(0))
+    val bigrams = transform(
+      sequence(lit(1), nb, lit(1)),
+      i => concat_ws(" ", try_element_at(col("__w"), i), try_element_at(col("__w"), i + 1))
+    )
+    df.select(idCol.as("doc_id"), split(trim(coalesce(textCol, lit(""))), "\\s+").as("__w"))
+      .select(
+        col("doc_id"),
+        col("__w"),
+        size(col("__w")).cast("long").as("n_words"),
+        size(array_distinct(col("__w"))).cast("long").as("n_uniq"),
+        nb.cast("long").as("__nb"),
+        // when nb = 0, sequence(1, 0, 1) is empty in Spark only with an
+        // explicit step guard — build the empty array directly instead
+        when(nb === 0, array().cast("array<string>")).otherwise(bigrams).as("__bg")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_uniq"),
+        round(
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise((col("n_words") - col("n_uniq")).cast("double") / col("n_words")),
+          6
+        ).as("dup_word_frac"),
+        round(
+          when(col("__nb") === 0, lit(0.0))
+            .otherwise(
+              (col("__nb") - size(array_distinct(col("__bg"))).cast("long")).cast("double") /
+                col("__nb")
+            ),
+          6
+        ).as("dup_bigram_frac"),
+        round(
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(
+              array_max(
+                transform(array_distinct(col("__w")), u => size(filter(col("__w"), x => x === u)))
+              ).cast("double") / col("n_words")
+            ),
+          6
+        ).as("top_word_share")
+      )
+  }
+
   /** Rolling polynomial fingerprint of the word sequence:
     * acc = (acc * 131 + wordHash) mod (2^31 - 1), folded left-to-right,
     * where wordHash = the first 4 hex chars of md5(word) read as an integer

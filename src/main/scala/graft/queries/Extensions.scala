@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, TextStats}
 import graft.streaming.Sessionize
 
 /** LLM-training-data pipeline queries (north-star extensions, SURVEY.md
@@ -240,6 +240,52 @@ object Extensions {
       Dedup.embeddingNearDupPairs(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         dim = 64, planes = 4, threshold = 0.2
+      )
+    },
+    // ---- curation: packing / scrubbing / repetition / sketches / rank ----
+    // sequence packing: token-budget packs per salt group (distributed —
+    // the window sorts 8 independent salt partitions, never one global task)
+    "curate_pack_sequences" -> { (s, dir) =>
+      Curation
+        .packSequences(
+          t(s, dir, "documents"),
+          col("doc_id"),
+          TextStats.tokenCount(col("text")),
+          budget = 512,
+          salts = 8
+        )
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("pack_id"), col("pack_pos"))
+    },
+    // PII scrub with audit counts; the fixture corpus has no PII, so a
+    // deterministic slice gets synthetic emails/phones appended first
+    "text_pii_scrub" -> { (s, dir) =>
+      val aug = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(
+          col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"))
+        ).when(
+          col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" call 312-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        ).otherwise(col("text")).as("text")
+      )
+      TextStats.scrubbedDF(aug, col("doc_id"), col("text"))
+    },
+    "text_repetition" -> { (s, dir) =>
+      TextStats.repetitionDF(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+    // KMV distinct-token sketch (k=16 so the estimation path is live at the
+    // fixture vocab size) with the exact count riding along as the audit
+    "sketch_distinct_kmv" -> { (s, dir) =>
+      val tokens = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      Sketches.kmvDistinct(tokens, col("token"), k = 16)
+    },
+    "text_bm25_topk" -> { (s, dir) =>
+      Ranking.bm25TopK(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "query", "window")
       )
     }
   )
@@ -668,6 +714,102 @@ object Extensions {
          )
          SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
                 event_type, count(*) AS n
-         FROM windows GROUP BY 1, 2"""
+         FROM windows GROUP BY 1, 2""",
+    "curate_pack_sequences" ->
+      // budget 512 is a power of two, so floor((cum - n)/512.0) is an exact
+      // binary division in both engines (the packSequences contract)
+      """WITH d AS (
+           SELECT doc_id, doc_id % 8 AS salt,
+             CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, salt, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY salt ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM d
+         ), p AS (
+           SELECT doc_id, n_tokens, cum_tokens,
+             salt * 1000000 + CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
+           FROM c
+         )
+         SELECT doc_id, n_tokens, cum_tokens, pack_id,
+           CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT) AS pack_pos
+         FROM p""",
+    "text_pii_scrub" ->
+      s"""WITH aug AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0
+                     THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+                   WHEN doc_id % 13 = 0
+                     THEN concat(text, ' call 312-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                   ELSE text END AS text
+            FROM documents
+          )
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${TextStats.EmailRe}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '${TextStats.PhoneRe}')) AS BIGINT) AS n_phones,
+            regexp_replace(regexp_replace(text, '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+                           '${TextStats.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+          FROM aug""",
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             CAST(greatest(len(w) - 1, 0) AS BIGINT) AS nb,
+             list_transform(range(1, CAST(greatest(len(w) - 1, 0) AS INTEGER) + 1),
+               i -> concat_ws(' ', w[i], w[i+1])) AS bg,
+             list_aggregate(list_transform(list_distinct(w), u -> len(list_filter(w, x -> x = u))), 'max') AS topn
+           FROM w
+         )
+         SELECT doc_id, n_words, n_uniq,
+           round(CASE WHEN n_words = 0 THEN 0.0
+                 ELSE CAST(n_words - n_uniq AS DOUBLE) / n_words END, 6) AS dup_word_frac,
+           round(CASE WHEN nb = 0 THEN 0.0
+                 ELSE CAST(nb - len(list_distinct(bg)) AS DOUBLE) / nb END, 6) AS dup_bigram_frac,
+           round(CASE WHEN n_words = 0 THEN 0.0
+                 ELSE CAST(topn AS DOUBLE) / n_words END, 6) AS top_word_share
+         FROM m""",
+    "sketch_distinct_kmv" ->
+      """WITH tok AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+         ), tok2 AS (SELECT t FROM tok WHERE length(t) > 0),
+         h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok2),
+         kmin AS (SELECT h FROM h ORDER BY h LIMIT 16),
+         agg AS (SELECT max(h) AS kth_min, CAST(count(*) AS BIGINT) AS k_actual FROM kmin),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM tok2)
+         SELECT CAST(16 AS BIGINT) AS k, k_actual, kth_min,
+           CASE WHEN k_actual < 16 THEN k_actual ELSE (15 * 4294967296) // kth_min END AS est_distinct,
+           exact_distinct
+         FROM agg, ex""",
+    "text_bm25_topk" -> {
+      val terms = Seq("spark", "query", "window")
+      val k1 = 1.2
+      val b = 0.75
+      // every double literal below is the Scala-computed value interpolated
+      // via Double.toString (round-trip exact), and the expression tree
+      // mirrors Ranking.bm25TopK's associativity token for token — so the
+      // IEEE-754 ops produce bit-identical doubles in both engines
+      val tfCols = terms.indices
+        .map(i => s"CAST(len(list_filter(w, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+        .mkString(", ")
+      val dfCols = terms.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val scoreSql = terms.indices
+        .map { i =>
+          s"((n - df$i + 0.5) / (df$i + 0.5)) * " +
+            s"(tf$i * ${k1 + 1} / (tf$i + $k1 * (${1 - b} + $b * dl / avgdl)))"
+        }
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w FROM documents),
+         tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfCols FROM w),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl, $dfCols FROM tf),
+         scored AS (SELECT doc_id, $scoreSql AS score FROM tf, st)
+         SELECT doc_id, round(score, 6) AS score FROM scored
+         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"""
+    }
   )
 }

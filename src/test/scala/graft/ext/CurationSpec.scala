@@ -37,4 +37,31 @@ class CurationSpec extends SparkSpecBase {
       Curation.stratifiedSample(docs, $"doc_id", $"lang", Map("en" -> 1.5))
     }
   }
+
+  test("packSequences: cumulative-fill packs within salt groups, 1-based positions") {
+    // ids 0..9, 100 tokens each, salts=2: group {0,2,4,6,8} has exclusive
+    // cums 0,100,200,300,400 -> packs 0,0,0,1,1 at budget 256 (doc 4
+    // straddles the boundary and joins the EARLIER pack by contract)
+    val df = spark.range(0, 10).select($"id".as("doc_id"), lit(100).as("nt"))
+    val out = Curation.packSequences(df, $"doc_id", $"nt", budget = 256, salts = 2)
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_pos")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) == ((100L, 100L, 0L, 1L)))
+    assert(out(4L) == ((100L, 300L, 0L, 3L))) // straddler stays in pack 0
+    assert(out(6L) == ((100L, 400L, 1L, 1L)))
+    assert(out(8L) == ((100L, 500L, 1L, 2L)))
+    // odd salt group packs under salt prefix 1_000_000
+    assert(out(1L) == ((100L, 100L, 1000000L, 1L)))
+    // packs never cross salt groups
+    assert(out.values.map(_._3).toSet == Set(0L, 1L, 1000000L, 1000001L))
+  }
+
+  test("packSequences rejects a non-power-of-two budget") {
+    val df = spark.range(0, 3).select($"id".as("doc_id"), lit(10).as("nt"))
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(df, $"doc_id", $"nt", budget = 500, salts = 2)
+    }
+  }
 }

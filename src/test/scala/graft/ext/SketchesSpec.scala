@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch (SURVEY.md §7.5 extension). */
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("degenerate domain (fewer than k hashes) reports the exact count") {
+    val df = Seq("a", "b", "c", "a", "b").toDF("t")
+    val r = Sketches.kmvDistinct(df, $"t", k = 16).collect().head
+    assert(r.getAs[Long]("k") == 16L)
+    assert(r.getAs[Long]("k_actual") == 3L)
+    assert(r.getAs[Long]("est_distinct") == 3L)
+    assert(r.getAs[Long]("exact_distinct") == 3L)
+  }
+
+  test("estimation path: (k-1)*2^32 div kth_min, sane for a uniform domain") {
+    // 2000 distinct items, k=64: KMV's relative error ~ 1/sqrt(k-1) ≈ 13%,
+    // assert within 4x of that
+    val df = spark.range(0, 2000).select(concat(lit("item"), $"id").as("t"))
+    val r = Sketches.kmvDistinct(df, $"t", k = 64).collect().head
+    assert(r.getAs[Long]("k_actual") == 64L)
+    assert(r.getAs[Long]("exact_distinct") == 2000L)
+    val est = r.getAs[Long]("est_distinct")
+    assert(est > 1000 && est < 4000, s"estimate $est implausible for 2000 distinct")
+    // the sketch is a pure function of the domain: same input, same output
+    val again = Sketches.kmvDistinct(df, $"t", k = 64).collect().head
+    assert(again.getAs[Long]("est_distinct") == est)
+  }
+
+  test("duplicates never change the sketch") {
+    val base = spark.range(0, 500).select(concat(lit("w"), $"id").as("t"))
+    val dup = base.union(base).union(base)
+    val a = Sketches.kmvDistinct(base, $"t", k = 32).collect().head
+    val b = Sketches.kmvDistinct(dup, $"t", k = 32).collect().head
+    assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
+    assert(a.getAs[Long]("kth_min") == b.getAs[Long]("kth_min"))
+  }
+}

@@ -53,6 +53,34 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out(0) > out(1))
   }
 
+  test("scrubbedDF replaces emails then phones, with audit counts") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 312-555-0142 now"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.io")
+    ).toDF("doc_id", "text")
+    val out = TextStats.scrubbedDF(df, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "mail <EMAIL> or call <PHONE> now")))
+    assert(out(2L) == ((0L, 0L, "no pii here")))
+    assert(out(3L) == ((2L, 0L, "two mails <EMAIL> <EMAIL>")))
+  }
+
+  test("repetitionDF: duplicate word/bigram fractions and top-word share") {
+    val df = Seq(
+      (1L, "a a b"),       // 3 words, 2 uniq; bigrams "a a","a b" both uniq
+      (2L, "x"),           // single word: no bigrams -> 0.0, share 1.0
+      (3L, "go go go go")  // fully degenerate
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionDF(df, $"doc_id", $"text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, 0.333333, 0.0, 0.666667)))
+    assert(out(2L) == ((1L, 1L, 0.0, 0.0, 1.0)))
+    assert(out(3L) == ((4L, 1L, 0.75, 0.666667, 1.0)))
+  }
+
   test("fingerprint: deterministic, order-sensitive, stable across runs") {
     val df = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma").toDF("t")
     val out = df.select(TextStats.fingerprint($"t").as("v")).collect().map(_.getLong(0))
