@@ -38,6 +38,15 @@ object Extensions {
       Dedup.simhashed(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("fp"))
     },
+    // the quarantine surface of the capped LSH pair generation: every band
+    // bucket whose membership exceeds the cap, for upstream handling — the
+    // boilerplate clusters the pairing stage deliberately skipped
+    "dedup_oversized_buckets" -> { (s, dir) =>
+      Dedup.oversizedBuckets(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4, maxBucket = 2
+      )
+    },
     // full two-stage near-dup flow: LSH candidate generation -> exact
     // n-gram-Jaccard verification, the production dedup shape (candidates
     // are cheap and approximate; only they pay the exact comparison)
@@ -74,21 +83,17 @@ object Extensions {
     // corpus rebalancing: deterministic hash-gated downsampling of the
     // dominant language stratum (reproducible across retries, unlike rand())
     "corpus_sample_stratified" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
+      val docs = TextStats
+        .langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .withColumnRenamed("lang_pred", "lang")
       Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
         rates = Map("en" -> 0.5), defaultRate = 1.0)
     },
     // composed training-data quality gate: language + quality score +
-    // token-count bounds in ONE scan (all Column-level ops, no joins)
+    // token-count bounds in ONE staged scan (all Column-level ops, no joins)
     "corpus_filter" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextStats.langId(col("text")).as("lang"),
-          TextStats.qualityScore(col("text")).as("score"),
-          TextStats.tokenCount(col("text")).as("n_tokens")
-        )
+      TextStats
+        .profileDF(t(s, dir, "documents"), col("doc_id"), col("text"))
         .filter(col("lang") === "en" && col("score") >= 0.5 &&
           col("n_tokens").between(5, 1000))
     },
@@ -390,6 +395,25 @@ object Extensions {
           )
           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS fp
           FROM bits GROUP BY doc_id""",
+    "dedup_oversized_buckets" ->
+      (gramsCte + """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        )
+        SELECT CAST(b AS INTEGER) AS band, bh, count(*) AS n_members
+        FROM banded GROUP BY b, bh HAVING count(*) > 2"""),
     "dedup_near_verified" ->
       (gramsCte + """
         , sig AS (
