@@ -67,6 +67,42 @@ class PropertySpec extends SparkSpecBase {
     }, samples = 60)
   }
 
+  test("packSequences partitions the corpus: every doc exactly once, budget respected") {
+    import graft.ext.Curation
+    // token counts across several magnitudes, including docs bigger than
+    // the whole budget (they must still land in exactly one pack)
+    val tokens = Gen.listOfN(40, Gen.chooseNum(1, 700))
+    holds(forAll(tokens) { ts =>
+      val df = ts.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }.toDF("doc_id", "nt")
+      val out = Curation.packSequences(df, $"doc_id", $"nt", budget = 512, salts = 4)
+        .select("doc_id", "n_tokens", "pack_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val allDocsOnce = out.map(_._1).sorted.toSeq == (0L until ts.length.toLong).toSeq
+      // cumulative-fill bound: a pack's tokens EXCLUDING its straddling
+      // last doc fit the budget (the straddler may overflow by contract)
+      val packsOk = out.groupBy(_._3).values.forall { members =>
+        val sorted = members.sortBy(_._1).map(_._2)
+        sorted.dropRight(1).sum < 512
+      }
+      allDocsOnce && packsOk
+    }, samples = 20)
+  }
+
+  test("scrubbedDF is idempotent: a scrubbed text has nothing left to scrub") {
+    import graft.ext.TextStats
+    val word = Gen.oneOf("alpha", "b3ta", "x@y.io", "a.b@corp.example.org", "312-555-0142",
+      "tel:312-555-0142,", "not-a-phone-123-45-6789", "@@", "user+tag@dom.co")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    holds(forAll(Gen.listOfN(6, text)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = TextStats.scrubbedDF(df, $"doc_id", $"text")
+      val twice = TextStats.scrubbedDF(once, $"doc_id", $"scrubbed")
+      twice.collect().forall { r =>
+        r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L
+      }
+    }, samples = 15)
+  }
+
   test("jaccard stays in [0,1] and equals 1 iff equal non-empty sets") {
     val arr = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct)
     holds(forAll(arr, arr) { (x, y) =>
