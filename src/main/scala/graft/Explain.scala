@@ -4,7 +4,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       println(s"==== $name ====")

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension bundle, registered via the public
+  * `spark.sql.extensions` hook (every graft entry point sets it):
+  *
+  *   - `graft_occ_counts(text, array(terms...))` → `array<bigint>`:
+  *     allocation-free multi-term occurrence counting
+  *     ([[graft.functions.OccurrenceCounts]]) — the native fast path under
+  *     the TextStats lexicon scoring.
+  *
+  * Everything else in the engine is deliberately built-in column algebra;
+  * an entry earns a place here only with a measured win over the best
+  * built-in formulation (see SCALING.md).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_occ_counts"),
+        new ExpressionInfo(
+          classOf[graft.functions.OccurrenceCounts].getName,
+          "graft_occ_counts"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.OccurrenceCounts(children(0), children(1))
+      )
+    )
+  }
+}

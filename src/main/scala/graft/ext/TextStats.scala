@@ -134,6 +134,31 @@ object TextStats {
         ).as("score")
       )
 
+  /** Per-language stopword scores through the native `graft_occ_counts`
+    * expression (requires [[graft.GraftExtensions]] on the session — every
+    * graft entry point registers it). One allocation-free pass over the
+    * padded text replaces the 16 `replace`-and-measure string copies per
+    * row; counting semantics are identical to [[langScoreFrom]] (both count
+    * non-overlapping left-to-right matches), so oracles are unchanged.
+    */
+  def langScoresNativeDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val terms = StopwordLexicons.flatMap(_._2)
+    val staged = df.select(
+      idCol.as("doc_id"),
+      call_function("graft_occ_counts", padded(textCol), array(terms.map(lit): _*)).as("__occ")
+    )
+    val offsets = StopwordLexicons.map(_._2.length).scanLeft(0)(_ + _)
+    staged.select(
+      col("doc_id") +:
+        StopwordLexicons.zipWithIndex.map { case ((lang, lex), li) =>
+          lex.indices
+            .map(j => element_at(col("__occ"), offsets(li) + j + 1))
+            .reduce(_ + _)
+            .as(s"s_$lang")
+        }: _*
+    )
+  }
+
   /** Staged corpus profile: (doc_id, lang, score, n_tokens) — the composed
     * quality-gate inputs in ONE staged chain. Same formulas as
     * [[langIdDF]] + [[qualityDF]] (identical values), but padded text,
@@ -142,9 +167,43 @@ object TextStats {
     * chains per reference once CollapseProject inlines them (measured
     * 3.9s → map-speed at sf0.1 for the corpus_filter query).
     */
-  def profileDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val staged = df
-      .select(idCol.as("doc_id"), coalesce(textCol, lit("")).as("__t"), padded(textCol).as("__p"))
+  def profileDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    profileTail(profileStage(df, idCol, textCol) { p =>
+      StopwordLexicons.map { case (lang, lex) => langScoreFrom(p, lex).as(s"s_$lang") }
+    })
+
+  /** [[profileDF]] with the lexicon scores computed by the native
+    * `graft_occ_counts` expression ([[graft.GraftExtensions]] required —
+    * every graft entry point registers it). Identical values; the win is
+    * that a pushed-down filter predicate duplicating the score tree (the
+    * optimizer substitutes projections into the predicate) duplicates one
+    * allocation-free byte scan instead of 16 replace-and-measure copies.
+    */
+  def profileNativeDF(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val terms = StopwordLexicons.flatMap(_._2)
+    val offsets = StopwordLexicons.map(_._2.length).scanLeft(0)(_ + _)
+    profileTail(profileStage(df, idCol, textCol) { p =>
+      val occ = call_function("graft_occ_counts", p, array(terms.map(lit): _*))
+      // one staged array column, then per-language slice sums
+      Seq(occ.as("__occ"))
+    }.select(
+      col("*") +:
+        StopwordLexicons.zipWithIndex.map { case ((lang, lex), li) =>
+          lex.indices
+            .map(j => element_at(col("__occ"), offsets(li) + j + 1))
+            .reduce(_ + _)
+            .as(s"s_$lang")
+        }: _*
+    ))
+  }
+
+  /** Shared first stage: quality metrics + whatever score columns
+    * `scores(paddedCol)` contributes, each materialized once per row.
+    */
+  private def profileStage(df: DataFrame, idCol: Column, textCol: Column)(
+      scores: Column => Seq[Column]
+  ): DataFrame =
+    df.select(idCol.as("doc_id"), coalesce(textCol, lit("")).as("__t"), padded(textCol).as("__p"))
       .select(
         Seq(
           col("doc_id"),
@@ -152,16 +211,21 @@ object TextStats {
           tokenCount(col("__t")).as("n_tokens"),
           (length(col("__t")) - length(regexp_replace(col("__t"), "[.,;:!?]", "")))
             .cast("double").as("__punct")
-        ) ++
-          StopwordLexicons.map { case (lang, lex) => langScoreFrom(col("__p"), lex).as(s"s_$lang") }: _*
+        ) ++ scores(col("__p")): _*
       )
+
+  /** Shared profile tail over a staged frame carrying `s_<lang>` scores and
+    * the quality metrics: argmax language + composite score.
+    */
+  private def profileTail(stagedScores: DataFrame): DataFrame = {
+    val staged = stagedScores
       .withColumn("best", greatest(StopwordLexicons.map(l => col(s"s_${l._1}")): _*))
     val pred = StopwordLexicons.foldRight(lit("und"): Column) { case ((lang, _), acc) =>
       when(col(s"s_$lang") === col("best") && col("best") > 0, lit(lang)).otherwise(acc)
     }
     // stopword total = sum of the already-staged per-language scores (the
-    // lexicons are disjoint, so the sum over languages IS the flat-lexicon
-    // score qualityScore computes)
+    // per-language sums partition the flat lexicon, duplicates included, so
+    // the sum over languages IS the flat-lexicon score qualityScore computes)
     val stopTotal = StopwordLexicons.map(l => col(s"s_${l._1}")).reduce(_ + _).cast("double")
     staged.select(
       col("doc_id"),
