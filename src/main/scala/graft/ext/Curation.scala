@@ -43,6 +43,53 @@ object Curation {
     df.filter(gate < rateCol)
   }
 
+  /** Benchmark decontamination: flag training documents whose word-n-gram
+    * overlap with a benchmark/eval set reaches `threshPct` percent of the
+    * document's own distinct n-grams — the standard filter run before
+    * training so eval material never leaks into the corpus.
+    *
+    * Shape at 100 TB: the benchmark side is always small (eval sets), so
+    * its distinct gram set BROADCASTS; the train side explodes grams into
+    * a map-side hash-join probe plus one partial-aggregated groupBy on
+    * doc_id. Nothing pairwise, no corpus self-join. The threshold compare
+    * is integer arithmetic (`hits·100 ≥ grams·pct`) — engine-exact.
+    *
+    * @return one row per training doc: (doc_id, n_grams, n_hits,
+    *         contaminated)
+    */
+  def decontaminate(
+      train: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      benchmark: DataFrame,
+      benchTextCol: Column,
+      n: Int,
+      threshPct: Int
+  ): DataFrame = {
+    require(threshPct >= 0 && threshPct <= 100, "threshPct must be in [0,100]")
+    val g = Dedup.shingled(train, idCol, textCol, n)
+    val totals = g.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+    val benchGrams = Dedup
+      .shingled(benchmark, lit(0L), benchTextCol, n)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+    // grams are distinct per doc, so the join-count IS the distinct-hit count
+    val hits = g
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    totals
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 100 >= col("n_grams") * threshPct)
+          .as("contaminated")
+      )
+  }
+
   /** Sequence packing for training batches: assign documents to packs of
     * ~`budget` tokens by cumulative fill — pack p of a salt group holds the
     * docs whose exclusive running token total lands in

@@ -301,6 +301,16 @@ object Extensions {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         terms = Seq("spark", "query", "window")
       )
+    },
+    // benchmark decontamination: every 50th doc plays the eval set; train
+    // docs with >= 10% distinct-5-gram overlap against it are flagged
+    "corpus_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 50 === 0), col("text"),
+        n = 5, threshPct = 10
+      )
     }
   )
 
@@ -820,6 +830,19 @@ object Extensions {
            CASE WHEN k_actual < 16 THEN k_actual ELSE (15 * 4294967296) // kth_min END AS est_distinct,
            exact_distinct
          FROM agg, ex""",
+    "corpus_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS grams FROM w),
+         bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g5 WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id, grams FROM g5 WHERE doc_id % 50 <> 0),
+         tot AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM tr),
+         hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) e JOIN bg USING (gram)
+                 GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams, coalesce(h.n_hits, 0) AS n_hits,
+                (coalesce(h.n_hits, 0) * 100 >= t.n_grams * 10) AS contaminated
+         FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""",
     "text_bm25_topk" -> {
       val terms = Seq("spark", "query", "window")
       val k1 = 1.2

@@ -58,6 +58,23 @@ class CurationSpec extends SparkSpecBase {
     assert(out.values.map(_._3).toSet == Set(0L, 1L, 1000000L, 1000001L))
   }
 
+  test("decontaminate flags docs overlapping the benchmark, leaves the rest") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-copy of bench
+      (2L, "completely different words about databases and storage engines"),
+      (3L, "the quick brown fox jumps high")                     // one shared 5-gram window
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, $"doc_id", $"text", bench, $"text", n = 5, threshPct = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 1: 6 distinct 5-grams, 5 shared with bench (the 6th ends in "today")
+    assert(out(1L) == ((6L, 5L, true)))
+    assert(out(2L)._2 == 0L && !out(2L)._3)
+    // doc 3: 2 grams, 1 shared ("the quick brown fox jumps") -> 50% meets the bar
+    assert(out(3L) == ((2L, 1L, true)))
+    assert(out.size == 3) // zero-hit docs still reported
+  }
+
   test("packSequences rejects a non-power-of-two budget") {
     val df = spark.range(0, 3).select($"id".as("doc_id"), lit(10).as("nt"))
     intercept[IllegalArgumentException] {
