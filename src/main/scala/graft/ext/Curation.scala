@@ -69,12 +69,18 @@ object Curation {
     require(threshPct >= 0 && threshPct <= 100, "threshPct must be in [0,100]")
     val g = Dedup.shingled(train, idCol, textCol, n)
     val totals = g.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-    val benchGrams = Dedup
-      .shingled(benchmark, lit(0L), benchTextCol, n)
+    // PlanOps.fence before every explode of the gram arrays: the optimizer
+    // inlines the single-consumer gram-building expression into the
+    // Generate node, which re-evaluates it per OUTPUT ELEMENT — ~m× the
+    // work per doc (measured 12s -> 0.1s for the train-side explode at
+    // sf0.1; see PlanOps)
+    val benchGrams = graft.ops.PlanOps
+      .fence(Dedup.shingled(benchmark, lit(0L), benchTextCol, n))
       .select(explode(col("grams")).as("gram"))
       .distinct()
     // grams are distinct per doc, so the join-count IS the distinct-hit count
-    val hits = g
+    val hits = graft.ops.PlanOps
+      .fence(g)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"))

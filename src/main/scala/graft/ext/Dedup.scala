@@ -182,7 +182,14 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    minhashSignatures(df, idCol, textCol, n, k).select(
+    // fence before the posexplode: `sig` has a single consumer, so the
+    // optimizer inlines the whole staged signature pipeline into the
+    // Generate node, where it is re-evaluated per emitted band (bands× the
+    // signature work per doc; see PlanOps). The fence pins `sig` as a real
+    // attribute. Both self-join sides reference this same fenced frame, so
+    // the downstream bucket-key exchange still canonicalizes to one
+    // ReusedExchange.
+    graft.ops.PlanOps.fence(minhashSignatures(df, idCol, textCol, n, k)).select(
       col("id"),
       posexplode(
         transform(

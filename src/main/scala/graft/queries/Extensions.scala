@@ -18,6 +18,15 @@ object Extensions {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixture parquet is one file with ONE row group — a scan is a single
+    * partition. Queries whose first stage does heavy per-row work (shingle
+    * + k×md5 signatures, per-row m² counting) repartition first so the
+    * full core count works; at production scale the input arrives already
+    * split and the ~MB shuffle is noise next to the map stage.
+    */
+  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** The module-wide quantization (see [[Similarity.quantize]]) — one
     * definition so the oracles cannot drift from the engine.
     */
@@ -32,10 +41,10 @@ object Extensions {
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
     "dedup_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
     },
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashed(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Dedup.simhashed(tPar(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("fp"))
     },
     // the quarantine surface of the capped LSH pair generation: every band
@@ -43,7 +52,7 @@ object Extensions {
     // boilerplate clusters the pairing stage deliberately skipped
     "dedup_oversized_buckets" -> { (s, dir) =>
       Dedup.oversizedBuckets(
-        t(s, dir, "documents"), col("doc_id"), col("text"),
+        tPar(s, dir, "documents"), col("doc_id"), col("text"),
         n = 3, k = 8, bands = 4, maxBucket = 2
       )
     },
@@ -51,7 +60,7 @@ object Extensions {
     // n-gram-Jaccard verification, the production dedup shape (candidates
     // are cheap and approximate; only they pay the exact comparison)
     "dedup_near_verified" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tPar(s, dir, "documents")
       val cands = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
       val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
       cands
@@ -66,7 +75,7 @@ object Extensions {
     // cluster resolution: LSH candidates -> connected components -> one
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
-      val cands = Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val cands = Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
       Dedup.connectedComponents(cands)
     },
     // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
@@ -101,7 +110,7 @@ object Extensions {
           col("n_tokens").between(5, 1000))
     },
     "ngram_jaccard" -> { (s, dir) =>
-      val g = Dedup.shingled(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
+      val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
       val b = g.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
@@ -178,7 +187,7 @@ object Extensions {
       )
     },
     "text_fingerprint" -> { (s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      tPar(s, dir, "documents").select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
     },
     // corpus length distribution: exact per-bucket doc counts + bounds (the
     // standard curation diagnostic before choosing token-length cutoffs)
@@ -252,7 +261,7 @@ object Extensions {
     // quantized math => full DuckDB twin; recall tested in DedupSpec.
     "dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        tPar(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         dim = 64, planes = 4, threshold = 0.2
       )
     },
@@ -286,7 +295,7 @@ object Extensions {
       TextStats.scrubbedDF(aug, col("doc_id"), col("text"))
     },
     "text_repetition" -> { (s, dir) =>
-      TextStats.repetitionDF(t(s, dir, "documents"), col("doc_id"), col("text"))
+      TextStats.repetitionDF(tPar(s, dir, "documents"), col("doc_id"), col("text"))
     },
     // KMV distinct-token sketch (k=16 so the estimation path is live at the
     // fixture vocab size) with the exact count riding along as the audit
@@ -305,7 +314,7 @@ object Extensions {
     // benchmark decontamination: every 50th doc plays the eval set; train
     // docs with >= 10% distinct-5-gram overlap against it are flagged
     "corpus_decontaminate" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tPar(s, dir, "documents")
       Curation.decontaminate(
         docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 50 === 0), col("text"),

@@ -124,9 +124,17 @@ object PipelineQ {
     s.read.parquet(path)
   }
 
+  /** Fixture parquet is one file with ONE row group, so a scan is a single
+    * partition — an explicit repartition ahead of the string-heavy chain
+    * lets the full core count work (at production scale the input arrives
+    * already split and this shuffle is noise next to the map work).
+    */
+  private def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   private def flaggedFor(s: SparkSession, dir: String, dedupe: Boolean): DataFrame = {
     val base = memoDisk(s, s"chain|$dir") {
-      PermitPipeline.runFlagged(rawPermits(s, dir), pinUniverse(s, dir), existing = None)
+      PermitPipeline.runFlagged(par(s, rawPermits(s, dir)), pinUniverse(s, dir), existing = None)
     }
     // flag() is row-wise, so running the 7-key anti-join AFTER it selects
     // exactly the rows runFlagged(existing = Some(...)) would produce — and
@@ -208,7 +216,7 @@ object PipelineQ {
         .as("pin")
     )
     LegacyPipeline.splitFinal(memoDisk(s, s"legacy|$dir") {
-      LegacyPipeline.runFlagged(sheet, Seq("PIN2", "PIN3"), crosswalk, universe)
+      LegacyPipeline.runFlagged(par(s, sheet), Seq("PIN2", "PIN3"), crosswalk, universe)
     })
   }
 
@@ -247,7 +255,7 @@ object PipelineQ {
     val universe = t(s, dir, "customer")
       .select(lpad(col("c_custkey").cast("string"), 14, "0").as("pin"))
     val (upload, review) = LegacyPipeline.splitFinal(memoDisk(s, s"ri|$dir") {
-      ReviewIngestPipeline.runFlagged(reviewSheet(s, dir), universe)
+      ReviewIngestPipeline.runFlagged(par(s, reviewSheet(s, dir)), universe)
     })
     (upload, review, ReviewIngestPipeline.qcCopy(reviewSheet(s, dir)))
   }
