@@ -96,6 +96,47 @@ object Curation {
       )
   }
 
+  /** Corpus-internal duplicated-content fraction: for every document, the
+    * share of its distinct word-n-grams that also occur in at least one
+    * OTHER document (well, in ≥2 documents — grams are distinct per doc,
+    * so document frequency 2 means two different docs). The standard
+    * repeated-span diagnostic run before near-dedup to size boilerplate
+    * (unlike [[decontaminate]], which compares against an external eval
+    * set, this is the corpus against itself).
+    *
+    * Shape at 100 TB: explode grams once, compute document frequency as a
+    * COUNT window over the gram key (one shuffle, no self-join, nothing
+    * scanned twice), then re-aggregate per doc (second shuffle). Both
+    * shuffles are partial-aggregation-friendly and AQE-skew-splittable;
+    * the hot-gram skew case is the window partition on a boilerplate
+    * gram, which AQE handles because the window state is one counter.
+    */
+  def dupSpanFraction(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // fence: explode of the expensively-built gram array would otherwise
+    // re-run the gram build per output element (see PlanOps)
+    val e = graft.ops.PlanOps
+      .fence(Dedup.shingled(df, idCol, textCol, n))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    e.withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup")
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6).as("dup_frac")
+      )
+  }
+
   /** Sequence packing for training batches: assign documents to packs of
     * ~`budget` tokens by cumulative fill — pack p of a salt group holds the
     * docs whose exclusive running token total lands in

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Numeric profile statistics over corpus columns, computed with
+  * ENGINE-EXACT arithmetic so every result has a bit-identical DuckDB
+  * twin: inputs quantize to integers, every sum is an integer sum
+  * (associative — immune to summation order), and the only floating
+  * point is a fixed-order tail of correctly-rounded IEEE primitives
+  * (+ − × ÷ sqrt), which agree across engines. `corr()`-style running
+  * float aggregates can NOT be verified this way (their result depends
+  * on partition merge order) — which is exactly why these exist.
+  */
+object Stats {
+
+  /** Exact linear-interpolated quantiles (the `quantile_cont`
+    * definition: index (n−1)·p into the sorted values, interpolate
+    * between the straddling pair). One row per requested p.
+    *
+    * Scale note: ranking uses a global `row_number` window —
+    * single-task, right for reviewer-scale profile columns (same stance
+    * as the engine's other global-order ops). The 100 TB path is
+    * `approx_percentile` (t-digest, partial-aggregated), which trades
+    * the oracle away for distribution; this operator is the exact twin
+    * used to validate it at small SF.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column, ps: Seq[Double]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val v = df.select(valueCol.cast("long").as("v"))
+    val ranked = v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+    val cnt = v.agg(count(lit(1)).as("n"))
+    val k = ps
+      .toDF("p")
+      .crossJoin(cnt)
+      .withColumn("pos", (col("n") - 1) * col("p"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    // v_lo + (v_hi − v_lo)·(pos − lo), evaluated in exactly this
+    // association — the oracle mirrors it token for token
+    k.join(ranked.select(col("rn").as("rn_lo"), col("v").as("v_lo")), col("lo") + 1 === col("rn_lo"))
+      .join(ranked.select(col("rn").as("rn_hi"), col("v").as("v_hi")), col("hi") + 1 === col("rn_hi"))
+      .select(
+        col("p"),
+        (col("v_lo").cast("double") +
+          (col("v_hi").cast("double") - col("v_lo").cast("double")) *
+          (col("pos") - col("lo").cast("double"))).as("q")
+      )
+  }
+
+  /** Pearson correlation via integer-exact moment sums: one
+    * partial-aggregated pass accumulates (n, Σx, Σy, Σx², Σy², Σxy) as
+    * longs, then the textbook formula runs once on the final scalars.
+    * Distribution-friendly (map-side combine, 6 longs of state) AND
+    * engine-exact — unlike `corr()`, whose streaming covariance updates
+    * depend on partition merge order.
+    */
+  def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy")
+      )
+      .select(
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))).as("r")
+      )
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators over event streams: point-in-time (as-of)
+  * lookups and bounded-interval (range) joins. Neither exists as a Spark
+  * built-in; both are expressed here as compositions of shuffles the
+  * planner already optimizes, not driver-side loops:
+  *
+  *   - as-of join = union + one window pass over (key, ts) — the
+  *     distributed merge-join shape: ONE shuffle on the key, one
+  *     partition-local sort, zero row amplification. The naive
+  *     alternative (theta join `l.ts >= r.ts` + keep-latest) is a
+  *     per-key cross product — quadratic in events-per-key and planned
+  *     as BroadcastNestedLoopJoin when keys are absent.
+  *   - range join = bucketized equi-join: each side lands in
+  *     floor(ts/tol) buckets, the probe side explodes to 3 adjacent
+  *     buckets, and the |Δt| ≤ tol predicate filters after an ordinary
+  *     shuffled equi-join. 3× probe-side amplification buys an
+  *     equi-join plan (SMJ/SHJ, AQE-skew-splittable) instead of the
+  *     nested-loop theta join.
+  *
+  * At 100 TB both scale with the equi-join machinery: partial
+  * aggregation, AQE skew splitting, and co-location via bucketing all
+  * apply, because the physical plan is plain shuffle-on-key.
+  */
+object TemporalOps {
+
+  /** Point-in-time (as-of) left join: for every left row, attach the
+    * payload of the LATEST right row with the same `key` and
+    * `right.ts <= left.ts` (nulls if none). Ties on the right timestamp
+    * resolve to the greatest `rightTie` value, so results are
+    * deterministic under any physical row order.
+    *
+    * Columns out: all of `left`, plus `asof_ts` (the matched right
+    * timestamp) and `asof_<p>` for each payload column `p`. Payload
+    * names must not collide with left column names.
+    *
+    * Implementation: tag and union both sides, then one running
+    * `last(payload, ignoreNulls)` window ordered by
+    * (ts, side, tie) per key — right rows sort before left rows at
+    * equal ts (so `>=` includes same-instant matches), and later tie
+    * values overwrite earlier ones within an instant.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTie: String
+  ): DataFrame = {
+    val r = right.select(
+      col(key),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      col(rightTie).as("__tie"),
+      struct(col(rightTs).as("__mts") +: payload.map(col): _*).as("__pay")
+    )
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("asof_ts", col("__m.__mts"))
+    payload
+      .foldLeft(matched)((d, p) => d.withColumn(s"asof_$p", col(s"__m.$p")))
+      .drop("__ts", "__side", "__tie", "__pay", "__m")
+  }
+
+  /** Interval (range) join: inner-join rows of `left` and `right` on
+    * `key` where `|leftTs - rightTs| <= tolSec`. The two frames must
+    * have disjoint column names apart from `key`.
+    *
+    * Bucketization: both sides bucket at floor(epoch_us / tol); the left
+    * side probes its own bucket ±1. A matching pair is at most one
+    * bucket apart (bucket width = tolerance), and since each right row
+    * has exactly ONE bucket, no pair can match twice — no dedup needed.
+    * Bucket indices stay integral end-to-end (subtract-mod before the
+    * divide), so bucket assignment is engine-exact.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      tolSec: Long
+  ): DataFrame = {
+    require(tolSec > 0, "tolerance must be positive")
+    val tolUs = tolSec * 1000000L
+    def bkt(c: Column): Column =
+      ((unix_micros(c) - pmod(unix_micros(c), lit(tolUs))) / lit(tolUs)).cast("long")
+    val r = right.withColumn("__bkt", bkt(col(rightTs)))
+    val l = left
+      .withColumn("__b0", bkt(col(leftTs)))
+      .withColumn("__bkt", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    l.join(r, Seq(key, "__bkt"))
+      .filter(abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <= tolUs)
+      .drop("__bkt")
+  }
+}

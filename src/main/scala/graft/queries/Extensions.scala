@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ops.TemporalOps
 import graft.streaming.Sessionize
 
 /** LLM-training-data pipeline queries (north-star extensions, SURVEY.md
@@ -320,6 +321,71 @@ object Extensions {
         docs.filter(col("doc_id") % 50 === 0), col("text"),
         n = 5, threshPct = 10
       )
+    },
+    // corpus-internal repeated-span diagnostic: per-doc fraction of
+    // distinct 5-grams shared with at least one other document
+    "text_dup_span_frac" -> { (s, dir) =>
+      Curation.dupSpanFraction(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 5)
+    },
+    // point-in-time join: each click picks up the user's latest purchase
+    // at-or-before it (union + one window pass — merge-join shape, no
+    // per-key cross product)
+    "ev_asof_join" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      TemporalOps
+        .asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("value"), "event_id")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("purchase_us"),
+          col("asof_value").as("purchase_value")
+        )
+    },
+    // interval join: events of the same user within ±30 min of each error
+    // event, aggregated per anchor (bucketized equi-join, not a theta join)
+    "ev_range_join" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val anchors = ev
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("a_ts"))
+      val others = ev.select(
+        col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"), col("value"))
+      val near = TemporalOps
+        .rangeJoin(anchors, others, "user_id", "a_ts", "e_ts", tolSec = 1800)
+        .filter(col("e_id") =!= col("anchor_id"))
+        .groupBy(col("anchor_id"))
+        .agg(
+          count(lit(1)).as("n_nearby"),
+          sum(col("value").cast("decimal(18,2)")).as("sv")
+        )
+      anchors
+        .join(near, Seq("anchor_id"), "left")
+        .select(
+          col("anchor_id"),
+          col("user_id"),
+          unix_micros(col("a_ts")).as("ts_us"),
+          coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+          coalesce(col("sv"), lit(0).cast("decimal(18,2)")).cast("double").as("total_value")
+        )
+    },
+    // exact interpolated quantiles of the doc-length distribution (the
+    // validation twin of approx_percentile; integer inputs => engine-exact)
+    "stats_quantiles" -> { (s, dir) =>
+      Stats.exactQuantiles(
+        t(s, dir, "documents"), col("n_chars"), Seq(0.25, 0.5, 0.75, 0.9))
+    },
+    // Pearson correlation chars~tokens via integer moment sums (the
+    // engine-exact alternative to corr()'s merge-order-dependent stream)
+    "stats_corr" -> { (s, dir) =>
+      Stats.corrExact(
+        t(s, dir, "documents"), col("n_chars"), TextStats.tokenCount(col("text")))
     }
   )
 
@@ -852,6 +918,63 @@ object Extensions {
          SELECT t.doc_id, t.n_grams, coalesce(h.n_hits, 0) AS n_hits,
                 (coalesce(h.n_hits, 0) * 100 >= t.n_grams * 10) AS contaminated
          FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""",
+    "text_dup_span_frac" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS grams FROM w),
+         e AS (SELECT doc_id, unnest(grams) AS gram FROM g5),
+         d AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM e)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         FROM d GROUP BY doc_id""",
+    "ev_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p0 AS (SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "ev_range_join" ->
+      """WITH anchors AS (SELECT event_id AS anchor_id, user_id, ts AS a_ts FROM events WHERE event_type = 'error'),
+         near AS (
+           SELECT a.anchor_id, count(*) AS n_nearby, sum(CAST(e.value AS DECIMAL(18,2))) AS sv
+           FROM anchors a JOIN events e
+             ON e.user_id = a.user_id AND e.event_id <> a.anchor_id
+            AND abs(epoch_us(e.ts) - epoch_us(a.a_ts)) <= 1800000000
+           GROUP BY 1)
+         SELECT a.anchor_id, a.user_id, epoch_us(a.a_ts) AS ts_us,
+                coalesce(n.n_nearby, 0) AS n_nearby,
+                CAST(coalesce(n.sv, 0) AS DOUBLE) AS total_value
+         FROM anchors a LEFT JOIN near n USING (anchor_id)""",
+    "stats_quantiles" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         p AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                              CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+         k AS (SELECT p, (n - 1) * p AS pos,
+                      CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                      CAST(ceil((n - 1) * p) AS BIGINT) AS hi
+               FROM p, c)
+         SELECT k.p,
+                CAST(a.v AS DOUBLE) + (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE)) * (k.pos - CAST(k.lo AS DOUBLE)) AS q
+         FROM k JOIN r a ON a.rn = k.lo + 1 JOIN r b ON b.rn = k.hi + 1""",
+    "stats_corr" ->
+      """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
+           CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS y
+           FROM documents),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM b)
+         SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+         FROM a""",
     "text_bm25_topk" -> {
       val terms = Seq("spark", "query", "window")
       val k1 = 1.2

@@ -75,6 +75,22 @@ class CurationSpec extends SparkSpecBase {
     assert(out.size == 3) // zero-hit docs still reported
   }
 
+  test("dupSpanFraction counts grams shared across docs, not within one doc") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),       // shares "a b c d e" with doc 1
+      (3L, "p q r s t u")        // nothing shared
+    ).toDF("doc_id", "text")
+    val out = Curation
+      .dupSpanFraction(docs, $"doc_id", $"text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("packSequences rejects a non-power-of-two budget") {
     val df = spark.range(0, 3).select($"id".as("doc_id"), lit(10).as("nt"))
     intercept[IllegalArgumentException] {

@@ -1,0 +1,42 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactQuantiles matches the (n-1)p interpolation definition") {
+    // values 0..100: quantile p is exactly 100p (positions land between
+    // integers only for p=0.9 → 90.0 exactly too)
+    val df = (0 to 100).toDF("v")
+    val q = Stats
+      .exactQuantiles(df, col("v"), Seq(0.25, 0.5, 0.75, 0.9))
+      .collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1))
+      .toMap
+    assert(q == Map(0.25 -> 25.0, 0.5 -> 50.0, 0.75 -> 75.0, 0.9 -> 90.0))
+  }
+
+  test("exactQuantiles interpolates between straddling values") {
+    // four values, p=0.5 → pos 1.5 → midpoint of 2nd and 3rd
+    val df = Seq(10, 20, 40, 80).toDF("v")
+    val q = Stats.exactQuantiles(df, col("v"), Seq(0.5)).collect()
+    assert(q.length == 1 && q(0).getDouble(1) == 30.0)
+  }
+
+  test("corrExact: perfectly linear data gives r=1, anti-linear r=-1, and matches corr() closely") {
+    // r is deterministic but the two sqrts round independently, so a
+    // mathematically-exact 1 can land 1 ulp under it
+    val lin = (1 to 50).map(i => (i.toLong, 3L * i + 7L)).toDF("x", "y")
+    assert(math.abs(Stats.corrExact(lin, col("x"), col("y")).collect()(0).getDouble(1) - 1.0) < 1e-12)
+
+    val anti = (1 to 50).map(i => (i.toLong, -2L * i)).toDF("x", "y")
+    assert(math.abs(Stats.corrExact(anti, col("x"), col("y")).collect()(0).getDouble(1) + 1.0) < 1e-12)
+
+    val noisy = (1 to 200).map(i => (i.toLong, (i * i % 97).toLong)).toDF("x", "y")
+    val exact = Stats.corrExact(noisy, col("x"), col("y")).collect()(0).getDouble(1)
+    val builtin = noisy.agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(exact - builtin) < 1e-9)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins (TemporalOps). */
+class TemporalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("asofJoin picks the latest right row at-or-before each left row, nulls when none") {
+    val left = Seq(
+      (1L, 10L, ts(100)),
+      (2L, 10L, ts(205)),
+      (3L, 10L, ts(50)), // before every right row
+      (4L, 20L, ts(100)) // key with no right rows at all
+    ).toDF("event_id", "k", "lts")
+    val right = Seq(
+      (10L, ts(100), 1.0, 7L), // same instant as left #1 → matches (>= semantics)
+      (10L, ts(200), 2.0, 8L),
+      (30L, ts(90), 9.0, 9L) // other key, never visible
+    ).toDF("k", "rts", "value", "tie")
+
+    val out = TemporalOps
+      .asofJoin(left, right, "k", "lts", "rts", Seq("value"), "tie")
+      .select($"event_id", unix_micros($"asof_ts"), $"asof_value")
+    assert(
+      rows(out) == Seq(
+        Seq(1L, 100000000L, 1.0),
+        Seq(2L, 200000000L, 2.0),
+        Seq(3L, null, null),
+        Seq(4L, null, null)
+      )
+    )
+  }
+
+  test("asofJoin resolves same-instant right ties to the greatest tie value") {
+    val left = Seq((1L, 10L, ts(100))).toDF("event_id", "k", "lts")
+    val right = Seq(
+      (10L, ts(100), 1.0, 7L),
+      (10L, ts(100), 2.0, 9L),
+      (10L, ts(100), 3.0, 8L)
+    ).toDF("k", "rts", "value", "tie")
+    val out = TemporalOps.asofJoin(left, right, "k", "lts", "rts", Seq("value"), "tie")
+    assert(rows(out.select($"asof_value")) == Seq(Seq(2.0)))
+  }
+
+  test("rangeJoin equals the naive theta join, including across bucket boundaries") {
+    // tolerance 60 s → bucket width 60 s; pairs straddling a bucket edge
+    // (59 vs 61, 100 vs 159) must still match, and pairs just past the
+    // tolerance (100 vs 161 for key 20) must not
+    val left = Seq((1L, 10L, ts(59)), (2L, 10L, ts(100)), (3L, 20L, ts(100)))
+      .toDF("lid", "k", "lts")
+    val right = Seq(
+      (10L, ts(61), 101L),
+      (10L, ts(159), 102L),
+      (10L, ts(0), 103L),
+      (20L, ts(161), 104L)
+    ).toDF("k", "rts", "rid")
+
+    val got = TemporalOps
+      .rangeJoin(left, right, "k", "lts", "rts", tolSec = 60)
+      .select($"lid", $"rid")
+    val naive = left
+      .join(right, Seq("k"))
+      .filter(abs(unix_micros($"lts") - unix_micros($"rts")) <= 60000000L)
+      .select($"lid", $"rid")
+    assert(rows(got) == rows(naive))
+    // sanity on content, not just self-consistency
+    assert(rows(got) == Seq(Seq(1L, 101L), Seq(1L, 103L), Seq(2L, 101L), Seq(2L, 102L)))
+  }
+
+  test("rangeJoin emits each qualifying pair exactly once") {
+    // identical timestamps land in the same bucket; the ±1 probes must not duplicate the pair
+    val left = Seq((1L, 10L, ts(100))).toDF("lid", "k", "lts")
+    val right = Seq((10L, ts(100), 7L)).toDF("k", "rts", "rid")
+    val out = TemporalOps.rangeJoin(left, right, "k", "lts", "rts", tolSec = 60)
+    assert(out.count() == 1L)
+  }
+}
