@@ -96,6 +96,59 @@ object Curation {
       )
   }
 
+  /** Rebalance a corpus to TARGET mix proportions (static domain mixing):
+    * given integer weights `w_s` per stratum, keep the largest sample whose
+    * stratum proportions are exactly `w_s`-proportional — the bottleneck
+    * stratum (minimum n_s/w_s) is kept whole and every other stratum is
+    * hash-downsampled to match.
+    *
+    * Fully declarative and engine-exact: stratum counts come from one tiny
+    * aggregate (broadcast back — never collected to the driver), the
+    * bottleneck falls out of a row_number over that aggregate, and the keep
+    * gate is integer cross-multiplication —
+    * `hash(id) · u_b · n_s  <  n_b · u_s · 10⁶` — so no floating-point
+    * rate ever exists to diverge between engines. Same determinism
+    * rationale as [[stratifiedSample]] (retry-stable, no rand()).
+    */
+  def mixToTarget(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      weights: Map[String, Int],
+      defaultWeight: Int = 1
+  ): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0), "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val uOf: Column => Column = s =>
+      weights.foldLeft(lit(defaultWeight.toLong): Column) {
+        case (acc, (k, v)) => when(s === k, lit(v.toLong)).otherwise(acc)
+      }
+    val counts = df
+      .groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", uOf(col("__s")))
+    // argmin n/u — the double division is used for ORDERING only, and a
+    // correctly-rounded division of the same integers is identical in any
+    // engine, so the pick is engine-stable (ties break on the stratum name)
+    val bottleneck = counts
+      .withColumn(
+        "__rk",
+        row_number().over(
+          Window.orderBy(
+            (col("__n").cast("double") / col("__u").cast("double")).asc,
+            col("__s").asc))
+      )
+      .filter(col("__rk") === 1)
+      .select(col("__n").as("__nb"), col("__u").as("__ub"))
+    df.join(broadcast(counts), stratumCol === col("__s"))
+      .crossJoin(broadcast(bottleneck))
+      .filter(
+        graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) * col("__ub") * col("__n") <
+          col("__nb") * col("__u") * lit(1000000L)
+      )
+      .drop("__s", "__n", "__u", "__nb", "__ub")
+  }
+
   /** Corpus-internal duplicated-content fraction: for every document, the
     * share of its distinct word-n-grams that also occur in at least one
     * OTHER document (well, in ≥2 documents — grams are distinct per doc,

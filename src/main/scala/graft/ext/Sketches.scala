@@ -35,6 +35,49 @@ object Sketches {
     * only the sketch path (distinct-of-hash + top-k — no wide rows, no
     * global sort).
     */
+  /** Count-min sketch cells (Cormode & Muthukrishnan 2005): `depth`
+    * md5-derived hash rows × `width` cells, each holding the count of
+    * items hashing into it. One groupBy over (row, cell) — the shuffle
+    * carries at most depth×width partial-aggregated rows per map task
+    * regardless of corpus size, which is the whole point of the sketch
+    * at 100 TB: frequency state in O(depth·width), not O(vocabulary).
+    */
+  def countMinCells(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(itemCol.as("item"))
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn(
+        "cell",
+        graft.ops.Hashing
+          .md5Mod(concat(col("j").cast("string"), lit("_"), col("item")), width.toLong))
+      .groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from count-min cells: for each probe item,
+    * min over the depth rows of its cell count (absent cells read 0). The
+    * estimate is one-sided — always ≥ the true count, inflated only by
+    * collisions. Probes join the (small, broadcastable) cell table.
+    */
+  def countMinEstimate(
+      cells: DataFrame,
+      probes: DataFrame,
+      probeCol: Column,
+      depth: Int,
+      width: Int
+  ): DataFrame =
+    probes
+      .select(probeCol.as("item"))
+      .distinct()
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .withColumn(
+        "cell",
+        graft.ops.Hashing
+          .md5Mod(concat(col("j").cast("string"), lit("_"), col("item")), width.toLong))
+      .join(broadcast(cells), Seq("j", "cell"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   def kmvDistinct(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
     require(k > 1, "k must exceed 1")
     val hashes = df.select(hash32(itemCol).as("h")).distinct()

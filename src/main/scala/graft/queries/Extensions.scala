@@ -386,6 +386,29 @@ object Extensions {
     "stats_corr" -> { (s, dir) =>
       Stats.corrExact(
         t(s, dir, "documents"), col("n_chars"), TextStats.tokenCount(col("text")))
+    },
+    // static domain mixing: rebalance sources to 3:2:1:... target
+    // proportions, bottleneck stratum kept whole, others hash-downsampled
+    "corpus_mix_weighted" -> { (s, dir) =>
+      Curation.mixToTarget(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        weights = Map("src0" -> 3, "src1" -> 2), defaultWeight = 1)
+    },
+    // count-min point-frequency estimates for probe tokens, exact counts
+    // riding along as the audit ("zebra" is absent from the fixture vocab)
+    "sketch_countmin" -> { (s, dir) =>
+      import s.implicits._
+      val tokens = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val cells = Sketches.countMinCells(tokens, col("token"), depth = 4, width = 256)
+      val probes = Seq("spark", "table", "the", "zebra").toDF("item")
+      val est = Sketches.countMinEstimate(cells, probes, col("item"), depth = 4, width = 256)
+      val exact = tokens.groupBy(col("token").as("item")).agg(count(lit(1)).as("exact"))
+      est
+        .join(exact, Seq("item"), "left")
+        .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
     }
   )
 
@@ -975,6 +998,35 @@ object Extensions {
          SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
          FROM a""",
+    "corpus_mix_weighted" ->
+      """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         u AS (SELECT s, n,
+                 CAST(CASE WHEN s = 'src0' THEN 3 WHEN s = 'src1' THEN 2 ELSE 1 END AS BIGINT) AS u
+               FROM c),
+         b AS (SELECT n AS nb, u AS ub FROM (
+                 SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk
+                 FROM u) WHERE rk = 1)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+               * b.ub * u.n < b.nb * u.u * 1000000""",
+    "sketch_countmin" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item FROM documents),
+         tok2 AS (SELECT item FROM tok WHERE length(item) > 0),
+         cells AS (
+           SELECT j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tok2, range(0, 4) t(j) GROUP BY 1, 2),
+         probes AS (SELECT unnest(['spark', 'table', 'the', 'zebra']) AS item),
+         pc AS (SELECT item, j,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell
+                FROM probes, range(0, 4) t(j)),
+         est AS (SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+                 FROM pc LEFT JOIN cells USING (j, cell) GROUP BY 1),
+         ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM tok2 GROUP BY 1)
+         SELECT e.item AS token, e.est, coalesce(x.exact, 0) AS exact
+         FROM est e LEFT JOIN ex x USING (item)""",
     "text_bm25_topk" -> {
       val terms = Seq("spark", "query", "window")
       val k1 = 1.2

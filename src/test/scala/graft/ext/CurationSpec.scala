@@ -75,6 +75,23 @@ class CurationSpec extends SparkSpecBase {
     assert(out.size == 3) // zero-hit docs still reported
   }
 
+  test("mixToTarget keeps the bottleneck stratum whole and downsamples others toward the weights") {
+    // 100 docs each of a/b; weights a:4 b:1 → bottleneck is a (100/4 < 100/1),
+    // a kept whole, b sampled at (100·1)/(4·100) = 25%
+    val df = (0 until 100).flatMap(i => Seq((i.toLong * 2, "a"), (i.toLong * 2 + 1, "b"))).toDF("id", "s")
+    val out = Curation.mixToTarget(df, $"id", $"s", Map("a" -> 4), defaultWeight = 1)
+    val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("a") == 100L)
+    assert(byS("b") > 5L && byS("b") < 50L) // ~25 ± hash noise
+    // deterministic: same input, same sample
+    assert(rows(Curation.mixToTarget(df, $"id", $"s", Map("a" -> 4), defaultWeight = 1)) == rows(out))
+  }
+
+  test("mixToTarget with equal weights keeps everything when strata are balanced") {
+    val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    assert(Curation.mixToTarget(df, $"id", $"s", Map.empty, defaultWeight = 1).count() == 40L)
+  }
+
   test("dupSpanFraction counts grams shared across docs, not within one doc") {
     val docs = Seq(
       (1L, "a b c d e f"),       // grams: "a b c d e", "b c d e f"

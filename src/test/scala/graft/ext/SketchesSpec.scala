@@ -30,6 +30,32 @@ class SketchesSpec extends SparkSpecBase {
     assert(again.getAs[Long]("est_distinct") == est)
   }
 
+  test("count-min estimates are one-sided (>= exact) and exact without collisions") {
+    import org.apache.spark.sql.functions.col
+    // 50 distinct items with skewed counts; width 1024 >> 50 makes
+    // collisions across all 4 rows effectively impossible, so est == exact
+    val items = (0 until 50).flatMap(i => Seq.fill(i + 1)(s"tok$i"))
+    val df = items.toDF("t")
+    val cells = Sketches.countMinCells(df, col("t"), depth = 4, width = 1024)
+    val probes = Seq("tok0", "tok49", "absent").toDF("p")
+    val est = Sketches
+      .countMinEstimate(cells, probes, col("p"), depth = 4, width = 1024)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(est("tok0") == 1L)
+    assert(est("tok49") == 50L)
+    assert(est("absent") == 0L)
+    // tight width forces collisions: estimates stay one-sided
+    val tight = Sketches.countMinCells(df, col("t"), depth = 2, width = 4)
+    val e2 = Sketches
+      .countMinEstimate(tight, probes, col("p"), depth = 2, width = 4)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(e2("tok0") >= 1L && e2("tok49") >= 50L)
+  }
+
   test("duplicates never change the sketch") {
     val base = spark.range(0, 500).select(concat(lit("w"), $"id").as("t"))
     val dup = base.union(base).union(base)
