@@ -171,6 +171,31 @@ object Similarity {
   def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
+  /** Per-group embedding centroids (mean-pool): one row per
+    * (group, dimension) with the member count, the exact integer
+    * quantized sum, and the mean. The class-prototype primitive —
+    * centroid init for IVF, per-label prototypes for probing classifiers,
+    * diversity audits.
+    *
+    * Shape at 100 TB: `posexplode` the RAW vector attribute (exploding a
+    * plain column has no re-evaluation trap — quantization happens on the
+    * scalar element AFTER the explode), then one partial-aggregated
+    * groupBy on (group, dim): dim× row amplification into a combine-
+    * friendly shuffle whose output is |groups|·dim rows, independent of
+    * corpus size. Sums are integer-exact, so the mean (one double
+    * division of exact integers) is bit-identical in any engine.
+    */
+  def groupCentroids(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame =
+    df.select(groupCol.as("grp"), posexplode(vecCol).as(Seq("pos", "x")))
+      .select(
+        col("grp"),
+        col("pos"),
+        floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("v")
+      )
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
+
   /** Plane `p`'s component `d`: an INTEGER in [-500, 500) derived from
     * md5(p ∥ "_" ∥ d) — first 8 hex chars as a number, mod 1000, minus 500.
     * Computed DRIVER-side once and shipped as literal arrays: the values are

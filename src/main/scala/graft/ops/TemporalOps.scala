@@ -77,6 +77,30 @@ object TemporalOps {
       .drop("__ts", "__side", "__tie", "__pay", "__m")
   }
 
+  /** Rolling per-key window aggregate over the last `nRows` rows
+    * (inclusive), ordered by (ts, tie): running sum of `valueCol` in
+    * DECIMAL space (exact — float running sums depend on evaluation
+    * order) plus the window's row count. One shuffle on the key, one
+    * partition-local sort; Spark evaluates the bounded ROWS frame
+    * incrementally, so cost is O(rows), not O(rows·frame).
+    */
+  def rollingSum(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      nRows: Int
+  ): DataFrame = {
+    require(nRows > 0, "window must span at least one row")
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    df.withColumn("roll_sum", sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("n_window", count(lit(1)).over(w))
+  }
+
   /** Interval (range) join: inner-join rows of `left` and `right` on
     * `key` where `|leftTs - rightTs| <= tolSec`. The two frames must
     * have disjoint column names apart from `key`.

@@ -395,6 +395,21 @@ object Extensions {
         col("doc_id"), col("source"),
         weights = Map("src0" -> 3, "src1" -> 2), defaultWeight = 1)
     },
+    // per-label embedding centroids: exact quantized sums + means, one row
+    // per (label, dim) — class prototypes / IVF centroid init
+    "emb_label_centroid" -> { (s, dir) =>
+      Similarity
+        .groupCentroids(t(s, dir, "embeddings"), col("label"), col("embedding"))
+        .select(col("grp").as("label"), col("pos"), col("n_vecs"), col("sum_q"), col("mean_q"))
+    },
+    // rolling 5-event window per user: decimal-exact running sum + count
+    "ev_rolling" -> { (s, dir) =>
+      TemporalOps
+        .rollingSum(Fixtures.events(s, dir), "user_id", "ts", "event_id", "value", nRows = 5)
+        .select(
+          col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("roll_sum"), col("n_window"))
+    },
     // count-min point-frequency estimates for probe tokens, exact counts
     // riding along as the audit ("zebra" is absent from the fixture vocab)
     "sketch_countmin" -> { (s, dir) =>
@@ -998,6 +1013,23 @@ object Extensions {
          SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
          FROM a""",
+    "emb_label_centroid" ->
+      """WITH x AS (
+           SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+           FROM embeddings, range(1, 65) t(i))
+         SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(v) AS BIGINT) AS sum_q,
+                CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+         FROM x GROUP BY label, pos""",
+    "ev_rolling" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+           count(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_window
+         FROM events""",
     "corpus_mix_weighted" ->
       """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
          u AS (SELECT s, n,

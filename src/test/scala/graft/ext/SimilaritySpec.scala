@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.length == brute.length, "clamped full probe must see every candidate")
   }
 
+  test("groupCentroids mean-pools quantized vectors per group and dimension") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)),
+      (1, Seq(3.0f, 4.0f)),
+      (2, Seq(10.0f, -10.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity
+      .groupCentroids(df, col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out((1, 0)) == ((2L, 4000L, 2000.0)))
+    assert(out((1, 1)) == ((2L, 6000L, 3000.0)))
+    assert(out((2, 0)) == ((1L, 10000L, 10000.0)))
+    assert(out((2, 1)) == ((1L, -10000L, -10000.0)))
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))

@@ -71,6 +71,26 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(rows(got) == Seq(Seq(1L, 101L), Seq(1L, 103L), Seq(2L, 101L), Seq(2L, 102L)))
   }
 
+  test("rollingSum sums the trailing n rows per key in order") {
+    val df = Seq(
+      (10L, ts(1), 1L, 1.0),
+      (10L, ts(2), 2L, 2.0),
+      (10L, ts(3), 3L, 4.0),
+      (20L, ts(1), 4L, 8.0)
+    ).toDF("k", "t", "id", "value")
+    val out = TemporalOps
+      .rollingSum(df, "k", "t", "id", "value", nRows = 2)
+      .select($"id", $"roll_sum", $"n_window")
+    assert(
+      rows(out) == Seq(
+        Seq(1L, 1.0, 1L),
+        Seq(2L, 3.0, 2L),
+        Seq(3L, 6.0, 2L),
+        Seq(4L, 8.0, 1L)
+      )
+    )
+  }
+
   test("rangeJoin emits each qualifying pair exactly once") {
     // identical timestamps land in the same bucket; the ±1 probes must not duplicate the pair
     val left = Seq((1L, 10L, ts(100))).toDF("lid", "k", "lts")
