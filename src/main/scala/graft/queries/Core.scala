@@ -159,6 +159,53 @@ object Core {
         "val"
       )
     },
+    // ---- X3/A7/A8/W3: pivot, grouping sets, ranked window analytics ----
+    // wide pivot with an explicit value list (deterministic columns; the
+    // reference's wide-workbook reshape in the opposite direction of X2)
+    "x3_pivot" -> { (s, dir) =>
+      Fixtures
+        .events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+    },
+    // rollup subtotals: detail -> per-flag -> grand total in ONE pass
+    // (Spark expands grouping sets before the partial agg, so subtotals
+    // ride the same map-side combine as the detail rows)
+    "a7_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping_id().cast("long").as("gid")
+        )
+    },
+    // full cube over two dims (all four grouping sets)
+    "a8_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+    },
+    // ranked window analytics per user: inter-event gap (lag), next event
+    // type (lead), quartile (ntile), percent_rank — one shuffle on the key,
+    // all five functions share a single sorted window pass
+    "w3_analytics" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Fixtures
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr")
+        )
+    },
     // ---- A1/A5/A6/W2: group-concat, dup-flag, first-per-group, buckets --
     "a1_group_concat" -> { (s, dir) =>
       ReshapeOps.groupConcatDistinct(
@@ -701,6 +748,30 @@ object Core {
       """SELECT p_partkey, attr, val
          FROM (SELECT p_partkey, p_name, p_brand, p_type FROM part)
          UNPIVOT (val FOR attr IN (p_name, p_brand, p_type))""",
+    "x3_pivot" ->
+      """SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+         FROM events GROUP BY user_id""",
+    "a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a8_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    "w3_analytics" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+           lead(event_type, 1) OVER w AS next_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pr
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "a1_group_concat" ->
       """SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_custkey) AS names
          FROM customer GROUP BY c_nationkey""",
