@@ -56,6 +56,31 @@ class SketchesSpec extends SparkSpecBase {
     assert(e2("tok0") >= 1L && e2("tok49") >= 50L)
   }
 
+  test("count-min cells aggregate identically over a stream (state bounded by depth x width)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // streaming aggregation in complete mode needs NO watermark here
+    // precisely because the sketch's group-by domain (j, cell) is bounded
+    // by depth x width — the whole point of sketching frequency state
+    val items = (0 until 40).flatMap(i => Seq.fill(i % 5 + 1)(s"w$i"))
+    val mem = MemoryStream[String]
+    val cells = Sketches.countMinCells(mem.toDF().toDF("t"), col("t"), depth = 3, width = 64)
+    mem.addData(items.take(60): _*)
+    mem.addData(items.drop(60): _*)
+    val q = cells.writeStream
+      .format("memory").queryName("cms_stream").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.countMinCells(items.toDF("t"), col("t"), depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("duplicates never change the sketch") {
     val base = spark.range(0, 500).select(concat(lit("w"), $"id").as("t"))
     val dup = base.union(base).union(base)

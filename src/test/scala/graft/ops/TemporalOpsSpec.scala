@@ -91,6 +91,48 @@ class TemporalOpsSpec extends SparkSpecBase {
     )
   }
 
+  test("asofJoin matches a plain-Scala model on random data with heavy ts collisions") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // ts drawn from 0..30 over 6 keys → many same-instant collisions
+      val left = (0 until 80).map(i => (i.toLong, rnd.nextInt(6).toLong, ts(rnd.nextInt(31).toLong)))
+      val right = (0 until 60).map(i =>
+        (rnd.nextInt(6).toLong, ts(rnd.nextInt(31).toLong), rnd.nextInt(1000).toDouble, i.toLong))
+      val lDf = left.toDF("event_id", "k", "lts")
+      val rDf = right.toDF("k", "rts", "value", "tie")
+
+      val got = TemporalOps
+        .asofJoin(lDf, rDf, "k", "lts", "rts", Seq("value"), "tie")
+        .select($"event_id", unix_micros($"asof_ts"), $"asof_value")
+      val expected = left.map { case (id, k, lts) =>
+        val cands = right.filter(r => r._1 == k && !r._2.after(lts))
+        if (cands.isEmpty) Seq[Any](id, null, null)
+        else {
+          val best = cands.maxBy(r => (r._2.getTime, r._4))
+          Seq[Any](id, best._2.getTime * 1000L, best._3)
+        }
+      }
+      assert(rows(got) == expected.sortBy(_.mkString("|")), s"seed $seed")
+    }
+  }
+
+  test("rangeJoin matches a plain-Scala model on random data") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until 60).map(i => (i.toLong, rnd.nextInt(4).toLong, ts(rnd.nextInt(100).toLong)))
+      val right = (0 until 60).map(i => (rnd.nextInt(4).toLong, ts(rnd.nextInt(100).toLong), i.toLong))
+      val got = TemporalOps
+        .rangeJoin(left.toDF("lid", "k", "lts"), right.toDF("k", "rts", "rid"), "k", "lts", "rts", tolSec = 7)
+        .select($"lid", $"rid")
+      val expected = for {
+        (lid, lk, lt) <- left
+        (rk, rt, rid) <- right
+        if lk == rk && math.abs(lt.getTime - rt.getTime) <= 7000L
+      } yield Seq[Any](lid, rid)
+      assert(rows(got) == expected.sortBy(_.mkString("|")), s"seed $seed")
+    }
+  }
+
   test("rangeJoin emits each qualifying pair exactly once") {
     // identical timestamps land in the same bucket; the ±1 probes must not duplicate the pair
     val left = Seq((1L, 10L, ts(100))).toDF("lid", "k", "lts")
