@@ -50,6 +50,40 @@ object Stats {
       )
   }
 
+  /** Per-group exact interpolated quantile — same (n−1)p definition as
+    * [[exactQuantiles]], but every window is PARTITIONED by the group, so
+    * ranking scales out across groups (no global sort anywhere). One row
+    * per group: (grp, q). This is the shape grouped quantiles should take
+    * at 100 TB when group cardinality is high and per-group rows are
+    * bounded; for the opposite shape (few huge groups) use
+    * approx_percentile per group.
+    */
+  def groupedQuantile(df: DataFrame, groupCol: Column, valueCol: Column, p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, "p must be in [0,1]")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val cw = Window.partitionBy(col("__g"))
+    df.select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("__pos", (col("__n") - 1) * lit(p))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+      .filter(col("__rn") === col("__lo") + 1 || col("__rn") === col("__hi") + 1)
+      .groupBy(col("__g"))
+      .agg(
+        max(when(col("__rn") === col("__lo") + 1, col("__v"))).as("__vlo"),
+        max(when(col("__rn") === col("__hi") + 1, col("__v"))).as("__vhi"),
+        max(col("__pos")).as("__p"),
+        max(col("__lo")).as("__l")
+      )
+      .select(
+        col("__g").as("grp"),
+        (col("__vlo").cast("double") +
+          (col("__vhi").cast("double") - col("__vlo").cast("double")) *
+          (col("__p") - col("__l").cast("double"))).as("q")
+      )
+  }
+
   /** Pearson correlation via integer-exact moment sums: one
     * partial-aggregated pass accumulates (n, Σx, Σy, Σx², Σy², Σxy) as
     * longs, then the textbook formula runs once on the final scalars.

@@ -159,6 +159,23 @@ object Core {
         "val"
       )
     },
+    // ---- U3/U4: set intersection / difference (distinct semantics) -----
+    "u3_intersect" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+    },
+    // customers with no urgent order (every fixture customer has SOME
+    // order, so the unfiltered difference would be degenerately empty)
+    "u4_except" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"))
+        .except(
+          t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("custkey")))
+    },
     // ---- X3/A7/A8/W3: pivot, grouping sets, ranked window analytics ----
     // wide pivot with an explicit value list (deterministic columns; the
     // reference's wide-workbook reshape in the opposite direction of X2)
@@ -748,6 +765,12 @@ object Core {
       """SELECT p_partkey, attr, val
          FROM (SELECT p_partkey, p_name, p_brand, p_type FROM part)
          UNPIVOT (val FOR attr IN (p_name, p_brand, p_type))""",
+    "u3_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT SELECT o_custkey FROM orders""",
+    "u4_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "x3_pivot" ->
       """SELECT user_id,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -410,6 +410,37 @@ object Extensions {
           col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("roll_sum"), col("n_window"))
     },
+    // JSON column parsing: extract props.k and profile it per event type
+    "ev_props_json" -> { (s, dir) =>
+      Fixtures
+        .events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    },
+    // fuzzy matching: Levenshtein distance between consecutive docs' 40-char
+    // prefixes (the record-linkage primitive; both engines implement the
+    // standard Wagner-Fischer metric)
+    "text_edit_distance" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      d.as("a")
+        .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          col("a.doc_id").as("id_lo"),
+          col("b.doc_id").as("id_hi"),
+          levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+    },
+    // grouped exact median via PARTITIONED windows — scales across groups,
+    // unlike the single global sort of stats_quantiles
+    "stats_median_by_source" -> { (s, dir) =>
+      Stats
+        .groupedQuantile(t(s, dir, "documents"), col("source"), col("n_chars"), p = 0.5)
+        .select(col("grp").as("source"), col("q").as("median"))
+    },
     // count-min point-frequency estimates for probe tokens, exact counts
     // riding along as the audit ("zebra" is absent from the fixture vocab)
     "sketch_countmin" -> { (s, dir) =>
@@ -1042,6 +1073,35 @@ object Extensions {
          FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
                * b.ub * u.n < b.nb * u.u * 1000000""",
+    "ev_props_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type""",
+    "text_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents)
+         SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+                CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""",
+    "stats_median_by_source" ->
+      """WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+         r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+               FROM v),
+         k AS (SELECT g, v, rn, (n - 1) * CAST(0.5 AS DOUBLE) AS pos,
+                      CAST(floor((n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) AS lo,
+                      CAST(ceil((n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) AS hi
+               FROM r),
+         f AS (SELECT g,
+                 max(CASE WHEN rn = lo + 1 THEN v END) AS vlo,
+                 max(CASE WHEN rn = hi + 1 THEN v END) AS vhi,
+                 max(pos) AS pos, max(lo) AS lo
+               FROM k WHERE rn = lo + 1 OR rn = hi + 1 GROUP BY g)
+         SELECT g AS source,
+                CAST(vlo AS DOUBLE) + (CAST(vhi AS DOUBLE) - CAST(vlo AS DOUBLE)) * (pos - CAST(lo AS DOUBLE)) AS median
+         FROM f""",
     "sketch_countmin" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item FROM documents),
          tok2 AS (SELECT item FROM tok WHERE length(item) > 0),

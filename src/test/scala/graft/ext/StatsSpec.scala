@@ -25,6 +25,20 @@ class StatsSpec extends SparkSpecBase {
     assert(q.length == 1 && q(0).getDouble(1) == 30.0)
   }
 
+  test("groupedQuantile computes each group's interpolated quantile independently") {
+    val df = Seq(
+      ("a", 10), ("a", 20), ("a", 40), ("a", 80), // p=.5 → pos 1.5 → 30
+      ("b", 1), ("b", 2), ("b", 3), // odd count → exact middle 2
+      ("c", 7) // singleton → itself
+    ).toDF("g", "v")
+    val out = Stats
+      .groupedQuantile(df, col("g"), col("v"), p = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(out == Map("a" -> 30.0, "b" -> 2.0, "c" -> 7.0))
+  }
+
   test("corrExact: perfectly linear data gives r=1, anti-linear r=-1, and matches corr() closely") {
     // r is deterministic but the two sqrts round independently, so a
     // mathematically-exact 1 can land 1 ulp under it
