@@ -410,6 +410,28 @@ object Extensions {
           col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("roll_sum"), col("n_window"))
     },
+    // time-series resampling with forward fill: an hourly grid per user
+    // (generated in-plan — sequence + explode, no driver loop), each point
+    // carrying the user's latest event at-or-before it via the SAME as-of
+    // operator queries use directly — operator composition, not a one-off
+    "ev_resample_ffill" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val grid = ev
+        .groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("gts"))
+      TemporalOps
+        .asofJoin(
+          grid,
+          ev.select(col("user_id"), col("ts"), col("value"), col("event_id")),
+          "user_id", "gts", "ts", Seq("value"), "event_id")
+        .select(
+          col("user_id"),
+          unix_micros(col("gts")).as("gts_us"),
+          unix_micros(col("asof_ts")).as("last_ts_us"),
+          col("asof_value").as("last_value"))
+    },
     // JSON column parsing: extract props.k and profile it per event type
     "ev_props_json" -> { (s, dir) =>
       Fixtures
@@ -1073,6 +1095,17 @@ object Extensions {
          FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
                * b.ub * u.n < b.nb * u.u * 1000000""",
+    "ev_resample_ffill" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+                    FROM events GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts FROM b),
+         p0 AS (SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events),
+         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+         SELECT g.user_id, epoch_us(g.gts) AS gts_us,
+                epoch_us(p.ts) AS last_ts_us, p.value AS last_value
+         FROM grid g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.gts >= p.ts""",
     "ev_props_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

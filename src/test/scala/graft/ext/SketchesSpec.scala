@@ -66,7 +66,7 @@ class SketchesSpec extends SparkSpecBase {
     // by depth x width — the whole point of sketching frequency state
     val items = (0 until 40).flatMap(i => Seq.fill(i % 5 + 1)(s"w$i"))
     val mem = MemoryStream[String]
-    val cells = Sketches.countMinCells(mem.toDF().toDF("t"), col("t"), depth = 3, width = 64)
+    val cells = Sketches.countMinCellsStream(mem.toDF().toDF("t"), col("t"), depth = 3, width = 64)
     mem.addData(items.take(60): _*)
     mem.addData(items.drop(60): _*)
     val q = cells.writeStream
