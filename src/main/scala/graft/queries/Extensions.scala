@@ -432,6 +432,30 @@ object Extensions {
           unix_micros(col("asof_ts")).as("last_ts_us"),
           col("asof_value").as("last_value"))
     },
+    // conversion funnel: each user's first click, first purchase at-or-after
+    // it, latency, and purchase count after the click — one window pass to
+    // pin the anchor, one aggregate; unconverted users kept via left join
+    "ev_funnel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Fixtures.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+      val withAnchor = ev
+        .withColumn("c_ts", min(when(col("event_type") === "click", col("ts"))).over(w))
+      val conv = withAnchor
+        .filter(col("event_type") === "purchase" && col("ts") >= col("c_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("p_ts"), count(lit(1)).as("n_purchases_after"))
+      ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("c_ts"))
+        .filter(col("c_ts").isNotNull)
+        .join(conv, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          unix_micros(col("c_ts")).as("click_us"),
+          unix_micros(col("p_ts")).as("purchase_us"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("latency_us"),
+          coalesce(col("n_purchases_after"), lit(0L)).as("n_purchases_after"))
+    },
     // JSON column parsing: extract props.k and profile it per event type
     "ev_props_json" -> { (s, dir) =>
       Fixtures
@@ -1106,6 +1130,21 @@ object Extensions {
          SELECT g.user_id, epoch_us(g.gts) AS gts_us,
                 epoch_us(p.ts) AS last_ts_us, p.value AS last_value
          FROM grid g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.gts >= p.ts""",
+    "ev_funnel" ->
+      """WITH a AS (
+           SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
+           FROM events GROUP BY 1),
+         conv AS (
+           SELECT e.user_id, min(e.ts) AS p_ts, CAST(count(*) AS BIGINT) AS n_purchases_after
+           FROM events e JOIN a ON a.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= a.c_ts
+           GROUP BY 1)
+         SELECT a.user_id, epoch_us(a.c_ts) AS click_us,
+                epoch_us(conv.p_ts) AS purchase_us,
+                epoch_us(conv.p_ts) - epoch_us(a.c_ts) AS latency_us,
+                coalesce(conv.n_purchases_after, 0) AS n_purchases_after
+         FROM a LEFT JOIN conv ON conv.user_id = a.user_id
+         WHERE a.c_ts IS NOT NULL""",
     "ev_props_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -145,4 +145,24 @@ class SessionizeSpec extends SparkSpecBase {
       .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("n_events")))
     assert(out.sortBy(_._2).toSeq == Seq(("u1", 1L), ("u1", 2L)))
   }
+
+  test("stream-static broadcast enrichment joins every micro-batch against the dimension") {
+    // the standard streaming lookup: each micro-batch hash-joins the
+    // broadcast dimension map-side — no shuffle of the stream, no state
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("user_id", "tier")
+    val enriched = mem.toDF().toDF("user_id", "event_id")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    mem.addData(("u1", 1L), ("u3", 2L))
+    mem.addData(("u2", 3L))
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_test").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).toSet
+    assert(out == Set((1L, "gold"), (2L, null), (3L, "basic")))
+  }
 }
