@@ -190,6 +190,49 @@ object Curation {
       )
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window
+    * primitive): split each document into windows of `chunkTokens` words
+    * starting every `stride` words. One row per (doc, window) with the
+    * window's text and token count.
+    *
+    * Row-local end to end: the offsets are an in-plan integer `sequence`,
+    * so chunking is a generator over each row — no shuffle, no state,
+    * scales as a pure map stage. The words array is fenced before the
+    * offset explode (the [[graft.ops.PlanOps]] Generate trap: an inlined
+    * single-consumer split would re-run per emitted chunk).
+    */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      chunkTokens: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunk size and stride must be positive")
+    val staged = graft.ops.PlanOps.fence(
+      df.select(
+        idCol.as("doc_id"),
+        split(trim(textCol), "\\s+").as("words")
+      ).withColumn("n_words", size(col("words")))
+        .withColumn("offs", sequence(lit(0), greatest(col("n_words") - 1, lit(0)), lit(stride)))
+    )
+    staged
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("words"),
+        posexplode(col("offs")).as(Seq("chunk_idx", "off"))
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("chunk_idx"),
+        col("off"),
+        array_join(slice(col("words"), col("off") + 1, lit(chunkTokens)), " ").as("chunk"),
+        size(slice(col("words"), col("off") + 1, lit(chunkTokens))).as("n_chunk_tokens")
+      )
+  }
+
   /** Sequence packing for training batches: assign documents to packs of
     * ~`budget` tokens by cumulative fill — pack p of a salt group holds the
     * docs whose exclusive running token total lands in

@@ -322,6 +322,11 @@ object Extensions {
         n = 5, threshPct = 10
       )
     },
+    // RAG chunking: 50-token windows every 25 tokens, one row per chunk
+    "curate_chunk_windows" -> { (s, dir) =>
+      Curation.chunkWindows(
+        t(s, dir, "documents"), col("doc_id"), col("text"), chunkTokens = 50, stride = 25)
+    },
     // corpus-internal repeated-span diagnostic: per-doc fraction of
     // distinct 5-grams shared with at least one other document
     "text_dup_span_frac" -> { (s, dir) =>
@@ -1033,6 +1038,16 @@ object Extensions {
          SELECT t.doc_id, t.n_grams, coalesce(h.n_hits, 0) AS n_hits,
                 (coalesce(h.n_hits, 0) * 100 >= t.n_grams * 10) AS contaminated
          FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""",
+    "curate_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         x AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM w),
+         o AS (SELECT doc_id, n_words, w, unnest(range(0, CAST(n_words AS INTEGER), 25)) AS off FROM x)
+         SELECT doc_id, n_words,
+                CAST(off // 25 AS INTEGER) AS chunk_idx,
+                CAST(off AS INTEGER) AS off,
+                array_to_string(w[off + 1 : off + 50], ' ') AS chunk,
+                CAST(len(w[off + 1 : off + 50]) AS INTEGER) AS n_chunk_tokens
+         FROM o""",
     "text_dup_span_frac" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),

@@ -92,6 +92,21 @@ class CurationSpec extends SparkSpecBase {
     assert(Curation.mixToTarget(df, $"id", $"s", Map.empty, defaultWeight = 1).count() == 40L)
   }
 
+  test("chunkWindows emits overlapping windows covering every token") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.chunkWindows(docs, $"doc_id", $"text", chunkTokens = 4, stride = 3)
+      .select($"chunk_idx", $"off", $"chunk", $"n_chunk_tokens")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, 0, "w1 w2 w3 w4", 4),
+      (1, 3, "w4 w5 w6 w7", 4),
+      (2, 6, "w7 w8 w9 w10", 4),
+      (3, 9, "w10", 1) // tail window clips at the document end
+    ))
+  }
+
   test("dupSpanFraction counts grams shared across docs, not within one doc") {
     val docs = Seq(
       (1L, "a b c d e f"),       // grams: "a b c d e", "b c d e f"
