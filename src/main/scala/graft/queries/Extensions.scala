@@ -441,18 +441,22 @@ object Extensions {
     // it, latency, and purchase count after the click — one window pass to
     // pin the anchor, one aggregate; unconverted users kept via left join
     "ev_funnel" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = Fixtures.events(s, dir)
-      val w = Window.partitionBy(col("user_id"))
-      val withAnchor = ev
-        .withColumn("c_ts", min(when(col("event_type") === "click", col("ts"))).over(w))
-      val conv = withAnchor
-        .filter(col("event_type") === "purchase" && col("ts") >= col("c_ts"))
+      // anchor via aggregate + broadcast-join back, NOT a per-user window:
+      // the window form sorts every event inside the shuffle; this shape is
+      // one partial-agg (anchors are |users| rows, broadcastable) plus a
+      // map-side probe of the purchases
+      val anchors = ev
         .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("p_ts"), count(lit(1)).as("n_purchases_after"))
-      ev.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "click", col("ts"))).as("c_ts"))
         .filter(col("c_ts").isNotNull)
+      val conv = ev
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(anchors), Seq("user_id"))
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("p_ts"), count(lit(1)).as("n_purchases_after"))
+      anchors
         .join(conv, Seq("user_id"), "left")
         .select(
           col("user_id"),
