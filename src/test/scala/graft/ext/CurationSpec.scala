@@ -107,6 +107,17 @@ class CurationSpec extends SparkSpecBase {
     ))
   }
 
+  test("chunkWindows with stride == chunk size partitions the document exactly") {
+    val text = (1 to 23).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Curation.chunkWindows(docs, $"doc_id", $"text", chunkTokens = 5, stride = 5)
+      .orderBy($"chunk_idx")
+      .collect()
+    // non-overlapping windows: concatenation reconstructs the document
+    assert(chunks.map(_.getAs[String]("chunk")).mkString(" ") == text)
+    assert(chunks.map(_.getAs[Int]("n_chunk_tokens")).sum == 23)
+  }
+
   test("dupSpanFraction counts grams shared across docs, not within one doc") {
     val docs = Seq(
       (1L, "a b c d e f"),       // grams: "a b c d e", "b c d e f"

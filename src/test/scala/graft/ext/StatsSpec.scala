@@ -39,6 +39,25 @@ class StatsSpec extends SparkSpecBase {
     assert(out == Map("a" -> 30.0, "b" -> 2.0, "c" -> 7.0))
   }
 
+  test("groupedQuantile agrees with exactQuantiles run per group on random data") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 300)
+      .map(i => (s"g${i % 7}", rnd.nextInt(1000)))
+      .toDF("g", "v")
+    val grouped = Stats
+      .groupedQuantile(df, col("g"), col("v"), p = 0.25)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    for (g <- 0 until 7) {
+      val single = Stats
+        .exactQuantiles(df.filter(col("g") === s"g$g"), col("v"), Seq(0.25))
+        .collect()(0)
+        .getDouble(1)
+      assert(grouped(s"g$g") == single, s"group g$g")
+    }
+  }
+
   test("corrExact: perfectly linear data gives r=1, anti-linear r=-1, and matches corr() closely") {
     // r is deterministic but the two sqrts round independently, so a
     // mathematically-exact 1 can land 1 ulp under it
