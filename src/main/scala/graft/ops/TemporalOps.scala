@@ -30,9 +30,10 @@ object TemporalOps {
 
   /** Point-in-time (as-of) left join: for every left row, attach the
     * payload of the LATEST right row with the same `key` and
-    * `right.ts <= left.ts` (nulls if none). Ties on the right timestamp
-    * resolve to the greatest `rightTie` value, so results are
-    * deterministic under any physical row order.
+    * `right.ts <= left.ts` (nulls if none) — or, with `forward = true`,
+    * the EARLIEST right row with `right.ts >= left.ts`. Ties on the
+    * right timestamp resolve to the greatest `rightTie` value, so
+    * results are deterministic under any physical row order.
     *
     * Columns out: all of `left`, plus `asof_ts` (the matched right
     * timestamp) and `asof_<p>` for each payload column `p`. Payload
@@ -41,8 +42,10 @@ object TemporalOps {
     * Implementation: tag and union both sides, then one running
     * `last(payload, ignoreNulls)` window ordered by
     * (ts, side, tie) per key — right rows sort before left rows at
-    * equal ts (so `>=` includes same-instant matches), and later tie
-    * values overwrite earlier ones within an instant.
+    * equal ts (so the bound includes same-instant matches), and later
+    * tie values overwrite earlier ones within an instant. The forward
+    * variant simply reverses the timestamp order; everything else is
+    * identical, so both directions share the one-shuffle merge shape.
     */
   def asofJoin(
       left: DataFrame,
@@ -51,7 +54,8 @@ object TemporalOps {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      rightTie: String
+      rightTie: String,
+      forward: Boolean = false
   ): DataFrame = {
     val r = right.select(
       col(key),
@@ -64,9 +68,10 @@ object TemporalOps {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .orderBy(tsOrder, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))

@@ -353,6 +353,26 @@ object Extensions {
           col("asof_value").as("purchase_value")
         )
     },
+    // forward as-of: each click's NEXT purchase at-or-after it (time-to-
+    // conversion shape; same one-shuffle merge plan, reversed ts order)
+    "ev_asof_forward" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      TemporalOps
+        .asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("value"), "event_id", forward = true)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("purchase_us"),
+          col("asof_value").as("purchase_value")
+        )
+    },
     // interval join: events of the same user within ±30 min of each error
     // event, aggregated per anchor (bucketized equi-join, not a theta join)
     "ev_range_join" -> { (s, dir) =>
@@ -1071,6 +1091,15 @@ object Extensions {
          SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
                 epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
          FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "ev_asof_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p0 AS (SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""",
     "ev_range_join" ->
       """WITH anchors AS (SELECT event_id AS anchor_id, user_id, ts AS a_ts FROM events WHERE event_type = 'error'),
          near AS (
