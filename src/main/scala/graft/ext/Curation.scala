@@ -249,8 +249,10 @@ object Curation {
     * (floor of an exact binary division) is bit-identical in any engine.
     *
     * @return input columns + n_tokens, cum_tokens (inclusive, within salt),
-    *         pack_id (= salt·10⁶ + local pack), pack_pos (1-based within
-    *         pack)
+    *         pack_id (= salt·2⁴⁰ + local pack — the shift leaves 2⁴⁰ local
+    *         packs per salt, ≈10¹² · budget tokens, before adjacent salts
+    *         could collide; a 10⁶ multiplier demonstrably could at 100 TB),
+    *         pack_pos (1-based within pack)
     */
   def packSequences(
       df: DataFrame,
@@ -260,6 +262,7 @@ object Curation {
       salts: Int
   ): DataFrame = {
     require(budget > 0 && (budget & (budget - 1)) == 0, "budget must be a power of two")
+    require(salts > 0 && salts <= (1 << 20), "salts must fit the pack_id high bits")
     import org.apache.spark.sql.expressions.Window
     val bySalt = Window.partitionBy(col("salt")).orderBy(idCol)
     val withCum = df
@@ -272,7 +275,7 @@ object Curation {
         "pack_local",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget).cast("long")
       )
-      .withColumn("pack_id", col("salt") * 1000000L + col("pack_local"))
+      .withColumn("pack_id", shiftleft(col("salt"), 40) + col("pack_local"))
       .withColumn("pack_pos", row_number().over(byPack).cast("long"))
       .drop("salt", "pack_local")
   }

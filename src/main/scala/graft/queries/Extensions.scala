@@ -990,12 +990,12 @@ object Extensions {
            FROM documents
          ), c AS (
            SELECT doc_id, salt, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY salt ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(sum(n_tokens) OVER (PARTITION BY salt ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
            FROM d
          ), p AS (
            SELECT doc_id, n_tokens, cum_tokens,
-             salt * 1000000 + CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
+             salt * 1099511627776 + CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
            FROM c
          )
          SELECT doc_id, n_tokens, cum_tokens, pack_id,

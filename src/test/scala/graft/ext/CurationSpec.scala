@@ -52,10 +52,11 @@ class CurationSpec extends SparkSpecBase {
     assert(out(4L) == ((100L, 300L, 0L, 3L))) // straddler stays in pack 0
     assert(out(6L) == ((100L, 400L, 1L, 1L)))
     assert(out(8L) == ((100L, 500L, 1L, 2L)))
-    // odd salt group packs under salt prefix 1_000_000
-    assert(out(1L) == ((100L, 100L, 1000000L, 1L)))
+    // odd salt group packs under salt prefix 2^40
+    val p = 1L << 40
+    assert(out(1L) == ((100L, 100L, p, 1L)))
     // packs never cross salt groups
-    assert(out.values.map(_._3).toSet == Set(0L, 1L, 1000000L, 1000001L))
+    assert(out.values.map(_._3).toSet == Set(0L, 1L, p, p + 1L))
   }
 
   test("decontaminate flags docs overlapping the benchmark, leaves the rest") {
