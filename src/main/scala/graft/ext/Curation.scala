@@ -140,7 +140,10 @@ object Curation {
       )
       .filter(col("__rk") === 1)
       .select(col("__n").as("__nb"), col("__u").as("__ub"))
-    df.join(broadcast(counts), stratumCol === col("__s"))
+    // `<=>` so a NULL stratum matches its own count row instead of being
+    // silently inner-joined away — defaultWeight promises unlisted strata
+    // (NULL included) participate, and groupBy already emits a NULL group
+    df.join(broadcast(counts), stratumCol <=> col("__s"))
       .crossJoin(broadcast(bottleneck))
       .filter(
         graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) * col("__ub") * col("__n") <

@@ -24,17 +24,6 @@ object Sketches {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** One-row KMV distinct estimate over `itemCol` of `df`:
-    * (k, k_actual, kth_min, est_distinct, exact_distinct).
-    *
-    * `est_distinct` = (k−1)·2³² div kth_min — integer division, exact in
-    * any engine. When the domain has fewer than k distinct hashes the
-    * sketch degenerates to exact (`est = k_actual`). `exact_distinct`
-    * (distinct items, not hashes) rides along so the estimate is
-    * self-auditing; a production pipeline at 100 TB would drop it and keep
-    * only the sketch path (distinct-of-hash + top-k — no wide rows, no
-    * global sort).
-    */
   /** Count-min sketch cells (Cormode & Muthukrishnan 2005): `depth`
     * md5-derived hash rows × `width` cells, each holding the count of
     * items hashing into it. One groupBy over (row, cell) — the shuffle
@@ -103,24 +92,32 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** One-row KMV distinct estimate over `itemCol` of `df`:
+    * (k, k_actual, kth_min, est_distinct).
+    *
+    * `est_distinct` = (k−1)·2³² div kth_min — integer division, exact in
+    * any engine. When the domain has fewer than k distinct hashes the
+    * sketch degenerates to exact (`est = k_actual`). ONE pass: distinct of
+    * the 32-bit hash, then TakeOrdered(k) — per-partition partial limits
+    * merged at the exchange, no global sort, no wide rows, which is the
+    * whole point of the sketch at 100 TB. The accuracy audit against the
+    * exact distinct count (a full distinct shuffle the sketch exists to
+    * avoid) lives in SketchesSpec, not in the operator.
+    */
   def kmvDistinct(df: DataFrame, itemCol: Column, k: Int): DataFrame = {
     require(k > 1, "k must exceed 1")
-    val hashes = df.select(hash32(itemCol).as("h")).distinct()
-    val mins = hashes
+    df.select(hash32(itemCol).as("h"))
+      .distinct()
       .orderBy(col("h"))
       .limit(k)
       .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k_actual"))
-    val exact = df.agg(count_distinct(itemCol).as("exact_distinct"))
-    mins
-      .crossJoin(exact)
       .select(
         lit(k.toLong).as("k"),
         col("k_actual"),
         col("kth_min"),
         when(col("k_actual") < k, col("k_actual"))
           .otherwise(expr(s"(${k - 1} * 4294967296L) div kth_min"))
-          .as("est_distinct"),
-        col("exact_distinct")
+          .as("est_distinct")
       )
   }
 }

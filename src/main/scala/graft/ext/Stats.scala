@@ -86,25 +86,52 @@ object Stats {
 
   /** Pearson correlation via integer-exact moment sums: one
     * partial-aggregated pass accumulates (n, Σx, Σy, Σx², Σy², Σxy) as
-    * longs, then the textbook formula runs once on the final scalars.
-    * Distribution-friendly (map-side combine, 6 longs of state) AND
-    * engine-exact — unlike `corr()`, whose streaming covariance updates
-    * depend on partition merge order.
+    * `decimal(38,0)`, then the textbook formula runs once on the final
+    * scalars. Distribution-friendly (map-side combine, 6 decimals of
+    * state) AND engine-exact — unlike `corr()`, whose streaming
+    * covariance updates depend on partition merge order. Decimal(38,0)
+    * covers the same ±1.7e38 range as DuckDB's HUGEINT promotion, so
+    * n·Σx² at corpus scale (≈1M docs × 5000² chars ≈ 2.5e19) stays exact
+    * on both sides instead of silently wrapping a Long.
     */
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
-    df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy")
-      )
-      .select(
+    corrMoments(
+      df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+        .agg(momentAggs.head, momentAggs.tail: _*))
+
+  /** [[corrExact]] per group — the profiling shape a curation user runs
+    * (corr(quality, length) by source). Same decimal moments, but the
+    * aggregate is keyed so it partial-aggregates and shuffles only
+    * |groups| rows. One row per group: (grp, n, r).
+    */
+  def corrExactBy(df: DataFrame, groupCol: Column, xCol: Column, yCol: Column): DataFrame =
+    corrMoments(
+      df.select(groupCol.as("grp"), xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+        .groupBy(col("grp"))
+        .agg(momentAggs.head, momentAggs.tail: _*),
+      keyCols = Seq(col("grp"))
+    )
+
+  private val Dec = "decimal(38,0)"
+
+  private def momentAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(col("x").cast(Dec)).as("sx"),
+    sum(col("y").cast(Dec)).as("sy"),
+    sum(col("x").cast(Dec) * col("x").cast(Dec)).as("sxx"),
+    sum(col("y").cast(Dec) * col("y").cast(Dec)).as("syy"),
+    sum(col("x").cast(Dec) * col("y").cast(Dec)).as("sxy")
+  )
+
+  private def corrMoments(m: DataFrame, keyCols: Seq[Column] = Nil): DataFrame = {
+    val nD = col("n").cast(Dec)
+    m.select(
+      keyCols ++ Seq(
         col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))).as("r")
-      )
+        ((nD * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((nD * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((nD * col("syy") - col("sy") * col("sy")).cast("double")))).as("r")
+      ): _*
+    )
+  }
 }

@@ -518,6 +518,59 @@ object Core {
         .filter(col("flagged"))
         .select(col("o_orderkey"), col("o_orderstatus"))
     },
+    // ---- S5b: REAL cell-fill-color predicate scan ------------------------
+    // the reference filters reviewed sheets on the PIN cell's BACKGROUND
+    // COLOR (format_reviewed_permits_for_upload.py:31-83: yellow FFFFFF00,
+    // orange FFFFC000, or the theme-7/tint≈0.4 fill). Here the colors are
+    // real: written into styles.xml by the engine's own sink, read back as
+    // a fill_spec column by the styled scan, and filtered with the
+    // reference's exact flag predicate
+    "s5_color_filter" -> { (s, dir) =>
+      val path = Scratch.dir("xlsx_color", dir) + "/reviewed.xlsx"
+      val sheet = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("custkey"),
+        lpad(col("c_custkey").cast("string"), 14, "0").as("pin"),
+        col("c_name").as("name"),
+        // deterministic reviewer-coloring stand-in; first match wins, and
+        // green FF92D050 is a real color that must NOT flag
+        when(col("c_custkey") % 13 === 0, lit("FF92D050"))
+          .when(col("c_custkey") % 5 === 0, lit("FFFFFF00"))
+          .when(col("c_custkey") % 7 === 0, lit("FFFFC000"))
+          .when(col("c_custkey") % 11 === 0, lit("theme:7:0.3999755851924192"))
+          .as("pin_fill")
+      )
+      graft.sources.Xlsx.writeSheets(
+        Seq("PIN Errors" -> sheet), path, fillColumns = Map("pin" -> "pin_fill"))
+      graft.sources.Xlsx
+        .readWithFill(s, path, Some("PIN Errors"), "pin")
+        .filter(graft.sources.Xlsx.fillIsFlagged(col("fill_spec")))
+        .select(col("custkey"), col("pin"), col("name"), col("fill_spec"))
+    },
+    // the QC artifact of the same flow (format_reviewed_permits_for_upload
+    // .py:86-120): a COPY of the workbook with flagged rows deleted and all
+    // remaining formatting preserved — here the green non-flag fill must
+    // survive the rewrite and the flagged rows must be gone
+    "s5_qc_cleaned" -> { (s, dir) =>
+      val base = Scratch.dir("xlsx_qc", dir)
+      val orig = base + "/reviewed.xlsx"
+      val cleaned = base + "/cleaned.xlsx"
+      val sheet = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("custkey"),
+        lpad(col("c_custkey").cast("string"), 14, "0").as("pin"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 13 === 0, lit("FF92D050"))
+          .when(col("c_custkey") % 5 === 0, lit("FFFFFF00"))
+          .when(col("c_custkey") % 7 === 0, lit("FFFFC000"))
+          .when(col("c_custkey") % 11 === 0, lit("theme:7:0.3999755851924192"))
+          .as("pin_fill")
+      )
+      graft.sources.Xlsx.writeSheets(
+        Seq("PIN Errors" -> sheet), orig, fillColumns = Map("pin" -> "pin_fill"))
+      graft.sources.Xlsx.removeFlaggedRows(orig, cleaned, "PIN Errors", "pin")
+      graft.sources.Xlsx
+        .readWithFill(s, cleaned, Some("PIN Errors"), "pin")
+        .select(col("custkey"), col("pin"), col("fill_spec"))
+    },
     // ---- S8: batched sink roundtrip (≤250 rows per file) -----------------
     // S4: REAL xlsx scan (JDK-only codec) — write a workbook, scan it back
     // through the executor-parallel binaryFile reader
@@ -991,6 +1044,29 @@ object Core {
     "s5_flag_filter" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0""",
+    "s5_color_filter" ->
+      """WITH f AS (SELECT CAST(c_custkey AS VARCHAR) AS custkey,
+                lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin, c_name AS name,
+                CASE WHEN c_custkey % 13 = 0 THEN 'FF92D050'
+                     WHEN c_custkey % 5 = 0 THEN 'FFFFFF00'
+                     WHEN c_custkey % 7 = 0 THEN 'FFFFC000'
+                     WHEN c_custkey % 11 = 0 THEN 'theme:7:0.3999755851924192'
+                     ELSE NULL END AS fill_spec
+              FROM customer)
+         SELECT custkey, pin, name, fill_spec FROM f
+         WHERE fill_spec IN ('FFFFFF00', 'FFFFC000', 'theme:7:0.3999755851924192')""",
+    "s5_qc_cleaned" ->
+      """WITH f AS (SELECT CAST(c_custkey AS VARCHAR) AS custkey,
+                lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
+                CASE WHEN c_custkey % 13 = 0 THEN 'FF92D050'
+                     WHEN c_custkey % 5 = 0 THEN 'FFFFFF00'
+                     WHEN c_custkey % 7 = 0 THEN 'FFFFC000'
+                     WHEN c_custkey % 11 = 0 THEN 'theme:7:0.3999755851924192'
+                     ELSE NULL END AS fill_spec
+              FROM customer)
+         SELECT custkey, pin, fill_spec FROM f
+         WHERE fill_spec IS NULL
+            OR fill_spec NOT IN ('FFFFFF00', 'FFFFC000', 'theme:7:0.3999755851924192')""",
     "s4_xlsx_roundtrip" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS custkey, c_name AS name, c_mktsegment AS segment
          FROM customer""",

@@ -239,6 +239,48 @@ object Extensions {
       val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
       Sessionize.sessionStats(sessions, "user_id", "ts", "value")
     },
+    // STREAM/BATCH PARITY: the Structured Streaming session_window twin run
+    // over MemoryStream on the same events fixture, hash-checked against the
+    // batch DuckDB oracle — proof the watermarked streaming formulation
+    // computes byte-identical sessions. Two far-future sentinel batches push
+    // the event-time watermark past every real session so append mode
+    // finalizes them all; the sentinel user is excluded from the output.
+    "stream_session_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[(Long, java.sql.Timestamp)] = Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .collect()
+      val maxMs = ev.iterator.map(_._2.getTime).max
+      val sentinel = -1L
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val stream = Sessionize.sessionWindowStream(
+        mem.toDF().toDF("user_id", "ts"), "user_id", "ts", gapMinutes = 30)
+      // unique per invocation: bench/warmup run the query repeatedly and a
+      // memory-sink name collision across runs must not bite
+      val sink = s"stream_session_parity_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(ev.toSeq: _*)
+        q.processAllAvailable()
+        // first sentinel advances the watermark past maxTs; the second makes
+        // a batch RUN with that watermark so every real session emits
+        mem.addData((sentinel, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000)))
+        q.processAllAvailable()
+        mem.addData((sentinel, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("user_id") =!= sentinel)
+        .select(
+          col("user_id"),
+          unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          col("n_events"))
+    },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
         .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
@@ -411,6 +453,13 @@ object Extensions {
     "stats_corr" -> { (s, dir) =>
       Stats.corrExact(
         t(s, dir, "documents"), col("n_chars"), TextStats.tokenCount(col("text")))
+    },
+    // the grouped profile a curation user actually runs: corr(chars, tokens)
+    // per source — keyed moments partial-aggregate, |sources| rows shuffle
+    "stats_corr_by_source" -> { (s, dir) =>
+      Stats.corrExactBy(
+        t(s, dir, "documents"), col("source"), col("n_chars"),
+        TextStats.tokenCount(col("text")))
     },
     // static domain mixing: rebalance sources to 3:2:1:... target
     // proportions, bottleneck stratum kept whole, others hash-downsampled
@@ -865,12 +914,31 @@ object Extensions {
                           THEN 1 ELSE 0 END AS brk
            FROM x
          ), z AS (
-           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM y
          )
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM z GROUP BY user_id, session_id""",
+    // session_window merges on OVERLAP: a gap of exactly 30min starts a
+    // NEW session (>=), unlike sessionizeBatch's > — and end = last + gap
+    "stream_session_parity" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                          THEN 1 ELSE 0 END AS brk
+           FROM x
+         ), z AS (
+           SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         )
+         SELECT user_id, epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) + 1800000000 AS end_us,
+           count(*) AS n_events
          FROM z GROUP BY user_id, session_id""",
     "ev_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1043,12 +1111,10 @@ object Extensions {
          ), tok2 AS (SELECT t FROM tok WHERE length(t) > 0),
          h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok2),
          kmin AS (SELECT h FROM h ORDER BY h LIMIT 16),
-         agg AS (SELECT max(h) AS kth_min, CAST(count(*) AS BIGINT) AS k_actual FROM kmin),
-         ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM tok2)
+         agg AS (SELECT max(h) AS kth_min, CAST(count(*) AS BIGINT) AS k_actual FROM kmin)
          SELECT CAST(16 AS BIGINT) AS k, k_actual, kth_min,
-           CASE WHEN k_actual < 16 THEN k_actual ELSE (15 * 4294967296) // kth_min END AS est_distinct,
-           exact_distinct
-         FROM agg, ex""",
+           CASE WHEN k_actual < 16 THEN k_actual ELSE (15 * 4294967296) // kth_min END AS est_distinct
+         FROM agg""",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
@@ -1131,11 +1197,24 @@ object Extensions {
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS y
            FROM documents),
          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                      CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-                      CAST(sum(x * y) AS BIGINT) AS sxy
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
                FROM b)
+         -- moments stay HUGEINT (the engine mirrors with decimal(38,0)),
+         -- exact to ±1.7e38; only the final scalars narrow to DOUBLE
          SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+         FROM a""",
+    "stats_corr_by_source" ->
+      """WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+           CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS y
+           FROM documents),
+         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM b GROUP BY grp)
+         SELECT grp, n, CAST(n * sxy - sx * sy AS DOUBLE) /
                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
          FROM a""",
     "emb_label_centroid" ->

@@ -93,6 +93,20 @@ class CurationSpec extends SparkSpecBase {
     assert(Curation.mixToTarget(df, $"id", $"s", Map.empty, defaultWeight = 1).count() == 40L)
   }
 
+  test("mixToTarget keeps NULL-stratum rows participating at defaultWeight (null-safe join)") {
+    // pre-r5 defect: the inner join on === silently dropped every NULL-
+    // stratum row even though defaultWeight promises they participate
+    val df = (0 until 30)
+      .map(i => (i.toLong, if (i % 3 == 0) null else "a"))
+      .toDF("id", "s")
+    val out = Curation.mixToTarget(df, $"id", $"s", Map("a" -> 1), defaultWeight = 1)
+    val byS = out.collect().groupBy(r => Option(r.getString(1))).view.mapValues(_.length).toMap
+    // NULL group (10 rows) is the bottleneck (10/1 < 20/1) → kept whole
+    assert(byS.getOrElse(None, 0) == 10, s"NULL-stratum rows dropped: $byS")
+    // "a" hash-downsampled toward 10 of 20
+    assert(byS.getOrElse(Some("a"), 0) > 2 && byS.getOrElse(Some("a"), 0) < 18, byS.toString)
+  }
+
   test("chunkWindows emits overlapping windows covering every token") {
     val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val out = Curation.chunkWindows(docs, $"doc_id", $"text", chunkTokens = 4, stride = 3)

@@ -72,4 +72,49 @@ class StatsSpec extends SparkSpecBase {
     val builtin = noisy.agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
     assert(math.abs(exact - builtin) < 1e-9)
   }
+
+  test("corrExact stays exact when n*Σx² exceeds Long range (decimal(38,0) moments)") {
+    // x ≈ 3e9: Σx² over 100 rows ≈ 9e20 > 2⁶³ ≈ 9.2e18 — Long moments
+    // would silently wrap (the pre-r5 defect); decimal(38,0) matches
+    // DuckDB's HUGEINT promotion instead
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 100).map { i =>
+      val x = 3000000000L + i * 1000000L
+      (x, x / 3 + rnd.nextInt(1000000).toLong)
+    }
+    val df = data.toDF("x", "y")
+    val r = Stats.corrExact(df, col("x"), col("y")).collect()(0).getDouble(1)
+    // reference value from arbitrary-precision BigInt moments, same
+    // fixed-order double tail
+    val n = BigInt(data.length)
+    val sx = data.map(d => BigInt(d._1)).sum
+    val sy = data.map(d => BigInt(d._2)).sum
+    val sxx = data.map(d => BigInt(d._1) * BigInt(d._1)).sum
+    val syy = data.map(d => BigInt(d._2) * BigInt(d._2)).sum
+    val sxy = data.map(d => BigInt(d._1) * BigInt(d._2)).sum
+    assert(n * sxx > BigInt(Long.MaxValue), "fixture must actually exceed Long range")
+    val expect = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    assert(math.abs(r - expect) < 1e-12, s"engine $r vs BigInt reference $expect")
+  }
+
+  test("corrExactBy matches corrExact run per group") {
+    val df = (0 until 300)
+      .map(i => (s"s${i % 3}", (i + 1).toLong, ((i.toLong * i) % 101)))
+      .toDF("g", "x", "y")
+    val grouped = Stats
+      .corrExactBy(df, col("g"), col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(grouped.keySet == Set("s0", "s1", "s2"))
+    for (g <- 0 until 3) {
+      val single = Stats
+        .corrExact(df.filter(col("g") === s"s$g"), col("x"), col("y"))
+        .collect()(0)
+      assert(
+        grouped(s"s$g") == ((single.getLong(0), single.getDouble(1))),
+        s"group s$g diverges from the ungrouped moments")
+    }
+  }
 }

@@ -151,6 +151,103 @@ class XlsxSpec extends SparkSpecBase {
     assert((r.getString(0), r.getString(1), r.getString(2)) == (("a", "first", "second")))
   }
 
+  test("mangleDupes bumps past literal collisions: [amount, amount, amount_2]") {
+    // pre-r5 defect: the seen-counter keyed on the ORIGINAL name mangled
+    // this header to [amount, amount_2, amount_2] — a NEW collision the
+    // helper exists to prevent. Candidates must bump until unique.
+    assert(
+      Xlsx.mangleDupes(Seq("amount", "amount", "amount_2")) ==
+        Seq("amount", "amount_2", "amount_2_2"))
+    val tricky = Seq("amount", "amount_2", "amount", "amount", "amount_2")
+    val mangled = Xlsx.mangleDupes(tricky)
+    assert(mangled.distinct == mangled, s"still colliding: $mangled")
+    assert(mangled.head == "amount" && mangled(1) == "amount_2")
+    // and through the full scan: three same-named columns survive positionally
+    val path = tmp("dupes3")
+    val bytes = Xlsx.buildWorkbook(
+      Seq("Data" -> Seq(Seq("amount", "amount", "amount_2"), Seq("first", "second", "third")))
+    )
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val got = Xlsx.read(spark, path, Some("Data"))
+    assert(got.columns.toSeq == Seq("amount", "amount_2", "amount_2_2"))
+    val r = got.collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("first", "second", "third")))
+  }
+
+  test("cell fill colors roundtrip through styles.xml (S5 surface)") {
+    val path = tmp("fills")
+    val df = Seq(
+      ("p1", "FFFFFF00"),                     // yellow flag
+      ("p2", "FFFFC000"),                     // orange flag
+      ("p3", "theme:7:0.3999755851924192"),   // the theme-encoded flag color
+      ("p4", "FF92D050"),                     // green: colored but NOT a flag
+      ("p5", null: String)                    // unfilled
+    ).toDF("pin", "pin_fill")
+    Xlsx.writeSheets(Seq("Reviewed" -> df), path, fillColumns = Map("pin" -> "pin_fill"))
+    val got = Xlsx.readWithFill(spark, path, Some("Reviewed"), "pin")
+    // the spec column was consumed as formatting, not written as data
+    assert(got.columns.toSeq == Seq("pin", "fill_spec"))
+    val specs = got.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(specs == Map(
+      "p1" -> "FFFFFF00", "p2" -> "FFFFC000",
+      "p3" -> "theme:7:0.3999755851924192", "p4" -> "FF92D050", "p5" -> null))
+    // the reference's flag predicate (yellow/orange/theme-7) over the column
+    import org.apache.spark.sql.functions.col
+    val flagged = got.filter(Xlsx.fillIsFlagged(col("fill_spec")))
+      .collect().map(_.getString(0)).toSet
+    assert(flagged == Set("p1", "p2", "p3"))
+    // the plain reader still reads the same file, ignoring formatting
+    assert(Xlsx.read(spark, path, Some("Reviewed")).collect().map(_.getString(0)).toSet ==
+      Set("p1", "p2", "p3", "p4", "p5"))
+  }
+
+  test("removeFlaggedRows deletes flagged rows, preserves other rows' fills and other sheets") {
+    val dir = s"/tmp/graft_cache/xlsx_spec/qc-${System.nanoTime()}"
+    val orig = s"$dir/orig.xlsx"
+    val cleaned = s"$dir/cleaned.xlsx"
+    val data = Seq(
+      ("p1", "keep1", null: String),
+      ("p2", "drop-yellow", "FFFFFF00"),
+      ("p3", "keep-green", "FF92D050"),
+      ("p4", "drop-theme", "theme:7:0.3999755851924192"),
+      ("p5", "drop-orange", "FFFFC000")
+    ).toDF("pin", "note", "pin_fill")
+    val other = Seq(("x", "y")).toDF("a", "b")
+    Xlsx.writeSheets(
+      Seq("Sheet1" -> data, "Other" -> other), orig, fillColumns = Map("pin" -> "pin_fill"))
+    Xlsx.removeFlaggedRows(orig, cleaned, "Sheet1", "pin")
+    val got = Xlsx.readWithFill(spark, cleaned, Some("Sheet1"), "pin")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // flagged rows gone; the green NON-flag fill survives the rewrite
+    assert(got == Set(("p1", "keep1", null), ("p3", "keep-green", "FF92D050")))
+    // untouched sheet passes through with its data intact
+    assert(Xlsx.read(spark, cleaned, Some("Other")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
+  }
+
+  test("fillIsFlagged mirrors the reference's RGB/alpha/theme normalization") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("FFFFFF00", true), ("FFFFC000", true),          // ARGB exact
+      ("#FFFFFF00", true), ("ffffc000", true),         // hash prefix, case fold
+      ("FFFF00", true), ("FFC000", true),              // 6-char RGB, alpha assumed
+      ("theme:7:0.3999755851924192", true),            // theme fill, tint rounded
+      ("theme:7:0.39997600", true),                    // same tint after round(6)
+      ("theme:4:0.3999755851924192", false),           // wrong theme index
+      ("theme:7:0.2", false),                          // wrong tint
+      ("FF92D050", false), ("FFFFFFFF", false),        // non-flag colors
+      (null: String, false)                            // unfilled
+    )
+    val got = cases.map(_._1).toDF("spec")
+      .select(col("spec"), Xlsx.fillIsFlagged(col("spec")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (spec, want) =>
+      assert(got(spec) == want, s"spec '$spec' expected $want")
+    }
+  }
+
   test("rich-text inline strings concatenate runs; phonetic runs are skipped") {
     val bos = new ByteArrayOutputStream()
     val zip = new ZipOutputStream(bos)
