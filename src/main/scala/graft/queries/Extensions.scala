@@ -281,6 +281,39 @@ object Extensions {
           unix_micros(col("end")).as("end_us"),
           col("n_events"))
     },
+    // second stream/batch parity surface: the watermarked tumbling-window
+    // aggregate over MemoryStream, hash-checked against the batch groupBy
+    // oracle (same sentinel technique as stream_session_parity)
+    "stream_tumbling_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[(java.sql.Timestamp, String)] = Fixtures
+        .events(s, dir)
+        .select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)]
+        .collect()
+      val maxMs = ev.iterator.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val stream = Sessionize.tumblingCountsStream(
+        mem.toDF().toDF("ts", "event_type"), "ts", "event_type")
+      val sink = s"stream_tumbling_parity_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(ev.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), "~sentinel"))
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("event_type") =!= "~sentinel")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n"))
+    },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
         .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
@@ -944,6 +977,10 @@ object Extensions {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "stream_tumbling_parity" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",
     "mm_decode_partitioned" ->
       """WITH ch AS (
