@@ -93,6 +93,22 @@ class CurationSpec extends SparkSpecBase {
     assert(Curation.mixToTarget(df, $"id", $"s", Map.empty, defaultWeight = 1).count() == 40L)
   }
 
+  test("mixToTarget's null-safe join still plans as broadcast HASH join (not nested-loop)") {
+    // EqualNullSafe is a legal hash-join key; the <=> fix must not trade
+    // the 100 TB-safe broadcast-hash shape for a nested-loop join
+    val df = (0 until 100).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "s")
+    val plan = Curation
+      .mixToTarget(df, $"id", $"s", Map("s0" -> 2), defaultWeight = 1)
+      .queryExecution.executedPlan
+    val str = plan.toString
+    assert(str.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$str")
+    assert(!str.contains("BroadcastNestedLoopJoin") || {
+      // the bottleneck crossJoin is a legitimate 1-row nested loop; only the
+      // counts join must be hash-shaped — require at most that single NLJ
+      str.sliding("BroadcastNestedLoopJoin".length).count(_ == "BroadcastNestedLoopJoin") <= 1
+    }, s"unexpected nested-loop joins:\n$str")
+  }
+
   test("mixToTarget keeps NULL-stratum rows participating at defaultWeight (null-safe join)") {
     // pre-r5 defect: the inner join on === silently dropped every NULL-
     // stratum row even though defaultWeight promises they participate

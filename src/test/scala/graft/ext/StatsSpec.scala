@@ -58,6 +58,21 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("approx_percentile (the 100 TB scale path) stays within tolerance of exactQuantiles") {
+    // the scaladoc contract: exactQuantiles is the small-SF validation twin
+    // of the distributed t-digest path — prove the pairing actually holds
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 10000).map(_ => rnd.nextInt(100000)).toDF("v")
+    val exact = Stats
+      .exactQuantiles(df, col("v"), Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val approx = df
+      .agg(percentile_approx(col("v"), array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("q"))
+      .collect()(0).getSeq[Int](0)
+    for (((p, e), a) <- Seq(0.25, 0.5, 0.9).map(p => p -> exact(p)).zip(approx))
+      assert(math.abs(a - e) / math.max(e, 1.0) < 0.01, s"p=$p approx $a vs exact $e")
+  }
+
   test("corrExact: perfectly linear data gives r=1, anti-linear r=-1, and matches corr() closely") {
     // r is deterministic but the two sqrts round independently, so a
     // mathematically-exact 1 can land 1 ulp under it
