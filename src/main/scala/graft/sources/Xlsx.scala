@@ -336,35 +336,8 @@ object Xlsx {
     * per workbook file via the binaryFile source, so many workbooks parse
     * in parallel across executors.
     */
-  def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path).select("path", "content")
-    // header probe runs distributed (one parse per file, executors); only
-    // the per-file (path, header) pairs come back to the driver
-    val headers: Array[(String, Seq[String])] = bin.rdd.flatMap { row =>
-      val all = parseWorkbook(row.getAs[Array[Byte]](1))
-      sheet.fold(all.headOption)(s => all.find(_._1 == s))
-        .map(c => row.getString(0) -> c._2)
-    }.collect()
-    require(
-      headers.nonEmpty,
-      s"no workbook under $path contains ${sheet.fold("any sheet")(s => s"sheet '$s'")}"
-    )
-    val refHeader = mangleDupes(headers.minBy(_._1)._2).toIndexedSeq
-    val parsed = bin.select("content").rdd.flatMap { row =>
-      val all = parseWorkbook(row.getAs[Array[Byte]](0))
-      val chosen = sheet.fold(all.headOption)(s => all.find(_._1 == s))
-      chosen.toSeq.flatMap { case (_, fileHeader, rows) =>
-        // align this workbook's columns to the reference header by name
-        val slot: Map[String, Int] = mangleDupes(fileHeader).zipWithIndex.toMap
-        val take: IndexedSeq[Int] = refHeader.map(h => slot.getOrElse(h, -1))
-        rows.map { r =>
-          Row.fromSeq(take.map(i => if (i >= 0 && i < r.length) r(i) else null))
-        }
-      }
-    }
-    val schema = StructType(refHeader.map(h => StructField(h, StringType, nullable = true)))
-    spark.createDataFrame(parsed, schema)
-  }
+  def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame =
+    scan(spark, path, sheet, colorColumn = None)
 
   /** [[read]] plus one extra `fill_spec` column: the FILL SPEC of each
     * row's cell in `colorColumn` (null = no solid fill; `"FFFFFF00"` ARGB;
@@ -380,8 +353,18 @@ object Xlsx {
       path: String,
       sheet: Option[String],
       colorColumn: String
+  ): DataFrame =
+    scan(spark, path, sheet, Some(colorColumn))
+
+  private def scan(
+      spark: SparkSession,
+      path: String,
+      sheet: Option[String],
+      colorColumn: Option[String]
   ): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path).select("path", "content")
+    // header probe runs distributed (one parse per file, executors); only
+    // the per-file (path, header) pairs come back to the driver
     val headers: Array[(String, Seq[String])] = bin.rdd.flatMap { row =>
       val all = parseWorkbookStyled(row.getAs[Array[Byte]](1))
       sheet.fold(all.headOption)(s => all.find(_._1 == s))
@@ -392,28 +375,34 @@ object Xlsx {
       s"no workbook under $path contains ${sheet.fold("any sheet")(s => s"sheet '$s'")}"
     )
     val refHeader = mangleDupes(headers.minBy(_._1)._2).toIndexedSeq
-    require(
-      refHeader.contains(colorColumn),
-      s"color column '$colorColumn' not in schema header ${refHeader.mkString("[", ", ", "]")}"
-    )
+    colorColumn.foreach { cc =>
+      require(
+        refHeader.contains(cc),
+        s"color column '$cc' not in schema header ${refHeader.mkString("[", ", ", "]")}"
+      )
+    }
     val parsed = bin.select("content").rdd.flatMap { row =>
       val all = parseWorkbookStyled(row.getAs[Array[Byte]](0))
       val chosen = sheet.fold(all.headOption)(s => all.find(_._1 == s))
       chosen.toSeq.flatMap { case (_, fileHeader, rows, fills) =>
+        // align this workbook's columns to the reference header by name
         val slot: Map[String, Int] = mangleDupes(fileHeader).zipWithIndex.toMap
         val take: IndexedSeq[Int] = refHeader.map(h => slot.getOrElse(h, -1))
-        val colorIdx = slot.getOrElse(colorColumn, -1)
+        val colorIdx = colorColumn.map(cc => slot.getOrElse(cc, -1))
         rows.zipWithIndex.map { case (r, ri) =>
-          val fillRow = if (ri < fills.length) fills(ri) else Seq.empty
-          val spec =
-            if (colorIdx >= 0 && colorIdx < fillRow.length) fillRow(colorIdx) else null
-          Row.fromSeq(take.map(i => if (i >= 0 && i < r.length) r(i) else null) :+ spec)
+          val vals = take.map(i => if (i >= 0 && i < r.length) r(i) else null)
+          colorIdx match {
+            case None => Row.fromSeq(vals)
+            case Some(ci) =>
+              val fillRow = if (ri < fills.length) fills(ri) else Seq.empty
+              val spec = if (ci >= 0 && ci < fillRow.length) fillRow(ci) else null
+              Row.fromSeq(vals :+ spec)
+          }
         }
       }
     }
-    val schema = StructType(
-      (refHeader :+ "fill_spec").map(h => StructField(h, StringType, nullable = true))
-    )
+    val outHeader = if (colorColumn.isDefined) refHeader :+ "fill_spec" else refHeader
+    val schema = StructType(outHeader.map(h => StructField(h, StringType, nullable = true)))
     spark.createDataFrame(parsed, schema)
   }
 
