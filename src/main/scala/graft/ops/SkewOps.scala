@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation aggregation (SURVEY §4 scale posture): the explicit
+  * two-stage salted form of a grouped aggregate, for when one hot key
+  * (the boilerplate language, the dominant source, the null bucket) would
+  * otherwise funnel most of the corpus through a single reducer. AQE's
+  * skew handling covers joins; skewed AGGREGATES are on the query author,
+  * and this is the standard shape: shard each key across `salts`
+  * sub-groups, partial-aggregate per shard, then combine the shards.
+  *
+  * Correctness is unconditional for the algebraic aggregates exposed here
+  * (count / sum / min / max): any partition of a key's rows combines to
+  * the same result, so the salted plan is bit-identical to the direct
+  * group-by — which is exactly what the DuckDB oracle checks.
+  */
+object SkewOps {
+
+  /** count(*), sum / min / max of `valueCol` per `keyCol`, computed as
+    * groupBy(key, salt) → groupBy(key). The salt is the engine's md5 gate
+    * over `saltSourceCol` (a row-level column, e.g. the row id), so shard
+    * assignment is deterministic under task retry — `rand()` salts re-draw
+    * under speculative execution and double-count.
+    *
+    * Plan shape: two exchanges, but the FIRST carries at most
+    * |keys|·salts partially-aggregated rows out of each map task and the
+    * SECOND only |keys|·salts rows total — the hot key's input never
+    * converges on one task.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      saltSourceCol: Column,
+      salts: Int
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.select(
+        keyCol.as("key"),
+        valueCol.cast("long").as("v"),
+        Hashing.md5Mod(saltSourceCol.cast("string"), salts.toLong).as("__salt")
+      )
+      .groupBy(col("key"), col("__salt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("v")).as("__s"),
+        min(col("v")).as("__mn"),
+        max(col("v")).as("__mx")
+      )
+      .groupBy(col("key"))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).as("total"),
+        min(col("__mn")).as("vmin"),
+        max(col("__mx")).as("vmax")
+      )
+  }
+}

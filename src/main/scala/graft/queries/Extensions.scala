@@ -494,6 +494,12 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"),
         TextStats.tokenCount(col("text")))
     },
+    // skew-safe aggregation: the two-stage salted group-by, bit-identical
+    // to the direct aggregate (algebraic functions commute with sharding)
+    "agg_salted_skew" -> { (s, dir) =>
+      graft.ops.SkewOps.saltedAgg(
+        t(s, dir, "documents"), col("source"), col("n_chars"), col("doc_id"), salts = 16)
+    },
     // static domain mixing: rebalance sources to 3:2:1:... target
     // proportions, bottleneck stratum kept whole, others hash-downsampled
     "corpus_mix_weighted" -> { (s, dir) =>
@@ -1242,6 +1248,10 @@ object Extensions {
          SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) /
                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
          FROM a""",
+    "agg_salted_skew" ->
+      """SELECT source AS key, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total,
+                min(n_chars) AS vmin, max(n_chars) AS vmax
+         FROM documents GROUP BY source""",
     "stats_corr_by_source" ->
       """WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0

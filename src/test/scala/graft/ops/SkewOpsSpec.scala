@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Two-stage salted aggregation (skew mitigation). */
+class SkewOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedAgg is bit-identical to the direct group-by, hot key included") {
+    // one hot key holding 90% of rows — the shape that motivates salting
+    val df = ((0 until 900).map(i => ("hot", i.toLong)) ++
+      (0 until 100).map(i => (s"k${i % 7}", i.toLong * 3)))
+      .zipWithIndex
+      .map { case ((k, v), id) => (id.toLong, k, v) }
+      .toDF("id", "k", "v")
+    val salted = SkewOps.saltedAgg(df, $"k", $"v", $"id", salts = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("t"), min($"v").as("mn"), max($"v").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(salted == direct)
+    // deterministic under re-execution (md5 salt, not rand())
+    val again = SkewOps.saltedAgg(df, $"k", $"v", $"id", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == salted.view.mapValues(_._2).toMap)
+  }
+
+  test("saltedAgg's first stage really shards the hot key across sub-groups") {
+    val df = (0 until 1000).map(i => (i.toLong, "hot", 1L)).toDF("id", "k", "v")
+    // the stage-1 group domain is (key, salt): with 8 salts the hot key's
+    // rows must land in >1 shard, or the salting does nothing
+    val shards = df
+      .select($"k", Hashing.md5Mod($"id".cast("string"), 8L).as("s"))
+      .groupBy($"k", $"s").count()
+      .collect()
+    assert(shards.length > 1, "hot key not sharded")
+    assert(shards.map(_.getLong(2)).sum == 1000L)
+  }
+}
