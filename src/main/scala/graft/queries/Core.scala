@@ -571,6 +571,19 @@ object Core {
         .readWithFill(s, cleaned, Some("PIN Errors"), "pin")
         .select(col("custkey"), col("pin"), col("fill_spec"))
     },
+    // ---- J7: co-located bucketed join (the fact-fact shape at 100 TB) ----
+    // both sides persisted bucketed+sorted on the key; the join stage then
+    // reads bucket i against bucket i with NO exchange (plan asserted in
+    // BucketOpsSpec) — layout cost paid once, amortized over every join
+    "j7_bucketed_join" -> { (s, dir) =>
+      val left = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      val right = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.ops.BucketOps
+        .bucketedEquiJoin(s, left, right, "custkey", buckets = 8, tag = "j7")
+        .select(col("custkey"), col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+    },
     // ---- S8: batched sink roundtrip (≤250 rows per file) -----------------
     // S4: REAL xlsx scan (JDK-only codec) — write a workbook, scan it back
     // through the executor-parallel binaryFile reader
@@ -1071,6 +1084,9 @@ object Core {
       """SELECT CAST(c_custkey AS VARCHAR) AS custkey, c_name AS name, c_mktsegment AS segment
          FROM customer""",
     "s8_batched_sink" ->
-      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'"""
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'""",
+    "j7_bucketed_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey"""
   )
 }
