@@ -27,10 +27,8 @@ object BucketOps {
     require(buckets > 0, "buckets must be positive")
     val lt = s"graft_bkt_${tag}_l"
     val rt = s"graft_bkt_${tag}_r"
-    left.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(lt)
-    right.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(rt)
+    graft.sources.Sources.writeBucketed(left, lt, buckets, key)
+    graft.sources.Sources.writeBucketed(right, rt, buckets, key)
     s.table(lt).join(s.table(rt), key)
   }
 }

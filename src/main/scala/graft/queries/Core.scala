@@ -584,6 +584,20 @@ object Core {
         .bucketedEquiJoin(s, left, right, "custkey", buckets = 8, tag = "j7")
         .select(col("custkey"), col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
     },
+    // ---- S10: partition-pruned layout roundtrip --------------------------
+    // year-partitioned parquet layout; the year predicate prunes whole
+    // directories at planning time (PartitionFilters — asserted in
+    // SourcesSpec), the 100 TB form of the P7 date-range filter
+    "s10_partition_pruned" -> { (s, dir) =>
+      val path = Scratch.dir("partitioned", dir)
+      graft.sources.Sources.writePartitioned(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("yr")),
+        path, "yr")
+      s.read.parquet(path)
+        .filter(col("yr") === 1995)
+        .select(col("o_orderkey"), col("o_totalprice"), col("yr"))
+    },
     // ---- S8: batched sink roundtrip (≤250 rows per file) -----------------
     // S4: REAL xlsx scan (JDK-only codec) — write a workbook, scan it back
     // through the executor-parallel binaryFile reader
@@ -1087,6 +1101,9 @@ object Core {
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'""",
     "j7_bucketed_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_mktsegment
-         FROM orders JOIN customer ON o_custkey = c_custkey"""
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "s10_partition_pruned" ->
+      """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS yr
+         FROM orders WHERE year(o_orderdate) = 1995"""
   )
 }

@@ -74,11 +74,34 @@ object Sources {
     * runs every day on the same keys"). Requires `saveAsTable` (bucketing
     * metadata lives in the catalog).
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val s = df.sparkSession
+    // the warehouse DIRECTORY outlives the in-memory catalog across JVMs:
+    // a fresh session doesn't know the table, but saveAsTable refuses the
+    // leftover location — drop both the entry and the stale directory
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val loc = java.nio.file.Paths.get(new java.net.URI(wh).getPath).resolve(table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Partition-pruned layout sink: `partitionBy` columns become the
+    * directory layout, so equality/range predicates on them prune whole
+    * directories at PLANNING time (`PartitionFilters` in the scan — zero
+    * bytes read from non-qualifying partitions). The 100 TB counterpart of
+    * the date-range filter: a year/date-partitioned warehouse makes P7
+    * touch only the qualifying year's files.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }

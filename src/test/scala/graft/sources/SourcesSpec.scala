@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
 class SourcesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("writePartitioned layout prunes non-qualifying partitions at plan time") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("partitioned").toString
+    val df = (1 to 300).map(i => (i.toLong, 1990 + i % 3)).toDF("id", "yr")
+    Sources.writePartitioned(df, dir, "yr")
+    // one directory per partition value
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("yr=")).map(_.getName).sorted
+    assert(parts.toSeq == Seq("yr=1990", "yr=1991", "yr=1992"))
+    val q = spark.read.parquet(dir).filter(col("yr") === 1991)
+    assert(q.count() == 100L)
+    // the predicate must land in PartitionFilters (directory pruning), not
+    // just as a post-scan data filter
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("yr"), s"no partition pruning:\n$scan")
+  }
+
   test("writeBatched caps rows per file at maxRecords") {
     val dir = java.nio.file.Files.createTempDirectory("batched").toString
     Sources.writeBatched((1 to 1000).toDF("n"), dir, 250)
