@@ -281,6 +281,27 @@ object Extensions {
           unix_micros(col("end")).as("end_us"),
           col("n_events"))
     },
+    // third stream/batch parity surface: watermarked exact dedup over
+    // MemoryStream — first occurrences emit immediately in append mode, so
+    // no sentinel is needed; the surviving doc per digest is arrival-order-
+    // dependent, so the gated output is the DIGEST set (deterministic)
+    "stream_dedup_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val texts: Array[String] = t(s, dir, "documents").select(col("text")).as[String].collect()
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val dedup = Dedup.streamingExactDedup(
+        mem.toDF().toDF("ts", "text"), col("text"), "ts", "1 hour")
+      val sink = s"stream_dedup_parity_${System.nanoTime()}"
+      val q = dedup.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(texts.toSeq.map(x => (t0, x)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(md5(col("text")).as("h"))
+    },
     // second stream/batch parity surface: the watermarked tumbling-window
     // aggregate over MemoryStream, hash-checked against the batch groupBy
     // oracle (same sentinel technique as stream_session_parity)
@@ -988,6 +1009,8 @@ object Extensions {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",
+    "stream_dedup_parity" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents""",
     "mm_decode_partitioned" ->
       """WITH ch AS (
            SELECT doc_id,
