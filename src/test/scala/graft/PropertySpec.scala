@@ -26,6 +26,42 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("mangleDupes always yields distinct names and keeps first occurrences bare") {
+    // headers drawn from a tiny alphabet INCLUDING literal _N forms, the
+    // collision-prone shape of the r5 fix
+    val name = Gen.oneOf("amount", "amount_2", "amount_3", "v", "v_2", "k")
+    holds(forAll(Gen.listOf(name)) { header =>
+      val m = Xlsx.mangleDupes(header)
+      val distinctOk = m.distinct == m
+      // the first occurrence of each name keeps its bare form UNLESS an
+      // earlier synthesized suffix already took it ([amount, amount,
+      // amount_2]: the literal amount_2 must move aside — that collision
+      // is the r5 fix)
+      val firstBare = header.zipWithIndex
+        .filter { case (h, i) => header.indexOf(h) == i }
+        .forall { case (h, i) => m.take(i).contains(h) || m(i) == h }
+      distinctOk && firstBare && m.length == header.length
+    })
+  }
+
+  test("specFlagged (driver-side) agrees with fillIsFlagged (Column) on arbitrary specs") {
+    val hex = Gen.listOfN(8, Gen.oneOf("0123456789ABCDEFabcdef".toSeq)).map(_.mkString)
+    val spec = Gen.oneOf(
+      Gen.const(null: String),
+      Gen.const("FFFFFF00"), Gen.const("ffffc000"), Gen.const("#FFFF00"),
+      Gen.const("theme:7:0.3999755851924192"), Gen.const("theme:7:0.2"),
+      Gen.const("theme:4:0.3999755851924192"),
+      hex, hex.map(_.drop(2)), hex.map("theme:7:0." + _.filter(_.isDigit))
+    )
+    holds(forAll(Gen.listOfN(20, spec)) { specs =>
+      val viaColumn = specs.toDF("s")
+        .select(Xlsx.fillIsFlagged(col("s")).as("f"))
+        .collect().map(_.getBoolean(0)).toSeq
+      val viaScala = specs.map(Xlsx.specFlagged)
+      viaColumn == viaScala
+    }, samples = 30)
+  }
+
   test("xlsx roundtrip preserves arbitrary printable cell content") {
     // strings of printable unicode (no raw control chars — the writer drops
     // those by XML 1.0 rule, pinned in XlsxSpec)
