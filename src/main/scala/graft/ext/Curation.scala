@@ -43,6 +43,20 @@ object Curation {
     df.filter(gate < rateCol)
   }
 
+  /** Exact-size-k deterministic uniform sample: the k rows with the
+    * smallest md5-derived hash of their id (ties broken on the id). Unlike
+    * [[stratifiedSample]] (rate-based, approximate size) this yields
+    * EXACTLY k rows, and unlike `orderBy(rand()).limit(k)` it is
+    * retry-stable and engine-reproducible. Plans as TakeOrdered —
+    * per-partition top-k heaps merged on k rows, no global sort ever
+    * materializes, which is what makes "give me 10k random docs" safe
+    * against a 100 TB corpus.
+    */
+  def sampleExactK(df: DataFrame, idCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.orderBy(graft.ops.Hashing.md5Long(idCol.cast("string")).asc, idCol.asc).limit(k)
+  }
+
   /** Benchmark decontamination: flag training documents whose word-n-gram
     * overlap with a benchmark/eval set reaches `threshPct` percent of the
     * document's own distinct n-grams — the standard filter run before

@@ -196,6 +196,32 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_q"))
       .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
 
+  /** Symmetric int8 quantization per vector (the storage/bandwidth
+    * reduction step an embedding pipeline runs before ANN serving): code =
+    * round(x · 127/max|x|), one row per (vec, dim). Map-side only — the
+    * max|x| reduction is per-row, the explode amplifies a RAW attribute
+    * (no Generate re-evaluation trap), nothing shuffles. The arithmetic is
+    * a fixed-order double expression over exactly-cast floats, so any
+    * engine reproduces the codes bit-for-bit (the floor(+0.5) half-up
+    * convention shared by every quantizer here). A zero vector quantizes
+    * to zeros instead of dividing by zero.
+    */
+  def quantizeInt8(df: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+    df.select(
+        idCol.as("vec_id"),
+        vecCol.as("v"),
+        array_max(transform(vecCol, x => abs(x.cast("double")))).as("maxabs")
+      )
+      .select(col("vec_id"), col("maxabs"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(
+        col("vec_id"),
+        col("pos"),
+        when(col("maxabs") === 0, lit(0))
+          .otherwise(
+            floor(col("x").cast("double") * (lit(127.0) / col("maxabs")) + 0.5).cast("int"))
+          .as("code")
+      )
+
   /** Plane `p`'s component `d`: an INTEGER in [-500, 500) derived from
     * md5(p ∥ "_" ∥ d) — first 8 hex chars as a number, mod 1000, minus 500.
     * Computed DRIVER-side once and shipped as literal arrays: the values are

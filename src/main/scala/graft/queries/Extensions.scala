@@ -521,6 +521,17 @@ object Extensions {
       graft.ops.SkewOps.saltedAgg(
         t(s, dir, "documents"), col("source"), col("n_chars"), col("doc_id"), salts = 16)
     },
+    // exact-size-k deterministic sample — TakeOrdered over the md5 hash,
+    // no global sort, retry-stable (vs rand())
+    "corpus_sample_exact_k" -> { (s, dir) =>
+      Curation.sampleExactK(
+        t(s, dir, "documents").select(col("doc_id"), col("source")), col("doc_id"), k = 200)
+    },
+    // int8 embedding quantization (storage/serving compression) — fixed-
+    // order double arithmetic, bit-identical codes in any engine
+    "emb_quantize_int8" -> { (s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
+    },
     // static domain mixing: rebalance sources to 3:2:1:... target
     // proportions, bottleneck stratum kept whole, others hash-downsampled
     "corpus_mix_weighted" -> { (s, dir) =>
@@ -1275,6 +1286,21 @@ object Extensions {
       """SELECT source AS key, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total,
                 min(n_chars) AS vmin, max(n_chars) AS vmax
          FROM documents GROUP BY source""",
+    "corpus_sample_exact_k" ->
+      """SELECT doc_id, source FROM documents
+         ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+         LIMIT 200""",
+    "emb_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+           FROM embeddings),
+         e AS (SELECT vec_id, maxabs, CAST(i - 1 AS INTEGER) AS pos,
+                      CAST(embedding[i] AS DOUBLE) AS x
+               FROM m, range(1, 65) t(i))
+         SELECT vec_id, pos,
+           CAST(CASE WHEN maxabs = 0 THEN 0
+                ELSE floor(x * (127.0 / maxabs) + 0.5) END AS INTEGER) AS code
+         FROM e""",
     "stats_corr_by_source" ->
       """WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0

@@ -123,6 +123,23 @@ class CurationSpec extends SparkSpecBase {
     assert(byS.getOrElse(Some("a"), 0) > 2 && byS.getOrElse(Some("a"), 0) < 18, byS.toString)
   }
 
+  test("sampleExactK returns exactly k rows, deterministic, and plans as TakeOrdered") {
+    val df = (0 until 500).map(i => (i.toLong, s"d$i")).toDF("id", "payload")
+    val q = Curation.sampleExactK(df, $"id", k = 50)
+    val a = q.collect().map(_.getLong(0)).toSeq
+    assert(a.length == 50 && a.distinct.length == 50)
+    // same corpus → same sample (retry-stable hash order, no rand())
+    val b = Curation.sampleExactK(df, $"id", k = 50).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // growing k only EXTENDS the sample (prefix property of hash order)
+    val c = Curation.sampleExactK(df, $"id", k = 80).collect().map(_.getLong(0)).toSeq
+    assert(c.take(50) == a)
+    // scale shape: per-partition top-k heaps, no global sort materialized
+    assert(
+      q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("chunkWindows emits overlapping windows covering every token") {
     val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val out = Curation.chunkWindows(docs, $"doc_id", $"text", chunkTokens = 4, stride = 3)

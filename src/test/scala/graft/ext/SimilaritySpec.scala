@@ -100,6 +100,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out((2, 1)) == ((1L, -10000L, -10000.0)))
   }
 
+  test("quantizeInt8 codes stay in [-127,127], extremes hit ±127, zero vector yields zeros") {
+    val df = Seq(
+      (1L, Seq(2.0f, -4.0f, 1.0f)),  // maxabs 4 → codes 64, -127, 32
+      (2L, Seq(0.0f, 0.0f, 0.0f))    // zero vector: no division by zero
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 0)) == 64 && out((1L, 1)) == -127 && out((1L, 2)) == 32)
+    assert(out((2L, 0)) == 0 && out((2L, 1)) == 0 && out((2L, 2)) == 0)
+    // every code of the toy corpus stays inside the int8 symmetric range
+    val codes = Similarity.quantizeInt8(vecs, col("vec_id"), col("embedding")).collect()
+    assert(codes.forall(r => r.getInt(2) >= -127 && r.getInt(2) <= 127))
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
