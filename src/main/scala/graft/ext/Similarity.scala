@@ -222,6 +222,59 @@ object Similarity {
           .as("code")
       )
 
+  /** [[quantizeInt8]]'s codes as one `array<long>` per vector (the layout
+    * a serving index stores). The per-vector scale is STAGED as its own
+    * attribute before the code transform — referencing the array_max
+    * expression inside the lambda would re-evaluate it per element (the
+    * lambda-inlining trap; see SCALING.md).
+    */
+  def int8Codes(df: DataFrame, idCol: Column, vecCol: Column): DataFrame =
+    df.select(
+        idCol.as("id"),
+        vecCol.as("v"),
+        array_max(transform(vecCol, x => abs(x.cast("double")))).as("maxabs")
+      )
+      .select(
+        col("id"),
+        when(col("maxabs") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(
+            col("v"),
+            x => floor(x.cast("double") * (lit(127.0) / col("maxabs")) + 0.5).cast("long")))
+          .as("codes")
+      )
+
+  /** Serving-path top-k over int8 codes: score = integer dot product of
+    * the [[int8Codes]] arrays — exact integer arithmetic end to end (no
+    * float staging needed for engine reproducibility), which is the
+    * standard int8 shortcut: rank by code-dot, equivalent to cosine up to
+    * the two per-vector scales. Same broadcast-queries × corpus-scan shape
+    * as [[bruteForceTopK]]; ties break on candidate id.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(
+      int8Codes(queries, col(idCol), col(vecCol))
+        .select(col("id").as("query_id"), col("codes").as("qc")))
+    val c = int8Codes(corpus, col(idCol), col(vecCol))
+      .select(col("id").as("cand_id"), col("codes").as("cc"))
+    val scored = c
+      .join(q, col("query_id") =!= col("cand_id"))
+      .withColumn(
+        "score",
+        aggregate(zip_with(col("qc"), col("cc"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("score"))
+  }
+
   /** Plane `p`'s component `d`: an INTEGER in [-500, 500) derived from
     * md5(p ∥ "_" ∥ d) — first 8 hex chars as a number, mod 1000, minus 500.
     * Computed DRIVER-side once and shipped as literal arrays: the values are

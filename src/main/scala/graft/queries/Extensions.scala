@@ -532,6 +532,11 @@ object Extensions {
     "emb_quantize_int8" -> { (s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"), col("embedding"))
     },
+    // the serving composition over those codes: integer-dot top-k
+    "ann_int8_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    },
     // static domain mixing: rebalance sources to 3:2:1:... target
     // proportions, bottleneck stratum kept whole, others hash-downsampled
     "corpus_mix_weighted" -> { (s, dir) =>
@@ -1301,6 +1306,23 @@ object Extensions {
            CAST(CASE WHEN maxabs = 0 THEN 0
                 ELSE floor(x * (127.0 / maxabs) + 0.5) END AS INTEGER) AS code
          FROM e""",
+    "ann_int8_topk" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+           FROM embeddings),
+         c AS (SELECT vec_id,
+                 CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT)) END AS codes
+               FROM m),
+         q AS (SELECT vec_id AS query_id, codes AS qc FROM c WHERE vec_id < 5),
+         s AS (SELECT q.query_id, c.vec_id AS cand_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> qc[i] * codes[i])) AS BIGINT) AS score
+               FROM c, q WHERE c.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+               FROM s)
+         SELECT query_id, cand_id, CAST(rk AS INTEGER) AS rank, score
+         FROM r WHERE rk <= 10""",
     "stats_corr_by_source" ->
       """WITH b AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0

@@ -114,6 +114,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(codes.forall(r => r.getInt(2) >= -127 && r.getInt(2) <= 127))
   }
 
+  test("int8TopK preserves the toy neighborhood ordering through the codes") {
+    val out = Similarity
+      .int8TopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toList
+    // v2 and v4 both point v1's way (per-vector max scaling makes their
+    // code-dots tie; candidate-id tiebreak orders them), v3 orthogonal
+    assert(out == List((2L, 1), (4L, 2), (3L, 3)))
+    // scores are exact integers: re-running reproduces them bit-for-bit
+    val s1 = Similarity.int8TopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val s2 = Similarity.int8TopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(s1 == s2)
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
