@@ -29,6 +29,30 @@ object SkewOps {
     * SECOND only |keys|·salts rows total — the hot key's input never
     * converges on one task.
     */
+  /** Salted equi-join: the join-side analog of [[saltedAgg]], for a big
+    * side whose join key is hot (one supplier/source dominating the rows)
+    * against a dim side too large to broadcast. Big rows draw a
+    * deterministic salt from `saltSourceCol`; the dim side replicates
+    * ×`salts`; joining on (key, salt) spreads the hot key's rows over
+    * `salts` reducers instead of one. Result set is EXACTLY the plain
+    * join's (each big row meets its key's dim rows in exactly one shard) —
+    * the oracle checks that. AQE's skew-join split covers the common case
+    * at runtime; this is the explicit form for when the skew is known and
+    * the dim side must shuffle anyway.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltSourceCol: Column,
+      salts: Int
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val b = big.withColumn("__salt", Hashing.md5Mod(saltSourceCol.cast("string"), salts.toLong))
+    val d = dim.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    b.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
   def saltedAgg(
       df: DataFrame,
       keyCol: Column,

@@ -521,6 +521,14 @@ object Extensions {
       graft.ops.SkewOps.saltedAgg(
         t(s, dir, "documents"), col("source"), col("n_chars"), col("doc_id"), salts = 16)
     },
+    // the join-side skew pattern: salted equi-join, result identical to
+    // the plain join (each big row meets its dim rows in one shard)
+    "j8_salted_join" -> { (s, dir) =>
+      graft.ops.SkewOps.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"), col("l_quantity")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        "l_suppkey", col("l_orderkey"), salts = 8)
+    },
     // exact-size-k deterministic sample — TakeOrdered over the md5 hash,
     // no global sort, retry-stable (vs rand())
     "corpus_sample_exact_k" -> { (s, dir) =>
@@ -1291,6 +1299,9 @@ object Extensions {
       """SELECT source AS key, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total,
                 min(n_chars) AS vmin, max(n_chars) AS vmax
          FROM documents GROUP BY source""",
+    "j8_salted_join" ->
+      """SELECT l_suppkey, l_orderkey, l_quantity, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
     "corpus_sample_exact_k" ->
       """SELECT doc_id, source FROM documents
          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id

@@ -26,6 +26,21 @@ class SkewOpsSpec extends SparkSpecBase {
     assert(again == salted.view.mapValues(_._2).toMap)
   }
 
+  test("saltedJoin returns exactly the plain join's rows, dim multiplicity included") {
+    val big = ((0 until 800).map(i => (i.toLong, "hot")) ++
+      (0 until 200).map(i => (800L + i, s"k${i % 5}")))
+      .toDF("id", "k")
+    // one dim key carries TWO rows — every matching big row must meet both
+    val dim = (Seq(("hot", "H1"), ("hot", "H2")) ++ (0 until 5).map(i => (s"k$i", s"D$i")))
+      .toDF("k", "name")
+    val salted = SkewOps.saltedJoin(big, dim, "k", $"id", salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = big.join(dim, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_._1 == "hot") == 1600) // 800 rows × 2 dim rows
+  }
+
   test("saltedAgg's first stage really shards the hot key across sub-groups") {
     val df = (0 until 1000).map(i => (i.toLong, "hot", 1L)).toDF("id", "k", "v")
     // the stage-1 group domain is (key, salt): with 8 salts the hot key's
