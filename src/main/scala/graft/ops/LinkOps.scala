@@ -60,14 +60,10 @@ object LinkOps {
       smallKey: String,
       saltSource: Column,
       salts: Int
-  ): DataFrame = {
-    val salted = big.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
-    val replicated = small
-      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    salted
-      .join(replicated, salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
-      .drop("__salt")
-  }
+  ): DataFrame =
+    // delegates to the canonical md5-deterministic implementation
+    // (SkewOps) so there is exactly one salting discipline in the engine
+    SkewOps.saltedJoin(big, small, bigKey, smallKey, saltSource, salts)
 
   /** J4: multi-key anti-join dedupe against an existing-rows table
     * (chicago/permit_cleaning.py:838-883). The right side is deduplicated

@@ -18,17 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** count(*), sum / min / max of `valueCol` per `keyCol`, computed as
-    * groupBy(key, salt) → groupBy(key). The salt is the engine's md5 gate
-    * over `saltSourceCol` (a row-level column, e.g. the row id), so shard
-    * assignment is deterministic under task retry — `rand()` salts re-draw
-    * under speculative execution and double-count.
-    *
-    * Plan shape: two exchanges, but the FIRST carries at most
-    * |keys|·salts partially-aggregated rows out of each map task and the
-    * SECOND only |keys|·salts rows total — the hot key's input never
-    * converges on one task.
-    */
   /** Salted equi-join: the join-side analog of [[saltedAgg]], for a big
     * side whose join key is hot (one supplier/source dominating the rows)
     * against a dim side too large to broadcast. Big rows draw a
@@ -39,6 +28,10 @@ object SkewOps {
     * the oracle checks that. AQE's skew-join split covers the common case
     * at runtime; this is the explicit form for when the skew is known and
     * the dim side must shuffle anyway.
+    *
+    * This is the canonical salted join (md5 salts are stable under task
+    * retry; `hash()`-of-nondeterministic-input or `rand()` salts re-draw
+    * under speculative execution). [[LinkOps.saltedJoin]] delegates here.
     */
   def saltedJoin(
       big: DataFrame,
@@ -53,6 +46,35 @@ object SkewOps {
     b.join(d, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Two-key form of [[saltedJoin]] for sides whose join columns are named
+    * differently; both key columns survive into the output (mirroring a
+    * plain `a(bk) === b(sk)` join).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      bigKey: String,
+      dimKey: String,
+      saltSourceCol: Column,
+      salts: Int
+  ): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val b = big.withColumn("__salt", Hashing.md5Mod(saltSourceCol.cast("string"), salts.toLong))
+    val d = dim.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    b.join(d, b(bigKey) === d(dimKey) && b("__salt") === d("__salt")).drop("__salt")
+  }
+
+  /** count(*), sum / min / max of `valueCol` per `keyCol`, computed as
+    * groupBy(key, salt) → groupBy(key). The salt is the engine's md5 gate
+    * over `saltSourceCol` (a row-level column, e.g. the row id), so shard
+    * assignment is deterministic under task retry — `rand()` salts re-draw
+    * under speculative execution and double-count.
+    *
+    * Plan shape: two exchanges, but the FIRST carries at most
+    * |keys|·salts partially-aggregated rows out of each map task and the
+    * SECOND only |keys|·salts rows total — the hot key's input never
+    * converges on one task.
+    */
   def saltedAgg(
       df: DataFrame,
       keyCol: Column,

@@ -36,6 +36,20 @@ object Extensions {
   private def ldot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Materialize a memory-sink table into a local DataFrame and DROP the
+    * temp view. A memory sink holds its whole result set on the driver and
+    * bench runs each parity query three times (warmup + two timed passes),
+    * so leaving the per-invocation views registered accumulates dead result
+    * copies for the JVM's lifetime.
+    */
+  private def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {
+    val shaped = shape(s.table(sink))
+    val rows = shaped.collect()
+    val schema = shaped.schema
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -273,13 +287,13 @@ object Extensions {
         mem.addData((sentinel, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000)))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink)
-        .filter(col("user_id") =!= sentinel)
-        .select(
-          col("user_id"),
-          unix_micros(col("start")).as("start_us"),
-          unix_micros(col("end")).as("end_us"),
-          col("n_events"))
+      drainSink(s, sink)(
+        _.filter(col("user_id") =!= sentinel)
+          .select(
+            col("user_id"),
+            unix_micros(col("start")).as("start_us"),
+            unix_micros(col("end")).as("end_us"),
+            col("n_events")))
     },
     // third stream/batch parity surface: watermarked exact dedup over
     // MemoryStream — first occurrences emit immediately in append mode, so
@@ -300,7 +314,7 @@ object Extensions {
         mem.addData(texts.toSeq.map(x => (t0, x)): _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).select(md5(col("text")).as("h"))
+      drainSink(s, sink)(_.select(md5(col("text")).as("h")))
     },
     // second stream/batch parity surface: the watermarked tumbling-window
     // aggregate over MemoryStream, hash-checked against the batch groupBy
@@ -328,12 +342,12 @@ object Extensions {
         mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink)
-        .filter(col("event_type") =!= "~sentinel")
-        .select(
-          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"),
-          col("n"))
+      drainSink(s, sink)(
+        _.filter(col("event_type") =!= "~sentinel")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"),
+            col("n")))
     },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize

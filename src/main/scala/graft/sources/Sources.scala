@@ -76,17 +76,28 @@ object Sources {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
     val s = df.sparkSession
-    // the warehouse DIRECTORY outlives the in-memory catalog across JVMs:
-    // a fresh session doesn't know the table, but saveAsTable refuses the
-    // leftover location — drop both the entry and the stale directory
+    // The name flows into both SQL and a recursive delete: restrict it to a
+    // plain unqualified identifier (a qualified `db.tbl` would resolve to a
+    // different path than the string concat below would guess).
+    require(
+      table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed requires a plain unqualified table name, got '$table'"
+    )
+    // DROP TABLE removes a MANAGED table's data itself and leaves an
+    // EXTERNAL table's data alone — never delete a location we didn't
+    // resolve through the catalog.
     s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val loc = java.nio.file.Paths.get(new java.net.URI(wh).getPath).resolve(table.toLowerCase)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    // The warehouse DIRECTORY outlives the in-memory catalog across JVMs: a
+    // fresh session doesn't know the old table, but saveAsTable refuses the
+    // leftover default location. Resolve that location through the catalog
+    // (not string concat) and delete it via the Hadoop FileSystem for its
+    // scheme, so hdfs://- or s3a://-backed warehouses work too.
+    val stale = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+    )
+    val fs = stale.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) fs.delete(stale, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)

@@ -413,7 +413,10 @@ object Xlsx {
   private[graft] def specFlagged(spec: String): Boolean = {
     if (spec == null) return false
     if (spec.startsWith("theme:")) {
-      val p = spec.split(":", 3)
+      // split limit -1 keeps trailing empty segments, matching Spark's
+      // `split`; the exact ==3 count rejects malformed multi-colon specs
+      // identically in both twins
+      val p = spec.split(":", -1)
       p.length == 3 && p(1) == "7" &&
       scala.util.Try(BigDecimal(p(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         .toOption.contains(0.399976)
@@ -426,10 +429,14 @@ object Xlsx {
 
   /** The reference's QC artifact (format_reviewed_permits_for_upload.py:
     * 86-120): copy a workbook with every row whose `colorColumn` cell is
-    * flag-colored DELETED, all other rows' formatting preserved. Driver-side
-    * by the same reviewer-scale contract as [[writeSheets]] — the reference
-    * itself runs openpyxl on the driver. Sheets other than `sheet` pass
-    * through with their fills intact.
+    * flag-colored DELETED. Formatting preservation is scoped to SOLID CELL
+    * FILLS ON DATA ROWS — header-row fills and non-fill formatting (fonts,
+    * borders, number formats, column widths) are not round-tripped, which
+    * is narrower than the reference's in-place openpyxl copy; the QC
+    * content contract (which rows survive, with which fills) is identical.
+    * Driver-side by the same reviewer-scale contract as [[writeSheets]] —
+    * the reference itself runs openpyxl on the driver. Sheets other than
+    * `sheet` pass through with their data-row fills intact.
     */
   def removeFlaggedRows(inPath: String, outPath: String, sheet: String, colorColumn: String): Unit = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(inPath))
@@ -467,9 +474,10 @@ object Xlsx {
     val rgbFlag = up.isin("FFFFFF00", "FFFFC000") ||
       (length(up) === 6 && concat(lit("FF"), up).isin("FFFFFF00", "FFFFC000"))
     val p = split(spec, ":")
-    val themeFlag = p.getItem(0) === "theme" &&
+    val themeFlag = size(p) === 3 &&
+      p.getItem(0) === "theme" &&
       p.getItem(1) === "7" &&
-      round(p.getItem(2).cast("double"), 6) === 0.399976
+      round(p.getItem(2).try_cast("double"), 6) === 0.399976
     coalesce(rgbFlag || themeFlag, lit(false))
   }
 

@@ -51,6 +51,10 @@ class PropertySpec extends SparkSpecBase {
       Gen.const("FFFFFF00"), Gen.const("ffffc000"), Gen.const("#FFFF00"),
       Gen.const("theme:7:0.3999755851924192"), Gen.const("theme:7:0.2"),
       Gen.const("theme:4:0.3999755851924192"),
+      // malformed segment counts — the r6 parity fix: both twins must
+      // reject extra/missing colon segments identically
+      Gen.const("theme:7:0.3999755851924192:x"), Gen.const("theme:7:0.2:0.3"),
+      Gen.const("theme:7"), Gen.const("theme:7:"), Gen.const("theme::0.3999755851924192"),
       hex, hex.map(_.drop(2)), hex.map("theme:7:0." + _.filter(_.isDigit))
     )
     holds(forAll(Gen.listOfN(20, spec)) { specs =>

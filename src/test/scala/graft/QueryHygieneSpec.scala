@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session-hygiene contracts for `SparkEntry.queries` entries that register
+  * session-global state: bench runs each query three times (warmup + two
+  * timed passes) in one JVM, so anything a query registers and does not
+  * drop accumulates for the JVM's lifetime.
+  */
+class QueryHygieneSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("stream-parity queries drop their memory-sink temp views and still return the result") {
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    val out = graft.queries.Extensions.queries("stream_dedup_parity")(spark, sfDir)
+    // the drained result is a local DataFrame — usable after the view is gone
+    assert(out.count() > 0)
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    val leaked = (after -- before).filter(_.startsWith("stream_"))
+    assert(leaked.isEmpty, s"leaked memory-sink views: $leaked")
+  }
+
+  test("tumbling stream parity matches its batch twin after the sink is drained") {
+    val streamed = graft.queries.Extensions.queries("stream_tumbling_parity")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val batch = graft.queries.Extensions.queries("ev_tumbling")(spark, sfDir)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("n"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
