@@ -633,6 +633,24 @@ object Core {
         .filter(col("issue_date") >= "1995-01-01" && col("issue_date") < "1996-01-01")
         .select(col("permit_"), col("issue_date"), col("pin_list"))
     },
+    // the reference's `$order=issue_date DESC` + `$limit` pair pushed into
+    // the same DSv2 scan (permit_cleaning.py:546-547): each partition
+    // returns its bounded local top-N, Spark's residual Sort+Limit makes
+    // the global answer exact. permit_ DESC tiebreak keeps the row set
+    // deterministic under the hash compare.
+    "s1_limit_pushdown" -> { (s, dir) =>
+      val path = Scratch.dir("permits_topn", dir)
+      permitsPayload(s, dir).write.mode("overwrite").json(path)
+      s.read
+        .format("graft.sources.PermitsJsonSource")
+        .option("path", path)
+        .schema(graft.sources.Sources.permitsRawSchema)
+        .load()
+        .filter(col("issue_date") >= "1995-01-01")
+        .select(col("permit_"), col("issue_date"), col("pin_list"))
+        .orderBy(col("issue_date").desc, col("permit_").desc)
+        .limit(100)
+    },
     // ---- S2: warehouse SQL surface (registered views + spark.sql) --------
     "s2_sql_scan" -> { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("vw_customer")
@@ -1068,6 +1086,14 @@ object Core {
          FROM orders
          WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') >= '1995-01-01'
            AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') < '1996-01-01'""",
+    "s1_limit_pushdown" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
+                lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin_list
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') >= '1995-01-01'
+         ORDER BY issue_date DESC, permit_ DESC
+         LIMIT 100""",
     "s5_flag_filter" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0""",

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -16,16 +17,22 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector for Socrata-style permit payloads (S1,
   * SURVEY.md §2.1/§4.3): the reference pushes `$where` date filters,
-  * column selection and limits to the portal
-  * (chicago/permit_cleaning.py:539-554); this source owns the same
-  * pushdown surface inside Spark — `SupportsPushDownFilters` (evaluated at
-  * the reader, honest row-skipping) and `SupportsPushDownRequiredColumns`
-  * (only requested fields are materialized).
+  * column selection, `$order` and `$limit` to the portal
+  * (chicago/permit_cleaning.py:539-554 and :546-547); this source owns the
+  * same pushdown surface inside Spark — `SupportsPushDownFilters`
+  * (evaluated at the reader, honest row-skipping),
+  * `SupportsPushDownRequiredColumns` (only requested fields are
+  * materialized), `SupportsPushDownLimit` (each reader stops after `limit`
+  * surviving rows) and `SupportsPushDownTopN` (each reader keeps only its
+  * bounded local top-N under the pushed `$order`). Limit/TopN report
+  * PARTIALLY pushed: the source is multi-file, so every partition bounds
+  * its own output and Spark's residual Sort/Limit produces the exact
+  * global answer — the same division of labor as paging a portal.
   *
   * Format: JSON Lines, all fields read as strings (leading-zero PINs must
   * never infer numeric — same stance as [[Sources.permitsRawSchema]]).
   * One InputPartition per file; a production version would add byte-range
-  * splits and `SupportsPushDownLimit`, same shape.
+  * splits, same shape.
   *
   * Usage: `spark.read.format("graft.sources.PermitsJsonSource")
   *   .option("path", dir).schema(s).load()`.
@@ -59,10 +66,14 @@ final class PermitsJsonTable(schema: StructType, path: String) extends Table wit
 final class PermitsJsonScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var limit: Int = -1
+  private var orders: Array[PushedOrder] = Array.empty
 
   /** Accept the filter shapes a Socrata `$where` clause supports on string
     * fields: null checks, equality and lexicographic ranges (ISO dates sort
@@ -88,16 +99,70 @@ final class PermitsJsonScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PermitsJsonScan(required, path, pushed)
+  /** `$limit`: every partition stops after `l` surviving rows. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = l
+    true
+  }
+
+  /** `$order … $limit`: accepted only when every sort key is a plain
+    * top-level column of the pinned schema (all strings, so binary UTF-8
+    * order — what Spark uses for StringType — is well-defined at the
+    * reader).
+    */
+  override def pushTopN(topNOrders: Array[expressions.SortOrder], l: Int): Boolean = {
+    val compact = topNOrders.map { o =>
+      o.expression() match {
+        case ref: expressions.NamedReference if ref.fieldNames().length == 1 &&
+            fullSchema.fieldNames.contains(ref.fieldNames()(0)) =>
+          PushedOrder(
+            ref.fieldNames()(0),
+            o.direction() == expressions.SortDirection.DESCENDING,
+            o.nullOrdering() == expressions.NullOrdering.NULLS_FIRST
+          )
+        case _ => null
+      }
+    }
+    if (compact.contains(null)) false
+    else {
+      orders = compact
+      limit = l
+      true
+    }
+  }
+
+  /** Multi-file source: each partition bounds its own output; Spark keeps
+    * the residual Sort/Limit for the exact global answer.
+    */
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new PermitsJsonScan(required, path, pushed, limit, orders)
 }
 
-final class PermitsJsonScan(schema: StructType, path: String, filters: Array[Filter])
-    extends Scan
+/** Serializable sort-key spec shipped to readers: `nullsFirst` is the
+  * FINAL output position of nulls (SortOrder.nullOrdering), independent of
+  * direction.
+  */
+final case class PushedOrder(field: String, descending: Boolean, nullsFirst: Boolean)
+
+final class PermitsJsonScan(
+    schema: StructType,
+    path: String,
+    filters: Array[Filter],
+    limit: Int,
+    orders: Array[PushedOrder]
+) extends Scan
     with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"PermitsJsonScan(path=$path, pushed=[${filters.mkString(", ")}], cols=[${schema.fieldNames.mkString(",")}])"
+  override def description(): String = {
+    val lim = if (limit >= 0) s", pushedLimit=$limit" else ""
+    val ord =
+      if (orders.nonEmpty)
+        s", pushedTopN=[${orders.map(o => o.field + (if (o.descending) " DESC" else " ASC")).mkString(", ")}]"
+      else ""
+    s"PermitsJsonScan(path=$path, pushed=[${filters.mkString(", ")}], cols=[${schema.fieldNames.mkString(",")}]$lim$ord)"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -109,35 +174,51 @@ final class PermitsJsonScan(schema: StructType, path: String, filters: Array[Fil
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PermitsJsonReaderFactory(schema, filters)
+    new PermitsJsonReaderFactory(schema, filters, limit, orders)
 }
 
 final case class PermitsJsonInputPartition(file: String) extends InputPartition
 
-final class PermitsJsonReaderFactory(schema: StructType, filters: Array[Filter])
-    extends PartitionReaderFactory {
+final class PermitsJsonReaderFactory(
+    schema: StructType,
+    filters: Array[Filter],
+    limit: Int,
+    orders: Array[PushedOrder]
+) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PermitsJsonPartitionReader(
       partition.asInstanceOf[PermitsJsonInputPartition].file,
       schema,
-      filters
+      filters,
+      limit,
+      orders
     )
 }
 
 /** Streams one JSON-lines file: parse → evaluate pushed filters → project
   * required columns. Rows failing a pushed filter never leave the reader —
-  * that is the "honest" part of the pushdown.
+  * that is the "honest" part of the pushdown. A pushed limit stops the
+  * reader after `limit` surviving rows; a pushed TopN keeps a bounded
+  * buffer of the partition's local top `limit` rows under the pushed
+  * orders (UTF8String binary comparison — the same ordering Spark applies
+  * to StringType in its residual Sort, so the local winners are exactly
+  * the rows the global sort could still pick).
   */
 final class PermitsJsonPartitionReader(
     file: String,
     schema: StructType,
-    filters: Array[Filter]
+    filters: Array[Filter],
+    limit: Int,
+    orders: Array[PushedOrder]
 ) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val source = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = source.getLines()
   private var current: InternalRow = _
+  private var emitted: Int = 0
+  // TopN path state: built lazily on first next()
+  private var topNRows: Iterator[InternalRow] = _
 
   private def fieldValue(obj: com.fasterxml.jackson.databind.JsonNode, name: String): String = {
     val n = obj.get(name)
@@ -156,23 +237,89 @@ final class PermitsJsonPartitionReader(
     case _                         => true
   }
 
-  override def next(): Boolean = {
-    current = null
-    while (current == null && lines.hasNext) {
+  /** Output-order comparator over the pushed sort keys: nulls placed by
+    * `nullsFirst`, non-null strings by UTF8String binary order (Spark's
+    * StringType ordering), inverted for DESC.
+    */
+  private def keyCompare(a: Array[UTF8String], b: Array[UTF8String]): Int = {
+    var i = 0
+    while (i < orders.length) {
+      val o = orders(i)
+      val c =
+        if (a(i) == null && b(i) == null) 0
+        else if (a(i) == null) { if (o.nullsFirst) -1 else 1 }
+        else if (b(i) == null) { if (o.nullsFirst) 1 else -1 }
+        else {
+          val raw = a(i).compareTo(b(i))
+          if (o.descending) -raw else raw
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Single pass building the partition's local top-`limit`: a max-heap on
+    * the OUTPUT-LAST element, so the buffer holds the `limit` best rows
+    * seen and eviction is O(log limit). Memory is bounded by the pushed
+    * limit, never the file.
+    */
+  private def buildTopN(): Iterator[InternalRow] = {
+    val heap = mutable.PriorityQueue.empty[(Array[UTF8String], InternalRow)](
+      Ordering.fromLessThan[(Array[UTF8String], InternalRow)]((x, y) => keyCompare(x._1, y._1) < 0)
+    )
+    while (lines.hasNext) {
       val line = lines.next().trim
       if (line.nonEmpty) {
         val obj = mapper.readTree(line)
         val get = (name: String) => fieldValue(obj, name)
         if (passes(get)) {
-          val values = schema.fieldNames.map { f =>
-            val v = get(f)
+          val keys = orders.map { o =>
+            val v = get(o.field)
             if (v == null) null else UTF8String.fromString(v)
           }
-          current = InternalRow.fromSeq(values.toIndexedSeq)
+          if (heap.size < limit) heap.enqueue((keys, project(get)))
+          else if (limit > 0 && keyCompare(keys, heap.head._1) < 0) {
+            heap.dequeue()
+            heap.enqueue((keys, project(get)))
+          }
         }
       }
     }
-    current != null
+    // emission order is irrelevant: the TopN is PARTIALLY pushed, so
+    // Spark's residual Sort re-orders the union of partition buffers
+    heap.iterator.map(t => t._2)
+  }
+
+  private def project(get: String => String): InternalRow = {
+    val values = schema.fieldNames.map { f =>
+      val v = get(f)
+      if (v == null) null else UTF8String.fromString(v)
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def next(): Boolean = {
+    if (orders.nonEmpty) {
+      if (topNRows == null) topNRows = buildTopN()
+      if (topNRows.hasNext) { current = topNRows.next(); true }
+      else { current = null; false }
+    } else if (limit >= 0 && emitted >= limit) {
+      current = null
+      false
+    } else {
+      current = null
+      while (current == null && lines.hasNext) {
+        val line = lines.next().trim
+        if (line.nonEmpty) {
+          val obj = mapper.readTree(line)
+          val get = (name: String) => fieldValue(obj, name)
+          if (passes(get)) current = project(get)
+        }
+      }
+      if (current != null) emitted += 1
+      current != null
+    }
   }
 
   override def get(): InternalRow = current

@@ -56,4 +56,54 @@ class PermitsJsonSourceSpec extends SparkSpecBase {
     val df = load(writeFixture()).filter(length($"work_description") > 5)
     assert(strings(df, "permit_").sorted == Seq("P1", "P2"))
   }
+
+  /** Rows the SCAN ITSELF emitted (BatchScan numOutputRows) — the honesty
+    * metric for limit/TopN pushdown: a post-scan LocalLimit would leave
+    * this at the full file row count.
+    */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .map(_.metrics("numOutputRows").value)
+      .sum
+  }
+
+  test("limit is pushed to the reader: the scan emits exactly `limit` rows") {
+    val df = load(writeFixture()).limit(2)
+    val desc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(desc.contains("pushedLimit=2"), s"limit not pushed into scan: $desc")
+    assert(scanOutputRows(df) == 2)
+  }
+
+  test("TopN is pushed: the scan emits only its local top-N, and the global order is exact") {
+    val df = load(writeFixture())
+      .select($"permit_", $"issue_date")
+      .orderBy($"issue_date".desc)
+      .limit(2)
+    val desc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(desc.contains("pushedTopN="), s"TopN not pushed into scan: $desc")
+    // sort forces full consumption, so without the pushdown the scan
+    // metric would be 3 (every fixture row)
+    assert(scanOutputRows(df) == 2)
+    assert(strings(df, "permit_") == Seq("P2", "P1"))
+  }
+
+  test("multi-file limit stays exact: partitions over-supply, Spark's residual limit trims") {
+    val dir = writeFixture()
+    // second file: the per-partition bound means the scan may emit up to
+    // 2×limit rows, but the query result is exactly `limit`
+    val extra = Seq(
+      """{"permit_":"P4","issue_date":"1997-01-01T00:00:00.000000","pin_list":"444"}""",
+      """{"permit_":"P5","issue_date":"1998-01-01T00:00:00.000000","pin_list":"555"}"""
+    )
+    Files.write(new java.io.File(dir, "part-1.json").toPath, extra.mkString("\n").getBytes)
+    val df = load(dir).limit(3)
+    assert(df.count() == 3)
+    assert(scanOutputRows(load(dir).limit(3)) <= 6)
+  }
 }
