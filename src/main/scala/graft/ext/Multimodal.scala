@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
   *
   * Images/audio/video are opaque `binary` columns plus a typed metadata
   * struct. The Spark-side plumbing — schema, batched per-partition
-  * processing, partitioning discipline — is real; the actual media decode is
-  * STUBBED behind [[stubDecode]] with a deterministic fake (the container
-  * ships no image/audio codecs), clearly marked below.
+  * processing, partitioning discipline — is real. IMAGE decode is REAL as
+  * of r6: [[decodeImages]] (and the image branch of [[decodePartitioned]])
+  * parses actual PNG/BMP bytes with JDK-only `javax.imageio` — no external
+  * codec. Audio/video decode remains a deterministic stand-in
+  * ([[stubDecode]], the non-image branch) because no such codec ships in
+  * the JDK; those spots stay clearly marked.
   */
 object Multimodal {
 
@@ -88,17 +91,17 @@ object Multimodal {
       height: Int
   )
 
-  /** The imperative decode path a real codec needs: `mapPartitions` with one
+  /** The imperative decode path a codec needs: `mapPartitions` with one
     * codec context amortized across the partition's rows (opening a decoder
     * per row is the classic per-row-UDF mistake; per-partition batching is
     * the Scala twin of an Arrow-batched Pandas UDF). Input must have
     * (asset_id: long, media_type: string, payload: binary).
     *
-    * ======================== STUB ========================
-    * `fakeCodec` stands in for the real library (none ships in this
-    * container): deterministic dimensions from the payload bytes. Swap the
-    * body for e.g. an ImageIO/ffmpeg call; the plumbing — encoder, schema,
-    * partition batching, resource lifecycle — is real and tested.
+    * `image/…`-typed payloads take the REAL branch — `javax.imageio` parses the
+    * actual PNG/BMP bytes for dimensions. Non-image payloads (text, and
+    * audio/video for which the JDK ships no codec) fall back to the
+    * deterministic byte-derived dims of [[ByteDimsCodec]] — that fallback
+    * is the remaining STUB surface, clearly scoped.
     */
   def decodePartitioned(assets: DataFrame): Dataset[DecodedAsset] = {
     val spark = assets.sparkSession
@@ -108,14 +111,100 @@ object Multimodal {
       .repartition(col("asset_id")) // balance large media rows across executors
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // one "codec context" per partition (the expensive init a real
+        // one codec context per partition (the expensive init a real
         // decoder amortizes here)
-        val codec = new FakeCodec
+        val fallback = new ByteDimsCodec
         rows.map { case (id, mt, payload) =>
-          val (w, h) = codec.decodeDims(payload)
+          val (w, h) =
+            if (mt != null && mt.startsWith("image/") && payload != null) {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              require(img != null, s"asset $id: image/* payload did not decode")
+              (img.getWidth, img.getHeight)
+            } else fallback.decodeDims(payload)
           DecodedAsset(id, mt, if (payload == null) 0L else payload.length.toLong, w, h)
         }
       }
+  }
+
+  /** One decoded image row: REAL dimensions and raw-sample pixel sum. */
+  final case class DecodedImage(
+      asset_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      pix_sum: Long
+  )
+
+  /** REAL image decode (JDK-only `javax.imageio`, PNG + BMP): parses the
+    * actual payload bytes inside the partition-batched plumbing and folds
+    * band-0 raster samples into a pixel checksum. Raster samples (not
+    * `getRGB`) on purpose: `getRGB` routes gray images through a
+    * linear-gray→sRGB color transform and would corrupt the raw values.
+    */
+  def decodeImages(assets: DataFrame): Dataset[DecodedImage] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .repartition(col("asset_id"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"asset $id: payload is not a decodable image")
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          DecodedImage(id, mt, img.getWidth, img.getHeight, sum)
+        }
+      }
+  }
+
+  /** Deterministic REAL image fixture: encodes actual PNG (even ids,
+    * 8-bit grayscale) and BMP (odd ids, 24-bit with equal channels)
+    * payloads executor-side. Dimensions and every pixel derive from the id
+    * alone — `w = 1 + id%13`, `h = 1 + id%11`,
+    * `pixel(x,y) = (id*31 + 7x + 13y) % 256` — so a SQL oracle can compute
+    * the expected decode output arithmetically while the bytes on the wire
+    * are genuine codec output.
+    */
+  def synthImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + (id % 13)).toInt
+          val h = (1 + (id % 11)).toInt
+          val png = id % 2 == 0
+          val imgType =
+            if (png) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          val img = new java.awt.image.BufferedImage(w, h, imgType)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+              var b = 0
+              while (b < raster.getNumBands) { raster.setSample(x, y, b, v); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, if (png) "png" else "bmp", baos)
+          (id, if (png) "image/png" else "image/bmp", baos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
   }
 
   /** ======================== STUB ========================
@@ -161,8 +250,10 @@ object Multimodal {
       .withColumn("byte_len", lit(frameBytes))
   }
 
-  /** STUB codec: deterministic dims from a byte checksum. */
-  private final class FakeCodec extends Serializable {
+  /** STUB fallback for NON-IMAGE payloads (the JDK ships no audio/video
+    * codec): deterministic dims from a byte checksum.
+    */
+  private final class ByteDimsCodec extends Serializable {
     def decodeDims(payload: Array[Byte]): (Int, Int) = {
       if (payload == null || payload.isEmpty) return (0, 0)
       var a = 0; var b = 0

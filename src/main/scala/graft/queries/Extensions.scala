@@ -248,6 +248,16 @@ object Extensions {
         .decodePartitioned(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()
     },
+    // REAL image decode end-to-end: genuine PNG/BMP bytes are encoded
+    // executor-side (javax.imageio) from id-derived pixels, then decoded
+    // back by the real codec; the oracle recomputes dims + raw pixel sum
+    // arithmetically from the same id formula — a lossy or fake decode
+    // path cannot hash-match it
+    "mm_decode_real" -> { (s, dir) =>
+      Multimodal
+        .decodeImages(Multimodal.synthImages(t(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
     // ---- events / sessionization ------------------------------------------
     "ev_sessionize" -> { (s, dir) =>
       val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
@@ -1064,6 +1074,21 @@ object Extensions {
                             list_transform(codes, c -> CAST(c % 16 AS BIGINT))),
                             (a, b) -> xor(a, b)) + 1) * 64 END AS INTEGER) AS height
          FROM ch""",
+    "mm_decode_real" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS height
+           FROM documents)
+         SELECT d.doc_id AS asset_id,
+                CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                d.width, d.height,
+                CAST(sum((d.doc_id * 31 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
+         FROM dims d
+         CROSS JOIN generate_series(0, 12) AS x(g)
+         CROSS JOIN generate_series(0, 10) AS y(g)
+         WHERE x.g < d.width AND y.g < d.height
+         GROUP BY 1, 2, 3, 4""",
     "dedup_embedding" ->
       (qzCte + s"""
         , bkt AS (SELECT vec_id, q, ${srpBucketSql(4)} AS bucket FROM qz)

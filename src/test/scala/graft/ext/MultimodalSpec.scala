@@ -63,4 +63,37 @@ class MultimodalSpec extends SparkSpecBase {
     val out = Multimodal.fromText(df, "doc_id", "text").drop("decoded")
     assert(out.schema.fieldNames.toSeq == Multimodal.assetSchema.fieldNames.toSeq)
   }
+
+  test("real codec round-trip: synthesized PNG and BMP decode to the id-derived dims and pixel sum") {
+    val ids = Seq(0L, 1L, 2L, 13L, 24L, 143L) // even→png, odd→bmp; 143 hits w=1
+    val assets = Multimodal.synthImages(ids.toDF("doc_id"), "doc_id")
+    // the payloads are genuine codec output, not hand-rolled headers
+    val magics = assets.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (r.getAs[Long]("asset_id"), (p(0) & 0xff, p(1) & 0xff))
+    }.toMap
+    ids.foreach { id =>
+      val expect = if (id % 2 == 0) (0x89, 'P'.toInt) else ('B'.toInt, 'M'.toInt)
+      assert(magics(id) == expect, s"id $id wrong magic: ${magics(id)}")
+    }
+    val out = Multimodal.decodeImages(assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    ids.foreach { id =>
+      val w = (1 + id % 13).toInt
+      val h = (1 + id % 11).toInt
+      val sum = (for (x <- 0 until w; y <- 0 until h) yield (id * 31 + 7L * x + 13L * y) % 256).sum
+      assert(out(id).width == w && out(id).height == h, s"id $id dims ${out(id)}")
+      assert(out(id).pix_sum == sum, s"id $id pix_sum ${out(id).pix_sum} != $sum")
+    }
+  }
+
+  test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
+    val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
+    val real = Multimodal.decodePartitioned(img).collect().head
+    assert(real.width == (1 + 4 % 13) && real.height == (1 + 4 % 11))
+    // non-image media type: byte-derived dims, never the image parser
+    val txt = Multimodal.fromText(Seq((9L, "hello")).toDF("doc_id", "text"), "doc_id", "text")
+    val fake = Multimodal.decodePartitioned(txt).collect().head
+    assert(fake.width % 64 == 0 && fake.height % 64 == 0)
+  }
 }
