@@ -11,10 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketOps {
 
-  /** Write both sides as parquet tables bucketed+sorted on `key` (same
-    * bucket count — required for exchange-free planning), then join the
-    * bucketed tables back on `key`. `tag` namespaces the catalog tables so
-    * concurrent queries don't collide.
+  /** LAYOUT TIME — paid once: persist one side as a parquet table
+    * bucketed+sorted on `key`. Both sides of a future join must use the
+    * SAME bucket count for exchange-free planning.
+    */
+  def layout(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    graft.sources.Sources.writeBucketed(df, table, buckets, key)
+  }
+
+  /** QUERY TIME — paid per join, no shuffle and no write: join two tables
+    * previously laid out by [[layout]] with matching bucket counts on
+    * `key`. This is the call a recurring job repeats; the layout shuffle
+    * is amortized over every invocation.
+    */
+  def joinBucketed(s: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
+    s.table(leftTable).join(s.table(rightTable), key)
+
+  /** Convenience compose of [[layout]] ×2 + [[joinBucketed]] for one-shot
+    * use. A RECURRING join should call [[layout]] once and [[joinBucketed]]
+    * per query instead — this form re-pays the layout shuffle on every
+    * invocation. `tag` namespaces the catalog tables so concurrent queries
+    * don't collide.
     */
   def bucketedEquiJoin(
       s: SparkSession,
@@ -24,11 +42,10 @@ object BucketOps {
       buckets: Int,
       tag: String
   ): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
     val lt = s"graft_bkt_${tag}_l"
     val rt = s"graft_bkt_${tag}_r"
-    graft.sources.Sources.writeBucketed(left, lt, buckets, key)
-    graft.sources.Sources.writeBucketed(right, rt, buckets, key)
-    s.table(lt).join(s.table(rt), key)
+    layout(left, lt, buckets, key)
+    layout(right, rt, buckets, key)
+    joinBucketed(s, lt, rt, key)
   }
 }

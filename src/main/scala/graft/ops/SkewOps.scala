@@ -64,6 +64,44 @@ object SkewOps {
     b.join(d, b(bigKey) === d(dimKey) && b("__salt") === d("__salt")).drop("__salt")
   }
 
+  /** Derive a salt count from the data instead of a caller constant: a
+    * count-min pre-pass ([[graft.ext.Sketches.countMinCells]], O(depth·width)
+    * sketch state — skew-proof by construction, unlike an exact per-key
+    * count whose output is the vocabulary) upper-bounds the hottest key's
+    * row count as min over depth rows of that row's max cell. Salts =
+    * ceil(hotUpper / balancedTaskRows) where balancedTaskRows is
+    * total/shuffle-partitions — i.e. just enough shards that the hot key's
+    * heaviest shard is a normal-sized task — clamped to [1, maxSalts].
+    * The two scalars are sketch aggregates (one driver row), not data.
+    */
+  def autoSalts(big: DataFrame, key: String, maxSalts: Int = 64): Int = {
+    require(maxSalts > 0, "maxSalts must be positive")
+    val s = big.sparkSession
+    val row = graft.ext.Sketches
+      .countMinCells(big, col(key), depth = 3, width = 1024)
+      .groupBy(col("j"))
+      .agg(max(col("cnt")).as("row_max"), sum(col("cnt")).as("row_total"))
+      .agg(min(col("row_max")).as("hot_upper"), max(col("row_total")).as("total"))
+      .collect()(0)
+    val hotUpper = row.getLong(0)
+    val total = row.getLong(1)
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val balanced = math.max(1L, total / math.max(1, parallelism))
+    math.max(1L, math.min(maxSalts.toLong, (hotUpper + balanced - 1) / balanced)).toInt
+  }
+
+  /** [[saltedJoin]] with [[autoSalts]] sizing — the form to reach for when
+    * the skew is suspected but not measured.
+    */
+  def saltedJoinAuto(
+      big: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltSourceCol: Column,
+      maxSalts: Int = 64
+  ): DataFrame =
+    saltedJoin(big, dim, key, saltSourceCol, autoSalts(big, key, maxSalts))
+
   /** count(*), sum / min / max of `valueCol` per `keyCol`, computed as
     * groupBy(key, salt) → groupBy(key). The salt is the engine's md5 gate
     * over `saltSourceCol` (a row-level column, e.g. the row id), so shard

@@ -546,12 +546,13 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"), col("doc_id"), salts = 16)
     },
     // the join-side skew pattern: salted equi-join, result identical to
-    // the plain join (each big row meets its dim rows in one shard)
+    // the plain join (each big row meets its dim rows in one shard); the
+    // salt count is auto-derived from a count-min key-frequency pre-pass
     "j8_salted_join" -> { (s, dir) =>
-      graft.ops.SkewOps.saltedJoin(
+      graft.ops.SkewOps.saltedJoinAuto(
         t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"), col("l_quantity")),
         t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name")),
-        "l_suppkey", col("l_orderkey"), salts = 8)
+        "l_suppkey", col("l_orderkey"))
     },
     // exact-size-k deterministic sample — TakeOrdered over the md5 hash,
     // no global sort, retry-stable (vs rand())

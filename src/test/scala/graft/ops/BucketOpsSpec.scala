@@ -23,6 +23,36 @@ class BucketOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("layout once, joinBucketed repeatedly: zero Exchange and zero re-write per query") {
+    val left = (0 until 300).map(i => (i.toLong % 30, s"l$i")).toDF("k", "lv")
+    val right = (0 until 120).map(i => (i.toLong % 25, s"r$i")).toDF("k", "rv")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      BucketOps.layout(left, "graft_bkt_amort_l", buckets = 8, key = "k")
+      BucketOps.layout(right, "graft_bkt_amort_r", buckets = 8, key = "k")
+      def tableFiles(t: String): Map[String, Long] = {
+        val loc = new java.io.File(new java.net.URI(
+          spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+            .location.toString))
+        loc.listFiles().map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      }
+      val first = BucketOps.joinBucketed(spark, "graft_bkt_amort_l", "graft_bkt_amort_r", "k")
+      val want = left.join(right, "k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      assert(first.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq == want.toSeq)
+      val before = (tableFiles("graft_bkt_amort_l"), tableFiles("graft_bkt_amort_r"))
+      // the amortized call: same layout, second join
+      val second = BucketOps.joinBucketed(spark, "graft_bkt_amort_l", "graft_bkt_amort_r", "k")
+      assert(second.collect().length == want.length)
+      val plan = second.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"amortized join still shuffles:\n$plan")
+      // zero write: the layout files (paths AND mtimes) are untouched
+      val after = (tableFiles("graft_bkt_amort_l"), tableFiles("graft_bkt_amort_r"))
+      assert(after == before, "joinBucketed rewrote the bucketed layout")
+    }
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -26,6 +26,32 @@ class SkewOpsSpec extends SparkSpecBase {
     assert(again == salted.view.mapValues(_._2).toMap)
   }
 
+  test("autoSalts sizes shards so the hot key balances within 2x, and the auto join stays exact") {
+    // 9000-row hot key + 1000 rows over 7 cold keys, 4 shuffle partitions
+    // in the test session → balanced task ≈ 2500 rows → expect ~4 salts
+    val big = ((0 until 9000).map(i => (i.toLong, "hot")) ++
+      (0 until 1000).map(i => (10000L + i, s"k${i % 7}")))
+      .toDF("id", "k")
+    val dim = Seq(("hot", "H"), ("k0", "A"), ("k3", "B")).toDF("k", "v")
+    val salts = SkewOps.autoSalts(big, "k")
+    assert(salts > 1, s"skewed fixture should derive >1 salt, got $salts")
+    // shard balance on the hot key under the derived salt count
+    val shardCounts = big
+      .filter($"k" === "hot")
+      .withColumn("salt", Hashing.md5Mod($"id".cast("string"), salts.toLong))
+      .groupBy($"salt").count()
+      .collect().map(_.getLong(1))
+    assert(shardCounts.length == salts)
+    assert(shardCounts.max <= 2 * shardCounts.min,
+      s"hot-key shards unbalanced: ${shardCounts.mkString(",")}")
+    // and the auto-sized join is still exactly the plain join
+    val got = SkewOps.saltedJoinAuto(big, dim, "k", $"id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    val want = big.join(dim, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("saltedJoin returns exactly the plain join's rows, dim multiplicity included") {
     val big = ((0 until 800).map(i => (i.toLong, "hot")) ++
       (0 until 200).map(i => (800L + i, s"k${i % 5}")))
