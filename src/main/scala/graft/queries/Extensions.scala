@@ -359,6 +359,70 @@ object Extensions {
             col("event_type"),
             col("n")))
     },
+    // fourth stream/batch parity surface: the watermarked SLIDING-window
+    // aggregate over MemoryStream vs the batch window() oracle — same
+    // sentinel technique as tumbling; every real window finalizes in
+    // append mode once the sentinels push the watermark past max ts
+    "stream_sliding_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[(java.sql.Timestamp, String)] = Fixtures
+        .events(s, dir)
+        .select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)]
+        .collect()
+      val maxMs = ev.iterator.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val stream = Sessionize.slidingCountsStream(
+        mem.toDF().toDF("ts", "event_type"), "ts", "event_type", 60, 30)
+      val sink = s"stream_sliding_parity_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(ev.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), "~sentinel"))
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("event_type") =!= "~sentinel")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"),
+            col("n")))
+    },
+    // fifth stream/batch parity surface: count-min cells accumulated by the
+    // single-stage streaming sketch (complete mode — legal unwatermarked
+    // because the group domain is the bounded depth×width cell grid), then
+    // probed exactly like the batch sketch; the drained cell table must be
+    // bit-identical for the estimates to hash-match the batch oracle
+    "stream_countmin_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val tokens = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val toks: Array[String] = tokens.as[String].collect()
+      val mem = MemoryStream[String]
+      val stream = Sketches.countMinCellsStream(
+        mem.toDF().toDF("token"), col("token"), depth = 4, width = 256)
+      val sink = s"stream_countmin_parity_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try {
+        mem.addData(toks.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val cells = drainSink(s, sink)(identity)
+      val probes = Seq("spark", "table", "the", "zebra").toDF("item")
+      val est = Sketches.countMinEstimate(cells, probes, col("item"), depth = 4, width = 256)
+      val exact = tokens.groupBy(col("token").as("item")).agg(count(lit(1)).as("exact"))
+      est
+        .join(exact, Seq("item"), "left")
+        .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+    },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
         .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
@@ -1060,6 +1124,35 @@ object Extensions {
          FROM events GROUP BY 1, 2""",
     "stream_dedup_parity" ->
       """SELECT DISTINCT md5(text) AS h FROM documents""",
+    "stream_sliding_parity" ->
+      """WITH half AS (
+           SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0
+           FROM events
+         ), windows AS (
+           SELECT event_type, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS window_start
+           FROM half
+         )
+         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n
+         FROM windows GROUP BY 1, 2""",
+    "stream_countmin_parity" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item FROM documents),
+         tok2 AS (SELECT item FROM tok WHERE length(item) > 0),
+         cells AS (
+           SELECT j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tok2, range(0, 4) t(j) GROUP BY 1, 2),
+         probes AS (SELECT unnest(['spark', 'table', 'the', 'zebra']) AS item),
+         pc AS (SELECT item, j,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell
+                FROM probes, range(0, 4) t(j)),
+         est AS (SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+                 FROM pc LEFT JOIN cells USING (j, cell) GROUP BY 1),
+         ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM tok2 GROUP BY 1)
+         SELECT e.item AS token, e.est, coalesce(x.exact, 0) AS exact
+         FROM est e LEFT JOIN ex x USING (item)""",
     "mm_decode_partitioned" ->
       """WITH ch AS (
            SELECT doc_id,

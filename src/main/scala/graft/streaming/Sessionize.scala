@@ -100,6 +100,27 @@ object Sessionize {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(typeCol), col("n"))
 
+  /** Structured Streaming twin of [[slidingCounts]]: watermarked sliding
+    * window — each event enters every `slideMinutes`-spaced window of
+    * `widthMinutes` covering it, finalized in append mode once the
+    * watermark passes the window end.
+    */
+  def slidingCountsStream(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      widthMinutes: Int,
+      slideMinutes: Int
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(
+        window(col(tsCol), s"$widthMinutes minutes", s"$slideMinutes minutes"),
+        col(typeCol)
+      )
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(typeCol), col("n"))
+
   /** One event for the custom-state sessionizer. */
   final case class SessionEvent(user_id: String, ts: java.sql.Timestamp, value: Double)
 
