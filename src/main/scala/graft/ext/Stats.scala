@@ -19,34 +19,74 @@ object Stats {
     * definition: index (n−1)·p into the sorted values, interpolate
     * between the straddling pair). One row per requested p.
     *
-    * Scale note: ranking uses a global `row_number` window —
-    * single-task, right for reviewer-scale profile columns (same stance
-    * as the engine's other global-order ops). The 100 TB path is
-    * `approx_percentile` (t-digest, partial-aggregated), which trades
-    * the oracle away for distribution; this operator is the exact twin
-    * used to validate it at small SF.
+    * TWO-PHASE ranking — no global single-task window (the r5 design
+    * debt): (1) a value histogram (groupBy value, partial-agg, state =
+    * |distinct|) is split into equal-WIDTH value buckets, whose per-bucket
+    * totals (≤ `buckets` rows) come to the driver as prefix offsets;
+    * (2) ranking runs in a window PARTITIONED BY bucket — parallel across
+    * buckets — and the bucket offset lifts each within-bucket cumulative
+    * count to a global rank range [rank_lo+1, rank_hi] per distinct value.
+    * Equal-width bucketing is deterministic (no range-sampler reruns) and
+    * value-ordered, which is all global ranking needs; skewed buckets cost
+    * balance, not correctness. The straddling pair then comes from two
+    * broadcast probes into the ranked histogram.
+    *
+    * 100 TB stance: this is the EXACT path (answers are oracle-matched);
+    * `approx_percentile` (t-digest) remains the cheap alternative when a
+    * distributional estimate suffices.
     */
   def exactQuantiles(df: DataFrame, valueCol: Column, ps: Seq[Double]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val v = df.select(valueCol.cast("long").as("v"))
-    val ranked = v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-    val cnt = v.agg(count(lit(1)).as("n"))
-    val k = ps
-      .toDF("p")
-      .crossJoin(cnt)
-      .withColumn("pos", (col("n") - 1) * col("p"))
-      .withColumn("lo", floor(col("pos")).cast("long"))
-      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val vals = df.select(valueCol.cast("long").as("v"))
+    val head = vals.agg(min(col("v")), max(col("v")), count(lit(1))).collect()(0)
+    val n = head.getLong(2)
+    if (n == 0 || ps.isEmpty)
+      return ps.toDF("p").withColumn("q", lit(null).cast("double")).limit(0)
+    val vmin = head.getLong(0)
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // span overflow (vmax−vmin+1 beyond Long) degrades to one bucket —
+    // the pre-r6 single-window behavior — instead of wrong buckets
+    val span =
+      try Math.addExact(Math.subtractExact(head.getLong(1), vmin), 1L)
+      catch { case _: ArithmeticException => 0L }
+    val buckets = if (span <= 0) 1 else math.min(span, math.max(1, parallelism * 4L))
+    val width = if (span <= 0) 1L else (span + buckets - 1) / buckets
+    // SQL `div` = exact integer division (a `/` would round-trip through
+    // double and mis-bucket beyond 2^53)
+    val hist = vals
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("b", if (span <= 0) lit(0) else expr(s"cast((v - ${vmin}L) div ${width}L as int)"))
+    val offsets: Map[Int, Long] = {
+      val totals = hist.groupBy(col("b")).agg(sum(col("c")).as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).map(w => w(1)._1 -> w(0)._2).toMap
+    }
+    val off = offsets.toSeq.toDF("b", "off")
+    val ranked = hist
+      .withColumn("cs", sum(col("c")).over(Window.partitionBy(col("b")).orderBy(col("v"))))
+      .join(broadcast(off), Seq("b"))
+      .withColumn("rank_hi", col("cs") + col("off"))
+      .withColumn("rank_lo", col("rank_hi") - col("c"))
+    val targets = ps.map { p =>
+      val pos = (n - 1) * p
+      (p, pos, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+    }.toDF("p", "pos", "rlo", "rhi")
     // v_lo + (v_hi − v_lo)·(pos − lo), evaluated in exactly this
     // association — the oracle mirrors it token for token
-    k.join(ranked.select(col("rn").as("rn_lo"), col("v").as("v_lo")), col("lo") + 1 === col("rn_lo"))
-      .join(ranked.select(col("rn").as("rn_hi"), col("v").as("v_hi")), col("hi") + 1 === col("rn_hi"))
+    ranked
+      .join(broadcast(targets), col("rlo") > col("rank_lo") && col("rlo") <= col("rank_hi"))
+      .select(col("p"), col("pos"), col("rlo"), col("rhi"), col("v").as("v_lo"))
+      .join(
+        ranked.select(col("v").as("v_hi"), col("rank_lo").as("rl2"), col("rank_hi").as("rh2")),
+        col("rhi") > col("rl2") && col("rhi") <= col("rh2"))
       .select(
         col("p"),
         (col("v_lo").cast("double") +
           (col("v_hi").cast("double") - col("v_lo").cast("double")) *
-          (col("pos") - col("lo").cast("double"))).as("q")
+          (col("pos") - (col("rlo") - 1).cast("double"))).as("q")
       )
   }
 

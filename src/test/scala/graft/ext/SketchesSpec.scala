@@ -95,6 +95,21 @@ class SketchesSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("approx_count_distinct (the built-in 100 TB path) and kmvDistinct both land within their error bounds") {
+    // 5000 true distincts observed 4x each
+    val df = spark.range(0, 20000).select(concat(lit("item_"), $"id" % 5000).as("x"))
+    val exact = df.select(count_distinct($"x")).collect()(0).getLong(0)
+    assert(exact == 5000L)
+    // HyperLogLog++ at rsd=0.02: gate at 3 standard deviations
+    val approx = df.select(approx_count_distinct($"x", 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx_count_distinct $approx vs exact $exact")
+    // KMV at k=1024: relative error ~1/sqrt(k) ≈ 3.1%; gate at 3 sigma
+    val kmv = Sketches.kmvDistinct(df, $"x", k = 1024).collect().head
+    val est = kmv.getAs[Long]("est_distinct")
+    assert(math.abs(est - exact).toDouble / exact < 0.1, s"kmv $est vs exact $exact")
+  }
+
   test("duplicates never change the sketch") {
     val base = spark.range(0, 500).select(concat(lit("w"), $"id").as("t"))
     val dup = base.union(base).union(base)

@@ -25,6 +25,37 @@ class StatsSpec extends SparkSpecBase {
     assert(q.length == 1 && q(0).getDouble(1) == 30.0)
   }
 
+  test("exactQuantiles ranks in a PARTITIONED window (no single-task global sort)") {
+    // 0..4095 spreads over many equal-width value buckets in the test
+    // session (4 shuffle partitions → 16 buckets)
+    val df = (0 until 4096).toDF("v")
+    val out = Stats.exactQuantiles(df, col("v"), Seq(0.5, 0.99))
+    val plan = out.queryExecution.executedPlan.toString
+    // every window in the plan must carry a partition key: a global
+    // row_number window would render windowspecdefinition(v ... ) with no
+    // partition column before the sort spec
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(
+      specs.forall(s => s.contains("b#")),
+      s"found an unpartitioned ranking window:\n$specs")
+    // and the two-phase ranking is still exact
+    val q = out.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(q(0.5) == 4095 * 0.5 && q(0.99) == 4095 * 0.99)
+  }
+
+  test("exactQuantiles is exact on a skewed multiset (duplicates straddle the position)") {
+    // heavy duplicates force rank ranges wider than 1 on both probes
+    val df = (Seq.fill(50)(1) ++ Seq.fill(30)(5) ++ Seq.fill(20)(9)).toDF("v")
+    val q = Stats.exactQuantiles(df, col("v"), Seq(0.25, 0.5, 0.8, 0.995))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // n=100: pos(.25)=24.75 sits inside the 1-run; pos(.5)=49.5 straddles
+    // the 1→5 boundary (ranks 50,51); pos(.8)=79.2 straddles 5→9
+    assert(q(0.25) == 1.0 && q(0.5) == 1.0 + (5.0 - 1.0) * (49.5 - 49.0))
+    assert(q(0.8) == 5.0 + (9.0 - 5.0) * (79.2 - 79.0))
+    assert(q(0.995) == 9.0)
+  }
+
   test("groupedQuantile computes each group's interpolated quantile independently") {
     val df = Seq(
       ("a", 10), ("a", 20), ("a", 40), ("a", 80), // p=.5 → pos 1.5 → 30
