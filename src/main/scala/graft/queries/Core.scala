@@ -619,6 +619,44 @@ object Core {
       graft.sources.Sources.writeBatched(upload, path, 250)
       s.read.parquet(path)
     },
+    // ---- S9 (packaging half): zip-archive sink round-trip ----------------
+    // batched CSVs → one DETERMINISTIC zip (the reference's `zip -r` CI
+    // step) → read the archive back executor-side (binaryFile scan, one
+    // task per archive) and re-emit the data rows; hash-matching the
+    // source relation proves the package is lossless. Upload/notify stay
+    // in CI (network boundary, SURVEY §2.1).
+    "s9_zip_archive" -> { (s, dir) =>
+      import s.implicits._
+      val base = Scratch.dir("s9_csv", dir)
+      val zip = new java.io.File(Scratch.dir("s9_zip", dir), "permits.zip").getAbsolutePath
+      val upload = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          col("o_orderkey").cast("string").as("permit_"),
+          floor(col("o_totalprice")).cast("long").cast("string").as("reported_cost"))
+      upload.write.mode("overwrite").option("header", "true")
+        .option("maxRecordsPerFile", 250L).csv(base)
+      graft.sources.Sources.zipDirectory(base, zip)
+      s.read.format("binaryFile").load(zip)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+          val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var e = zin.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory && e.getName.endsWith(".csv")) {
+              val text = new String(zin.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              text.split("\n").iterator.drop(1).filter(_.nonEmpty).foreach { line =>
+                val c = line.split(",", -1)
+                rows += ((c(0), c(1)))
+              }
+            }
+            e = zin.getNextEntry
+          }
+          rows
+        }
+        .toDF("permit_", "reported_cost")
+    },
     // ---- S1b: DSv2 connector with real filter/column pushdown ------------
     "s1_dsv2_pushdown" -> { (s, dir) =>
       // own path — Verify dumps queries concurrently, so sharing
@@ -1125,6 +1163,10 @@ object Core {
          FROM customer""",
     "s8_batched_sink" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'""",
+    "s9_zip_archive" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
+                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS reported_cost
+         FROM orders WHERE o_orderstatus = 'F'""",
     "j7_bucketed_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey""",

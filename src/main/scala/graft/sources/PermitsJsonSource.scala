@@ -31,8 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Format: JSON Lines, all fields read as strings (leading-zero PINs must
   * never infer numeric — same stance as [[Sources.permitsRawSchema]]).
-  * One InputPartition per file; a production version would add byte-range
-  * splits, same shape.
+  * Files larger than `splitBytes` (option, default 32 MiB) are split into
+  * byte ranges with Hadoop text-input semantics: a split owns exactly the
+  * lines whose FIRST byte falls inside it, a reader landing mid-line skips
+  * to the next newline (that partial line belongs to the previous split),
+  * and the last owned line may run past the range end. One large portal
+  * dump therefore fans out across the cluster instead of pinning one task.
   *
   * Usage: `spark.read.format("graft.sources.PermitsJsonSource")
   *   .option("path", dir).schema(s).load()`.
@@ -49,21 +53,29 @@ class PermitsJsonSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]
-  ): Table =
-    new PermitsJsonTable(schema, properties.get("path"))
+  ): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PermitsJsonTable(
+      schema,
+      opts.get("path"),
+      opts.getLong("splitBytes", 32L * 1024 * 1024)
+    )
+  }
 }
 
-final class PermitsJsonTable(schema: StructType, path: String) extends Table with SupportsRead {
+final class PermitsJsonTable(schema: StructType, path: String, splitBytes: Long)
+    extends Table
+    with SupportsRead {
   require(path != null, "path option is required")
   override def name(): String = s"permits_json($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PermitsJsonScanBuilder(schema, path)
+    new PermitsJsonScanBuilder(schema, path, splitBytes)
 }
 
-final class PermitsJsonScanBuilder(fullSchema: StructType, path: String)
+final class PermitsJsonScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -136,7 +148,8 @@ final class PermitsJsonScanBuilder(fullSchema: StructType, path: String)
     */
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new PermitsJsonScan(required, path, pushed, limit, orders)
+  override def build(): Scan =
+    new PermitsJsonScan(required, path, pushed, limit, orders, splitBytes)
 }
 
 /** Serializable sort-key spec shipped to readers: `nullsFirst` is the
@@ -150,7 +163,8 @@ final class PermitsJsonScan(
     path: String,
     filters: Array[Filter],
     limit: Int,
-    orders: Array[PushedOrder]
+    orders: Array[PushedOrder],
+    splitBytes: Long
 ) extends Scan
     with Batch {
   override def readSchema(): StructType = schema
@@ -170,14 +184,24 @@ final class PermitsJsonScan(
       if (dir.isDirectory)
         dir.listFiles().filter(f => f.getName.endsWith(".json") || f.getName.endsWith(".txt"))
       else Array(dir)
-    files.sortBy(_.getName).map(f => PermitsJsonInputPartition(f.getAbsolutePath): InputPartition)
+    files.sortBy(_.getName).flatMap { f =>
+      val len = f.length()
+      if (splitBytes <= 0 || len <= splitBytes)
+        Seq(PermitsJsonInputPartition(f.getAbsolutePath, 0L, len): InputPartition)
+      else
+        (0L until len by splitBytes).map { s0 =>
+          PermitsJsonInputPartition(
+            f.getAbsolutePath, s0, math.min(s0 + splitBytes, len)): InputPartition
+        }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PermitsJsonReaderFactory(schema, filters, limit, orders)
 }
 
-final case class PermitsJsonInputPartition(file: String) extends InputPartition
+final case class PermitsJsonInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class PermitsJsonReaderFactory(
     schema: StructType,
@@ -185,14 +209,10 @@ final class PermitsJsonReaderFactory(
     limit: Int,
     orders: Array[PushedOrder]
 ) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PermitsJsonPartitionReader(
-      partition.asInstanceOf[PermitsJsonInputPartition].file,
-      schema,
-      filters,
-      limit,
-      orders
-    )
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PermitsJsonInputPartition]
+    new PermitsJsonPartitionReader(p.file, p.start, p.end, schema, filters, limit, orders)
+  }
 }
 
 /** Streams one JSON-lines file: parse → evaluate pushed filters → project
@@ -206,6 +226,8 @@ final class PermitsJsonReaderFactory(
   */
 final class PermitsJsonPartitionReader(
     file: String,
+    start: Long,
+    end: Long,
     schema: StructType,
     filters: Array[Filter],
     limit: Int,
@@ -213,12 +235,49 @@ final class PermitsJsonPartitionReader(
 ) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(file, "UTF-8")
-  private val lines = source.getLines()
+  private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16)
+  // byte offset of the NEXT unread byte
+  private var pos: Long = 0L
   private var current: InternalRow = _
   private var emitted: Int = 0
   // TopN path state: built lazily on first next()
   private var topNRows: Iterator[InternalRow] = _
+
+  // Position to the split start with Hadoop LineRecordReader semantics:
+  // seek to `start-1` and discard the line CONTAINING that byte. If byte
+  // start-1 is a newline, the line beginning exactly at `start` survives
+  // (it is this split's first owned line — the previous reader stops
+  // before reading a line whose first byte is ≥ its end); if start-1 is
+  // mid-line, that partial line belongs to the previous split and is
+  // skipped. Every line is read exactly once across splits.
+  locally {
+    if (start > 0) {
+      var toSkip = start - 1
+      while (toSkip > 0) {
+        val skipped = in.skip(toSkip)
+        if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+      }
+      pos = start - 1
+      var b = in.read()
+      while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+      if (b == '\n') pos += 1
+    }
+  }
+
+  private val lineBuf = new java.io.ByteArrayOutputStream(1024)
+
+  /** Next line whose first byte lies inside [start, end); null when the
+    * split is exhausted. The line itself may extend past `end`.
+    */
+  private def nextLine(): String = {
+    if (pos >= end) return null
+    var b = in.read()
+    if (b == -1) return null
+    lineBuf.reset()
+    while (b != -1 && b != '\n') { lineBuf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   private def fieldValue(obj: com.fasterxml.jackson.databind.JsonNode, name: String): String = {
     val n = obj.get(name)
@@ -268,8 +327,9 @@ final class PermitsJsonPartitionReader(
     val heap = mutable.PriorityQueue.empty[(Array[UTF8String], InternalRow)](
       Ordering.fromLessThan[(Array[UTF8String], InternalRow)]((x, y) => keyCompare(x._1, y._1) < 0)
     )
-    while (lines.hasNext) {
-      val line = lines.next().trim
+    var raw = nextLine()
+    while (raw != null) {
+      val line = raw.trim
       if (line.nonEmpty) {
         val obj = mapper.readTree(line)
         val get = (name: String) => fieldValue(obj, name)
@@ -285,6 +345,7 @@ final class PermitsJsonPartitionReader(
           }
         }
       }
+      raw = nextLine()
     }
     // emission order is irrelevant: the TopN is PARTIALLY pushed, so
     // Spark's residual Sort re-orders the union of partition buffers
@@ -309,13 +370,15 @@ final class PermitsJsonPartitionReader(
       false
     } else {
       current = null
-      while (current == null && lines.hasNext) {
-        val line = lines.next().trim
+      var raw = nextLine()
+      while (current == null && raw != null) {
+        val line = raw.trim
         if (line.nonEmpty) {
           val obj = mapper.readTree(line)
           val get = (name: String) => fieldValue(obj, name)
           if (passes(get)) current = project(get)
         }
+        if (current == null) raw = nextLine()
       }
       if (current != null) emitted += 1
       current != null
@@ -323,5 +386,5 @@ final class PermitsJsonPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = in.close()
 }

@@ -106,6 +106,38 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** S9 (packaging half): zip a sink output directory into ONE archive —
+    * the engine twin of the reference's `zip -r` CI step
+    * (.github/workflows/extract-chicago-permits.yaml:86-96).
+    * DETERMINISTIC: entries are added in sorted relative-path order with a
+    * fixed timestamp, so the same input directory produces byte-identical
+    * archives (a content-addressable artifact — same bytes ⇒ same upload).
+    * The S3 upload + SNS notify halves stay in CI per SURVEY §2.1: they
+    * are network boundaries, not data operators.
+    */
+  def zipDirectory(dir: String, zipPath: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.isDirectory(root), s"$dir is not a directory")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => root.relativize(p).toString.replace('\\', '/') -> p)
+        .toVector.sortBy(_._1)
+      finally walk.close()
+    val target = java.nio.file.Paths.get(zipPath)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val out = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(target))
+    try files.foreach { case (rel, p) =>
+      val e = new java.util.zip.ZipEntry(rel)
+      e.setTime(0L) // fixed mtime: reproducible archive bytes
+      out.putNextEntry(e)
+      java.nio.file.Files.copy(p, out)
+      out.closeEntry()
+    } finally out.close()
+  }
+
   /** Partition-pruned layout sink: `partitionBy` columns become the
     * directory layout, so equality/range predicates on them prune whole
     * directories at PLANNING time (`PartitionFilters` in the scan — zero

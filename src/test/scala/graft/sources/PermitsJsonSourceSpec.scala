@@ -93,6 +93,43 @@ class PermitsJsonSourceSpec extends SparkSpecBase {
     assert(strings(df, "permit_") == Seq("P2", "P1"))
   }
 
+  test("byte-range splits read every line exactly once, at every boundary alignment") {
+    // 200 variable-length lines; small splitBytes guarantees many ranges
+    // whose boundaries land mid-line, at line starts, and at newlines
+    val dir = Files.createTempDirectory("permits_split").toFile
+    val lines = (0 until 200).map(i =>
+      s"""{"permit_":"S$i","issue_date":"1995-01-01T00:00:00.000000","pin_list":"${"x" * (i % 37)}"}""")
+    Files.write(new java.io.File(dir, "big.json").toPath, lines.mkString("\n").getBytes)
+    for (split <- Seq(33L, 64L, 101L, 1000000L)) {
+      val df = spark.read
+        .format("graft.sources.PermitsJsonSource")
+        .option("path", dir.getAbsolutePath)
+        .option("splitBytes", split.toString)
+        .schema(Sources.permitsRawSchema)
+        .load()
+      if (split < 1000L)
+        assert(df.rdd.getNumPartitions > 1, s"splitBytes=$split produced one partition")
+      val got = strings(df, "permit_").sorted
+      assert(got == (0 until 200).map(i => s"S$i").sorted, s"splitBytes=$split lost/duped rows")
+    }
+  }
+
+  test("pushed filters and limit compose with byte-range splits") {
+    val dir = Files.createTempDirectory("permits_split2").toFile
+    val lines = (0 until 100).map(i =>
+      s"""{"permit_":"Q$i","issue_date":"${if (i % 2 == 0) "1995" else "1996"}-01-01T00:00:00.000000"}""")
+    Files.write(new java.io.File(dir, "big.json").toPath, lines.mkString("\n").getBytes)
+    val base = spark.read
+      .format("graft.sources.PermitsJsonSource")
+      .option("path", dir.getAbsolutePath)
+      .option("splitBytes", "97")
+      .schema(Sources.permitsRawSchema)
+      .load()
+    val filtered = base.filter($"issue_date" < "1996-01-01")
+    assert(filtered.count() == 50)
+    assert(filtered.limit(7).count() == 7)
+  }
+
   test("multi-file limit stays exact: partitions over-supply, Spark's residual limit trims") {
     val dir = writeFixture()
     // second file: the per-partition bound means the scan may emit up to

@@ -41,6 +41,38 @@ class SourcesSpec extends SparkSpecBase {
     assert(a.count() == 10 && b.count() == 10)
   }
 
+  test("zipDirectory is deterministic and lossless (S9 packaging twin)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s9src").toFile
+    val data = (0 until 600).map(i => (s"P$i", s"${i * 7}"))
+    data.toDF("permit_", "reported_cost")
+      .write.mode("overwrite").option("header", "true")
+      .option("maxRecordsPerFile", 250L).csv(dir.getAbsolutePath)
+    val z1 = java.nio.file.Files.createTempFile("s9", ".zip").toString
+    val z2 = java.nio.file.Files.createTempFile("s9", ".zip").toString
+    Sources.zipDirectory(dir.getAbsolutePath, z1)
+    Sources.zipDirectory(dir.getAbsolutePath, z2)
+    // reproducible bytes: same input directory → byte-identical archive
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(z1)),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(z2))))
+    // lossless: every data row comes back out of the archive
+    val zin = new java.util.zip.ZipInputStream(new java.io.FileInputStream(z1))
+    val recovered = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory && e.getName.endsWith(".csv")) {
+        val text = new String(zin.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        text.split("\n").iterator.drop(1).filter(_.nonEmpty).foreach { line =>
+          val c = line.split(",", -1); recovered += ((c(0), c(1)))
+        }
+      }
+      e = zin.getNextEntry
+    }
+    zin.close()
+    assert(recovered.sorted.toSeq == data.sorted)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
