@@ -207,10 +207,67 @@ object Multimodal {
       .toDF("asset_id", "media_type", "payload")
   }
 
-  /** ======================== STUB ========================
-    * Resize: recompute target dimensions preserving aspect ratio — the
-    * arithmetic is real; the pixel resample a codec would do is not (no
-    * imaging libs in this container). Plan shape: pure projection, map-side.
+  /** REAL image resize: decode → nearest-neighbor resample → re-encode,
+    * inside the partition-batched plumbing. The contract is integer-exact
+    * so a SQL oracle can reproduce it bit-for-bit: target dims cap the
+    * larger side at `maxSide` via integer division
+    * (`tw = max(1, w*maxSide div max(w,h))`, identity when both sides fit),
+    * and target pixel (x,y) copies source sample
+    * (`x*w div tw`, `y*h div th`) per band — no float scale factor
+    * anywhere. Output schema matches the synth/asset triple, so
+    * [[decodeImages]] composes directly for verification.
+    */
+  def resizeImages(assets: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0, "maxSide must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .repartition(col("asset_id"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"asset $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (tw, th) =
+            if (w <= maxSide && h <= maxSide) (w, h)
+            else {
+              val m = math.max(w, h)
+              (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
+            }
+          val outType =
+            if (img.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+            else img.getType
+          val out = new java.awt.image.BufferedImage(tw, th, outType)
+          val src = img.getRaster
+          val dst = out.getRaster
+          val bands = math.min(src.getNumBands, dst.getNumBands)
+          var y = 0
+          while (y < th) {
+            val sy = y * h / th
+            var x = 0
+            while (x < tw) {
+              val sx = x * w / tw
+              var b = 0
+              while (b < bands) { dst.setSample(x, y, b, src.getSample(sx, sy, b)); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (mt != null && mt.endsWith("bmp")) "bmp" else "png"
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, fmt, baos)
+          (id, mt, baos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
+  /** Target-dimension arithmetic alone (no pixels) — kept as the cheap
+    * metadata projection for non-image media whose decode the JDK lacks.
+    * Plan shape: pure projection, map-side.
     */
   def resized(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(

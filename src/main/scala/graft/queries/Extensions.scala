@@ -258,6 +258,17 @@ object Extensions {
         .decodeImages(Multimodal.synthImages(t(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // REAL resize end-to-end: synth → decode → integer-exact NN resample →
+    // re-encode → decode again; the oracle recomputes the resampled pixel
+    // sum arithmetically (all integer division, no float scale), so a
+    // lossy re-encode or wrong sample mapping cannot hash-match
+    "mm_resize_real" -> { (s, dir) =>
+      Multimodal
+        .decodeImages(
+          Multimodal.resizeImages(
+            Multimodal.synthImages(t(s, dir, "documents"), "doc_id"), maxSide = 8))
+        .toDF()
+    },
     // ---- events / sessionization ------------------------------------------
     "ev_sessionize" -> { (s, dir) =>
       val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
@@ -1182,6 +1193,31 @@ object Extensions {
          CROSS JOIN generate_series(0, 12) AS x(g)
          CROSS JOIN generate_series(0, 10) AS y(g)
          WHERE x.g < d.width AND y.g < d.height
+         GROUP BY 1, 2, 3, 4""",
+    "mm_resize_real" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(1 + doc_id % 13 AS BIGINT) AS w,
+                  CAST(1 + doc_id % 11 AS BIGINT) AS h
+           FROM documents),
+         t AS (
+           SELECT doc_id, w, h,
+                  CASE WHEN w <= 8 AND h <= 8 THEN w
+                       ELSE greatest(1, (w * 8) // greatest(w, h)) END AS tw,
+                  CASE WHEN w <= 8 AND h <= 8 THEN h
+                       ELSE greatest(1, (h * 8) // greatest(w, h)) END AS th
+           FROM dims)
+         SELECT t.doc_id AS asset_id,
+                CASE WHEN t.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                CAST(t.tw AS INTEGER) AS width,
+                CAST(t.th AS INTEGER) AS height,
+                CAST(sum((t.doc_id * 31
+                          + 7 * ((x.g * t.w) // t.tw)
+                          + 13 * ((y.g * t.h) // t.th)) % 256) AS BIGINT) AS pix_sum
+         FROM t
+         CROSS JOIN generate_series(0, 12) AS x(g)
+         CROSS JOIN generate_series(0, 10) AS y(g)
+         WHERE x.g < t.tw AND y.g < t.th
          GROUP BY 1, 2, 3, 4""",
     "dedup_embedding" ->
       (qzCte + s"""

@@ -87,6 +87,25 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("resizeImages resamples nearest-neighbor with the integer-exact contract") {
+    // id=12: w=13, h=2 (even → png). maxSide=8: tw = max(1, 13*8/13) = 8,
+    // th = max(1, 2*8/13) = 1
+    val assets = Multimodal.synthImages(Seq(12L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.decodeImages(Multimodal.resizeImages(assets, maxSide = 8)).collect().head
+    assert(out.width == 8 && out.height == 1)
+    // expected: target (x, 0) samples source (x*13/8, 0*2/1)
+    val expected = (0 until 8).map { x =>
+      val sx = x * 13 / 8
+      (12L * 31 + 7L * sx + 13L * 0) % 256
+    }.sum
+    assert(out.pix_sum == expected, s"pix_sum ${out.pix_sum} != $expected")
+    // identity when both sides already fit
+    val small = Multimodal.synthImages(Seq(2L).toDF("doc_id"), "doc_id") // 3x3
+    val kept = Multimodal.decodeImages(Multimodal.resizeImages(small, maxSide = 8)).collect().head
+    val orig = Multimodal.decodeImages(small).collect().head
+    assert((kept.width, kept.height, kept.pix_sum) == ((orig.width, orig.height, orig.pix_sum)))
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head
