@@ -316,6 +316,41 @@ object Extensions {
             unix_micros(col("end")).as("end_us"),
             col("n_events")))
     },
+    // sixth stream/batch parity surface: the CUSTOM-STATE sessionizer
+    // (flatMapGroupsWithState, the explicit state machine) against the
+    // batch window oracle. Gated on the integer-exact session fields
+    // (bounds + event count); total_value accumulates doubles in stream
+    // order and is audited in SessionizeSpec instead, since no SQL engine
+    // reproduces that exact float stream
+    "stream_state_session_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[Sessionize.SessionEvent] = Fixtures
+        .events(s, dir)
+        .select(col("user_id").cast("string"), col("ts"), col("value").cast("double"))
+        .as[(String, java.sql.Timestamp, Double)]
+        .collect()
+        .map(t => Sessionize.SessionEvent(t._1, t._2, t._3))
+      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val mem = MemoryStream[Sessionize.SessionEvent]
+      val out = Sessionize.sessionizeWithState(mem.toDS(), gapMinutes = 30)
+      val sink = s"stream_state_session_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(ev.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(Sessionize.SessionEvent(
+          "~sentinel", new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+        mem.addData(Sessionize.SessionEvent(
+          "~sentinel", new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("user_id") =!= "~sentinel")
+          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events")))
+    },
     // third stream/batch parity surface: watermarked exact dedup over
     // MemoryStream — first occurrences emit immediately in append mode, so
     // no sentinel is needed; the surviving doc per digest is arrival-order-
@@ -1104,6 +1139,26 @@ object Extensions {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM z GROUP BY user_id, session_id""",
+    // the state-machine sessionizer uses sessionizeBatch's strict-> gap
+    // rule, so its oracle is the batch session derivation projected to the
+    // integer-exact fields
+    "stream_state_session_parity" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+           FROM x
+         ), z AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         )
+         SELECT CAST(user_id AS VARCHAR) AS user_id,
+                epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+                count(*) AS n_events
          FROM z GROUP BY user_id, session_id""",
     // session_window merges on OVERLAP: a gap of exactly 30min starts a
     // NEW session (>=), unlike sessionizeBatch's > — and end = last + gap

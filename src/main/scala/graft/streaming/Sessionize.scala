@@ -162,11 +162,15 @@ object Sessionize {
         state.remove()
         return Iterator(ClosedSession(user, s.start, s.end, s.nEvents, s.totalValue))
       }
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      // full microsecond precision: getTime alone truncates to millis and
+      // would shift session bounds off the batch twin's epoch_us
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.value))
       var closed = List.empty[ClosedSession]
       var cur = state.getOption
       sorted.foreach { e =>
-        val us = e.ts.getTime * 1000L
+        val us = micros(e.ts)
         cur match {
           case Some(s) if us - s.end <= gapUs =>
             cur = Some(SessionState(s.start, math.max(s.end, us), s.nEvents + 1, s.totalValue + e.value))
