@@ -53,7 +53,13 @@ object Sources {
     */
   def cached(spark: SparkSession, cacheDir: String, key: String)(compute: => DataFrame): DataFrame = {
     val path = s"$cacheDir/$key.parquet"
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    // existence check through the Hadoop FileSystem for the path's scheme:
+    // a java.io.File probe would always miss on hdfs://- or s3a://-backed
+    // cache dirs and silently recompute every run (the same failure shape
+    // as the r6 writeBucketed fix)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
     else {
       val df = compute
       df.write.mode("overwrite").parquet(path)
