@@ -23,6 +23,41 @@ object Dedup {
     df.groupBy(md5(textCol).as("digest"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Corpus-level LINE deduplication (boilerplate removal — the CCNet /
+    * RefinedWeb pipeline shape): a line occurring in more than `maxDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
+    * and is stripped from every document. Every input id survives; a
+    * document whose lines are all boilerplate comes back with empty text.
+    *
+    * Scale shape: two shuffles, both partial-agg friendly — (line-digest →
+    * distinct-doc count), then a broadcast anti-join of the (small,
+    * by definition corpus-wide) boilerplate set back onto the exploded
+    * lines. The hot lines ARE the boilerplate, and they collapse map-side
+    * in the count stage; reassembly is an order-preserving `array_sort`
+    * over (line_no, line) structs — grouped, never a global window.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    val lines = df.select(
+      col(idCol).as("__id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("__ln", "__line")))
+    val common = lines
+      .groupBy(md5(col("__line")).as("__h"))
+      .agg(count_distinct(col("__id")).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select(col("__h"))
+    val kept = lines.join(broadcast(common), md5(col("__line")) === common("__h"), "left_anti")
+    val reassembled = kept
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__ln"), col("__line")))).as("__arr"))
+      .select(
+        col("__id"),
+        concat_ws("\n", transform(col("__arr"), s => s.getField("__line"))).as("__text"))
+    df.select(col(idCol))
+      .join(reassembled, df(idCol) === reassembled("__id"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Word n-gram shingles (distinct, first-occurrence order). Built per-row
     * with array higher-order functions — no explode, no shuffle.
     */

@@ -269,6 +269,19 @@ object Extensions {
             Multimodal.synthImages(t(s, dir, "documents"), "doc_id"), maxSide = 8))
         .toDF()
     },
+    // corpus-level line dedup (boilerplate removal, CCNet/RefinedWeb
+    // shape): frame every doc with synthetic nav/footer lines (the fixture
+    // has no newlines), then strip lines occurring in > maxDocs distinct
+    // docs — the frames vanish, the bodies survive byte-identically
+    "dedup_strip_boilerplate" -> { (s, dir) =>
+      val framed = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("NAV: home | products | contact\n"),
+          col("text"),
+          lit("\nCOPYRIGHT 2024 example.com")).as("text"))
+      Dedup.stripBoilerplate(framed, "doc_id", "text", maxDocs = 50)
+    },
     // ---- events / sessionization ------------------------------------------
     "ev_sessionize" -> { (s, dir) =>
       val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
@@ -1190,6 +1203,30 @@ object Extensions {
          FROM events GROUP BY 1, 2""",
     "stream_dedup_parity" ->
       """SELECT DISTINCT md5(text) AS h FROM documents""",
+    "dedup_strip_boilerplate" ->
+      """WITH framed AS (
+           SELECT doc_id,
+                  concat('NAV: home | products | contact', chr(10),
+                         text, chr(10), 'COPYRIGHT 2024 example.com') AS text
+           FROM documents
+         ), split AS (
+           SELECT doc_id, string_split(text, chr(10)) AS parts FROM framed
+         ), lines AS (
+           SELECT doc_id, g.g AS ln, parts[g.g] AS line
+           FROM split CROSS JOIN generate_series(1, 8) AS g(g)
+           WHERE g.g <= len(parts)
+         ), common AS (
+           SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 50
+         ), kept AS (
+           SELECT l.doc_id, l.ln, l.line
+           FROM lines l LEFT JOIN common c ON l.line = c.line
+           WHERE c.line IS NULL
+         )
+         SELECT f.doc_id, coalesce(k.text, '') AS text
+         FROM framed f LEFT JOIN (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+           FROM kept GROUP BY doc_id
+         ) k USING (doc_id)""",
     "stream_sliding_parity" ->
       """WITH half AS (
            SELECT event_type,

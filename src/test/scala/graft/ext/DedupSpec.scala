@@ -191,4 +191,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out(0) == Seq("a b c", "b c d"))
     assert(out(1) == Seq("a b")) // fewer words than n: concat_ws skips missing
   }
+
+  test("stripBoilerplate removes only over-threshold lines, preserves order, keeps all ids") {
+    // HEADER in 4 docs, FOOTER in 3, bodies unique; maxDocs=2 strips both
+    // frames and nothing else
+    val df = Seq(
+      (1L, "HEADER\nbody one\nFOOTER"),
+      (2L, "HEADER\nbody two line a\nbody two line b\nFOOTER"),
+      (3L, "HEADER\nbody three\nFOOTER"),
+      (4L, "HEADER"), // all boilerplate → empty text, id survives
+      (5L, "no frame at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(df, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "body one",
+      2L -> "body two line a\nbody two line b",
+      3L -> "body three",
+      4L -> "",
+      5L -> "no frame at all"
+    ))
+  }
 }
