@@ -124,6 +124,30 @@ object Curation {
     * rate ever exists to diverge between engines. Same determinism
     * rationale as [[stratifiedSample]] (retry-stable, no rand()).
     */
+  /** Group-level quality gate: keep every document whose GROUP's mean of
+    * `valueCol` clears `minMean` — the "drop low-quality domains
+    * wholesale" curation step (a per-document filter can't express it: the
+    * decision is an aggregate over the whole domain). Two stages, both
+    * scale-safe: a keyed partial-agg reduces the corpus to |groups| rows
+    * of integer (sum, count) moments, and the qualifying group set
+    * broadcast-semi-joins back onto the corpus — the big side never
+    * shuffles. The mean is one double division of two exact integers, so
+    * any SQL engine reproduces the comparison bit-for-bit.
+    */
+  def filterByGroupMean(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      minMean: Double
+  ): DataFrame = {
+    val good = df
+      .groupBy(groupCol.as("__g"))
+      .agg(sum(valueCol.cast("long")).as("__s"), count(lit(1)).as("__n"))
+      .filter(col("__s").cast("double") / col("__n").cast("double") >= minMean)
+      .select(col("__g"))
+    df.join(broadcast(good), groupCol === col("__g"), "left_semi")
+  }
+
   def mixToTarget(
       df: DataFrame,
       idCol: Column,

@@ -693,6 +693,13 @@ object Extensions {
       val e = t(s, dir, "embeddings")
       Similarity.int8TopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     },
+    // group-level quality gate: drop whole sources whose mean doc length
+    // misses the bar — an aggregate decision no per-row filter expresses
+    "corpus_filter_by_group" -> { (s, dir) =>
+      Curation.filterByGroupMean(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"), minMean = 300.0)
+    },
     // static domain mixing: rebalance sources to 3:2:1:... target
     // proportions, bottleneck stratum kept whole, others hash-downsampled
     "corpus_mix_weighted" -> { (s, dir) =>
@@ -1624,6 +1631,12 @@ object Extensions {
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_window
          FROM events""",
+    "corpus_filter_by_group" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE source IN (
+           SELECT source FROM documents GROUP BY source
+           HAVING CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 300.0
+         )""",
     "corpus_mix_weighted" ->
       """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
          u AS (SELECT s, n,
