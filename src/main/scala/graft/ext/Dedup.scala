@@ -46,16 +46,22 @@ object Dedup {
       .agg(count_distinct(col("__id")).as("__docs"))
       .filter(col("__docs") > maxDocs)
       .select(col("__h"))
-    val kept = lines.join(broadcast(common), md5(col("__line")) === common("__h"), "left_anti")
-    val reassembled = kept
+    // one NULL-line sentinel per doc: md5(null) never matches the
+    // boilerplate set, so every id reaches reassembly even when all its
+    // real lines are stripped — WITHOUT a corpus-wide outer join to
+    // resurrect the empties (the null sorts first and concat_ws skips it)
+    val withSentinel = lines.unionByName(
+      df.select(
+        col(idCol).as("__id"),
+        lit(-1).as("__ln"),
+        lit(null).cast("string").as("__line")))
+    withSentinel
+      .join(broadcast(common), md5(col("__line")) === common("__h"), "left_anti")
       .groupBy(col("__id"))
       .agg(array_sort(collect_list(struct(col("__ln"), col("__line")))).as("__arr"))
       .select(
-        col("__id"),
-        concat_ws("\n", transform(col("__arr"), s => s.getField("__line"))).as("__text"))
-    df.select(col(idCol))
-      .join(reassembled, df(idCol) === reassembled("__id"), "left")
-      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+        col("__id").as(idCol),
+        concat_ws("\n", transform(col("__arr"), s => s.getField("__line"))).as(textCol))
   }
 
   /** Word n-gram shingles (distinct, first-occurrence order). Built per-row
