@@ -57,6 +57,23 @@ object Curation {
     df.orderBy(graft.ops.Hashing.md5Long(idCol.cast("string")).asc, idCol.asc).limit(k)
   }
 
+  /** Per-GROUP exact-k deterministic sample: at most `k` rows per group,
+    * the ones with the smallest md5-derived id hash (id tiebreak) — the
+    * "cap every domain at k docs" curation step. Ranking is a window
+    * PARTITIONED by the group, so it scales out across groups exactly like
+    * [[graft.ext.Stats.groupedQuantile]]; no global order anywhere. Same
+    * retry-stability rationale as [[sampleExactK]].
+    */
+  def sampleExactKPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(graft.ops.Hashing.md5Long(idCol.cast("string")).asc, idCol.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Benchmark decontamination: flag training documents whose word-n-gram
     * overlap with a benchmark/eval set reaches `threshPct` percent of the
     * document's own distinct n-grams — the standard filter run before

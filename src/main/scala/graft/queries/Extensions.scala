@@ -93,6 +93,24 @@ object Extensions {
       val cands = Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
       Dedup.connectedComponents(cands)
     },
+    // end-to-end near-dedup: cluster labels joined back onto the corpus,
+    // one survivor per cluster by quality (max n_chars, id tiebreak) —
+    // the canonical-corpus selection a dedup pipeline actually ships.
+    // Partitioned window (by cluster), never global
+    "dedup_survivors" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val cands = Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val clusters = Dedup.connectedComponents(cands)
+      val labeled = docs
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+    },
     // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
     // so the LIMIT boundary is deterministic in any engine)
     "text_vocab_topk" -> { (s, dir) =>
@@ -683,6 +701,13 @@ object Extensions {
       Curation.sampleExactK(
         t(s, dir, "documents").select(col("doc_id"), col("source")), col("doc_id"), k = 200)
     },
+    // per-group exact-k cap: at most 5 docs per source, chosen by the same
+    // md5 gate — partitioned-window ranking, no global order
+    "corpus_sample_k_per_group" -> { (s, dir) =>
+      Curation.sampleExactKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), k = 5)
+    },
     // int8 embedding quantization (storage/serving compression) — fixed-
     // order double arithmetic, bit-identical codes in any engine
     "emb_quantize_int8" -> { (s, dir) =>
@@ -840,6 +865,39 @@ object Extensions {
       lang -> grams.map(occSql).mkString(" + ")
     }
 
+  /** The LSH-candidate → symmetric-closure → reachability chain shared by
+    * the cluster oracle and the survivor oracle (one definition so the two
+    * cannot drift).
+    */
+  private lazy val clusterChainSql: String =
+    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        ), cands AS (
+          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), sym AS (
+          SELECT id_lo AS a, id_hi AS b FROM cands
+          UNION
+          SELECT id_hi, id_lo FROM cands
+        ), reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+          UNION
+          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        )"""
+
   private val gramsCte: String = """
     WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
     g AS (
@@ -969,34 +1027,18 @@ object Extensions {
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
     "dedup_clusters" ->
-      (gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + """
-        , sig AS (
-          SELECT doc_id, [
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
-          ] AS sig FROM g
-        ), banded AS (
-          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
-          FROM sig, range(0, 4) t(b)
-        ), cands AS (
-          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
-          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-        ), sym AS (
-          SELECT id_lo AS a, id_hi AS b FROM cands
-          UNION
-          SELECT id_hi, id_lo FROM cands
-        ), reach(id, r) AS (
-          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
-          UNION
-          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-        )
+      (clusterChainSql + """
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),
+    "dedup_survivors" ->
+      (clusterChainSql + """
+        , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+        , lab AS (
+          SELECT d.doc_id, d.n_chars, coalesce(cl.canonical_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, cluster_id, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM lab)
+        WHERE rk = 1"""),
     "corpus_sample_stratified" ->
       s"""WITH p AS (SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p FROM documents),
           sc AS (SELECT doc_id, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM p),
@@ -1574,6 +1616,15 @@ object Extensions {
       """SELECT doc_id, source FROM documents
          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
          LIMIT 200""",
+    "corpus_sample_k_per_group" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+                  ) AS rk
+           FROM documents)
+         WHERE rk <= 5""",
     "emb_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
              list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
