@@ -124,6 +124,44 @@ object Stats {
       )
   }
 
+  /** Per-group z-score outlier flag with NO floating point anywhere:
+    * |x − μ| > k·σ (population σ) is multiplied through by n² into the
+    * all-integer predicate `(n·x − S)² > k²·(n·SS − S²)` over
+    * decimal(38,0) moments — so the flag is bit-identical in any engine
+    * (DuckDB evaluates the same integers in HUGEINT), unlike any
+    * mean/stddev-based formulation whose float rounding can flip rows
+    * sitting exactly on the boundary. Shape: keyed partial-agg to
+    * |groups| moment rows, broadcast back over the corpus — the big side
+    * never shuffles.
+    */
+  def outliersExact(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      valueCol: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val d = "decimal(38,0)"
+    val moments = df
+      .groupBy(groupCol.as("grp"))
+      .agg(
+        count(lit(1)).cast(d).as("__n"),
+        sum(valueCol.cast("long").cast(d)).as("__s"),
+        sum((valueCol.cast("long").cast(d)) * (valueCol.cast("long").cast(d))).as("__ss")
+      )
+    df.select(groupCol.as("grp"), idCol.as("id"), valueCol.cast("long").as("x"))
+      .join(broadcast(moments), Seq("grp"))
+      .select(
+        col("grp"),
+        col("id"),
+        col("x"),
+        ((col("__n") * col("x") - col("__s")) * (col("__n") * col("x") - col("__s")) >
+          lit(k.toLong * k) * (col("__n") * col("__ss") - col("__s") * col("__s")))
+          .as("is_outlier")
+      )
+  }
+
   /** Pearson correlation via integer-exact moment sums: one
     * partial-aggregated pass accumulates (n, Σx, Σy, Σx², Σy², Σxy) as
     * `decimal(38,0)`, then the textbook formula runs once on the final

@@ -680,6 +680,13 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"),
         TextStats.tokenCount(col("text")))
     },
+    // per-source outlier flags via the all-integer z-score predicate —
+    // (n·x − S)² > 9·(n·SS − S²), no float anywhere, boundary rows can't
+    // flip between engines
+    "stats_outliers" -> { (s, dir) =>
+      Stats.outliersExact(
+        t(s, dir, "documents"), col("source"), col("doc_id"), col("n_chars"), k = 3)
+    },
     // skew-safe aggregation: the two-stage salted group-by, bit-identical
     // to the direct aggregate (algebraic functions commute with sharding)
     "agg_salted_skew" -> { (s, dir) =>
@@ -1591,6 +1598,16 @@ object Extensions {
          SELECT k.p,
                 CAST(a.v AS DOUBLE) + (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE)) * (k.pos - CAST(k.lo AS DOUBLE)) AS q
          FROM k JOIN r a ON a.rn = k.lo + 1 JOIN r b ON b.rn = k.hi + 1""",
+    "stats_outliers" ->
+      """WITH m AS (
+           SELECT source,
+                  CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(n_chars) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+           FROM documents GROUP BY source)
+         SELECT d.source AS grp, d.doc_id AS id, CAST(d.n_chars AS BIGINT) AS x,
+                ((m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)) > 9 * (m.n * m.ss - m.s * m.s) AS is_outlier
+         FROM documents d JOIN m USING (source)""",
     "stats_corr" ->
       """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0

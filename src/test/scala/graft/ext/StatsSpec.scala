@@ -56,6 +56,25 @@ class StatsSpec extends SparkSpecBase {
     assert(q(0.995) == 9.0)
   }
 
+  test("outliersExact matches the float z-score definition away from boundaries") {
+    // group a: tight cluster + one far point; group b: uniform, no outliers
+    val df = (Seq.fill(20)(("a", 100)) :+ (("a", 10000))).zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .++((0 until 10).map(i => ("b", 100L + i, 50 + i)))
+      .toDF("g", "id", "v")
+    val out = Stats.outliersExact(df, col("g"), col("id"), col("v"), k = 3)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    // driver-side float twin
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byG = rows.groupBy(_._1)
+    rows.foreach { case (g, id, x) =>
+      val xs = byG(g).map(_._3.toDouble)
+      val mu = xs.sum / xs.length
+      val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+      assert(out(id) == math.abs(x - mu) > 3 * sigma, s"id=$id g=$g x=$x")
+    }
+    assert(out.values.count(identity) == 1) // exactly the far point
+  }
+
   test("groupedQuantile computes each group's interpolated quantile independently") {
     val df = Seq(
       ("a", 10), ("a", 20), ("a", 40), ("a", 80), // p=.5 → pos 1.5 → 30
