@@ -11,6 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     allocation-free multi-term occurrence counting
   *     ([[graft.functions.OccurrenceCounts]]) — the native fast path under
   *     the TextStats lexicon scoring.
+  *   - `graft_nfc(text)` → Unicode NFC normalization with an ASCII
+  *     fast path ([[graft.functions.NfcNormalize]]) — canonicalization
+  *     before digest-keyed dedup, absent from Spark's built-ins.
   *
   * Everything else in the engine is deliberately built-in column algebra;
   * an entry earns a place here only with a measured win over the best
@@ -28,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ),
         (children: Seq[Expression]) =>
           graft.functions.OccurrenceCounts(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(
+          classOf[graft.functions.NfcNormalize].getName,
+          "graft_nfc"
+        ),
+        (children: Seq[Expression]) => graft.functions.NfcNormalize(children(0))
       )
     )
   }

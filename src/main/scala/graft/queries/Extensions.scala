@@ -680,6 +680,19 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"),
         TextStats.tokenCount(col("text")))
     },
+    // Unicode NFC canonicalization (the native graft_nfc Expression):
+    // decomposed suffixes (e+combining acute, A+combining ring) are
+    // composed before digesting — both engines implement the same Unicode
+    // algorithm, so the md5 of the normalized text is byte-exact
+    "text_nfc_normalize" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(" café Å")).as("t"))
+        .select(
+          col("doc_id"),
+          length(col("t")).as("len_raw"),
+          length(expr("graft_nfc(t)")).as("len_nfc"),
+          md5(expr("graft_nfc(t)")).as("h"))
+    },
     // per-source outlier flags via the all-integer z-score predicate —
     // (n·x − S)² > 9·(n·SS − S²), no float anywhere, boundary rows can't
     // flip between engines
@@ -1598,6 +1611,14 @@ object Extensions {
          SELECT k.p,
                 CAST(a.v AS DOUBLE) + (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE)) * (k.pos - CAST(k.lo AS DOUBLE)) AS q
          FROM k JOIN r a ON a.rn = k.lo + 1 JOIN r b ON b.rn = k.hi + 1""",
+    "text_nfc_normalize" ->
+      """SELECT doc_id,
+                CAST(length(t) AS INTEGER) AS len_raw,
+                CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
+                md5(nfc_normalize(t)) AS h
+         FROM (SELECT doc_id,
+                      text || ' cafe' || chr(769) || ' ' || chr(65) || chr(778) AS t
+               FROM documents)""",
     "stats_outliers" ->
       """WITH m AS (
            SELECT source,
