@@ -62,11 +62,16 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
-    println(line)
     // the driver tails stdout and has read a truncated line before — keep a
     // machine-readable copy on disk
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
+    // stop the session FIRST so nothing (shutdown messages, late executor
+    // output) can print after the JSON — the driver parses the FINAL stdout
+    // line, and anything trailing it truncates the parse (BENCH_r06
+    // parsed:null)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

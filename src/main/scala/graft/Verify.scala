@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: regex over query names, for targeted local checks
+    // (the driver always runs the full set with two args)
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o)    => (s, o, ".*")
+      case Array(s, o, f) => (s, o, f)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +32,7 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq.filter(_._1.matches(nameFilter)).map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Working-column collision guard: these operators stage intermediate
+    * values in fixed `__`-prefixed columns; silently replacing (and then
+    * dropping) a caller column of the same name would lose data, so the
+    * names are required absent up front — matching the defensive stance of
+    * the rest of the operator surface.
+    */
+  private def requireWorkCols(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(
+      clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with reserved working columns")
+  }
+
   /** Deterministic per-stratum downsampling: keep a row iff
     * md5(id) mod 1000 < rate(stratum) × 1000.
     *
@@ -66,6 +79,7 @@ object Curation {
     */
   def sampleExactKPerGroup(df: DataFrame, groupCol: Column, idCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    requireWorkCols(df, "__rk")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(graft.ops.Hashing.md5Long(idCol.cast("string")).asc, idCol.asc)
@@ -127,20 +141,6 @@ object Curation {
       )
   }
 
-  /** Rebalance a corpus to TARGET mix proportions (static domain mixing):
-    * given integer weights `w_s` per stratum, keep the largest sample whose
-    * stratum proportions are exactly `w_s`-proportional — the bottleneck
-    * stratum (minimum n_s/w_s) is kept whole and every other stratum is
-    * hash-downsampled to match.
-    *
-    * Fully declarative and engine-exact: stratum counts come from one tiny
-    * aggregate (broadcast back — never collected to the driver), the
-    * bottleneck falls out of a row_number over that aggregate, and the keep
-    * gate is integer cross-multiplication —
-    * `hash(id) · u_b · n_s  <  n_b · u_s · 10⁶` — so no floating-point
-    * rate ever exists to diverge between engines. Same determinism
-    * rationale as [[stratifiedSample]] (retry-stable, no rand()).
-    */
   /** Group-level quality gate: keep every document whose GROUP's mean of
     * `valueCol` clears `minMean` — the "drop low-quality domains
     * wholesale" curation step (a per-document filter can't express it: the
@@ -157,6 +157,7 @@ object Curation {
       valueCol: Column,
       minMean: Double
   ): DataFrame = {
+    requireWorkCols(df, "__g", "__s", "__n")
     val good = df
       .groupBy(groupCol.as("__g"))
       .agg(sum(valueCol.cast("long")).as("__s"), count(lit(1)).as("__n"))
@@ -165,6 +166,20 @@ object Curation {
     df.join(broadcast(good), groupCol === col("__g"), "left_semi")
   }
 
+  /** Rebalance a corpus to TARGET mix proportions (static domain mixing):
+    * given integer weights `w_s` per stratum, keep the largest sample whose
+    * stratum proportions are exactly `w_s`-proportional — the bottleneck
+    * stratum (minimum n_s/w_s) is kept whole and every other stratum is
+    * hash-downsampled to match.
+    *
+    * Fully declarative and engine-exact: stratum counts come from one tiny
+    * aggregate (broadcast back — never collected to the driver), the
+    * bottleneck falls out of a row_number over that aggregate, and the keep
+    * gate is integer cross-multiplication —
+    * `hash(id) · u_b · n_s  <  n_b · u_s · 10⁶` — so no floating-point
+    * rate ever exists to diverge between engines. Same determinism
+    * rationale as [[stratifiedSample]] (retry-stable, no rand()).
+    */
   def mixToTarget(
       df: DataFrame,
       idCol: Column,
@@ -173,6 +188,7 @@ object Curation {
       defaultWeight: Int = 1
   ): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ > 0), "weights must be positive")
+    requireWorkCols(df, "__s", "__n", "__u", "__nb", "__ub")
     import org.apache.spark.sql.expressions.Window
     val uOf: Column => Column = s =>
       weights.foldLeft(lit(defaultWeight.toLong): Column) {

@@ -38,7 +38,10 @@ object Stats {
   def exactQuantiles(df: DataFrame, valueCol: Column, ps: Seq[Double]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val vals = df.select(valueCol.cast("long").as("v"))
+    // nulls are excluded up front (quantile_cont semantics) so n, the
+    // histogram, and the rank ranges all agree — a null value would
+    // otherwise form a null bucket whose offset collect NPEs
+    val vals = df.select(valueCol.cast("long").as("v")).filter(col("v").isNotNull)
     val head = vals.agg(min(col("v")), max(col("v")), count(lit(1))).collect()(0)
     val n = head.getLong(2)
     if (n == 0 || ps.isEmpty)

@@ -83,6 +83,9 @@ object SkewOps {
       .agg(max(col("cnt")).as("row_max"), sum(col("cnt")).as("row_total"))
       .agg(min(col("row_max")).as("hot_upper"), max(col("row_total")).as("total"))
       .collect()(0)
+    // empty input ⇒ the min/max aggregate yields a null row; one salt is
+    // the only sensible sizing for zero rows
+    if (row.isNullAt(0) || row.isNullAt(1)) return 1
     val hotUpper = row.getLong(0)
     val total = row.getLong(1)
     val parallelism = s.conf.get("spark.sql.shuffle.partitions", "200").toInt

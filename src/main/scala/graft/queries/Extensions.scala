@@ -500,6 +500,79 @@ object Extensions {
         .join(exact, Seq("item"), "left")
         .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
     },
+    // seventh stream/batch parity surface: streaming LSH near-dup
+    // CANDIDATES — the watermarked stream-stream self-join on the band
+    // buckets — gated against the batch minhashLshPairs oracle. All docs
+    // share one event time inside the horizon, so the banding (identical
+    // signature pipeline) must yield exactly the batch candidate-pair set;
+    // inner-join matches emit as both sides arrive, no sentinel needed
+    "stream_lsh_parity" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs: Array[(Long, String)] =
+        t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val stream = Dedup.streamingLshCandidates(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        col("doc_id"), col("text"), "ts",
+        watermark = "1 hour", horizonSeconds = 3600, n = 3, k = 8, bands = 4)
+      val sink = s"stream_lsh_parity_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(docs.toSeq.map(d => (d._1, t0, d._2)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // a pair surfaces once per colliding band in the stream; the batch
+      // twin reports it once — distinct on drain is the parity shape
+      drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
+    },
+    // the full streaming near-dedup chain: streaming LSH candidates →
+    // exact-Jaccard verification (two stream-STATIC joins against the gram
+    // table — stateless, so the whole verify stage lives inside the
+    // watermarked streaming plan) → survivor selection. Cluster resolution
+    // is inherently iterative (connected components), so it runs on the
+    // drained verified-pair set — the foreachBatch shape a production
+    // pipeline uses for the non-incremental tail
+    "stream_lsh_survivors" -> { (s, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val docs: Array[(Long, String)] =
+        docsDf.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val cands = Dedup.streamingLshCandidates(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        col("doc_id"), col("text"), "ts",
+        watermark = "1 hour", horizonSeconds = 3600, n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docsDf, col("doc_id"), col("text"), 3)
+      val verified = cands
+        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
+        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
+        .select(col("id_lo"), col("id_hi"), Dedup.jaccard(col("g_lo"), col("g_hi")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("id_lo"), col("id_hi"))
+      val sink = s"stream_lsh_survivors_${System.nanoTime()}"
+      val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(docs.toSeq.map(d => (d._1, t0, d._2)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
+      val clusters = Dedup.connectedComponents(pairs)
+      val labeled = docsDf
+        .select(col("doc_id"), col("n_chars"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+    },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
         .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
@@ -885,6 +958,70 @@ object Extensions {
       lang -> grams.map(occSql).mkString(" + ")
     }
 
+  /** The batch LSH candidate-pair derivation — shared verbatim by the
+    * batch query's oracle and the streaming-parity oracle (the parity claim
+    * IS that the two candidate sets are identical).
+    */
+  private lazy val minhashPairsOracleSql: String =
+    gramsCte + """
+      , sig AS (
+        SELECT doc_id, [
+          list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+        ] AS sig FROM g
+      ), banded AS (
+        SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+        FROM sig, range(0, 4) t(b)
+      )
+      SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+      FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+
+  /** The VERIFIED-pair variant of [[clusterChainSql]]: candidates pass the
+    * exact-Jaccard gate before symmetric closure — the reachability base of
+    * the streaming candidates → verify → survivors composition.
+    */
+  private lazy val verifiedClusterChainSql: String =
+    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        ), cands AS (
+          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), ver AS (
+          SELECT id_lo, id_hi
+          FROM cands
+          JOIN g ga ON ga.doc_id = id_lo
+          JOIN g gb ON gb.doc_id = id_hi
+          WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7
+        ), sym AS (
+          SELECT id_lo AS a, id_hi AS b FROM ver
+          UNION
+          SELECT id_hi, id_lo FROM ver
+        ), reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+          UNION
+          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        )"""
+
   /** The LSH-candidate → symmetric-closure → reachability chain shared by
     * the cluster oracle and the survivor oracle (one definition so the two
     * cannot drift).
@@ -966,25 +1103,19 @@ object Extensions {
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
          FROM documents GROUP BY md5(text)""",
-    "dedup_minhash_pairs" ->
-      (gramsCte + """
-        , sig AS (
-          SELECT doc_id, [
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
-          ] AS sig FROM g
-        ), banded AS (
-          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
-          FROM sig, range(0, 4) t(b)
-        )
-        SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
-        FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id"""),
+    "dedup_minhash_pairs" -> minhashPairsOracleSql,
+    // parity: the streaming candidate set must be EXACTLY the batch one
+    "stream_lsh_parity" -> minhashPairsOracleSql,
+    "stream_lsh_survivors" ->
+      (verifiedClusterChainSql + """
+        , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+        , lab AS (
+          SELECT d.doc_id, d.n_chars, coalesce(cl.canonical_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, cluster_id, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM lab)
+        WHERE rk = 1"""),
     "dedup_simhash" ->
       s"""WITH tok AS (
             SELECT doc_id,

@@ -178,26 +178,44 @@ final class PermitsJsonScan(
     s"PermitsJsonScan(path=$path, pushed=[${filters.mkString(", ")}], cols=[${schema.fieldNames.mkString(",")}]$lim$ord)"
   }
 
+  /** Listing goes through the Hadoop FileSystem API (not `java.io.File`),
+    * so the portal-dump directory can live on any warehouse scheme —
+    * `file:`, `hdfs:`, `s3a:` — exactly like the parquet memo and bucketed
+    * tables. At 100 TB the dump directory IS an object-store prefix.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
+    val hadoopConf =
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hadoopConf)
+    val rootStatus = fs.getFileStatus(root)
     val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(f => f.getName.endsWith(".json") || f.getName.endsWith(".txt"))
-      else Array(dir)
-    files.sortBy(_.getName).flatMap { f =>
-      val len = f.length()
+      if (rootStatus.isDirectory)
+        fs.listStatus(root).filter { s =>
+          s.isFile && (s.getPath.getName.endsWith(".json") || s.getPath.getName.endsWith(".txt"))
+        }
+      else Array(rootStatus)
+    files.sortBy(_.getPath.getName).flatMap { st =>
+      val len = st.getLen
+      val uri = st.getPath.toString
       if (splitBytes <= 0 || len <= splitBytes)
-        Seq(PermitsJsonInputPartition(f.getAbsolutePath, 0L, len): InputPartition)
+        Seq(PermitsJsonInputPartition(uri, 0L, len): InputPartition)
       else
         (0L until len by splitBytes).map { s0 =>
-          PermitsJsonInputPartition(
-            f.getAbsolutePath, s0, math.min(s0 + splitBytes, len)): InputPartition
+          PermitsJsonInputPartition(uri, s0, math.min(s0 + splitBytes, len)): InputPartition
         }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PermitsJsonReaderFactory(schema, filters, limit, orders)
+    new PermitsJsonReaderFactory(
+      schema,
+      filters,
+      limit,
+      orders,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    )
 }
 
 final case class PermitsJsonInputPartition(file: String, start: Long, end: Long)
@@ -207,11 +225,12 @@ final class PermitsJsonReaderFactory(
     schema: StructType,
     filters: Array[Filter],
     limit: Int,
-    orders: Array[PushedOrder]
+    orders: Array[PushedOrder],
+    conf: org.apache.spark.util.SerializableConfiguration
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PermitsJsonInputPartition]
-    new PermitsJsonPartitionReader(p.file, p.start, p.end, schema, filters, limit, orders)
+    new PermitsJsonPartitionReader(p.file, p.start, p.end, schema, filters, limit, orders, conf)
   }
 }
 
@@ -231,11 +250,19 @@ final class PermitsJsonPartitionReader(
     schema: StructType,
     filters: Array[Filter],
     limit: Int,
-    orders: Array[PushedOrder]
+    orders: Array[PushedOrder],
+    conf: org.apache.spark.util.SerializableConfiguration
 ) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16)
+  // open through the Hadoop FileSystem (any warehouse scheme); a byte-range
+  // split seeks directly to start-1 instead of skipping from offset 0
+  private val in: java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val raw = p.getFileSystem(conf.value).open(p)
+    if (start > 0) raw.seek(start - 1)
+    new java.io.BufferedInputStream(raw, 1 << 16)
+  }
   // byte offset of the NEXT unread byte
   private var pos: Long = 0L
   private var current: InternalRow = _
@@ -244,19 +271,14 @@ final class PermitsJsonPartitionReader(
   private var topNRows: Iterator[InternalRow] = _
 
   // Position to the split start with Hadoop LineRecordReader semantics:
-  // seek to `start-1` and discard the line CONTAINING that byte. If byte
-  // start-1 is a newline, the line beginning exactly at `start` survives
-  // (it is this split's first owned line — the previous reader stops
-  // before reading a line whose first byte is ≥ its end); if start-1 is
-  // mid-line, that partial line belongs to the previous split and is
-  // skipped. Every line is read exactly once across splits.
+  // the stream is already seeked to `start-1`; discard the line CONTAINING
+  // that byte. If byte start-1 is a newline, the line beginning exactly at
+  // `start` survives (it is this split's first owned line — the previous
+  // reader stops before reading a line whose first byte is ≥ its end); if
+  // start-1 is mid-line, that partial line belongs to the previous split
+  // and is skipped. Every line is read exactly once across splits.
   locally {
     if (start > 0) {
-      var toSkip = start - 1
-      while (toSkip > 0) {
-        val skipped = in.skip(toSkip)
-        if (skipped <= 0) toSkip = 0 else toSkip -= skipped
-      }
       pos = start - 1
       var b = in.read()
       while (b != -1 && b != '\n') { pos += 1; b = in.read() }

@@ -188,4 +188,21 @@ class CurationSpec extends SparkSpecBase {
       Curation.packSequences(df, $"doc_id", $"nt", budget = 500, salts = 2)
     }
   }
+
+  test("working-column collisions are rejected up front, never silently dropped") {
+    // a caller column named like an internal staging column would be
+    // replaced and then dropped — the operators must refuse instead
+    val rk = Seq((1L, "a", 1)).toDF("doc_id", "source", "__rk")
+    intercept[IllegalArgumentException] {
+      Curation.sampleExactKPerGroup(rk, $"source", $"doc_id", k = 1)
+    }
+    val g = Seq((1L, "a", 10, 2)).toDF("doc_id", "source", "n_chars", "__g")
+    intercept[IllegalArgumentException] {
+      Curation.filterByGroupMean(g, $"source", $"n_chars", minMean = 1.0)
+    }
+    val s = Seq((1L, "a", 3)).toDF("doc_id", "source", "__s")
+    intercept[IllegalArgumentException] {
+      Curation.mixToTarget(s, $"doc_id", $"source", weights = Map("a" -> 1))
+    }
+  }
 }

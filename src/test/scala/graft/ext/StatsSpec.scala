@@ -44,6 +44,55 @@ class StatsSpec extends SparkSpecBase {
     assert(q(0.5) == 4095 * 0.5 && q(0.99) == 4095 * 0.99)
   }
 
+  test("exactQuantiles excludes null values (quantile_cont semantics, no null-bucket NPE)") {
+    // nulls interleaved with values: n must count only non-nulls, so the
+    // quantiles equal those of the null-free frame (the r6 regression: a
+    // null bucket key NPE'd the offsets collect and n counted null rows)
+    val df = (0 to 100).map(i => if (i % 3 == 0) None else Some(i))
+      .toDF("v")
+    val q = Stats.exactQuantiles(df, col("v"), Seq(0.5)).collect()
+    val dense = (0 to 100).filter(_ % 3 != 0)
+    val expect = { // (n-1)p interpolation over the 67 non-null values
+      val pos = (dense.length - 1) * 0.5
+      val lo = dense(math.floor(pos).toInt)
+      val hi = dense(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    assert(q.length == 1 && q(0).getDouble(1) == expect)
+    // all-null input behaves as empty, not as a crash
+    val allNull = Seq[Option[Int]](None, None).toDF("v")
+    assert(Stats.exactQuantiles(allNull, col("v"), Seq(0.5)).collect().isEmpty)
+  }
+
+  test("exactQuantiles ranking stage runs >1 task on a multi-bucket input") {
+    // the Stats scaladoc promises the ranking window fans out across value
+    // buckets; assert the EXECUTED plan gives the window a hash exchange on
+    // the bucket key with >1 partition (= >1 ranking task). AQE off so the
+    // static plan's partition count IS the task count (tiny test data would
+    // otherwise coalesce to one partition and prove nothing)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (0 until 4096).toDF("v")
+      val out = Stats.exactQuantiles(df, col("v"), Seq(0.5, 0.99))
+      out.collect()
+      val windows = out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected a window in the ranking plan")
+      val exchanges = windows.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.outputPartitioning
+      })
+      val hashParts = exchanges.collect {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => h
+      }
+      assert(
+        hashParts.exists(h =>
+          h.numPartitions > 1 && h.expressions.exists(_.toString.contains("b#"))),
+        s"ranking window not hash-distributed on the bucket key: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("exactQuantiles is exact on a skewed multiset (duplicates straddle the position)") {
     // heavy duplicates force rank ranges wider than 1 on both probes
     val df = (Seq.fill(50)(1) ++ Seq.fill(30)(5) ++ Seq.fill(20)(9)).toDF("v")

@@ -52,6 +52,11 @@ class SkewOpsSpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("autoSalts returns 1 on an empty big side instead of NPE-ing on the null aggregate") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "k")
+    assert(SkewOps.autoSalts(empty, "k") == 1)
+  }
+
   test("saltedJoin returns exactly the plain join's rows, dim multiplicity included") {
     val big = ((0 until 800).map(i => (i.toLong, "hot")) ++
       (0 until 200).map(i => (800L + i, s"k${i % 5}")))

@@ -130,6 +130,21 @@ class PermitsJsonSourceSpec extends SparkSpecBase {
     assert(filtered.limit(7).count() == 7)
   }
 
+  test("reads through the Hadoop FileSystem API: a file: URI path lists and splits") {
+    val dir = writeFixture()
+    val uri = "file://" + dir
+    val df = spark.read
+      .format("graft.sources.PermitsJsonSource")
+      .option("path", uri)
+      .option("splitBytes", "64")
+      .schema(Sources.permitsRawSchema)
+      .load()
+    assert(df.rdd.getNumPartitions > 1, "file: URI did not byte-range split")
+    assert(strings(df, "permit_").sorted == Seq("P1", "P2", "P3"))
+    // filters still evaluate at the reader through the FS-opened stream
+    assert(strings(df.filter($"issue_date" < "1996-01-01"), "permit_").sorted == Seq("P1", "P3"))
+  }
+
   test("multi-file limit stays exact: partitions over-supply, Spark's residual limit trims") {
     val dir = writeFixture()
     // second file: the per-partition bound means the scan may emit up to
