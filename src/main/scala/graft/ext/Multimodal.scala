@@ -165,6 +165,42 @@ object Multimodal {
       }
   }
 
+  /** Deterministic REAL JPEG fixture: encodes actual baseline-JFIF bytes
+    * executor-side — CONSTANT-gray images (`v = id*31 % 256`,
+    * `w = 1 + id%13`, `h = 1 + id%11`) at compression quality 1.0.
+    * Constant images are the one shape baseline JPEG round-trips EXACTLY:
+    * every 8×8 block (edge blocks padded by replication stay constant) has
+    * a DC-only DCT that quantizes losslessly at quality 1.0, so
+    * `pix_sum = w·h·v` is arithmetically oracle-checkable even though the
+    * codec is lossy in general (verified: 0 mismatched pixels over the id
+    * range). The general lossy path is bound-checked in MultimodalSpec.
+    */
+  def synthJpegImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val codec = new ImageCodec
+        ids.map { id =>
+          val w = (1 + (id % 13)).toInt
+          val h = (1 + (id % 11)).toInt
+          val v = ((id * 31) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+            y += 1
+          }
+          (id, "image/jpeg", codec.encodeJpeg(img))
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
   /** Deterministic REAL image fixture: encodes actual PNG (even ids,
     * 8-bit grayscale) and BMP (odd ids, 24-bit with equal channels)
     * payloads executor-side. Dimensions and every pixel derive from the id
