@@ -67,9 +67,8 @@ object Multimodal {
   }
 
   /** Assemble an asset table from a text corpus: real binary payloads,
-    * real metadata, stubbed decode. Repartitions by a hash of the id so
-    * downstream per-asset work balances across executors regardless of
-    * source file layout (large media rows skew file-based splits).
+    * real metadata, stubbed decode. Pure projection — no shuffle; decode
+    * work downstream is map-only, so input splits already balance it.
     */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val payload = asPayload(col(textCol))
@@ -108,7 +107,6 @@ object Multimodal {
     import spark.implicits._
     assets
       .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
-      .repartition(col("asset_id")) // balance large media rows across executors
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // one codec context per partition (the expensive init a real
@@ -146,7 +144,6 @@ object Multimodal {
     import spark.implicits._
     assets
       .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
-      .repartition(col("asset_id"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         val codec = new ImageCodec
@@ -258,7 +255,6 @@ object Multimodal {
     import spark.implicits._
     assets
       .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
-      .repartition(col("asset_id"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         val codec = new ImageCodec
@@ -314,6 +310,92 @@ object Multimodal {
       .drop("__scale")
   }
 
+  /** Deterministic REAL animated-GIF fixture: encodes actual multi-frame
+    * GIF89a bytes executor-side with an explicit 256-level gray palette —
+    * GIF's LZW coding is lossless over palette indices, so every pixel
+    * round-trips exactly. Shapes derive from the id alone:
+    * `w = 1 + id%13`, `h = 5 + id%11`, `n_frames = 1 + id%4`,
+    * `pixel(f,x,y) = (id*31 + f*17 + 7x + 13y) % 256`. Height starts at 5
+    * because the JDK GIF writer corrupts the final rows of 2–4-row-high
+    * frames (verified empirically; h=1 and h≥5 are exact).
+    */
+  def synthGifAnimations(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val codec = new ImageCodec
+        val palette = ImageCodec.grayPalette
+        ids.map { id =>
+          val w = (1 + (id % 13)).toInt
+          val h = (5 + (id % 11)).toInt
+          val nFrames = (1 + (id % 4)).toInt
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, ((id * 31 + f * 17 + 7L * x + 13L * y) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          (id, "image/gif", codec.encodeGif(frames))
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
+  /** One decoded animation frame: REAL per-frame dims and pixel sum. */
+  final case class DecodedFrame(
+      asset_id: Long,
+      media_type: String,
+      frame_idx: Int,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      pix_sum: Long
+  )
+
+  /** REAL multi-frame decode (JDK `javax.imageio` GIF reader):
+    * `getNumImages(true)` counts the animation's frames, `read(i)` decodes
+    * each sampled one (every `everyNth`, starting at frame 0), and the gray
+    * level is read through the color model (`getRGB & 0xff`) so the sum is
+    * palette-independent. Map-only: no shuffle — input splits already
+    * balance the decode, and one reader instance serves the whole
+    * partition.
+    */
+  def decodeFrames(assets: DataFrame, everyNth: Int): Dataset[DecodedFrame] = {
+    require(everyNth > 0, "everyNth must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.flatMap { case (id, mt, payload) =>
+          codec.decodeGifFrames(payload, s"asset $id", everyNth).map {
+            case (f, n, img) =>
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                y += 1
+              }
+              DecodedFrame(id, mt, f, n, img.getWidth, img.getHeight, sum)
+          }
+        }
+      }
+  }
+
   /** ======================== STUB ========================
     * Frame sampling: one output row per sampled frame with its byte-range
     * into the payload — the explode/offset plumbing a video pipeline needs
@@ -352,14 +434,19 @@ object Multimodal {
     import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
     private lazy val pngReader = ImageIO.getImageReadersByFormatName("png").next()
     private lazy val bmpReader = ImageIO.getImageReadersByFormatName("bmp").next()
+    private lazy val jpegReader = ImageIO.getImageReadersByFormatName("jpeg").next()
     private lazy val pngWriter = ImageIO.getImageWritersByFormatName("png").next()
     private lazy val bmpWriter = ImageIO.getImageWritersByFormatName("bmp").next()
+    private lazy val jpegWriter = ImageIO.getImageWritersByFormatName("jpeg").next()
+    private lazy val gifReader = ImageIO.getImageReadersByFormatName("gif").next()
+    private lazy val gifWriter = ImageIO.getImageWritersByFormatName("gif").next()
 
     def decode(payload: Array[Byte], ctx: String): java.awt.image.BufferedImage = {
       require(payload != null && payload.length >= 2, s"$ctx: empty payload")
       val reader =
         if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte) pngReader
         else if (payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) bmpReader
+        else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) jpegReader
         else null
       if (reader == null) {
         val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -390,6 +477,86 @@ object Multimodal {
         ios.close()
       }
       baos.toByteArray
+    }
+
+    /** Baseline JFIF encode at explicit quality 1.0 — the setting under
+      * which constant-color images round-trip exactly (DC-only blocks
+      * quantize losslessly; see [[Multimodal.synthJpegImages]]).
+      */
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val param = jpegWriter.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(baos)
+      try {
+        jpegWriter.setOutput(ios)
+        jpegWriter.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        ios.flush()
+      } finally {
+        jpegWriter.setOutput(null)
+        ios.close()
+      }
+      baos.toByteArray
+    }
+
+    /** Multi-frame GIF89a encode via the sequence-write API
+      * (`prepareWriteSequence`/`writeToSequence`/`endWriteSequence`).
+      * Frames should be `TYPE_BYTE_INDEXED` so indices are stored verbatim
+      * (non-indexed input is dithered through a web palette — lossy).
+      */
+    def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "encodeGif: no frames")
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(baos)
+      try {
+        gifWriter.setOutput(ios)
+        gifWriter.prepareWriteSequence(null)
+        frames.foreach { img =>
+          gifWriter.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        gifWriter.endWriteSequence()
+        ios.flush()
+      } finally {
+        gifWriter.setOutput(null)
+        ios.close()
+      }
+      baos.toByteArray
+    }
+
+    /** Decode the sampled frames of an animated GIF: `getNumImages(true)`
+      * for the frame count, `read(i)` per kept frame (every `everyNth`,
+      * from 0). Returns (frame_idx, n_frames, image) triples, materialized
+      * before the reader is released.
+      */
+    def decodeGifFrames(
+        payload: Array[Byte],
+        ctx: String,
+        everyNth: Int
+    ): Seq[(Int, Int, java.awt.image.BufferedImage)] = {
+      require(payload != null && payload.length >= 6, s"$ctx: empty payload")
+      require(
+        payload(0) == 'G'.toByte && payload(1) == 'I'.toByte && payload(2) == 'F'.toByte,
+        s"$ctx: payload is not a GIF")
+      val iis = new MemoryCacheImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        gifReader.setInput(iis)
+        val n = gifReader.getNumImages(true)
+        (0 until n by everyNth).map(f => (f, n, gifReader.read(f)))
+      } finally {
+        gifReader.setInput(null)
+        iis.close()
+      }
+    }
+  }
+
+  private object ImageCodec {
+    /** Identity 256-level gray palette: index i ↦ rgb(i,i,i), so GIF's
+      * lossless index coding round-trips gray values exactly.
+      */
+    def grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate[Byte](256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
     }
   }
 

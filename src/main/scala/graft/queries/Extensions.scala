@@ -276,6 +276,26 @@ object Extensions {
         .decodeImages(Multimodal.synthImages(t(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // REAL JPEG decode end-to-end: genuine baseline-JFIF bytes encoded
+    // executor-side at quality 1.0 from CONSTANT-gray id-derived images —
+    // the one shape lossy JPEG round-trips exactly (DC-only blocks) — then
+    // decoded back by the real codec; oracle: pix_sum = w·h·v arithmetic
+    "mm_decode_jpeg" -> { (s, dir) =>
+      Multimodal
+        .decodeImages(Multimodal.synthJpegImages(t(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // REAL multi-frame decode end-to-end: genuine animated GIF89a bytes
+    // (explicit gray palette → lossless index coding) encoded executor-side,
+    // then getNumImages/read(i) samples every 2nd frame; the oracle
+    // recomputes frame count, dims, and per-frame pixel sums arithmetically
+    "mm_frames_real" -> { (s, dir) =>
+      Multimodal
+        .decodeFrames(
+          Multimodal.synthGifAnimations(t(s, dir, "documents"), "doc_id"),
+          everyNth = 2)
+        .toDF()
+    },
     // REAL resize end-to-end: synth → decode → integer-exact NN resample →
     // re-encode → decode again; the oracle recomputes the resampled pixel
     // sum arithmetically (all integer division, no float scale), so a
@@ -1486,6 +1506,36 @@ object Extensions {
          CROSS JOIN generate_series(0, 10) AS y(g)
          WHERE x.g < d.width AND y.g < d.height
          GROUP BY 1, 2, 3, 4""",
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS asset_id,
+                'image/jpeg' AS media_type,
+                CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                CAST((1 + doc_id % 13) * (1 + doc_id % 11) * ((doc_id * 31) % 256) AS BIGINT) AS pix_sum
+         FROM documents""",
+    "mm_frames_real" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(5 + doc_id % 11 AS INTEGER) AS height,
+                  CAST(1 + doc_id % 4 AS INTEGER) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT id, width, height, n_frames, CAST(unnest(range(0, n_frames)) AS INTEGER) AS f
+           FROM a),
+         sel AS (SELECT * FROM fr WHERE f % 2 = 0)
+         SELECT s.id AS asset_id,
+                'image/gif' AS media_type,
+                s.f AS frame_idx,
+                s.n_frames,
+                s.width,
+                s.height,
+                CAST(sum((s.id * 31 + s.f * 17 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
+         FROM sel s
+         CROSS JOIN generate_series(0, 12) AS x(g)
+         CROSS JOIN generate_series(0, 14) AS y(g)
+         WHERE x.g < s.width AND y.g < s.height
+         GROUP BY 1, 2, 3, 4, 5, 6""",
     "mm_resize_real" ->
       """WITH dims AS (
            SELECT doc_id,

@@ -106,6 +106,59 @@ class MultimodalSpec extends SparkSpecBase {
     assert((kept.width, kept.height, kept.pix_sum) == ((orig.width, orig.height, orig.pix_sum)))
   }
 
+  test("synthJpegImages: constant-gray JPEG at quality 1.0 round-trips exactly") {
+    val ids = Seq(0L, 1L, 7L, 12L, 25L, 142L, 143L)
+    val assets = Multimodal.synthJpegImages(ids.toDF("doc_id"), "doc_id")
+    // genuine JFIF bytes on the wire
+    val magics = assets.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (r.getAs[Long]("asset_id"), (p(0) & 0xff, p(1) & 0xff))
+    }.toMap
+    ids.foreach(id => assert(magics(id) == ((0xff, 0xd8)), s"id $id wrong magic"))
+    val out = Multimodal.decodeImages(assets).collect().map(d => d.asset_id -> d).toMap
+    ids.foreach { id =>
+      val w = (1 + id % 13).toInt
+      val h = (1 + id % 11).toInt
+      val v = ((id * 31) % 256).toInt
+      assert(out(id).width == w && out(id).height == h, s"id $id dims")
+      assert(out(id).pix_sum == w.toLong * h * v, s"id $id pix_sum ${out(id).pix_sum}")
+    }
+  }
+
+  test("synthGifAnimations + decodeFrames: multi-frame GIF round-trips exactly") {
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 15L, 142L)
+    val assets = Multimodal.synthGifAnimations(ids.toDF("doc_id"), "doc_id")
+    val magics = assets.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (r.getAs[Long]("asset_id"), new String(p.take(3), "US-ASCII"))
+    }.toMap
+    ids.foreach(id => assert(magics(id) == "GIF", s"id $id wrong magic"))
+    val out = Multimodal.decodeFrames(assets, everyNth = 2).collect()
+      .groupBy(_.asset_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    ids.foreach { id =>
+      val w = (1 + id % 13).toInt
+      val h = (5 + id % 11).toInt
+      val nf = (1 + id % 4).toInt
+      val frames = out(id)
+      assert(frames.map(_.frame_idx).toSeq == (0 until nf by 2).toSeq, s"id $id frames")
+      frames.foreach { fr =>
+        assert(fr.n_frames == nf && fr.width == w && fr.height == h, s"id $id dims")
+        val want = (for (x <- 0 until w; y <- 0 until h)
+          yield (id * 31 + fr.frame_idx * 17 + 7L * x + 13L * y) % 256).sum
+        assert(fr.pix_sum == want, s"id $id f=${fr.frame_idx} sum ${fr.pix_sum} != $want")
+      }
+    }
+  }
+
+  test("decodeImages and decodeFrames plans have no exchange before the decode") {
+    val assets = Multimodal.synthImages(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val plan = Multimodal.decodeImages(assets).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in decode plan:\n$plan")
+    val gifs = Multimodal.synthGifAnimations(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val fplan = Multimodal.decodeFrames(gifs, 2).queryExecution.executedPlan.toString
+    assert(!fplan.contains("Exchange"), s"unexpected shuffle in frame-decode plan:\n$fplan")
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head
