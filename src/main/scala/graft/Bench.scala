@@ -69,9 +69,13 @@ object Bench {
     // stop the session FIRST so nothing (shutdown messages, late executor
     // output) can print after the JSON — the driver parses the FINAL stdout
     // line, and anything trailing it truncates the parse (BENCH_r06
-    // parsed:null)
-    spark.stop()
-    println(line)
-    System.out.flush()
+    // parsed:null). The JSON must be emitted even if teardown throws, so
+    // the print lives in the finally.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    finally {
+      println(line)
+      System.out.flush()
+    }
   }
 }

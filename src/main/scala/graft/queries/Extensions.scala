@@ -978,36 +978,12 @@ object Extensions {
       lang -> grams.map(occSql).mkString(" + ")
     }
 
-  /** The batch LSH candidate-pair derivation — shared verbatim by the
-    * batch query's oracle and the streaming-parity oracle (the parity claim
-    * IS that the two candidate sets are identical).
+  /** The minhash-signature → banded-bucket → candidate-pair CTE chain,
+    * defined ONCE and composed by every LSH oracle (batch pairs, streaming
+    * parity, verified survivors, cluster chain) so a change to the
+    * signature scheme cannot desynchronize them.
     */
-  private lazy val minhashPairsOracleSql: String =
-    gramsCte + """
-      , sig AS (
-        SELECT doc_id, [
-          list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
-          list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
-        ] AS sig FROM g
-      ), banded AS (
-        SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
-        FROM sig, range(0, 4) t(b)
-      )
-      SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
-      FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id"""
-
-  /** The VERIFIED-pair variant of [[clusterChainSql]]: candidates pass the
-    * exact-Jaccard gate before symmetric closure — the reachability base of
-    * the streaming candidates → verify → survivors composition.
-    */
-  private lazy val verifiedClusterChainSql: String =
-    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + """
+  private lazy val sigBandedCandsCte: String = """
         , sig AS (
           SELECT doc_id, [
             list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
@@ -1025,7 +1001,23 @@ object Extensions {
         ), cands AS (
           SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-        ), ver AS (
+        )"""
+
+  /** The batch LSH candidate-pair derivation — shared verbatim by the
+    * batch query's oracle and the streaming-parity oracle (the parity claim
+    * IS that the two candidate sets are identical).
+    */
+  private lazy val minhashPairsOracleSql: String =
+    gramsCte + sigBandedCandsCte + """
+      SELECT id_lo, id_hi FROM cands"""
+
+  /** The VERIFIED-pair variant of [[clusterChainSql]]: candidates pass the
+    * exact-Jaccard gate before symmetric closure — the reachability base of
+    * the streaming candidates → verify → survivors composition.
+    */
+  private lazy val verifiedClusterChainSql: String =
+    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + sigBandedCandsCte + """
+        , ver AS (
           SELECT id_lo, id_hi
           FROM cands
           JOIN g ga ON ga.doc_id = id_lo
@@ -1047,25 +1039,8 @@ object Extensions {
     * cannot drift).
     */
   private lazy val clusterChainSql: String =
-    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + """
-        , sig AS (
-          SELECT doc_id, [
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
-          ] AS sig FROM g
-        ), banded AS (
-          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
-          FROM sig, range(0, 4) t(b)
-        ), cands AS (
-          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
-          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-        ), sym AS (
+    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + sigBandedCandsCte + """
+        , sym AS (
           SELECT id_lo AS a, id_hi AS b FROM cands
           UNION
           SELECT id_hi, id_lo FROM cands

@@ -55,16 +55,26 @@ class PermitsJsonSource extends TableProvider {
       properties: util.Map[String, String]
   ): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // capture the session's Hadoop conf ONCE, here on the driver where a
+    // session is guaranteed active — planning and reader creation may later
+    // run on threads with no active session (SparkSession.active throws)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     new PermitsJsonTable(
       schema,
       opts.get("path"),
-      opts.getLong("splitBytes", 32L * 1024 * 1024)
+      opts.getLong("splitBytes", 32L * 1024 * 1024),
+      conf
     )
   }
 }
 
-final class PermitsJsonTable(schema: StructType, path: String, splitBytes: Long)
-    extends Table
+final class PermitsJsonTable(
+    schema: StructType,
+    path: String,
+    splitBytes: Long,
+    conf: org.apache.spark.util.SerializableConfiguration
+) extends Table
     with SupportsRead {
   require(path != null, "path option is required")
   override def name(): String = s"permits_json($path)"
@@ -72,11 +82,15 @@ final class PermitsJsonTable(schema: StructType, path: String, splitBytes: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PermitsJsonScanBuilder(schema, path, splitBytes)
+    new PermitsJsonScanBuilder(schema, path, splitBytes, conf)
 }
 
-final class PermitsJsonScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
-    extends ScanBuilder
+final class PermitsJsonScanBuilder(
+    fullSchema: StructType,
+    path: String,
+    splitBytes: Long,
+    conf: org.apache.spark.util.SerializableConfiguration
+) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
@@ -149,7 +163,7 @@ final class PermitsJsonScanBuilder(fullSchema: StructType, path: String, splitBy
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new PermitsJsonScan(required, path, pushed, limit, orders, splitBytes)
+    new PermitsJsonScan(required, path, pushed, limit, orders, splitBytes, conf)
 }
 
 /** Serializable sort-key spec shipped to readers: `nullsFirst` is the
@@ -164,7 +178,8 @@ final class PermitsJsonScan(
     filters: Array[Filter],
     limit: Int,
     orders: Array[PushedOrder],
-    splitBytes: Long
+    splitBytes: Long,
+    conf: org.apache.spark.util.SerializableConfiguration
 ) extends Scan
     with Batch {
   override def readSchema(): StructType = schema
@@ -184,11 +199,15 @@ final class PermitsJsonScan(
     * tables. At 100 TB the dump directory IS an object-store prefix.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val hadoopConf =
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hadoopConf)
-    val rootStatus = fs.getFileStatus(root)
+    val fs = root.getFileSystem(conf.value)
+    val rootStatus =
+      try fs.getFileStatus(root)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"PermitsJsonSource: path does not exist: $path (scheme ${root.toUri.getScheme})")
+      }
     val files =
       if (rootStatus.isDirectory)
         fs.listStatus(root).filter { s =>
@@ -208,14 +227,7 @@ final class PermitsJsonScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PermitsJsonReaderFactory(
-      schema,
-      filters,
-      limit,
-      orders,
-      new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    )
+    new PermitsJsonReaderFactory(schema, filters, limit, orders, conf)
 }
 
 final case class PermitsJsonInputPartition(file: String, start: Long, end: Long)

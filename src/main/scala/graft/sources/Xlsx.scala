@@ -41,7 +41,20 @@ object Xlsx {
     * Missing cells inside a row are null; rows are padded to header width.
     */
   private[graft] def parseWorkbook(bytes: Array[Byte]): Seq[(String, Seq[String], Seq[Seq[String]])] =
-    parseWorkbookStyled(bytes).map { case (name, header, rows, _) => (name, header, rows) }
+    parseWorkbookStyled(bytes).map(s => (s.name, s.header, s.rows))
+
+  /** One parsed sheet with styling: `fills` aligns with `rows` (data rows);
+    * `headerFills` carries the header row's own fill specs so workbook
+    * rewrites ([[removeFlaggedRows]]) can round-trip header formatting the
+    * way the reference's in-place openpyxl edit preserves it.
+    */
+  private[graft] final case class StyledSheet(
+      name: String,
+      header: Seq[String],
+      rows: Seq[Seq[String]],
+      fills: Seq[Seq[String]],
+      headerFills: Seq[String]
+  )
 
   /** [[parseWorkbook]] plus, per data row, the FILL SPEC of every cell —
     * the S5 formatting-metadata surface. A fill spec is `null` (no solid
@@ -51,9 +64,7 @@ object Xlsx {
     * (format_reviewed_permits_for_upload.py:31-83). Resolved through
     * styles.xml: cell `s` attribute → cellXfs xf → fillId → fills entry.
     */
-  private[graft] def parseWorkbookStyled(
-      bytes: Array[Byte]
-  ): Seq[(String, Seq[String], Seq[Seq[String]], Seq[Seq[String]])] = {
+  private[graft] def parseWorkbookStyled(bytes: Array[Byte]): Seq[StyledSheet] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
     val styleFills = parts.get("xl/styles.xml").map(parseStyles).getOrElse(IndexedSeq.empty)
@@ -68,8 +79,16 @@ object Xlsx {
       val width = (rows.iterator ++ fills.iterator).foldLeft(0)((w, r) => math.max(w, r.length))
       val padded = rows.map(r => r.padTo(width, null: String))
       val paddedFills = fills.map(r => r.padTo(width, null: String))
-      if (padded.isEmpty) (name, Seq.empty[String], Seq.empty[Seq[String]], Seq.empty[Seq[String]])
-      else (name, padded.head.map(h => if (h == null) "" else h), padded.tail, paddedFills.tail)
+      if (padded.isEmpty)
+        StyledSheet(name, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+      else
+        StyledSheet(
+          name,
+          padded.head.map(h => if (h == null) "" else h),
+          padded.tail,
+          if (paddedFills.isEmpty) Seq.empty else paddedFills.tail,
+          if (paddedFills.isEmpty) padded.head.map(_ => null: String) else paddedFills.head
+        )
     }
   }
 
@@ -367,8 +386,8 @@ object Xlsx {
     // the per-file (path, header) pairs come back to the driver
     val headers: Array[(String, Seq[String])] = bin.rdd.flatMap { row =>
       val all = parseWorkbookStyled(row.getAs[Array[Byte]](1))
-      sheet.fold(all.headOption)(s => all.find(_._1 == s))
-        .map(c => row.getString(0) -> c._2)
+      sheet.fold(all.headOption)(s => all.find(_.name == s))
+        .map(c => row.getString(0) -> c.header)
     }.collect()
     require(
       headers.nonEmpty,
@@ -383,8 +402,8 @@ object Xlsx {
     }
     val parsed = bin.select("content").rdd.flatMap { row =>
       val all = parseWorkbookStyled(row.getAs[Array[Byte]](0))
-      val chosen = sheet.fold(all.headOption)(s => all.find(_._1 == s))
-      chosen.toSeq.flatMap { case (_, fileHeader, rows, fills) =>
+      val chosen = sheet.fold(all.headOption)(s => all.find(_.name == s))
+      chosen.toSeq.flatMap { case StyledSheet(_, fileHeader, rows, fills, _) =>
         // align this workbook's columns to the reference header by name
         val slot: Map[String, Int] = mangleDupes(fileHeader).zipWithIndex.toMap
         val take: IndexedSeq[Int] = refHeader.map(h => slot.getOrElse(h, -1))
@@ -430,20 +449,20 @@ object Xlsx {
   /** The reference's QC artifact (format_reviewed_permits_for_upload.py:
     * 86-120): copy a workbook with every row whose `colorColumn` cell is
     * flag-colored DELETED. Formatting preservation is scoped to SOLID CELL
-    * FILLS ON DATA ROWS — header-row fills and non-fill formatting (fonts,
-    * borders, number formats, column widths) are not round-tripped, which
-    * is narrower than the reference's in-place openpyxl copy; the QC
-    * content contract (which rows survive, with which fills) is identical.
-    * Driver-side by the same reviewer-scale contract as [[writeSheets]] —
-    * the reference itself runs openpyxl on the driver. Sheets other than
-    * `sheet` pass through with their data-row fills intact.
+    * FILLS — on data rows AND the header row, matching the reference's
+    * in-place openpyxl edit which leaves header formatting untouched.
+    * Non-fill formatting (fonts, borders, number formats, column widths)
+    * is not round-tripped; the QC content contract (which rows survive,
+    * with which fills) is identical. Driver-side by the same
+    * reviewer-scale contract as [[writeSheets]] — the reference itself
+    * runs openpyxl on the driver. Sheets other than `sheet` pass through
+    * with their fills intact.
     */
   def removeFlaggedRows(inPath: String, outPath: String, sheet: String, colorColumn: String): Unit = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(inPath))
     val all = parseWorkbookStyled(bytes)
-    require(all.exists(_._1 == sheet), s"sheet '$sheet' not found in $inPath")
-    val rebuilt = all.map { case (name, header, rows, fills) =>
-      val noFill = header.map(_ => null: String)
+    require(all.exists(_.name == sheet), s"sheet '$sheet' not found in $inPath")
+    val rebuilt = all.map { case StyledSheet(name, header, rows, fills, headerFills) =>
       val paired = rows.zipWithIndex.map { case (r, i) =>
         (r, if (i < fills.length) fills(i) else Seq.empty[String])
       }
@@ -454,7 +473,9 @@ object Xlsx {
           require(ci >= 0, s"color column '$colorColumn' not in sheet '$sheet'")
           paired.filterNot { case (_, f) => specFlagged(if (ci < f.length) f(ci) else null) }
         }
-      (name, header +: kept.map(_._1), (noFill: Seq[String]) +: kept.map(_._2))
+      // header fills round-trip (the reference edits the workbook in place,
+      // so its header formatting survives; ours must too)
+      (name, header +: kept.map(_._1), headerFills +: kept.map(_._2))
     }
     val out = buildWorkbookStyled(rebuilt)
     val f = new java.io.File(outPath)

@@ -227,6 +227,36 @@ class XlsxSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
   }
 
+  test("removeFlaggedRows round-trips header-row fills like the reference's in-place edit") {
+    val dir = s"/tmp/graft_cache/xlsx_spec/qc-hdr-${System.nanoTime()}"
+    val orig = s"$dir/orig.xlsx"
+    val cleaned = s"$dir/cleaned.xlsx"
+    // workbook with a FILLED header row (blue on both header cells) plus a
+    // flagged and an unflagged data row — built via the styled writer since
+    // writeSheets only styles data cells
+    val rows = Seq(
+      Seq("pin", "note"),
+      Seq("p1", "keep"),
+      Seq("p2", "drop")
+    )
+    val fills = Seq(
+      Seq("FF00B0F0", "FF00B0F0"),       // header fills
+      Seq(null: String, null: String),
+      Seq("FFFFFF00", null: String)      // p2 flagged yellow
+    )
+    val bytes = Xlsx.buildWorkbookStyled(Seq(("Sheet1", rows, fills)))
+    val f = new java.io.File(orig)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, bytes)
+    Xlsx.removeFlaggedRows(orig, cleaned, "Sheet1", "pin")
+    val got = Xlsx.parseWorkbookStyled(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cleaned))).head
+    assert(got.header == Seq("pin", "note"))
+    assert(got.rows == Seq(Seq("p1", "keep")))       // flagged row deleted
+    assert(got.headerFills == Seq("FF00B0F0", "FF00B0F0"), "header fills must survive the QC rewrite")
+    assert(got.fills == Seq(Seq(null, null)))
+  }
+
   test("fillIsFlagged mirrors the reference's RGB/alpha/theme normalization") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
