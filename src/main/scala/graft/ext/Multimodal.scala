@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   *
   * Images/audio/video are opaque `binary` columns plus a typed metadata
   * struct. The Spark-side plumbing — schema, batched per-partition
-  * processing, partitioning discipline — is real. IMAGE decode is REAL as
-  * of r6: [[decodeImages]] (and the image branch of [[decodePartitioned]])
-  * parses actual PNG/BMP bytes with JDK-only `javax.imageio` — no external
-  * codec. Audio/video decode remains a deterministic stand-in
-  * ([[stubDecode]], the non-image branch) because no such codec ships in
-  * the JDK; those spots stay clearly marked.
+  * processing, partitioning discipline — is real. IMAGE decode is REAL
+  * ([[decodeImages]], [[decodeFrames]] and the image branch of
+  * [[decodePartitioned]]): actual PNG/BMP/JPEG/animated-GIF bytes parsed
+  * with JDK-only `javax.imageio`. AUDIO decode is REAL
+  * ([[decodeAudio]]): WAV/PCM via JDK-only `javax.sound.sampled`. VIDEO
+  * decode remains a deterministic stand-in ([[stubDecode]] /
+  * [[sampleFrames]] byte-stride path) because the JDK ships no video
+  * codec; those spots stay clearly marked.
   */
 object Multimodal {
 
@@ -392,6 +394,91 @@ object Multimodal {
               }
               DecodedFrame(id, mt, f, n, img.getWidth, img.getHeight, sum)
           }
+        }
+      }
+  }
+
+  /** Deterministic REAL audio fixture: encodes actual RIFF/WAVE PCM-16
+    * mono bytes executor-side via `javax.sound.sampled` (the audio codec
+    * the JDK DOES ship). Everything derives from the id alone:
+    * `n_samples = 100 + id%200`, `sample_rate = 8000|16000` by parity,
+    * `sample(i) = (id*31 + 7i) % 2003 - 1001`. PCM is lossless, so an
+    * arithmetic SQL oracle reproduces the decode exactly.
+    */
+  def synthWavAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (100 + (id % 200)).toInt
+          val rate = if (id % 2 == 0) 8000 else 16000
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((id * 31 + 7L * i) % 2003 - 1001).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, "audio/wav", baos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
+  /** One decoded audio row: REAL format fields and exact PCM sample sum. */
+  final case class DecodedAudio(
+      asset_id: Long,
+      media_type: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      amp_sum: Long
+  )
+
+  /** REAL audio decode (JDK `javax.sound.sampled`, WAV/PCM): parses the
+    * actual RIFF header for format fields and folds the signed little-endian
+    * 16-bit samples into an amplitude sum. Map-only — no shuffle before the
+    * decode `mapPartitions`.
+    */
+  def decodeAudio(assets: DataFrame): Dataset[DecodedAudio] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          require(payload != null && payload.length > 44, s"asset $id: not a WAV payload")
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            require(
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"asset $id: expected PCM-16 LE, got $fmt")
+            val data = in.readAllBytes()
+            val bytesPerSample = 2 * fmt.getChannels
+            val n = data.length / bytesPerSample
+            var sum = 0L
+            var i = 0
+            while (i < data.length - 1) {
+              sum += ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              i += 2
+            }
+            DecodedAudio(
+              id, mt, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, n.toLong, sum)
+          } finally in.close()
         }
       }
   }

@@ -296,6 +296,15 @@ object Extensions {
           everyNth = 2)
         .toDF()
     },
+    // REAL audio decode end-to-end: genuine RIFF/WAVE PCM-16 bytes encoded
+    // executor-side (javax.sound.sampled) from id-derived samples, decoded
+    // back by the real codec; PCM is lossless so the oracle recomputes
+    // rate/count/amplitude-sum arithmetically
+    "mm_decode_audio" -> { (s, dir) =>
+      Multimodal
+        .decodeAudio(Multimodal.synthWavAudio(t(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
     // REAL resize end-to-end: synth → decode → integer-exact NN resample →
     // re-encode → decode again; the oracle recomputes the resampled pixel
     // sum arithmetically (all integer division, no float scale), so a
@@ -1510,6 +1519,21 @@ object Extensions {
          CROSS JOIN generate_series(0, 12) AS x(g)
          CROSS JOIN generate_series(0, 14) AS y(g)
          WHERE x.g < s.width AND y.g < s.height
+         GROUP BY 1, 2, 3, 4, 5, 6""",
+    "mm_decode_audio" ->
+      """WITH a AS (
+           SELECT doc_id AS id, CAST(100 + doc_id % 200 AS BIGINT) AS n
+           FROM documents)
+         SELECT a.id AS asset_id,
+                'audio/wav' AS media_type,
+                CAST(CASE WHEN a.id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER) AS sample_rate,
+                CAST(1 AS INTEGER) AS channels,
+                CAST(16 AS INTEGER) AS bits,
+                a.n AS n_samples,
+                CAST(sum((a.id * 31 + 7 * i.g) % 2003 - 1001) AS BIGINT) AS amp_sum
+         FROM a
+         CROSS JOIN generate_series(0, 298) AS i(g)
+         WHERE i.g < a.n
          GROUP BY 1, 2, 3, 4, 5, 6""",
     "mm_resize_real" ->
       """WITH dims AS (

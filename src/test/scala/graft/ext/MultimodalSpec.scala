@@ -150,6 +150,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("synthWavAudio + decodeAudio: WAV PCM-16 round-trips exactly") {
+    val ids = Seq(0L, 1L, 2L, 99L, 100L, 399L)
+    val assets = Multimodal.synthWavAudio(ids.toDF("doc_id"), "doc_id")
+    // genuine RIFF bytes on the wire
+    val magics = assets.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (r.getAs[Long]("asset_id"), new String(p.take(4), "US-ASCII"))
+    }.toMap
+    ids.foreach(id => assert(magics(id) == "RIFF", s"id $id wrong magic"))
+    val out = Multimodal.decodeAudio(assets).collect().map(d => d.asset_id -> d).toMap
+    ids.foreach { id =>
+      val n = (100 + id % 200).toInt
+      val rate = if (id % 2 == 0) 8000 else 16000
+      val sum = (0 until n).map(i => (id * 31 + 7L * i) % 2003 - 1001).sum
+      val d = out(id)
+      assert(d.sample_rate == rate && d.channels == 1 && d.bits == 16, s"id $id format $d")
+      assert(d.n_samples == n.toLong, s"id $id n_samples ${d.n_samples}")
+      assert(d.amp_sum == sum, s"id $id amp_sum ${d.amp_sum} != $sum")
+    }
+  }
+
   test("decodeImages and decodeFrames plans have no exchange before the decode") {
     val assets = Multimodal.synthImages(Seq(1L, 2L).toDF("doc_id"), "doc_id")
     val plan = Multimodal.decodeImages(assets).queryExecution.executedPlan.toString
