@@ -42,6 +42,26 @@ object Extensions {
     * so leaving the per-invocation views registered accumulates dead result
     * copies for the JVM's lifetime.
     */
+  /** Isolated session for the streaming parity harnesses. Stateful
+    * streaming tasks commit one state store per shuffle partition per
+    * micro-batch; at harness scale (thousands of rows, 2-3 micro-batches)
+    * 32 partitions is pure commit overhead — a production deployment sizes
+    * this to its key cardinality, and the parity claim is partition-count
+    * independent. `newSession` shares the SparkContext but NOT runtime-set
+    * SQL confs, so the fixture-critical ones are copied over explicitly.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    s2.conf.set(
+      "spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    s2
+  }
+
   private def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {
     val shaped = shape(s.table(sink))
     val rows = shaped.collect()
@@ -340,7 +360,9 @@ object Extensions {
     // computes byte-identical sessions. Two far-future sentinel batches push
     // the event-time watermark past every real session so append mode
     // finalizes them all; the sentinel user is excluded from the output.
-    "stream_session_parity" -> { (s, dir) =>
+    "stream_session_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -382,7 +404,9 @@ object Extensions {
     // (bounds + event count); total_value accumulates doubles in stream
     // order and is audited in SessionizeSpec instead, since no SQL engine
     // reproduces that exact float stream
-    "stream_state_session_parity" -> { (s, dir) =>
+    "stream_state_session_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -415,7 +439,9 @@ object Extensions {
     // MemoryStream — first occurrences emit immediately in append mode, so
     // no sentinel is needed; the surviving doc per digest is arrival-order-
     // dependent, so the gated output is the DIGEST set (deterministic)
-    "stream_dedup_parity" -> { (s, dir) =>
+    "stream_dedup_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -435,7 +461,9 @@ object Extensions {
     // second stream/batch parity surface: the watermarked tumbling-window
     // aggregate over MemoryStream, hash-checked against the batch groupBy
     // oracle (same sentinel technique as stream_session_parity)
-    "stream_tumbling_parity" -> { (s, dir) =>
+    "stream_tumbling_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -469,7 +497,9 @@ object Extensions {
     // aggregate over MemoryStream vs the batch window() oracle — same
     // sentinel technique as tumbling; every real window finalizes in
     // append mode once the sentinels push the watermark past max ts
-    "stream_sliding_parity" -> { (s, dir) =>
+    "stream_sliding_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -504,7 +534,9 @@ object Extensions {
     // because the group domain is the bounded depth×width cell grid), then
     // probed exactly like the batch sketch; the drained cell table must be
     // bit-identical for the estimates to hash-match the batch oracle
-    "stream_countmin_parity" -> { (s, dir) =>
+    "stream_countmin_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -535,7 +567,9 @@ object Extensions {
     // share one event time inside the horizon, so the banding (identical
     // signature pipeline) must yield exactly the batch candidate-pair set;
     // inner-join matches emit as both sides arrive, no sentinel needed
-    "stream_lsh_parity" -> { (s, dir) =>
+    "stream_lsh_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -564,7 +598,9 @@ object Extensions {
     // is inherently iterative (connected components), so it runs on the
     // drained verified-pair set — the foreachBatch shape a production
     // pipeline uses for the non-incremental tail
-    "stream_lsh_survivors" -> { (s, dir) =>
+    "stream_lsh_survivors" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
