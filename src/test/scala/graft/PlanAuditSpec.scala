@@ -1,0 +1,72 @@
+package graft
+
+/** Executable form of the SCALING.md plan claims: for each audited driver
+  * query, the physical plan at sf0.001 must have the 100 TB-safe shape —
+  * pushdown reaching the scan, lookup joins broadcast (never sort-merge or
+  * nested-loop), top-N as a bounded heap, map-only pipelines shuffle-free.
+  * Plan SHAPES are scale-invariant; only thresholds move with data size, so
+  * the tiny fixture is a faithful witness for the structure.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("p7_date_filter: the date range is pushed to the parquet scan") {
+    val plan = planOf("p7_date_filter")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(
+      plan.contains("GreaterThanOrEqual(o_orderdate") || plan.contains("LessThan(o_orderdate"),
+      s"date predicates not pushed:\n$plan")
+  }
+
+  test("dimension joins broadcast; no sort-merge fallback on the lookup side") {
+    for (q <- Seq("q3_topn_revenue", "p8_dim_filter", "j1_suggested_pins", "j3_crosswalk_remap")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q sort-merges a lookup join:\n$plan")
+    }
+  }
+
+  test("no query in the audit set degenerates to a nested-loop or cartesian join") {
+    for (q <- Seq(
+        "dedup_minhash_pairs", "dedup_embedding", "ann_ivf_topk",
+        "j2_two_key_join", "j4_anti_dedupe", "j5_semi_membership")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("top-N queries use a bounded heap, not a global sort") {
+    val plan = planOf("q3_topn_revenue")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort where a heap suffices:\n$plan")
+  }
+
+  test("map-only text pipelines never hash/range-shuffle") {
+    // a RoundRobin exchange is allowed: tPar deliberately fans the
+    // single-row-group local fixture across cores (SCALING.md), which is
+    // free relative to real multi-split input; a hash or range exchange
+    // would mean the pipeline added a real shuffle for map-only work
+    for (q <- Seq("text_lang_id", "text_fingerprint", "text_pii_scrub", "f_pin_normalize")) {
+      val plan = planOf(q)
+      assert(
+        !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+        s"$q shuffles for map-only work:\n$plan")
+    }
+  }
+
+  test("aggregations keep map-side partials (partial -> exchange -> final)") {
+    val plan = planOf("q1_lineitem_agg")
+    // two HashAggregate operators around one Exchange is the partial-agg shape
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
+  }
+
+  test("multimodal synth->decode chains stay exchange-free end-to-end") {
+    for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
+    }
+  }
+}
