@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * [[decodePartitioned]]): actual PNG/BMP/JPEG/animated-GIF bytes parsed
   * with JDK-only `javax.imageio`. AUDIO decode is REAL
   * ([[decodeAudio]]): WAV/PCM via JDK-only `javax.sound.sampled`. VIDEO
-  * decode remains a deterministic stand-in ([[stubDecode]] /
-  * [[sampleFrames]] byte-stride path) because the JDK ships no video
-  * codec; those spots stay clearly marked.
+  * is REAL at the container level ([[demuxVideoFrames]]): a general RIFF
+  * chunk walker demuxes MJPEG-in-AVI and the real JPEG reader decodes the
+  * frames — the JDK ships no inter-frame video codec, so non-MJPEG
+  * streams fall back to the clearly-marked stand-ins ([[stubDecode]] /
+  * [[sampleFrames]] byte-stride path).
   */
 object Multimodal {
 
@@ -289,7 +291,10 @@ object Multimodal {
             }
             y += 1
           }
-          (id, mt, codec.encode(out, bmp = mt != null && mt.endsWith("bmp")))
+          val bytes =
+            if (mt != null && mt.endsWith("jpeg")) codec.encodeJpeg(out)
+            else codec.encode(out, bmp = mt != null && mt.endsWith("bmp"))
+          (id, mt, bytes)
         }
       }
       .toDF("asset_id", "media_type", "payload")
@@ -481,6 +486,201 @@ object Multimodal {
           } finally in.close()
         }
       }
+  }
+
+  /** Deterministic REAL video fixture: assembles actual RIFF/AVI
+    * (MJPEG-in-AVI — `vids`/`MJPG` stream, `00dc` frame chunks) bytes
+    * executor-side. Every frame is a genuine JDK-encoded CONSTANT-gray
+    * JPEG at quality 1.0 (the exact-round-trip shape, see
+    * [[synthJpegImages]]): `w = 1 + id%13`, `h = 1 + id%11`,
+    * `n_frames = 1 + id%3`, `frame f value = (id*31 + f*17) % 256`. The
+    * container layout (hdrl/avih/strl/strh/strf, movi, even-padded
+    * chunks) follows the AVI RIFF spec, so any standard demuxer reads it.
+    */
+  def synthMjpegVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val codec = new ImageCodec
+        ids.map { id =>
+          val w = (1 + (id % 13)).toInt
+          val h = (1 + (id % 11)).toInt
+          val nFrames = (1 + (id % 3)).toInt
+          val frames = (0 until nFrames).map { f =>
+            val v = ((id * 31 + f * 17) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+              y += 1
+            }
+            codec.encodeJpeg(img)
+          }
+          (id, "video/x-msvideo", Avi.build(frames, w, h, fps = 10))
+        }
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
+  /** REAL video demux + frame decode: walks the RIFF chunk tree of an AVI
+    * payload (no fixed offsets — chunk headers + even-padding rule, `movi`
+    * list located wherever it sits), cross-checks the `avih` declared
+    * frame count against the `00dc`/`00db` chunks found, then decodes
+    * every `everyNth`-th frame with the real JPEG reader. Map-only; one
+    * codec per partition.
+    */
+  def demuxVideoFrames(assets: DataFrame, everyNth: Int): Dataset[DecodedFrame] = {
+    require(everyNth > 0, "everyNth must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.flatMap { case (id, mt, payload) =>
+          val (declared, ranges) = Avi.frameRanges(payload, s"asset $id")
+          require(
+            declared == ranges.length,
+            s"asset $id: avih declares $declared frames, movi holds ${ranges.length}")
+          ranges.zipWithIndex
+            .filter { case (_, f) => f % everyNth == 0 }
+            .map { case ((off, len), f) =>
+              val img = codec.decode(java.util.Arrays.copyOfRange(payload, off, off + len), s"asset $id frame $f")
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              DecodedFrame(id, mt, f, ranges.length, img.getWidth, img.getHeight, sum)
+            }
+        }
+      }
+  }
+
+  /** Minimal spec-conformant RIFF/AVI assembly and demux for MJPEG video.
+    * Writer emits the standard header tree (`avih`, one `vids`/`MJPG`
+    * stream with `strh`+`strf` BITMAPINFOHEADER) and even-padded `00dc`
+    * frame chunks; the demuxer is a general RIFF walker that finds the
+    * `movi` list and the `avih` header wherever the chunk tree puts them.
+    */
+  private object Avi {
+    private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+    private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+      b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+    }
+    private def fourcc(b: java.io.ByteArrayOutputStream, s: String): Unit =
+      b.write(s.getBytes("US-ASCII"))
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      fourcc(b, id); le32(b, payload.length); b.write(payload)
+      if (payload.length % 2 == 1) b.write(0) // even-padding rule
+      b.toByteArray
+    }
+    private def list(typ: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val b = new java.io.ByteArrayOutputStream()
+      fourcc(b, "LIST"); le32(b, 4 + inner.length); fourcc(b, typ); b.write(inner)
+      b.toByteArray
+    }
+
+    def build(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val avih = {
+        val b = new java.io.ByteArrayOutputStream()
+        le32(b, 1000000 / fps) // us per frame
+        le32(b, maxFrame * fps) // max bytes/sec
+        le32(b, 0) // padding granularity
+        le32(b, 0x10) // AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-free flags kept minimal
+        le32(b, frames.length) // total frames
+        le32(b, 0) // initial frames
+        le32(b, 1) // streams
+        le32(b, maxFrame) // suggested buffer size
+        le32(b, w); le32(b, h)
+        (0 until 4).foreach(_ => le32(b, 0)) // reserved
+        b.toByteArray
+      }
+      val strh = {
+        val b = new java.io.ByteArrayOutputStream()
+        fourcc(b, "vids"); fourcc(b, "MJPG")
+        le32(b, 0) // flags
+        le16(b, 0); le16(b, 0) // priority, language
+        le32(b, 0) // initial frames
+        le32(b, 1); le32(b, fps) // scale, rate -> fps
+        le32(b, 0) // start
+        le32(b, frames.length) // length in frames
+        le32(b, maxFrame) // suggested buffer size
+        le32(b, -1) // quality (default)
+        le32(b, 0) // sample size (0: varying)
+        le16(b, 0); le16(b, 0); le16(b, w); le16(b, h) // rcFrame
+        b.toByteArray
+      }
+      val strf = { // BITMAPINFOHEADER
+        val b = new java.io.ByteArrayOutputStream()
+        le32(b, 40) // biSize
+        le32(b, w); le32(b, h)
+        le16(b, 1); le16(b, 24) // planes, bit count
+        fourcc(b, "MJPG") // biCompression
+        le32(b, w * h * 3) // biSizeImage
+        le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+        b.toByteArray
+      }
+      val hdrl = list("hdrl", Seq(chunk("avih", avih), list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+      val movi = list("movi", frames.map(f => chunk("00dc", f)))
+      val body = hdrl ++ movi
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, "RIFF"); le32(out, 4 + body.length); fourcc(out, "AVI ")
+      out.write(body)
+      out.toByteArray
+    }
+
+    private def rdLe32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) | ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    private def rdCc(p: Array[Byte], off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+
+    /** Walk the RIFF tree: returns (avih-declared frame count, the
+      * (offset, length) of every video frame chunk in `movi` order).
+      */
+    def frameRanges(payload: Array[Byte], ctx: String): (Int, Seq[(Int, Int)]) = {
+      require(payload != null && payload.length >= 12, s"$ctx: truncated payload")
+      require(
+        rdCc(payload, 0) == "RIFF" && rdCc(payload, 8) == "AVI ",
+        s"$ctx: payload is not a RIFF/AVI container")
+      var declared = -1
+      val ranges = Seq.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = rdCc(payload, pos)
+          val size = rdLe32(payload, pos + 4)
+          val dataOff = pos + 8
+          if (id == "LIST") {
+            val typ = rdCc(payload, dataOff)
+            walk(dataOff + 4, dataOff + size, inMovi || typ == "movi")
+          } else if (id == "avih") {
+            declared = rdLe32(payload, dataOff + 16) // dwTotalFrames
+          } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
+            ranges += ((dataOff, size))
+          }
+          pos = dataOff + size + (size % 2) // even-padding rule
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+      require(declared >= 0, s"$ctx: no avih header found")
+      (declared, ranges.result())
+    }
   }
 
   /** ======================== STUB ========================

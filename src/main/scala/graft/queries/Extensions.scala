@@ -316,6 +316,17 @@ object Extensions {
           everyNth = 2)
         .toDF()
     },
+    // REAL video demux end-to-end: genuine RIFF/AVI (MJPEG) containers
+    // assembled executor-side with constant-gray q=1.0 JPEG frames (the
+    // exact-round-trip shape); the demuxer walks the chunk tree, checks the
+    // avih frame count, decodes every 2nd frame; oracle: pix_sum = w·h·v_f
+    "mm_video_frames" -> { (s, dir) =>
+      Multimodal
+        .demuxVideoFrames(
+          Multimodal.synthMjpegVideos(t(s, dir, "documents"), "doc_id"),
+          everyNth = 2)
+        .toDF()
+    },
     // REAL audio decode end-to-end: genuine RIFF/WAVE PCM-16 bytes encoded
     // executor-side (javax.sound.sampled) from id-derived samples, decoded
     // back by the real codec; PCM is lossless so the oracle recomputes
@@ -1556,6 +1567,25 @@ object Extensions {
          CROSS JOIN generate_series(0, 14) AS y(g)
          WHERE x.g < s.width AND y.g < s.height
          GROUP BY 1, 2, 3, 4, 5, 6""",
+    "mm_video_frames" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                  CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT id, width, height, n_frames, CAST(unnest(range(0, n_frames)) AS INTEGER) AS f
+           FROM a)
+         SELECT id AS asset_id,
+                'video/x-msvideo' AS media_type,
+                f AS frame_idx,
+                n_frames,
+                width,
+                height,
+                CAST(width * height * ((id * 31 + f * 17) % 256) AS BIGINT) AS pix_sum
+         FROM fr
+         WHERE f % 2 = 0""",
     "mm_decode_audio" ->
       """WITH a AS (
            SELECT doc_id AS id, CAST(100 + doc_id % 200 AS BIGINT) AS n

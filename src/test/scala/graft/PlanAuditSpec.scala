@@ -64,7 +64,7 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("multimodal synth->decode chains stay exchange-free end-to-end") {
-    for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio")) {
+    for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio", "mm_video_frames")) {
       val plan = planOf(q)
       assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
     }

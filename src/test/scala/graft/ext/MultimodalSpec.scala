@@ -150,6 +150,40 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("synthMjpegVideos + demuxVideoFrames: MJPEG/AVI round-trips exactly") {
+    val ids = Seq(0L, 1L, 2L, 5L, 14L, 142L)
+    val assets = Multimodal.synthMjpegVideos(ids.toDF("doc_id"), "doc_id")
+    // genuine RIFF/AVI bytes on the wire
+    val magics = assets.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      (r.getAs[Long]("asset_id"),
+        (new String(p.take(4), "US-ASCII"), new String(p.slice(8, 12), "US-ASCII")))
+    }.toMap
+    ids.foreach(id => assert(magics(id) == (("RIFF", "AVI ")), s"id $id wrong container magic"))
+    val out = Multimodal.demuxVideoFrames(assets, everyNth = 2).collect()
+      .groupBy(_.asset_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    ids.foreach { id =>
+      val w = (1 + id % 13).toInt
+      val h = (1 + id % 11).toInt
+      val nf = (1 + id % 3).toInt
+      val frames = out(id)
+      assert(frames.map(_.frame_idx).toSeq == (0 until nf by 2).toSeq, s"id $id frames")
+      frames.foreach { fr =>
+        val v = ((id * 31 + fr.frame_idx * 17) % 256).toInt
+        assert(fr.n_frames == nf && fr.width == w && fr.height == h, s"id $id dims $fr")
+        assert(fr.pix_sum == w.toLong * h * v, s"id $id f=${fr.frame_idx} sum ${fr.pix_sum}")
+      }
+    }
+  }
+
+  test("demuxVideoFrames rejects non-AVI payloads and frame-count mismatches") {
+    val notAvi = Multimodal.synthWavAudio(Seq(1L).toDF("doc_id"), "doc_id")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxVideoFrames(notAvi, 1).collect()
+    }
+    assert(e.getMessage.contains("RIFF/AVI") || e.getCause.getMessage.contains("RIFF/AVI"))
+  }
+
   test("synthWavAudio + decodeAudio: WAV PCM-16 round-trips exactly") {
     val ids = Seq(0L, 1L, 2L, 99L, 100L, 399L)
     val assets = Multimodal.synthWavAudio(ids.toDF("doc_id"), "doc_id")
