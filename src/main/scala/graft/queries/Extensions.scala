@@ -602,6 +602,33 @@ object Extensions {
       // twin reports it once — distinct on drain is the parity shape
       drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
     },
+    // ninth stream/batch parity surface: the REAL image decode running
+    // INSIDE a streaming plan. decodeImages is a stateless typed
+    // mapPartitions, so the exact same operator composes into Structured
+    // Streaming unchanged (append mode, no watermark/state) — the drained
+    // decode output must hash-match the batch mm_decode_real oracle
+    "stream_mm_decode_parity" -> { (s0, dir) =>
+      // micro-batch work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val assets: Array[(Long, String, Array[Byte])] = Multimodal
+        .synthImages(t(s, dir, "documents"), "doc_id")
+        .as[(Long, String, Array[Byte])]
+        .collect()
+      val mem = MemoryStream[(Long, String, Array[Byte])]
+      val decoded = Multimodal
+        .decodeImages(mem.toDF().toDF("asset_id", "media_type", "payload"))
+        .toDF()
+      val sink = s"stream_mm_decode_${System.nanoTime()}"
+      val q = decoded.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(assets.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(identity)
+    },
     // the full streaming near-dedup chain: streaming LSH candidates →
     // exact-Jaccard verification (two stream-STATIC joins against the gram
     // table — stateless, so the whole verify stage lives inside the
@@ -1106,6 +1133,26 @@ object Extensions {
           SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
         )"""
 
+  /** The arithmetic PNG/BMP decode oracle — shared verbatim by the batch
+    * query and the streaming-parity twin (the parity claim IS that the two
+    * decode outputs are identical).
+    */
+  private lazy val decodeRealOracleSql: String =
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                CAST(1 + doc_id % 11 AS INTEGER) AS height
+         FROM documents)
+       SELECT d.doc_id AS asset_id,
+              CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+              d.width, d.height,
+              CAST(sum((d.doc_id * 31 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
+       FROM dims d
+       CROSS JOIN generate_series(0, 12) AS x(g)
+       CROSS JOIN generate_series(0, 10) AS y(g)
+       WHERE x.g < d.width AND y.g < d.height
+       GROUP BY 1, 2, 3, 4"""
+
   private val gramsCte: String = """
     WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
     g AS (
@@ -1522,21 +1569,9 @@ object Extensions {
                             list_transform(codes, c -> CAST(c % 16 AS BIGINT))),
                             (a, b) -> xor(a, b)) + 1) * 64 END AS INTEGER) AS height
          FROM ch""",
-    "mm_decode_real" ->
-      """WITH dims AS (
-           SELECT doc_id,
-                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
-                  CAST(1 + doc_id % 11 AS INTEGER) AS height
-           FROM documents)
-         SELECT d.doc_id AS asset_id,
-                CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
-                d.width, d.height,
-                CAST(sum((d.doc_id * 31 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
-         FROM dims d
-         CROSS JOIN generate_series(0, 12) AS x(g)
-         CROSS JOIN generate_series(0, 10) AS y(g)
-         WHERE x.g < d.width AND y.g < d.height
-         GROUP BY 1, 2, 3, 4""",
+    "mm_decode_real" -> decodeRealOracleSql,
+    // parity: the streaming decode must be EXACTLY the batch decode
+    "stream_mm_decode_parity" -> decodeRealOracleSql,
     "mm_decode_jpeg" ->
       """SELECT doc_id AS asset_id,
                 'image/jpeg' AS media_type,
