@@ -666,6 +666,13 @@ object Multimodal {
           val id = rdCc(payload, pos)
           val size = rdLe32(payload, pos + 4)
           val dataOff = pos + 8
+          // corrupt/truncated containers must fail loudly here, not leak
+          // out-of-range frame offsets (Arrays.copyOfRange would silently
+          // zero-pad them into garbage decoder input) or stall the walk on
+          // a negative size
+          require(
+            size >= 0 && dataOff + size <= payload.length,
+            s"$ctx: corrupt chunk '$id' at offset $pos (size $size, payload ${payload.length})")
           if (id == "LIST") {
             val typ = rdCc(payload, dataOff)
             walk(dataOff + 4, dataOff + size, inMovi || typ == "movi")

@@ -184,6 +184,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e.getMessage.contains("RIFF/AVI") || e.getCause.getMessage.contains("RIFF/AVI"))
   }
 
+  test("demuxVideoFrames fails loudly on truncated containers instead of decoding garbage") {
+    val good = Multimodal.synthMjpegVideos(Seq(5L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    // cut mid-movi: the frame chunk sizes now overrun the payload
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - good.length / 4)
+    val df = Seq((5L, "video/x-msvideo", truncated)).toDF("asset_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxVideoFrames(df, 1).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("corrupt chunk") || msg.contains("declares"), msg)
+  }
+
+  test("image decode fails loudly on truncated payloads") {
+    val good = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val truncated = java.util.Arrays.copyOfRange(good, 0, 8) // magic survives, body gone
+    val df = Seq((4L, "image/png", truncated)).toDF("asset_id", "media_type", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(df).collect()
+    }
+  }
+
   test("synthWavAudio + decodeAudio: WAV PCM-16 round-trips exactly") {
     val ids = Seq(0L, 1L, 2L, 99L, 100L, 399L)
     val assets = Multimodal.synthWavAudio(ids.toDF("doc_id"), "doc_id")
