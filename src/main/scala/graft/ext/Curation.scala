@@ -16,7 +16,11 @@ object Curation {
     * the rest of the operator surface.
     */
   private def requireWorkCols(df: DataFrame, names: String*): Unit = {
-    val clash = names.filter(df.columns.contains)
+    // case-INSENSITIVE match: withColumn/drop resolve case-insensitively
+    // under the default spark.sql.caseSensitive=false, so a caller column
+    // "__RK" would be silently replaced by our "__rk" if only exact names
+    // were rejected
+    val clash = names.filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
     require(
       clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with reserved working columns")

@@ -602,7 +602,7 @@ object Multimodal {
         le32(b, 1000000 / fps) // us per frame
         le32(b, maxFrame * fps) // max bytes/sec
         le32(b, 0) // padding granularity
-        le32(b, 0x10) // AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-free flags kept minimal
+        le32(b, 0) // flags: no AVIF_HASINDEX — the file carries no idx1 chunk
         le32(b, frames.length) // total frames
         le32(b, 0) // initial frames
         le32(b, 1) // streams
@@ -670,8 +670,10 @@ object Multimodal {
           // out-of-range frame offsets (Arrays.copyOfRange would silently
           // zero-pad them into garbage decoder input) or stall the walk on
           // a negative size
+          // long arithmetic: a crafted size near Int.MaxValue must not
+          // wrap negative and slip past the bounds check
           require(
-            size >= 0 && dataOff + size <= payload.length,
+            size >= 0 && dataOff.toLong + size <= payload.length,
             s"$ctx: corrupt chunk '$id' at offset $pos (size $size, payload ${payload.length})")
           if (id == "LIST") {
             val typ = rdCc(payload, dataOff)

@@ -293,7 +293,7 @@ object Extensions {
     // path cannot hash-match it
     "mm_decode_real" -> { (s, dir) =>
       Multimodal
-        .decodeImages(Multimodal.synthImages(t(s, dir, "documents"), "doc_id"))
+        .decodeImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
     // REAL JPEG decode end-to-end: genuine baseline-JFIF bytes encoded
@@ -302,7 +302,7 @@ object Extensions {
     // decoded back by the real codec; oracle: pix_sum = w·h·v arithmetic
     "mm_decode_jpeg" -> { (s, dir) =>
       Multimodal
-        .decodeImages(Multimodal.synthJpegImages(t(s, dir, "documents"), "doc_id"))
+        .decodeImages(Multimodal.synthJpegImages(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
     // REAL multi-frame decode end-to-end: genuine animated GIF89a bytes
@@ -312,7 +312,7 @@ object Extensions {
     "mm_frames_real" -> { (s, dir) =>
       Multimodal
         .decodeFrames(
-          Multimodal.synthGifAnimations(t(s, dir, "documents"), "doc_id"),
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"),
           everyNth = 2)
         .toDF()
     },
@@ -323,7 +323,7 @@ object Extensions {
     "mm_video_frames" -> { (s, dir) =>
       Multimodal
         .demuxVideoFrames(
-          Multimodal.synthMjpegVideos(t(s, dir, "documents"), "doc_id"),
+          Multimodal.synthMjpegVideos(tPar(s, dir, "documents"), "doc_id"),
           everyNth = 2)
         .toDF()
     },
@@ -333,7 +333,7 @@ object Extensions {
     // rate/count/amplitude-sum arithmetically
     "mm_decode_audio" -> { (s, dir) =>
       Multimodal
-        .decodeAudio(Multimodal.synthWavAudio(t(s, dir, "documents"), "doc_id"))
+        .decodeAudio(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
     // REAL resize end-to-end: synth → decode → integer-exact NN resample →
@@ -344,7 +344,7 @@ object Extensions {
       Multimodal
         .decodeImages(
           Multimodal.resizeImages(
-            Multimodal.synthImages(t(s, dir, "documents"), "doc_id"), maxSide = 8))
+            Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"), maxSide = 8))
         .toDF()
     },
     // corpus-level line dedup (boilerplate removal, CCNet/RefinedWeb
@@ -614,7 +614,7 @@ object Extensions {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val assets: Array[(Long, String, Array[Byte])] = Multimodal
-        .synthImages(t(s, dir, "documents"), "doc_id")
+        .synthImages(tPar(s, dir, "documents"), "doc_id")
         .as[(Long, String, Array[Byte])]
         .collect()
       val mem = MemoryStream[(Long, String, Array[Byte])]

