@@ -439,6 +439,87 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Cross-document EXACT substring overlap — the positional complement of
+    * set-based n-gram Jaccard: two documents sharing `r` CONSECUTIVE word
+    * n-grams share an exact `(r + n - 1)`-token substring (the
+    * exact-substring dedup signal of "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022). Emits, per ordered pair,
+    * the number of shared (gram, position) matches and the longest shared
+    * run in tokens, for pairs whose longest run spans at least
+    * `minRunGrams` grams.
+    *
+    * Scale posture: an inverted-index self-join on RARE grams only
+    * (document frequency ≤ `maxDocFreq` — the frequent-gram quarantine
+    * that bounds bucket fan-out, same rationale as the LSH band cap), with
+    * the shuffle pinned on the gram key before the self-join so both sides
+    * reuse one exchange. Runs resolve with a single gaps-and-islands
+    * window pass per (pair, diagonal) — matches on one diagonal
+    * (`pos_lo - pos_hi` constant) with consecutive positions form one
+    * island, so the window never sees more rows than the match set.
+    */
+  def sharedNgramRuns(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      maxDocFreq: Int = 10,
+      minRunGrams: Int = 2
+  ): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(maxDocFreq >= 1, "maxDocFreq must be positive")
+    require(minRunGrams >= 1, "minRunGrams must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(textCol), "\\s+")
+    // positional grams: (doc_id, pos, gram) — NOT distinct, positions are
+    // the whole point. Fenced so the three consumers (doc-frequency count
+    // and both self-join sides) share one computed frame.
+    val grams = graft.ops.PlanOps.fence(
+      df.select(idCol.as("doc_id"), toks.as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(0), size(col("__toks")) - n),
+              i => concat_ws(" ", (0 until n).map(k => element_at(col("__toks"), i + lit(k + 1))): _*)
+            )
+          ).as(Seq("pos", "gram"))
+        )
+    )
+    val rare = grams
+      .select(col("gram"), col("doc_id"))
+      .distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") <= maxDocFreq)
+      .select("gram")
+    // pin the shuffle on the join key BEFORE self-joining (ReusedExchange,
+    // same pattern as minhashLshPairs)
+    val g = grams.join(rare, "gram").repartition(col("gram"))
+    val lo = g.select(col("gram"), col("doc_id").as("id_lo"), col("pos").as("pos_lo"))
+    val hi = g.select(col("gram"), col("doc_id").as("id_hi"), col("pos").as("pos_hi"))
+    val m = lo
+      .join(hi, Seq("gram"))
+      .filter(col("id_lo") < col("id_hi"))
+      .select(col("id_lo"), col("id_hi"), col("pos_lo"), col("pos_hi"))
+    val w = Window.partitionBy(col("id_lo"), col("id_hi"), col("__diag")).orderBy(col("pos_lo"))
+    m.withColumn("__diag", col("pos_lo") - col("pos_hi"))
+      .withColumn("__isl", col("pos_lo") - row_number().over(w))
+      .groupBy(col("id_lo"), col("id_hi"), col("__diag"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("id_lo"), col("id_hi"))
+      // total matches = sum of run lengths, so one aggregation tree serves
+      // both outputs instead of a second pass over the match set
+      .agg(sum(col("__run")).as("n_matches"), max(col("__run")).as("__maxrun"))
+      .filter(col("__maxrun") >= minRunGrams)
+      .select(
+        col("id_lo"),
+        col("id_hi"),
+        col("n_matches").cast("long").as("n_matches"),
+        (col("__maxrun") + (n - 1)).cast("long").as("max_run_tokens")
+      )
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each content
     * digest in an event-time stream. State is the digest set within the
     * watermark horizon — `dropDuplicatesWithinWatermark` evicts state for

@@ -427,13 +427,7 @@ object Multimodal {
             pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-          (id, "audio/wav", baos.toByteArray)
+          (id, "audio/wav", AudioCodec.encodeWav(pcm, n, rate))
         }
       }
       .toDF("asset_id", "media_type", "payload")
@@ -453,7 +447,8 @@ object Multimodal {
   /** REAL audio decode (JDK `javax.sound.sampled`, WAV/PCM): parses the
     * actual RIFF header for format fields and folds the signed little-endian
     * 16-bit samples into an amplitude sum. Map-only — no shuffle before the
-    * decode `mapPartitions`.
+    * decode `mapPartitions`; the WAVE SPI provider is resolved once per JVM
+    * ([[AudioCodec]]), not per row.
     */
   def decodeAudio(assets: DataFrame): Dataset[DecodedAudio] = {
     val spark = assets.sparkSession
@@ -464,8 +459,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, mt, payload) =>
           require(payload != null && payload.length > 44, s"asset $id: not a WAV payload")
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
+          val in = AudioCodec.openWav(payload)
           try {
             val fmt = in.getFormat
             require(
@@ -564,6 +558,58 @@ object Multimodal {
             }
         }
       }
+  }
+
+  /** WAVE codec with the SPI providers resolved ONCE per JVM: the
+    * `AudioSystem` statics re-walk the provider registry on every call —
+    * at one call per row that scan dominates tiny-clip workloads (measured
+    * ~10× on the audio benchmark; the same pathology [[ImageCodec]]
+    * documents for `ImageIO`). The providers come from the public
+    * `javax.sound.sampled.spi` ServiceLoader surface; WAV readers/writers
+    * are stateless, so JVM-wide sharing is thread-safe. Falls back to the
+    * statics if no WAVE provider is registered.
+    */
+  private object AudioCodec {
+    import javax.sound.sampled._
+    import scala.jdk.CollectionConverters._
+
+    private lazy val wavReader: Option[spi.AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[spi.AudioFileReader]).asScala
+        .find(r =>
+          try {
+            r.getAudioFileFormat(new java.io.ByteArrayInputStream(probeWav)) != null
+          } catch { case _: Exception => false })
+    private lazy val wavWriter: Option[spi.AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[spi.AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+
+    // a minimal valid WAV used once to identify the WAVE-capable reader
+    private lazy val probeWav: Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(new Array[Byte](2)), fmt, 1L)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    def openWav(payload: Array[Byte]): AudioInputStream = {
+      val in = new java.io.ByteArrayInputStream(payload)
+      wavReader match {
+        case Some(r) => r.getAudioInputStream(in)
+        case None    => AudioSystem.getAudioInputStream(in)
+      }
+    }
+
+    def encodeWav(pcm: Array[Byte], nSamples: Int, rate: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      wavWriter match {
+        case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, baos)
+        case None    => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      }
+      baos.toByteArray
+    }
   }
 
   /** Minimal spec-conformant RIFF/AVI assembly and demux for MJPEG video.

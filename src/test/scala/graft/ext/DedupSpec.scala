@@ -192,6 +192,49 @@ class DedupSpec extends SparkSpecBase {
     assert(out(1) == Seq("a b")) // fewer words than n: concat_ws skips missing
   }
 
+  test("sharedNgramRuns finds the exact shared substring span and its match count") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "xx quick brown fox jumps yy zz"),
+      (3L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramRuns(df, $"doc_id", $"text", n = 3, maxDocFreq = 10, minRunGrams = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // docs 1,2 share "quick brown fox jumps": grams "quick brown fox" and
+    // "brown fox jumps" — one diagonal run of 2 grams = 4 tokens
+    assert(out == Map((1L, 2L) -> ((2L, 4L))))
+  }
+
+  test("sharedNgramRuns quarantines frequent grams and drops sub-threshold runs") {
+    // the gram "a b c" appears in 3 docs; with maxDocFreq=2 it is
+    // boilerplate and generates no pairs at all
+    val common = Seq(
+      (1L, "a b c one"),
+      (2L, "a b c two"),
+      (3L, "a b c three")
+    ).toDF("doc_id", "text")
+    assert(Dedup.sharedNgramRuns(common, $"doc_id", $"text", 3, maxDocFreq = 2, 1).count() == 0)
+    // a single shared gram (run of 1) is below minRunGrams=2
+    val single = Seq(
+      (1L, "shared tri gram tail one"),
+      (2L, "head shared tri gram")
+    ).toDF("doc_id", "text")
+    assert(Dedup.sharedNgramRuns(single, $"doc_id", $"text", 3, 10, minRunGrams = 2).count() == 0)
+    // but it IS reported at minRunGrams=1, as a 3-token run
+    val one = Dedup.sharedNgramRuns(single, $"doc_id", $"text", 3, 10, minRunGrams = 1).collect()
+    assert(one.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((1L, 3L)))
+  }
+
+  test("sharedNgramRuns: repeated grams inside one doc count every positional match") {
+    val df = Seq(
+      (1L, "x y z p q x y z"),     // "x y z" at pos 0 and pos 5
+      (2L, "x y z tail tokens")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramRuns(df, $"doc_id", $"text", 3, 10, minRunGrams = 1).collect()
+    // two (gram,pos) matches for the pair, both runs of length 1
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((2L, 3L)))
+  }
+
   test("stripBoilerplate removes only over-threshold lines, preserves order, keeps all ids") {
     // HEADER in 4 docs, FOOTER in 3, bodies unique; maxDocs=2 strips both
     // frames and nothing else
