@@ -468,24 +468,9 @@ object Dedup {
     require(n >= 1, "n must be positive")
     require(maxDocFreq >= 1, "maxDocFreq must be positive")
     require(minRunGrams >= 1, "minRunGrams must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val toks = split(trim(textCol), "\\s+")
-    // positional grams: (doc_id, pos, gram) — NOT distinct, positions are
-    // the whole point. Fenced so the three consumers (doc-frequency count
-    // and both self-join sides) share one computed frame.
-    val grams = graft.ops.PlanOps.fence(
-      df.select(idCol.as("doc_id"), toks.as("__toks"))
-        .filter(size(col("__toks")) >= n)
-        .select(
-          col("doc_id"),
-          posexplode(
-            transform(
-              sequence(lit(0), size(col("__toks")) - n),
-              i => concat_ws(" ", (0 until n).map(k => element_at(col("__toks"), i + lit(k + 1))): _*)
-            )
-          ).as(Seq("pos", "gram"))
-        )
-    )
+    // the three consumers (doc-frequency count and both self-join sides)
+    // share the one fenced positional-gram frame
+    val grams = positionalGrams(df, idCol, textCol, n)
     val rare = grams
       .select(col("gram"), col("doc_id"))
       .distinct()
@@ -502,6 +487,84 @@ object Dedup {
       .join(hi, Seq("gram"))
       .filter(col("id_lo") < col("id_hi"))
       .select(col("id_lo"), col("id_hi"), col("pos_lo"), col("pos_hi"))
+    ngramRunStats(m, n, minRunGrams)
+  }
+
+  /** Cross-table variant of [[sharedNgramRuns]] — span-level benchmark
+    * contamination evidence: for every (training doc, probe doc) pair
+    * sharing at least one rare n-gram, the match count and the longest
+    * exact shared token run. Complements [[graft.ext.Curation.decontaminate]]
+    * (which answers "how much of this doc is benchmark material") with
+    * WHERE the overlap is and HOW LONG its longest verbatim span runs.
+    * The probe side is assumed benchmark-sized and broadcasts; the rare
+    * quarantine is computed on the training side (the side whose
+    * boilerplate explodes fan-out).
+    */
+  def crossNgramRuns(
+      train: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      probe: DataFrame,
+      probeIdCol: Column,
+      probeTextCol: Column,
+      n: Int = 3,
+      maxDocFreq: Int = 10,
+      minRunGrams: Int = 2
+  ): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(maxDocFreq >= 1, "maxDocFreq must be positive")
+    require(minRunGrams >= 1, "minRunGrams must be positive")
+    val gt = positionalGrams(train, idCol, textCol, n)
+    val gp = positionalGrams(probe, probeIdCol, probeTextCol, n)
+    val rare = gt
+      .select(col("gram"), col("doc_id"))
+      .distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") <= maxDocFreq)
+      .select("gram")
+    val m = gt
+      .join(rare, "gram")
+      .join(
+        broadcast(gp.select(col("gram"), col("doc_id").as("id_hi"), col("pos").as("pos_hi"))),
+        "gram")
+      .select(col("doc_id").as("id_lo"), col("id_hi"), col("pos").as("pos_lo"), col("pos_hi"))
+    ngramRunStats(m, n, minRunGrams)
+      .select(
+        col("id_lo").as("doc_id"),
+        col("id_hi").as("bench_id"),
+        col("n_matches"),
+        col("max_run_tokens"))
+  }
+
+  /** Positional word n-grams: one (doc_id, pos, gram) row per gram
+    * occurrence — NOT distinct, positions are the point. Fenced so
+    * multiple consumers share one computed frame.
+    */
+  private def positionalGrams(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val toks = split(trim(textCol), "\\s+")
+    graft.ops.PlanOps.fence(
+      df.select(idCol.as("doc_id"), toks.as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(0), size(col("__toks")) - n),
+              i => concat_ws(" ", (0 until n).map(k => element_at(col("__toks"), i + lit(k + 1))): _*)
+            )
+          ).as(Seq("pos", "gram"))
+        )
+    )
+  }
+
+  /** Gaps-and-islands run resolution over a positional match set
+    * `(id_lo, id_hi, pos_lo, pos_hi)`: matches on one diagonal
+    * (`pos_lo - pos_hi` constant) with consecutive positions form one
+    * island; the longest island is the longest exact shared substring.
+    */
+  private def ngramRunStats(m: DataFrame, n: Int, minRunGrams: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_lo"), col("id_hi"), col("__diag")).orderBy(col("pos_lo"))
     m.withColumn("__diag", col("pos_lo") - col("pos_hi"))
       .withColumn("__isl", col("pos_lo") - row_number().over(w))

@@ -78,6 +78,16 @@ object Extensions {
     "dedup_minhash_pairs" -> { (s, dir) =>
       Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
     },
+    // span-level benchmark contamination: every (train doc, probe doc)
+    // pair's match count and longest exact shared token run — decontaminate
+    // answers "how much", this answers "where and how long"
+    "corpus_contamination_spans" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      Dedup.crossNgramRuns(
+        docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+        n = 3, maxDocFreq = 10, minRunGrams = 2)
+    },
     // cross-document exact substring overlap: rare-gram inverted-index
     // self-join + gaps-and-islands run resolution (Lee et al. 2022 shape)
     "dedup_ngram_runs" -> { (s, dir) =>
@@ -1209,6 +1219,35 @@ object Extensions {
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
          FROM documents GROUP BY md5(text)""",
     "dedup_minhash_pairs" -> minhashPairsOracleSql,
+    "corpus_contamination_spans" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+         pr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         wt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM tr),
+         gt AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
+                FROM wt, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)
+                WHERE len(toks) >= 3),
+         wp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM pr),
+         gp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
+                FROM wp, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)
+                WHERE len(toks) >= 3),
+         rare AS (
+           SELECT gram FROM (
+             SELECT gram, count(DISTINCT doc_id) AS nd FROM gt GROUP BY 1)
+           WHERE nd <= 10),
+         m AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, a.pos AS pos_lo, b.pos AS pos_hi
+               FROM gt a JOIN rare USING (gram) JOIN gp b USING (gram)),
+         r AS (SELECT id_lo, id_hi, pos_lo - pos_hi AS diag, pos_lo,
+                      pos_lo - row_number() OVER (PARTITION BY id_lo, id_hi, pos_lo - pos_hi ORDER BY pos_lo) AS island
+               FROM m),
+         runs AS (SELECT id_lo, id_hi, CAST(count(*) AS BIGINT) AS run_len
+                  FROM r GROUP BY id_lo, id_hi, diag, island)
+         SELECT id_lo AS doc_id, id_hi AS bench_id,
+                CAST(sum(run_len) AS BIGINT) AS n_matches,
+                CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens
+         FROM runs GROUP BY 1, 2
+         HAVING max(run_len) >= 2""",
     "dedup_ngram_runs" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

@@ -235,6 +235,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((2L, 3L)))
   }
 
+  test("crossNgramRuns locates the contaminating span against a probe set") {
+    val train = Seq(
+      (1L, "intro text then the secret benchmark answer is here trailing words"),
+      (2L, "nothing in common with anything at all")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the secret benchmark answer is"),
+      (200L, "unrelated probe content entirely different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNgramRuns(
+      train, $"doc_id", $"text", probe, $"doc_id", $"text", n = 3, maxDocFreq = 10, minRunGrams = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // probe 100's 5-token text = three 3-grams, all matching doc 1 on one
+    // diagonal -> one run of 3 grams = 5 shared tokens
+    assert(out == Map((1L, 100L) -> ((3L, 5L))))
+    // probe plan: the probe gram side must broadcast, never shuffle-join
+    val plan = Dedup.crossNgramRuns(
+      train, $"doc_id", $"text", probe, $"doc_id", $"text", 3, 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("stripBoilerplate removes only over-threshold lines, preserves order, keeps all ids") {
     // HEADER in 4 docs, FOOTER in 3, bodies unique; maxDocs=2 strips both
     // frames and nothing else
