@@ -444,9 +444,10 @@ object Dedup {
     * n-grams share an exact `(r + n - 1)`-token substring (the
     * exact-substring dedup signal of "Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022). Emits, per ordered pair,
-    * the number of shared (gram, position) matches and the longest shared
-    * run in tokens, for pairs whose longest run spans at least
-    * `minRunGrams` grams.
+    * the number of shared (gram, position) matches, the longest shared run
+    * in tokens, and that run's 0-based token offset in the lo-side
+    * document, for pairs whose longest run spans at least `minRunGrams`
+    * grams.
     *
     * Scale posture: an inverted-index self-join on RARE grams only
     * (document frequency ≤ `maxDocFreq` — the frequent-gram quarantine
@@ -534,7 +535,8 @@ object Dedup {
         col("id_lo").as("doc_id"),
         col("id_hi").as("bench_id"),
         col("n_matches"),
-        col("max_run_tokens"))
+        col("max_run_tokens"),
+        col("max_run_start"))
   }
 
   /** Positional word n-grams: one (doc_id, pos, gram) row per gram
@@ -544,7 +546,11 @@ object Dedup {
   private def positionalGrams(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     val toks = split(trim(textCol), "\\s+")
     graft.ops.PlanOps.fence(
-      df.select(idCol.as("doc_id"), toks.as("__toks"))
+      df
+        // empty/whitespace-only text splits to [""] — one ARTIFACT token
+        // that would satisfy size >= n at n=1 and emit empty grams
+        .filter(length(trim(textCol)) > 0)
+        .select(idCol.as("doc_id"), toks.as("__toks"))
         .filter(size(col("__toks")) >= n)
         .select(
           col("doc_id"),
@@ -561,25 +567,35 @@ object Dedup {
   /** Gaps-and-islands run resolution over a positional match set
     * `(id_lo, id_hi, pos_lo, pos_hi)`: matches on one diagonal
     * (`pos_lo - pos_hi` constant) with consecutive positions form one
-    * island; the longest island is the longest exact shared substring.
+    * island; the longest island is the longest exact shared substring, and
+    * `max_run_start` is its 0-based token offset in the lo-side document
+    * (smallest offset on ties — deterministic for the oracle compare).
     */
   private def ngramRunStats(m: DataFrame, n: Int, minRunGrams: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_lo"), col("id_hi"), col("__diag")).orderBy(col("pos_lo"))
+    val wp = Window.partitionBy(col("id_lo"), col("id_hi"))
     m.withColumn("__diag", col("pos_lo") - col("pos_hi"))
       .withColumn("__isl", col("pos_lo") - row_number().over(w))
       .groupBy(col("id_lo"), col("id_hi"), col("__diag"), col("__isl"))
-      .agg(count(lit(1)).as("__run"))
+      .agg(count(lit(1)).as("__run"), min(col("pos_lo")).as("__start"))
+      // the pair-level max run, visible per island row so the start of the
+      // winning island(s) survives the final aggregation
+      .withColumn("__maxrun", max(col("__run")).over(wp))
       .groupBy(col("id_lo"), col("id_hi"))
       // total matches = sum of run lengths, so one aggregation tree serves
-      // both outputs instead of a second pass over the match set
-      .agg(sum(col("__run")).as("n_matches"), max(col("__run")).as("__maxrun"))
-      .filter(col("__maxrun") >= minRunGrams)
+      // all outputs instead of a second pass over the match set
+      .agg(
+        sum(col("__run")).as("n_matches"),
+        max(col("__run")).as("__best"),
+        min(when(col("__run") === col("__maxrun"), col("__start"))).as("__beststart"))
+      .filter(col("__best") >= minRunGrams)
       .select(
         col("id_lo"),
         col("id_hi"),
         col("n_matches").cast("long").as("n_matches"),
-        (col("__maxrun") + (n - 1)).cast("long").as("max_run_tokens")
+        (col("__best") + (n - 1)).cast("long").as("max_run_tokens"),
+        col("__beststart").cast("long").as("max_run_start")
       )
   }
 

@@ -722,9 +722,15 @@ object Multimodal {
             size >= 0 && dataOff.toLong + size <= payload.length,
             s"$ctx: corrupt chunk '$id' at offset $pos (size $size, payload ${payload.length})")
           if (id == "LIST") {
+            // the list-type fourcc and the avih fields live INSIDE the
+            // chunk: their reads must be covered by the declared size too,
+            // or a truncated header crashes with a bare index exception
+            // instead of this contextual failure
+            require(size >= 4, s"$ctx: LIST chunk at offset $pos too small for a type fourcc")
             val typ = rdCc(payload, dataOff)
             walk(dataOff + 4, dataOff + size, inMovi || typ == "movi")
           } else if (id == "avih") {
+            require(size >= 20, s"$ctx: avih chunk at offset $pos too small (size $size)")
             declared = rdLe32(payload, dataOff + 16) // dwTotalFrames
           } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
             ranges += ((dataOff, size))

@@ -1241,12 +1241,15 @@ object Extensions {
          r AS (SELECT id_lo, id_hi, pos_lo - pos_hi AS diag, pos_lo,
                       pos_lo - row_number() OVER (PARTITION BY id_lo, id_hi, pos_lo - pos_hi ORDER BY pos_lo) AS island
                FROM m),
-         runs AS (SELECT id_lo, id_hi, CAST(count(*) AS BIGINT) AS run_len
-                  FROM r GROUP BY id_lo, id_hi, diag, island)
+         runs AS (SELECT id_lo, id_hi, CAST(count(*) AS BIGINT) AS run_len,
+                         min(pos_lo) AS start
+                  FROM r GROUP BY id_lo, id_hi, diag, island),
+         r2 AS (SELECT *, max(run_len) OVER (PARTITION BY id_lo, id_hi) AS maxrun FROM runs)
          SELECT id_lo AS doc_id, id_hi AS bench_id,
                 CAST(sum(run_len) AS BIGINT) AS n_matches,
-                CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens
-         FROM runs GROUP BY 1, 2
+                CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens,
+                CAST(min(CASE WHEN run_len = maxrun THEN start END) AS BIGINT) AS max_run_start
+         FROM r2 GROUP BY 1, 2
          HAVING max(run_len) >= 2""",
     "dedup_ngram_runs" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -1264,12 +1267,15 @@ object Extensions {
          r AS (SELECT id_lo, id_hi, pos_lo - pos_hi AS diag, pos_lo,
                       pos_lo - row_number() OVER (PARTITION BY id_lo, id_hi, pos_lo - pos_hi ORDER BY pos_lo) AS island
                FROM m),
-         runs AS (SELECT id_lo, id_hi, CAST(count(*) AS BIGINT) AS run_len
-                  FROM r GROUP BY id_lo, id_hi, diag, island)
+         runs AS (SELECT id_lo, id_hi, CAST(count(*) AS BIGINT) AS run_len,
+                         min(pos_lo) AS start
+                  FROM r GROUP BY id_lo, id_hi, diag, island),
+         r2 AS (SELECT *, max(run_len) OVER (PARTITION BY id_lo, id_hi) AS maxrun FROM runs)
          SELECT id_lo, id_hi,
                 CAST(sum(run_len) AS BIGINT) AS n_matches,
-                CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens
-         FROM runs GROUP BY 1, 2
+                CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens,
+                CAST(min(CASE WHEN run_len = maxrun THEN start END) AS BIGINT) AS max_run_start
+         FROM r2 GROUP BY 1, 2
          HAVING max(run_len) >= 2""",
     // parity: the streaming candidate set must be EXACTLY the batch one
     "stream_lsh_parity" -> minhashPairsOracleSql,

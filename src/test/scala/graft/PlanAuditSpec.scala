@@ -73,9 +73,16 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
         s"$q shuffles payload bytes:\n$plan")
-      // the round-robin input fan-out must sit below the synth projection:
-      // exactly one exchange, reading only the fixture columns
       assert("Exchange".r.findAllIn(plan).size <= 1, s"$q has extra exchanges:\n$plan")
+      // position check: the tree prints root (downstream) first, so the
+      // input fan-out exchange must appear AFTER every MapPartitions line —
+      // an exchange printed between two MapPartitions would be shuffling
+      // synthesized payload bytes
+      val exIdx = plan.indexOf("Exchange")
+      if (exIdx >= 0)
+        assert(
+          exIdx > plan.lastIndexOf("MapPartitions"),
+          s"$q exchanges after payload synthesis:\n$plan")
     }
   }
 }

@@ -199,10 +199,11 @@ class DedupSpec extends SparkSpecBase {
       (3L, "completely different words here entirely")
     ).toDF("doc_id", "text")
     val out = Dedup.sharedNgramRuns(df, $"doc_id", $"text", n = 3, maxDocFreq = 10, minRunGrams = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // docs 1,2 share "quick brown fox jumps": grams "quick brown fox" and
-    // "brown fox jumps" — one diagonal run of 2 grams = 4 tokens
-    assert(out == Map((1L, 2L) -> ((2L, 4L))))
+    // "brown fox jumps" — one diagonal run of 2 grams = 4 tokens, starting
+    // at token offset 1 of doc 1
+    assert(out == Map((1L, 2L) -> ((2L, 4L, 1L))))
   }
 
   test("sharedNgramRuns quarantines frequent grams and drops sub-threshold runs") {
@@ -231,8 +232,15 @@ class DedupSpec extends SparkSpecBase {
       (2L, "x y z tail tokens")
     ).toDF("doc_id", "text")
     val out = Dedup.sharedNgramRuns(df, $"doc_id", $"text", 3, 10, minRunGrams = 1).collect()
-    // two (gram,pos) matches for the pair, both runs of length 1
-    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((2L, 3L)))
+    // two (gram,pos) matches for the pair, both runs of length 1; the
+    // tie-broken start is the smaller offset
+    assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq == Seq((2L, 3L, 0L)))
+  }
+
+  test("sharedNgramRuns at n=1 ignores empty/whitespace-only documents") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
+    // the empty-split [""] artifact token must not pair docs 1 and 2
+    assert(Dedup.sharedNgramRuns(df, $"doc_id", $"text", n = 1, 10, 1).count() == 0)
   }
 
   test("crossNgramRuns locates the contaminating span against a probe set") {
@@ -246,15 +254,21 @@ class DedupSpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
     val out = Dedup.crossNgramRuns(
       train, $"doc_id", $"text", probe, $"doc_id", $"text", n = 3, maxDocFreq = 10, minRunGrams = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // probe 100's 5-token text = three 3-grams, all matching doc 1 on one
-    // diagonal -> one run of 3 grams = 5 shared tokens
-    assert(out == Map((1L, 100L) -> ((3L, 5L))))
-    // probe plan: the probe gram side must broadcast, never shuffle-join
-    val plan = Dedup.crossNgramRuns(
-      train, $"doc_id", $"text", probe, $"doc_id", $"text", 3, 10, 2)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // diagonal -> one run of 3 grams = 5 shared tokens, starting at token
+    // offset 3 of the training doc ("the secret benchmark ...")
+    assert(out == Map((1L, 100L) -> ((3L, 5L, 3L))))
+    // the probe-gram join must come from OUR broadcast hint, not from the
+    // auto-broadcast threshold picking up a small frame — disable auto
+    // broadcasting and the hint must still win
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.crossNgramRuns(
+        train, $"doc_id", $"text", probe, $"doc_id", $"text", 3, 10, 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("stripBoilerplate removes only over-threshold lines, preserves order, keeps all ids") {
