@@ -658,6 +658,19 @@ object Core {
         .toDF("permit_", "reported_cost")
     },
     // ---- S1b: DSv2 connector with real filter/column pushdown ------------
+    // the same connector over a GZIPPED dump: .json.gz members are
+    // unsplittable, so each is one reader (parallelism across files); the
+    // full row set must round-trip identically to the plain-text scan
+    "s1_gz_roundtrip" -> { (s, dir) =>
+      val path = Scratch.dir("permits_gz", dir)
+      permitsPayload(s, dir).write.mode("overwrite")
+        .option("compression", "gzip").json(path)
+      s.read
+        .format("graft.sources.PermitsJsonSource")
+        .option("path", path)
+        .schema(graft.sources.Sources.permitsRawSchema)
+        .load()
+    },
     "s1_dsv2_pushdown" -> { (s, dir) =>
       // own path — Verify dumps queries concurrently, so sharing
       // s1_json_roundtrip's directory would race its overwrite
@@ -805,6 +818,19 @@ object Core {
       FROM p LEFT JOIN u ON lpad(replace(coalesce(pin, ''), '-', ''), 14, '0') = u.u_pin
     )
   """
+
+  /** The permit-payload JSON round-trip expectation — shared verbatim by
+    * the plain-text and gzipped scan oracles so the two cannot drift.
+    */
+  private lazy val permitsRoundtripOracleSql: String =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
+              strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
+              '100' AS street_number, 'W' AS street_direction,
+              o_orderpriority AS street_name, concat('work ', o_orderstatus) AS work_description,
+              CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS reported_cost,
+              concat('Clerk#', CAST(o_custkey AS VARCHAR)) AS contact_1_name,
+              lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin_list
+       FROM orders"""
 
   val oracles: Map[String, String] = Map(
     "q1_lineitem_agg" ->
@@ -1103,15 +1129,9 @@ object Core {
                 lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pin10,
                 concat('ADDR ', c_name) AS prop_address_full
          FROM customer""",
-    "s1_json_roundtrip" ->
-      """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
-                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,
-                '100' AS street_number, 'W' AS street_direction,
-                o_orderpriority AS street_name, concat('work ', o_orderstatus) AS work_description,
-                CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS reported_cost,
-                concat('Clerk#', CAST(o_custkey AS VARCHAR)) AS contact_1_name,
-                lpad(CAST(o_custkey AS VARCHAR), 14, '0') AS pin_list
-         FROM orders""",
+    "s1_json_roundtrip" -> permitsRoundtripOracleSql,
+    // gz scan must produce the identical row set — one oracle, zero drift
+    "s1_gz_roundtrip" -> permitsRoundtripOracleSql,
     "s2_sql_scan" ->
       """SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 14, '0') AS pin,
                 n_name, concat('ADDR ', c_name) AS prop_address_full

@@ -37,6 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the next newline (that partial line belongs to the previous split),
   * and the last owned line may run past the range end. One large portal
   * dump therefore fans out across the cluster instead of pinning one task.
+  * Gzipped members (`.json.gz`/`.txt.gz`) are read too — undecodable
+  * mid-stream, so each is one unsplit partition (standard Hadoop
+  * text-input behavior): a gzipped dump parallelizes across files.
   *
   * Usage: `spark.read.format("graft.sources.PermitsJsonSource")
   *   .option("path", dir).schema(s).load()`.
@@ -211,13 +214,18 @@ final class PermitsJsonScan(
     val files =
       if (rootStatus.isDirectory)
         fs.listStatus(root).filter { s =>
-          s.isFile && (s.getPath.getName.endsWith(".json") || s.getPath.getName.endsWith(".txt"))
+          val n = s.getPath.getName
+          s.isFile && (n.endsWith(".json") || n.endsWith(".txt") ||
+            n.endsWith(".json.gz") || n.endsWith(".txt.gz"))
         }
       else Array(rootStatus)
     files.sortBy(_.getPath.getName).flatMap { st =>
       val len = st.getLen
       val uri = st.getPath.toString
-      if (splitBytes <= 0 || len <= splitBytes)
+      // gzip is not splittable (standard Hadoop text-input behavior): one
+      // reader per .gz member, whatever its size — a gzipped portal dump
+      // parallelizes across FILES, not byte ranges
+      if (splitBytes <= 0 || len <= splitBytes || uri.endsWith(".gz"))
         Seq(PermitsJsonInputPartition(uri, 0L, len): InputPartition)
       else
         (0L until len by splitBytes).map { s0 =>
@@ -267,13 +275,23 @@ final class PermitsJsonPartitionReader(
 ) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
+  private val gzip = file.endsWith(".gz")
+  // `end` is a COMPRESSED offset for a .gz member while `pos` counts
+  // decompressed bytes — a gz reader owns the whole member, so it reads to
+  // stream EOF instead
+  private val effEnd: Long = if (gzip) Long.MaxValue else end
   // open through the Hadoop FileSystem (any warehouse scheme); a byte-range
   // split seeks directly to start-1 instead of skipping from offset 0
   private val in: java.io.InputStream = {
     val p = new org.apache.hadoop.fs.Path(file)
     val raw = p.getFileSystem(conf.value).open(p)
-    if (start > 0) raw.seek(start - 1)
-    new java.io.BufferedInputStream(raw, 1 << 16)
+    if (gzip) {
+      require(start == 0, s"gzip member $file cannot start mid-stream at $start")
+      new java.io.BufferedInputStream(new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16)
+    } else {
+      if (start > 0) raw.seek(start - 1)
+      new java.io.BufferedInputStream(raw, 1 << 16)
+    }
   }
   // byte offset of the NEXT unread byte
   private var pos: Long = 0L
@@ -304,7 +322,7 @@ final class PermitsJsonPartitionReader(
     * split is exhausted. The line itself may extend past `end`.
     */
   private def nextLine(): String = {
-    if (pos >= end) return null
+    if (pos >= effEnd) return null
     var b = in.read()
     if (b == -1) return null
     lineBuf.reset()

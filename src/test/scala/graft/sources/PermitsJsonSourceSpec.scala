@@ -145,6 +145,28 @@ class PermitsJsonSourceSpec extends SparkSpecBase {
     assert(strings(df.filter($"issue_date" < "1996-01-01"), "permit_").sorted == Seq("P1", "P3"))
   }
 
+  test("gzipped members read identically and are never byte-range split") {
+    val dir = Files.createTempDirectory("permits_gz").toFile
+    // enough lines that the raw size clears a tiny splitBytes
+    val lines = (1 to 200).map(i =>
+      s"""{"permit_":"P$i","issue_date":"1995-06-01T00:00:00.000000","pin_list":"$i"}""")
+    val bytes = lines.mkString("\n").getBytes("UTF-8")
+    val gzOut = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "part-0.json.gz")))
+    gzOut.write(bytes); gzOut.close()
+    val df = spark.read
+      .format("graft.sources.PermitsJsonSource")
+      .option("path", dir.getAbsolutePath)
+      .option("splitBytes", "64") // would split a plain file of this size
+      .schema(Sources.permitsRawSchema)
+      .load()
+    assert(df.rdd.getNumPartitions == 1, "gz member must be one unsplit partition")
+    assert(df.count() == 200)
+    assert(df.select("permit_").as[String].collect().toSet == (1 to 200).map("P" + _).toSet)
+    // pushdown still applies through the gz reader
+    assert(df.filter($"pin_list" === "7").count() == 1)
+  }
+
   test("multi-file limit stays exact: partitions over-supply, Spark's residual limit trims") {
     val dir = writeFixture()
     // second file: the per-partition bound means the scan may emit up to
