@@ -11,6 +11,13 @@ class QueryHygieneSpec extends SparkSpecBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("every registered query has an oracle twin, and no oracle is orphaned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("stream-parity queries drop their memory-sink temp views and still return the result") {
     val before = spark.catalog.listTables().collect().map(_.name).toSet
     val out = graft.queries.Extensions.queries("stream_dedup_parity")(spark, sfDir)
