@@ -469,19 +469,7 @@ object Dedup {
     require(n >= 1, "n must be positive")
     require(maxDocFreq >= 1, "maxDocFreq must be positive")
     require(minRunGrams >= 1, "minRunGrams must be positive")
-    // the three consumers (doc-frequency count and both self-join sides)
-    // share the one fenced positional-gram frame
-    val grams = positionalGrams(df, idCol, textCol, n)
-    val rare = grams
-      .select(col("gram"), col("doc_id"))
-      .distinct()
-      .groupBy("gram")
-      .agg(count(lit(1)).as("__ndocs"))
-      .filter(col("__ndocs") <= maxDocFreq)
-      .select("gram")
-    // pin the shuffle on the join key BEFORE self-joining (ReusedExchange,
-    // same pattern as minhashLshPairs)
-    val g = grams.join(rare, "gram").repartition(col("gram"))
+    val g = rareGrams(df, idCol, textCol, n, maxDocFreq)
     val lo = g.select(col("gram"), col("doc_id").as("id_lo"), col("pos").as("pos_lo"))
     val hi = g.select(col("gram"), col("doc_id").as("id_hi"), col("pos").as("pos_hi"))
     val m = lo
@@ -515,17 +503,9 @@ object Dedup {
     require(n >= 1, "n must be positive")
     require(maxDocFreq >= 1, "maxDocFreq must be positive")
     require(minRunGrams >= 1, "minRunGrams must be positive")
-    val gt = positionalGrams(train, idCol, textCol, n)
+    val gt = rareGrams(train, idCol, textCol, n, maxDocFreq)
     val gp = positionalGrams(probe, probeIdCol, probeTextCol, n)
-    val rare = gt
-      .select(col("gram"), col("doc_id"))
-      .distinct()
-      .groupBy("gram")
-      .agg(count(lit(1)).as("__ndocs"))
-      .filter(col("__ndocs") <= maxDocFreq)
-      .select("gram")
     val m = gt
-      .join(rare, "gram")
       .join(
         broadcast(gp.select(col("gram"), col("doc_id").as("id_hi"), col("pos").as("pos_hi"))),
         "gram")
@@ -539,17 +519,52 @@ object Dedup {
         col("max_run_start"))
   }
 
+  /** Positional grams with the frequent-gram quarantine already applied,
+    * computed over ONE gram-keyed exchange: the per-gram document
+    * frequency comes from two window functions on the same partitioning
+    * the downstream joins use (a doc-change flag per sorted partition,
+    * then its full-partition sum = count of distinct docs), so the gram
+    * explode is computed once — a separate distinct→groupBy branch would
+    * re-execute the most expensive per-row work per consumer, since
+    * `PlanOps.fence` blocks expression inlining but does not materialize.
+    */
+  private def rareGrams(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      maxDocFreq: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
+    val wAll = Window.partitionBy(col("gram"))
+    positionalGrams(df, idCol, textCol, n)
+      // pin the shuffle on the join key BEFORE self-joining (ReusedExchange,
+      // same pattern as minhashLshPairs); the windows reuse this clustering
+      .repartition(col("gram"))
+      .withColumn(
+        "__new",
+        when(lag(col("doc_id"), 1).over(wOrd).isNull ||
+          lag(col("doc_id"), 1).over(wOrd) =!= col("doc_id"), 1).otherwise(0))
+      .withColumn("__ndocs", sum(col("__new")).over(wAll))
+      .filter(col("__ndocs") <= maxDocFreq)
+      .drop("__new", "__ndocs")
+  }
+
   /** Positional word n-grams: one (doc_id, pos, gram) row per gram
-    * occurrence — NOT distinct, positions are the point. Fenced so
-    * multiple consumers share one computed frame.
+    * occurrence — NOT distinct, positions are the point. Fenced to stop
+    * the optimizer inlining the gram lambda into downstream operators.
     */
   private def positionalGrams(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
-    val toks = split(trim(textCol), "\\s+")
+    // REGEX trim, not trim(): trim strips only spaces, so a tab/newline-led
+    // document would survive the emptiness guard and split to a leading ""
+    // ARTIFACT token — a bogus gram at pos 0 shifting every position after
+    // it (and falsely pairing whitespace-only docs at n=1)
+    val clean = regexp_replace(textCol, "^\\s+|\\s+$", "")
+    val toks = split(clean, "\\s+")
     graft.ops.PlanOps.fence(
       df
-        // empty/whitespace-only text splits to [""] — one ARTIFACT token
-        // that would satisfy size >= n at n=1 and emit empty grams
-        .filter(length(trim(textCol)) > 0)
+        .filter(length(clean) > 0)
         .select(idCol.as("doc_id"), toks.as("__toks"))
         .filter(size(col("__toks")) >= n)
         .select(

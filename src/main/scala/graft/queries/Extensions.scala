@@ -1222,12 +1222,12 @@ object Extensions {
     "corpus_contamination_spans" ->
       """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
          pr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-         wt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM tr),
+         wt AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM tr),
          gt AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                        concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
                 FROM wt, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)
                 WHERE len(toks) >= 3),
-         wp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM pr),
+         wp AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM pr),
          gp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                        concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
                 FROM wp, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)
@@ -1252,7 +1252,7 @@ object Extensions {
          FROM r2 GROUP BY 1, 2
          HAVING max(run_len) >= 2""",
     "dedup_ngram_runs" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
          g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                       concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
                FROM w, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) t(i)

@@ -31,4 +31,19 @@ abstract class SparkSpecBase extends AnyFunSuite {
 
   def strings(df: DataFrame, colName: String): Seq[String] =
     df.select(colName).collect().toSeq.map(r => Option(r.get(0)).map(_.toString).orNull)
+
+  /** Set SQL confs for the duration of `f`, then RESTORE the prior values
+    * (not the defaults) — the session is shared across every suite in the
+    * JVM, so a plain set/unset would erase another suite's override and
+    * make test outcomes order-dependent.
+    */
+  def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -238,9 +238,16 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("sharedNgramRuns at n=1 ignores empty/whitespace-only documents") {
-    val df = Seq((1L, ""), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
-    // the empty-split [""] artifact token must not pair docs 1 and 2
+    // tab/newline-only text defeats space-only trim(); the regex trim must
+    // catch every \s flavor, and a tab-LED doc must not grow a bogus
+    // leading token that shifts positions
+    val df = Seq((1L, ""), (2L, "   "), (3L, "\t"), (4L, "\n\n"), (5L, "solo")).toDF("doc_id", "text")
     assert(Dedup.sharedNgramRuns(df, $"doc_id", $"text", n = 1, 10, 1).count() == 0)
+    val led = Seq((1L, "\tshared token run here"), (2L, "shared token run here")).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramRuns(led, $"doc_id", $"text", n = 1, 10, 1).collect()
+    // 4 matching tokens on ONE diagonal (no artifact offset shift): run of
+    // 4 starting at pos 0
+    assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq == Seq((4L, 4L, 0L)))
   }
 
   test("crossNgramRuns locates the contaminating span against a probe set") {
@@ -262,13 +269,12 @@ class DedupSpec extends SparkSpecBase {
     // the probe-gram join must come from OUR broadcast hint, not from the
     // auto-broadcast threshold picking up a small frame — disable auto
     // broadcasting and the hint must still win
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val plan = Dedup.crossNgramRuns(
         train, $"doc_id", $"text", probe, $"doc_id", $"text", 3, 10, 2)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan)
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("stripBoilerplate removes only over-threshold lines, preserves order, keeps all ids") {

@@ -53,13 +53,4 @@ class BucketOpsSpec extends SparkSpecBase {
     }
   }
 
-  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
-    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
 }
