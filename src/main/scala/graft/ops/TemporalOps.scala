@@ -106,6 +106,28 @@ object TemporalOps {
       .withColumn("n_window", count(lit(1)).over(w))
   }
 
+  /** Cohort retention matrix — the growth-analytics staple: users bucket
+    * by their FIRST-SEEN week (Monday-truncated, the ISO semantics both
+    * Spark and DuckDB share), and each (cohort_week, week_offset) cell
+    * counts the distinct users active that many weeks after their cohort
+    * start. Scale shape mirrors the funnel: one partial-agg pins each
+    * user's cohort (|users| rows, broadcastable), a map-side probe tags
+    * every event, one partial-aggregated distinct count finishes — no
+    * window, no per-user sort.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val cohorts = events
+      .groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cw"))
+    events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__w"))
+      .join(broadcast(cohorts), Seq(userCol))
+      .groupBy(
+        date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Interval (range) join: inner-join rows of `left` and `right` on
     * `key` where `|leftTs - rightTs| <= tolSec`. The two frames must
     * have disjoint column names apart from `key`.

@@ -1011,6 +1011,11 @@ object Extensions {
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("latency_us"),
           coalesce(col("n_purchases_after"), lit(0L)).as("n_purchases_after"))
     },
+    // cohort retention: first-seen-week cohorts x week offset x distinct
+    // returning users — aggregate-then-broadcast shape, no per-user window
+    "ev_cohort_retention" -> { (s, dir) =>
+      TemporalOps.cohortRetention(Fixtures.events(s, dir), "user_id", "ts")
+    },
     // JSON column parsing: extract props.k and profile it per event type
     "ev_props_json" -> { (s, dir) =>
       Fixtures
@@ -2105,6 +2110,14 @@ object Extensions {
          SELECT g.user_id, epoch_us(g.gts) AS gts_us,
                 epoch_us(p.ts) AS last_ts_us, p.value AS last_value
          FROM grid g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.gts >= p.ts""",
+    "ev_cohort_retention" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+         e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events)
+         SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+                CAST(date_diff('day', c.cw, e.w) / 7 AS BIGINT) AS week_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2""",
     "ev_funnel" ->
       """WITH a AS (
            SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts

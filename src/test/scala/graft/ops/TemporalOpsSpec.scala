@@ -133,6 +133,32 @@ class TemporalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cohortRetention buckets by first-seen Monday week and counts distinct returners") {
+    // 2024-01-01 is a Monday. user 1 first seen week 0, returns weeks 0
+    // (twice — distinct!) and 2; user 2 first seen week 1, never returns;
+    // user 3 first seen week 0, returns week 2
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00")), // same week 0
+      (1L, java.sql.Timestamp.valueOf("2024-01-16 10:00:00")), // week 2
+      (2L, java.sql.Timestamp.valueOf("2024-01-09 10:00:00")), // cohort wk 1
+      (3L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-18 10:00:00"))  // week 2
+    ).toDF("user_id", "ts")
+    val out = TemporalOps.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1 and 3, duplicates collapsed
+      ("2024-01-01", 2L) -> 2L, // both return in week 2
+      ("2024-01-08", 0L) -> 1L  // user 2's own cohort week
+    ))
+    // no per-user window: the plan must broadcast the cohort side
+    val plan = TemporalOps.cohortRetention(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("rangeJoin emits each qualifying pair exactly once") {
     // identical timestamps land in the same bucket; the ±1 probes must not duplicate the pair
     val left = Seq((1L, 10L, ts(100))).toDF("lid", "k", "lts")
