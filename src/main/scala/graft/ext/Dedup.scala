@@ -519,14 +519,22 @@ object Dedup {
         col("max_run_start"))
   }
 
-  /** Positional grams with the frequent-gram quarantine already applied,
-    * computed over ONE gram-keyed exchange: the per-gram document
-    * frequency comes from two window functions on the same partitioning
-    * the downstream joins use (a doc-change flag per sorted partition,
-    * then its full-partition sum = count of distinct docs), so the gram
-    * explode is computed once — a separate distinct→groupBy branch would
-    * re-execute the most expensive per-row work per consumer, since
-    * `PlanOps.fence` blocks expression inlining but does not materialize.
+  /** Positional grams with the frequent-gram quarantine already applied.
+    * The explode runs ONCE: the gram-keyed repartition is pinned BEFORE
+    * the plan branches, so the frequency branch and the quarantine join
+    * both read the same reused exchange (`PlanOps.fence` blocks expression
+    * inlining but does not materialize — an unpinned branch would
+    * re-execute the explode per consumer). The frequency count itself is
+    * distinct→partial-agg: duplicate (gram, doc) pairs collapse MAP-SIDE
+    * before any shuffle, so a boilerplate gram's millions of occurrences
+    * reduce to its document count instead of concentrating in one task
+    * (a per-gram window sort cannot be skew-split), and a null doc id
+    * counts as one document, not one per occurrence. The quarantine join
+    * is hinted shuffle-hash: sort-merge would sort every gram partition
+    * of the UNFILTERED frame — frequent grams included — before the
+    * filter could drop them. The trailing repartition moves only the
+    * rare-filtered rows and roots the frame so BOTH downstream self-join
+    * sides reuse the entire chain.
     */
   private def rareGrams(
       df: DataFrame,
@@ -535,20 +543,16 @@ object Dedup {
       n: Int,
       maxDocFreq: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))
-    val wAll = Window.partitionBy(col("gram"))
-    positionalGrams(df, idCol, textCol, n)
-      // pin the shuffle on the join key BEFORE self-joining (ReusedExchange,
-      // same pattern as minhashLshPairs); the windows reuse this clustering
-      .repartition(col("gram"))
-      .withColumn(
-        "__new",
-        when(lag(col("doc_id"), 1).over(wOrd).isNull ||
-          lag(col("doc_id"), 1).over(wOrd) =!= col("doc_id"), 1).otherwise(0))
-      .withColumn("__ndocs", sum(col("__new")).over(wAll))
+    val g0 = positionalGrams(df, idCol, textCol, n).repartition(col("gram"))
+    val rare = g0
+      .select(col("gram"), col("doc_id"))
+      .distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") <= maxDocFreq)
-      .drop("__new", "__ndocs")
+      .select("gram")
+    g0.join(rare.hint("shuffle_hash"), "gram")
+      .repartition(col("gram"))
   }
 
   /** Positional word n-grams: one (doc_id, pos, gram) row per gram

@@ -237,6 +237,22 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq == Seq((2L, 3L, 0L)))
   }
 
+  test("sharedNgramRuns counts null doc ids as ONE document in the quarantine") {
+    // two null-id rows + docs 1 and 2 all share "a b c"; with maxDocFreq=3
+    // the nulls must collapse to one distinct doc (ndocs=3) so the real
+    // 1-2 pair survives — counting each null row separately would push
+    // ndocs to 4 and silently quarantine the gram
+    val df = Seq[(java.lang.Long, String)](
+      (null, "a b c x"),
+      (null, "a b c y"),
+      (1L, "a b c one"),
+      (2L, "a b c two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramRuns(df, $"doc_id", $"text", n = 3, maxDocFreq = 3, minRunGrams = 1)
+      .collect().map(r => (r.get(0), r.get(1)))
+    assert(out.contains((1L, 2L)), s"real pair lost to null-inflated quarantine: ${out.toSeq}")
+  }
+
   test("sharedNgramRuns at n=1 ignores empty/whitespace-only documents") {
     // tab/newline-only text defeats space-only trim(); the regex trim must
     // catch every \s flavor, and a tab-LED doc must not grow a bogus
