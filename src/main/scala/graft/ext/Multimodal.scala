@@ -482,6 +482,72 @@ object Multimodal {
       }
   }
 
+  /** One analysis frame of an audio asset: the classic frame descriptors
+    * in exact integer arithmetic (no float windowing), so the row is
+    * bit-reproducible in any engine.
+    */
+  final case class AudioFrameFeatures(
+      asset_id: Long,
+      frame_idx: Int,
+      n_samples: Long,
+      energy: Long,
+      zero_crossings: Long
+  )
+
+  /** Frame-level audio feature extraction over REAL WAV/PCM payloads
+    * (speech/music preprocessing shape: short-time energy + zero-crossing
+    * rate, the two standard integer-computable frame descriptors). Decodes
+    * the RIFF/WAVE container with the real JDK codec ([[AudioCodec]]),
+    * splits the signed 16-bit sample stream into fixed-length frames
+    * (last frame may be short), and per frame computes
+    * `energy = Σ s²` and the count of sign changes `s[i-1]·s[i] < 0`
+    * (frame-local; zeros never cross). All integer math — `s² ≤ 2³⁰` and
+    * the sum rides a long — so the DuckDB oracle reproduces it exactly.
+    *
+    * Scale shape: map-only like [[decodeAudio]] — no shuffle touches the
+    * payload bytes; the fan-out to frames happens after decode, inside the
+    * same `mapPartitions`, emitting only the 5-column feature rows.
+    */
+  def audioFrameFeatures(assets: DataFrame, frameLen: Int = 50): Dataset[AudioFrameFeatures] = {
+    require(frameLen > 0, "frameLen must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          require(payload != null && payload.length > 44, s"asset $id: not a WAV payload")
+          val in = AudioCodec.openWav(payload)
+          try {
+            val fmt = in.getFormat
+            require(
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1,
+              s"asset $id: expected mono PCM-16 LE, got $fmt")
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            val nFrames = (n + frameLen - 1) / frameLen
+            (0 until nFrames).map { f =>
+              val lo = f * frameLen
+              val hi = math.min(lo + frameLen, n)
+              var energy = 0L
+              var zc = 0L
+              var prev = 0
+              var i = lo
+              while (i < hi) {
+                val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+                energy += s.toLong * s
+                if (i > lo && prev * s < 0) zc += 1
+                prev = s
+                i += 1
+              }
+              AudioFrameFeatures(id, f, (hi - lo).toLong, energy, zc)
+            }
+          } finally in.close()
+        }
+      }
+  }
+
   /** Deterministic REAL video fixture: assembles actual RIFF/AVI
     * (MJPEG-in-AVI — `vids`/`MJPG` stream, `00dc` frame chunks) bytes
     * executor-side. Every frame is a genuine JDK-encoded CONSTANT-gray

@@ -92,6 +92,47 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Bloom-filter bit set (Bloom 1970) over the distinct items of
+    * `itemCol`: `k` md5-derived hash functions into `m` bit positions,
+    * emitted as the DISTINCT set of set positions — one row per set bit.
+    * Filter state is O(m) rows regardless of corpus size (the whole point
+    * at 100 TB: a membership summary that broadcasts), and the build is a
+    * single distinct-then-explode pass with map-side combine on the final
+    * distinct.
+    */
+  def bloomBits(df: DataFrame, itemCol: Column, m: Long, k: Int): DataFrame = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    df.select(itemCol.cast("string").as("item"))
+      .distinct() // vocabulary dedup before hashing: md5 runs k×|distinct|, not k×|corpus|
+      .withColumn("j", explode(array((0 until k).map(lit): _*)))
+      .select(
+        graft.ops.Hashing
+          .md5Mod(concat(col("j").cast("string"), lit("#"), col("item")), m)
+          .as("pos"))
+      .distinct()
+  }
+
+  /** Membership probe against [[bloomBits]] output: an item is `maybe`
+    * present iff ALL k of its positions are set (one-sided error — no
+    * false negatives, false positives only, from hash collisions). The
+    * bit set (≤ m rows) is broadcast, so the probe is a map-side join:
+    * no shuffle of the probe stream. Returns one row per distinct probe
+    * item: (item, maybe).
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, probeCol: Column, m: Long, k: Int): DataFrame = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    probes
+      .select(probeCol.cast("string").as("item"))
+      .distinct()
+      .withColumn("j", explode(array((0 until k).map(lit): _*)))
+      .withColumn(
+        "pos",
+        graft.ops.Hashing.md5Mod(concat(col("j").cast("string"), lit("#"), col("item")), m))
+      .join(broadcast(bits.withColumn("set_bit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("item"))
+      .agg((count(col("set_bit")) === k).as("maybe"))
+  }
+
   /** One-row KMV distinct estimate over `itemCol` of `df`:
     * (k, k_actual, kth_min, est_distinct).
     *

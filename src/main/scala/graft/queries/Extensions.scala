@@ -353,6 +353,17 @@ object Extensions {
         .decodeAudio(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // REAL audio analysis end-to-end: decode the WAV payload, then frame
+    // the 16-bit sample stream (50 samples/frame) into short-time energy +
+    // zero-crossing counts — all integer math, so the oracle recomputes
+    // every frame descriptor arithmetically from the synth formula
+    "mm_audio_features" -> { (s, dir) =>
+      Multimodal
+        .audioFrameFeatures(
+          Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"),
+          frameLen = 50)
+        .toDF()
+    },
     // REAL resize end-to-end: synth → decode → integer-exact NN resample →
     // re-encode → decode again; the oracle recomputes the resampled pixel
     // sum arithmetically (all integer division, no float scale), so a
@@ -1061,6 +1072,26 @@ object Extensions {
       est
         .join(exact, Seq("item"), "left")
         .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+    },
+    // Bloom-filter membership (one-sided error): build the bit set over
+    // custkeys that have orders, probe every customer, and ride the exact
+    // membership along as the audit column — rows where maybe=true but
+    // actual=false ARE the sketch's false positives, visible in the output
+    "sketch_bloom_probe" -> { (s, dir) =>
+      val bits = Sketches.bloomBits(
+        t(s, dir, "orders"), col("o_custkey"), m = 65536L, k = 3)
+      val probed = Sketches.bloomProbe(
+        bits, t(s, dir, "customer"), col("c_custkey"), m = 65536L, k = 3)
+      val actual = t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("item"))
+        .distinct()
+        .withColumn("actual", lit(true))
+      probed
+        .join(actual, Seq("item"), "left")
+        .select(
+          col("item").as("custkey"),
+          col("maybe"),
+          coalesce(col("actual"), lit(false)).as("actual"))
     }
   )
 
@@ -1716,6 +1747,27 @@ object Extensions {
          CROSS JOIN generate_series(0, 298) AS i(g)
          WHERE i.g < a.n
          GROUP BY 1, 2, 3, 4, 5, 6""",
+    "mm_audio_features" ->
+      """WITH a AS (
+           SELECT doc_id AS id, CAST(100 + doc_id % 200 AS BIGINT) AS n
+           FROM documents),
+         s AS (
+           SELECT a.id, i.g AS i,
+                  (a.id * 31 + 7 * i.g) % 2003 - 1001 AS v,
+                  i.g // 50 AS f
+           FROM a CROSS JOIN generate_series(0, 298) AS i(g)
+           WHERE i.g < a.n),
+         w AS (
+           SELECT id, i, v, f,
+                  lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+           FROM s)
+         SELECT id AS asset_id,
+                CAST(f AS INTEGER) AS frame_idx,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(v * v) AS BIGINT) AS energy,
+                CAST(sum(CASE WHEN i % 50 > 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zero_crossings
+         FROM w GROUP BY 1, 2""",
     "mm_resize_real" ->
       """WITH dims AS (
            SELECT doc_id,
@@ -2179,6 +2231,25 @@ object Extensions {
          ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM tok2 GROUP BY 1)
          SELECT e.item AS token, e.est, coalesce(x.exact, 0) AS exact
          FROM est e LEFT JOIN ex x USING (item)""",
+    "sketch_bloom_probe" ->
+      """WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item FROM orders),
+         bits AS (
+           SELECT DISTINCT
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '#', item)), 1, 8)) AS BIGINT)
+               % 65536 AS bpos
+           FROM bk, range(0, 3) t(j)),
+         pr AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS item FROM customer),
+         pp AS (
+           SELECT item, j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '#', item)), 1, 8)) AS BIGINT)
+               % 65536 AS pos
+           FROM pr, range(0, 3) t(j)),
+         mb AS (
+           SELECT pp.item, count(b.bpos) = 3 AS maybe
+           FROM pp LEFT JOIN bits b ON pp.pos = b.bpos
+           GROUP BY pp.item)
+         SELECT m.item AS custkey, m.maybe, (bk.item IS NOT NULL) AS actual
+         FROM mb m LEFT JOIN bk ON m.item = bk.item""",
     "text_bm25_topk" -> {
       val terms = Seq("spark", "query", "window")
       val k1 = 1.2

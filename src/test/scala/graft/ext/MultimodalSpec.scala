@@ -228,6 +228,40 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("audioFrameFeatures: frame energy and zero-crossings match the synth formula exactly") {
+    val ids = Seq(0L, 1L, 7L, 100L, 399L)
+    val assets = Multimodal.synthWavAudio(ids.toDF("doc_id"), "doc_id")
+    val out = Multimodal
+      .audioFrameFeatures(assets, frameLen = 50)
+      .collect()
+      .map(f => (f.asset_id, f.frame_idx) -> f)
+      .toMap
+    ids.foreach { id =>
+      val n = (100 + id % 200).toInt
+      val samples = (0 until n).map(i => ((id * 31 + 7L * i) % 2003 - 1001).toInt)
+      val nFrames = (n + 49) / 50
+      assert(out.keys.count(_._1 == id) == nFrames, s"id $id frame count")
+      (0 until nFrames).foreach { f =>
+        val frame = samples.slice(f * 50, math.min(f * 50 + 50, n))
+        val energy = frame.map(s => s.toLong * s).sum
+        val zc = frame.sliding(2).count { case Seq(a, b) => a * b < 0; case _ => false }
+        val got = out((id, f))
+        assert(got.n_samples == frame.length.toLong, s"id $id frame $f n")
+        assert(got.energy == energy, s"id $id frame $f energy ${got.energy} != $energy")
+        assert(got.zero_crossings == zc.toLong, s"id $id frame $f zc ${got.zero_crossings} != $zc")
+      }
+    }
+    // partial last frame: n=100+199%200=299 → 6 frames, last holds 49 samples
+    assert(out((399L, 5)).n_samples == 49L)
+  }
+
+  test("audioFrameFeatures plan has no exchange before the decode") {
+    val assets = Multimodal.synthWavAudio(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val plan =
+      Multimodal.audioFrameFeatures(assets, 50).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in audio-feature plan:\n$plan")
+  }
+
   test("decodeImages and decodeFrames plans have no exchange before the decode") {
     val assets = Multimodal.synthImages(Seq(1L, 2L).toDF("doc_id"), "doc_id")
     val plan = Multimodal.decodeImages(assets).queryExecution.executedPlan.toString

@@ -110,6 +110,51 @@ class SketchesSpec extends SparkSpecBase {
     assert(math.abs(est - exact).toDouble / exact < 0.1, s"kmv $est vs exact $exact")
   }
 
+  test("bloom filter: no false negatives, and any errors are false positives only") {
+    val build = spark.range(0, 500).select(concat(lit("k"), $"id").as("key"))
+    val bits = Sketches.bloomBits(build, $"key", m = 8192L, k = 3)
+    // probe half members, half non-members
+    val probes = spark
+      .range(250, 750)
+      .select(concat(lit("k"), $"id").as("key"), ($"id" < 500).as("is_member"))
+    val got = Sketches
+      .bloomProbe(bits, probes, $"key", m = 8192L, k = 3)
+      .join(probes.select($"key".as("item"), $"is_member"), Seq("item"))
+      .collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      if (r.getAs[Boolean]("is_member"))
+        assert(r.getAs[Boolean]("maybe"), s"false negative on ${r.getAs[String]("item")}")
+    }
+    // at 500·3 bits in 8192 (fill ≈ 0.17) the fp rate is ~0.4% — the
+    // non-member half must not be all-maybe (that would mean a saturated
+    // or broken filter)
+    val fp = got.count(r => !r.getAs[Boolean]("is_member") && r.getAs[Boolean]("maybe"))
+    assert(fp < 25, s"implausible false-positive count $fp / 250")
+  }
+
+  test("bloom filter state is bounded by m and duplicates never change it") {
+    val once = spark.range(0, 200).select(concat(lit("v"), $"id").as("key"))
+    val thrice = once.union(once).union(once)
+    val a = Sketches.bloomBits(once, $"key", m = 1024L, k = 3).collect().map(_.getLong(0)).sorted
+    val b = Sketches.bloomBits(thrice, $"key", m = 1024L, k = 3).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "duplicate rows changed the bit set")
+    assert(a.length <= 600, s"more set bits (${a.length}) than k·distinct")
+    assert(a.forall(p => p >= 0 && p < 1024), "position out of [0, m)")
+  }
+
+  test("bloomProbe broadcasts the bit set (no shuffle of the probe stream)") {
+    val build = spark.range(0, 100).select(concat(lit("k"), $"id").as("key"))
+    val bits = Sketches.bloomBits(build, $"key", m = 2048L, k = 3)
+    val probes = spark.range(0, 100).select(concat(lit("k"), $"id").as("key"))
+    val plan = Sketches
+      .bloomProbe(bits, probes, $"key", m = 2048L, k = 3)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
+  }
+
   test("duplicates never change the sketch") {
     val base = spark.range(0, 500).select(concat(lit("w"), $"id").as("t"))
     val dup = base.union(base).union(base)
