@@ -145,6 +145,40 @@ object Curation {
       )
   }
 
+  /** Deterministic train/validation/test split assignment: each row gets
+    * the split whose permille range contains `md5(key) mod 1000`. The
+    * split column is a pure map-side expression — no shuffle, no state,
+    * linear at any corpus size — and hash-gated rather than `rand()`-gated
+    * for the same three reasons as [[stratifiedSample]] (retry-stable,
+    * engine-reproducible, corpus-order-independent).
+    *
+    * The leakage guard is the KEY CHOICE, not extra machinery: pass a
+    * per-row id and you get an iid split; pass a GROUP key (domain, near-dup
+    * cluster representative, author) and every member of the group lands in
+    * the same split — the standard defense against eval contamination by
+    * near-duplicates straddling train/test (see `corpus_split_leakage_safe`,
+    * which keys by the connected-components cluster id).
+    *
+    * @param keyCol stable split key (hash input; group key ⇒ group-atomic split)
+    * @param splits (name, permille) in priority order; permilles must be
+    *               positive and sum to exactly 1000, so every row is
+    *               assigned and the gate stays integer-exact
+    */
+  def hashSplit(df: DataFrame, keyCol: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), "split permilles must be positive")
+    require(splits.map(_._2).sum == 1000, "split permilles must sum to 1000")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    val g = graft.ops.Hashing.md5Mod(keyCol.cast("string"), 1000L)
+    // cumulative upper bounds; the last bucket is the otherwise-arm so the
+    // assignment is total by construction
+    val upper = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.init.zip(upper.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(g < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Group-level quality gate: keep every document whose GROUP's mean of
     * `valueCol` clears `minMean` — the "drop low-quality domains
     * wholesale" curation step (a per-document filter can't express it: the

@@ -133,6 +133,43 @@ object Sketches {
       .agg((count(col("set_bit")) === k).as("maybe"))
   }
 
+  /** HyperLogLog register table (Flajolet et al. 2007) over the distinct
+    * items of `itemCol`: 2^p registers, each holding the max over its items
+    * of `rho` = 1 + number of leading zero bits in the low `32-p` hash bits.
+    *
+    * The ESTIMATE side of HLL (harmonic mean, bias constants, range
+    * corrections) is float-laden and never engine-reproducible — that is
+    * why [[kmvDistinct]] is this engine's primary distinct sketch. The
+    * REGISTER table, though, is pure integer arithmetic on the shared
+    * md5-derived hash, so it IS oracle-exact — and the registers are the
+    * part that matters at 100 TB: state is ≤ 2^p integer rows, built by a
+    * partial-agg-friendly `groupBy(register).max(rho)`, and two sketches
+    * of disjoint scans merge by element-wise max (tested), which is what a
+    * 1000-executor rollup actually ships between stages. Estimation from
+    * the registers is a driver-side afterthought (see the spec).
+    *
+    * `rho` avoids float log2 entirely: bit length is a sum of integer
+    * threshold comparisons `rest >= 2^k` — exact in any engine.
+    */
+  def hllRegisters(df: DataFrame, itemCol: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4,16]")
+    val restBits = 32 - p
+    // bitlen(rest) = Σ_k [rest >= 2^k]; rho = restBits - bitlen + 1
+    val bitlen = (0 until restBits)
+      .map(k => (col("rest") >= lit(1L << k)).cast("int"))
+      .reduce(_ + _)
+    df.select(itemCol.cast("string").as("item"))
+      .distinct() // hash the vocabulary, not the corpus
+      .select(hash32(col("item")).as("h"))
+      .select(
+        shiftright(col("h"), restBits).as("register"), // top p bits
+        col("h").bitwiseAND(lit((1L << restBits) - 1)).as("rest") // low 32-p bits
+      )
+      .withColumn("rho", (lit(restBits) - bitlen + 1).cast("int"))
+      .groupBy(col("register"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
   /** One-row KMV distinct estimate over `itemCol` of `df`:
     * (k, k_actual, kth_min, est_distinct).
     *

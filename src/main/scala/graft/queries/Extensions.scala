@@ -179,6 +179,30 @@ object Extensions {
         .filter(col("lang") === "en" && col("score") >= 0.5 &&
           col("n_tokens").between(5, 1000))
     },
+    // deterministic 80/10/10 train/val/test assignment — a pure map-side
+    // hash gate (retry-stable, engine-reproducible; see Curation.hashSplit)
+    "corpus_split_assign" -> { (s, dir) =>
+      Curation.hashSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    },
+    // leakage-safe split: the hash key is the near-dup CLUSTER id (LSH
+    // candidates -> connected components), so every member of a near-dup
+    // cluster lands in the same split — eval contamination by duplicates
+    // straddling train/test is impossible by construction
+    "corpus_split_leakage_safe" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cands = Dedup.minhashLshPairs(
+        tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val keyed = docs
+        .join(Dedup.connectedComponents(cands), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+        .drop("canonical_id")
+      Curation
+        .hashSplit(keyed, col("cluster_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -1073,6 +1097,12 @@ object Extensions {
         .join(exact, Seq("item"), "left")
         .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
     },
+    // HyperLogLog register table: the integer-exact, mergeable-by-max half
+    // of HLL (the float estimate stays driver-side; see Sketches scaladoc).
+    // 2^8 = 256 registers over ~10k distinct custkeys
+    "sketch_hll_registers" -> { (s, dir) =>
+      Sketches.hllRegisters(t(s, dir, "orders"), col("o_custkey"), p = 8)
+    },
     // Bloom-filter membership (one-sided error): build the bit set over
     // custkeys that have orders, probe every customer, and ride the exact
     // membership along as the audit column — rows where maybe=true but
@@ -1411,6 +1441,25 @@ object Extensions {
           SELECT doc_id, lang FROM lng
           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
                 < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END""",
+    "corpus_split_assign" ->
+      """SELECT doc_id,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+           FROM documents) t""",
+    "corpus_split_leakage_safe" ->
+      (clusterChainSql + """
+        , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+        , lab AS (
+          SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, cluster_id,
+          CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, cluster_id,
+            CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+          FROM lab) t"""),
     "text_vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t
@@ -2231,6 +2280,17 @@ object Extensions {
          ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM tok2 GROUP BY 1)
          SELECT e.item AS token, e.est, coalesce(x.exact, 0) AS exact
          FROM est e LEFT JOIN ex x USING (item)""",
+    "sketch_hll_registers" -> {
+      // restBits = 32 - p = 24; bit length as a sum of integer threshold
+      // compares, mirroring the Spark side exactly (no float log2 anywhere)
+      val bitlen = (0 until 24).map(k => s"CAST(rest >= ${1L << k} AS INTEGER)").mkString(" + ")
+      s"""WITH it AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item FROM orders),
+         h AS (
+           SELECT CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS h FROM it),
+         r AS (SELECT h >> 24 AS register, h & ${(1L << 24) - 1} AS rest FROM h)
+         SELECT register, max(CAST(24 - ($bitlen) + 1 AS INTEGER)) AS max_rho
+         FROM r GROUP BY register"""
+    },
     "sketch_bloom_probe" ->
       """WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item FROM orders),
          bits AS (

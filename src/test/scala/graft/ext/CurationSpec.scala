@@ -189,6 +189,53 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("hashSplit assigns every row, near the declared proportions, deterministically") {
+    val df = spark.range(0, 10000).select($"id".as("doc_id"))
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val out = Curation.hashSplit(df, $"doc_id", splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total assignment: permilles sum to 1000, so nothing falls through
+    assert(counts.values.sum == 10000L)
+    // uniform md5 gate: 10k keys at 80/10/10 — generous 4σ-ish bands
+    assert(counts("train") > 7600 && counts("train") < 8400, s"train ${counts("train")}")
+    assert(counts("val") > 750 && counts("val") < 1250, s"val ${counts("val")}")
+    assert(counts("test") > 750 && counts("test") < 1250, s"test ${counts("test")}")
+    // deterministic: identical assignment on a second run
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.hashSplit(df, $"doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("hashSplit on a group key is group-atomic (the leakage guard)") {
+    // 300 docs in 100 groups of 3 — every member must land in its group's split
+    val df = spark.range(0, 300)
+      .select($"id".as("doc_id"), ($"id" % 100).as("cluster_id"))
+    val out = Curation
+      .hashSplit(df, $"cluster_id", Seq("train" -> 900, "test" -> 100))
+      .groupBy("cluster_id").agg(countDistinct($"split").as("n")).collect()
+    assert(out.length == 100)
+    out.foreach(r => assert(r.getLong(1) == 1L, s"cluster ${r.get(0)} straddles splits"))
+  }
+
+  test("hashSplit is a pure map-side expression (no exchange) and validates its weights") {
+    val df = spark.range(0, 10).select($"id".as("doc_id"))
+    val plan = Curation.hashSplit(df, $"doc_id", Seq("a" -> 500, "b" -> 500))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in split plan:\n$plan")
+    intercept[IllegalArgumentException] { Curation.hashSplit(df, $"doc_id", Nil) }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, $"doc_id", Seq("a" -> 600, "b" -> 500))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, $"doc_id", Seq("a" -> 500, "a" -> 500))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, $"doc_id", Seq("a" -> 1000, "b" -> 0))
+    }
+  }
+
   test("working-column collisions are rejected up front, never silently dropped") {
     // a caller column named like an internal staging column would be
     // replaced and then dropped — the operators must refuse instead

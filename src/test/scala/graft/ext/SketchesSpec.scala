@@ -155,6 +155,40 @@ class SketchesSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
   }
 
+  test("hll registers: bounded state, valid rho range, estimate within tolerance") {
+    val p = 8
+    val m = 1 << p
+    val n = 20000
+    val df = spark.range(0, n).select(concat(lit("item"), $"id").as("key"))
+    val regs = Sketches.hllRegisters(df, $"key", p).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(regs.size <= m, s"more registers (${regs.size}) than 2^p")
+    assert(regs.keys.forall(r => r >= 0 && r < m), "register index out of range")
+    // rho ∈ [1, restBits+1]
+    assert(regs.values.forall(v => v >= 1 && v <= 25), "rho out of [1, 25]")
+    // the float half stays driver-side: standard HLL estimate from the
+    // register table (no small/large-range correction needed at n=20k, m=256)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zeros = m - regs.size
+    val invSum = (0 until m).map(r => math.pow(2.0, -regs.getOrElse(r.toLong, 0).toDouble)).sum
+    val est = alpha * m * m / invSum
+    assert(zeros == 0, s"at 20k distinct into 256 registers no register stays empty, got $zeros")
+    // σ ≈ 1.04/√256 = 6.5%; 3σ ≈ 20%
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est vs exact $n")
+  }
+
+  test("hll registers merge by element-wise max (distributed rollup shape)") {
+    val a = spark.range(0, 5000).select(concat(lit("x"), $"id").as("key"))
+    val b = spark.range(3000, 9000).select(concat(lit("x"), $"id").as("key"))
+    val merged = Sketches.hllRegisters(a, $"key", 8)
+      .unionByName(Sketches.hllRegisters(b, $"key", 8))
+      .groupBy($"register").agg(max($"max_rho").as("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketches.hllRegisters(a.unionByName(b), $"key", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == whole, "max-merge of part sketches != sketch of the union")
+  }
+
   test("duplicates never change the sketch") {
     val base = spark.range(0, 500).select(concat(lit("w"), $"id").as("t"))
     val dup = base.union(base).union(base)
