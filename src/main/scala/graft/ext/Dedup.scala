@@ -210,6 +210,48 @@ object Dedup {
       .distinct() // a pair collides in several bands; report it once
   }
 
+  /** Incremental-ingestion LSH probe: candidate near-duplicates of an
+    * INCOMING batch against an EXISTING corpus — the production shape for
+    * continuous ingestion, where re-running the full self-join per batch
+    * would redo O(corpus) signature work for every arrival.
+    *
+    * Same signature/banding scheme as [[minhashLshPairs]], but the pair
+    * stage is a two-sided equi-join on (band, band-hash): incoming rows
+    * probe the corpus's bucket keys, so join output is only the
+    * cross-side collisions (never corpus×corpus). The corpus-side
+    * (band, bh, id) frame is precisely the index a production pipeline
+    * persists bucketed by (band, bh) — then each batch pays its own
+    * signatures plus one co-partitioned join, nothing corpus-sized.
+    *
+    * `maxBucket` caps the CORPUS index side (a boilerplate bucket there
+    * multiplies every future batch's fan-out; the batch side is assumed
+    * ingestion-sized). Quarantine inspection is [[oversizedBuckets]] on
+    * the corpus, same parameters.
+    *
+    * @return (new_id, corpus_id) candidate pairs
+    */
+  def minhashLshProbePairs(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val corpusIdx = capBuckets(
+      bandedIds(corpus, idCol, textCol, n, k, bands).repartition(col("band"), col("bh")),
+      Seq("band", "bh"),
+      maxBucket
+    ).select(col("band"), col("bh"), col("id").as("corpus_id"))
+    bandedIds(incoming, idCol, textCol, n, k, bands)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(corpusIdx, Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct() // a pair collides in several bands; report it once
+  }
+
   /** One (id, band, bh) row per document per band — the LSH bucket keys the
     * pair self-join runs on.
     */

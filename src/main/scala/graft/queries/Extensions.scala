@@ -124,6 +124,25 @@ object Extensions {
         .filter(col("jac_raw") >= 0.7)
         .select(col("id_lo"), col("id_hi"), round(col("jac_raw"), 6).as("jac"))
     },
+    // incremental ingestion dedup: every 5th doc arrives as the "new batch",
+    // the rest are the existing corpus index; probe-join (never corpus×corpus)
+    // then exact-Jaccard verify — which incoming docs duplicate the corpus
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val cands = Dedup.minhashLshProbePairs(
+        corpus, incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+    },
     // cluster resolution: LSH candidates -> connected components -> one
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
@@ -1149,7 +1168,7 @@ object Extensions {
     * parity, verified survivors, cluster chain) so a change to the
     * signature scheme cannot desynchronize them.
     */
-  private lazy val sigBandedCandsCte: String = """
+  private lazy val sigBandedCte: String = """
         , sig AS (
           SELECT doc_id, [
             list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
@@ -1164,7 +1183,10 @@ object Extensions {
         ), banded AS (
           SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
           FROM sig, range(0, 4) t(b)
-        ), cands AS (
+        )"""
+
+  private lazy val sigBandedCandsCte: String = sigBandedCte + """
+        , cands AS (
           SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         )"""
@@ -1414,6 +1436,21 @@ object Extensions {
         FROM cands
         JOIN g ga ON ga.doc_id = id_lo
         JOIN g gb ON gb.doc_id = id_hi
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    "dedup_incremental" ->
+      (gramsCte + sigBandedCte + """
+        , cands AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        )
+        SELECT new_id, corpus_id,
+          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
+        FROM cands
+        JOIN g ga ON ga.doc_id = new_id
+        JOIN g gb ON gb.doc_id = corpus_id
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
     "dedup_clusters" ->

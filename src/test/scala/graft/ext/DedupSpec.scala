@@ -39,6 +39,40 @@ class DedupSpec extends SparkSpecBase {
     assert(overlap12 > 0, "near-dups share some minima")
   }
 
+  test("minhashLshProbePairs equals the cross-side restriction of the self-join pairs") {
+    // same scheme, two derivations: probing incoming against corpus must
+    // yield exactly the self-join's pairs that straddle the two sides
+    val corpus = docs.filter($"doc_id" =!= 4L)
+    val incoming = docs.filter($"doc_id" === 4L)
+    val probe = Dedup
+      .minhashLshProbePairs(corpus, incoming, $"doc_id", $"text", n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = Dedup.minhashLshPairs(docs, $"doc_id", $"text", n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a == 4L) != (b == 4L) }
+      .map { case (a, b) => if (a == 4L) (a, b) else (b, a) }
+      .toSet
+    assert(probe == self, s"probe $probe != cross-side self-join $self")
+    assert(probe.contains((4L, 1L)), "exact dup of corpus doc 1 must be found")
+  }
+
+  test("minhashLshProbePairs caps the corpus index side, not the incoming batch") {
+    // 30 identical corpus docs form one boilerplate bucket per band;
+    // cap 10 quarantines them, so the incoming exact dup finds nothing
+    val boiler = (1L to 30L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLshProbePairs(
+      boiler, incoming, $"doc_id", $"text", n = 3, k = 8, bands = 4, maxBucket = 10)
+    assert(capped.count() == 0, "capped corpus bucket must not produce pairs")
+    val uncapped = Dedup.minhashLshProbePairs(
+      boiler, incoming, $"doc_id", $"text", n = 3, k = 8, bands = 4)
+    assert(uncapped.count() == 30, "uncapped probe pairs the dup with every corpus copy")
+  }
+
   test("simhash32: equal text equal fingerprint; near-dups within small hamming distance") {
     val fps = docs.select($"doc_id", Dedup.simhash32($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
