@@ -731,6 +731,53 @@ object Dedup {
       .select(col("id_lo"), col("id_hi"), lo("band").as("band"))
   }
 
+  /** Streaming form of [[minhashLshProbePairs]]: a STREAM-STATIC inner
+    * equi-join of the incoming document stream's band hashes against the
+    * static corpus index — the continuous-ingestion dedup shape. The join
+    * is STATELESS (no watermark, no state store, append mode): every
+    * arriving micro-batch probes the index and emits its matches
+    * immediately, which is exactly the semantics of running the batch
+    * probe per arrival. A pair surfaces once per colliding band;
+    * distinct-on-drain (or downstream state) reduces to the batch answer.
+    *
+    * The static side is the same capped (band, bh, corpus_id) index the
+    * batch probe builds — at scale it is persisted once and only the
+    * stream side pays per-batch signature work. No optimizer fence on the
+    * stream side (illegal there — see [[graft.ops.PlanOps.fence]]): the
+    * per-band signature re-evaluation is the documented cost the batch
+    * path's fence avoids.
+    */
+  def streamingIncrementalCandidates(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val corpusIdx = capBuckets(
+      bandedIds(corpus, idCol, textCol, n, k, bands).repartition(col("band"), col("bh")),
+      Seq("band", "bh"),
+      maxBucket
+    ).select(col("band"), col("bh"), col("id").as("corpus_id"))
+    minhashSignatures(incoming, idCol, textCol, n, k)
+      .select(
+        col("id").as("new_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "|"))
+          )
+        ).as(Seq("band", "bh"))
+      )
+      .join(corpusIdx, Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the vectors (see
     * [[Similarity.srpBucket]]), generate candidate pairs within each bucket
     * by self-join, keep pairs with cosine ≥ `threshold`. Pairs are rows —

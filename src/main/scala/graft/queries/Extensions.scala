@@ -747,6 +747,47 @@ object Extensions {
         .filter(col("__rk") === 1)
         .select(col("doc_id"), col("cluster_id"), col("n_chars"))
     },
+    // tenth stream/batch parity surface: INCREMENTAL ingestion dedup as a
+    // STATELESS stream-static join — the incoming batch arrives as a
+    // stream, probes the static corpus (band, bh) index, and the verified
+    // output must hash-match the batch dedup_incremental oracle. No
+    // watermark, no state store: the join is stateless by construction
+    "stream_incremental_parity" -> { (s0, dir) =>
+      // micro-batch work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+      val incoming: Array[(Long, String)] = docsDf
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .collect()
+      val mem = MemoryStream[(Long, String)]
+      val cands = Dedup.streamingIncrementalCandidates(
+        corpus, mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docsDf, col("doc_id"), col("text"), 3)
+      val verified = cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+      val sink = s"stream_incremental_parity_${System.nanoTime()}"
+      val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(incoming.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // a pair surfaces once per colliding band; distinct on drain is the
+      // parity shape (same as stream_lsh_parity)
+      drainSink(s, sink)(_.distinct())
+    },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
         .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
@@ -1191,6 +1232,27 @@ object Extensions {
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         )"""
 
+  /** Incremental-ingestion probe + exact-Jaccard verify: every 5th doc is
+    * the incoming batch, the rest the corpus index. Shared verbatim by the
+    * batch probe (`dedup_incremental`) and the stream-static parity twin
+    * (`stream_incremental_parity`) — the parity claim IS one oracle.
+    */
+  private lazy val incrementalProbeSql: String =
+    gramsCte + sigBandedCte + """
+        , cands AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        )
+        SELECT new_id, corpus_id,
+          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
+        FROM cands
+        JOIN g ga ON ga.doc_id = new_id
+        JOIN g gb ON gb.doc_id = corpus_id
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""
+
   /** The batch LSH candidate-pair derivation — shared verbatim by the
     * batch query's oracle and the streaming-parity oracle (the parity claim
     * IS that the two candidate sets are identical).
@@ -1438,21 +1500,9 @@ object Extensions {
         JOIN g gb ON gb.doc_id = id_hi
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
-    "dedup_incremental" ->
-      (gramsCte + sigBandedCte + """
-        , cands AS (
-          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
-          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        )
-        SELECT new_id, corpus_id,
-          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
-        FROM cands
-        JOIN g ga ON ga.doc_id = new_id
-        JOIN g gb ON gb.doc_id = corpus_id
-        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    "dedup_incremental" -> incrementalProbeSql,
+    // the streaming stream-static probe must reduce to the batch answer
+    "stream_incremental_parity" -> incrementalProbeSql,
     "dedup_clusters" ->
       (clusterChainSql + """
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),

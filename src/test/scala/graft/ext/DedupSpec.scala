@@ -185,6 +185,31 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)), s"exact dup within horizon must pair, unrelated must not: $pairs")
   }
 
+  test("streamingIncrementalCandidates: stream-static probe matches the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = docs.filter($"doc_id" =!= 4L)
+    val mem = MemoryStream[(Long, String)]
+    val cands = Dedup.streamingIncrementalCandidates(
+      corpus, mem.toDF().toDF("doc_id", "text"), $"doc_id", $"text", n = 3, k = 8, bands = 4)
+    mem.addData((4L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val q = cands.writeStream
+      .format("memory").queryName("inc_probe_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("inc_probe_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    val batch = Dedup
+      .minhashLshProbePairs(corpus, docs.filter($"doc_id" === 4L), $"doc_id", $"text",
+        n = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.contains((4L, 1L)), "the exact corpus dup must be found")
+    spark.catalog.dropTempView("inc_probe_test")
+  }
+
   test("connectedComponents: chains resolve to the min id across >1 hop") {
     // 5-4, 4-3, 3-2, 2-1 is a diameter-4 chain: min-label propagation needs
     // several rounds, not just one neighbor lookup
