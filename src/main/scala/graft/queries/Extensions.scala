@@ -198,6 +198,25 @@ object Extensions {
         .filter(col("lang") === "en" && col("score") >= 0.5 &&
           col("n_tokens").between(5, 1000))
     },
+    // CDC/MERGE apply: a deterministic changelog (updates for every 7th
+    // order at seq 1, deletes for every 11th at seq 2) applied to the
+    // orders snapshot — highest seq wins per key, deletes remove, one
+    // shuffle total (see ChangeOps.applyChangelog)
+    "scd_changelog_apply" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val upserts = base
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+        .withColumn("seq", lit(1L))
+      val deletes = base
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D"))
+        .withColumn("seq", lit(2L))
+      graft.ops.ChangeOps.applyChangelog(
+        base, upserts.unionByName(deletes), Seq("o_orderkey"), "op", "seq")
+    },
     // deterministic 80/10/10 train/val/test assignment — a pure map-side
     // hash gate (retry-stable, engine-reproducible; see Curation.hashSplit)
     "corpus_split_assign" -> { (s, dir) =>
@@ -1528,6 +1547,13 @@ object Extensions {
           SELECT doc_id, lang FROM lng
           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
                 < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END""",
+    "scd_changelog_apply" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END
+             AS o_totalprice,
+           o_orderstatus
+         FROM orders
+         WHERE o_orderkey % 11 <> 0""",
     "corpus_split_assign" ->
       """SELECT doc_id,
            CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** CDC/MERGE apply (extension; see ChangeOps.applyChangelog). */
+class ChangeOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10.0),
+    (2L, "b", 20.0),
+    (3L, "c", 30.0)
+  ).toDF("id", "name", "amt")
+
+  test("upsert replaces, delete removes, insert appears, untouched rows survive") {
+    val changes = Seq(
+      (2L, "b2", 22.0, "U", 1L), // update key 2
+      (3L, "c", 30.0, "D", 1L),  // delete key 3
+      (9L, "new", 90.0, "U", 1L) // insert key 9
+    ).toDF("id", "name", "amt", "op", "seq")
+    val out = ChangeOps.applyChangelog(base, changes, Seq("id"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      1L -> (("a", 10.0)),   // untouched
+      2L -> (("b2", 22.0)),  // updated
+      9L -> (("new", 90.0))  // inserted
+    ))
+  }
+
+  test("highest seq wins per key; a seq tie resolves U over D") {
+    val changes = Seq(
+      (1L, "v1", 1.0, "U", 1L),
+      (1L, "v2", 2.0, "U", 5L), // latest update wins
+      (1L, "v3", 3.0, "U", 3L),
+      (2L, "x", 0.0, "D", 4L),
+      (2L, "x2", 9.0, "U", 4L) // tie at seq 4: U beats D
+    ).toDF("id", "name", "amt", "op", "seq")
+    val out = ChangeOps.applyChangelog(base, changes, Seq("id"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out(1L) == (("v2", 2.0)))
+    assert(out(2L) == (("x2", 9.0)))
+    assert(out(3L) == (("c", 30.0)))
+  }
+
+  test("a delete then a later re-insert of the same key leaves the new row") {
+    val changes = Seq(
+      (2L, "gone", 0.0, "D", 1L),
+      (2L, "back", 5.0, "U", 2L)
+    ).toDF("id", "name", "amt", "op", "seq")
+    val out = ChangeOps.applyChangelog(base, changes, Seq("id"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L) == "back")
+  }
+
+  test("exactly one exchange: union is free, only the key window shuffles") {
+    val changes = Seq((1L, "z", 0.0, "U", 1L)).toDF("id", "name", "amt", "op", "seq")
+    val plan = ChangeOps.applyChangelog(base, changes, Seq("id"), "op", "seq")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length - "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange:\n$plan")
+  }
+
+  test("missing payload columns in changes and work-column collisions are rejected") {
+    val noAmt = Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq")
+    intercept[IllegalArgumentException] {
+      ChangeOps.applyChangelog(base, noAmt, Seq("id"), "op", "seq")
+    }
+    val clash = Seq((1L, "z", 0.0, 1)).toDF("id", "name", "amt", "__seq")
+    intercept[IllegalArgumentException] {
+      ChangeOps.applyChangelog(clash, clash.withColumn("op", lit("U")).withColumn("seq", lit(1L)),
+        Seq("id"), "op", "seq")
+    }
+  }
+}
