@@ -40,6 +40,46 @@ object ChangeOps {
     * @param seqCol change ordering column in `changes` (castable to long;
     *               higher = later)
     */
+  /** SCD Type-2 history from a changelog: one validity interval per
+    * upsert — `valid_from` = the change's sequence, `valid_to` = the
+    * key's NEXT change sequence (null = still open), `is_current` =
+    * open-interval flag. Delete rows emit no interval of their own; they
+    * close their predecessor's (the `lead` sees them before they are
+    * filtered). Feed the base snapshot in as sequence-0 upserts to get
+    * full-lineage history.
+    *
+    * Within a key, equal sequences order upserts before deletes (op
+    * descending) — a same-seq U+D pair yields a degenerate [s, s)
+    * interval rather than nondeterminism; sequences SHOULD be unique per
+    * key. Output: payload columns + (valid_from, valid_to, is_current).
+    *
+    * Shape: one shuffle (the per-key window); same posture as
+    * [[applyChangelog]] — nothing broadcast, nothing driver-side.
+    */
+  def changelogHistory(
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String,
+      seqCol: String
+  ): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    requireWorkCols(changes, "__vt", "valid_from", "valid_to", "is_current")
+    val dataCols = changes.columns.toSeq.filterNot(c => c == opCol || c == seqCol)
+    val missing = keys.filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changes is missing key columns: ${missing.mkString(", ")}")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).cast("long").asc, col(opCol).desc)
+    changes
+      .withColumn("__vt", lead(col(seqCol).cast("long"), 1).over(w))
+      .filter(col(opCol) === "U")
+      .select(
+        dataCols.map(col)
+          :+ col(seqCol).cast("long").as("valid_from")
+          :+ col("__vt").as("valid_to")
+          :+ col("__vt").isNull.as("is_current"): _*)
+  }
+
   def applyChangelog(
       base: DataFrame,
       changes: DataFrame,

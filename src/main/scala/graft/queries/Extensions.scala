@@ -217,6 +217,26 @@ object Extensions {
       graft.ops.ChangeOps.applyChangelog(
         base, upserts.unionByName(deletes), Seq("o_orderkey"), "op", "seq")
     },
+    // SCD Type-2 history from the same deterministic changelog: base rows
+    // enter as seq-0 upserts; every 7th order re-priced at seq 1, every
+    // 11th deleted at seq 2 — one validity interval per upsert, deletes
+    // close their predecessor's interval
+    "scd_history" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
+      val upserts = base
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+        .withColumn("seq", lit(1L))
+      val deletes = base
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D"))
+        .withColumn("seq", lit(2L))
+      graft.ops.ChangeOps.changelogHistory(
+        asInserts.unionByName(upserts).unionByName(deletes),
+        Seq("o_orderkey"), "op", "seq")
+    },
     // deterministic 80/10/10 train/val/test assignment — a pure map-side
     // hash gate (retry-stable, engine-reproducible; see Curation.hashSplit)
     "corpus_split_assign" -> { (s, dir) =>
@@ -1554,6 +1574,22 @@ object Extensions {
            o_orderstatus
          FROM orders
          WHERE o_orderkey % 11 <> 0""",
+    "scd_history" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+         rows AS (
+           SELECT o_orderkey, o_totalprice, 0 AS vf,
+             CASE WHEN o_orderkey % 7 = 0 THEN 1
+                  WHEN o_orderkey % 11 = 0 THEN 2 END AS vt
+           FROM base
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 1000, 1,
+             CASE WHEN o_orderkey % 11 = 0 THEN 2 END
+           FROM base WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_totalprice,
+           CAST(vf AS BIGINT) AS valid_from,
+           CAST(vt AS BIGINT) AS valid_to,
+           (vt IS NULL) AS is_current
+         FROM rows""",
     "corpus_split_assign" ->
       """SELECT doc_id,
            CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split

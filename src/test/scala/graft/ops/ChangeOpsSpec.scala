@@ -61,6 +61,45 @@ class ChangeOpsSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected exactly one exchange:\n$plan")
   }
 
+  test("changelogHistory: intervals chain per key, deletes close without emitting") {
+    val changes = Seq(
+      (1L, "v0", 10.0, "U", 0L),
+      (1L, "v1", 11.0, "U", 3L),
+      (1L, "v2", 12.0, "U", 7L), // open
+      (2L, "w0", 20.0, "U", 0L),
+      (2L, "w0", 20.0, "D", 5L), // closes w0, emits nothing
+      (3L, "x0", 30.0, "U", 2L)  // open
+    ).toDF("id", "name", "amt", "op", "seq")
+    val out = ChangeOps.changelogHistory(changes, Seq("id"), "op", "seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5))))
+      .toMap
+    assert(out((1L, "v0")) == ((0L, Some(3L), false)))
+    assert(out((1L, "v1")) == ((3L, Some(7L), false)))
+    assert(out((1L, "v2")) == ((7L, None, true)))
+    assert(out((2L, "w0")) == ((0L, Some(5L), false)))
+    assert(out((3L, "x0")) == ((2L, None, true)))
+    assert(out.size == 5, "delete rows must not emit intervals")
+  }
+
+  test("changelogHistory agrees with applyChangelog on the current rows") {
+    val changes = Seq(
+      (1L, "a2", 11.0, "U", 1L),
+      (2L, "b", 20.0, "D", 1L),
+      (9L, "new", 90.0, "U", 1L)
+    ).toDF("id", "name", "amt", "op", "seq")
+    val full = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
+      .unionByName(changes)
+    val current = ChangeOps.changelogHistory(full, Seq("id"), "op", "seq")
+      .filter($"is_current")
+      .select($"id", $"name", $"amt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val applied = ChangeOps.applyChangelog(base, changes, Seq("id"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(current == applied, s"history current rows $current != applied snapshot $applied")
+  }
+
   test("missing payload columns in changes and work-column collisions are rejected") {
     val noAmt = Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq")
     intercept[IllegalArgumentException] {
