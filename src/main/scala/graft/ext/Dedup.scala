@@ -834,4 +834,50 @@ object Dedup {
       // no distinct: each id lives in exactly ONE srp bucket, so every pair
       // is generated at most once — the dedupe shuffle would buy nothing
   }
+
+  /** Embedding-space form of [[minhashLshProbePairs]]: the incoming
+    * batch's vectors probe the corpus's SRP-bucket index — cross-side
+    * collisions only, never corpus×corpus. Each vector lives in exactly
+    * one bucket, so no distinct is needed (unlike the banded text probe).
+    * Same quantized, engine-reproducible cosine as
+    * [[embeddingNearDupPairs]]; `maxBucket` caps the CORPUS index side
+    * (a degenerate embedding cluster there taxes every future batch).
+    *
+    * @return (new_id, corpus_id, sim) pairs with sim ≥ threshold
+    */
+  def embeddingIncrementalPairs(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      planes: Int,
+      threshold: Double,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    def staged(df: DataFrame, idName: String, suffix: String): DataFrame =
+      df.select(idCol.as(idName), Similarity.quantize(vecCol).as(s"vec_$suffix"))
+        .select(
+          col(idName),
+          col(s"vec_$suffix"),
+          Similarity.srpBucketQ(col(s"vec_$suffix"), dim, planes).as("bucket"),
+          Similarity.norm(col(s"vec_$suffix")).as(s"nrm_$suffix")
+        )
+    val corpusIdx = capBuckets(
+      staged(corpus, "corpus_id", "old").repartition(col("bucket")),
+      Seq("bucket"),
+      maxBucket
+    )
+    staged(incoming, "new_id", "new")
+      .join(corpusIdx, Seq("bucket"))
+      .select(
+        col("new_id"),
+        col("corpus_id"),
+        round(
+          Similarity.dot(col("vec_new"), col("vec_old")) / (col("nrm_new") * col("nrm_old")),
+          6
+        ).as("sim")
+      )
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -854,6 +854,17 @@ object Extensions {
         dim = 64, planes = 4, threshold = 0.2
       )
     },
+    // embedding-space incremental dedup: every 5th vector arrives as the
+    // new batch and probes the corpus's SRP-bucket index — the semantic
+    // twin of dedup_incremental (cross-side collisions only)
+    "dedup_embedding_incremental" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      Dedup.embeddingIncrementalPairs(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"),
+        dim = 64, planes = 4, threshold = 0.2)
+    },
     // ---- curation: packing / scrubbing / repetition / sketches / rank ----
     // sequence packing: token-budget packs per salt group (distributed —
     // the window sorts 8 independent salt partitions, never one global task)
@@ -2000,6 +2011,16 @@ object Extensions {
           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT id_lo, id_hi, sim FROM prs WHERE sim >= 0.2"""),
+    "dedup_embedding_incremental" ->
+      (qzCte + s"""
+        , bkt AS (SELECT vec_id, q, ${srpBucketSql(4)} AS bucket FROM qz)
+        , prs AS (
+          SELECT a.vec_id AS new_id, b.vec_id AS corpus_id,
+                 round(${cosSql("a.q", "b.q")}, 6) AS sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+          WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+        )
+        SELECT new_id, corpus_id, sim FROM prs WHERE sim >= 0.2"""),
     "ann_lsh_topk" ->
       (qzCte + s"""
         , bkt AS (SELECT vec_id, q, ${srpBucketSql(6)} AS bucket FROM qz)

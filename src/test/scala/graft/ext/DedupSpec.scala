@@ -119,6 +119,30 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L))) // same SRP bucket + cosine ≈ 1
   }
 
+  test("embeddingIncrementalPairs equals the cross-side restriction of the self-join pairs") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal
+      (5L, Seq(1.0f, 0.001f, 0.0f, 0.0f))   // "incoming" near-dup of 1 and 2
+    ).toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" =!= 5L)
+    val incoming = vecs.filter($"vec_id" === 5L)
+    val probe = Dedup
+      .embeddingIncrementalPairs(corpus, incoming, $"vec_id", $"embedding",
+        dim = 4, planes = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = Dedup
+      .embeddingNearDupPairs(vecs, $"vec_id", $"embedding", dim = 4, planes = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a == 5L) != (b == 5L) }
+      .map { case (a, b) => if (a == 5L) (a, b) else (b, a) }
+      .toSet
+    assert(probe == self, s"probe $probe != cross-side self-join $self")
+    assert(probe.contains((5L, 1L)) && probe.contains((5L, 2L)))
+    assert(!probe.exists(_._2 == 3L), "orthogonal corpus vector must not pair")
+  }
+
   test("hot bucket: pairs are rows (no in-row m² arrays) and maxBucket quarantines") {
     // 10⁴ identical docs — ONE band value shared by all of them, the
     // boilerplate-corpus skew shape that OOM'd the collect_set formulation
