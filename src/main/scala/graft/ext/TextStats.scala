@@ -365,6 +365,51 @@ object TextStats {
       )
   }
 
+  /** N-gram familiarity score: for every document, the document-frequency
+    * statistics of its distinct word n-grams against the whole corpus —
+    * how much of this doc's phrasing the corpus has seen elsewhere, a
+    * CCNet-style quality signal computable without any external language
+    * model. Integer-exact columns (`n_grams`, `df_sum` = Σ corpus df of
+    * the doc's grams) plus one double ratio, so any engine reproduces it.
+    *
+    * The join of exploded grams against the df table is the HYBRID
+    * hot/cold shape — the skew answer when salting ([[graft.ops.SkewOps]])
+    * would inflate the small side `salts`×: gram frequency is zipf-shaped,
+    * so the `hotK` head grams (think "of the and") carry most matches and
+    * would hot-spot a plain shuffle join. They take a BROADCAST join (the
+    * head is hotK rows by construction); the long tail — skew-free once
+    * the head is gone — takes the ordinary shuffle join. Both paths are
+    * map-side-combine aggregated before the final per-doc sum.
+    *
+    * @param hotK head grams (by df, gram tiebreak) routed via broadcast
+    * @return (doc_id, n_grams, df_sum, fam_avg = round(df_sum/n_grams, 6))
+    */
+  def ngramFamiliarity(df: DataFrame, idCol: Column, textCol: Column, n: Int, hotK: Int): DataFrame = {
+    require(n > 0 && hotK > 0, "n and hotK must be positive")
+    // per-doc DISTINCT grams (Dedup.shingled), so per-gram row counts ARE
+    // document frequencies; fence before the explode (generator
+    // re-evaluation trap — see PlanOps)
+    val exploded = graft.ops.PlanOps
+      .fence(Dedup.shingled(df, idCol, textCol, n))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val dfCounts = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val hot = dfCounts.orderBy(col("df").desc, col("gram")).limit(hotK)
+    val hotHits = exploded.join(broadcast(hot), Seq("gram"))
+    val coldHits = exploded
+      .join(broadcast(hot.select(col("gram"))), Seq("gram"), "left_anti")
+      .join(dfCounts, Seq("gram"))
+    hotHits
+      .unionByName(coldHits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("df")).as("df_sum"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("df_sum"),
+        round(col("df_sum").cast("double") / col("n_grams"), 6).as("fam_avg")
+      )
+  }
+
   /** Rolling polynomial fingerprint of the word sequence:
     * acc = (acc * 131 + wordHash) mod (2^31 - 1), folded left-to-right,
     * where wordHash = the first 4 hex chars of md5(word) read as an integer

@@ -261,6 +261,13 @@ object Extensions {
         .hashSplit(keyed, col("cluster_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
         .select(col("doc_id"), col("cluster_id"), col("split"))
     },
+    // corpus-familiarity quality signal: per-doc document-frequency stats
+    // of its distinct 3-grams, hybrid hot-broadcast / cold-shuffle join
+    // (the zipf-head answer that salting can't give — see TextStats)
+    "text_familiarity" -> { (s, dir) =>
+      TextStats.ngramFamiliarity(
+        tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, hotK = 64)
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -1620,6 +1627,16 @@ object Extensions {
           SELECT doc_id, cluster_id,
             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
           FROM lab) t"""),
+    "text_familiarity" ->
+      (gramsCte + """
+        , e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        , dfc AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY gram)
+        SELECT e.doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(dfc.df) AS BIGINT) AS df_sum,
+          round(CAST(sum(dfc.df) AS DOUBLE) / count(*), 6) AS fam_avg
+        FROM e JOIN dfc USING (gram)
+        GROUP BY e.doc_id"""),
     "text_vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t

@@ -81,6 +81,42 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out(3L) == ((4L, 1L, 0.75, 0.666667, 1.0)))
   }
 
+  test("ngramFamiliarity: df stats match hand-computed document frequencies") {
+    // 1-grams for hand-checkable dfs: a appears in 3 docs, b in 2, c in 1
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "a c")
+    ).toDF("doc_id", "text")
+    val out = TextStats.ngramFamiliarity(docs, $"doc_id", $"text", n = 1, hotK = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: grams {a, b} → df 3 + 2 = 5; doc 3: {a, c} → 3 + 1 = 4
+    assert(out(1L) == ((2L, 5L, 2.5)))
+    assert(out(2L) == ((2L, 5L, 2.5)))
+    assert(out(3L) == ((2L, 4L, 2.0)))
+  }
+
+  test("ngramFamiliarity plans the hybrid join: broadcast head + shuffle tail") {
+    val docs = (1L to 50L)
+      .map(i => (i, s"common words everywhere plus rare$i token$i"))
+      .toDF("doc_id", "text")
+    val plan = TextStats.ngramFamiliarity(docs, $"doc_id", $"text", n = 1, hotK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"hot head must broadcast:\n$plan")
+    assert(
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"cold tail must shuffle-join:\n$plan")
+  }
+
+  test("ngramFamiliarity with hotK covering the whole vocabulary still sums correctly") {
+    val docs = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextStats.ngramFamiliarity(docs, $"doc_id", $"text", n = 1, hotK = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 4L, 2L -> 4L)) // both grams df=2 each
+  }
+
   test("fingerprint: deterministic, order-sensitive, stable across runs") {
     val df = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma").toDF("t")
     val out = df.select(TextStats.fingerprint($"t").as("v")).collect().map(_.getLong(0))
