@@ -196,6 +196,64 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_q"))
       .withColumn("mean_q", col("sum_q").cast("double") / col("n_vecs").cast("double"))
 
+  /** Per-group embedding DIVERSITY audit: mean pairwise similarity inside
+    * each group, computed by the sum-of-vectors identity
+    * `Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u_i‖²` — O(n·dim) with one combine-
+    * friendly (group, dim) aggregation, never the O(n²) pairwise join.
+    * The collapse detector for synthetic/near-duplicate strata: a group
+    * whose members all point the same way scores ≈ 1.
+    *
+    * Exactness: vectors are unit-normalized PER ROW (fixed-order double
+    * math, identical in any engine) then quantized half-up to integers
+    * scaled 1000 — after that every aggregate is integer arithmetic, so
+    * the group sums are order-independent and engine-exact; the only
+    * floats in the output are one final division and the ÷10⁶ rescale.
+    * Zero vectors quantize to zeros (they contribute nothing to either
+    * side of the identity).
+    *
+    * @return (label, n_vecs, dot_ss = ‖Σu‖², self_sum = Σ‖u_i‖²,
+    *         mean_cos ≈ mean pairwise cosine, rounded 6) for groups ≥ 2
+    */
+  def groupDiversity(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame = {
+    val qd = df.select(groupCol.as("grp"), quantize(vecCol).as("q"))
+      .withColumn("sdot", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn(
+        "u",
+        when(col("sdot") === 0, transform(col("q"), _ => lit(0L)))
+          .otherwise(
+            transform(
+              col("q"),
+              x =>
+                floor(x.cast("double") * 1000 / sqrt(col("sdot").cast("double")) + lit(0.5))
+                  .cast("long"))))
+    // fence before the posexplode: `u` is an expensively-BUILT array with a
+    // single consumer — unfenced, the normalize+quantize pipeline inlines
+    // into the Generate node and re-evaluates per emitted element (dim× the
+    // work per row; see PlanOps)
+    graft.ops.PlanOps
+      .fence(qd.select(col("grp"), col("u")))
+      .select(col("grp"), posexplode(col("u")).as(Seq("pos", "ux")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("ux")).as("s"), sum(col("ux") * col("ux")).as("ss"))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum(col("s") * col("s")).as("dot_ss"),
+        sum(col("ss")).as("self_sum"))
+      .filter(col("n_vecs") >= 2)
+      .select(
+        col("grp").as("label"),
+        col("n_vecs"),
+        col("dot_ss"),
+        col("self_sum"),
+        round(
+          (col("dot_ss") - col("self_sum")).cast("double")
+            / (col("n_vecs") * (col("n_vecs") - 1)) / 1000000L,
+          6
+        ).as("mean_cos")
+      )
+  }
+
   /** Symmetric int8 quantization per vector (the storage/bandwidth
     * reduction step an embedding pipeline runs before ANN serving): code =
     * round(x · 127/max|x|), one row per (vec, dim). Map-side only — the

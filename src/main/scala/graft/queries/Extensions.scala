@@ -1105,6 +1105,12 @@ object Extensions {
         .groupCentroids(t(s, dir, "embeddings"), col("label"), col("embedding"))
         .select(col("grp").as("label"), col("pos"), col("n_vecs"), col("sum_q"), col("mean_q"))
     },
+    // per-label embedding diversity: mean pairwise cosine via the
+    // sum-of-vectors identity — O(n·dim), no pairwise join; the collapse
+    // detector for synthetic or near-duplicate strata
+    "emb_label_diversity" -> { (s, dir) =>
+      Similarity.groupDiversity(t(s, dir, "embeddings"), col("label"), col("embedding"))
+    },
     // rolling 5-event window per user: decimal-exact running sum + count
     "ev_rolling" -> { (s, dir) =>
       TemporalOps
@@ -2360,6 +2366,40 @@ object Extensions {
          SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(v) AS BIGINT) AS sum_q,
                 CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
          FROM x GROUP BY label, pos""",
+    "emb_label_diversity" ->
+      """WITH q1 AS (
+           SELECT vec_id, label,
+             list_transform(range(1, 65),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         sd AS (
+           SELECT vec_id, label, q,
+             list_sum(list_transform(q, x -> x * x)) AS sdot
+           FROM q1),
+         un AS (
+           SELECT vec_id, label,
+             CASE WHEN sdot = 0 THEN list_transform(q, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(q,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000
+                                    / sqrt(CAST(sdot AS DOUBLE)) + 0.5) AS BIGINT))
+             END AS u
+           FROM sd),
+         e AS (
+           SELECT label, CAST(i - 1 AS INTEGER) AS pos, u[i] AS ux
+           FROM un, range(1, 65) t(i)),
+         s1 AS (
+           SELECT label, pos, count(*) AS n, sum(ux) AS s, sum(ux * ux) AS ss
+           FROM e GROUP BY 1, 2),
+         s2 AS (
+           SELECT label, max(n) AS n_vecs, sum(s * s) AS dot_ss, sum(ss) AS self_sum
+           FROM s1 GROUP BY 1)
+         SELECT label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(dot_ss AS BIGINT) AS dot_ss,
+           CAST(self_sum AS BIGINT) AS self_sum,
+           round(CAST(dot_ss - self_sum AS DOUBLE)
+                 / (n_vecs * (n_vecs - 1)) / 1000000, 6) AS mean_cos
+         FROM s2 WHERE n_vecs >= 2""",
     "ev_rolling" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER

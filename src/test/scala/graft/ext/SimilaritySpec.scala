@@ -100,6 +100,56 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out((2, 1)) == ((1L, -10000L, -10000.0)))
   }
 
+  test("groupDiversity: identical members score 1, orthogonal members 0, singletons drop") {
+    val df = Seq(
+      ("same", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("same", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("orth", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("orth", Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      ("solo", Seq(0.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.groupDiversity(df, $"label", $"embedding")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(out("same") == ((2L, 1.0)))
+    assert(out("orth") == ((2L, 0.0)))
+    assert(!out.contains("solo"), "groups of one have no pairs")
+  }
+
+  test("groupDiversity matches the brute-force mean pairwise dot of quantized unit vectors") {
+    val raw = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      Seq(0.9f, 0.1f, 0.0f, 0.0f),
+      Seq(0.7f, 0.3f, 0.0f, 0.0f))
+    val df = raw.map(("g", _)).toDF("label", "embedding")
+    // reference: same quantize → unit(×1000) pipeline, then all pairs
+    def unit(v: Seq[Float]): Seq[Long] = {
+      val q = v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+      val sd = q.map(x => x * x).sum
+      if (sd == 0) q.map(_ => 0L)
+      else q.map(x => math.floor(x.toDouble * 1000 / math.sqrt(sd.toDouble) + 0.5).toLong)
+    }
+    val us = raw.map(unit)
+    val pairs = for (i <- us.indices; j <- us.indices if i < j)
+      yield us(i).zip(us(j)).map { case (a, b) => a * b }.sum
+    val expect = BigDecimal(pairs.sum.toDouble / pairs.length / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Similarity.groupDiversity(df, $"label", $"embedding")
+      .collect().head.getDouble(4)
+    assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
+  }
+
+  test("groupDiversity: zero vectors contribute nothing and never divide by zero") {
+    val df = Seq(
+      ("g", Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      ("g", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("g", Seq(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val r = Similarity.groupDiversity(df, $"label", $"embedding").collect().head
+    assert(r.getLong(1) == 3L)
+    // only the two unit vectors pair: Σ_{i≠j} = 2·10⁶ over n(n-1)=6 → 1/3
+    assert(math.abs(r.getDouble(4) - 0.333333) < 1e-9)
+  }
+
   test("quantizeInt8 codes stay in [-127,127], extremes hit ±127, zero vector yields zeros") {
     val df = Seq(
       (1L, Seq(2.0f, -4.0f, 1.0f)),  // maxabs 4 → codes 64, -127, 32
