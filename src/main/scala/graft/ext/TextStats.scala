@@ -410,6 +410,97 @@ object TextStats {
       )
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) over the corpus's word
+    * sequences: `k` rounds of count-adjacent-pairs → merge the most
+    * frequent pair (ties: lexicographic on (a, b)) → greedily rewrite
+    * every document left-to-right. Returns the merge table
+    * (rank, a, b, merged = a||b, cnt) — the artifact a tokenizer ships.
+    *
+    * This is the engine's second deliberately ITERATIVE operator (after
+    * [[Dedup.connectedComponents]], same shape): a driver loop where each
+    * round is one distributed pair-count (partial-agg groupBy, argmax via
+    * TakeOrdered on ONE row) plus one map-only rewrite pass, with
+    * `localCheckpoint` per round so round k's plan does not replay rounds
+    * 1..k-1 (O(k) passes total, not O(k²)); the previous round's blocks
+    * are freed eagerly, holding storage at 2×. Driver state is k merge
+    * rows — nothing corpus-sized ever leaves the executors.
+    *
+    * The greedy rewrite is a fold into a U+0001-joined accumulator
+    * (tokens must not contain that byte — whitespace-split words never
+    * do): if the accumulator's last token is `a` and the next is `b`,
+    * the tail becomes the merged symbol, else append. Fixed left-to-right
+    * order, string-exact — any engine's fold reproduces the corpus state
+    * and therefore every later round's counts.
+    */
+  def bpeMerges(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    val sep = "\u0001"
+    def freeCheckpoint(d: DataFrame): Unit =
+      d.queryExecution.analyzed
+        .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+        .foreach(_.unpersist(blocking = false))
+    var corpus = df
+      .select(idCol.as("doc_id"), split(trim(textCol), "\\s+").as("toks"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val top = corpus
+        .select(
+          explode(
+            filter(
+              zip_with(
+                col("toks"),
+                slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+                (x, y) => struct(x.as("a"), y.as("b"))),
+              p => p.getField("b").isNotNull
+            )
+          ).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a: String = top.head.getString(0)
+        val b: String = top.head.getString(1)
+        val cnt: Long = top.head.getLong(2)
+        merges += ((round, a, b, a + b, cnt))
+        if (round < k) {
+          val rewritten = corpus
+            .withColumn(
+              "toks",
+              split(
+                aggregate(
+                  col("toks"),
+                  lit(""),
+                  (acc, t) =>
+                    when(acc === "", t)
+                      .when(
+                        (acc === a || acc.endsWith(lit(sep + a))) && t === b,
+                        concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+                      .otherwise(concat(acc, lit(sep), t))
+                ),
+                sep
+              )
+            )
+            .localCheckpoint()
+          freeCheckpoint(corpus)
+          corpus = rewritten
+        }
+      }
+      round += 1
+    }
+    freeCheckpoint(corpus)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "a", "b", "merged", "cnt")
+      .select(col("rank").cast("int").as("rank"), col("a"), col("b"), col("merged"), col("cnt"))
+  }
+
   /** Rolling polynomial fingerprint of the word sequence:
     * acc = (acc * 131 + wordHash) mod (2^31 - 1), folded left-to-right,
     * where wordHash = the first 4 hex chars of md5(word) read as an integer

@@ -261,6 +261,15 @@ object Extensions {
         .hashSplit(keyed, col("cluster_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
         .select(col("doc_id"), col("cluster_id"), col("split"))
     },
+    // BPE tokenizer training on a deterministic corpus sample (every 5th
+    // doc): 8 rounds of count-pairs → merge argmax → greedy rewrite, the
+    // engine's second iterative driver-loop operator (after connected
+    // components). The oracle unrolls the same 8 stages in SQL
+    "text_bpe_merges" -> { (s, dir) =>
+      TextStats.bpeMerges(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), k = 8)
+    },
     // corpus-familiarity quality signal: per-doc document-frequency stats
     // of its distinct 3-grams, hybrid hot-broadcast / cold-shuffle join
     // (the zipf-head answer that salting can't give — see TextStats)
@@ -1295,6 +1304,43 @@ object Extensions {
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         )"""
 
+  /** The BPE training oracle: K unrolled stages, each one pair-count →
+    * argmax (cnt desc, lexicographic tiebreak) → greedy left-to-right
+    * rewrite via a list_reduce fold into a chr(1)-joined accumulator —
+    * the exact fold the Spark operator runs, so every stage's corpus
+    * state (and therefore every later count) matches string-for-string.
+    */
+  private lazy val bpeMergesSql: String = {
+    val K = 8
+    def rewrite(m: String): String =
+      s"""string_split(list_reduce(list_prepend('', toks),
+            (acc, tk) -> CASE
+              WHEN acc = '' THEN tk
+              WHEN (acc = $m.a OR ends_with(acc, chr(1) || $m.a)) AND tk = $m.b
+                THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
+              ELSE acc || chr(1) || tk END), chr(1))"""
+    val sb = new StringBuilder
+    sb ++= """WITH t0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 5 = 0)"""
+    for (i <- 1 to K) {
+      sb ++= s""", m$i AS (
+        SELECT a, b, CAST(c AS BIGINT) AS cnt FROM (
+          SELECT toks[u.i] AS a, toks[u.i + 1] AS b, count(*) AS c
+          FROM t${i - 1}, unnest(range(1, len(toks))) u(i)
+          GROUP BY 1, 2)
+        ORDER BY c DESC, a, b LIMIT 1)"""
+      if (i < K)
+        sb ++= s""", t$i AS (
+        SELECT doc_id, ${rewrite(s"m$i")} AS toks
+        FROM t${i - 1} CROSS JOIN m$i)"""
+    }
+    sb ++= (1 to K)
+      .map(i => s"SELECT $i AS rank, a, b, a || b AS merged, cnt FROM m$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   /** Incremental-ingestion probe + exact-Jaccard verify: every 5th doc is
     * the incoming batch, the rest the corpus index. Shared verbatim by the
     * batch probe (`dedup_incremental`) and the stream-static parity twin
@@ -1633,6 +1679,7 @@ object Extensions {
           SELECT doc_id, cluster_id,
             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
           FROM lab) t"""),
+    "text_bpe_merges" -> bpeMergesSql,
     "text_familiarity" ->
       (gramsCte + """
         , e AS (SELECT doc_id, unnest(grams) AS gram FROM g)

@@ -117,6 +117,41 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out == Map(1L -> 4L, 2L -> 4L)) // both grams df=2 each
   }
 
+  test("bpeMerges: merge table matches hand-computed pair counts and greedy rewrites") {
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "a b c a b")
+    ).toDF("doc_id", "text")
+    val out = TextStats.bpeMerges(docs, $"doc_id", $"text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: pairs (a,b)=3, (a,a)=2, (b,c)=1, (c,a)=1 → merge (a,b)
+    assert(out(0) == ((1, "a", "b", "ab", 3L)))
+    // greedy rewrite: [a,a,ab], [ab,c,ab]; round 2 pairs all cnt=1 →
+    // lexicographic argmax = (a,a)
+    assert(out(1) == ((2, "a", "a", "aa", 1L)))
+    // rewrite: [aa,ab], [ab,c,ab]; round 3 pairs (aa,ab)=1,(ab,c)=1,(c,ab)=1
+    assert(out(2) == ((3, "aa", "ab", "aaab", 1L)))
+  }
+
+  test("bpeMerges: overlapping occurrences merge left-to-right, not pairwise-greedy") {
+    // "x x x x" → (x,x)=3 counted, but greedy rewrite yields [xx, xx]
+    val docs = Seq((1L, "x x x x")).toDF("doc_id", "text")
+    val out = TextStats.bpeMerges(docs, $"doc_id", $"text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out(0) == ((1, "x", "x", 3L)))
+    // after rewrite [xx, xx]: the only pair is (xx, xx) once
+    assert(out(1) == ((2, "xx", "xx", 1L)))
+  }
+
+  test("bpeMerges: single-token and empty docs survive; exhausted vocab stops early") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "p q")).toDF("doc_id", "text")
+    val out = TextStats.bpeMerges(docs, $"doc_id", $"text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(3)))
+    // only (p,q) exists; after merging it no pairs remain → 2 merges max:
+    // round 2 has pair... after [pq] there are no adjacent pairs at all
+    assert(out.length == 1 && out(0) == ((1, "pq")))
+  }
+
   test("fingerprint: deterministic, order-sensitive, stable across runs") {
     val df = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma").toDF("t")
     val out = df.select(TextStats.fingerprint($"t").as("v")).collect().map(_.getLong(0))
