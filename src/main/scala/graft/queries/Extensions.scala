@@ -261,13 +261,13 @@ object Extensions {
         .hashSplit(keyed, col("cluster_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
         .select(col("doc_id"), col("cluster_id"), col("split"))
     },
-    // BPE tokenizer training on a deterministic corpus sample (every 5th
+    // BPE tokenizer training on a deterministic corpus sample (every 10th
     // doc): 8 rounds of count-pairs → merge argmax → greedy rewrite, the
     // engine's second iterative driver-loop operator (after connected
     // components). The oracle unrolls the same 8 stages in SQL
     "text_bpe_merges" -> { (s, dir) =>
       TextStats.bpeMerges(
-        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"), k = 8)
     },
     // corpus-familiarity quality signal: per-doc document-frequency stats
@@ -1322,7 +1322,7 @@ object Extensions {
     val sb = new StringBuilder
     sb ++= """WITH t0 AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        FROM documents WHERE doc_id % 5 = 0)"""
+        FROM documents WHERE doc_id % 10 = 0)"""
     for (i <- 1 to K) {
       sb ++= s""", m$i AS (
         SELECT a, b, CAST(c AS BIGINT) AS cnt FROM (
