@@ -598,6 +598,20 @@ object Core {
         .filter(col("yr") === 1995)
         .select(col("o_orderkey"), col("o_totalprice"), col("yr"))
     },
+    // ---- S11: ORC columnar roundtrip -------------------------------------
+    // second columnar format (orc-core ships with Spark): write, scan back
+    // with a predicate that reaches the reader (PushedFilters asserted in
+    // SourcesSpec) — format portability for warehouse interop
+    "s11_orc_roundtrip" -> { (s, dir) =>
+      val path = Scratch.dir("orc_rt", dir)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").orc(path)
+      s.read
+        .orc(path)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
     // ---- S8: batched sink roundtrip (≤250 rows per file) -----------------
     // S4: REAL xlsx scan (JDK-only codec) — write a workbook, scan it back
     // through the executor-parallel binaryFile reader
@@ -1192,6 +1206,9 @@ object Core {
          FROM orders JOIN customer ON o_custkey = c_custkey""",
     "s10_partition_pruned" ->
       """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS yr
-         FROM orders WHERE year(o_orderdate) = 1995"""
+         FROM orders WHERE year(o_orderdate) = 1995""",
+    "s11_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderstatus = 'F'"""
   )
 }

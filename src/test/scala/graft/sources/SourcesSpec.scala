@@ -23,6 +23,19 @@ class SourcesSpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters") && scan.contains("yr"), s"no partition pruning:\n$scan")
   }
 
+  test("ORC roundtrip preserves values and pushes the predicate to the reader") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val df = (1 to 200).map(i => (i.toLong, if (i % 4 == 0) "F" else "O")).toDF("id", "st")
+    df.write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).filter($"st" === "F").select($"id")
+    assert(q.count() == 50L)
+    assert(
+      q.collect().map(_.getLong(0)).sorted.toSeq == (4L to 200L by 4).toSeq,
+      "wrong rows back from ORC")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("st"), s"no ORC pushdown:\n$scan")
+  }
+
   test("writeBatched caps rows per file at maxRecords") {
     val dir = java.nio.file.Files.createTempDirectory("batched").toString
     Sources.writeBatched((1 to 1000).toDF("n"), dir, 250)
