@@ -40,6 +40,41 @@ object ChangeOps {
     * @param seqCol change ordering column in `changes` (castable to long;
     *               higher = later)
     */
+  /** Declarative form of [[applyChangelog]] that is legal on a STREAM:
+    * one `max_by` aggregation per key, ordered by (seq, op) — the same
+    * lexicographic winner (higher seq, then U over D) the window picks in
+    * the batch form. Feed base rows as `Long.MinValue`-sequence upserts to
+    * reproduce the batch semantics exactly.
+    *
+    * On a streaming frame this is a standard stateful aggregation —
+    * no watermark needed in update/complete mode, state is one row per
+    * key, and every micro-batch revises the key's winner — i.e. a
+    * continuously-maintained CDC snapshot with NO custom state code
+    * (Catalyst plans the state store). On a batch frame it returns the
+    * identical rows to [[applyChangelog]]; the stream/batch parity query
+    * shares one oracle.
+    *
+    * @param dataCols output payload columns (the snapshot schema)
+    */
+  def applyChangelogAgg(
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String,
+      seqCol: String,
+      dataCols: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(dataCols.nonEmpty, "dataCols must be non-empty")
+    val ord = struct(col(seqCol).cast("long").as("s"), col(opCol).as("o"))
+    changes
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max_by(struct(dataCols.map(col): _*), ord).as("__w"),
+        max(ord).as("__m"))
+      .filter(col("__m.o") =!= "D")
+      .select(col("__w.*"))
+  }
+
   /** SCD Type-2 history from a changelog: one validity interval per
     * upsert — `valid_from` = the change's sequence, `valid_to` = the
     * key's NEXT change sequence (null = still open), `is_current` =

@@ -843,6 +843,46 @@ object Extensions {
       // parity shape (same as stream_lsh_parity)
       drainSink(s, sink)(_.distinct())
     },
+    // eleventh stream/batch parity surface: CDC apply as a STREAMING
+    // max_by aggregation (complete mode, no watermark — state is one row
+    // per key, planned by Catalyst, no custom state code). The drained
+    // snapshot must hash-match the batch scd_changelog_apply oracle
+    "stream_changelog_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(Long.MinValue))
+      val upserts = base
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+        .withColumn("seq", lit(1L))
+      val deletes = base
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D"))
+        .withColumn("seq", lit(2L))
+      val changelog: Array[(Long, Long, Double, String, String, Long)] = asInserts
+        .unionByName(upserts)
+        .unionByName(deletes)
+        .as[(Long, Long, Double, String, String, Long)]
+        .collect()
+      val mem = MemoryStream[(Long, Long, Double, String, String, Long)]
+      val snap = graft.ops.ChangeOps.applyChangelogAgg(
+        mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "op", "seq"),
+        Seq("o_orderkey"), "op", "seq",
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+      val sink = s"stream_changelog_parity_${System.nanoTime()}"
+      val q = snap.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try {
+        mem.addData(changelog.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(identity)
+    },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
         .tumblingCounts(Fixtures.events(s, dir), "ts", "event_type")
@@ -1304,6 +1344,19 @@ object Extensions {
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         )"""
 
+  /** The deterministic-changelog CDC snapshot (every 7th order re-priced,
+    * every 11th deleted at a later sequence) — shared by the batch window
+    * apply (`scd_changelog_apply`) and the streaming max_by parity twin
+    * (`stream_changelog_parity`).
+    */
+  private lazy val changelogApplySql: String =
+    """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+       FROM orders
+       WHERE o_orderkey % 11 <> 0"""
+
   /** The BPE training oracle: K unrolled stages, each one pair-count →
     * argmax (cnt desc, lexicographic tiebreak) → greedy left-to-right
     * rewrite via a list_reduce fold into a chr(1)-joined accumulator —
@@ -1637,13 +1690,9 @@ object Extensions {
           SELECT doc_id, lang FROM lng
           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
                 < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END""",
-    "scd_changelog_apply" ->
-      """SELECT o_orderkey, o_custkey,
-           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END
-             AS o_totalprice,
-           o_orderstatus
-         FROM orders
-         WHERE o_orderkey % 11 <> 0""",
+    "scd_changelog_apply" -> changelogApplySql,
+    // the streaming max_by aggregation must drain to the batch snapshot
+    "stream_changelog_parity" -> changelogApplySql,
     "scd_history" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
          rows AS (

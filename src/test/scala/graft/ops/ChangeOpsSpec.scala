@@ -100,6 +100,51 @@ class ChangeOpsSpec extends SparkSpecBase {
     assert(current == applied, s"history current rows $current != applied snapshot $applied")
   }
 
+  test("applyChangelogAgg equals applyChangelog when base enters as MinValue upserts") {
+    val changes = Seq(
+      (1L, "a2", 11.0, "U", 1L),
+      (1L, "a3", 12.0, "U", 3L),
+      (2L, "b", 20.0, "D", 1L),
+      (9L, "new", 90.0, "U", 1L),
+      (9L, "new", 0.0, "D", 1L) // tie at seq 1: U beats D
+    ).toDF("id", "name", "amt", "op", "seq")
+    val full = base.withColumn("op", lit("U")).withColumn("seq", lit(Long.MinValue))
+      .unionByName(changes)
+    val cols = Seq("id", "name", "amt")
+    val agg = ChangeOps.applyChangelogAgg(full, Seq("id"), "op", "seq", cols)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val win = ChangeOps.applyChangelog(base, changes, Seq("id"), "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(agg == win, s"agg form $agg != window form $win")
+    assert(agg.contains((9L, "new", 90.0)), "U must beat D on a sequence tie")
+  }
+
+  test("applyChangelogAgg runs as a streaming aggregation and drains the same snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows: Seq[(Long, String, Double, String, Long)] = Seq(
+      (1L, "a", 10.0, "U", Long.MinValue),
+      (2L, "b", 20.0, "U", Long.MinValue),
+      (1L, "a2", 11.0, "U", 1L),
+      (2L, "b", 20.0, "D", 2L),
+      (9L, "new", 90.0, "U", 1L)
+    )
+    val mem = MemoryStream[(Long, String, Double, String, Long)]
+    val snap = ChangeOps.applyChangelogAgg(
+      mem.toDF().toDF("id", "name", "amt", "op", "seq"),
+      Seq("id"), "op", "seq", Seq("id", "name", "amt"))
+    val q = snap.writeStream.format("memory").queryName("cdc_agg_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_agg_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    spark.catalog.dropTempView("cdc_agg_test")
+    assert(got == Set((1L, "a2", 11.0), (9L, "new", 90.0)))
+  }
+
   test("missing payload columns in changes and work-column collisions are rejected") {
     val noAmt = Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq")
     intercept[IllegalArgumentException] {
