@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpecBase {
   test("no query in the audit set degenerates to a nested-loop or cartesian join") {
     for (q <- Seq(
         "dedup_minhash_pairs", "dedup_embedding", "ann_ivf_topk",
-        "j2_two_key_join", "j4_anti_dedupe", "j5_semi_membership")) {
+        "j2_two_key_join", "j4_anti_dedupe", "j5_semi_membership",
+        "dedup_incremental", "dedup_embedding_incremental",
+        "scd_changelog_apply", "text_familiarity")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -49,7 +51,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // single-row-group local fixture across cores (SCALING.md), which is
     // free relative to real multi-split input; a hash or range exchange
     // would mean the pipeline added a real shuffle for map-only work
-    for (q <- Seq("text_lang_id", "text_fingerprint", "text_pii_scrub", "f_pin_normalize")) {
+    for (q <- Seq("text_lang_id", "text_fingerprint", "text_pii_scrub", "f_pin_normalize",
+        "corpus_split_assign", "mm_audio_features")) {
       val plan = planOf(q)
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
