@@ -128,6 +128,30 @@ object TemporalOps {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Event-type transition matrix — the Markov-chain building block of
+    * behavioral analytics: counts of consecutive (from → to) event-type
+    * pairs per user sequence, ordered by (ts, tiebreak). One per-user
+    * window (`lag`) over the same (key, ts) clustering every sequence op
+    * here shares, then one partial-aggregated pair count — the window
+    * partitions by user so the sort is per-user, never global, and the
+    * count's shuffle carries at most |event_types|² rows per map task.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Interval (range) join: inner-join rows of `left` and `right` on
     * `key` where `|leftTs - rightTs| <= tolSec`. The two frames must
     * have disjoint column names apart from `key`.

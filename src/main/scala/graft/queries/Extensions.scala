@@ -1193,6 +1193,12 @@ object Extensions {
     // conversion funnel: each user's first click, first purchase at-or-after
     // it, latency, and purchase count after the click — one window pass to
     // pin the anchor, one aggregate; unconverted users kept via left join
+    // event-type transition matrix (Markov counts): per-user lag window
+    // (per-user sort, never global) + a bounded |types|² pair count
+    "ev_transitions" -> { (s, dir) =>
+      TemporalOps.transitionMatrix(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id", "event_type")
+    },
     "ev_funnel" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
       // anchor via aggregate + broadcast-join back, NOT a per-user window:
@@ -2541,6 +2547,15 @@ object Extensions {
                 CAST(date_diff('day', c.cw, e.w) / 7 AS BIGINT) AS week_offset,
                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+    "ev_transitions" ->
+      """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS from_type,
+                  event_type AS to_type
+           FROM events) t
+         WHERE from_type IS NOT NULL
          GROUP BY 1, 2""",
     "ev_funnel" ->
       """WITH a AS (

@@ -159,6 +159,27 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("transitionMatrix counts consecutive per-user pairs, never across users") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view -> click -> view  => (view,click), (click,view)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "view"),
+      // user 2: click alone => no pairs; user boundary must not pair with user 1
+      (2L, ts("2024-01-01 10:03:00"), 4L, "click"),
+      // user 3: same-ts tie broken by event_id: view(5) -> click(6)
+      (3L, ts("2024-01-01 11:00:00"), 5L, "view"),
+      (3L, ts("2024-01-01 11:00:00"), 6L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TemporalOps.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 2L, // user 1 and user 3
+      ("click", "view") -> 1L
+    ))
+  }
+
   test("rangeJoin emits each qualifying pair exactly once") {
     // identical timestamps land in the same bucket; the ±1 probes must not duplicate the pair
     val left = Seq((1L, 10L, ts(100))).toDF("lid", "k", "lts")
