@@ -277,6 +277,24 @@ object Extensions {
       TextStats.ngramFamiliarity(
         tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, hotK = 64)
     },
+    // dataset report ("data card"): doc counts, token sums and mean quality
+    // per (split, lang) — the summary a training run publishes. The mean
+    // rides an exact integer sum of the 4-decimal scores (one double
+    // division at the end), so cross-partition order cannot perturb it
+    "corpus_data_card" -> { (s, dir) =>
+      val prof = graft.ops.PlanOps
+        .fence(TextStats.profileNativeDF(t(s, dir, "documents"), col("doc_id"), col("text")))
+      Curation
+        .hashSplit(prof, col("doc_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(
+            sum(round(col("score") * 10000).cast("long")) / (count(lit(1)) * lit(10000.0)),
+            6
+          ).as("mean_score"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -1350,6 +1368,35 @@ object Extensions {
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         )"""
 
+  /** The language/quality/token profile of every document (the composed
+    * quality-gate inputs, identical formulas to `TextStats.profileNativeDF`)
+    * — shared by the `corpus_filter` gate and the `corpus_data_card`
+    * summary so the scoring definitions cannot drift.
+    */
+  private lazy val profileCte: String =
+    s"""WITH base AS (
+            SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p,
+              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+            FROM documents
+          ), sc AS (
+            SELECT *, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM base
+          ), b AS (
+            SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc
+          ), scored AS (
+            SELECT doc_id,
+              CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+                   ELSE 'und' END AS lang,
+              round(CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END * 0.4 +
+                    least(CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2.0, 1.0) * 0.4 +
+                    CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM b
+          )
+    """
+
   /** The deterministic-changelog CDC snapshot (every 7th order re-priced,
     * every 11th deleted at a later sequence) — shared by the batch window
     * apply (`scd_changelog_apply`) and the streaming max_by parity twin
@@ -1751,29 +1798,24 @@ object Extensions {
          WHERE length(token) > 0
          GROUP BY token ORDER BY n DESC, token LIMIT 50""",
     "corpus_filter" ->
-      s"""WITH base AS (
-            SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p,
-              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
-              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
-            FROM documents
-          ), sc AS (
-            SELECT *, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM base
-          ), b AS (
-            SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc
-          ), scored AS (
-            SELECT doc_id,
-              CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
-                   ELSE 'und' END AS lang,
-              round(CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END * 0.4 +
-                    least(CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2.0, 1.0) * 0.4 +
-                    CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score,
-              CAST(n_tokens AS BIGINT) AS n_tokens
-            FROM b
-          )
+      (profileCte + """
           SELECT doc_id, lang, score, n_tokens FROM scored
-          WHERE lang = 'en' AND score >= 0.5 AND n_tokens BETWEEN 5 AND 1000""",
+          WHERE lang = 'en' AND score >= 0.5 AND n_tokens BETWEEN 5 AND 1000"""),
+    "corpus_data_card" ->
+      (profileCte + """
+          , sp AS (
+            SELECT lang, score, n_tokens,
+              CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+            FROM (
+              SELECT *,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+              FROM scored) t)
+          SELECT split, lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            round(sum(CAST(round(score * 10000) AS BIGINT)) / (count(*) * 10000.0), 6)
+              AS mean_score
+          FROM sp GROUP BY 1, 2"""),
     "ngram_jaccard" ->
       (gramsCte + """
         SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
