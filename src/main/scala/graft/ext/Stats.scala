@@ -175,6 +175,32 @@ object Stats {
     * n·Σx² at corpus scale (≈1M docs × 5000² chars ≈ 2.5e19) stays exact
     * on both sides instead of silently wrapping a Long.
     */
+  /** Quantile-bucket assignment (decile/percentile banding): each row gets
+    * `1 + |{cuts c : v > c}|`, with the cut points from [[exactQuantiles]]
+    * at `ps` — the scale-safe replacement for `ntile(k)` OVER (), whose
+    * empty window spec serializes the whole dataset through one task's
+    * sort. Here the cuts are |ps| driver-side scalars (the sanctioned
+    * bounded collect, same as the quantile offsets) folded into a chain of
+    * integer comparisons: the assignment pass is MAP-ONLY, and the only
+    * distributed work is the two-phase quantile ranking itself.
+    *
+    * @return (id, v, q_bucket) for every non-null value row
+    */
+  def quantileBuckets(df: DataFrame, idCol: Column, valueCol: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    val cuts: Array[Double] = exactQuantiles(df, valueCol, ps)
+      .orderBy(col("p"))
+      .collect()
+      .map(_.getDouble(1))
+    val base = df
+      .select(idCol.as("id"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val bucket = cuts.foldLeft(lit(1): Column) { (acc, c) =>
+      acc + (col("v").cast("double") > lit(c)).cast("int")
+    }
+    base.withColumn("q_bucket", bucket)
+  }
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

@@ -1079,6 +1079,17 @@ object Extensions {
       Stats.exactQuantiles(
         t(s, dir, "documents"), col("n_chars"), Seq(0.25, 0.5, 0.75, 0.9))
     },
+    // decile banding without ntile()-over-() (that global window is the
+    // single-task sort the two-phase quantiles exist to avoid): 9 exact
+    // cut points collected as bounded driver scalars, then map-only
+    // assignment by comparison fold
+    "stats_deciles" -> { (s, dir) =>
+      Stats
+        .quantileBuckets(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+          (1 to 9).map(_ / 10.0))
+        .select(col("id").as("doc_id"), col("v"), col("q_bucket"))
+    },
     // Pearson correlation chars~tokens via integer moment sums (the
     // engine-exact alternative to corr()'s merge-order-dependent stream)
     "stats_corr" -> { (s, dir) =>
@@ -2410,6 +2421,27 @@ object Extensions {
          SELECT k.p,
                 CAST(a.v AS DOUBLE) + (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE)) * (k.pos - CAST(k.lo AS DOUBLE)) AS q
          FROM k JOIN r a ON a.rn = k.lo + 1 JOIN r b ON b.rn = k.hi + 1""",
+    "stats_deciles" ->
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+                    WHERE n_chars IS NOT NULL),
+         r AS (SELECT v AS sv, row_number() OVER (ORDER BY v) AS rn FROM v),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         p AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+                              CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                              CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+         k AS (SELECT p, (n - 1) * p AS pos,
+                      CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                      CAST(ceil((n - 1) * p) AS BIGINT) AS hi
+               FROM p, c),
+         cuts AS (
+           SELECT CAST(a.sv AS DOUBLE) +
+                  (CAST(b.sv AS DOUBLE) - CAST(a.sv AS DOUBLE)) * (k.pos - CAST(k.lo AS DOUBLE)) AS q
+           FROM k JOIN r a ON a.rn = k.lo + 1 JOIN r b ON b.rn = k.hi + 1)
+         SELECT v.doc_id, v.v,
+                CAST(1 + sum(CASE WHEN CAST(v.v AS DOUBLE) > cu.q THEN 1 ELSE 0 END) AS INTEGER)
+                  AS q_bucket
+         FROM v CROSS JOIN cuts cu
+         GROUP BY 1, 2""",
     "text_nfc_normalize" ->
       """SELECT doc_id,
                 CAST(length(t) AS INTEGER) AS len_raw,

@@ -105,6 +105,33 @@ class StatsSpec extends SparkSpecBase {
     assert(q(0.995) == 9.0)
   }
 
+  test("quantileBuckets assigns balanced, monotone deciles and matches brute force") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+    val out = Stats.quantileBuckets(df, $"id", $"x", (1 to 9).map(_ / 10.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 1000)
+    // brute force with the same cut definition: pos = 999p → cut = 1 + 999p
+    val cuts = (1 to 9).map(p => 1.0 + 999.0 * p / 10.0)
+    out.foreach { case (_, v, b) =>
+      val expect = 1 + cuts.count(v.toDouble > _)
+      assert(b == expect, s"v=$v bucket $b != $expect")
+    }
+    // balanced on uniform data: each decile holds ~100
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (1 to 10).toSet)
+    assert(sizes.values.forall(s => s >= 80 && s <= 120), s"unbalanced deciles $sizes")
+    // monotone: bucket ordering follows value ordering
+    val byV = out.sortBy(_._2).map(_._3)
+    assert(byV.zip(byV.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("quantileBuckets assignment pass is map-only after the cuts are known") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+    val out = Stats.quantileBuckets(df, $"id", $"x", Seq(0.5))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
   test("outliersExact matches the float z-score definition away from boundaries") {
     // group a: tight cluster + one far point; group b: uniform, no outliers
     val df = (Seq.fill(20)(("a", 100)) :+ (("a", 10000))).zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
