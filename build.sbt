@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the FINAL stdout line as JSON; sbt's trailing
+// "[success] Total time: …" banner after the forked main returns broke
+// that parse every round (BENCH_r08 parsed:null). Suppress it globally.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

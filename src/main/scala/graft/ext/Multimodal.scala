@@ -465,6 +465,10 @@ object Multimodal {
             require(
               fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
               s"asset $id: expected PCM-16 LE, got $fmt")
+            // n_samples counts FRAMES while amp_sum folds every 16-bit word;
+            // for multi-channel audio the two would disagree in units, so
+            // hold the same mono contract audioFrameFeatures enforces.
+            require(fmt.getChannels == 1, s"asset $id: expected mono, got ${fmt.getChannels} channels")
             val data = in.readAllBytes()
             val bytesPerSample = 2 * fmt.getChannels
             val n = data.length / bytesPerSample
@@ -804,7 +808,21 @@ object Multimodal {
           pos = dataOff + size + (size % 2) // even-padding rule
         }
       }
-      walk(12, payload.length, inMovi = false)
+      // the top-level walk is bounded by the RIFF header's declared size,
+      // not payload.length: bytes appended after a valid container must
+      // surface as the 'trailing data' diagnosis below, not be parsed as
+      // chunks and fail as a misleading 'corrupt chunk'
+      val riffEnd = {
+        val riffSize = rdLe32(payload, 4)
+        require(
+          riffSize >= 4 && 8L + riffSize <= payload.length,
+          s"$ctx: RIFF header declares $riffSize bytes but payload holds ${payload.length}")
+        8 + riffSize
+      }
+      require(
+        payload.length - riffEnd <= 1, // even-padding byte at most
+        s"$ctx: ${payload.length - riffEnd} trailing bytes after the declared RIFF container")
+      walk(12, riffEnd, inMovi = false)
       require(declared >= 0, s"$ctx: no avih header found")
       (declared, ranges.result())
     }

@@ -26,7 +26,11 @@ object ChangeOps {
     * Determinism: base rows rank below every change (`Long.MinValue`
     * sequence), and a seq tie between changes resolves `"U"` over `"D"`
     * (op descending) — document-stable, engine-reproducible ordering, so
-    * retried jobs and any SQL twin agree row-for-row.
+    * retried jobs and any SQL twin agree row-for-row. Precondition: per
+    * key, (seq, op) pairs must be UNIQUE — two changes sharing
+    * (key, seq, op) with different payloads would leave the winner to an
+    * arbitrary `row_number` tiebreak. A well-formed CDC feed (one
+    * sequence per source transaction) satisfies this by construction.
     *
     * Shape at 100 TB: ONE shuffle — the union is exchange-free, and the
     * per-key window partitions on the key (AQE splits skewed keys). The
@@ -45,6 +49,12 @@ object ChangeOps {
     * lexicographic winner (higher seq, then U over D) the window picks in
     * the batch form. Feed base rows as `Long.MinValue`-sequence upserts to
     * reproduce the batch semantics exactly.
+    *
+    * Precondition: per key, (seq, op) pairs must be UNIQUE. Two changes
+    * sharing (key, seq, op) with different payloads would make the
+    * `max_by` winner arbitrary — retried jobs or the SQL twin could then
+    * disagree. A well-formed CDC feed (one sequence per source
+    * transaction) satisfies this by construction.
     *
     * On a streaming frame this is a standard stateful aggregation —
     * no watermark needed in update/complete mode, state is one row per

@@ -111,17 +111,30 @@ object TemporalOps {
     * Spark and DuckDB share), and each (cohort_week, week_offset) cell
     * counts the distinct users active that many weeks after their cohort
     * start. Scale shape mirrors the funnel: one partial-agg pins each
-    * user's cohort (|users| rows, broadcastable), a map-side probe tags
-    * every event, one partial-aggregated distinct count finishes — no
-    * window, no per-user sort.
+    * user's cohort (|users| rows), a probe tags every event, one
+    * partial-aggregated distinct count finishes — no window, no per-user
+    * sort.
+    *
+    * The cohort frame is one row per DISTINCT USER — small for a
+    * product-analytics tenant but unbounded in general, so the broadcast
+    * is opt-in via `broadcastCohorts` (default true, the analytics-scale
+    * fast path). At a user count past driver/broadcast limits pass
+    * `false`: both sides then shuffle-join on the user key — the same
+    * hash partitioning the cohort agg already produced, so the extra
+    * exchange is on the events side only.
     */
-  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      broadcastCohorts: Boolean = true
+  ): DataFrame = {
     val cohorts = events
       .groupBy(col(userCol))
       .agg(date_trunc("week", min(col(tsCol))).as("__cw"))
     events
       .select(col(userCol), date_trunc("week", col(tsCol)).as("__w"))
-      .join(broadcast(cohorts), Seq(userCol))
+      .join(if (broadcastCohorts) broadcast(cohorts) else cohorts, Seq(userCol))
       .groupBy(
         date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
         (datediff(col("__w"), col("__cw")) / 7).cast("long").as("week_offset"))

@@ -50,6 +50,13 @@ object Extensions {
     * independent. `newSession` shares the SparkContext but NOT runtime-set
     * SQL confs, so the fixture-critical ones are copied over explicitly.
     */
+  /** Test hook: the clone the most recent stream-parity query ran on.
+    * Sink views register in the CLONE's catalog, so hygiene specs must
+    * inspect this session — listing the base session's tables would pass
+    * vacuously even if `drainSink` stopped dropping the view.
+    */
+  @volatile private[graft] var lastStreamSession: SparkSession = _
+
   private def streamSession(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -59,6 +66,7 @@ object Extensions {
     s2.conf.set(
       "spark.sql.session.timeZone",
       s.conf.get("spark.sql.session.timeZone", "UTC"))
+    lastStreamSession = s2
     s2
   }
 
