@@ -65,6 +65,106 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Deterministic training-free coarse quantizer: the `nlist` lowest-id
+    * corpus vectors, collected as floats then quantized driver-side with
+    * the same floor(x*1000+0.5) rule as the plan-side vectors — so the
+    * whole assignment + ranking pipeline downstream is exact integer math
+    * (engine-neutral). `nlist × dim` longs must stay driver-small (they
+    * are the model, not the data).
+    */
+  def sampleCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int
+  ): Array[Seq[Long]] =
+    corpus
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+
+  /** TRAINED coarse quantizer: fixed-iteration distributed Lloyd's k-means
+    * over the quantized vectors, seeded by [[sampleCentroids]] (the
+    * deterministic init). Each iteration is ONE Spark job with the
+    * IVF assignment shape itself: a map-side nearest-centroid argmin
+    * (distances to a broadcast literal centroid matrix, exact integer
+    * squared-L2), then a single combine-friendly (cell, dim) aggregation
+    * whose output is `nlist × dim` rows — the only thing collected, the
+    * model, never the data. No mllib, no RDDs, no per-row UDF.
+    *
+    * Exactness: members' quantized coordinates are integers, so the cell
+    * sums are order-independent; the new coordinate is
+    * floor(sum/n + 0.5) — one correctly-rounded double division of exact
+    * integers, bit-identical in any engine (the module's half-up
+    * convention), so a SQL twin can replay training verbatim. Empty cells
+    * keep their previous centroid (standard Lloyd's degenerate-cell rule),
+    * deterministically. The iteration count is FIXED, not convergence-
+    * tested: convergence thresholds reintroduce float comparisons and make
+    * the oracle a moving target; at 100 TB each extra iteration is one
+    * linear scan, so the caller budgets them explicitly.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): Array[Seq[Long]] = {
+    require(iters >= 0, "iters must be >= 0")
+    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    for (_ <- 1 to iters) {
+      val cmat = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = corpus
+        .select(quantize(col(vecCol)).as("q"))
+        .withColumn("__d", distancesTo(cmat, col("q")))
+        .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+        .drop("__d")
+      // fence before the posexplode: `q` is a BUILT array (quantize) with a
+      // single consumer — unfenced, the transform inlines into Generate and
+      // re-evaluates per emitted element (dim× work per row; see PlanOps)
+      val sums = graft.ops.PlanOps
+        .fence(assigned)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .select(
+          col("cell"),
+          col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double") + 0.5).cast("long").as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.indices.map { cell =>
+        val next = sums.getOrElse(cell, cents(cell))
+        require(next.length == dim, s"cell $cell: dim drift ${next.length} vs $dim")
+        next
+      }.toArray
+    }
+    cents
+  }
+
+  /** Squared-L2 distances of `vec` to every row of the literal centroid
+    * matrix `cmat`, via ONE nested-array literal probed by HOFs —
+    * per-centroid literal expression subtrees would generate (and at each
+    * new centroid set, regenerate) enormous codegen methods; a single
+    * typedLit keeps the plan small and data-independent in shape.
+    */
+  private def distancesTo(cmat: Column, vec: Column): Column =
+    transform(
+      cmat,
+      c =>
+        aggregate(
+          zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+          lit(0L),
+          (acc, v) => acc + v
+        )
+    )
+
   /** IVF-style approximate nearest neighbors: a coarse quantizer assigns
     * every corpus vector to its nearest centroid (one cell id per vector,
     * computed map-side); each query probes its `nprobe` nearest cells and
@@ -72,10 +172,12 @@ object Similarity {
     * only corpus-wide movement — candidate volume is the probed cells'
     * population, not the corpus.
     *
-    * Centroids here are a deterministic sample (the `nlist` lowest-id
-    * vectors) collected to the driver — the coarse quantizer is model state
-    * by nature (FAISS trains it with k-means; sampling is the training-free
-    * variant, same plan shape). `nlist × dim` floats must stay driver-small.
+    * The coarse quantizer is model state by nature. Pass `trainIters = 0`
+    * for the training-free deterministic sample ([[sampleCentroids]],
+    * FAISS's `nlist`-sample shape) or `> 0` for fixed-iteration Lloyd's
+    * training ([[kmeansCentroids]]) — same serving plan either way, the
+    * trained centroids just partition the space better (higher recall at
+    * equal nprobe; audited in SimilaritySpec).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -84,42 +186,24 @@ object Similarity {
       vecCol: String,
       nlist: Int,
       nprobe: Int,
-      k: Int
+      k: Int,
+      trainIters: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    // centroids are collected as floats then quantized driver-side with the
-    // same floor(x*1000+0.5) rule as the plan-side vectors, so the whole
-    // assignment + ranking pipeline is exact integer math (engine-neutral)
-    val centroids: Array[Seq[Long]] = corpus
-      .orderBy(col(idCol))
-      .limit(nlist)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+    val centroids: Array[Seq[Long]] =
+      if (trainIters == 0) sampleCentroids(corpus, idCol, vecCol, nlist)
+      else kmeansCentroids(corpus, idCol, vecCol, nlist, trainIters)
     // a corpus smaller than nlist yields fewer centroids; probing cells that
     // don't exist would zip_with null-padded distances and silently drop
     // neighbors, so clamp the cell count to what was actually collected
     val cells = centroids.length
     val probes = math.min(nprobe, cells)
 
-    // squared-L2 distances via ONE nested-array literal probed by HOFs —
-    // per-centroid literal expression subtrees would generate (and at each
-    // new centroid set, regenerate) enormous codegen methods; a single
-    // typedLit keeps the plan small and data-independent in shape. The
-    // distance array is staged as an attribute before the argmin so it
-    // evaluates once (SCALING.md expression staging).
+    // the distance array is staged as an attribute before the argmin so it
+    // evaluates once (SCALING.md expression staging)
     val cmat = typedLit(centroids.map(_.toSeq).toSeq)
-    def distances(vec: Column): Column =
-      transform(
-        cmat,
-        c =>
-          aggregate(
-            zip_with(vec, c, (x, y) => (x - y) * (x - y)),
-            lit(0L),
-            (acc, v) => acc + v
-          )
-      )
+    def distances(vec: Column): Column = distancesTo(cmat, vec)
 
     val c = corpus
       .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))

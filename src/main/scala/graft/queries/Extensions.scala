@@ -357,6 +357,15 @@ object Extensions {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         nlist = 16, nprobe = 4, k = 5)
     },
+    // TRAINED IVF: two fixed Lloyd's iterations refine the sampled coarse
+    // quantizer before serving — the oracle replays the training verbatim
+    // (each iteration unrolled as assign→mean CTEs, the text_bpe_merges
+    // pattern), so centroid drift between engines would hash-mismatch.
+    "ann_ivf_kmeans" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nlist = 8, nprobe = 2, k = 5, trainIters = 2)
+    },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -2247,6 +2256,82 @@ object Extensions {
           SELECT vec_id AS query_id, cell FROM (
             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
             FROM cdist WHERE vec_id < 10) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+          FROM qprobe p JOIN assign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ), scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), ranked AS (
+          SELECT query_id, cand_id, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
+    "ann_ivf_kmeans" ->
+      (qzCte + s"""
+        , c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 8)
+        )
+        -- Lloyd's iteration 1: assign to nearest c0 centroid, re-mean
+        , d1 AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c0 c
+        ), a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d1) WHERE rn = 1
+        ), m1 AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a1 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
+          GROUP BY a.cell, t.i
+        ), n1 AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m1 GROUP BY cell
+        ), c1 AS (
+          SELECT cell, cq FROM n1
+          UNION ALL
+          SELECT c.cell, c.cq FROM c0 c WHERE c.cell NOT IN (SELECT cell FROM n1)
+        )
+        -- Lloyd's iteration 2
+        , d2 AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c1 c
+        ), a2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d2) WHERE rn = 1
+        ), m2 AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a2 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
+          GROUP BY a.cell, t.i
+        ), n2 AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m2 GROUP BY cell
+        ), c2 AS (
+          SELECT cell, cq FROM n2
+          UNION ALL
+          SELECT c.cell, c.cq FROM c1 c WHERE c.cell NOT IN (SELECT cell FROM n2)
+        )
+        -- serving under the trained quantizer (same shape as ann_ivf_topk)
+        , cdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c2 c
+        ), assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist) WHERE rn = 1
+        ), qprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist WHERE vec_id < 10) WHERE rn <= 2
         ), cand AS (
           SELECT DISTINCT p.query_id, a.vec_id AS cand_id
           FROM qprobe p JOIN assign a ON a.cell = p.cell

@@ -179,6 +179,122 @@ class SimilaritySpec extends SparkSpecBase {
     assert(s1 == s2)
   }
 
+  test("kmeansCentroids converges to the exact cluster means on separated clusters") {
+    // two tight clusters far apart: Lloyd's from the 2 lowest-id seeds
+    // (one per cluster here) must land each centroid on its cluster's
+    // exact quantized mean within one iteration and stay there
+    val df = Seq(
+      (1L, Seq(10.0f, 0.0f)), (3L, Seq(10.2f, 0.2f)), (5L, Seq(9.8f, -0.2f)),
+      (2L, Seq(-10.0f, 0.0f)), (4L, Seq(-10.2f, 0.2f)), (6L, Seq(-9.8f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansCentroids(df, "vec_id", "embedding", nlist = 2, iters = 2)
+    // cluster A = {10000, 10200, 9800} → mean 10000; dims likewise
+    assert(got(0) == Seq(10000L, 0L), s"cluster A centroid: ${got(0)}")
+    assert(got(1) == Seq(-10000L, 0L), s"cluster B centroid: ${got(1)}")
+    // idempotence: more iterations do not move converged centroids
+    val more = Similarity.kmeansCentroids(df, "vec_id", "embedding", nlist = 2, iters = 4)
+    assert(more.toSeq == got.toSeq)
+  }
+
+  test("kmeansCentroids: an empty cell keeps its previous centroid") {
+    // both seeds sit in one cluster; every vector assigns to the nearer
+    // seed, the other cell empties and must retain its seed coordinates
+    val df = Seq(
+      (1L, Seq(10.0f, 0.0f)), (2L, Seq(10.0f, 0.1f)),
+      (3L, Seq(10.0f, 0.2f)), (4L, Seq(10.0f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansCentroids(df, "vec_id", "embedding", nlist = 2, iters = 1)
+    // seed 0 = v1 (10000, 0), seed 1 = v2 (10000, 100); members split
+    // {v1} / {v2,v3,v4} → means (10000,0) and (10000,200): no empty cell
+    // yet — force one with iters=2 where cell 0 captures only v1 again
+    assert(got.length == 2)
+    // the real assertion: a corpus whose vectors ALL sit at one seed
+    val one = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.kmeansCentroids(one, "vec_id", "embedding", nlist = 2, iters = 3)
+    assert(c(0) == Seq(1000L, 0L))
+    assert(c(1) == Seq(1000L, 0L), "cell 1 emptied; must keep its seed (v2 == v1 here)")
+  }
+
+  // ---- ANN quality audit on the real embeddings fixture -----------------
+  // recall@k of each approximate path against the exact brute-force ranks:
+  // the quality evidence the plan-shape tests can't give. Floors are
+  // empirical on the sf0.001 fixture (500 × 64-dim vectors, 10 queries)
+  // minus a safety margin; a regression in bucketing/probing/training
+  // drops recall far below them.
+  private lazy val fixtureEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def recallAtK(approx: Array[(Long, Long)], exact: Array[(Long, Long)]): Double = {
+    val a = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val e = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = e.toSeq.map { case (q, ids) =>
+      a.getOrElse(q, Set.empty[Long]).intersect(ids).size.toDouble / ids.size
+    }
+    per.sum / per.size
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+    df.select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("ANN recall@5 on the embeddings fixture: floors hold; trained IVF >= sampled IVF") {
+    val e = fixtureEmb
+    val q = e.filter($"vec_id" < 10)
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val lsh = recallAtK(
+      pairs(Similarity.lshBucketTopK(e, q, "vec_id", "embedding", dim = 64, planes = 6, k = 5, multiProbe = true)),
+      exact)
+    val ivfSampled = recallAtK(
+      pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", nlist = 8, nprobe = 2, k = 5)),
+      exact)
+    val ivfTrained = recallAtK(
+      pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", nlist = 8, nprobe = 2, k = 5, trainIters = 2)),
+      exact)
+    val int8 = recallAtK(
+      pairs(Similarity.int8TopK(e, q, "vec_id", "embedding", k = 5)),
+      exact)
+    // measured on the fixture: lsh 0.24, ivf sampled/trained 0.86, int8
+    // 0.68 — floors sit a margin below. The fixture embeddings are
+    // near-uniform, so training neither helps nor hurts here (the
+    // clustered audit below is where it must win); 6-plane SRP on
+    // near-random 64-dim vectors is inherently low-signal, hence the
+    // modest lsh floor.
+    info(f"recall@5 — lsh(multiProbe)=$lsh%.2f ivf(sampled)=$ivfSampled%.2f ivf(trained)=$ivfTrained%.2f int8=$int8%.2f")
+    assert(ivfTrained >= ivfSampled,
+      f"training must not lose recall: trained=$ivfTrained%.2f < sampled=$ivfSampled%.2f")
+    assert(lsh >= 0.15, f"lsh multi-probe recall@5 $lsh%.2f below floor")
+    assert(ivfSampled >= 0.70, f"sampled-IVF recall@5 $ivfSampled%.2f below floor")
+    assert(ivfTrained >= 0.70, f"trained-IVF recall@5 $ivfTrained%.2f below floor")
+    assert(int8 >= 0.50, f"int8 recall@5 $int8%.2f below floor")
+  }
+
+  test("trained IVF strictly beats the sampled quantizer on clustered data with skewed seeds") {
+    // 4 tight clusters (center 100·e_c, deterministic jitter ±5), ids
+    // ordered so the 4 LOWEST ids — the sampled seeds — all sit in
+    // cluster 0: the adversarial case for the training-free quantizer
+    // (its Voronoi cells cut the other clusters arbitrarily). Lloyd's
+    // iterations must recover the true clusters and lift recall to 1.
+    val dim = 16; val perC = 50
+    val rows = (0 until 4 * perC).map { id =>
+      val c = id / perC
+      val v = (0 until dim).map { d =>
+        val base = if (d == c) 100.0f else 0.0f
+        base + ((id * 31 + d * 7) % 11 - 5).toFloat
+      }
+      (id.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" % perC === 25) // one mid-cluster query per cluster
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val sampled = recallAtK(
+      pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", nlist = 4, nprobe = 1, k = 5)),
+      exact)
+    val trained = recallAtK(
+      pairs(Similarity.ivfTopK(e, q, "vec_id", "embedding", nlist = 4, nprobe = 1, k = 5, trainIters = 2)),
+      exact)
+    info(f"clustered recall@5 — sampled=$sampled%.2f trained=$trained%.2f")
+    assert(trained > sampled, f"training must win on clustered data: $trained%.2f <= $sampled%.2f")
+    assert(trained >= 0.99, f"trained-IVF must fully recover the clusters, got $trained%.2f")
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
