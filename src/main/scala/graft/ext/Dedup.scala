@@ -252,6 +252,73 @@ object Dedup {
       .distinct() // a pair collides in several bands; report it once
   }
 
+  /** The corpus half of [[minhashLshProbePairs]] as a standalone
+    * (band, bh, corpus_id) frame — the LSH index itself, computed once.
+    * [[persistLshIndex]] writes it bucketed; a caller that wants to manage
+    * persistence differently (Delta, Iceberg, a stream's `foreachBatch`
+    * state table) takes this frame and stores it however it likes.
+    */
+  def lshIndex(
+      corpus: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): DataFrame =
+    capBuckets(
+      bandedIds(corpus, idCol, textCol, n, k, bands).repartition(col("band"), col("bh")),
+      Seq("band", "bh"),
+      maxBucket
+    ).select(col("band"), col("bh"), col("id").as("corpus_id"))
+
+  /** LAYOUT TIME — paid once per corpus refresh: persist the LSH index as
+    * a parquet table bucketed+sorted on (band, bh), the probe join's key.
+    * Every subsequent batch probe then reads the corpus side EXCHANGE-FREE
+    * (the bucketed scan already satisfies the join's clustering); only the
+    * batch's own (small) band frame shuffles. At 100 TB this turns per-batch
+    * cost from O(corpus signatures + corpus shuffle) into O(batch).
+    */
+  def persistLshIndex(
+      corpus: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      table: String,
+      buckets: Int,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): Unit =
+    graft.sources.Sources.writeBucketed(
+      lshIndex(corpus, idCol, textCol, n, k, bands, maxBucket),
+      table, buckets, "band", "bh")
+
+  /** QUERY TIME — paid per batch, corpus side exchange-free: probe a
+    * [[persistLshIndex]] table with an incoming batch. Identical pair
+    * semantics to [[minhashLshProbePairs]] (cross-side collisions only,
+    * each pair once); the only difference is WHERE the corpus index comes
+    * from — the persisted bucketed table instead of a recompute.
+    * PlanAuditSpec asserts the probe join plans with no exchange above the
+    * index scan.
+    */
+  def probeLshIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4
+  ): DataFrame =
+    bandedIds(incoming, idCol, textCol, n, k, bands)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(s.table(table), Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct() // a pair collides in several bands; report it once
+
   /** One (id, band, bh) row per document per band — the LSH bucket keys the
     * pair self-join runs on.
     */

@@ -151,6 +151,30 @@ object Extensions {
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
     },
+    // the PERSISTED-index form of dedup_incremental: the corpus (band,bh)
+    // index is written bucketBy(band,bh) once (layout time) and the batch
+    // probe joins it exchange-free on the corpus side (query time) — the
+    // production shape at 100 TB, where re-deriving the index per batch
+    // would redo O(corpus) signature work. Same pairs, same oracle.
+    "dedup_incremental_bucketed" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.persistLshIndex(
+        corpus, col("doc_id"), col("text"), table = "graft_lsh_idx", buckets = 8,
+        n = 3, k = 8, bands = 4)
+      val cands = Dedup.probeLshIndex(
+        s, "graft_lsh_idx", incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+    },
     // cluster resolution: LSH candidates -> connected components -> one
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
@@ -1744,6 +1768,9 @@ object Extensions {
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
     "dedup_incremental" -> incrementalProbeSql,
+    // the persisted-bucketed probe is an EXECUTION-layout variant: the
+    // pair set is defined identically, so the oracle is shared verbatim
+    "dedup_incremental_bucketed" -> incrementalProbeSql,
     // the streaming stream-static probe must reduce to the batch answer
     "stream_incremental_parity" -> incrementalProbeSql,
     "dedup_clusters" ->

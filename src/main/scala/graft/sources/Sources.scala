@@ -80,7 +80,7 @@ object Sources {
     * runs every day on the same keys"). Requires `saveAsTable` (bucketing
     * metadata lives in the catalog).
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String, moreKeys: String*): Unit = {
     val s = df.sparkSession
     // The name flows into both SQL and a recursive delete: restrict it to a
     // plain unqualified identifier (a qualified `db.tbl` would resolve to a
@@ -106,8 +106,8 @@ object Sources {
     if (fs.exists(stale)) fs.delete(stale, true)
     df.write
       .mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -88,4 +88,28 @@ class PlanAuditSpec extends SparkSpecBase {
           s"$q exchanges after payload synthesis:\n$plan")
     }
   }
+
+  test("persisted LSH index probe: the corpus side joins exchange-free off the bucketed scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.persistLshIndex(
+      corpus, col("doc_id"), col("text"), table = "graft_lsh_idx_audit", buckets = 8)
+    // broadcast would hide the bucketing story at fixture scale — force the
+    // sort-merge path a 100 TB index would take
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = Dedup.probeLshIndex(
+        spark, "graft_lsh_idx_audit", incoming, col("doc_id"), col("text"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"probe did not sort-merge:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"index scan is not bucketed:\n$plan")
+      // exactly ONE (band, bh)-keyed exchange: the incoming batch aligning
+      // to the index's bucketing. A second would mean the corpus index —
+      // the 100 TB side — re-shuffled despite the persisted layout.
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1, s"expected 1 batch-side exchange, got $bandExchanges:\n$plan")
+    }
+  }
 }
