@@ -295,6 +295,41 @@ object Dedup {
       lshIndex(corpus, idCol, textCol, n, k, bands, maxBucket),
       table, buckets, "band", "bh")
 
+  /** MAINTENANCE TIME — paid per ingested batch: append the batch's own
+    * (band, bh, id) rows into a [[persistLshIndex]] table, so LATER
+    * batches' probes can match THIS batch's documents. The write appends
+    * new bucketed files under the same (band, bh) spec — the table stays
+    * exchange-free for every future probe; no rewrite of existing files.
+    * (`buckets` must equal the table's layout; Spark validates on append.)
+    * Probe-then-append per batch is the full index-maintenance cycle — the
+    * `foreachBatch` production shape `stream_index_maintain` exercises.
+    *
+    * CACHE CAVEAT: the append invalidates the relation cache of the
+    * session it WRITES through (`incoming`'s). Any OTHER session that
+    * already read the table holds a stale cached file listing and will
+    * silently miss the appended bands — call
+    * `session.catalog.refreshTable(table)` in the probing session after an
+    * append from elsewhere (inside `foreachBatch`, the batch frame belongs
+    * to the stream-execution clone, not the session that built the query).
+    */
+  def appendLshIndex(
+      incoming: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      table: String,
+      buckets: Int,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4
+  ): Unit =
+    lshIndex(incoming, idCol, textCol, n, k, bands)
+      .write
+      .mode("append")
+      .bucketBy(buckets, "band", "bh")
+      .sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** QUERY TIME — paid per batch, corpus side exchange-free: probe a
     * [[persistLshIndex]] table with an incoming batch. Identical pair
     * semantics to [[minhashLshProbePairs]] (cross-side collisions only,

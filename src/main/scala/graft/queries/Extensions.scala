@@ -902,6 +902,82 @@ object Extensions {
       // parity shape (same as stream_lsh_parity)
       drainSink(s, sink)(_.distinct())
     },
+    // twelfth stream/batch parity surface: the END-TO-END incremental-dedup
+    // MAINTENANCE loop. Each foreachBatch cycle (the production shape the
+    // incremental family implies): probe the PERSISTED bucketed index →
+    // verify with exact Jaccard → append the batch's own bands back into
+    // the index — so batch B's docs can match batch A's, which the
+    // stateless stream-static probe cannot do. The drained pair set must
+    // hash-match a batch oracle where (a, b) pairs exactly when a arrived
+    // strictly after b (corpus = epoch 0, batch A = 1, batch B = 2).
+    "stream_index_maintain" -> { (s0, dir) =>
+      // micro-batch work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      // incoming class 2 (mod 5), split A/B on mod 10: at sf0.01 this puts
+      // the near-dup pair (72, 377) in DIFFERENT stream batches, so one
+      // emitted pair exists ONLY because batch A's bands were appended —
+      // the split that actually witnesses the append-back semantics
+      // (incoming %5==0 had no cross-batch near-dups in the fixture)
+      val corpus = docsDf.filter(col("doc_id") % 5 =!= 2)
+      val table = "graft_lsh_maint"
+      // layout time: overwrite resets the index each invocation (bench runs
+      // the query three times in one JVM; a stale appended index would
+      // double-count batch A)
+      Dedup.persistLshIndex(
+        corpus, col("doc_id"), col("text"), table, buckets = 8, n = 3, k = 8, bands = 4)
+      // static verify store (harness simplification shared by the other
+      // stream surfaces: production would co-persist a doc/gram store)
+      val g = Dedup.shingled(docsDf, col("doc_id"), col("text"), 3)
+      val outDir = Scratch.dir("lsh_maint", dir)
+      Scratch.reset(outDir)
+      val batchA: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val batchB: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read twice: probe, then append
+          try {
+            // the APPEND runs under the stream-execution clone's session
+            // (the batch frame's), which invalidates only ITS relation
+            // cache — this session's cached file listing for the table
+            // goes stale after cycle 1 and the probe would silently miss
+            // every previously-appended band (observed: the cross-batch
+            // pair dropped). Refresh HERE, in the session the probe reads
+            // through, once per cycle.
+            s.catalog.refreshTable(table)
+            // probe BEFORE append: the verified write materializes first,
+            // so this batch never pairs with itself (matches the oracle's
+            // strict arrival order)
+            val cands = Dedup.probeLshIndex(
+              s, table, b, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+            cands
+              .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+              .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+              .select(
+                col("new_id"), col("corpus_id"),
+                Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+              .filter(col("jac_raw") >= 0.7)
+              .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+              .write.mode("append").parquet(outDir)
+            Dedup.appendLshIndex(
+              b, col("doc_id"), col("text"), table, buckets = 8, n = 3, k = 8, bands = 4)
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        mem.addData(batchA.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(batchB.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+    },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
     // max_by aggregation (complete mode, no watermark — state is one row
     // per key, planned by Catalyst, no custom state code). The drained
@@ -1773,6 +1849,27 @@ object Extensions {
     "dedup_incremental_bucketed" -> incrementalProbeSql,
     // the streaming stream-static probe must reduce to the batch answer
     "stream_incremental_parity" -> incrementalProbeSql,
+    // maintenance-loop parity: (a, b) pairs exactly when a ARRIVED strictly
+    // after b — corpus is epoch 0, stream batch A (doc_id%10=2) is 1,
+    // batch B (doc_id%10=7) is 2. Same banding and verify tail as the
+    // other incremental oracles. At sf0.01 the pair (377 -> 72) crosses
+    // the two stream batches: it is emitted ONLY via the append-back.
+    "stream_index_maintain" ->
+      (gramsCte + sigBandedCte + """
+        , cands AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+          WHERE (CASE WHEN a.doc_id % 5 <> 2 THEN 0 WHEN a.doc_id % 10 = 2 THEN 1 ELSE 2 END)
+              > (CASE WHEN b.doc_id % 5 <> 2 THEN 0 WHEN b.doc_id % 10 = 2 THEN 1 ELSE 2 END)
+        )
+        SELECT new_id, corpus_id,
+          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
+        FROM cands
+        JOIN g ga ON ga.doc_id = new_id
+        JOIN g gb ON gb.doc_id = corpus_id
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
     "dedup_clusters" ->
       (clusterChainSql + """
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),

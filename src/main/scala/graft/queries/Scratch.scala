@@ -20,6 +20,12 @@ object Scratch {
     created.forEach(p => deleteRecursively(new java.io.File(p)))
   }))
 
+  /** Delete a scratch path's CURRENT contents now (for queries that append
+    * into a dir and re-run within one JVM — bench's warmup + two timed
+    * passes would otherwise accumulate duplicate rows).
+    */
+  def reset(path: String): Unit = deleteRecursively(new java.io.File(path))
+
   /** `/tmp/graft_cache/<tag>_<pid>_<sanitized key>`, registered for
     * deletion at JVM exit.
     */
