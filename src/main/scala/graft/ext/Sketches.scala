@@ -198,4 +198,76 @@ object Sketches {
           .as("est_distinct")
       )
   }
+
+  /** Mergeable quantile sketch, KLL-style level structure with the coin
+    * flips DERANDOMIZED: an item survives to sampling level ℓ iff
+    * `md5(key) mod 2^ℓ == 0` — the same geometric thinning KLL's
+    * compactors apply probabilistically, but as a pure function of the
+    * item's key (Bar-Yossef-style hash subsampling). Consequences, each
+    * the reason the derandomization was chosen over textbook KLL:
+    *
+    *   - ENGINE-REPRODUCIBLE: any engine with md5 builds the identical
+    *     sketch, so the DuckDB oracle replays it bit-for-bit.
+    *   - ORDER-INDEPENDENT: the sketch is a function of the multiset, not
+    *     the arrival order — retried/repartitioned jobs agree exactly.
+    *   - TRIVIALLY MERGEABLE: sketch(A ∪ B) == sketch(A) ∪ sketch(B)
+    *     bit-for-bit at equal levels ([[kllMerge]]); to merge sketches at
+    *     different levels, re-filter the finer one with the coarser gate —
+    *     still exact equality, asserted in SketchesSpec.
+    *
+    * Each surviving row carries weight 2^ℓ. Expected size is n/2^ℓ; rank
+    * error is the sampling error O(√(n·2^ℓ)) w.h.p. — the accuracy audit
+    * against [[Stats.exactQuantiles]] lives in SketchesSpec. Map-only:
+    * the gate is a per-row filter, nothing shuffles until the (bounded)
+    * sketch is queried.
+    *
+    * @param keyCol unique per OCCURRENCE (a row id), so duplicate values
+    *               sample independently — hashing the value itself would
+    *               keep or drop all duplicates together
+    */
+  def kllSketch(df: DataFrame, valueCol: Column, keyCol: Column, level: Int): DataFrame = {
+    require(level >= 0 && level < 32, "level must be in [0, 32)")
+    df.select(valueCol.as("v"), keyCol.cast("string").as("k"))
+      .filter(col("v").isNotNull)
+      .filter(graft.ops.Hashing.md5Mod(col("k"), 1L << level) === 0)
+      .select(col("v"), col("k"), lit(1L << level).as("w"))
+  }
+
+  /** Merge two [[kllSketch]]es built at levels `levelA` and `levelB`:
+    * the coarser gate re-filters the finer sketch (a level-ℓ survivor is a
+    * level-(ℓ+1) survivor iff its hash also clears the wider modulus), so
+    * the result is EXACTLY the sketch of the union at max(levelA, levelB)
+    * — no approximation stacking, unlike randomized-compaction merges.
+    */
+  def kllMerge(a: DataFrame, levelA: Int, b: DataFrame, levelB: Int): DataFrame = {
+    val lvl = math.max(levelA, levelB)
+    def lift(s: DataFrame): DataFrame =
+      s.filter(graft.ops.Hashing.md5Mod(col("k"), 1L << lvl) === 0)
+        .withColumn("w", lit(1L << lvl))
+    lift(a).unionByName(lift(b))
+  }
+
+  /** Quantile estimates from a [[kllSketch]]: for each probability q, the
+    * sketch's own q-quantile — the element at rank max(1, ceil(q·m)) of
+    * the sample sorted by (value, key), m = sample size. The (value, key)
+    * order makes tie handling deterministic in any engine. The global
+    * window is LEGAL here because it ranks the SKETCH (expected n/2^ℓ
+    * rows, the bounded object the operator exists to produce), never the
+    * input.
+    */
+  def kllQuantiles(sketch: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val s = sketch.sparkSession
+    import s.implicits._
+    val ranked = sketch
+      .withColumn("r", row_number().over(Window.orderBy(col("v"), col("k"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .select(col("v"), col("r"), col("m"))
+      .join(
+        broadcast(probs.toDF("prob")),
+        col("r") === greatest(lit(1L), ceil(col("prob") * col("m")).cast("long")))
+      .select(col("prob"), col("v").as("est"))
+  }
 }

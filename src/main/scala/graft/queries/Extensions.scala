@@ -1427,6 +1427,15 @@ object Extensions {
     "sketch_hll_registers" -> { (s, dir) =>
       Sketches.hllRegisters(t(s, dir, "orders"), col("o_custkey"), p = 8)
     },
+    // mergeable quantile sketch (KLL-style levels, hash-derandomized):
+    // level-4 gate keeps ~1/16 of orders at weight 16; deciles read off
+    // the (value, key)-ranked sample. Engine-exact: the md5 gate, the
+    // string-keyed tie order, and the double ceil all replay in DuckDB.
+    "sketch_kll_quantiles" -> { (s, dir) =>
+      val sk = Sketches.kllSketch(
+        t(s, dir, "orders"), col("o_totalprice"), col("o_orderkey"), level = 4)
+      Sketches.kllQuantiles(sk, (1 to 9).map(_ / 10.0))
+    },
     // Bloom-filter membership (one-sided error): build the bit set over
     // custkeys that have orders, probe every customer, and ride the exact
     // membership along as the audit column — rows where maybe=true but
@@ -2939,6 +2948,21 @@ object Extensions {
            GROUP BY pp.item)
          SELECT m.item AS custkey, m.maybe, (bk.item IS NOT NULL) AS actual
          FROM mb m LEFT JOIN bk ON m.item = bk.item""",
+    // the gate, the string-keyed tie order, and the DOUBLE ceil (the list
+    // literal is cast to DOUBLE[] — DuckDB's default DECIMAL probs would
+    // round ceil(0.3*m) differently from IEEE doubles) replay the engine
+    "sketch_kll_quantiles" ->
+      """WITH s AS (
+           SELECT o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+         ), r AS (
+           SELECT v, row_number() OVER (ORDER BY v, k) AS r, count(*) OVER () AS m FROM s
+         ), p AS (
+           SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[])) AS prob
+         )
+         SELECT p.prob, r.v AS est
+         FROM p JOIN r ON r.r = greatest(1, CAST(ceil(p.prob * r.m) AS BIGINT))""",
     "text_bm25_topk" -> {
       val terms = Seq("spark", "query", "window")
       val k1 = 1.2

@@ -197,4 +197,49 @@ class SketchesSpec extends SparkSpecBase {
     assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
     assert(a.getAs[Long]("kth_min") == b.getAs[Long]("kth_min"))
   }
+
+  // ---- KLL-style quantile sketch ----------------------------------------
+
+  test("kllSketch is a pure function of the multiset: merge equals sketch-of-union, bit-for-bit") {
+    val a = spark.range(0, 4000).select(($"id" * 37 % 1000).cast("double").as("v"), $"id".as("k"))
+    val b = spark.range(4000, 9000).select(($"id" * 91 % 1000).cast("double").as("v"), $"id".as("k"))
+    val whole = Sketches.kllSketch(a.unionByName(b), $"v", $"k", level = 3)
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val merged = Sketches.kllMerge(
+        Sketches.kllSketch(a, $"v", $"k", level = 3), 3,
+        Sketches.kllSketch(b, $"v", $"k", level = 3), 3)
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(merged == whole, "equal-level merge must equal the union's sketch exactly")
+    // mixed levels: the coarser gate re-filters the finer sketch — still
+    // exact equality with the union sketched at the coarser level
+    val mixed = Sketches.kllMerge(
+        Sketches.kllSketch(a, $"v", $"k", level = 2), 2,
+        Sketches.kllSketch(b, $"v", $"k", level = 4), 4)
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val whole4 = Sketches.kllSketch(a.unionByName(b), $"v", $"k", level = 4)
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(mixed == whole4, "mixed-level merge must equal the union's sketch at the coarser level")
+  }
+
+  test("kllQuantiles rank error vs the exact quantiles stays within the sampling bound") {
+    // real fixture values: lineitem extendedprice at sf0.001 (6005 rows);
+    // level 3 keeps ~1/8 (~750 samples) — sampling theory puts the rank
+    // error around 1/sqrt(m) ~ 3.7%; assert a 6% ceiling with margin.
+    // A regression in the gate, the tie order, or the rank selection
+    // blows far past it.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"), concat(col("l_orderkey"), lit("_"), col("l_linenumber")).as("k"))
+    val probs = (1 to 9).map(_ / 10.0)
+    val est = Sketches.kllQuantiles(Sketches.kllSketch(li, $"v", $"k", level = 3), probs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(est.size == probs.size, s"one estimate per prob, got ${est.size}")
+    val exact = li.select($"v").collect().map(_.getDouble(0)).sorted
+    val n = exact.length
+    for (p <- probs) {
+      // the estimate's true rank fraction must sit near p
+      val rank = exact.count(_ <= est(p)).toDouble / n
+      assert(math.abs(rank - p) <= 0.06,
+        f"quantile $p: estimate ${est(p)}%.2f has rank $rank%.3f (err ${math.abs(rank - p)}%.3f)")
+    }
+  }
 }
