@@ -327,6 +327,57 @@ object Extensions {
             6
           ).as("mean_score"))
     },
+    // data card v2 — the columns a real training-data report needs on top
+    // of counts/tokens/quality: per-(split, lang) NEAR-DUP RATE (docs in a
+    // verified LSH pair) and CONTAMINATION FRACTION (docs over the eval-
+    // overlap threshold), composed from the same dedup and decontaminate
+    // operators the standalone queries run — one definition, shared oracle
+    // CTEs, so the report cannot drift from the gates it summarizes
+    "corpus_data_card_v2" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val docsPar = tPar(s, dir, "documents")
+      val prof = graft.ops.PlanOps
+        .fence(TextStats.profileNativeDF(docs, col("doc_id"), col("text")))
+      val split = Curation.hashSplit(
+        prof, col("doc_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      val cands = Dedup.minhashLshPairs(
+        docsPar, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      val ver = cands
+        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
+        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
+        .filter(Dedup.jaccard(col("g_lo"), col("g_hi")) >= 0.7)
+      val dupIds = ver.select(col("id_lo").as("doc_id"))
+        .unionByName(ver.select(col("id_hi").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(true))
+      val deco = Curation.decontaminate(
+          docsPar.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          docsPar.filter(col("doc_id") % 50 === 0), col("text"),
+          n = 5, threshPct = 10)
+        .select(col("doc_id"), col("contaminated"))
+      split
+        .join(dupIds, Seq("doc_id"), "left")
+        .join(deco, Seq("doc_id"), "left")
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(
+            sum(round(col("score") * 10000).cast("long")) / (count(lit(1)) * lit(10000.0)),
+            6
+          ).as("mean_score"),
+          sum(coalesce(col("is_dup"), lit(false)).cast("long")).as("n_near_dup"),
+          round(
+            sum(coalesce(col("is_dup"), lit(false)).cast("long")) / count(lit(1)).cast("double"),
+            6
+          ).as("near_dup_rate"),
+          sum(coalesce(col("contaminated"), lit(false)).cast("long")).as("n_contaminated"),
+          round(
+            sum(coalesce(col("contaminated"), lit(false)).cast("long")) / count(lit(1)).cast("double"),
+            6
+          ).as("contaminated_frac"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -1977,6 +2028,54 @@ object Extensions {
             round(sum(CAST(round(score * 10000) AS BIGINT)) / (count(*) * 10000.0), 6)
               AS mean_score
           FROM sp GROUP BY 1, 2"""),
+    // v2 composes the verified-pair chain (gramsCte + banding, verbatim
+    // from the dedup oracles) and the decontaminate chain (5-grams off the
+    // SAME w CTE) under the v1 profile/split — shared CTEs, no drift
+    "corpus_data_card_v2" ->
+      (profileCte + gramsCte.replaceFirst("""\s*WITH""", ", ") + sigBandedCandsCte + """
+          , ver AS (
+            SELECT id_lo, id_hi FROM cands
+            JOIN g ga ON ga.doc_id = id_lo
+            JOIN g gb ON gb.doc_id = id_hi
+            WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7
+          ), dup AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT id_lo AS doc_id FROM ver UNION ALL SELECT id_hi AS doc_id FROM ver)
+          ), g5 AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+              i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS grams5 FROM w
+          ), bg AS (SELECT DISTINCT unnest(grams5) AS gram FROM g5 WHERE doc_id % 50 = 0
+          ), contam AS (
+            SELECT t.doc_id
+            FROM (SELECT doc_id, CAST(len(grams5) AS BIGINT) AS n_grams
+                  FROM g5 WHERE doc_id % 50 <> 0) t
+            LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                       FROM (SELECT doc_id, unnest(grams5) AS gram
+                             FROM g5 WHERE doc_id % 50 <> 0) e
+                       JOIN bg USING (gram) GROUP BY doc_id) h ON t.doc_id = h.doc_id
+            WHERE coalesce(h.n_hits, 0) * 100 >= t.n_grams * 10
+          ), sp AS (
+            SELECT s.doc_id, s.lang, s.score, s.n_tokens,
+              CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+            FROM (
+              SELECT *,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+              FROM scored) s)
+          SELECT split, lang,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            round(sum(CAST(round(score * 10000) AS BIGINT)) / (count(*) * 10000.0), 6)
+              AS mean_score,
+            CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+            round(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS near_dup_rate,
+            CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+            round(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS contaminated_frac
+          FROM sp LEFT JOIN dup d ON sp.doc_id = d.doc_id
+                  LEFT JOIN contam c ON sp.doc_id = c.doc_id
+          GROUP BY 1, 2"""),
     "ngram_jaccard" ->
       (gramsCte + """
         SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
