@@ -112,4 +112,54 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(bandExchanges == 1, s"expected 1 batch-side exchange, got $bandExchanges:\n$plan")
     }
   }
+
+  test("AQE splits a skewed unsalted join at runtime; manual salting is for aggregates/streams") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hot key 0 carries 50k of 55k rows — the shape that funnels one
+    // reducer without mitigation
+    val big = spark.range(0, 55000).select(
+      when($"id" < 50000, 0L).otherwise($"id" % 50 + 1).as("k"),
+      concat(lit("payload_"), $"id").as("payload"))
+    val dim = spark.range(0, 51).select($"id".as("k"), concat(lit("d"), $"id").as("dv"))
+    def runPlan(): String = {
+      val joined = big.join(dim, "k")
+      // AQE decides at runtime — execute THIS QueryExecution (a .write
+      // would spawn its own and leave this plan isFinalPlan=false)
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    }
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k") {
+      val plan = runPlan()
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join below threshold:\n$plan")
+    }
+    // same join under the DEFAULT threshold (256 MB): the ~2 MB hot
+    // partition is far below it, so no split happens — the crossover is
+    // max(skewedPartitionThresholdInBytes, factor x median partition size)
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true") {
+      val plan = runPlan()
+      assert(!plan.contains("skew=true"),
+        s"default-threshold run unexpectedly split:\n$plan")
+    }
+    // the manual salted form answers the cases AQE does not: skewed
+    // AGGREGATES and streaming micro-batches. Its result is bit-identical
+    // to the plain join - the correctness contract that lets a query
+    // author apply it preemptively
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plain = rows(big.join(dim, "k"))
+      val salted = rows(graft.ops.SkewOps.saltedJoin(big, dim, "k", col("payload"), salts = 8))
+      assert(salted == plain, "salted join diverged from the plain join")
+    }
+  }
 }
