@@ -233,6 +233,26 @@ object Sketches {
       .select(col("v"), col("k"), lit(1L << level).as("w"))
   }
 
+  /** [[kllSketch]] with a group key carried through — the builder for
+    * [[kllQuantilesByGroup]]. Same gate, same weights; the group column
+    * rides along untouched (it plays no part in the hash, so a group's
+    * sample is exactly what [[kllSketch]] over that group alone would
+    * keep — per-group merge semantics fall out for free).
+    */
+  def kllSketchGrouped(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      keyCol: Column,
+      level: Int
+  ): DataFrame = {
+    require(level >= 0 && level < 32, "level must be in [0, 32)")
+    df.select(groupCol.as("grp"), valueCol.as("v"), keyCol.cast("string").as("k"))
+      .filter(col("v").isNotNull)
+      .filter(graft.ops.Hashing.md5Mod(col("k"), 1L << level) === 0)
+      .select(col("grp"), col("v"), col("k"), lit(1L << level).as("w"))
+  }
+
   /** Merge two [[kllSketch]]es built at levels `levelA` and `levelB`:
     * the coarser gate re-filters the finer sketch (a level-ℓ survivor is a
     * level-(ℓ+1) survivor iff its hash also clears the wider modulus), so
@@ -269,5 +289,34 @@ object Sketches {
         broadcast(probs.toDF("prob")),
         col("r") === greatest(lit(1L), ceil(col("prob") * col("m")).cast("long")))
       .select(col("prob"), col("v").as("est"))
+  }
+
+  /** Per-GROUP quantile estimates from a sketch carrying a `grp` column
+    * (build it with [[kllSketch]] over a frame that still has the group
+    * key, then select it alongside): the same rank selection as
+    * [[kllQuantiles]], windowed per group — the per-source/per-language
+    * profiling shape. The window partitions on the group, so the sort is
+    * per-group over SKETCH rows (expected n_g/2^ℓ each), never global and
+    * never over the input.
+    */
+  def kllQuantilesByGroup(
+      sketch: DataFrame,
+      groupCol: Column,
+      probs: Seq[Double]
+  ): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val s = sketch.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy(groupCol)
+    val ranked = sketch
+      .withColumn("r", row_number().over(w.orderBy(col("v"), col("k"))))
+      .withColumn("m", count(lit(1)).over(w))
+    ranked
+      .select(groupCol.as("grp"), col("v"), col("r"), col("m"))
+      .join(
+        broadcast(probs.toDF("prob")),
+        col("r") === greatest(lit(1L), ceil(col("prob") * col("m")).cast("long")))
+      .select(col("grp"), col("prob"), col("v").as("est"))
   }
 }

@@ -1487,6 +1487,41 @@ object Extensions {
         t(s, dir, "orders"), col("o_totalprice"), col("o_orderkey"), level = 4)
       Sketches.kllQuantiles(sk, (1 to 9).map(_ / 10.0))
     },
+    // per-group profile quartiles off one grouped sketch pass — the
+    // per-source/per-language distribution report at sketch cost
+    "sketch_kll_by_group" -> { (s, dir) =>
+      val sk = Sketches.kllSketchGrouped(
+        t(s, dir, "orders"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"), level = 3)
+      Sketches.kllQuantilesByGroup(sk, col("grp"), Seq(0.25, 0.5, 0.75))
+    },
+    // thirteenth stream/batch parity surface: the KLL gate is a pure
+    // per-row filter (stateless, append mode) — stream the orders rows,
+    // drain the surviving sample, and the quantile read off the drained
+    // sketch must hash-match the batch sketch_kll_quantiles oracle
+    // verbatim (the sketch is a pure function of the multiset, so HOW the
+    // rows arrived cannot matter)
+    "stream_kll_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows: Array[(Long, Double)] = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Double)]
+        .collect()
+      val mem = MemoryStream[(Long, Double)]
+      val sk = Sketches.kllSketch(
+        mem.toDF().toDF("o_orderkey", "o_totalprice"),
+        col("o_totalprice"), col("o_orderkey"), level = 4)
+      val sink = s"stream_kll_parity_${System.nanoTime()}"
+      val q = sk.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(rows.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      Sketches.kllQuantiles(drainSink(s, sink)(identity), (1 to 9).map(_ / 10.0))
+    },
     // Bloom-filter membership (one-sided error): build the bit set over
     // custkeys that have orders, probe every customer, and ride the exact
     // membership along as the audit column — rows where maybe=true but
@@ -1722,6 +1757,22 @@ object Extensions {
        CROSS JOIN generate_series(0, 10) AS y(g)
        WHERE x.g < d.width AND y.g < d.height
        GROUP BY 1, 2, 3, 4"""
+
+  /** The KLL quantile read (level-4 gate over orders, deciles) — shared by
+    * the batch query and the streaming parity twin.
+    */
+  private lazy val kllQuantilesSql: String =
+    """WITH s AS (
+         SELECT o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k FROM orders
+         WHERE o_totalprice IS NOT NULL
+           AND CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+       ), r AS (
+         SELECT v, row_number() OVER (ORDER BY v, k) AS r, count(*) OVER () AS m FROM s
+       ), p AS (
+         SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[])) AS prob
+       )
+       SELECT p.prob, r.v AS est
+       FROM p JOIN r ON r.r = greatest(1, CAST(ceil(p.prob * r.m) AS BIGINT))"""
 
   private val gramsCte: String = """
     WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -3049,18 +3100,26 @@ object Extensions {
          FROM mb m LEFT JOIN bk ON m.item = bk.item""",
     // the gate, the string-keyed tie order, and the DOUBLE ceil (the list
     // literal is cast to DOUBLE[] — DuckDB's default DECIMAL probs would
-    // round ceil(0.3*m) differently from IEEE doubles) replay the engine
-    "sketch_kll_quantiles" ->
+    // round ceil(0.3*m) differently from IEEE doubles) replay the engine.
+    // SHARED verbatim with stream_kll_parity: the sketch is a pure
+    // function of the multiset, so the streamed build must match exactly.
+    "sketch_kll_quantiles" -> kllQuantilesSql,
+    "stream_kll_parity" -> kllQuantilesSql,
+    "sketch_kll_by_group" ->
       """WITH s AS (
-           SELECT o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k FROM orders
+           SELECT o_orderstatus AS grp, o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k
+           FROM orders
            WHERE o_totalprice IS NOT NULL
-             AND CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+             AND CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 8 = 0
          ), r AS (
-           SELECT v, row_number() OVER (ORDER BY v, k) AS r, count(*) OVER () AS m FROM s
+           SELECT grp, v,
+                  row_number() OVER (PARTITION BY grp ORDER BY v, k) AS r,
+                  count(*) OVER (PARTITION BY grp) AS m
+           FROM s
          ), p AS (
-           SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[])) AS prob
+           SELECT unnest(CAST([0.25,0.5,0.75] AS DOUBLE[])) AS prob
          )
-         SELECT p.prob, r.v AS est
+         SELECT r.grp, p.prob, r.v AS est
          FROM p JOIN r ON r.r = greatest(1, CAST(ceil(p.prob * r.m) AS BIGINT))""",
     "text_bm25_topk" -> {
       val terms = Seq("spark", "query", "window")
