@@ -472,22 +472,7 @@ object TextStats {
         merges += ((round, a, b, a + b, cnt))
         if (round < k) {
           val rewritten = corpus
-            .withColumn(
-              "toks",
-              split(
-                aggregate(
-                  col("toks"),
-                  lit(""),
-                  (acc, t) =>
-                    when(acc === "", t)
-                      .when(
-                        (acc === a || acc.endsWith(lit(sep + a))) && t === b,
-                        concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
-                      .otherwise(concat(acc, lit(sep), t))
-                ),
-                sep
-              )
-            )
+            .withColumn("toks", mergeFold(col("toks"), a, b))
             .localCheckpoint()
           freeCheckpoint(corpus)
           corpus = rewritten
@@ -499,6 +484,56 @@ object TextStats {
     import spark.implicits._
     merges.toSeq.toDF("rank", "a", "b", "merged", "cnt")
       .select(col("rank").cast("int").as("rank"), col("a"), col("b"), col("merged"), col("cnt"))
+  }
+
+  /** One greedy left-to-right merge rewrite of a token array: every
+    * adjacent (a, b) pair fuses into a+b, folding through a
+    * chr(1)-joined accumulator. ONE definition shared by the training
+    * rounds ([[bpeMerges]]) and the apply path ([[bpeEncode]]) — and
+    * mirrored token-for-token by the SQL oracles — so the corpus state
+    * after any round is identical everywhere.
+    */
+  private def mergeFold(toks: Column, a: String, b: String): Column = {
+    val sep = "\u0001"
+    split(
+      aggregate(
+        toks,
+        lit(""),
+        (acc, t) =>
+          when(acc === "", t)
+            .when(
+              (acc === a || acc.endsWith(lit(sep + a))) && t === b,
+              concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+            .otherwise(concat(acc, lit(sep), t))
+      ),
+      sep
+    )
+  }
+
+  /** APPLY trained BPE merges to a corpus — the tokenizer's serving half,
+    * closing the train→encode loop ([[bpeMerges]] is the training half).
+    * The k merges chain as k map-only rewrites of the token array inside
+    * ONE stage (no checkpoint, no shuffle — encode is embarrassingly
+    * parallel, which is why tokenizing 100 TB is a pure scan cost).
+    * Output: (doc_id, n_raw, n_bpe) token counts before/after — the
+    * compression measurement a tokenizer report cares about; swap the
+    * final select to keep `toks` when the encoded ids themselves are the
+    * product.
+    *
+    * @param merges (a, b) pairs IN RANK ORDER (apply order matters: later
+    *               merges see earlier merges' fused tokens)
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    var cur = df
+      .select(idCol.as("doc_id"), split(trim(textCol), "\\s+").as("toks"))
+      .withColumn("n_raw", size(col("toks")).cast("long"))
+    merges.foreach { case (a, b) => cur = cur.withColumn("toks", mergeFold(col("toks"), a, b)) }
+    cur.select(col("doc_id"), col("n_raw"), size(col("toks")).cast("long").as("n_bpe"))
   }
 
   /** Rolling polynomial fingerprint of the word sequence:

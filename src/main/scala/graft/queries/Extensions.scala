@@ -302,6 +302,20 @@ object Extensions {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"), k = 8)
     },
+    // the tokenizer's serving half: train the 8 merges on the sample (the
+    // same driver loop text_bpe_merges runs), then APPLY them to the whole
+    // corpus as 8 chained map-only rewrites — one stage, no shuffle. The
+    // oracle replays training via the shared CTEs, then the same rewrites
+    "text_bpe_encode" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = TextStats
+        .bpeMerges(docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("rank"))
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq
+      TextStats.bpeEncode(docs, col("doc_id"), col("text"), merges)
+    },
     // corpus-familiarity quality signal: per-doc document-frequency stats
     // of its distinct 3-grams, hybrid hot-broadcast / cold-shuffle join
     // (the zipf-head answer that salting can't give — see TextStats)
@@ -1639,15 +1653,20 @@ object Extensions {
     * the exact fold the Spark operator runs, so every stage's corpus
     * state (and therefore every later count) matches string-for-string.
     */
-  private lazy val bpeMergesSql: String = {
-    val K = 8
-    def rewrite(m: String): String =
-      s"""string_split(list_reduce(list_prepend('', toks),
-            (acc, tk) -> CASE
-              WHEN acc = '' THEN tk
-              WHEN (acc = $m.a OR ends_with(acc, chr(1) || $m.a)) AND tk = $m.b
-                THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
-              ELSE acc || chr(1) || tk END), chr(1))"""
+  private def bpeRewriteSql(m: String): String =
+    s"""string_split(list_reduce(list_prepend('', toks),
+          (acc, tk) -> CASE
+            WHEN acc = '' THEN tk
+            WHEN (acc = $m.a OR ends_with(acc, chr(1) || $m.a)) AND tk = $m.b
+              THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
+            ELSE acc || chr(1) || tk END), chr(1))"""
+
+  /** The K unrolled training stages (t0 sample → m1..mK merge picks with
+    * the intermediate rewrites) — the WITH prefix shared by the training
+    * oracle (`text_bpe_merges`) and the encode oracle (`text_bpe_encode`),
+    * so the merge table both replay is one definition.
+    */
+  private def bpeTrainCtesSql(K: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH t0 AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1661,12 +1680,37 @@ object Extensions {
         ORDER BY c DESC, a, b LIMIT 1)"""
       if (i < K)
         sb ++= s""", t$i AS (
-        SELECT doc_id, ${rewrite(s"m$i")} AS toks
+        SELECT doc_id, ${bpeRewriteSql(s"m$i")} AS toks
         FROM t${i - 1} CROSS JOIN m$i)"""
     }
-    sb ++= (1 to K)
+    sb.toString
+  }
+
+  private lazy val bpeMergesSql: String = {
+    val K = 8
+    bpeTrainCtesSql(K) + (1 to K)
       .map(i => s"SELECT $i AS rank, a, b, a || b AS merged, cnt FROM m$i")
       .mkString("\n", "\nUNION ALL\n", "")
+  }
+
+  /** Encode oracle: train (shared CTEs), then chain the K rewrites over
+    * ALL documents and report the before/after token counts.
+    */
+  private lazy val bpeEncodeSql: String = {
+    val K = 8
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtesSql(K)
+    sb ++= """, e0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)"""
+    for (i <- 1 to K)
+      sb ++= s""", e$i AS (
+        SELECT doc_id, ${bpeRewriteSql(s"m$i")} AS toks
+        FROM e${i - 1} CROSS JOIN m$i)"""
+    sb ++= s"""
+      SELECT e0.doc_id,
+             CAST(len(e0.toks) AS BIGINT) AS n_raw,
+             CAST(len(e$K.toks) AS BIGINT) AS n_bpe
+      FROM e0 JOIN e$K USING (doc_id)"""
     sb.toString
   }
 
@@ -2045,6 +2089,7 @@ object Extensions {
             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
           FROM lab) t"""),
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "text_familiarity" ->
       (gramsCte + """
         , e AS (SELECT doc_id, unnest(grams) AS gram FROM g)

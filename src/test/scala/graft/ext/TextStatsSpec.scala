@@ -152,6 +152,29 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out.length == 1 && out(0) == ((1, "pq")))
   }
 
+  test("bpeEncode applies trained merges in rank order and only compresses") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // (a,b) fuses twice
+      (2L, "c c c"),       // untouched by an (a,b)-only merge list
+      (3L, "")             // empty doc: [""] in, [""] out
+    ).toDF("doc_id", "text")
+    val out = TextStats.bpeEncode(docs, $"doc_id", $"text", Seq(("a", "b")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((5L, 3L)), "two (a,b) fusions: 5 tokens -> 3")
+    assert(out(2L) == ((3L, 3L)), "no matching pair: identity")
+    assert(out(3L) == ((1L, 1L)), "empty doc survives")
+    // zero merges = identity; and n_bpe <= n_raw always on the fixture
+    val docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val id = TextStats.bpeEncode(docs2, $"doc_id", $"text", Nil).collect()
+    assert(id.forall(r => r.getLong(1) == r.getLong(2)))
+    // rank order matters: later merges see earlier fusions
+    val chained = TextStats.bpeEncode(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        $"doc_id", $"text", Seq(("a", "b"), ("ab", "c")))
+      .collect().head
+    assert(chained.getLong(2) == 1L, "a b c -> ab c -> abc")
+  }
+
   test("fingerprint: deterministic, order-sensitive, stable across runs") {
     val df = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma").toDF("t")
     val out = df.select(TextStats.fingerprint($"t").as("v")).collect().map(_.getLong(0))
