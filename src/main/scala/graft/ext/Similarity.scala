@@ -255,6 +255,158 @@ object Similarity {
   def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
+  // ---- product quantization (the FAISS-style compression half) ----------
+
+  /** Train `nsub` PQ sub-quantizers (one `nlistSub`-centroid codebook per
+    * contiguous dim/nsub slice) with fixed-iteration Lloyd's — the vector-
+    * compression half of the FAISS serving stack ([[ivfTopK]] is the
+    * candidate-pruning half; compose them for IVFPQ). Seeded like
+    * [[sampleCentroids]]: the `nlistSub` lowest-id vectors, sliced.
+    *
+    * ALL subspaces train together, one job per iteration: rows explode to
+    * (subspace, slice) pairs — nsub× row amplification of dsub-length
+    * arrays, the same bytes as the original vector — then one map-side
+    * argmin against the nested codebook literal and ONE combine-friendly
+    * (subspace, cell, dim) aggregation whose output is nsub·nlistSub·dsub
+    * rows: the model, never the data. Same exactness contract as
+    * [[kmeansCentroids]] (integer slices, half-up mean, empty cell keeps
+    * its centroid), so a SQL twin replays training verbatim.
+    *
+    * @return codebooks[subspace][cell][dim within slice], quantized longs
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nsub: Int,
+      nlistSub: Int,
+      iters: Int
+  ): Array[Array[Seq[Long]]] = {
+    require(nsub > 0 && nlistSub > 0 && iters >= 0, "nsub, nlistSub > 0; iters >= 0")
+    val seed = sampleCentroids(corpus, idCol, vecCol, nlistSub)
+    require(seed.nonEmpty, "corpus must be non-empty")
+    val dim = seed(0).length
+    require(dim % nsub == 0, s"nsub must divide dim ($dim % $nsub != 0)")
+    val dsub = dim / nsub
+    var books: Array[Array[Seq[Long]]] =
+      Array.tabulate(nsub)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val cm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val sliced = corpus
+        .select(quantize(col(vecCol)).as("q"))
+        .select(
+          posexplode(
+            transform(
+              sequence(lit(0), lit(nsub - 1)),
+              j => slice(col("q"), j * dsub + 1, lit(dsub)))
+          ).as(Seq("j", "qs")))
+      val assigned = sliced
+        .withColumn("__d", distancesTo(element_at(cm, col("j") + 1), col("qs")))
+        .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+        .drop("__d")
+      val sums = graft.ops.PlanOps
+        .fence(assigned)
+        .select(col("j"), col("cell"), posexplode(col("qs")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .select(
+          col("j"), col("cell"), col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double") + 0.5).cast("long").as("v"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rows) => jc -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq }
+      books = Array.tabulate(nsub) { j =>
+        Array.tabulate(nlistSub) { c =>
+          val next = sums.getOrElse((j, c), books(j)(c))
+          require(next.length == dsub, s"subspace $j cell $c: dim drift")
+          next
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ-encode every vector: `codes[j]` = nearest codebook-`j` centroid of
+    * the vector's j-th slice. Map-only — nsub·nlistSub·dsub integer ops
+    * per row, nothing shuffles; the nsub small ints per vector ARE the
+    * compressed representation a serving index stores (dim×8 bytes →
+    * nsub ints). Argmin ties break on the LOWER cell (the sort is by
+    * (distance, cell), the same rule the training assignment uses).
+    */
+  def pqCodes(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      books: Array[Array[Seq[Long]]]
+  ): DataFrame = {
+    val nsub = books.length
+    val nlistSub = books(0).length
+    val dsub = books(0)(0).length
+    val cm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    df.select(idCol.as("id"), quantize(vecCol).as("q"))
+      .select(
+        col("id"),
+        transform(
+          sequence(lit(0), lit(nsub - 1)),
+          j => {
+            val d = distancesTo(element_at(cm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))
+            element_at(
+              array_sort(
+                zip_with(d, sequence(lit(0), lit(nlistSub - 1)), (dd, ii) => struct(dd.as("d"), ii.as("i")))),
+              1
+            ).getField("i").cast("int")
+          }
+        ).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its per-(subspace, cell) distance TABLE once (map-side on the
+    * broadcast query set — nsub·nlistSub integers per query), and a
+    * candidate's score is nsub table lookups summed: the classic PQ
+    * serving trade of dim multiplies for nsub reads. Exact integer math
+    * end to end, ranked by ascending ADC distance with candidate-id ties.
+    *
+    * Scale: this form scans all codes per query (the compression-only
+    * path). At 100 TB compose with [[ivfTopK]]'s cell pruning — assign
+    * codes within IVF cells and probe nprobe cells — for FAISS's IVFPQ;
+    * the two halves here are exactly those building blocks.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Array[Array[Seq[Long]]],
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nsub = books.length
+    val dsub = books(0)(0).length
+    val cm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val c = pqCodes(corpus, col(idCol), col(vecCol), books)
+      .select(col("id").as("cand_id"), col("codes"))
+    val q = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q"))
+        .select(
+          col("query_id"),
+          transform(
+            sequence(lit(0), lit(nsub - 1)),
+            j => distancesTo(element_at(cm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))
+          ).as("tbl")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
+    c.join(q, col("query_id") =!= col("cand_id"))
+      .withColumn(
+        "adc",
+        aggregate(
+          zip_with(col("tbl"), col("codes"), (t, cd) => element_at(t, cd + 1)),
+          lit(0L),
+          (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
+  }
+
   /** Per-group embedding centroids (mean-pool): one row per
     * (group, dimension) with the member count, the exact integer
     * quantized sum, and the mean. The class-prototype primitive —

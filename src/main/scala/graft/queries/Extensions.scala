@@ -455,6 +455,16 @@ object Extensions {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         nlist = 8, nprobe = 2, k = 5, trainIters = 2)
     },
+    // product quantization: train 4 sub-codebooks (one Lloyd's iteration,
+    // seeded from the 4 lowest-id vectors' slices), PQ-encode the corpus,
+    // and serve top-k by asymmetric distance — nsub table lookups per
+    // candidate instead of dim multiplies. The oracle replays training,
+    // coding, and the ADC sum per subspace in exact integer math.
+    "ann_pq_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", books, k = 5)
+    },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -1802,6 +1812,74 @@ object Extensions {
        WHERE x.g < d.width AND y.g < d.height
        GROUP BY 1, 2, 3, 4"""
 
+  /** PQ/ADC oracle: per subspace j (offset j·16), one unrolled Lloyd's
+    * iteration (c0 seed slices → assign → half-up means → c1 with the
+    * empty-cell rule), then codes under c1 and the ADC sum as nsub
+    * per-subspace distance-table joins. Generated, not hand-written, so
+    * subspace count/width change in one place.
+    */
+  private lazy val pqAdcSql: String = {
+    val nsub = 4; val nlist = 4; val dsub = 16
+    val sb = new StringBuilder
+    sb ++= qzCte
+    for (j <- 0 until nsub) {
+      val off = j * dsub
+      sb ++= s"""
+        , c0_$j AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                 q[${off + 1}:${off + dsub}] AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT $nlist)
+        ), d1_$j AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (z.q[i + $off] - c.cq[i]) * (z.q[i + $off] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c0_$j c
+        ), a1_$j AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d1_$j) WHERE rn = 1
+        ), m1_$j AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i + $off]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a1_$j a JOIN qz z USING (vec_id), unnest(range(1, ${dsub + 1})) t(i)
+          GROUP BY a.cell, t.i
+        ), n1_$j AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m1_$j GROUP BY cell
+        ), c1_$j AS (
+          SELECT cell, cq FROM n1_$j
+          UNION ALL
+          SELECT c.cell, c.cq FROM c0_$j c WHERE c.cell NOT IN (SELECT cell FROM n1_$j)
+        ), d2_$j AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (z.q[i + $off] - c.cq[i]) * (z.q[i + $off] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c1_$j c
+        ), cd_$j AS (
+          SELECT vec_id, cell AS code FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d2_$j) WHERE rn = 1
+        )"""
+    }
+    sb ++= s"""
+      , pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM qz a CROSS JOIN qz b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      ), scored AS (
+        SELECT p.query_id, p.cand_id,
+               CAST(${(0 until nsub).map(j => s"qd$j.d").mkString(" + ")} AS BIGINT) AS adc
+        FROM pairs p
+        ${(0 until nsub)
+          .map(j =>
+            s"JOIN cd_$j ON cd_$j.vec_id = p.cand_id JOIN d2_$j qd$j ON qd$j.vec_id = p.query_id AND qd$j.cell = cd_$j.code")
+          .mkString("\n        ")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
+    sb.toString
+  }
+
   /** The KLL quantile read (level-4 gate over orders, deciles) — shared by
     * the batch query and the streaming parity twin.
     */
@@ -2599,6 +2677,7 @@ object Extensions {
           FROM scored
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
+    "ann_pq_topk" -> pqAdcSql,
     "ann_ivf_kmeans" ->
       (qzCte + s"""
         , c0 AS (
