@@ -248,6 +248,91 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVFPQ: FAISS's serving composition of the two halves built above —
+    * the coarse quantizer prunes candidates to `nprobe` cells
+    * ([[ivfTopK]]'s shape) and the fine ranking is PQ asymmetric distance
+    * ([[pqAdcTopK]]'s shape) instead of full-vector dots. The corpus-side
+    * index row is (cell, codes, id): nsub+1 small ints per vector — the
+    * layout a billion-vector index actually stores. One corpus pass
+    * computes cell AND codes map-side; the only corpus-wide movement is
+    * the (small) cell-key shuffle of that compressed row.
+    *
+    * Ranking is by ADC distance (ascending, candidate-id ties) over the
+    * probed cells' members only. Same exactness contract as both halves:
+    * integer distances, first-min tie rule, engine-replayable.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      nprobe: Int,
+      books: Array[Array[Seq[Long]]],
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = coarse.length
+    val probes = math.min(nprobe, cells)
+    val nsub = books.length
+    val nlistSub = books(0).length
+    val dsub = books(0)(0).length
+    val cmat = typedLit(coarse.map(_.toSeq).toSeq)
+    val pm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    def pqCode(j: Column): Column = {
+      val d = distancesTo(element_at(pm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))
+      element_at(
+        array_sort(
+          zip_with(d, sequence(lit(0), lit(nlistSub - 1)), (dd, ii) => struct(dd.as("d"), ii.as("i")))),
+        1
+      ).getField("i").cast("int")
+    }
+    val c = corpus
+      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("q"))
+      .withColumn("__d", distancesTo(cmat, col("q")))
+      .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .withColumn("codes", transform(sequence(lit(0), lit(nsub - 1)), pqCode(_)))
+      .select(col("cand_id"), col("cell"), col("codes"))
+    val q = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q"))
+        .withColumn("__d", distancesTo(cmat, col("q")))
+        .withColumn(
+          "tbl",
+          transform(
+            sequence(lit(0), lit(nsub - 1)),
+            j => distancesTo(element_at(pm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))))
+        .withColumn(
+          "cell",
+          explode(
+            slice(
+              transform(
+                array_sort(
+                  zip_with(col("__d"), sequence(lit(0), lit(cells - 1)), (d, i) => struct(d.as("d"), i.as("i")))
+                ),
+                s => s.getField("i")
+              ),
+              1,
+              probes
+            )
+          )
+        )
+        .select(col("query_id"), col("cell"), col("tbl")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates(Seq("query_id", "cand_id"))
+      .withColumn(
+        "adc",
+        aggregate(
+          zip_with(col("tbl"), col("codes"), (t, cd) => element_at(t, cd + 1)),
+          lit(0L),
+          (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
+  }
+
   /** floor(x*1000 + 0.5) integer quantization — deterministic in any engine
     * (unlike round() tie modes), and exact integer arithmetic downstream is
     * associative, so no engine's summation order can change a result.

@@ -465,6 +465,17 @@ object Extensions {
       val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", books, k = 5)
     },
+    // IVFPQ — FAISS's serving composition: the TRAINED coarse quantizer
+    // (same 8-cell/2-iteration model as ann_ivf_kmeans) prunes candidates
+    // to 2 probed cells, and ranking is PQ asymmetric distance (same 4x4
+    // codebooks as ann_pq_topk). The oracle composes both oracles' CTEs.
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      Similarity.ivfPqTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", coarse, nprobe = 2, books, k = 5)
+    },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -1818,10 +1829,77 @@ object Extensions {
     * per-subspace distance-table joins. Generated, not hand-written, so
     * subspace count/width change in one place.
     */
-  private lazy val pqAdcSql: String = {
-    val nsub = 4; val nlist = 4; val dsub = 16
+  /** The two-iteration Lloyd's coarse-quantizer training + serving-side
+    * assignment/probe CTEs (c0..c2, cdist, assign, qprobe at nprobe=2) —
+    * shared verbatim by the trained-IVF oracle and the IVFPQ composition.
+    */
+  private lazy val ivfKmeansCtesSql: String = """, c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 8)
+        )
+        -- Lloyd's iteration 1: assign to nearest c0 centroid, re-mean
+        , d1 AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c0 c
+        ), a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d1) WHERE rn = 1
+        ), m1 AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a1 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
+          GROUP BY a.cell, t.i
+        ), n1 AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m1 GROUP BY cell
+        ), c1 AS (
+          SELECT cell, cq FROM n1
+          UNION ALL
+          SELECT c.cell, c.cq FROM c0 c WHERE c.cell NOT IN (SELECT cell FROM n1)
+        )
+        -- Lloyd's iteration 2
+        , d2 AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c1 c
+        ), a2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d2) WHERE rn = 1
+        ), m2 AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a2 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
+          GROUP BY a.cell, t.i
+        ), n2 AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m2 GROUP BY cell
+        ), c2 AS (
+          SELECT cell, cq FROM n2
+          UNION ALL
+          SELECT c.cell, c.cq FROM c1 c WHERE c.cell NOT IN (SELECT cell FROM n2)
+        )
+        -- serving under the trained quantizer (same shape as ann_ivf_topk)
+        , cdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c2 c
+        ), assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist) WHERE rn = 1
+        ), qprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist WHERE vec_id < 10) WHERE rn <= 2
+        )"""
+
+  /** The per-subspace PQ training + coding CTE block (c0_j .. cd_j per
+    * subspace j) — shared by the standalone PQ oracle and the IVFPQ
+    * composition.
+    */
+  private def pqSubspaceCtesSql(nsub: Int, nlist: Int, dsub: Int): String = {
     val sb = new StringBuilder
-    sb ++= qzCte
     for (j <- 0 until nsub) {
       val off = j * dsub
       sb ++= s"""
@@ -1858,6 +1936,23 @@ object Extensions {
             FROM d2_$j) WHERE rn = 1
         )"""
     }
+    sb.toString
+  }
+
+  private def pqAdcSumSql(nsub: Int): String =
+    (0 until nsub).map(j => s"qd$j.d").mkString(" + ")
+
+  private def pqAdcJoinsSql(nsub: Int, candAlias: String): String =
+    (0 until nsub)
+      .map(j =>
+        s"JOIN cd_$j ON cd_$j.vec_id = $candAlias.cand_id JOIN d2_$j qd$j ON qd$j.vec_id = $candAlias.query_id AND qd$j.cell = cd_$j.code")
+      .mkString("\n        ")
+
+  private lazy val pqAdcSql: String = {
+    val nsub = 4
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
     sb ++= s"""
       , pairs AS (
         SELECT a.vec_id AS query_id, b.vec_id AS cand_id
@@ -1865,12 +1960,42 @@ object Extensions {
         WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
       ), scored AS (
         SELECT p.query_id, p.cand_id,
-               CAST(${(0 until nsub).map(j => s"qd$j.d").mkString(" + ")} AS BIGINT) AS adc
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
         FROM pairs p
-        ${(0 until nsub)
-          .map(j =>
-            s"JOIN cd_$j ON cd_$j.vec_id = p.cand_id JOIN d2_$j qd$j ON qd$j.vec_id = p.query_id AND qd$j.cell = cd_$j.code")
-          .mkString("\n        ")}
+        ${pqAdcJoinsSql(nsub, "p")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
+    sb.toString
+  }
+
+  /** IVFPQ oracle: the trained coarse quantizer's probe/candidate CTEs
+    * (shared with `ann_ivf_kmeans`) composed with the per-subspace PQ
+    * chains (shared with `ann_pq_topk`); ranking is the ADC sum over the
+    * PROBED candidates only.
+    */
+  private lazy val ivfPqSql: String = {
+    val nsub = 4
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= "\n        "
+    sb ++= ivfKmeansCtesSql
+    sb ++= """
+      , cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM qprobe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+      )"""
+    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
+    sb ++= s"""
+      , scored AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM cand c
+        ${pqAdcJoinsSql(nsub, "c")}
       ), ranked AS (
         SELECT query_id, cand_id, adc,
                CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
@@ -2678,68 +2803,8 @@ object Extensions {
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "ann_pq_topk" -> pqAdcSql,
-    "ann_ivf_kmeans" ->
-      (qzCte + s"""
-        , c0 AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
-          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 8)
-        )
-        -- Lloyd's iteration 1: assign to nearest c0 centroid, re-mean
-        , d1 AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c0 c
-        ), a1 AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM d1) WHERE rn = 1
-        ), m1 AS (
-          SELECT a.cell, t.i AS pos,
-                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
-          FROM a1 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
-          GROUP BY a.cell, t.i
-        ), n1 AS (
-          SELECT cell, list(v ORDER BY pos) AS cq FROM m1 GROUP BY cell
-        ), c1 AS (
-          SELECT cell, cq FROM n1
-          UNION ALL
-          SELECT c.cell, c.cq FROM c0 c WHERE c.cell NOT IN (SELECT cell FROM n1)
-        )
-        -- Lloyd's iteration 2
-        , d2 AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c1 c
-        ), a2 AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM d2) WHERE rn = 1
-        ), m2 AS (
-          SELECT a.cell, t.i AS pos,
-                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
-          FROM a2 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
-          GROUP BY a.cell, t.i
-        ), n2 AS (
-          SELECT cell, list(v ORDER BY pos) AS cq FROM m2 GROUP BY cell
-        ), c2 AS (
-          SELECT cell, cq FROM n2
-          UNION ALL
-          SELECT c.cell, c.cq FROM c1 c WHERE c.cell NOT IN (SELECT cell FROM n2)
-        )
-        -- serving under the trained quantizer (same shape as ann_ivf_topk)
-        , cdist AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c2 c
-        ), assign AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM cdist) WHERE rn = 1
-        ), qprobe AS (
-          SELECT vec_id AS query_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM cdist WHERE vec_id < 10) WHERE rn <= 2
-        ), cand AS (
+    "ann_ivf_kmeans" -> (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , cand AS (
           SELECT DISTINCT p.query_id, a.vec_id AS cand_id
           FROM qprobe p JOIN assign a ON a.cell = p.cell
           WHERE a.vec_id <> p.query_id
@@ -2754,6 +2819,7 @@ object Extensions {
           FROM scored
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
+    "ann_ivfpq_topk" -> ivfPqSql,
     "mm_frame_sample" ->
       """WITH a AS (
            SELECT doc_id AS asset_id,

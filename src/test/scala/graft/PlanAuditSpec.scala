@@ -35,7 +35,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "dedup_minhash_pairs", "dedup_embedding", "ann_ivf_topk",
         "j2_two_key_join", "j4_anti_dedupe", "j5_semi_membership",
         "dedup_incremental", "dedup_embedding_incremental",
-        "scd_changelog_apply", "text_familiarity")) {
+        "scd_changelog_apply", "text_familiarity",
+        "ann_ivf_kmeans", "ann_pq_topk", "dedup_incremental_bucketed",
+        "corpus_data_card_v2")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -51,8 +53,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // single-row-group local fixture across cores (SCALING.md), which is
     // free relative to real multi-split input; a hash or range exchange
     // would mean the pipeline added a real shuffle for map-only work
+    // text_bpe_encode qualifies: training collects driver-side first, so
+    // the RETURNED plan is the k chained rewrites — one map-only stage
     for (q <- Seq("text_lang_id", "text_fingerprint", "text_pii_scrub", "f_pin_normalize",
-        "corpus_split_assign", "mm_audio_features")) {
+        "corpus_split_assign", "mm_audio_features", "text_bpe_encode")) {
       val plan = planOf(q)
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),

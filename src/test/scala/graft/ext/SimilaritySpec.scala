@@ -351,6 +351,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pq2 >= 0.60, f"clustered PQ recall@5 $pq2%.2f below floor")
   }
 
+  test("ivfPqTopK: ADC scores agree with full-scan PQ; clustered recall holds at nprobe=1") {
+    val e = fixtureEmb
+    val q = e.filter($"vec_id" < 10)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    // pruning must not change WHAT a candidate scores — every IVFPQ pair's
+    // ADC must equal the full-scan PQ ADC for the same pair
+    val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", coarse, nprobe = 2, books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(ivfpq.nonEmpty)
+    val full = Similarity.pqAdcTopK(e, q, "vec_id", "embedding", books, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    ivfpq.foreach { case (pair, adc) =>
+      assert(full.contains(pair) && full(pair) == adc, s"$pair: ADC diverges from full-scan PQ")
+    }
+    // clustered data: trained coarse cells align with the clusters, so
+    // even nprobe=1 candidate pruning keeps PQ-level recall
+    val dim = 16; val perC = 50
+    val rows2 = (0 until 4 * perC).map { id =>
+      val c = id / perC
+      val v = (0 until dim).map { d =>
+        val base = if (d == c) 100.0f else 0.0f
+        base + ((id * 31 + d * 7) % 11 - 5).toFloat
+      }
+      (id.toLong, v)
+    }
+    val e2 = rows2.toDF("vec_id", "embedding")
+    val q2 = e2.filter($"vec_id" % perC === 25)
+    val exact2 = pairs(Similarity.bruteForceTopK(e2, q2, "vec_id", "embedding", k = 5))
+    val coarse2 = Similarity.kmeansCentroids(e2, "vec_id", "embedding", nlist = 4, iters = 2)
+    val books2 = Similarity.pqTrain(e2, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 2)
+    val r = recallAtK(
+      pairs(Similarity.ivfPqTopK(e2, q2, "vec_id", "embedding", coarse2, nprobe = 1, books2, k = 5)),
+      exact2)
+    info(f"IVFPQ recall@5 on clustered (nprobe=1) = $r%.2f")
+    assert(r >= 0.60, f"clustered IVFPQ recall@5 $r%.2f below floor")
+  }
+
   test("srpBucket is deterministic and within [0, 2^planes)") {
     val b1 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
     val b2 = vecs.select(Similarity.srpBucket($"embedding", 4, 3).as("b")).collect().map(_.getInt(0))
