@@ -160,11 +160,15 @@ object Extensions {
       val docs = tPar(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val incoming = docs.filter(col("doc_id") % 5 === 0)
+      // pid-scoped name: a fixed one would let a concurrent verify DROP
+      // the table out from under a bench JVM's probe (Scratch's
+      // concurrent-JVM concern, catalog-table form)
+      val idxTable = Scratch.table("lsh_idx")
       Dedup.persistLshIndex(
-        corpus, col("doc_id"), col("text"), table = "graft_lsh_idx", buckets = 8,
+        corpus, col("doc_id"), col("text"), table = idxTable, buckets = 8,
         n = 3, k = 8, bands = 4)
       val cands = Dedup.probeLshIndex(
-        s, "graft_lsh_idx", incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+        s, idxTable, incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
       val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
       cands
         .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
@@ -1009,7 +1013,7 @@ object Extensions {
       // the split that actually witnesses the append-back semantics
       // (incoming %5==0 had no cross-batch near-dups in the fixture)
       val corpus = docsDf.filter(col("doc_id") % 5 =!= 2)
-      val table = "graft_lsh_maint"
+      val table = Scratch.table("lsh_maint") // pid-scoped: see dedup_incremental_bucketed
       // layout time: overwrite resets the index each invocation (bench runs
       // the query three times in one JVM; a stale appended index would
       // double-count batch A)

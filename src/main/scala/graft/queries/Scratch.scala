@@ -26,6 +26,30 @@ object Scratch {
     */
   def reset(path: String): Unit = deleteRecursively(new java.io.File(path))
 
+  /** Pid-scoped catalog TABLE name (`graft_<tag>_<pid>`) with its
+    * warehouse directory registered for deletion at JVM exit. Same
+    * concurrent-JVM concern as [[dir]]: a fixed table name lets a
+    * concurrent verify DROP the table out from under a bench's probe
+    * mid-query. The in-memory catalog entry dies with the JVM; only the
+    * warehouse directory would leak, hence the registration.
+    */
+  def table(tag: String): String = {
+    val t = s"graft_${tag}_${ProcessHandle.current().pid()}"
+    created.add(new java.io.File("spark-warehouse", t).getAbsolutePath)
+    t
+  }
+
+  /** Pid-scoped tag for [[graft.ops.BucketOps.bucketedEquiJoin]], which
+    * derives its two table names as `graft_bkt_<tag>_l/_r` — both
+    * warehouse directories registered for exit-time deletion.
+    */
+  def bucketTag(tag: String): String = {
+    val t = s"${tag}_${ProcessHandle.current().pid()}"
+    created.add(new java.io.File("spark-warehouse", s"graft_bkt_${t}_l").getAbsolutePath)
+    created.add(new java.io.File("spark-warehouse", s"graft_bkt_${t}_r").getAbsolutePath)
+    t
+  }
+
   /** `/tmp/graft_cache/<tag>_<pid>_<sanitized key>`, registered for
     * deletion at JVM exit.
     */
