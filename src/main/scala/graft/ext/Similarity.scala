@@ -275,24 +275,10 @@ object Similarity {
     val cells = coarse.length
     val probes = math.min(nprobe, cells)
     val nsub = books.length
-    val nlistSub = books(0).length
     val dsub = books(0)(0).length
     val cmat = typedLit(coarse.map(_.toSeq).toSeq)
     val pm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    def pqCode(j: Column): Column = {
-      val d = distancesTo(element_at(pm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))
-      element_at(
-        array_sort(
-          zip_with(d, sequence(lit(0), lit(nlistSub - 1)), (dd, ii) => struct(dd.as("d"), ii.as("i")))),
-        1
-      ).getField("i").cast("int")
-    }
-    val c = corpus
-      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("q"))
-      .withColumn("__d", distancesTo(cmat, col("q")))
-      .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
-      .withColumn("codes", transform(sequence(lit(0), lit(nsub - 1)), pqCode(_)))
-      .select(col("cand_id"), col("cell"), col("codes"))
+    val c = ivfPqIndexFrame(corpus, idCol, vecCol, coarse, books)
     val q = broadcast(
       queries
         .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q"))
@@ -320,6 +306,123 @@ object Similarity {
         .select(col("query_id"), col("cell"), col("tbl")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
     c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates(Seq("query_id", "cand_id"))
+      .withColumn(
+        "adc",
+        aggregate(
+          zip_with(col("tbl"), col("codes"), (t, cd) => element_at(t, cd + 1)),
+          lit(0L),
+          (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
+  }
+
+  /** The IVFPQ serving-index frame: (cand_id, cell, codes) — one corpus
+    * pass, map-side coarse assignment AND PQ coding. This is what
+    * [[ivfPqTopK]] computes inline and what [[persistAnnIndex]] stores.
+    */
+  def ivfPqIndexFrame(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      books: Array[Array[Seq[Long]]]
+  ): DataFrame = {
+    val nsub = books.length
+    val nlistSub = books(0).length
+    val dsub = books(0)(0).length
+    val cmat = typedLit(coarse.map(_.toSeq).toSeq)
+    val pm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    def pqCode(j: Column): Column = {
+      val d = distancesTo(element_at(pm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))
+      element_at(
+        array_sort(
+          zip_with(d, sequence(lit(0), lit(nlistSub - 1)), (dd, ii) => struct(dd.as("d"), ii.as("i")))),
+        1
+      ).getField("i").cast("int")
+    }
+    corpus
+      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("q"))
+      .withColumn("__d", distancesTo(cmat, col("q")))
+      .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .withColumn("codes", transform(sequence(lit(0), lit(nsub - 1)), pqCode(_)))
+      .select(col("cand_id"), col("cell"), col("codes"))
+  }
+
+  /** LAYOUT TIME — persist the IVFPQ serving index bucketed by `cell`.
+    * The stored row is (cand_id, cell, codes): nsub+1 small ints per
+    * vector. A BROADCASTABLE query set never needs this (the cell join
+    * broadcasts the queries; the index side never shuffles anyway) — the
+    * layout pays off for BATCH SCORING, where the query frame is itself
+    * large: both sides then shuffle-join on cell, and the bucketed index
+    * side plans exchange-free ([[scoreAgainstAnnIndex]]).
+    */
+  def persistAnnIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      books: Array[Array[Seq[Long]]],
+      table: String,
+      buckets: Int
+  ): Unit =
+    graft.sources.Sources.writeBucketed(
+      ivfPqIndexFrame(corpus, idCol, vecCol, coarse, books), table, buckets, "cell")
+
+  /** QUERY TIME, batch form — score a LARGE query frame (too big to
+    * broadcast) against a [[persistAnnIndex]] table: each query row
+    * carries its nprobe probed cells and its ADC table (nsub·nlist
+    * integers), shuffles on the cell key, and sort-merge-joins the
+    * bucketed index with NO exchange on the index side. Ranking semantics
+    * identical to [[ivfPqTopK]].
+    */
+  def scoreAgainstAnnIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      books: Array[Array[Seq[Long]]],
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = coarse.length
+    val probes = math.min(nprobe, cells)
+    val nsub = books.length
+    val dsub = books(0)(0).length
+    val cmat = typedLit(coarse.map(_.toSeq).toSeq)
+    val pm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q"))
+      .withColumn("__d", distancesTo(cmat, col("q")))
+      .withColumn(
+        "tbl",
+        transform(
+          sequence(lit(0), lit(nsub - 1)),
+          j => distancesTo(element_at(pm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))))
+      .withColumn(
+        "cell",
+        explode(
+          slice(
+            transform(
+              array_sort(
+                zip_with(col("__d"), sequence(lit(0), lit(cells - 1)), (d, i) => struct(d.as("d"), i.as("i")))
+              ),
+              s2 => s2.getField("i")
+            ),
+            1,
+            probes
+          )
+        )
+      )
+      .select(col("query_id"), col("cell"), col("tbl"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
+    s.table(table)
+      .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn(

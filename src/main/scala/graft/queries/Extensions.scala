@@ -480,6 +480,22 @@ object Extensions {
       Similarity.ivfPqTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", coarse, nprobe = 2, books, k = 5)
     },
+    // BATCH scoring against the PERSISTED serving index: the (cell, codes,
+    // id) frame is written bucketBy(cell) once, and a 50-query batch (the
+    // too-big-to-broadcast case) shuffle-joins it with no exchange on the
+    // index side. Same ranking semantics as the inline composition —
+    // layout is execution, not meaning — so the oracle differs only in
+    // probe predicate and k.
+    "ann_index_scored" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val tbl = Scratch.table("ann_idx")
+      Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+      Similarity.scoreAgainstAnnIndex(
+        s, tbl, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        coarse, books, nprobe = 2, k = 3)
+    },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -1837,7 +1853,9 @@ object Extensions {
     * assignment/probe CTEs (c0..c2, cdist, assign, qprobe at nprobe=2) —
     * shared verbatim by the trained-IVF oracle and the IVFPQ composition.
     */
-  private lazy val ivfKmeansCtesSql: String = """, c0 AS (
+  private lazy val ivfKmeansCtesSql: String = ivfKmeansCtes("vec_id < 10", 2)
+
+  private def ivfKmeansCtes(queryPred: String, nprobe: Int): String = s""", c0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
           FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 8)
         )
@@ -1895,7 +1913,7 @@ object Extensions {
         ), qprobe AS (
           SELECT vec_id AS query_id, cell FROM (
             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM cdist WHERE vec_id < 10) WHERE rn <= 2
+            FROM cdist WHERE $queryPred) WHERE rn <= $nprobe
         )"""
 
   /** The per-subspace PQ training + coding CTE block (c0_j .. cd_j per
@@ -2006,6 +2024,39 @@ object Extensions {
         FROM scored
       )
       SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
+    sb.toString
+  }
+
+  /** Batch-scoring oracle: ivfPqSql's composition with the 50-query probe
+    * set and top-3 — the semantics of scoring against the PERSISTED index
+    * are identical to the inline composition (layout is execution, not
+    * meaning), so the oracle differs only in predicate and k.
+    */
+  private lazy val annIndexScoredSql: String = {
+    val nsub = 4
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= "\n        "
+    sb ++= ivfKmeansCtes("vec_id < 50", 2)
+    sb ++= """
+      , cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM qprobe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+      )"""
+    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
+    sb ++= s"""
+      , scored AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM cand c
+        ${pqAdcJoinsSql(nsub, "c")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 3"""
     sb.toString
   }
 
@@ -2824,6 +2875,7 @@ object Extensions {
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "ann_ivfpq_topk" -> ivfPqSql,
+    "ann_index_scored" -> annIndexScoredSql,
     "mm_frame_sample" ->
       """WITH a AS (
            SELECT doc_id AS asset_id,

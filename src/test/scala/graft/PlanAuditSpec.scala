@@ -117,6 +117,29 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("persisted ANN index: batch scoring joins exchange-free off the bucketed cell scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    Similarity.persistAnnIndex(
+      e, "vec_id", "embedding", coarse, books, table = "graft_ann_idx_audit", buckets = 4)
+    // the batch-scoring case IS the non-broadcastable one — force it
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scored = Similarity.scoreAgainstAnnIndex(
+        spark, "graft_ann_idx_audit", e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"scoring did not sort-merge:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"index scan is not bucketed:\n$plan")
+      // exactly ONE cell-keyed exchange: the query batch aligning to the
+      // index layout. A second would mean the index side reshuffled.
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1, s"expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
   test("AQE splits a skewed unsalted join at runtime; manual salting is for aggregates/streams") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
