@@ -13,9 +13,13 @@ Test / fork := true
 run / fork := true
 // The bench driver parses the FINAL stdout line as JSON; sbt's trailing
 // "[success] Total time: …" banner after the forked main returns broke
-// that parse every round (BENCH_r08 parsed:null). Suppress it globally.
+// that parse every round (BENCH_r08 parsed:null). Suppress it globally,
+// and pass forked stdout through verbatim (no logger, no "[info] "
+// prefix, no log-level filtering) so the JSON line reaches the driver
+// byte-identical to what Bench printed.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -221,6 +221,24 @@ class SketchesSpec extends SparkSpecBase {
     assert(mixed == whole4, "mixed-level merge must equal the union's sketch at the coarser level")
   }
 
+  test("kllSketch at level 0 keeps every row and the quantiles become exact") {
+    // gate mod 2^0 == 0 always passes: the sketch IS the data at weight 1,
+    // so the rank-selection must return the true ceil(q·n)-th value
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"),
+        concat(col("l_orderkey"), lit("_"), col("l_linenumber")).as("k"))
+    val sk = Sketches.kllSketch(li, $"v", $"k", level = 0)
+    assert(sk.count() == li.count(), "level 0 must keep every row")
+    val probs = Seq(0.1, 0.5, 0.9)
+    val est = Sketches.kllQuantiles(sk, probs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = li.select($"v").collect().map(_.getDouble(0)).sorted
+    for (p <- probs) {
+      val want = sorted(math.max(1, math.ceil(p * sorted.length).toLong).toInt - 1)
+      assert(est(p) == want, s"level-0 quantile $p: ${est(p)} != exact $want")
+    }
+  }
+
   test("kllQuantiles rank error vs the exact quantiles stays within the sampling bound") {
     // real fixture values: lineitem extendedprice at sf0.001 (6005 rows);
     // level 3 keeps ~1/8 (~750 samples) — sampling theory puts the rank
