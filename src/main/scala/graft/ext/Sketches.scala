@@ -153,21 +153,47 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, itemCol: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4,16]")
+    hllRegisterRows(df.select(itemCol.cast("string").as("item")).distinct(), p)
+      .groupBy(col("register"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Per-GROUP HLL registers — the mergeable distinct-count rollup unit:
+    * one register table per group key (≤ |groups| · 2^p integer rows).
+    * Roll up any set of groups by max-merging their registers (the same
+    * element-wise max the global form's spec demonstrates) — per-source /
+    * per-language distinct counts and their corpus-wide total from ONE
+    * scan's sketch.
+    */
+  def hllRegistersByGroup(df: DataFrame, groupCol: Column, itemCol: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4,16]")
+    hllRegisterRows(
+      df.select(groupCol.as("grp"), itemCol.cast("string").as("item")).distinct(),
+      p,
+      carry = Seq("grp"))
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** The shared hash → (register, rho) derivation over a pre-distincted
+    * item frame (hash the vocabulary, not the corpus). `rho` avoids float
+    * log2: bit length is a sum of integer threshold compares — exact in
+    * any engine.
+    */
+  private def hllRegisterRows(items: DataFrame, p: Int, carry: Seq[String] = Nil): DataFrame = {
     val restBits = 32 - p
     // bitlen(rest) = Σ_k [rest >= 2^k]; rho = restBits - bitlen + 1
     val bitlen = (0 until restBits)
       .map(k => (col("rest") >= lit(1L << k)).cast("int"))
       .reduce(_ + _)
-    df.select(itemCol.cast("string").as("item"))
-      .distinct() // hash the vocabulary, not the corpus
-      .select(hash32(col("item")).as("h"))
+    items
+      .select(carry.map(col) :+ hash32(col("item")).as("h"): _*)
       .select(
-        shiftright(col("h"), restBits).as("register"), // top p bits
-        col("h").bitwiseAND(lit((1L << restBits) - 1)).as("rest") // low 32-p bits
+        carry.map(col)
+          :+ shiftright(col("h"), restBits).as("register") // top p bits
+          :+ col("h").bitwiseAND(lit((1L << restBits) - 1)).as("rest"): _* // low 32-p bits
       )
       .withColumn("rho", (lit(restBits) - bitlen + 1).cast("int"))
-      .groupBy(col("register"))
-      .agg(max(col("rho")).as("max_rho"))
   }
 
   /** One-row KMV distinct estimate over `itemCol` of `df`:

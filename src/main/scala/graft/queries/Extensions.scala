@@ -1533,6 +1533,12 @@ object Extensions {
     "sketch_hll_registers" -> { (s, dir) =>
       Sketches.hllRegisters(t(s, dir, "orders"), col("o_custkey"), p = 8)
     },
+    // per-group HLL rollup unit: one register table per order status —
+    // max-merge any subset of groups for their combined distinct count
+    "sketch_hll_by_group" -> { (s, dir) =>
+      Sketches.hllRegistersByGroup(
+        t(s, dir, "orders"), col("o_orderstatus"), col("o_custkey"), p = 8)
+    },
     // mergeable quantile sketch (KLL-style levels, hash-derandomized):
     // level-4 gate keeps ~1/16 of orders at weight 16; deciles read off
     // the (value, key)-ranked sample. Engine-exact: the md5 gate, the
@@ -3324,6 +3330,16 @@ object Extensions {
          r AS (SELECT h >> 24 AS register, h & ${(1L << 24) - 1} AS rest FROM h)
          SELECT register, max(CAST(24 - ($bitlen) + 1 AS INTEGER)) AS max_rho
          FROM r GROUP BY register"""
+    },
+    "sketch_hll_by_group" -> {
+      val bitlen = (0 until 24).map(k => s"CAST(rest >= ${1L << k} AS INTEGER)").mkString(" + ")
+      s"""WITH it AS (
+           SELECT DISTINCT o_orderstatus AS grp, CAST(o_custkey AS VARCHAR) AS item FROM orders),
+         h AS (
+           SELECT grp, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS h FROM it),
+         r AS (SELECT grp, h >> 24 AS register, h & ${(1L << 24) - 1} AS rest FROM h)
+         SELECT grp, register, max(CAST(24 - ($bitlen) + 1 AS INTEGER)) AS max_rho
+         FROM r GROUP BY grp, register"""
     },
     "sketch_bloom_probe" ->
       """WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item FROM orders),
