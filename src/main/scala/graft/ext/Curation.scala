@@ -179,6 +179,31 @@ object Curation {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic training-order shuffle: every row gets a (shard, pos)
+    * coordinate from the md5 of its key — the global random-but-
+    * reproducible interleave a training run reads shard by shard. The
+    * shard assignment is a map-only hash gate and the position a window
+    * PER SHARD (shards are independent, so the sort parallelizes across
+    * them — no global sort, no single task). md5 rather than `rand()`:
+    * task retries and different engines produce the identical order, so
+    * the training data order is an auditable artifact, not an accident of
+    * execution. Hash ties (32-bit, birthday-real at corpus scale) break
+    * on the key, keeping the order total and stable.
+    *
+    * @return (doc_id, shard, pos) — pos is 1-based and dense within its
+    *         shard
+    */
+  def shuffleShards(df: DataFrame, idCol: Column, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    df.select(idCol.as("doc_id"))
+      .withColumn("__h", graft.ops.Hashing.md5Long(col("doc_id").cast("string")))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Group-level quality gate: keep every document whose GROUP's mean of
     * `valueCol` clears `minMean` — the "drop low-quality domains
     * wholesale" curation step (a per-document filter can't express it: the

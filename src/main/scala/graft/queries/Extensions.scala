@@ -273,6 +273,12 @@ object Extensions {
         asInserts.unionByName(upserts).unionByName(deletes),
         Seq("o_orderkey"), "op", "seq")
     },
+    // deterministic training-order shuffle: md5-derived (shard, pos)
+    // coordinates — the reproducible global interleave a training run
+    // reads shard by shard; per-shard windows, never a global sort
+    "corpus_shuffle_shards" -> { (s, dir) =>
+      Curation.shuffleShards(t(s, dir, "documents"), col("doc_id"), shards = 16)
+    },
     // deterministic 80/10/10 train/val/test assignment — a pure map-side
     // hash gate (retry-stable, engine-reproducible; see Curation.hashSplit)
     "corpus_split_assign" -> { (s, dir) =>
@@ -2340,6 +2346,15 @@ object Extensions {
            SELECT doc_id,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
            FROM documents) t""",
+    "corpus_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           FROM documents)
+         SELECT doc_id,
+                CAST(h % 16 AS INTEGER) AS shard,
+                CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM h""",
     "corpus_split_leakage_safe" ->
       (clusterChainSql + """
         , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)

@@ -236,6 +236,31 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("shuffleShards: total, dense per shard, deterministic, and actually shuffled") {
+    val docs = spark.range(0, 1000).select($"id".as("doc_id"))
+    val out = Curation.shuffleShards(docs, $"doc_id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc exactly once, every shard's positions dense 1..n
+    assert(out.length == 1000 && out.map(_._1).distinct.length == 1000)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // deterministic across runs (the auditable-training-order claim)
+    val again = Curation.shuffleShards(docs, $"doc_id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // the order is a real shuffle, not id order: within some shard the
+    // doc ids are not monotone in pos
+    val monotone = out.groupBy(_._2).values.forall { rows =>
+      val byPos = rows.sortBy(_._3).map(_._1)
+      byPos.toSeq == byPos.sorted.toSeq
+    }
+    assert(!monotone, "shuffle left every shard in id order")
+    // no empty shard at 1000 docs over 8 shards (md5 uniformity sanity)
+    assert(out.map(_._2).distinct.length == 8)
+  }
+
   test("working-column collisions are rejected up front, never silently dropped") {
     // a caller column named like an internal staging column would be
     // replaced and then dropped — the operators must refuse instead
