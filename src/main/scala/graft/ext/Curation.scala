@@ -416,4 +416,98 @@ object Curation {
       .withColumn("pack_pos", row_number().over(byPack).cast("long"))
       .drop("salt", "pack_local")
   }
-}
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection with Importance Resampling): one
+    * weight per hashed-token bucket, high where the TARGET corpus is
+    * denser than the RAW corpus. The paper's weight is the log-ratio of
+    * add-one-smoothed hashed-ngram probabilities; this module's
+    * engine-reproducibility stance (see [[graft.ext.Ranking]]) replaces
+    * transcendental log with an integer-quantized LINEAR ratio:
+    *
+    *   w(f) = (scale · (ct_f+1) · (R+B)) div ((cr_f+1) · (T+B))
+    *
+    * — exact BIGINT products and one floor division, bit-identical in any
+    * engine (monotone in the paper's per-feature ratio, so bucket
+    * ordering is preserved; document scores become sums of integer
+    * weights instead of sums of logs — a documented surrogate, not the
+    * paper's estimator). `scale` and add-one smoothing must keep
+    * scale·(ct+1)·(R+B) inside BIGINT: at larger corpora pre-divide the
+    * counts (per-mille bucket probabilities), same formula shape.
+    *
+    * Both corpus passes are one explode + one B-row aggregation
+    * (map-side combine; B buckets, e.g. 256 — the output is model-sized,
+    * never data-sized). Tokens are the corpus convention: whitespace
+    * split of trimmed text, empties dropped; bucket = md5 first-8-hex
+    * mod B ([[graft.ops.Hashing.md5Long]]).
+    *
+    * @return (bucket, w) — one row per bucket in [0, buckets)
+    */
+  def dsirBucketWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: Column,
+      buckets: Int = 256,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketCounts(df: DataFrame, name: String): DataFrame =
+      tokenBuckets(df.select(textCol.as("__text")), col("__text"), buckets)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(name))
+    val cr = bucketCounts(raw, "cr")
+    val ct = bucketCounts(target, "ct")
+    // totals: two scalar aggregates broadcast to the B-row frame — the
+    // bounded one-row-stat crossJoin shape used by Ranking's idf surrogate
+    val totals = broadcast(
+      cr.agg(sum(col("cr")).as("r_tot"))
+        .crossJoin(ct.agg(sum(col("ct")).as("t_tot"))))
+    raw.sparkSession
+      .range(buckets)
+      .select(col("id").cast("long").as("bucket"))
+      .join(cr, Seq("bucket"), "left")
+      .join(ct, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(
+        col("bucket"),
+        expr(
+          s"($scale * (coalesce(ct, 0) + 1) * (coalesce(r_tot, 0) + $buckets)) DIV " +
+            s"((coalesce(cr, 0) + 1) * (coalesce(t_tot, 0) + $buckets))").as("w")
+      )
+  }
+
+  /** Importance score per document under [[dsirBucketWeights]]: the sum of
+    * its tokens' bucket weights (with multiplicity, the paper's hashed
+    * bag-of-ngrams). Exact long sums — order-independent, so the score is
+    * reproducible across partitionings and engines. The weight table is
+    * B rows, broadcast; the corpus pays one explode + one per-doc
+    * aggregation, no data-sized shuffle beyond the doc-key combine.
+    * Select with e.g. `orderBy(desc("score"), idCol).limit(k)` — a
+    * TakeOrdered, never a global window.
+    *
+    * @return (id, score) — documents with no tokens are absent
+    */
+  def dsirScores(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      weights: DataFrame,
+      buckets: Int = 256
+  ): DataFrame =
+    tokenBuckets(df.select(idCol.as("id"), textCol.as("__text")), col("__text"), buckets)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("w")).as("score"))
+
+  /** One row per (carried columns, token bucket): whitespace-split the
+    * trimmed text, drop empties, hash each token to its bucket. Shared by
+    * the weight estimator (corpus side) and the scorer (document side) so
+    * the feature definition cannot drift between them.
+    */
+  private def tokenBuckets(df: DataFrame, textCol: Column, buckets: Int): DataFrame =
+    df.select(
+        df.columns.filter(_ != "__text").map(col).toSeq :+
+          explode(filter(split(trim(textCol), "\\s+"), t => t =!= "")).as("__tok"): _*)
+      .withColumn("bucket", pmod(graft.ops.Hashing.md5Long(col("__tok")), lit(buckets.toLong)))
+      .drop("__tok", "__text")
+  }

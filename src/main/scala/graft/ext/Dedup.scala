@@ -982,4 +982,91 @@ object Dedup {
       )
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a TRAINED
+    * coarse quantizer (the paper's k-means clustering step —
+    * [[Similarity.kmeansCentroids]], fixed-iteration Lloyd's), then
+    * compare pairs only WITHIN a cluster and keep those with cosine ≥
+    * `tau`. Complements [[embeddingNearDupPairs]]: SRP buckets are
+    * data-independent hyperplane signs (cheap, recall depends on plane
+    * count), k-means cells follow the corpus's actual density (the
+    * paper's finding: semantic duplicates concentrate inside clusters).
+    *
+    * Same scale shape as the SRP form: one map-side cell assignment
+    * (argmin over a broadcast literal centroid matrix, exact integer
+    * squared-L2, first-min tie rule), one explicit cell-key repartition
+    * that both self-join sides reuse (ReusedExchange — assignment and
+    * norms computed once), candidate volume Σ cell² not n². `maxCell`
+    * quarantines degenerate clusters (0 = no cap); at 100 TB `nlist`
+    * scales with the corpus so cells stay pair-join-sized, the cap
+    * making that bound explicit rather than silent.
+    *
+    * All sim math is the module's exact integer-quantized contract, so a
+    * SQL twin replays training AND pruning bit-for-bit.
+    *
+    * @param cents trained (or sampled) centroid matrix — model state,
+    *              passed in so training cost is paid once per corpus
+    * @return (cell, id_lo, id_hi, sim) with id_lo < id_hi, sim ≥ tau
+    */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      tau: Double,
+      maxCell: Int = 0
+  ): DataFrame = {
+    val cmat = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = capBuckets(
+      df.select(idCol.as("id"), Similarity.quantize(vecCol).as("vec"))
+        .withColumn("__d", Similarity.distancesTo(cmat, col("vec")))
+        .select(
+          col("id"),
+          col("vec"),
+          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cell"),
+          Similarity.norm(col("vec")).as("nrm")
+        )
+        .repartition(col("cell")),
+      Seq("cell"),
+      maxCell
+    )
+    val lo = assigned.select(col("cell"), col("id").as("id_lo"),
+      col("vec").as("vec_lo"), col("nrm").as("nrm_lo"))
+    val hi = assigned.select(col("cell"), col("id").as("id_hi"),
+      col("vec").as("vec_hi"), col("nrm").as("nrm_hi"))
+    lo.join(hi, Seq("cell"))
+      .filter(col("id_lo") < col("id_hi"))
+      .select(
+        col("cell"),
+        col("id_lo"),
+        col("id_hi"),
+        round(Similarity.dot(col("vec_lo"), col("vec_hi")) / (col("nrm_lo") * col("nrm_hi")), 6)
+          .as("sim")
+      )
+      .filter(col("sim") >= tau)
+    // no distinct: an id lives in exactly ONE cell (first-min tie rule),
+    // so each pair is generated at most once
+  }
+
+  /** Survivors of [[semanticPairs]]: drop every id that has a LOWER-id
+    * within-cell neighbor at cosine ≥ tau (greedy keep-lowest-id — this
+    * module's deterministic convention, cf. the CC survivors' min-id
+    * representative). The paper ranks within a duplicate group by
+    * centroid distance; id order is used here so the kept set is total-
+    * order-reproducible without a float ranking. One anti-join against
+    * the (small) dropped-id side — the corpus never shuffles twice.
+    */
+  def semanticSurvivors(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      tau: Double,
+      maxCell: Int = 0
+  ): DataFrame = {
+    val dropped = semanticPairs(df, idCol, vecCol, cents, tau, maxCell)
+      .select(col("id_hi").as("__drop"))
+    df.join(dropped, idCol === col("__drop"), "left_anti")
+  }
 }

@@ -154,7 +154,7 @@ object Similarity {
     * new centroid set, regenerate) enormous codegen methods; a single
     * typedLit keeps the plan small and data-independent in shape.
     */
-  private def distancesTo(cmat: Column, vec: Column): Column =
+  private[ext] def distancesTo(cmat: Column, vec: Column): Column =
     transform(
       cmat,
       c =>

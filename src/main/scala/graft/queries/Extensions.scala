@@ -1168,6 +1168,24 @@ object Extensions {
         col("vec_id"), col("embedding"),
         dim = 64, planes = 4, threshold = 0.2)
     },
+    // SemDeDup-style semantic near-dup: k-means cells (the trained coarse
+    // quantizer, same 8-cell/2-iteration model as ann_ivf_kmeans) bound
+    // the pair comparisons; the oracle replays training, assignment, and
+    // within-cell pruning verbatim. tau is data-relative: the synthetic
+    // embeddings top out near cos 0.51, so 0.42 prunes the densest tail.
+    "dedup_semantic_pairs" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      Dedup.semanticPairs(e, col("vec_id"), col("embedding"), cents, tau = 0.42)
+    },
+    // the kept set under the greedy lowest-id rule: drop any vector with a
+    // lower-id within-cell neighbor at cos >= tau
+    "dedup_semantic_survivors" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      Dedup.semanticSurvivors(e, col("vec_id"), col("embedding"), cents, tau = 0.42)
+        .select(col("vec_id"))
+    },
     // ---- curation: packing / scrubbing / repetition / sketches / rank ----
     // sequence packing: token-budget packs per salt group (distributed —
     // the window sorts 8 independent salt partitions, never one global task)
@@ -1181,6 +1199,28 @@ object Extensions {
           salts = 8
         )
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("pack_id"), col("pack_pos"))
+    },
+    // DSIR-style importance scores: hashed-token bucket weights estimated
+    // from the en-language target vs the whole raw corpus (integer-ratio
+    // surrogate for the paper's log-ratio — see Curation.dsirBucketWeights),
+    // then each doc scored as the exact long sum of its tokens' weights
+    "curation_dsir_scores" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val w = Curation.dsirBucketWeights(docs, docs.filter(col("lang") === "en"), col("text"))
+      Curation
+        .dsirScores(docs, col("doc_id"), col("text"), w)
+        .select(col("id").as("doc_id"), col("score"))
+    },
+    // the selection tail: top-100 docs by importance (score desc, id
+    // tiebreak) — a TakeOrdered, never a global window
+    "curation_dsir_select" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val w = Curation.dsirBucketWeights(docs, docs.filter(col("lang") === "en"), col("text"))
+      Curation
+        .dsirScores(docs, col("doc_id"), col("text"), w)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
     },
     // PII scrub with audit counts; the fixture corpus has no PII, so a
     // deterministic slice gets synthetic emails/phones appended first
@@ -2127,6 +2167,37 @@ object Extensions {
       .mkString(" + ")
 
   /** Twin of Similarity.cosine over quantized vectors. */
+  /** DSIR oracle prefix shared by the score and selection twins: hashed
+    * token buckets (md5 first-8-hex mod 256, the Hashing.md5Long gate),
+    * raw/target bucket counts, and the integer-ratio weight table —
+    * Curation.dsirBucketWeights replayed verbatim. DuckDB sums BIGINT
+    * into HUGEINT, so consumers cast the final sum back to BIGINT.
+    */
+  private val dsirCtesSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, t AS tok FROM (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents) u
+      WHERE t <> ''
+    ), tb AS (
+      SELECT doc_id, lang,
+        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM toks
+    ), cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY bucket
+    ), ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+      SELECT CAST((SELECT count(*) FROM tb) AS BIGINT) AS r_tot,
+             CAST((SELECT count(*) FROM tb WHERE lang = 'en') AS BIGINT) AS t_tot
+    ), wt AS (
+      SELECT g.range AS bucket,
+        (1000000 * (COALESCE(ct.ct, 0) + 1) * (tot.r_tot + 256))
+          // ((COALESCE(cr.cr, 0) + 1) * (tot.t_tot + 256)) AS w
+      FROM range(0, 256) g
+      LEFT JOIN ct ON ct.bucket = g.range
+      LEFT JOIN cr ON cr.bucket = g.range
+      CROSS JOIN tot
+    )"""
+
   private def cosSql(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
         (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS DOUBLE)) *
@@ -2823,6 +2894,27 @@ object Extensions {
           WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
         )
         SELECT new_id, corpus_id, sim FROM prs WHERE sim >= 0.2"""),
+    "dedup_semantic_pairs" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , av AS (
+          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
+        ), sprs AS (
+          SELECT x.cell, x.vec_id AS id_lo, y.vec_id AS id_hi,
+                 round(${cosSql("x.q", "y.q")}, 6) AS sim
+          FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        )
+        SELECT cell, id_lo, id_hi, sim FROM sprs WHERE sim >= 0.42"""),
+    "dedup_semantic_survivors" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , av AS (
+          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
+        ), sprs AS (
+          SELECT x.cell, x.vec_id AS id_lo, y.vec_id AS id_hi,
+                 round(${cosSql("x.q", "y.q")}, 6) AS sim
+          FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        )
+        SELECT vec_id FROM qz
+        WHERE vec_id NOT IN (SELECT id_hi FROM sprs WHERE sim >= 0.42)"""),
     "ann_lsh_topk" ->
       (qzCte + s"""
         , bkt AS (SELECT vec_id, q, ${srpBucketSql(6)} AS bucket FROM qz)
@@ -2942,6 +3034,17 @@ object Extensions {
          SELECT doc_id, n_tokens, cum_tokens, pack_id,
            CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT) AS pack_pos
          FROM p""",
+    "curation_dsir_scores" ->
+      (dsirCtesSql + """
+         SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+         FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id"""),
+    "curation_dsir_select" ->
+      (dsirCtesSql + """
+         , sc AS (
+           SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+           FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id
+         )
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 100"""),
     "text_pii_scrub" ->
       s"""WITH aug AS (
             SELECT doc_id,

@@ -37,7 +37,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "dedup_incremental", "dedup_embedding_incremental",
         "scd_changelog_apply", "text_familiarity",
         "ann_ivf_kmeans", "ann_pq_topk", "dedup_incremental_bucketed",
-        "corpus_data_card_v2")) {
+        "corpus_data_card_v2", "dedup_semantic_pairs", "curation_dsir_scores")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -62,6 +62,30 @@ class PlanAuditSpec extends SparkSpecBase {
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
         s"$q shuffles for map-only work:\n$plan")
     }
+  }
+
+  test("semantic dedup: both self-join sides reuse ONE cell-key exchange at scale stats") {
+    // at fixture size the planner broadcasts the tiny hi side (fine); the
+    // 100 TB shape is the one with broadcast off the table — there the
+    // explicit repartition(cell) makes both self-join sides canonicalize
+    // to the SAME shuffle, so assignment distances and norms are computed
+    // once, not once per side. AQE materializes the reuse at RUNTIME
+    // (stage reuse), so execute this QueryExecution before inspecting.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("dedup_semantic_pairs")(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"self-join recomputes the assignment side:\n$plan")
+    }
+  }
+
+  test("dsir: the bucket-weight table broadcasts; selection is a bounded heap") {
+    val scores = planOf("curation_dsir_scores")
+    assert(scores.contains("BroadcastHashJoin"),
+      s"the 256-row weight table must broadcast, not shuffle the token stream:\n$scores")
+    val select = planOf("curation_dsir_select")
+    assert(select.contains("TakeOrderedAndProject"),
+      s"top-k selection must be a heap, not a global sort:\n$select")
   }
 
   test("aggregations keep map-side partials (partial -> exchange -> final)") {

@@ -261,6 +261,40 @@ class CurationSpec extends SparkSpecBase {
     assert(out.map(_._2).distinct.length == 8)
   }
 
+  test("dsir: weights favor target-dense buckets; docs of target vocabulary outscore the rest") {
+    val corpus = Seq(
+      (1L, "en", "alpha beta alpha beta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "de", "delta epsilon zeta"),
+      (4L, "de", "delta zeta delta epsilon")
+    ).toDF("doc_id", "lang", "text")
+    val w = Curation.dsirBucketWeights(corpus, corpus.filter($"lang" === "en"), $"text", buckets = 64)
+    assert(w.count() == 64, "one weight per bucket, including unseen buckets")
+    val scores = Curation.dsirScores(corpus, $"doc_id", $"text", w, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.keySet == Set(1L, 2L, 3L, 4L))
+    // per-token mean importance: target-vocabulary docs must rank above
+    // raw-only-vocabulary docs (the selection signal DSIR exists for)
+    assert(scores(1L) / 4.0 > scores(3L) / 3.0, s"en doc should outscore de doc: $scores")
+    assert(scores(2L) / 3.0 > scores(4L) / 4.0, s"en doc should outscore de doc: $scores")
+    // deterministic: integer weights + exact long sums reproduce bit-for-bit
+    val again = Curation.dsirScores(corpus, $"doc_id", $"text", w, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == scores)
+  }
+
+  test("dsir: tokenless documents are absent from scores, not zero-scored") {
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "   "),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val w = Curation.dsirBucketWeights(corpus, corpus, $"text", buckets = 16)
+    val ids = Curation.dsirScores(corpus, $"doc_id", $"text", w, buckets = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"whitespace-only and empty docs must drop out, got $ids")
+  }
+
   test("working-column collisions are rejected up front, never silently dropped") {
     // a caller column named like an internal staging column would be
     // replaced and then dropped — the operators must refuse instead

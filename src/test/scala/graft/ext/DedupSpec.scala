@@ -184,6 +184,41 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((30001L, 30002L)), s"hot identical-vector bucket quarantined, got $pairs")
   }
 
+  test("semanticPairs: trained cells pair the planted near-dups, survivors keep lowest ids") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.998f, 0.02f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.01f, 0.999f, 0.0f, 0.0f)),  // near-dup of 3
+      (5L, Seq(0.0f, 0.0f, 0.0f, 1.0f))      // lone axis vector
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", nlist = 3, iters = 2)
+    val pairs = Dedup.semanticPairs(vecs, $"vec_id", $"embedding", cents, tau = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"expected the two planted dup pairs, got $pairs")
+    val surv = Dedup.semanticSurvivors(vecs, $"vec_id", $"embedding", cents, tau = 0.9)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L, 5L), s"greedy lowest-id keep, got $surv")
+  }
+
+  test("semanticPairs: maxCell quarantines a degenerate cluster, tail pairs survive") {
+    // the two tail vectors get the LOWEST ids so they seed the quantizer
+    // (sampleCentroids is lowest-id) — the 500-strong identical cluster
+    // then lands in its own trained cell and is quarantined by the cap
+    val hot = spark.range(100, 600)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val tail = Seq(
+      (0L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.999f, 0.01f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val all = hot.unionByName(tail)
+    val cents = Similarity.kmeansCentroids(all, "vec_id", "embedding", nlist = 2, iters = 1)
+    val pairs = Dedup.semanticPairs(all, $"vec_id", $"embedding", cents, tau = 0.9, maxCell = 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L)), s"hot identical-vector cell quarantined, got $pairs")
+  }
+
   test("streamingLshCandidates: near-dup pairs emerge from the watermarked band self-join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
