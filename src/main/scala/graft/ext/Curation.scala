@@ -499,6 +499,32 @@ object Curation {
       .groupBy(col("id"))
       .agg(sum(col("w")).as("score"))
 
+  /** SERVING form of [[dsirScores]]: the trained weight table as a dense
+    * literal array (B longs — model state, like the ANN centroid matrix),
+    * scored per row with one HOF pass — no explode, no join, NO SHUFFLE.
+    * This is the shape a stateless streaming scorer (or a 100 TB batch
+    * scan that wants zero movement) uses; exact long arithmetic keeps it
+    * bit-identical to the exploded batch form. Tokenless rows score 0
+    * here (the relational form drops them) — filter upstream when parity
+    * with [[dsirScores]]' row set matters.
+    *
+    * @param weights dense per-bucket weights, index = bucket id
+    */
+  def dsirScoreColumn(textCol: Column, weights: Seq[Long]): Column = {
+    val wlit = typedLit(weights)
+    aggregate(
+      transform(
+        filter(split(trim(textCol), "\\s+"), t => t =!= ""),
+        t =>
+          element_at(
+            wlit,
+            (pmod(graft.ops.Hashing.md5Long(t), lit(weights.size.toLong)) + 1).cast("int"))
+      ),
+      lit(0L),
+      (acc, v) => acc + v
+    )
+  }
+
   /** One row per (carried columns, token bucket): whitespace-split the
     * trimmed text, drop empties, hash each token to its bucket. Shared by
     * the weight estimator (corpus side) and the scorer (document side) so

@@ -1017,17 +1017,8 @@ object Dedup {
       tau: Double,
       maxCell: Int = 0
   ): DataFrame = {
-    val cmat = typedLit(cents.map(_.toSeq).toSeq)
     val assigned = capBuckets(
-      df.select(idCol.as("id"), Similarity.quantize(vecCol).as("vec"))
-        .withColumn("__d", Similarity.distancesTo(cmat, col("vec")))
-        .select(
-          col("id"),
-          col("vec"),
-          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cell"),
-          Similarity.norm(col("vec")).as("nrm")
-        )
-        .repartition(col("cell")),
+      semanticAssigned(df, idCol, vecCol, cents).repartition(col("cell")),
       Seq("cell"),
       maxCell
     )
@@ -1069,4 +1060,78 @@ object Dedup {
       .select(col("id_hi").as("__drop"))
     df.join(dropped, idCol === col("__drop"), "left_anti")
   }
+
+  /** One (id, vec, cell, nrm) row per vector: quantize, assign the nearest
+    * trained cell (map-side argmin, first-min tie rule — the IVF
+    * assignment shape), stage the norm. Shared by the self-join pair
+    * generator and the persisted-index forms so assignment semantics
+    * cannot drift between layout time and query time.
+    */
+  private def semanticAssigned(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]]
+  ): DataFrame = {
+    val cmat = typedLit(cents.map(_.toSeq).toSeq)
+    df.select(idCol.as("id"), Similarity.quantize(vecCol).as("vec"))
+      .withColumn("__d", Similarity.distancesTo(cmat, col("vec")))
+      .select(
+        col("id"),
+        col("vec"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cell"),
+        Similarity.norm(col("vec")).as("nrm")
+      )
+  }
+
+  /** LAYOUT TIME — paid once per corpus: persist the semantic cell index
+    * (cell, corpus_id, vec, nrm) `bucketBy(cell)`, so every future
+    * incremental batch probes it with ZERO exchange on the corpus side —
+    * the embedding-space twin of [[persistLshIndex]], keyed by the
+    * TRAINED quantizer's cells instead of band hashes. The centroid
+    * matrix is model state: the same `cents` must be passed at probe
+    * time (a re-trained quantizer is a new index).
+    */
+  def persistSemanticIndex(
+      corpus: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      table: String,
+      buckets: Int
+  ): Unit =
+    graft.sources.Sources.writeBucketed(
+      semanticAssigned(corpus, idCol, vecCol, cents)
+        .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm")),
+      table, buckets, "cell")
+
+  /** QUERY TIME — paid per batch, corpus side exchange-free: assign the
+    * incoming vectors to their cells (map-side, same shared assignment)
+    * and join the persisted index on `cell`; keep cross-side pairs with
+    * cosine ≥ tau. Identical pair semantics to restricting
+    * [[semanticPairs]] to cross-side pairs — layout is execution, not
+    * meaning. Each vector lives in exactly ONE cell, so no distinct is
+    * needed (unlike the banded LSH probe).
+    *
+    * @return (new_id, corpus_id, sim) pairs with sim ≥ tau
+    */
+  def probeSemanticIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      tau: Double
+  ): DataFrame =
+    semanticAssigned(incoming, idCol, vecCol, cents)
+      .select(col("cell"), col("id").as("new_id"), col("vec").as("vec_new"),
+        col("nrm").as("nrm_new"))
+      .join(s.table(table), Seq("cell"))
+      .select(
+        col("new_id"),
+        col("corpus_id"),
+        round(Similarity.dot(col("vec_new"), col("vec")) / (col("nrm_new") * col("nrm")), 6)
+          .as("sim"))
+      .filter(col("sim") >= tau)
 }

@@ -1186,6 +1186,21 @@ object Extensions {
       Dedup.semanticSurvivors(e, col("vec_id"), col("embedding"), cents, tau = 0.42)
         .select(col("vec_id"))
     },
+    // the PERSISTED-index form: the corpus's (cell, id, vec, nrm) frame is
+    // written bucketBy(cell) once (layout time) and every 5th vector
+    // arrives as the incoming batch probing it exchange-free on the
+    // corpus side — the semantic twin of dedup_incremental_bucketed.
+    // The quantizer is trained on the FULL corpus (train once, serve
+    // batches), so the oracle shares the ann_ivf_kmeans training CTEs.
+    "dedup_semantic_incremental" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val incoming = e.filter(col("vec_id") % 5 === 0)
+      val tbl = Scratch.table("sem_idx")
+      Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, tbl, buckets = 8)
+      Dedup.probeSemanticIndex(s, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.42)
+    },
     // ---- curation: packing / scrubbing / repetition / sketches / rank ----
     // sequence packing: token-budget packs per salt group (distributed —
     // the window sorts 8 independent salt partitions, never one global task)
@@ -1628,6 +1643,45 @@ object Extensions {
         q.processAllAvailable()
       } finally q.stop()
       Sketches.kllQuantiles(drainSink(s, sink)(identity), (1 to 9).map(_ / 10.0))
+    },
+    // fourteenth stream/batch parity surface: DSIR model SERVING. The
+    // weight table is trained batch-side (256 longs — model state), baked
+    // into a literal array, and the document stream is scored stateless
+    // map-only (dsirScoreColumn: one HOF pass, no explode/join/shuffle,
+    // append mode with no state store). The drained scores hash-match the
+    // exploded batch form's oracle, shared verbatim — the layout-vs-
+    // meaning contract for model serving.
+    "stream_dsir_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val weights: Seq[Long] = Curation
+        .dsirBucketWeights(docsDf, docsDf.filter(col("lang") === "en"), col("text"))
+        .orderBy(col("bucket"))
+        .collect()
+        .map(_.getLong(1))
+        .toSeq
+      val rows: Array[(Long, String)] = docsDf
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .collect()
+      val mem = MemoryStream[(Long, String)]
+      val scored = mem
+        .toDF()
+        .toDF("doc_id", "text")
+        // the relational batch form DROPS tokenless docs; mirror that here
+        // (the serving column scores them 0) so the row sets agree
+        .filter(size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")) > 0)
+        .select(col("doc_id"), Curation.dsirScoreColumn(col("text"), weights).as("score"))
+      val sink = s"stream_dsir_parity_${System.nanoTime()}"
+      val q = scored.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(rows.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(identity)
     },
     // Bloom-filter membership (one-sided error): build the bit set over
     // custkeys that have orders, probe every customer, and ride the exact
@@ -2197,6 +2251,13 @@ object Extensions {
       LEFT JOIN cr ON cr.bucket = g.range
       CROSS JOIN tot
     )"""
+
+  /** The full DSIR scoring twin — shared verbatim by the batch query and
+    * the streaming parity surface (layout differs, meaning must not).
+    */
+  private val dsirScoresSql: String = dsirCtesSql + """
+         SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+         FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id"""
 
   private def cosSql(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
@@ -2915,6 +2976,17 @@ object Extensions {
         )
         SELECT vec_id FROM qz
         WHERE vec_id NOT IN (SELECT id_hi FROM sprs WHERE sim >= 0.42)"""),
+    "dedup_semantic_incremental" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , av AS (
+          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
+        ), sprs AS (
+          SELECT x.vec_id AS new_id, y.vec_id AS corpus_id,
+                 round(${cosSql("x.q", "y.q")}, 6) AS sim
+          FROM av x JOIN av y
+            ON x.cell = y.cell AND x.vec_id % 5 = 0 AND y.vec_id % 5 <> 0
+        )
+        SELECT new_id, corpus_id, sim FROM sprs WHERE sim >= 0.42"""),
     "ann_lsh_topk" ->
       (qzCte + s"""
         , bkt AS (SELECT vec_id, q, ${srpBucketSql(6)} AS bucket FROM qz)
@@ -3034,10 +3106,8 @@ object Extensions {
          SELECT doc_id, n_tokens, cum_tokens, pack_id,
            CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT) AS pack_pos
          FROM p""",
-    "curation_dsir_scores" ->
-      (dsirCtesSql + """
-         SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
-         FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id"""),
+    "curation_dsir_scores" -> dsirScoresSql,
+    "stream_dsir_parity" -> dsirScoresSql,
     "curation_dsir_select" ->
       (dsirCtesSql + """
          , sc AS (

@@ -164,6 +164,30 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("persisted semantic index: the probe joins exchange-free off the bucketed cell scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Dedup, Similarity}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    Dedup.persistSemanticIndex(
+      e.filter(col("vec_id") % 5 =!= 0), col("vec_id"), col("embedding"), cents,
+      table = "graft_sem_idx_audit", buckets = 4)
+    // broadcast would hide the layout story at fixture scale — force the
+    // sort-merge path a 100 TB index takes
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = Dedup.probeSemanticIndex(
+        spark, "graft_sem_idx_audit", e.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"), cents, tau = 0.4)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"probe did not sort-merge:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"index scan is not bucketed:\n$plan")
+      // exactly ONE cell-keyed exchange: the incoming batch aligning to
+      // the index layout; a second would mean the corpus side reshuffled
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1, s"expected 1 batch-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
   test("AQE splits a skewed unsalted join at runtime; manual salting is for aggregates/streams") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -283,6 +283,23 @@ class CurationSpec extends SparkSpecBase {
     assert(again == scores)
   }
 
+  test("dsir: the serving column (literal weights, no shuffle) matches the relational scorer") {
+    val corpus = Seq(
+      (1L, "en", "alpha beta alpha beta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "de", "delta epsilon zeta"),
+      (4L, "de", "delta zeta delta epsilon")
+    ).toDF("doc_id", "lang", "text")
+    val wdf = Curation.dsirBucketWeights(corpus, corpus.filter($"lang" === "en"), $"text", buckets = 64)
+    val relational = Curation.dsirScores(corpus, $"doc_id", $"text", wdf, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weights = wdf.orderBy($"bucket").collect().map(_.getLong(1)).toSeq
+    val serving = corpus
+      .select($"doc_id", Curation.dsirScoreColumn($"text", weights).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(serving == relational, s"serving $serving != relational $relational")
+  }
+
   test("dsir: tokenless documents are absent from scores, not zero-scored") {
     val corpus = Seq(
       (1L, "alpha beta"),

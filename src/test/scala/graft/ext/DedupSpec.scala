@@ -219,6 +219,35 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((0L, 1L)), s"hot identical-vector cell quarantined, got $pairs")
   }
 
+  test("probeSemanticIndex equals the cross-side restriction of semanticPairs") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.998f, 0.02f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.01f, 0.999f, 0.0f, 0.0f)),  // near-dup of 3
+      (5L, Seq(1.0f, 0.002f, 0.0f, 0.0f))    // "incoming" near-dup of 1 and 2
+    ).toDF("vec_id", "embedding")
+    // nlist = 2: with 3 cells, v2 is its own SEED and keeps its own cell
+    // (sim(5,2) is high but cross-cell — the documented approximation);
+    // at 2 cells training pulls v2 back into v1's cluster
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", nlist = 2, iters = 2)
+    val corpus = vecs.filter($"vec_id" =!= 5L)
+    val incoming = vecs.filter($"vec_id" === 5L)
+    Dedup.persistSemanticIndex(corpus, $"vec_id", $"embedding", cents,
+      table = "graft_sem_idx_spec", buckets = 2)
+    val probe = Dedup
+      .probeSemanticIndex(spark, "graft_sem_idx_spec", incoming, $"vec_id", $"embedding",
+        cents, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = Dedup.semanticPairs(vecs, $"vec_id", $"embedding", cents, tau = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .filter { case (a, b) => (a == 5L) != (b == 5L) }
+      .map { case (a, b) => if (a == 5L) (a, b) else (b, a) }
+      .toSet
+    assert(probe == self, s"probe $probe != cross-side self-join $self")
+    assert(probe == Set((5L, 1L), (5L, 2L)), s"incoming must pair with both planted dups: $probe")
+  }
+
   test("streamingLshCandidates: near-dup pairs emerge from the watermarked band self-join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
