@@ -14,6 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_nfc(text)` → Unicode NFC normalization with an ASCII
   *     fast path ([[graft.functions.NfcNormalize]]) — canonicalization
   *     before digest-keyed dedup, absent from Spark's built-ins.
+  *   - `graft_dot(a, b)` → allocation-free quantized dot product
+  *     ([[graft.functions.ArrayDot]]) — the per-candidate-pair hot loop
+  *     under every similarity ranking; bit-identical to the HOF fold it
+  *     replaces.
   *
   * Everything else in the engine is deliberately built-in column algebra;
   * an entry earns a place here only with a measured win over the best
@@ -31,6 +35,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ),
         (children: Seq[Expression]) =>
           graft.functions.OccurrenceCounts(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(
+          classOf[graft.functions.ArrayDot].getName,
+          "graft_dot"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.ArrayDot(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_dotl"),
+        new ExpressionInfo(
+          classOf[graft.functions.ArrayDotLong].getName,
+          "graft_dotl"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.ArrayDotLong(children(0), children(1))
       )
     )
     ext.injectFunction(

@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right double-precision dot product of two quantized vectors —
+    * the native codegen expression ([[graft.functions.ArrayDot]], requires
+    * [[graft.GraftExtensions]], which every entry point registers).
+    * Bit-identical to [[dotHof]], the built-in formulation it replaced:
+    * same casts, same multiply, same fold order (parity spec-asserted).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The built-in HOF formulation of [[dot]] — kept as the executable
+    * definition of the exactness contract the native expression must
+    * match, and for sessions without the extension registered.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -747,9 +758,8 @@ object Similarity {
       .select(col("id").as("cand_id"), col("codes").as("cc"))
     val scored = c
       .join(q, col("query_id") =!= col("cand_id"))
-      .withColumn(
-        "score",
-        aggregate(zip_with(col("qc"), col("cc"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      // native integer dot (graft_dotl) — exact long fold, see ArrayDot
+      .withColumn("score", call_function("graft_dotl", col("qc"), col("cc")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
