@@ -61,6 +61,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("graft_l2sq"),
+        new ExpressionInfo(
+          classOf[graft.functions.ArrayL2SqAll].getName,
+          "graft_l2sq"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.ArrayL2SqAll(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_adc"),
+        new ExpressionInfo(
+          classOf[graft.functions.ArrayAdcSum].getName,
+          "graft_adc"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.ArrayAdcSum(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(
           classOf[graft.functions.NfcNormalize].getName,

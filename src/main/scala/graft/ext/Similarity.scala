@@ -160,12 +160,19 @@ object Similarity {
   }
 
   /** Squared-L2 distances of `vec` to every row of the literal centroid
-    * matrix `cmat`, via ONE nested-array literal probed by HOFs —
-    * per-centroid literal expression subtrees would generate (and at each
-    * new centroid set, regenerate) enormous codegen methods; a single
-    * typedLit keeps the plan small and data-independent in shape.
+    * matrix `cmat` — the native kernel ([[graft.functions.ArrayL2SqAll]]);
+    * ONE nested-array literal probed per row, so the plan stays small and
+    * data-independent in shape regardless of the centroid set. Arithmetic
+    * and per-entry nulls are identical to [[distancesToHof]], the HOF
+    * formulation it replaced (parity spec-asserted in ArrayDistSpec).
     */
   private[ext] def distancesTo(cmat: Column, vec: Column): Column =
+    call_function("graft_l2sq", cmat, vec)
+
+  /** The built-in HOF formulation of [[distancesTo]] — kept as the
+    * executable exactness contract the native kernel must match.
+    */
+  private[ext] def distancesToHof(cmat: Column, vec: Column): Column =
     transform(
       cmat,
       c =>
@@ -175,6 +182,23 @@ object Similarity {
           (acc, v) => acc + v
         )
     )
+
+  /** PQ asymmetric-distance sum `Σ_j tbl[j][codes[j]]` — the native
+    * kernel ([[graft.functions.ArrayAdcSum]]), evaluated once per
+    * candidate pair in PQ/IVFPQ ranking. Identical to [[adcSumHof]]
+    * (parity spec-asserted in ArrayDistSpec).
+    */
+  private[ext] def adcSum(tbl: Column, codes: Column): Column =
+    call_function("graft_adc", tbl, codes)
+
+  /** The built-in HOF formulation of [[adcSum]] — the executable
+    * exactness contract the native kernel must match.
+    */
+  private[ext] def adcSumHof(tbl: Column, codes: Column): Column =
+    aggregate(
+      zip_with(tbl, codes, (t, cd) => element_at(t, cd + 1)),
+      lit(0L),
+      (acc, v) => acc + v)
 
   /** IVF-style approximate nearest neighbors: a coarse quantizer assigns
     * every corpus vector to its nearest centroid (one cell id per vector,
@@ -319,12 +343,7 @@ object Similarity {
     c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates(Seq("query_id", "cand_id"))
-      .withColumn(
-        "adc",
-        aggregate(
-          zip_with(col("tbl"), col("codes"), (t, cd) => element_at(t, cd + 1)),
-          lit(0L),
-          (acc, v) => acc + v))
+      .withColumn("adc", adcSum(col("tbl"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
@@ -436,12 +455,7 @@ object Similarity {
       .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates(Seq("query_id", "cand_id"))
-      .withColumn(
-        "adc",
-        aggregate(
-          zip_with(col("tbl"), col("codes"), (t, cd) => element_at(t, cd + 1)),
-          lit(0L),
-          (acc, v) => acc + v))
+      .withColumn("adc", adcSum(col("tbl"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
@@ -595,12 +609,7 @@ object Similarity {
           ).as("tbl")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
     c.join(q, col("query_id") =!= col("cand_id"))
-      .withColumn(
-        "adc",
-        aggregate(
-          zip_with(col("tbl"), col("codes"), (t, cd) => element_at(t, cd + 1)),
-          lit(0L),
-          (acc, v) => acc + v))
+      .withColumn("adc", adcSum(col("tbl"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
@@ -798,15 +807,16 @@ object Similarity {
   def srpBucket(vecCol: Column, dim: Int, planes: Int): Column =
     srpBucketQ(quantize(vecCol), dim, planes)
 
-  /** [[srpBucket]] over an ALREADY-quantized vector attribute. */
+  /** [[srpBucket]] over an ALREADY-quantized vector attribute. Each
+    * plane's projection is the native exact long dot (`graft_dotl`,
+    * [[graft.functions.ArrayDotLong]]) against the literal coefficient
+    * vector — same wrapping-long fold as the HOF form it replaced, and
+    * this runs once per plane per CORPUS ROW at bucketing time.
+    */
   def srpBucketQ(qVec: Column, dim: Int, planes: Int): Column = {
     val coeffs = srpCoefficients(dim, planes)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(qVec, typedLit(coeffs(p)), (x, c) => x * c),
-        lit(0L),
-        (acc, v) => acc + v
-      )
+      val proj = call_function("graft_dotl", qVec, typedLit(coeffs(p)))
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
     }
     bits.reduce(_ + _)

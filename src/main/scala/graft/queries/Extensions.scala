@@ -34,7 +34,7 @@ object Extensions {
   private def qz(v: Column): Column = Similarity.quantize(v)
 
   private def ldot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("graft_dotl", a, b)
 
   /** Materialize a memory-sink table into a local DataFrame and DROP the
     * temp view. A memory sink holds its whole result set on the driver and
