@@ -300,6 +300,96 @@ object Multimodal {
       .toDF("asset_id", "media_type", "payload")
   }
 
+  /** One perceptual-hash row: REAL decode dims + the 56-bit dHash. */
+  final case class ImageHash(asset_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** REAL perceptual hash (difference hash) over actual image bytes — the
+    * standard image near-dup fingerprint for training-corpus dedup: decode
+    * (JDK `javax.imageio`), nearest-neighbor downsample band 0 to a 9×7
+    * grid with the SAME integer-exact convention as [[resizeImages]]
+    * (`sx = x·w div 9`, `sy = y·h div 7` — no float scale anywhere), then
+    * one bit per horizontal gradient (`sample(x+1) > sample(x)`), row-major
+    * bits 0..55. 56 bits deliberately (not 64): the hash stays positive in
+    * any engine's BIGINT, so band extraction and XOR never touch the sign
+    * bit (DuckDB overflow-checks `1<<63`; Spark wraps — 56 bits keeps the
+    * twins exactly comparable).
+    *
+    * Map-only `mapPartitions` with per-partition codec reuse, like every
+    * decode in this module: at 100 TB the hash pass is one scan, and only
+    * the (asset_id, w, h, dhash) row — never payload bytes — flows into
+    * the dedup join downstream ([[dhashNearDupPairs]]).
+    */
+  def dHashImages(assets: DataFrame): Dataset[ImageHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.map { case (id, payload) =>
+          val img = codec.decode(payload, s"asset $id")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          // 9x7 NN sample grid of band 0 (resizeImages' div convention)
+          val g = Array.ofDim[Int](7, 9)
+          var y = 0
+          while (y < 7) {
+            val sy = y * h / 7
+            var x = 0
+            while (x < 9) {
+              g(y)(x) = raster.getSample(x * w / 9, sy, 0)
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          y = 0
+          while (y < 7) {
+            var x = 0
+            while (x < 8) {
+              if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(id, w, h, hash)
+        }
+      }
+  }
+
+  /** Image near-duplicates from [[dHashImages]] fingerprints: banded-LSH
+    * candidate generation (the minhash-LSH shape from `Dedup` applied to
+    * Hamming space — 4 bands × 14 bits; two hashes within Hamming distance
+    * d collide on ≥1 band whenever d < 4 by pigeonhole) and an exact
+    * `bit_count(xor)` verify. Output: (id_lo, id_hi, hamming) pairs with
+    * hamming ≤ `maxHamming`, distinct, engine-exact.
+    *
+    * Scale posture: identical to the text-LSH family — the only corpus
+    * movement is the (band, value) shuffle of 4 small rows per image;
+    * candidates are Σ bucket², never a cartesian; the verify is a
+    * constant-time integer op per candidate.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val banded = hashes
+      .select(
+        col("asset_id"),
+        col("dhash"),
+        explode(
+          array((0 until 4).map(b =>
+            struct(lit(b).as("band"), shiftright(col("dhash"), b * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
+        ).as("bb")
+      )
+      .select(col("asset_id"), col("dhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val lo = banded.select(col("band"), col("bv"), col("asset_id").as("id_lo"), col("dhash").as("h_lo"))
+    val hi = banded.select(col("band"), col("bv"), col("asset_id").as("id_hi"), col("dhash").as("h_hi"))
+    lo.join(hi, Seq("band", "bv"))
+      .filter(col("id_lo") < col("id_hi"))
+      .select(col("id_lo"), col("id_hi"), bit_count(col("h_lo").bitwiseXOR(col("h_hi"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Target-dimension arithmetic alone (no pixels) — kept as the cheap
     * metadata projection for non-image media whose decode the JDK lacks.
     * Plan shape: pure projection, map-side.

@@ -591,6 +591,26 @@ object Extensions {
         .decodeImages(Multimodal.synthJpegImages(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // REAL perceptual hash: genuine PNG/BMP bytes decoded, NN-sampled to a
+    // 9x7 grid (resizeImages' integer-div convention), 56-bit dHash; the
+    // oracle replays the grid sampling + gradient bits arithmetically from
+    // the id-derived pixel formula — a wrong decode or sampling cannot match
+    "mm_image_dhash" -> { (s, dir) =>
+      Multimodal
+        .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // image near-dup pairs over the dHash fingerprints: 4x14-bit banded-LSH
+    // candidates + exact bit_count(xor) Hamming verify — the text-LSH shape
+    // in Hamming space; oracle shares the dhash CTE and replays the bands
+    "mm_image_neardup" -> { (s, dir) =>
+      Multimodal
+        .dhashNearDupPairs(
+          Multimodal
+            .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+            .toDF(),
+          maxHamming = 8)
+    },
     // REAL multi-frame decode end-to-end: genuine animated GIF89a bytes
     // (explicit gray palette → lossless index coding) encoded executor-side,
     // then getNumImages/read(i) samples every 2nd frame; the oracle
@@ -1949,6 +1969,51 @@ object Extensions {
        WHERE x.g < d.width AND y.g < d.height
        GROUP BY 1, 2, 3, 4"""
 
+  /** Shared dHash CTEs: replay [[graft.ext.Multimodal.dHashImages]]
+    * arithmetically — the id-derived pixel formula sampled on the 9×7
+    * integer-div grid, horizontal-gradient bits OR-ed into the 56-bit
+    * hash (bit 55 max: positive BIGINT in both engines).
+    */
+  private lazy val dhashCtesSql: String =
+    """WITH dims AS (
+         SELECT doc_id AS id,
+                1 + doc_id % 13 AS w,
+                1 + doc_id % 11 AS h
+         FROM documents),
+       grid AS (
+         SELECT d.id, x.g AS x, y.g AS y,
+                (d.id * 31 + 7 * ((x.g * d.w) // 9) + 13 * ((y.g * d.h) // 7)) % 256 AS v
+         FROM dims d
+         CROSS JOIN generate_series(0, 8) AS x(g)
+         CROSS JOIN generate_series(0, 6) AS y(g)),
+       bits AS (
+         SELECT a.id, CAST(a.y * 8 + a.x AS BIGINT) AS bit
+         FROM grid a JOIN grid b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+         WHERE a.x < 8 AND b.v > a.v),
+       hashes AS (
+         SELECT d.id, d.w, d.h,
+                CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS dhash
+         FROM dims d LEFT JOIN bits b ON b.id = d.id
+         GROUP BY d.id, d.w, d.h)"""
+
+  private lazy val dhashOracleSql: String =
+    s"""$dhashCtesSql
+       SELECT id AS asset_id,
+              CAST(w AS INTEGER) AS width,
+              CAST(h AS INTEGER) AS height,
+              dhash
+       FROM hashes"""
+
+  private lazy val dhashNearDupOracleSql: String =
+    s"""$dhashCtesSql,
+       bands AS (
+         SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS id_lo, r.id AS id_hi,
+              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       WHERE bit_count(xor(l.dhash, r.dhash)) <= 8"""
+
   /** PQ/ADC oracle: per subspace j (offset j·16), one unrolled Lloyd's
     * iteration (c0 seed slices → assign → half-up means → c1 with the
     * empty-cell rule), then codes under c1 and the ADC sum as nsub
@@ -2824,6 +2889,8 @@ object Extensions {
                             (a, b) -> xor(a, b)) + 1) * 64 END AS INTEGER) AS height
          FROM ch""",
     "mm_decode_real" -> decodeRealOracleSql,
+    "mm_image_dhash" -> dhashOracleSql,
+    "mm_image_neardup" -> dhashNearDupOracleSql,
     // parity: the streaming decode must be EXACTLY the batch decode
     "stream_mm_decode_parity" -> decodeRealOracleSql,
     "mm_decode_jpeg" ->

@@ -271,6 +271,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!fplan.contains("Exchange"), s"unexpected shuffle in frame-decode plan:\n$fplan")
   }
 
+  test("dHashImages: hash replays the id-derived pixel formula on the 9x7 grid") {
+    val ids = Seq(0L, 1L, 7L, 42L, 143L)
+    val out = Multimodal
+      .dHashImages(Multimodal.synthImages(ids.toDF("doc_id"), "doc_id"))
+      .collect()
+      .map(r => r.asset_id -> r)
+      .toMap
+    ids.foreach { id =>
+      val w = (1 + id % 13).toInt
+      val h = (1 + id % 11).toInt
+      var expected = 0L
+      for (y <- 0 until 7; x <- 0 until 8) {
+        def px(gx: Int) = (id * 31 + 7L * (gx * w / 9) + 13L * (y * h / 7)) % 256
+        if (px(x + 1) > px(x)) expected |= 1L << (y * 8 + x)
+      }
+      assert(out(id).width == w && out(id).height == h)
+      assert(out(id).dhash == expected, s"id $id: ${out(id).dhash} != $expected")
+      assert(out(id).dhash >= 0L, "56-bit hash must never touch the sign bit")
+    }
+    // ids 143 apart share (w, h) geometry but differ in gray offset — the
+    // hashes must still be close (same gradient structure)
+    val d = java.lang.Long.bitCount(out(0L).dhash ^ out(143L).dhash)
+    assert(d <= 16, s"structurally similar images should be near in Hamming space, got $d")
+  }
+
+  test("dhashNearDupPairs: banded LSH finds EVERY pair within Hamming 3 (pigeonhole floor)") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val hashes = Multimodal.dHashImages(Multimodal.synthImages(ids, "doc_id")).toDF().cache()
+    val found = Multimodal
+      .dhashNearDupPairs(hashes, maxHamming = 3)
+      .select("id_lo", "id_hi")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    // brute-force ground truth
+    val hs = hashes.select($"asset_id", $"dhash").as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "fixture must contain at least one near-dup pair")
+    assert(truth.subsetOf(found), s"missed ${(truth -- found).size} pairs within Hamming 3")
+    // and nothing above the threshold sneaks in
+    assert(found.subsetOf(truth), s"${(found -- truth).size} pairs exceed the threshold")
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head
