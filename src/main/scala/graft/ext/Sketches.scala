@@ -225,6 +225,66 @@ object Sketches {
       )
   }
 
+  /** KMV SET OPERATIONS — union, intersection and Jaccard estimates from
+    * two k-min sketches, the classic KMV composition (Beyer et al. 2007):
+    * the k smallest hashes of (kmin(A) ∪ kmin(B)) ARE kmin(A ∪ B), the
+    * union estimate follows from its kth minimum, and the fraction of
+    * those union samples present in BOTH input sketches estimates the
+    * Jaccard similarity — so `est_intersect = overlap·est_union div k`.
+    *
+    * All integer arithmetic over the shared md5-derived hash, so any
+    * engine replays it exactly. Degrades to EXACT when the union has
+    * fewer than k distinct hashes (the sketch then holds the whole union
+    * and `overlap` is the true intersection size). Each side costs one
+    * distinct + TakeOrdered(k) pass — the sketches never exceed k rows,
+    * so the set algebra is driver-scale regardless of input size; at
+    * 100 TB the two input passes are the only data-sized work, and
+    * sketches for different slices can be built once and composed many
+    * times.
+    *
+    * Output (one row): k, k_actual, kth_min, est_union, overlap,
+    * est_intersect, jaccard_bp (basis points, integer-exact).
+    */
+  def kmvSetOps(
+      a: DataFrame,
+      itemA: Column,
+      b: DataFrame,
+      itemB: Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 1, "k must exceed 1")
+    def kmin(df: DataFrame, item: Column) =
+      df.select(hash32(item).as("h")).distinct().orderBy(col("h")).limit(k)
+    val ka = kmin(a, itemA)
+    val kb = kmin(b, itemB)
+    val u = ka.union(kb).distinct().orderBy(col("h")).limit(k)
+    u.join(ka.select(col("h"), lit(1).as("ina")), Seq("h"), "left")
+      .join(kb.select(col("h"), lit(1).as("inb")), Seq("h"), "left")
+      .agg(
+        max(col("h")).as("kth_min"),
+        count(lit(1)).as("k_actual"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("overlap")
+      )
+      .select(
+        lit(k.toLong).as("k"),
+        col("k_actual"),
+        col("kth_min"),
+        when(col("k_actual") < k, col("k_actual"))
+          .otherwise(expr(s"(${k - 1} * 4294967296L) div kth_min"))
+          .as("est_union"),
+        col("overlap")
+      )
+      .select(
+        col("k"),
+        col("k_actual"),
+        col("kth_min"),
+        col("est_union"),
+        col("overlap"),
+        expr("(overlap * est_union) div k_actual").as("est_intersect"),
+        expr("(overlap * 10000) div k_actual").as("jaccard_bp")
+      )
+  }
+
   /** Mergeable quantile sketch, KLL-style level structure with the coin
     * flips DERANDOMIZED: an item survives to sampling level ℓ iff
     * `md5(key) mod 2^ℓ == 0` — the same geometric thinning KLL's

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
-import graft.ops.TemporalOps
+import graft.ops.{TemporalOps, ZOrderOps}
 import graft.streaming.Sessionize
 
 /** LLM-training-data pipeline queries (north-star extensions, SURVEY.md
@@ -1288,6 +1288,29 @@ object Extensions {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         terms = Seq("spark", "query", "window")
       )
+    },
+    // KMV set algebra: part keys shipped before vs since 1998 — union,
+    // intersection and Jaccard estimates composed from two k-min sketches
+    // (k=64: the estimation path is live; overlap fraction drives the rest)
+    "sketch_kmv_setops" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      Sketches.kmvSetOps(
+        li.filter(col("l_shipdate") < lit("1998-01-01")),
+        col("l_partkey").cast("string"),
+        li.filter(col("l_shipdate") >= lit("1998-01-01")),
+        col("l_partkey").cast("string"),
+        k = 64
+      )
+    },
+    // Z-order (Morton) clustering value: the exact bit-interleave every
+    // row would be laid out by — the layout itself is asserted in
+    // ZOrderSpec; the oracle checks the curve arithmetic per row
+    "layout_zorder" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          ZOrderOps.zValue(col("l_partkey"), col("l_suppkey"), bits = 15).as("zval"))
     },
     // benchmark decontamination: every 50th doc plays the eval set; train
     // docs with >= 10% distinct-5-gram overlap against it are flagged
@@ -3228,6 +3251,34 @@ object Extensions {
          SELECT CAST(16 AS BIGINT) AS k, k_actual, kth_min,
            CASE WHEN k_actual < 16 THEN k_actual ELSE (15 * 4294967296) // kth_min END AS est_distinct
          FROM agg""",
+    "sketch_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+                     FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+         kha AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         hb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+                FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+         khb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         u AS (SELECT DISTINCT h FROM (SELECT h FROM kha UNION ALL SELECT h FROM khb) ORDER BY h LIMIT 64),
+         agg AS (SELECT max(h) AS kth_min, CAST(count(*) AS BIGINT) AS k_actual,
+                        CAST(sum(CASE WHEN h IN (SELECT h FROM kha) AND h IN (SELECT h FROM khb)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+                 FROM u),
+         est AS (SELECT k_actual, kth_min, overlap,
+                        CASE WHEN k_actual < 64 THEN k_actual
+                             ELSE (63 * 4294967296) // kth_min END AS est_union
+                 FROM agg)
+         SELECT CAST(64 AS BIGINT) AS k, k_actual, kth_min, est_union, overlap,
+                (overlap * est_union) // k_actual AS est_intersect,
+                (overlap * 10000) // k_actual AS jaccard_bp
+         FROM est""",
+    // per-row unrolled bit interleave — (l_orderkey, l_linenumber) is NOT
+    // unique in the fixture, so a generate_series+GROUP BY would collapse rows
+    "layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                 CAST(${(0 until 15)
+        .map(i => s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")} AS BIGINT) AS zval
+         FROM lineitem""",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),

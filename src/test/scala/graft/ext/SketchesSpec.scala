@@ -35,6 +35,45 @@ class SketchesSpec extends SparkSpecBase {
     assert(again.getAs[Long]("est_distinct") == est)
   }
 
+  test("kmvSetOps: identical sets give Jaccard 1, disjoint sets give overlap 0") {
+    val a = spark.range(0, 500).select(concat(lit("i"), $"id").as("t"))
+    val same = Sketches.kmvSetOps(a, $"t", a, $"t", k = 64).collect().head
+    assert(same.getAs[Long]("overlap") == same.getAs[Long]("k_actual"))
+    assert(same.getAs[Long]("jaccard_bp") == 10000L)
+    assert(same.getAs[Long]("est_intersect") == same.getAs[Long]("est_union"))
+    val b = spark.range(500, 1000).select(concat(lit("i"), $"id").as("t"))
+    val disj = Sketches.kmvSetOps(a, $"t", b, $"t", k = 64).collect().head
+    assert(disj.getAs[Long]("overlap") == 0L)
+    assert(disj.getAs[Long]("est_intersect") == 0L)
+  }
+
+  test("kmvSetOps degrades to EXACT set algebra when the union fits in k") {
+    val a = spark.range(0, 30).select(concat(lit("i"), $"id").as("t"))
+    val b = spark.range(20, 50).select(concat(lit("i"), $"id").as("t"))
+    val r = Sketches.kmvSetOps(a, $"t", b, $"t", k = 64).collect().head
+    assert(r.getAs[Long]("k_actual") == 50L, "union of 50 hashes fits in k=64")
+    assert(r.getAs[Long]("est_union") == 50L)
+    assert(r.getAs[Long]("overlap") == 10L)
+    assert(r.getAs[Long]("est_intersect") == 10L)
+    assert(r.getAs[Long]("jaccard_bp") == 2000L)
+  }
+
+  test("kmvSetOps estimation path: intersection within the composed KMV bound") {
+    // |A| = |B| = 1500, |A ∩ B| = 1000, |A ∪ B| = 2000
+    val a = spark.range(0, 1500).select(concat(lit("i"), $"id").as("t"))
+    val b = spark.range(500, 2000).select(concat(lit("i"), $"id").as("t"))
+    val r = Sketches.kmvSetOps(a, $"t", b, $"t", k = 64).collect().head
+    val estU = r.getAs[Long]("est_union")
+    val estI = r.getAs[Long]("est_intersect")
+    // union: plain KMV bound; intersection: ratio-estimator noise on top —
+    // assert loose sanity envelopes, not distributional luck
+    assert(math.abs(estU / 2000.0 - 1.0) <= 0.5, s"union estimate $estU vs 2000")
+    assert(estI > 200 && estI < 2000, s"intersection estimate $estI vs 1000")
+    // deterministic: same inputs, same sketch, same estimates
+    val again = Sketches.kmvSetOps(a, $"t", b, $"t", k = 64).collect().head
+    assert(again.getAs[Long]("est_intersect") == estI)
+  }
+
   test("kmvDistinct plan has a single aggregation path (no exact-count companion)") {
     val df = spark.range(0, 100).select(concat(lit("x"), $"id").as("t"))
     val plan = Sketches.kmvDistinct(df, $"t", k = 16).queryExecution.optimizedPlan
