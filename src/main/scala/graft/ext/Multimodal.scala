@@ -370,19 +370,32 @@ object Multimodal {
     * candidates are Σ bucket², never a cartesian; the verify is a
     * constant-time integer op per candidate.
     */
-  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 8): DataFrame =
+    hammingNearDupPairs(hashes, "dhash", maxHamming)
+
+  /** The modality-agnostic half of [[dhashNearDupPairs]]: banded Hamming
+    * LSH over ANY 56-bit fingerprint column (image dHash, audio energy
+    * envelope). Same guarantees: pairs within Hamming 3 always collide on
+    * a band (pigeonhole over 4 × 14 bits); farther pairs are found iff a
+    * band agrees, and every candidate is verified exactly.
+    */
+  def hammingNearDupPairs(
+      hashes: DataFrame,
+      hashCol: String,
+      maxHamming: Int
+  ): DataFrame = {
     val banded = hashes
       .select(
         col("asset_id"),
-        col("dhash"),
+        col(hashCol).as("__h"),
         explode(
           array((0 until 4).map(b =>
-            struct(lit(b).as("band"), shiftright(col("dhash"), b * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
+            struct(lit(b).as("band"), shiftright(col(hashCol), b * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
         ).as("bb")
       )
-      .select(col("asset_id"), col("dhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val lo = banded.select(col("band"), col("bv"), col("asset_id").as("id_lo"), col("dhash").as("h_lo"))
-    val hi = banded.select(col("band"), col("bv"), col("asset_id").as("id_hi"), col("dhash").as("h_hi"))
+      .select(col("asset_id"), col("__h"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val lo = banded.select(col("band"), col("bv"), col("asset_id").as("id_lo"), col("__h").as("h_lo"))
+    val hi = banded.select(col("band"), col("bv"), col("asset_id").as("id_hi"), col("__h").as("h_hi"))
     lo.join(hi, Seq("band", "bv"))
       .filter(col("id_lo") < col("id_hi"))
       .select(col("id_lo"), col("id_hi"), bit_count(col("h_lo").bitwiseXOR(col("h_hi"))).as("hamming"))
@@ -637,6 +650,70 @@ object Multimodal {
               }
               AudioFrameFeatures(id, f, (hi - lo).toLong, energy, zc)
             }
+          } finally in.close()
+        }
+      }
+  }
+
+  /** One audio fingerprint row: sample count + the 56-bit energy-envelope
+    * hash — the audio twin of [[ImageHash]].
+    */
+  final case class AudioFingerprint(asset_id: Long, n_samples: Long, fingerprint: Long)
+
+  /** REAL audio fingerprint over WAV/PCM payloads — the energy-envelope
+    * analogue of [[dHashImages]] for audio near-dup dedup: decode with the
+    * real JDK codec, split the sample stream into 57 EQUAL integer-div
+    * frames (`frame f = samples [f·n div 57, (f+1)·n div 57)` — boundaries
+    * a SQL oracle replays exactly, unlike fixed-length frames whose count
+    * varies per asset), fold each frame's exact energy Σs², and set bit f
+    * when `energy(f+1) > energy(f)` — 56 gradient bits, positive BIGINT in
+    * any engine (same 56-bit rationale as the image hash). Robust to
+    * uniform gain DIRECTION the way dHash is to brightness: the envelope
+    * shape, not its scale, carries the bits.
+    *
+    * Map-only like every decode here; downstream near-dup pairing is
+    * [[hammingNearDupPairs]] over the fingerprint column.
+    */
+  def audioFingerprints(assets: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          require(payload != null && payload.length > 44, s"asset $id: not a WAV payload")
+          val in = AudioCodec.openWav(payload)
+          try {
+            val fmt = in.getFormat
+            require(
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1,
+              s"asset $id: expected mono PCM-16 LE, got $fmt")
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            require(n >= 57, s"asset $id: need >= 57 samples for 57 envelope frames, got $n")
+            val energy = new Array[Long](57)
+            var f = 0
+            while (f < 57) {
+              val lo = f * n / 57
+              val hi = (f + 1) * n / 57
+              var e = 0L
+              var i = lo
+              while (i < hi) {
+                val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toLong
+                e += s * s
+                i += 1
+              }
+              energy(f) = e
+              f += 1
+            }
+            var hash = 0L
+            f = 0
+            while (f < 56) {
+              if (energy(f + 1) > energy(f)) hash |= 1L << f
+              f += 1
+            }
+            AudioFingerprint(id, n.toLong, hash)
           } finally in.close()
         }
       }

@@ -642,6 +642,25 @@ object Extensions {
         .decodeAudio(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // REAL audio fingerprint: decode the WAV payload, 57 integer-div
+    // envelope frames, exact Σs² energies, 56 gradient bits; the oracle
+    // replays the frame boundaries and energies from the id-derived PCM
+    "mm_audio_fingerprint" -> { (s, dir) =>
+      Multimodal
+        .audioFingerprints(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // audio near-dup pairs over the energy-envelope fingerprints — the
+    // same banded Hamming LSH as the image dHash family
+    "mm_audio_neardup" -> { (s, dir) =>
+      Multimodal.hammingNearDupPairs(
+        Multimodal
+          .audioFingerprints(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
+          .toDF()
+          .withColumnRenamed("fingerprint", "fp"),
+        "fp",
+        maxHamming = 8)
+    },
     // REAL audio analysis end-to-end: decode the WAV payload, then frame
     // the 16-bit sample stream (50 samples/frame) into short-time energy +
     // zero-crossing counts — all integer math, so the oracle recomputes
@@ -2037,6 +2056,41 @@ object Extensions {
        FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
        WHERE bit_count(xor(l.dhash, r.dhash)) <= 8"""
 
+  /** Shared audio-fingerprint CTEs: replay
+    * [[graft.ext.Multimodal.audioFingerprints]] arithmetically from the
+    * id-derived PCM formula. Frame of sample i under boundaries
+    * `lo_f = f·n div 57` has the closed form `(i·57 + 56) div n`
+    * (verified exhaustively for n ∈ [100, 300)).
+    */
+  private lazy val audioFpCtesSql: String =
+    """WITH ids AS (SELECT doc_id AS id, 100 + doc_id % 200 AS n FROM documents),
+       smp AS (
+         SELECT x.id, x.n, i.g AS i,
+                ((x.id * 31 + 7 * i.g) % 2003 - 1001) AS s,
+                (i.g * 57 + 56) // x.n AS f
+         FROM ids x JOIN generate_series(0, 298) AS i(g) ON i.g < x.n),
+       en AS (SELECT id, n, f, CAST(sum(s * s) AS BIGINT) AS e
+              FROM smp GROUP BY id, n, f),
+       bits AS (SELECT a.id, CAST(a.f AS BIGINT) AS bit
+                FROM en a JOIN en b ON a.id = b.id AND b.f = a.f + 1
+                WHERE a.f < 56 AND b.e > a.e),
+       fps AS (SELECT x.id, x.n, CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS fingerprint
+               FROM ids x LEFT JOIN bits b ON b.id = x.id GROUP BY x.id, x.n)"""
+
+  private lazy val audioFpOracleSql: String =
+    s"""$audioFpCtesSql
+       SELECT id AS asset_id, CAST(n AS BIGINT) AS n_samples, fingerprint FROM fps"""
+
+  private lazy val audioNearDupOracleSql: String =
+    s"""$audioFpCtesSql,
+       bands AS (
+         SELECT id, fingerprint, b.g AS band, (fingerprint >> (b.g * 14)) & 16383 AS bv
+         FROM fps CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS id_lo, r.id AS id_hi,
+              CAST(bit_count(xor(l.fingerprint, r.fingerprint)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       WHERE bit_count(xor(l.fingerprint, r.fingerprint)) <= 8"""
+
   /** PQ/ADC oracle: per subspace j (offset j·16), one unrolled Lloyd's
     * iteration (c0 seed slices → assign → half-up means → c1 with the
     * empty-cell rule), then codes under c1 and the ADC sum as nsub
@@ -2914,6 +2968,8 @@ object Extensions {
     "mm_decode_real" -> decodeRealOracleSql,
     "mm_image_dhash" -> dhashOracleSql,
     "mm_image_neardup" -> dhashNearDupOracleSql,
+    "mm_audio_fingerprint" -> audioFpOracleSql,
+    "mm_audio_neardup" -> audioNearDupOracleSql,
     // parity: the streaming decode must be EXACTLY the batch decode
     "stream_mm_decode_parity" -> decodeRealOracleSql,
     "mm_decode_jpeg" ->

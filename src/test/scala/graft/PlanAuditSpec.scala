@@ -99,7 +99,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // PRE-SYNTH rows (doc ids) — after the binary payloads exist, nothing
     // may repartition them: a hash/range exchange anywhere means payload
     // bytes crossed the wire for map-only decode work
-    for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio", "mm_video_frames")) {
+    for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio",
+        "mm_video_frames", "mm_image_dhash", "mm_audio_fingerprint")) {
       val plan = planOf(q)
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),

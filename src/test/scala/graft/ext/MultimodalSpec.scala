@@ -317,6 +317,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(found.subsetOf(truth), s"${(found -- truth).size} pairs exceed the threshold")
   }
 
+  test("audioFingerprints: envelope bits replay the id-derived PCM formula") {
+    val ids = Seq(0L, 3L, 42L, 199L)
+    val out = Multimodal
+      .audioFingerprints(Multimodal.synthWavAudio(ids.toDF("doc_id"), "doc_id"))
+      .collect()
+      .map(r => r.asset_id -> r)
+      .toMap
+    ids.foreach { id =>
+      val n = (100 + id % 200).toInt
+      def sample(i: Int): Long = (id * 31 + 7L * i) % 2003 - 1001
+      val energy = (0 until 57).map { f =>
+        (f * n / 57 until (f + 1) * n / 57).map(i => sample(i) * sample(i)).sum
+      }
+      var expected = 0L
+      for (f <- 0 until 56) if (energy(f + 1) > energy(f)) expected |= 1L << f
+      assert(out(id).n_samples == n.toLong)
+      assert(out(id).fingerprint == expected, s"id $id: ${out(id).fingerprint} != $expected")
+      assert(out(id).fingerprint >= 0L, "56-bit fingerprint must never touch the sign bit")
+    }
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head
