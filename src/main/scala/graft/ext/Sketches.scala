@@ -92,6 +92,43 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** EXACT heavy hitters (all items with true count ≥ `threshold`) via a
+    * count-min candidate gate — the classic two-pass shape for 100 TB
+    * frequency mining: pass 1 folds the corpus into the depth×width
+    * sketch, the sketch ESTIMATES gate a (small) candidate set, and pass
+    * 2 exact-counts ONLY rows whose item survived the gate. Because
+    * count-min never underestimates, no true heavy hitter is dropped by
+    * the gate, and the final exact filter removes the sketch's false
+    * positives — output is IDENTICAL to the plain `HAVING count ≥ t`
+    * query, which is exactly what the oracle runs.
+    *
+    * Why bother at scale: the naive form shuffles one row per DISTINCT
+    * item (the whole vocabulary); here the second pass's broadcast
+    * semi-join drops every non-candidate row BEFORE its shuffle, so the
+    * exchange carries only the (tiny) candidate vocabulary. The sketch
+    * itself is depth×width rows regardless of corpus size and is the
+    * mergeable/persistable artifact an incremental pipeline keeps.
+    */
+  def heavyHittersExact(
+      df: DataFrame,
+      itemCol: Column,
+      threshold: Long,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val items = df.select(itemCol.as("item"))
+    val cells = countMinCells(items, col("item"), depth, width)
+    val candidates = countMinEstimate(cells, items, col("item"), depth, width)
+      .filter(col("est") >= threshold)
+      .select(col("item"))
+    items
+      .join(broadcast(candidates), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** Bloom-filter bit set (Bloom 1970) over the distinct items of
     * `itemCol`: `k` md5-derived hash functions into `m` bit positions,
     * emitted as the DISTINCT set of set positions — one row per set bit.

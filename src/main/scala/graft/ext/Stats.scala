@@ -165,6 +165,49 @@ object Stats {
       )
   }
 
+  /** Robust (median/MAD) outlier flag — the resistant complement of
+    * [[outliersExact]]: a few extreme rows shift a mean-based z-score's
+    * own yardstick, but the median and the median-absolute-deviation
+    * ignore them, so the flag `|x − median| > k·MAD` is the robust
+    * choice for long-tailed corpus stats (Hampel's rule, k=3 classic).
+    *
+    * NO floating point anywhere, despite the interpolated-median
+    * definition: values enter DOUBLED (`v2 = 2x`), so the even-count
+    * midpoint `(a+b)/2` of two even integers is itself an integer, and
+    * deviations are doubled once more (`dev4 = 2·|v2 − med2| = 4·|x −
+    * median|`) so THEIR median (`mad4 = 4·MAD`) is integral too. The
+    * flag compares `dev4 > k·mad4` — all Long, bit-identical in any
+    * engine, boundary rows can never flip on rounding.
+    *
+    * Shape at 100 TB: two [[exactQuantiles]] passes (two-phase parallel
+    * ranking, bounded driver scalars — the sanctioned collect) plus one
+    * MAP-ONLY flag pass; the corpus itself never shuffles.
+    *
+    * @return (id, x, dev4, med2, mad4, is_outlier) per non-null row;
+    *         med2 = 2·median and mad4 = 4·MAD ride along so callers can
+    *         report the robust center/spread without re-deriving them
+    */
+  def madOutliers(df: DataFrame, idCol: Column, valueCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = df.select(idCol.as("id"), valueCol.cast("long").as("x")).filter(col("x").isNotNull)
+    def medianOf(frame: DataFrame, c: Column): Long = {
+      val q = exactQuantiles(frame, c, Seq(0.5)).collect()(0).getDouble(1)
+      // doubled domains make the interpolated midpoint exactly integral
+      require(q == math.rint(q), s"doubled-domain median must be integral, got $q")
+      q.toLong
+    }
+    val med2 = medianOf(v, col("x") * 2)
+    val dev = v.withColumn("dev4", abs(col("x") * 2 - lit(med2)) * 2)
+    val mad4 = medianOf(dev, col("dev4"))
+    dev.select(
+      col("id"),
+      col("x"),
+      col("dev4"),
+      lit(med2).as("med2"),
+      lit(mad4).as("mad4"),
+      (col("dev4") > lit(k.toLong) * lit(mad4)).as("is_outlier"))
+  }
+
   /** Pearson correlation via integer-exact moment sums: one
     * partial-aggregated pass accumulates (n, Σx, Σy, Σx², Σy², Σxy) as
     * `decimal(38,0)`, then the textbook formula runs once on the final

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bulk-iterative graph analytics over plain edge DataFrames — the
+  * Pregel-shaped loops (rank propagation here; the dedup family's
+  * connected components lives in `ext/Dedup`) expressed as per-iteration
+  * join+aggregate rounds the planner schedules like any other shuffle
+  * stage. No GraphX/RDD surface: edges and ranks stay DataFrames, so
+  * AQE, partial aggregation, and skew splitting all apply per round.
+  */
+object GraphOps {
+
+  /** Fixed-iteration weighted PageRank, ALL-INTEGER so any engine
+    * reproduces it bit-for-bit (the float formulation drifts with
+    * partition merge order): ranks live scaled by `scale`, the damping
+    * split is percent arithmetic, and every division is exact integer
+    * `div` —
+    *
+    *   r₀(v)   = scale div N
+    *   rᵢ₊₁(v) = (damp · Σ_{(u,v,w)∈E} ((rᵢ(u) · w) div outw(u))
+    *              + (100 − damp) · (scale div N)) div 100
+    *
+    * Dangling mass (nodes with no out-edges) leaks rather than
+    * redistributing — deterministic either way; leaking keeps each
+    * iteration one join+agg with no extra global sum, and relative
+    * ranking (the thing PageRank is used for) is unaffected at these
+    * damping levels. Overflow bound: rᵢ ≤ scale, so rᵢ·w stays in Long
+    * for per-edge weights up to ~9·10⁶ at the default scale.
+    *
+    * Scale shape: per iteration, one shuffle joins ranks to edges on the
+    * source key (out-weights ride the same key, so the planner reuses
+    * the clustering) and one partial-aggregated sum clusters by
+    * destination. `iters` is fixed and small (PageRank converges
+    * geometrically; 3–5 rounds rank-order stabilizes), so the plan is a
+    * bounded unrolled pipeline — `localCheckpoint` per round severs the
+    * lineage exactly like the connected-components loop.
+    *
+    * @return (node, rank) — rank in scaled units, Σ rank ≤ scale
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      damp: Int = 85
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16] — fixed unrolled rounds")
+    require(damp >= 0 && damp <= 100, "damp is a percentage")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
+    // |V| is the one driver scalar (model size, not data): the teleport
+    // term needs it as a literal inside integer division
+    val n = nodes.count()
+    require(n > 0, "graph has no nodes")
+    val base = scale / n
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    var ranks = nodes.withColumn("rank", lit(base))
+    for (_ <- 1 to iters) {
+      val in = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst").as("node"), expr("(rank * w) div outw").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = nodes
+        .join(in, Seq("node"), "left")
+        .select(
+          col("node"),
+          expr(s"($damp * coalesce(in_sum, 0L) + ${100 - damp} * ${base}L) div 100").as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

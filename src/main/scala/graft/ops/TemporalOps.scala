@@ -165,6 +165,69 @@ object TemporalOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Fixed-grid resample with last-observation-carried-forward fill —
+    * the time-series regularization step (gap-fill/LOCF) that turns an
+    * irregular event stream into one row per (key, grid bucket):
+    *
+    *   1. bucket every event at `floor(epoch_seconds / stepSec)` and keep
+    *      the per-(key, bucket) LATEST observation (greatest (ts, tie) —
+    *      one struct-max partial agg, so the reduce combines map-side);
+    *   2. span each key's grid from its first to its last observed
+    *      bucket (`sequence` + explode — grid size is span/step, a
+    *      parameter the caller bounds, not a data-driven blowup);
+    *   3. carry the last non-null observation forward with one running
+    *      `last(ignoreNulls)` window per key.
+    *
+    * Every bucket from a key's first to last observation appears exactly
+    * once; `observed` marks rows backed by a real event. A null observed
+    * VALUE is treated as missing and carried over, the LOCF convention.
+    *
+    * Scale shape: shuffle 1 clusters (key, bucket) with map-side
+    * combine; shuffle 2 re-keys the ≤|buckets| winners per key for the
+    * span agg, grid explode, and window — all per-key, never global.
+    * The grid never materializes the raw event volume: LOCF runs over
+    * winners (one row per occupied bucket) plus synthesized gap rows.
+    */
+  def resampleLocf(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      stepSec: Long
+  ): DataFrame = {
+    require(stepSec > 0, "step must be positive")
+    // microsecond epochs end-to-end: bucketing AND the winner ordering
+    // stay exact integers (`div`, never a rounding double `/`), so any
+    // engine replays both; truncated-seconds ordering would disagree on
+    // same-second events
+    val ev = events.select(
+      col(key).as("k"),
+      unix_micros(col(tsCol)).as("__e"),
+      col(tieCol).as("__tie"),
+      col(valueCol).as("__v"))
+      .withColumn("bucket", expr(s"__e div ${stepSec * 1000000L}L"))
+    val winners = ev
+      .groupBy(col("k"), col("bucket"))
+      .agg(max(struct(col("__e"), col("__tie"), col("__v"))).as("__w"))
+      .select(col("k"), col("bucket"), col("__w.__v").as("__obs_v"), lit(true).as("__hit"))
+    val grid = winners
+      .groupBy(col("k"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col("k"), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val w = Window
+      .partitionBy(col("k"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(winners, Seq("k", "bucket"), "left")
+      .select(
+        col("k").as(key),
+        col("bucket"),
+        last(col("__obs_v"), ignoreNulls = true).over(w).as("value_filled"),
+        coalesce(col("__hit"), lit(false)).as("observed"))
+  }
+
   /** Interval (range) join: inner-join rows of `left` and `right` on
     * `key` where `|leftTs - rightTs| <= tolSec`. The two frames must
     * have disjoint column names apart from `key`.

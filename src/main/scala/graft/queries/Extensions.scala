@@ -1469,6 +1469,44 @@ object Extensions {
       Stats.outliersExact(
         t(s, dir, "documents"), col("source"), col("doc_id"), col("n_chars"), k = 3)
     },
+    // robust (median/MAD) outliers on event values — Hampel's k=3 rule in
+    // the doubled-integer domain, so the interpolated medians are exact
+    // Longs and the flag can never flip on float rounding
+    "stats_mad_outliers" -> { (s, dir) =>
+      Stats.madOutliers(
+        Fixtures
+          .events(s, dir)
+          .select(col("event_id"), expr("cast(floor(value * 100) as long)").as("cents")),
+        col("event_id"), col("cents"), k = 3)
+    },
+    // EXACT heavy hitters via the count-min gate: output is identical to
+    // the plain HAVING-threshold truth (count-min never underestimates),
+    // but the exact pass's shuffle carries only gate survivors
+    "text_heavy_hitters" -> { (s, dir) =>
+      val tokens = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      Sketches
+        .heavyHittersExact(tokens, col("token"), threshold = 500L, depth = 4, width = 256)
+        .withColumnRenamed("item", "token")
+    },
+    // fuzzy record linkage: pigeonhole segment blocking + levenshtein
+    // verify over a typo fixture (md5-derived 9-char keys, one letter
+    // substitution per non-multiple-of-5 id) — 100 clusters of 5, all
+    // C(5,2) in-cluster pairs within distance 2, equal-length so the
+    // segment guarantee is exact; oracle replays fixture, blocks, verify
+    "fuzzy_name_pairs" -> { (s, dir) =>
+      val names = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        expr(
+          """CASE WHEN doc_id % 5 = 0 THEN substring(md5(cast(doc_id div 5 as string)), 1, 9)
+             ELSE concat(
+               substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), 1, cast(doc_id % 9 as int)),
+               char(85 + doc_id % 6),
+               substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), cast(doc_id % 9 as int) + 2))
+             END""").as("s"))
+      graft.ops.FuzzyOps.editBlockedPairs(names, col("id"), col("s"), maxDist = 2, maxBlock = 64)
+    },
     // skew-safe aggregation: the two-stage salted group-by, bit-identical
     // to the direct aggregate (algebraic functions commute with sharding)
     "agg_salted_skew" -> { (s, dir) =>
@@ -1573,6 +1611,29 @@ object Extensions {
     "ev_transitions" -> { (s, dir) =>
       TemporalOps.transitionMatrix(
         Fixtures.events(s, dir), "user_id", "ts", "event_id", "event_type")
+    },
+    // fixed-grid DAILY resample + LOCF gap-fill: per (user, day) latest
+    // observation (micros-exact ordering), grid spans first..last observed
+    // day per user, last value carried forward across the gaps
+    "ts_resample_locf" -> { (s, dir) =>
+      TemporalOps.resampleLocf(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id", "value", stepSec = 86400L)
+    },
+    // fixed-iteration (3) integer PageRank over the per-user props.k
+    // transition graph — rank propagation as join+agg rounds, all-integer
+    // so the oracle unrolls the identical three iterations in SQL
+    "graph_pagerank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = Fixtures
+        .events(s, dir)
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", "w", iters = 3)
     },
     "ev_funnel" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
@@ -1768,6 +1829,35 @@ object Extensions {
   )
 
   // ======================= DuckDB oracle twins =========================
+
+  /** PageRank oracle: the three integer iterations unrolled as
+    * (sᵢ = per-destination contribution sums, rᵢ = damped update) CTE
+    * pairs — token-for-token the arithmetic of `GraphOps.pageRank`
+    * (`(rank · w) div outw`, then `(85·Σ + 15·base) div 100`). DuckDB
+    * promotes the sums to HUGEINT; the final CAST lands the identical
+    * Long the engine produced.
+    */
+  private lazy val pagerankOracleSql: String = {
+    val base = "(1000000000000 // (SELECT n FROM nn))"
+    val iters = (1 to 3).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node, sum((r.rank * e.w) // o.outw) AS si
+         FROM e JOIN $prev r ON r.node = e.src JOIN outw o ON o.src = e.src GROUP BY 1),
+         r$i AS (SELECT n.node, (85 * coalesce(s$i.si, 0) + 15 * $base) // 100 AS rank
+         FROM nodes n LEFT JOIN s$i ON s$i.node = n.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS e, event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS node FROM events),
+       sq AS (SELECT node AS dst,
+                lag(node) OVER (PARTITION BY user_id ORDER BY e, event_id) AS src FROM ev),
+       e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       r0 AS (SELECT node, $base AS rank FROM nodes),
+       $iters
+       SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"""
+  }
 
   private def hexval(expr: String): String =
     s"(strpos('0123456789abcdef', $expr) - 1)"
@@ -3450,6 +3540,45 @@ object Extensions {
          SELECT d.source AS grp, d.doc_id AS id, CAST(d.n_chars AS BIGINT) AS x,
                 ((m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)) > 9 * (m.n * m.ss - m.s * m.s) AS is_outlier
          FROM documents d JOIN m USING (source)""",
+    // doubled-integer median/MAD: quantile_cont on even ints is integral,
+    // so the CASTs are exact and the flag is pure Long arithmetic
+    "stats_mad_outliers" ->
+      """WITH v AS (SELECT event_id AS id, CAST(floor(value * 100) AS BIGINT) AS x
+                    FROM events WHERE value IS NOT NULL),
+         m AS (SELECT CAST(quantile_cont(2 * x, 0.5) AS BIGINT) AS med2 FROM v),
+         d AS (SELECT v.id, v.x, 2 * abs(2 * v.x - m.med2) AS dev4, m.med2 FROM v, m),
+         mm AS (SELECT CAST(quantile_cont(dev4, 0.5) AS BIGINT) AS mad4 FROM d)
+         SELECT d.id, d.x, d.dev4, d.med2, mm.mad4,
+                d.dev4 > 3 * mm.mad4 AS is_outlier
+         FROM d, mm""",
+    // the heavy-hitter gate is exact (count-min only overestimates), so
+    // the oracle is the plain threshold truth — no sketch replay needed
+    "text_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item FROM documents),
+         tok2 AS (SELECT item FROM tok WHERE length(item) > 0)
+         SELECT item AS token, CAST(count(*) AS BIGINT) AS cnt
+         FROM tok2 GROUP BY 1 HAVING count(*) >= 500""",
+    "fuzzy_name_pairs" ->
+      """WITH names AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 5 = 0 THEN substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9)
+             ELSE substr(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9), 1, CAST(doc_id % 9 AS INTEGER))
+                  || chr(CAST(85 + doc_id % 6 AS INTEGER))
+                  || substr(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9), CAST(doc_id % 9 AS INTEGER) + 2)
+             END AS s
+           FROM documents),
+         segs AS (
+           SELECT id, s, g AS seg_i,
+                  substr(s, (g * length(s)) // 3 + 1,
+                         ((g + 1) * length(s)) // 3 - (g * length(s)) // 3) AS seg
+           FROM names CROSS JOIN generate_series(0, 2) t(g)),
+         bn AS (SELECT seg_i, seg, count(*) AS n FROM segs GROUP BY 1, 2),
+         ok AS (SELECT segs.* FROM segs JOIN bn USING (seg_i, seg) WHERE bn.n <= 64),
+         cand AS (
+           SELECT DISTINCT a.id AS id_lo, b.id AS id_hi, a.s AS s_lo, b.s AS s_hi
+           FROM ok a JOIN ok b ON a.seg_i = b.seg_i AND a.seg = b.seg AND a.id < b.id)
+         SELECT id_lo, id_hi, CAST(levenshtein(s_lo, s_hi) AS INTEGER) AS dist
+         FROM cand WHERE levenshtein(s_lo, s_hi) <= 2""",
     "stats_corr" ->
       """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
@@ -3621,6 +3750,23 @@ object Extensions {
            FROM events) t
          WHERE from_type IS NOT NULL
          GROUP BY 1, 2""",
+    // micros-exact bucketing and winner ordering mirror resampleLocf
+    "ts_resample_locf" ->
+      """WITH ev AS (SELECT user_id AS k, epoch_us(ts) AS e, event_id, value FROM events),
+         ev2 AS (SELECT k, e // 86400000000 AS bucket, e, event_id, value FROM ev),
+         win AS (SELECT k, bucket, value AS v FROM (
+           SELECT k, bucket, value,
+                  row_number() OVER (PARTITION BY k, bucket ORDER BY e DESC, event_id DESC) AS rn
+           FROM ev2) WHERE rn = 1),
+         span AS (SELECT k, min(bucket) AS blo, max(bucket) AS bhi FROM win GROUP BY k),
+         grid AS (SELECT k, unnest(generate_series(blo, bhi)) AS bucket FROM span)
+         SELECT g.k AS user_id, g.bucket,
+                last_value(w.v IGNORE NULLS) OVER (
+                  PARTITION BY g.k ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+                w.k IS NOT NULL AS observed
+         FROM grid g LEFT JOIN win w ON g.k = w.k AND g.bucket = w.bucket""",
+    "graph_pagerank" -> pagerankOracleSql,
     "ev_funnel" ->
       """WITH a AS (
            SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts

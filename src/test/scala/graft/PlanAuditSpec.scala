@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "dedup_incremental", "dedup_embedding_incremental",
         "scd_changelog_apply", "text_familiarity",
         "ann_ivf_kmeans", "ann_pq_topk", "dedup_incremental_bucketed",
-        "corpus_data_card_v2", "dedup_semantic_pairs", "curation_dsir_scores")) {
+        "corpus_data_card_v2", "dedup_semantic_pairs", "curation_dsir_scores",
+        "fuzzy_name_pairs", "graph_pagerank", "ts_resample_locf", "text_heavy_hitters")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }

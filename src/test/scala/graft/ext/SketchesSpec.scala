@@ -299,4 +299,17 @@ class SketchesSpec extends SparkSpecBase {
         f"quantile $p: estimate ${est(p)}%.2f has rank $rank%.3f (err ${math.abs(rank - p)}%.3f)")
     }
   }
+
+  test("heavyHittersExact equals the plain threshold truth — the gate is lossless") {
+    // width=4 forces sketch collisions → false-positive candidates; the
+    // exact second pass must remove them, and count-min's no-underestimate
+    // guarantee means no true heavy hitter can be gated out
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(4)("c") ++ Seq("d")).toDF("w")
+    val out = Sketches
+      .heavyHittersExact(df, col("w"), threshold = 5L, depth = 3, width = 4)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map("a" -> 10L, "b" -> 5L))
+  }
 }

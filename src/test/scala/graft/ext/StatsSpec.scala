@@ -258,4 +258,21 @@ class StatsSpec extends SparkSpecBase {
         s"group s$g diverges from the ungrouped moments")
     }
   }
+
+  test("madOutliers: doubled-domain medians are exact Longs and only true outliers flag") {
+    // values 1..9 plus 100: v2 = 2..18,200 → med2 = (10+12)/2 = 11;
+    // dev4 = 2|2x−11| = [18,14,10,6,2,2,6,10,14,378] → mad4 = (10+10)/2 = 10
+    val df = ((1 to 9) :+ 100).zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toDF("rid", "v")
+    val out = Stats.madOutliers(df, col("rid"), col("v"), k = 3).collect()
+    assert(out.forall(r => r.getLong(3) == 11L && r.getLong(4) == 10L), "med2/mad4 wrong")
+    assert(out.filter(_.getBoolean(5)).map(_.getLong(1)).toSet == Set(100L))
+  }
+
+  test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
+    // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
+    // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag
+    val df = ((1 to 9) :+ 100).zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toDF("rid", "v")
+    val out = Stats.madOutliers(df, col("rid"), col("v"), k = 1).collect()
+    assert(out.filter(_.getBoolean(5)).map(_.getLong(1)).toSet == Set(1L, 2L, 9L, 100L))
+  }
 }

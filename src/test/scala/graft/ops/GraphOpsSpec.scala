@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration integer PageRank. */
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pageRank: one iteration reproduces the hand-computed integer update") {
+    // nodes {1,2,3}, edges 1→2, 2→1, 1→3 (w=1); scale 1e6 → base = 333333
+    // contribs: node1 splits 333333 div 2 = 166666 to 2 and 3; node2 sends
+    // 333333 to 1. r1 = (85·in + 15·333333) div 100:
+    //   node1: (85·333333 + 15·333333) div 100 = 333333
+    //   node2 = node3: (85·166666 + 15·333333) div 100 = 191666
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val out = GraphOps
+      .pageRank(edges, "src", "dst", "w", iters = 1, scale = 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(1L -> 333333L, 2L -> 191666L, 3L -> 191666L))
+  }
+
+  test("pageRank: rank mass never exceeds scale and dangling leak only shrinks it") {
+    // node 3 is dangling (no out-edges): its mass leaks each round, so the
+    // total is strictly below scale but every rank stays positive
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val ranks = GraphOps
+      .pageRank(edges, "src", "dst", "w", iters = 3, scale = 1000000000000L)
+      .collect()
+      .map(_.getLong(1))
+    assert(ranks.sum <= 1000000000000L && ranks.forall(_ > 0L))
+  }
+
+  test("pageRank: weights shift rank toward the heavier destination") {
+    // 1 sends 3/4 of its mass to 2 and 1/4 to 3; 2 and 3 return to 1
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val out = GraphOps
+      .pageRank(edges, "src", "dst", "w", iters = 3, scale = 1000000000000L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out(2L) > out(3L), s"weighted split ignored: $out")
+    assert(out(1L) > out(2L), s"the hub must dominate: $out")
+  }
+}

@@ -35,6 +35,33 @@ class TemporalOpsSpec extends SparkSpecBase {
     )
   }
 
+  test("resampleLocf fills gaps with the last observation and marks observed buckets") {
+    val ev = Seq(
+      (1L, 10L, ts(86400 * 10 + 5), 1.5), // day 10
+      (2L, 10L, ts(86400 * 10 + 9), 2.5), // day 10, later → wins the bucket
+      (3L, 10L, ts(86400 * 13), 7.0), // day 13 → days 11,12 are gaps
+      (4L, 20L, ts(86400 * 11), 4.0) // other key, single bucket
+    ).toDF("event_id", "k", "t", "v")
+    val out = TemporalOps.resampleLocf(ev, "k", "t", "event_id", "v", stepSec = 86400L)
+    assert(
+      rows(out) == Seq(
+        Seq(10L, 10L, 2.5, true),
+        Seq(10L, 11L, 2.5, false),
+        Seq(10L, 12L, 2.5, false),
+        Seq(10L, 13L, 7.0, true),
+        Seq(20L, 11L, 4.0, true)
+      ))
+  }
+
+  test("resampleLocf breaks same-instant ties by the tie column, micros-exact") {
+    val ev = Seq(
+      (5L, 1L, ts(86400), 9.0), // same microsecond as below
+      (6L, 1L, ts(86400), 3.0) // greater tie → wins
+    ).toDF("event_id", "k", "t", "v")
+    val out = TemporalOps.resampleLocf(ev, "k", "t", "event_id", "v", stepSec = 86400L)
+    assert(rows(out) == Seq(Seq(1L, 1L, 3.0, true)))
+  }
+
   test("asofJoin resolves same-instant right ties to the greatest tie value") {
     val left = Seq((1L, 10L, ts(100))).toDF("event_id", "k", "lts")
     val right = Seq(
