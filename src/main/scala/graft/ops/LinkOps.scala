@@ -90,4 +90,57 @@ object LinkOps {
       .reduce(_ && _)
     df.join(right, cond, "left_anti")
   }
+
+  /** Bloom-gated shuffle join — the semi-join reduction for the case
+    * NEITHER broadcast covers: the build side is too big to broadcast as
+    * a hash table, but most big-side rows won't match it. A Bloom filter
+    * of the build keys (m bits, k hashes — `Sketches.bloomBits`
+    * discipline, same md5 positions) IS broadcastable at any build size,
+    * so the big side is gated MAP-SIDE before its exchange: rows whose
+    * key can't be in the build never shuffle. No false negatives means
+    * the inner-join result is IDENTICAL to the plain join for any
+    * (m, k); false positives only cost shuffled bytes, so sketch sizing
+    * tunes cost, never correctness — the same contract as the
+    * heavy-hitter gate.
+    *
+    * The bit set rides the PLAN as an m/64-word Long-array literal
+    * (bounded MODEL state — capacity is the caller's parameter, not data
+    * — the bake-the-model-into-the-expression discipline), and the gate
+    * is pure codegen bit arithmetic: element_at + shift + mask per hash.
+    *
+    * Inner joins only: gating the probe side of an outer join would drop
+    * unmatched rows it must keep.
+    */
+  def bloomGatedJoin(
+      big: DataFrame,
+      build: DataFrame,
+      bigKey: String,
+      buildKey: String,
+      m: Long,
+      k: Int
+  ): DataFrame = {
+    require(m > 0 && m <= (1L << 26), "m must be a sane bit capacity (≤ 64 Mbit)")
+    require(k > 0, "k must be positive")
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    graft.ext.Sketches
+      .bloomBits(build, col(buildKey), m, k)
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p / 64).toInt) |= 1L << (p % 64).toInt
+      }
+    val mask = lit(words)
+    val gate = (0 until k)
+      .map { j =>
+        val pos = Hashing.md5Mod(concat(lit(j.toString), lit("#"), col(bigKey).cast("string")), m)
+        // SQL shiftright takes an expression bits arg (the Scala-API
+        // overload is Int-only), hence call_function
+        (call_function(
+          "shiftright",
+          element_at(mask, (pos / 64).cast("int") + 1),
+          (pos % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
+      }
+      .reduce(_ && _)
+    big.filter(col(bigKey).isNotNull && gate).join(build, big(bigKey) === build(buildKey))
+  }
 }

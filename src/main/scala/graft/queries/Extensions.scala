@@ -1522,6 +1522,19 @@ object Extensions {
         t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name")),
         "l_suppkey", col("l_orderkey"))
     },
+    // bloom-gated shuffle join: probe rows whose key can't be in the
+    // build side are dropped MAP-SIDE before the exchange; no false
+    // negatives → identical to the plain join the oracle runs, for any
+    // (m, k) — sketch sizing tunes shuffle bytes, never the answer
+    "j9_bloom_gated_join" -> { (s, dir) =>
+      graft.ops.LinkOps
+        .bloomGatedJoin(
+          t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity")),
+          t(s, dir, "part").filter(col("p_size") === 10).select(col("p_partkey"), col("p_name")),
+          "l_partkey", "p_partkey", m = 1L << 14, k = 4)
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+    },
     // exact-size-k deterministic sample — TakeOrdered over the md5 hash,
     // no global sort, retry-stable (vs rand())
     "corpus_sample_exact_k" -> { (s, dir) =>
@@ -1634,6 +1647,26 @@ object Extensions {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("w"))
       graft.ops.GraphOps.pageRank(edges, "src", "dst", "w", iters = 3)
+    },
+    // last-touch attribution: every purchase credits the latest click
+    // at-or-before it — the as-of join composed over a filtered stream
+    // (nulls when the user never clicked before buying)
+    "ev_attribution_last_touch" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+      TemporalOps
+        .asofJoin(purchases, clicks, "user_id", "ts", "cts", Seq("cid"), "cid")
+        .select(
+          col("user_id"),
+          col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("asof_cid").as("click_id"),
+          unix_micros(col("asof_ts")).as("click_us"))
     },
     "ev_funnel" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
@@ -3600,6 +3633,12 @@ object Extensions {
     "j8_salted_join" ->
       """SELECT l_suppkey, l_orderkey, l_quantity, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+    // the bloom gate is invisible to semantics — plain join truth
+    "j9_bloom_gated_join" ->
+      """SELECT p_partkey, p_name, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 10 GROUP BY 1, 2""",
     "corpus_sample_exact_k" ->
       """SELECT doc_id, source FROM documents
          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
@@ -3767,6 +3806,18 @@ object Extensions {
                 w.k IS NOT NULL AS observed
          FROM grid g LEFT JOIN win w ON g.k = w.k AND g.bucket = w.bucket""",
     "graph_pagerank" -> pagerankOracleSql,
+    // latest click at-or-before each purchase; same-instant ties to the
+    // greatest click id (the asofJoin tie contract)
+    "ev_attribution_last_touch" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, event_id AS cid FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.ts, p.event_id, c.cid, c.cts,
+                 row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                    ORDER BY c.cts DESC, c.cid DESC) AS rn
+               FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts)
+         SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+                cid AS click_id, epoch_us(cts) AS click_us
+         FROM j WHERE rn = 1""",
     "ev_funnel" ->
       """WITH a AS (
            SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts

@@ -59,4 +59,30 @@ class LinkOpsSpec extends SparkSpecBase {
     val existing = Seq("a", "a", "a").toDF("k")
     assert(LinkOps.antiDedupe(left, existing, Seq("k")).count() == 0)
   }
+
+  test("bloomGatedJoin equals the plain inner join for any sketch sizing") {
+    val big = (1L to 200L).map(i => (i % 50, i)).toDF("k", "payload")
+    val build = Seq((7L, "x"), (13L, "y"), (49L, "z")).toDF("bk", "attr")
+    val plain = big.join(build, $"k" === $"bk").select($"k", $"payload", $"attr")
+    // tiny m forces false positives THROUGH the gate; the join removes them
+    for (m <- Seq(64L, 1L << 12)) {
+      val gated = LinkOps
+        .bloomGatedJoin(big, build, "k", "bk", m = m, k = 3)
+        .select($"k", $"payload", $"attr")
+      assert(rows(gated) == rows(plain), s"m=$m diverges from the plain join")
+    }
+  }
+
+  test("bloomGatedJoin plans the gate as a map-side filter on the probe side") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
+    // the (deterministic) gate at optimization time and hide it
+    val big = spark.range(1L, 1001L).select($"id".as("k"), $"id".as("payload"))
+    val build = Seq((5L, "x")).toDF("bk", "attr")
+    val plan = LinkOps
+      .bloomGatedJoin(big, build, "k", "bk", m = 1L << 14, k = 3)
+      .queryExecution.executedPlan.toString
+    // the literal-mask bit arithmetic must appear in the plan (the gate
+    // survives optimization and runs before the join, not inside it)
+    assert(plan.contains("shiftright"), s"bloom gate missing from the plan:\n$plan")
+  }
 }
