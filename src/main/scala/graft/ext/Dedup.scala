@@ -583,6 +583,71 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** EXACT set-similarity self-join (token-set Jaccard ≥ τ) via PREFIX
+    * FILTERING — the deterministic complement of MinHash LSH: LSH trades
+    * recall for speed probabilistically; prefix filtering prunes with a
+    * THEOREM. Order every document's distinct tokens canonically by
+    * ascending document frequency (rarest first, ties by token); if
+    * J(A,B) ≥ τ, then A and B MUST share a token within their first
+    * `|X| − ⌈τ·|X|⌉ + 1` tokens (skipping a full prefix leaves too few
+    * tokens to reach τ — the PPJoin/AllPairs prefix principle). So the
+    * candidate join runs on PREFIX tokens only — by construction the
+    * RAREST tokens, whose postings are short: the frequent-token blowup
+    * an any-token join suffers is exactly what df-ordering excludes from
+    * prefixes. Every candidate is verified with the exact intersection,
+    * and the threshold compare is cross-multiplied integers
+    * (`inter·den ≥ num·(|A|+|B|−inter)`) — no float can flip a
+    * boundary pair.
+    *
+    * τ is the rational num/den; recall is 100% by the prefix theorem,
+    * precision 100% by the verify — output IS the truth, which is what
+    * the oracle computes directly (no replay of the pruning needed).
+    *
+    * Scale shape: one token-key shuffle for df counts, one doc-key
+    * re-agg for the canonical ordering, then the prefix-token self-join
+    * (both sides one reused exchange) and a map-side integer verify.
+    * The df join is the familiarity-style vocabulary join; at corpora
+    * where the vocabulary head dominates, swap in the same
+    * hot-broadcast/cold-shuffle split.
+    */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      tauNum: Int,
+      tauDen: Int
+  ): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "τ = num/den must be in (0, 1]")
+    val tok = df
+      .select(idCol.as("id"), explode(array_distinct(split(trim(textCol), "\\s+"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ordered = tok
+      .join(dfreq, Seq("token"))
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("token")))).as("ord"),
+        count(lit(1)).as("n"))
+      .select(col("id"), expr("transform(ord, x -> x.token)").as("tokens"), col("n"))
+    val pref = ordered
+      .withColumn(
+        "L",
+        (col("n") - expr(s"cast(($tauNum * n + ${tauDen - 1}) div $tauDen as bigint)") + 1).cast("int"))
+      .withColumn("ptoken", explode(expr("slice(tokens, 1, L)")))
+    val lo = pref.select(
+      col("ptoken"), col("id").as("id_lo"), col("tokens").as("t_lo"), col("n").as("n_lo"))
+    val hi = pref.select(
+      col("ptoken"), col("id").as("id_hi"), col("tokens").as("t_hi"), col("n").as("n_hi"))
+    lo.join(hi, Seq("ptoken"))
+      .filter(col("id_lo") < col("id_hi"))
+      // all rows of one pair carry identical arrays, so the keep-any
+      // dedupe is deterministic
+      .dropDuplicates("id_lo", "id_hi")
+      .withColumn("inter", size(array_intersect(col("t_lo"), col("t_hi"))).cast("long"))
+      .filter(col("inter") * tauDen >= lit(tauNum) * (col("n_lo") + col("n_hi") - col("inter")))
+      .select(col("id_lo"), col("id_hi"), col("inter"), col("n_lo"), col("n_hi"))
+  }
+
   /** Cross-document EXACT substring overlap — the positional complement of
     * set-based n-gram Jaccard: two documents sharing `r` CONSECUTIVE word
     * n-grams share an exact `(r + n - 1)`-token substring (the

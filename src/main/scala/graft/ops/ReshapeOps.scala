@@ -115,6 +115,33 @@ object ReshapeOps {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** Per-group top-k rows WITHOUT the per-group sort: the window
+    * formulation (`row_number ≤ k`) sorts every group's whole row set in
+    * the shuffle; this delegates to the bounded-heap
+    * [[graft.ops.agg.TopKHeap]] aggregator, whose state is ≤ k entries
+    * per group and whose partials merge map-side — a hot group costs
+    * O(n·log k) admissions spread across map tasks, not an n·log n
+    * reducer sort. Greatest (value, id) wins; the id tiebreak totalizes
+    * the order, so ranks are deterministic under any partitioning.
+    *
+    * @return (grp, rank 1..k descending by value, value, id)
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      idCol: Column,
+      k: Int
+  ): DataFrame =
+    df.groupBy(groupCol.as("grp"))
+      .agg(graft.ops.agg.TopKHeap.column(k)(valueCol.cast("long"), idCol.cast("long")).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(
+        col("grp"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("value"),
+        col("col._2").as("id"))
+
   /** W2 + S8: global 1..n numbering under `order`, bucketed into chunks of
     * `chunk` rows, renumbered 1..chunk within each bucket (legacy 250-row
     * upload batches, format_reviewed_permits_for_upload.py:214-216,:279-299;

@@ -402,6 +402,19 @@ object Extensions {
             6
           ).as("contaminated_frac"))
     },
+    // per-group top-k via the bounded-heap aggregator (≤ k state per
+    // group, no per-group sort); oracle is the window-rank truth
+    "w4_topk_per_group" -> { (s, dir) =>
+      graft.ops.ReshapeOps.topKPerGroup(
+        t(s, dir, "documents"), col("source"), col("n_chars"), col("doc_id"), k = 3)
+    },
+    // EXACT set-similarity join (Jaccard ≥ 19/20) by prefix filtering —
+    // recall by theorem, precision by verify: the output IS the truth,
+    // so the oracle computes it directly with no pruning replay
+    "dedup_setsim_exact" -> { (s, dir) =>
+      Dedup.prefixFilterPairs(
+        tPar(s, dir, "documents"), col("doc_id"), col("text"), tauNum = 19, tauDen = 20)
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -2855,6 +2868,27 @@ object Extensions {
                ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                     / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) END AS jac
         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""),
+    "w4_topk_per_group" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id DESC) AS rn
+                    FROM documents)
+         SELECT source AS grp, CAST(rn AS INTEGER) AS rank,
+                CAST(n_chars AS BIGINT) AS value, doc_id AS id
+         FROM r WHERE rn <= 3""",
+    // exact operator → the oracle is the direct truth (any-token join +
+    // exact intersection counts), no prefix replay
+    "dedup_setsim_exact" ->
+      """WITH tok0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+                       FROM documents),
+         tok AS (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         pair AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
+                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT lo AS id_lo, hi AS id_hi, inter, sa.n AS n_lo, sb.n AS n_hi
+         FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
+         WHERE inter * 20 >= 19 * (sa.n + sb.n - inter)""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),

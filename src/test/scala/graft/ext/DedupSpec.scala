@@ -460,4 +460,30 @@ class DedupSpec extends SparkSpecBase {
       5L -> "no frame at all"
     ))
   }
+
+  test("prefixFilterPairs: exact threshold join, boundary pair kept by integer compare") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"), // identical → J = 1
+      (3L, "a b c d f"), // J vs 1/2 = 4/6 = 2/3 — EXACTLY on the threshold
+      (4L, "x y z w v") // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .prefixFilterPairs(docs, col("doc_id"), col("text"), tauNum = 2, tauDen = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // the 2/3 boundary pair must survive: inter·3 ≥ 2·(5+5−4) is 12 ≥ 12,
+    // which no float formulation is guaranteed to get right
+    assert(out == Set((1L, 2L, 5L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("prefixFilterPairs prefixes are the RAREST tokens (df-ordered, bounded postings)") {
+    // 10 docs share the frequent token 'the'; at τ=0.8 with 5-token sets
+    // the prefix is 2 tokens and 'the' (df=10) sorts last, so it can
+    // never be a prefix token — the any-token hot posting never joins
+    val docs = (0 until 10).map(i => (i.toLong, s"the u$i v$i w$i x$i")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"), tauNum = 4, tauDen = 5)
+    assert(pairs.count() == 0L, "distinct docs sharing only 'the' must produce no pairs")
+  }
 }

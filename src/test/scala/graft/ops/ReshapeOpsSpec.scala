@@ -121,4 +121,25 @@ class ReshapeOpsSpec extends SparkSpecBase {
       assert(tasks > 1, s"expected >1 task to produce rows, got $tasks")
     } finally spark.conf.set(coalesceKey, prev)
   }
+
+  test("topKPerGroup matches the window truth, id-tiebroken, repartition-invariant") {
+    val df = Seq(
+      ("a", 5L, 1L), ("a", 9L, 2L), ("a", 9L, 3L), ("a", 7L, 4L), ("a", 1L, 5L),
+      ("b", 2L, 6L)
+    ).toDF("g", "v", "id")
+    val expected = Seq(
+      Seq("a", 1, 9L, 3L), // value tie (9,9) → greater id first
+      Seq("a", 2, 9L, 2L),
+      Seq("a", 3, 7L, 4L),
+      Seq("b", 1, 2L, 6L)
+    ).map(_.mkString("|")).sorted
+    // 7 partitions: partial heaps must merge across map tasks and still
+    // produce the identical ranking
+    val out = ReshapeOps
+      .topKPerGroup(df.repartition(7), col("g"), col("v"), col("id"), k = 3)
+      .collect()
+      .map(r => Seq(r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)).mkString("|"))
+      .sorted
+    assert(out.toSeq == expected)
+  }
 }
