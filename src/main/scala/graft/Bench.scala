@@ -60,11 +60,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line =
+    // Two artifacts with distinct consumers:
+    //  - /tmp/bench_out.json gets the FULL per-query map (unbounded length);
+    //  - stdout gets only the compact summary object. The driver parses the
+    //    final stdout line from a BOUNDED tail window, and at 200+ queries
+    //    the full map's single line starts before the window does (BENCH_r09
+    //    parsed:null, tail began mid-line) — so the map must never go to
+    //    stdout, no matter how many queries register.
+    val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
-    // the driver tails stdout and has read a truncated line before — keep a
-    // machine-readable copy on disk
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), line + "\n")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":${failed.size}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
     // stop the session FIRST so nothing (shutdown messages, late executor
     // output) can print after the JSON — the driver parses the FINAL stdout

@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local timing harness: run named queries against a sf dir with the bench
+  * noop sink and print per-query seconds (first run + warm rerun). Usage:
+  *   runMain graft.Time <sfDir> <name> [name...]
+  */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { name =>
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[time] $name pass$pass ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val spillMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize `df` once as a parquet spill and return a scan of it, so a
+    * plan that references the same subtree N times computes it once instead
+    * of N times (exchange reuse does not fire across differently-projected
+    * broadcast sides). Keyed by session identity + the ANALYZED plan's
+    * semanticHash, so distinct inputs (or sessions) never share a spill;
+    * the pid-scoped path is deleted at JVM exit (graft.queries.Scratch).
+    * At cluster scale the same shape holds with a durable scratch FS — the
+    * spill is a splittable columnar table, not driver state.
+    */
+  private def spilled(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    val key = s"${tag}_${System.identityHashCode(s)}_${df.queryExecution.analyzed.semanticHash()}"
+    val path = spillMemo.computeIfAbsent(key, { k =>
+      val p = graft.queries.Scratch.dir(tag, k)
+      df.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Exact dedup: group identical `textCol` content by md5 digest, keep the
     * lowest id as canonical. Output one row per distinct content with the
     * survivor id and the duplicate count.
@@ -603,12 +625,29 @@ object Dedup {
     * precision 100% by the verify — output IS the truth, which is what
     * the oracle computes directly (no replay of the pruning needed).
     *
-    * Scale shape: one token-key shuffle for df counts, one doc-key
-    * re-agg for the canonical ordering, then the prefix-token self-join
-    * (both sides one reused exchange) and a map-side integer verify.
-    * The df join is the familiarity-style vocabulary join; at corpora
-    * where the vocabulary head dominates, swap in the same
-    * hot-broadcast/cold-shuffle split.
+    * Scale shape (full PPJoin, Xiao et al. 2008): one token-key shuffle
+    * for df counts, one doc-key re-agg for the canonical ordering, then a
+    * NARROW prefix-token self-join — each side carries only
+    * `(ptoken, id, n, p)`, never the token arrays — pruned by THREE
+    * sound filters before anything wide moves:
+    *  - prefix filter (which tokens explode at all);
+    *  - LENGTH filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|), so
+    *    cross-size candidates die at the join;
+    *  - POSITIONAL filter: a shared token at (1-based) positions
+    *    (p_lo, p_hi) bounds the overlap by
+    *    `min(p_lo,p_hi) − 1` (commons strictly before it — both arrays
+    *    share one global order) `+ 1 + min(n_lo−p_lo, n_hi−p_hi)`
+    *    (commons from it on); J ≥ τ ⟺ inter·(num+den) ≥ num·(n_lo+n_hi),
+    *    so rows whose bound can't reach that die too. Sound because for
+    *    a true pair the FIRST shared prefix token's bound ≥ the true
+    *    intersection ≥ the requirement — some row always survives.
+    * Only the surviving `(id_lo, id_hi)` pairs — deduped while still
+    * narrow — re-join the token arrays (by id, two broadcast-or-shuffle
+    * hash joins) for the single exact intersection verify, with the
+    * threshold compare in cross-multiplied integers so no float flips a
+    * boundary pair. The df join is the familiarity-style vocabulary
+    * join; at corpora where the vocabulary head dominates, swap in the
+    * same hot-broadcast/cold-shuffle split.
     */
   def prefixFilterPairs(
       df: DataFrame,
@@ -622,27 +661,45 @@ object Dedup {
       .select(idCol.as("id"), explode(array_distinct(split(trim(textCol), "\\s+"))).as("token"))
       .filter(length(col("token")) > 0)
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val ordered = tok
-      .join(dfreq, Seq("token"))
-      .groupBy(col("id"))
-      .agg(
-        sort_array(collect_list(struct(col("df"), col("token")))).as("ord"),
-        count(lit(1)).as("n"))
-      .select(col("id"), expr("transform(ord, x -> x.token)").as("tokens"), col("n"))
+    // Spilled once: the plan references `ordered` FOUR times (both candidate
+    // sides + both re-widen joins), and without materialization each
+    // reference recomputes tokenize → df-join → sort-agg from the scan.
+    val ordered = spilled(
+      tok
+        .join(dfreq, Seq("token"))
+        .groupBy(col("id"))
+        .agg(
+          sort_array(collect_list(struct(col("df"), col("token")))).as("ord"),
+          count(lit(1)).as("n"))
+        .select(col("id"), expr("transform(ord, x -> x.token)").as("tokens"), col("n")),
+      "setsim_ord")
+    // prefix positions, 1-based: (ptoken, id, n, p) — the ONLY columns that
+    // enter the candidate join; the widest column (tokens) stays home.
     val pref = ordered
       .withColumn(
         "L",
         (col("n") - expr(s"cast(($tauNum * n + ${tauDen - 1}) div $tauDen as bigint)") + 1).cast("int"))
-      .withColumn("ptoken", explode(expr("slice(tokens, 1, L)")))
-    val lo = pref.select(
-      col("ptoken"), col("id").as("id_lo"), col("tokens").as("t_lo"), col("n").as("n_lo"))
-    val hi = pref.select(
-      col("ptoken"), col("id").as("id_hi"), col("tokens").as("t_hi"), col("n").as("n_hi"))
-    lo.join(hi, Seq("ptoken"))
+      .select(col("id"), col("n"), posexplode(expr("slice(tokens, 1, L)")).as(Seq("p0", "ptoken")))
+      .select(col("ptoken"), col("id"), col("n"), (col("p0") + 1).as("p"))
+    val lo = pref.select(col("ptoken"), col("id").as("id_lo"), col("n").as("n_lo"), col("p").as("p_lo"))
+    val hi = pref.select(col("ptoken"), col("id").as("id_hi"), col("n").as("n_hi"), col("p").as("p_hi"))
+    val overlapBound = // upper bound on |A∩B| given this shared token's positions
+      least(col("p_lo"), col("p_hi")) - 1 + lit(1) +
+        least(col("n_lo") - col("p_lo"), col("n_hi") - col("p_hi"))
+    val cand = lo.join(hi, Seq("ptoken"))
       .filter(col("id_lo") < col("id_hi"))
-      // all rows of one pair carry identical arrays, so the keep-any
-      // dedupe is deterministic
+      // length filter: min·den ≥ num·max
+      .filter(least(col("n_lo"), col("n_hi")) * tauDen >=
+        lit(tauNum) * greatest(col("n_lo"), col("n_hi")))
+      // positional filter: bound·(num+den) ≥ num·(n_lo+n_hi)
+      .filter(overlapBound * (tauNum + tauDen) >= lit(tauNum) * (col("n_lo") + col("n_hi")))
+      .select(col("id_lo"), col("id_hi"))
       .dropDuplicates("id_lo", "id_hi")
+    // re-widen ONLY survivors: two id-key hash joins bring the arrays back
+    // for the single exact verify pass.
+    cand
+      .join(ordered.select(col("id").as("id_lo"), col("tokens").as("t_lo"), col("n").as("n_lo")), Seq("id_lo"))
+      .join(ordered.select(col("id").as("id_hi"), col("tokens").as("t_hi"), col("n").as("n_hi")), Seq("id_hi"))
       .withColumn("inter", size(array_intersect(col("t_lo"), col("t_hi"))).cast("long"))
       .filter(col("inter") * tauDen >= lit(tauNum) * (col("n_lo") + col("n_hi") - col("inter")))
       .select(col("id_lo"), col("id_hi"), col("inter"), col("n_lo"), col("n_hi"))
