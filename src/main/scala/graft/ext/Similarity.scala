@@ -784,13 +784,13 @@ object Similarity {
     * constant folding). Any engine with md5 reproduces the same table —
     * engine-private hashes (murmur3) would make the buckets unverifiable.
     */
-  def srpCoefficients(dim: Int, planes: Int): Seq[Seq[Long]] = {
+  def srpCoefficients(dim: Int, planes: Int, offset: Int = 0): Seq[Seq[Long]] = {
     def md5Hex8(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16)
     }
-    (0 until planes).map(p => (0 until dim).map(d => md5Hex8(s"${p}_$d") % 1000L - 500L))
+    (offset until offset + planes).map(p => (0 until dim).map(d => md5Hex8(s"${p}_$d") % 1000L - 500L))
   }
 
   /** Sign-random-projection bucket key: the sign bits of the vector's dot
@@ -813,11 +813,11 @@ object Similarity {
     * vector — same wrapping-long fold as the HOF form it replaced, and
     * this runs once per plane per CORPUS ROW at bucketing time.
     */
-  def srpBucketQ(qVec: Column, dim: Int, planes: Int): Column = {
-    val coeffs = srpCoefficients(dim, planes)
-    val bits = (0 until planes).map { p =>
-      val proj = call_function("graft_dotl", qVec, typedLit(coeffs(p)))
-      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+  def srpBucketQ(qVec: Column, dim: Int, planes: Int, offset: Int = 0): Column = {
+    val coeffs = srpCoefficients(dim, planes, offset)
+    val bits = (0 until planes).map { j =>
+      val proj = call_function("graft_dotl", qVec, typedLit(coeffs(j)))
+      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << j)
     }
     bits.reduce(_ + _)
   }
@@ -832,6 +832,17 @@ object Similarity {
     * rises sharply — a near neighbor differing in one sign bit is found —
     * for `planes`× more query-side rows, which only scales the (small)
     * broadcast, not the corpus shuffle.
+    *
+    * `tables > 1` is the classic AND-OR amplification (Indyk–Motwani):
+    * `tables` independent hash tables of `planes` sign bits each (table t
+    * reads global plane indices [t·planes, (t+1)·planes)), a candidate
+    * surfaces if it collides with the query in ANY table. Recall across L
+    * independent tables is `1 − (1 − r)^L` for single-table recall r —
+    * the knob that turns a 0.24-recall single table into a serving-grade
+    * path. Cost shape: the corpus side maps each row to L (table, bucket)
+    * keys — L× the (narrow) shuffle volume, still one shuffle and no
+    * broadcast of the corpus; the query side is L× more probe rows on the
+    * already-small broadcast.
     */
   def lshBucketTopK(
       corpus: DataFrame,
@@ -841,29 +852,33 @@ object Similarity {
       dim: Int,
       planes: Int,
       k: Int,
-      multiProbe: Boolean = false
+      multiProbe: Boolean = false,
+      tables: Int = 1
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(tables >= 1, "tables must be >= 1")
     // vectors are integer-quantized for ranking: the dot/norm sums are then
     // exact integer math (associative), so the reported sim is reproducible
     // by any engine regardless of its summation order
-    // quantize staged as an attribute FIRST: bucket + norm both read it, so
+    // quantize staged as an attribute FIRST: buckets + norm all read it, so
     // the transform runs once per row instead of once per plane (+1)
+    def buckets(vec: Column): Column =
+      array((0 until tables).map(t => srpBucketQ(vec, dim, planes, t * planes)): _*)
     val c = corpus
       .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
       .select(
         col("cand_id"),
         col("c_vec"),
-        srpBucketQ(col("c_vec"), dim, planes).as("bucket"),
-        norm(col("c_vec")).as("c_nrm")
+        norm(col("c_vec")).as("c_nrm"),
+        posexplode(buckets(col("c_vec"))).as(Seq("tbl", "bucket"))
       )
     val q0 = queries
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
       .select(
         col("query_id"),
         col("q_vec"),
-        srpBucketQ(col("q_vec"), dim, planes).as("bucket"),
-        norm(col("q_vec")).as("q_nrm")
+        norm(col("q_vec")).as("q_nrm"),
+        posexplode(buckets(col("q_vec"))).as(Seq("tbl", "bucket"))
       )
     val probed =
       if (!multiProbe) q0
@@ -872,6 +887,7 @@ object Similarity {
           col("query_id"),
           col("q_vec"),
           col("q_nrm"),
+          col("tbl"),
           explode(
             array_distinct(
               array(
@@ -883,9 +899,9 @@ object Similarity {
         )
     val q = broadcast(probed)
     val scored = c
-      .join(q, Seq("bucket"))
+      .join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      // a candidate can surface via several probed buckets — rank each once
+      // a candidate can surface via several probed buckets/tables — rank once
       .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)

@@ -458,7 +458,7 @@ object Extensions {
       val e = t(s, dir, "embeddings")
       Similarity.lshBucketTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        dim = 64, planes = 6, k = 5, multiProbe = true
+        dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4
       )
     },
     // IVF variant (coarse quantizer cells, nprobe probing). The centroid
@@ -2489,12 +2489,18 @@ object Extensions {
   /** Twin of Similarity.srpBucket over the staged `q` column: plane p's
     * coefficient d is md5("p_d") first-8-hex mod 1000 minus 500.
     */
-  private def srpBucketSql(planes: Int): String =
+  /** SRP bucket over quantized vector `q` for `planes` sign bits; table
+    * `offset` shifts the GLOBAL plane index (md5 seed) while bit weights
+    * stay local — the SQL twin of Similarity.srpBucketQ(_, _, planes,
+    * offset).
+    */
+  private def srpBucketSql(planes: Int, offset: Int = 0): String =
     (0 until planes)
-      .map { p =>
+      .map { j =>
+        val p = offset + j
         s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] *
            (CAST(concat('0x', substr(md5(concat('${p}_', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT)
-            % 1000 - 500))) >= 0 THEN ${1 << p} ELSE 0 END)"""
+            % 1000 - 500))) >= 0 THEN ${1 << j} ELSE 0 END)"""
       }
       .mkString(" + ")
 
@@ -3292,15 +3298,16 @@ object Extensions {
         SELECT new_id, corpus_id, sim FROM sprs WHERE sim >= 0.42"""),
     "ann_lsh_topk" ->
       (qzCte + s"""
-        , bkt AS (SELECT vec_id, q, ${srpBucketSql(6)} AS bucket FROM qz)
-        , probes AS (
-          SELECT vec_id AS query_id,
+        , bkt AS (
+${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6, t * 6)} AS bucket FROM qz").mkString("\n          UNION ALL\n")}
+        ), probes AS (
+          SELECT vec_id AS query_id, tbl,
                  unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
                                        xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
           FROM bkt WHERE vec_id < 10
         ), cand AS (
           SELECT DISTINCT p.query_id, c.vec_id AS cand_id
-          FROM probes p JOIN bkt c ON c.bucket = p.bucket
+          FROM probes p JOIN bkt c ON c.tbl = p.tbl AND c.bucket = p.bucket
           WHERE c.vec_id <> p.query_id
         ), scored AS (
           SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
