@@ -14,7 +14,7 @@ import graft.ops._
 object Core {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Fixtures.t(s, dir, name) // schema-asserted: drift fails with a named diff
 
   /** Socrata-shaped permit payload synthesized from orders (S1 fixtures). */
   private def permitsPayload(s: SparkSession, dir: String): DataFrame =

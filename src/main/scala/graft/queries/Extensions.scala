@@ -17,7 +17,7 @@ import graft.streaming.Sessionize
 object Extensions {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Fixtures.t(s, dir, name) // schema-asserted: drift fails with a named diff
 
   /** Fixture parquet is one file with ONE row group — a scan is a single
     * partition. Queries whose first stage does heavy per-row work (shingle

@@ -16,26 +16,70 @@ import org.apache.spark.sql.types._
 object Fixtures {
 
   private val integral: Set[DataType] = Set(IntegerType, LongType)
+  private val fractional: Set[DataType] = Set(FloatType, DoubleType)
+  private val str: Set[DataType]      = Set(StringType)
   private val tsLike: Set[DataType]   = Set(LongType, TimestampType, TimestampNTZType)
+  private val dateLike: Set[DataType] = tsLike + DateType
 
-  /** Accepted physical types per column for the tables whose encoding has
-    * shifted between fixture refreshes (or plausibly could). Tables not
-    * listed pass through unchecked; columns beyond the listed ones are
-    * allowed (the writer may add metadata columns).
+  /** Accepted physical types per column, for EVERY driver fixture table —
+    * encodings have shifted between fixture refreshes (events.ts has
+    * shipped as TIMESTAMP(NANOS), TIMESTAMP_NTZ micros, and session-TZ
+    * micros across rounds) and each accepted set names the encodings the
+    * loaders can normalize. Columns beyond the listed ones are allowed
+    * (the writer may add metadata columns).
     */
   private[graft] val accepted: Map[String, Map[String, Set[DataType]]] = Map(
+    "region" -> Map("r_regionkey" -> integral, "r_name" -> str),
+    "nation" -> Map("n_nationkey" -> integral, "n_name" -> str, "n_regionkey" -> integral),
+    "customer" -> Map(
+      "c_custkey"    -> integral,
+      "c_name"       -> str,
+      "c_nationkey"  -> integral,
+      "c_acctbal"    -> fractional,
+      "c_mktsegment" -> str),
+    "supplier" -> Map(
+      "s_suppkey"   -> integral,
+      "s_name"      -> str,
+      "s_nationkey" -> integral,
+      "s_acctbal"   -> fractional),
+    "part" -> Map(
+      "p_partkey"     -> integral,
+      "p_name"        -> str,
+      "p_brand"       -> str,
+      "p_type"        -> str,
+      "p_size"        -> integral,
+      "p_retailprice" -> fractional),
+    "orders" -> Map(
+      "o_orderkey"      -> integral,
+      "o_custkey"       -> integral,
+      "o_orderstatus"   -> str,
+      "o_totalprice"    -> fractional,
+      "o_orderdate"     -> dateLike,
+      "o_orderpriority" -> str),
+    "lineitem" -> Map(
+      "l_orderkey"      -> integral,
+      "l_partkey"       -> integral,
+      "l_suppkey"       -> integral,
+      "l_linenumber"    -> integral,
+      "l_quantity"      -> fractional,
+      "l_extendedprice" -> fractional,
+      "l_discount"      -> fractional,
+      "l_tax"           -> fractional,
+      "l_returnflag"    -> str,
+      "l_linestatus"    -> str,
+      "l_shipdate"      -> dateLike),
     "events" -> Map(
       "event_id"   -> integral,
       "ts"         -> tsLike,
       "user_id"    -> integral,
-      "event_type" -> Set(StringType),
-      "value"      -> Set(DoubleType),
-      "props"      -> Set(StringType)),
+      "event_type" -> str,
+      "value"      -> fractional,
+      "props"      -> str),
     "documents" -> Map(
       "doc_id"  -> integral,
-      "text"    -> Set(StringType),
-      "lang"    -> Set(StringType),
-      "source"  -> Set(StringType),
+      "text"    -> str,
+      "lang"    -> str,
+      "source"  -> str,
       "n_chars" -> integral),
     "embeddings" -> Map(
       "vec_id"    -> integral,

@@ -14,7 +14,7 @@ import graft.pipeline.{LegacyPipeline, PermitPipeline, ReviewIngestPipeline}
 object PipelineQ {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Fixtures.t(s, dir, name) // schema-asserted: drift fails with a named diff
 
   /** Reference-shaped Socrata permits + PIN universe from orders×customer.
     * Every modulus plants one §2.10 failure class (same trick as vp_*).
