@@ -286,6 +286,85 @@ object Curation {
       .drop("__s", "__n", "__u", "__nb", "__ub")
   }
 
+  /** Temperature-flattened source mixing (the multilingual-LM sampling
+    * rule, e.g. XLM-R: target share ∝ n^α with α = 1/2): downsample each
+    * stratum so kept sizes are proportional to √n̅ — over-represented
+    * sources flatten toward the tail without upsampling anything. The
+    * stratum maximizing u/n (here the SMALLEST, since u = √n̅ ) is the
+    * bottleneck kept at 100%; every other stratum keeps
+    * `(n_b·u_s)/(u_b·n_s)` of its rows via the same md5 gate as
+    * [[mixToTarget]] — deterministic, retry-stable, map-side.
+    *
+    * α is fixed at 1/2 deliberately: the weight is then `floor(√n̅·10⁶)`,
+    * and IEEE-754 sqrt is correctly rounded in every engine, so the
+    * oracle reproduces the weights bit-exactly. A general `pow(n, α)` has
+    * no such cross-engine guarantee. The gate products stay in Long for
+    * corpora up to ~10⁸ rows per stratum; beyond that, shrink the 10⁶
+    * quantum (same caveat as the reference gate in [[mixToTarget]]).
+    */
+  def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column): DataFrame = {
+    requireWorkCols(df, "__s", "__n", "__u", "__nb", "__ub")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", floor(sqrt(col("__n").cast("double")) * 1000000d).cast("long"))
+    val bottleneck = counts
+      .withColumn(
+        "__rk",
+        row_number().over(
+          Window.orderBy(
+            (col("__n").cast("double") / col("__u").cast("double")).asc,
+            col("__s").asc))
+      )
+      .filter(col("__rk") === 1)
+      .select(col("__n").as("__nb"), col("__u").as("__ub"))
+    df.join(broadcast(counts), stratumCol <=> col("__s"))
+      .crossJoin(broadcast(bottleneck))
+      .filter(
+        graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) * col("__ub") * col("__n") <
+          col("__nb") * col("__u") * lit(1000000L)
+      )
+      .drop("__s", "__n", "__u", "__nb", "__ub")
+  }
+
+  /** Cluster-balanced exact-k sampling over an embedding column: assign
+    * every vector to its nearest trained k-means cell (the SAME coarse
+    * quantizer the ANN serving path uses — first-min tie rule, integer
+    * distances), then keep the k lowest-md5 ids PER CELL. This is the
+    * embedding-space twin of [[sampleExactKPerGroup]]: semantic
+    * diversity-preserving downsampling (SemDeDup/DSIR-adjacent "cover
+    * every region of embedding space" curation) instead of metadata
+    * strata.
+    *
+    * Scale shape: cell assignment is map-only (centroid matrix rides the
+    * plan as a literal, nlist×dim longs); the per-cell top-k is one
+    * bounded window over the cell key — nlist partitions, k rows kept
+    * each. No corpus self-join, no global sort.
+    */
+  def clusterBalancedSample(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: Array[Seq[Long]],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireWorkCols(emb, "__q", "__d", "__gate")
+    import org.apache.spark.sql.expressions.Window
+    val cmat = typedLit(centroids.map(_.toSeq).toSeq)
+    val assigned = emb
+      .select(idCol.as("vec_id"), Similarity.quantize(vecCol).as("__q"))
+      .withColumn("__d", Similarity.distancesTo(cmat, col("__q")))
+      .withColumn("cell", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .withColumn("__gate", graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 1000000L))
+    val w = Window.partitionBy(col("cell")).orderBy(col("__gate").asc, col("vec_id").asc)
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("cell"), col("vec_id"), col("rk"))
+  }
+
   /** Corpus-internal duplicated-content fraction: for every document, the
     * share of its distinct word-n-grams that also occur in at least one
     * OTHER document (well, in ≥2 documents — grams are distinct per doc,

@@ -910,4 +910,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked retrieval lists: `rrf(d) = Σ_lists 1/(c + rank_list(d))`, a
+    * candidate present in only one list contributes one term. Fusion is
+    * RANK-only — it never touches scores — so two approximate rankers
+    * with uncorrelated failure modes (IVF's cell pruning vs LSH's
+    * hyperplane buckets) ensemble into better recall than either alone,
+    * without calibrating their incomparable score scales.
+    *
+    * Inputs carry `(query_id, cand_id, rank)` (this module's top-k output
+    * shape). Exactness: ranks are ints, each term is one IEEE double
+    * division `1.0/(c + rank)` and one sum — bit-identical in any engine —
+    * and the final ordering ties on cand_id (two candidates CAN collide at
+    * the same rrf, e.g. ranks (5, 12) vs (12, 5)).
+    *
+    * Scale shape: one equi-join of two already-k-bounded frames (≤ q·k
+    * rows each) and a per-query window — the expensive work happened in
+    * the upstream rankers; fusion itself is candidate-bounded, never
+    * corpus-bounded.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fa = a.select(col("query_id"), col("cand_id"), col("rank").as("__rank_a"))
+    val fb = b.select(col("query_id"), col("cand_id"), col("rank").as("__rank_b"))
+    val fused = fa
+      .join(fb, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(c) + col("__rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__rank_b")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("rrf"), 6).as("rrf"))
+  }
 }

@@ -461,6 +461,29 @@ object Extensions {
         dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4
       )
     },
+    // reciprocal-rank fusion of the two approximate rankers with
+    // uncorrelated failure modes (IVF cell pruning vs SRP hyperplane
+    // buckets): rank-only ensembling, no score calibration. Fusion depth
+    // matches the serving k ON PURPOSE — deeper input lists dilute the
+    // stronger ranker with the weaker tail (SimilaritySpec measures
+    // 0.92 → 0.66 recall from depth 5 → 20)
+    "ann_rrf_hybrid" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 5)
+      val lsh = Similarity.lshBucketTopK(
+        e, q, "vec_id", "embedding", dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4)
+      Similarity.rrfFuse(ivf, lsh, k = 5)
+    },
+    // cluster-balanced curation: k lowest-hash vectors per TRAINED k-means
+    // cell (the ann_ivf_kmeans quantizer) — embedding-space-stratified
+    // downsampling that covers every region instead of oversampling the
+    // head; the oracle replays training + assignment + the per-cell gate
+    "curation_cluster_balance" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      Curation.clusterBalancedSample(e, col("vec_id"), col("embedding"), cents, k = 20)
+    },
     // IVF variant (coarse quantizer cells, nprobe probing). The centroid
     // sample is deterministic (nlist lowest ids) and the math integer-exact,
     // so the whole assignment+probe+rank pipeline has a DuckDB twin.
@@ -1585,6 +1608,15 @@ object Extensions {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         col("doc_id"), col("source"),
         weights = Map("src0" -> 3, "src1" -> 2), defaultWeight = 1)
+    },
+    // temperature-flattened mixing (target share ∝ n^(1/2), the
+    // multilingual-LM sampling rule): weights derived from the counts
+    // themselves — floor(sqrt(n)·1e6), IEEE-exact in any engine — with
+    // the same bottleneck-at-100% md5 gate as corpus_mix_weighted
+    "corpus_mix_temperature" -> { (s, dir) =>
+      Curation.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"))
     },
     // per-label embedding centroids: exact quantized sums + means, one row
     // per (label, dim) — class prototypes / IVF centroid init
@@ -3320,6 +3352,86 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
           FROM scored
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
+    // RRF fusion twin: both depth-20 ranker chains replayed (IVF 16/4 with
+    // i-prefixed CTEs, 4-table SRP-LSH with l-prefixed CTEs), then the
+    // rank-only reciprocal sum — 1.0/(60 + rank) is one IEEE division per
+    // term, bit-identical across engines
+    "ann_rrf_hybrid" ->
+      (qzCte + s"""
+        , icent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 16)
+        ), icdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN icent c
+        ), iassign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM icdist) WHERE rn = 1
+        ), iqprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM icdist WHERE vec_id < 10) WHERE rn <= 4
+        ), icand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+          FROM iqprobe p JOIN iassign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ), iscored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM icand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), iranked AS (
+          SELECT query_id, cand_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+          FROM iscored
+        ), lbkt AS (
+${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6, t * 6)} AS bucket FROM qz").mkString("\n          UNION ALL\n")}
+        ), lprobes AS (
+          SELECT vec_id AS query_id, tbl,
+                 unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
+          FROM lbkt WHERE vec_id < 10
+        ), lcand AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+          FROM lprobes p JOIN lbkt c ON c.tbl = p.tbl AND c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        ), lscored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM lcand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), lranked AS (
+          SELECT query_id, cand_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+          FROM lscored
+        ), fused AS (
+          SELECT COALESCE(i.query_id, l.query_id) AS query_id,
+                 COALESCE(i.cand_id, l.cand_id) AS cand_id,
+                 COALESCE(1.0 / (60 + i.rank), 0) + COALESCE(1.0 / (60 + l.rank), 0) AS rrf
+          FROM (SELECT * FROM iranked WHERE rank <= 5) i
+          FULL OUTER JOIN (SELECT * FROM lranked WHERE rank <= 5) l
+            ON i.query_id = l.query_id AND i.cand_id = l.cand_id
+        ), rr AS (
+          SELECT query_id, cand_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS INTEGER) AS rank
+          FROM fused
+        )
+        SELECT query_id, cand_id, rank, round(rrf, 6) AS rrf FROM rr WHERE rank <= 5"""),
+    // cluster-balanced curation twin: the trained-quantizer assignment is
+    // ivfKmeansCtesSql's `assign` verbatim; the per-cell keep gate is the
+    // md5 hash order with id tie-break
+    "curation_cluster_balance" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , rk AS (
+          SELECT a.cell, a.vec_id,
+                 CAST(row_number() OVER (PARTITION BY a.cell
+                   ORDER BY CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
+                            a.vec_id) AS INTEGER) AS rk
+          FROM assign a
+        )
+        SELECT cell, vec_id, rk FROM rk WHERE rk <= 20"""),
     "ann_ivf_topk" ->
       (qzCte + s"""
         , cent AS (
@@ -3794,6 +3906,18 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
       """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
          u AS (SELECT s, n,
                  CAST(CASE WHEN s = 'src0' THEN 3 WHEN s = 'src1' THEN 2 ELSE 1 END AS BIGINT) AS u
+               FROM c),
+         b AS (SELECT n AS nb, u AS ub FROM (
+                 SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk
+                 FROM u) WHERE rk = 1)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+               * b.ub * u.n < b.nb * u.u * 1000000""",
+    "corpus_mix_temperature" ->
+      """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         u AS (SELECT s, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
                FROM c),
          b AS (SELECT n AS nb, u AS ub FROM (
                  SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk

@@ -88,6 +88,42 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(Curation.mixToTarget(df, $"id", $"s", Map("a" -> 4), defaultWeight = 1)) == rows(out))
   }
 
+  test("temperatureMix flattens kept sizes toward sqrt(n); bottleneck kept whole") {
+    // strata: a=1600, b=400, c=100 → u ∝ 40, 20, 10; bottleneck maximizes
+    // u/n = c (smallest). Expected kept ≈ n_c·u_s/u_c: a≈400, b≈200, c=100 —
+    // the 16:4:1 input flattens to ≈4:2:1 (the α=1/2 law).
+    val df = ((0 until 1600).map(i => (i.toLong, "a")) ++
+      (0 until 400).map(i => (10000L + i, "b")) ++
+      (0 until 100).map(i => (20000L + i, "c"))).toDF("id", "s")
+    val out = Curation.temperatureMix(df, $"id", $"s")
+    val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("c") == 100L, s"bottleneck stratum must be kept whole, got ${byS("c")}")
+    assert(byS("a") > 300L && byS("a") < 500L, s"a ~400 expected, got ${byS("a")}")
+    assert(byS("b") > 140L && byS("b") < 260L, s"b ~200 expected, got ${byS("b")}")
+    // deterministic: same input, same sample
+    assert(rows(Curation.temperatureMix(df, $"id", $"s")) == rows(out))
+  }
+
+  test("clusterBalancedSample: per-cell cap holds, assignment is nearest-centroid, deterministic") {
+    // two tight clusters on axes 0 and 1; centroids trained on the data
+    val dim = 4
+    val rows0 = (0 until 30).map { i =>
+      val c = i % 2
+      (i.toLong, (0 until dim).map(d => if (d == c) 100.0f + (i % 5) else 0.0f))
+    }
+    val df = rows0.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", nlist = 2, iters = 2)
+    val out = Curation.clusterBalancedSample(df, $"vec_id", $"embedding", cents, k = 5)
+    val perCell = out.groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell.values.forall(_ <= 5L), s"cell cap violated: $perCell")
+    assert(perCell.size == 2, s"both clusters must be represented: $perCell")
+    // rk is dense 1..k within each cell
+    val rks = out.groupBy("cell").agg(sort_array(collect_list($"rk")).as("rks"))
+      .collect().map(_.getSeq[Int](1))
+    rks.foreach(r => assert(r == (1 to r.size), s"rk not dense: $r"))
+    assert(rows(Curation.clusterBalancedSample(df, $"vec_id", $"embedding", cents, k = 5)) == rows(out))
+  }
+
   test("mixToTarget with equal weights keeps everything when strata are balanced") {
     val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     assert(Curation.mixToTarget(df, $"id", $"s", Map.empty, defaultWeight = 1).count() == 40L)

@@ -276,6 +276,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(int8 >= 0.50, f"int8 recall@5 $int8%.2f below floor")
   }
 
+  test("rrfFuse: reciprocal sums, single-list candidates, cand_id tie-break") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "cand_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("query_id", "cand_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k = 4).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // 11: 1/62 + 1/61 ≈ .032525 wins; 10: 1/61 ≈ .016393; 13: 1/62 ≈ .016129; 12: 1/63
+    assert(out.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(out.head._3 == BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // exact-tie case: ranks (1,2) vs (2,1) collide — lower cand_id first
+    val ta = Seq((7L, 100L, 1), (7L, 200L, 2)).toDF("query_id", "cand_id", "rank")
+    val tb = Seq((7L, 200L, 1), (7L, 100L, 2)).toDF("query_id", "cand_id", "rank")
+    val tie = Similarity.rrfFuse(ta, tb, k = 2).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(tie == Seq(100L, 200L))
+  }
+
+  test("rrfFuse of IVF + LSH lifts recall over the weaker ranker on the fixture") {
+    val e = fixtureEmb
+    val q = e.filter($"vec_id" < 10)
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    // fusion depth = serving k, deliberately: deeper input lists DILUTE a
+    // strong ranker with the weak one's noisy tail (measured here:
+    // depth 5/8/10/20 → fused 0.92/0.78/0.70/0.66 vs ivf@5 0.94) because a
+    // both-lists tail candidate (1/65 + 1/65) outscores a one-list head
+    // candidate (1/61). RRF's robustness contract — don't need to know
+    // which ranker is better — holds at matched depth.
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 5)
+    val lsh = Similarity.lshBucketTopK(e, q, "vec_id", "embedding", dim = 64, planes = 6, k = 5,
+      multiProbe = true, tables = 4)
+    val fusedR = recallAtK(pairs(Similarity.rrfFuse(ivf, lsh, k = 5)), exact)
+    val ivfR = recallAtK(pairs(ivf), exact)
+    val lshR = recallAtK(pairs(lsh), exact)
+    info(f"recall@5 — fused=$fusedR%.2f ivf=$ivfR%.2f lsh=$lshR%.2f")
+    assert(fusedR >= lshR, f"fusion must not lose to the weaker ranker: $fusedR%.2f < $lshR%.2f")
+    assert(fusedR >= 0.80, f"hybrid recall@5 $fusedR%.2f below floor")
+  }
+
   test("trained IVF strictly beats the sampled quantizer on clustered data with skewed seeds") {
     // 4 tight clusters (center 100·e_c, deterministic jitter ±5), ids
     // ordered so the 4 LOWEST ids — the sampled seeds — all sit in
