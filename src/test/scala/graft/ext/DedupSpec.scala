@@ -486,4 +486,24 @@ class DedupSpec extends SparkSpecBase {
     val pairs = Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"), tauNum = 4, tauDen = 5)
     assert(pairs.count() == 0L, "distinct docs sharing only 'the' must produce no pairs")
   }
+
+  test("prefixFilterPairs spill memo keys on input identity — no stale reuse across inputs") {
+    // same session, two DIFFERENT corpora through the same operator: the
+    // second call must reflect its own input, not the first call's spilled
+    // ordered-token table (the bench runs warmup sf0.001 then timed sf0.1
+    // through one session — a plan-identity collision would silently score
+    // the wrong corpus)
+    val a = Seq((1L, "p q r s t"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val b = Seq((1L, "m n o"), (2L, "m n o"), (3L, "m n z")).toDF("doc_id", "text")
+    val outA = Dedup.prefixFilterPairs(a, col("doc_id"), col("text"), 9, 10)
+      .select("id_lo", "id_hi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outB = Dedup.prefixFilterPairs(b, col("doc_id"), col("text"), 9, 10)
+      .select("id_lo", "id_hi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outA == Set((1L, 2L)))
+    assert(outB == Set((1L, 2L)), s"B must see its own 3-doc corpus, got $outB")
+    // and rerunning A again still serves A's pairs (memo hit, same answer)
+    val outA2 = Dedup.prefixFilterPairs(a, col("doc_id"), col("text"), 9, 10)
+      .select("id_lo", "id_hi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outA2 == outA)
+  }
 }
