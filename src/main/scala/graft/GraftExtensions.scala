@@ -91,5 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => graft.functions.NfcNormalize(children(0))
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("graft_inter_sorted"),
+        new ExpressionInfo(
+          classOf[graft.functions.SortedIntersectCount].getName,
+          "graft_inter_sorted"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.SortedIntersectCount(children(0), children(1))
+      )
+    )
   }
 }

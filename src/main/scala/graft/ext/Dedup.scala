@@ -664,6 +664,12 @@ object Dedup {
     // Spilled once: the plan references `ordered` FOUR times (both candidate
     // sides + both re-widen joins), and without materialization each
     // reference recomputes tokenize → df-join → sort-agg from the scan.
+    // Two token representations, each sized for its consumer: `pref` keeps
+    // ONLY the df-ordered prefix (≈ (1−τ)·n tokens — at τ=19/20 that is
+    // 5% of the document); `toks` is the full set sorted in sort_array
+    // (binary UTF8) order, the precondition of the native merge-walk
+    // verify (graft_inter_sorted). The df-ordered full array is never
+    // materialized past the aggregate.
     val ordered = spilled(
       tok
         .join(dfreq, Seq("token"))
@@ -671,15 +677,19 @@ object Dedup {
         .agg(
           sort_array(collect_list(struct(col("df"), col("token")))).as("ord"),
           count(lit(1)).as("n"))
-        .select(col("id"), expr("transform(ord, x -> x.token)").as("tokens"), col("n")),
+        .withColumn(
+          "L",
+          (col("n") - expr(s"cast(($tauNum * n + ${tauDen - 1}) div $tauDen as bigint)") + 1).cast("int"))
+        .select(
+          col("id"),
+          col("n"),
+          expr("transform(slice(ord, 1, L), x -> x.token)").as("pref"),
+          sort_array(expr("transform(ord, x -> x.token)")).as("toks")),
       "setsim_ord")
     // prefix positions, 1-based: (ptoken, id, n, p) — the ONLY columns that
-    // enter the candidate join; the widest column (tokens) stays home.
+    // enter the candidate join; the widest column (toks) stays home.
     val pref = ordered
-      .withColumn(
-        "L",
-        (col("n") - expr(s"cast(($tauNum * n + ${tauDen - 1}) div $tauDen as bigint)") + 1).cast("int"))
-      .select(col("id"), col("n"), posexplode(expr("slice(tokens, 1, L)")).as(Seq("p0", "ptoken")))
+      .select(col("id"), col("n"), posexplode(col("pref")).as(Seq("p0", "ptoken")))
       .select(col("ptoken"), col("id"), col("n"), (col("p0") + 1).as("p"))
     val lo = pref.select(col("ptoken"), col("id").as("id_lo"), col("n").as("n_lo"), col("p").as("p_lo"))
     val hi = pref.select(col("ptoken"), col("id").as("id_hi"), col("n").as("n_hi"), col("p").as("p_hi"))
@@ -695,12 +705,14 @@ object Dedup {
       .filter(overlapBound * (tauNum + tauDen) >= lit(tauNum) * (col("n_lo") + col("n_hi")))
       .select(col("id_lo"), col("id_hi"))
       .dropDuplicates("id_lo", "id_hi")
-    // re-widen ONLY survivors: two id-key hash joins bring the arrays back
-    // for the single exact verify pass.
+    // re-widen ONLY survivors: two id-key hash joins bring the sorted
+    // arrays back for the single exact verify pass — a zero-allocation
+    // merge walk (graft_inter_sorted) instead of array_intersect's
+    // per-pair hash set; identical cardinality, so the oracle is unmoved.
     cand
-      .join(ordered.select(col("id").as("id_lo"), col("tokens").as("t_lo"), col("n").as("n_lo")), Seq("id_lo"))
-      .join(ordered.select(col("id").as("id_hi"), col("tokens").as("t_hi"), col("n").as("n_hi")), Seq("id_hi"))
-      .withColumn("inter", size(array_intersect(col("t_lo"), col("t_hi"))).cast("long"))
+      .join(ordered.select(col("id").as("id_lo"), col("toks").as("t_lo"), col("n").as("n_lo")), Seq("id_lo"))
+      .join(ordered.select(col("id").as("id_hi"), col("toks").as("t_hi"), col("n").as("n_hi")), Seq("id_hi"))
+      .withColumn("inter", call_function("graft_inter_sorted", col("t_lo"), col("t_hi")))
       .filter(col("inter") * tauDen >= lit(tauNum) * (col("n_lo") + col("n_hi") - col("inter")))
       .select(col("id_lo"), col("id_hi"), col("inter"), col("n_lo"), col("n_hi"))
   }
