@@ -176,10 +176,17 @@ object Dedup {
 
   /** Staged shingle pipeline: id + distinct n-gram array, split evaluated
     * once per row (see [[minhashSignatures]] for why staging matters).
+    *
+    * Grams come back SORTED (sort_array / binary UTF8 order): every
+    * consumer is set-semantic (jaccard verifies, minhash min-folds, gram
+    * explodes), and the sorted representation is the precondition of the
+    * merge-walk [[jaccardSorted]] the verify stages run per candidate
+    * pair — one O(g log g) per-document sort at build buys a
+    * zero-allocation compare at every pair.
     */
   def shingled(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
     df.select(idCol.as("doc_id"), split(trim(textCol), "\\s+").as("words"))
-      .select(col("doc_id"), gramsFromWords(col("words"), n).as("grams"))
+      .select(col("doc_id"), sort_array(gramsFromWords(col("words"), n)).as("grams"))
 
   /** MinHash + LSH banding: candidate near-duplicate pairs.
     *
@@ -598,11 +605,24 @@ object Dedup {
 
   /** N-gram Jaccard similarity between two shingle arrays (exact
     * verification stage after LSH candidates; |A∩B| / |A∪B| as double).
+    * Generic form: no ordering assumption (hash-based built-ins).
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** [[jaccard]] over SORTED distinct arrays ([[shingled]]'s contract):
+    * ONE zero-allocation merge walk replaces array_intersect's AND
+    * array_union's per-pair hash sets — `|A∪B| = |A| + |B| − |A∩B|`, so
+    * the union is never materialized at all. Same integers divided, so
+    * every verify value (and oracle hash) is unchanged.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("graft_inter_sorted", a, b)
+    val union = size(a).cast("long") + size(b).cast("long") - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
   }
 
   /** EXACT set-similarity self-join (token-set Jaccard ≥ τ) via PREFIX

@@ -128,7 +128,7 @@ object Extensions {
         .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
         // filter on the RAW similarity, round only for output — filtering
         // the rounded value would disagree with the oracle at the boundary
-        .select(col("id_lo"), col("id_hi"), Dedup.jaccard(col("g_lo"), col("g_hi")).as("jac_raw"))
+        .select(col("id_lo"), col("id_hi"), Dedup.jaccardSorted(col("g_lo"), col("g_hi")).as("jac_raw"))
         .filter(col("jac_raw") >= 0.7)
         .select(col("id_lo"), col("id_hi"), round(col("jac_raw"), 6).as("jac"))
     },
@@ -147,7 +147,7 @@ object Extensions {
         .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
         .select(
           col("new_id"), col("corpus_id"),
-          Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
     },
@@ -175,7 +175,7 @@ object Extensions {
         .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
         .select(
           col("new_id"), col("corpus_id"),
-          Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
     },
@@ -370,7 +370,7 @@ object Extensions {
       val ver = cands
         .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
         .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
-        .filter(Dedup.jaccard(col("g_lo"), col("g_hi")) >= 0.7)
+        .filter(Dedup.jaccardSorted(col("g_lo"), col("g_hi")) >= 0.7)
       val dupIds = ver.select(col("id_lo").as("doc_id"))
         .unionByName(ver.select(col("id_hi").as("doc_id")))
         .distinct()
@@ -423,7 +423,7 @@ object Extensions {
         .select(
           col("a.doc_id").as("id_lo"),
           col("b.doc_id").as("id_hi"),
-          Dedup.jaccard(col("a.grams"), col("b.grams")).as("jac")
+          Dedup.jaccardSorted(col("a.grams"), col("b.grams")).as("jac")
         )
     },
     // ---- similarity search ----------------------------------------------
@@ -1027,7 +1027,7 @@ object Extensions {
       val verified = cands
         .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
         .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
-        .select(col("id_lo"), col("id_hi"), Dedup.jaccard(col("g_lo"), col("g_hi")).as("jac_raw"))
+        .select(col("id_lo"), col("id_hi"), Dedup.jaccardSorted(col("g_lo"), col("g_hi")).as("jac_raw"))
         .filter(col("jac_raw") >= 0.7)
         .select(col("id_lo"), col("id_hi"))
       val sink = s"stream_lsh_survivors_${System.nanoTime()}"
@@ -1076,7 +1076,7 @@ object Extensions {
         .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
         .select(
           col("new_id"), col("corpus_id"),
-          Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
       val sink = s"stream_incremental_parity_${System.nanoTime()}"
@@ -1148,7 +1148,7 @@ object Extensions {
               .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
               .select(
                 col("new_id"), col("corpus_id"),
-                Dedup.jaccard(col("g_new"), col("g_old")).as("jac_raw"))
+                Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
               .filter(col("jac_raw") >= 0.7)
               .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
               .write.mode("append").parquet(outDir)
