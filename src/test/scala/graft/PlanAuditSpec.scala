@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "ann_ivf_kmeans", "ann_pq_topk", "dedup_incremental_bucketed",
         "corpus_data_card_v2", "dedup_semantic_pairs", "curation_dsir_scores",
         "fuzzy_name_pairs", "graph_pagerank", "ts_resample_locf", "text_heavy_hitters",
-        "dedup_setsim_exact", "j9_bloom_gated_join", "ev_attribution_last_touch")) {
+        "dedup_setsim_exact", "j9_bloom_gated_join", "ev_attribution_last_touch",
+        "ann_rrf_hybrid", "curation_cluster_balance", "corpus_mix_temperature")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
