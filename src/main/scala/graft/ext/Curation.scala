@@ -328,6 +328,51 @@ object Curation {
       .drop("__s", "__n", "__u", "__nb", "__ub")
   }
 
+  /** Trained [[temperatureMix]] model: per-stratum `(stratum, n, √n̅·10⁶)`
+    * rows plus the bottleneck `(n_b, u_b)` — the bounded scalar state a
+    * STATELESS streaming filter serves with (the DSIR-serving pattern:
+    * train relationally once, bake the model into the plan as literals).
+    * Tie-break on the bottleneck pick matches the relational window
+    * (n/u ascending, then stratum) exactly.
+    */
+  def temperatureMixModel(
+      df: DataFrame,
+      stratumCol: Column
+  ): (Seq[(String, Long, Long)], (Long, Long)) = {
+    val rows = df
+      .groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", floor(sqrt(col("__n").cast("double")) * 1000000d).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val b = rows.minBy { case (s, n, u) => (n.toDouble / u.toDouble, s) }
+    (rows, (b._2, b._3))
+  }
+
+  /** The stateless serving gate of [[temperatureMix]]: TRUE iff the row
+    * survives the trained model's keep-rate for its stratum — the same
+    * integer compare as the batch join form, with the (tiny) per-stratum
+    * table folded into a literal CASE chain instead of a broadcast join.
+    * Unknown strata (absent at training) yield NULL → filtered out, the
+    * honest answer for a stratum the model has no rate for.
+    */
+  def temperatureGate(
+      idCol: Column,
+      stratumCol: Column,
+      model: Seq[(String, Long, Long)],
+      bottleneck: (Long, Long)
+  ): Column = {
+    val gate = graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L)
+    val nCol = model.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, n, _)) => when(stratumCol === s, lit(n)).otherwise(acc)
+    }
+    val uCol = model.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, _, u)) => when(stratumCol === s, lit(u)).otherwise(acc)
+    }
+    gate * lit(bottleneck._2) * nCol < lit(bottleneck._1) * uCol * lit(1000000L)
+  }
+
   /** Cluster-balanced exact-k sampling over an embedding column: assign
     * every vector to its nearest trained k-means cell (the SAME coarse
     * quantizer the ANN serving path uses — first-min tie rule, integer

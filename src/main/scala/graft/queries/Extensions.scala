@@ -1852,6 +1852,31 @@ object Extensions {
     // append mode with no state store). The drained scores hash-match the
     // exploded batch form's oracle, shared verbatim — the layout-vs-
     // meaning contract for model serving.
+    // streaming twin of corpus_mix_temperature (SAME oracle): the √n̅
+    // weight table + bottleneck train relationally once, bake into the
+    // plan as literals, and the stream filter is a pure stateless gate —
+    // no state store, no join, the DSIR-serving pattern for mixing
+    "stream_mix_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val (model, bottleneck) = Curation.temperatureMixModel(docsDf, col("source"))
+      val rows: Array[(Long, String)] = docsDf.as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)]
+      val kept = mem
+        .toDF()
+        .toDF("doc_id", "source")
+        .filter(Curation.temperatureGate(col("doc_id"), col("source"), model, bottleneck))
+      val sink = s"stream_mix_parity_${System.nanoTime()}"
+      val q = kept.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        mem.addData(rows.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(identity)
+    },
     "stream_dsir_parity" -> { (s0, dir) =>
       val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -3530,6 +3555,20 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM p""",
     "curation_dsir_scores" -> dsirScoresSql,
     "stream_dsir_parity" -> dsirScoresSql,
+    // layout differs (stateless stream gate vs batch join), meaning must
+    // not: the oracle is corpus_mix_temperature's verbatim
+    "stream_mix_parity" ->
+      """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         u AS (SELECT s, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
+               FROM c),
+         b AS (SELECT n AS nb, u AS ub FROM (
+                 SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk
+                 FROM u) WHERE rk = 1)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+               * b.ub * u.n < b.nb * u.u * 1000000""",
     "curation_dsir_select" ->
       (dsirCtesSql + """
          , sc AS (

@@ -124,6 +124,17 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(Curation.clusterBalancedSample(df, $"vec_id", $"embedding", cents, k = 5)) == rows(out))
   }
 
+  test("temperatureGate (baked-literal serving) equals the relational temperatureMix") {
+    val df = ((0 until 900).map(i => (i.toLong, "a")) ++
+      (0 until 100).map(i => (5000L + i, "b"))).toDF("id", "s")
+    val (model, bottleneck) = Curation.temperatureMixModel(df, $"s")
+    val served = df.filter(Curation.temperatureGate($"id", $"s", model, bottleneck))
+    assert(rows(served) == rows(Curation.temperatureMix(df, $"id", $"s")))
+    // unknown stratum at serving time → gate NULL → dropped, not crashed
+    val unknown = Seq((1L, "zz")).toDF("id", "s")
+    assert(unknown.filter(Curation.temperatureGate($"id", $"s", model, bottleneck)).count() == 0L)
+  }
+
   test("mixToTarget with equal weights keeps everything when strata are balanced") {
     val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
     assert(Curation.mixToTarget(df, $"id", $"s", Map.empty, defaultWeight = 1).count() == 40L)
