@@ -153,4 +153,33 @@ class PropertySpec extends SparkSpecBase {
       inBounds && oneIff
     }, samples = 60)
   }
+
+  test("interSorted (driver-side kernel) equals set intersection size on sorted distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def ad(xs: Seq[String]): ArrayData =
+      ArrayData.toArrayData(xs.map(s => if (s == null) null else UTF8String.fromString(s)).toArray)
+    // arbitrary distinct sets over a unicode-ish alphabet, sorted in the
+    // same binary UTF8 order sort_array uses (UTF8String comparator)
+    val tok = Gen.oneOf("a", "aa", "b", "é", "ß", "中", "z1", "z10", "Z")
+    val arr = Gen.listOf(tok).map(_.distinct.map(UTF8String.fromString)
+      .sorted(Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[UTF8String]())).map(_.toString))
+    holds(forAll(arr, arr) { (x, y) =>
+      graft.functions.SortedIntersectCount.interSorted(ad(x), ad(y)) ==
+        x.toSet.intersect(y.toSet).size.toLong
+    })
+  }
+
+  test("jaccardSorted == jaccard on sorted distinct arrays (the shingled contract)") {
+    val arr = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "é", "中")).map(_.distinct)
+    holds(forAll(arr, arr) { (x, y) =>
+      val r = Seq((x, y)).toDF("x", "y")
+        .select(
+          Dedup.jaccardSorted(sort_array($"x"), sort_array($"y")).as("s"),
+          Dedup.jaccard($"x", $"y").as("g"))
+        .head
+      r.getDouble(0) == r.getDouble(1)
+    }, samples = 60)
+  }
 }
