@@ -106,6 +106,49 @@ object TemporalOps {
       .withColumn("n_window", count(lit(1)).over(w))
   }
 
+  /** Rolling z-score anomaly flags in ALL-INTEGER arithmetic: over each
+    * key's trailing `nRows` rows (ordered by ts, tie-broken on `tieCol`),
+    * flag the current value when it sits more than `k` population
+    * standard deviations from the window mean. The float-free form:
+    *
+    *   |x − S/n| > k·σ  ⟺  (n·x − S)² > k²·(n·Q − S²)
+    *
+    * with S = Σv, Q = Σv², both over the window — every term a Long, so
+    * the flag can never flip on float rounding in any engine (the
+    * stats_outliers / MAD contract, windowed). `valueCol` must already be
+    * integer-quantized (cents, micros — the caller picks the unit).
+    *
+    * Scale shape: ONE bounded window per key — rolling sums, not a
+    * self-join; AQE-skew-splittable on the partition key like any window.
+    * Long-range check: |n·x| and |S| ≤ n·max|v|, and the squared side
+    * needs (n·max|v|)² · k² within Long — holds for quantized metrics
+    * (≤ ~1e7 units) at analytics window sizes; requantize coarser if not.
+    */
+  def rollingZOutliers(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      nRows: Int,
+      k: Int
+  ): DataFrame = {
+    require(nRows > 1, "a z-window needs at least two rows")
+    require(k > 0, "k must be positive")
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    val v = col(valueCol)
+    df.withColumn("win_sum", sum(v).over(w))
+      .withColumn("win_sumsq", sum(v * v).over(w))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn(
+        "flagged",
+        (col("n_window") * v - col("win_sum")) * (col("n_window") * v - col("win_sum")) >
+          lit(k.toLong * k) * (col("n_window") * col("win_sumsq") - col("win_sum") * col("win_sum")))
+  }
+
   /** Cohort retention matrix — the growth-analytics staple: users bucket
     * by their FIRST-SEEN week (Monday-truncated, the ISO semantics both
     * Spark and DuckDB share), and each (cohort_week, week_offset) cell

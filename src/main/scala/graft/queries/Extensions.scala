@@ -1639,6 +1639,24 @@ object Extensions {
           col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("roll_sum"), col("n_window"))
     },
+    // rolling z-score anomaly flags, float-free: the |x−μ| > k·σ compare
+    // cross-multiplied into Long arithmetic ((n·x−S)² > k²·(nQ−S²)) over
+    // cent-quantized values — the windowed form of the stats_outliers
+    // exactness contract, so the flag cannot flip on float rounding.
+    // nRows=12 with k=3: a window's own point can reach at most
+    // (n−1)/√n̅ σ from its mean, so k=3 needs n ≥ 11 to be able to fire
+    "ev_anomaly_roll" -> { (s, dir) =>
+      TemporalOps
+        .rollingZOutliers(
+          Fixtures.events(s, dir)
+            .select(
+              col("event_id"), col("user_id"), col("ts"),
+              expr("cast(floor(value * 100) as long)").as("cents")),
+          "user_id", "ts", "event_id", "cents", nRows = 12, k = 3)
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("n_window"), col("win_sum"), col("flagged"))
+    },
     // time-series resampling with forward fill: an hourly grid per user
     // (generated in-plan — sequence + explode, no driver loop), each point
     // carrying the user's latest event at-or-before it via the SAME as-of
@@ -3935,6 +3953,25 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_window
          FROM events""",
+    // DuckDB sums BIGINT into HUGEINT — cast S/Q back before the Long
+    // products (the dsir-oracle lesson)
+    "ev_anomaly_roll" ->
+      """WITH q AS (
+           SELECT event_id, user_id, ts, CAST(floor(value * 100) AS BIGINT) AS c
+           FROM events
+         ), w AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, c,
+             CAST(sum(c) OVER win AS BIGINT) AS win_sum,
+             CAST(sum(c * c) OVER win AS BIGINT) AS win_sumsq,
+             CAST(count(*) OVER win AS BIGINT) AS n_window
+           FROM q
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+         )
+         SELECT event_id, user_id, ts_us, n_window, win_sum,
+                (n_window * c - win_sum) * (n_window * c - win_sum) >
+                  9 * (n_window * win_sumsq - win_sum * win_sum) AS flagged
+         FROM w""",
     "corpus_filter_by_group" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE source IN (

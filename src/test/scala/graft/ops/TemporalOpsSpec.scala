@@ -98,6 +98,21 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(rows(got) == Seq(Seq(1L, 101L), Seq(1L, 103L), Seq(2L, 101L), Seq(2L, 102L)))
   }
 
+  test("rollingZOutliers flags a planted spike, keeps the flat tail unflagged, all-Long") {
+    // five flat values (100) then a spike (2000), window 6, k=2. At the
+    // spike row S=2500, Q=4 050 000: (6·2000−2500)² = 9.025e7 exceeds
+    // k²·(6Q−S²) = 7.22e7 → flags. (A lone spike inflates the window's own
+    // σ — with n=6 the largest attainable z is √5 ≈ 2.24, so k=2 is the
+    // right sensitivity for this window size and k=3 could never fire.)
+    val df = (1 to 5).map(i => (10L, ts(i), i.toLong, 100L)) :+ ((10L, ts(6), 6L, 2000L))
+    val out = TemporalOps
+      .rollingZOutliers(df.toDF("k", "t", "id", "v"), "k", "t", "id", "v", nRows = 6, k = 2)
+      .select($"id", $"flagged")
+    val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(6L), "the planted spike must flag")
+    assert((1L to 5L).forall(!flags(_)), s"flat prefix must not flag: $flags")
+  }
+
   test("rollingSum sums the trailing n rows per key in order") {
     val df = Seq(
       (10L, ts(1), 1L, 1.0),
