@@ -229,6 +229,42 @@ object Curation {
     df.join(broadcast(good), groupCol === col("__g"), "left_semi")
   }
 
+  /** Keep rows at or above their OWN GROUP's p-quantile of `valueCol`
+    * (p = pNum/pDen): per-group quality-threshold curation — "drop each
+    * source's bottom half by length" — where a global threshold would
+    * gut small strata. The threshold is the type-1 (lower) order
+    * statistic: the value at ascending rank `⌈p·n⌉`, picked with pure
+    * integer rank arithmetic; rows TIED with the threshold value are
+    * kept (the compare is on values, not ranks), so the output is
+    * insensitive to tie order and engine-exact.
+    *
+    * Scale shape: one per-group window ranks values (AQE-splittable on
+    * the group key), the threshold table is one row per group (broadcast
+    * back), and the keep filter is map-side. The reference analogue is
+    * the validity-band filtering of §2.10, generalized to data-derived
+    * per-stratum cut points.
+    */
+  def filterByGroupQuantile(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      pNum: Int,
+      pDen: Int
+  ): DataFrame = {
+    require(pNum > 0 && pNum <= pDen, "p = num/den must be in (0, 1]")
+    requireWorkCols(df, "__g", "__rk", "__n", "__thr")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("__rk", row_number().over(Window.partitionBy(groupCol).orderBy(valueCol.asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val thr = ranked
+      .filter(col("__rk") === expr(s"cast(($pNum * __n + ${pDen - 1}) div $pDen as bigint)"))
+      .select(groupCol.as("__g"), valueCol.as("__thr"))
+    df.join(broadcast(thr), groupCol <=> col("__g"))
+      .filter(valueCol >= col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Rebalance a corpus to TARGET mix proportions (static domain mixing):
     * given integer weights `w_s` per stratum, keep the largest sample whose
     * stratum proportions are exactly `w_s`-proportional — the bottleneck

@@ -1609,6 +1609,14 @@ object Extensions {
         col("doc_id"), col("source"),
         weights = Map("src0" -> 3, "src1" -> 2), defaultWeight = 1)
     },
+    // per-group quantile curation: each source keeps only docs at or
+    // above its OWN median length (type-1 order statistic, integer rank
+    // math, value-ties kept) — a global cut would gut small strata
+    "corpus_filter_quantile" -> { (s, dir) =>
+      Curation.filterByGroupQuantile(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"), pNum = 1, pDen = 2)
+    },
     // temperature-flattened mixing (target share ∝ n^(1/2), the
     // multilingual-LM sampling rule): weights derived from the counts
     // themselves — floor(sqrt(n)·1e6), IEEE-exact in any engine — with
@@ -3990,6 +3998,18 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
                * b.ub * u.n < b.nb * u.u * 1000000""",
+    "corpus_filter_quantile" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM documents
+         ), thr AS (
+           SELECT source, n_chars AS t FROM r WHERE rk = (1 * n + 1) // 2
+         )
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN thr USING (source)
+         WHERE d.n_chars >= thr.t""",
     "corpus_mix_temperature" ->
       """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
          u AS (SELECT s, n,

@@ -124,6 +124,16 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(Curation.clusterBalancedSample(df, $"vec_id", $"embedding", cents, k = 5)) == rows(out))
   }
 
+  test("filterByGroupQuantile keeps each group's upper half incl. threshold ties") {
+    // group a: values 1..5 → median (rank ⌈5/2⌉=3) = 3, keep {3,4,5};
+    // group b: 10,10,20 → rank 2 value = 10, ties at 10 ALL kept
+    val df = (Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 5L),
+      (6L, "b", 10L), (7L, "b", 10L), (8L, "b", 20L))).toDF("id", "g", "v")
+    val out = Curation.filterByGroupQuantile(df, $"g", $"v", 1, 2)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L, 4L, 5L, 6L, 7L, 8L))
+  }
+
   test("temperatureGate (baked-literal serving) equals the relational temperatureMix") {
     val df = ((0 until 900).map(i => (i.toLong, "a")) ++
       (0 until 100).map(i => (5000L + i, "b"))).toDF("id", "s")
