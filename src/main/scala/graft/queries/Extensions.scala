@@ -415,6 +415,17 @@ object Extensions {
       Dedup.prefixFilterPairs(
         tPar(s, dir, "documents"), col("doc_id"), col("text"), tauNum = 19, tauDen = 20)
     },
+    // triangle census of the exact near-dup graph (setsim τ=19/20 edges
+    // — the SAME spilled token table serves both queries): vertices,
+    // edges, wedges, triangles, global clustering coefficient. Near-dup
+    // clusters are near-cliques, so the triangle count is the
+    // cluster-density audit a dedup report actually wants
+    "graph_triangles" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      graft.ops.GraphOps.triangleStats(edges, "id_lo", "id_hi")
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -2978,6 +2989,29 @@ object Extensions {
          SELECT lo AS id_lo, hi AS id_hi, inter, sa.n AS n_lo, sb.n AS n_hi
          FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
          WHERE inter * 20 >= 19 * (sa.n + sb.n - inter)""",
+    "graph_triangles" ->
+      """WITH tok0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+                       FROM documents),
+         tok AS (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         pair AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
+                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         e AS (SELECT lo AS a, hi AS b
+               FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
+               WHERE inter * 20 >= 19 * (sa.n + sb.n - inter)),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         ds AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                       CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT ds.n_vertices, ec.n_edges, ds.n_wedges, tri.n_triangles,
+                CASE WHEN ds.n_wedges > 0
+                     THEN round(3.0 * tri.n_triangles / ds.n_wedges, 6) END AS clustering
+         FROM ds, ec, tri""",
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),

@@ -44,4 +44,28 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(out(2L) > out(3L), s"weighted split ignored: $out")
     assert(out(1L) > out(2L), s"the hub must dominate: $out")
   }
+
+  test("triangleStats: K4 minus an edge, messy input canonicalized") {
+    // edges {12,13,23,24,34} → triangles {123},{234}; degrees 2,3,3,2 →
+    // wedges 1+3+3+1 = 8; clustering 3·2/8 = 0.75. Input includes a
+    // reversed duplicate, a self-loop, and a repeated edge — all of
+    // which canonicalization must absorb.
+    val edges = Seq(
+      (1L, 2L), (3L, 1L), (2L, 3L), (2L, 4L), (4L, 3L),
+      (2L, 1L), (4L, 4L), (2L, 3L)
+    ).toDF("s", "d")
+    val r = GraphOps.triangleStats(edges, "s", "d").collect().head
+    assert(r.getLong(0) == 4L, s"vertices: $r")
+    assert(r.getLong(1) == 5L, s"edges: $r")
+    assert(r.getLong(2) == 8L, s"wedges: $r")
+    assert(r.getLong(3) == 2L, s"triangles: $r")
+    assert(r.getDouble(4) == 0.75, s"clustering: $r")
+  }
+
+  test("triangleStats: a triangle-free path graph reports zero with live wedges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val r = GraphOps.triangleStats(edges, "s", "d").collect().head
+    assert(r.getLong(3) == 0L && r.getLong(2) == 2L)
+    assert(r.getDouble(4) == 0.0)
+  }
 }
