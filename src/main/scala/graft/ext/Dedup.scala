@@ -729,12 +729,18 @@ object Dedup {
     // arrays back for the single exact verify pass — a zero-allocation
     // merge walk (graft_inter_sorted) instead of array_intersect's
     // per-pair hash set; identical cardinality, so the oracle is unmoved.
-    cand
-      .join(ordered.select(col("id").as("id_lo"), col("toks").as("t_lo"), col("n").as("n_lo")), Seq("id_lo"))
-      .join(ordered.select(col("id").as("id_hi"), col("toks").as("t_hi"), col("n").as("n_hi")), Seq("id_hi"))
-      .withColumn("inter", call_function("graft_inter_sorted", col("t_lo"), col("t_hi")))
-      .filter(col("inter") * tauDen >= lit(tauNum) * (col("n_lo") + col("n_hi") - col("inter")))
-      .select(col("id_lo"), col("id_hi"), col("inter"), col("n_lo"), col("n_hi"))
+    // The verified pair set is itself spilled: it is the shared input of
+    // every downstream consumer (the dedup report, the triangle census,
+    // survivor selection), and a session computing two of them would
+    // otherwise run the candidate join + verify once per consumer.
+    spilled(
+      cand
+        .join(ordered.select(col("id").as("id_lo"), col("toks").as("t_lo"), col("n").as("n_lo")), Seq("id_lo"))
+        .join(ordered.select(col("id").as("id_hi"), col("toks").as("t_hi"), col("n").as("n_hi")), Seq("id_hi"))
+        .withColumn("inter", call_function("graft_inter_sorted", col("t_lo"), col("t_hi")))
+        .filter(col("inter") * tauDen >= lit(tauNum) * (col("n_lo") + col("n_hi") - col("inter")))
+        .select(col("id_lo"), col("id_hi"), col("inter"), col("n_lo"), col("n_hi")),
+      "setsim_pairs")
   }
 
   /** Cross-document EXACT substring overlap — the positional complement of
