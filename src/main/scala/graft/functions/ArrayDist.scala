@@ -86,6 +86,10 @@ case class ArrayAdcSum(left: Expression, right: Expression) extends BinaryExpres
 
   override def dataType: DataType = LongType
 
+  // NULL on length mismatch / null entry regardless of child nullability —
+  // same contract reasoning as ArrayDot.nullable.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_adc"
 
   @transient private lazy val codeIsInt: Boolean = right.dataType match {

@@ -34,6 +34,13 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override def dataType: DataType = DoubleType
 
+  // Can return NULL from non-null inputs (length mismatch / null element),
+  // so the default `left.nullable || right.nullable` is a contract violation:
+  // with non-nullable children codegen would emit a constant-false isNull
+  // slot that `${ev.isNull} = true` then can't assign (silent interpreted
+  // fallback), and NullPropagation could fold IsNull(graft_dot(..)) to false.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -101,6 +108,9 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 case class ArrayDotLong(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // NULL on misaligned inputs regardless of child nullability — see ArrayDot.
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_dotl"
 
