@@ -478,6 +478,15 @@ object Extensions {
     // matches the serving k ON PURPOSE — deeper input lists dilute the
     // stronger ranker with the weaker tail (SimilaritySpec measures
     // 0.92 → 0.66 recall from depth 5 → 20)
+    // scan-cheap → rerank-exact: int8 code-dot keeps 100 candidates per
+    // query, exact quantized cosine re-ranks to 5 — the two-stage serving
+    // shape that lifts int8's 0.68 recall@5 to ~1.0 (floor in
+    // SimilaritySpec) while the exact scorer touches q·depth rows, not q·N
+    "ann_int8_rerank" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.int8RerankTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", depth = 100, k = 5)
+    },
     "ann_rrf_hybrid" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
@@ -3915,6 +3924,43 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            CAST(CASE WHEN maxabs = 0 THEN 0
                 ELSE floor(x * (127.0 / maxabs) + 0.5) END AS INTEGER) AS code
          FROM e""",
+    "ann_int8_rerank" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+           FROM embeddings),
+         c8 AS (SELECT vec_id,
+                 CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT)) END AS codes
+               FROM m),
+         q8 AS (SELECT vec_id AS query_id, codes AS qc FROM c8 WHERE vec_id < 10),
+         s8 AS (SELECT q8.query_id, c8.vec_id AS cand_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> qc[i] * codes[i])) AS BIGINT) AS score
+               FROM c8, q8 WHERE c8.vec_id <> q8.query_id),
+         cand AS (SELECT query_id, cand_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+                  FROM s8)
+                 WHERE rk <= 100),
+         qv AS (SELECT vec_id AS query_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings WHERE vec_id < 10),
+         cv AS (SELECT vec_id AS cand_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS cv
+                FROM embeddings),
+         ex AS (SELECT cand.query_id, cand.cand_id,
+                  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS naa,
+                  CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS ncc
+                FROM cand JOIN qv USING (query_id) JOIN cv USING (cand_id)),
+         scored AS (SELECT query_id, cand_id,
+                  CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(ncc AS DOUBLE)) AS sim
+                FROM ex),
+         ranked AS (SELECT query_id, cand_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+                FROM scored)
+         SELECT query_id, cand_id, rank, sim FROM ranked WHERE rank <= 5""",
     "ann_int8_topk" ->
       """WITH m AS (SELECT vec_id, embedding,
              list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs

@@ -274,6 +274,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivfSampled >= 0.70, f"sampled-IVF recall@5 $ivfSampled%.2f below floor")
     assert(ivfTrained >= 0.70, f"trained-IVF recall@5 $ivfTrained%.2f below floor")
     assert(int8 >= 0.50, f"int8 recall@5 $int8%.2f below floor")
+    // scan-cheap → rerank-exact: at depth 100 the int8 stage only has to
+    // land the true top-5 anywhere in its top-100 (vs ranking them right),
+    // and the exact cosine rerank recovers the order — serving-grade recall
+    // from the cheap scan
+    val rerank = recallAtK(
+      pairs(Similarity.int8RerankTopK(e, q, "vec_id", "embedding", depth = 100, k = 5)),
+      exact)
+    info(f"recall@5 — int8+rerank(depth=100)=$rerank%.2f")
+    assert(rerank >= 0.90, f"int8+exact-rerank recall@5 $rerank%.2f below floor")
+    assert(rerank > int8, f"rerank must add recall over raw int8: $rerank%.2f <= $int8%.2f")
   }
 
   test("rrfFuse: reciprocal sums, single-list candidates, cand_id tie-break") {
