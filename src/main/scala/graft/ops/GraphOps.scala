@@ -18,28 +18,30 @@ object GraphOps {
     * everywhere except the final rounded ratio, so the counts replay
     * bit-exactly in any engine.
     *
-    * The count uses the ordered-edge formulation: canonicalize every
-    * edge to `a < b`, then triangles are exactly the rows of
-    * `E(a,b) ⋈ E(b,c) ⋈ E(a,c)` — each triangle {x<y<z} appears ONCE
+    * The count uses the ordered-edge formulation: orient every edge
+    * along a total vertex order, then triangles are exactly the rows of
+    * `E(a,b) ⋈ E(b,c) ⋈ E(a,c)` — each triangle {x≺y≺z} appears ONCE
     * (as a=x, b=y, c=z), no /6 correction, no direction bookkeeping.
     * Wedges come from degrees alone: `Σ d·(d−1)/2`.
     *
+    * The order is the classic `m^{3/2}` DEGREE order `(d(v), v)`
+    * ([[orientByDegree]]), not raw id order: the wedge join's key
+    * multiplicity at a middle vertex b is d_in(b)·d_out(b), and under
+    * degree orientation every out-neighbor outranks its source, so
+    * out-degrees are O(√m) and a hub's wedges spread across its
+    * low-degree neighbors instead of serializing one join key. The
+    * triangle COUNT is invariant to which total order is used, so the
+    * result (and every recorded hash) is unchanged from the id-order
+    * formulation — only the join's load distribution differs
+    * (skew audit in GraphOpsSpec).
+    *
     * Scale shape: two self-joins on single vertex keys plus one
     * degree aggregate — every stage partial-agg-friendly and
-    * AQE-skew-splittable. The classic `m^{3/2}` refinement (orient
-    * edges low-degree → high-degree before the wedge join) drops in by
-    * re-canonicalizing on (degree, id) order instead of id order; at
-    * near-dup-graph densities (clusters ≈ cliques of modest size) the
-    * id ordering is within a constant of it, so the simpler canonical
-    * form ships.
+    * AQE-skew-splittable, with the degree orientation removing the one
+    * structural skew source (power-law hubs) the planner can't split.
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
-      .select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val e = orientByDegree(edges, srcCol, dstCol)
     val deg = e
       .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v"))
@@ -65,6 +67,46 @@ object GraphOps {
         when(col("n_wedges") > 0,
           round(lit(3).cast("double") * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering"))
+  }
+
+  /** Canonical degree-oriented edge frame: undirected edges deduped to
+    * one row per unordered pair, then oriented `a → b` along the total
+    * order `(d(a), a) < (d(b), b)` — every edge points from its lower-
+    * degree endpoint (id as tie-break) to the higher. The out-degree of
+    * any vertex under this orientation is O(√m), which is what bounds
+    * the wedge join in [[triangleStats]] at `m^{3/2}` and keeps a
+    * power-law hub from concentrating O(d²) wedge pairs on one key: a
+    * hub out-ranks all its low-degree neighbors, so its edges all point
+    * IN and it generates d_in·0 = 0 wedges as a middle vertex.
+    *
+    * Scale shape: one distinct on the canonical pair, one degree
+    * aggregate, two equi-joins of the edge frame against the (|V|-row)
+    * degree table — all partial-agg-friendly; AQE broadcasts the degree
+    * side when small.
+    */
+  private[graft] def orientByDegree(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("d"))
+    val lowerIsU = // (d_u, u) < (d_v, v); u < v already, so a degree tie keeps u
+      col("du") < col("dv") || (col("du") === col("dv"))
+    und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(lowerIsU, col("u")).otherwise(col("v")).as("a"),
+        when(lowerIsU, col("v")).otherwise(col("u")).as("b"))
   }
 
   /** Fixed-iteration weighted PageRank, ALL-INTEGER so any engine

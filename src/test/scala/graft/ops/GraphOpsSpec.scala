@@ -68,4 +68,41 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(r.getLong(3) == 0L && r.getLong(2) == 2L)
     assert(r.getDouble(4) == 0.0)
   }
+
+  test("orientByDegree: hub wedge load spreads to neighbors; census unchanged") {
+    // star with hub id 500 in the MIDDLE of leaf ids 0..199/800..999 — the
+    // worst case for id-order canonicalization (half the edges orient into
+    // the hub, half out, so the hub key carries ~(n/2)² wedge pairs in the
+    // join) — plus 3 leaf-leaf closures giving 3 known triangles.
+    val hub = 500L
+    val leaves = ((0L until 200L) ++ (800L until 1000L)).toSeq
+    val star = leaves.map(l => (hub, l))
+    val closures = Seq((0L, 801L), (1L, 802L), (2L, 803L))
+    val edges = (star ++ closures).toDF("s", "d")
+
+    // census correctness is orientation-invariant
+    val r = GraphOps.triangleStats(edges, "s", "d").collect().head
+    assert(r.getLong(0) == 401L, s"vertices: $r")
+    assert(r.getLong(1) == 403L, s"edges: $r")
+    assert(r.getLong(3) == 3L, s"triangles: $r")
+
+    // skew audit: the wedge join's key multiplicity at a middle vertex b
+    // is d_in(b)·d_out(b) over the ORIENTED edges. The hub outranks every
+    // degree-1/2 leaf, so all its edges point in and it contributes ZERO
+    // wedge pairs as a middle vertex; under id-order it would carry
+    // ~200·203 pairs on one key.
+    val o = GraphOps.orientByDegree(edges, "s", "d")
+    val din = o.groupBy($"b".as("v")).agg(count(lit(1)).as("din"))
+    val dout = o.groupBy($"a".as("v")).agg(count(lit(1)).as("dout"))
+    val wedgeLoad = din
+      .join(dout, Seq("v"))
+      .select($"v", ($"din" * $"dout").as("load"))
+      .collect()
+      .map(x => x.getLong(0) -> x.getLong(1))
+      .toMap
+    assert(wedgeLoad.getOrElse(hub, 0L) == 0L,
+      s"hub must not be a wedge middle under degree orientation: $wedgeLoad")
+    assert(wedgeLoad.values.forall(_ <= 8L),
+      s"no single wedge-join key may dominate: max=${wedgeLoad.values.max}")
+  }
 }
