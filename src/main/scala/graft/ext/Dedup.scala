@@ -20,15 +20,40 @@ object Dedup {
   /** Materialize `df` once as a parquet spill and return a scan of it, so a
     * plan that references the same subtree N times computes it once instead
     * of N times (exchange reuse does not fire across differently-projected
-    * broadcast sides). Keyed by session identity + the ANALYZED plan's
-    * semanticHash, so distinct inputs (or sessions) never share a spill;
-    * the pid-scoped path is deleted at JVM exit (graft.queries.Scratch).
-    * At cluster scale the same shape holds with a durable scratch FS — the
-    * spill is a splittable columnar table, not driver state.
+    * broadcast sides). Keyed by an md5 of the ANALYZED plan's canonicalized
+    * string (a full-plan fingerprint — strictly stronger than the 32-bit
+    * semanticHash, whose collisions could silently serve another plan's
+    * data) plus the session confs that change what a given plan COMPUTES
+    * (time zone, ANSI mode, parquet nanos decoding). Session identity is
+    * deliberately NOT in the key: two sessions evaluating the same
+    * canonical plan under the same semantic confs read the same bytes, and
+    * the stream-parity harness clones a fresh session per invocation — a
+    * session-keyed memo would rebuild the shared gram/token spills every
+    * run. The pid-scoped path is deleted at JVM exit (graft.queries
+    * .Scratch). At cluster scale the same shape holds with a durable
+    * scratch FS — the spill is a splittable columnar table, not driver
+    * state.
     */
-  private def spilled(df: DataFrame, tag: String): DataFrame = {
+  private[graft] def spilled(df: DataFrame, tag: String): DataFrame = {
     val s = df.sparkSession
-    val key = s"${tag}_${System.identityHashCode(s)}_${df.queryExecution.analyzed.semanticHash()}"
+    val confSig = Seq(
+      "spark.sql.session.timeZone",
+      "spark.sql.ansi.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong"
+    ).map(k => s.conf.getOption(k).getOrElse("")).mkString("|")
+    // canonicalized.toString can truncate wide field lists
+    // (spark.sql.debug.maxToStringFields), so the 32-bit semanticHash and
+    // the full schema ride along - a collision would need all three equal
+    val planSig = {
+      val a = df.queryExecution.analyzed
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest((a.canonicalized.toString + "|" + a.semanticHash() + "|" +
+          df.schema.catalogString + "|" + confSig)
+          .getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    }
+    val key = s"${tag}_$planSig"
     val path = spillMemo.computeIfAbsent(key, { k =>
       val p = graft.queries.Scratch.dir(tag, k)
       df.write.mode("overwrite").parquet(p)
