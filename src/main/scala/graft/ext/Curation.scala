@@ -265,41 +265,23 @@ object Curation {
       .drop("__g", "__thr")
   }
 
-  /** Rebalance a corpus to TARGET mix proportions (static domain mixing):
-    * given integer weights `w_s` per stratum, keep the largest sample whose
-    * stratum proportions are exactly `w_s`-proportional — the bottleneck
-    * stratum (minimum n_s/w_s) is kept whole and every other stratum is
-    * hash-downsampled to match.
+  /** Per-stratum keep-rate table for the mix operators: given tiny
+    * `(__s, __n, __u)` stratum counts, pick the bottleneck (argmin n/u —
+    * the double division is used for ORDERING only, and a correctly-rounded
+    * division of the same integers is identical in any engine; ties break
+    * on the stratum name in binary order) and emit one
+    * `(__s, __r = ⌊n_b·u_s·10⁶ / (u_b·n_s)⌋)` row per stratum.
     *
-    * Fully declarative and engine-exact: stratum counts come from one tiny
-    * aggregate (broadcast back — never collected to the driver), the
-    * bottleneck falls out of a row_number over that aggregate, and the keep
-    * gate is integer cross-multiplication —
-    * `hash(id) · u_b · n_s  <  n_b · u_s · 10⁶` — so no floating-point
-    * rate ever exists to diverge between engines. Same determinism
-    * rationale as [[stratifiedSample]] (retry-stable, no rand()).
+    * The rate arithmetic runs in 38-digit decimal ON THE COUNTS TABLE ONLY
+    * (a handful of rows), never per data row — exact for any corpus up to
+    * ~10³⁸ in the product n_b·u_s·10⁶, i.e. unbounded for practical
+    * purposes, where the former per-row Long triple product
+    * `gate·u_b·n_s` overflowed silently once √n̅_b·n_s exceeded ~9·10¹².
+    * Since the bottleneck minimizes n/u, every rate is ≤ 10⁶ and the
+    * bottleneck's own rate is exactly 10⁶ (kept whole).
     */
-  def mixToTarget(
-      df: DataFrame,
-      idCol: Column,
-      stratumCol: Column,
-      weights: Map[String, Int],
-      defaultWeight: Int = 1
-  ): DataFrame = {
-    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0), "weights must be positive")
-    requireWorkCols(df, "__s", "__n", "__u", "__nb", "__ub")
+  private def keepRates(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val uOf: Column => Column = s =>
-      weights.foldLeft(lit(defaultWeight.toLong): Column) {
-        case (acc, (k, v)) => when(s === k, lit(v.toLong)).otherwise(acc)
-      }
-    val counts = df
-      .groupBy(stratumCol.as("__s"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__u", uOf(col("__s")))
-    // argmin n/u — the double division is used for ORDERING only, and a
-    // correctly-rounded division of the same integers is identical in any
-    // engine, so the pick is engine-stable (ties break on the stratum name)
     val bottleneck = counts
       .withColumn(
         "__rk",
@@ -310,16 +292,53 @@ object Curation {
       )
       .filter(col("__rk") === 1)
       .select(col("__n").as("__nb"), col("__u").as("__ub"))
-    // `<=>` so a NULL stratum matches its own count row instead of being
+    counts
+      .crossJoin(bottleneck)
+      .withColumn(
+        "__r",
+        expr(
+          "(cast(__nb as decimal(38,0)) * __u * 1000000) div (cast(__ub as decimal(38,0)) * __n)"))
+      .select(col("__s"), col("__r"))
+  }
+
+  /** Rebalance a corpus to TARGET mix proportions (static domain mixing):
+    * given integer weights `w_s` per stratum, keep the largest sample whose
+    * stratum proportions are exactly `w_s`-proportional — the bottleneck
+    * stratum (minimum n_s/w_s) is kept whole and every other stratum is
+    * hash-downsampled to match.
+    *
+    * Fully declarative and engine-exact: stratum counts come from one tiny
+    * aggregate (broadcast back — never collected to the driver), the
+    * bottleneck and the per-stratum keep rates fall out of [[keepRates]]
+    * (exact decimal arithmetic on the tiny counts table), and the per-row
+    * keep gate is a single Long compare `hash(id) < r_s` — no
+    * data-proportional product exists to overflow, and no floating-point
+    * rate exists to diverge between engines. Same determinism rationale as
+    * [[stratifiedSample]] (retry-stable, no rand()).
+    */
+  def mixToTarget(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      weights: Map[String, Int],
+      defaultWeight: Int = 1
+  ): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0), "weights must be positive")
+    requireWorkCols(df, "__s", "__n", "__u", "__r")
+    val uOf: Column => Column = s =>
+      weights.foldLeft(lit(defaultWeight.toLong): Column) {
+        case (acc, (k, v)) => when(s === k, lit(v.toLong)).otherwise(acc)
+      }
+    val counts = df
+      .groupBy(stratumCol.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", uOf(col("__s")))
+    // `<=>` so a NULL stratum matches its own rate row instead of being
     // silently inner-joined away — defaultWeight promises unlisted strata
     // (NULL included) participate, and groupBy already emits a NULL group
-    df.join(broadcast(counts), stratumCol <=> col("__s"))
-      .crossJoin(broadcast(bottleneck))
-      .filter(
-        graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) * col("__ub") * col("__n") <
-          col("__nb") * col("__u") * lit(1000000L)
-      )
-      .drop("__s", "__n", "__u", "__nb", "__ub")
+    df.join(broadcast(keepRates(counts)), stratumCol <=> col("__s"))
+      .filter(graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) < col("__r"))
+      .drop("__s", "__r")
   }
 
   /** Temperature-flattened source mixing (the multilingual-LM sampling
@@ -334,47 +353,55 @@ object Curation {
     * α is fixed at 1/2 deliberately: the weight is then `floor(√n̅·10⁶)`,
     * and IEEE-754 sqrt is correctly rounded in every engine, so the
     * oracle reproduces the weights bit-exactly. A general `pow(n, α)` has
-    * no such cross-engine guarantee. The gate products stay in Long for
-    * corpora up to ~10⁸ rows per stratum; beyond that, shrink the 10⁶
-    * quantum (same caveat as the reference gate in [[mixToTarget]]).
+    * no such cross-engine guarantee. The keep rates come from
+    * [[keepRates]] (exact decimal on the tiny counts table) and the
+    * per-row gate is one Long compare — overflow-free at any corpus size.
     */
   def temperatureMix(df: DataFrame, idCol: Column, stratumCol: Column): DataFrame = {
-    requireWorkCols(df, "__s", "__n", "__u", "__nb", "__ub")
-    import org.apache.spark.sql.expressions.Window
+    requireWorkCols(df, "__s", "__n", "__u", "__r")
     val counts = df
       .groupBy(stratumCol.as("__s"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__u", floor(sqrt(col("__n").cast("double")) * 1000000d).cast("long"))
-    val bottleneck = counts
-      .withColumn(
-        "__rk",
-        row_number().over(
-          Window.orderBy(
-            (col("__n").cast("double") / col("__u").cast("double")).asc,
-            col("__s").asc))
-      )
-      .filter(col("__rk") === 1)
-      .select(col("__n").as("__nb"), col("__u").as("__ub"))
-    df.join(broadcast(counts), stratumCol <=> col("__s"))
-      .crossJoin(broadcast(bottleneck))
-      .filter(
-        graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) * col("__ub") * col("__n") <
-          col("__nb") * col("__u") * lit(1000000L)
-      )
-      .drop("__s", "__n", "__u", "__nb", "__ub")
+    df.join(broadcast(keepRates(counts)), stratumCol <=> col("__s"))
+      .filter(graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) < col("__r"))
+      .drop("__s", "__r")
   }
 
-  /** Trained [[temperatureMix]] model: per-stratum `(stratum, n, √n̅·10⁶)`
-    * rows plus the bottleneck `(n_b, u_b)` — the bounded scalar state a
-    * STATELESS streaming filter serves with (the DSIR-serving pattern:
-    * train relationally once, bake the model into the plan as literals).
-    * Tie-break on the bottleneck pick matches the relational window
-    * (n/u ascending, then stratum) exactly.
+  /** Unsigned-byte UTF-8 ordering — the collation Spark's UTF8String AND
+    * DuckDB's default BLOB-ish VARCHAR compare both use. Scala's default
+    * String ordering compares UTF-16 code units, which diverges from
+    * code-point (= UTF-8 byte) order for supplementary-plane characters
+    * (e.g. U+FFFD sorts ABOVE U+1F600 in UTF-16 but BELOW it in UTF-8), so
+    * any driver-side tie-break that must agree with a relational window's
+    * string ordering has to compare bytes, not chars. NULL sorts first,
+    * matching Spark's `asc` (NULLS FIRST) default.
+    */
+  private[graft] val utf8ByteOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _)    => -1
+      case (_, null)    => 1
+      case _ =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Trained [[temperatureMix]] model: one `(stratum, keepRate)` row per
+    * stratum — the bounded scalar state a STATELESS streaming filter
+    * serves with (the DSIR-serving pattern: train relationally once, bake
+    * the model into the plan as literals). The bottleneck pick tie-breaks
+    * in UTF-8 byte order ([[utf8ByteOrder]]) so it matches the relational
+    * window (n/u ascending, then stratum in binary collation) for
+    * non-ASCII stratum names too; rates are computed driver-side in BigInt
+    * — exact at any corpus size, same arithmetic as [[keepRates]].
     */
   def temperatureMixModel(
       df: DataFrame,
       stratumCol: Column
-  ): (Seq[(String, Long, Long)], (Long, Long)) = {
+  ): Seq[(String, Long)] = {
     val rows = df
       .groupBy(stratumCol.as("__s"))
       .agg(count(lit(1)).as("__n"))
@@ -382,31 +409,34 @@ object Curation {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq
-    val b = rows.minBy { case (s, n, u) => (n.toDouble / u.toDouble, s) }
-    (rows, (b._2, b._3))
+    val (_, nb, ub) = rows.min(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8ByteOrder)
+        .on[(String, Long, Long)] { case (s, n, u) => (n.toDouble / u.toDouble, s) })
+    rows.map { case (s, n, u) =>
+      (s, (BigInt(nb) * u * 1000000L / (BigInt(ub) * n)).toLong)
+    }
   }
 
   /** The stateless serving gate of [[temperatureMix]]: TRUE iff the row
     * survives the trained model's keep-rate for its stratum — the same
-    * integer compare as the batch join form, with the (tiny) per-stratum
-    * table folded into a literal CASE chain instead of a broadcast join.
-    * Unknown strata (absent at training) yield NULL → filtered out, the
-    * honest answer for a stratum the model has no rate for.
+    * single Long compare as the batch join form, with the (tiny)
+    * per-stratum rate table folded into a literal CASE chain instead of a
+    * broadcast join. Unknown strata (absent at training) yield NULL →
+    * filtered out, the honest answer for a stratum the model has no rate
+    * for; a NULL stratum key matches via isNull, mirroring the batch
+    * form's null-safe join.
     */
   def temperatureGate(
       idCol: Column,
       stratumCol: Column,
-      model: Seq[(String, Long, Long)],
-      bottleneck: (Long, Long)
+      model: Seq[(String, Long)]
   ): Column = {
-    val gate = graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L)
-    val nCol = model.foldLeft(lit(null).cast("long")) {
-      case (acc, (s, n, _)) => when(stratumCol === s, lit(n)).otherwise(acc)
+    val rCol = model.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, r)) =>
+        val hit = if (s == null) stratumCol.isNull else stratumCol === lit(s)
+        when(hit, lit(r)).otherwise(acc)
     }
-    val uCol = model.foldLeft(lit(null).cast("long")) {
-      case (acc, (s, _, u)) => when(stratumCol === s, lit(u)).otherwise(acc)
-    }
-    gate * lit(bottleneck._2) * nCol < lit(bottleneck._1) * uCol * lit(1000000L)
+    graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000000L) < rCol
   }
 
   /** Cluster-balanced exact-k sampling over an embedding column: assign

@@ -1949,13 +1949,13 @@ object Extensions {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val docsDf = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val (model, bottleneck) = Curation.temperatureMixModel(docsDf, col("source"))
+      val model = Curation.temperatureMixModel(docsDf, col("source"))
       val rows: Array[(Long, String)] = docsDf.as[(Long, String)].collect()
       val mem = MemoryStream[(Long, String)]
       val kept = mem
         .toDF()
         .toDF("doc_id", "source")
-        .filter(Curation.temperatureGate(col("doc_id"), col("source"), model, bottleneck))
+        .filter(Curation.temperatureGate(col("doc_id"), col("source"), model))
       val sink = s"stream_mix_parity_${System.nanoTime()}"
       feedChunked(mem, rows.toSeq)
       val q = kept.writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -2684,6 +2684,32 @@ object Extensions {
   private val dsirScoresSql: String = dsirCtesSql + """
          SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
          FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id"""
+
+  /** Temperature-mix twin — shared verbatim by the batch query and the
+    * streaming serving-gate parity surface. Mirrors Curation.keepRates:
+    * per-stratum keep rate computed once on the tiny counts table in
+    * HUGEINT (exact — the old per-row BIGINT triple product overflowed
+    * past √n̅_b·n_s ≈ 9·10¹²), per-row gate a single compare. The
+    * null-safe join and `s NULLS FIRST` tie-break match Spark's `<=>`
+    * join and NULLS-FIRST ascending sort.
+    */
+  private val tempMixSql: String =
+    """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         u AS (SELECT s, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
+               FROM c),
+         b AS (SELECT n AS nb, u AS ub FROM (
+                 SELECT *, row_number() OVER (
+                   ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s NULLS FIRST) AS rk
+                 FROM u) WHERE rk = 1),
+         r AS (SELECT u.s,
+                 CAST(CAST(b.nb AS HUGEINT) * u.u * 1000000
+                      // (CAST(b.ub AS HUGEINT) * u.n) AS BIGINT) AS r
+               FROM u CROSS JOIN b)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r ON r.s IS NOT DISTINCT FROM d.source
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+               < r.r"""
 
   private def cosSql(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
@@ -3665,18 +3691,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "stream_dsir_parity" -> dsirScoresSql,
     // layout differs (stateless stream gate vs batch join), meaning must
     // not: the oracle is corpus_mix_temperature's verbatim
-    "stream_mix_parity" ->
-      """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
-         u AS (SELECT s, n,
-                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
-               FROM c),
-         b AS (SELECT n AS nb, u AS ub FROM (
-                 SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk
-                 FROM u) WHERE rk = 1)
-         SELECT d.doc_id, d.source
-         FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
-         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
-               * b.ub * u.n < b.nb * u.u * 1000000""",
+    "stream_mix_parity" -> tempMixSql,
     "curation_dsir_select" ->
       (dsirCtesSql + """
          , sc AS (
@@ -4111,12 +4126,17 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                  CAST(CASE WHEN s = 'src0' THEN 3 WHEN s = 'src1' THEN 2 ELSE 1 END AS BIGINT) AS u
                FROM c),
          b AS (SELECT n AS nb, u AS ub FROM (
-                 SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk
-                 FROM u) WHERE rk = 1)
+                 SELECT *, row_number() OVER (
+                   ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s NULLS FIRST) AS rk
+                 FROM u) WHERE rk = 1),
+         r AS (SELECT u.s,
+                 CAST(CAST(b.nb AS HUGEINT) * u.u * 1000000
+                      // (CAST(b.ub AS HUGEINT) * u.n) AS BIGINT) AS r
+               FROM u CROSS JOIN b)
          SELECT d.doc_id, d.source
-         FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
+         FROM documents d JOIN r ON r.s IS NOT DISTINCT FROM d.source
          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
-               * b.ub * u.n < b.nb * u.u * 1000000""",
+               < r.r""",
     "corpus_filter_quantile" ->
       """WITH r AS (
            SELECT doc_id, source, n_chars,
@@ -4127,20 +4147,9 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            SELECT source, n_chars AS t FROM r WHERE rk = (1 * n + 1) // 2
          )
          SELECT d.doc_id, d.source, d.n_chars
-         FROM documents d JOIN thr USING (source)
+         FROM documents d JOIN thr ON thr.source IS NOT DISTINCT FROM d.source
          WHERE d.n_chars >= thr.t""",
-    "corpus_mix_temperature" ->
-      """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
-         u AS (SELECT s, n,
-                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
-               FROM c),
-         b AS (SELECT n AS nb, u AS ub FROM (
-                 SELECT *, row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s) AS rk
-                 FROM u) WHERE rk = 1)
-         SELECT d.doc_id, d.source
-         FROM documents d JOIN u ON u.s = d.source CROSS JOIN b
-         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
-               * b.ub * u.n < b.nb * u.u * 1000000""",
+    "corpus_mix_temperature" -> tempMixSql,
     "ev_resample_ffill" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
                     FROM events GROUP BY 1),

@@ -134,15 +134,52 @@ class CurationSpec extends SparkSpecBase {
     assert(out == Set(3L, 4L, 5L, 6L, 7L, 8L))
   }
 
+  test("filterByGroupQuantile treats a NULL group as its own stratum (null-safe join)") {
+    // NULL-group rows must be curated against the NULL group's own median,
+    // not silently inner-joined away: values 1..4 → rank (1·4+1) div 2 = 2
+    // → thr 2; group a: rank (1·2+1) div 2 = 1 → thr 7, both kept
+    val df = Seq((1L, None, 1L), (2L, None, 2L), (3L, None, 3L), (4L, None, 4L),
+      (5L, Some("a"), 7L), (6L, Some("a"), 9L)).toDF("id", "g", "v")
+    val out = Curation.filterByGroupQuantile(df, $"g", $"v", 1, 2)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L, 4L, 5L, 6L))
+  }
+
   test("temperatureGate (baked-literal serving) equals the relational temperatureMix") {
     val df = ((0 until 900).map(i => (i.toLong, "a")) ++
       (0 until 100).map(i => (5000L + i, "b"))).toDF("id", "s")
-    val (model, bottleneck) = Curation.temperatureMixModel(df, $"s")
-    val served = df.filter(Curation.temperatureGate($"id", $"s", model, bottleneck))
+    val model = Curation.temperatureMixModel(df, $"s")
+    val served = df.filter(Curation.temperatureGate($"id", $"s", model))
     assert(rows(served) == rows(Curation.temperatureMix(df, $"id", $"s")))
     // unknown stratum at serving time → gate NULL → dropped, not crashed
     val unknown = Seq((1L, "zz")).toDF("id", "s")
-    assert(unknown.filter(Curation.temperatureGate($"id", $"s", model, bottleneck)).count() == 0L)
+    assert(unknown.filter(Curation.temperatureGate($"id", $"s", model)).count() == 0L)
+  }
+
+  test("temperatureMixModel tie-breaks the bottleneck in UTF-8 byte order (supplementary chars)") {
+    // U+FFFD sorts ABOVE U+1F600 in Java's UTF-16 String order but BELOW it
+    // in UTF-8 byte (= code point) order, which is what Spark's window and
+    // DuckDB both use. Equal counts → exact n/u tie → the tie-break decides
+    // the bottleneck; serving must agree with the relational pick.
+    val sA = "�"         // U+FFFD, UTF-8 EF BF BD
+    val sB = "😀"   // U+1F600, UTF-8 F0 9F 98 80
+    val df = ((0 until 400).map(i => (i.toLong, sA)) ++
+      (0 until 400).map(i => (9000L + i, sB))).toDF("id", "s")
+    val model = Curation.temperatureMixModel(df, $"s")
+    val served = df.filter(Curation.temperatureGate($"id", $"s", model))
+    assert(rows(served) == rows(Curation.temperatureMix(df, $"id", $"s")))
+    // sanity: the orderings really do disagree on this pair
+    assert(Ordering.String.lt(sB, sA) && Curation.utf8ByteOrder.lt(sA, sB))
+  }
+
+  test("mix gate survives magnitudes where the old per-row Long triple product overflowed") {
+    // weight Int.MaxValue and 5000 rows/stratum: the pre-r11 per-row product
+    // nb·u·1e6 ≈ 1.07e19 > Long.Max wrapped negative and kept nothing; the
+    // rate-table gate computes ⌊nb·u·1e6/(ub·n)⌋ = 1e6 exactly on the tiny
+    // counts table in decimal(38,0), so both balanced strata are kept whole
+    val df = (0 until 10000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val w = Map("a" -> Int.MaxValue, "b" -> Int.MaxValue)
+    assert(Curation.mixToTarget(df, $"id", $"s", w, defaultWeight = 1).count() == 10000L)
   }
 
   test("mixToTarget with equal weights keeps everything when strata are balanced") {
