@@ -955,9 +955,53 @@ object Similarity {
       depth: Int,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cands = int8TopK(corpus, queries, idCol, vecCol, depth)
       .select(col("query_id"), col("cand_id"))
+    exactCosineRerank(corpus, queries, idCol, vecCol, cands, k)
+  }
+
+  /** The same two-stage serving shape with PQ/ADC as the candidate
+    * generator: the ADC scan ([[pqAdcTopK]]) keeps `depth` candidates per
+    * query — nsub table lookups per candidate, the cheapest full-corpus
+    * ranker this module has — and the exact quantized cosine recovers the
+    * order over the q·depth survivors. This is the honest posture for
+    * flat PQ on data with no cluster structure: isotropic vectors are
+    * PQ's pathological case AS A RANKER (the fixture's 8-bit codes score
+    * recall@5 ≈ 0.06 — see SimilaritySpec's budget ladder), but at depth
+    * ≫ k the code scan only has to LAND the true top-k in its top-depth,
+    * which even coarse codes do reliably; the rerank does the ranking.
+    */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Array[Array[Seq[Long]]],
+      depth: Int,
+      k: Int
+  ): DataFrame = {
+    val cands = pqAdcTopK(corpus, queries, idCol, vecCol, books, depth)
+      .select(col("query_id"), col("cand_id"))
+    exactCosineRerank(corpus, queries, idCol, vecCol, cands, k)
+  }
+
+  /** Shared exact-rerank tail of the two-stage servers: re-score the
+    * (q·depth)-row candidate list with the exact quantized cosine
+    * ([[quantize]] + `graft_dotl`, the `ann_cosine_topk` arithmetic) and
+    * cut to `k`. The corpus is never shuffled — the exact-vector fetch is
+    * a broadcast join of the bounded candidate list against the corpus
+    * scan, and the exact cosine runs q·depth times, not q·N. Ties break
+    * on candidate id.
+    */
+  private def exactCosineRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cands: DataFrame,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // self-dots staged per side, same reasoning as bruteForceTopK
     val q = broadcast(
       queries

@@ -558,6 +558,20 @@ object Extensions {
       val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", books, k = 5)
     },
+    // PQ as candidate generator, exact cosine as ranker — the honest
+    // serving posture for flat PQ on cluster-free data (isotropic vectors
+    // are PQ's pathological case as a RANKER, but landing the true top-5
+    // anywhere in the ADC top-100 is a far weaker ask; the rerank recovers
+    // the order — recall floor 0.80, measured 0.92, in SimilaritySpec).
+    // 8x8 codes on purpose: candidate recall is what bounds final recall,
+    // and the 8-bit 4x4 code only lands ~54% of the true top-5 in its
+    // top-100 on isotropic data
+    "ann_pq_rerank" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 8, nlistSub = 8, iters = 1)
+      Similarity.pqRerankTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", books, depth = 100, k = 5)
+    },
     // IVFPQ — FAISS's serving composition: the TRAINED coarse quantizer
     // (same 8-cell/2-iteration model as ann_ivf_kmeans) prunes candidates
     // to 2 probed cells, and ranking is PQ asymmetric distance (same 4x4
@@ -2520,6 +2534,49 @@ object Extensions {
     sb.toString
   }
 
+  /** PQ→exact-rerank oracle: the 8x8 training/coding/ADC CTEs keep the
+    * top-100 per query, then the exact quantized-cosine rerank (the
+    * ann_int8_rerank tail, reading qz directly) cuts to 5.
+    */
+  private lazy val pqRerankSql: String = {
+    val nsub = 8
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= pqSubspaceCtesSql(nsub, 8, 8)
+    sb ++= s"""
+      , pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM qz a CROSS JOIN qz b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      ), scored AS (
+        SELECT p.query_id, p.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM pairs p
+        ${pqAdcJoinsSql(nsub, "p")}
+      ), cand AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+          FROM scored) WHERE rk <= 100
+      ), ex AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * cv.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * qv.q[i])) AS BIGINT) AS naa,
+               CAST(list_sum(list_transform(range(1, 65), i -> cv.q[i] * cv.q[i])) AS BIGINT) AS ncc
+        FROM cand c JOIN qz qv ON qv.vec_id = c.query_id JOIN qz cv ON cv.vec_id = c.cand_id
+      ), rr AS (
+        SELECT query_id, cand_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(ncc AS DOUBLE)) AS sim
+        FROM ex
+      ), rranked AS (
+        SELECT query_id, cand_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+        FROM rr
+      )
+      SELECT query_id, cand_id, rank, sim FROM rranked WHERE rank <= 5"""
+    sb.toString
+  }
+
   /** IVFPQ oracle: the trained coarse quantizer's probe/candidate CTEs
     * (shared with `ann_ivf_kmeans`) composed with the per-subspace PQ
     * chains (shared with `ann_pq_topk`); ranking is the ADC sum over the
@@ -3624,6 +3681,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "ann_pq_topk" -> pqAdcSql,
+    "ann_pq_rerank" -> pqRerankSql,
     "ann_ivf_kmeans" -> (qzCte + "\n        " + ivfKmeansCtesSql + s"""
         , cand AS (
           SELECT DISTINCT p.query_id, a.vec_id AS cand_id

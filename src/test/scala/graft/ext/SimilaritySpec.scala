@@ -385,6 +385,19 @@ class SimilaritySpec extends SparkSpecBase {
     info(f"PQ recall@5 on fixture — 4x4 = $pq%.2f, 8x8 = $pq8%.2f")
     assert(pq >= 0.03, f"coarse PQ recall@5 $pq%.2f at chance level — plumbing broken")
     assert(pq8 > pq, f"more code bits must buy recall: 8x8 $pq8%.2f <= 4x4 $pq%.2f")
+    // the SHIPPED posture for flat PQ on cluster-free data (ann_pq_rerank):
+    // the 8x8 code (24 bits — codes must be sized for CANDIDATE recall on
+    // isotropic data; the 8-bit 4x4 lands only ~54% of the true top-5 in
+    // its top-100) generates candidates at depth 100 (1/5 of this
+    // 500-vector corpus), and the exact quantized cosine reranks the
+    // survivors. This is the defensible fixture floor; the 0.06-as-a-ranker
+    // number above stays only as the budget-ladder probe.
+    val pqrr = recallAtK(
+      pairs(Similarity.pqRerankTopK(e, q, "vec_id", "embedding", books8, depth = 100, k = 5)),
+      exact)
+    info(f"PQ(8x8)+exact-rerank recall@5 (depth=100) = $pqrr%.2f")
+    assert(pqrr >= 0.80, f"PQ+rerank recall@5 $pqrr%.2f below floor (measured 0.92)")
+    assert(pqrr > pq8, f"rerank must beat raw ADC ranking: $pqrr%.2f <= $pq8%.2f")
     // clustered data (same construction as the IVF audit): the codebooks
     // align with the clusters and ADC recovers the true neighbors
     val dim = 16; val perC = 50
