@@ -109,6 +109,66 @@ object GraphOps {
         when(lowerIsU, col("v")).otherwise(col("u")).as("b"))
   }
 
+  /** Fixed-iteration SYNCHRONOUS label propagation (Raghavan et al. 2007,
+    * derandomized): community ids over an undirected edge frame. Every
+    * node starts labeled with itself; each round, every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken on the SMALLEST label — counts are integers and the
+    * tie-break total, so a fixed iteration count replays bit-exactly in
+    * any engine (the classic formulation's random tie-breaks and
+    * asynchronous sweeps are deterministically replaced, the same
+    * derandomization discipline as the integer PageRank below).
+    * Synchronous LPA can oscillate on bipartite structure instead of
+    * converging — fixed `iters` makes even that deterministic.
+    *
+    * On the near-dup pair graph this labels each near-clique cluster with
+    * its minimum doc id in 1–2 rounds — community ids for
+    * cluster-balanced sampling (ext/Curation.clusterBalancedSample is the
+    * embedding-space analogue) without the pointer-jumping machinery of
+    * full connected components, and unlike CC it does NOT chain loosely
+    * bridged clusters into one label: the mode favors the dense side.
+    *
+    * Scale shape: per round, one shuffle joins labels to the symmetric
+    * adjacency on the neighbor key, one partial-aggregated (node, label)
+    * count, one per-node top-1 window — all keyed on vertex ids, AQE-
+    * splittable, no global state. `localCheckpoint` severs lineage every
+    * 4th round (the pageRank pacing).
+    *
+    * @return (node, label) — label = elected community id
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16] — fixed unrolled rounds")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = und
+      .select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val cnt = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+      labels = cnt
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Fixed-iteration weighted PageRank, ALL-INTEGER so any engine
     * reproduces it bit-for-bit (the float formulation drifts with
     * partition merge order): ranks live scaled by `scale`, the damping

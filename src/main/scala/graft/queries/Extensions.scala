@@ -453,6 +453,17 @@ object Extensions {
         .select(col("id_lo"), col("id_hi"))
       graft.ops.GraphOps.triangleStats(edges, "id_lo", "id_hi")
     },
+    // community ids over the same near-dup pair graph (third consumer of
+    // the shared setsim spill): 3 rounds of derandomized synchronous
+    // label propagation — mode-of-neighbor-labels, ties to the smallest —
+    // electing each near-clique's minimum doc id as its community id.
+    // The oracle unrolls the identical three rounds in SQL
+    "graph_label_prop" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      graft.ops.GraphOps.labelPropagation(edges, "id_lo", "id_hi", iters = 3)
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -2059,6 +2070,36 @@ object Extensions {
        r0 AS (SELECT node, $base AS rank FROM nodes),
        $iters
        SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"""
+  }
+
+  /** Label-propagation oracle: the setsim pair-graph CTE (shared with
+    * graph_triangles) plus three unrolled synchronous LPA rounds —
+    * mode-of-neighbor-labels with (count DESC, label) tie-break, the
+    * pagerank-oracle unrolling pattern.
+    */
+  private lazy val labelPropOracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (SELECT adj.v AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+         FROM adj JOIN $prev l ON l.node = adj.u GROUP BY 1, 2),
+         l$i AS (SELECT node, lab FROM (
+           SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH tok0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+                      FROM documents),
+         tok AS (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         pair AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
+                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         e AS (SELECT lo AS a, hi AS b
+               FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
+               WHERE inter * 20 >= 19 * (sa.n + sb.n - inter)),
+         adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+         l0 AS (SELECT DISTINCT v AS node, v AS lab FROM adj),
+         $rounds
+         SELECT node, lab AS label FROM l3"""
   }
 
   private def hexval(expr: String): String =
@@ -4253,6 +4294,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 w.k IS NOT NULL AS observed
          FROM grid g LEFT JOIN win w ON g.k = w.k AND g.bucket = w.bucket""",
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_label_prop" -> labelPropOracleSql,
     // latest click at-or-before each purchase; same-instant ties to the
     // greatest click id (the asofJoin tie contract)
     "ev_attribution_last_touch" ->

