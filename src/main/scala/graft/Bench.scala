@@ -16,8 +16,9 @@ object Bench {
     // execution rather than charging first-run JVM warmup to whichever
     // query iterates first.
     val warmDir = "/root/testdata/sf0.001"
+    val warmFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.filter(_._1.matches(warmFilter)).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -46,8 +47,11 @@ object Bench {
     // charged to whichever family member runs first — the min of two passes
     // is the steady-state signal a regression judge can actually compare
     // (a failed pass keeps the sentinel: flakiness must not read as speed)
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
-    val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
+    // optional regex filter for targeted local perf work (driver sets none)
+    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
+    val timed = SparkEntry.queries.filter(_._1.matches(nameFilter))
+    val pass1 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
+    val pass2 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
     val results = pass1.map { case (name, a) =>
       val b = pass2.getOrElse(name, -1.0)
       name -> (if (failed(name)) -1.0 else math.min(a, b))

@@ -68,6 +68,15 @@ object Extensions {
     // sentinel batch is what flushes append-mode state, and parity is
     // batch-cadence independent)
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // checkpoints (offset/commit logs + state snapshots) are fsync-heavy
+    // tiny-file writes; a RAM-backed root removes that fixed per-batch
+    // disk cost. Pid-scoped and deleted at JVM exit (Scratch); every sink
+    // name is nanoTime-unique so a run never resumes a prior checkpoint.
+    val ckptRoot =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s2.conf.set(
+      "spark.sql.streaming.checkpointLocation",
+      graft.queries.Scratch.dirAt(ckptRoot, "stream_ckpt", "root"))
     s2.conf.set(
       "spark.sql.legacy.parquet.nanosAsLong",
       s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))

@@ -53,8 +53,13 @@ object Scratch {
   /** `/tmp/graft_cache/<tag>_<pid>_<sanitized key>`, registered for
     * deletion at JVM exit.
     */
-  def dir(tag: String, key: String): String = {
-    val p = s"/tmp/graft_cache/${tag}_${ProcessHandle.current().pid()}_" +
+  def dir(tag: String, key: String): String = dirAt("/tmp/graft_cache", tag, key)
+
+  /** Same pid-scoped exit-deleted contract under an arbitrary root (e.g. a
+    * RAM-backed /dev/shm for streaming checkpoint logs).
+    */
+  def dirAt(root: String, tag: String, key: String): String = {
+    val p = s"$root/graft_${tag}_${ProcessHandle.current().pid()}_" +
       key.replaceAll("[^0-9a-zA-Z]", "_")
     created.add(p)
     p
