@@ -476,6 +476,63 @@ object Curation {
       .select(col("cell"), col("vec_id"), col("rk"))
   }
 
+  /** Embedding-space outlier audit (the SemDeDup-adjacent "prune the
+    * fringe" curation step): assign every vector to its nearest TRAINED
+    * k-means cell (the same coarse quantizer the ANN serving path uses —
+    * first-min tie rule, exact integer squared-L2 over quantized
+    * coordinates), then flag the vectors whose distance to their own
+    * centroid exceeds the cell's p-quantile — mislabeled scrapes, OCR
+    * garbage, and off-manifold embeddings sit in exactly that tail. The
+    * threshold is the type-1 order statistic at rank ⌈p·n⌉ per cell
+    * (the [[filterByGroupQuantile]] integer rank rule; value ties at the
+    * cut are kept INLIERS — strict `>` flags), so any engine replays the
+    * flags bit-exactly.
+    *
+    * Scale shape: assignment + distance are map-only (the centroid matrix
+    * rides the plan as an nlist×dim literal); the quantile needs one
+    * bounded per-cell window (nlist partitions, AQE-splittable) and the
+    * threshold table broadcast back is one row per cell — model-sized,
+    * never data-sized. No corpus self-join, no global sort.
+    *
+    * @return (cell, vec_id, d2, is_outlier) — every input vector, flagged
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      centroids: Array[Seq[Long]],
+      pNum: Int,
+      pDen: Int
+  ): DataFrame = {
+    require(pNum > 0 && pNum <= pDen, "p = num/den must be in (0, 1]")
+    requireWorkCols(emb, "__q", "__d", "__rk", "__n", "__c", "__thr")
+    import org.apache.spark.sql.expressions.Window
+    val cmat = typedLit(centroids.map(_.toSeq).toSeq)
+    // cell = argmin (first-min on a distance tie, matching array_position
+    // semantics and the IVF assignment rule); d2 = that min distance
+    val ad = emb
+      .select(idCol.as("vec_id"), Similarity.quantize(vecCol).as("__q"))
+      .withColumn("__d", Similarity.distancesTo(cmat, col("__q")))
+      .select(
+        col("vec_id"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cell"),
+        array_min(col("__d")).as("d2"))
+    val byCell = Window.partitionBy(col("cell"))
+    val thr = ad
+      .withColumn("__rk", row_number().over(byCell.orderBy(col("d2").asc)))
+      .withColumn("__n", count(lit(1)).over(byCell))
+      .filter(col("__rk") === expr(s"cast(($pNum * __n + ${pDen - 1}) div $pDen as bigint)"))
+      .select(col("cell").as("__c"), col("d2").as("__thr"))
+    // plain (not null-safe) equality: a NULL cell (null embedding) drops,
+    // agreeing with the oracle's inner join — the engine-parity rule
+    ad.join(broadcast(thr), col("cell") === col("__c"))
+      .select(
+        col("cell"),
+        col("vec_id"),
+        col("d2"),
+        (col("d2") > col("__thr")).as("is_outlier"))
+  }
+
   /** Corpus-internal duplicated-content fraction: for every document, the
     * share of its distinct word-n-grams that also occur in at least one
     * OTHER document (well, in ≥2 documents — grams are distinct per doc,

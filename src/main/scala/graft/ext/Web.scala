@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation primitives (north-star extensions, SURVEY.md §7.5):
+  * URL canonicalization — the key under which every web-scale pipeline
+  * (Common Crawl dedup, refetch scheduling, domain mixing) collapses
+  * crawl variants of the same resource before any content-level dedup
+  * runs. Pure built-in-function column algebra: regexp extraction + array
+  * HOFs, whole-stage-codegen friendly, no UDF, no network.
+  */
+object Web {
+
+  /** Canonical form of an absolute http(s) URL:
+    *   - scheme and host lowercased; a leading `www.` label dropped
+    *   - default ports stripped (`:443` under https, `:80` under http);
+    *     any other explicit port kept
+    *   - path kept case-SENSITIVE (paths are), trailing slashes stripped,
+    *     empty path rendered as `/`
+    *   - query parameters: tracking params (`utm_*`) dropped, empty
+    *     fragments dropped, the rest sorted bytewise and re-joined — the
+    *     order-insensitive form (`?b=2&a=1` ≡ `?a=1&b=2`)
+    *   - the `#fragment` removed (never sent to the server)
+    *
+    * Bytewise param sort on purpose: Spark's `sort_array` and any SQL
+    * engine's binary string order agree, so the canonical form is
+    * engine-portable. Non-URL input (no `scheme://`) canonicalizes to
+    * NULL rather than garbage — gate upstream.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = (port =!= "") &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = sort_array(
+      filter(split(query, "&"), p => (p =!= "") && !p.rlike("^utm_")))
+    val qs = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    when(
+      scheme === "" || host === "",
+      lit(null).cast("string")
+    ).otherwise(
+      concat(
+        scheme,
+        lit("://"),
+        host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        qs))
+  }
+
+  /** Registrable-domain heuristic: the last two host labels
+    * (`a.b.site.com` → `site.com`). A deliberate approximation — the real
+    * rule needs the Public Suffix List (an external artifact, out of
+    * engine scope); two labels is the deterministic engine-side default
+    * and callers with a PSL join it as a dimension table instead.
+    */
+  def domainOf(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+  }
+
+  /** Per-URL canonicalization + URL-level dedup in one pass: every input
+    * row comes back with its canonical URL, registrable domain, and the
+    * canonical group's survivor (minimum id) — the "collapse crawl
+    * variants" step that precedes content-level dedup.
+    *
+    * Scale shape: normalization is map-only; the survivor election is one
+    * min-window over the canonical-URL key (partial-agg-friendly,
+    * AQE-splittable — hot keys are exactly the over-crawled URLs and
+    * split fine because the state is one min).
+    */
+  def urlDedup(df: DataFrame, idCol: Column, urlCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hostport = lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", "")
+    df.select(
+        idCol.as("id"),
+        normalizeUrl(urlCol).as("url_norm"),
+        when(host === "", lit(null).cast("string")).otherwise(domainOf(host)).as("domain"))
+      .withColumn(
+        "canonical_id",
+        // NULL url_norm (non-URL input) gets no survivor, not a shared
+        // null-group election — the engine-parity rule for null keys
+        when(
+          col("url_norm").isNotNull,
+          min(col("id")).over(Window.partitionBy(col("url_norm")))))
+  }
+}

@@ -169,6 +169,62 @@ object GraphOps {
     labels
   }
 
+  /** Fixed-round k-core peel (Seidman 1983 cores, bulk-synchronous
+    * Matula–Beck peeling): each round simultaneously removes every vertex
+    * whose CURRENT degree is below `k`, then recomputes degrees over the
+    * surviving edges. After `rounds` rounds the survivors with their final
+    * degrees come back as `(node, degree)` — on the near-dup pair graph
+    * (near-cliques) the peel reaches its fixpoint in 1–2 rounds, and a
+    * fixpoint round removes nothing, so the fixed count replays the true
+    * k-core. On adversarial chains the R-round peel is a documented
+    * superset of the true core (the long-chain case needs O(diameter)
+    * rounds); callers wanting the exact core on arbitrary graphs raise
+    * `rounds` — every round is integer-deterministic either way, which is
+    * what lets the DuckDB twin unroll the identical rounds.
+    *
+    * Dense-subgraph extraction is the curation use: spam/SEO farms and
+    * template mills form high-core near-cliques in the near-dup graph,
+    * while organic near-dup pairs (quote, syndication) stay in low cores —
+    * the k-core id is the standard cheap dense-cluster certificate
+    * (cheaper than triangle counting, monotone under edge removal).
+    *
+    * Scale shape: per round, one partial-aggregated degree count (explode
+    * is map-side) and two semi-joins of the edge frame against the
+    * surviving-vertex set on single vertex keys — AQE broadcasts the
+    * vertex side when the survivor set is small, and every stage is
+    * skew-splittable. No global state; `localCheckpoint` severs lineage
+    * every 4th round (the pageRank pacing).
+    */
+  def kcorePeel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+    var e = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    for (i <- 1 to rounds) {
+      val alive = degrees(e).filter(col("degree") >= k).select(col("node"))
+      e = e
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    // final survivors: vertices still meeting the bar over the peeled edges
+    degrees(e).filter(col("degree") >= k)
+  }
+
   /** Fixed-iteration weighted PageRank, ALL-INTEGER so any engine
     * reproduces it bit-for-bit (the float formulation drifts with
     * partition merge order): ranks live scaled by `scale`, the damping

@@ -473,6 +473,17 @@ object Extensions {
         .select(col("id_lo"), col("id_hi"))
       graft.ops.GraphOps.labelPropagation(edges, "id_lo", "id_hi", iters = 3)
     },
+    // dense-subgraph certificate over the same near-dup pair graph (fourth
+    // consumer of the shared setsim spill): 3 fixed rounds of bulk-
+    // synchronous 2-core peeling — spam/template mills survive as
+    // high-core near-cliques, organic pairwise near-dups peel away. The
+    // oracle unrolls the identical rounds
+    "graph_kcore" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      graft.ops.GraphOps.kcorePeel(edges, "id_lo", "id_hi", k = 2, rounds = 3)
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -550,6 +561,15 @@ object Extensions {
       val e = t(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
       Curation.clusterBalancedSample(e, col("vec_id"), col("embedding"), cents, k = 20)
+    },
+    // embedding-space outlier audit under the SAME trained quantizer:
+    // vectors beyond their cell's 9/10-quantile centroid distance are the
+    // off-manifold fringe (mislabeled scrapes, OCR garbage) — integer
+    // order-statistic threshold, strict-> flags, full DuckDB replay
+    "curation_emb_outliers" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      Curation.centroidOutliers(e, col("vec_id"), col("embedding"), cents, pNum = 9, pDen = 10)
     },
     // IVF variant (coarse quantizer cells, nprobe probing). The centroid
     // sample is deterministic (nlist lowest ids) and the math integer-exact,
@@ -1478,6 +1498,26 @@ object Extensions {
       Curation.chunkWindows(
         t(s, dir, "documents"), col("doc_id"), col("text"), chunkTokens = 50, stride = 25)
     },
+    // URL canonicalization + URL-level dedup (the pre-content-dedup
+    // collapse every crawl pipeline runs): id-derived synthetic URLs
+    // exercise every rule — scheme/host case, www, default port, trailing
+    // slash, utm strip, param sort, fragment — and ids congruent mod 350
+    // collide post-canonicalization, so the survivor election is real.
+    // The oracle replays the full normalization in SQL
+    "curate_url_canon" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (id % 5).cast("string"), lit(".COM"),
+        when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), (id % 50).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (id % 7).cast("string"), lit("&a=1"),
+        when(id % 5 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(lit("")))
+      graft.ext.Web.urlDedup(d.select(id), id, url)
+    },
     // corpus-internal repeated-span diagnostic: per-doc fraction of
     // distinct 5-grams shared with at least one other document
     "text_dup_span_frac" -> { (s, dir) =>
@@ -2086,6 +2126,23 @@ object Extensions {
     * mode-of-neighbor-labels with (count DESC, label) tie-break, the
     * pagerank-oracle unrolling pattern.
     */
+  /** The τ=19/20 exact set-similarity pair-graph CTE chain (`e(a, b)` with
+    * a < b) — the SQL twin of the shared setsim spill, composed by every
+    * graph-family oracle (label propagation, k-core) so the edge
+    * definition cannot drift between them.
+    */
+  private lazy val setsimEdgesCte: String =
+    s"""tok0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+                      FROM documents),
+         tok AS (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         pair AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
+                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         e AS (SELECT lo AS a, hi AS b
+               FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
+               WHERE inter * 20 >= 19 * (sa.n + sb.n - inter))"""
+
   private lazy val labelPropOracleSql: String = {
     val rounds = (1 to 3).map { i =>
       val prev = s"l${i - 1}"
@@ -2095,20 +2152,34 @@ object Extensions {
            SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
            FROM c$i) WHERE rn = 1)"""
     }.mkString(",\n         ")
-    s"""WITH tok0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
-                      FROM documents),
-         tok AS (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
-         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-         pair AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
-                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-         e AS (SELECT lo AS a, hi AS b
-               FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
-               WHERE inter * 20 >= 19 * (sa.n + sb.n - inter)),
+    s"""WITH $setsimEdgesCte,
          adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
          l0 AS (SELECT DISTINCT v AS node, v AS lab FROM adj),
          $rounds
          SELECT node, lab AS label FROM l3"""
+  }
+
+  /** k-core oracle: the setsim pair-graph CTE plus three unrolled
+    * bulk-synchronous peel rounds (degree → survivors ≥ k → induced
+    * edges), then the survivors' final degrees — the pagerank-oracle
+    * unrolling pattern, k = 2.
+    */
+  private lazy val kcoreOracleSql: String = {
+    val k = 2
+    def degs(i: Int) =
+      s"""d$i AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+           (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1)"""
+    val rounds = (1 to 3).map { i =>
+      s"""${degs(i)},
+         a$i AS (SELECT node FROM d$i WHERE degree >= $k),
+         e$i AS (SELECT u, v FROM e${i - 1}
+                 WHERE u IN (SELECT node FROM a$i) AND v IN (SELECT node FROM a$i))"""
+    }.mkString(",\n         ")
+    s"""WITH $setsimEdgesCte,
+         e0 AS (SELECT a AS u, b AS v FROM e),
+         $rounds,
+         ${degs(4)}
+         SELECT node, degree FROM d4 WHERE degree >= $k"""
   }
 
   private def hexval(expr: String): String =
@@ -3698,6 +3769,26 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
           FROM assign a
         )
         SELECT cell, vec_id, rk FROM rk WHERE rk <= 20"""),
+    // embedding-outlier twin: trained-quantizer distances are
+    // ivfKmeansCtesSql's `cdist` verbatim; assigned distance = per-vector
+    // min (first-cell tie rule), threshold = type-1 order statistic at
+    // rank ceil(9n/10) per cell, strict > flags (cut ties stay inliers)
+    "curation_emb_outliers" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , ad AS (
+          SELECT vec_id, cell, d FROM (
+            SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist) WHERE rn = 1
+        ), rkd AS (
+          SELECT cell, vec_id, d,
+                 row_number() OVER (PARTITION BY cell ORDER BY d) AS rk,
+                 count(*) OVER (PARTITION BY cell) AS n
+          FROM ad
+        ), thr AS (
+          SELECT cell, d AS thr FROM rkd WHERE rk = CAST((9 * n + 9) // 10 AS BIGINT)
+        )
+        SELECT a.cell, a.vec_id, CAST(a.d AS BIGINT) AS d2, a.d > t.thr AS is_outlier
+        FROM ad a JOIN thr t ON a.cell = t.cell"""),
     "ann_ivf_topk" ->
       (qzCte + s"""
         , cent AS (
@@ -3904,6 +3995,51 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 array_to_string(w[off + 1 : off + 50], ' ') AS chunk,
                 CAST(len(w[off + 1 : off + 50]) AS INTEGER) AS n_chunk_tokens
          FROM o""",
+    // full normalization replay: same regexes, same param filter+sort,
+    // same default-port/trailing-slash/www rules as Web.normalizeUrl
+    "curate_url_canon" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             'Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+             (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+             '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1' ||
+             (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+           FROM raw),
+         p2 AS (
+           SELECT doc_id, scheme,
+             regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '^www\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+             list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^utm_'))) AS kept
+           FROM parts),
+         norm AS (
+           SELECT doc_id,
+             scheme || '://' || host ||
+             (CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                        AND NOT (scheme = 'http' AND port = '80')
+                   THEN ':' || port ELSE '' END) ||
+             path ||
+             (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_norm,
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                  ELSE host END AS domain
+           FROM p2)
+         SELECT doc_id AS id, url_norm, domain,
+                min(doc_id) OVER (PARTITION BY url_norm) AS canonical_id
+         FROM norm""",
     "text_dup_span_frac" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
@@ -4304,6 +4440,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM grid g LEFT JOIN win w ON g.k = w.k AND g.bucket = w.bucket""",
     "graph_pagerank" -> pagerankOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
+    "graph_kcore" -> kcoreOracleSql,
     // latest click at-or-before each purchase; same-instant ties to the
     // greatest click id (the asofJoin tie contract)
     "ev_attribution_last_touch" ->

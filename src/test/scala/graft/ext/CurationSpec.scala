@@ -406,6 +406,33 @@ class CurationSpec extends SparkSpecBase {
     assert(ids == Set(1L), s"whitespace-only and empty docs must drop out, got $ids")
   }
 
+  test("centroidOutliers: the fringe vector flags, the cut-rank tie stays an inlier") {
+    // two fixed centroids at 0 and 1000 (quantized units); cell 0 holds
+    // five vectors at quantized distances {0,1,4,4,10000} — with p=4/5 the
+    // threshold rank is ceil(4*5/5)=4 → threshold value 4 (an order
+    // statistic ON A TIE), so only d2=10000 flags: ties at the cut are
+    // inliers by the strict-> rule. Cell 1's lone vector is its own
+    // threshold and never flags.
+    val emb = Seq(
+      (1L, Array(0.000f)), // d2 = 0
+      (2L, Array(0.001f)), // q=1 → d2 = 1
+      (3L, Array(0.002f)), // q=2 → d2 = 4
+      (4L, Array(-0.002f)), // q=-2 → d2 = 4 (the tie at the cut)
+      (5L, Array(0.100f)), // q=100 → d2 = 10000 — the fringe
+      (6L, Array(1.000f)) // q=1000 → cell 1, d2 = 0
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Seq(0L), Seq(1000L))
+    val out = Curation
+      .centroidOutliers(emb, $"vec_id", $"embedding", cents, pNum = 4, pDen = 5)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getInt(0), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), s"every vector audited: $out")
+    assert(out(5L) == ((0, 10000L, true)), s"the fringe must flag: $out")
+    assert(Seq(1L, 2L, 3L, 4L, 6L).forall(!out(_)._3), s"ties at the cut stay inliers: $out")
+    assert(out(6L)._1 == 1, s"cell assignment: $out")
+  }
+
   test("working-column collisions are rejected up front, never silently dropped") {
     // a caller column named like an internal staging column would be
     // replaced and then dropped — the operators must refuse instead

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — every rule pinned on a crafted example. */
+class WebSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def norm(u: String): String = {
+    val r = Seq(u).toDF("u").select(Web.normalizeUrl($"u").as("n")).collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("normalizeUrl: case, www, default port, trailing slash, utm, sort, fragment") {
+    assert(
+      norm("HTTPS://WWW.Example.COM:443/a/B/?utm_source=x&b=2&a=1#frag")
+        == "https://example.com/a/B?a=1&b=2")
+  }
+
+  test("normalizeUrl: non-default port and root path survive; path case kept") {
+    assert(norm("http://site.com:8080/") == "http://site.com:8080/")
+    assert(norm("http://site.com:80/X") == "http://site.com/X")
+    assert(norm("https://site.com") == "https://site.com/")
+  }
+
+  test("normalizeUrl: query of only tracking params collapses; empty query drops the '?'") {
+    assert(norm("https://site.com/p?utm_source=a&utm_medium=b") == "https://site.com/p")
+    assert(norm("https://site.com/p?") == "https://site.com/p")
+  }
+
+  test("normalizeUrl: non-URL input canonicalizes to NULL, not garbage") {
+    assert(norm("not a url") == null)
+    assert(norm("mailto:a@b.com") == null)
+  }
+
+  test("domainOf: last-two-label heuristic, single-label host unchanged") {
+    val r = Seq(("a.b.site.com", "localhost")).toDF("h1", "h2")
+      .select(Web.domainOf($"h1"), Web.domainOf($"h2")).collect().head
+    assert(r.getString(0) == "site.com" && r.getString(1) == "localhost")
+  }
+
+  test("urlDedup: crawl variants of one resource elect one survivor; non-URLs get none") {
+    val rows = Seq(
+      (1L, "https://www.site.com/a?b=2&a=1"),
+      (2L, "HTTPS://SITE.com:443/a/?a=1&b=2&utm_source=x"),
+      (3L, "https://site.com/other"),
+      (4L, "garbage")
+    ).toDF("doc_id", "url")
+    val out = Web.urlDedup(rows, $"doc_id", $"url")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(out(1L)._1 == out(2L)._1, s"variants must collapse: $out")
+    assert(out(1L)._3.contains(1L) && out(2L)._3.contains(1L), s"survivor is the min id: $out")
+    assert(out(3L)._3.contains(3L))
+    assert(out(1L)._2.contains("site.com"))
+    assert(out(4L)._1.isEmpty && out(4L)._3.isEmpty, s"non-URL: no key, no survivor: $out")
+  }
+}

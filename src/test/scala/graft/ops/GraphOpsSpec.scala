@@ -124,6 +124,35 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("kcorePeel: pendant chain peels away, the clique core survives with exact degrees") {
+    // 4-clique {0..3} with a pendant chain 3–20–21: round 1 drops 21
+    // (degree 1) and round 2 drops 20 (degree fell to 1 when 21 left) —
+    // the cascade that makes single-pass degree filtering wrong and
+    // iterative peeling necessary. The clique survives at degree 3.
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(0L to 3L) ++ Seq((3L, 20L), (20L, 21L))).toDF("s", "d")
+    val out = GraphOps.kcorePeel(edges, "s", "d", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"2-core: $out")
+  }
+
+  test("kcorePeel: fixed rounds are a documented superset on a long chain; fixpoint is stable") {
+    // path 0–1–…–9: the true 2-core is empty, but each round only peels
+    // the two endpoints, so rounds=2 leaves the middle — the documented
+    // R-round semantics. Enough rounds reach the (empty) fixpoint, and
+    // once at fixpoint further rounds change nothing on a clique.
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("s", "d")
+    val partial = GraphOps.kcorePeel(path, "s", "d", k = 2, rounds = 2).collect()
+    assert(partial.nonEmpty, "2 rounds must not finish peeling a 10-chain")
+    val full = GraphOps.kcorePeel(path, "s", "d", k = 2, rounds = 5).collect()
+    assert(full.isEmpty, s"the chain's 2-core is empty: ${full.mkString(",")}")
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val k4 = clique(0L to 3L).toDF("s", "d")
+    val once = GraphOps.kcorePeel(k4, "s", "d", k = 3, rounds = 1).collect().toSet
+    val thrice = GraphOps.kcorePeel(k4, "s", "d", k = 3, rounds = 3).collect().toSet
+    assert(once == thrice && once.size == 4, "fixpoint must be round-count invariant")
+  }
+
   test("labelPropagation: isolated edge pair converges to the lower id in one round") {
     val edges = Seq((7L, 9L)).toDF("s", "d")
     val out = GraphOps.labelPropagation(edges, "s", "d", iters = 2)
