@@ -244,6 +244,56 @@ object Stats {
     base.withColumn("q_bucket", bucket)
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per group — THE distribution-
+    * drift monitor between two corpus snapshots (old release vs new crawl,
+    * train vs serving): for each group,
+    * `D = max_x |F_A(x) − F_B(x)| = max_v |cumA(v)·n_B − cumB(v)·n_A| / (n_A·n_B)`
+    * with the sup taken over the pooled distinct values (where both step
+    * ECDFs can differ). The numerator cross-products run in decimal(38,0)
+    * — exact for any split up to ~10¹⁹ rows per side — and only the final
+    * ratio is a correctly-rounded double, so any engine replays the
+    * distances bit-exactly. Groups missing either side are dropped (KS is
+    * undefined there), not zero-scored.
+    *
+    * Scale shape: one partial-agg-friendly (group, value) count collapses
+    * the data to |distinct values| rows BEFORE any window; the cumulative
+    * sums run per group (AQE-splittable key, bounded by the value
+    * histogram, not the corpus); the final max is one more partial agg.
+    * No sort of raw rows, no self-join, no driver state.
+    *
+    * @param inA boolean column: true → snapshot A, false → snapshot B
+    * @return (grp, n_a, n_b, ks) — one row per group present in both sides
+    */
+  def ksDrift(df: DataFrame, groupCol: Column, valueCol: Column, inA: Column): DataFrame = {
+    val counts = df
+      .select(groupCol.as("grp"), valueCol.cast("long").as("v"), inA.as("a"))
+      .groupBy(col("grp"), col("v"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val byG = Window.partitionBy(col("grp"))
+    val cum = counts
+      .withColumn("cuma", sum(col("ca")).over(byG.orderBy(col("v"))))
+      .withColumn("cumb", sum(col("cb")).over(byG.orderBy(col("v"))))
+      .withColumn("na", sum(col("ca")).over(byG))
+      .withColumn("nb", sum(col("cb")).over(byG))
+    cum
+      .groupBy(col("grp"))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        max(abs(col("cuma").cast(Dec) * col("nb") - col("cumb").cast(Dec) * col("na")))
+          .as("__dnum"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(
+        col("grp"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          col("__dnum").cast("double") / (col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("ks"))
+  }
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

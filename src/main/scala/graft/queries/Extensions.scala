@@ -1621,6 +1621,17 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"),
         TextStats.tokenCount(col("text")))
     },
+    // distribution-drift monitor: per-source two-sample KS distance of the
+    // n_chars distribution between two md5-hash snapshot halves (id parity
+    // won't do: the fixture derives source FROM doc_id, so parity is
+    // constant within a source) — decimal(38,0) cross-product numerator,
+    // one rounded double at the end, one-sided groups dropped (KS
+    // undefined, not zero)
+    "stats_ks_drift" -> { (s, dir) =>
+      Stats.ksDrift(
+        t(s, dir, "documents"), col("source"), col("n_chars"),
+        graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
+    },
     // Unicode NFC canonicalization (the native graft_nfc Expression):
     // decomposed suffixes (e+combining acute, A+combining ring) are
     // composed before digesting — both engines implement the same Unicode
@@ -4288,6 +4299,27 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          SELECT grp, n, CAST(n * sxy - sx * sy AS DOUBLE) /
                    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
          FROM a""",
+    // KS replay: same pooled-distinct-value formulation, HUGEINT cross
+    // products, one rounded double ratio
+    "stats_ks_drift" ->
+      """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+                  (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a
+                FROM documents),
+         cnt AS (SELECT grp, v,
+                   sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+                 FROM base GROUP BY 1, 2),
+         cum AS (SELECT grp,
+                   sum(ca) OVER (PARTITION BY grp ORDER BY v) AS cuma,
+                   sum(cb) OVER (PARTITION BY grp ORDER BY v) AS cumb,
+                   sum(ca) OVER (PARTITION BY grp) AS na,
+                   sum(cb) OVER (PARTITION BY grp) AS nb
+                 FROM cnt)
+         SELECT grp, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) /
+                      (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS ks
+         FROM cum GROUP BY grp
+         HAVING max(na) > 0 AND max(nb) > 0""",
     "emb_label_centroid" ->
       """WITH x AS (
            SELECT label, CAST(i - 1 AS INTEGER) AS pos,

@@ -268,6 +268,26 @@ class StatsSpec extends SparkSpecBase {
     assert(out.filter(_.getBoolean(5)).map(_.getLong(1)).toSet == Set(100L))
   }
 
+  test("ksDrift: planted shift scores its exact sup distance; identical halves score 0") {
+    // group "x": A = 1..100, B = 51..150 → the ECDF gap peaks at v=50
+    // (F_A=0.5, F_B=0): D = |50·100 − 0·100| / (100·100) = 0.5 exactly.
+    // group "y": both sides identical → D = 0. group "z": A-only → KS
+    // undefined → the group is absent, not zero-scored.
+    val rows =
+      (1 to 100).map(v => ("x", v.toLong, true)) ++
+        (51 to 150).map(v => ("x", v.toLong, false)) ++
+        (1 to 40).flatMap(v => Seq(("y", v.toLong, true), ("y", v.toLong, false))) ++
+        (1 to 5).map(v => ("z", v.toLong, true))
+    val df = rows.toDF("g", "v", "a")
+    val out = Stats.ksDrift(df, col("g"), col("v"), col("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("x", "y"), s"one-sided group must drop: $out")
+    assert(out("x") == ((100L, 100L, 0.5)), s"planted shift: $out")
+    assert(out("y") == ((40L, 40L, 0.0)), s"identical halves: $out")
+  }
+
   test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
     // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
     // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag
