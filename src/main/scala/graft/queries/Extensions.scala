@@ -68,6 +68,12 @@ object Extensions {
     // sentinel batch is what flushes append-mode state, and parity is
     // batch-cadence independent)
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // each parity query lives for 1-2 micro-batches and is never resumed
+    // (nanoTime-unique sinks), so checkpoint history and background state
+    // maintenance are pure overhead: retain one batch, push maintenance
+    // past the query lifetime
+    s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     // checkpoints (offset/commit logs + state snapshots) are fsync-heavy
     // tiny-file writes; a RAM-backed root removes that fixed per-batch
     // disk cost. Pid-scoped and deleted at JVM exit (Scratch); every sink
@@ -4310,13 +4316,13 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                    sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
                  FROM base GROUP BY 1, 2),
          cum AS (SELECT grp,
-                   sum(ca) OVER (PARTITION BY grp ORDER BY v) AS cuma,
-                   sum(cb) OVER (PARTITION BY grp ORDER BY v) AS cumb,
-                   sum(ca) OVER (PARTITION BY grp) AS na,
-                   sum(cb) OVER (PARTITION BY grp) AS nb
+                   CAST(sum(ca) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cuma,
+                   CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cumb,
+                   CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS na,
+                   CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS nb
                  FROM cnt)
-         SELECT grp, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
-                round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) /
+         SELECT grp, max(na) AS n_a, max(nb) AS n_b,
+                round(CAST(max(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS DOUBLE) /
                       (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS ks
          FROM cum GROUP BY grp
          HAVING max(na) > 0 AND max(nb) > 0""",
