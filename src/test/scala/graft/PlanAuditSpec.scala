@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "corpus_data_card_v2", "dedup_semantic_pairs", "curation_dsir_scores",
         "fuzzy_name_pairs", "graph_pagerank", "ts_resample_locf", "text_heavy_hitters",
         "dedup_setsim_exact", "j9_bloom_gated_join", "ev_attribution_last_touch",
-        "ann_rrf_hybrid", "curation_cluster_balance", "corpus_mix_temperature")) {
+        "ann_rrf_hybrid", "curation_cluster_balance", "corpus_mix_temperature",
+        "graph_kcore", "curation_emb_outliers", "curate_url_canon", "stats_ks_drift")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -190,6 +191,24 @@ class PlanAuditSpec extends SparkSpecBase {
       val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
       assert(cellExchanges == 1, s"expected 1 batch-side exchange, got $cellExchanges:\n$plan")
     }
+  }
+
+  test("centroid outliers: the per-cell threshold joins back as a broadcast, never sort-merge") {
+    val plan = planOf("curation_emb_outliers")
+    assert(plan.contains("BroadcastHashJoin"), s"threshold table lost its broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"one-row-per-cell table sort-merged:\n$plan")
+  }
+
+  test("ks drift: raw rows collapse to the value histogram before any window runs") {
+    // the (grp, v) count must partial-aggregate (two HashAggregate levels
+    // around its exchange) and every window partitions on grp — a global
+    // unpartitioned window would serialize the corpus through one task
+    val plan = planOf("stats_ks_drift")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, s"counts not partial-aggregated:\n$plan")
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(grp"),
+      s"window not partitioned by group:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"drift monitor degenerated:\n$plan")
   }
 
   test("AQE splits a skewed unsalted join at runtime; manual salting is for aggregates/streams") {
