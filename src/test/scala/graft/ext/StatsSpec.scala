@@ -288,6 +288,25 @@ class StatsSpec extends SparkSpecBase {
     assert(out("y") == ((40L, 40L, 0.0)), s"identical halves: $out")
   }
 
+  test("ksDrift is side-symmetric and bounded in [0, 1] on random data") {
+    // |F_A − F_B| doesn't care which snapshot is called A — and the
+    // distance is a probability-scale statistic, so values outside [0,1]
+    // would mean the cross-product rank math is wrong
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (s"g${rng.nextInt(3)}", rng.nextInt(40).toLong, rng.nextBoolean()))
+    val df = rows.toDF("g", "v", "a")
+    def asMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    val fwd = asMap(Stats.ksDrift(df, col("g"), col("v"), col("a")).collect())
+    val rev = asMap(Stats.ksDrift(df, col("g"), col("v"), !col("a")).collect())
+    assert(fwd.keySet == rev.keySet)
+    for ((g, (na, nb, d)) <- fwd) {
+      assert(rev(g) == ((nb, na, d)), s"side swap must transpose counts, keep D: $g")
+      assert(d >= 0.0 && d <= 1.0, s"D out of range: $g -> $d")
+    }
+  }
+
   test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
     // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
     // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag

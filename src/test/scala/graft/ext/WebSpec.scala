@@ -40,6 +40,20 @@ class WebSpec extends SparkSpecBase {
     assert(r.getString(0) == "site.com" && r.getString(1) == "localhost")
   }
 
+  test("normalizeUrl is idempotent: a canonical URL is its own canonical form") {
+    // canonicalization must be a projection (f∘f = f) — otherwise two
+    // passes over the same corpus could disagree on the dedup key
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/B/?utm_source=x&b=2&a=1#frag",
+      "http://site.com:8080/",
+      "http://x.y.site.com:80/P/q?z=9&y=8&utm_medium=m",
+      "https://site.com",
+      "https://site.com/p?")
+    val once = urls.toDF("u").select(Web.normalizeUrl($"u").as("n")).collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("u").select(Web.normalizeUrl($"u").as("n")).collect().map(_.getString(0))
+    assert(twice.toSeq == once.toSeq, s"not idempotent: ${once.zip(twice).filter(p => p._1 != p._2)}")
+  }
+
   test("urlDedup: crawl variants of one resource elect one survivor; non-URLs get none") {
     val rows = Seq(
       (1L, "https://www.site.com/a?b=2&a=1"),

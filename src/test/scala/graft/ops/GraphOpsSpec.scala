@@ -153,6 +153,21 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(once == thrice && once.size == 4, "fixpoint must be round-count invariant")
   }
 
+  test("kcorePeel: cores are nested — the k=3 core is a subset of the k=2 core") {
+    // core nesting is the defining property of the decomposition; a peel
+    // bug (e.g. filtering on stale degrees) breaks it first
+    val rng = new scala.util.Random(11)
+    val edges = (1 to 120)
+      .map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+      .toDF("s", "d")
+    val core2 = GraphOps.kcorePeel(edges, "s", "d", k = 2, rounds = 8)
+      .collect().map(_.getLong(0)).toSet
+    val core3 = GraphOps.kcorePeel(edges, "s", "d", k = 3, rounds = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3.subsetOf(core2), s"nesting violated: ${core3 -- core2}")
+  }
+
   test("labelPropagation: isolated edge pair converges to the lower id in one round") {
     val edges = Seq((7L, 9L)).toDF("s", "d")
     val out = GraphOps.labelPropagation(edges, "s", "d", iters = 2)
