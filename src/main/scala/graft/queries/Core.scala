@@ -698,6 +698,24 @@ object Core {
         .filter(col("issue_date") >= "1995-01-01" && col("issue_date") < "1996-01-01")
         .select(col("permit_"), col("issue_date"), col("pin_list"))
     },
+    // the SoQL `$select=count(*),min(c),max(c)` aggregate form pushed into
+    // the DSv2 scan: each partition emits ONE partial row (count/min/max
+    // over its surviving lines) and Spark's residual aggregate merges —
+    // the scan moves |partitions| rows instead of the row set
+    "s1_agg_pushdown" -> { (s, dir) =>
+      val path = Scratch.dir("permits_aggpd", dir)
+      permitsPayload(s, dir).write.mode("overwrite").json(path)
+      s.read
+        .format("graft.sources.PermitsJsonSource")
+        .option("path", path)
+        .schema(graft.sources.Sources.permitsRawSchema)
+        .load()
+        .filter(col("issue_date") >= "1995-01-01")
+        .agg(
+          count(lit(1)).as("n_permits"),
+          min(col("issue_date")).as("first_issue"),
+          max(col("issue_date")).as("last_issue"))
+    },
     // the reference's `$order=issue_date DESC` + `$limit` pair pushed into
     // the same DSv2 scan (permit_cleaning.py:546-547): each partition
     // returns its bounded local top-N, Spark's residual Sort+Limit makes
@@ -1158,6 +1176,12 @@ object Core {
          FROM orders
          WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') >= '1995-01-01'
            AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') < '1996-01-01'""",
+    "s1_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_permits,
+                min(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f')) AS first_issue,
+                max(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f')) AS last_issue
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') >= '1995-01-01'""",
     "s1_limit_pushdown" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS permit_,
                 strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS issue_date,

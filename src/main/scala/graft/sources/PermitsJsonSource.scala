@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StructType, StringType}
@@ -97,12 +98,14 @@ final class PermitsJsonScanBuilder(
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Int = -1
   private var orders: Array[PushedOrder] = Array.empty
+  private var aggs: Array[PushedAgg] = Array.empty
 
   /** Accept the filter shapes a Socrata `$where` clause supports on string
     * fields: null checks, equality and lexicographic ranges (ISO dates sort
@@ -130,8 +133,44 @@ final class PermitsJsonScanBuilder(
 
   /** `$limit`: every partition stops after `l` surviving rows. */
   override def pushLimit(l: Int): Boolean = {
+    if (aggs.nonEmpty) return false // the agg row set is already minimal
     limit = l
     true
+  }
+
+  /** `$select=count(*),min(c),max(c)` — the SoQL aggregate form. PARTIAL
+    * pushdown only (`supportCompletePushDown` stays false): the source is
+    * multi-file, so each reader returns ONE row of partition-local
+    * partials (count / min / max over its surviving lines) and Spark's
+    * residual aggregate merges them (sum of counts, min of mins) — the
+    * same division of labor as the partially-pushed TopN. The scan's
+    * output is the aggregate columns in the aggregation's order (the
+    * DSv2 positional contract): LongType for COUNT(*), the field's own
+    * type (all-string schema) for MIN/MAX. Accepted only for ungrouped
+    * aggregates over plain top-level columns; anything else stays a
+    * Spark-side aggregate over the row scan.
+    */
+  override def pushAggregation(a: aggregate.Aggregation): Boolean = {
+    if (a.groupByExpressions.nonEmpty || limit >= 0 || orders.nonEmpty) return false
+    def fieldOf(e: expressions.Expression): String = e match {
+      case r: expressions.NamedReference
+          if r.fieldNames.length == 1 && fullSchema.fieldNames.contains(r.fieldNames()(0)) =>
+        r.fieldNames()(0)
+      case _ => null
+    }
+    val compact: Array[PushedAgg] = a.aggregateExpressions.map {
+      case _: aggregate.CountStar => PushedAgg("count", null)
+      case m: aggregate.Min =>
+        val f = fieldOf(m.column); if (f == null) null else PushedAgg("min", f)
+      case m: aggregate.Max =>
+        val f = fieldOf(m.column); if (f == null) null else PushedAgg("max", f)
+      case _ => null
+    }
+    if (compact.isEmpty || compact.contains(null)) false
+    else {
+      aggs = compact
+      true
+    }
   }
 
   /** `$order … $limit`: accepted only when every sort key is a plain
@@ -140,6 +179,7 @@ final class PermitsJsonScanBuilder(
     * reader).
     */
   override def pushTopN(topNOrders: Array[expressions.SortOrder], l: Int): Boolean = {
+    if (aggs.nonEmpty) return false
     val compact = topNOrders.map { o =>
       o.expression() match {
         case ref: expressions.NamedReference if ref.fieldNames().length == 1 &&
@@ -166,7 +206,7 @@ final class PermitsJsonScanBuilder(
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new PermitsJsonScan(required, path, pushed, limit, orders, splitBytes, conf)
+    new PermitsJsonScan(required, path, pushed, limit, orders, aggs, splitBytes, conf)
 }
 
 /** Serializable sort-key spec shipped to readers: `nullsFirst` is the
@@ -175,17 +215,33 @@ final class PermitsJsonScanBuilder(
   */
 final case class PushedOrder(field: String, descending: Boolean, nullsFirst: Boolean)
 
+/** Serializable pushed-aggregate spec: `kind` ∈ count/min/max, `field`
+  * null for COUNT(*).
+  */
+final case class PushedAgg(kind: String, field: String)
+
 final class PermitsJsonScan(
     schema: StructType,
     path: String,
     filters: Array[Filter],
     limit: Int,
     orders: Array[PushedOrder],
+    aggs: Array[PushedAgg],
     splitBytes: Long,
     conf: org.apache.spark.util.SerializableConfiguration
 ) extends Scan
     with Batch {
-  override def readSchema(): StructType = schema
+  // aggregate pushdown replaces the row schema with the aggregate columns
+  // in aggregation order (positional DSv2 contract); all source fields are
+  // strings, so MIN/MAX carry StringType and COUNT(*) LongType
+  override def readSchema(): StructType =
+    if (aggs.isEmpty) schema
+    else
+      StructType(aggs.map { a =>
+        if (a.kind == "count")
+          org.apache.spark.sql.types.StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+        else org.apache.spark.sql.types.StructField(s"${a.kind}(${a.field})", StringType)
+      })
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = if (limit >= 0) s", pushedLimit=$limit" else ""
@@ -193,7 +249,11 @@ final class PermitsJsonScan(
       if (orders.nonEmpty)
         s", pushedTopN=[${orders.map(o => o.field + (if (o.descending) " DESC" else " ASC")).mkString(", ")}]"
       else ""
-    s"PermitsJsonScan(path=$path, pushed=[${filters.mkString(", ")}], cols=[${schema.fieldNames.mkString(",")}]$lim$ord)"
+    val agg =
+      if (aggs.nonEmpty)
+        s", PushedAggregates=[${aggs.map(a => s"${a.kind.toUpperCase}(${if (a.field == null) "*" else a.field})").mkString(", ")}]"
+      else ""
+    s"PermitsJsonScan(path=$path, pushed=[${filters.mkString(", ")}], cols=[${readSchema().fieldNames.mkString(",")}]$lim$ord$agg)"
   }
 
   /** Listing goes through the Hadoop FileSystem API (not `java.io.File`),
@@ -235,7 +295,7 @@ final class PermitsJsonScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PermitsJsonReaderFactory(schema, filters, limit, orders, conf)
+    new PermitsJsonReaderFactory(schema, filters, limit, orders, aggs, conf)
 }
 
 final case class PermitsJsonInputPartition(file: String, start: Long, end: Long)
@@ -246,11 +306,12 @@ final class PermitsJsonReaderFactory(
     filters: Array[Filter],
     limit: Int,
     orders: Array[PushedOrder],
+    aggs: Array[PushedAgg],
     conf: org.apache.spark.util.SerializableConfiguration
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PermitsJsonInputPartition]
-    new PermitsJsonPartitionReader(p.file, p.start, p.end, schema, filters, limit, orders, conf)
+    new PermitsJsonPartitionReader(p.file, p.start, p.end, schema, filters, limit, orders, aggs, conf)
   }
 }
 
@@ -271,6 +332,7 @@ final class PermitsJsonPartitionReader(
     filters: Array[Filter],
     limit: Int,
     orders: Array[PushedOrder],
+    aggs: Array[PushedAgg],
     conf: org.apache.spark.util.SerializableConfiguration
 ) extends PartitionReader[InternalRow] {
 
@@ -412,8 +474,62 @@ final class PermitsJsonPartitionReader(
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
+  /** Pushed-aggregate path: one pass over the split's surviving lines,
+    * one emitted row of partition-local partials — count of survivors,
+    * min/max per requested field in UTF8String binary order (the same
+    * ordering Spark's residual merge applies to StringType, so the local
+    * partials are exactly what the global aggregate needs). An empty
+    * split contributes (0, null, null) — absorbed by SUM/MIN/MAX.
+    */
+  private def buildAggRow(): InternalRow = {
+    var cnt = 0L
+    val mins = new Array[UTF8String](aggs.length)
+    val maxs = new Array[UTF8String](aggs.length)
+    var raw = nextLine()
+    while (raw != null) {
+      val line = raw.trim
+      if (line.nonEmpty) {
+        val obj = mapper.readTree(line)
+        val get = (name: String) => fieldValue(obj, name)
+        if (passes(get)) {
+          cnt += 1
+          var i = 0
+          while (i < aggs.length) {
+            val a = aggs(i)
+            if (a.field != null) {
+              val v = get(a.field)
+              if (v != null) {
+                val u = UTF8String.fromString(v)
+                if (a.kind == "min" && (mins(i) == null || u.compareTo(mins(i)) < 0)) mins(i) = u
+                if (a.kind == "max" && (maxs(i) == null || u.compareTo(maxs(i)) > 0)) maxs(i) = u
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      raw = nextLine()
+    }
+    InternalRow.fromSeq(aggs.zipWithIndex.map { case (a, i) =>
+      a.kind match {
+        case "count" => cnt
+        case "min" => mins(i)
+        case "max" => maxs(i)
+      }
+    }.toIndexedSeq)
+  }
+
+  private var aggEmitted = false
+
   override def next(): Boolean = {
-    if (orders.nonEmpty) {
+    if (aggs.nonEmpty) {
+      if (aggEmitted) { current = null; false }
+      else {
+        current = buildAggRow()
+        aggEmitted = true
+        true
+      }
+    } else if (orders.nonEmpty) {
       if (topNRows == null) topNRows = buildTopN()
       if (topNRows.hasNext) { current = topNRows.next(); true }
       else { current = null; false }

@@ -167,6 +167,39 @@ class PermitsJsonSourceSpec extends SparkSpecBase {
     assert(df.filter($"pin_list" === "7").count() == 1)
   }
 
+  test("ungrouped count/min/max push into the scan: one partial row per partition") {
+    val dir = writeFixture()
+    val extra = Seq(
+      """{"permit_":"P4","issue_date":"1997-01-01T00:00:00.000000","pin_list":"444"}""",
+      """{"permit_":"P5","issue_date":"1998-01-01T00:00:00.000000","pin_list":null}"""
+    )
+    Files.write(new java.io.File(dir, "part-1.json").toPath, extra.mkString("\n").getBytes)
+    val agg = load(dir).agg(
+      count(lit(1)).as("n"),
+      min($"issue_date").as("lo"),
+      max($"issue_date").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[COUNT(*), MIN(issue_date), MAX(issue_date)]"),
+      s"aggregates not pushed:\n$plan")
+    val r = agg.collect().head
+    assert(r.getLong(0) == 5L, s"count: $r")
+    assert(r.getString(1) == "1995-01-01T00:00:00.000000", s"min: $r")
+    assert(r.getString(2) == "1998-01-01T00:00:00.000000", s"max: $r")
+    // composes with a fully-pushed filter: partials are over SURVIVORS
+    val filtered = load(dir)
+      .filter($"issue_date" >= "1996-01-01")
+      .agg(count(lit(1)).as("n"), max($"pin_list").as("mp"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedAggregates=[COUNT(*), MAX(pin_list)]"), fplan)
+    val fr = filtered.collect().head
+    assert(fr.getLong(0) == 3L && fr.getString(1) == "444", s"filtered agg: $fr")
+    // grouped aggregation is NOT pushed — stays an honest row scan
+    val grouped = load(dir).groupBy($"pin_list").count()
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(!gplan.contains("PushedAggregates"), gplan)
+    assert(grouped.collect().map(_.getLong(1)).sum == 5L)
+  }
+
   test("multi-file limit stays exact: partitions over-supply, Spark's residual limit trims") {
     val dir = writeFixture()
     // second file: the per-partition bound means the scan may emit up to
