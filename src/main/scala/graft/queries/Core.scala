@@ -598,6 +598,32 @@ object Core {
         .filter(col("yr") === 1995)
         .select(col("o_orderkey"), col("o_totalprice"), col("yr"))
     },
+    // dynamic partition pruning over the year-partitioned layout: the
+    // dim side (years where a customer cohort was active) is unknowable at
+    // plan time, so the fact scan's partition filter is a RUNTIME
+    // dynamicpruning subquery fed by the reused broadcast — the mechanism
+    // that keeps a 100 TB partitioned fact from full-scanning under a
+    // selective dim join (plan-asserted in PlanAuditSpec)
+    "s10_dpp_join" -> { (s, dir) =>
+      val path = Scratch.dir("partitioned_dpp", dir)
+      graft.sources.Sources.writePartitioned(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            year(col("o_orderdate")).as("yr")),
+        path, "yr")
+      val fact = s.read.parquet(path)
+      val dim = broadcast(
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 50 === 7)
+          .select(year(col("o_orderdate")).as("yr"))
+          .distinct())
+      fact
+        .join(dim, Seq("yr"))
+        .groupBy(col("yr"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice")).cast("long")).as("total"))
+    },
     // ---- S11: ORC columnar roundtrip -------------------------------------
     // second columnar format (orc-core ships with Spark): write, scan back
     // with a predicate that reaches the reader (PushedFilters asserted in
@@ -1231,6 +1257,13 @@ object Core {
     "s10_partition_pruned" ->
       """SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS yr
          FROM orders WHERE year(o_orderdate) = 1995""",
+    "s10_dpp_join" ->
+      """WITH dimy AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders WHERE o_custkey % 50 = 7)
+         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total
+         FROM orders JOIN dimy ON year(o_orderdate) = dimy.yr
+         GROUP BY 1""",
     "s11_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_orderstatus = 'F'"""

@@ -193,6 +193,13 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("dpp join: the fact scan carries a runtime dynamicpruning partition filter") {
+    val plan = planOf("s10_dpp_join")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim side lost its broadcast:\n$plan")
+  }
+
   test("centroid outliers: the per-cell threshold joins back as a broadcast, never sort-merge") {
     val plan = planOf("curation_emb_outliers")
     assert(plan.contains("BroadcastHashJoin"), s"threshold table lost its broadcast:\n$plan")
