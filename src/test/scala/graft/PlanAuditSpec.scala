@@ -218,6 +218,31 @@ class PlanAuditSpec extends SparkSpecBase {
       s"drift monitor degenerated:\n$plan")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join (the automatic j9)") {
+    // when neither side broadcasts, Spark can inject a bloom filter from
+    // the filtered build side into the probe scan (InjectRuntimeFilter) —
+    // the engine-native form of LinkOps.bloomGatedJoin. Verify the engine
+    // composes with it: might_contain gates the probe side pre-shuffle,
+    // and the row result is the plain join's.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"), col("l_quantity"))
+      val p = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_size") === 10).select(col("p_partkey"), col("p_name"))
+      val joined = li.join(p, li("l_partkey") === p("p_partkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"no runtime bloom filter injected:\n$plan")
+      val n = joined.count()
+      val plain = li.join(broadcast(p), li("l_partkey") === p("p_partkey")).count()
+      assert(n == plain, s"runtime-filtered join changed the result: $n vs $plain")
+    }
+  }
+
   test("AQE splits a skewed unsalted join at runtime; manual salting is for aggregates/streams") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
