@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
 object Web {
 
   /** Canonical form of an absolute http(s) URL:
-    *   - scheme and host lowercased; a leading `www.` label dropped
+    *   - scheme and host lowercased; a leading `www.` label dropped;
+    *     userinfo (`user:pass@`) dropped (never resource identity, and a
+    *     credential must not leak into a dedup key); bracketed IPv6
+    *     hosts parse atomically
     *   - default ports stripped (`:443` under https, `:80` under http);
     *     any other explicit port kept
     *   - path kept case-SENSITIVE (paths are), trailing slashes stripped,
@@ -30,9 +33,19 @@ object Web {
     */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val hostport0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // userinfo ("user:pass@host") is dropped — it is never part of the
+    // resource identity and leaking credentials into a dedup key would be
+    // worse than wrong
+    val hostport = regexp_replace(hostport0, "^[^@]*@", "")
+    // bracketed IPv6 ("[::1]:8080") parses atomically: the host keeps its
+    // brackets, the port comes after "]:"; bare colons inside the
+    // brackets never reach the port regex
+    val bracket = regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1)
+    val host = when(bracket =!= "", bracket)
+      .otherwise(regexp_replace(regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", ""))
+    val port = when(bracket =!= "", regexp_extract(hostport, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(hostport, ":([0-9]+)$", 1))
     val keepPort = (port =!= "") &&
       !(scheme === "https" && port === "443") &&
       !(scheme === "http" && port === "80")
@@ -64,9 +77,14 @@ object Web {
     */
   def domainOf(host: Column): Column = {
     val labels = split(host, "\\.")
-    when(size(labels) >= 2,
-      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
-      .otherwise(host)
+    // IP-literal hosts (dotted-quad or bracketed IPv6) have no registrable
+    // domain — they come back unchanged, never truncated to "last two
+    // octets"
+    when(host.rlike("^\\[") || host.rlike("^[0-9.]+$"), host)
+      .otherwise(
+        when(size(labels) >= 2,
+          concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+          .otherwise(host))
   }
 
   /** Per-URL canonicalization + URL-level dedup in one pass: every input
@@ -81,8 +99,12 @@ object Web {
     */
   def urlDedup(df: DataFrame, idCol: Column, urlCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hostport = lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", "")
+    val hostport = regexp_replace(
+      lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^[^@]*@", "")
+    val bracket = regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1)
+    val host = when(bracket =!= "", bracket)
+      .otherwise(regexp_replace(regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", ""))
     df.select(
         idCol.as("id"),
         normalizeUrl(urlCol).as("url_norm"),
