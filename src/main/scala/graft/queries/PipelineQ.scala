@@ -312,10 +312,11 @@ object PipelineQ {
       val pins = pinUniverse(s, dir)
         .select(PinOps.zfill14(col("pin")).as("pin"))
         .withColumn("pin_hyphenated", PinOps.hyphenate(col("pin")))
-      graft.sources.Xlsx.writeSheets(
-        Seq("Permits" -> permits, "Universe of Valid PINs" -> pins),
-        path
-      )
+      Scratch.once(new java.io.File(path).getParent)(
+        graft.sources.Xlsx.writeSheets(
+          Seq("Permits" -> permits, "Universe of Valid PINs" -> pins),
+          path
+        ))
       graft.sources.Xlsx.read(s, path, Some("Universe of Valid PINs"))
     },
     "legacy_upload" -> { (s, dir) =>

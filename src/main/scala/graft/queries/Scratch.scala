@@ -20,6 +20,24 @@ object Scratch {
     created.forEach(p => deleteRecursively(new java.io.File(p)))
   }))
 
+  /** Run a fixture-building `write` ONCE per JVM for `path`: the fixture
+    * content is a deterministic function of the sf dir and the path is
+    * pid-scoped, so re-writing on every invocation — bench runs each
+    * query three times (warmup + two timed passes) — only re-measures
+    * harness setup, not the scan under test. The `_graft_done` marker is
+    * created AFTER `write` returns, so a crashed build never counts; the
+    * underscore prefix keeps every Spark/Hadoop file listing from
+    * treating the marker as data.
+    */
+  def once(path: String)(write: => Unit): Unit = {
+    val marker = new java.io.File(path, "_graft_done")
+    if (!marker.exists()) {
+      write
+      marker.getParentFile.mkdirs()
+      marker.createNewFile(): Unit
+    }
+  }
+
   /** Delete a scratch path's CURRENT contents now (for queries that append
     * into a dir and re-run within one JVM — bench's warmup + two timed
     * passes would otherwise accumulate duplicate rows).
