@@ -206,9 +206,10 @@ object Extensions {
       // the table out from under a bench JVM's probe (Scratch's
       // concurrent-JVM concern, catalog-table form)
       val idxTable = Scratch.table("lsh_idx")
-      Dedup.persistLshIndex(
-        corpus, col("doc_id"), col("text"), table = idxTable, buckets = 8,
-        n = 3, k = 8, bands = 4)
+      Scratch.tableOnce(idxTable, dir)(
+        Dedup.persistLshIndex(
+          corpus, col("doc_id"), col("text"), table = idxTable, buckets = 8,
+          n = 3, k = 8, bands = 4))
       val cands = Dedup.probeLshIndex(
         s, idxTable, incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
       val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
@@ -640,7 +641,8 @@ object Extensions {
       val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
       val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       val tbl = Scratch.table("ann_idx")
-      Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+      Scratch.tableOnce(tbl, dir)(
+        Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 8))
       Similarity.scoreAgainstAnnIndex(
         s, tbl, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         coarse, books, nprobe = 2, k = 3)
@@ -1395,7 +1397,8 @@ object Extensions {
       val corpus = e.filter(col("vec_id") % 5 =!= 0)
       val incoming = e.filter(col("vec_id") % 5 === 0)
       val tbl = Scratch.table("sem_idx")
-      Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, tbl, buckets = 8)
+      Scratch.tableOnce(tbl, dir)(
+        Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, tbl, buckets = 8))
       Dedup.probeSemanticIndex(s, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.42)
     },
     // ---- curation: packing / scrubbing / repetition / sketches / rank ----
