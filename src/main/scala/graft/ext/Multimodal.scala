@@ -797,6 +797,36 @@ object Multimodal {
       }
   }
 
+  /** Shot-boundary (scene-cut) detection over REAL demuxed + decoded
+    * video frames — the segmentation step a video training pipeline runs
+    * before frame sampling, so samples don't straddle a cut. Every
+    * consecutive frame pair of each asset scores the absolute luma-sum
+    * delta; a cut fires when the PER-PIXEL mean delta exceeds
+    * `thresholdPerPixel`, compared in cross-multiplied integers
+    * (`|Δsum| > thr·w·h`) so no division exists to diverge between
+    * engines.
+    *
+    * Scale shape: the demux/decode is map-only (one codec per partition);
+    * the pairing is one lag window per asset key, bounded by that asset's
+    * frame count — never a corpus-wide sort. First frames (no
+    * predecessor) emit no row: a cut is a property of a transition.
+    */
+  def sceneCuts(assets: DataFrame, thresholdPerPixel: Int): DataFrame = {
+    require(thresholdPerPixel >= 0, "threshold must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    demuxVideoFrames(assets, everyNth = 1)
+      .toDF()
+      .withColumn("__prev", lag(col("pix_sum"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(
+        col("asset_id"),
+        col("frame_idx"),
+        abs(col("pix_sum") - col("__prev")).as("delta_sum"),
+        (abs(col("pix_sum") - col("__prev")) >
+          lit(thresholdPerPixel.toLong) * col("width") * col("height")).as("is_cut"))
+  }
+
   /** WAVE codec with the SPI providers resolved ONCE per JVM: the
     * `AudioSystem` statics re-walk the provider registry on every call —
     * at one call per row that scan dominates tiny-clip workloads (measured

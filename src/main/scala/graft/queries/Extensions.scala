@@ -778,6 +778,15 @@ object Extensions {
           everyNth = 2)
         .toDF()
     },
+    // shot-boundary detection over the REAL demux+decode path: per-pixel
+    // mean luma delta between consecutive frames, cut at >100 (the synth
+    // frame values step by 17 mod 256, so only the mod-wrap transitions
+    // fire — data-dependent across assets, arithmetic the oracle replays)
+    "mm_video_scene_cuts" -> { (s, dir) =>
+      Multimodal.sceneCuts(
+        Multimodal.synthMjpegVideos(tPar(s, dir, "documents"), "doc_id"),
+        thresholdPerPixel = 100)
+    },
     // REAL audio decode end-to-end: genuine RIFF/WAVE PCM-16 bytes encoded
     // executor-side (javax.sound.sampled) from id-derived samples, decoded
     // back by the real codec; PCM is lossless so the oracle recomputes
@@ -3554,6 +3563,27 @@ object Extensions {
          CROSS JOIN generate_series(0, 14) AS y(g)
          WHERE x.g < s.width AND y.g < s.height
          GROUP BY 1, 2, 3, 4, 5, 6""",
+    // scene-cut replay: frame value (id*31 + f*17) % 256, delta_sum =
+    // w*h*|v_f - v_{f-1}|, cut iff |Δv| > 100 (the cross-multiplied form)
+    "mm_video_scene_cuts" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                  CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT id, width, height, CAST(unnest(range(0, n_frames)) AS INTEGER) AS f
+           FROM a),
+         fv AS (SELECT id, width, height, f, (id * 31 + f * 17) % 256 AS v FROM fr),
+         d AS (
+           SELECT id, width, height, f, v,
+                  lag(v) OVER (PARTITION BY id ORDER BY f) AS pv
+           FROM fv)
+         SELECT id AS asset_id, f AS frame_idx,
+                CAST(width * height * abs(v - pv) AS BIGINT) AS delta_sum,
+                abs(v - pv) > 100 AS is_cut
+         FROM d WHERE pv IS NOT NULL""",
     "mm_video_frames" ->
       """WITH a AS (
            SELECT doc_id AS id,

@@ -338,6 +338,22 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("sceneCuts: the mod-wrap transition flags, the small step doesn't, single frames emit nothing") {
+    // id=8 (3 frames): v = 248 → 9 → 26, so f=1 is a wrap cut (|Δ|=239)
+    // and f=2 a plain step (17); id=1 (2 frames): 31 → 48, no cut;
+    // id=0 has one frame — no transition, no row
+    val assets = Multimodal.synthMjpegVideos(Seq(0L, 1L, 8L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.sceneCuts(assets, thresholdPerPixel = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet == Set((1L, 1), (8L, 1), (8L, 2)), s"transition rows: $out")
+    val area8 = (1 + 8 % 13).toLong * (1 + 8 % 11)
+    assert(out((8L, 1)) == ((239L * area8, true)), s"wrap cut: $out")
+    assert(out((8L, 2)) == ((17L * area8, false)), s"plain step: $out")
+    assert(!out((1L, 1))._2, s"small step must not cut: $out")
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head
