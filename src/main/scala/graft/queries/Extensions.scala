@@ -149,6 +149,30 @@ object Extensions {
       Dedup.simhashed(tPar(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("fp"))
     },
+    // k-NN similarity graph (the SemDeDup / graph-clustering input): each
+    // doc keeps its top-3 most-similar neighbors among the LSH candidates
+    // by exact verified Jaccard — no similarity threshold, a RANK cap, so
+    // sparse regions still get neighbors. Symmetrized before ranking
+    // (LSH emits each unordered pair once); one bounded window per node
+    "dedup_knn_graph" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val cands = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      val scored = cands
+        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
+        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
+        .select(
+          col("id_lo"), col("id_hi"),
+          Dedup.jaccardSorted(col("g_lo"), col("g_hi")).as("jac"))
+      val sym = scored
+        .select(col("id_lo").as("src"), col("id_hi").as("dst"), col("jac"))
+        .unionAll(scored.select(col("id_hi").as("src"), col("id_lo").as("dst"), col("jac")))
+      val w = Window.partitionBy(col("src")).orderBy(col("jac").desc, col("dst").asc)
+      sym
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), col("rank"), round(col("jac"), 6).as("jac"))
+    },
     // the quarantine surface of the capped LSH pair generation: every band
     // bucket whose membership exceeds the cap, for upstream handling — the
     // boilerplate clusters the pairing stage deliberately skipped
@@ -3059,6 +3083,26 @@ object Extensions {
         JOIN g gb ON gb.doc_id = id_hi
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    // knn-graph twin: the shared LSH candidate CTE chain, exact Jaccard,
+    // symmetrize, top-3 per node by (jac DESC, dst)
+    "dedup_knn_graph" ->
+      (gramsCte + sigBandedCandsCte + """
+        , scored AS (
+          SELECT id_lo, id_hi,
+            CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jac
+          FROM cands
+          JOIN g ga ON ga.doc_id = id_lo
+          JOIN g gb ON gb.doc_id = id_hi
+        ), sym AS (
+          SELECT id_lo AS src, id_hi AS dst, jac FROM scored
+          UNION ALL
+          SELECT id_hi AS src, id_lo AS dst, jac FROM scored
+        ), rk AS (
+          SELECT src, dst, jac,
+                 CAST(row_number() OVER (PARTITION BY src ORDER BY jac DESC, dst) AS INTEGER) AS rank
+          FROM sym)
+        SELECT src, dst, rank, round(jac, 6) AS jac FROM rk WHERE rank <= 3"""),
     "dedup_incremental" -> incrementalProbeSql,
     // the persisted-bucketed probe is an EXECUTION-layout variant: the
     // pair set is defined identically, so the oracle is shared verbatim
