@@ -294,6 +294,47 @@ object Stats {
           6).as("ks"))
   }
 
+  /** Total-variation distance per group — [[ksDrift]]'s categorical
+    * complement (language mix, source mix, label distribution — anywhere
+    * the values have no order for an ECDF to walk):
+    * `TVD = ½ Σ_c |p_c − q_c| = Σ_c |a_c·n_B − b_c·n_A| / (2·n_A·n_B)`,
+    * over the union of categories (a category absent from one side
+    * contributes its full mass). Cross products in decimal(38,0), one
+    * rounded double at the end, one-sided groups dropped — the exact
+    * discipline of the KS monitor.
+    *
+    * Scale shape: one partial-agg-friendly (group, category) count, one
+    * bounded per-group total, one more partial agg for the sum — no
+    * window at all, no sort, no self-join.
+    */
+  def tvdDrift(df: DataFrame, groupCol: Column, catCol: Column, inA: Column): DataFrame = {
+    val counts = df
+      .select(groupCol.as("grp"), catCol.as("cat"), inA.as("a"))
+      .groupBy(col("grp"), col("cat"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val byG = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("na", sum(col("ca")).over(byG))
+      .withColumn("nb", sum(col("cb")).over(byG))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        sum(abs(col("ca").cast(Dec) * col("nb") - col("cb").cast(Dec) * col("na")))
+          .as("__dnum"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(
+        col("grp"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          col("__dnum").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("tvd"))
+  }
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

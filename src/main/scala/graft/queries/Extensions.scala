@@ -1674,6 +1674,14 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"),
         graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
     },
+    // categorical drift: per-source total-variation distance of the LANG
+    // mix between the same md5-hash halves — the unordered-category
+    // complement of the KS monitor, same integer cross-product discipline
+    "stats_tvd_drift" -> { (s, dir) =>
+      Stats.tvdDrift(
+        t(s, dir, "documents"), col("source"), col("lang"),
+        graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
+    },
     // Unicode NFC canonicalization (the native graft_nfc Expression):
     // decomposed suffixes (e+combining acute, A+combining ring) are
     // composed before digesting — both engines implement the same Unicode
@@ -4384,6 +4392,23 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM a""",
     // KS replay: same pooled-distinct-value formulation, HUGEINT cross
     // products, one rounded double ratio
+    "stats_tvd_drift" ->
+      """WITH base AS (SELECT source AS grp, lang AS cat,
+                  (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a
+                FROM documents),
+         cnt AS (SELECT grp, cat,
+                   sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+                 FROM base GROUP BY 1, 2),
+         tot AS (SELECT grp, cat, ca, cb,
+                   CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS na,
+                   CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS nb
+                 FROM cnt)
+         SELECT grp, max(na) AS n_a, max(nb) AS n_b,
+                round(CAST(sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE) /
+                      (2.0 * CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS tvd
+         FROM tot GROUP BY grp
+         HAVING max(na) > 0 AND max(nb) > 0""",
     "stats_ks_drift" ->
       """WITH base AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a

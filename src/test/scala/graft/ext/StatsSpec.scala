@@ -307,6 +307,27 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("tvdDrift: disjoint category mixes score 1, identical mixes 0, one-sided groups drop") {
+    val rows =
+      (1 to 10).map(_ => ("x", "a", true)) ++ (1 to 10).map(_ => ("x", "b", false)) ++
+        (1 to 5).flatMap(_ => Seq(("y", "a", true), ("y", "a", false),
+          ("y", "b", true), ("y", "b", false))) ++
+        (1 to 3).map(_ => ("z", "a", true))
+    val out = Stats.tvdDrift(rows.toDF("g", "c", "a"), col("g"), col("c"), col("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("x", "y"), s"one-sided group must drop: $out")
+    assert(out("x") == ((10L, 10L, 1.0)), s"disjoint mixes: $out")
+    assert(out("y") == ((10L, 10L, 0.0)), s"identical mixes: $out")
+    // a 3:1 vs 1:3 flip: TVD = 1/2(|3/4-1/4| + |1/4-3/4|) = 0.5 exactly
+    val skew = ((1 to 3).map(_ => ("s", "a", true)) :+ (("s", "b", true))) ++
+      ((1 to 3).map(_ => ("s", "b", false)) :+ (("s", "a", false)))
+    val d = Stats.tvdDrift(skew.toDF("g", "c", "a"), col("g"), col("c"), col("a"))
+      .collect().head.getDouble(3)
+    assert(d == 0.5, s"3:1 flip must score exactly 0.5: $d")
+  }
+
   test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
     // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
     // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag
