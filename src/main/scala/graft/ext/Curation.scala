@@ -204,6 +204,51 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Deterministic round-robin source interleaving (the equal-ratio
+    * `interleave_datasets` dataloader shape): each source's rows get a
+    * deterministic within-source shuffle order (md5 gate, id tie-break),
+    * and global position `r·|S| + src_idx` deals the sources out
+    * alternately — position p reads source p mod |S|, so any contiguous
+    * slice of the ordering carries every source in equal measure (up to
+    * the shorter sources running dry at the tail). The epoch literal
+    * reshuffles WITHIN sources while preserving the interleave — the
+    * per-epoch reshuffle a training loop wants, retry-stable unlike
+    * rand().
+    *
+    * Scale shape: one bounded distinct for the source index (the global
+    * window ranks |sources| rows — model-sized, the [[shuffleShards]]
+    * rationale), broadcast back; the within-source ranking is one window
+    * per source key. No global sort: downstream writers range-partition
+    * on `pos` if a totally-ordered layout is needed.
+    */
+  def interleaveRoundRobin(
+      df: DataFrame,
+      idCol: Column,
+      sourceCol: Column,
+      epoch: Int = 0
+  ): DataFrame = {
+    requireWorkCols(df, "__h", "__r", "__sidx", "__nsrc")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("doc_id"), sourceCol.as("source"))
+    val srcIdx = base
+      .select(col("source"))
+      .distinct()
+      .withColumn("__sidx", row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("__nsrc"))
+    val w = Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))
+    base
+      .withColumn(
+        "__h",
+        graft.ops.Hashing.md5Long(concat(lit(s"e$epoch#"), col("doc_id").cast("string"))))
+      .withColumn("__r", row_number().over(w).cast("long") - 1)
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc)) // one-row frame: the cross join is a scalar
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("__r") * col("__nsrc") + col("__sidx")).as("pos"))
+  }
+
   /** Group-level quality gate: keep every document whose GROUP's mean of
     * `valueCol` clears `minMean` — the "drop low-quality domains
     * wholesale" curation step (a per-document filter can't express it: the

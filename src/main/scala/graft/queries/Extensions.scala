@@ -1674,6 +1674,13 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("n_chars"),
         graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
     },
+    // deterministic round-robin source interleave (the dataloader order):
+    // position p reads source p mod |S|, within-source order is the epoch-
+    // salted md5 shuffle — every contiguous slice carries every source
+    "corpus_interleave_rr" -> { (s, dir) =>
+      Curation.interleaveRoundRobin(
+        t(s, dir, "documents"), col("doc_id"), col("source"), epoch = 1)
+    },
     // categorical drift: per-source total-variation distance of the LANG
     // mix between the same md5-hash halves — the unordered-category
     // complement of the KS monitor, same integer cross-product discipline
@@ -4392,6 +4399,20 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM a""",
     // KS replay: same pooled-distinct-value formulation, HUGEINT cross
     // products, one rounded double ratio
+    // interleave twin: same md5 epoch salt, same (hash, id) within-source
+    // rank, same r*|S| + src_idx position arithmetic
+    "corpus_interleave_rr" ->
+      """WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx
+                FROM (SELECT DISTINCT source FROM documents)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nsrc FROM s),
+         h AS (SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(concat('e1#', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS hh
+               FROM documents),
+         r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) - 1 AS r
+               FROM h)
+         SELECT r.doc_id, r.source, r.r * n.nsrc + s.sidx AS pos
+         FROM r JOIN s ON s.source = r.source CROSS JOIN n""",
     "stats_tvd_drift" ->
       """WITH base AS (SELECT source AS grp, lang AS cat,
                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a

@@ -406,6 +406,30 @@ class CurationSpec extends SparkSpecBase {
     assert(ids == Set(1L), s"whitespace-only and empty docs must drop out, got $ids")
   }
 
+  test("interleaveRoundRobin: sources alternate, epochs reshuffle within-source only") {
+    // sources a (3 rows) and b (2 rows): a holds positions {0,2,4},
+    // b {1,3} — stride |S| per source, so any prefix alternates sources
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b")
+    ).toDF("doc_id", "source")
+    val out = Curation.interleaveRoundRobin(df, $"doc_id", $"source", epoch = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.values.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L), s"dense positions: $out")
+    assert(out.filter(_._2._1 == "a").values.map(_._2).toSet == Set(0L, 2L, 4L), s"a stride: $out")
+    assert(out.filter(_._2._1 == "b").values.map(_._2).toSet == Set(1L, 3L), s"b stride: $out")
+    // deterministic; a new epoch may permute WITHIN a source but every
+    // position keeps its source lane (pos mod |S| is the source index)
+    val again = Curation.interleaveRoundRobin(df, $"doc_id", $"source", epoch = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(again == out)
+    val e2 = Curation.interleaveRoundRobin(df, $"doc_id", $"source", epoch = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(e2.forall { case (_, (src, pos)) =>
+      (pos % 2 == 0) == (src == "a")
+    }, s"epoch must preserve the source lanes: $e2")
+    assert(e2 != out, "epoch 2 should reshuffle the within-source order")
+  }
+
   test("centroidOutliers: the fringe vector flags, the cut-rank tie stays an inlier") {
     // two fixed centroids at 0 and 1000 (quantized units); cell 0 holds
     // five vectors at quantized distances {0,1,4,4,10000} — with p=4/5 the
