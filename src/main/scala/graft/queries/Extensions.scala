@@ -1943,6 +1943,38 @@ object Extensions {
           col("asof_cid").as("click_id"),
           unix_micros(col("asof_ts")).as("click_us"))
     },
+    // LINEAR multi-touch attribution: every click at-or-before a purchase
+    // shares the credit equally, in integer cents — credit = cents div n
+    // with the remainder assigned to the most recent click (ties to the
+    // greatest click id, the asofJoin tie rule), so Σ credit == cents
+    // exactly and any engine replays the split. Purchases with no prior
+    // click emit no rows (no touch, no credit — inner-join semantics).
+    // Scale: one user-keyed join bounded by per-user activity, one window
+    // per purchase key
+    "ev_attribution_linear" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      val j = purchases.join(clicks, Seq("user_id")).filter(col("cts") <= col("ts"))
+      val byP = Window.partitionBy(col("purchase_id"))
+      j.withColumn("n_touches", count(lit(1)).over(byP))
+        .withColumn(
+          "rn",
+          row_number().over(byP.orderBy(col("cts").desc, col("click_id").desc)))
+        .select(
+          col("user_id"),
+          col("purchase_id"),
+          col("click_id"),
+          col("n_touches"),
+          (expr("cents div n_touches") +
+            when(col("rn") === 1, expr("cents % n_touches")).otherwise(0L)).as("credit_cents"))
+    },
     "ev_funnel" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
       // anchor via aggregate + broadcast-join back, NOT a per-user window:
@@ -4614,6 +4646,24 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
                 cid AS click_id, epoch_us(cts) AS click_us
          FROM j WHERE rn = 1""",
+    // linear attribution twin: same integer-cents split, remainder to the
+    // most recent click (greatest id on a timestamp tie)
+    "ev_attribution_linear" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
+               FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts),
+         w AS (SELECT user_id, purchase_id, click_id, cents,
+                 CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+                 row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn
+               FROM j)
+         SELECT user_id, purchase_id, click_id, n_touches,
+                CAST(cents // n_touches +
+                     CASE WHEN rn = 1 THEN cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
+         FROM w""",
     "ev_funnel" ->
       """WITH a AS (
            SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
