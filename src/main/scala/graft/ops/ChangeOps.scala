@@ -125,6 +125,26 @@ object ChangeOps {
           :+ col("__vt").isNull.as("is_current"): _*)
   }
 
+  /** Point-in-time reconstruction (time travel) from a [[changelogHistory]]
+    * frame: the version of each key valid AT sequence time `t` —
+    * `valid_from <= t < valid_to` with an open `valid_to` meaning
+    * still-current. A key deleted before `t` (no interval covers it) is
+    * simply absent, exactly as the live table at `t` would show. Pure
+    * map-side filter: time travel over a versioned table is a scan
+    * predicate, never a join — at scale the history sits partitioned or
+    * sorted on `valid_from`, so the predicate also prunes files.
+    *
+    * @return the history's data columns + `valid_from` (the version id)
+    */
+  def snapshotAt(history: DataFrame, t: Long): DataFrame = {
+    require(
+      Seq("valid_from", "valid_to", "is_current").forall(history.columns.contains),
+      "history must be a changelogHistory frame (valid_from/valid_to/is_current)")
+    history
+      .filter(col("valid_from") <= t && (col("valid_to").isNull || lit(t) < col("valid_to")))
+      .drop("valid_to", "is_current")
+  }
+
   def applyChangelog(
       base: DataFrame,
       changes: DataFrame,

@@ -324,6 +324,27 @@ object Extensions {
     // enter as seq-0 upserts; every 7th order re-priced at seq 1, every
     // 11th deleted at seq 2 — one validity interval per upsert, deletes
     // close their predecessor's interval
+    // time travel: the table AS OF sequence time 2 — upserted keys show
+    // their seq-1 version, keys deleted at seq 2 are absent (an interval
+    // filter, not a join; the snapshot is a scan predicate)
+    "scd_snapshot_at" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
+      val upserts = base
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+        .withColumn("seq", lit(1L))
+      val deletes = base
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D"))
+        .withColumn("seq", lit(2L))
+      graft.ops.ChangeOps.snapshotAt(
+        graft.ops.ChangeOps.changelogHistory(
+          asInserts.unionByName(upserts).unionByName(deletes),
+          Seq("o_orderkey"), "op", "seq"),
+        t = 2L)
+    },
     "scd_history" -> { (s, dir) =>
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
@@ -3205,6 +3226,20 @@ object Extensions {
     "scd_changelog_apply" -> changelogApplySql,
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
+    // snapshot twin: the history CTE filtered to intervals covering t=2
+    "scd_snapshot_at" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+         rows AS (
+           SELECT o_orderkey, o_totalprice, 0 AS vf,
+             CASE WHEN o_orderkey % 7 = 0 THEN 1
+                  WHEN o_orderkey % 11 = 0 THEN 2 END AS vt
+           FROM base
+           UNION ALL
+           SELECT o_orderkey, o_totalprice + 1000, 1,
+             CASE WHEN o_orderkey % 11 = 0 THEN 2 END
+           FROM base WHERE o_orderkey % 7 = 0)
+         SELECT o_orderkey, o_totalprice, CAST(vf AS BIGINT) AS valid_from
+         FROM rows WHERE vf <= 2 AND (vt IS NULL OR 2 < vt)""",
     "scd_history" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
          rows AS (

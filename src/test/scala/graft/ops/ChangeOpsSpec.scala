@@ -145,6 +145,22 @@ class ChangeOpsSpec extends SparkSpecBase {
     assert(got == Set((1L, "a2", 11.0), (9L, "new", 90.0)))
   }
 
+  test("snapshotAt reconstructs the table as of each sequence time; deletes vanish") {
+    // key 1: insert@0, update@1; key 2: insert@0, delete@2; key 3: insert@0
+    val changes = Seq(
+      (1L, "a1", "U", 0L), (1L, "a2", "U", 1L),
+      (2L, "b1", "U", 0L), (2L, "b1", "D", 2L),
+      (3L, "c1", "U", 0L)
+    ).toDF("id", "name", "op", "seq")
+    val hist = ChangeOps.changelogHistory(changes, Seq("id"), "op", "seq")
+    def at(t: Long) = ChangeOps.snapshotAt(hist, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(0L) == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"), s"t=0: ${at(0L)}")
+    assert(at(1L) == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"), s"t=1: ${at(1L)}")
+    assert(at(2L) == Map(1L -> "a2", 3L -> "c1"), s"deleted key must vanish at t=2: ${at(2L)}")
+    intercept[IllegalArgumentException] { ChangeOps.snapshotAt(changes, 0L) }
+  }
+
   test("missing payload columns in changes and work-column collisions are rejected") {
     val noAmt = Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq")
     intercept[IllegalArgumentException] {
