@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "fuzzy_name_pairs", "graph_pagerank", "ts_resample_locf", "text_heavy_hitters",
         "dedup_setsim_exact", "j9_bloom_gated_join", "ev_attribution_last_touch",
         "ann_rrf_hybrid", "curation_cluster_balance", "corpus_mix_temperature",
-        "graph_kcore", "curation_emb_outliers", "curate_url_canon", "stats_ks_drift")) {
+        "graph_kcore", "curation_emb_outliers", "curate_url_canon", "stats_ks_drift",
+        "dedup_knn_graph", "stats_tvd_drift", "corpus_interleave_rr",
+        "ev_attribution_linear", "scd_snapshot_at", "mm_video_scene_cuts")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
