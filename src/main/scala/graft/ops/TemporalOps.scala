@@ -303,4 +303,47 @@ object TemporalOps {
       .filter(abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <= tolUs)
       .drop("__bkt")
   }
+
+  /** Bounded-lookback interval join: inner-join `left` and `right` on
+    * `key`, keeping pairs with `rightTs` in `[leftTs - horizonSec,
+    * leftTs]`. The one-sided sibling of [[rangeJoin]] for attribution /
+    * feature-lookback shapes ("all touches in the H before the
+    * conversion").
+    *
+    * Scale contract: the naive form `l.join(r, key).filter(rts <= lts)`
+    * fans out per key by the RIGHT side's LIFETIME row count — a bot-
+    * scale key with 10⁴ touches and 10² anchors materializes 10⁶ rows
+    * on one shuffle key, and because every pair shares that key, AQE
+    * skew-splitting cannot divide it. Here bucket width = horizon, each
+    * right row lands in exactly ONE bucket, each left row probes its own
+    * bucket and the previous one, so per-(key, bucket) fanout is bounded
+    * by rows-per-2-horizons regardless of history length — and the two
+    * residual comparisons restore the exact interval. Buckets stay
+    * integral (subtract-mod before the divide), so assignment is
+    * engine-exact; no pair can match twice (one bucket per right row),
+    * so no dedup pass is needed.
+    */
+  def lookbackJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      horizonSec: Long
+  ): DataFrame = {
+    require(horizonSec > 0, "horizon must be positive")
+    val hUs = horizonSec * 1000000L
+    def bkt(c: Column): Column =
+      ((unix_micros(c) - pmod(unix_micros(c), lit(hUs))) / lit(hUs)).cast("long")
+    val r = right.withColumn("__bkt", bkt(col(rightTs)))
+    val l = left
+      .withColumn("__b0", bkt(col(leftTs)))
+      .withColumn("__bkt", explode(array(col("__b0") - 1, col("__b0"))))
+      .drop("__b0")
+    l.join(r, Seq(key, "__bkt"))
+      .filter(
+        unix_micros(col(rightTs)) <= unix_micros(col(leftTs)) &&
+          unix_micros(col(rightTs)) >= unix_micros(col(leftTs)) - hUs)
+      .drop("__bkt")
+  }
 }

@@ -1964,14 +1964,19 @@ object Extensions {
           col("asof_cid").as("click_id"),
           unix_micros(col("asof_ts")).as("click_us"))
     },
-    // LINEAR multi-touch attribution: every click at-or-before a purchase
-    // shares the credit equally, in integer cents — credit = cents div n
-    // with the remainder assigned to the most recent click (ties to the
-    // greatest click id, the asofJoin tie rule), so Σ credit == cents
-    // exactly and any engine replays the split. Purchases with no prior
-    // click emit no rows (no touch, no credit — inner-join semantics).
-    // Scale: one user-keyed join bounded by per-user activity, one window
-    // per purchase key
+    // LINEAR multi-touch attribution over a BOUNDED 3-day lookback: every
+    // click within [purchase - 3d, purchase] shares the credit equally,
+    // in integer cents — credit = cents div n with the remainder assigned
+    // to the most recent click (ties to the greatest click id, the
+    // asofJoin tie rule), so Σ credit == cents exactly and any engine
+    // replays the split. Purchases with no click in the horizon emit no
+    // rows (no touch, no credit — inner-join semantics).
+    // Scale: the horizon is what makes this survivable — production
+    // attribution always bounds the window, and the bucketized
+    // lookbackJoin bounds per-(user, bucket) fanout by clicks-per-2-
+    // horizons, never clicks-per-lifetime (a bot user with 10⁴ lifetime
+    // clicks costs only its in-horizon rows). One window per purchase key
+    // after the join.
     "ev_attribution_linear" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
       val purchases = ev
@@ -1982,7 +1987,8 @@ object Extensions {
       val clicks = ev
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
-      val j = purchases.join(clicks, Seq("user_id")).filter(col("cts") <= col("ts"))
+      val j = TemporalOps.lookbackJoin(
+        purchases, clicks, "user_id", "ts", "cts", horizonSec = 3L * 86400L)
       val byP = Window.partitionBy(col("purchase_id"))
       j.withColumn("n_touches", count(lit(1)).over(byP))
         .withColumn(
@@ -4681,8 +4687,9 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
                 cid AS click_id, epoch_us(cts) AS click_us
          FROM j WHERE rn = 1""",
-    // linear attribution twin: same integer-cents split, remainder to the
-    // most recent click (greatest id on a timestamp tie)
+    // linear attribution twin: same integer-cents split over the same
+    // 3-day lookback, remainder to the most recent click (greatest id on
+    // a timestamp tie)
     "ev_attribution_linear" ->
       """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -4690,7 +4697,8 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          c AS (SELECT user_id, ts AS cts, event_id AS click_id
                FROM events WHERE event_type = 'click'),
          j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
-               FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts),
+               FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts
+                              AND x.cts >= p.ts - INTERVAL 3 DAY),
          w AS (SELECT user_id, purchase_id, click_id, cents,
                  CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
                  row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn

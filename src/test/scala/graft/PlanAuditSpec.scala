@@ -49,6 +49,15 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("ev_attribution_linear joins through the horizon bucket, not the bare user key") {
+    // the bounded-lookback contract: the purchases×clicks join must carry
+    // the horizon bucket in its equi-keys, so per-(user, bucket) fanout is
+    // clicks-per-2-horizons — a bare user_id equi-join would fan out by
+    // lifetime click count and no runtime trick could split that key
+    val plan = planOf("ev_attribution_linear")
+    assert(plan.contains("__bkt"), s"lookback bucket key missing from the join:\n$plan")
+  }
+
   test("top-N queries use a bounded heap, not a global sort") {
     val plan = planOf("q3_topn_revenue")
     assert(plan.contains("TakeOrderedAndProject"), s"global sort where a heap suffices:\n$plan")

@@ -229,4 +229,58 @@ class TemporalOpsSpec extends SparkSpecBase {
     val out = TemporalOps.rangeJoin(left, right, "k", "lts", "rts", tolSec = 60)
     assert(out.count() == 1L)
   }
+
+  test("lookbackJoin equals the naive theta join, boundaries inclusive both ends") {
+    // horizon 60 s: rts ∈ [lts-60, lts]. Exercise the exact edges (both
+    // inclusive), the just-outside rows (61 s back, 1 s forward), and a
+    // pair straddling a bucket boundary (anchor at 100 reaches back into
+    // bucket 0 for rts=59)
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(160)), (3L, 20L, ts(100)))
+      .toDF("lid", "k", "lts")
+    val right = Seq(
+      (10L, ts(40), 101L), // 60 s before anchor 1 → in (inclusive lower)
+      (10L, ts(39), 102L), // 61 s before anchor 1 → out
+      (10L, ts(100), 103L), // same instant as anchor 1 → in (inclusive upper)
+      (10L, ts(101), 104L), // 1 s AFTER anchor 1 → out for it, in for anchor 2
+      (10L, ts(59), 105L), // bucket 0, reached by anchor 1's bucket-1 probe
+      (20L, ts(161), 106L) // after its anchor → out
+    ).toDF("k", "rts", "rid")
+
+    val got = TemporalOps
+      .lookbackJoin(left, right, "k", "lts", "rts", horizonSec = 60)
+      .select($"lid", $"rid")
+    val naive = left
+      .join(right, Seq("k"))
+      .filter(
+        unix_micros($"rts") <= unix_micros($"lts") &&
+          unix_micros($"rts") >= unix_micros($"lts") - 60000000L)
+      .select($"lid", $"rid")
+    assert(rows(got) == rows(naive))
+    assert(
+      rows(got) == Seq(
+        Seq(1L, 101L), Seq(1L, 103L), Seq(1L, 105L),
+        Seq(2L, 103L), Seq(2L, 104L)))
+  }
+
+  test("lookbackJoin bounds heavy-key fanout by the horizon, not by lifetime history") {
+    // the attribution skew case: ONE bot-scale user with 1 000 clicks at
+    // 60 s spacing and 4 purchases. Unbounded attribution would emit
+    // Σ clicks-before-purchase ≈ 3 400 pairs; a 5-minute lookback emits
+    // exactly 6 per purchase (minutes 0..5 inclusive) — output scales
+    // with the horizon while the history grows without bound
+    val clicks = (0 until 1000).map(i => (1L, ts(60L * i), i.toLong))
+    val purchases = Seq(
+      (1L, ts(60L * 500), 9500L),
+      (1L, ts(60L * 700), 9700L),
+      (1L, ts(60L * 900), 9900L),
+      (1L, ts(60L * 999), 9999L))
+    val out = TemporalOps.lookbackJoin(
+      purchases.toDF("k", "lts", "pid"),
+      clicks.toDF("k", "rts", "cid"),
+      "k", "lts", "rts", horizonSec = 300)
+    assert(out.count() == 4L * 6L)
+    // and each purchase credits exactly the 6 clicks in its own window
+    val per = out.groupBy($"pid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(per == Map(9500L -> 6L, 9700L -> 6L, 9900L -> 6L, 9999L -> 6L))
+  }
 }
