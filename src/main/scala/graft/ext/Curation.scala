@@ -709,6 +709,78 @@ object Curation {
       .drop("salt", "pack_local")
   }
 
+  /** Token-budget selection — "take the best `budget` tokens": greedy
+    * selection of documents in (score DESC, id ASC) order until the next
+    * document no longer fits, i.e. a doc is selected iff its inclusive
+    * running token total in that order is ≤ `budget`. The curation step
+    * that turns a scored corpus into a right-sized training mix.
+    *
+    * NEVER a global sort: `scoreCol` must be an integer GRID (a quantized
+    * quality score — e.g. `floor(quality·10⁴)`; cardinality ≤ grid size),
+    * and the selection runs in two phases on that grid:
+    *   1. one partial-agg'd (score → token-total) histogram, collected as
+    *      bounded model state (grid-sized, like the engine's quantile cuts
+    *      and DSIR weights) and folded into a per-score verdict: scores
+    *      whose prefix fits entirely → ALL, scores past the budget →
+    *      NONE, the one straddling score → PARTIAL + residual budget;
+    *   2. the verdict broadcast-joins back (map-only for ALL/NONE rows);
+    *      only the straddling score class shuffles into a running-sum
+    *      window to spend the residual in id order.
+    * The one-partition window is bounded by a single grid cell — refine
+    * the grid if a cell can hold a data-proportional share of the corpus.
+    *
+    * @return (id, score, n_tokens, selected) for every input row — the
+    *         flag (not a filter) so audits can diff the rejected side
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: Column,
+      scoreCol: Column,
+      nTokensCol: Column,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      idCol.as("id"),
+      scoreCol.cast("long").as("score"),
+      nTokensCol.cast("long").as("n_tokens"))
+    // grid-sized histogram: the only driver-side state, same class as
+    // quantile cuts (ext/Stats) and DSIR bucket weights
+    val hist = base
+      .groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cumBefore = 0L
+    val verdicts = hist.map { case (score, bt) =>
+      // NONE only when strictly past the budget: at cumBefore == budget a
+      // zero-token doc still "fits" (inclusive cum == budget) under the
+      // greedy rule, so that bucket is PARTIAL with residual 0
+      val v =
+        if (cumBefore + bt <= budget) (score, "all", 0L)
+        else if (cumBefore > budget) (score, "none", 0L)
+        else (score, "partial", budget - cumBefore)
+      cumBefore += bt
+      v
+    }.toSeq
+    val plan = broadcast(verdicts.toDF("score", "mode", "residual"))
+    val joined = base.join(plan, Seq("score"))
+    val decided = joined
+      .filter(col("mode") =!= "partial")
+      .withColumn("selected", col("mode") === "all")
+    import org.apache.spark.sql.expressions.Window
+    val wCut = Window.partitionBy(col("score")).orderBy(col("id"))
+    val partial = joined
+      .filter(col("mode") === "partial")
+      .withColumn("selected", sum(col("n_tokens")).over(wCut) <= col("residual"))
+    decided
+      .unionByName(partial)
+      .select(col("id"), col("score"), col("n_tokens"), col("selected"))
+  }
+
   /** DSIR-style hashed importance weights (Xie et al. 2023,
     * arXiv:2302.03169 — Data Selection with Importance Resampling): one
     * weight per hashed-token bucket, high where the TARGET corpus is

@@ -250,10 +250,15 @@ object Stats {
     * `D = max_x |F_A(x) − F_B(x)| = max_v |cumA(v)·n_B − cumB(v)·n_A| / (n_A·n_B)`
     * with the sup taken over the pooled distinct values (where both step
     * ECDFs can differ). The numerator cross-products run in decimal(38,0)
-    * — exact for any split up to ~10¹⁹ rows per side — and only the final
-    * ratio is a correctly-rounded double, so any engine replays the
-    * distances bit-exactly. Groups missing either side are dropped (KS is
-    * undefined there), not zero-scored.
+    * — exact while `n_A · n_B < 10³⁸` (e.g. both sides under ~10¹⁹ rows,
+    * or any split whose product stays under the bound; the same bound
+    * applies to [[tvdDrift]]). Past it the non-ANSI product goes NULL and
+    * `max` skips that value — a silently understated distance, not an
+    * error — so a deployment at that scale must pre-aggregate or widen
+    * the arithmetic first. Only the final ratio is a correctly-rounded
+    * double, so any engine replays the distances bit-exactly. Groups
+    * missing either side are dropped (KS is undefined there), not
+    * zero-scored.
     *
     * Scale shape: one partial-agg-friendly (group, value) count collapses
     * the data to |distinct values| rows BEFORE any window; the cumulative

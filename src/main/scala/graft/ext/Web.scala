@@ -49,15 +49,26 @@ object Web {
     val keepPort = (port =!= "") &&
       !(scheme === "https" && port === "443") &&
       !(scheme === "http" && port === "80")
+    // a port remainder that is not all digits is a malformed authority
+    // ("site.com:8a0"): canonicalize to NULL like other non-URL input —
+    // silently dropping it would collapse an invalid URL onto a valid
+    // one's dedup key
+    val malformedPort = when(
+      bracket =!= "",
+      !hostport.rlike("^\\[[^\\]]*\\](:[0-9]+)?$"))
+      .otherwise(hostport.contains(":") && !hostport.rlike("^[^:]*:[0-9]+$"))
     val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val stripped = regexp_replace(rawPath, "/+$", "")
     val path = when(stripped === "", lit("/")).otherwise(stripped)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query is extracted AFTER the fragment is cut: a '?' that first
+    // appears inside the fragment ("…/p#x?y=1") is fragment content, not
+    // a query, and must not leak into the canonical form
+    val query = regexp_extract(regexp_extract(url, "^[^#]*", 0), "\\?([^#]*)", 1)
     val kept = sort_array(
       filter(split(query, "&"), p => (p =!= "") && !p.rlike("^utm_")))
     val qs = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
     when(
-      scheme === "" || host === "",
+      scheme === "" || host === "" || malformedPort,
       lit(null).cast("string")
     ).otherwise(
       concat(
@@ -85,6 +96,75 @@ object Web {
         when(size(labels) >= 2,
           concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
           .otherwise(host))
+  }
+
+  /** PSL-backed registrable domain: for each row's host, the label
+    * immediately left of the LONGEST matching public suffix from `psl` —
+    * the exact rule the two-label [[domainOf]] heuristic approximates, so
+    * `a.b.co.uk` groups under `b.co.uk` instead of the wrong `co.uk`.
+    *
+    * `psl` is a one-column (`suffix`) dimension table — the Public Suffix
+    * List is an external artifact, so it enters the engine the way every
+    * external vocabulary does: as data, not code. Wildcard (`*.ck`) and
+    * exception (`!www.ck`) records are a preprocessing concern on that
+    * table (expand them against the observed TLDs before loading);
+    * the engine-side rule is plain longest-suffix match.
+    *
+    * Per row: hosts equal to a public suffix (nothing registrable) and
+    * IP literals come back NULL; hosts whose TLD the list does not know
+    * fall back to the two-label heuristic; everything else gets
+    * suffix + one label. `idCol` must be a unique row key — the
+    * longest-match election groups on it.
+    *
+    * Scale shape: candidate suffixes explode map-side (bounded by the
+    * host's label count, ≤ 127 by hostname syntax, ~4 in practice), the
+    * PSL join is a broadcast of a few-thousand-row dimension, and the
+    * longest-match election is one partial-agg'd max on the row key —
+    * no shuffle wider than the input.
+    */
+  def registrableDomains(
+      df: DataFrame,
+      idCol: Column,
+      hostCol: Column,
+      psl: DataFrame
+  ): DataFrame = {
+    val base = df
+      .select(idCol.as("id"), lower(hostCol).as("host"))
+      .withColumn("__ls", split(col("host"), "\\."))
+    val cand = base
+      .select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(1), size(col("__ls"))),
+            i => array_join(slice(col("__ls"), -i, i), "."))))
+      .select(col("id"), (col("pos") + 1).as("n_sfx"), col("col").as("cand"))
+    val best = cand
+      .join(broadcast(psl.select(lower(col("suffix")).as("cand"))), Seq("cand"))
+      .groupBy(col("id"))
+      .agg(max(col("n_sfx")).as("ns"))
+    base
+      .join(best, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("host"),
+        when(
+          col("host").rlike("^\\[") || col("host").rlike("^[0-9.]+$"),
+          lit(null).cast("string"))
+          .otherwise(
+            when(
+              col("ns").isNull,
+              // TLD unknown to the list: the deterministic two-label
+              // heuristic, the documented fallback
+              when(
+                size(col("__ls")) >= 2,
+                concat_ws(".", element_at(col("__ls"), -2), element_at(col("__ls"), -1)))
+                .otherwise(col("host")))
+              // the host IS a public suffix: nothing is registrable
+              .when(size(col("__ls")) <= col("ns"), lit(null).cast("string"))
+              .otherwise(
+                array_join(slice(col("__ls"), -(col("ns") + 1), col("ns") + 1), ".")))
+          .as("domain"))
   }
 
   /** Per-URL canonicalization + URL-level dedup in one pass: every input

@@ -143,30 +143,82 @@ object GraphOps {
       iters: Int
   ): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16] — fixed unrolled rounds")
-    import org.apache.spark.sql.expressions.Window
+    val adj = symmetricAdj(edges, srcCol, dstCol)
+    var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      labels = lpaRound(adj, labels)
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /** The canonical symmetric adjacency of an undirected edge frame:
+    * dedupe to (min, max), drop self-loops, emit both directions. */
+  private def symmetricAdj(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val adj = und
+    und
       .select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
+  }
+
+  /** One synchronous LPA round: mode of neighbor labels, ties to the
+    * smallest label (join + partial-agg'd count + per-node top-1). */
+  private def lpaRound(adj: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = adj
+      .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+      .groupBy(col("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+    cnt
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("label"))
+  }
+
+  /** Fixpoint CERTIFICATE for [[labelPropagation]]: run the `iters`-round
+    * assignment, then ONE more round, and report whether any node's label
+    * still moves — a checkable convergence signal, so a caller can tell a
+    * converged labeling from a truncated one (synchronous LPA can
+    * oscillate on bipartite structure; the fixed round count alone cannot
+    * distinguish the two). One row out:
+    * `(iters, n_nodes, n_changed, converged)`.
+    *
+    * Cost: exactly one extra LPA round on top of the run being certified
+    * (the round-`iters` label frame is reused as round `iters+1`'s
+    * input), plus one node-keyed join and a one-row aggregate — the
+    * certificate never recomputes the run, so it scales wherever the run
+    * itself does.
+    */
+  def labelPropFixpoint(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 15, "iters must be in [1, 15] — one extra probe round runs")
+    val adj = symmetricAdj(edges, srcCol, dstCol)
     var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
     for (i <- 1 to iters) {
-      val cnt = adj
-        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
-        .groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
-      labels = cnt
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
-      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+      labels = lpaRound(adj, labels)
+      if (i % 4 == 0) labels = labels.localCheckpoint()
     }
+    val next = lpaRound(adj, labels).withColumnRenamed("label", "label_r1")
+    // same node set on both sides (every node relabels every round), so
+    // the comparison is a plain node-keyed inner join
     labels
+      .withColumnRenamed("label", "label_r")
+      .join(next, Seq("node"))
+      .agg(
+        lit(iters).as("iters"),
+        count(lit(1)).as("n_nodes"),
+        count(when(col("label_r") =!= col("label_r1"), 1)).as("n_changed"))
+      .withColumn("converged", col("n_changed") === 0)
   }
 
   /** Fixed-round k-core peel (Seidman 1983 cores, bulk-synchronous
@@ -204,25 +256,73 @@ object GraphOps {
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
-    def degrees(e: DataFrame): DataFrame = e
-      .select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("degree"))
-    var e = edges
+    var e = undirectedEdges(edges, srcCol, dstCol)
+    for (i <- 1 to rounds) {
+      e = peelRound(e, k)
+      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    // final survivors: vertices still meeting the bar over the peeled edges
+    coreDegrees(e).filter(col("degree") >= k)
+  }
+
+  private def undirectedEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  private def coreDegrees(e: DataFrame): DataFrame = e
+    .select(explode(array(col("u"), col("v"))).as("node"))
+    .groupBy(col("node"))
+    .agg(count(lit(1)).as("degree"))
+
+  /** One bulk-synchronous peel round: drop every edge touching a vertex
+    * whose current degree is below `k` (two semi-joins on vertex keys). */
+  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val alive = coreDegrees(e).filter(col("degree") >= k).select(col("node"))
+    e.join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+  }
+
+  /** Fixpoint CERTIFICATE for [[kcorePeel]]: peel `rounds` rounds, then
+    * ONE more, and report whether the survivor `(node, degree)` set moved
+    * — the checkable complement to the documented "R rounds is a superset
+    * of the true core on long chains" caveat. A fixpoint round removes
+    * nothing, so `at_fixpoint = true` proves the R-round answer IS the
+    * exact k-core; `false` tells the caller to raise `rounds`. One row
+    * out: `(rounds, n_round_r, n_round_r1, n_diff, at_fixpoint)` where
+    * `n_diff` counts `(node, degree)` entries on exactly one side.
+    *
+    * Cost: one extra peel round off the already-peeled round-R edge frame
+    * (never a recompute from round 0), one (node, degree)-keyed full
+    * outer join between two survivor sets, one one-row aggregate.
+    */
+  def kcoreFixpoint(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 15, "rounds must be in [1, 15] — one extra probe round runs")
+    var e = undirectedEdges(edges, srcCol, dstCol)
     for (i <- 1 to rounds) {
-      val alive = degrees(e).filter(col("degree") >= k).select(col("node"))
-      e = e
-        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+      e = peelRound(e, k)
+      if (i % 4 == 0) e = e.localCheckpoint()
     }
-    // final survivors: vertices still meeting the bar over the peeled edges
-    degrees(e).filter(col("degree") >= k)
+    val eNext = peelRound(e, k)
+    val sR = coreDegrees(e).filter(col("degree") >= k).withColumn("in_r", lit(1))
+    val sR1 = coreDegrees(eNext).filter(col("degree") >= k).withColumn("in_r1", lit(1))
+    sR.join(sR1, Seq("node", "degree"), "full_outer")
+      .agg(
+        lit(rounds).as("rounds"),
+        count(col("in_r")).as("n_round_r"),
+        count(col("in_r1")).as("n_round_r1"),
+        count(when(col("in_r").isNull || col("in_r1").isNull, 1)).as("n_diff"))
+      .withColumn("at_fixpoint", col("n_diff") === 0)
   }
 
   /** Fixed-iteration weighted PageRank, ALL-INTEGER so any engine

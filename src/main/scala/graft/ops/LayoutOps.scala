@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-layout maintenance: the compaction / bin-packing pass a lakehouse
+  * runs after changelog applies (ops/ChangeOps) or streaming appends leave
+  * a partitioned table as thousands of small files. Small files poison a
+  * 100 TB table twice — listing/open cost per scan task, and per-file
+  * footer/rowgroup overhead that starves the columnar reader — so the
+  * standard maintenance loop is: apply changes, then periodically rewrite
+  * each partition's files into target-size bins. Clustering within a file
+  * is ZOrderOps' job; this operator only fixes file GRANULARITY, never
+  * content: the rewrite is required to be a content-identical bijection of
+  * rows, which is what makes it safe to run online against readers.
+  */
+object LayoutOps {
+
+  /** Rewrite the partitioned parquet layout at `inPath` into `outPath`:
+    * same partition directories, same rows, but ~`targetRowsPerFile` rows
+    * per file (the writer's own `maxRecordsPerFile` enforces the cap, so
+    * a file can only be SMALLER than target at a partition/salt-group
+    * tail, never larger). Callers compact into a fresh path and swap —
+    * the atomic-publish discipline every table format uses.
+    *
+    * File-count contract: rows of one partition value route to
+    * `ceil(rows_p / maxRowsPerTask)` salt groups (one shuffle, keyed on
+    * (partition, salt) so AQE can place them); each group writes
+    * `ceil(group_rows / targetRowsPerFile)` files. With the default
+    * `maxRowsPerTask` (8× target) a small-to-medium partition is a single
+    * group and the count is EXACTLY `ceil(rows_p / target)`; an
+    * over-sized partition splits across groups for write parallelism and
+    * pays at most `n_groups − 1` extra tail files — bounded slack, never
+    * a return to small-files. Row counts (not byte sizes) drive the plan
+    * so it needs one partial-agg'd aggregate over the data, no
+    * driver-side file listing; the rows↔bytes ratio is the caller's
+    * schema knowledge.
+    *
+    * Scale shape: one count aggregate (|partitions| rows, broadcast
+    * back), one shuffle of the data on (partition, salt), zero driver
+    * loops — the whole pass is two jobs regardless of partition count.
+    * Determinism: the salt is a hash of the full row, so the file
+    * assignment (and the compacted layout) replays identically.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      partCol: String,
+      targetRowsPerFile: Long,
+      maxRowsPerTask: Long = 0L
+  ): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val perTask = if (maxRowsPerTask > 0) maxRowsPerTask else 8L * targetRowsPerFile
+    require(perTask >= targetRowsPerFile, "maxRowsPerTask must be >= targetRowsPerFile")
+    val df = spark.read.parquet(inPath)
+    val plan = broadcast(
+      df.groupBy(col(partCol))
+        .agg(ceil(count(lit(1)).cast("double") / perTask).cast("long").as("__nsalt")))
+    val dataCols = df.columns.map(col).toSeq
+    df.join(plan, Seq(partCol))
+      .withColumn("__salt", pmod(xxhash64(struct(dataCols: _*)), greatest(col("__nsalt"), lit(1L))))
+      .repartition(col(partCol), col("__salt"))
+      .select(dataCols: _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partCol)
+      .parquet(outPath)
+  }
+
+  /** Per-partition file census of a partitioned parquet layout — the
+    * before/after observability for [[compact]]: one row per partition
+    * directory with its data-file count. Driver-side listing on purpose:
+    * partition count is bounded metadata (the same scale class as a
+    * catalog listing), never data-proportional.
+    */
+  def fileCensus(spark: SparkSession, path: String, partCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+      .map { d =>
+        val files = Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+        (d.getName.substring(partCol.length + 1), files.toLong)
+      }
+      .toSeq
+    spark.createDataFrame(parts.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(partCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.LongType))))
+  }
+}

@@ -536,6 +536,28 @@ object Extensions {
         .select(col("id_lo"), col("id_hi"))
       graft.ops.GraphOps.kcorePeel(edges, "id_lo", "id_hi", k = 2, rounds = 3)
     },
+    // fixpoint certificate for the fixed-round peel above: peel the same
+    // 3 rounds plus ONE probe round and report whether the survivor set
+    // moved — at_fixpoint=true proves graph_kcore's answer IS the exact
+    // 2-core (a fixpoint round removes nothing), turning the documented
+    // "superset on long chains" caveat into a checked signal. The oracle
+    // unrolls the identical 4 rounds and diffs the two survivor sets
+    "graph_kcore_fixpoint" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      graft.ops.GraphOps.kcoreFixpoint(edges, "id_lo", "id_hi", k = 2, rounds = 3)
+    },
+    // convergence certificate for the synchronous label propagation: run
+    // the same 3 rounds plus one probe round and count nodes whose label
+    // still moves — converged=true distinguishes a stable community
+    // assignment from a truncated (or oscillating) one
+    "graph_label_prop_fixpoint" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      graft.ops.GraphOps.labelPropFixpoint(edges, "id_lo", "id_hi", iters = 3)
+    },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
       val a = g.as("a")
@@ -1491,6 +1513,17 @@ object Extensions {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(100)
     },
+    // token-budget selection ("take the best 50k tokens"): quality scores
+    // quantized to a 10⁴ grid, per-score token histogram folded into
+    // ALL/NONE/PARTIAL verdicts (bounded model state), only the one
+    // straddling score class pays a running-sum window. The oracle replays
+    // the equivalent single greedy running sum in (score desc, id) order
+    "curation_token_budget" -> { (s, dir) =>
+      val q = TextStats.qualityDF(t(s, dir, "documents"), col("doc_id"), col("text"))
+      Curation.tokenBudgetSelect(
+        q, col("doc_id"), round(col("score") * 10000, 0).cast("long"), col("n_tokens"),
+        budget = 50000L)
+    },
     // PII scrub with audit counts; the fixture corpus has no PII, so a
     // deterministic slice gets synthetic emails/phones appended first
     "text_pii_scrub" -> { (s, dir) =>
@@ -1536,6 +1569,27 @@ object Extensions {
         k = 64
       )
     },
+    // compaction / bin-packing maintenance (the post-CDC layout pass):
+    // a deliberately fragmented partitioned layout (12-way repartition
+    // before partitionBy → ~12 small files per partition) is rewritten
+    // into target-size files — same partitions, same rows, fewer files.
+    // The returned frame is the compacted table's CONTENT, so the oracle
+    // (the original table) proves the rewrite is a row-level bijection;
+    // the file-count drop itself is asserted in LayoutOpsSpec
+    "layout_compact" -> { (s, dir) =>
+      val frag = Scratch.dir("layout_frag", dir)
+      Scratch.once(frag) {
+        t(s, dir, "orders")
+          .repartition(12)
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(frag)
+      }
+      val compacted = Scratch.dir("layout_compacted", dir)
+      Scratch.once(compacted) {
+        graft.ops.LayoutOps.compact(
+          s, frag, compacted, "o_orderpriority", targetRowsPerFile = 4096)
+      }
+      s.read.parquet(compacted)
+    },
     // Z-order (Morton) clustering value: the exact bit-interleave every
     // row would be laid out by — the layout itself is asserted in
     // ZOrderSpec; the oracle checks the curve arithmetic per row
@@ -1560,6 +1614,31 @@ object Extensions {
     "curate_chunk_windows" -> { (s, dir) =>
       Curation.chunkWindows(
         t(s, dir, "documents"), col("doc_id"), col("text"), chunkTokens = 50, stride = 25)
+    },
+    // PSL-backed registrable domain (the exact rule the two-label
+    // heuristic approximates): a public-suffix dimension table joins
+    // against every host's exploded label-suffixes, longest match wins —
+    // a.b.co.uk groups under b.co.uk, a bare public suffix has no
+    // registrable domain (NULL), unknown TLDs fall back to the heuristic.
+    // Synthetic hosts exercise all four paths; the oracle replays the
+    // longest-suffix election in SQL over the same VALUES dimension
+    "curate_url_domain" -> { (s, dir) =>
+      import s.implicits._
+      val psl = Seq(
+        "com", "net", "org", "uk", "co.uk", "ac.uk", "au", "com.au",
+        "jp", "co.jp", "io", "gov").toDF("suffix")
+      val d = t(s, dir, "documents")
+      val id = col("doc_id")
+      val host = when(id % 6 === 0,
+        concat(lit("deep.sub."), (id % 7).cast("string"),
+          lit(".shop"), (id % 5).cast("string"), lit(".co.uk")))
+        .when(id % 6 === 1, concat(lit("site"), (id % 5).cast("string"), lit(".COM")))
+        .when(id % 6 === 2, concat(lit("a.site"), (id % 5).cast("string"), lit(".ac.uk")))
+        .when(id % 6 === 3, concat(lit("node"), (id % 5).cast("string"), lit(".example.zz")))
+        .when(id % 6 === 4, lit("co.uk"))
+        .otherwise(concat(lit("img"), (id % 3).cast("string"),
+          lit(".cdn"), (id % 5).cast("string"), lit(".com.au")))
+      graft.ext.Web.registrableDomains(d, id, host, psl)
     },
     // URL canonicalization + URL-level dedup (the pre-content-dedup
     // collapse every crawl pipeline runs): id-derived synthetic URLs
@@ -2259,54 +2338,102 @@ object Extensions {
     * definition cannot drift between them.
     */
   private lazy val setsimEdgesCte: String =
-    s"""tok0 AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+    // MATERIALIZED throughout: the downstream graph oracles reference
+    // these CTEs many times (unrolled rounds), and DuckDB's default
+    // inlining re-evaluates a CTE per reference — the 4-round k-core
+    // fixpoint oracle went 1019 s → 0.2 s with the hint. Semantics
+    // unchanged (it is only an evaluation-strategy hint).
+    s"""tok0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
                       FROM documents),
-         tok AS (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
-         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-         pair AS (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
+         tok AS MATERIALIZED (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
+         sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         pair AS MATERIALIZED (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
                   FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
                   GROUP BY 1, 2),
-         e AS (SELECT lo AS a, hi AS b
+         e AS MATERIALIZED (SELECT lo AS a, hi AS b
                FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
                WHERE inter * 20 >= 19 * (sa.n + sb.n - inter))"""
 
-  private lazy val labelPropOracleSql: String = {
-    val rounds = (1 to 3).map { i =>
+  /** The LPA round CTEs l1..lN, shared by the assignment oracle and its
+    * fixpoint-certificate oracle so the two can never desynchronize. */
+  private def lpaRoundsCte(n: Int): String =
+    (1 to n).map { i =>
       val prev = s"l${i - 1}"
-      s"""c$i AS (SELECT adj.v AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+      s"""c$i AS MATERIALIZED (SELECT adj.v AS node, l.lab, CAST(count(*) AS BIGINT) AS c
          FROM adj JOIN $prev l ON l.node = adj.u GROUP BY 1, 2),
-         l$i AS (SELECT node, lab FROM (
+         l$i AS MATERIALIZED (SELECT node, lab FROM (
            SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
            FROM c$i) WHERE rn = 1)"""
     }.mkString(",\n         ")
+
+  private lazy val labelPropOracleSql: String =
     s"""WITH $setsimEdgesCte,
-         adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
-         l0 AS (SELECT DISTINCT v AS node, v AS lab FROM adj),
-         $rounds
+         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lab FROM adj),
+         ${lpaRoundsCte(3)}
          SELECT node, lab AS label FROM l3"""
-  }
+
+  /** LPA fixpoint-certificate oracle: the same 3 unrolled rounds plus one
+    * probe round, then count label moves between l3 and l4 — one row. */
+  private lazy val labelPropFixpointOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lab FROM adj),
+         ${lpaRoundsCte(4)}
+         SELECT CAST(3 AS INTEGER) AS iters,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(count(*) FILTER (WHERE a.lab <> b.lab) AS BIGINT) AS n_changed,
+                count(*) FILTER (WHERE a.lab <> b.lab) = 0 AS converged
+         FROM l3 a JOIN l4 b ON a.node = b.node"""
 
   /** k-core oracle: the setsim pair-graph CTE plus three unrolled
     * bulk-synchronous peel rounds (degree → survivors ≥ k → induced
     * edges), then the survivors' final degrees — the pagerank-oracle
     * unrolling pattern, k = 2.
     */
-  private lazy val kcoreOracleSql: String = {
-    val k = 2
-    def degs(i: Int) =
-      s"""d$i AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+  /** The peel-round CTEs (degrees → alive ≥ k → induced edges) for rounds
+    * 1..n plus the post-round degree frame d(n+1), shared by the k-core
+    * oracle and its fixpoint-certificate oracle. */
+  private def kcoreDegsCte(i: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
            (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1)"""
-    val rounds = (1 to 3).map { i =>
-      s"""${degs(i)},
-         a$i AS (SELECT node FROM d$i WHERE degree >= $k),
-         e$i AS (SELECT u, v FROM e${i - 1}
+
+  private def kcoreRoundsCte(n: Int, k: Int): String =
+    (1 to n).map { i =>
+      s"""${kcoreDegsCte(i)},
+         a$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k),
+         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
                  WHERE u IN (SELECT node FROM a$i) AND v IN (SELECT node FROM a$i))"""
     }.mkString(",\n         ")
+
+  private lazy val kcoreOracleSql: String = {
+    val k = 2
     s"""WITH $setsimEdgesCte,
-         e0 AS (SELECT a AS u, b AS v FROM e),
-         $rounds,
-         ${degs(4)}
+         e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e),
+         ${kcoreRoundsCte(3, k)},
+         ${kcoreDegsCte(4)}
          SELECT node, degree FROM d4 WHERE degree >= $k"""
+  }
+
+  /** k-core fixpoint-certificate oracle: the same 3 unrolled peel rounds
+    * plus one probe round (round 4), then a full diff of the two
+    * survivor (node, degree) sets — one row. */
+  private lazy val kcoreFixpointOracleSql: String = {
+    val k = 2
+    s"""WITH $setsimEdgesCte,
+         e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e),
+         ${kcoreRoundsCte(4, k)},
+         ${kcoreDegsCte(5)},
+         sr AS MATERIALIZED (SELECT node, degree FROM d4 WHERE degree >= $k),
+         sr1 AS MATERIALIZED (SELECT node, degree FROM d5 WHERE degree >= $k),
+         j AS (SELECT a.node AS na, b.node AS nb
+               FROM sr a FULL JOIN sr1 b ON a.node = b.node AND a.degree = b.degree)
+         SELECT CAST(3 AS INTEGER) AS rounds,
+                CAST(count(na) AS BIGINT) AS n_round_r,
+                CAST(count(nb) AS BIGINT) AS n_round_r1,
+                CAST(count(*) FILTER (WHERE na IS NULL OR nb IS NULL) AS BIGINT) AS n_diff,
+                count(*) FILTER (WHERE na IS NULL OR nb IS NULL) = 0 AS at_fixpoint
+         FROM j"""
   }
 
   private def hexval(expr: String): String =
@@ -4068,6 +4195,35 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          SELECT doc_id, n_tokens, cum_tokens, pack_id,
            CAST(row_number() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT) AS pack_pos
          FROM p""",
+    // greedy replay of the two-phase selection: one running token sum in
+    // (quantized score desc, id) order, selected iff the inclusive total fits
+    "curation_token_budget" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              concat(' ', lower(coalesce(text, '')), ' ') AS p,
+              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+            FROM documents
+          ), scored AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END AS len_ok,
+              CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+              CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio
+            FROM base
+          ), q AS (
+            SELECT doc_id, n_tokens,
+              round(len_ok * 0.4 + least(stop_ratio * 2.0, 1.0) * 0.4 +
+                    CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score
+            FROM scored
+          ), s AS (
+            SELECT doc_id AS id, CAST(round(score * 10000, 0) AS BIGINT) AS score, n_tokens FROM q
+          ), r AS (
+            SELECT id, score, n_tokens,
+              CAST(sum(n_tokens) OVER (ORDER BY score DESC, id) AS BIGINT) AS cum FROM s
+          )
+          SELECT id, score, n_tokens, cum <= 50000 AS selected FROM r""",
     "curation_dsir_scores" -> dsirScoresSql,
     "stream_dsir_parity" -> dsirScoresSql,
     // layout differs (stateless stream gate vs batch join), meaning must
@@ -4154,6 +4310,9 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
         .map(i => s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
         .mkString(" + ")} AS BIGINT) AS zval
          FROM lineitem""",
+    // compaction is content-preserving by contract: the compacted layout
+    // must read back as exactly the source table, row for row
+    "layout_compact" -> "SELECT * FROM orders",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
@@ -4177,6 +4336,30 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 array_to_string(w[off + 1 : off + 50], ' ') AS chunk,
                 CAST(len(w[off + 1 : off + 50]) AS INTEGER) AS n_chunk_tokens
          FROM o""",
+    // longest-suffix election replay: same PSL dimension (VALUES), same
+    // suffix explode + max(i) + slice arithmetic as Web.registrableDomains
+    "curate_url_domain" ->
+      """WITH psl AS (SELECT * FROM (VALUES ('com'),('net'),('org'),('uk'),('co.uk'),('ac.uk'),
+                  ('au'),('com.au'),('jp'),('co.jp'),('io'),('gov')) t(suffix)),
+         base AS (SELECT doc_id AS id, lower(CASE CAST(doc_id % 6 AS INTEGER)
+           WHEN 0 THEN 'deep.sub.' || CAST(doc_id % 7 AS VARCHAR) || '.shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+           WHEN 1 THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+           WHEN 2 THEN 'a.site' || CAST(doc_id % 5 AS VARCHAR) || '.ac.uk'
+           WHEN 3 THEN 'node' || CAST(doc_id % 5 AS VARCHAR) || '.example.zz'
+           WHEN 4 THEN 'co.uk'
+           ELSE 'img' || CAST(doc_id % 3 AS VARCHAR) || '.cdn' || CAST(doc_id % 5 AS VARCHAR) || '.com.au' END) AS host
+          FROM documents),
+         parts AS (SELECT id, host, string_split(host, '.') AS ls FROM base),
+         c2 AS (SELECT id, unnest(range(1, len(ls) + 1)) AS i,
+                  array_to_string(ls[-unnest(range(1, len(ls) + 1)):], '.') AS cand FROM parts),
+         best AS (SELECT c2.id, max(c2.i) AS ns FROM c2 JOIN psl ON c2.cand = psl.suffix GROUP BY 1)
+         SELECT p.id, p.host,
+           CASE WHEN regexp_matches(p.host, '^\[') OR regexp_matches(p.host, '^[0-9.]+$') THEN NULL
+                WHEN b.ns IS NULL THEN
+                  CASE WHEN len(p.ls) >= 2 THEN p.ls[-2] || '.' || p.ls[-1] ELSE p.host END
+                WHEN len(p.ls) <= b.ns THEN NULL
+                ELSE array_to_string(p.ls[-(CAST(b.ns AS INTEGER)+1):], '.') END AS domain
+         FROM parts p LEFT JOIN best b USING (id)""",
     // full normalization replay: same regexes, same param filter+sort,
     // same default-port/trailing-slash/www rules as Web.normalizeUrl
     "curate_url_canon" ->
@@ -4675,6 +4858,8 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "graph_pagerank" -> pagerankOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_kcore" -> kcoreOracleSql,
+    "graph_label_prop_fixpoint" -> labelPropFixpointOracleSql,
+    "graph_kcore_fixpoint" -> kcoreFixpointOracleSql,
     // latest click at-or-before each purchase; same-instant ties to the
     // greatest click id (the asofJoin tie contract)
     "ev_attribution_last_touch" ->

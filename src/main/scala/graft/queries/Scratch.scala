@@ -29,14 +29,21 @@ object Scratch {
     * underscore prefix keeps every Spark/Hadoop file listing from
     * treating the marker as data.
     */
-  def once(path: String)(write: => Unit): Unit = {
-    val marker = new java.io.File(path, "_graft_done")
-    if (!marker.exists()) {
-      write
-      marker.getParentFile.mkdirs()
-      marker.createNewFile(): Unit
-    }
-  }
+  private val onceGuard = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+
+  def once(path: String)(write: => Unit): Unit =
+    // computeIfAbsent serializes same-path builders (Verify runs queries
+    // concurrently in one JVM — an unguarded check-then-act would let two
+    // queries sharing a fixture dir double-write / scan a half-built
+    // fixture); the marker file still carries the cross-JVM memo
+    onceGuard.computeIfAbsent(path, _ => {
+      val marker = new java.io.File(path, "_graft_done")
+      if (!marker.exists()) {
+        write
+        marker.getParentFile.mkdirs()
+        marker.createNewFile(): Unit
+      }
+    })
 
   private val tableBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -457,6 +457,52 @@ class CurationSpec extends SparkSpecBase {
     assert(out(6L)._1 == 1, s"cell assignment: $out")
   }
 
+  test("tokenBudgetSelect: greedy by (score desc, id), straddling bucket spends its residual") {
+    // scores: 3 → 40+40 tokens (fits entirely), 2 → 30+30+30 (straddles:
+    // residual 100−80 = 20 → doc 21's inclusive 30 > 20, nothing fits),
+    // 1 → past the budget entirely
+    val df = Seq(
+      (10L, 3L, 40L), (11L, 3L, 40L),
+      (20L, 2L, 30L), (21L, 2L, 30L), (22L, 2L, 30L),
+      (30L, 1L, 5L)
+    ).toDF("doc_id", "sc", "nt")
+    val out = Curation.tokenBudgetSelect(df, $"doc_id", $"sc", $"nt", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(10L -> true, 11L -> true, 20L -> false, 21L -> false,
+      22L -> false, 30L -> false), s"got $out")
+    // raise the residual: budget 145 → bucket 2 fits 30+30 (cum 140), not 90
+    val out2 = Curation.tokenBudgetSelect(df, $"doc_id", $"sc", $"nt", budget = 145L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out2 == Map(10L -> true, 11L -> true, 20L -> true, 21L -> true,
+      22L -> false, 30L -> false), s"got $out2")
+  }
+
+  test("tokenBudgetSelect: a zero-token doc at the exact budget boundary still fits") {
+    // cum hits the budget exactly at doc 2; doc 3 carries 0 tokens so its
+    // inclusive cum == budget — the greedy rule admits it, and the
+    // bucket-verdict fold must not round it down to NONE
+    val df = Seq((1L, 5L, 60L), (2L, 4L, 40L), (3L, 3L, 0L), (4L, 2L, 10L))
+      .toDF("doc_id", "sc", "nt")
+    val out = Curation.tokenBudgetSelect(df, $"doc_id", $"sc", $"nt", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false), s"got $out")
+  }
+
+  test("tokenBudgetSelect matches the naive global greedy replay on random data") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map(i => (i.toLong, rng.nextInt(8).toLong, rng.nextInt(50).toLong))
+    val df = rows.toDF("doc_id", "sc", "nt")
+    val budget = 3000L
+    val got = Curation.tokenBudgetSelect(df, $"doc_id", $"sc", $"nt", budget)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    var cum = 0L
+    val want = rows.sortBy(r => (-r._2, r._1)).map { case (id, _, nt) =>
+      cum += nt
+      id -> (cum <= budget)
+    }.toMap
+    assert(got == want)
+  }
+
   test("working-column collisions are rejected up front, never silently dropped") {
     // a caller column named like an internal staging column would be
     // replaced and then dropped — the operators must refuse instead

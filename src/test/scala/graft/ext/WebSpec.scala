@@ -48,6 +48,39 @@ class WebSpec extends SparkSpecBase {
     assert(norm("mailto:a@b.com") == null)
   }
 
+  test("normalizeUrl: a '?' inside the fragment is fragment content, not a query") {
+    // the fragment is cut before the query is extracted — otherwise
+    // fragment bytes leak into the canonical dedup key
+    assert(norm("https://a.com/p#x?y=1") == "https://a.com/p")
+    assert(norm("https://a.com/p?real=1#x?fake=2") == "https://a.com/p?real=1")
+  }
+
+  test("normalizeUrl: a malformed port rejects the URL instead of silently dropping it") {
+    // "site.com:8a0" must not collapse onto site.com's dedup key — an
+    // invalid URL and a valid one are not the same resource
+    assert(norm("http://site.com:8a0/p") == null)
+    assert(norm("https://[2001:db8::1]:8a0/p") == null)
+    // and an all-digit port still parses
+    assert(norm("http://site.com:8080/p") == "http://site.com:8080/p")
+  }
+
+  test("registrableDomains: longest public suffix wins; suffix-only and IP hosts are NULL") {
+    val psl = Seq("com", "uk", "co.uk", "ac.uk").toDF("suffix")
+    val rows = Seq(
+      (1L, "a.b.co.uk"), // co.uk beats uk → b.co.uk (the heuristic's miss)
+      (2L, "Deep.Sub.Site.COM"), // case-folds, com → site.com
+      (3L, "co.uk"), // host IS a suffix → nothing registrable
+      (4L, "x.example.zz"), // unknown TLD → two-label fallback
+      (5L, "192.168.0.1"), // IP literal → NULL
+      (6L, "localhost") // single unknown label → fallback keeps it
+    ).toDF("id", "host")
+    val out = Web.registrableDomains(rows, $"id", $"host", psl)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out == Map(
+      1L -> "b.co.uk", 2L -> "site.com", 3L -> null,
+      4L -> "example.zz", 5L -> null, 6L -> "localhost"), s"got $out")
+  }
+
   test("domainOf: last-two-label heuristic, single-label host unchanged") {
     val r = Seq(("a.b.site.com", "localhost")).toDF("h1", "h2")
       .select(Web.domainOf($"h1"), Web.domainOf($"h2")).collect().head

@@ -168,6 +168,49 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(core3.subsetOf(core2), s"nesting violated: ${core3 -- core2}")
   }
 
+  test("kcoreFixpoint: certifies a converged peel and flags a truncated one") {
+    // clique + pendant chain: rounds=3 reaches the true 2-core (the
+    // pendant cascade needs 2 rounds), so the certificate must say so
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(0L to 3L) ++ Seq((3L, 20L), (20L, 21L))).toDF("s", "d")
+    val ok = GraphOps.kcoreFixpoint(edges, "s", "d", k = 2, rounds = 3).collect().head
+    assert(ok.getInt(0) == 3 && ok.getLong(1) == 4L && ok.getLong(3) == 0L && ok.getBoolean(4),
+      s"converged peel not certified: $ok")
+
+    // 10-path, rounds=2: only the endpoints have peeled twice, the middle
+    // still stands though the true 2-core is empty — the certificate must
+    // report the survivor set still moving (this is exactly the long-chain
+    // caveat the fixed round count documents)
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("s", "d")
+    val trunc = GraphOps.kcoreFixpoint(path, "s", "d", k = 2, rounds = 2).collect().head
+    assert(!trunc.getBoolean(4) && trunc.getLong(3) > 0L,
+      s"truncated peel certified as converged: $trunc")
+    // and with enough rounds the same chain certifies (empty = empty)
+    val done = GraphOps.kcoreFixpoint(path, "s", "d", k = 2, rounds = 5).collect().head
+    assert(done.getBoolean(4) && done.getLong(1) == 0L && done.getLong(2) == 0L,
+      s"fully peeled chain must certify at the empty core: $done")
+  }
+
+  test("labelPropFixpoint: stable cliques certify; the oscillating 2-cycle does not") {
+    // two 3-cliques joined by one bridge stabilize in a round or two:
+    // after 3 rounds one extra round must change nothing
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) :+ ((3L, 10L)))
+      .toDF("s", "d")
+    val ok = GraphOps.labelPropFixpoint(edges, "s", "d", iters = 3).collect().head
+    assert(ok.getInt(0) == 3 && ok.getLong(1) == 6L && ok.getLong(2) == 0L && ok.getBoolean(3),
+      s"stable labeling not certified: $ok")
+
+    // the isolated edge oscillates under synchronous updates (each node's
+    // only neighbor keeps the other label): every probe round flips both
+    // labels, so NO iteration count certifies — the certificate is what
+    // tells a caller this labeling never settles
+    val pair = Seq((7L, 9L)).toDF("s", "d")
+    val osc = GraphOps.labelPropFixpoint(pair, "s", "d", iters = 3).collect().head
+    assert(!osc.getBoolean(3) && osc.getLong(2) == 2L,
+      s"oscillating pair certified as converged: $osc")
+  }
+
   test("labelPropagation: isolated edge pair converges to the lower id in one round") {
     val edges = Seq((7L, 9L)).toDF("s", "d")
     val out = GraphOps.labelPropagation(edges, "s", "d", iters = 2)

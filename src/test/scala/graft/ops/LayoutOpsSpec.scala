@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Compaction / bin-packing layout maintenance (LayoutOps). */
+class LayoutOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_layout_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def contentOf(path: String): Seq[(Long, String, String)] =
+    spark.read.parquet(path)
+      .select($"id", $"p", $"payload")
+      .as[(Long, String, String)]
+      .collect().toSeq.sorted
+
+  test("compact: fragmented partitions collapse to exactly ceil(rows/target) files, content intact") {
+    val in = tmpDir("in")
+    val out = tmpDir("out")
+    // 3 partitions × 1000 rows, written from 10 shuffle partitions → 10
+    // small files per partition directory
+    val df = (1 to 3000).map(i => (i.toLong, s"p${i % 3}", s"row$i")).toDF("id", "p", "payload")
+    df.repartition(10).write.mode("overwrite").partitionBy("p").parquet(in)
+    val before = LayoutOps.fileCensus(spark, in, "p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.forall(_ == 10L), s"fixture not fragmented: $before")
+
+    // 1000 rows per partition at target 400 → exactly ceil(1000/400) = 3
+    // files each (single salt group under the default 8× task cap)
+    LayoutOps.compact(spark, in, out, "p", targetRowsPerFile = 400)
+    val after = LayoutOps.fileCensus(spark, out, "p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == Map("p0" -> 3L, "p1" -> 3L, "p2" -> 3L), s"got $after")
+    assert(contentOf(out) == contentOf(in), "compaction must be a row-level bijection")
+  }
+
+  test("compact: an oversized partition splits across salt groups with bounded tail slack") {
+    val in = tmpDir("skewin")
+    val out = tmpDir("skewout")
+    // one hot partition (5000 rows) beside a small one (300): the hot one
+    // must spread across ceil(5000/500) = 10 groups for write parallelism
+    val df = ((1 to 5000).map(i => (i.toLong, "hot", s"r$i")) ++
+      (1 to 300).map(i => (10000L + i, "cold", s"c$i"))).toDF("id", "p", "payload")
+    df.repartition(8).write.mode("overwrite").partitionBy("p").parquet(in)
+    LayoutOps.compact(spark, in, out, "p", targetRowsPerFile = 100, maxRowsPerTask = 500)
+    val after = LayoutOps.fileCensus(spark, out, "p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hot: exact = 50, slack ≤ n_groups − 1 = 9; cold: one group, exact 3
+    assert(after("hot") >= 50L && after("hot") <= 59L, s"hot partition files: $after")
+    assert(after("cold") == 3L, s"cold partition files: $after")
+    assert(contentOf(out) == contentOf(in), "compaction must be a row-level bijection")
+  }
+
+  test("compact: deterministic — two runs produce identical file assignment") {
+    val in = tmpDir("detin")
+    val out1 = tmpDir("detout1")
+    val out2 = tmpDir("detout2")
+    val df = (1 to 900).map(i => (i.toLong, s"p${i % 2}", s"x$i")).toDF("id", "p", "payload")
+    df.repartition(6).write.mode("overwrite").partitionBy("p").parquet(in)
+    LayoutOps.compact(spark, in, out1, "p", targetRowsPerFile = 128)
+    LayoutOps.compact(spark, in, out2, "p", targetRowsPerFile = 128)
+    def censusOf(p: String) = LayoutOps.fileCensus(spark, p, "p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(censusOf(out1) == censusOf(out2))
+    assert(contentOf(out1) == contentOf(out2))
+  }
+}
