@@ -11,6 +11,38 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query scale observability: total shuffle bytes written and disk
+    // spill, from task-end metrics. A plan silently degrading (broadcast →
+    // sort-merge, a new exchange, a spilling aggregate) shows up as a
+    // NUMBER the driver can diff round-over-round, instead of something a
+    // reviewer must eyeball across 200+ physical plans.
+    val shuffleBytes = new java.util.concurrent.atomic.LongAdder
+    val spillBytes = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.add(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.add(m.diskBytesSpilled)
+        }
+      }
+    })
+    // Listener events post asynchronously; drain the bus before reading the
+    // adders so a query's last tasks attribute to IT, not to the next one.
+    // listenerBus/waitUntilEmpty are private[spark] in Scala but public in
+    // bytecode — reflection with a no-op fallback keeps the bench running
+    // (with slightly blurred attribution) if an upgrade moves them.
+    def drain(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        try bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        catch {
+          case _: NoSuchMethodException =>
+            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+              .invoke(bus, java.lang.Long.valueOf(10000L)): Unit
+        }
+      } catch { case _: Throwable => () }
     // Untimed dry pass at the smallest SF: JIT + codegen compile for every
     // plan shape happens here, so the timed loop measures steady-state
     // execution rather than charging first-run JVM warmup to whichever
@@ -24,20 +56,26 @@ object Bench {
         catch { case _: Throwable => () }
       }
     var failed = Set.empty[String]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    case class Meas(sec: Double, shuffle: Long, spill: Long)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      drain()
+      val s0 = shuffleBytes.sum()
+      val p0 = spillBytes.sum()
       val t0 = System.nanoTime()
       // noop sink forces evaluation of every output column; count() would
       // let Catalyst prune the projections map-only queries exist to measure
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        drain()
+        Meas(sec, shuffleBytes.sum() - s0, spillBytes.sum() - p0)
       } catch {
         case e: Throwable =>
           // sentinel, NOT elapsed time: a crashing query must never read
           // as a fast one, and its name goes to stderr for the log
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
-          -1.0
+          Meas(-1.0, 0L, 0L)
       }
     }
     // NOTE: no clearCache() between queries — the engine's shared-chain
@@ -47,22 +85,30 @@ object Bench {
     // swing >3x run-to-run with GC/host load, and one-time chain builds are
     // charged to whichever family member runs first — the min of two passes
     // is the steady-state signal a regression judge can actually compare
-    // (a failed pass keeps the sentinel: flakiness must not read as speed)
+    // (a failed pass keeps the sentinel: flakiness must not read as speed).
+    // Shuffle/spill come from the SAME pass the reported time comes from,
+    // so the three numbers in each entry describe one coherent execution.
     val timed = SparkEntry.queries.filter(_._1.matches(nameFilter))
     val pass1 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
     val pass2 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
     val results = pass1.map { case (name, a) =>
-      val b = pass2.getOrElse(name, -1.0)
-      name -> (if (failed(name)) -1.0 else math.min(a, b))
+      val b = pass2.getOrElse(name, Meas(-1.0, 0L, 0L))
+      val best = if (b.sec >= 0 && (a.sec < 0 || b.sec < a.sec)) b else a
+      name -> (if (failed(name)) Meas(-1.0, 0L, 0L) else best)
     }
     // millisecond precision: the driver parses this line from a bounded
     // stdout tail, and full-precision doubles once pushed the line's HEAD
     // past the tail window (BENCH_r02 parsed:null) — ~90 queries at 3
     // decimals keeps the whole line comfortably inside it
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    def mb(v: Long) = f(v / 1048576.0)
+    val qs = results.map { case (k, m) =>
+      s"\"" + k + s"\":{\"sec\":${f(m.sec)},\"shuffle_mb\":${mb(m.shuffle)},\"spill_mb\":${mb(m.spill)}}"
+    }.mkString("{", ",", "}")
+    val ok = results.values.filter(_.sec >= 0)
+    val total = ok.map(_.sec).sum
+    val totalShuffle = ok.map(_.shuffle).sum
+    val totalSpill = ok.map(_.spill).sum
     // Two artifacts with distinct consumers:
     //  - /tmp/bench_out.json gets the FULL per-query map (unbounded length);
     //  - stdout gets only the compact summary object. The driver parses the
@@ -71,9 +117,11 @@ object Bench {
     //    parsed:null, tail began mid-line) — so the map must never go to
     //    stdout, no matter how many queries register.
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size}}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
     // stop the session FIRST so nothing (shutdown messages, late executor
