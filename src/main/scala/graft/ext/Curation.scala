@@ -742,10 +742,15 @@ object Curation {
     require(budget >= 0, "budget must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(
-      idCol.as("id"),
-      scoreCol.cast("long").as("score"),
-      nTokensCol.cast("long").as("n_tokens"))
+    // the scored base feeds TWO passes (histogram, then the verdict join);
+    // spill it once so an expensive upstream score (e.g. the stopword
+    // quality scan) is computed once, not per pass
+    val base = Dedup.spilled(
+      df.select(
+        idCol.as("id"),
+        scoreCol.cast("long").as("score"),
+        nTokensCol.cast("long").as("n_tokens")),
+      "token_budget_base")
     // grid-sized histogram: the only driver-side state, same class as
     // quantile cuts (ext/Stats) and DSIR bucket weights
     val hist = base

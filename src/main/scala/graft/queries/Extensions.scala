@@ -2081,6 +2081,54 @@ object Extensions {
           (expr("cents div n_touches") +
             when(col("rn") === 1, expr("cents % n_touches")).otherwise(0L)).as("credit_cents"))
     },
+    // U-SHAPED (position-based) attribution over the same 3-day lookback:
+    // the first and last touch each take 40%, the middles share the
+    // remaining 20% equally — all in integer cents with every remainder
+    // assigned to the most recent touch, so Σ credit == cents exactly.
+    // n=1 takes everything; n=2 splits half/half (remainder to the most
+    // recent). Same bounded lookbackJoin shape as the linear query; the
+    // role column makes the split auditable
+    "ev_attribution_ushape" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      val j = TemporalOps.lookbackJoin(
+        purchases, clicks, "user_id", "ts", "cts", horizonSec = 3L * 86400L)
+      val byP = Window.partitionBy(col("purchase_id"))
+      val t = j
+        .withColumn("n_touches", count(lit(1)).over(byP))
+        .withColumn(
+          "rn",
+          row_number().over(byP.orderBy(col("cts").desc, col("click_id").desc)))
+      val n = col("n_touches")
+      val role = when(n === 1, lit("solo"))
+        .when(col("rn") === 1, lit("last"))
+        .when(col("rn") === n, lit("first"))
+        .otherwise(lit("middle"))
+      val fl = expr("cents * 40 div 100") // first/last share when n >= 3
+      val half = expr("cents div 2")
+      val mid = (col("cents") - fl * 2) // middles' pool when n >= 3
+      val perMid = expr("(cents - 2 * (cents * 40 div 100)) div (n_touches - 2)")
+      val credit = when(n === 1, col("cents"))
+        .when(n === 2, when(col("rn") === 1, col("cents") - half).otherwise(half))
+        .otherwise(
+          when(col("rn") === n, fl)
+            .when(col("rn") === 1, fl + (mid - perMid * (n - 2))) // last: share + remainder
+            .otherwise(perMid))
+      t.select(
+        col("user_id"),
+        col("purchase_id"),
+        col("click_id"),
+        col("n_touches"),
+        role.as("role"),
+        credit.as("credit_cents"))
+    },
     "ev_funnel" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
       // anchor via aggregate + broadcast-join back, NOT a per-user window:
@@ -4891,6 +4939,36 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          SELECT user_id, purchase_id, click_id, n_touches,
                 CAST(cents // n_touches +
                      CASE WHEN rn = 1 THEN cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
+         FROM w""",
+    // U-shape twin: same 3-day lookback, 40/20/40 split in integer cents,
+    // remainders to the most recent touch (all operands non-negative, so
+    // Spark's truncating div and DuckDB's floor // agree)
+    "ev_attribution_ushape" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
+               FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts
+                              AND x.cts >= p.ts - INTERVAL 3 DAY),
+         w AS (SELECT user_id, purchase_id, click_id, cents,
+                 CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+                 row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn
+               FROM j)
+         SELECT user_id, purchase_id, click_id, n_touches,
+                CASE WHEN n_touches = 1 THEN 'solo'
+                     WHEN rn = 1 THEN 'last'
+                     WHEN rn = n_touches THEN 'first'
+                     ELSE 'middle' END AS role,
+                CAST(CASE WHEN n_touches = 1 THEN cents
+                     WHEN n_touches = 2 THEN
+                       CASE WHEN rn = 1 THEN cents - cents // 2 ELSE cents // 2 END
+                     WHEN rn = n_touches THEN cents * 40 // 100
+                     WHEN rn = 1 THEN cents * 40 // 100 +
+                       ((cents - 2 * (cents * 40 // 100)) -
+                        ((cents - 2 * (cents * 40 // 100)) // (n_touches - 2)) * (n_touches - 2))
+                     ELSE (cents - 2 * (cents * 40 // 100)) // (n_touches - 2) END AS BIGINT) AS credit_cents
          FROM w""",
     "ev_funnel" ->
       """WITH a AS (

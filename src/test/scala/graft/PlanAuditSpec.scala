@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "ann_rrf_hybrid", "curation_cluster_balance", "corpus_mix_temperature",
         "graph_kcore", "curation_emb_outliers", "curate_url_canon", "stats_ks_drift",
         "dedup_knn_graph", "stats_tvd_drift", "corpus_interleave_rr",
-        "ev_attribution_linear", "scd_snapshot_at", "mm_video_scene_cuts")) {
+        "ev_attribution_linear", "scd_snapshot_at", "mm_video_scene_cuts",
+        "ev_attribution_ushape", "curate_url_domain", "curation_token_budget",
+        "graph_kcore_fixpoint", "graph_label_prop_fixpoint")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }

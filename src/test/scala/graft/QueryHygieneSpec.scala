@@ -18,6 +18,38 @@ class QueryHygieneSpec extends SparkSpecBase {
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("attribution splits conserve cents exactly for every credited purchase") {
+    // the defining invariant of both multi-touch schemes: however the
+    // credit is divided (equal shares / 40-20-40 with remainders), the
+    // per-purchase sum must equal the purchase's integer cents EXACTLY
+    val cents = graft.queries.Fixtures.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    for (q <- Seq("ev_attribution_linear", "ev_attribution_ushape")) {
+      val out = SparkEntry.queries(q)(spark, sfDir)
+      val bad = out
+        .groupBy(col("purchase_id"))
+        .agg(sum(col("credit_cents")).as("s"))
+        .join(cents, Seq("purchase_id"))
+        .filter(col("s") =!= col("cents"))
+        .count()
+      assert(bad == 0L, s"$q leaks or invents cents on $bad purchases")
+    }
+    // and the U-shape role structure: n>=3 → exactly one first + one last,
+    // n==2 → first+last, n==1 → solo
+    val roles = SparkEntry.queries("ev_attribution_ushape")(spark, sfDir)
+      .groupBy(col("purchase_id"), col("n_touches"))
+      .agg(
+        sum(when(col("role") === "first", 1).otherwise(0)).as("nf"),
+        sum(when(col("role") === "last", 1).otherwise(0)).as("nl"),
+        sum(when(col("role") === "solo", 1).otherwise(0)).as("ns"))
+    assert(roles.filter(
+      (col("n_touches") >= 2 && (col("nf") =!= 1 || col("nl") =!= 1)) ||
+        (col("n_touches") === 1 && col("ns") =!= 1)).count() == 0L)
+  }
+
   test("stream-parity queries drop their memory-sink temp views and still return the result") {
     val out = graft.queries.Extensions.queries("stream_dedup_parity")(spark, sfDir)
     // the drained result is a local DataFrame — usable after the view is gone
