@@ -340,6 +340,109 @@ object Stats {
           6).as("tvd"))
   }
 
+  /** Population Stability Index per group — the industry-standard scorecard
+    * drift monitor ([[tvdDrift]]'s log-weighted cousin; TVD is linear in
+    * the mass moved, PSI amplifies shifts in SMALL categories, which is
+    * what makes it the alert metric risk/quality teams page on):
+    * `PSI = Σ_c (p_c − q_c)·ln(p_c/q_c)` with Laplace smoothing
+    * `p_c = (a_c+1)/(n_A+C)` (C = categories present in the group) so a
+    * category seen on only one side contributes a finite, sample-size-
+    * aware penalty instead of ∞.
+    *
+    * Determinism contract (the engine-exactness discipline of this
+    * module, adapted to a transcendental): counts are exact integers; the
+    * smoothed ratios are single correctly-rounded IEEE divisions
+    * (bit-identical in any engine); the only cross-engine wobble is ln's
+    * final ulp, so each term is rounded to 9 dp and summed as
+    * decimal(28,9) — an order-free exact sum — before the final 6 dp
+    * round. A flipped 9th decimal would need ln to land within half an
+    * ulp of a rounding boundary; at 6 dp output it is unobservable.
+    *
+    * Scale shape: one partial-agg (group, category) count, one per-group
+    * window over ≤|categories| rows, one more partial agg. No raw-row
+    * window, no join. One-sided groups are dropped like [[ksDrift]].
+    */
+  def psiDrift(df: DataFrame, groupCol: Column, catCol: Column, inA: Column): DataFrame = {
+    val counts = df
+      .select(groupCol.as("grp"), catCol.as("cat"), inA.as("a"))
+      .groupBy(col("grp"), col("cat"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val byG = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("na", sum(col("ca")).over(byG))
+      .withColumn("nb", sum(col("cb")).over(byG))
+      .withColumn("ncat", count(lit(1)).over(byG))
+      .withColumn(
+        "p",
+        (col("ca") + lit(1L)).cast("double") / (col("na") + col("ncat")).cast("double"))
+      .withColumn(
+        "q",
+        (col("cb") + lit(1L)).cast("double") / (col("nb") + col("ncat")).cast("double"))
+      .withColumn(
+        "term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 9).cast(DecTerm))
+      .groupBy(col("grp"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"), sum(col("term")).as("__t"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(
+        col("grp"), col("n_a"), col("n_b"),
+        round(col("__t").cast("double"), 6).as("psi"))
+  }
+
+  /** Jensen–Shannon divergence per group (base 2, so the result lives in
+    * [0, 1]) — the SYMMETRIC, zero-tolerant drift monitor:
+    * `JSD = ½·KL(p‖m) + ½·KL(q‖m)`, `m = (p+q)/2`. Unlike [[psiDrift]] it
+    * needs no smoothing (a category absent from one side contributes
+    * `½·p·log₂2 = p/2`, never ∞) and unlike KL it is bounded, which makes
+    * it the metric to TREND over time rather than threshold once.
+    *
+    * Same determinism contract as [[psiDrift]]: exact integer counts,
+    * correctly-rounded IEEE divisions, per-term 9 dp round into an exact
+    * decimal sum. Base conversion happens once at the end via the
+    * hard-coded double literal for ln 2 (0.6931471805599453 — both
+    * engines would otherwise call their own `ln(2)`), so the only ln in
+    * play is the per-term one already quantized away.
+    */
+  def jsdDrift(df: DataFrame, groupCol: Column, catCol: Column, inA: Column): DataFrame = {
+    val counts = df
+      .select(groupCol.as("grp"), catCol.as("cat"), inA.as("a"))
+      .groupBy(col("grp"), col("cat"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cb"))
+    val byG = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("na", sum(col("ca")).over(byG))
+      .withColumn("nb", sum(col("cb")).over(byG))
+      // one-sided groups drop BEFORE the ratios: q = cb/0 is an ANSI
+      // divide-by-zero, not a droppable row, if left to the final filter
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("p", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("q", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn(
+        "term",
+        round(
+          lit(0.5) * when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0)) +
+            lit(0.5) * when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)),
+          9).cast(DecTerm))
+      .groupBy(col("grp"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"), sum(col("term")).as("__t"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(
+        col("grp"), col("n_a"), col("n_b"),
+        round(col("__t").cast("double") / lit(0.6931471805599453), 6).as("jsd"))
+  }
+
+  /** Exact decimal carrier for 9-dp-quantized per-category drift terms:
+    * 19 integer digits bounds |Σ terms| far beyond any real PSI/JSD (each
+    * |term| ≤ ~45 after smoothing), and the decimal sum is associative —
+    * immune to partial-agg merge order.
+    */
+  private val DecTerm = "decimal(28,9)"
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

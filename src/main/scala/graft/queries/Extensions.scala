@@ -1789,6 +1789,22 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("lang"),
         graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
     },
+    // scorecard-standard drift: per-source PSI of the lang mix between the
+    // same md5 halves — log-weighted, so small-category shifts score high;
+    // Laplace-smoothed, 9-dp-quantized terms summed in exact decimal
+    "stats_psi_drift" -> { (s, dir) =>
+      Stats.psiDrift(
+        t(s, dir, "documents"), col("source"), col("lang"),
+        graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
+    },
+    // bounded symmetric drift: per-source Jensen-Shannon divergence (base
+    // 2, [0,1]) of the lang mix — the trendable companion to the PSI
+    // threshold alert; zero cells are finite by construction, no smoothing
+    "stats_jsd_drift" -> { (s, dir) =>
+      Stats.jsdDrift(
+        t(s, dir, "documents"), col("source"), col("lang"),
+        graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
+    },
     // Unicode NFC canonicalization (the native graft_nfc Expression):
     // decomposed suffixes (e+combining acute, A+combining ring) are
     // composed before digesting — both engines implement the same Unicode
@@ -4752,6 +4768,54 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 round(CAST(max(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS DOUBLE) /
                       (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6) AS ks
          FROM cum GROUP BY grp
+         HAVING max(na) > 0 AND max(nb) > 0""",
+    "stats_psi_drift" ->
+      """WITH base AS (SELECT source AS grp, lang AS cat,
+                  (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a
+                FROM documents),
+         cnt AS (SELECT grp, cat,
+                   sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+                 FROM base GROUP BY 1, 2),
+         tot AS (SELECT grp, ca, cb,
+                   CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS na,
+                   CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS nb,
+                   CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ncat
+                 FROM cnt),
+         trm AS (SELECT grp, na, nb,
+                   CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(28,9)) AS term
+                 FROM (SELECT grp, na, nb,
+                         CAST(ca + 1 AS DOUBLE) / CAST(na + ncat AS DOUBLE) AS p,
+                         CAST(cb + 1 AS DOUBLE) / CAST(nb + ncat AS DOUBLE) AS q
+                       FROM tot))
+         SELECT grp, max(na) AS n_a, max(nb) AS n_b,
+                round(CAST(sum(term) AS DOUBLE), 6) AS psi
+         FROM trm GROUP BY grp
+         HAVING max(na) > 0 AND max(nb) > 0""",
+    "stats_jsd_drift" ->
+      """WITH base AS (SELECT source AS grp, lang AS cat,
+                  (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a
+                FROM documents),
+         cnt AS (SELECT grp, cat,
+                   sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+                 FROM base GROUP BY 1, 2),
+         tot AS (SELECT grp, ca, cb,
+                   CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS na,
+                   CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS nb
+                 FROM cnt),
+         trm AS (SELECT grp, na, nb,
+                   CAST(round(
+                     0.5 * (CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0.0 END) +
+                     0.5 * (CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0.0 END), 9) AS DECIMAL(28,9)) AS term
+                 FROM (SELECT grp, na, nb, p, q, (p + q) / 2.0 AS m
+                       FROM (SELECT grp, na, nb,
+                               CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+                               CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+                             FROM tot WHERE na > 0 AND nb > 0)))
+         SELECT grp, max(na) AS n_a, max(nb) AS n_b,
+                round(CAST(sum(term) AS DOUBLE) / 0.6931471805599453, 6) AS jsd
+         FROM trm GROUP BY grp
          HAVING max(na) > 0 AND max(nb) > 0""",
     "emb_label_centroid" ->
       """WITH x AS (

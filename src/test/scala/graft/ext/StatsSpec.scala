@@ -328,6 +328,67 @@ class StatsSpec extends SparkSpecBase {
     assert(d == 0.5, s"3:1 flip must score exactly 0.5: $d")
   }
 
+  test("psiDrift: identical mixes score 0, one-sided groups drop, shifts score positive") {
+    val rows =
+      (1 to 5).flatMap(_ => Seq(("y", "a", true), ("y", "a", false),
+        ("y", "b", true), ("y", "b", false))) ++
+        (1 to 10).map(_ => ("x", "a", true)) ++ (1 to 10).map(_ => ("x", "b", false)) ++
+        (1 to 3).map(_ => ("z", "a", true))
+    val out = Stats.psiDrift(rows.toDF("g", "c", "a"), col("g"), col("c"), col("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("x", "y"), s"one-sided group must drop: $out")
+    assert(out("y") == ((10L, 10L, 0.0)), s"identical mixes: $out")
+    // disjoint mixes, Laplace-smoothed: p = (11/12, 1/12), q = (1/12, 11/12)
+    // → PSI = 2 · (10/12) · ln(11) = 3.996492 to 6 dp
+    assert(out("x")._3 == 3.996492, s"disjoint mixes: $out")
+  }
+
+  test("psiDrift is side-symmetric and non-negative on random data") {
+    // (p−q)·ln(p/q) ≥ 0 term-by-term and is invariant under p↔q, so the
+    // score must survive an A/B relabel with only the counts transposed
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (s"g${rng.nextInt(3)}", s"c${rng.nextInt(5)}", rng.nextBoolean()))
+    val df = rows.toDF("g", "c", "a")
+    def asMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    val fwd = asMap(Stats.psiDrift(df, col("g"), col("c"), col("a")).collect())
+    val rev = asMap(Stats.psiDrift(df, col("g"), col("c"), !col("a")).collect())
+    assert(fwd.keySet == rev.keySet && fwd.nonEmpty)
+    for ((g, (na, nb, v)) <- fwd) {
+      assert(rev(g) == ((nb, na, v)), s"side swap must transpose counts, keep PSI: $g")
+      assert(v >= 0.0, s"PSI must be non-negative: $g -> $v")
+    }
+  }
+
+  test("jsdDrift: identical mixes 0, disjoint mixes exactly 1, bounded and symmetric") {
+    val rows =
+      (1 to 10).map(_ => ("x", "a", true)) ++ (1 to 10).map(_ => ("x", "b", false)) ++
+        (1 to 5).flatMap(_ => Seq(("y", "a", true), ("y", "a", false),
+          ("y", "b", true), ("y", "b", false))) ++
+        (1 to 3).map(_ => ("z", "a", true))
+    val out = Stats.jsdDrift(rows.toDF("g", "c", "a"), col("g"), col("c"), col("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("x", "y"), s"one-sided group must drop: $out")
+    assert(out("x") == ((10L, 10L, 1.0)), s"disjoint mixes must hit the base-2 ceiling: $out")
+    assert(out("y") == ((10L, 10L, 0.0)), s"identical mixes: $out")
+    val rng = new scala.util.Random(13)
+    val rnd = (1 to 400).map(i =>
+      (s"g${rng.nextInt(3)}", s"c${rng.nextInt(5)}", rng.nextBoolean())).toDF("g", "c", "a")
+    def asMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    val fwd = asMap(Stats.jsdDrift(rnd, col("g"), col("c"), col("a")).collect())
+    val rev = asMap(Stats.jsdDrift(rnd, col("g"), col("c"), !col("a")).collect())
+    for ((g, (na, nb, v)) <- fwd) {
+      assert(rev(g) == ((nb, na, v)), s"JSD is symmetric in its two sides: $g")
+      assert(v >= 0.0 && v <= 1.0, s"JSD out of [0,1]: $g -> $v")
+    }
+  }
+
   test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
     // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
     // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag
