@@ -92,6 +92,34 @@ object Curation {
       .drop("__rk")
   }
 
+  /** WEIGHTED exact-k sample without replacement — Efraimidis–Spirakis
+    * A-Res (Inf. Proc. Letters 97(5), 2006): each row draws a key
+    * `u^(1/w)` from its deterministic uniform `u` and the k LARGEST keys
+    * win; the selection distribution is exactly "probability proportional
+    * to weight, without replacement". Ranked in log space (`ln(u)/w`,
+    * same order, no tiny-power underflow) with the uniform derived from
+    * the shared md5 gate — `u = (md5Long(id)+1)/2^32 ∈ (0, 1]` — so the
+    * draw is retry-stable and engine-replayable like [[sampleExactK]].
+    * The length-weighted corpus draw ("sample docs proportional to token
+    * count") is this with w = n_tokens.
+    *
+    * Scale: plans as TakeOrdered — per-partition k-heaps merged on k rows,
+    * no global sort; weights are read row-locally, so the whole selection
+    * is one map + one k-row reduce. Non-positive weights can never win
+    * (their mathematical key is 0 only at w→∞) and are filtered up front
+    * — which also keeps ANSI division happy at w = 0. Ordering ulp note:
+    * ln is the only non-correctly-rounded primitive; a cross-engine flip
+    * would need the rank-k/rank-k+1 keys within one ulp, and ties break
+    * on the id.
+    */
+  def sampleWeighted(df: DataFrame, idCol: Column, weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = weightCol.cast("double")
+    val u = (graft.ops.Hashing.md5Long(idCol.cast("string")) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    df.filter(w > 0).orderBy((log(u) / w).desc, idCol.asc).limit(k)
+  }
+
   /** Benchmark decontamination: flag training documents whose word-n-gram
     * overlap with a benchmark/eval set reaches `threshPct` percent of the
     * document's own distinct n-grams — the standard filter run before

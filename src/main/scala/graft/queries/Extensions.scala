@@ -1897,6 +1897,14 @@ object Extensions {
       Curation.sampleExactK(
         t(s, dir, "documents").select(col("doc_id"), col("source")), col("doc_id"), k = 200)
     },
+    // weighted exact-k draw (Efraimidis–Spirakis A-Res): probability
+    // proportional to n_chars, without replacement — the length-weighted
+    // corpus sample; TakeOrdered over ln(u)/w, no global sort
+    "corpus_sample_weighted" -> { (s, dir) =>
+      Curation.sampleWeighted(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 150)
+    },
     // per-group exact-k cap: at most 5 docs per source, chosen by the same
     // md5 gate — partitioned-window ranking, no global order
     "corpus_sample_k_per_group" -> { (s, dir) =>
@@ -4631,6 +4639,12 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
       """SELECT doc_id, source FROM documents
          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
          LIMIT 200""",
+    "corpus_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE CAST(n_chars AS DOUBLE) > 0
+         ORDER BY ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+                     / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC, doc_id
+         LIMIT 150""",
     "corpus_sample_k_per_group" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -234,6 +234,34 @@ class CurationSpec extends SparkSpecBase {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("sampleWeighted: exact k, weight-biased, prefix-stable, TakeOrdered plan") {
+    // 500 heavy rows (w=200) vs 500 light rows (w=2): A-Res picks each row
+    // with probability ∝ w, so a k=100 draw should be overwhelmingly heavy
+    // (E[heavy] ≈ 99; even 3 light picks is already ~4σ out)
+    val df = (0 until 1000).map(i =>
+      (i.toLong, if (i < 500) 200L else 2L)).toDF("id", "w")
+    val q = Curation.sampleWeighted(df, $"id", $"w", k = 100)
+    val a = q.collect().map(_.getLong(0)).toSeq
+    assert(a.length == 100 && a.distinct.length == 100, "exactly k distinct rows")
+    val heavy = a.count(_ < 500)
+    assert(heavy >= 90, s"weight bias missing: only $heavy/100 heavy picks")
+    // retry-stable, and growing k only extends the draw (A-Res key order
+    // is a fixed total order, so the top-k is a prefix of the top-(k+m))
+    val b = Curation.sampleWeighted(df, $"id", $"w", k = 100).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    val c = Curation.sampleWeighted(df, $"id", $"w", k = 150).collect().map(_.getLong(0)).toSeq
+    assert(c.take(100) == a)
+    // non-positive weights can never be drawn
+    val z = Curation.sampleWeighted(
+      (0 until 10).map(i => (i.toLong, if (i % 2 == 0) 0L else 5L)).toDF("id", "w"),
+      $"id", $"w", k = 10).collect().map(_.getLong(0)).toSeq
+    assert(z.forall(_ % 2 == 1) && z.length == 5, s"zero-weight rows drawn: $z")
+    // scale shape: per-partition top-k heaps, no global sort materialized
+    assert(
+      q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("chunkWindows emits overlapping windows covering every token") {
     val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val out = Curation.chunkWindows(docs, $"doc_id", $"text", chunkTokens = 4, stride = 3)
