@@ -542,6 +542,98 @@ object TextStats {
     * via digit positions (no engine-specific hash function, so any SQL
     * oracle can reproduce it).
     */
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * perplexity quality gate, self-supervised (the corpus is its own
+    * reference): train add-one-smoothed bigram counts over the whole
+    * input, then score every document by its mean token log-probability
+    * `avg_lp = (1/n) Σ ln((c(w₁w₂)+1) / (c(w₁·)+V))` and the derived
+    * perplexity `ppl = e^(−avg_lp)` — boilerplate and fluent text score
+    * low-ppl, junk (rare transitions, OCR noise, gibberish) scores high,
+    * which is THE sort key for perplexity-bucket corpus filtering.
+    *
+    * Determinism: counts are exact integers and each ln term quantizes to
+    * an integer MILLINAT (`round(1000·ln r)`) before any sum, so every
+    * aggregate is an exact integer sum — merge-order-free and
+    * engine-replayable. The quantization grid is the semantic contract
+    * (scores are millinat-precise, plenty for a quality gate) and it is
+    * what makes the one transcendental safe: ln's cross-engine ulp wobble
+    * (~1e-12 at this magnitude) flips an integer millinat only within
+    * ~1e-12 of a .5 boundary — finer per-term rounding (the 9-dp decimal
+    * first cut) measurably DID flip, because one popular transition's
+    * flipped term replicates corpus-wide. The mean is one exact-integer
+    * double division rounded at 6 dp; the final exp rounds at 4.
+    *
+    * Scale shape (what makes this runnable over 100 TB):
+    *   - ONE (doc, bigram) partial-agg collapses each doc to its distinct
+    *     transitions with multiplicities; the probe side and the model
+    *     side both hang off that same exchange, so Spark's ReusedExchange
+    *     computes the tokenize+explode exactly once.
+    *   - The global bigram model aggregates the collapsed frame (≤ one
+    *     row per distinct transition), and head counts c(w₁·) aggregate
+    *     the MODEL, not the corpus — marginalizing the count table is
+    *     |bigram vocab| work, corpus-free.
+    *   - The score join splits hot vs cold like [[ngramFamiliarity]]:
+    *     the `hotK` most frequent transitions ("of the"…) broadcast so
+    *     their probe rows never converge on one reducer; the tail — flat
+    *     by construction once the head is gone — takes the ordinary
+    *     shuffle join, and the head-count join rides AQE's skew split.
+    *   - V (distinct tokens) is ONE scalar row, cross-joined broadcast.
+    *
+    * @param hotK transitions routed via broadcast (by count, tiebreak on
+    *             the bigram)
+    * @return (doc_id, n_bigrams, avg_lp, ppl), docs with ≥ 2 tokens
+    */
+  def lmScoreDF(df: DataFrame, idCol: Column, textCol: Column, hotK: Int = 64): DataFrame = {
+    require(hotK > 0, "hotK must be positive")
+    val words = df
+      .select(idCol.as("doc_id"), split(trim(coalesce(textCol, lit(""))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+    // fence: the bigram array is expensively built and exploded — unfenced,
+    // the Generate node would re-run the transform per output element
+    val bigrams = graft.ops.PlanOps
+      .fence(words.select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), size(col("w")) - 2),
+          i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2))
+        ).as("bgs")))
+      .select(col("doc_id"), explode(col("bgs")).as("b"))
+    val perDoc = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    val model = perDoc.groupBy(col("b")).agg(sum(col("m")).as("cb"))
+    val heads = model
+      .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("ch"))
+    val vocab = graft.ops.PlanOps
+      .fence(words.select(col("doc_id"), explode(col("w")).as("tok")).filter(length(col("tok")) > 0))
+      .agg(count_distinct(col("tok")).as("v")) // one scalar row — broadcast
+    val hot = model.orderBy(col("cb").desc, col("b")).limit(hotK)
+    val probe = perDoc.withColumn("w1", substring_index(col("b"), " ", 1))
+    val hotHits = probe.join(broadcast(hot), Seq("b"))
+    val coldHits = probe
+      .join(broadcast(hot.select(col("b"))), Seq("b"), "left_anti")
+      .join(model, Seq("b"))
+    hotHits
+      .unionByName(coldHits)
+      .join(heads, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "term",
+        col("m") * round(
+          lit(1000.0) *
+            log((col("cb") + lit(1L)).cast("double") / (col("ch") + col("v")).cast("double")),
+          0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("term")).as("__mlp"))
+      .withColumn(
+        "avg_lp",
+        round(col("__mlp").cast("double") / (lit(1000.0) * col("n_bigrams").cast("double")), 6))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("avg_lp"),
+        round(exp(-col("avg_lp")), 4).as("ppl"))
+  }
+
   def fingerprint(textCol: Column): Column = {
     val tokens = split(trim(coalesce(textCol, lit(""))), "\\s+")
     val hashes = transform(

@@ -421,6 +421,13 @@ object Extensions {
       TextStats.ngramFamiliarity(
         tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, hotK = 64)
     },
+    // corpus-trained bigram LM scoring: per-doc mean log-prob + perplexity
+    // under the add-one-smoothed transition model of the corpus itself —
+    // the CCNet-style perplexity quality gate; hot transitions broadcast,
+    // the model marginalizes from the count table, never the corpus
+    "text_lm_score" -> { (s, dir) =>
+      TextStats.lmScoreDF(tPar(s, dir, "documents"), col("doc_id"), col("text"), hotK = 64)
+    },
     // dataset report ("data card"): doc counts, token sums and mean quality
     // per (split, lang) — the summary a training run publishes. The mean
     // rides an exact integer sum of the 4-decimal scores (one double
@@ -3501,6 +3508,30 @@ object Extensions {
           round(CAST(sum(dfc.df) AS DOUBLE) / count(*), 6) AS fam_avg
         FROM e JOIN dfc USING (gram)
         GROUP BY e.doc_id"""),
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+                    FROM documents
+                    WHERE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) >= 2),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))) AS b
+                FROM w),
+         pd AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m FROM bg GROUP BY 1, 2),
+         model AS (SELECT b, CAST(sum(m) AS BIGINT) AS cb FROM pd GROUP BY b),
+         heads AS (SELECT split_part(b, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS ch
+                   FROM model GROUP BY 1),
+         voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                 FROM (SELECT unnest(w) AS tok FROM w) WHERE length(tok) > 0),
+         trm AS (SELECT pd.doc_id, pd.m,
+                        pd.m * CAST(round(1000.0 * ln(CAST(model.cb + 1 AS DOUBLE) /
+                                                      CAST(heads.ch + voc.v AS DOUBLE)), 0)
+                                    AS BIGINT) AS term
+                 FROM pd JOIN model USING (b)
+                         JOIN heads ON heads.w1 = split_part(pd.b, ' ', 1)
+                         CROSS JOIN voc),
+         agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                        round(CAST(sum(term) AS DOUBLE) / (1000.0 * CAST(sum(m) AS DOUBLE)), 6) AS avg_lp
+                 FROM trm GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, avg_lp, round(exp(-avg_lp), 4) AS ppl FROM agg""",
     "text_vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t

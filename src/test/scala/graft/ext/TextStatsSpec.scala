@@ -175,6 +175,34 @@ class TextStatsSpec extends SparkSpecBase {
     assert(chained.getLong(2) == 1L, "a b c -> ab c -> abc")
   }
 
+  test("lmScoreDF: fluent text beats junk, short docs drop, ppl ties out, hot split is invisible") {
+    val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat")) ++
+      Seq((100L, "xq zr wv qqj"), (101L, "solo"), (102L, ""))).toDF("doc_id", "text")
+    val out = TextStats.lmScoreDF(docs, $"doc_id", $"text", hotK = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // docs without a bigram are out of scope, not zero-scored
+    assert(!out.contains(101L) && !out.contains(102L), s"sub-bigram docs must drop: ${out.keySet}")
+    // n_bigrams = tokens - 1
+    assert(out(1L)._1 == 5L && out(100L)._1 == 3L)
+    // the transition model is trained on the corpus itself: the repeated
+    // fluent doc's transitions are common (high prob), the junk doc's are
+    // singletons — so junk must score strictly worse (higher perplexity)
+    assert(out(100L)._3 > out(1L)._3,
+      s"junk ppl ${out(100L)._3} must exceed fluent ppl ${out(1L)._3}")
+    // ppl is exactly the rounded exp of the rounded mean log-prob
+    for ((_, (_, avgLp, ppl)) <- out)
+      assert(ppl == math.rint(math.exp(-avgLp) * 1e4) / 1e4, s"ppl/avg_lp out of sync")
+    // the hot-broadcast/cold-shuffle split is a pure execution concern:
+    // any hotK yields byte-identical scores
+    val wide = TextStats.lmScoreDF(docs, $"doc_id", $"text", hotK = 1000)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(wide == out, "hotK must not change results")
+  }
+
   test("fingerprint: deterministic, order-sensitive, stable across runs") {
     val df = Seq("alpha beta gamma", "beta alpha gamma", "alpha beta gamma").toDF("t")
     val out = df.select(TextStats.fingerprint($"t").as("v")).collect().map(_.getLong(0))
