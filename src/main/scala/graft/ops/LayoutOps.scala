@@ -69,6 +69,65 @@ object LayoutOps {
       .parquet(outPath)
   }
 
+  /** File-level statistics manifest of a parquet layout — the per-data-file
+    * (row count, min, max) stats a lakehouse table format (Delta's
+    * AddFile stats, Iceberg's manifest entries) maintains, computed
+    * RELATIONALLY: one distributed scan grouped by `input_file_name()`,
+    * partial-agg'd map-side so each task emits one row per file it read —
+    * no driver-side file listing, no footer probing loop. The result is
+    * metadata-scale (one row per file) and is what [[skippingScan]]
+    * prunes against; a real deployment persists it next to the table and
+    * maintains it incrementally on append/compact.
+    *
+    * @param statCols columns to keep min/max for (the table's natural
+    *                 clustering/predicate columns)
+    * @return one row per file: (file, n_rows, min_c..., max_c...)
+    */
+  def manifest(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "statCols must not be empty")
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Data-skipping scan: answer `statCol BETWEEN lo AND hi` reading ONLY
+    * the files whose manifest [min, max] range can intersect it — the
+    * scan-time half of lakehouse data skipping, the file-granularity
+    * complement of partition pruning (S10) for predicates on columns the
+    * layout is clustered but not partitioned by. On a 100 TB table whose
+    * files are range-clustered on `statCol` this turns a full scan into
+    * opening a handful of files; the residual filter still applies inside
+    * them, so correctness never depends on manifest tightness.
+    *
+    * The manifest probe `.collect()`s the surviving FILE LIST — bounded
+    * metadata (one row per qualifying file), the same driver-side planning
+    * step every lakehouse reader performs, never data-proportional. A
+    * file whose stat column is entirely NULL has null min/max and is
+    * skipped: null never satisfies a range predicate, so dropping the
+    * file cannot lose a qualifying row.
+    */
+  def skippingScan(
+      spark: SparkSession,
+      path: String,
+      manifestDF: DataFrame,
+      statCol: String,
+      lo: Long,
+      hi: Long
+  ): DataFrame = {
+    val files = manifestDF
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select(col("file"))
+      .collect() // metadata-scale: one row per surviving file
+      .map(_.getString(0))
+    val residual = col(statCol) >= lo && col(statCol) <= hi
+    if (files.isEmpty)
+      // no file can contain a match; keep the schema, read nothing
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   /** Per-partition file census of a partitioned parquet layout — the
     * before/after observability for [[compact]]: one row per partition
     * directory with its data-file count. Driver-side listing on purpose:

@@ -1597,6 +1597,25 @@ object Extensions {
       }
       s.read.parquet(compacted)
     },
+    // file-level data skipping (the lakehouse manifest read path): a
+    // range-clustered unpartitioned layout + its min/max manifest answer
+    // a key-range predicate opening only the files that can match — the
+    // oracle (the plain filtered table) proves no row is lost or invented;
+    // the file-count drop itself is asserted in LayoutOpsSpec
+    "layout_skipping_scan" -> { (s, dir) =>
+      val ranged = Scratch.dir("layout_ranged", dir)
+      Scratch.once(ranged) {
+        t(s, dir, "orders")
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(ranged)
+      }
+      val m = graft.ops.LayoutOps.manifest(s, ranged, Seq("o_orderkey"))
+      // one-row scalar collect: the global max is table metadata, the
+      // probe bound is its lowest decile (floor division, engine-exact)
+      val maxKey = m.agg(max(col("max_o_orderkey"))).collect()(0).getLong(0)
+      graft.ops.LayoutOps.skippingScan(
+        s, ranged, m, "o_orderkey", lo = 1L, hi = maxKey / 10)
+    },
     // Z-order (Morton) clustering value: the exact bit-interleave every
     // row would be laid out by — the layout itself is asserted in
     // ZOrderSpec; the oracle checks the curve arithmetic per row
@@ -4416,6 +4435,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     // compaction is content-preserving by contract: the compacted layout
     // must read back as exactly the source table, row for row
     "layout_compact" -> "SELECT * FROM orders",
+    "layout_skipping_scan" ->
+      """SELECT * FROM orders
+         WHERE o_orderkey >= 1
+           AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 10""",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),

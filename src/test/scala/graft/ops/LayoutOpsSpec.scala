@@ -56,6 +56,44 @@ class LayoutOpsSpec extends SparkSpecBase {
     assert(contentOf(out) == contentOf(in), "compaction must be a row-level bijection")
   }
 
+  test("manifest + skippingScan: prunes files by min/max, loses no qualifying row") {
+    val in = tmpDir("skip")
+    // range-clustered layout: 8 files with disjoint id ranges
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    df.repartitionByRange(8, $"id").write.mode("overwrite").parquet(in)
+    val m = LayoutOps.manifest(spark, in, Seq("id"))
+    val rows = m.collect()
+    assert(rows.length == 8, s"one manifest row per file: ${rows.length}")
+    assert(rows.map(_.getLong(1)).sum == 4000L, "manifest row counts must total the table")
+    // disjoint clustering: no two files' [min,max] ranges overlap
+    val ranges = rows.map(r => (r.getLong(2), r.getLong(3))).sorted
+    assert(ranges.sliding(2).forall { case Array((_, hi1), (lo2, _)) => hi1 < lo2 },
+      s"ranges must be disjoint: ${ranges.toSeq}")
+
+    val out = LayoutOps.skippingScan(spark, in, m, "id", lo = 100, hi = 400)
+    assert(out.inputFiles.length < 8, s"no file was skipped: ${out.inputFiles.length}")
+    assert(
+      out.select("id").as[Long].collect().sorted.toSeq == (100L to 400L),
+      "skipping scan must return exactly the qualifying rows")
+
+    // an out-of-range probe reads NOTHING but keeps the schema
+    val empty = LayoutOps.skippingScan(spark, in, m, "id", lo = 100000, hi = 200000)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("skippingScan: all-null stat files are skipped safely (null never matches a range)") {
+    val in = tmpDir("skipnull")
+    val some = (1 to 100).map(i => (Option(i.toLong), s"v$i"))
+    val nulls = (1 to 50).map(i => (Option.empty[Long], s"n$i"))
+    // two single-file writes into one dir: one real range, one all-null
+    some.toDF("id", "payload").coalesce(1).write.mode("overwrite").parquet(in)
+    nulls.toDF("id", "payload").coalesce(1).write.mode("append").parquet(in)
+    val m = LayoutOps.manifest(spark, in, Seq("id"))
+    val out = LayoutOps.skippingScan(spark, in, m, "id", lo = 1, hi = 1000)
+    assert(out.inputFiles.length == 1, "the all-null file must be pruned")
+    assert(out.count() == 100, "every non-null row qualifies")
+  }
+
   test("compact: deterministic — two runs produce identical file assignment") {
     val in = tmpDir("detin")
     val out1 = tmpDir("detout1")
