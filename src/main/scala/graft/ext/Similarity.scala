@@ -911,6 +911,89 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** RADIUS search (range query) over the SRP-LSH buckets: every candidate
+    * within cosine ≥ tauNum/tauDen of each query — the "find everything
+    * this similar" retrieval mode (near-dup sweeps, dedup-against-index,
+    * recommendation fan-out) where top-k's fixed cutoff is the wrong
+    * contract because the answer size is data-dependent.
+    *
+    * Candidate generation is [[lshBucketTopK]]'s verbatim: L independent
+    * SRP tables, optional 1-bit multi-probe, corpus side shuffled only on
+    * its (table, bucket) keys, query side broadcast. The threshold is then
+    * EXACT INTEGER math on the quantized vectors — `d ≥ 0 ∧
+    * d²·tauDen² ≥ qq·cc·tauNum²` in decimal(38,0) cross-products — so the
+    * accept/reject decision has no float boundary to wobble across
+    * engines; the reported sim is the usual one-rounded-double cosine.
+    * Recall is the LSH contract (union over tables/probes), measured in
+    * SimilaritySpec against the brute-force truth.
+    */
+  def lshRangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int,
+      tauNum: Int,
+      tauDen: Int,
+      multiProbe: Boolean = true,
+      tables: Int = 4
+  ): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen, "tau must be in [0, 1]")
+    def buckets(vec: Column): Column =
+      array((0 until tables).map(t => srpBucketQ(vec, dim, planes, t * planes)): _*)
+    val c = corpus
+      .select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("c_vec"))
+      .select(
+        col("cand_id"),
+        col("c_vec"),
+        dot(col("c_vec"), col("c_vec")).as("cc"),
+        posexplode(buckets(col("c_vec"))).as(Seq("tbl", "bucket"))
+      )
+    val q0 = queries
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("q_vec"))
+      .select(
+        col("query_id"),
+        col("q_vec"),
+        dot(col("q_vec"), col("q_vec")).as("qq"),
+        posexplode(buckets(col("q_vec"))).as(Seq("tbl", "bucket"))
+      )
+    val probed =
+      if (!multiProbe) q0
+      else
+        q0.select(
+          col("query_id"),
+          col("q_vec"),
+          col("qq"),
+          col("tbl"),
+          explode(
+            array_distinct(
+              array(
+                col("bucket") +:
+                  (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*
+              )
+            )
+          ).as("bucket")
+        )
+    val dec = "decimal(38,0)"
+    c.join(broadcast(probed), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates(Seq("query_id", "cand_id"))
+      .withColumn("d", dot(col("q_vec"), col("c_vec")))
+      .filter(
+        col("d") >= 0 &&
+          col("d").cast(dec) * col("d").cast(dec) * lit(tauDen.toLong * tauDen) >=
+          col("qq").cast(dec) * col("cc").cast(dec) * lit(tauNum.toLong * tauNum))
+      .select(
+        col("query_id"),
+        col("cand_id"),
+        round(
+          col("d").cast("double") /
+            (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))),
+          6).as("sim"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
     * ranked retrieval lists: `rrf(d) = Σ_lists 1/(c + rank_list(d))`, a
     * candidate present in only one list contributes one term. Fusion is

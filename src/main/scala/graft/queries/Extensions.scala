@@ -611,6 +611,17 @@ object Extensions {
         dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4
       )
     },
+    // radius search over the same SRP tables: every candidate with cosine
+    // >= 0.3 of each probe (the fixture's pairwise cosines top out ~0.5,
+    // so 0.3 is the regime with real matches) — data-dependent answer
+    // size, exact integer threshold (d²·100 >= qq·cc·9, decimal cross-
+    // products, no float boundary), LSH recall measured in SimilaritySpec
+    "ann_range_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.lshRangeSearch(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, planes = 6, tauNum = 3, tauDen = 10, multiProbe = true, tables = 4)
+    },
     // reciprocal-rank fusion of the two approximate rankers with
     // uncorrelated failure modes (IVF cell pruning vs SRP hyperplane
     // buckets): rank-only ensembling, no score calibration. Fusion depth
@@ -4120,6 +4131,35 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
           FROM scored
         )
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
+    // radius-search twin: the ann_lsh_topk candidate chain verbatim, then
+    // the exact integer threshold instead of a rank cut (HUGEINT cross-
+    // products; tau = 8/10 → d²·100 ≥ qq·cc·64)
+    "ann_range_search" ->
+      (qzCte + s"""
+        , bkt AS (
+${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6, t * 6)} AS bucket FROM qz").mkString("\n          UNION ALL\n")}
+        ), probes AS (
+          SELECT vec_id AS query_id, tbl,
+                 unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
+          FROM bkt WHERE vec_id < 10
+        ), cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+          FROM probes p JOIN bkt c ON c.tbl = p.tbl AND c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        ), scored AS (
+          SELECT u.query_id, u.cand_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> qa.q[i] * qb.q[i])) AS HUGEINT) AS d,
+                 CAST(list_sum(list_transform(range(1, 65), i -> qa.q[i] * qa.q[i])) AS HUGEINT) AS qq,
+                 CAST(list_sum(list_transform(range(1, 65), i -> qb.q[i] * qb.q[i])) AS HUGEINT) AS cc
+          FROM cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        )
+        SELECT query_id, cand_id,
+               round(CAST(d AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6) AS sim
+        FROM scored
+        WHERE d >= 0 AND d * d * 100 >= qq * cc * 9"""),
     // RRF fusion twin: both depth-20 ranker chains replayed (IVF 16/4 with
     // i-prefixed CTEs, 4-table SRP-LSH with l-prefixed CTEs), then the
     // rank-only reciprocal sum — 1.0/(60 + rank) is one IEEE division per

@@ -286,6 +286,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rerank > int8, f"rerank must add recall over raw int8: $rerank%.2f <= $int8%.2f")
   }
 
+  test("lshRangeSearch: no false accepts, sims exact, recall floor vs brute-force truth") {
+    val e = fixtureEmb
+    val q = e.filter($"vec_id" < 10)
+    // brute-force truth at tau = 0.3 over the quantized cosine (depth 100
+    // is far beyond the fixture's above-threshold neighborhood sizes)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 100)
+      .filter($"sim" >= 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val got = Similarity.lshRangeSearch(e, q, "vec_id", "embedding",
+      dim = 64, planes = 6, tauNum = 3, tauDen = 10, multiProbe = true, tables = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture must yield matches at tau = 0.3")
+    // soundness: every accepted pair is genuinely above threshold with the
+    // exact brute-force similarity (the integer predicate can't overshoot)
+    got.foreach { case (key, sim) =>
+      assert(brute.contains(key), s"false accept: $key")
+      assert(brute(key) == sim, s"sim drift at $key: ${brute(key)} vs $sim")
+    }
+    // completeness is the LSH contract: union over 4 tables + multiprobe
+    // recovers most of the true range set (measured ~0.8+; floor w/ margin)
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.5, s"range recall $recall below floor (${got.size}/${brute.size})")
+  }
+
   test("rrfFuse: reciprocal sums, single-list candidates, cand_id tie-break") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "cand_id", "rank")
     val b = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("query_id", "cand_id", "rank")
