@@ -106,6 +106,75 @@ object TemporalOps {
       .withColumn("n_window", count(lit(1)).over(w))
   }
 
+  /** EWMA smoothing over each key's trailing `nRows` rows — the
+    * exponentially-weighted moving average every metrics/monitoring
+    * pipeline runs, in the ALL-INTEGER weight algebra of this module:
+    * the true weights α(1−α)^j (j = 0 is the current row) scale by
+    * aD^N/α into the exact integers `(aD−aN)^j · aD^(N−1−j)`, so the
+    * weighted numerator and the window's weight total are Long sums —
+    * associative, engine-exact — and the only float is ONE division
+    * rounded at 6 dp. Truncating the exponential tail at `nRows` is the
+    * production form (a full-history EWMA can't window); partial windows
+    * at a series head renormalize by the present weights, the standard
+    * `adjust=true` convention.
+    *
+    * Values are cent-quantized (`floor(v·100 + 0.5)`) like the module's
+    * other integer ops; null values are excluded from both the output and
+    * the windows (an EWMA over "the last n OBSERVATIONS"). Long-range
+    * check: max weight aD^(N−1) · max|q| · N must fit a Long — at the
+    * guarded N ≤ 16, aD ≤ 8 this holds for any cent-quantized metric
+    * under ~10^9.
+    *
+    * Scale shape: one bounded window per key (collect_list of ≤ nRows
+    * longs), no self-join, no state beyond the frame — identical posture
+    * to [[rollingSum]].
+    */
+  def ewmaSmooth(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      nRows: Int,
+      alphaNum: Int = 1,
+      alphaDen: Int = 4
+  ): DataFrame = {
+    require(nRows > 0 && nRows <= 16, "window must span 1..16 rows")
+    require(alphaNum > 0 && alphaNum < alphaDen, "alpha must be in (0,1)")
+    require(alphaDen <= 8, "alphaDen beyond 8 risks Long overflow at nRows=16")
+    val b = (alphaDen - alphaNum).toLong
+    val weights: Seq[Long] = (0 until nRows).map(j =>
+      (BigInt(b).pow(j) * BigInt(alphaDen.toLong).pow(nRows - 1 - j)).toLong)
+    val wlit = array(weights.map(lit): _*)          // wlit[j+1] = weight of lag j
+    val dlit = array(weights.scanLeft(0L)(_ + _).tail.map(lit): _*) // dlit[s] = Σ w_0..w_{s-1}
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__q", floor(col(valueCol).cast("double") * 100 + lit(0.5)).cast("long"))
+      .withColumn("__arr", collect_list(col("__q")).over(w)) // frame order: oldest first
+      .withColumn("n_window", size(col("__arr")))
+      .withColumn(
+        "__num",
+        aggregate(
+          // position p (0-based, oldest first) has lag j = s−1−p → wlit[s−p]
+          transform(
+            sequence(lit(0), col("n_window") - 1),
+            p => element_at(col("__arr"), p + 1) * element_at(wlit, col("n_window") - p)),
+          lit(0L),
+          (acc, x) => acc + x))
+      .withColumn(
+        "ewma",
+        // ÷100 de-quantizes back to the value's own units; the scale
+        // folds into the exact integer denominator, still one division
+        round(
+          col("__num").cast("double") /
+            (element_at(dlit, col("n_window")) * lit(100L)).cast("double"),
+          6))
+      .drop("__q", "__arr", "__num")
+  }
+
   /** Rolling z-score anomaly flags in ALL-INTEGER arithmetic: over each
     * key's trailing `nRows` rows (ordered by ts, tie-broken on `tieCol`),
     * flag the current value when it sits more than `k` population

@@ -2004,6 +2004,15 @@ object Extensions {
     "emb_label_diversity" -> { (s, dir) =>
       Similarity.groupDiversity(t(s, dir, "embeddings"), col("label"), col("embedding"))
     },
+    // EWMA smoothing (α=1/4, 8-row tail) per user: integer weight algebra,
+    // one rounded division — the monitoring smoother beside ev_rolling
+    "ts_ewma" -> { (s, dir) =>
+      TemporalOps
+        .ewmaSmooth(Fixtures.events(s, dir), "user_id", "ts", "event_id", "value", nRows = 8)
+        .select(
+          col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("n_window"), col("ewma"))
+    },
     // rolling 5-event window per user: decimal-exact running sum + count
     "ev_rolling" -> { (s, dir) =>
       TemporalOps
@@ -4967,6 +4976,28 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            round(CAST(dot_ss - self_sum AS DOUBLE)
                  / (n_vecs * (n_vecs - 1)) / 1000000, 6) AS mean_cos
          FROM s2 WHERE n_vecs >= 2""",
+    // EWMA twin: the bounded window replayed as an rn band self-join; the
+    // lag weights (aD−aN)^j·aD^(N−1−j) are the exact integers the Spark
+    // side bakes as literals, so num/den are integer sums in both engines
+    "ts_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+                    FROM events WHERE value IS NOT NULL),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM e)
+         SELECT a.user_id, a.event_id, epoch_us(a.ts) AS ts_us,
+                CAST(count(*) AS INTEGER) AS n_window,
+                round(CAST(sum(b.q * CASE a.rn - b.rn
+                         WHEN 0 THEN 16384 WHEN 1 THEN 12288 WHEN 2 THEN 9216 WHEN 3 THEN 6912
+                         WHEN 4 THEN 5184 WHEN 5 THEN 3888 WHEN 6 THEN 2916 WHEN 7 THEN 2187
+                       END) AS DOUBLE) /
+                      CAST(sum(CASE a.rn - b.rn
+                         WHEN 0 THEN 16384 WHEN 1 THEN 12288 WHEN 2 THEN 9216 WHEN 3 THEN 6912
+                         WHEN 4 THEN 5184 WHEN 5 THEN 3888 WHEN 6 THEN 2916 WHEN 7 THEN 2187
+                       END) * 100 AS DOUBLE), 6) AS ewma
+         FROM r a JOIN r b
+           ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+         GROUP BY a.user_id, a.event_id, a.ts""",
     "ev_rolling" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER

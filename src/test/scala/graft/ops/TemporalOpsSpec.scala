@@ -133,6 +133,36 @@ class TemporalOpsSpec extends SparkSpecBase {
     )
   }
 
+  test("ewmaSmooth: closed forms hold — constants pass through, recency dominates, nulls drop") {
+    // α=1/4, N=8 → lag weights 16384,12288,… ; partial windows renormalize
+    val df = Seq(
+      (1L, ts(1), 1L, Option(10.0)),
+      (1L, ts(2), 2L, Option(20.0)),
+      (2L, ts(1), 3L, Option(7.0)),
+      (2L, ts(2), 4L, Option(7.0)),
+      (2L, ts(3), 5L, Option(7.0)),
+      (3L, ts(1), 6L, Option(5.0)),
+      (3L, ts(2), 7L, Option.empty[Double]),
+      (3L, ts(3), 8L, Option(9.0))
+    ).toDF("k", "t", "id", "value")
+    val out = TemporalOps.ewmaSmooth(df, "k", "t", "id", "value", nRows = 8)
+      .select($"id", $"n_window", $"ewma")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // single-observation window: the value itself
+    assert(out(1L) == ((1, 10.0)))
+    // (1000·12288 + 2000·16384) / ((12288+16384)·100) = 15.714286
+    assert(out(2L) == ((2, 15.714286)), s"got ${out(2L)}")
+    // a constant series is a fixpoint of any normalized weighting
+    assert(out(3L) == ((1, 7.0)) && out(4L) == ((2, 7.0)) && out(5L) == ((3, 7.0)))
+    // null rows vanish from output AND windows: id=8's window is (5, 9)
+    assert(!out.contains(7L), "null-valued row must not be scored")
+    assert(out(8L) == ((2, math.rint((500 * 12288 + 900 * 16384).toDouble / 28672 / 100 * 1e6) / 1e6)),
+      s"got ${out(8L)}")
+    // recency check: the newest value carries the largest weight, so the
+    // EWMA of (10, 20) sits above their plain mean
+    assert(out(2L)._2 > 15.0)
+  }
+
   test("asofJoin matches a plain-Scala model on random data with heavy ts collisions") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
