@@ -128,6 +128,58 @@ object LayoutOps {
       spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
   }
 
+  /** File-level hash-bucket index — the EQUALITY-predicate complement of
+    * [[manifest]]'s min/max ranges (a point lookup on a high-cardinality
+    * key gets nothing from min/max unless the layout is key-clustered;
+    * this is the Delta/Parquet "bloom filter index" idea in exact
+    * relational form): each file's posting list of occupied md5 buckets,
+    * `(file, bucket)` distinct rows, ≤ `buckets` rows per file. One
+    * distributed scan, map-side distinct, no driver listing; membership
+    * is EXACT on buckets (no bit packing), so the only false positives
+    * are genuine bucket collisions — cost extra file reads, never
+    * correctness ([[pointLookupScan]] keeps the residual filter).
+    */
+  def bucketIndex(spark: SparkSession, path: String, keyCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    spark.read.parquet(path)
+      .select(
+        input_file_name().as("file"),
+        Hashing.md5Mod(col(keyCol).cast("string"), buckets.toLong).as("bucket"))
+      .distinct()
+  }
+
+  /** Point-lookup scan: answer `keyCol IN (keys)` opening only files whose
+    * [[bucketIndex]] posting list contains at least one probed bucket.
+    * The probe is relational — a broadcast join of the (tiny) key list
+    * against the index — and the surviving FILE LIST collect is bounded
+    * metadata, the lakehouse reader's planning step. Files are then read
+    * with the exact residual `IN` filter, so index collisions can only
+    * cost I/O. A key hashing to a bucket no file contains reads nothing.
+    */
+  def pointLookupScan(
+      spark: SparkSession,
+      path: String,
+      index: DataFrame,
+      keyCol: String,
+      keys: Seq[Long],
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(keys.nonEmpty, "keys must not be empty")
+    import spark.implicits._
+    val probe = keys.toDF("__k")
+      .select(Hashing.md5Mod(col("__k").cast("string"), buckets.toLong).as("bucket"))
+      .distinct()
+    val files = index
+      .join(broadcast(probe), Seq("bucket"))
+      .select(col("file"))
+      .distinct()
+      .collect() // metadata-scale: one row per candidate file
+      .map(_.getString(0))
+    val residual = col(keyCol).isin(keys: _*)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   /** Per-partition file census of a partitioned parquet layout — the
     * before/after observability for [[compact]]: one row per partition
     * directory with its data-file count. Driver-side listing on purpose:

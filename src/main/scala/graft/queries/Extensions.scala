@@ -1627,6 +1627,21 @@ object Extensions {
       graft.ops.LayoutOps.skippingScan(
         s, ranged, m, "o_orderkey", lo = 1L, hi = maxKey / 10)
     },
+    // file-level point lookup (the equality twin of the min/max skip):
+    // a hash-bucket posting index over the SAME range-clustered layout
+    // routes an IN-list probe to the files that can hold those keys; the
+    // residual filter makes collisions an I/O cost, never a wrong row
+    "layout_point_lookup" -> { (s, dir) =>
+      val ranged = Scratch.dir("layout_ranged", dir)
+      Scratch.once(ranged) {
+        t(s, dir, "orders")
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(ranged)
+      }
+      val idx = graft.ops.LayoutOps.bucketIndex(s, ranged, "o_orderkey", buckets = 4096)
+      graft.ops.LayoutOps.pointLookupScan(
+        s, ranged, idx, "o_orderkey", keys = Seq(1L, 2L, 3L, 5L, 7L), buckets = 4096)
+    },
     // Z-order (Morton) clustering value: the exact bit-interleave every
     // row would be laid out by — the layout itself is asserted in
     // ZOrderSpec; the oracle checks the curve arithmetic per row
@@ -4488,6 +4503,8 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
       """SELECT * FROM orders
          WHERE o_orderkey >= 1
            AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 10""",
+    "layout_point_lookup" ->
+      "SELECT * FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 7)",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),

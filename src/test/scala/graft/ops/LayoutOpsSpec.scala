@@ -94,6 +94,25 @@ class LayoutOpsSpec extends SparkSpecBase {
     assert(out.count() == 100, "every non-null row qualifies")
   }
 
+  test("bucketIndex + pointLookupScan: IN-probe opens few files, exact rows, absent key reads nothing") {
+    val in = tmpDir("ptlk")
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    df.repartitionByRange(8, $"id").write.mode("overwrite").parquet(in)
+    val idx = LayoutOps.bucketIndex(spark, in, "id", buckets = 4096)
+    // posting list is metadata-scale: at most (buckets, rows-in-file) rows per file
+    assert(idx.count() <= 8L * 4096)
+
+    val out = LayoutOps.pointLookupScan(spark, in, idx, "id", keys = Seq(10L, 3990L), buckets = 4096)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 3990L))
+    // the two keys live in the first and last range files; collisions may
+    // add files but a lookup must never approach the full scan
+    assert(out.inputFiles.length < 8, s"no pruning: ${out.inputFiles.length}")
+
+    // a key outside the domain: at worst collision files open, zero rows out
+    val miss = LayoutOps.pointLookupScan(spark, in, idx, "id", keys = Seq(999999L), buckets = 4096)
+    assert(miss.count() == 0 && miss.columns.toSeq == Seq("id", "payload"))
+  }
+
   test("compact: deterministic — two runs produce identical file assignment") {
     val in = tmpDir("detin")
     val out1 = tmpDir("detout1")
