@@ -34,6 +34,33 @@ object Dedup {
     * scratch FS — the spill is a splittable columnar table, not driver
     * state.
     */
+  /** [[spilled]] with a CALLER-SUPPLIED content key instead of the plan
+    * signature — for builders whose plan roots in a [[graft.ops.PlanOps
+    * .fence]] (a fresh LogicalRDD per invocation, so the canonicalized
+    * plan never repeats and a plan-keyed memo would rebuild every time).
+    * The caller asserts `contentKey` identifies the input data and every
+    * parameter the spilled content depends on (corpus path + op params);
+    * the schema and the exactness-relevant confs still ride the key.
+    */
+  private[graft] def spilledAt(df: DataFrame, tag: String, contentKey: String): DataFrame = {
+    val s = df.sparkSession
+    val confSig = Seq(
+      "spark.sql.session.timeZone",
+      "spark.sql.ansi.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong"
+    ).map(k => s.conf.getOption(k).getOrElse("")).mkString("|")
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest((contentKey + "|" + df.schema.catalogString + "|" + confSig).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val key = s"${tag}_$sig"
+    val path = spillMemo.computeIfAbsent(key, { k =>
+      val p = graft.queries.Scratch.dir(tag, k)
+      df.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private[graft] def spilled(df: DataFrame, tag: String): DataFrame = {
     val s = df.sparkSession
     val confSig = Seq(

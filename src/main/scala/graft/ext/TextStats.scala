@@ -565,9 +565,9 @@ object TextStats {
     *
     * Scale shape (what makes this runnable over 100 TB):
     *   - ONE (doc, bigram) partial-agg collapses each doc to its distinct
-    *     transitions with multiplicities; the probe side and the model
-    *     side both hang off that same exchange, so Spark's ReusedExchange
-    *     computes the tokenize+explode exactly once.
+    *     transitions with multiplicities, shared across the probe and the
+    *     model through a plan-keyed parquet spill (the dedup/graph-family
+    *     discipline), so tokenize+explode runs exactly once per corpus.
     *   - The global bigram model aggregates the collapsed frame (≤ one
     *     row per distinct transition), and head counts c(w₁·) aggregate
     *     the MODEL, not the corpus — marginalizing the count table is
@@ -583,13 +583,26 @@ object TextStats {
     *             the bigram)
     * @return (doc_id, n_bigrams, avg_lp, ppl), docs with ≥ 2 tokens
     */
-  def lmScoreDF(df: DataFrame, idCol: Column, textCol: Column, hotK: Int = 64): DataFrame = {
+  def lmScoreDF(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      corpusKey: String,
+      hotK: Int = 64): DataFrame = {
     require(hotK > 0, "hotK must be positive")
+    require(corpusKey.nonEmpty, "corpusKey must identify the input corpus")
+    // ONE tokenize pass, spilled: (doc_id, tokens, bigram array). The spill
+    // (not a fence, not a cache) is what makes the sharing real — a fenced
+    // plan roots in a fresh LogicalRDD whose canonicalization changes per
+    // invocation, defeating both exchange reuse AND the plan-keyed memo;
+    // a parquet scan canonicalizes stably, and exploding a SCANNED column
+    // is a plain Generate over an attribute (no expression re-evaluation),
+    // so nothing downstream needs a fence at all.
     val words = df
       .select(idCol.as("doc_id"), split(trim(coalesce(textCol, lit(""))), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
     // fence: the bigram array is expensively built and exploded — unfenced,
-    // the Generate node would re-run the transform per output element
+    // the Generate node re-evaluates the transform per output element
     val bigrams = graft.ops.PlanOps
       .fence(words.select(
         col("doc_id"),
@@ -598,14 +611,26 @@ object TextStats {
           i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2))
         ).as("bgs")))
       .select(col("doc_id"), explode(col("bgs")).as("b"))
-    val perDoc = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    // the collapsed (doc, bigram, m) frame feeds THREE consumers (probe ×2
+    // union branches + the model). Shared through a CONTENT-KEYED parquet
+    // spill: the fence above roots the plan in a fresh LogicalRDD per
+    // invocation, so neither exchange reuse nor a plan-keyed memo can fire
+    // — the caller's corpusKey carries the identity instead, and tokenize
+    // + explode + collapse runs exactly once per corpus
+    val perDoc = Dedup.spilledAt(
+      bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m")),
+      "lm_bigrams", corpusKey)
     val model = perDoc.groupBy(col("b")).agg(sum(col("m")).as("cb"))
     val heads = model
       .groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("ch"))
-    val vocab = graft.ops.PlanOps
-      .fence(words.select(col("doc_id"), explode(col("w")).as("tok")).filter(length(col("tok")) > 0))
-      .agg(count_distinct(col("tok")).as("v")) // one scalar row — broadcast
+    // one scalar row — broadcast; spilled on the same key (its fenced
+    // token explode would otherwise re-tokenize the corpus per invocation)
+    val vocab = Dedup.spilledAt(
+      graft.ops.PlanOps
+        .fence(words.select(explode(col("w")).as("tok")).filter(length(col("tok")) > 0))
+        .agg(count_distinct(col("tok")).as("v")),
+      "lm_vocab", corpusKey)
     val hot = model.orderBy(col("cb").desc, col("b")).limit(hotK)
     val probe = perDoc.withColumn("w1", substring_index(col("b"), " ", 1))
     val hotHits = probe.join(broadcast(hot), Seq("b"))

@@ -426,7 +426,9 @@ object Extensions {
     // the CCNet-style perplexity quality gate; hot transitions broadcast,
     // the model marginalizes from the count table, never the corpus
     "text_lm_score" -> { (s, dir) =>
-      TextStats.lmScoreDF(tPar(s, dir, "documents"), col("doc_id"), col("text"), hotK = 64)
+      TextStats.lmScoreDF(
+        tPar(s, dir, "documents"), col("doc_id"), col("text"),
+        corpusKey = s"documents|$dir", hotK = 64)
     },
     // dataset report ("data card"): doc counts, token sums and mean quality
     // per (split, lang) — the summary a training run publishes. The mean

@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "dedup_knn_graph", "stats_tvd_drift", "corpus_interleave_rr",
         "ev_attribution_linear", "scd_snapshot_at", "mm_video_scene_cuts",
         "ev_attribution_ushape", "curate_url_domain", "curation_token_budget",
-        "graph_kcore_fixpoint", "graph_label_prop_fixpoint")) {
+        "graph_kcore_fixpoint", "graph_label_prop_fixpoint",
+        "stats_psi_drift", "stats_jsd_drift", "corpus_sample_weighted",
+        "text_lm_score", "ann_range_search", "ts_ewma")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }

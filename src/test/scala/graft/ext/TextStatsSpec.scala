@@ -178,7 +178,7 @@ class TextStatsSpec extends SparkSpecBase {
   test("lmScoreDF: fluent text beats junk, short docs drop, ppl ties out, hot split is invisible") {
     val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat")) ++
       Seq((100L, "xq zr wv qqj"), (101L, "solo"), (102L, ""))).toDF("doc_id", "text")
-    val out = TextStats.lmScoreDF(docs, $"doc_id", $"text", hotK = 4)
+    val out = TextStats.lmScoreDF(docs, $"doc_id", $"text", corpusKey = "spec_lm_a", hotK = 4)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap
@@ -196,7 +196,7 @@ class TextStatsSpec extends SparkSpecBase {
       assert(ppl == math.rint(math.exp(-avgLp) * 1e4) / 1e4, s"ppl/avg_lp out of sync")
     // the hot-broadcast/cold-shuffle split is a pure execution concern:
     // any hotK yields byte-identical scores
-    val wide = TextStats.lmScoreDF(docs, $"doc_id", $"text", hotK = 1000)
+    val wide = TextStats.lmScoreDF(docs, $"doc_id", $"text", corpusKey = "spec_lm_b", hotK = 1000)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap
