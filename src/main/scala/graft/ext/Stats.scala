@@ -443,6 +443,75 @@ object Stats {
     */
   private val DecTerm = "decimal(28,9)"
 
+  /** Welch's two-sample t statistic per group — the SIGNIFICANCE companion
+    * to the drift family: KS/TVD/PSI/JSD say how far two snapshots sit
+    * apart, Welch's t says whether the MEAN moved more than sampling noise
+    * explains (the unequal-variance form, the safe default for A/B and
+    * release-over-release metric checks). Also emits the Welch–
+    * Satterthwaite degrees of freedom so a caller can threshold against
+    * any t table.
+    *
+    * Exactness: values must arrive integer-quantized (cents/micros — the
+    * module contract); counts, sums, and sums-of-squares are exact
+    * decimal(38,0) moments, and the whole tail is a FIXED-ORDER chain of
+    * correctly-rounded IEEE primitives (÷, ×, −, √ — no transcendental at
+    * all), so the statistic replays bit-exactly in any engine before the
+    * final 6/4 dp rounds. Groups need n ≥ 2 on each side (sample variance
+    * undefined otherwise) and at least one side with spread (t undefined
+    * on two constants — dropped, not scored ±∞).
+    *
+    * Scale shape: ONE partial-agg'd groupBy carrying six moment columns —
+    * |groups| rows shuffle, nothing else; the tail is row-local on the
+    * aggregate.
+    */
+  def welchT(df: DataFrame, groupCol: Column, valueCol: Column, inA: Column): DataFrame = {
+    val base = df
+      .select(groupCol.as("grp"), valueCol.cast("long").as("v"), inA.as("a"))
+      .filter(col("v").isNotNull)
+    val vDec = col("v").cast(Dec)
+    val zero = lit(0L).cast(Dec)
+    val m = base
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("a"), vDec).otherwise(zero)).as("sa"),
+        sum(when(!col("a"), vDec).otherwise(zero)).as("sb"),
+        sum(when(col("a"), vDec * vDec).otherwise(zero)).as("qa"),
+        sum(when(!col("a"), vDec * vDec).otherwise(zero)).as("qb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val naD = col("n_a").cast(Dec)
+    val nbD = col("n_b").cast(Dec)
+    m
+      // sample variance s² = (n·Σv² − S²) / (n·(n−1)): exact decimal
+      // numerator/denominator, ONE division each — ≥ 0 by Cauchy–Schwarz
+      .withColumn(
+        "__va",
+        (naD * col("qa") - col("sa") * col("sa")).cast("double") /
+          (naD * (naD - lit(1))).cast("double"))
+      .withColumn(
+        "__vb",
+        (nbD * col("qb") - col("sb") * col("sb")).cast("double") /
+          (nbD * (nbD - lit(1))).cast("double"))
+      .withColumn("__sea", col("__va") / col("n_a").cast("double"))
+      .withColumn("__seb", col("__vb") / col("n_b").cast("double"))
+      .filter(col("__sea") + col("__seb") > 0) // two constants → t undefined
+      .select(
+        col("grp"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          (col("sa").cast("double") / col("n_a").cast("double") -
+            col("sb").cast("double") / col("n_b").cast("double")) /
+            sqrt(col("__sea") + col("__seb")),
+          6).as("t"),
+        round(
+          ((col("__sea") + col("__seb")) * (col("__sea") + col("__seb"))) /
+            (col("__sea") * col("__sea") / (col("n_a") - 1).cast("double") +
+              col("__seb") * col("__seb") / (col("n_b") - 1).cast("double")),
+          4).as("df"))
+  }
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

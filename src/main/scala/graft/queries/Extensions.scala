@@ -1859,6 +1859,16 @@ object Extensions {
         t(s, dir, "documents"), col("source"), col("lang"),
         graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 2L) === 0)
     },
+    // drift SIGNIFICANCE: Welch's unequal-variance t per event_type on the
+    // cent-quantized value between md5 halves — exact decimal moments, a
+    // transcendental-free IEEE tail, + Welch–Satterthwaite df
+    "stats_welch_t" -> { (s, dir) =>
+      Stats.welchT(
+        Fixtures.events(s, dir).filter(col("value").isNotNull),
+        col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long"),
+        graft.ops.Hashing.md5Mod(col("event_id").cast("string"), 2L) === 0)
+    },
     // Unicode NFC canonicalization (the native graft_nfc Expression):
     // decomposed suffixes (e+combining acute, A+combining ring) are
     // composed before digesting — both engines implement the same Unicode
@@ -4928,6 +4938,35 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 round(CAST(sum(term) AS DOUBLE), 6) AS psi
          FROM trm GROUP BY grp
          HAVING max(na) > 0 AND max(nb) > 0""",
+    "stats_welch_t" ->
+      """WITH base AS (SELECT event_type AS grp,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a
+                FROM events WHERE value IS NOT NULL),
+         m AS (SELECT grp,
+                 sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb,
+                 sum(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+                 sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) END) AS sb,
+                 sum(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa,
+                 sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS qb
+               FROM base GROUP BY grp
+               HAVING na >= 2 AND nb >= 2),
+         vv AS (SELECT grp, na, nb, sa, sb,
+                  CAST(CAST(na AS HUGEINT) * qa - sa * sa AS DOUBLE) /
+                    CAST(CAST(na AS HUGEINT) * (na - 1) AS DOUBLE) AS va,
+                  CAST(CAST(nb AS HUGEINT) * qb - sb * sb AS DOUBLE) /
+                    CAST(CAST(nb AS HUGEINT) * (nb - 1) AS DOUBLE) AS vb
+                FROM m),
+         se AS (SELECT grp, na, nb, sa, sb,
+                  va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+                FROM vv)
+         SELECT grp, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+                       CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb), 6) AS t,
+                round(((sea + seb) * (sea + seb)) /
+                      (sea * sea / CAST(na - 1 AS DOUBLE) + seb * seb / CAST(nb - 1 AS DOUBLE)), 4) AS df
+         FROM se WHERE sea + seb > 0""",
     "stats_jsd_drift" ->
       """WITH base AS (SELECT source AS grp, lang AS cat,
                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0) AS a

@@ -389,6 +389,34 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("welchT: closed forms, degenerate-group drops, side antisymmetry") {
+    val rows =
+      // g1: A = {1,3} (mean 2, s²=2), B = {7,9} (mean 8, s²=2)
+      // → t = −6/√2 = −4.242641, df = (1+1)²/(1+1) = 2
+      Seq(("g1", 1L, true), ("g1", 3L, true), ("g1", 7L, false), ("g1", 9L, false)) ++
+        // g2: identical sides → t = 0
+        Seq(("g2", 1L, true), ("g2", 3L, true), ("g2", 1L, false), ("g2", 3L, false)) ++
+        // g3: two constants → t undefined → dropped, never ±∞
+        Seq(("g3", 5L, true), ("g3", 5L, true), ("g3", 7L, false), ("g3", 7L, false)) ++
+        // g4: one observation on a side → sample variance undefined → dropped
+        Seq(("g4", 1L, true), ("g4", 2L, true), ("g4", 9L, false))
+    val df = rows.toDF("g", "v", "a")
+    val out = Stats.welchT(df, col("g"), col("v"), col("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set("g1", "g2"), s"degenerate groups must drop: ${out.keySet}")
+    assert(out("g1") == ((2L, 2L, -4.242641, 2.0)), s"planted shift: ${out("g1")}")
+    assert(out("g2")._3 == 0.0, s"identical sides: ${out("g2")}")
+    // relabeling A↔B negates t and keeps df
+    val rev = Stats.welchT(df, col("g"), col("v"), !col("a"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    for ((g, (na, nb, t, d)) <- out)
+      assert(rev(g) == ((nb, na, -t, d)), s"side swap must negate t, keep df: $g")
+  }
+
   test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
     // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
     // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag
