@@ -327,6 +327,21 @@ object Extensions {
     // time travel: the table AS OF sequence time 2 — upserted keys show
     // their seq-1 version, keys deleted at seq 2 are absent (an interval
     // filter, not a join; the snapshot is a scan predicate)
+    // snapshot DIFF — the inverse of the apply: derive I/U/D between two
+    // full extracts when the source has no CDC feed; one full-outer join,
+    // null-safe payload compare, change-proportional output
+    "scd_snapshot_diff" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val prev = base.filter(col("o_orderkey") % 7 =!= 0)
+      val next = base
+        .filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn(
+          "o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.ops.ChangeOps.snapshotDiff(prev, next, "o_orderkey")
+    },
     "scd_snapshot_at" -> { (s, dir) =>
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
@@ -3505,6 +3520,23 @@ object Extensions {
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
     // snapshot twin: the history CTE filtered to intervals covering t=2
+    "scd_snapshot_diff" ->
+      """WITH p AS (SELECT o_orderkey k, o_orderstatus s, o_totalprice t
+                    FROM orders WHERE o_orderkey % 7 <> 0),
+         n AS (SELECT o_orderkey k, o_orderstatus s,
+                      CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END t
+               FROM orders WHERE o_orderkey % 5 <> 0),
+         j AS (SELECT p.k pk, p.s ps, p.t pt, n.k nk, n.s ns, n.t nt
+               FROM p FULL OUTER JOIN n ON p.k = n.k),
+         c AS (SELECT *, CASE WHEN pk IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+                              WHEN NOT (ps IS NOT DISTINCT FROM ns AND pt IS NOT DISTINCT FROM nt)
+                              THEN 'U' END AS op
+               FROM j)
+         SELECT coalesce(nk, pk) AS o_orderkey,
+                CASE WHEN op = 'D' THEN ps ELSE ns END AS o_orderstatus,
+                CASE WHEN op = 'D' THEN pt ELSE nt END AS o_totalprice,
+                op
+         FROM c WHERE op IS NOT NULL""",
     "scd_snapshot_at" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
          rows AS (

@@ -161,6 +161,44 @@ class ChangeOpsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { ChangeOps.snapshotAt(changes, 0L) }
   }
 
+  test("snapshotDiff classifies I/U/D, skips identical rows, null-safe on payload") {
+    val prev = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, Option("b"), Option(20.0)),
+      (3L, Option("c"), Option.empty[Double]),
+      (4L, Option("d"), Option(40.0))
+    ).toDF("id", "name", "amt")
+    val next = Seq(
+      (1L, Option("a"), Option(10.0)),          // identical → silent
+      (2L, Option("b"), Option(21.0)),          // changed → U
+      (3L, Option("c"), Option(33.0)),          // null → value is a real U
+      (5L, Option("e"), Option(50.0))           // new key → I; 4 vanishes → D
+    ).toDF("id", "name", "amt")
+    val out = ChangeOps.snapshotDiff(prev, next, "id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), Option(r.get(2)))))
+      .toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 5L), s"identical rows must be silent: ${out.keySet}")
+    assert(out(2L) == (("U", Some(21.0))))
+    assert(out(3L) == (("U", Some(33.0))), "null→value must diff as U")
+    assert(out(4L) == (("D", Some(40.0))), "a delete carries prev's payload")
+    assert(out(5L) == (("I", Some(50.0))))
+  }
+
+  test("snapshotDiff round-trips: applying the diff to prev reproduces next") {
+    val rng = new scala.util.Random(31)
+    val prev = (1 to 300).map(i => (i.toLong, s"n$i", rng.nextInt(50).toDouble))
+      .toDF("id", "name", "amt")
+    val next = (1 to 350).filter(_ % 7 != 0)
+      .map(i => (i.toLong, s"n$i", if (i % 3 == 0) 999.0 else rng.nextInt(50).toDouble))
+      .toDF("id", "name", "amt")
+    val diff = ChangeOps.snapshotDiff(prev, next, "id").withColumn("seq", lit(1L))
+    val replayed = ChangeOps.applyChangelog(prev, diff, Seq("id"), "op", "seq")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    assert(canon(replayed) == canon(next), "diff-then-apply must reproduce the next snapshot")
+  }
+
   test("missing payload columns in changes and work-column collisions are rejected") {
     val noAmt = Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq")
     intercept[IllegalArgumentException] {
