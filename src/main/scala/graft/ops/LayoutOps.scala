@@ -83,12 +83,41 @@ object LayoutOps {
     *                 clustering/predicate columns)
     * @return one row per file: (file, n_rows, min_c..., max_c...)
     */
-  def manifest(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
+  def manifest(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame =
+    manifestOf(spark.read.parquet(path), statCols)
+
+  /** [[manifest]] over an already-scoped scan (a file subset, a fresh
+    * append batch) — the building block incremental maintenance reuses.
+    */
+  def manifestOf(df: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "statCols must not be empty")
-    val df = spark.read.parquet(path)
     val aggs = count(lit(1)).as("n_rows") +:
       statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** INCREMENTAL manifest maintenance — the reason a manifest beats
+    * re-deriving stats per query: after an append/compaction cycle, scan
+    * ONLY the files the prior manifest doesn't know and union their stats
+    * in. New-file discovery is a driver-side LISTING diff (file listing is
+    * metadata, the same class as the lakehouse transaction log read);
+    * the DATA scan is strictly the fresh files. Paths are compared
+    * URI-normalized so `file:///x` and `file:/x` spellings never cause a
+    * double-count. With no fresh files the prior manifest returns as-is.
+    */
+  def manifestAppend(
+      spark: SparkSession,
+      path: String,
+      prior: DataFrame,
+      statCols: Seq[String]
+  ): DataFrame = {
+    def norm(s: String) =
+      try new java.net.URI(s).getPath
+      catch { case _: Exception => s }
+    val known = prior.select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    val fresh = spark.read.parquet(path).inputFiles.filterNot(f => known.contains(norm(f)))
+    if (fresh.isEmpty) prior
+    else prior.unionByName(manifestOf(spark.read.parquet(fresh.toIndexedSeq: _*), statCols))
   }
 
   /** Data-skipping scan: answer `statCol BETWEEN lo AND hi` reading ONLY

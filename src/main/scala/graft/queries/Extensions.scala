@@ -1644,6 +1644,28 @@ object Extensions {
       graft.ops.LayoutOps.skippingScan(
         s, ranged, m, "o_orderkey", lo = 1L, hi = maxKey / 10)
     },
+    // incremental manifest maintenance: half the layout's files seed the
+    // manifest, manifestAppend folds in the rest scanning ONLY them; the
+    // maintained manifest's global rollup must equal the table's own
+    // stats — which is what the oracle checks without seeing file paths
+    "layout_manifest_maintain" -> { (s, dir) =>
+      val ranged = Scratch.dir("layout_ranged", dir)
+      Scratch.once(ranged) {
+        t(s, dir, "orders")
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(ranged)
+      }
+      // driver-side listing diff — metadata, like a transaction-log read
+      val all = s.read.parquet(ranged).inputFiles.sorted
+      val prior = graft.ops.LayoutOps.manifestOf(
+        s.read.parquet(all.take(all.length / 2).toIndexedSeq: _*), Seq("o_orderkey"))
+      graft.ops.LayoutOps
+        .manifestAppend(s, ranged, prior, Seq("o_orderkey"))
+        .agg(
+          sum(col("n_rows")).cast("long").as("n_rows"),
+          min(col("min_o_orderkey")).as("min_key"),
+          max(col("max_o_orderkey")).as("max_key"))
+    },
     // file-level point lookup (the equality twin of the min/max skip):
     // a hash-bucket posting index over the SAME range-clustered layout
     // routes an IN-list probe to the files that can hold those keys; the
@@ -4549,6 +4571,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            AND o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 10""",
     "layout_point_lookup" ->
       "SELECT * FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 7)",
+    "layout_manifest_maintain" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders""",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),

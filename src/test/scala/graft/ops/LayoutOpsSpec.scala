@@ -94,6 +94,24 @@ class LayoutOpsSpec extends SparkSpecBase {
     assert(out.count() == 100, "every non-null row qualifies")
   }
 
+  test("manifestAppend: maintained manifest equals a full rebuild; no fresh files = identity") {
+    val in = tmpDir("mmaint")
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    df.repartitionByRange(4, $"id").write.mode("overwrite").parquet(in)
+    val all = spark.read.parquet(in).inputFiles.sorted
+    val prior = LayoutOps.manifestOf(
+      spark.read.parquet(all.take(2).toIndexedSeq: _*), Seq("id"))
+    val maintained = LayoutOps.manifestAppend(spark, in, prior, Seq("id"))
+    def canon(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (new java.net.URI(r.getString(0)).getPath,
+        r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(canon(maintained) == canon(LayoutOps.manifest(spark, in, Seq("id"))),
+      "append must converge to the full rebuild")
+    // idempotence: a second maintenance pass finds nothing fresh
+    val again = LayoutOps.manifestAppend(spark, in, maintained, Seq("id"))
+    assert(canon(again) == canon(maintained))
+  }
+
   test("bucketIndex + pointLookupScan: IN-probe opens few files, exact rows, absent key reads nothing") {
     val in = tmpDir("ptlk")
     val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
