@@ -33,6 +33,21 @@ object Extensions {
     */
   private def qz(v: Column): Column = Similarity.quantize(v)
 
+  /** Synthetic fuzzy-name fixture shared by the matcher and the ER
+    * composition: groups of 5 docs derive one canonical 9-char name, four
+    * of them perturbed by one substitution at an id-dependent position.
+    */
+  private def fuzzyNames(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      expr(
+        """CASE WHEN doc_id % 5 = 0 THEN substring(md5(cast(doc_id div 5 as string)), 1, 9)
+           ELSE concat(
+             substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), 1, cast(doc_id % 9 as int)),
+             char(85 + doc_id % 6),
+             substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), cast(doc_id % 9 as int) + 2))
+           END""").as("s"))
+
   private def ldot(a: Column, b: Column): Column =
     call_function("graft_dotl", a, b)
 
@@ -1953,16 +1968,25 @@ object Extensions {
     // C(5,2) in-cluster pairs within distance 2, equal-length so the
     // segment guarantee is exact; oracle replays fixture, blocks, verify
     "fuzzy_name_pairs" -> { (s, dir) =>
-      val names = t(s, dir, "documents").select(
-        col("doc_id").as("id"),
-        expr(
-          """CASE WHEN doc_id % 5 = 0 THEN substring(md5(cast(doc_id div 5 as string)), 1, 9)
-             ELSE concat(
-               substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), 1, cast(doc_id % 9 as int)),
-               char(85 + doc_id % 6),
-               substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), cast(doc_id % 9 as int) + 2))
-             END""").as("s"))
-      graft.ops.FuzzyOps.editBlockedPairs(names, col("id"), col("s"), maxDist = 2, maxBlock = 64)
+      graft.ops.FuzzyOps.editBlockedPairs(
+        fuzzyNames(s, dir), col("id"), col("s"), maxDist = 2, maxBlock = 64)
+    },
+    // end-to-end entity resolution: the blocked edit-distance matcher's
+    // pairs become entity clusters via pointer-jumping CC, singletons keep
+    // their own id, and every record carries its entity + member count —
+    // the block → match → cluster → label composition an MDM pipeline runs
+    "er_entities" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val names = fuzzyNames(s, dir)
+      val pairs = graft.ops.FuzzyOps
+        .editBlockedPairs(names, col("id"), col("s"), maxDist = 2, maxBlock = 64)
+        .select(col("id_lo"), col("id_hi"))
+      val clusters = Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "id")
+      names
+        .join(clusters, Seq("id"), "left")
+        .withColumn("entity_id", coalesce(col("canonical_id"), col("id")))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+        .select(col("id"), col("entity_id"), col("n_members"))
     },
     // skew-safe aggregation: the two-stage salted group-by, bit-identical
     // to the direct aggregate (algebraic functions commute with sharding)
@@ -4798,6 +4822,38 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            FROM ok a JOIN ok b ON a.seg_i = b.seg_i AND a.seg = b.seg AND a.id < b.id)
          SELECT id_lo, id_hi, CAST(levenshtein(s_lo, s_hi) AS INTEGER) AS dist
          FROM cand WHERE levenshtein(s_lo, s_hi) <= 2""",
+    // ER twin: the fuzzy-pair CTEs verbatim + the recursive reach closure
+    // (the clusterChainSql pattern over the matcher's edge set)
+    "er_entities" ->
+      """WITH RECURSIVE names AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 5 = 0 THEN substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9)
+             ELSE substr(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9), 1, CAST(doc_id % 9 AS INTEGER))
+                  || chr(CAST(85 + doc_id % 6 AS INTEGER))
+                  || substr(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9), CAST(doc_id % 9 AS INTEGER) + 2)
+             END AS s
+           FROM documents),
+         segs AS (
+           SELECT id, s, g AS seg_i,
+                  substr(s, (g * length(s)) // 3 + 1,
+                         ((g + 1) * length(s)) // 3 - (g * length(s)) // 3) AS seg
+           FROM names CROSS JOIN generate_series(0, 2) t(g)),
+         bn AS (SELECT seg_i, seg, count(*) AS n FROM segs GROUP BY 1, 2),
+         ok AS (SELECT segs.* FROM segs JOIN bn USING (seg_i, seg) WHERE bn.n <= 64),
+         cand AS (
+           SELECT DISTINCT a.id AS id_lo, b.id AS id_hi, a.s AS s_lo, b.s AS s_hi
+           FROM ok a JOIN ok b ON a.seg_i = b.seg_i AND a.seg = b.seg AND a.id < b.id),
+         pairs AS (SELECT id_lo, id_hi FROM cand WHERE levenshtein(s_lo, s_hi) <= 2),
+         sym AS (SELECT id_lo AS a, id_hi AS b FROM pairs
+                 UNION SELECT id_hi, id_lo FROM pairs),
+         reach(id, r) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+           UNION
+           SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         cl AS (SELECT id, min(r) AS ent FROM reach GROUP BY id)
+         SELECT n.id, coalesce(cl.ent, n.id) AS entity_id,
+                CAST(count(*) OVER (PARTITION BY coalesce(cl.ent, n.id)) AS BIGINT) AS n_members
+         FROM names n LEFT JOIN cl ON cl.id = n.id""",
     "stats_corr" ->
       """WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
            CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
