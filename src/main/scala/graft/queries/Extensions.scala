@@ -1681,6 +1681,28 @@ object Extensions {
           min(col("min_o_orderkey")).as("min_key"),
           max(col("max_o_orderkey")).as("max_key"))
     },
+    // the full OPTIMIZE story: a Z-ORDERED layout + the min/max manifest
+    // skip files on a predicate over EITHER interleaved dimension — the
+    // reason lakehouses z-order at all (a linear sort only bounds its
+    // leading column; the Morton curve bounds both per file)
+    "layout_zorder_skip" -> { (s, dir) =>
+      val zdir = Scratch.dir("layout_z2d", dir)
+      Scratch.once(zdir) {
+        graft.ops.ZOrderOps
+          .zorderLayout(
+            t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+            "l_partkey", "l_suppkey", bits = 15, partitions = 8)
+          .drop("zval")
+          .write.mode("overwrite").parquet(zdir)
+      }
+      val m = graft.ops.LayoutOps.manifest(s, zdir, Seq("l_partkey", "l_suppkey"))
+      // one-row scalar collect (table metadata); probe the lowest 5% of
+      // one dimension — the z-curve bounds BOTH dims per file, so either
+      // dimension prunes (LayoutOpsSpec asserts both)
+      val maxPart = m.agg(max(col("max_l_partkey"))).collect()(0).getLong(0)
+      graft.ops.LayoutOps.skippingScan(s, zdir, m, "l_partkey", lo = 1L, hi = maxPart / 20)
+    },
     // file-level point lookup (the equality twin of the min/max skip):
     // a hash-bucket posting index over the SAME range-clustered layout
     // routes an IN-list probe to the files that can hold those keys; the
@@ -4599,6 +4621,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders""",
+    "layout_zorder_skip" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem
+         WHERE l_partkey >= 1
+           AND l_partkey <= (SELECT max(l_partkey) FROM lineitem) // 20""",
     "corpus_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g5 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 4, 1) + 1),

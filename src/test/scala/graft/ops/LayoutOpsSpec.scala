@@ -131,6 +131,23 @@ class LayoutOpsSpec extends SparkSpecBase {
     assert(miss.count() == 0 && miss.columns.toSeq == Seq("id", "payload"))
   }
 
+  test("z-ordered layout + manifest skips files on EITHER interleaved dimension") {
+    val in = tmpDir("zskip")
+    // 64×64 grid: a z-ordered 8-file layout bounds both x and y per file;
+    // a linear sort on x would leave every file spanning all of y
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    ZOrderOps
+      .zorderLayout(grid.toDF("x", "y"), "x", "y", bits = 6, partitions = 8)
+      .drop("zval")
+      .write.mode("overwrite").parquet(in)
+    val m = LayoutOps.manifest(spark, in, Seq("x", "y"))
+    val onX = LayoutOps.skippingScan(spark, in, m, "x", lo = 0, hi = 7)
+    val onY = LayoutOps.skippingScan(spark, in, m, "y", lo = 0, hi = 7)
+    assert(onX.inputFiles.length < 8, s"x-range must prune: ${onX.inputFiles.length}")
+    assert(onY.inputFiles.length < 8, s"y-range must prune: ${onY.inputFiles.length}")
+    assert(onX.count() == 8 * 64 && onY.count() == 64 * 8, "pruning must lose no rows")
+  }
+
   test("compact: deterministic — two runs produce identical file assignment") {
     val in = tmpDir("detin")
     val out1 = tmpDir("detout1")
