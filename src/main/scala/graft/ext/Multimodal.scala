@@ -137,6 +137,16 @@ object Multimodal {
       pix_sum: Long
   )
 
+  final case class ImageSharpness(
+      asset_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_interior: Long,
+      lap_sq_sum: Long,
+      lap_mean: Option[Double]
+  )
+
   /** REAL image decode (JDK-only `javax.imageio`, PNG + BMP): parses the
     * actual payload bytes inside the partition-batched plumbing and folds
     * band-0 raster samples into a pixel checksum. Raster samples (not
@@ -162,6 +172,56 @@ object Multimodal {
             y += 1
           }
           DecodedImage(id, mt, img.getWidth, img.getHeight, sum)
+        }
+      }
+  }
+
+  /** Image SHARPNESS audit — the variance-of-Laplacian blur detector every
+    * vision-data curation pipeline runs before training (blurry frames and
+    * up-scaled thumbnails score near zero and get dropped): per interior
+    * pixel the 4-neighbour Laplacian `4p − p← − p→ − p↑ − p↓` of band 0,
+    * squared and summed in EXACT Long arithmetic (|lap| ≤ 1020, lap² ≤
+    * ~1e6 — a petapixel per image before overflow), one rounded division
+    * for the per-pixel mean at the end. Images too small for an interior
+    * (w < 3 or h < 3) report 0/NULL rather than a fake score.
+    *
+    * Same decode plumbing as [[decodeImages]]: partition-batched real
+    * codec, no shuffle before or after — map-only over the asset table.
+    */
+  def imageSharpness(assets: DataFrame): Dataset[ImageSharpness] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.map { case (id, mt, payload) =>
+          val img = codec.decode(payload, s"asset $id")
+          val r = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          var sq = 0L
+          var n = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val lap = 4L * r.getSample(x, y, 0) -
+                r.getSample(x - 1, y, 0) - r.getSample(x + 1, y, 0) -
+                r.getSample(x, y - 1, 0) - r.getSample(x, y + 1, 0)
+              sq += lap * lap
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          val mean =
+            if (n == 0) None
+            else
+              Some(java.math.BigDecimal.valueOf(sq.toDouble / n.toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+          ImageSharpness(id, mt, w, h, n, sq, mean)
         }
       }
   }

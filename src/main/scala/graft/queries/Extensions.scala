@@ -844,6 +844,14 @@ object Extensions {
         .decodeImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // blur detection: variance-of-Laplacian sharpness over the REAL
+    // decode path — exact Long 4-neighbour Laplacian squares, one rounded
+    // mean; sub-3x3 images report 0/NULL instead of a fake score
+    "mm_image_sharpness" -> { (s, dir) =>
+      Multimodal
+        .imageSharpness(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
     // REAL JPEG decode end-to-end: genuine baseline-JFIF bytes encoded
     // executor-side at quality 1.0 from CONSTANT-gray id-derived images —
     // the one shape lossy JPEG round-trips exactly (DC-only blocks) — then
@@ -4055,6 +4063,35 @@ object Extensions {
                             (a, b) -> xor(a, b)) + 1) * 64 END AS INTEGER) AS height
          FROM ch""",
     "mm_decode_real" -> decodeRealOracleSql,
+    // sharpness twin: the id-derived pixel formula replayed through the
+    // 4-neighbour Laplacian on the interior grid; sums exact integers
+    "mm_image_sharpness" ->
+      """WITH dims AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS h
+           FROM documents),
+         lap AS (
+           SELECT d.id,
+             (4 * ((d.id * 31 + 7 * x.g + 13 * y.g) % 256)
+                - ((d.id * 31 + 7 * (x.g - 1) + 13 * y.g) % 256)
+                - ((d.id * 31 + 7 * (x.g + 1) + 13 * y.g) % 256)
+                - ((d.id * 31 + 7 * x.g + 13 * (y.g - 1)) % 256)
+                - ((d.id * 31 + 7 * x.g + 13 * (y.g + 1)) % 256)) AS l
+           FROM dims d
+           CROSS JOIN generate_series(1, 11) AS x(g)
+           CROSS JOIN generate_series(1, 9) AS y(g)
+           WHERE x.g <= d.w - 2 AND y.g <= d.h - 2),
+         agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n, CAST(sum(l * l) AS BIGINT) AS sq
+                 FROM lap GROUP BY id)
+         SELECT d.id AS asset_id,
+                CASE WHEN d.id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                d.w AS width, d.h AS height,
+                coalesce(agg.n, 0) AS n_interior,
+                coalesce(agg.sq, 0) AS lap_sq_sum,
+                CASE WHEN agg.n > 0 THEN round(CAST(agg.sq AS DOUBLE) / CAST(agg.n AS DOUBLE), 6) END
+                  AS lap_mean
+         FROM dims d LEFT JOIN agg ON agg.id = d.id""",
     "mm_image_dhash" -> dhashOracleSql,
     "mm_image_neardup" -> dhashNearDupOracleSql,
     "mm_audio_fingerprint" -> audioFpOracleSql,

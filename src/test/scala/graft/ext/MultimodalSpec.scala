@@ -354,6 +354,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out((1L, 1))._2, s"small step must not cut: $out")
   }
 
+  test("imageSharpness: constant images score 0, gradients positive, sub-3x3 reports NULL") {
+    val ids = Seq(0L, 2L, 24L, 50L).toDF("doc_id") // dims (1,1), (3,3), (12,3), (12,7)
+    // constant-gray JPEG fixtures decode to flat images → Laplacian 0
+    val flat = Multimodal.imageSharpness(Multimodal.synthJpegImages(ids, "doc_id"))
+      .collect().map(r => r.asset_id -> r).toMap
+    for ((id, r) <- flat if r.n_interior > 0)
+      assert(r.lap_sq_sum == 0L && r.lap_mean.contains(0.0), s"flat image $id must score 0: $r")
+    // the id-derived images are LINEAR ramps mod 256: the Laplacian is 0
+    // wherever no wrap crosses the 5-point stencil (ids 2, 50 — a smooth
+    // gradient IS blur-flat, exactly what the detector should say) and
+    // positive where the wrap's hard edge passes the interior (id 24:
+    // base 232 + 7x wraps within the 12-wide row)
+    val grad = Multimodal.imageSharpness(Multimodal.synthImages(ids, "doc_id"))
+      .collect().map(r => r.asset_id -> r).toMap
+    assert(grad(0L).n_interior == 0L && grad(0L).lap_mean.isEmpty, "1x1 must report NULL")
+    for (id <- Seq(2L, 24L, 50L)) {
+      val r = grad(id)
+      assert(r.n_interior == (r.width - 2).toLong * (r.height - 2), s"interior count: $r")
+    }
+    assert(grad(2L).lap_sq_sum == 0L && grad(50L).lap_sq_sum == 0L,
+      s"pure ramps have zero Laplacian: ${grad(2L)}, ${grad(50L)}")
+    assert(grad(24L).lap_sq_sum > 0L && grad(24L).lap_mean.exists(_ > 0.0),
+      s"the mod-wrap edge must score sharp: ${grad(24L)}")
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head

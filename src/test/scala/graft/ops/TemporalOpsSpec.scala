@@ -163,6 +163,35 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(out(2L)._2 > 15.0)
   }
 
+  test("ewmaSmooth matches a plain-Scala model on random series with ts collisions") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 400).map { i =>
+      (rng.nextInt(5).toLong, ts(rng.nextInt(40).toLong), i.toLong,
+        math.rint(rng.nextDouble() * 10000) / 100)
+    }
+    val out = TemporalOps
+      .ewmaSmooth(rows.toDF("k", "t", "id", "value"), "k", "t", "id", "value", nRows = 8)
+      .collect()
+      .map(r => r.getLong(2) -> ((r.getInt(4), r.getDouble(5))))
+      .toMap
+    // model: the same integer weight algebra folded in plain Scala
+    val weights = (0 until 8).map(j => math.pow(3, j).toLong * math.pow(4, 7 - j).toLong)
+    for ((k, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(r => (r._2.getTime, r._3))
+      for ((row, idx) <- ordered.zipWithIndex) {
+        val window = ordered.slice(math.max(0, idx - 7), idx + 1)
+        val qs = window.map(r => math.floor(r._4 * 100 + 0.5).toLong)
+        val num = qs.reverse.zipWithIndex.map { case (q, j) => q * weights(j) }.sum
+        val den = qs.indices.map(weights(_)).sum * 100L
+        // Spark's Round: IEEE division first, then HALF_UP at 6 dp
+        val expect = java.math.BigDecimal.valueOf(num.toDouble / den.toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        assert(out(row._3) == ((window.size, expect)),
+          s"key $k id ${row._3}: got ${out(row._3)}, want (${window.size}, $expect)")
+      }
+    }
+  }
+
   test("asofJoin matches a plain-Scala model on random data with heavy ts collisions") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
