@@ -92,6 +92,39 @@ object Curation {
       .drop("__rk")
   }
 
+  /** Privacy release gate — k-anonymity and l-diversity per
+    * quasi-identifier group: before a corpus (or its metadata) ships, every
+    * combination of quasi-identifiers must cover at least `k` records
+    * (re-identification resistance) and at least `l` distinct values of
+    * the sensitive attribute (attribute-disclosure resistance — a k-large
+    * group whose sensitive value is constant still leaks it). One row per
+    * group with exact counts and both verdicts; the release step is then
+    * a semi-join against the passing groups.
+    *
+    * Scale shape: ONE partial-agg'd groupBy on the quasi-identifier tuple
+    * (count + count_distinct — Spark plans the distinct as a two-phase
+    * expand-aggregate, still partial-agg'd); |groups| rows shuffle,
+    * verdicts are row-local integer compares. NULL quasi-identifier
+    * values form their own group (standard: NULL is a value an attacker
+    * sees too).
+    */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[Column],
+      sensitiveCol: Column,
+      k: Int,
+      l: Int
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    df.groupBy(quasiCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(sensitiveCol).as("n_sensitive"))
+      .withColumn("k_ok", col("n") >= k)
+      .withColumn("l_ok", col("n_sensitive") >= l)
+  }
+
   /** WEIGHTED exact-k sample without replacement — Efraimidis–Spirakis
     * A-Res (Inf. Proc. Letters 97(5), 2006): each row draws a key
     * `u^(1/w)` from its deterministic uniform `u` and the k LARGEST keys

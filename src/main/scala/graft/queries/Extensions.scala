@@ -2052,6 +2052,14 @@ object Extensions {
       Curation.sampleExactK(
         t(s, dir, "documents").select(col("doc_id"), col("source")), col("doc_id"), k = 200)
     },
+    // privacy release gate: k-anonymity + l-diversity per quasi-identifier
+    // group — exact counts, row-local verdicts; the semi-join against
+    // passing groups is the actual release filter
+    "privacy_k_anonymity" -> { (s, dir) =>
+      Curation.kAnonymity(
+        t(s, dir, "documents").withColumn("len_bucket", col("n_chars") % 10),
+        Seq(col("source"), col("len_bucket")), col("lang"), k = 5, l = 2)
+    },
     // weighted exact-k draw (Efraimidis–Spirakis A-Res): probability
     // proportional to n_chars, without replacement — the length-weighted
     // corpus sample; TakeOrdered over ln(u)/w, no global sort
@@ -4948,6 +4956,11 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
       """SELECT doc_id, source FROM documents
          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
          LIMIT 200""",
+    "privacy_k_anonymity" ->
+      """SELECT source, n_chars % 10 AS len_bucket, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+                count(*) >= 5 AS k_ok, count(DISTINCT lang) >= 2 AS l_ok
+         FROM documents GROUP BY 1, 2""",
     "corpus_sample_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE CAST(n_chars AS DOUBLE) > 0

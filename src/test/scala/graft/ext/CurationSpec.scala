@@ -234,6 +234,23 @@ class CurationSpec extends SparkSpecBase {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("kAnonymity: group counts, l-diversity, NULL quasi groups, boundary at exactly k/l") {
+    val rows =
+      (1 to 5).map(i => (Option("a"), s"s$i")) ++          // n=5, 5 distinct → both pass at k=5,l=2
+        (1 to 4).map(_ => (Option("b"), "same")) ++        // n=4 (< k), 1 distinct (< l)
+        (1 to 6).map(_ => (Option("c"), "only")) ++        // n=6 ok, but constant sensitive → l fails
+        (1 to 5).map(i => (Option.empty[String], s"v${i % 2}")) // NULL quasi is its own group
+    val df = rows.toDF("quasi", "sens")
+    val out = Curation.kAnonymity(df, Seq(col("quasi")), col("sens"), k = 5, l = 2)
+      .collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(out(Some("a")) == ((5L, 5L, true, true)), "exactly k and >= l must pass")
+    assert(out(Some("b")) == ((4L, 1L, false, false)))
+    assert(out(Some("c")) == ((6L, 1L, true, false)), "k-large constant-sensitive group leaks")
+    assert(out(None) == ((5L, 2L, true, true)), "NULL quasi-identifier forms its own group")
+  }
+
   test("sampleWeighted: exact k, weight-biased, prefix-stable, TakeOrdered plan") {
     // 500 heavy rows (w=200) vs 500 light rows (w=2): A-Res picks each row
     // with probability ∝ w, so a k=100 draw should be overwhelmingly heavy
