@@ -512,6 +512,74 @@ object Stats {
           4).as("df"))
   }
 
+  /** Pearson chi-square test of independence + Cramér's V per group — the
+    * categorical ASSOCIATION audit (are `lang` and `length-bucket`
+    * independent within each source? is a label correlated with its
+    * shard?): over the R×C contingency table of two categorical columns,
+    * `χ² = Σ_cells (O−E)²/E` with `E = rowTot·colTot/n`, plus the
+    * effect-size normalization `V = √(χ² / (n·min(R−1,C−1)))` that makes
+    * scores comparable across groups of different size.
+    *
+    * Zero cells without materializing them: a missing (x,y) combination
+    * has O=0 but E>0 and the full-grid sum is `χ² = n + Σ_observed
+    * [(O−E)²/E − E]` (since Σ_all E = n) — so only observed cells are ever
+    * rows, and the grid never cross-joins.
+    *
+    * Determinism contract ([[ksDrift]]'s): counts and margin products are
+    * exact decimal(38,0) (`diff = O·n − rt·ct` holds to ~10¹² rows per
+    * side); each cell term is a FIXED-ORDER chain of correctly-rounded
+    * IEEE ops (cast, ×, ÷, −), rounded to 9 dp and summed as an exact
+    * decimal before the final 6 dp rounds. √ is correctly rounded, so V
+    * replays bit-exactly from the rounded χ².
+    *
+    * Scale shape: one partial-agg'd (group, x, y) cell count, windows over
+    * ≤|cells| rows per group, one more partial agg — raw data shuffles
+    * once as counts, never as rows. Groups with R<2 or C<2 drop (no
+    * association definable) rather than scoring 0/∞.
+    */
+  def chi2Assoc(df: DataFrame, groupCol: Column, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.as("grp"), xCol.as("x"), yCol.as("y"))
+      .groupBy(col("grp"), col("x"), col("y"))
+      .agg(count(lit(1)).cast(Dec).as("o"))
+    val byG = Window.partitionBy(col("grp"))
+    val byGX = Window.partitionBy(col("grp"), col("x"))
+    val byGY = Window.partitionBy(col("grp"), col("y"))
+    cells
+      .withColumn("n", sum(col("o")).over(byG))
+      .withColumn("rt", sum(col("o")).over(byGX))
+      .withColumn("ct", sum(col("o")).over(byGY))
+      // distinct-category counts via dense_rank→max: no distinct-window
+      // aggregate needed, and the rank windows run over cell counts only
+      .withColumn("r", max(dense_rank().over(byG.orderBy(col("x")))).over(byG))
+      .withColumn("c", max(dense_rank().over(byG.orderBy(col("y")))).over(byG))
+      .withColumn("__d", (col("o") * col("n") - col("rt") * col("ct")).cast("double"))
+      .withColumn(
+        "term",
+        round(
+          col("__d") * col("__d") / (col("n") * col("rt") * col("ct")).cast("double") -
+            (col("rt") * col("ct")).cast("double") / col("n").cast("double"),
+          9).cast(DecTerm))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("n")).as("__n"),
+        max(col("r")).as("r"),
+        max(col("c")).as("c"),
+        sum(col("term")).as("__t"))
+      .filter(col("r") >= 2 && col("c") >= 2)
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("chi2", round(col("n").cast("double") + col("__t").cast("double"), 6))
+      .select(
+        col("grp"), col("n"), col("r").cast("long").as("r"), col("c").cast("long").as("c"),
+        ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+        col("chi2"),
+        round(
+          sqrt(
+            col("chi2") /
+              (col("n").cast("double") * least(col("r") - 1, col("c") - 1).cast("double"))),
+          6).as("cramers_v"))
+  }
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

@@ -223,4 +223,44 @@ object ChangeOps {
       .filter(col("__rk") === 1 && col("__op") =!= "D")
       .select(dataCols.map(col): _*)
   }
+
+  /** Incremental MATERIALIZED-VIEW maintenance for an algebraic aggregate
+    * (count + sum — the decomposable core every avg/ratio view derives
+    * from): fold a signed delta batch into the stored view state without
+    * touching the base data. `base` is the persisted view
+    * (keys…, cnt, sum_v); `delta` is raw changed rows carrying a weight
+    * column (+1 insert, −1 retraction) and a value column. The maintained
+    * view is IDENTICAL to a full recompute over (base-rows − retracted +
+    * inserted) — the invariant the oracle checks by doing exactly that
+    * full recompute.
+    *
+    * Scale shape — the entire point of IVM at 100 TB: cost is
+    * O(|delta| + |touched groups|), never O(|base data|). The delta
+    * partial-aggregates map-side to |touched groups| rows, the union with
+    * the view state partial-aggregates again, and no join appears anywhere
+    * (a join-based merge would shuffle the full view; the union+agg
+    * re-merges only colliding keys). Groups whose count reaches zero drop
+    * from the view exactly as a recompute would drop them.
+    */
+  def maintainAggView(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      weightCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val deltaAgg = delta
+      .select(keys.map(col) :+ weightCol.cast("long").as("__w") :+
+        valueCol.cast("long").as("__v"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__w")).as("cnt"),
+        sum(col("__w") * coalesce(col("__v"), lit(0L))).as("sum_v"))
+    base
+      .select(keys.map(col) :+ col("cnt") :+ col("sum_v"): _*)
+      .unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("cnt") > 0)
+  }
 }

@@ -144,4 +144,41 @@ object SkewOps {
         max(col("__mx")).as("vmax")
       )
   }
+
+  /** Hot-key audit — the DIAGNOSTIC that decides whether a join/agg needs
+    * [[saltedJoin]]/[[saltedAgg]] at all: per-key row counts, reported as
+    * the top-K heaviest keys with their exact share of the table
+    * (parts-per-million) and how many × the mean key they weigh
+    * (milli-units: 1000 = a perfectly uniform key). All-integer — shares
+    * come from exact `div` on decimal cross-products, so the audit itself
+    * is oracle-checkable, unlike a sampled profiler.
+    *
+    * Scale shape: ONE partial-agg'd per-key count (the raw table never
+    * shuffles as rows), a one-row scalar totals frame broadcast back, and
+    * a TakeOrdered top-K — no sort of the key universe. This is the probe
+    * you run cheaply at 100 TB before paying for a salting rewrite.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: Column, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df
+      .select(keyCol.cast("string").as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("__keys"))
+    val dec = "decimal(38,0)"
+    counts
+      .crossJoin(broadcast(totals)) // one-row frame: the cross join is a scalar
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .select(
+        col("key"),
+        col("cnt"),
+        col("__keys").as("n_keys"),
+        expr(s"CAST(cnt AS $dec) * 1000000 div CAST(__tot AS $dec)")
+          .cast("long").as("share_ppm"),
+        expr(s"CAST(cnt AS $dec) * 1000 * CAST(__keys AS $dec) div CAST(__tot AS $dec)")
+          .cast("long").as("hot_x_milli"))
+  }
 }

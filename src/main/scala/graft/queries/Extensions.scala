@@ -345,6 +345,33 @@ object Extensions {
     // snapshot DIFF — the inverse of the apply: derive I/U/D between two
     // full extracts when the source has no CDC feed; one full-outer join,
     // null-safe payload compare, change-proportional output
+    // incremental VIEW maintenance: the per-(event_type, day) count+sum
+    // view maintained from a signed delta batch (inserts +1, retractions
+    // −1) — cost O(|delta|+touched groups), NO join, no base rescan; the
+    // oracle proves the invariant by full recompute over the net row set
+    "mv_delta_maintain" -> { (s, dir) =>
+      val ev = Fixtures.events(s, dir).select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val inBase = col("event_id") % 3 =!= 0
+      val baseView = ev
+        .filter(inBase)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), sum(coalesce(col("cents"), lit(0L))).as("sum_v"))
+      val inserts = ev.filter(!inBase).withColumn("w", lit(1L))
+      val retractions = ev.filter(inBase && col("event_id") % 11 === 0)
+        .withColumn("w", lit(-1L))
+      graft.ops.ChangeOps
+        .maintainAggView(
+          baseView, inserts.unionByName(retractions),
+          Seq("event_type", "day"), col("w"), col("cents"))
+        .select(
+          col("event_type"), col("day"),
+          col("cnt").cast("long").as("cnt"),
+          col("sum_v").cast("long").as("sum_cents"))
+    },
     "scd_snapshot_diff" -> { (s, dir) =>
       val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -1951,6 +1978,15 @@ object Extensions {
         floor(col("value") * 100 + lit(0.5)).cast("long"),
         graft.ops.Hashing.md5Mod(col("event_id").cast("string"), 2L) === 0)
     },
+    // categorical ASSOCIATION audit: per-source chi-square of independence
+    // between lang and a length bucket + Cramér's V effect size — zero
+    // cells folded in algebraically (χ² = n + Σ_obs[(O−E)²/E − E]), exact
+    // decimal margins, 9-dp-quantized IEEE terms in an exact decimal sum
+    "stats_chi2_assoc" -> { (s, dir) =>
+      Stats.chi2Assoc(
+        t(s, dir, "documents"),
+        col("source"), col("lang"), expr("least(n_chars div 150, 5L)"))
+    },
     // Unicode NFC canonicalization (the native graft_nfc Expression):
     // decomposed suffixes (e+combining acute, A+combining ring) are
     // composed before digesting — both engines implement the same Unicode
@@ -2017,6 +2053,13 @@ object Extensions {
         .withColumn("entity_id", coalesce(col("canonical_id"), col("id")))
         .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("entity_id"))))
         .select(col("id"), col("entity_id"), col("n_members"))
+    },
+    // hot-key DIAGNOSTIC: the exact per-key weight audit you run before
+    // paying for a salting rewrite — top-20 heaviest user_ids with integer
+    // ppm share and ×-mean weight; per-key partial agg + scalar totals, no
+    // raw-row shuffle, TakeOrdered top-K
+    "audit_key_skew" -> { (s, dir) =>
+      graft.ops.SkewOps.keySkewAudit(Fixtures.events(s, dir), col("user_id"), topK = 20)
     },
     // skew-safe aggregation: the two-stage salted group-by, bit-identical
     // to the direct aggregate (algebraic functions commute with sharding)
@@ -3603,6 +3646,17 @@ object Extensions {
     "scd_changelog_apply" -> changelogApplySql,
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
+    // IVM invariant twin: the maintained view must equal a FULL recompute
+    // over the net row set (base minus retracted plus inserted) — the
+    // oracle does that recompute directly, never seeing the delta path
+    "mv_delta_maintain" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT)
+                  AS sum_cents
+         FROM events
+         WHERE event_id % 3 = 0 OR event_id % 11 <> 0
+         GROUP BY 1, 2""",
     // snapshot twin: the history CTE filtered to intervals covering t=2
     "scd_snapshot_diff" ->
       """WITH p AS (SELECT o_orderkey k, o_orderstatus s, o_totalprice t
@@ -4943,6 +4997,15 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
       """SELECT source AS key, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total,
                 min(n_chars) AS vmin, max(n_chars) AS vmax
          FROM documents GROUP BY source""",
+    "audit_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS HUGEINT) AS tot, CAST(count(*) AS BIGINT) AS n_keys
+               FROM c)
+         SELECT key, cnt, n_keys,
+                CAST(CAST(cnt AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm,
+                CAST(CAST(cnt AS HUGEINT) * 1000 * n_keys // tot AS BIGINT) AS hot_x_milli
+         FROM c, t ORDER BY cnt DESC, key ASC LIMIT 20""",
     "j8_salted_join" ->
       """SELECT l_suppkey, l_orderkey, l_quantity, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
@@ -5182,6 +5245,37 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 round(CAST(sum(term) AS DOUBLE) / 0.6931471805599453, 6) AS jsd
          FROM trm GROUP BY grp
          HAVING max(na) > 0 AND max(nb) > 0""",
+    "stats_chi2_assoc" ->
+      """WITH base AS (SELECT source AS grp, lang AS x, least(n_chars // 150, 5) AS y
+                FROM documents),
+         cells AS (SELECT grp, x, y, CAST(count(*) AS HUGEINT) AS o
+                   FROM base GROUP BY 1, 2, 3),
+         rk AS (SELECT *,
+                  dense_rank() OVER (PARTITION BY grp ORDER BY x) AS drx,
+                  dense_rank() OVER (PARTITION BY grp ORDER BY y) AS dry
+                FROM cells),
+         marg AS (SELECT grp, o,
+                    sum(o) OVER (PARTITION BY grp) AS n,
+                    sum(o) OVER (PARTITION BY grp, x) AS rt,
+                    sum(o) OVER (PARTITION BY grp, y) AS ct,
+                    max(drx) OVER (PARTITION BY grp) AS r,
+                    max(dry) OVER (PARTITION BY grp) AS c
+                  FROM rk),
+         trm AS (SELECT grp, n, r, c,
+                   CAST(round(
+                     CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE) /
+                       CAST(n * rt * ct AS DOUBLE) -
+                     CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS term
+                 FROM marg),
+         agg AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(r) AS BIGINT) AS r, CAST(max(c) AS BIGINT) AS c,
+                   round(CAST(max(n) AS DOUBLE) + CAST(sum(term) AS DOUBLE), 6) AS chi2
+                 FROM trm GROUP BY grp
+                 HAVING max(r) >= 2 AND max(c) >= 2)
+         SELECT grp, n, r, c, (r - 1) * (c - 1) AS dof, chi2,
+                round(sqrt(chi2 / (CAST(n AS DOUBLE) *
+                                   CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+         FROM agg""",
     "emb_label_centroid" ->
       """WITH x AS (
            SELECT label, CAST(i - 1 AS INTEGER) AS pos,
