@@ -417,6 +417,30 @@ class StatsSpec extends SparkSpecBase {
       assert(rev(g) == ((nb, na, -t, d)), s"side swap must negate t, keep df: $g")
   }
 
+  test("chi2Assoc closed forms: perfect association, independence, zero cells, drop rule") {
+    val rows =
+      // perfect: x determines y exactly → χ² = n = 20, V = 1
+      (1 to 10).map(_ => ("perfect", "a", 0L)) ++ (1 to 10).map(_ => ("perfect", "b", 1L)) ++
+        // independent: uniform 2×2 → χ² = 0, V = 0
+        (for (x <- Seq("a", "b"); y <- Seq(0L, 1L); _ <- 1 to 5) yield ("indep", x, y)) ++
+        // zero cell (b,1) absent: hand-computed χ² = 1/3+2/3+2/3+4/3 = 3,
+        // dof 1, V = √(3/12) = 0.5 — exercises the n + Σ_obs folding
+        ((1 to 4).map(_ => ("zerocell", "a", 0L)) ++ (1 to 4).map(_ => ("zerocell", "a", 1L)) ++
+          (1 to 4).map(_ => ("zerocell", "b", 0L))) ++
+        // single x category → R < 2 → dropped, not scored
+        (1 to 6).map(_ => ("degenerate", "only", 0L))
+    val df = rows.toDF("g", "x", "y")
+    val out = Stats.chi2Assoc(df, col("g"), col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out.keySet == Set("perfect", "indep", "zerocell"), s"got ${out.keySet}")
+    assert(out("perfect") == ((20L, 2L, 2L, 1L, 20.0, 1.0)), s"${out("perfect")}")
+    assert(out("indep") == ((20L, 2L, 2L, 1L, 0.0, 0.0)), s"${out("indep")}")
+    assert(out("zerocell") == ((12L, 2L, 2L, 1L, 3.0, 0.5)), s"${out("zerocell")}")
+  }
+
   test("madOutliers boundary: dev4 == k·mad4 is NOT an outlier (strict Hampel rule)") {
     // same fixture, k=1 → threshold mad4 = 10: x=3 and x=8 sit exactly on
     // dev4 = 10 and must stay unflagged; 14 and 18 and 378 flag

@@ -199,6 +199,32 @@ class ChangeOpsSpec extends SparkSpecBase {
     assert(canon(replayed) == canon(next), "diff-then-apply must reproduce the next snapshot")
   }
 
+  test("maintainAggView equals full recompute; zero-count groups drop; null values count") {
+    // base rows per (g): g1 ×3 (v 10,20,30), g2 ×2 (v 5, null), g3 ×1 (v 7)
+    val baseRows = Seq(
+      ("g1", Some(10L)), ("g1", Some(20L)), ("g1", Some(30L)),
+      ("g2", Some(5L)), ("g2", None), ("g3", Some(7L)))
+    val base = baseRows.toDF("g", "v")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("cnt"), sum(coalesce($"v", lit(0L))).as("sum_v"))
+    // delta: insert g1 +40 and new group g4 +1; retract one g1 row (v 20),
+    // the g2 null row (must subtract 0, count −1), and ALL of g3
+    val delta = Seq(
+      ("g1", Some(40L), 1L), ("g4", Some(1L), 1L),
+      ("g1", Some(20L), -1L), ("g2", None: Option[Long], -1L), ("g3", Some(7L), -1L))
+      .toDF("g", "v", "w")
+    val out = ChangeOps.maintainAggView(base, delta, Seq("g"), $"w", $"v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // full recompute of the net row set
+    assert(out == Map(
+      "g1" -> ((3L, 80L)),  // 10+30+40
+      "g2" -> ((1L, 5L)),   // null row retracted: count falls, sum unchanged
+      "g4" -> ((1L, 1L))    // g3 fully retracted → absent, as a recompute would have it
+    ), s"got $out")
+  }
+
   test("missing payload columns in changes and work-column collisions are rejected") {
     val noAmt = Seq((1L, "z", "U", 1L)).toDF("id", "name", "op", "seq")
     intercept[IllegalArgumentException] {

@@ -83,4 +83,18 @@ class SkewOpsSpec extends SparkSpecBase {
     assert(shards.length > 1, "hot key not sharded")
     assert(shards.map(_.getLong(2)).sum == 1000L)
   }
+
+  test("keySkewAudit reports exact integer shares, ordered, tie-broken, truncated to K") {
+    // a:6 b:2 c:1 d:1 → total 10, 4 keys; mean key = 2.5 rows
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val out = SkewOps.keySkewAudit(df, $"k", topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      ("a", 6L, 4L, 600000L, 2400L), // 6/10 = 60% of the table, 2.4× the mean key
+      ("b", 2L, 4L, 200000L, 800L),
+      ("c", 1L, 4L, 100000L, 400L)   // tie with d broken by key asc, d truncated
+    ), s"got ${out.toList}")
+  }
 }
