@@ -226,6 +226,71 @@ object Multimodal {
       }
   }
 
+  final case class ImageExposure(
+      asset_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      mean_luma: Double,
+      rms_contrast: Double,
+      n_clip_lo: Long,
+      n_clip_hi: Long
+  )
+
+  /** Image EXPOSURE audit — the other half of the vision-curation gate
+    * next to [[imageSharpness]]: under/over-exposed and flat frames score
+    * low RMS contrast or pile pixels at the histogram rails, and training
+    * sets drop them. Per image (band 0): exact Long Σp and Σp², the
+    * population RMS contrast `√(n·Σp² − (Σp)²)/n` as a FIXED-ORDER IEEE
+    * tail (one cast, one √, one ÷ — bit-identical in any engine), and
+    * exact rail counts (p ≤ 2, p ≥ 253 — the camera-clip sentinels).
+    * `n·Σp² ≤ n²·255²` holds in a Long to ~7·10¹⁵ pixels per image.
+    *
+    * Same decode plumbing as [[decodeImages]]: partition-batched real
+    * codec, map-only — no shuffle before or after.
+    */
+  def imageExposure(assets: DataFrame): Dataset[ImageExposure] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.map { case (id, mt, payload) =>
+          val img = codec.decode(payload, s"asset $id")
+          val r = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          var s = 0L
+          var ss = 0L
+          var lo = 0L
+          var hi = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = r.getSample(x, y, 0).toLong
+              s += p
+              ss += p * p
+              if (p <= 2) lo += 1
+              if (p >= 253) hi += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val mean = java.math.BigDecimal.valueOf(s.toDouble / n.toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          val rms = java.math.BigDecimal.valueOf(
+            math.sqrt((n * ss - s * s).toDouble) / n.toDouble)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          ImageExposure(id, mt, w, h, n, mean, rms, lo, hi)
+        }
+      }
+  }
+
   /** Deterministic REAL JPEG fixture: encodes actual baseline-JFIF bytes
     * executor-side — CONSTANT-gray images (`v = id*31 % 256`,
     * `w = 1 + id%13`, `h = 1 + id%11`) at compression quality 1.0.
@@ -649,6 +714,74 @@ object Multimodal {
       }
   }
 
+  final case class AudioSilence(
+      asset_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      n_silent: Long,
+      silent_ppm: Long,
+      max_silent_run: Long,
+      n_clipped: Long
+  )
+
+  /** Audio SILENCE / CLIPPING audit over the real WAV decode — the
+    * speech-data curation gate: assets that are mostly silence (dead mic,
+    * padding) or contain long dropout runs get quarantined, and clipped
+    * recordings (samples pinned at the rails) flag a broken capture
+    * chain. Per asset, single pass over the signed 16-bit samples:
+    * exact counts of |s| < `silenceThreshold` and |s| ≥ `clipThreshold`,
+    * the integer ppm silent share (exact `div`, no float), and the
+    * LONGEST consecutive silent run — the row-local scan a per-sample
+    * explode would need a gaps-and-islands window for (which is exactly
+    * how the DuckDB twin replays it).
+    *
+    * Same decode plumbing as [[decodeAudio]]: partition-batched real
+    * `javax.sound.sampled` codec, map-only, mono PCM-16 LE contract.
+    */
+  def audioSilence(
+      assets: DataFrame,
+      silenceThreshold: Int,
+      clipThreshold: Int
+  ): Dataset[AudioSilence] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, _, payload) =>
+          require(payload != null && payload.length > 44, s"asset $id: not a WAV payload")
+          val in = AudioCodec.openWav(payload)
+          try {
+            val fmt = in.getFormat
+            require(
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1,
+              s"asset $id: expected mono PCM-16 LE, got $fmt")
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            var silent = 0L
+            var clipped = 0L
+            var run = 0L
+            var maxRun = 0L
+            var i = 0
+            while (i < data.length - 1) {
+              val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+              val a = math.abs(s)
+              if (a < silenceThreshold) {
+                silent += 1
+                run += 1
+                if (run > maxRun) maxRun = run
+              } else run = 0
+              if (a >= clipThreshold) clipped += 1
+              i += 2
+            }
+            val ppm = if (n == 0) 0L else silent * 1000000L / n
+            AudioSilence(id, fmt.getSampleRate.toInt, n.toLong, silent, ppm, maxRun, clipped)
+          } finally in.close()
+        }
+      }
+  }
+
   /** One analysis frame of an audio asset: the classic frame descriptors
     * in exact integer arithmetic (no float windowing), so the row is
     * bit-reproducible in any engine.
@@ -896,7 +1029,7 @@ object Multimodal {
     * are stateless, so JVM-wide sharing is thread-safe. Falls back to the
     * statics if no WAVE provider is registered.
     */
-  private object AudioCodec {
+  private[ext] object AudioCodec {
     import javax.sound.sampled._
     import scala.jdk.CollectionConverters._
 

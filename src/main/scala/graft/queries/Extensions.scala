@@ -879,6 +879,14 @@ object Extensions {
         .imageSharpness(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
         .toDF()
     },
+    // exposure audit: exact-integer mean luma, population RMS contrast
+    // (fixed-order IEEE √ tail), and histogram-rail clip counts over the
+    // REAL decode path — the under/over-exposure + flat-frame gate
+    "mm_image_exposure" -> { (s, dir) =>
+      Multimodal
+        .imageExposure(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
     // REAL JPEG decode end-to-end: genuine baseline-JFIF bytes encoded
     // executor-side at quality 1.0 from CONSTANT-gray id-derived images —
     // the one shape lossy JPEG round-trips exactly (DC-only blocks) — then
@@ -966,6 +974,17 @@ object Extensions {
           .withColumnRenamed("fingerprint", "fp"),
         "fp",
         maxHamming = 8)
+    },
+    // silence / dropout / clipping audit over the REAL WAV decode: exact
+    // counts under |s|<100 and at |s|>=1000, integer ppm share, and the
+    // longest consecutive silent run (row-local scan; the oracle needs a
+    // gaps-and-islands window to replay it)
+    "mm_audio_silence" -> { (s, dir) =>
+      Multimodal
+        .audioSilence(
+          Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"),
+          silenceThreshold = 100, clipThreshold = 1000)
+        .toDF()
     },
     // REAL audio analysis end-to-end: decode the WAV payload, then frame
     // the 16-bit sample stream (50 samples/frame) into short-time energy +
@@ -4154,6 +4173,58 @@ object Extensions {
                 CASE WHEN agg.n > 0 THEN round(CAST(agg.sq AS DOUBLE) / CAST(agg.n AS DOUBLE), 6) END
                   AS lap_mean
          FROM dims d LEFT JOIN agg ON agg.id = d.id""",
+    // exposure twin: the id-derived pixel formula over the FULL grid —
+    // exact sums, the fixed-order √((n·Σp²−(Σp)²))/n tail, rail counts
+    "mm_image_exposure" ->
+      """WITH dims AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS h
+           FROM documents),
+         px AS (
+           SELECT d.id, d.w, d.h, ((d.id * 31 + 7 * x.g + 13 * y.g) % 256) AS p
+           FROM dims d
+           CROSS JOIN generate_series(0, 12) AS x(g)
+           CROSS JOIN generate_series(0, 10) AS y(g)
+           WHERE x.g < d.w AND y.g < d.h),
+         agg AS (SELECT id, w, h, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS s, CAST(sum(p * p) AS BIGINT) AS ss,
+                   CAST(sum(CASE WHEN p <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN p >= 253 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+                 FROM px GROUP BY 1, 2, 3)
+         SELECT id AS asset_id,
+                CASE WHEN id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                w AS width, h AS height, n AS n_px,
+                round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_luma,
+                round(sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                  AS rms_contrast,
+                lo AS n_clip_lo, hi AS n_clip_hi
+         FROM agg""",
+    // silence twin: the id-derived PCM formula with a gaps-and-islands
+    // window for the max consecutive silent run the engine scans row-local
+    "mm_audio_silence" ->
+      """WITH dims AS (
+           SELECT doc_id AS id, CAST(100 + doc_id % 200 AS INTEGER) AS n,
+                  CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+           FROM documents),
+         smp AS (SELECT d.id, d.n, d.rate, i.g AS i,
+                   abs((d.id * 31 + 7 * i.g) % 2003 - 1001) AS a
+                 FROM dims d CROSS JOIN generate_series(0, 298) AS i(g)
+                 WHERE i.g < d.n),
+         sil AS (SELECT id, i, i - row_number() OVER (PARTITION BY id ORDER BY i) AS grp
+                 FROM smp WHERE a < 100),
+         runs AS (SELECT id, CAST(count(*) AS BIGINT) AS run FROM sil GROUP BY id, grp),
+         mx AS (SELECT id, max(run) AS max_run FROM runs GROUP BY id),
+         agg AS (SELECT id, max(n) AS n, max(rate) AS rate,
+                   CAST(sum(CASE WHEN a < 100 THEN 1 ELSE 0 END) AS BIGINT) AS silent,
+                   CAST(sum(CASE WHEN a >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS clipped
+                 FROM smp GROUP BY id)
+         SELECT a.id AS asset_id, a.rate AS sample_rate, CAST(a.n AS BIGINT) AS n_samples,
+                a.silent AS n_silent,
+                CAST(a.silent * 1000000 // a.n AS BIGINT) AS silent_ppm,
+                coalesce(m.max_run, 0) AS max_silent_run,
+                a.clipped AS n_clipped
+         FROM agg a LEFT JOIN mx m ON m.id = a.id""",
     "mm_image_dhash" -> dhashOracleSql,
     "mm_image_neardup" -> dhashNearDupOracleSql,
     "mm_audio_fingerprint" -> audioFpOracleSql,

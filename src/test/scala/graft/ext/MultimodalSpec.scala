@@ -379,6 +379,51 @@ class MultimodalSpec extends SparkSpecBase {
       s"the mod-wrap edge must score sharp: ${grad(24L)}")
   }
 
+  test("imageExposure: flat JPEGs score zero contrast, rails count exactly, 1x1 is sane") {
+    // constant-gray JPEG fixtures: v = id*31 % 256 — mean == v, RMS 0,
+    // and every pixel sits on a rail iff v does
+    val ids = Seq(0L, 2L, 50L).toDF("doc_id") // v = 0, 62, 14; dims (1,1), (3,3), (12,7)
+    val flat = Multimodal.imageExposure(Multimodal.synthJpegImages(ids, "doc_id"))
+      .collect().map(r => r.asset_id -> r).toMap
+    for ((id, r) <- flat) {
+      val v = (id * 31 % 256).toDouble
+      assert(r.n_px == r.width.toLong * r.height && r.mean_luma == v && r.rms_contrast == 0.0,
+        s"flat image $id: $r")
+    }
+    assert(flat(0L).n_clip_lo == 1L && flat(0L).n_clip_hi == 0L, s"v=0 rails: ${flat(0L)}")
+    assert(flat(2L).n_clip_lo == 0L && flat(2L).n_clip_hi == 0L, s"v=62 rails: ${flat(2L)}")
+    // a two-valued PNG via the ramp formula: id 1 → 1x2, pixels
+    // (31+0, 31+13) = (31, 44): mean 37.5, RMS = half the gap = 6.5
+    val two = Multimodal.imageExposure(Multimodal.synthImages(Seq(1L).toDF("doc_id"), "doc_id"))
+      .collect().head
+    assert(two.width == 2 && two.height == 2 || two.n_px == two.width.toLong * two.height)
+    val expMean = (0 until two.width).flatMap(x => (0 until two.height).map(y =>
+      (1L * 31 + 7 * x + 13 * y) % 256)).sum.toDouble / two.n_px
+    assert(math.abs(two.mean_luma - expMean) < 1e-6, s"ramp mean: $two vs $expMean")
+  }
+
+  test("audioSilence: threshold boundaries are strict, runs count consecutively, ppm exact") {
+    // hand-built WAV: samples 0, 99, 100, -99, -100, 50, 1000, -1001, 0
+    //   silence (|s| < 100): 0, 99, -99, 50, 0 → 5 of 9 → ppm 555555
+    //   runs: [0,99] then [-99], [50] … max run = 2 (indices 0-1 and 3? no:
+    //   idx 0,1 silent; idx 2 loud; idx 3,4 = -99 silent, -100 loud; 5
+    //   silent; 6,7 loud; 8 silent → runs 2,1,1,1 → max 2)
+    //   clipped (|s| >= 1000): 1000, -1001 → 2
+    val samples = Seq(0, 99, 100, -99, -100, 50, 1000, -1001, 0)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val wav = Multimodal.AudioCodec.encodeWav(pcm, samples.length, 8000)
+    val df = Seq((7L, "audio/wav", wav)).toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.audioSilence(df, silenceThreshold = 100, clipThreshold = 1000)
+      .collect().head
+    assert(out.n_samples == 9L && out.n_silent == 5L, s"silent count: $out")
+    assert(out.silent_ppm == 5L * 1000000L / 9L, s"exact ppm: $out")
+    assert(out.max_silent_run == 2L, s"max run: $out")
+    assert(out.n_clipped == 2L, s"clip count (|s|>=1000 strict): $out")
+  }
+
   test("decodePartitioned takes the real branch for image payloads and the byte-dims fallback otherwise") {
     val img = Multimodal.synthImages(Seq(4L).toDF("doc_id"), "doc_id")
     val real = Multimodal.decodePartitioned(img).collect().head
