@@ -82,6 +82,79 @@ object TemporalOps {
       .drop("__ts", "__side", "__tie", "__pay", "__m")
   }
 
+  /** NEAREST-match as-of join: for every left row, attach the right row
+    * (same `key`) whose timestamp is CLOSEST in absolute distance —
+    * backward or forward — with ties in distance resolving backward (the
+    * conservative "don't peek ahead unless strictly closer" rule sensor
+    * fusion and feature-stitching pipelines use). Same-instant right rows
+    * match at distance 0; ties among equal right timestamps resolve to
+    * the greatest `rightTie`, exactly like [[asofJoin]].
+    *
+    * Columns out: all of `left`, plus `asof_ts`, `asof_dir` ('B'/'F',
+    * null when no match exists on either side) and `asof_<p>` per payload
+    * column.
+    *
+    * Implementation: the [[asofJoin]] union, with TWO running-last window
+    * passes over the same key partitioning (ascending for the backward
+    * candidate, descending for the forward one) and a row-local distance
+    * pick. ONE shuffle on the key — the second window reuses the
+    * exchange and pays only a partition-local re-sort; still zero row
+    * amplification, so the 100 TB story is [[asofJoin]]'s. Timestamps
+    * compare in micros (`unix_micros`) for timestamp columns and as
+    * longs otherwise.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTie: String
+  ): DataFrame = {
+    def micros(df: DataFrame, name: String): Column => Column =
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(_)
+        case _ => _.cast("long")
+      }
+    val lUs = micros(left, leftTs)
+    val rUs = micros(right, rightTs)
+    val r = right.select(
+      col(key),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      col(rightTie).as("__tie"),
+      struct(col(rightTs).as("__mts") +: payload.map(col): _*).as("__pay")
+    )
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    def w(o: Column) = Window
+      .partitionBy(col(key))
+      .orderBy(o, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = u
+      .withColumn("__mb", last(col("__pay"), ignoreNulls = true).over(w(col("__ts").asc)))
+      .withColumn("__mf", last(col("__pay"), ignoreNulls = true).over(w(col("__ts").desc)))
+      .filter(col("__side") === 1)
+    val bts = col("__mb.__mts")
+    val fts = col("__mf.__mts")
+    // strict <: an equidistant forward match loses to the backward one
+    val pickF = bts.isNull ||
+      (fts.isNotNull && (rUs(fts) - lUs(col("__ts")) < lUs(col("__ts")) - rUs(bts)))
+    val withPick = m
+      .withColumn("asof_ts", when(pickF, fts).otherwise(bts))
+      .withColumn(
+        "asof_dir",
+        when(bts.isNull && fts.isNull, lit(null).cast("string"))
+          .when(pickF, lit("F")).otherwise(lit("B")))
+    payload
+      .foldLeft(withPick)((d, p) =>
+        d.withColumn(s"asof_$p", when(pickF, col(s"__mf.$p")).otherwise(col(s"__mb.$p"))))
+      .drop("__ts", "__side", "__tie", "__pay", "__mb", "__mf")
+  }
+
   /** Rolling per-key window aggregate over the last `nRows` rows
     * (inclusive), ordered by (ts, tie): running sum of `valueCol` in
     * DECIMAL space (exact — float running sums depend on evaluation

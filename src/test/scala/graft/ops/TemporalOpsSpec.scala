@@ -35,6 +35,60 @@ class TemporalOpsSpec extends SparkSpecBase {
     )
   }
 
+  test("asofJoinNearest picks the closer side, ties go backward, one-sided and no-match are sane") {
+    val left = Seq(
+      (1L, 10L, ts(100)), // b at 90 (d=10) vs f at 105 (d=5) → F
+      (2L, 10L, ts(95)),  // b at 90 (d=5) vs f at 105 (d=10) → B
+      (3L, 10L, ts(98)),  // equidistant not possible here; use key 11 below
+      (4L, 10L, ts(90)),  // same instant as a right row → d=0 → B
+      (5L, 11L, ts(100)), // b at 95 (d=5) vs f at 105 (d=5) → tie → B
+      (6L, 12L, ts(50)),  // only a forward row exists → F
+      (7L, 13L, ts(50))   // key with no right rows → null, dir null
+    ).toDF("event_id", "k", "lts")
+    val right = Seq(
+      (10L, ts(90), 1.0, 1L),
+      (10L, ts(105), 2.0, 2L),
+      (11L, ts(95), 3.0, 3L),
+      (11L, ts(105), 4.0, 4L),
+      (12L, ts(60), 5.0, 5L)
+    ).toDF("k", "rts", "value", "tie")
+    val out = TemporalOps
+      .asofJoinNearest(left, right, "k", "lts", "rts", Seq("value"), "tie")
+      .select($"event_id", unix_micros($"asof_ts"), $"asof_dir", $"asof_value")
+    assert(
+      rows(out) == Seq(
+        Seq(1L, 105000000L, "F", 2.0),
+        Seq(2L, 90000000L, "B", 1.0),
+        Seq(3L, 105000000L, "F", 2.0), // d back 8, d fwd 7 → F
+        Seq(4L, 90000000L, "B", 1.0),
+        Seq(5L, 95000000L, "B", 3.0), // equidistant → backward wins
+        Seq(6L, 60000000L, "F", 5.0),
+        Seq(7L, null, null, null)
+      ), rows(out).toString)
+  }
+
+  test("asofJoinNearest same-instant right ties resolve to the greatest tie both directions") {
+    val left = Seq((1L, 10L, ts(100))).toDF("event_id", "k", "lts")
+    val right = Seq(
+      (10L, ts(100), 1.0, 1L),
+      (10L, ts(100), 2.0, 9L) // same instant, greater tie → must win
+    ).toDF("k", "rts", "value", "tie")
+    val out = TemporalOps
+      .asofJoinNearest(left, right, "k", "lts", "rts", Seq("value"), "tie")
+      .select($"asof_dir", $"asof_value")
+    assert(rows(out) == Seq(Seq("B", 2.0)))
+  }
+
+  test("asofJoinNearest shuffles once: the two window sorts share one exchange") {
+    val left = Seq((1L, 10L, ts(100))).toDF("event_id", "k", "lts")
+    val right = Seq((10L, ts(90), 1.0, 1L)).toDF("k", "rts", "value", "tie")
+    val plan = TemporalOps
+      .asofJoinNearest(left, right, "k", "lts", "rts", Seq("value"), "tie")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one key shuffle, got $exchanges:\n$plan")
+  }
+
   test("resampleLocf fills gaps with the last observation and marks observed buckets") {
     val ev = Seq(
       (1L, 10L, ts(86400 * 10 + 5), 1.5), // day 10
