@@ -125,6 +125,41 @@ object Curation {
       .withColumn("l_ok", col("n_sensitive") >= l)
   }
 
+  /** Differentially-private group-count release (ε-DP, Laplace mechanism,
+    * sensitivity 1 — the statistic publishers run BEFORE sharing corpus
+    * composition tables that [[kAnonymity]] alone can't protect, since
+    * exact counts re-identify under composition): each group's count gets
+    * Laplace(1/ε) noise via the inverse CDF
+    * `−(1/ε)·sgn(u)·ln(1 − 2|u|)`, `u ∈ (−½, ½)`.
+    *
+    * The uniform draw is DETERMINISTIC — the shared md5 gate over the
+    * group key, mapped to the grid `v/10⁶ − ½` with `v ∈ [1, 999998]` (so
+    * `ln`'s argument stays in [2·10⁻⁶, 1] — never 0) — which makes the
+    * release testable and engine-replayable: real deployments swap the
+    * gate for a CSPRNG, everything else unchanged. ln is the one
+    * non-correctly-rounded primitive; the noise is rounded to 6 dp before
+    * the add (the PSI/JSD quantization argument: a cross-engine flip
+    * needs ln within half an ulp of a 6 dp boundary).
+    *
+    * Scale shape: one partial-agg'd groupBy; the noise is row-local
+    * column algebra on the |groups|-row aggregate. No collect, no join.
+    */
+  def dpNoisyCounts(df: DataFrame, keys: Seq[Column], eps: Double): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    require(eps > 0, "epsilon must be positive")
+    val agg = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val keyCols = agg.columns.dropRight(1).map(c => col(c).cast("string"))
+    val v = graft.ops.Hashing.md5Mod(concat_ws("|", keyCols: _*), 999998L) + lit(1L)
+    val u = v.cast("double") / lit(1000000.0) - lit(0.5)
+    val noise = lit(-1.0 / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    agg
+      .withColumn("n_dp", round(col("n").cast("double") + round(noise, 6), 6))
+      .withColumn("epsilon", lit(eps))
+      // the TRUE count must not escape a DP release — publishing it next
+      // to the noised one would void the privacy guarantee
+      .drop("n")
+  }
+
   /** WEIGHTED exact-k sample without replacement — Efraimidis–Spirakis
     * A-Res (Inf. Proc. Letters 97(5), 2006): each row draws a key
     * `u^(1/w)` from its deterministic uniform `u` and the k LARGEST keys

@@ -92,6 +92,34 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** JOIN-CARDINALITY estimate from two count-min sketches (Cormode &
+    * Muthukrishnan's inner-product bound): `|A ⋈_k B| = Σ_k fA(k)·fB(k)`,
+    * and the sketch estimate is `min_j Σ_w A[j,w]·B[j,w]` — one-sided,
+    * always ≥ the true size, inflated only by cell collisions. This is
+    * the optimizer-statistics operator for 100 TB planning: decide
+    * broadcast-vs-shuffle or veto a runaway join from two O(depth·width)
+    * summaries, WITHOUT scanning either table again — sketches of both
+    * sides are mergeable partial aggregates a warehouse maintains per
+    * partition. Products run in decimal(38,0) (two 10¹²-row tables make
+    * the inner product overflow a Long).
+    */
+  def countMinJoinSize(cellsA: DataFrame, cellsB: DataFrame, depth: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    val dec = "decimal(38,0)"
+    val ip = cellsA
+      .select(col("j"), col("cell"), col("cnt").as("ca"))
+      .join(cellsB.select(col("j"), col("cell"), col("cnt").as("cb")), Seq("j", "cell"))
+      .groupBy(col("j"))
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).as("ip"))
+    // complete over all depth rows: a hash row with zero shared cells
+    // estimates 0 (and wins the min), not "absent"
+    val rows = cellsA.sparkSession.range(depth).select(col("id").cast("int").as("j"))
+    rows
+      .join(ip, Seq("j"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L).cast(dec))).as("__est"))
+      .select(col("__est").cast("long").as("est_join_rows"))
+  }
+
   /** EXACT heavy hitters (all items with true count ≥ `threshold`) via a
     * count-min candidate gate — the classic two-pass shape for 100 TB
     * frequency mining: pass 1 folds the corpus into the depth×width

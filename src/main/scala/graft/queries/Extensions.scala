@@ -2144,6 +2144,28 @@ object Extensions {
         t(s, dir, "documents").withColumn("len_bucket", col("n_chars") % 10),
         Seq(col("source"), col("len_bucket")), col("lang"), k = 5, l = 2)
     },
+    // ε-DP count release: Laplace(1/ε) via deterministic inverse-CDF on
+    // the md5 grid — per-(event_type, day) noised counts, true counts
+    // never published; row-local algebra on the partial-agg'd aggregate
+    "privacy_dp_counts" -> { (s, dir) =>
+      Curation.dpNoisyCounts(
+        Fixtures.events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq(col("event_type"), col("day")), eps = 1.0)
+    },
+    // join-size estimation from two count-min sketches: the CM inner-
+    // product bound (min_j Σ_w A[j,w]·B[j,w]) vs the true join count —
+    // the optimizer-statistics probe that prices a join from O(d·w)
+    // summaries without rescanning either side
+    "sketch_join_size" -> { (s, dir) =>
+      val a = t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+      val b = t(s, dir, "orders").select(col("o_orderkey").cast("string").as("k"))
+      val ca = Sketches.countMinCells(a, col("k"), depth = 4, width = 512)
+      val cb = Sketches.countMinCells(b, col("k"), depth = 4, width = 512)
+      Sketches
+        .countMinJoinSize(ca, cb, depth = 4)
+        // two one-row frames: the cross join is a scalar attach
+        .crossJoin(a.join(b, "k").agg(count(lit(1)).as("true_join_rows")))
+    },
     // weighted exact-k draw (Efraimidis–Spirakis A-Res): probability
     // proportional to n_chars, without replacement — the length-weighted
     // corpus sample; TakeOrdered over ln(u)/w, no global sort
@@ -5140,6 +5162,43 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
                 count(*) >= 5 AS k_ok, count(DISTINCT lang) >= 2 AS l_ok
          FROM documents GROUP BY 1, 2""",
+    // DP twin: identical deterministic inverse-CDF Laplace on the md5 grid;
+    // the 6-dp noise round makes the one ln engine-portable (PSI argument)
+    "privacy_dp_counts" ->
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+         h AS (SELECT *,
+                 CAST(concat('0x', substr(md5(concat_ws('|', event_type,
+                   CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999998 + 1 AS v
+               FROM g),
+         u AS (SELECT event_type, day, n,
+                 CAST(v AS DOUBLE) / 1000000.0 - 0.5 AS u FROM h)
+         SELECT event_type, day,
+                round(CAST(n AS DOUBLE) +
+                      round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS n_dp,
+                CAST(1.0 AS DOUBLE) AS epsilon
+         FROM u""",
+    "sketch_join_size" ->
+      """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         b AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+         ca AS (SELECT j,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', k)), 1, 8))
+                    AS BIGINT) % 512 AS cell,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM a, range(0, 4) t(j) GROUP BY 1, 2),
+         cb AS (SELECT j,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', k)), 1, 8))
+                    AS BIGINT) % 512 AS cell,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM b, range(0, 4) t(j) GROUP BY 1, 2),
+         ip AS (SELECT ca.j, sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS ip
+                FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell GROUP BY 1),
+         est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_rows
+                 FROM range(0, 4) t(j) LEFT JOIN ip ON ip.j = t.j),
+         tr AS (SELECT CAST(count(*) AS BIGINT) AS true_join_rows
+                FROM a JOIN b USING (k))
+         SELECT est_join_rows, true_join_rows FROM est, tr""",
     "corpus_sample_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE CAST(n_chars AS DOUBLE) > 0

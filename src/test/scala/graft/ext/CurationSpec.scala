@@ -564,4 +564,27 @@ class CurationSpec extends SparkSpecBase {
       Curation.mixToTarget(s, $"doc_id", $"source", weights = Map("a" -> 1))
     }
   }
+
+  test("dpNoisyCounts: bounded grid noise, epsilon scaling, true count never published") {
+    val df = (1 to 40).map(i => (i.toLong, s"g${i % 8}")).toDF("id", "g")
+    val out = Curation.dpNoisyCounts(df, Seq($"g"), eps = 1.0)
+    // the exact count column must NOT be in the release
+    assert(!out.columns.contains("n"), out.columns.mkString(","))
+    val rel = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rel.size == 8)
+    // grid bound: |noise| <= -ln(2e-6) ≈ 13.12 at eps 1; every count is 5
+    for ((g, v) <- rel) assert(math.abs(v - 5.0) <= 13.13, s"$g: $v out of Laplace grid range")
+    // the md5 gate actually perturbs (not all groups land on zero noise)
+    assert(rel.values.exists(v => math.abs(v - 5.0) > 0.01), s"no noise applied: $rel")
+    // doubling epsilon halves each group's noise (inverse-CDF linearity),
+    // up to the two 6-dp rounds
+    val rel2 = Curation.dpNoisyCounts(df, Seq($"g"), eps = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((g, v) <- rel)
+      assert(math.abs((v - 5.0) - 2.0 * (rel2(g) - 5.0)) <= 3e-6, s"$g: eps scaling broken")
+    // deterministic: a re-run replays bit-identically
+    val again = Curation.dpNoisyCounts(df, Seq($"g"), eps = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == rel)
+  }
 }

@@ -312,4 +312,26 @@ class SketchesSpec extends SparkSpecBase {
       .toMap
     assert(out == Map("a" -> 10L, "b" -> 5L))
   }
+
+  test("countMinJoinSize never underestimates and is exact without collisions") {
+    // A: a×3 b×2 c×1; B: a×2 b×1 d×5 → true join size 3·2 + 2·1 = 8
+    val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val b = (Seq.fill(2)("a") ++ Seq("b") ++ Seq.fill(5)("d")).toDF("k")
+    // wide sketch: 4 keys in 4096 cells — md5 is deterministic, and this
+    // layout has a collision-free row, so the bound is TIGHT here
+    val ca = Sketches.countMinCells(a, col("k"), depth = 4, width = 4096)
+    val cb = Sketches.countMinCells(b, col("k"), depth = 4, width = 4096)
+    val est = Sketches.countMinJoinSize(ca, cb, depth = 4).collect()(0).getLong(0)
+    assert(est == 8L, s"collision-free estimate must be exact: $est")
+    // narrow sketch: heavy collisions — still one-sided (est >= truth)
+    val ca2 = Sketches.countMinCells(a, col("k"), depth = 2, width = 2)
+    val cb2 = Sketches.countMinCells(b, col("k"), depth = 2, width = 2)
+    val est2 = Sketches.countMinJoinSize(ca2, cb2, depth = 2).collect()(0).getLong(0)
+    assert(est2 >= 8L, s"count-min inner product is one-sided: $est2")
+    // disjoint key sets estimate down to whatever cells collide, and an
+    // empty side estimates exactly 0 on every row
+    val empty = Sketches.countMinCells(Seq.empty[String].toDF("k"), col("k"), 4, 4096)
+    val est3 = Sketches.countMinJoinSize(ca, empty, depth = 4).collect()(0).getLong(0)
+    assert(est3 == 0L, s"empty side must estimate 0: $est3")
+  }
 }
