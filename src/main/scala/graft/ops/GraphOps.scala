@@ -265,6 +265,80 @@ object GraphOps {
     coreDegrees(e).filter(col("degree") >= k)
   }
 
+  /** Multi-source BFS hop distances over the undirected graph, `rounds`
+    * bulk-synchronous frontier expansions — the reachability primitive
+    * under contamination tracing ("every doc within 3 near-dup hops of a
+    * benchmark document") and blast-radius audits. Every round joins ONLY
+    * the newly-discovered frontier to the adjacency (work is
+    * frontier-proportional, never |V|-proportional — the non-negotiable
+    * property at 100 TB where round 1 touches thousands of nodes, not
+    * billions), dedupes candidates with a partial-agg'd distinct, and
+    * anti-joins the known set so each node keeps its FIRST (minimal)
+    * distance. Sources not in any edge still report distance 0.
+    *
+    * Unreached nodes are absent from the output (emitting |V| null rows
+    * would be the expensive way to say "not within `rounds` hops").
+    * `localCheckpoint` severs lineage every 4th round, the shared
+    * iteration discipline of this module.
+    *
+    * @return (node, dist) — dist ∈ [0, rounds], minimal hop count
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: DataFrame,
+      srcIdCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
+    val e = undirectedEdges(edges, srcCol, dstCol)
+    val adj = e.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(e.select(col("v").as("s"), col("u").as("d")))
+    var dist = sources.select(col(srcIdCol).as("node")).distinct().withColumn("dist", lit(0))
+    var frontier = dist.select(col("node"))
+    for (i <- 1 to rounds) {
+      val cand = adj
+        .join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
+        .select(col("d").as("node"))
+        .distinct()
+      val newly = cand.join(dist, Seq("node"), "left_anti").withColumn("dist", lit(i))
+      dist = dist.unionByName(newly)
+      frontier = newly.select(col("node"))
+      if (i % 4 == 0 && i < rounds) {
+        dist = dist.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+      }
+    }
+    dist
+  }
+
+  /** Fixpoint CERTIFICATE for [[bfsDistances]]: run one PROBE round past
+    * `rounds` and count the nodes it would still discover —
+    * `at_fixpoint = true` proves the R-round distance table IS the full
+    * reachability closure of the sources (nothing lies beyond R hops),
+    * the same checked-not-assumed contract as [[kcoreFixpoint]].
+    */
+  def bfsFixpoint(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: DataFrame,
+      srcIdCol: String,
+      rounds: Int
+  ): DataFrame = {
+    val probe = bfsDistances(edges, srcCol, dstCol, sources, srcIdCol, rounds + 1)
+    probe
+      .agg(
+        sum(when(col("dist") <= rounds, 1L).otherwise(0L)).as("n_reached"),
+        sum(when(col("dist") === rounds + 1, 1L).otherwise(0L)).as("n_new_probe"))
+      .select(
+        lit(rounds).as("rounds"),
+        col("n_reached"),
+        col("n_new_probe"),
+        (col("n_new_probe") === 0).as("at_fixpoint"))
+  }
+
   private def undirectedEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges
       .select(

@@ -591,6 +591,27 @@ object Extensions {
         .select(col("id_lo"), col("id_hi"))
       graft.ops.GraphOps.labelPropagation(edges, "id_lo", "id_hi", iters = 3)
     },
+    // multi-source BFS over the same near-dup pair graph: minimal hop
+    // distances from the benchmark-doc seed set (doc_id % 100 == 0) out
+    // to 3 hops — the contamination blast-radius trace; every round joins
+    // only the fresh frontier (work frontier-proportional, never |V|)
+    "graph_bfs" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      val sources = t(s, dir, "documents").filter(col("doc_id") % 100 === 0)
+      graft.ops.GraphOps.bfsDistances(edges, "id_lo", "id_hi", sources, "doc_id", rounds = 3)
+    },
+    // reachability-closure certificate for the bounded BFS: one probe
+    // round past R — at_fixpoint=true proves nothing lies beyond 3 hops,
+    // so the distance table IS the full closure, checked not assumed
+    "graph_bfs_fixpoint" -> { (s, dir) =>
+      val edges = Dedup
+        .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
+        .select(col("id_lo"), col("id_hi"))
+      val sources = t(s, dir, "documents").filter(col("doc_id") % 100 === 0)
+      graft.ops.GraphOps.bfsFixpoint(edges, "id_lo", "id_hi", sources, "doc_id", rounds = 3)
+    },
     // dense-subgraph certificate over the same near-dup pair graph (fourth
     // consumer of the shared setsim spill): 3 fixed rounds of bulk-
     // synchronous 2-core peeling — spam/template mills survive as
@@ -2785,6 +2806,38 @@ object Extensions {
                 count(*) FILTER (WHERE na IS NULL OR nb IS NULL) = 0 AS at_fixpoint
          FROM j"""
   }
+
+  /** The unrolled BFS round CTEs n1..nN/b1..bN over the `und` adjacency and
+    * seed frame `b0`, shared by the distance oracle and its fixpoint twin.
+    * Round i discovers `ni` (frontier-adjacent, not yet reached) at
+    * distance i — identical timing to the engine's frontier expansion. */
+  private def bfsRoundsCte(n: Int): String =
+    (1 to n).map { i =>
+      val pb = s"b${i - 1}"
+      val pf = if (i == 1) "b0" else s"n${i - 1}"
+      s"""n$i AS MATERIALIZED (SELECT DISTINCT u.d AS node FROM und u
+           JOIN $pf f ON u.s = f.node
+           WHERE u.d NOT IN (SELECT node FROM $pb)),
+         b$i AS MATERIALIZED (SELECT node, dist FROM $pb
+           UNION ALL SELECT node, $i AS dist FROM n$i)"""
+    }.mkString(",\n         ")
+
+  private lazy val bfsOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         und AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
+         b0 AS MATERIALIZED (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0),
+         ${bfsRoundsCte(3)}
+         SELECT node, CAST(dist AS INTEGER) AS dist FROM b3"""
+
+  private lazy val bfsFixpointOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         und AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
+         b0 AS MATERIALIZED (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0),
+         ${bfsRoundsCte(4)}
+         SELECT CAST(3 AS INTEGER) AS rounds,
+                CAST((SELECT count(*) FROM b3) AS BIGINT) AS n_reached,
+                CAST((SELECT count(*) FROM n4) AS BIGINT) AS n_new_probe,
+                (SELECT count(*) FROM n4) = 0 AS at_fixpoint"""
 
   private def hexval(expr: String): String =
     s"(strpos('0123456789abcdef', $expr) - 1)"
@@ -5625,6 +5678,8 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM grid g LEFT JOIN win w ON g.k = w.k AND g.bucket = w.bucket""",
     "graph_pagerank" -> pagerankOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
+    "graph_bfs" -> bfsOracleSql,
+    "graph_bfs_fixpoint" -> bfsFixpointOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "graph_label_prop_fixpoint" -> labelPropFixpointOracleSql,
     "graph_kcore_fixpoint" -> kcoreFixpointOracleSql,

@@ -224,4 +224,31 @@ class GraphOpsSpec extends SparkSpecBase {
     // semantics (fixed iters make oscillation deterministic, not wrong).
     assert(out == Map(7L -> 7L, 9L -> 9L), s"synchronous 2-cycle: $out")
   }
+
+  test("bfsDistances: minimal hops, bounded rounds, isolated sources, frontier rediscovery") {
+    // path 1-2-3-4-5 plus a shortcut 1-3 (node 3 must take dist 1, not 2),
+    // and 99 as an edge-less source
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L)).toDF("a", "b")
+    val sources = Seq(1L, 99L).toDF("id")
+    val d2 = GraphOps.bfsDistances(edges, "a", "b", sources, "id", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d2 == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 1, 4L -> 2),
+      s"2-round frontier: $d2") // 5 is 3 hops out — absent
+    val d4 = GraphOps.bfsDistances(edges, "a", "b", sources, "id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d4(5L) == 3 && d4.size == 6, s"full closure: $d4")
+  }
+
+  test("bfsFixpoint certifies closure exactly when nothing lies beyond R hops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L)).toDF("a", "b")
+    val sources = Seq(1L).toDF("id")
+    val open = GraphOps.bfsFixpoint(edges, "a", "b", sources, "id", rounds = 2)
+      .collect()(0)
+    assert(open.getLong(1) == 4L && open.getLong(2) == 1L && !open.getBoolean(3),
+      s"round-2 probe must still find node 5: $open")
+    val closed = GraphOps.bfsFixpoint(edges, "a", "b", sources, "id", rounds = 3)
+      .collect()(0)
+    assert(closed.getLong(1) == 5L && closed.getLong(2) == 0L && closed.getBoolean(3),
+      s"round-3 closure certificate: $closed")
+  }
 }
