@@ -674,4 +674,34 @@ object TextStats {
     )
     aggregate(hashes, lit(0L), (acc, x) => (acc * 131L + x) % 2147483647L)
   }
+
+  /** Out-of-vocabulary rate per document against the corpus' OWN top-K
+    * vocabulary — the tokenizer-coverage audit run before committing a
+    * vocab size (docs with high OOV ppm will fragment into byte
+    * fallbacks and train badly). Two passes, both scale-safe: the vocab
+    * is a bounded TakeOrdered top-K (count desc, token asc tie-break —
+    * deterministic at the cut) that broadcasts as model state, then one
+    * token-proportional membership join aggregates back per doc. The
+    * rate is an exact integer ppm (`div`), never a float ratio.
+    * Token-less documents are absent (0/0 has no honest rate).
+    */
+  def oovRate(df: DataFrame, idCol: Column, textCol: Column, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val tok = df
+      .select(idCol.as("doc_id"), explode(split(trim(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = tok
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token"))
+      .limit(topK)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    tok
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
 }

@@ -488,4 +488,46 @@ object TemporalOps {
           unix_micros(col(rightTs)) >= unix_micros(col(leftTs)) - hUs)
       .drop("__bkt")
   }
+
+  /** Weekly-seasonality baseline + residual per (key, day) — the
+    * decomposition a metrics pipeline runs before alerting (a Sunday dip
+    * is seasonality, a Tuesday dip is an incident): daily totals roll up
+    * once, the per-(key, day-of-week) baseline is their exact-decimal
+    * mean, and each day's residual is its distance from that baseline.
+    *
+    * Day-of-week is computed ENGINE-NEUTRALLY as `epoch_days mod 7`
+    * (0 = Thursday, 1970-01-01) — `dayofweek()` builtins disagree on
+    * week start across engines, `mod 7` cannot. The baseline is one
+    * correctly-rounded division of a decimal sum (order-free exact) by
+    * the day count; baseline and residual round to 6 dp.
+    *
+    * Scale shape: one partial-agg'd (key, day) rollup — raw rows shuffle
+    * once as daily partials — then a broadcast-sized (key, dow) baseline
+    * frame joins back. No window over raw rows anywhere.
+    */
+  def seasonalBaseline(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val daily = df
+      .select(keyCol.as("key"), to_date(tsCol).as("day"), valueCol.cast("long").as("v"))
+      .groupBy(col("key"), col("day"))
+      .agg(sum(coalesce(col("v"), lit(0L))).as("day_total"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val base = daily
+      .groupBy(col("key"), col("dow"))
+      .agg(
+        sum(col("day_total").cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("baseline", round(col("__s").cast("double") / col("__n").cast("double"), 6))
+      .select(col("key"), col("dow"), col("baseline"))
+    daily
+      .join(broadcast(base), Seq("key", "dow"))
+      .select(
+        col("key"), col("day"), col("dow").cast("int").as("dow"), col("day_total"),
+        col("baseline"),
+        round(col("day_total").cast("double") - col("baseline"), 6).as("residual"))
+  }
 }

@@ -287,6 +287,12 @@ object Extensions {
     },
     // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
     // so the LIMIT boundary is deterministic in any engine)
+    // tokenizer-coverage audit: per-doc OOV rate against the corpus' own
+    // top-500 vocabulary — bounded TakeOrdered vocab broadcast as model
+    // state, one membership join, exact integer ppm
+    "text_oov_rate" -> { (s, dir) =>
+      TextStats.oovRate(t(s, dir, "documents"), col("doc_id"), col("text"), topK = 500)
+    },
     "text_vocab_topk" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
@@ -1888,6 +1894,16 @@ object Extensions {
           unix_micros(col("asof_ts")).as("purchase_us"),
           col("asof_value").as("purchase_value")
         )
+    },
+    // weekly-seasonality decomposition: per-(event_type, day) totals vs
+    // the (event_type, day-of-week) baseline — dow as epoch_days mod 7
+    // (engine-neutral), exact decimal means, residual = actual − baseline;
+    // one daily rollup + a broadcast baseline join, no raw-row window
+    "ev_seasonal_baseline" -> { (s, dir) =>
+      TemporalOps.seasonalBaseline(
+        Fixtures.events(s, dir),
+        col("event_type"), col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
     },
     // NEAREST as-of: each click's closest purchase in either direction,
     // equidistant ties resolving backward — two window passes over ONE
@@ -3889,6 +3905,34 @@ object Extensions {
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t
          WHERE length(token) > 0
          GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                      FROM documents),
+         t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+         v AS (SELECT token, TRUE AS iv FROM (
+                 SELECT token, count(*) AS n FROM t2 GROUP BY 1
+                 ORDER BY n DESC, token LIMIT 500)),
+         j AS (SELECT t2.doc_id, v.iv FROM t2 LEFT JOIN v USING (token))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                  AS oov_ppm
+         FROM j GROUP BY 1""",
+    // seasonal twin: identical epoch_days-mod-7 dow, exact daily totals,
+    // one rounded division for the baseline, residual off the rounded value
+    "ev_seasonal_baseline" ->
+      """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS BIGINT)
+                  AS day_total
+              FROM events GROUP BY 1, 2),
+         d2 AS (SELECT *, CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS dow FROM daily),
+         b AS (SELECT key, dow,
+                 round(CAST(sum(CAST(day_total AS HUGEINT)) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE), 6) AS baseline
+               FROM d2 GROUP BY 1, 2)
+         SELECT d.key, d.day, d.dow, d.day_total, b.baseline,
+                round(CAST(d.day_total AS DOUBLE) - b.baseline, 6) AS residual
+         FROM d2 d JOIN b USING (key, dow)""",
     "corpus_filter" ->
       (profileCte + """
           SELECT doc_id, lang, score, n_tokens FROM scored

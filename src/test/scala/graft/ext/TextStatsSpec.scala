@@ -210,4 +210,17 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out(0) != out(1))   // word order matters (rolling hash)
     assert(out.forall(v => v >= 0 && v < 2147483647L))
   }
+
+  test("oovRate: deterministic vocab cut with tie-break, exact ppm, empty docs absent") {
+    // counts: a=3 b=2 c=2 d=1 → top-2 = a, b (b beats c on the token
+    // tie-break at equal count 2)
+    val df = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "a"), (4L, "   ")).toDF("id", "t")
+    val out = TextStats.oovRate(df, $"id", $"t", topK = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 2L, 500000L)),  // c, d OOV
+      2L -> ((3L, 1L, 333333L)),  // exact integer div, not a rounded float
+      3L -> ((1L, 0L, 0L))
+    ), s"got $out") // doc 4 has no tokens → absent
+  }
 }

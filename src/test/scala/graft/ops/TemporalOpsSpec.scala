@@ -89,6 +89,26 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected one key shuffle, got $exchanges:\n$plan")
   }
 
+  test("seasonalBaseline: dow-mean baseline, residuals, engine-neutral mod-7 dow, null values") {
+    // 1970-01-01 is a Thursday → dow 0 under epoch_days mod 7
+    def day(d: Int, sec: Long = 0L) = ts(86400L * d + sec)
+    val ev = Seq(
+      ("k", day(0), Some(4L)), ("k", day(0), Some(6L)),   // Thu week 1: total 10
+      ("k", day(7), Some(20L)),                            // Thu week 2: total 20
+      ("k", day(1), Some(7L)), ("k", day(1), None)         // Fri: null adds 0 → total 7
+    ).toDF("k", "t", "v")
+    val out = TemporalOps.seasonalBaseline(ev, $"k", $"t", $"v")
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+      .toSeq
+    assert(out == Seq(
+      ("1970-01-01", 0, 10L, 15.0, -5.0),
+      ("1970-01-02", 1, 7L, 7.0, 0.0),
+      ("1970-01-08", 0, 20L, 15.0, 5.0)
+    ), s"got $out")
+  }
+
   test("resampleLocf fills gaps with the last observation and marks observed buckets") {
     val ev = Seq(
       (1L, 10L, ts(86400 * 10 + 5), 1.5), // day 10
