@@ -47,9 +47,44 @@ class PlanAuditSpec extends SparkSpecBase {
         "ev_attribution_ushape", "curate_url_domain", "curation_token_budget",
         "graph_kcore_fixpoint", "graph_label_prop_fixpoint",
         "stats_psi_drift", "stats_jsd_drift", "corpus_sample_weighted",
-        "text_lm_score", "ann_range_search", "ts_ewma")) {
+        "text_lm_score", "ann_range_search", "ts_ewma",
+        "stats_chi2_assoc", "mv_delta_maintain", "mm_image_exposure",
+        "mm_audio_silence", "ev_asof_nearest", "privacy_dp_counts",
+        "graph_bfs", "graph_bfs_fixpoint", "text_oov_rate",
+        "ev_seasonal_baseline")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("mv_delta_maintain merges the view with union+agg — NO join anywhere") {
+    // a join-based merge would shuffle the full view state; the IVM
+    // contract is O(delta + touched groups) via union + partial agg
+    val plan = planOf("mv_delta_maintain")
+    assert(!plan.contains("Join"), s"IVM must not join the view state:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
+  }
+
+  test("ev_asof_nearest: the two directional window sorts share one key exchange") {
+    val plan = planOf("ev_asof_nearest")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 user_id shuffle for both windows, got $n:\n$plan")
+  }
+
+  test("audit_key_skew tops out in a bounded heap; privacy_dp_counts is agg-only") {
+    val skew = planOf("audit_key_skew")
+    assert(skew.contains("TakeOrderedAndProject"), s"hot-key probe must heap, not sort:\n$skew")
+    val dp = planOf("privacy_dp_counts")
+    assert(!dp.contains("Join"), s"the DP release is one aggregate + row-local algebra:\n$dp")
+    assert("HashAggregate".r.findAllIn(dp).size >= 2, s"no partial aggregation:\n$dp")
+  }
+
+  test("text_oov_rate and ev_seasonal_baseline broadcast their model-state side") {
+    for (q <- Seq("text_oov_rate", "ev_seasonal_baseline")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast the bounded vocab/baseline frame:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q sort-merges a model-state join:\n$plan")
     }
   }
 
@@ -119,7 +154,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // may repartition them: a hash/range exchange anywhere means payload
     // bytes crossed the wire for map-only decode work
     for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio",
-        "mm_video_frames", "mm_image_dhash", "mm_audio_fingerprint")) {
+        "mm_video_frames", "mm_image_dhash", "mm_audio_fingerprint",
+        "mm_image_exposure", "mm_audio_silence")) {
       val plan = planOf(q)
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
