@@ -675,6 +675,39 @@ object TextStats {
     aggregate(hashes, lit(0L), (acc, x) => (acc * 131L + x) % 2147483647L)
   }
 
+  /** Flesch–Kincaid readability grade per document — the classic
+    * text-difficulty gate (curricula pipelines keep a band, conversational
+    * corpora drop legalese outliers): `0.39·(W/S) + 11.8·(Y/W) − 15.59`
+    * with all three counts EXACT integers — words are the module's
+    * whitespace tokens, sentences are `[.!?]+` runs (floored at 1 so a
+    * fragment still scores), syllables use the standard vowel-run
+    * heuristic (`[aeiouy]+` runs per lowercased word, floored at 1 —
+    * "rhythm" counts its y, "xyzzy" never scores 0). The grade itself is
+    * one fixed-order IEEE tail over the integer counts, rounded to 6 dp.
+    * Token-less documents are absent. Map-only column algebra — the
+    * counts fold inside one `aggregate` HOF, no explode, no shuffle.
+    */
+  def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val words = "filter(split(trim(lower(coalesce(__t, ''))), '\\\\s+'), w -> length(w) > 0)"
+    df.select(idCol.as("doc_id"), textCol.as("__t"))
+      .withColumn("n_words", expr(s"cast(size($words) as bigint)"))
+      .filter(col("n_words") > 0)
+      .withColumn(
+        "n_sentences",
+        expr("greatest(1L, cast(size(regexp_extract_all(coalesce(__t, ''), '[.!?]+', 0)) as bigint))"))
+      .withColumn(
+        "n_syllables",
+        expr(s"aggregate($words, 0L, (acc, w) -> " +
+          "acc + greatest(1L, cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as bigint)))"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59),
+          6).as("fk_grade"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus' OWN top-K
     * vocabulary — the tokenizer-coverage audit run before committing a
     * vocab size (docs with high OOV ppm will fragment into byte

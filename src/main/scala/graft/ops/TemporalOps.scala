@@ -489,6 +489,32 @@ object TemporalOps {
       .drop("__bkt")
   }
 
+  /** Cumulative-unique-users curve per day — the growth/retention
+    * denominator every analytics stack computes, done WITHOUT a
+    * cumulative distinct (which would need per-day state proportional to
+    * all users ever seen): each user collapses to their FIRST day (one
+    * partial-agg'd min), new-user counts roll up per day, and the running
+    * total is a window over the |days|-row frame — bounded by calendar
+    * cardinality, not user count, which is what makes the global
+    * (unpartitioned) window legitimate here. Daily actives come from the
+    * same (day, user) rollup. One summary row per day:
+    * `(day, n_active, n_new, n_cum_users)`.
+    */
+  def cumulativeUniques(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val ev = df.select(keyCol.as("k"), to_date(tsCol).as("day"))
+    val perDay = ev.groupBy(col("day"), col("k")).agg(count(lit(1)).as("__n"))
+    val active = perDay.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val newPerDay = ev
+      .groupBy(col("k")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    // |days| rows: the one place a global ordered window is honest
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active
+      .join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_cum_users", sum(col("n_new")).over(w))
+  }
+
   /** Weekly-seasonality baseline + residual per (key, day) — the
     * decomposition a metrics pipeline runs before alerting (a Sunday dip
     * is seasonality, a Tuesday dip is an incident): daily totals roll up

@@ -287,6 +287,13 @@ object Extensions {
     },
     // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
     // so the LIMIT boundary is deterministic in any engine)
+    // readability gate: Flesch-Kincaid grade from exact integer counts
+    // (whitespace words, [.!?]+ sentence runs floored at 1, vowel-run
+    // syllables floored at 1 per word) folded in one aggregate HOF —
+    // map-only, one fixed-order IEEE tail
+    "text_readability" -> { (s, dir) =>
+      TextStats.readability(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
     // tokenizer-coverage audit: per-doc OOV rate against the corpus' own
     // top-500 vocabulary — bounded TakeOrdered vocab broadcast as model
     // state, one membership join, exact integer ppm
@@ -1895,6 +1902,12 @@ object Extensions {
           col("asof_value").as("purchase_value")
         )
     },
+    // cumulative-unique-users curve: first-seen collapse (no cumulative
+    // distinct state), per-day rollups, running total over the bounded
+    // |days| frame — the growth denominator
+    "ev_cumulative_uniques" -> { (s, dir) =>
+      TemporalOps.cumulativeUniques(Fixtures.events(s, dir), col("user_id"), col("ts"))
+    },
     // weekly-seasonality decomposition: per-(event_type, day) totals vs
     // the (event_type, day-of-week) baseline — dow as epoch_days mod 7
     // (engine-neutral), exact decimal means, residual = actual − baseline;
@@ -2114,6 +2127,15 @@ object Extensions {
     "fuzzy_name_pairs" -> { (s, dir) =>
       graft.ops.FuzzyOps.editBlockedPairs(
         fuzzyNames(s, dir), col("id"), col("s"), maxDist = 2, maxBlock = 64)
+    },
+    // blocking-quality audit: MEASURED pair completeness of the segment
+    // blocker against exact all-pairs truth on the md5 eval stratum
+    // (1/20) — the assumed pigeonhole recall, checked; truth cost is
+    // fixed eval state, blocked pairs restrict via two semi-joins
+    "er_blocking_quality" -> { (s, dir) =>
+      graft.ops.FuzzyOps.blockingQuality(
+        fuzzyNames(s, dir), col("id"), col("s"),
+        maxDist = 2, maxBlock = 64, strataMod = 20L)
     },
     // end-to-end entity resolution: the blocked edit-distance matcher's
     // pairs become entity clusters via pointer-jumping CC, singletons keep
@@ -3918,6 +3940,25 @@ object Extensions {
                 CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
                   AS oov_ppm
          FROM j GROUP BY 1""",
+    "text_readability" ->
+      """WITH w AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+                            x -> length(x) > 0) AS toks,
+                coalesce(text, '') AS t
+              FROM documents),
+         c AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 greatest(CAST(1 AS BIGINT),
+                          CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)) AS n_sentences,
+                 CAST(list_sum(list_transform(toks,
+                   x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))) AS BIGINT)
+                   AS n_syllables
+               FROM w WHERE len(toks) > 0)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+                      11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
+                      15.59, 6) AS fk_grade
+         FROM c""",
     // seasonal twin: identical epoch_days-mod-7 dow, exact daily totals,
     // one rounded division for the baseline, residual off the rounded value
     "ev_seasonal_baseline" ->
@@ -5182,6 +5223,54 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            FROM ok a JOIN ok b ON a.seg_i = b.seg_i AND a.seg = b.seg AND a.id < b.id)
          SELECT id_lo, id_hi, CAST(levenshtein(s_lo, s_hi) AS INTEGER) AS dist
          FROM cand WHERE levenshtein(s_lo, s_hi) <= 2""",
+    // blocking-quality twin: the fuzzy-pair CTEs verbatim + stratum
+    // all-pairs truth and the same integer ppm completeness
+    "er_blocking_quality" ->
+      """WITH names AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id % 5 = 0 THEN substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9)
+             ELSE substr(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9), 1, CAST(doc_id % 9 AS INTEGER))
+                  || chr(CAST(85 + doc_id % 6 AS INTEGER))
+                  || substr(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 9), CAST(doc_id % 9 AS INTEGER) + 2)
+             END AS s
+           FROM documents),
+         st AS (SELECT id, s FROM names
+                WHERE CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0),
+         segs AS (
+           SELECT id, s, g AS seg_i,
+                  substr(s, (g * length(s)) // 3 + 1,
+                         ((g + 1) * length(s)) // 3 - (g * length(s)) // 3) AS seg
+           FROM names CROSS JOIN generate_series(0, 2) t(g)),
+         bn AS (SELECT seg_i, seg, count(*) AS n FROM segs GROUP BY 1, 2),
+         ok AS (SELECT segs.* FROM segs JOIN bn USING (seg_i, seg) WHERE bn.n <= 64),
+         cand AS (
+           SELECT DISTINCT a.id AS id_lo, b.id AS id_hi, a.s AS s_lo, b.s AS s_hi
+           FROM ok a JOIN ok b ON a.seg_i = b.seg_i AND a.seg = b.seg AND a.id < b.id),
+         blocked AS (SELECT id_lo, id_hi FROM cand WHERE levenshtein(s_lo, s_hi) <= 2),
+         bs AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked_stratum
+                FROM blocked
+                WHERE id_lo IN (SELECT id FROM st) AND id_hi IN (SELECT id FROM st)),
+         tru AS (SELECT CAST(count(*) AS BIGINT) AS n_true_stratum
+                 FROM st a JOIN st b ON a.id < b.id
+                 WHERE levenshtein(a.s, b.s) <= 2),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n_records,
+                    CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stratum
+                  FROM names)
+         SELECT n_records, n_stratum, n_true_stratum, n_blocked_stratum,
+                CASE WHEN n_true_stratum > 0
+                     THEN CAST(n_blocked_stratum * 1000000 // n_true_stratum AS BIGINT)
+                END AS completeness_ppm
+         FROM base, tru, bs""",
+    "ev_cumulative_uniques" ->
+      """WITH ev AS (SELECT user_id AS k, CAST(ts AS DATE) AS day FROM events),
+         act AS (SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_active FROM ev GROUP BY 1),
+         fs AS (SELECT k, min(day) AS day FROM ev GROUP BY 1),
+         nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+         SELECT a.day, a.n_active, coalesce(n.n_new, 0) AS n_new,
+                CAST(sum(coalesce(n.n_new, 0)) OVER
+                     (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
+         FROM act a LEFT JOIN nw n ON n.day = a.day""",
     // ER twin: the fuzzy-pair CTEs verbatim + the recursive reach closure
     // (the clusterChainSql pattern over the matcher's edge set)
     "er_entities" ->
@@ -5527,9 +5616,9 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                   dense_rank() OVER (PARTITION BY grp ORDER BY y) AS dry
                 FROM cells),
          marg AS (SELECT grp, o,
-                    sum(o) OVER (PARTITION BY grp) AS n,
-                    sum(o) OVER (PARTITION BY grp, x) AS rt,
-                    sum(o) OVER (PARTITION BY grp, y) AS ct,
+                    CAST(sum(o) OVER (PARTITION BY grp) AS HUGEINT) AS n,
+                    CAST(sum(o) OVER (PARTITION BY grp, x) AS HUGEINT) AS rt,
+                    CAST(sum(o) OVER (PARTITION BY grp, y) AS HUGEINT) AS ct,
                     max(drx) OVER (PARTITION BY grp) AS r,
                     max(dry) OVER (PARTITION BY grp) AS c
                   FROM rk),

@@ -211,6 +211,25 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("readability: exact integer counts, sentence/syllable floors, fixed-order grade") {
+    val df = Seq(
+      (1L, "the cat sat. it ran!"), // 5 words, 2 sentence runs, 5 syllables
+      (2L, "no punctuation here"),  // sentence floor: 0 runs → 1
+      (3L, "bcdfg xyzzy"),          // vowelless floor → 1; two y-runs → 2
+      (4L, "   ")                   // token-less → absent
+    ).toDF("id", "t")
+    val out = TextStats.readability(df, $"id", $"t")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"got ${out.keySet}")
+    assert(out(1L) == ((5L, 2L, 5L, -2.815)), s"got ${out(1L)}")
+    assert(out(2L)._2 == 1L && out(2L)._1 == 3L, s"sentence floor: ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, 3L,
+      BigDecimal(0.39 * 2.0 + 11.8 * 1.5 - 15.59).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)), s"syllable floors: ${out(3L)}")
+  }
+
   test("oovRate: deterministic vocab cut with tie-break, exact ppm, empty docs absent") {
     // counts: a=3 b=2 c=2 d=1 → top-2 = a, b (b beats c on the token
     // tie-break at equal count 2)

@@ -51,4 +51,29 @@ class FuzzyOpsSpec extends SparkSpecBase {
     val out = FuzzyOps.editBlockedPairs(df, col("id"), col("s"), maxDist = 2, maxBlock = 64)
     assert(out.count() == 1L)
   }
+
+  test("blockingQuality measures the pigeonhole miss honestly") {
+    // truth pairs at dist<=2: (1,2) substitution, (1,3) front insertion,
+    // (2,3) insertion+substitution. Blocking catches only (1,2) — the
+    // front insertion shifts every segment boundary of 3, so both pairs
+    // involving it are the documented unequal-length miss
+    val df = Seq(
+      (1L, "abcdefghi"), (2L, "abcdefgXi"), (3L, "Zabcdefghi"), (4L, "qrstuvwxy")
+    ).toDF("id", "s")
+    val r = FuzzyOps
+      .blockingQuality(df, col("id"), col("s"), maxDist = 2, maxBlock = 64, strataMod = 1L)
+      .collect()(0)
+    assert(
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((4L, 4L, 3L, 1L, 333333L)),
+      s"got $r")
+  }
+
+  test("blockingQuality reports NULL completeness when the stratum has no true pairs") {
+    val df = Seq((1L, "aaaaaaaaa"), (2L, "zzzzzzzzz")).toDF("id", "s")
+    val r = FuzzyOps
+      .blockingQuality(df, col("id"), col("s"), maxDist = 2, maxBlock = 64, strataMod = 1L)
+      .collect()(0)
+    assert(r.getLong(2) == 0L && r.isNullAt(4), s"0/0 must be NULL, not a rate: $r")
+  }
 }

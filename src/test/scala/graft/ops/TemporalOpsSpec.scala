@@ -89,6 +89,23 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected one key shuffle, got $exchanges:\n$plan")
   }
 
+  test("cumulativeUniques: first-seen collapse, daily actives, running total") {
+    def day(d: Int, sec: Long = 0L) = ts(86400L * d + sec)
+    val ev = Seq(
+      (1L, day(0)), (1L, day(1)), (2L, day(1)), (3L, day(2)), (1L, day(2, 60))
+    ).toDF("u", "t")
+    val out = TemporalOps.cumulativeUniques(ev, $"u", $"t")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+      .toSeq
+    assert(out == Seq(
+      ("1970-01-01", 1L, 1L, 1L),
+      ("1970-01-02", 2L, 1L, 2L), // u1 returns (active, not new), u2 is new
+      ("1970-01-03", 2L, 1L, 3L)  // u1 + u3; only u3 is new
+    ), s"got $out")
+  }
+
   test("seasonalBaseline: dow-mean baseline, residuals, engine-neutral mod-7 dow, null values") {
     // 1970-01-01 is a Thursday → dow 0 under epoch_days mod 7
     def day(d: Int, sec: Long = 0L) = ts(86400L * d + sec)
