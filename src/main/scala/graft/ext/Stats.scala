@@ -580,6 +580,56 @@ object Stats {
           6).as("cramers_v"))
   }
 
+  /** CUSUM change-point localization per group — the WHEN companion to
+    * the drift family (KS/TVD/PSI say two snapshots differ; CUSUM points
+    * at the day the level shifted): over each group's daily totals, the
+    * classic offline estimator walks the cumulative deviation from the
+    * GLOBAL mean and the change point is where |walk| peaks — for a step
+    * shift at day τ the walk is piecewise linear with its extremum at
+    * τ−1 (the last pre-shift day). ALL-INTEGER by scaling: with `S_N`
+    * the exact total over the group's `N` days, the walk is
+    * `C_i = Σ_{j≤i} (N·x_j − S_N)` — no division anywhere (and `C_N = 0`
+    * by construction, a free invariant check), so argmax and magnitude
+    * replay bit-exactly in any engine. Ties on |C| break to the earliest
+    * day; single-day groups report their day with magnitude 0.
+    *
+    * Scale shape: raw rows partial-agg to (group, day) totals ONCE; the
+    * walk and argmax run on the |days|-per-group frame —
+    * calendar-bounded windows, the [[Stats]] discipline. One row per
+    * group: `(grp, n_days, cp_day, max_abs_cusum)` (magnitude in
+    * value·N units).
+    */
+  def cusumChangepoint(
+      df: DataFrame,
+      groupCol: Column,
+      dayCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = df
+      .select(groupCol.as("grp"), dayCol.as("day"), valueCol.cast("long").as("v"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(coalesce(col("v"), lit(0L))).cast(dec).as("x"))
+    val byG = Window.partitionBy(col("grp"))
+    val byDay = byG.orderBy(col("day"))
+    daily
+      .withColumn("__n", count(lit(1)).over(byG))
+      .withColumn("__s", sum(col("x")).over(byG))
+      .withColumn(
+        "__c",
+        sum(col("x") * col("__n") - col("__s"))
+          .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "__pick",
+        row_number().over(byG.orderBy(abs(col("__c")).desc, col("day").asc)))
+      .filter(col("__pick") === 1)
+      .select(
+        col("grp"),
+        col("__n").as("n_days"),
+        col("day").as("cp_day"),
+        abs(col("__c")).cast("long").as("max_abs_cusum"))
+  }
+
   def corrExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
     corrMoments(
       df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))

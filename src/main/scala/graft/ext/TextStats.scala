@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (north-star
@@ -673,6 +674,41 @@ object TextStats {
       }
     )
     aggregate(hashes, lit(0L), (acc, x) => (acc * 131L + x) % 2147483647L)
+  }
+
+  /** Shannon character entropy per document (bits/char) — the gibberish
+    * and compression gate: natural prose sits ~4–4.5 bits, base64 blobs
+    * and minified payloads push toward 6, constant-padding spam drops
+    * toward 0; curation pipelines band-pass on it. Counts are exact
+    * integers ((doc, char) partial agg — the per-doc frame is bounded by
+    * alphabet size, not text length); each `−p·log₂p` term is a
+    * fixed-order IEEE chain with the one `ln` quantized to an INTEGER
+    * micro-bit grid before the sum (the millinat discipline — a p = c/n
+    * ratio recurs across thousands of docs, so a 9-dp decimal boundary
+    * flip would replicate corpus-wide; on the 10⁻⁶ grid the flip
+    * probability is ~ulp/grid ≈ 10⁻¹⁰ per distinct ratio), and the base
+    * conversion uses the shared ln 2 literal. Terms are ≥ 0, so HALF_UP
+    * and half-away-from-zero agree. Empty documents are absent.
+    */
+  def charEntropy(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val counts = df
+      .select(idCol.as("doc_id"), explode(split(coalesce(textCol, lit("")), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n", sum(col("c")).over(byDoc))
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .withColumn(
+        "t_micro",
+        round(-(col("p") * log(col("p"))) / lit(0.6931471805599453) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(sum(col("t_micro")).cast("double") / lit(1000000.0), 6).as("entropy_bits"))
   }
 
   /** Flesch–Kincaid readability grade per document — the classic

@@ -293,8 +293,12 @@ object GraphOps {
   ): DataFrame = {
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
     val e = undirectedEdges(edges, srcCol, dstCol)
-    val adj = e.select(col("u").as("s"), col("v").as("d"))
+    val adj0 = e.select(col("u").as("s"), col("v").as("d"))
       .unionByName(e.select(col("v").as("s"), col("u").as("d")))
+    // the adjacency sits at EVERY leaf of the unrolled round lineage —
+    // materialize it once (multi-round only) or an expensive edge
+    // derivation (a setsim pair build) replays per round per reference
+    val adj = if (rounds > 1) adj0.localCheckpoint() else adj0
     var dist = sources.select(col(srcIdCol).as("node")).distinct().withColumn("dist", lit(0))
     var frontier = dist.select(col("node"))
     for (i <- 1 to rounds) {
@@ -305,7 +309,9 @@ object GraphOps {
       val newly = cand.join(dist, Seq("node"), "left_anti").withColumn("dist", lit(i))
       dist = dist.unionByName(newly)
       frontier = newly.select(col("node"))
-      if (i % 4 == 0 && i < rounds) {
+      // dist feeds BOTH the anti-join and the union next round — sever
+      // every other round or the plan doubles per round
+      if (i % 2 == 0 && i < rounds) {
         dist = dist.localCheckpoint()
         frontier = frontier.localCheckpoint()
       }

@@ -287,6 +287,12 @@ object Extensions {
     },
     // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
     // so the LIMIT boundary is deterministic in any engine)
+    // gibberish/compression gate: Shannon bits-per-char from exact
+    // (doc, char) counts — alphabet-bounded per-doc frames, the one ln
+    // 9-dp-quantized into a decimal sum (PSI discipline)
+    "text_entropy" -> { (s, dir) =>
+      TextStats.charEntropy(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
     // readability gate: Flesch-Kincaid grade from exact integer counts
     // (whitespace words, [.!?]+ sentence runs floored at 1, vowel-run
     // syllables floored at 1 per word) folded in one aggregate HOF —
@@ -2068,6 +2074,15 @@ object Extensions {
         col("event_type"),
         floor(col("value") * 100 + lit(0.5)).cast("long"),
         graft.ops.Hashing.md5Mod(col("event_id").cast("string"), 2L) === 0)
+    },
+    // change-point LOCALIZATION: per-event-type CUSUM over daily cents —
+    // the WHEN companion to the KS/TVD/PSI drift monitors; all-integer
+    // scaled walk Σ(N·x − S_N), |peak| at the last pre-shift day
+    "stats_cusum_changepoint" -> { (s, dir) =>
+      Stats.cusumChangepoint(
+        Fixtures.events(s, dir),
+        col("event_type"), to_date(col("ts")),
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
     },
     // categorical ASSOCIATION audit: per-source chi-square of independence
     // between lang and a length bucket + Cramér's V effect size — zero
@@ -3940,6 +3955,35 @@ object Extensions {
                 CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
                   AS oov_ppm
          FROM j GROUP BY 1""",
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+                     FROM documents),
+         cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+         tot AS (SELECT *, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cnt),
+         trm AS (SELECT doc_id, n,
+                   CAST(round(-(p * ln(p)) / 0.6931471805599453 * 1000000.0) AS BIGINT) AS t_micro
+                 FROM (SELECT doc_id, n,
+                         CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM tot))
+         SELECT doc_id, max(n) AS n_chars_counted,
+                CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                round(CAST(sum(t_micro) AS DOUBLE) / 1000000.0, 6) AS entropy_bits
+         FROM trm GROUP BY doc_id""",
+    "stats_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS HUGEINT) AS x
+              FROM events GROUP BY 1, 2),
+         r AS (SELECT *,
+                 CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ndays,
+                 CAST(sum(x) OVER (PARTITION BY grp) AS HUGEINT) AS sn
+               FROM daily),
+         c AS (SELECT *,
+                 CAST(sum(x * ndays - sn)
+                   OVER (PARTITION BY grp ORDER BY day ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw
+               FROM r),
+         p AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY abs(cw) DESC, day) AS pick
+               FROM c)
+         SELECT grp, ndays AS n_days, day AS cp_day, CAST(abs(cw) AS BIGINT) AS max_abs_cusum
+         FROM p WHERE pick = 1""",
     "text_readability" ->
       """WITH w AS (SELECT doc_id,
                 list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),

@@ -417,6 +417,23 @@ class StatsSpec extends SparkSpecBase {
       assert(rev(g) == ((nb, na, -t, d)), s"side swap must negate t, keep df: $g")
   }
 
+  test("cusumChangepoint localizes a step shift at the last pre-shift day; flat walks score 0") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    val rows =
+      // step: 10 days at 10, then 2 days at 30 → N=12, S=160; the walk
+      // runs −40 per pre-shift day, so |C| peaks at 400 on day 10
+      (1 to 10).map(i => ("step", d(i), 10L)) ++ Seq(("step", d(11), 30L), ("step", d(12), 30L)) ++
+        // flat: every deviation is 0 → tie on |C|=0 → earliest day wins
+        (1 to 5).map(i => ("flat", d(i), 7L))
+    val out = Stats
+      .cusumChangepoint(rows.toDF("g", "day", "v"), col("g"), col("day"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDate(2).toString, r.getLong(3))))
+      .toMap
+    assert(out("step") == ((12L, "2024-01-10", 400L)), s"step: ${out("step")}")
+    assert(out("flat") == ((5L, "2024-01-01", 0L)), s"flat: ${out("flat")}")
+  }
+
   test("chi2Assoc closed forms: perfect association, independence, zero cells, drop rule") {
     val rows =
       // perfect: x determines y exactly → χ² = n = 20, V = 1

@@ -211,6 +211,18 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("charEntropy closed forms: constant 0, uniform alphabets log2 k, empty absent") {
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "")).toDF("id", "t")
+    val out = TextStats.charEntropy(df, $"id", $"t")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"got ${out.keySet}")
+    assert(out(1L) == ((4L, 1L, 0.0)), s"constant text: ${out(1L)}")
+    assert(out(2L) == ((4L, 2L, 1.0)), s"two uniform symbols = 1 bit: ${out(2L)}")
+    assert(out(3L) == ((4L, 4L, 2.0)), s"four uniform symbols = 2 bits: ${out(3L)}")
+  }
+
   test("readability: exact integer counts, sentence/syllable floors, fixed-order grade") {
     val df = Seq(
       (1L, "the cat sat. it ran!"), // 5 words, 2 sentence runs, 5 syllables
