@@ -51,7 +51,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "stats_chi2_assoc", "mv_delta_maintain", "mm_image_exposure",
         "mm_audio_silence", "ev_asof_nearest", "privacy_dp_counts",
         "graph_bfs", "graph_bfs_fixpoint", "text_oov_rate",
-        "ev_seasonal_baseline")) {
+        "ev_seasonal_baseline", "stats_cusum_changepoint", "text_entropy")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -110,7 +110,7 @@ class PlanAuditSpec extends SparkSpecBase {
     // text_bpe_encode qualifies: training collects driver-side first, so
     // the RETURNED plan is the k chained rewrites — one map-only stage
     for (q <- Seq("text_lang_id", "text_fingerprint", "text_pii_scrub", "f_pin_normalize",
-        "corpus_split_assign", "mm_audio_features", "text_bpe_encode")) {
+        "corpus_split_assign", "mm_audio_features", "text_bpe_encode", "text_readability")) {
       val plan = planOf(q)
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
