@@ -127,6 +127,72 @@ object Stats {
       )
   }
 
+  /** [[groupedQuantile]] for SEVERAL probabilities in ONE pass — the
+    * shape that matters at 100 TB: one per-group sort window serves every
+    * requested quantile (three separate calls would sort the corpus three
+    * times), straddling rows filter down before the aggregate, and the
+    * output is one wide row per group (`grp, q25, q50, …` — columns named
+    * by rounded percent). Null values are excluded (quantile_cont
+    * semantics).
+    */
+  def groupedQuantiles(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      ps: Seq[Double]
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps must be in [0,1]")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val cw = Window.partitionBy(col("__g"))
+    val base = df
+      .select(groupCol.as("__g"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    def lo(p: Double) = floor((col("__n") - 1) * lit(p)).cast("long")
+    def hi(p: Double) = ceil((col("__n") - 1) * lit(p)).cast("long")
+    val keep = ps.map(p => col("__rn") === lo(p) + 1 || col("__rn") === hi(p) + 1).reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        max(when(col("__rn") === lo(p) + 1, col("__v"))).as(s"__vlo$i"),
+        max(when(col("__rn") === hi(p) + 1, col("__v"))).as(s"__vhi$i"),
+        max((col("__n") - 1) * lit(p)).as(s"__pos$i"),
+        max(lo(p)).as(s"__lo$i"))
+    }
+    val agg = base.filter(keep).groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    val qs = ps.zipWithIndex.map { case (p, i) =>
+      (col(s"__vlo$i").cast("double") +
+        (col(s"__vhi$i").cast("double") - col(s"__vlo$i").cast("double")) *
+        (col(s"__pos$i") - col(s"__lo$i").cast("double"))).as("q" + math.round(p * 100))
+    }
+    agg.select(col("__g").as("grp") +: qs: _*)
+  }
+
+  /** Robust (median/IQR) feature scaling per group — the ML-prep
+    * transform that survives outliers where (x−μ)/σ does not:
+    * `scaled = (v − median) / (Q3 − Q1)`, NULL when the IQR is 0 (a
+    * constant-bulk group has no honest scale, and ±∞ is not a feature).
+    * The group statistics come from ONE [[groupedQuantiles]] pass and
+    * broadcast back over the corpus — the big side shuffles once for the
+    * quantile sort and never again. Fixed-order IEEE tail, 6 dp.
+    */
+  def robustScale(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      valueCol: Column
+  ): DataFrame = {
+    val stats = groupedQuantiles(df, groupCol, valueCol, Seq(0.25, 0.5, 0.75))
+      .withColumn("iqr", col("q75") - col("q25"))
+    df.select(groupCol.as("grp"), idCol.as("id"), valueCol.cast("long").as("v"))
+      .join(broadcast(stats), Seq("grp"))
+      .select(
+        col("grp"), col("id"), col("v"),
+        col("q50").as("median"), col("iqr"),
+        when(col("iqr") > 0,
+          round((col("v").cast("double") - col("q50")) / col("iqr"), 6)).as("scaled"))
+  }
+
   /** Per-group z-score outlier flag with NO floating point anywhere:
     * |x − μ| > k·σ (population σ) is multiplied through by n² into the
     * all-integer predicate `(n·x − S)² > k²·(n·SS − S²)` over

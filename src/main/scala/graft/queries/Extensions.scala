@@ -2075,6 +2075,13 @@ object Extensions {
         floor(col("value") * 100 + lit(0.5)).cast("long"),
         graft.ops.Hashing.md5Mod(col("event_id").cast("string"), 2L) === 0)
     },
+    // robust feature scaling: (v − median)/IQR per source — ONE quantile
+    // sort serves all three quartiles, stats broadcast back; IQR=0 groups
+    // scale to NULL, never ±∞
+    "stats_robust_scale" -> { (s, dir) =>
+      Stats.robustScale(
+        t(s, dir, "documents"), col("source"), col("doc_id"), col("n_chars"))
+    },
     // change-point LOCALIZATION: per-event-type CUSUM over daily cents —
     // the WHEN companion to the KS/TVD/PSI drift monitors; all-integer
     // scaled walk Σ(N·x − S_N), |peak| at the last pre-shift day
@@ -3968,6 +3975,36 @@ object Extensions {
                 CAST(count(*) AS BIGINT) AS n_distinct_chars,
                 round(CAST(sum(t_micro) AS DOUBLE) / 1000000.0, 6) AS entropy_bits
          FROM trm GROUP BY doc_id""",
+    // robust-scale twin: the manual (n−1)p rank interpolation (the
+    // median_by_source discipline — never trust quantile_cont parity)
+    "stats_robust_scale" ->
+      """WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents),
+         r AS (SELECT grp, v,
+                 CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+               FROM v),
+         q AS (SELECT grp,
+                 max(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1 THEN v END) AS vlo25,
+                 max(CASE WHEN rn = CAST(ceil((n-1) * 0.25) AS BIGINT) + 1 THEN v END) AS vhi25,
+                 max(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN v END) AS vlo50,
+                 max(CASE WHEN rn = CAST(ceil((n-1) * 0.5) AS BIGINT) + 1 THEN v END) AS vhi50,
+                 max(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1 THEN v END) AS vlo75,
+                 max(CASE WHEN rn = CAST(ceil((n-1) * 0.75) AS BIGINT) + 1 THEN v END) AS vhi75,
+                 max((n-1) * 0.25) AS p25, max(CAST(floor((n-1) * 0.25) AS BIGINT)) AS l25,
+                 max((n-1) * 0.5) AS p50, max(CAST(floor((n-1) * 0.5) AS BIGINT)) AS l50,
+                 max((n-1) * 0.75) AS p75, max(CAST(floor((n-1) * 0.75) AS BIGINT)) AS l75
+               FROM r GROUP BY grp),
+         s AS (SELECT grp,
+                 CAST(vlo25 AS DOUBLE) + (CAST(vhi25 AS DOUBLE) - CAST(vlo25 AS DOUBLE)) * (p25 - CAST(l25 AS DOUBLE)) AS q25,
+                 CAST(vlo50 AS DOUBLE) + (CAST(vhi50 AS DOUBLE) - CAST(vlo50 AS DOUBLE)) * (p50 - CAST(l50 AS DOUBLE)) AS q50,
+                 CAST(vlo75 AS DOUBLE) + (CAST(vhi75 AS DOUBLE) - CAST(vlo75 AS DOUBLE)) * (p75 - CAST(l75 AS DOUBLE)) AS q75
+               FROM q)
+         SELECT d.source AS grp, d.doc_id AS id, CAST(d.n_chars AS BIGINT) AS v,
+                s.q50 AS median, s.q75 - s.q25 AS iqr,
+                CASE WHEN s.q75 - s.q25 > 0
+                     THEN round((CAST(d.n_chars AS DOUBLE) - s.q50) / (s.q75 - s.q25), 6)
+                END AS scaled
+         FROM documents d JOIN s ON s.grp = d.source""",
     "stats_cusum_changepoint" ->
       """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
                 CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS HUGEINT) AS x

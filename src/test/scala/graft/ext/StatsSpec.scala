@@ -417,6 +417,23 @@ class StatsSpec extends SparkSpecBase {
       assert(rev(g) == ((nb, na, -t, d)), s"side swap must negate t, keep df: $g")
   }
 
+  test("groupedQuantiles: one pass serves all quartiles; robustScale handles IQR 0") {
+    val rows = (0 to 8).map(v => ("g", v.toLong, v.toLong)) ++
+      (1 to 4).map(i => ("const", 100L + i, 7L))
+    val df = rows.toDF("g", "id", "v")
+    val q = Stats.groupedQuantiles(df, col("g"), col("v"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(q("g") == ((2.0, 4.0, 6.0)), s"quartiles of 0..8: ${q("g")}")
+    assert(q("const") == ((7.0, 7.0, 7.0)), s"constant group: ${q("const")}")
+    val scaled = Stats.robustScale(df, col("g"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(5)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(scaled(("g", 8L)).contains(1.0) && scaled(("g", 4L)).contains(0.0) &&
+      scaled(("g", 0L)).contains(-1.0), s"(v-med)/iqr: $scaled")
+    assert(scaled(("const", 101L)).isEmpty, s"IQR 0 must scale to NULL, never inf: $scaled")
+  }
+
   test("cusumChangepoint localizes a step shift at the last pre-shift day; flat walks score 0") {
     def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
     val rows =
