@@ -721,6 +721,92 @@ object Dedup {
     * join; at corpora where the vocabulary head dominates, swap in the
     * same hot-broadcast/cold-shuffle split.
     */
+  /** Asymmetric CONTAINMENT join: ordered pairs `(id_a, id_b)`, a ≠ b,
+    * with `|A∩B| / |A| ≥ τ` — the QUOTE/SUBSET detector symmetric Jaccard
+    * misses by construction (a tweet quoted inside a long article scores
+    * near-zero Jaccard but containment 1.0; so do boilerplate inclusions
+    * and excerpt pages). τ is exact rational `tauNum/tauDen`, every
+    * compare cross-multiplied integers.
+    *
+    * Same PPJoin skeleton as [[prefixFilterPairs]] with the containment
+    * prefix principle: if `|A∩B| ≥ ⌈τ|A|⌉` then A's df-ordered prefix of
+    * length `|A| − ⌈τ|A|⌉ + 1` must hit B (else the remaining suffix
+    * can't reach the bound) — but the INDEX side posts its FULL token
+    * set (containment imposes no upper bound on |B|, so the symmetric
+    * length filter is unsound here; only `|B| ≥ ⌈τ|A|⌉` survives —
+    * overlap can't exceed |B|). That full-set posting IS the classic
+    * inverted index — token-proportional, the cost containment
+    * fundamentally needs. Candidates dedupe while narrow, then ONE exact
+    * merge-walk verify (`graft_inter_sorted`) per pair.
+    *
+    * The set universe matters: over raw unigrams a small shared
+    * vocabulary makes near-everything contained in near-everything
+    * (measured: ~80k pairs on the 500-doc fixture) — so the operator
+    * works over `shingle`-gram sets (distinct word n-grams, the
+    * [[shingled]] universe), where containment means SHARED PHRASING,
+    * not shared vocabulary. `shingle = 1` degrades to unigrams
+    * explicitly.
+    *
+    * @return (id_a, id_b, inter, n_a, n_b, containment_ppm) — ppm exact
+    *         integer div of inter·10⁶ by |A|
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      tauNum: Int,
+      tauDen: Int,
+      shingle: Int = 3
+  ): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "τ = num/den must be in (0, 1]")
+    require(shingle >= 1, "shingle width must be >= 1")
+    val tok =
+      if (shingle == 1)
+        df.select(idCol.as("id"), explode(array_distinct(split(trim(textCol), "\\s+"))).as("token"))
+          .filter(length(col("token")) > 0)
+      else
+        df.select(idCol.as("id"), split(trim(textCol), "\\s+").as("__w"))
+          .select(col("id"), explode(gramsFromWords(col("__w"), shingle)).as("token"))
+          .filter(length(col("token")) > 0)
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ordered = spilled(
+      tok
+        .join(dfreq, Seq("token"))
+        .groupBy(col("id"))
+        .agg(
+          sort_array(collect_list(struct(col("df"), col("token")))).as("ord"),
+          count(lit(1)).as("n"))
+        .withColumn(
+          "L",
+          (col("n") - expr(s"cast(($tauNum * n + ${tauDen - 1}) div $tauDen as bigint)") + 1)
+            .cast("int"))
+        .select(
+          col("id"),
+          col("n"),
+          expr("transform(slice(ord, 1, L), x -> x.token)").as("pref"),
+          sort_array(expr("transform(ord, x -> x.token)")).as("toks")),
+      "contain_ord")
+    val prefA = ordered
+      .select(col("id").as("id_a"), col("n").as("n_a"), explode(col("pref")).as("ptoken"))
+    val allB = ordered
+      .select(col("id").as("id_b"), col("n").as("n_b"), explode(col("toks")).as("ptoken"))
+    val cand = prefA
+      .join(allB, Seq("ptoken"))
+      .filter(col("id_a") =!= col("id_b"))
+      // overlap ≤ |B|: candidates with |B|·den < num·|A| can never reach τ
+      .filter(col("n_b") * tauDen >= lit(tauNum) * col("n_a"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(ordered.select(col("id").as("id_a"), col("toks").as("t_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(ordered.select(col("id").as("id_b"), col("toks").as("t_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", call_function("graft_inter_sorted", col("t_a"), col("t_b")))
+      .filter(col("inter") * tauDen >= lit(tauNum) * col("n_a"))
+      .select(
+        col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter * 1000000 div n_a").as("containment_ppm"))
+  }
+
   def prefixFilterPairs(
       df: DataFrame,
       idCol: Column,

@@ -2150,6 +2150,15 @@ object Extensions {
       graft.ops.FuzzyOps.editBlockedPairs(
         fuzzyNames(s, dir), col("id"), col("s"), maxDist = 2, maxBlock = 64)
     },
+    // asymmetric containment join over 3-gram sets (|A∩B|/|A| >= 9/10):
+    // the quote/subset detector Jaccard misses — containment prefix on
+    // the probe side, full-gram inverted index on the contained-in side,
+    // one merge-walk verify per deduped candidate; all compares integer
+    "dedup_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(
+        tPar(s, dir, "documents"), col("doc_id"), col("text"),
+        tauNum = 9, tauDen = 10, shingle = 3)
+    },
     // blocking-quality audit: MEASURED pair completeness of the segment
     // blocker against exact all-pairs truth on the md5 eval stratum
     // (1/20) — the assumed pigeonhole recall, checked; truth cost is
@@ -5304,6 +5313,20 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            FROM ok a JOIN ok b ON a.seg_i = b.seg_i AND a.seg = b.seg AND a.id < b.id)
          SELECT id_lo, id_hi, CAST(levenshtein(s_lo, s_hi) AS INTEGER) AS dist
          FROM cand WHERE levenshtein(s_lo, s_hi) <= 2""",
+    // containment twin: the shared 3-gram CTE + all-shared-gram pair
+    // counts with the ASYMMETRIC threshold on |A|
+    "dedup_containment" ->
+      (gramsCte + """,
+         tok AS (SELECT doc_id, unnest(grams) AS token FROM g),
+         t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t2 GROUP BY 1),
+         pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+                  FROM t2 a JOIN t2 b ON a.token = b.token AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b, p.inter, sa.n AS n_a, sb.n AS n_b,
+                CAST(p.inter * 1000000 // sa.n AS BIGINT) AS containment_ppm
+         FROM pair p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+         WHERE p.inter * 10 >= 9 * sa.n"""),
     // blocking-quality twin: the fuzzy-pair CTEs verbatim + stratum
     // all-pairs truth and the same integer ppm completeness
     "er_blocking_quality" ->

@@ -506,4 +506,20 @@ class DedupSpec extends SparkSpecBase {
       .select("id_lo", "id_hi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(outA2 == outA)
   }
+
+  test("containmentPairs is asymmetric: the quote scores 1.0, the quoting doc does not") {
+    // doc 1 is quoted verbatim inside doc 2 (plus extra prose); doc 3
+    // shares vocabulary but no 3-word phrasing
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta and a long tail of extra prose here"),
+      (3L, "delta alpha words beta prose gamma extra intro")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, col("doc_id"), col("text"), 9, 10, shingle = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    // A ⊂ B at full strength; NO other ordered pair reaches 90%
+    assert(out == Map((1L, 2L) -> 1000000L), s"got $out")
+  }
 }
