@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "stats_chi2_assoc", "mv_delta_maintain", "mm_image_exposure",
         "mm_audio_silence", "ev_asof_nearest", "privacy_dp_counts",
         "graph_bfs", "graph_bfs_fixpoint", "text_oov_rate",
-        "ev_seasonal_baseline", "stats_cusum_changepoint", "text_entropy")) {
+        "ev_seasonal_baseline", "stats_cusum_changepoint", "text_entropy",
+        "stats_robust_scale", "dedup_containment")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
