@@ -144,16 +144,26 @@ object Curation {
     * Scale shape: one partial-agg'd groupBy; the noise is row-local
     * column algebra on the |groups|-row aggregate. No collect, no join.
     */
+  /** The deterministic Laplace(1/ε) draw keyed on a group identity —
+    * [[dpNoisyCounts]]'s noise as a standalone Column so a STREAMING
+    * aggregate can apply the identical release post-state (noise is
+    * stateless row-local algebra; only the count needs streaming state).
+    * 6-dp-quantized for cross-engine ln portability.
+    */
+  def dpLaplaceNoise(key: Column, eps: Double): Column = {
+    require(eps > 0, "epsilon must be positive")
+    val v = graft.ops.Hashing.md5Mod(key, 999998L) + lit(1L)
+    val u = v.cast("double") / lit(1000000.0) - lit(0.5)
+    round(lit(-1.0 / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 6)
+  }
+
   def dpNoisyCounts(df: DataFrame, keys: Seq[Column], eps: Double): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
-    require(eps > 0, "epsilon must be positive")
     val agg = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
     val keyCols = agg.columns.dropRight(1).map(c => col(c).cast("string"))
-    val v = graft.ops.Hashing.md5Mod(concat_ws("|", keyCols: _*), 999998L) + lit(1L)
-    val u = v.cast("double") / lit(1000000.0) - lit(0.5)
-    val noise = lit(-1.0 / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    val noise = dpLaplaceNoise(concat_ws("|", keyCols: _*), eps)
     agg
-      .withColumn("n_dp", round(col("n").cast("double") + round(noise, 6), 6))
+      .withColumn("n_dp", round(col("n").cast("double") + noise, 6))
       .withColumn("epsilon", lit(eps))
       // the TRUE count must not escape a DP release — publishing it next
       // to the noised one would void the privacy guarantee

@@ -1242,6 +1242,37 @@ object Extensions {
     // because the group domain is the bounded depth×width cell grid), then
     // probed exactly like the batch sketch; the drained cell table must be
     // bit-identical for the estimates to hash-match the batch oracle
+    // streaming DP release parity: the grouped count is the ONLY stateful
+    // piece (complete-mode streaming aggregate); the Laplace release is
+    // stateless post-state algebra applied on drain — and must equal the
+    // batch privacy_dp_counts release bit-for-bit
+    "stream_dp_release_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows: Array[(java.sql.Timestamp, String)] = Fixtures.events(s, dir)
+        .select(col("ts"), col("event_type")).as[(java.sql.Timestamp, String)].collect()
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val counts = mem.toDF().toDF("ts", "event_type")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val sink = s"stream_dp_release_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink) { df =>
+        val noise = Curation.dpLaplaceNoise(
+          concat_ws("|", col("event_type").cast("string"), col("day").cast("string")), eps = 1.0)
+        df.select(
+          col("event_type"), col("day"),
+          round(col("n").cast("double") + noise, 6).as("n_dp"),
+          lit(1.0).as("epsilon"))
+      }
+    },
     "stream_countmin_parity" -> { (s0, dir) =>
       // micro-batch state work runs on the low-partition clone (see streamSession)
       val s = streamSession(s0)
@@ -2875,6 +2906,24 @@ object Extensions {
                 count(*) FILTER (WHERE na IS NULL OR nb IS NULL) = 0 AS at_fixpoint
          FROM j"""
   }
+
+  /** ε-DP count-release oracle — shared verbatim by the batch release and
+    * its streaming parity twin, so the two can never desynchronize. */
+  private lazy val dpCountsOracleSql: String =
+    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+         h AS (SELECT *,
+                 CAST(concat('0x', substr(md5(concat_ws('|', event_type,
+                   CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999998 + 1 AS v
+               FROM g),
+         u AS (SELECT event_type, day, n,
+                 CAST(v AS DOUBLE) / 1000000.0 - 0.5 AS u FROM h)
+         SELECT event_type, day,
+                round(CAST(n AS DOUBLE) +
+                      round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS n_dp,
+                CAST(1.0 AS DOUBLE) AS epsilon
+         FROM u"""
 
   /** The unrolled BFS round CTEs n1..nN/b1..bN over the `und` adjacency and
     * seed frame `b0`, shared by the distance oracle and its fixpoint twin.
@@ -5454,21 +5503,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM documents GROUP BY 1, 2""",
     // DP twin: identical deterministic inverse-CDF Laplace on the md5 grid;
     // the 6-dp noise round makes the one ln engine-portable (PSI argument)
-    "privacy_dp_counts" ->
-      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                CAST(count(*) AS BIGINT) AS n
-              FROM events GROUP BY 1, 2),
-         h AS (SELECT *,
-                 CAST(concat('0x', substr(md5(concat_ws('|', event_type,
-                   CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999998 + 1 AS v
-               FROM g),
-         u AS (SELECT event_type, day, n,
-                 CAST(v AS DOUBLE) / 1000000.0 - 0.5 AS u FROM h)
-         SELECT event_type, day,
-                round(CAST(n AS DOUBLE) +
-                      round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS n_dp,
-                CAST(1.0 AS DOUBLE) AS epsilon
-         FROM u""",
+    "privacy_dp_counts" -> dpCountsOracleSql,
+    // the streaming release must equal the batch release bit-for-bit:
+    // state carries only the counts, the noise is post-state algebra
+    "stream_dp_release_parity" -> dpCountsOracleSql,
     "sketch_join_size" ->
       """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
          b AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
