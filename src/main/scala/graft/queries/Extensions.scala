@@ -701,6 +701,34 @@ object Extensions {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
     },
+    // FILTERED vector search — the serving shape every vector store added
+    // in 2024: top-k under a metadata predicate (label = 3). PRE-filter
+    // semantics: the candidate scan applies the predicate BEFORE ranking
+    // (post-filtering an unfiltered top-k silently under-returns when the
+    // filter is selective); the predicate reaches the parquet scan as a
+    // pushed filter, so the filtered corpus is all that's ever scored
+    "ann_filtered_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), qz(col("embedding")).as("qv"))
+          .withColumn("naa", ldot(col("qv"), col("qv")))
+      )
+      val c = e
+        .filter(col("label") === 3)
+        .select(col("vec_id").as("cand_id"), qz(col("embedding")).as("cv"))
+        .withColumn("ncc", ldot(col("cv"), col("cv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+      c.join(q, col("query_id") =!= col("cand_id"))
+        .withColumn(
+          "sim",
+          ldot(col("qv"), col("cv")).cast("double") /
+            sqrt(col("naa").cast("double") * col("ncc").cast("double"))
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+    },
     // Approximate path (SRP-bucketed). md5-derived planes + integer-exact
     // quantized math => full DuckDB twin; recall also gated in SimilaritySpec.
     "ann_lsh_topk" -> { (s, dir) =>
@@ -4234,6 +4262,32 @@ object Extensions {
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, cand_id,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(qv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) *
+               CAST(floor(CAST(cv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(qv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) *
+               CAST(floor(CAST(qv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS naa,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(CAST(cv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) *
+               CAST(floor(CAST(cv[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS ncc
+           FROM c JOIN q ON query_id <> cand_id
+         ), scored AS (
+           SELECT query_id, cand_id, CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(ncc AS DOUBLE)) AS sim
+           FROM s
+         ), ranked AS (
+           SELECT query_id, cand_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+           FROM scored
+         )
+         SELECT query_id, cand_id, rank, sim FROM ranked WHERE rank <= 5""",
+    // filtered twin: the exact-cosine chain with the metadata predicate
+    // applied at the candidate scan (pre-filter semantics)
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE label = 3),
          s AS (
            SELECT query_id, cand_id,
              CAST(list_sum(list_transform(range(1, 65), i ->

@@ -80,6 +80,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(dp).size >= 2, s"no partial aggregation:\n$dp")
   }
 
+  test("ann_filtered_topk: the metadata predicate reaches the candidate parquet scan") {
+    // pre-filter semantics are only cheap if the filter PUSHES — a
+    // post-scan filter would decode every embedding to drop most of them
+    val plan = planOf("ann_filtered_topk")
+    assert(plan.contains("EqualTo(label,3)"), s"label predicate not pushed:\n$plan")
+  }
+
   test("text_oov_rate and ev_seasonal_baseline broadcast their model-state side") {
     for (q <- Seq("text_oov_rate", "ev_seasonal_baseline")) {
       val plan = planOf(q)
