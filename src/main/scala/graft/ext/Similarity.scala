@@ -1121,4 +1121,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("rrf"), 6).as("rrf"))
   }
+
+  /** k-center greedy coreset selection (Gonzalez farthest-point — the
+    * 2-approximation to the k-center cover): pick the point FARTHEST from
+    * everything chosen so far, k times — the diversity-maximizing
+    * data-selection pass active-learning and "train on a representative
+    * 1%" pipelines run over embeddings. Deterministic end to end: seed =
+    * smallest id, distances exact integer L2² on the quantized grid (the
+    * `graft_l2sq` kernel), argmax ties break to the smallest id.
+    *
+    * Scale shape: k bounded driver rounds; each round adds ONE distance
+    * column against the newest center (incremental min maintenance — the
+    * corpus is never re-scored against all centers) and reduces with a
+    * TakeOrdered(1). Total kernel work O(k·n) dots; driver state is the
+    * k selected rows — bounded model state, the [[kmeansCentroids]]
+    * contract. The base frame persists across rounds via the plan-keyed
+    * spill so tokenise/quantize runs once, not k times.
+    *
+    * @return one row per selection: (round, vec_id, dist_sq) — dist_sq is
+    *         the point's min squared distance to all PRIOR centers at the
+    *         moment it was chosen (the seed reports 0); the classic
+    *         coverage-radius curve reads straight off this column
+    */
+  def kcenterCoreset(df: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = Dedup.spilled(
+      df.select(idCol.cast("long").as("id"), quantize(vecCol).as("qv")),
+      "coreset_base")
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Long] = r.getSeq[Long](1)
+    val seed = base.orderBy(col("id").asc).limit(1).collect()(0)
+    val picks = scala.collection.mutable.ArrayBuffer((1, seed.getLong(0), 0L))
+    var minD = base.withColumn("min_d", lit(Long.MaxValue))
+    var center = vecOf(seed)
+    for (r <- 2 to k) {
+      minD = minD.withColumn(
+        "min_d",
+        least(
+          col("min_d"),
+          element_at(
+            call_function("graft_l2sq", array(typedLit(center)), col("qv")), 1)))
+      if (r % 3 == 0) minD = minD.localCheckpoint()
+      val far = minD.orderBy(col("min_d").desc, col("id").asc).limit(1).collect()(0)
+      picks += ((r, far.getLong(0), far.getLong(2)))
+      center = vecOf(far)
+    }
+    picks.toSeq.toDF("round", "vec_id", "dist_sq")
+  }
 }

@@ -701,6 +701,14 @@ object Extensions {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
     },
+    // k-center greedy coreset (Gonzalez farthest-point): the 8 most
+    // mutually-distant vectors — diversity-maximizing data selection;
+    // k bounded driver rounds, incremental min maintenance, exact
+    // integer L2² via the graft_l2sq kernel, ties to the smallest id
+    "curation_coreset" -> { (s, dir) =>
+      Similarity.kcenterCoreset(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 8)
+    },
     // FILTERED vector search — the serving shape every vector store added
     // in 2024: top-k under a metadata predicate (label = 3). PRE-filter
     // semantics: the candidate scan applies the predicate BEFORE ranking
@@ -2935,6 +2943,39 @@ object Extensions {
          FROM j"""
   }
 
+  /** k-center coreset oracle: the same greedy unrolled — c1 = smallest id,
+    * then k−1 rounds of (fold newest center into min_d, argmax). The
+    * distance is a correlated scalar subquery per round over the exact
+    * quantized grid, so the walk replays the engine integer-for-integer. */
+  private def coresetOracleSql(k: Int): String = {
+    val dist = (qa: String, qb: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> ($qa[i] - $qb[i]) * ($qa[i] - $qb[i])))"
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (
+           SELECT m.id, m.qv,
+                  least(m.min_d, ${dist("m.qv", "c.qv")}) AS min_d
+           FROM m${r - 1} m CROSS JOIN c${r - 1} c),
+         c$r AS MATERIALIZED (
+           SELECT id, qv, min_d FROM m$r ORDER BY min_d DESC, id ASC LIMIT 1)"""
+    }.mkString(",\n         ")
+    val out = (2 to k)
+      .map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, id AS vec_id, CAST(min_d AS BIGINT) AS dist_sq FROM c$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH q0 AS MATERIALIZED (
+           SELECT vec_id AS id,
+             list_transform(range(1, 65),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c1 AS MATERIALIZED (SELECT id, qv FROM q0 ORDER BY id ASC LIMIT 1),
+         m1 AS MATERIALIZED (
+           SELECT q0.id, q0.qv, ${dist("q0.qv", "c.qv")} AS min_d
+           FROM q0 CROSS JOIN c1 c),
+         $rounds
+         SELECT CAST(1 AS INTEGER) AS round, id AS vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1
+         UNION ALL $out"""
+  }
+
   /** ε-DP count-release oracle — shared verbatim by the batch release and
     * its streaming parity twin, so the two can never desynchronize. */
   private lazy val dpCountsOracleSql: String =
@@ -4283,6 +4324,7 @@ object Extensions {
            FROM scored
          )
          SELECT query_id, cand_id, rank, sim FROM ranked WHERE rank <= 5""",
+    "curation_coreset" -> coresetOracleSql(8),
     // filtered twin: the exact-cosine chain with the metadata predicate
     // applied at the candidate scan (pre-filter semantics)
     "ann_filtered_topk" ->

@@ -488,4 +488,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(b1 sameElements b2)
     assert(b1.forall(b => b >= 0 && b < 8))
   }
+
+  test("kcenterCoreset: greedy farthest-point picks, deterministic seed and tie-break") {
+    // corners of a right triangle + an interior point; seed = smallest id
+    // (0,0); the two 10-away corners tie at round 2 → smallest id wins
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(0f, 10f)), (4L, Array(5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kcenterCoreset(df, $"vec_id", $"embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 1L, 0L),
+      (2, 2L, 100000000L),  // quantized 10 → 10000; d² = 1e8; tie with id 3 → id 2
+      (3, 3L, 100000000L),  // still 1e8 from {c1, c2}
+      (4, 4L, 50000000L)    // interior point last, d² = 2·(5000²)
+    ), s"got $out")
+  }
 }
