@@ -144,6 +144,38 @@ object Curation {
     * Scale shape: one partial-agg'd groupBy; the noise is row-local
     * column algebra on the |groups|-row aggregate. No collect, no join.
     */
+  /** Quality-gate FUNNEL — the data-card table that explains WHERE a
+    * curation pipeline loses its corpus (every gate's pass rate is
+    * meaningless without the upstream context; "40% pass length" reads
+    * differently after "8% pass lang"): stages apply CUMULATIVELY in
+    * order, and each row reports survivors through stage i. ONE
+    * partial-agg'd pass over the corpus — the cumulative AND chains are
+    * row-local columns, the per-stage sums one aggregate; the funnel
+    * rows unpivot from the single result row. NULL conditions count as
+    * fail (a gate that can't evaluate does not pass a document).
+    *
+    * @return one row per stage: (stage_idx, stage, n_total, n_pass,
+    *         pass_ppm) — ppm exact integer div against the corpus total
+    */
+  def gateFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one gate")
+    val cums = stages.scanLeft(lit(true))((acc, s) => acc && coalesce(s._2, lit(false))).tail
+    val aggs = count(lit(1)).as("n_total") +:
+      cums.zipWithIndex.map { case (c, i) => sum(when(c, 1L).otherwise(0L)).as(s"__c$i") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n_total"),
+        posexplode(array(stages.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("stage"), col(s"__c$i").as("n_pass"))
+        }: _*)).as(Seq("__i", "__s")))
+      .select(
+        (col("__i") + 1).cast("int").as("stage_idx"),
+        col("__s.stage").as("stage"),
+        col("n_total"),
+        col("__s.n_pass").as("n_pass"),
+        expr("`__s`.n_pass * 1000000 div n_total").as("pass_ppm"))
+  }
+
   /** The deterministic Laplace(1/ε) draw keyed on a group identity —
     * [[dpNoisyCounts]]'s noise as a standalone Column so a STREAMING
     * aggregate can apply the identical release post-state (noise is

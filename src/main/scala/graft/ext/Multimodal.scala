@@ -291,6 +291,43 @@ object Multimodal {
       }
   }
 
+  final case class ImageHistBin(asset_id: Long, bin: Int, cnt: Long)
+
+  /** Per-image luma histogram (`256/bins`-wide buckets over band 0) — the
+    * vision data-card statistic next to [[imageExposure]]'s scalars: the
+    * full brightness distribution, per asset, as (asset_id, bin, cnt)
+    * rows. Empty bins are absent (emitting zeros would multiply output by
+    * the alphabet for no information). Map-only partition-batched real
+    * decode; one flatMap, no shuffle.
+    */
+  def imageHistogram(assets: DataFrame, bins: Int): Dataset[ImageHistBin] = {
+    require(bins >= 1 && 256 % bins == 0, "bins must divide 256")
+    val width = 256 / bins
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.flatMap { case (id, _, payload) =>
+          val img = codec.decode(payload, s"asset $id")
+          val r = img.getRaster
+          val h = new Array[Long](bins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              h(r.getSample(x, y, 0) / width) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (0 until bins).iterator.filter(h(_) > 0).map(b => ImageHistBin(id, b, h(b)))
+        }
+      }
+  }
+
   /** Deterministic REAL JPEG fixture: encodes actual baseline-JFIF bytes
     * executor-side — CONSTANT-gray images (`v = id*31 % 256`,
     * `w = 1 + id%13`, `h = 1 + id%11`) at compression quality 1.0.

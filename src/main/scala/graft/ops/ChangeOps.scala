@@ -224,6 +224,47 @@ object ChangeOps {
       .select(dataCols.map(col): _*)
   }
 
+  /** MERGE INTO — the lakehouse upsert API ([[applyChangelog]] is the
+    * op-column-driven CDC form; this is the clause-driven form every
+    * table format exposes): for each source row matching a target row on
+    * `key`, WHEN MATCHED AND `deleteCond` → the target row disappears,
+    * WHEN MATCHED otherwise → the source payload replaces the target's;
+    * WHEN NOT MATCHED (and not delete-flagged) → insert. Unmatched target
+    * rows pass through untouched.
+    *
+    * Source must be unique per key (asserted cheaply via a count-equality
+    * guard would cost a pass; instead the contract is documented and the
+    * full-outer join makes a violation visible as row growth). ONE
+    * null-safe full-outer join on the key — change-proportional when the
+    * source is the small side (broadcast), shuffle-on-key otherwise; no
+    * window, no second pass.
+    */
+  def mergeInto(
+      target: DataFrame,
+      source: DataFrame,
+      key: String,
+      deleteCond: Column
+  ): DataFrame = {
+    val payload = target.columns.filterNot(_ == key).toSeq
+    val missing = payload.filterNot(source.columns.contains)
+    require(missing.isEmpty, s"source is missing payload columns: ${missing.mkString(", ")}")
+    val t = target.select(col(key).as("__k") +: payload.map(c => col(c).as(s"__t_$c")): _*)
+    val s = source
+      .withColumn("__del", deleteCond)
+      .select(
+        col(key).as("__k") +: col("__del") +: payload.map(c => col(c).as(s"__s_$c")): _*)
+    t.join(s, Seq("__k"), "full_outer")
+      // delete-flagged source rows vanish (matched → target row removed;
+      // unmatched → insert suppressed); target-only rows (__del null) stay
+      .filter(!coalesce(col("__del"), lit(false)))
+      .select(
+        col("__k").as(key) +:
+          payload.map(c =>
+            when(col("__del").isNotNull, col(s"__s_$c")) // source present → its payload
+              .otherwise(col(s"__t_$c"))
+              .as(c)): _*)
+  }
+
   /** Incremental MATERIALIZED-VIEW maintenance for an algebraic aggregate
     * (count + sum — the decomposable core every avg/ratio view derives
     * from): fold a signed delta batch into the stored view state without

@@ -403,6 +403,24 @@ object Extensions {
             .otherwise(col("o_totalprice")))
       graft.ops.ChangeOps.snapshotDiff(prev, next, "o_orderkey")
     },
+    // clause-driven MERGE INTO (the lakehouse upsert API): matched+flag →
+    // delete, matched → source payload wins, unmatched source → insert
+    // (suppressed when delete-flagged), unmatched target passes through;
+    // ONE null-safe full-outer join, change-proportional with a small src
+    "scd_merge_into" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = base
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val deletes = base.filter(col("o_orderkey") % 11 === 0)
+      val inserts = base
+        .filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 11000000L)
+      graft.ops.ChangeOps.mergeInto(
+        base, updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey", col("o_orderkey") % 11 === 0)
+    },
     "scd_snapshot_at" -> { (s, dir) =>
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
@@ -953,6 +971,14 @@ object Extensions {
     "mm_image_sharpness" -> { (s, dir) =>
       Multimodal
         .imageSharpness(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // vision data-card: per-image 8-bin luma histogram over the REAL
+    // decode — the full brightness distribution next to the exposure
+    // scalars; map-only flatMap, empty bins absent
+    "mm_image_histogram" -> { (s, dir) =>
+      Multimodal
+        .imageHistogram(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"), bins = 8)
         .toDF()
     },
     // exposure audit: exact-integer mean luma, population RMS contrast
@@ -2300,6 +2326,18 @@ object Extensions {
       Curation.kAnonymity(
         t(s, dir, "documents").withColumn("len_bucket", col("n_chars") % 10),
         Seq(col("source"), col("len_bucket")), col("lang"), k = 5, l = 2)
+    },
+    // curation gate FUNNEL: cumulative survivors through the ordered gate
+    // chain in ONE partial-agg'd pass — the data-card table that explains
+    // WHERE the corpus is lost; ppm exact integer div
+    "curation_gate_funnel" -> { (s, dir) =>
+      Curation.gateFunnel(
+        t(s, dir, "documents"),
+        Seq(
+          "nonempty" -> (length(trim(col("text"))) > 0),
+          "english" -> (col("lang") === "en"),
+          "min_len" -> (col("n_chars") >= 100),
+          "max_len" -> (col("n_chars") <= 1500)))
     },
     // ε-DP count release: Laplace(1/ε) via deterministic inverse-CDF on
     // the md5 grid — per-(event_type, day) noised counts, true counts
@@ -3949,6 +3987,17 @@ object Extensions {
     "scd_changelog_apply" -> changelogApplySql,
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
+    // merge twin: the clause outcomes enumerated over the key arithmetic
+    "scd_merge_into" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+                       FROM orders)
+         SELECT k AS o_orderkey, st AS o_orderstatus, tp AS o_totalprice
+         FROM base WHERE k % 11 <> 0 AND NOT (k % 7 = 0)
+         UNION ALL
+         SELECT k, st, tp + 1000 FROM base WHERE k % 7 = 0 AND k % 11 <> 0
+         UNION ALL
+         SELECT k + 11000000, st, tp FROM base
+         WHERE k % 13 = 0 AND (k + 11000000) % 11 <> 0""",
     // IVM invariant twin: the maintained view must equal a FULL recompute
     // over the net row set (base minus retracted plus inserted) — the
     // oracle does that recompute directly, never seeing the delta path
@@ -4590,6 +4639,22 @@ object Extensions {
                 CASE WHEN agg.n > 0 THEN round(CAST(agg.sq AS DOUBLE) / CAST(agg.n AS DOUBLE), 6) END
                   AS lap_mean
          FROM dims d LEFT JOIN agg ON agg.id = d.id""",
+    // histogram twin: the pixel formula bucketed by p // 32, zero bins out
+    "mm_image_histogram" ->
+      """WITH dims AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS h
+           FROM documents),
+         px AS (
+           SELECT d.id, ((d.id * 31 + 7 * x.g + 13 * y.g) % 256) AS p
+           FROM dims d
+           CROSS JOIN generate_series(0, 12) AS x(g)
+           CROSS JOIN generate_series(0, 10) AS y(g)
+           WHERE x.g < d.w AND y.g < d.h)
+         SELECT id AS asset_id, CAST(p // 32 AS INTEGER) AS bin,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM px GROUP BY 1, 2""",
     // exposure twin: the id-derived pixel formula over the FULL grid —
     // exact sums, the fixed-order √((n·Σp²−(Σp)²))/n tail, rail counts
     "mm_image_exposure" ->
@@ -5597,6 +5662,26 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
                 count(*) >= 5 AS k_ok, count(DISTINCT lang) >= 2 AS l_ok
          FROM documents GROUP BY 1, 2""",
+    // funnel twin: the cumulative AND chain summed once, unpivoted
+    "curation_gate_funnel" ->
+      """WITH a AS (SELECT
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) > 0
+                          AND coalesce(lang = 'en', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) > 0
+                          AND coalesce(lang = 'en', FALSE)
+                          AND coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) > 0
+                          AND coalesce(lang = 'en', FALSE)
+                          AND coalesce(n_chars >= 100, FALSE)
+                          AND coalesce(n_chars <= 1500, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS c4
+           FROM documents)
+         SELECT CAST(1 AS INTEGER) AS stage_idx, 'nonempty' AS stage, n_total,
+                c1 AS n_pass, CAST(c1 * 1000000 // n_total AS BIGINT) AS pass_ppm FROM a
+         UNION ALL SELECT 2, 'english', n_total, c2, CAST(c2 * 1000000 // n_total AS BIGINT) FROM a
+         UNION ALL SELECT 3, 'min_len', n_total, c3, CAST(c3 * 1000000 // n_total AS BIGINT) FROM a
+         UNION ALL SELECT 4, 'max_len', n_total, c4, CAST(c4 * 1000000 // n_total AS BIGINT) FROM a""",
     // DP twin: identical deterministic inverse-CDF Laplace on the md5 grid;
     // the 6-dp noise round makes the one ln engine-portable (PSI argument)
     "privacy_dp_counts" -> dpCountsOracleSql,

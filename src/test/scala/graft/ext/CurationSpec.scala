@@ -565,6 +565,24 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("gateFunnel: cumulative survivors, exact ppm, NULL gate value fails the doc") {
+    val df = Seq(
+      (1L, Some("en"), 10L),  // passes both
+      (2L, Some("en"), 1L),   // fails min_len
+      (3L, Some("de"), 10L),  // fails english (and everything after)
+      (4L, None, 10L)         // NULL lang → english gate fails, not errors
+    ).toDF("id", "lang", "n")
+    val out = Curation.gateFunnel(df, Seq(
+      "english" -> ($"lang" === "en"),
+      "min_len" -> ($"n" >= 5)))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, "english", 4L, 2L, 500000L),
+      (2, "min_len", 4L, 1L, 250000L)
+    ), s"got $out")
+  }
+
   test("dpNoisyCounts: bounded grid noise, epsilon scaling, true count never published") {
     val df = (1 to 40).map(i => (i.toLong, s"g${i % 8}")).toDF("id", "g")
     val out = Curation.dpNoisyCounts(df, Seq($"g"), eps = 1.0)

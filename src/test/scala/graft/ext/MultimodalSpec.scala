@@ -402,6 +402,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(two.mean_luma - expMean) < 1e-6, s"ramp mean: $two vs $expMean")
   }
 
+  test("imageHistogram: constant image fills one bin exactly, empty bins absent") {
+    // id 2 → 3×3 constant gray v = 62 → bin 62/32 = 1 holds all 9 pixels
+    val out = Multimodal
+      .imageHistogram(Multimodal.synthJpegImages(Seq(2L).toDF("doc_id"), "doc_id"), bins = 8)
+      .collect().map(r => (r.bin, r.cnt)).toSeq
+    assert(out == Seq((1, 9L)), s"got $out")
+  }
+
   test("audioSilence: threshold boundaries are strict, runs count consecutively, ppm exact") {
     // hand-built WAV: samples 0, 99, 100, -99, -100, 50, 1000, -1001, 0
     //   silence (|s| < 100): 0, 99, -99, 50, 0 → 5 of 9 → ppm 555555

@@ -199,6 +199,27 @@ class ChangeOpsSpec extends SparkSpecBase {
     assert(canon(replayed) == canon(next), "diff-then-apply must reproduce the next snapshot")
   }
 
+  test("mergeInto: update wins, delete removes, insert lands, flagged-absent is a no-op") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val source = Seq(
+      (1L, "a2", false), // matched update
+      (2L, "b", true),   // matched delete
+      (4L, "d", false),  // unmatched insert
+      (5L, "e", true)    // unmatched + delete flag → suppressed insert, no row
+    ).toDF("k", "v", "del")
+    val out = ChangeOps.mergeInto(target, source, "k", col("del"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"), s"got $out")
+  }
+
+  test("mergeInto rejects a source missing payload columns") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, true)).toDF("k", "del")
+    intercept[IllegalArgumentException] {
+      ChangeOps.mergeInto(target, bad, "k", col("del"))
+    }
+  }
+
   test("maintainAggView equals full recompute; zero-count groups drop; null values count") {
     // base rows per (g): g1 ×3 (v 10,20,30), g2 ×2 (v 5, null), g3 ×1 (v 7)
     val baseRows = Seq(
