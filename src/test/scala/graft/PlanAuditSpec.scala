@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "mm_audio_silence", "ev_asof_nearest", "privacy_dp_counts",
         "graph_bfs", "graph_bfs_fixpoint", "text_oov_rate",
         "ev_seasonal_baseline", "stats_cusum_changepoint", "text_entropy",
-        "stats_robust_scale", "dedup_containment")) {
+        "stats_robust_scale", "dedup_containment", "scd_merge_into",
+        "curation_gate_funnel", "ann_filtered_topk")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -163,7 +164,7 @@ class PlanAuditSpec extends SparkSpecBase {
     // bytes crossed the wire for map-only decode work
     for (q <- Seq("mm_decode_real", "mm_decode_jpeg", "mm_frames_real", "mm_decode_audio",
         "mm_video_frames", "mm_image_dhash", "mm_audio_fingerprint",
-        "mm_image_exposure", "mm_audio_silence")) {
+        "mm_image_exposure", "mm_audio_silence", "mm_image_histogram")) {
       val plan = planOf(q)
       assert(
         !plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
