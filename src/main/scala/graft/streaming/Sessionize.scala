@@ -57,6 +57,42 @@ object Sessionize {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value")
       )
 
+  /** Top-K most common session PATHS — the product-analytics view of
+    * [[sessionizeBatch]]'s output ("what do sessions actually look
+    * like"): each session renders as its ordered event-type string
+    * (`view->click->purchase`), then paths rank by frequency. The
+    * per-session order is (ts, tiebreak) — deterministic under any
+    * physical row order — realized as one `array_sort` over the
+    * session's collected (ts, tie, type) structs: per-session state is
+    * bounded by session length (the gap rule bounds it), never by user
+    * history, and the ranking is a TakeOrdered heap over the path
+    * vocabulary, not a global sort.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      orderTiebreak: String,
+      typeCol: String,
+      gapMinutes: Int,
+      topK: Int
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    sessionizeBatch(events, userCol, tsCol, orderTiebreak, gapMinutes)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        collect_list(
+          struct(
+            unix_micros(col(tsCol)).as("u"),
+            col(orderTiebreak).as("t"),
+            col(typeCol).as("e"))).as("__evs"))
+      .select(array_join(expr("transform(array_sort(__evs), x -> x.e)"), "->").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Tumbling-window aggregate (batch formulation): event counts and value
     * sums per (window, event_type). `date_trunc` keys make the same query
     * expressible over a stream via `window(ts, "1 hour")`.

@@ -417,6 +417,25 @@ class StatsSpec extends SparkSpecBase {
       assert(rev(g) == ((nb, na, -t, d)), s"side swap must negate t, keep df: $g")
   }
 
+  test("bootstrapMeanCI: constant groups collapse to a point CI, spread groups bracket") {
+    val rows = (1 to 200).map(i => ("const", i.toLong, 100L)) ++
+      (1 to 200).map(i => ("spread", 1000L + i, (i % 50).toLong * 10))
+    val df = rows.toDF("g", "id", "v")
+    val out = Stats.bootstrapMeanCI(df, col("g"), col("id"), col("v"), reps = 32)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // every Poisson replicate of a constant column has mean exactly 100
+    assert(out("const") == ((200L, 100.0, 100.0, 100.0)), s"${out("const")}")
+    val (n, mean, lo, hi) = out("spread")
+    assert(n == 200L && lo < mean && mean < hi, s"CI must bracket the mean: ${out("spread")}")
+    assert(hi - lo < 100.0, s"CI absurdly wide for n=200: ${out("spread")}")
+    // deterministic: identical on re-run
+    val again = Stats.bootstrapMeanCI(df, col("g"), col("id"), col("v"), reps = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again("spread") == lo)
+  }
+
   test("groupedQuantiles: one pass serves all quartiles; robustScale handles IQR 0") {
     val rows = (0 to 8).map(v => ("g", v.toLong, v.toLong)) ++
       (1 to 4).map(i => ("const", 100L + i, 7L))

@@ -89,6 +89,23 @@ class TemporalOpsSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected one key shuffle, got $exchanges:\n$plan")
   }
 
+  test("growthAccounting: new/retained/resurrected classes, churn right-censored") {
+    def day(d: Int) = ts(86400L * d)
+    val ev = Seq(
+      (1L, day(1)), (1L, day(2)), (1L, day(10)), // new, retained, resurrected (gap 8 > 7)
+      (2L, day(1))                               // new; churns at day 1 (no return)
+    ).toDF("u", "t")
+    val out = TemporalOps.growthAccounting(ev, $"u", $"t", gapDays = 7)
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("1970-01-02") == ((2L, 0L, 0L, 1L)), s"day1: ${out}")  // both new; 2 churns
+    assert(out("1970-01-03") == ((0L, 1L, 0L, 1L)), s"day2: ${out}")  // 1 retained; 1's streak ends
+    // day 10 = the max day: resurrection counts, churn is CENSORED
+    assert(out("1970-01-11") == ((0L, 0L, 1L, 0L)), s"day10: ${out}")
+  }
+
   test("cumulativeUniques: first-seen collapse, daily actives, running total") {
     def day(d: Int, sec: Long = 0L) = ts(86400L * d + sec)
     val ev = Seq(

@@ -165,4 +165,20 @@ class SessionizeSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).toSet
     assert(out == Set((1L, "gold"), (2L, null), (3L, "basic")))
   }
+
+  test("sessionPaths renders in-session order, counts across users, truncates to K") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: [view, click] then (after the gap) [view, click]
+    // user 2: [view, click] and a lone [purchase]
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(10), 2L, "click"),
+      (1L, ts(10000), 3L, "view"), (1L, ts(10010), 4L, "click"),
+      (2L, ts(0), 5L, "view"), (2L, ts(5), 6L, "click"),
+      (2L, ts(20000), 7L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sessionize
+      .sessionPaths(ev, "user_id", "ts", "event_id", "event_type", gapMinutes = 30, topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("view->click", 3L)), s"got $out") // top-1 keeps only the winner
+  }
 }
