@@ -53,7 +53,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "graph_bfs", "graph_bfs_fixpoint", "text_oov_rate",
         "ev_seasonal_baseline", "stats_cusum_changepoint", "text_entropy",
         "stats_robust_scale", "dedup_containment", "scd_merge_into",
-        "curation_gate_funnel", "ann_filtered_topk")) {
+        "curation_gate_funnel", "ann_filtered_topk", "ev_path_sessions")) {
       val plan = planOf(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
@@ -86,6 +86,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // post-scan filter would decode every embedding to drop most of them
     val plan = planOf("ann_filtered_topk")
     assert(plan.contains("EqualTo(label,3)"), s"label predicate not pushed:\n$plan")
+  }
+
+  test("stats_bootstrap_ci: all 32 replicates ride ONE aggregate — no join, no re-scan") {
+    val plan = planOf("stats_bootstrap_ci")
+    assert(!plan.contains("Join"), s"the Poisson bootstrap must not join or resample:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
   }
 
   test("text_oov_rate and ev_seasonal_baseline broadcast their model-state side") {
