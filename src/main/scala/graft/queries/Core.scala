@@ -179,6 +179,19 @@ object Core {
             .filter(col("o_orderpriority") === "1-URGENT")
             .select(col("o_custkey").as("custkey")))
     },
+    // schema-EVOLUTION union: an old extract missing a column appended to
+    // a new extract that has it — unionByName(allowMissingColumns) fills
+    // the gap with NULL, the lakehouse schema-drift read; a positional
+    // union would silently misalign columns instead
+    "u5_union_evolve" -> { (s, dir) =>
+      val oldExtract = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newExtract = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      oldExtract.unionByName(newExtract, allowMissingColumns = true)
+    },
     // ---- X3/A7/A8/W3: pivot, grouping sets, ranked window analytics ----
     // wide pivot with an explicit value list (deterministic columns; the
     // reference's wide-workbook reshape in the opposite direction of X2)
@@ -1002,6 +1015,12 @@ object Core {
     "u4_except" ->
       """SELECT c_custkey AS custkey FROM customer
          EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "u5_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 <> 0""",
     "x3_pivot" ->
       """SELECT user_id,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
