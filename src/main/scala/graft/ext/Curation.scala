@@ -173,7 +173,10 @@ object Curation {
         col("__s.stage").as("stage"),
         col("n_total"),
         col("__s.n_pass").as("n_pass"),
-        expr("`__s`.n_pass * 1000000 div n_total").as("pass_ppm"))
+        // empty corpus → a well-defined all-zero funnel, not a div-by-zero
+        when(col("n_total") > 0, expr("`__s`.n_pass * 1000000 div n_total"))
+          .otherwise(lit(0L))
+          .as("pass_ppm"))
   }
 
   /** The deterministic Laplace(1/ε) draw keyed on a group identity —

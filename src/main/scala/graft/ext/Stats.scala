@@ -142,6 +142,16 @@ object Stats {
       ps: Seq[Double]
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps must be in [0,1]")
+    // output columns are named q<round(p·100)> — reject probabilities that
+    // collide after rounding (e.g. 0.251 and 0.254 → two q25 columns), which
+    // would yield a frame with duplicate names that misbinds downstream
+    locally {
+      val names = ps.map(p => "q" + math.round(p * 100))
+      require(
+        names.distinct.size == names.size,
+        s"quantile probabilities collide after rounding to column names ${names.mkString(", ")} — " +
+          "pick ps that round to distinct whole-percent labels")
+    }
     val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
     val cw = Window.partitionBy(col("__g"))
     val base = df

@@ -232,12 +232,18 @@ object ChangeOps {
     * WHEN NOT MATCHED (and not delete-flagged) → insert. Unmatched target
     * rows pass through untouched.
     *
-    * Source must be unique per key (asserted cheaply via a count-equality
-    * guard would cost a pass; instead the contract is documented and the
-    * full-outer join makes a violation visible as row growth). ONE
-    * null-safe full-outer join on the key — change-proportional when the
-    * source is the small side (broadcast), shuffle-on-key otherwise; no
-    * window, no second pass.
+    * Source must be unique per key (a duplicate-key source multiplies its
+    * matched target row once per duplicate — [[mergeConflicts]] is the
+    * audit that makes a violation a queryable row set instead of silent
+    * growth). ONE null-safe full-outer join on the key (`<=>` — a NULL
+    * target key and a NULL source key DO merge, like [[snapshotDiff]]) —
+    * change-proportional when the source is the small side (broadcast),
+    * shuffle-on-key otherwise; no window, no second pass.
+    *
+    * A `deleteCond` that evaluates to NULL on a source row means "keep"
+    * (coalesced to false at build time) — source presence is tracked by a
+    * dedicated `lit(true)` marker, never by the delete flag's nullability,
+    * so a NULL flag can neither drop an update nor insert an all-NULL row.
     */
   def mergeInto(
       target: DataFrame,
@@ -248,22 +254,37 @@ object ChangeOps {
     val payload = target.columns.filterNot(_ == key).toSeq
     val missing = payload.filterNot(source.columns.contains)
     require(missing.isEmpty, s"source is missing payload columns: ${missing.mkString(", ")}")
-    val t = target.select(col(key).as("__k") +: payload.map(c => col(c).as(s"__t_$c")): _*)
+    val t = target.select(col(key).as("__tk") +: payload.map(c => col(c).as(s"__t_$c")): _*)
     val s = source
-      .withColumn("__del", deleteCond)
+      .withColumn("__del", coalesce(deleteCond, lit(false)))
       .select(
-        col(key).as("__k") +: col("__del") +: payload.map(c => col(c).as(s"__s_$c")): _*)
-    t.join(s, Seq("__k"), "full_outer")
+        col(key).as("__sk") +: lit(true).as("__src") +: col("__del") +:
+          payload.map(c => col(c).as(s"__s_$c")): _*)
+    t.join(s, col("__tk") <=> col("__sk"), "full_outer")
       // delete-flagged source rows vanish (matched → target row removed;
       // unmatched → insert suppressed); target-only rows (__del null) stay
       .filter(!coalesce(col("__del"), lit(false)))
       .select(
-        col("__k").as(key) +:
+        coalesce(col("__tk"), col("__sk")).as(key) +:
           payload.map(c =>
-            when(col("__del").isNotNull, col(s"__s_$c")) // source present → its payload
+            when(col("__src").isNotNull, col(s"__s_$c")) // source present → its payload
               .otherwise(col(s"__t_$c"))
               .as(c)): _*)
   }
+
+  /** Audit for [[mergeInto]]'s source-uniqueness contract: the keys that
+    * appear more than once in a merge source, with their row counts. A
+    * duplicate-key source makes the merge's full-outer join emit one row
+    * per duplicate — target rows silently multiply — so run this (one
+    * partial-agg'd count, cheap) as the admission gate before a merge, or
+    * alert on it in a pipeline. Null-safe: a repeated NULL key reports
+    * like any other (groupBy groups NULLs together).
+    */
+  def mergeConflicts(source: DataFrame, key: String): DataFrame =
+    source
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
 
   /** Incremental MATERIALIZED-VIEW maintenance for an algebraic aggregate
     * (count + sum — the decomposable core every avg/ratio view derives

@@ -193,10 +193,13 @@ object TemporalOps {
     *
     * Values are cent-quantized (`floor(v·100 + 0.5)`) like the module's
     * other integer ops; null values are excluded from both the output and
-    * the windows (an EWMA over "the last n OBSERVATIONS"). Long-range
-    * check: max weight aD^(N−1) · max|q| · N must fit a Long — at the
-    * guarded N ≤ 16, aD ≤ 8 this holds for any cent-quantized metric
-    * under ~10^9.
+    * the windows (an EWMA over "the last n OBSERVATIONS"). Range: the
+    * individual weights fit a Long by construction (aD^(N−1) ≤ 8^15 <
+    * 2^46 at the guarded N ≤ 16, aD ≤ 8), and the weighted numerator
+    * accumulates in decimal(38,0) — exact for any cent-quantized input
+    * (the [[rollingSum]] posture; a Long numerator would overflow at
+    * aD=8, N=16 for |values| beyond ~$370) — so the only float remains
+    * the one final division.
     *
     * Scale shape: one bounded window per key (collect_list of ≤ nRows
     * longs), no self-join, no state beyond the frame — identical posture
@@ -214,7 +217,9 @@ object TemporalOps {
   ): DataFrame = {
     require(nRows > 0 && nRows <= 16, "window must span 1..16 rows")
     require(alphaNum > 0 && alphaNum < alphaDen, "alpha must be in (0,1)")
-    require(alphaDen <= 8, "alphaDen beyond 8 risks Long overflow at nRows=16")
+    // keeps every per-lag weight itself a Long (aD^(N−1) ≤ 8^15 < 2^46);
+    // the weighted numerator is decimal(38,0), so values never overflow
+    require(alphaDen <= 8, "alphaDen beyond 8 overflows the Long per-lag weights at nRows=16")
     val b = (alphaDen - alphaNum).toLong
     val weights: Seq[Long] = (0 until nRows).map(j =>
       (BigInt(b).pow(j) * BigInt(alphaDen.toLong).pow(nRows - 1 - j)).toLong)
@@ -231,11 +236,15 @@ object TemporalOps {
       .withColumn(
         "__num",
         aggregate(
-          // position p (0-based, oldest first) has lag j = s−1−p → wlit[s−p]
+          // position p (0-based, oldest first) has lag j = s−1−p → wlit[s−p];
+          // product and sum in decimal(38,0): q (≤ 2^63 cents) × weight
+          // (≤ 8^15) exceeds a Long for large values, decimal never does
           transform(
             sequence(lit(0), col("n_window") - 1),
-            p => element_at(col("__arr"), p + 1) * element_at(wlit, col("n_window") - p)),
-          lit(0L),
+            p =>
+              element_at(col("__arr"), p + 1).cast("decimal(20,0)") *
+                element_at(wlit, col("n_window") - p).cast("decimal(18,0)")),
+          lit(0).cast("decimal(38,0)"),
           (acc, x) => acc + x))
       .withColumn(
         "ewma",

@@ -421,6 +421,27 @@ object Extensions {
         base, updates.unionByName(deletes).unionByName(inserts),
         "o_orderkey", col("o_orderkey") % 11 === 0)
     },
+    // merge admission gate: duplicate-key source rows multiply matched
+    // target rows through the merge's full-outer join, so the conflict
+    // audit runs BEFORE a merge — one summary row (0/0 on this
+    // contract-respecting source; nonzero = abort). Same source frame as
+    // scd_merge_into, one partial-agg'd count.
+    "merge_conflicts" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = base
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      val deletes = base.filter(col("o_orderkey") % 11 === 0)
+      val inserts = base
+        .filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 11000000L)
+      graft.ops.ChangeOps
+        .mergeConflicts(updates.unionByName(deletes).unionByName(inserts), "o_orderkey")
+        .agg(
+          count(lit(1)).as("n_conflict_keys"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("n_conflict_rows"))
+    },
     "scd_snapshot_at" -> { (s, dir) =>
       val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
       val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(0L))
@@ -4078,6 +4099,17 @@ object Extensions {
          UNION ALL
          SELECT k + 11000000, st, tp FROM base
          WHERE k % 13 = 0 AND (k + 11000000) % 11 <> 0""",
+    // merge source-uniqueness audit: replay the same source union, count
+    // keys with multiplicity > 1 (none on fixtures)
+    "merge_conflicts" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+           UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0
+           UNION ALL SELECT o_orderkey + 11000000 FROM orders WHERE o_orderkey % 13 = 0),
+         c AS (SELECT k, count(*) AS n FROM src GROUP BY k HAVING count(*) > 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_conflict_keys,
+                CAST(coalesce(sum(n), 0) AS BIGINT) AS n_conflict_rows
+         FROM c""",
     // IVM invariant twin: the maintained view must equal a FULL recompute
     // over the net row set (base minus retracted plus inserted) — the
     // oracle does that recompute directly, never seeing the delta path

@@ -212,6 +212,39 @@ class ChangeOpsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "a2", 3L -> "c", 4L -> "d"), s"got $out")
   }
 
+  test("mergeInto: NULL deleteCond means keep — update still lands, insert carries payload") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // del column nullable: null on the matched update AND on the unmatched
+    // insert — both must behave exactly like del=false (the presence flag,
+    // not __del nullability, decides whose payload wins)
+    val source = Seq(
+      (1L, "a2", None: Option[Boolean]),
+      (3L, "c", None: Option[Boolean]),
+      (2L, "b", Some(true))
+    ).toDF("k", "v", "del")
+    val out = ChangeOps.mergeInto(target, source, "k", col("del"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 3L -> "c"), s"got $out")
+  }
+
+  test("mergeInto: NULL keys merge null-safely (one row out, source payload wins)") {
+    val target = Seq((Some(1L), "a"), (None: Option[Long], "x")).toDF("k", "v")
+    val source = Seq((None: Option[Long], "x2", false)).toDF("k", "v", "del")
+    val out = ChangeOps.mergeInto(target, source, "k", col("del"))
+      .collect().map(r => (if (r.isNullAt(0)) -99L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", -99L -> "x2"), s"got $out")
+  }
+
+  test("mergeConflicts flags duplicate-key source rows; a clean source reports none") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"), (3L, "f"))
+      .toDF("k", "v")
+    val got = ChangeOps.mergeConflicts(dup, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 3L), s"got $got")
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(ChangeOps.mergeConflicts(clean, "k").count() == 0)
+  }
+
   test("mergeInto rejects a source missing payload columns") {
     val target = Seq((1L, "a")).toDF("k", "v")
     val bad = Seq((1L, true)).toDF("k", "del")
