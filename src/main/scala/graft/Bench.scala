@@ -124,6 +124,18 @@ object Bench {
         s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
+    // Versioned per-query history: the same full map lands in the repo at
+    // bench_history/latest.json, so a round-over-round drift is a one-line
+    // `runMain graft.BenchDiff` instead of an unattributable total (the r12
+    // +12% drift on the carried query set could not be localized because
+    // the map lived only in /tmp). At each round start the builder renames
+    // the previous round's latest.json to r<N>.json and commits — see
+    // bench_history/README.md.
+    try {
+      val hist = java.nio.file.Paths.get("bench_history")
+      java.nio.file.Files.createDirectories(hist)
+      java.nio.file.Files.writeString(hist.resolve("latest.json"), full + "\n")
+    } catch { case _: Throwable => () }
     // stop the session FIRST so nothing (shutdown messages, late executor
     // output) can print after the JSON — the driver parses the FINAL stdout
     // line, and anything trailing it truncates the parse (BENCH_r06

@@ -2675,17 +2675,20 @@ object Extensions {
     },
     "ev_funnel" -> { (s, dir) =>
       val ev = Fixtures.events(s, dir)
-      // anchor via aggregate + broadcast-join back, NOT a per-user window:
-      // the window form sorts every event inside the shuffle; this shape is
-      // one partial-agg (anchors are |users| rows, broadcastable) plus a
-      // map-side probe of the purchases
+      // anchor via aggregate + join back, NOT a per-user window: the window
+      // form sorts every event inside the shuffle; this shape is one
+      // partial-agg plus a join on the same key. NO broadcast hint: anchors
+      // is one row per clicking user — user-grain, so it scales WITH the
+      // data, and a forced broadcast would collect-and-ship O(|users|) at
+      // 100x. AQE picks broadcast at runtime when the frame measures small
+      // and falls back to a shuffled join when it doesn't.
       val anchors = ev
         .groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "click", col("ts"))).as("c_ts"))
         .filter(col("c_ts").isNotNull)
       val conv = ev
         .filter(col("event_type") === "purchase")
-        .join(broadcast(anchors), Seq("user_id"))
+        .join(anchors, Seq("user_id"))
         .filter(col("ts") >= col("c_ts"))
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("p_ts"), count(lit(1)).as("n_purchases_after"))
@@ -2699,9 +2702,13 @@ object Extensions {
           coalesce(col("n_purchases_after"), lit(0L)).as("n_purchases_after"))
     },
     // cohort retention: first-seen-week cohorts x week offset x distinct
-    // returning users — aggregate-then-broadcast shape, no per-user window
+    // returning users — aggregate-then-probe shape, no per-user window.
+    // broadcastCohorts=false: the cohort frame is USER-GRAIN (grows with
+    // the data), so the registered query leaves the join choice to AQE;
+    // the opt-in broadcast fast path stays for small-tenant callers
     "ev_cohort_retention" -> { (s, dir) =>
-      TemporalOps.cohortRetention(Fixtures.events(s, dir), "user_id", "ts")
+      TemporalOps.cohortRetention(
+        Fixtures.events(s, dir), "user_id", "ts", broadcastCohorts = false)
     },
     // JSON column parsing: extract props.k and profile it per event type
     "ev_props_json" -> { (s, dir) =>
