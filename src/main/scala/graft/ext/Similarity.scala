@@ -1105,6 +1105,51 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
 
+  /** Recall@k audit of approximate rankers against [[bruteForceTopK]]
+    * truth, as a QUERYABLE frame: one row per ranker —
+    * `(ranker, n_queries, n_truth, n_hits, recall_ppm)` with recall an
+    * exact integer ppm (no float rate to wobble across engines).
+    *
+    * The query set is the caller's DETERMINISTIC eval stratum (md5-gated
+    * at the registration site) — the fixed-eval-set discipline of
+    * [[graft.ops.FuzzyOps.blockingQuality]]: at 1000× the corpus the
+    * caller raises the stratum mod 1000×, so truth cost (|stratum| × N
+    * broadcast-join dots, linear scans) is unchanged. Hits are counted by
+    * a semi-join of each approximate top-k against the truth top-k on
+    * (query_id, cand_id) — rank positions inside the top-k don't matter,
+    * membership does (the standard recall@k definition).
+    */
+  def recallAudit(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rankers: Seq[(String, (DataFrame, DataFrame) => DataFrame)]
+  ): DataFrame = {
+    require(rankers.nonEmpty, "need at least one ranker to audit")
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id"))
+    val base = truth.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_truth"))
+    rankers
+      .map { case (name, rank) =>
+        val hits = rank(corpus, queries)
+          .select(col("query_id"), col("cand_id"))
+          .join(truth, Seq("query_id", "cand_id"), "left_semi")
+        base
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(
+            lit(name).as("ranker"),
+            col("n_queries"),
+            col("n_truth"),
+            col("n_hits"),
+            expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fa = a.select(col("query_id"), col("cand_id"), col("rank").as("__rank_a"))

@@ -906,6 +906,32 @@ object Extensions {
         s, tbl, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         coarse, books, nprobe = 2, k = 3)
     },
+    // recall@k as a DRIVER-CHECKED number, not just a spec-side assertion:
+    // the three approximate serving paths (4-table multiprobe SRP-LSH,
+    // sample-centroid IVF 16/4, 4x4 PQ/ADC) audited against brute-force
+    // truth on a deterministic md5-gated query stratum (67 of 500 vectors;
+    // at 1000x the corpus you raise the mod 1000x — truth cost unchanged,
+    // the blockingQuality fixed-eval-set discipline). Output is one row per
+    // ranker with recall as exact integer ppm; the oracle replays truth AND
+    // all three ranker chains, so a recall regression hash-mismatches.
+    "ann_recall_audit" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val stratum = e.filter(
+        graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 8L) === 0)
+      Similarity.recallAudit(
+        e, stratum, "vec_id", "embedding", k = 5,
+        rankers = Seq(
+          "ivf_16_4" -> ((c, q) =>
+            Similarity.ivfTopK(c, q, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 5)),
+          "lsh_srp_4t" -> ((c, q) =>
+            Similarity.lshBucketTopK(
+              c, q, "vec_id", "embedding",
+              dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4)),
+          "pq_adc_4x4" -> ((c, q) => {
+            val books = Similarity.pqTrain(c, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+            Similarity.pqAdcTopK(c, q, "vec_id", "embedding", books, k = 5)
+          })))
+    },
     // ---- text analysis ---------------------------------------------------
     "text_lang_id" -> { (s, dir) =>
       TextStats.langIdDF(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -3884,6 +3910,123 @@ object Extensions {
         (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS DOUBLE)) *
          sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS DOUBLE))))"""
 
+  /** The Hashing.md5Long eval-stratum gate as SQL: md5 first-8-hex mod m. */
+  private def md5GateSql(x: String, m: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT) % $m = 0"
+
+  /** ann_recall_audit twin: brute-force truth plus all three approximate
+    * ranker chains (the ann_lsh_topk / ann_ivf_topk / ann_pq_topk oracle
+    * CTEs verbatim, re-gated to the md5 eval stratum and CTE-prefixed so
+    * they compose), then recall as exact integer ppm per ranker.
+    */
+  private lazy val recallAuditSql: String = {
+    val gate = md5GateSql("vec_id", 8)
+    val gateA = md5GateSql("a.vec_id", 8)
+    def hitRow(name: String, top: String): String =
+      s"""SELECT '$name' AS ranker, b.n_queries, b.n_truth, h.n_hits,
+            h.n_hits * 1000000 // b.n_truth AS recall_ppm
+          FROM rb b CROSS JOIN
+            (SELECT CAST(count(*) AS BIGINT) AS n_hits
+             FROM $top x JOIN truth t USING (query_id, cand_id)) h"""
+    qzCte + pqSubspaceCtesSql(4, 4, 16) + s"""
+        -- exact truth on the stratum (bruteForceTopK's separate-sqrt cosine)
+        , t_pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+          FROM qz a CROSS JOIN qz b
+          WHERE $gateA AND a.vec_id <> b.vec_id
+        ), t_scored AS (
+          SELECT p.query_id, p.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM t_pairs p
+          JOIN qz qa ON qa.vec_id = p.query_id
+          JOIN qz qb ON qb.vec_id = p.cand_id
+        ), truth AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM t_scored) WHERE rank <= 5
+        )
+        -- SRP-LSH chain (ann_lsh_topk verbatim, l_-prefixed)
+        , l_bkt AS (
+${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6, t * 6)} AS bucket FROM qz").mkString("\n          UNION ALL\n")}
+        ), l_probes AS (
+          SELECT vec_id AS query_id, tbl,
+                 unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
+          FROM l_bkt WHERE $gate
+        ), l_cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+          FROM l_probes p JOIN l_bkt c ON c.tbl = p.tbl AND c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        ), l_scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM l_cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), l_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM l_scored) WHERE rank <= 5
+        )
+        -- IVF chain (ann_ivf_topk verbatim, i_-prefixed)
+        , i_cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 16)
+        ), i_cdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN i_cent c
+        ), i_assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM i_cdist) WHERE rn = 1
+        ), i_qprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM i_cdist WHERE $gate) WHERE rn <= 4
+        ), i_cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+          FROM i_qprobe p JOIN i_assign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ), i_scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM i_cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), i_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM i_scored) WHERE rank <= 5
+        )
+        -- PQ/ADC chain (ann_pq_topk's subspace CTEs above, p_-prefixed tail)
+        , p_pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+          FROM qz a CROSS JOIN qz b
+          WHERE $gateA AND a.vec_id <> b.vec_id
+        ), p_scored AS (
+          SELECT p.query_id, p.cand_id,
+                 CAST(${pqAdcSumSql(4)} AS BIGINT) AS adc
+          FROM p_pairs p
+          ${pqAdcJoinsSql(4, "p")}
+        ), p_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+            FROM p_scored) WHERE rk <= 5
+        )
+        , rb AS (
+          SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                 CAST(count(*) AS BIGINT) AS n_truth
+          FROM truth
+        )
+        ${hitRow("ivf_16_4", "i_top")}
+        UNION ALL
+        ${hitRow("lsh_srp_4t", "l_top")}
+        UNION ALL
+        ${hitRow("pq_adc_4x4", "p_top")}"""
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
@@ -5255,6 +5398,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "ann_ivfpq_topk" -> ivfPqSql,
     "ann_index_scored" -> annIndexScoredSql,
+    "ann_recall_audit" -> recallAuditSql,
     "mm_frame_sample" ->
       """WITH a AS (
            SELECT doc_id AS asset_id,

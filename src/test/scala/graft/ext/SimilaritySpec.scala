@@ -286,6 +286,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rerank > int8, f"rerank must add recall over raw int8: $rerank%.2f <= $int8%.2f")
   }
 
+  test("recallAudit: the registered audit frame is shaped right and its ppm floors hold") {
+    val e = fixtureEmb
+    // the ann_recall_audit registration verbatim (md5-gated stratum, k=5)
+    val stratum = e.filter(
+      graft.ops.Hashing.md5Mod($"vec_id".cast("string"), 8L) === 0)
+    val rows = Similarity
+      .recallAudit(e, stratum, "vec_id", "embedding", k = 5,
+        rankers = Seq(
+          "ivf_16_4" -> ((c, q) =>
+            Similarity.ivfTopK(c, q, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 5)),
+          "lsh_srp_4t" -> ((c, q) =>
+            Similarity.lshBucketTopK(c, q, "vec_id", "embedding",
+              dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4))))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    for ((name, (nq, nt, nh, ppm)) <- rows) {
+      assert(nq == 67, s"$name: md5-mod-8 stratum of the 500-vector fixture must gate 67 queries")
+      assert(nt == nq * 5, s"$name: truth must hold exactly k rows per query")
+      assert(nh <= nt && ppm == nh * 1000000L / nt, s"$name: ppm must be exact integer recall")
+    }
+    // measured on the fixture: ivf 0.53, lsh 0.67 — floors a margin below
+    // (same discipline as the 10-query ladder above; the 67-query stratum
+    // is what the driver-checked ann_recall_audit query ships)
+    assert(rows("ivf_16_4")._4 >= 400000L, s"ivf recall ppm ${rows("ivf_16_4")._4} below floor")
+    assert(rows("lsh_srp_4t")._4 >= 500000L, s"lsh recall ppm ${rows("lsh_srp_4t")._4} below floor")
+  }
+
   test("lshRangeSearch: no false accepts, sims exact, recall floor vs brute-force truth") {
     val e = fixtureEmb
     val q = e.filter($"vec_id" < 10)
