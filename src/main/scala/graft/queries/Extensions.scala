@@ -1255,6 +1255,111 @@ object Extensions {
         _.filter(col("user_id") =!= "~sentinel")
           .select(col("user_id"), col("start_us"), col("end_us"), col("n_events")))
     },
+    // STREAM/BATCH PARITY for the as-of join: Structured Streaming has no
+    // native as-of, so this drives the explicit flatMapGroupsWithState
+    // state machine (TemporalStream.asofJoinStream — watermark-buffered
+    // prefix merge, one carried running-last register per key) and
+    // hash-matches the batch ev_asof_join oracle. The sentinel-watermark
+    // technique of stream_session_parity: data + one far-future sentinel
+    // staged as batch 0 (everything buffers at watermark 0), a second
+    // sentinel batch runs with the advanced watermark and finalizes every
+    // real row via the event-time timeout.
+    "stream_asof_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.TemporalStream
+      // side 0 = purchases (payload = value), side 1 = clicks (probes)
+      val ev: Array[TemporalStream.AsofIn] = Fixtures
+        .events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id"),
+          col("ts"),
+          when(col("event_type") === "click", 1).otherwise(0).as("side"),
+          col("event_id"),
+          col("value"))
+        .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+        .collect()
+        .map(t => TemporalStream.AsofIn(t._1, t._2, t._3, t._4, if (t._3 == 0) t._5 else 0.0))
+      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val mem = MemoryStream[TemporalStream.AsofIn]
+      val out = TemporalStream.asofJoinStream(mem.toDS())
+      val sink = s"stream_asof_parity_${System.nanoTime()}"
+      feedChunked(mem, ev.toSeq :+ TemporalStream.AsofIn(
+        -1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), 1, -1L, 0.0))
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData(TemporalStream.AsofIn(
+          -1L, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 1, -1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("key") =!= -1L)
+          .select(
+            col("tie").as("event_id"),
+            col("key").as("user_id"),
+            col("ts_us"),
+            col("asof_us").as("purchase_us"),
+            col("asof_payload").as("purchase_value")))
+    },
+    // STREAM/BATCH PARITY for the bounded-lookback interval join: the
+    // NATIVE watermarked stream-stream inner join (both sides watermarked,
+    // horizon as the time-range condition the engine derives its state
+    // eviction bound from) — exactly the machinery where watermark bugs
+    // hide. Purchases and clicks ride two MemoryStreams; matched pairs
+    // emit in the join batch (inner-join append semantics need no
+    // sentinel), and the linear credit split — a deterministic per-
+    // purchase window — runs on the drained sink, hash-matched against
+    // the batch ev_attribution_linear oracle.
+    "stream_lookback_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.TemporalStream
+      val ev = Fixtures.events(s, dir)
+      val purchases: Array[(Long, java.sql.Timestamp, Long, Double)] = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)]
+        .collect()
+      val clicks: Array[(Long, java.sql.Timestamp, Long)] = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .collect()
+      val memP = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val memC = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val pDf = memP.toDF().toDF("user_id", "ts", "purchase_id", "value")
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .drop("value")
+      val cDf = memC.toDF().toDF("user_id", "cts", "click_id")
+      val joined = TemporalStream.lookbackJoinStream(
+        pDf, cDf, "user_id", "ts", "cts", horizonSec = 3L * 86400L)
+      val sink = s"stream_lookback_parity_${System.nanoTime()}"
+      feedChunked(memP, purchases.toSeq)
+      feedChunked(memC, clicks.toSeq)
+      val q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink) { df =>
+        val byP = Window.partitionBy(col("purchase_id"))
+        df.withColumn("n_touches", count(lit(1)).over(byP))
+          .withColumn(
+            "rn",
+            row_number().over(byP.orderBy(col("cts").desc, col("click_id").desc)))
+          .select(
+            col("user_id"),
+            col("purchase_id"),
+            col("click_id"),
+            col("n_touches"),
+            (expr("cents div n_touches") +
+              when(col("rn") === 1, expr("cents % n_touches")).otherwise(0L)).as("credit_cents"))
+      }
+    },
     // third stream/batch parity surface: watermarked exact dedup over
     // MemoryStream — first occurrences emit immediately in append mode, so
     // no sentinel is needed; the surviving doc per digest is arrival-order-
@@ -3905,6 +4010,41 @@ object Extensions {
          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
                < r.r"""
 
+  /** Shared by ev_asof_join and stream_asof_parity: the DuckDB ASOF LEFT
+    * JOIN with the engine's greatest-tie rule pre-applied per instant.
+    */
+  private val evAsofJoinSql: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       p0 AS (SELECT user_id, ts, value,
+                row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+       p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+       SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+              epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
+       FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+  /** Shared by ev_attribution_linear and stream_lookback_parity: 3-day
+    * lookback join + integer-cent linear split, remainder to the most
+    * recent touch.
+    */
+  private val evAttributionLinearSql: String =
+    """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts AS cts, event_id AS click_id
+             FROM events WHERE event_type = 'click'),
+       j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
+             FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts
+                            AND x.cts >= p.ts - INTERVAL 3 DAY),
+       w AS (SELECT user_id, purchase_id, click_id, cents,
+               CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+               row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn
+             FROM j)
+       SELECT user_id, purchase_id, click_id, n_touches,
+              CAST(cents // n_touches +
+                   CASE WHEN rn = 1 THEN cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
+       FROM w"""
+
   private def cosSql(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
         (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS DOUBLE)) *
@@ -5678,15 +5818,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
            round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          FROM d GROUP BY doc_id""",
-    "ev_asof_join" ->
-      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-         p0 AS (SELECT user_id, ts, value,
-                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_type = 'purchase'),
-         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
-         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
-                epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
-         FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "ev_asof_join" -> evAsofJoinSql,
+    // the streaming as-of state machine must land byte-identical to the
+    // batch operator, so the twins share ONE oracle
+    "stream_asof_parity" -> evAsofJoinSql,
     "ev_asof_forward" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
          p0 AS (SELECT user_id, ts, value,
@@ -6453,23 +6588,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     // linear attribution twin: same integer-cents split over the same
     // 3-day lookback, remainder to the most recent click (greatest id on
     // a timestamp tie)
-    "ev_attribution_linear" ->
-      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-                FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts AS cts, event_id AS click_id
-               FROM events WHERE event_type = 'click'),
-         j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
-               FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts
-                              AND x.cts >= p.ts - INTERVAL 3 DAY),
-         w AS (SELECT user_id, purchase_id, click_id, cents,
-                 CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
-                 row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn
-               FROM j)
-         SELECT user_id, purchase_id, click_id, n_touches,
-                CAST(cents // n_touches +
-                     CASE WHEN rn = 1 THEN cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
-         FROM w""",
+    "ev_attribution_linear" -> evAttributionLinearSql,
+    // the native watermarked stream-stream interval join must reproduce
+    // the batch lookback join exactly, so the twins share ONE oracle
+    "stream_lookback_parity" -> evAttributionLinearSql,
     // U-shape twin: same 3-day lookback, 40/20/40 split in integer cents,
     // remainders to the most recent touch (all operands non-negative, so
     // Spark's truncating div and DuckDB's floor // agree)
