@@ -81,20 +81,43 @@ object Bench {
     // NOTE: no clearCache() between queries — the engine's shared-chain
     // memo persists as parquet spill (no heap pressure; the r1 concern), and
     // clearing it would force every chain query to recompute the chain.
-    // TWO timed passes, report the per-query MIN: per-query times at sf0.1
+    // Report the per-query MIN across passes: per-query times at sf0.1
     // swing >3x run-to-run with GC/host load, and one-time chain builds are
-    // charged to whichever family member runs first — the min of two passes
+    // charged to whichever family member runs first — the min across passes
     // is the steady-state signal a regression judge can actually compare
     // (a failed pass keeps the sentinel: flakiness must not read as speed).
+    // Two passes for everyone; >1 s queries get extra passes below.
     // Shuffle/spill come from the SAME pass the reported time comes from,
     // so the three numbers in each entry describe one coherent execution.
     val timed = SparkEntry.queries.filter(_._1.matches(nameFilter))
     val pass1 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
     val pass2 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
-    val results = pass1.map { case (name, a) =>
+    val twoPass = pass1.map { case (name, a) =>
       val b = pass2.getOrElse(name, Meas(-1.0, 0L, 0L))
       val best = if (b.sec >= 0 && (a.sec < 0 || b.sec < a.sec)) b else a
-      name -> (if (failed(name)) Meas(-1.0, 0L, 0L) else best)
+      name -> best
+    }
+    // Queries slower than 1 s get EXTRA passes (min-of-5 total by default):
+    // min-of-two measured ~3x run-to-run swings on exactly these queries
+    // (r13: graph_kcore "moved" 6 s with zero code change), which made
+    // bench_history diffs cry wolf. Sub-second queries stay at two passes —
+    // their absolute swing is below any regression we'd act on, and the
+    // extra passes would multiply bench wall-clock for nothing.
+    val slowPasses =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_PASSES", "3").toInt
+    val slow = twoPass.collect { case (n, m) if m.sec > 1.0 && !failed(n) => n }.toSet
+    var acc = twoPass
+    for (_ <- 0 until slowPasses) {
+      val p = timed.filter(kv => slow(kv._1)).map { case (name, fn) => name -> timeOne(name, fn) }
+      acc = acc.map { case (name, cur) =>
+        name -> (p.get(name) match {
+          case Some(b) if b.sec >= 0 && (cur.sec < 0 || b.sec < cur.sec) => b
+          case _ => cur
+        })
+      }
+    }
+    val results = acc.map { case (name, m) =>
+      name -> (if (failed(name)) Meas(-1.0, 0L, 0L) else m)
     }
     // millisecond precision: the driver parses this line from a bounded
     // stdout tail, and full-precision doubles once pushed the line's HEAD
@@ -131,11 +154,23 @@ object Bench {
     // the map lived only in /tmp). At each round start the builder renames
     // the previous round's latest.json to r<N>.json and commits — see
     // bench_history/README.md.
+    // Anchor the history path to the repo root (env override > cwd) and
+    // NEVER fail silently: a bench launched from outside the repo would
+    // otherwise scatter latest.json elsewhere and the round's per-query
+    // map would be lost without a signal.
     try {
-      val hist = java.nio.file.Paths.get("bench_history")
+      val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", ".")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(repoRoot, "build.sbt")))
+        System.err.println(
+          s"[bench] warning: '$repoRoot' has no build.sbt — set SPARK_GRAFT_REPO_ROOT; " +
+            "bench_history is landing outside the repo root")
+      val hist = java.nio.file.Paths.get(repoRoot, "bench_history")
       java.nio.file.Files.createDirectories(hist)
       java.nio.file.Files.writeString(hist.resolve("latest.json"), full + "\n")
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bench_history/latest.json write FAILED: ${e.getMessage}")
+    }
     // stop the session FIRST so nothing (shutdown messages, late executor
     // output) can print after the JSON — the driver parses the FINAL stdout
     // line, and anything trailing it truncates the parse (BENCH_r06

@@ -1,11 +1,24 @@
 package graft
 
 /** Round-over-round bench localizer: diff two per-query bench maps (the
-  * files under `bench_history/`) and print the largest per-query time
+  * files under `bench_history/`) and print the significant per-query time
   * deltas plus any shuffle/spill movements — so a drifting total names its
   * regressor instead of requiring a reviewer to eyeball 270+ plans.
   *
-  * Usage: `runMain graft.BenchDiff bench_history/r12.json bench_history/latest.json [topN]`
+  * Usage: `runMain graft.BenchDiff <before.json> <after.json> [topN] [noiseAbs] [noiseRel]`
+  *
+  * Noise discipline: a carried delta only counts as a MOVEMENT when it
+  * clears the measured run-to-run band — `|d| > max(noiseAbs,
+  * noiseRel × before)` — everything inside the band is counted and
+  * summarized as noise, not listed (a diff tool reading noisy numbers
+  * cries wolf and buries real regressions). The default band is the
+  * back-to-back-at-HEAD measurement recorded in bench_history/README.md;
+  * override per-invocation when hunting smaller effects.
+  *
+  * Failed-query sentinels (sec = -1.0) never enter totals or deltas: a
+  * query failed on either side is reported on its own FAILED line —
+  * a -1.0 "before" would otherwise print as a fake multi-second movement
+  * and a failed→ok flip would inflate the carried-total drift.
   *
   * The files are the single-line JSON objects [[Bench]] writes; the
   * per-query map is a fixed machine-written shape
@@ -26,26 +39,40 @@ object BenchDiff {
       .toMap
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchDiff <before.json> <after.json> [topN]")
+    require(args.length >= 2, "usage: BenchDiff <before.json> <after.json> [topN] [noiseAbs] [noiseRel]")
     val before = load(args(0))
     val after = load(args(1))
     val topN = if (args.length >= 3) args(2).toInt else 10
+    // measured band: see bench_history/README.md (back-to-back at r14 HEAD)
+    val noiseAbs = if (args.length >= 4) args(3).toDouble else 0.35
+    val noiseRel = if (args.length >= 5) args(4).toDouble else 0.30
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-    val carried = after.keySet.intersect(before.keySet).toSeq
+    val common = after.keySet.intersect(before.keySet).toSeq
+    // comparable = measured on BOTH sides; failed-anywhere goes to its own line
+    val carried = common.filter(k => before(k).sec >= 0 && after(k).sec >= 0)
+    val failedSomewhere = common.filter(k => before(k).sec < 0 || after(k).sec < 0).sorted
     val added = after.keySet.diff(before.keySet).toSeq.sorted
     val removed = before.keySet.diff(after.keySet).toSeq.sorted
-    def tot(m: Map[String, Q], ks: Seq[String]) = ks.iterator.map(m(_).sec).filter(_ >= 0).sum
+    def tot(m: Map[String, Q], ks: Seq[String]) = ks.iterator.map(m(_).sec).sum
 
-    println(s"carried=${carried.size} added=${added.size} removed=${removed.size}")
-    println(s"carried total: ${f(tot(before, carried))}s -> ${f(tot(after, carried))}s")
+    println(s"carried=${carried.size} added=${added.size} removed=${removed.size} failed=${failedSomewhere.size}")
+    println(s"carried total (ok-both-sides): ${f(tot(before, carried))}s -> ${f(tot(after, carried))}s")
+    if (failedSomewhere.nonEmpty)
+      println("FAILED (excluded from totals/deltas): " + failedSomewhere.map { k =>
+        def st(q: Q) = if (q.sec < 0) "FAIL" else f(q.sec) + "s"
+        s"$k ${st(before(k))}->${st(after(k))}"
+      }.mkString(", "))
     if (added.nonEmpty)
       println(s"added (${f(added.iterator.map(after(_).sec).filter(_ >= 0).sum)}s): ${added.mkString(", ")}")
     if (removed.nonEmpty) println(s"removed: ${removed.mkString(", ")}")
 
-    println(s"top $topN time deltas (after - before, carried queries):")
-    carried
-      .map(k => (k, after(k).sec - before(k).sec))
+    def band(k: String) = math.max(noiseAbs, noiseRel * before(k).sec)
+    val deltas = carried.map(k => (k, after(k).sec - before(k).sec))
+    val (moved, noise) = deltas.partition { case (k, d) => math.abs(d) > band(k) }
+    println(s"movements beyond the noise band |d| > max(${f(noiseAbs)}s, ${f(noiseRel * 100)}% of before): " +
+      s"${moved.size} (top $topN shown); ${noise.size} carried deltas within band suppressed as noise")
+    moved
       .sortBy { case (_, d) => -math.abs(d) }
       .take(topN)
       .foreach { case (k, d) =>

@@ -20,10 +20,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 / §7.5. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Extensions.queries ++
-      graft.queries.PipelineQ.queries
+      graft.queries.StreamQ.queries ++ graft.queries.PipelineQ.queries
 
   /** DuckDB twins for the driver's differential correctness gate. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Extensions.oracles ++
-      graft.queries.PipelineQ.oracles
+      graft.queries.StreamQ.oracles ++ graft.queries.PipelineQ.oracles
 }

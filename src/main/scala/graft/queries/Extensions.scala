@@ -15,125 +15,8 @@ import graft.streaming.Sessionize
   * decimal-space sums cast to double at the end.
   */
 object Extensions {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Fixtures.t(s, dir, name) // schema-asserted: drift fails with a named diff
-
-  /** Fixture parquet is one file with ONE row group — a scan is a single
-    * partition. Queries whose first stage does heavy per-row work (shingle
-    * + k×md5 signatures, per-row m² counting) repartition first so the
-    * full core count works; at production scale the input arrives already
-    * split and the ~MB shuffle is noise next to the map stage.
-    */
-  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
-    t(s, dir, name).repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-
-  /** The module-wide quantization (see [[Similarity.quantize]]) — one
-    * definition so the oracles cannot drift from the engine.
-    */
-  private def qz(v: Column): Column = Similarity.quantize(v)
-
-  /** Synthetic fuzzy-name fixture shared by the matcher and the ER
-    * composition: groups of 5 docs derive one canonical 9-char name, four
-    * of them perturbed by one substitution at an id-dependent position.
-    */
-  private def fuzzyNames(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id").as("id"),
-      expr(
-        """CASE WHEN doc_id % 5 = 0 THEN substring(md5(cast(doc_id div 5 as string)), 1, 9)
-           ELSE concat(
-             substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), 1, cast(doc_id % 9 as int)),
-             char(85 + doc_id % 6),
-             substring(substring(md5(cast(doc_id div 5 as string)), 1, 9), cast(doc_id % 9 as int) + 2))
-           END""").as("s"))
-
-  private def ldot(a: Column, b: Column): Column =
-    call_function("graft_dotl", a, b)
-
-  /** Materialize a memory-sink table into a local DataFrame and DROP the
-    * temp view. A memory sink holds its whole result set on the driver and
-    * bench runs each parity query three times (warmup + two timed passes),
-    * so leaving the per-invocation views registered accumulates dead result
-    * copies for the JVM's lifetime.
-    */
-  /** Isolated session for the streaming parity harnesses. Stateful
-    * streaming tasks commit one state store per shuffle partition per
-    * micro-batch; at harness scale (thousands of rows, 2-3 micro-batches)
-    * 32 partitions is pure commit overhead — a production deployment sizes
-    * this to its key cardinality, and the parity claim is partition-count
-    * independent. `newSession` shares the SparkContext but NOT runtime-set
-    * SQL confs, so the fixture-critical ones are copied over explicitly.
-    */
-  /** Test hook: the clone the most recent stream-parity query ran on.
-    * Sink views register in the CLONE's catalog, so hygiene specs must
-    * inspect this session — listing the base session's tables would pass
-    * vacuously even if `drainSink` stopped dropping the view.
-    */
-  @volatile private[graft] var lastStreamSession: SparkSession = _
-
-  private def streamSession(s: SparkSession): SparkSession = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "2")
-    // every micro-batch pays fixed planning + state-store load/commit
-    // (~0.3-0.6 s measured at harness scale), so the harness feeds each
-    // stream as ONE deterministic batch (feedChunked) plus at most one
-    // sentinel batch — and the automatic no-data batches that would fire
-    // after each watermark advance are pure overhead here (the explicit
-    // sentinel batch is what flushes append-mode state, and parity is
-    // batch-cadence independent)
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    // each parity query lives for 1-2 micro-batches and is never resumed
-    // (nanoTime-unique sinks), so checkpoint history and background state
-    // maintenance are pure overhead: retain one batch, push maintenance
-    // past the query lifetime
-    s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-    s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
-    // checkpoints (offset/commit logs + state snapshots) are fsync-heavy
-    // tiny-file writes; a RAM-backed root removes that fixed per-batch
-    // disk cost. Pid-scoped and deleted at JVM exit (Scratch); every sink
-    // name is nanoTime-unique so a run never resumes a prior checkpoint.
-    val ckptRoot =
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
-    s2.conf.set(
-      "spark.sql.streaming.checkpointLocation",
-      graft.queries.Scratch.dirAt(ckptRoot, "stream_ckpt", "root"))
-    s2.conf.set(
-      "spark.sql.legacy.parquet.nanosAsLong",
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
-    s2.conf.set(
-      "spark.sql.session.timeZone",
-      s.conf.get("spark.sql.session.timeZone", "UTC"))
-    lastStreamSession = s2
-    s2
-  }
-
-  /** Stage `data` into the MemoryStream as ~16 blocks BEFORE the query
-    * starts. One addData call is one source block is one input partition,
-    * so a monolithic feed serializes the first micro-batch's map side on
-    * one thread; and feeding after `start()` races the trigger loop into
-    * an arbitrary batch split (observed: a 100k-row feed landing as 25k +
-    * 75k batches, each paying the fixed batch overhead). Pre-staged
-    * chunked blocks give exactly ONE micro-batch with a parallel map side
-    * — the availableNow shape. Callers needing a SECOND deterministic
-    * batch (sentinels, the index-maintenance cycles) addData after the
-    * first processAllAvailable returns, when the trigger loop is idle.
-    */
-  private def feedChunked[A](
-      mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
-      data: Seq[A]): Unit =
-    if (data.nonEmpty) {
-      val chunk = math.max(1, (data.length + 15) / 16)
-      data.grouped(chunk).foreach(g => mem.addData(g: _*))
-    }
-
-  private def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {
-    val shaped = shape(s.table(sink))
-    val rows = shaped.collect()
-    val schema = shaped.schema
-    s.catalog.dropTempView(sink)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+  import QShared._
+  import OracleSql._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----------------------------------------------------------
@@ -1174,625 +1057,6 @@ object Extensions {
     "ev_sessionize" -> { (s, dir) =>
       val sessions = Sessionize.sessionizeBatch(Fixtures.events(s, dir), "user_id", "ts", "event_id", 30)
       Sessionize.sessionStats(sessions, "user_id", "ts", "value")
-    },
-    // STREAM/BATCH PARITY: the Structured Streaming session_window twin run
-    // over MemoryStream on the same events fixture, hash-checked against the
-    // batch DuckDB oracle — proof the watermarked streaming formulation
-    // computes byte-identical sessions. Two far-future sentinel batches push
-    // the event-time watermark past every real session so append mode
-    // finalizes them all; the sentinel user is excluded from the output.
-    "stream_session_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev: Array[(Long, java.sql.Timestamp)] = Fixtures
-        .events(s, dir)
-        .select(col("user_id"), col("ts"))
-        .as[(Long, java.sql.Timestamp)]
-        .collect()
-      val maxMs = ev.iterator.map(_._2.getTime).max
-      val sentinel = -1L
-      val mem = MemoryStream[(Long, java.sql.Timestamp)]
-      val stream = Sessionize.sessionWindowStream(
-        mem.toDF().toDF("user_id", "ts"), "user_id", "ts", gapMinutes = 30)
-      // unique per invocation: bench/warmup run the query repeatedly and a
-      // memory-sink name collision across runs must not bite
-      val sink = s"stream_session_parity_${System.nanoTime()}"
-      // data + first sentinel staged as ONE batch before start; the first
-      // sentinel advances the watermark past maxTs at batch-0 end, and the
-      // second sentinel's batch RUNS with that watermark so every real
-      // session emits — two micro-batches total
-      feedChunked(mem, ev.toSeq :+ ((sentinel, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))))
-      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        mem.addData((sentinel, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000)))
-        q.processAllAvailable()
-      } finally q.stop()
-      drainSink(s, sink)(
-        _.filter(col("user_id") =!= sentinel)
-          .select(
-            col("user_id"),
-            unix_micros(col("start")).as("start_us"),
-            unix_micros(col("end")).as("end_us"),
-            col("n_events")))
-    },
-    // sixth stream/batch parity surface: the CUSTOM-STATE sessionizer
-    // (flatMapGroupsWithState, the explicit state machine) against the
-    // batch window oracle. Gated on the integer-exact session fields
-    // (bounds + event count); total_value accumulates doubles in stream
-    // order and is audited in SessionizeSpec instead, since no SQL engine
-    // reproduces that exact float stream
-    "stream_state_session_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev: Array[Sessionize.SessionEvent] = Fixtures
-        .events(s, dir)
-        .select(col("user_id").cast("string"), col("ts"), col("value").cast("double"))
-        .as[(String, java.sql.Timestamp, Double)]
-        .collect()
-        .map(t => Sessionize.SessionEvent(t._1, t._2, t._3))
-      val maxMs = ev.iterator.map(_.ts.getTime).max
-      val mem = MemoryStream[Sessionize.SessionEvent]
-      val out = Sessionize.sessionizeWithState(mem.toDS(), gapMinutes = 30)
-      val sink = s"stream_state_session_${System.nanoTime()}"
-      // one staged data+sentinel batch, one flush batch — see stream_session_parity
-      feedChunked(mem, ev.toSeq :+ Sessionize.SessionEvent(
-        "~sentinel", new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), 0.0))
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        mem.addData(Sessionize.SessionEvent(
-          "~sentinel", new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
-      drainSink(s, sink)(
-        _.filter(col("user_id") =!= "~sentinel")
-          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events")))
-    },
-    // STREAM/BATCH PARITY for the as-of join: Structured Streaming has no
-    // native as-of, so this drives the explicit flatMapGroupsWithState
-    // state machine (TemporalStream.asofJoinStream — watermark-buffered
-    // prefix merge, one carried running-last register per key) and
-    // hash-matches the batch ev_asof_join oracle. The sentinel-watermark
-    // technique of stream_session_parity: data + one far-future sentinel
-    // staged as batch 0 (everything buffers at watermark 0), a second
-    // sentinel batch runs with the advanced watermark and finalizes every
-    // real row via the event-time timeout.
-    "stream_asof_parity" -> { (s0, dir) =>
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      import graft.streaming.TemporalStream
-      // side 0 = purchases (payload = value), side 1 = clicks (probes)
-      val ev: Array[TemporalStream.AsofIn] = Fixtures
-        .events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(
-          col("user_id"),
-          col("ts"),
-          when(col("event_type") === "click", 1).otherwise(0).as("side"),
-          col("event_id"),
-          col("value"))
-        .as[(Long, java.sql.Timestamp, Int, Long, Double)]
-        .collect()
-        .map(t => TemporalStream.AsofIn(t._1, t._2, t._3, t._4, if (t._3 == 0) t._5 else 0.0))
-      val maxMs = ev.iterator.map(_.ts.getTime).max
-      val mem = MemoryStream[TemporalStream.AsofIn]
-      val out = TemporalStream.asofJoinStream(mem.toDS())
-      val sink = s"stream_asof_parity_${System.nanoTime()}"
-      feedChunked(mem, ev.toSeq :+ TemporalStream.AsofIn(
-        -1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), 1, -1L, 0.0))
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        mem.addData(TemporalStream.AsofIn(
-          -1L, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 1, -1L, 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
-      drainSink(s, sink)(
-        _.filter(col("key") =!= -1L)
-          .select(
-            col("tie").as("event_id"),
-            col("key").as("user_id"),
-            col("ts_us"),
-            col("asof_us").as("purchase_us"),
-            col("asof_payload").as("purchase_value")))
-    },
-    // STREAM/BATCH PARITY for the bounded-lookback interval join: the
-    // NATIVE watermarked stream-stream inner join (both sides watermarked,
-    // horizon as the time-range condition the engine derives its state
-    // eviction bound from) — exactly the machinery where watermark bugs
-    // hide. Purchases and clicks ride two MemoryStreams; matched pairs
-    // emit in the join batch (inner-join append semantics need no
-    // sentinel), and the linear credit split — a deterministic per-
-    // purchase window — runs on the drained sink, hash-matched against
-    // the batch ev_attribution_linear oracle.
-    "stream_lookback_parity" -> { (s0, dir) =>
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      import graft.streaming.TemporalStream
-      val ev = Fixtures.events(s, dir)
-      val purchases: Array[(Long, java.sql.Timestamp, Long, Double)] = ev
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .as[(Long, java.sql.Timestamp, Long, Double)]
-        .collect()
-      val clicks: Array[(Long, java.sql.Timestamp, Long)] = ev
-        .filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .as[(Long, java.sql.Timestamp, Long)]
-        .collect()
-      val memP = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
-      val memC = MemoryStream[(Long, java.sql.Timestamp, Long)]
-      val pDf = memP.toDF().toDF("user_id", "ts", "purchase_id", "value")
-        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
-        .drop("value")
-      val cDf = memC.toDF().toDF("user_id", "cts", "click_id")
-      val joined = TemporalStream.lookbackJoinStream(
-        pDf, cDf, "user_id", "ts", "cts", horizonSec = 3L * 86400L)
-      val sink = s"stream_lookback_parity_${System.nanoTime()}"
-      feedChunked(memP, purchases.toSeq)
-      feedChunked(memC, clicks.toSeq)
-      val q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink) { df =>
-        val byP = Window.partitionBy(col("purchase_id"))
-        df.withColumn("n_touches", count(lit(1)).over(byP))
-          .withColumn(
-            "rn",
-            row_number().over(byP.orderBy(col("cts").desc, col("click_id").desc)))
-          .select(
-            col("user_id"),
-            col("purchase_id"),
-            col("click_id"),
-            col("n_touches"),
-            (expr("cents div n_touches") +
-              when(col("rn") === 1, expr("cents % n_touches")).otherwise(0L)).as("credit_cents"))
-      }
-    },
-    // third stream/batch parity surface: watermarked exact dedup over
-    // MemoryStream — first occurrences emit immediately in append mode, so
-    // no sentinel is needed; the surviving doc per digest is arrival-order-
-    // dependent, so the gated output is the DIGEST set (deterministic)
-    "stream_dedup_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val texts: Array[String] = t(s, dir, "documents").select(col("text")).as[String].collect()
-      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
-      val mem = MemoryStream[(java.sql.Timestamp, String)]
-      val dedup = Dedup.streamingExactDedup(
-        mem.toDF().toDF("ts", "text"), col("text"), "ts", "1 hour")
-      val sink = s"stream_dedup_parity_${System.nanoTime()}"
-      feedChunked(mem, texts.toSeq.map(x => (t0, x)))
-      val q = dedup.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink)(_.select(md5(col("text")).as("h")))
-    },
-    // second stream/batch parity surface: the watermarked tumbling-window
-    // aggregate over MemoryStream, hash-checked against the batch groupBy
-    // oracle (same sentinel technique as stream_session_parity)
-    "stream_tumbling_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev: Array[(java.sql.Timestamp, String)] = Fixtures
-        .events(s, dir)
-        .select(col("ts"), col("event_type"))
-        .as[(java.sql.Timestamp, String)]
-        .collect()
-      val maxMs = ev.iterator.map(_._1.getTime).max
-      val mem = MemoryStream[(java.sql.Timestamp, String)]
-      val stream = Sessionize.tumblingCountsStream(
-        mem.toDF().toDF("ts", "event_type"), "ts", "event_type")
-      val sink = s"stream_tumbling_parity_${System.nanoTime()}"
-      // one staged data+sentinel batch, one flush batch — see stream_session_parity
-      feedChunked(mem, ev.toSeq :+ ((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), "~sentinel")))
-      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
-        q.processAllAvailable()
-      } finally q.stop()
-      drainSink(s, sink)(
-        _.filter(col("event_type") =!= "~sentinel")
-          .select(
-            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-            col("event_type"),
-            col("n")))
-    },
-    // fourth stream/batch parity surface: the watermarked SLIDING-window
-    // aggregate over MemoryStream vs the batch window() oracle — same
-    // sentinel technique as tumbling; every real window finalizes in
-    // append mode once the sentinels push the watermark past max ts
-    "stream_sliding_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev: Array[(java.sql.Timestamp, String)] = Fixtures
-        .events(s, dir)
-        .select(col("ts"), col("event_type"))
-        .as[(java.sql.Timestamp, String)]
-        .collect()
-      val maxMs = ev.iterator.map(_._1.getTime).max
-      val mem = MemoryStream[(java.sql.Timestamp, String)]
-      val stream = Sessionize.slidingCountsStream(
-        mem.toDF().toDF("ts", "event_type"), "ts", "event_type", 60, 30)
-      val sink = s"stream_sliding_parity_${System.nanoTime()}"
-      // one staged data+sentinel batch, one flush batch — see stream_session_parity
-      feedChunked(mem, ev.toSeq :+ ((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), "~sentinel")))
-      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
-        q.processAllAvailable()
-      } finally q.stop()
-      drainSink(s, sink)(
-        _.filter(col("event_type") =!= "~sentinel")
-          .select(
-            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-            col("event_type"),
-            col("n")))
-    },
-    // fifth stream/batch parity surface: count-min cells accumulated by the
-    // single-stage streaming sketch (complete mode — legal unwatermarked
-    // because the group domain is the bounded depth×width cell grid), then
-    // probed exactly like the batch sketch; the drained cell table must be
-    // bit-identical for the estimates to hash-match the batch oracle
-    // streaming DP release parity: the grouped count is the ONLY stateful
-    // piece (complete-mode streaming aggregate); the Laplace release is
-    // stateless post-state algebra applied on drain — and must equal the
-    // batch privacy_dp_counts release bit-for-bit
-    "stream_dp_release_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows: Array[(java.sql.Timestamp, String)] = Fixtures.events(s, dir)
-        .select(col("ts"), col("event_type")).as[(java.sql.Timestamp, String)].collect()
-      val mem = MemoryStream[(java.sql.Timestamp, String)]
-      val counts = mem.toDF().toDF("ts", "event_type")
-        .withColumn("day", to_date(col("ts")))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"))
-      val sink = s"stream_dp_release_${System.nanoTime()}"
-      feedChunked(mem, rows.toSeq)
-      val q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink) { df =>
-        val noise = Curation.dpLaplaceNoise(
-          concat_ws("|", col("event_type").cast("string"), col("day").cast("string")), eps = 1.0)
-        df.select(
-          col("event_type"), col("day"),
-          round(col("n").cast("double") + noise, 6).as("n_dp"),
-          lit(1.0).as("epsilon"))
-      }
-    },
-    "stream_countmin_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      // token explosion feeds BOTH the stream and the batch-side exact
-      // counts; the plan-keyed spill tokenizes once across the two reads
-      // and across bench re-runs
-      val tokens = Dedup.spilled(
-        t(s, dir, "documents")
-          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
-          .filter(length(col("token")) > 0),
-        "stream_toks")
-      val toks: Array[String] = tokens.as[String].collect()
-      val mem = MemoryStream[String]
-      val stream = Sketches.countMinCellsStream(
-        mem.toDF().toDF("token"), col("token"), depth = 4, width = 256)
-      val sink = s"stream_countmin_parity_${System.nanoTime()}"
-      feedChunked(mem, toks.toSeq)
-      val q = stream.writeStream.format("memory").queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      val cells = drainSink(s, sink)(identity)
-      val probes = Seq("spark", "table", "the", "zebra").toDF("item")
-      val est = Sketches.countMinEstimate(cells, probes, col("item"), depth = 4, width = 256)
-      val exact = tokens.groupBy(col("token").as("item")).agg(count(lit(1)).as("exact"))
-      est
-        .join(exact, Seq("item"), "left")
-        .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
-    },
-    // seventh stream/batch parity surface: streaming LSH near-dup
-    // CANDIDATES — the watermarked stream-stream self-join on the band
-    // buckets — gated against the batch minhashLshPairs oracle. All docs
-    // share one event time inside the horizon, so the banding (identical
-    // signature pipeline) must yield exactly the batch candidate-pair set;
-    // inner-join matches emit as both sides arrive, no sentinel needed
-    "stream_lsh_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docs: Array[(Long, String)] =
-        t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)].collect()
-      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
-      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
-      val stream = Dedup.streamingLshCandidates(
-        mem.toDF().toDF("doc_id", "ts", "text"),
-        col("doc_id"), col("text"), "ts",
-        watermark = "1 hour", horizonSeconds = 3600, n = 3, k = 8, bands = 4)
-      val sink = s"stream_lsh_parity_${System.nanoTime()}"
-      feedChunked(mem, docs.toSeq.map(d => (d._1, t0, d._2)))
-      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      // a pair surfaces once per colliding band in the stream; the batch
-      // twin reports it once — distinct on drain is the parity shape
-      drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
-    },
-    // ninth stream/batch parity surface: the REAL image decode running
-    // INSIDE a streaming plan. decodeImages is a stateless typed
-    // mapPartitions, so the exact same operator composes into Structured
-    // Streaming unchanged (append mode, no watermark/state) — the drained
-    // decode output must hash-match the batch mm_decode_real oracle
-    "stream_mm_decode_parity" -> { (s0, dir) =>
-      // micro-batch work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val assets: Array[(Long, String, Array[Byte])] = Multimodal
-        .synthImages(tPar(s, dir, "documents"), "doc_id")
-        .as[(Long, String, Array[Byte])]
-        .collect()
-      val mem = MemoryStream[(Long, String, Array[Byte])]
-      val decoded = Multimodal
-        .decodeImages(mem.toDF().toDF("asset_id", "media_type", "payload"))
-        .toDF()
-      val sink = s"stream_mm_decode_${System.nanoTime()}"
-      feedChunked(mem, assets.toSeq)
-      val q = decoded.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink)(identity)
-    },
-    // the full streaming near-dedup chain: streaming LSH candidates →
-    // exact-Jaccard verification (two stream-STATIC joins against the gram
-    // table — stateless, so the whole verify stage lives inside the
-    // watermarked streaming plan) → survivor selection. Cluster resolution
-    // is inherently iterative (connected components), so it runs on the
-    // drained verified-pair set — the foreachBatch shape a production
-    // pipeline uses for the non-incremental tail
-    "stream_lsh_survivors" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docsDf = t(s, dir, "documents")
-      val docs: Array[(Long, String)] =
-        docsDf.select(col("doc_id"), col("text")).as[(Long, String)].collect()
-      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
-      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
-      val cands = Dedup.streamingLshCandidates(
-        mem.toDF().toDF("doc_id", "ts", "text"),
-        col("doc_id"), col("text"), "ts",
-        watermark = "1 hour", horizonSeconds = 3600, n = 3, k = 8, bands = 4)
-      // shared across the three gram-verify stream surfaces AND their bench
-      // re-runs: the parity clones are fresh sessions, so the plan-keyed
-      // spill (not session-keyed) is what makes this compute-once
-      val g = Dedup.spilled(
-        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
-      val verified = cands
-        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
-        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
-        .select(col("id_lo"), col("id_hi"), Dedup.jaccardSorted(col("g_lo"), col("g_hi")).as("jac_raw"))
-        .filter(col("jac_raw") >= 0.7)
-        .select(col("id_lo"), col("id_hi"))
-      val sink = s"stream_lsh_survivors_${System.nanoTime()}"
-      feedChunked(mem, docs.toSeq.map(d => (d._1, t0, d._2)))
-      val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      val pairs = drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
-      val clusters = Dedup.connectedComponents(pairs)
-      val labeled = docsDf
-        .select(col("doc_id"), col("n_chars"))
-        .join(clusters, Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
-      val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id").asc)
-      labeled
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
-    },
-    // tenth stream/batch parity surface: INCREMENTAL ingestion dedup as a
-    // STATELESS stream-static join — the incoming batch arrives as a
-    // stream, probes the static corpus (band, bh) index, and the verified
-    // output must hash-match the batch dedup_incremental oracle. No
-    // watermark, no state store: the join is stateless by construction
-    "stream_incremental_parity" -> { (s0, dir) =>
-      // micro-batch work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docsDf = t(s, dir, "documents")
-      val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
-      val incoming: Array[(Long, String)] = docsDf
-        .filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .collect()
-      val mem = MemoryStream[(Long, String)]
-      val cands = Dedup.streamingIncrementalCandidates(
-        corpus, mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
-        n = 3, k = 8, bands = 4)
-      // shared across the three gram-verify stream surfaces AND their bench
-      // re-runs: the parity clones are fresh sessions, so the plan-keyed
-      // spill (not session-keyed) is what makes this compute-once
-      val g = Dedup.spilled(
-        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
-      val verified = cands
-        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
-        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
-        .select(
-          col("new_id"), col("corpus_id"),
-          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
-        .filter(col("jac_raw") >= 0.7)
-        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
-      val sink = s"stream_incremental_parity_${System.nanoTime()}"
-      feedChunked(mem, incoming.toSeq)
-      val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      // a pair surfaces once per colliding band; distinct on drain is the
-      // parity shape (same as stream_lsh_parity)
-      drainSink(s, sink)(_.distinct())
-    },
-    // twelfth stream/batch parity surface: the END-TO-END incremental-dedup
-    // MAINTENANCE loop. Each foreachBatch cycle (the production shape the
-    // incremental family implies): probe the PERSISTED bucketed index →
-    // verify with exact Jaccard → append the batch's own bands back into
-    // the index — so batch B's docs can match batch A's, which the
-    // stateless stream-static probe cannot do. The drained pair set must
-    // hash-match a batch oracle where (a, b) pairs exactly when a arrived
-    // strictly after b (corpus = epoch 0, batch A = 1, batch B = 2).
-    "stream_index_maintain" -> { (s0, dir) =>
-      // micro-batch work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docsDf = t(s, dir, "documents")
-      // incoming class 2 (mod 5), split A/B on mod 10: at sf0.01 this puts
-      // the near-dup pair (72, 377) in DIFFERENT stream batches, so one
-      // emitted pair exists ONLY because batch A's bands were appended —
-      // the split that actually witnesses the append-back semantics
-      // (incoming %5==0 had no cross-batch near-dups in the fixture)
-      val corpus = docsDf.filter(col("doc_id") % 5 =!= 2)
-      val table = Scratch.table("lsh_maint") // pid-scoped: see dedup_incremental_bucketed
-      // layout time: overwrite resets the index each invocation (bench runs
-      // the query three times in one JVM; a stale appended index would
-      // double-count batch A). The band computation itself is deterministic
-      // and shared across invocations via the plan-keyed spill — only the
-      // (small) bucketed write repeats.
-      graft.sources.Sources.writeBucketed(
-        Dedup.spilled(
-          Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
-          "lsh_maint_bands"),
-        table, 8, "band", "bh")
-      // static verify store (harness simplification shared by the other
-      // stream surfaces: production would co-persist a doc/gram store)
-      // shared across the three gram-verify stream surfaces AND their bench
-      // re-runs: the parity clones are fresh sessions, so the plan-keyed
-      // spill (not session-keyed) is what makes this compute-once
-      val g = Dedup.spilled(
-        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
-      val outDir = Scratch.dir("lsh_maint", dir)
-      Scratch.reset(outDir)
-      val batchA: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 2)
-        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-      val batchB: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 7)
-        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-      val mem = MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.persist() // read twice: probe, then append
-          try {
-            // the APPEND runs under the stream-execution clone's session
-            // (the batch frame's), which invalidates only ITS relation
-            // cache — this session's cached file listing for the table
-            // goes stale after cycle 1 and the probe would silently miss
-            // every previously-appended band (observed: the cross-batch
-            // pair dropped). Refresh HERE, in the session the probe reads
-            // through, once per cycle.
-            s.catalog.refreshTable(table)
-            // probe BEFORE append: the verified write materializes first,
-            // so this batch never pairs with itself (matches the oracle's
-            // strict arrival order)
-            val cands = Dedup.probeLshIndex(
-              s, table, b, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
-            cands
-              .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
-              .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
-              .select(
-                col("new_id"), col("corpus_id"),
-                Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
-              .filter(col("jac_raw") >= 0.7)
-              .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
-              .write.mode("append").parquet(outDir)
-            Dedup.appendLshIndex(
-              b, col("doc_id"), col("text"), table, buckets = 8, n = 3, k = 8, bands = 4)
-          } finally { b.unpersist(); () }
-        }
-        .start()
-      try {
-        // A and B must stay SEPARATE micro-batches (the append-back between
-        // them is the semantics under test), so B is fed only after the
-        // trigger loop drains A — one block each, no race with the trigger
-        mem.addData(batchA.toSeq: _*)
-        q.processAllAvailable()
-        mem.addData(batchB.toSeq: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.read.parquet(outDir)
-    },
-    // eleventh stream/batch parity surface: CDC apply as a STREAMING
-    // max_by aggregation (complete mode, no watermark — state is one row
-    // per key, planned by Catalyst, no custom state code). The drained
-    // snapshot must hash-match the batch scd_changelog_apply oracle
-    "stream_changelog_parity" -> { (s0, dir) =>
-      // micro-batch state work runs on the low-partition clone (see streamSession)
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-      val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(Long.MinValue))
-      val upserts = base
-        .filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000)
-        .withColumn("op", lit("U"))
-        .withColumn("seq", lit(1L))
-      val deletes = base
-        .filter(col("o_orderkey") % 11 === 0)
-        .withColumn("op", lit("D"))
-        .withColumn("seq", lit(2L))
-      val changelog: Array[(Long, Long, Double, String, String, Long)] = asInserts
-        .unionByName(upserts)
-        .unionByName(deletes)
-        .as[(Long, Long, Double, String, String, Long)]
-        .collect()
-      val mem = MemoryStream[(Long, Long, Double, String, String, Long)]
-      val snap = graft.ops.ChangeOps.applyChangelogAgg(
-        mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "op", "seq"),
-        Seq("o_orderkey"), "op", "seq",
-        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
-      val sink = s"stream_changelog_parity_${System.nanoTime()}"
-      feedChunked(mem, changelog.toSeq)
-      val q = snap.writeStream.format("memory").queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink)(identity)
     },
     "ev_tumbling" -> { (s, dir) =>
       Sessionize
@@ -2916,94 +2180,6 @@ object Extensions {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"), level = 3)
       Sketches.kllQuantilesByGroup(sk, col("grp"), Seq(0.25, 0.5, 0.75))
     },
-    // thirteenth stream/batch parity surface: the KLL gate is a pure
-    // per-row filter (stateless, append mode) — stream the orders rows,
-    // drain the surviving sample, and the quantile read off the drained
-    // sketch must hash-match the batch sketch_kll_quantiles oracle
-    // verbatim (the sketch is a pure function of the multiset, so HOW the
-    // rows arrived cannot matter)
-    "stream_kll_parity" -> { (s0, dir) =>
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows: Array[(Long, Double)] = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .as[(Long, Double)]
-        .collect()
-      val mem = MemoryStream[(Long, Double)]
-      val sk = Sketches.kllSketch(
-        mem.toDF().toDF("o_orderkey", "o_totalprice"),
-        col("o_totalprice"), col("o_orderkey"), level = 4)
-      val sink = s"stream_kll_parity_${System.nanoTime()}"
-      feedChunked(mem, rows.toSeq)
-      val q = sk.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      Sketches.kllQuantiles(drainSink(s, sink)(identity), (1 to 9).map(_ / 10.0))
-    },
-    // fourteenth stream/batch parity surface: DSIR model SERVING. The
-    // weight table is trained batch-side (256 longs — model state), baked
-    // into a literal array, and the document stream is scored stateless
-    // map-only (dsirScoreColumn: one HOF pass, no explode/join/shuffle,
-    // append mode with no state store). The drained scores hash-match the
-    // exploded batch form's oracle, shared verbatim — the layout-vs-
-    // meaning contract for model serving.
-    // streaming twin of corpus_mix_temperature (SAME oracle): the √n̅
-    // weight table + bottleneck train relationally once, bake into the
-    // plan as literals, and the stream filter is a pure stateless gate —
-    // no state store, no join, the DSIR-serving pattern for mixing
-    "stream_mix_parity" -> { (s0, dir) =>
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docsDf = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val model = Curation.temperatureMixModel(docsDf, col("source"))
-      val rows: Array[(Long, String)] = docsDf.as[(Long, String)].collect()
-      val mem = MemoryStream[(Long, String)]
-      val kept = mem
-        .toDF()
-        .toDF("doc_id", "source")
-        .filter(Curation.temperatureGate(col("doc_id"), col("source"), model))
-      val sink = s"stream_mix_parity_${System.nanoTime()}"
-      feedChunked(mem, rows.toSeq)
-      val q = kept.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink)(identity)
-    },
-    "stream_dsir_parity" -> { (s0, dir) =>
-      val s = streamSession(s0)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docsDf = t(s, dir, "documents")
-      val weights: Seq[Long] = Curation
-        .dsirBucketWeights(docsDf, docsDf.filter(col("lang") === "en"), col("text"))
-        .orderBy(col("bucket"))
-        .collect()
-        .map(_.getLong(1))
-        .toSeq
-      val rows: Array[(Long, String)] = docsDf
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .collect()
-      val mem = MemoryStream[(Long, String)]
-      val scored = mem
-        .toDF()
-        .toDF("doc_id", "text")
-        // the relational batch form DROPS tokenless docs; mirror that here
-        // (the serving column scores them 0) so the row sets agree
-        .filter(size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")) > 0)
-        .select(col("doc_id"), Curation.dsirScoreColumn(col("text"), weights).as("score"))
-      val sink = s"stream_dsir_parity_${System.nanoTime()}"
-      feedChunked(mem, rows.toSeq)
-      val q = scored.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
-      drainSink(s, sink)(identity)
-    },
     // Bloom-filter membership (one-sided error): build the bit set over
     // custkeys that have orders, probe every customer, and ride the exact
     // membership along as the audit column — rows where maybe=true but
@@ -3023,1149 +2199,8 @@ object Extensions {
           col("item").as("custkey"),
           col("maybe"),
           coalesce(col("actual"), lit(false)).as("actual"))
-    }
+    },
   )
-
-  // ======================= DuckDB oracle twins =========================
-
-  /** PageRank oracle: the three integer iterations unrolled as
-    * (sᵢ = per-destination contribution sums, rᵢ = damped update) CTE
-    * pairs — token-for-token the arithmetic of `GraphOps.pageRank`
-    * (`(rank · w) div outw`, then `(85·Σ + 15·base) div 100`). DuckDB
-    * promotes the sums to HUGEINT; the final CAST lands the identical
-    * Long the engine produced.
-    */
-  private lazy val pagerankOracleSql: String = {
-    val base = "(1000000000000 // (SELECT n FROM nn))"
-    val iters = (1 to 3).map { i =>
-      val prev = if (i == 1) "r0" else s"r${i - 1}"
-      s"""s$i AS (SELECT e.dst AS node, sum((r.rank * e.w) // o.outw) AS si
-         FROM e JOIN $prev r ON r.node = e.src JOIN outw o ON o.src = e.src GROUP BY 1),
-         r$i AS (SELECT n.node, (85 * coalesce(s$i.si, 0) + 15 * $base) // 100 AS rank
-         FROM nodes n LEFT JOIN s$i ON s$i.node = n.node)"""
-    }.mkString(",\n         ")
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS e, event_id,
-           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS node FROM events),
-       sq AS (SELECT node AS dst,
-                lag(node) OVER (PARTITION BY user_id ORDER BY e, event_id) AS src FROM ev),
-       e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
-       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
-       r0 AS (SELECT node, $base AS rank FROM nodes),
-       $iters
-       SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"""
-  }
-
-  /** Label-propagation oracle: the setsim pair-graph CTE (shared with
-    * graph_triangles) plus three unrolled synchronous LPA rounds —
-    * mode-of-neighbor-labels with (count DESC, label) tie-break, the
-    * pagerank-oracle unrolling pattern.
-    */
-  /** The τ=19/20 exact set-similarity pair-graph CTE chain (`e(a, b)` with
-    * a < b) — the SQL twin of the shared setsim spill, composed by every
-    * graph-family oracle (label propagation, k-core) so the edge
-    * definition cannot drift between them.
-    */
-  private lazy val setsimEdgesCte: String =
-    // MATERIALIZED throughout: the downstream graph oracles reference
-    // these CTEs many times (unrolled rounds), and DuckDB's default
-    // inlining re-evaluates a CTE per reference — the 4-round k-core
-    // fixpoint oracle went 1019 s → 0.2 s with the hint. Semantics
-    // unchanged (it is only an evaluation-strategy hint).
-    s"""tok0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
-                      FROM documents),
-         tok AS MATERIALIZED (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
-         sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-         pair AS MATERIALIZED (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
-                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-         e AS MATERIALIZED (SELECT lo AS a, hi AS b
-               FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
-               WHERE inter * 20 >= 19 * (sa.n + sb.n - inter))"""
-
-  /** The LPA round CTEs l1..lN, shared by the assignment oracle and its
-    * fixpoint-certificate oracle so the two can never desynchronize. */
-  private def lpaRoundsCte(n: Int): String =
-    (1 to n).map { i =>
-      val prev = s"l${i - 1}"
-      s"""c$i AS MATERIALIZED (SELECT adj.v AS node, l.lab, CAST(count(*) AS BIGINT) AS c
-         FROM adj JOIN $prev l ON l.node = adj.u GROUP BY 1, 2),
-         l$i AS MATERIALIZED (SELECT node, lab FROM (
-           SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
-           FROM c$i) WHERE rn = 1)"""
-    }.mkString(",\n         ")
-
-  private lazy val labelPropOracleSql: String =
-    s"""WITH $setsimEdgesCte,
-         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
-         l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lab FROM adj),
-         ${lpaRoundsCte(3)}
-         SELECT node, lab AS label FROM l3"""
-
-  /** LPA fixpoint-certificate oracle: the same 3 unrolled rounds plus one
-    * probe round, then count label moves between l3 and l4 — one row. */
-  private lazy val labelPropFixpointOracleSql: String =
-    s"""WITH $setsimEdgesCte,
-         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
-         l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lab FROM adj),
-         ${lpaRoundsCte(4)}
-         SELECT CAST(3 AS INTEGER) AS iters,
-                CAST(count(*) AS BIGINT) AS n_nodes,
-                CAST(count(*) FILTER (WHERE a.lab <> b.lab) AS BIGINT) AS n_changed,
-                count(*) FILTER (WHERE a.lab <> b.lab) = 0 AS converged
-         FROM l3 a JOIN l4 b ON a.node = b.node"""
-
-  /** k-core oracle: the setsim pair-graph CTE plus three unrolled
-    * bulk-synchronous peel rounds (degree → survivors ≥ k → induced
-    * edges), then the survivors' final degrees — the pagerank-oracle
-    * unrolling pattern, k = 2.
-    */
-  /** The peel-round CTEs (degrees → alive ≥ k → induced edges) for rounds
-    * 1..n plus the post-round degree frame d(n+1), shared by the k-core
-    * oracle and its fixpoint-certificate oracle. */
-  private def kcoreDegsCte(i: Int): String =
-    s"""d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
-           (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1)"""
-
-  private def kcoreRoundsCte(n: Int, k: Int): String =
-    (1 to n).map { i =>
-      s"""${kcoreDegsCte(i)},
-         a$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k),
-         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
-                 WHERE u IN (SELECT node FROM a$i) AND v IN (SELECT node FROM a$i))"""
-    }.mkString(",\n         ")
-
-  private lazy val kcoreOracleSql: String = {
-    val k = 2
-    s"""WITH $setsimEdgesCte,
-         e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e),
-         ${kcoreRoundsCte(3, k)},
-         ${kcoreDegsCte(4)}
-         SELECT node, degree FROM d4 WHERE degree >= $k"""
-  }
-
-  /** k-core fixpoint-certificate oracle: the same 3 unrolled peel rounds
-    * plus one probe round (round 4), then a full diff of the two
-    * survivor (node, degree) sets — one row. */
-  private lazy val kcoreFixpointOracleSql: String = {
-    val k = 2
-    s"""WITH $setsimEdgesCte,
-         e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e),
-         ${kcoreRoundsCte(4, k)},
-         ${kcoreDegsCte(5)},
-         sr AS MATERIALIZED (SELECT node, degree FROM d4 WHERE degree >= $k),
-         sr1 AS MATERIALIZED (SELECT node, degree FROM d5 WHERE degree >= $k),
-         j AS (SELECT a.node AS na, b.node AS nb
-               FROM sr a FULL JOIN sr1 b ON a.node = b.node AND a.degree = b.degree)
-         SELECT CAST(3 AS INTEGER) AS rounds,
-                CAST(count(na) AS BIGINT) AS n_round_r,
-                CAST(count(nb) AS BIGINT) AS n_round_r1,
-                CAST(count(*) FILTER (WHERE na IS NULL OR nb IS NULL) AS BIGINT) AS n_diff,
-                count(*) FILTER (WHERE na IS NULL OR nb IS NULL) = 0 AS at_fixpoint
-         FROM j"""
-  }
-
-  /** k-center coreset oracle: the same greedy unrolled — c1 = smallest id,
-    * then k−1 rounds of (fold newest center into min_d, argmax). The
-    * distance is a correlated scalar subquery per round over the exact
-    * quantized grid, so the walk replays the engine integer-for-integer. */
-  private def coresetOracleSql(k: Int): String = {
-    val dist = (qa: String, qb: String) =>
-      s"list_sum(list_transform(range(1, 65), i -> ($qa[i] - $qb[i]) * ($qa[i] - $qb[i])))"
-    val rounds = (2 to k).map { r =>
-      s"""m$r AS MATERIALIZED (
-           SELECT m.id, m.qv,
-                  least(m.min_d, ${dist("m.qv", "c.qv")}) AS min_d
-           FROM m${r - 1} m CROSS JOIN c${r - 1} c),
-         c$r AS MATERIALIZED (
-           SELECT id, qv, min_d FROM m$r ORDER BY min_d DESC, id ASC LIMIT 1)"""
-    }.mkString(",\n         ")
-    val out = (2 to k)
-      .map(r =>
-        s"SELECT CAST($r AS INTEGER) AS round, id AS vec_id, CAST(min_d AS BIGINT) AS dist_sq FROM c$r")
-      .mkString("\n         UNION ALL ")
-    s"""WITH q0 AS MATERIALIZED (
-           SELECT vec_id AS id,
-             list_transform(range(1, 65),
-               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-         c1 AS MATERIALIZED (SELECT id, qv FROM q0 ORDER BY id ASC LIMIT 1),
-         m1 AS MATERIALIZED (
-           SELECT q0.id, q0.qv, ${dist("q0.qv", "c.qv")} AS min_d
-           FROM q0 CROSS JOIN c1 c),
-         $rounds
-         SELECT CAST(1 AS INTEGER) AS round, id AS vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1
-         UNION ALL $out"""
-  }
-
-  /** Poisson-bootstrap oracle: the same B weight derivations, one grouped
-    * pass, CI interpolation constants computed with the IDENTICAL Scala
-    * arithmetic the engine's interp uses (embedded via Double.toString,
-    * which round-trips exactly). */
-  private def bootstrapOracleSql(reps: Int): String = {
-    val cs = graft.ext.Stats.PoissonCdf
-    val hCols = (0 until (reps + 3) / 4)
-      .map(g => s"md5(concat(CAST(event_id AS VARCHAR), '_$g')) AS h$g")
-      .mkString(",\n           ")
-    def u(b: Int) =
-      s"CAST(CAST(concat('0x', substr(h${b / 4}, ${1 + 8 * (b % 4)}, 8)) " +
-        s"AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0"
-    val uCols = (0 until reps).map(b => s"${u(b)} AS u$b").mkString(",\n           ")
-    val wCols = (0 until reps).map(b =>
-      s"(CASE WHEN u$b < ${cs(0)} THEN 0 WHEN u$b < ${cs(1)} THEN 1 " +
-        s"WHEN u$b < ${cs(2)} THEN 2 WHEN u$b < ${cs(3)} THEN 3 ELSE 4 END) AS w$b")
-      .mkString(",\n           ")
-    val aggCols = (0 until reps).map(b =>
-      s"CAST(sum(CAST(w$b AS HUGEINT) * v) AS HUGEINT) AS s$b, CAST(sum(w$b) AS BIGINT) AS n$b")
-      .mkString(",\n           ")
-    val meanList = (0 until reps)
-      .map(b => s"CASE WHEN n$b > 0 THEN CAST(s$b AS DOUBLE) / CAST(n$b AS DOUBLE) END")
-      .mkString(", ")
-    val nNull = (0 until reps).map(b => s"CASE WHEN n$b > 0 THEN 0 ELSE 1 END").mkString(" + ")
-    def interp(p: Double): String = {
-      val pos = (reps - 1) * p
-      val lo = math.floor(pos).toInt
-      val hi = math.ceil(pos).toInt
-      val frac = pos - lo
-      s"round(ms[${lo + 1}] + (ms[${hi + 1}] - ms[${lo + 1}]) * $frac, 6)"
-    }
-    s"""WITH base AS (SELECT event_type AS grp, event_id,
-             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-           FROM events WHERE value IS NOT NULL),
-         hh AS (SELECT grp, v,
-           $hCols
-           FROM base),
-         uu AS (SELECT grp, v,
-           $uCols
-           FROM hh),
-         ww AS (SELECT grp, v,
-           $wCols
-           FROM uu),
-         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
-           $aggCols
-           FROM ww GROUP BY grp),
-         m AS (SELECT grp, n, sx, list_sort([$meanList]) AS ms, ($nNull) AS nnull FROM a)
-         SELECT grp, n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-                CASE WHEN nnull = 0 THEN ${interp(0.025)} END AS ci_lo,
-                CASE WHEN nnull = 0 THEN ${interp(0.975)} END AS ci_hi
-         FROM m"""
-  }
-
-  /** ε-DP count-release oracle — shared verbatim by the batch release and
-    * its streaming parity twin, so the two can never desynchronize. */
-  private lazy val dpCountsOracleSql: String =
-    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                CAST(count(*) AS BIGINT) AS n
-              FROM events GROUP BY 1, 2),
-         h AS (SELECT *,
-                 CAST(concat('0x', substr(md5(concat_ws('|', event_type,
-                   CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999998 + 1 AS v
-               FROM g),
-         u AS (SELECT event_type, day, n,
-                 CAST(v AS DOUBLE) / 1000000.0 - 0.5 AS u FROM h)
-         SELECT event_type, day,
-                round(CAST(n AS DOUBLE) +
-                      round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS n_dp,
-                CAST(1.0 AS DOUBLE) AS epsilon
-         FROM u"""
-
-  /** The unrolled BFS round CTEs n1..nN/b1..bN over the `und` adjacency and
-    * seed frame `b0`, shared by the distance oracle and its fixpoint twin.
-    * Round i discovers `ni` (frontier-adjacent, not yet reached) at
-    * distance i — identical timing to the engine's frontier expansion. */
-  private def bfsRoundsCte(n: Int): String =
-    (1 to n).map { i =>
-      val pb = s"b${i - 1}"
-      val pf = if (i == 1) "b0" else s"n${i - 1}"
-      s"""n$i AS MATERIALIZED (SELECT DISTINCT u.d AS node FROM und u
-           JOIN $pf f ON u.s = f.node
-           WHERE u.d NOT IN (SELECT node FROM $pb)),
-         b$i AS MATERIALIZED (SELECT node, dist FROM $pb
-           UNION ALL SELECT node, $i AS dist FROM n$i)"""
-    }.mkString(",\n         ")
-
-  private lazy val bfsOracleSql: String =
-    s"""WITH $setsimEdgesCte,
-         und AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
-         b0 AS MATERIALIZED (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0),
-         ${bfsRoundsCte(3)}
-         SELECT node, CAST(dist AS INTEGER) AS dist FROM b3"""
-
-  private lazy val bfsFixpointOracleSql: String =
-    s"""WITH $setsimEdgesCte,
-         und AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
-         b0 AS MATERIALIZED (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0),
-         ${bfsRoundsCte(4)}
-         SELECT CAST(3 AS INTEGER) AS rounds,
-                CAST((SELECT count(*) FROM b3) AS BIGINT) AS n_reached,
-                CAST((SELECT count(*) FROM n4) AS BIGINT) AS n_new_probe,
-                (SELECT count(*) FROM n4) = 0 AS at_fixpoint"""
-
-  private def hexval(expr: String): String =
-    s"(strpos('0123456789abcdef', $expr) - 1)"
-
-  /** occ of literal term in padded lowered text (see TextStats.occurrences). */
-  private def occSql(term: String): String =
-    s"CAST((length(p) - length(replace(p, '$term', ''))) / ${term.length} AS BIGINT)"
-
-  private val langScoreSqls: Seq[(String, String)] =
-    TextStats.StopwordLexicons.map { case (lang, lex) =>
-      lang -> lex.map(occSql).mkString(" + ")
-    }
-
-  private val ngramScoreSqls: Seq[(String, String)] =
-    TextStats.TrigramProfiles.map { case (lang, grams) =>
-      lang -> grams.map(occSql).mkString(" + ")
-    }
-
-  /** The minhash-signature → banded-bucket → candidate-pair CTE chain,
-    * defined ONCE and composed by every LSH oracle (batch pairs, streaming
-    * parity, verified survivors, cluster chain) so a change to the
-    * signature scheme cannot desynchronize them.
-    */
-  private lazy val sigBandedCte: String = """
-        , sig AS (
-          SELECT doc_id, [
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
-            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
-          ] AS sig FROM g
-        ), banded AS (
-          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
-          FROM sig, range(0, 4) t(b)
-        )"""
-
-  private lazy val sigBandedCandsCte: String = sigBandedCte + """
-        , cands AS (
-          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
-          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-        )"""
-
-  /** The language/quality/token profile of every document (the composed
-    * quality-gate inputs, identical formulas to `TextStats.profileNativeDF`)
-    * — shared by the `corpus_filter` gate and the `corpus_data_card`
-    * summary so the scoring definitions cannot drift.
-    */
-  private lazy val profileCte: String =
-    s"""WITH base AS (
-            SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p,
-              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
-              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
-            FROM documents
-          ), sc AS (
-            SELECT *, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM base
-          ), b AS (
-            SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc
-          ), scored AS (
-            SELECT doc_id,
-              CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
-                   ELSE 'und' END AS lang,
-              round(CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END * 0.4 +
-                    least(CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2.0, 1.0) * 0.4 +
-                    CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score,
-              CAST(n_tokens AS BIGINT) AS n_tokens
-            FROM b
-          )
-    """
-
-  /** The deterministic-changelog CDC snapshot (every 7th order re-priced,
-    * every 11th deleted at a later sequence) — shared by the batch window
-    * apply (`scd_changelog_apply`) and the streaming max_by parity twin
-    * (`stream_changelog_parity`).
-    */
-  private lazy val changelogApplySql: String =
-    """SELECT o_orderkey, o_custkey,
-         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END
-           AS o_totalprice,
-         o_orderstatus
-       FROM orders
-       WHERE o_orderkey % 11 <> 0"""
-
-  /** The BPE training oracle: K unrolled stages, each one pair-count →
-    * argmax (cnt desc, lexicographic tiebreak) → greedy left-to-right
-    * rewrite via a list_reduce fold into a chr(1)-joined accumulator —
-    * the exact fold the Spark operator runs, so every stage's corpus
-    * state (and therefore every later count) matches string-for-string.
-    */
-  private def bpeRewriteSql(m: String): String =
-    s"""string_split(list_reduce(list_prepend('', toks),
-          (acc, tk) -> CASE
-            WHEN acc = '' THEN tk
-            WHEN (acc = $m.a OR ends_with(acc, chr(1) || $m.a)) AND tk = $m.b
-              THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
-            ELSE acc || chr(1) || tk END), chr(1))"""
-
-  /** The K unrolled training stages (t0 sample → m1..mK merge picks with
-    * the intermediate rewrites) — the WITH prefix shared by the training
-    * oracle (`text_bpe_merges`) and the encode oracle (`text_bpe_encode`),
-    * so the merge table both replay is one definition.
-    */
-  private def bpeTrainCtesSql(K: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """WITH t0 AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        FROM documents WHERE doc_id % 10 = 0)"""
-    for (i <- 1 to K) {
-      sb ++= s""", m$i AS (
-        SELECT a, b, CAST(c AS BIGINT) AS cnt FROM (
-          SELECT toks[u.i] AS a, toks[u.i + 1] AS b, count(*) AS c
-          FROM t${i - 1}, unnest(range(1, len(toks))) u(i)
-          GROUP BY 1, 2)
-        ORDER BY c DESC, a, b LIMIT 1)"""
-      if (i < K)
-        sb ++= s""", t$i AS (
-        SELECT doc_id, ${bpeRewriteSql(s"m$i")} AS toks
-        FROM t${i - 1} CROSS JOIN m$i)"""
-    }
-    sb.toString
-  }
-
-  private lazy val bpeMergesSql: String = {
-    val K = 8
-    bpeTrainCtesSql(K) + (1 to K)
-      .map(i => s"SELECT $i AS rank, a, b, a || b AS merged, cnt FROM m$i")
-      .mkString("\n", "\nUNION ALL\n", "")
-  }
-
-  /** Encode oracle: train (shared CTEs), then chain the K rewrites over
-    * ALL documents and report the before/after token counts.
-    */
-  private lazy val bpeEncodeSql: String = {
-    val K = 8
-    val sb = new StringBuilder
-    sb ++= bpeTrainCtesSql(K)
-    sb ++= """, e0 AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)"""
-    for (i <- 1 to K)
-      sb ++= s""", e$i AS (
-        SELECT doc_id, ${bpeRewriteSql(s"m$i")} AS toks
-        FROM e${i - 1} CROSS JOIN m$i)"""
-    sb ++= s"""
-      SELECT e0.doc_id,
-             CAST(len(e0.toks) AS BIGINT) AS n_raw,
-             CAST(len(e$K.toks) AS BIGINT) AS n_bpe
-      FROM e0 JOIN e$K USING (doc_id)"""
-    sb.toString
-  }
-
-  /** Incremental-ingestion probe + exact-Jaccard verify: every 5th doc is
-    * the incoming batch, the rest the corpus index. Shared verbatim by the
-    * batch probe (`dedup_incremental`) and the stream-static parity twin
-    * (`stream_incremental_parity`) — the parity claim IS one oracle.
-    */
-  private lazy val incrementalProbeSql: String =
-    gramsCte + sigBandedCte + """
-        , cands AS (
-          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
-          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        )
-        SELECT new_id, corpus_id,
-          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
-        FROM cands
-        JOIN g ga ON ga.doc_id = new_id
-        JOIN g gb ON gb.doc_id = corpus_id
-        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""
-
-  /** The batch LSH candidate-pair derivation — shared verbatim by the
-    * batch query's oracle and the streaming-parity oracle (the parity claim
-    * IS that the two candidate sets are identical).
-    */
-  private lazy val minhashPairsOracleSql: String =
-    gramsCte + sigBandedCandsCte + """
-      SELECT id_lo, id_hi FROM cands"""
-
-  /** The VERIFIED-pair variant of [[clusterChainSql]]: candidates pass the
-    * exact-Jaccard gate before symmetric closure — the reachability base of
-    * the streaming candidates → verify → survivors composition.
-    */
-  private lazy val verifiedClusterChainSql: String =
-    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + sigBandedCandsCte + """
-        , ver AS (
-          SELECT id_lo, id_hi
-          FROM cands
-          JOIN g ga ON ga.doc_id = id_lo
-          JOIN g gb ON gb.doc_id = id_hi
-          WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7
-        ), sym AS (
-          SELECT id_lo AS a, id_hi AS b FROM ver
-          UNION
-          SELECT id_hi, id_lo FROM ver
-        ), reach(id, r) AS (
-          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
-          UNION
-          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-        )"""
-
-  /** The LSH-candidate → symmetric-closure → reachability chain shared by
-    * the cluster oracle and the survivor oracle (one definition so the two
-    * cannot drift).
-    */
-  private lazy val clusterChainSql: String =
-    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + sigBandedCandsCte + """
-        , sym AS (
-          SELECT id_lo AS a, id_hi AS b FROM cands
-          UNION
-          SELECT id_hi, id_lo FROM cands
-        ), reach(id, r) AS (
-          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
-          UNION
-          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-        )"""
-
-  /** The arithmetic PNG/BMP decode oracle — shared verbatim by the batch
-    * query and the streaming-parity twin (the parity claim IS that the two
-    * decode outputs are identical).
-    */
-  private lazy val decodeRealOracleSql: String =
-    """WITH dims AS (
-         SELECT doc_id,
-                CAST(1 + doc_id % 13 AS INTEGER) AS width,
-                CAST(1 + doc_id % 11 AS INTEGER) AS height
-         FROM documents)
-       SELECT d.doc_id AS asset_id,
-              CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
-              d.width, d.height,
-              CAST(sum((d.doc_id * 31 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
-       FROM dims d
-       CROSS JOIN generate_series(0, 12) AS x(g)
-       CROSS JOIN generate_series(0, 10) AS y(g)
-       WHERE x.g < d.width AND y.g < d.height
-       GROUP BY 1, 2, 3, 4"""
-
-  /** Shared dHash CTEs: replay [[graft.ext.Multimodal.dHashImages]]
-    * arithmetically — the id-derived pixel formula sampled on the 9×7
-    * integer-div grid, horizontal-gradient bits OR-ed into the 56-bit
-    * hash (bit 55 max: positive BIGINT in both engines).
-    */
-  private lazy val dhashCtesSql: String =
-    """WITH dims AS (
-         SELECT doc_id AS id,
-                1 + doc_id % 13 AS w,
-                1 + doc_id % 11 AS h
-         FROM documents),
-       grid AS (
-         SELECT d.id, x.g AS x, y.g AS y,
-                (d.id * 31 + 7 * ((x.g * d.w) // 9) + 13 * ((y.g * d.h) // 7)) % 256 AS v
-         FROM dims d
-         CROSS JOIN generate_series(0, 8) AS x(g)
-         CROSS JOIN generate_series(0, 6) AS y(g)),
-       bits AS (
-         SELECT a.id, CAST(a.y * 8 + a.x AS BIGINT) AS bit
-         FROM grid a JOIN grid b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
-         WHERE a.x < 8 AND b.v > a.v),
-       hashes AS (
-         SELECT d.id, d.w, d.h,
-                CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS dhash
-         FROM dims d LEFT JOIN bits b ON b.id = d.id
-         GROUP BY d.id, d.w, d.h)"""
-
-  private lazy val dhashOracleSql: String =
-    s"""$dhashCtesSql
-       SELECT id AS asset_id,
-              CAST(w AS INTEGER) AS width,
-              CAST(h AS INTEGER) AS height,
-              dhash
-       FROM hashes"""
-
-  private lazy val dhashNearDupOracleSql: String =
-    s"""$dhashCtesSql,
-       bands AS (
-         SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
-         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
-       SELECT DISTINCT l.id AS id_lo, r.id AS id_hi,
-              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
-       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
-       WHERE bit_count(xor(l.dhash, r.dhash)) <= 8"""
-
-  /** Shared audio-fingerprint CTEs: replay
-    * [[graft.ext.Multimodal.audioFingerprints]] arithmetically from the
-    * id-derived PCM formula. Frame of sample i under boundaries
-    * `lo_f = f·n div 57` has the closed form `(i·57 + 56) div n`
-    * (verified exhaustively for n ∈ [100, 300)).
-    */
-  private lazy val audioFpCtesSql: String =
-    """WITH ids AS (SELECT doc_id AS id, 100 + doc_id % 200 AS n FROM documents),
-       smp AS (
-         SELECT x.id, x.n, i.g AS i,
-                ((x.id * 31 + 7 * i.g) % 2003 - 1001) AS s,
-                (i.g * 57 + 56) // x.n AS f
-         FROM ids x JOIN generate_series(0, 298) AS i(g) ON i.g < x.n),
-       en AS (SELECT id, n, f, CAST(sum(s * s) AS BIGINT) AS e
-              FROM smp GROUP BY id, n, f),
-       bits AS (SELECT a.id, CAST(a.f AS BIGINT) AS bit
-                FROM en a JOIN en b ON a.id = b.id AND b.f = a.f + 1
-                WHERE a.f < 56 AND b.e > a.e),
-       fps AS (SELECT x.id, x.n, CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS fingerprint
-               FROM ids x LEFT JOIN bits b ON b.id = x.id GROUP BY x.id, x.n)"""
-
-  private lazy val audioFpOracleSql: String =
-    s"""$audioFpCtesSql
-       SELECT id AS asset_id, CAST(n AS BIGINT) AS n_samples, fingerprint FROM fps"""
-
-  private lazy val audioNearDupOracleSql: String =
-    s"""$audioFpCtesSql,
-       bands AS (
-         SELECT id, fingerprint, b.g AS band, (fingerprint >> (b.g * 14)) & 16383 AS bv
-         FROM fps CROSS JOIN generate_series(0, 3) AS b(g))
-       SELECT DISTINCT l.id AS id_lo, r.id AS id_hi,
-              CAST(bit_count(xor(l.fingerprint, r.fingerprint)) AS INTEGER) AS hamming
-       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
-       WHERE bit_count(xor(l.fingerprint, r.fingerprint)) <= 8"""
-
-  /** PQ/ADC oracle: per subspace j (offset j·16), one unrolled Lloyd's
-    * iteration (c0 seed slices → assign → half-up means → c1 with the
-    * empty-cell rule), then codes under c1 and the ADC sum as nsub
-    * per-subspace distance-table joins. Generated, not hand-written, so
-    * subspace count/width change in one place.
-    */
-  /** The two-iteration Lloyd's coarse-quantizer training + serving-side
-    * assignment/probe CTEs (c0..c2, cdist, assign, qprobe at nprobe=2) —
-    * shared verbatim by the trained-IVF oracle and the IVFPQ composition.
-    */
-  private lazy val ivfKmeansCtesSql: String = ivfKmeansCtes("vec_id < 10", 2)
-
-  private def ivfKmeansCtes(queryPred: String, nprobe: Int): String = s""", c0 AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
-          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 8)
-        )
-        -- Lloyd's iteration 1: assign to nearest c0 centroid, re-mean
-        , d1 AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c0 c
-        ), a1 AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM d1) WHERE rn = 1
-        ), m1 AS (
-          SELECT a.cell, t.i AS pos,
-                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
-          FROM a1 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
-          GROUP BY a.cell, t.i
-        ), n1 AS (
-          SELECT cell, list(v ORDER BY pos) AS cq FROM m1 GROUP BY cell
-        ), c1 AS (
-          SELECT cell, cq FROM n1
-          UNION ALL
-          SELECT c.cell, c.cq FROM c0 c WHERE c.cell NOT IN (SELECT cell FROM n1)
-        )
-        -- Lloyd's iteration 2
-        , d2 AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c1 c
-        ), a2 AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM d2) WHERE rn = 1
-        ), m2 AS (
-          SELECT a.cell, t.i AS pos,
-                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
-          FROM a2 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
-          GROUP BY a.cell, t.i
-        ), n2 AS (
-          SELECT cell, list(v ORDER BY pos) AS cq FROM m2 GROUP BY cell
-        ), c2 AS (
-          SELECT cell, cq FROM n2
-          UNION ALL
-          SELECT c.cell, c.cq FROM c1 c WHERE c.cell NOT IN (SELECT cell FROM n2)
-        )
-        -- serving under the trained quantizer (same shape as ann_ivf_topk)
-        , cdist AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c2 c
-        ), assign AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM cdist) WHERE rn = 1
-        ), qprobe AS (
-          SELECT vec_id AS query_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM cdist WHERE $queryPred) WHERE rn <= $nprobe
-        )"""
-
-  /** The per-subspace PQ training + coding CTE block (c0_j .. cd_j per
-    * subspace j) — shared by the standalone PQ oracle and the IVFPQ
-    * composition.
-    */
-  private def pqSubspaceCtesSql(nsub: Int, nlist: Int, dsub: Int): String = {
-    val sb = new StringBuilder
-    for (j <- 0 until nsub) {
-      val off = j * dsub
-      sb ++= s"""
-        , c0_$j AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-                 q[${off + 1}:${off + dsub}] AS cq
-          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT $nlist)
-        ), d1_$j AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (z.q[i + $off] - c.cq[i]) * (z.q[i + $off] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c0_$j c
-        ), a1_$j AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM d1_$j) WHERE rn = 1
-        ), m1_$j AS (
-          SELECT a.cell, t.i AS pos,
-                 CAST(floor(CAST(sum(z.q[t.i + $off]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
-          FROM a1_$j a JOIN qz z USING (vec_id), unnest(range(1, ${dsub + 1})) t(i)
-          GROUP BY a.cell, t.i
-        ), n1_$j AS (
-          SELECT cell, list(v ORDER BY pos) AS cq FROM m1_$j GROUP BY cell
-        ), c1_$j AS (
-          SELECT cell, cq FROM n1_$j
-          UNION ALL
-          SELECT c.cell, c.cq FROM c0_$j c WHERE c.cell NOT IN (SELECT cell FROM n1_$j)
-        ), d2_$j AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (z.q[i + $off] - c.cq[i]) * (z.q[i + $off] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN c1_$j c
-        ), cd_$j AS (
-          SELECT vec_id, cell AS code FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM d2_$j) WHERE rn = 1
-        )"""
-    }
-    sb.toString
-  }
-
-  private def pqAdcSumSql(nsub: Int): String =
-    (0 until nsub).map(j => s"qd$j.d").mkString(" + ")
-
-  private def pqAdcJoinsSql(nsub: Int, candAlias: String): String =
-    (0 until nsub)
-      .map(j =>
-        s"JOIN cd_$j ON cd_$j.vec_id = $candAlias.cand_id JOIN d2_$j qd$j ON qd$j.vec_id = $candAlias.query_id AND qd$j.cell = cd_$j.code")
-      .mkString("\n        ")
-
-  private lazy val pqAdcSql: String = {
-    val nsub = 4
-    val sb = new StringBuilder
-    sb ++= qzCte
-    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
-    sb ++= s"""
-      , pairs AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS cand_id
-        FROM qz a CROSS JOIN qz b
-        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
-      ), scored AS (
-        SELECT p.query_id, p.cand_id,
-               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
-        FROM pairs p
-        ${pqAdcJoinsSql(nsub, "p")}
-      ), ranked AS (
-        SELECT query_id, cand_id, adc,
-               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
-        FROM scored
-      )
-      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
-    sb.toString
-  }
-
-  /** PQ→exact-rerank oracle: the 8x8 training/coding/ADC CTEs keep the
-    * top-100 per query, then the exact quantized-cosine rerank (the
-    * ann_int8_rerank tail, reading qz directly) cuts to 5.
-    */
-  private lazy val pqRerankSql: String = {
-    val nsub = 8
-    val sb = new StringBuilder
-    sb ++= qzCte
-    sb ++= pqSubspaceCtesSql(nsub, 8, 8)
-    sb ++= s"""
-      , pairs AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS cand_id
-        FROM qz a CROSS JOIN qz b
-        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
-      ), scored AS (
-        SELECT p.query_id, p.cand_id,
-               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
-        FROM pairs p
-        ${pqAdcJoinsSql(nsub, "p")}
-      ), cand AS (
-        SELECT query_id, cand_id FROM (
-          SELECT query_id, cand_id,
-                 row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
-          FROM scored) WHERE rk <= 100
-      ), ex AS (
-        SELECT c.query_id, c.cand_id,
-               CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * cv.q[i])) AS BIGINT) AS dot,
-               CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * qv.q[i])) AS BIGINT) AS naa,
-               CAST(list_sum(list_transform(range(1, 65), i -> cv.q[i] * cv.q[i])) AS BIGINT) AS ncc
-        FROM cand c JOIN qz qv ON qv.vec_id = c.query_id JOIN qz cv ON cv.vec_id = c.cand_id
-      ), rr AS (
-        SELECT query_id, cand_id,
-               CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(ncc AS DOUBLE)) AS sim
-        FROM ex
-      ), rranked AS (
-        SELECT query_id, cand_id, sim,
-               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
-        FROM rr
-      )
-      SELECT query_id, cand_id, rank, sim FROM rranked WHERE rank <= 5"""
-    sb.toString
-  }
-
-  /** IVFPQ oracle: the trained coarse quantizer's probe/candidate CTEs
-    * (shared with `ann_ivf_kmeans`) composed with the per-subspace PQ
-    * chains (shared with `ann_pq_topk`); ranking is the ADC sum over the
-    * PROBED candidates only.
-    */
-  private lazy val ivfPqSql: String = {
-    val nsub = 4
-    val sb = new StringBuilder
-    sb ++= qzCte
-    sb ++= "\n        "
-    sb ++= ivfKmeansCtesSql
-    sb ++= """
-      , cand AS (
-        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-        FROM qprobe p JOIN assign a ON a.cell = p.cell
-        WHERE a.vec_id <> p.query_id
-      )"""
-    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
-    sb ++= s"""
-      , scored AS (
-        SELECT c.query_id, c.cand_id,
-               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
-        FROM cand c
-        ${pqAdcJoinsSql(nsub, "c")}
-      ), ranked AS (
-        SELECT query_id, cand_id, adc,
-               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
-        FROM scored
-      )
-      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
-    sb.toString
-  }
-
-  /** Batch-scoring oracle: ivfPqSql's composition with the 50-query probe
-    * set and top-3 — the semantics of scoring against the PERSISTED index
-    * are identical to the inline composition (layout is execution, not
-    * meaning), so the oracle differs only in predicate and k.
-    */
-  private lazy val annIndexScoredSql: String = {
-    val nsub = 4
-    val sb = new StringBuilder
-    sb ++= qzCte
-    sb ++= "\n        "
-    sb ++= ivfKmeansCtes("vec_id < 50", 2)
-    sb ++= """
-      , cand AS (
-        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-        FROM qprobe p JOIN assign a ON a.cell = p.cell
-        WHERE a.vec_id <> p.query_id
-      )"""
-    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
-    sb ++= s"""
-      , scored AS (
-        SELECT c.query_id, c.cand_id,
-               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
-        FROM cand c
-        ${pqAdcJoinsSql(nsub, "c")}
-      ), ranked AS (
-        SELECT query_id, cand_id, adc,
-               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
-        FROM scored
-      )
-      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 3"""
-    sb.toString
-  }
-
-  /** The KLL quantile read (level-4 gate over orders, deciles) — shared by
-    * the batch query and the streaming parity twin.
-    */
-  private lazy val kllQuantilesSql: String =
-    """WITH s AS (
-         SELECT o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k FROM orders
-         WHERE o_totalprice IS NOT NULL
-           AND CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
-       ), r AS (
-         SELECT v, row_number() OVER (ORDER BY v, k) AS r, count(*) OVER () AS m FROM s
-       ), p AS (
-         SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[])) AS prob
-       )
-       SELECT p.prob, r.v AS est
-       FROM p JOIN r ON r.r = greatest(1, CAST(ceil(p.prob * r.m) AS BIGINT))"""
-
-  private val gramsCte: String = """
-    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-    g AS (
-      SELECT doc_id,
-        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
-      FROM w
-    )
-  """
-
-  // ---- SRP / quantized-vector oracle builders ---------------------------
-  // The Spark side quantizes vectors (floor(x*1000+0.5) -> BIGINT) and does
-  // ALL similarity math in exact integer arithmetic with md5-derived SRP
-  // coefficients, so these twins reproduce results bit-for-bit: integer
-  // sums are associative (no summation-order divergence) and md5 exists in
-  // both engines.
-
-  private val qzCte: String = """
-    WITH qz AS (
-      SELECT vec_id,
-        list_transform(range(1, 65),
-          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
-      FROM embeddings
-    )
-  """
-
-  /** Twin of Similarity.srpBucket over the staged `q` column: plane p's
-    * coefficient d is md5("p_d") first-8-hex mod 1000 minus 500.
-    */
-  /** SRP bucket over quantized vector `q` for `planes` sign bits; table
-    * `offset` shifts the GLOBAL plane index (md5 seed) while bit weights
-    * stay local — the SQL twin of Similarity.srpBucketQ(_, _, planes,
-    * offset).
-    */
-  private def srpBucketSql(planes: Int, offset: Int = 0): String =
-    (0 until planes)
-      .map { j =>
-        val p = offset + j
-        s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] *
-           (CAST(concat('0x', substr(md5(concat('${p}_', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT)
-            % 1000 - 500))) >= 0 THEN ${1 << j} ELSE 0 END)"""
-      }
-      .mkString(" + ")
-
-  /** Twin of Similarity.cosine over quantized vectors. */
-  /** DSIR oracle prefix shared by the score and selection twins: hashed
-    * token buckets (md5 first-8-hex mod 256, the Hashing.md5Long gate),
-    * raw/target bucket counts, and the integer-ratio weight table —
-    * Curation.dsirBucketWeights replayed verbatim. DuckDB sums BIGINT
-    * into HUGEINT, so consumers cast the final sum back to BIGINT.
-    */
-  private val dsirCtesSql: String = """
-    WITH toks AS (
-      SELECT doc_id, lang, t AS tok FROM (
-        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        FROM documents) u
-      WHERE t <> ''
-    ), tb AS (
-      SELECT doc_id, lang,
-        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
-      FROM toks
-    ), cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY bucket
-    ), ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY bucket
-    ), tot AS (
-      SELECT CAST((SELECT count(*) FROM tb) AS BIGINT) AS r_tot,
-             CAST((SELECT count(*) FROM tb WHERE lang = 'en') AS BIGINT) AS t_tot
-    ), wt AS (
-      SELECT g.range AS bucket,
-        (1000000 * (COALESCE(ct.ct, 0) + 1) * (tot.r_tot + 256))
-          // ((COALESCE(cr.cr, 0) + 1) * (tot.t_tot + 256)) AS w
-      FROM range(0, 256) g
-      LEFT JOIN ct ON ct.bucket = g.range
-      LEFT JOIN cr ON cr.bucket = g.range
-      CROSS JOIN tot
-    )"""
-
-  /** The full DSIR scoring twin — shared verbatim by the batch query and
-    * the streaming parity surface (layout differs, meaning must not).
-    */
-  private val dsirScoresSql: String = dsirCtesSql + """
-         SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
-         FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id"""
-
-  /** Temperature-mix twin — shared verbatim by the batch query and the
-    * streaming serving-gate parity surface. Mirrors Curation.keepRates:
-    * per-stratum keep rate computed once on the tiny counts table in
-    * HUGEINT (exact — the old per-row BIGINT triple product overflowed
-    * past √n̅_b·n_s ≈ 9·10¹²), per-row gate a single compare. The
-    * null-safe join and `s NULLS FIRST` tie-break match Spark's `<=>`
-    * join and NULLS-FIRST ascending sort.
-    */
-  private val tempMixSql: String =
-    """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
-         u AS (SELECT s, n,
-                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
-               FROM c),
-         b AS (SELECT n AS nb, u AS ub FROM (
-                 SELECT *, row_number() OVER (
-                   ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s NULLS FIRST) AS rk
-                 FROM u) WHERE rk = 1),
-         r AS (SELECT u.s,
-                 CAST(CAST(b.nb AS HUGEINT) * u.u * 1000000
-                      // (CAST(b.ub AS HUGEINT) * u.n) AS BIGINT) AS r
-               FROM u CROSS JOIN b)
-         SELECT d.doc_id, d.source
-         FROM documents d JOIN r ON r.s IS NOT DISTINCT FROM d.source
-         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
-               < r.r"""
-
-  /** Shared by ev_asof_join and stream_asof_parity: the DuckDB ASOF LEFT
-    * JOIN with the engine's greatest-tie rule pre-applied per instant.
-    */
-  private val evAsofJoinSql: String =
-    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-       p0 AS (SELECT user_id, ts, value,
-                row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-              FROM events WHERE event_type = 'purchase'),
-       p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
-       SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
-              epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
-       FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
-
-  /** Shared by ev_attribution_linear and stream_lookback_parity: 3-day
-    * lookback join + integer-cent linear split, remainder to the most
-    * recent touch.
-    */
-  private val evAttributionLinearSql: String =
-    """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
-                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-              FROM events WHERE event_type = 'purchase'),
-       c AS (SELECT user_id, ts AS cts, event_id AS click_id
-             FROM events WHERE event_type = 'click'),
-       j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
-             FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts
-                            AND x.cts >= p.ts - INTERVAL 3 DAY),
-       w AS (SELECT user_id, purchase_id, click_id, cents,
-               CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
-               row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn
-             FROM j)
-       SELECT user_id, purchase_id, click_id, n_touches,
-              CAST(cents // n_touches +
-                   CASE WHEN rn = 1 THEN cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
-       FROM w"""
-
-  private def cosSql(a: String, b: String): String =
-    s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
-        (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS DOUBLE)) *
-         sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS DOUBLE))))"""
-
-  /** The Hashing.md5Long eval-stratum gate as SQL: md5 first-8-hex mod m. */
-  private def md5GateSql(x: String, m: Int): String =
-    s"CAST(concat('0x', substr(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT) % $m = 0"
-
-  /** ann_recall_audit twin: brute-force truth plus all three approximate
-    * ranker chains (the ann_lsh_topk / ann_ivf_topk / ann_pq_topk oracle
-    * CTEs verbatim, re-gated to the md5 eval stratum and CTE-prefixed so
-    * they compose), then recall as exact integer ppm per ranker.
-    */
-  private lazy val recallAuditSql: String = {
-    val gate = md5GateSql("vec_id", 8)
-    val gateA = md5GateSql("a.vec_id", 8)
-    def hitRow(name: String, top: String): String =
-      s"""SELECT '$name' AS ranker, b.n_queries, b.n_truth, h.n_hits,
-            h.n_hits * 1000000 // b.n_truth AS recall_ppm
-          FROM rb b CROSS JOIN
-            (SELECT CAST(count(*) AS BIGINT) AS n_hits
-             FROM $top x JOIN truth t USING (query_id, cand_id)) h"""
-    qzCte + pqSubspaceCtesSql(4, 4, 16) + s"""
-        -- exact truth on the stratum (bruteForceTopK's separate-sqrt cosine)
-        , t_pairs AS (
-          SELECT a.vec_id AS query_id, b.vec_id AS cand_id
-          FROM qz a CROSS JOIN qz b
-          WHERE $gateA AND a.vec_id <> b.vec_id
-        ), t_scored AS (
-          SELECT p.query_id, p.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
-          FROM t_pairs p
-          JOIN qz qa ON qa.vec_id = p.query_id
-          JOIN qz qb ON qb.vec_id = p.cand_id
-        ), truth AS (
-          SELECT query_id, cand_id FROM (
-            SELECT query_id, cand_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
-            FROM t_scored) WHERE rank <= 5
-        )
-        -- SRP-LSH chain (ann_lsh_topk verbatim, l_-prefixed)
-        , l_bkt AS (
-${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6, t * 6)} AS bucket FROM qz").mkString("\n          UNION ALL\n")}
-        ), l_probes AS (
-          SELECT vec_id AS query_id, tbl,
-                 unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-                                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
-          FROM l_bkt WHERE $gate
-        ), l_cand AS (
-          SELECT DISTINCT p.query_id, c.vec_id AS cand_id
-          FROM l_probes p JOIN l_bkt c ON c.tbl = p.tbl AND c.bucket = p.bucket
-          WHERE c.vec_id <> p.query_id
-        ), l_scored AS (
-          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
-          FROM l_cand u
-          JOIN qz qa ON qa.vec_id = u.query_id
-          JOIN qz qb ON qb.vec_id = u.cand_id
-        ), l_top AS (
-          SELECT query_id, cand_id FROM (
-            SELECT query_id, cand_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
-            FROM l_scored) WHERE rank <= 5
-        )
-        -- IVF chain (ann_ivf_topk verbatim, i_-prefixed)
-        , i_cent AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
-          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 16)
-        ), i_cdist AS (
-          SELECT z.vec_id, c.cell,
-                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
-          FROM qz z CROSS JOIN i_cent c
-        ), i_assign AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM i_cdist) WHERE rn = 1
-        ), i_qprobe AS (
-          SELECT vec_id AS query_id, cell FROM (
-            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-            FROM i_cdist WHERE $gate) WHERE rn <= 4
-        ), i_cand AS (
-          SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-          FROM i_qprobe p JOIN i_assign a ON a.cell = p.cell
-          WHERE a.vec_id <> p.query_id
-        ), i_scored AS (
-          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
-          FROM i_cand u
-          JOIN qz qa ON qa.vec_id = u.query_id
-          JOIN qz qb ON qb.vec_id = u.cand_id
-        ), i_top AS (
-          SELECT query_id, cand_id FROM (
-            SELECT query_id, cand_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
-            FROM i_scored) WHERE rank <= 5
-        )
-        -- PQ/ADC chain (ann_pq_topk's subspace CTEs above, p_-prefixed tail)
-        , p_pairs AS (
-          SELECT a.vec_id AS query_id, b.vec_id AS cand_id
-          FROM qz a CROSS JOIN qz b
-          WHERE $gateA AND a.vec_id <> b.vec_id
-        ), p_scored AS (
-          SELECT p.query_id, p.cand_id,
-                 CAST(${pqAdcSumSql(4)} AS BIGINT) AS adc
-          FROM p_pairs p
-          ${pqAdcJoinsSql(4, "p")}
-        ), p_top AS (
-          SELECT query_id, cand_id FROM (
-            SELECT query_id, cand_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
-            FROM p_scored) WHERE rk <= 5
-        )
-        , rb AS (
-          SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-                 CAST(count(*) AS BIGINT) AS n_truth
-          FROM truth
-        )
-        ${hitRow("ivf_16_4", "i_top")}
-        UNION ALL
-        ${hitRow("lsh_srp_4t", "l_top")}
-        UNION ALL
-        ${hitRow("pq_adc_4x4", "p_top")}"""
-  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -4230,18 +2265,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
                 CAST(min(CASE WHEN run_len = maxrun THEN start END) AS BIGINT) AS max_run_start
          FROM r2 GROUP BY 1, 2
          HAVING max(run_len) >= 2""",
-    // parity: the streaming candidate set must be EXACTLY the batch one
-    "stream_lsh_parity" -> minhashPairsOracleSql,
-    "stream_lsh_survivors" ->
-      (verifiedClusterChainSql + """
-        , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
-        , lab AS (
-          SELECT d.doc_id, d.n_chars, coalesce(cl.canonical_id, d.doc_id) AS cluster_id
-          FROM documents d LEFT JOIN cl USING (doc_id))
-        SELECT doc_id, cluster_id, n_chars FROM (
-          SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
-          FROM lab)
-        WHERE rk = 1"""),
     "dedup_simhash" ->
       s"""WITH tok AS (
             SELECT doc_id,
@@ -4327,29 +2350,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     // the persisted-bucketed probe is an EXECUTION-layout variant: the
     // pair set is defined identically, so the oracle is shared verbatim
     "dedup_incremental_bucketed" -> incrementalProbeSql,
-    // the streaming stream-static probe must reduce to the batch answer
-    "stream_incremental_parity" -> incrementalProbeSql,
-    // maintenance-loop parity: (a, b) pairs exactly when a ARRIVED strictly
-    // after b — corpus is epoch 0, stream batch A (doc_id%10=2) is 1,
-    // batch B (doc_id%10=7) is 2. Same banding and verify tail as the
-    // other incremental oracles. At sf0.01 the pair (377 -> 72) crosses
-    // the two stream batches: it is emitted ONLY via the append-back.
-    "stream_index_maintain" ->
-      (gramsCte + sigBandedCte + """
-        , cands AS (
-          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
-          WHERE (CASE WHEN a.doc_id % 5 <> 2 THEN 0 WHEN a.doc_id % 10 = 2 THEN 1 ELSE 2 END)
-              > (CASE WHEN b.doc_id % 5 <> 2 THEN 0 WHEN b.doc_id % 10 = 2 THEN 1 ELSE 2 END)
-        )
-        SELECT new_id, corpus_id,
-          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
-        FROM cands
-        JOIN g ga ON ga.doc_id = new_id
-        JOIN g gb ON gb.doc_id = corpus_id
-        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
     "dedup_clusters" ->
       (clusterChainSql + """
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),
@@ -4376,8 +2376,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
                 < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END""",
     "scd_changelog_apply" -> changelogApplySql,
-    // the streaming max_by aggregation must drain to the batch snapshot
-    "stream_changelog_parity" -> changelogApplySql,
     // merge twin: the clause outcomes enumerated over the key arithmetic
     "scd_merge_into" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
@@ -4929,56 +2927,11 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM z GROUP BY user_id, session_id""",
-    // the state-machine sessionizer uses sessionizeBatch's strict-> gap
-    // rule, so its oracle is the batch session derivation projected to the
-    // integer-exact fields
-    "stream_state_session_parity" ->
-      """WITH x AS (
-           SELECT user_id, ts, event_id,
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           FROM events
-         ), y AS (
-           SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-                          THEN 1 ELSE 0 END AS brk
-           FROM x
-         ), z AS (
-           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM y
-         )
-         SELECT CAST(user_id AS VARCHAR) AS user_id,
-                epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-                count(*) AS n_events
-         FROM z GROUP BY user_id, session_id""",
-    // session_window merges on OVERLAP: a gap of exactly 30min starts a
-    // NEW session (>=), unlike sessionizeBatch's > — and end = last + gap
-    "stream_session_parity" ->
-      """WITH x AS (
-           SELECT user_id, ts,
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-           FROM events
-         ), y AS (
-           SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
-                          THEN 1 ELSE 0 END AS brk
-           FROM x
-         ), z AS (
-           SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM y
-         )
-         SELECT user_id, epoch_us(min(ts)) AS start_us,
-           epoch_us(max(ts)) + 1800000000 AS end_us,
-           count(*) AS n_events
-         FROM z GROUP BY user_id, session_id""",
     "ev_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
-    "stream_tumbling_parity" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-         event_type, count(*) AS n
-         FROM events GROUP BY 1, 2""",
-    "stream_dedup_parity" ->
-      """SELECT DISTINCT md5(text) AS h FROM documents""",
     "dedup_strip_boilerplate" ->
       """WITH framed AS (
            SELECT doc_id,
@@ -5003,35 +2956,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
            FROM kept GROUP BY doc_id
          ) k USING (doc_id)""",
-    "stream_sliding_parity" ->
-      """WITH half AS (
-           SELECT event_type,
-             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0
-           FROM events
-         ), windows AS (
-           SELECT event_type, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS window_start
-           FROM half
-         )
-         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-                event_type, count(*) AS n
-         FROM windows GROUP BY 1, 2""",
-    "stream_countmin_parity" ->
-      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item FROM documents),
-         tok2 AS (SELECT item FROM tok WHERE length(item) > 0),
-         cells AS (
-           SELECT j,
-             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM tok2, range(0, 4) t(j) GROUP BY 1, 2),
-         probes AS (SELECT unnest(['spark', 'table', 'the', 'zebra']) AS item),
-         pc AS (SELECT item, j,
-                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell
-                FROM probes, range(0, 4) t(j)),
-         est AS (SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
-                 FROM pc LEFT JOIN cells USING (j, cell) GROUP BY 1),
-         ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM tok2 GROUP BY 1)
-         SELECT e.item AS token, e.est, coalesce(x.exact, 0) AS exact
-         FROM est e LEFT JOIN ex x USING (item)""",
     "mm_decode_partitioned" ->
       """WITH ch AS (
            SELECT doc_id,
@@ -5149,8 +3073,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "mm_image_neardup" -> dhashNearDupOracleSql,
     "mm_audio_fingerprint" -> audioFpOracleSql,
     "mm_audio_neardup" -> audioNearDupOracleSql,
-    // parity: the streaming decode must be EXACTLY the batch decode
-    "stream_mm_decode_parity" -> decodeRealOracleSql,
     "mm_decode_jpeg" ->
       """SELECT doc_id AS asset_id,
                 'image/jpeg' AS media_type,
@@ -5614,10 +3536,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
           )
           SELECT id, score, n_tokens, cum <= 50000 AS selected FROM r""",
     "curation_dsir_scores" -> dsirScoresSql,
-    "stream_dsir_parity" -> dsirScoresSql,
-    // layout differs (stateless stream gate vs batch join), meaning must
-    // not: the oracle is corpus_mix_temperature's verbatim
-    "stream_mix_parity" -> tempMixSql,
     "curation_dsir_select" ->
       (dsirCtesSql + """
          , sc AS (
@@ -5819,9 +3737,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
            round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          FROM d GROUP BY doc_id""",
     "ev_asof_join" -> evAsofJoinSql,
-    // the streaming as-of state machine must land byte-identical to the
-    // batch operator, so the twins share ONE oracle
-    "stream_asof_parity" -> evAsofJoinSql,
     "ev_asof_forward" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
          p0 AS (SELECT user_id, ts, value,
@@ -6119,9 +4034,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     // DP twin: identical deterministic inverse-CDF Laplace on the md5 grid;
     // the 6-dp noise round makes the one ln engine-portable (PSI argument)
     "privacy_dp_counts" -> dpCountsOracleSql,
-    // the streaming release must equal the batch release bit-for-bit:
-    // state carries only the counts, the noise is post-state algebra
-    "stream_dp_release_parity" -> dpCountsOracleSql,
     "sketch_join_size" ->
       """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
          b AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
@@ -6589,9 +4501,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     // 3-day lookback, remainder to the most recent click (greatest id on
     // a timestamp tie)
     "ev_attribution_linear" -> evAttributionLinearSql,
-    // the native watermarked stream-stream interval join must reproduce
-    // the batch lookback join exactly, so the twins share ONE oracle
-    "stream_lookback_parity" -> evAttributionLinearSql,
     // U-shape twin: same 3-day lookback, 40/20/40 split in integer cents,
     // remainders to the most recent touch (all operands non-negative, so
     // Spark's truncating div and DuckDB's floor // agree)
@@ -6729,7 +4638,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     // SHARED verbatim with stream_kll_parity: the sketch is a pure
     // function of the multiset, so the streamed build must match exactly.
     "sketch_kll_quantiles" -> kllQuantilesSql,
-    "stream_kll_parity" -> kllQuantilesSql,
     "sketch_kll_by_group" ->
       """WITH s AS (
            SELECT o_orderstatus AS grp, o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k
@@ -6772,6 +4680,6 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          scored AS (SELECT doc_id, $scoreSql AS score FROM tf, st)
          SELECT doc_id, round(score, 6) AS score FROM scored
          WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"""
-    }
+    },
   )
 }

@@ -1,0 +1,1158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ops.{TemporalOps, ZOrderOps}
+import graft.streaming.Sessionize
+
+/** DuckDB oracle-SQL builders shared by the query family files (split out
+  * of Extensions.scala). Pure string land: no Spark session, no fixture
+  * reads — each member replays one engine operator's arithmetic as
+  * DuckDB-dialect SQL for the driver's differential gate.
+  */
+private[queries] object OracleSql {
+
+  // ======================= DuckDB oracle twins =========================
+
+  /** PageRank oracle: the three integer iterations unrolled as
+    * (sᵢ = per-destination contribution sums, rᵢ = damped update) CTE
+    * pairs — token-for-token the arithmetic of `GraphOps.pageRank`
+    * (`(rank · w) div outw`, then `(85·Σ + 15·base) div 100`). DuckDB
+    * promotes the sums to HUGEINT; the final CAST lands the identical
+    * Long the engine produced.
+    */
+  private[queries] lazy val pagerankOracleSql: String = {
+    val base = "(1000000000000 // (SELECT n FROM nn))"
+    val iters = (1 to 3).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node, sum((r.rank * e.w) // o.outw) AS si
+         FROM e JOIN $prev r ON r.node = e.src JOIN outw o ON o.src = e.src GROUP BY 1),
+         r$i AS (SELECT n.node, (85 * coalesce(s$i.si, 0) + 15 * $base) // 100 AS rank
+         FROM nodes n LEFT JOIN s$i ON s$i.node = n.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS e, event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS node FROM events),
+       sq AS (SELECT node AS dst,
+                lag(node) OVER (PARTITION BY user_id ORDER BY e, event_id) AS src FROM ev),
+       e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       r0 AS (SELECT node, $base AS rank FROM nodes),
+       $iters
+       SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"""
+  }
+
+  /** Label-propagation oracle: the setsim pair-graph CTE (shared with
+    * graph_triangles) plus three unrolled synchronous LPA rounds —
+    * mode-of-neighbor-labels with (count DESC, label) tie-break, the
+    * pagerank-oracle unrolling pattern.
+    */
+  /** The τ=19/20 exact set-similarity pair-graph CTE chain (`e(a, b)` with
+    * a < b) — the SQL twin of the shared setsim spill, composed by every
+    * graph-family oracle (label propagation, k-core) so the edge
+    * definition cannot drift between them.
+    */
+  private[queries] lazy val setsimEdgesCte: String =
+    // MATERIALIZED throughout: the downstream graph oracles reference
+    // these CTEs many times (unrolled rounds), and DuckDB's default
+    // inlining re-evaluates a CTE per reference — the 4-round k-core
+    // fixpoint oracle went 1019 s → 0.2 s with the hint. Semantics
+    // unchanged (it is only an evaluation-strategy hint).
+    s"""tok0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token
+                      FROM documents),
+         tok AS MATERIALIZED (SELECT doc_id, token FROM tok0 WHERE length(token) > 0),
+         sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         pair AS MATERIALIZED (SELECT a.doc_id AS lo, b.doc_id AS hi, CAST(count(*) AS BIGINT) AS inter
+                  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT lo AS a, hi AS b
+               FROM pair JOIN sz sa ON sa.doc_id = lo JOIN sz sb ON sb.doc_id = hi
+               WHERE inter * 20 >= 19 * (sa.n + sb.n - inter))"""
+
+  /** The LPA round CTEs l1..lN, shared by the assignment oracle and its
+    * fixpoint-certificate oracle so the two can never desynchronize. */
+  private[queries] def lpaRoundsCte(n: Int): String =
+    (1 to n).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT adj.v AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+         FROM adj JOIN $prev l ON l.node = adj.u GROUP BY 1, 2),
+         l$i AS MATERIALIZED (SELECT node, lab FROM (
+           SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+
+  private[queries] lazy val labelPropOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lab FROM adj),
+         ${lpaRoundsCte(3)}
+         SELECT node, lab AS label FROM l3"""
+
+  /** LPA fixpoint-certificate oracle: the same 3 unrolled rounds plus one
+    * probe round, then count label moves between l3 and l4 — one row. */
+  private[queries] lazy val labelPropFixpointOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lab FROM adj),
+         ${lpaRoundsCte(4)}
+         SELECT CAST(3 AS INTEGER) AS iters,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(count(*) FILTER (WHERE a.lab <> b.lab) AS BIGINT) AS n_changed,
+                count(*) FILTER (WHERE a.lab <> b.lab) = 0 AS converged
+         FROM l3 a JOIN l4 b ON a.node = b.node"""
+
+  /** k-core oracle: the setsim pair-graph CTE plus three unrolled
+    * bulk-synchronous peel rounds (degree → survivors ≥ k → induced
+    * edges), then the survivors' final degrees — the pagerank-oracle
+    * unrolling pattern, k = 2.
+    */
+  /** The peel-round CTEs (degrees → alive ≥ k → induced edges) for rounds
+    * 1..n plus the post-round degree frame d(n+1), shared by the k-core
+    * oracle and its fixpoint-certificate oracle. */
+  private[queries] def kcoreDegsCte(i: Int): String =
+    s"""d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+           (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1)"""
+
+  private[queries] def kcoreRoundsCte(n: Int, k: Int): String =
+    (1 to n).map { i =>
+      s"""${kcoreDegsCte(i)},
+         a$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k),
+         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+                 WHERE u IN (SELECT node FROM a$i) AND v IN (SELECT node FROM a$i))"""
+    }.mkString(",\n         ")
+
+  private[queries] lazy val kcoreOracleSql: String = {
+    val k = 2
+    s"""WITH $setsimEdgesCte,
+         e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e),
+         ${kcoreRoundsCte(3, k)},
+         ${kcoreDegsCte(4)}
+         SELECT node, degree FROM d4 WHERE degree >= $k"""
+  }
+
+  /** k-core fixpoint-certificate oracle: the same 3 unrolled peel rounds
+    * plus one probe round (round 4), then a full diff of the two
+    * survivor (node, degree) sets — one row. */
+  private[queries] lazy val kcoreFixpointOracleSql: String = {
+    val k = 2
+    s"""WITH $setsimEdgesCte,
+         e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e),
+         ${kcoreRoundsCte(4, k)},
+         ${kcoreDegsCte(5)},
+         sr AS MATERIALIZED (SELECT node, degree FROM d4 WHERE degree >= $k),
+         sr1 AS MATERIALIZED (SELECT node, degree FROM d5 WHERE degree >= $k),
+         j AS (SELECT a.node AS na, b.node AS nb
+               FROM sr a FULL JOIN sr1 b ON a.node = b.node AND a.degree = b.degree)
+         SELECT CAST(3 AS INTEGER) AS rounds,
+                CAST(count(na) AS BIGINT) AS n_round_r,
+                CAST(count(nb) AS BIGINT) AS n_round_r1,
+                CAST(count(*) FILTER (WHERE na IS NULL OR nb IS NULL) AS BIGINT) AS n_diff,
+                count(*) FILTER (WHERE na IS NULL OR nb IS NULL) = 0 AS at_fixpoint
+         FROM j"""
+  }
+
+  /** k-center coreset oracle: the same greedy unrolled — c1 = smallest id,
+    * then k−1 rounds of (fold newest center into min_d, argmax). The
+    * distance is a correlated scalar subquery per round over the exact
+    * quantized grid, so the walk replays the engine integer-for-integer. */
+  private[queries] def coresetOracleSql(k: Int): String = {
+    val dist = (qa: String, qb: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> ($qa[i] - $qb[i]) * ($qa[i] - $qb[i])))"
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (
+           SELECT m.id, m.qv,
+                  least(m.min_d, ${dist("m.qv", "c.qv")}) AS min_d
+           FROM m${r - 1} m CROSS JOIN c${r - 1} c),
+         c$r AS MATERIALIZED (
+           SELECT id, qv, min_d FROM m$r ORDER BY min_d DESC, id ASC LIMIT 1)"""
+    }.mkString(",\n         ")
+    val out = (2 to k)
+      .map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, id AS vec_id, CAST(min_d AS BIGINT) AS dist_sq FROM c$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH q0 AS MATERIALIZED (
+           SELECT vec_id AS id,
+             list_transform(range(1, 65),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c1 AS MATERIALIZED (SELECT id, qv FROM q0 ORDER BY id ASC LIMIT 1),
+         m1 AS MATERIALIZED (
+           SELECT q0.id, q0.qv, ${dist("q0.qv", "c.qv")} AS min_d
+           FROM q0 CROSS JOIN c1 c),
+         $rounds
+         SELECT CAST(1 AS INTEGER) AS round, id AS vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1
+         UNION ALL $out"""
+  }
+
+  /** Poisson-bootstrap oracle: the same B weight derivations, one grouped
+    * pass, CI interpolation constants computed with the IDENTICAL Scala
+    * arithmetic the engine's interp uses (embedded via Double.toString,
+    * which round-trips exactly). */
+  private[queries] def bootstrapOracleSql(reps: Int): String = {
+    val cs = graft.ext.Stats.PoissonCdf
+    val hCols = (0 until (reps + 3) / 4)
+      .map(g => s"md5(concat(CAST(event_id AS VARCHAR), '_$g')) AS h$g")
+      .mkString(",\n           ")
+    def u(b: Int) =
+      s"CAST(CAST(concat('0x', substr(h${b / 4}, ${1 + 8 * (b % 4)}, 8)) " +
+        s"AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0"
+    val uCols = (0 until reps).map(b => s"${u(b)} AS u$b").mkString(",\n           ")
+    val wCols = (0 until reps).map(b =>
+      s"(CASE WHEN u$b < ${cs(0)} THEN 0 WHEN u$b < ${cs(1)} THEN 1 " +
+        s"WHEN u$b < ${cs(2)} THEN 2 WHEN u$b < ${cs(3)} THEN 3 ELSE 4 END) AS w$b")
+      .mkString(",\n           ")
+    val aggCols = (0 until reps).map(b =>
+      s"CAST(sum(CAST(w$b AS HUGEINT) * v) AS HUGEINT) AS s$b, CAST(sum(w$b) AS BIGINT) AS n$b")
+      .mkString(",\n           ")
+    val meanList = (0 until reps)
+      .map(b => s"CASE WHEN n$b > 0 THEN CAST(s$b AS DOUBLE) / CAST(n$b AS DOUBLE) END")
+      .mkString(", ")
+    val nNull = (0 until reps).map(b => s"CASE WHEN n$b > 0 THEN 0 ELSE 1 END").mkString(" + ")
+    def interp(p: Double): String = {
+      val pos = (reps - 1) * p
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      val frac = pos - lo
+      s"round(ms[${lo + 1}] + (ms[${hi + 1}] - ms[${lo + 1}]) * $frac, 6)"
+    }
+    s"""WITH base AS (SELECT event_type AS grp, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         hh AS (SELECT grp, v,
+           $hCols
+           FROM base),
+         uu AS (SELECT grp, v,
+           $uCols
+           FROM hh),
+         ww AS (SELECT grp, v,
+           $wCols
+           FROM uu),
+         a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+           $aggCols
+           FROM ww GROUP BY grp),
+         m AS (SELECT grp, n, sx, list_sort([$meanList]) AS ms, ($nNull) AS nnull FROM a)
+         SELECT grp, n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+                CASE WHEN nnull = 0 THEN ${interp(0.025)} END AS ci_lo,
+                CASE WHEN nnull = 0 THEN ${interp(0.975)} END AS ci_hi
+         FROM m"""
+  }
+
+  /** ε-DP count-release oracle — shared verbatim by the batch release and
+    * its streaming parity twin, so the two can never desynchronize. */
+  private[queries] lazy val dpCountsOracleSql: String =
+    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+         h AS (SELECT *,
+                 CAST(concat('0x', substr(md5(concat_ws('|', event_type,
+                   CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999998 + 1 AS v
+               FROM g),
+         u AS (SELECT event_type, day, n,
+                 CAST(v AS DOUBLE) / 1000000.0 - 0.5 AS u FROM h)
+         SELECT event_type, day,
+                round(CAST(n AS DOUBLE) +
+                      round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 6), 6) AS n_dp,
+                CAST(1.0 AS DOUBLE) AS epsilon
+         FROM u"""
+
+  /** The unrolled BFS round CTEs n1..nN/b1..bN over the `und` adjacency and
+    * seed frame `b0`, shared by the distance oracle and its fixpoint twin.
+    * Round i discovers `ni` (frontier-adjacent, not yet reached) at
+    * distance i — identical timing to the engine's frontier expansion. */
+  private[queries] def bfsRoundsCte(n: Int): String =
+    (1 to n).map { i =>
+      val pb = s"b${i - 1}"
+      val pf = if (i == 1) "b0" else s"n${i - 1}"
+      s"""n$i AS MATERIALIZED (SELECT DISTINCT u.d AS node FROM und u
+           JOIN $pf f ON u.s = f.node
+           WHERE u.d NOT IN (SELECT node FROM $pb)),
+         b$i AS MATERIALIZED (SELECT node, dist FROM $pb
+           UNION ALL SELECT node, $i AS dist FROM n$i)"""
+    }.mkString(",\n         ")
+
+  private[queries] lazy val bfsOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         und AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
+         b0 AS MATERIALIZED (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0),
+         ${bfsRoundsCte(3)}
+         SELECT node, CAST(dist AS INTEGER) AS dist FROM b3"""
+
+  private[queries] lazy val bfsFixpointOracleSql: String =
+    s"""WITH $setsimEdgesCte,
+         und AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
+         b0 AS MATERIALIZED (SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 100 = 0),
+         ${bfsRoundsCte(4)}
+         SELECT CAST(3 AS INTEGER) AS rounds,
+                CAST((SELECT count(*) FROM b3) AS BIGINT) AS n_reached,
+                CAST((SELECT count(*) FROM n4) AS BIGINT) AS n_new_probe,
+                (SELECT count(*) FROM n4) = 0 AS at_fixpoint"""
+
+  private[queries] def hexval(expr: String): String =
+    s"(strpos('0123456789abcdef', $expr) - 1)"
+
+  /** occ of literal term in padded lowered text (see TextStats.occurrences). */
+  private[queries] def occSql(term: String): String =
+    s"CAST((length(p) - length(replace(p, '$term', ''))) / ${term.length} AS BIGINT)"
+
+  private[queries] val langScoreSqls: Seq[(String, String)] =
+    TextStats.StopwordLexicons.map { case (lang, lex) =>
+      lang -> lex.map(occSql).mkString(" + ")
+    }
+
+  private[queries] val ngramScoreSqls: Seq[(String, String)] =
+    TextStats.TrigramProfiles.map { case (lang, grams) =>
+      lang -> grams.map(occSql).mkString(" + ")
+    }
+
+  /** The minhash-signature → banded-bucket → candidate-pair CTE chain,
+    * defined ONCE and composed by every LSH oracle (batch pairs, streaming
+    * parity, verified survivors, cluster chain) so a change to the
+    * signature scheme cannot desynchronize them.
+    */
+  private[queries] lazy val sigBandedCte: String = """
+        , sig AS (
+          SELECT doc_id, [
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x), 25, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  1, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'),  9, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 17, 8)), 'min'),
+            list_aggregate(list_transform(grams, x -> substr(md5(x || '#1'), 25, 8)), 'min')
+          ] AS sig FROM g
+        ), banded AS (
+          SELECT doc_id, b, md5(concat(sig[2*b + 1], '|', sig[2*b + 2])) AS bh
+          FROM sig, range(0, 4) t(b)
+        )"""
+
+  private[queries] lazy val sigBandedCandsCte: String = sigBandedCte + """
+        , cands AS (
+          SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )"""
+
+  /** The language/quality/token profile of every document (the composed
+    * quality-gate inputs, identical formulas to `TextStats.profileNativeDF`)
+    * — shared by the `corpus_filter` gate and the `corpus_data_card`
+    * summary so the scoring definitions cannot drift.
+    */
+  private[queries] lazy val profileCte: String =
+    s"""WITH base AS (
+            SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p,
+              CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+              CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+            FROM documents
+          ), sc AS (
+            SELECT *, ${langScoreSqls.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")} FROM base
+          ), b AS (
+            SELECT *, greatest(${langScoreSqls.map(x => "s_" + x._1).mkString(", ")}) AS best FROM sc
+          ), scored AS (
+            SELECT doc_id,
+              CASE ${langScoreSqls.map { case (l, _) => s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+                   ELSE 'und' END AS lang,
+              round(CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END * 0.4 +
+                    least(CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2.0, 1.0) * 0.4 +
+                    CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END, 4) AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM b
+          )
+    """
+
+  /** The deterministic-changelog CDC snapshot (every 7th order re-priced,
+    * every 11th deleted at a later sequence) — shared by the batch window
+    * apply (`scd_changelog_apply`) and the streaming max_by parity twin
+    * (`stream_changelog_parity`).
+    */
+  private[queries] lazy val changelogApplySql: String =
+    """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+       FROM orders
+       WHERE o_orderkey % 11 <> 0"""
+
+  /** The BPE training oracle: K unrolled stages, each one pair-count →
+    * argmax (cnt desc, lexicographic tiebreak) → greedy left-to-right
+    * rewrite via a list_reduce fold into a chr(1)-joined accumulator —
+    * the exact fold the Spark operator runs, so every stage's corpus
+    * state (and therefore every later count) matches string-for-string.
+    */
+  private[queries] def bpeRewriteSql(m: String): String =
+    s"""string_split(list_reduce(list_prepend('', toks),
+          (acc, tk) -> CASE
+            WHEN acc = '' THEN tk
+            WHEN (acc = $m.a OR ends_with(acc, chr(1) || $m.a)) AND tk = $m.b
+              THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
+            ELSE acc || chr(1) || tk END), chr(1))"""
+
+  /** The K unrolled training stages (t0 sample → m1..mK merge picks with
+    * the intermediate rewrites) — the WITH prefix shared by the training
+    * oracle (`text_bpe_merges`) and the encode oracle (`text_bpe_encode`),
+    * so the merge table both replay is one definition.
+    */
+  private[queries] def bpeTrainCtesSql(K: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH t0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id % 10 = 0)"""
+    for (i <- 1 to K) {
+      sb ++= s""", m$i AS (
+        SELECT a, b, CAST(c AS BIGINT) AS cnt FROM (
+          SELECT toks[u.i] AS a, toks[u.i + 1] AS b, count(*) AS c
+          FROM t${i - 1}, unnest(range(1, len(toks))) u(i)
+          GROUP BY 1, 2)
+        ORDER BY c DESC, a, b LIMIT 1)"""
+      if (i < K)
+        sb ++= s""", t$i AS (
+        SELECT doc_id, ${bpeRewriteSql(s"m$i")} AS toks
+        FROM t${i - 1} CROSS JOIN m$i)"""
+    }
+    sb.toString
+  }
+
+  private[queries] lazy val bpeMergesSql: String = {
+    val K = 8
+    bpeTrainCtesSql(K) + (1 to K)
+      .map(i => s"SELECT $i AS rank, a, b, a || b AS merged, cnt FROM m$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+  }
+
+  /** Encode oracle: train (shared CTEs), then chain the K rewrites over
+    * ALL documents and report the before/after token counts.
+    */
+  private[queries] lazy val bpeEncodeSql: String = {
+    val K = 8
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtesSql(K)
+    sb ++= """, e0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)"""
+    for (i <- 1 to K)
+      sb ++= s""", e$i AS (
+        SELECT doc_id, ${bpeRewriteSql(s"m$i")} AS toks
+        FROM e${i - 1} CROSS JOIN m$i)"""
+    sb ++= s"""
+      SELECT e0.doc_id,
+             CAST(len(e0.toks) AS BIGINT) AS n_raw,
+             CAST(len(e$K.toks) AS BIGINT) AS n_bpe
+      FROM e0 JOIN e$K USING (doc_id)"""
+    sb.toString
+  }
+
+  /** Incremental-ingestion probe + exact-Jaccard verify: every 5th doc is
+    * the incoming batch, the rest the corpus index. Shared verbatim by the
+    * batch probe (`dedup_incremental`) and the stream-static parity twin
+    * (`stream_incremental_parity`) — the parity claim IS one oracle.
+    */
+  private[queries] lazy val incrementalProbeSql: String =
+    gramsCte + sigBandedCte + """
+        , cands AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        )
+        SELECT new_id, corpus_id,
+          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
+        FROM cands
+        JOIN g ga ON ga.doc_id = new_id
+        JOIN g gb ON gb.doc_id = corpus_id
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""
+
+  /** The batch LSH candidate-pair derivation — shared verbatim by the
+    * batch query's oracle and the streaming-parity oracle (the parity claim
+    * IS that the two candidate sets are identical).
+    */
+  private[queries] lazy val minhashPairsOracleSql: String =
+    gramsCte + sigBandedCandsCte + """
+      SELECT id_lo, id_hi FROM cands"""
+
+  /** The VERIFIED-pair variant of [[clusterChainSql]]: candidates pass the
+    * exact-Jaccard gate before symmetric closure — the reachability base of
+    * the streaming candidates → verify → survivors composition.
+    */
+  private[queries] lazy val verifiedClusterChainSql: String =
+    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + sigBandedCandsCte + """
+        , ver AS (
+          SELECT id_lo, id_hi
+          FROM cands
+          JOIN g ga ON ga.doc_id = id_lo
+          JOIN g gb ON gb.doc_id = id_hi
+          WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7
+        ), sym AS (
+          SELECT id_lo AS a, id_hi AS b FROM ver
+          UNION
+          SELECT id_hi, id_lo FROM ver
+        ), reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+          UNION
+          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        )"""
+
+  /** The LSH-candidate → symmetric-closure → reachability chain shared by
+    * the cluster oracle and the survivor oracle (one definition so the two
+    * cannot drift).
+    */
+  private[queries] lazy val clusterChainSql: String =
+    gramsCte.replaceFirst("WITH", "WITH RECURSIVE") + sigBandedCandsCte + """
+        , sym AS (
+          SELECT id_lo AS a, id_hi AS b FROM cands
+          UNION
+          SELECT id_hi, id_lo FROM cands
+        ), reach(id, r) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+          UNION
+          SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        )"""
+
+  /** The arithmetic PNG/BMP decode oracle — shared verbatim by the batch
+    * query and the streaming-parity twin (the parity claim IS that the two
+    * decode outputs are identical).
+    */
+  private[queries] lazy val decodeRealOracleSql: String =
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                CAST(1 + doc_id % 11 AS INTEGER) AS height
+         FROM documents)
+       SELECT d.doc_id AS asset_id,
+              CASE WHEN d.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+              d.width, d.height,
+              CAST(sum((d.doc_id * 31 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
+       FROM dims d
+       CROSS JOIN generate_series(0, 12) AS x(g)
+       CROSS JOIN generate_series(0, 10) AS y(g)
+       WHERE x.g < d.width AND y.g < d.height
+       GROUP BY 1, 2, 3, 4"""
+
+  /** Shared dHash CTEs: replay [[graft.ext.Multimodal.dHashImages]]
+    * arithmetically — the id-derived pixel formula sampled on the 9×7
+    * integer-div grid, horizontal-gradient bits OR-ed into the 56-bit
+    * hash (bit 55 max: positive BIGINT in both engines).
+    */
+  private[queries] lazy val dhashCtesSql: String =
+    """WITH dims AS (
+         SELECT doc_id AS id,
+                1 + doc_id % 13 AS w,
+                1 + doc_id % 11 AS h
+         FROM documents),
+       grid AS (
+         SELECT d.id, x.g AS x, y.g AS y,
+                (d.id * 31 + 7 * ((x.g * d.w) // 9) + 13 * ((y.g * d.h) // 7)) % 256 AS v
+         FROM dims d
+         CROSS JOIN generate_series(0, 8) AS x(g)
+         CROSS JOIN generate_series(0, 6) AS y(g)),
+       bits AS (
+         SELECT a.id, CAST(a.y * 8 + a.x AS BIGINT) AS bit
+         FROM grid a JOIN grid b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+         WHERE a.x < 8 AND b.v > a.v),
+       hashes AS (
+         SELECT d.id, d.w, d.h,
+                CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS dhash
+         FROM dims d LEFT JOIN bits b ON b.id = d.id
+         GROUP BY d.id, d.w, d.h)"""
+
+  private[queries] lazy val dhashOracleSql: String =
+    s"""$dhashCtesSql
+       SELECT id AS asset_id,
+              CAST(w AS INTEGER) AS width,
+              CAST(h AS INTEGER) AS height,
+              dhash
+       FROM hashes"""
+
+  private[queries] lazy val dhashNearDupOracleSql: String =
+    s"""$dhashCtesSql,
+       bands AS (
+         SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS id_lo, r.id AS id_hi,
+              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       WHERE bit_count(xor(l.dhash, r.dhash)) <= 8"""
+
+  /** Shared audio-fingerprint CTEs: replay
+    * [[graft.ext.Multimodal.audioFingerprints]] arithmetically from the
+    * id-derived PCM formula. Frame of sample i under boundaries
+    * `lo_f = f·n div 57` has the closed form `(i·57 + 56) div n`
+    * (verified exhaustively for n ∈ [100, 300)).
+    */
+  private[queries] lazy val audioFpCtesSql: String =
+    """WITH ids AS (SELECT doc_id AS id, 100 + doc_id % 200 AS n FROM documents),
+       smp AS (
+         SELECT x.id, x.n, i.g AS i,
+                ((x.id * 31 + 7 * i.g) % 2003 - 1001) AS s,
+                (i.g * 57 + 56) // x.n AS f
+         FROM ids x JOIN generate_series(0, 298) AS i(g) ON i.g < x.n),
+       en AS (SELECT id, n, f, CAST(sum(s * s) AS BIGINT) AS e
+              FROM smp GROUP BY id, n, f),
+       bits AS (SELECT a.id, CAST(a.f AS BIGINT) AS bit
+                FROM en a JOIN en b ON a.id = b.id AND b.f = a.f + 1
+                WHERE a.f < 56 AND b.e > a.e),
+       fps AS (SELECT x.id, x.n, CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS fingerprint
+               FROM ids x LEFT JOIN bits b ON b.id = x.id GROUP BY x.id, x.n)"""
+
+  private[queries] lazy val audioFpOracleSql: String =
+    s"""$audioFpCtesSql
+       SELECT id AS asset_id, CAST(n AS BIGINT) AS n_samples, fingerprint FROM fps"""
+
+  private[queries] lazy val audioNearDupOracleSql: String =
+    s"""$audioFpCtesSql,
+       bands AS (
+         SELECT id, fingerprint, b.g AS band, (fingerprint >> (b.g * 14)) & 16383 AS bv
+         FROM fps CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS id_lo, r.id AS id_hi,
+              CAST(bit_count(xor(l.fingerprint, r.fingerprint)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+       WHERE bit_count(xor(l.fingerprint, r.fingerprint)) <= 8"""
+
+  /** PQ/ADC oracle: per subspace j (offset j·16), one unrolled Lloyd's
+    * iteration (c0 seed slices → assign → half-up means → c1 with the
+    * empty-cell rule), then codes under c1 and the ADC sum as nsub
+    * per-subspace distance-table joins. Generated, not hand-written, so
+    * subspace count/width change in one place.
+    */
+  /** The two-iteration Lloyd's coarse-quantizer training + serving-side
+    * assignment/probe CTEs (c0..c2, cdist, assign, qprobe at nprobe=2) —
+    * shared verbatim by the trained-IVF oracle and the IVFPQ composition.
+    */
+  private[queries] lazy val ivfKmeansCtesSql: String = ivfKmeansCtes("vec_id < 10", 2)
+
+  private[queries] def ivfKmeansCtes(queryPred: String, nprobe: Int): String = s""", c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 8)
+        )
+        -- Lloyd's iteration 1: assign to nearest c0 centroid, re-mean
+        , d1 AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c0 c
+        ), a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d1) WHERE rn = 1
+        ), m1 AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a1 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
+          GROUP BY a.cell, t.i
+        ), n1 AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m1 GROUP BY cell
+        ), c1 AS (
+          SELECT cell, cq FROM n1
+          UNION ALL
+          SELECT c.cell, c.cq FROM c0 c WHERE c.cell NOT IN (SELECT cell FROM n1)
+        )
+        -- Lloyd's iteration 2
+        , d2 AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c1 c
+        ), a2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d2) WHERE rn = 1
+        ), m2 AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a2 a JOIN qz z USING (vec_id), unnest(range(1, 65)) t(i)
+          GROUP BY a.cell, t.i
+        ), n2 AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m2 GROUP BY cell
+        ), c2 AS (
+          SELECT cell, cq FROM n2
+          UNION ALL
+          SELECT c.cell, c.cq FROM c1 c WHERE c.cell NOT IN (SELECT cell FROM n2)
+        )
+        -- serving under the trained quantizer (same shape as ann_ivf_topk)
+        , cdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c2 c
+        ), assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist) WHERE rn = 1
+        ), qprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM cdist WHERE $queryPred) WHERE rn <= $nprobe
+        )"""
+
+  /** The per-subspace PQ training + coding CTE block (c0_j .. cd_j per
+    * subspace j) — shared by the standalone PQ oracle and the IVFPQ
+    * composition.
+    */
+  private[queries] def pqSubspaceCtesSql(nsub: Int, nlist: Int, dsub: Int): String = {
+    val sb = new StringBuilder
+    for (j <- 0 until nsub) {
+      val off = j * dsub
+      sb ++= s"""
+        , c0_$j AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                 q[${off + 1}:${off + dsub}] AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT $nlist)
+        ), d1_$j AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (z.q[i + $off] - c.cq[i]) * (z.q[i + $off] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c0_$j c
+        ), a1_$j AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d1_$j) WHERE rn = 1
+        ), m1_$j AS (
+          SELECT a.cell, t.i AS pos,
+                 CAST(floor(CAST(sum(z.q[t.i + $off]) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+          FROM a1_$j a JOIN qz z USING (vec_id), unnest(range(1, ${dsub + 1})) t(i)
+          GROUP BY a.cell, t.i
+        ), n1_$j AS (
+          SELECT cell, list(v ORDER BY pos) AS cq FROM m1_$j GROUP BY cell
+        ), c1_$j AS (
+          SELECT cell, cq FROM n1_$j
+          UNION ALL
+          SELECT c.cell, c.cq FROM c0_$j c WHERE c.cell NOT IN (SELECT cell FROM n1_$j)
+        ), d2_$j AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, ${dsub + 1}), i -> (z.q[i + $off] - c.cq[i]) * (z.q[i + $off] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN c1_$j c
+        ), cd_$j AS (
+          SELECT vec_id, cell AS code FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM d2_$j) WHERE rn = 1
+        )"""
+    }
+    sb.toString
+  }
+
+  private[queries] def pqAdcSumSql(nsub: Int): String =
+    (0 until nsub).map(j => s"qd$j.d").mkString(" + ")
+
+  private[queries] def pqAdcJoinsSql(nsub: Int, candAlias: String): String =
+    (0 until nsub)
+      .map(j =>
+        s"JOIN cd_$j ON cd_$j.vec_id = $candAlias.cand_id JOIN d2_$j qd$j ON qd$j.vec_id = $candAlias.query_id AND qd$j.cell = cd_$j.code")
+      .mkString("\n        ")
+
+  private[queries] lazy val pqAdcSql: String = {
+    val nsub = 4
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
+    sb ++= s"""
+      , pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM qz a CROSS JOIN qz b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      ), scored AS (
+        SELECT p.query_id, p.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM pairs p
+        ${pqAdcJoinsSql(nsub, "p")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
+    sb.toString
+  }
+
+  /** PQ→exact-rerank oracle: the 8x8 training/coding/ADC CTEs keep the
+    * top-100 per query, then the exact quantized-cosine rerank (the
+    * ann_int8_rerank tail, reading qz directly) cuts to 5.
+    */
+  private[queries] lazy val pqRerankSql: String = {
+    val nsub = 8
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= pqSubspaceCtesSql(nsub, 8, 8)
+    sb ++= s"""
+      , pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+        FROM qz a CROSS JOIN qz b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      ), scored AS (
+        SELECT p.query_id, p.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM pairs p
+        ${pqAdcJoinsSql(nsub, "p")}
+      ), cand AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+          FROM scored) WHERE rk <= 100
+      ), ex AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * cv.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * qv.q[i])) AS BIGINT) AS naa,
+               CAST(list_sum(list_transform(range(1, 65), i -> cv.q[i] * cv.q[i])) AS BIGINT) AS ncc
+        FROM cand c JOIN qz qv ON qv.vec_id = c.query_id JOIN qz cv ON cv.vec_id = c.cand_id
+      ), rr AS (
+        SELECT query_id, cand_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(naa AS DOUBLE) * CAST(ncc AS DOUBLE)) AS sim
+        FROM ex
+      ), rranked AS (
+        SELECT query_id, cand_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+        FROM rr
+      )
+      SELECT query_id, cand_id, rank, sim FROM rranked WHERE rank <= 5"""
+    sb.toString
+  }
+
+  /** IVFPQ oracle: the trained coarse quantizer's probe/candidate CTEs
+    * (shared with `ann_ivf_kmeans`) composed with the per-subspace PQ
+    * chains (shared with `ann_pq_topk`); ranking is the ADC sum over the
+    * PROBED candidates only.
+    */
+  private[queries] lazy val ivfPqSql: String = {
+    val nsub = 4
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= "\n        "
+    sb ++= ivfKmeansCtesSql
+    sb ++= """
+      , cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM qprobe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+      )"""
+    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
+    sb ++= s"""
+      , scored AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM cand c
+        ${pqAdcJoinsSql(nsub, "c")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 5"""
+    sb.toString
+  }
+
+  /** Batch-scoring oracle: ivfPqSql's composition with the 50-query probe
+    * set and top-3 — the semantics of scoring against the PERSISTED index
+    * are identical to the inline composition (layout is execution, not
+    * meaning), so the oracle differs only in predicate and k.
+    */
+  private[queries] lazy val annIndexScoredSql: String = {
+    val nsub = 4
+    val sb = new StringBuilder
+    sb ++= qzCte
+    sb ++= "\n        "
+    sb ++= ivfKmeansCtes("vec_id < 50", 2)
+    sb ++= """
+      , cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM qprobe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+      )"""
+    sb ++= pqSubspaceCtesSql(nsub, 4, 16)
+    sb ++= s"""
+      , scored AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM cand c
+        ${pqAdcJoinsSql(nsub, "c")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 3"""
+    sb.toString
+  }
+
+  /** The KLL quantile read (level-4 gate over orders, deciles) — shared by
+    * the batch query and the streaming parity twin.
+    */
+  private[queries] lazy val kllQuantilesSql: String =
+    """WITH s AS (
+         SELECT o_totalprice AS v, CAST(o_orderkey AS VARCHAR) AS k FROM orders
+         WHERE o_totalprice IS NOT NULL
+           AND CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+       ), r AS (
+         SELECT v, row_number() OVER (ORDER BY v, k) AS r, count(*) OVER () AS m FROM s
+       ), p AS (
+         SELECT unnest(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[])) AS prob
+       )
+       SELECT p.prob, r.v AS est
+       FROM p JOIN r ON r.r = greatest(1, CAST(ceil(p.prob * r.m) AS BIGINT))"""
+
+  private[queries] val gramsCte: String = """
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+      FROM w
+    )
+  """
+
+  // ---- SRP / quantized-vector oracle builders ---------------------------
+  // The Spark side quantizes vectors (floor(x*1000+0.5) -> BIGINT) and does
+  // ALL similarity math in exact integer arithmetic with md5-derived SRP
+  // coefficients, so these twins reproduce results bit-for-bit: integer
+  // sums are associative (no summation-order divergence) and md5 exists in
+  // both engines.
+
+  private[queries] val qzCte: String = """
+    WITH qz AS (
+      SELECT vec_id,
+        list_transform(range(1, 65),
+          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    )
+  """
+
+  /** Twin of Similarity.srpBucket over the staged `q` column: plane p's
+    * coefficient d is md5("p_d") first-8-hex mod 1000 minus 500.
+    */
+  /** SRP bucket over quantized vector `q` for `planes` sign bits; table
+    * `offset` shifts the GLOBAL plane index (md5 seed) while bit weights
+    * stay local — the SQL twin of Similarity.srpBucketQ(_, _, planes,
+    * offset).
+    */
+  private[queries] def srpBucketSql(planes: Int, offset: Int = 0): String =
+    (0 until planes)
+      .map { j =>
+        val p = offset + j
+        s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] *
+           (CAST(concat('0x', substr(md5(concat('${p}_', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT)
+            % 1000 - 500))) >= 0 THEN ${1 << j} ELSE 0 END)"""
+      }
+      .mkString(" + ")
+
+  /** Twin of Similarity.cosine over quantized vectors. */
+  /** DSIR oracle prefix shared by the score and selection twins: hashed
+    * token buckets (md5 first-8-hex mod 256, the Hashing.md5Long gate),
+    * raw/target bucket counts, and the integer-ratio weight table —
+    * Curation.dsirBucketWeights replayed verbatim. DuckDB sums BIGINT
+    * into HUGEINT, so consumers cast the final sum back to BIGINT.
+    */
+  private[queries] val dsirCtesSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, t AS tok FROM (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents) u
+      WHERE t <> ''
+    ), tb AS (
+      SELECT doc_id, lang,
+        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM toks
+    ), cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY bucket
+    ), ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+      SELECT CAST((SELECT count(*) FROM tb) AS BIGINT) AS r_tot,
+             CAST((SELECT count(*) FROM tb WHERE lang = 'en') AS BIGINT) AS t_tot
+    ), wt AS (
+      SELECT g.range AS bucket,
+        (1000000 * (COALESCE(ct.ct, 0) + 1) * (tot.r_tot + 256))
+          // ((COALESCE(cr.cr, 0) + 1) * (tot.t_tot + 256)) AS w
+      FROM range(0, 256) g
+      LEFT JOIN ct ON ct.bucket = g.range
+      LEFT JOIN cr ON cr.bucket = g.range
+      CROSS JOIN tot
+    )"""
+
+  /** The full DSIR scoring twin — shared verbatim by the batch query and
+    * the streaming parity surface (layout differs, meaning must not).
+    */
+  private[queries] val dsirScoresSql: String = dsirCtesSql + """
+         SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+         FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id"""
+
+  /** Temperature-mix twin — shared verbatim by the batch query and the
+    * streaming serving-gate parity surface. Mirrors Curation.keepRates:
+    * per-stratum keep rate computed once on the tiny counts table in
+    * HUGEINT (exact — the old per-row BIGINT triple product overflowed
+    * past √n̅_b·n_s ≈ 9·10¹²), per-row gate a single compare. The
+    * null-safe join and `s NULLS FIRST` tie-break match Spark's `<=>`
+    * join and NULLS-FIRST ascending sort.
+    */
+  private[queries] val tempMixSql: String =
+    """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         u AS (SELECT s, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS u
+               FROM c),
+         b AS (SELECT n AS nb, u AS ub FROM (
+                 SELECT *, row_number() OVER (
+                   ORDER BY CAST(n AS DOUBLE) / CAST(u AS DOUBLE), s NULLS FIRST) AS rk
+                 FROM u) WHERE rk = 1),
+         r AS (SELECT u.s,
+                 CAST(CAST(b.nb AS HUGEINT) * u.u * 1000000
+                      // (CAST(b.ub AS HUGEINT) * u.n) AS BIGINT) AS r
+               FROM u CROSS JOIN b)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r ON r.s IS NOT DISTINCT FROM d.source
+         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+               < r.r"""
+
+  /** Shared by ev_asof_join and stream_asof_parity: the DuckDB ASOF LEFT
+    * JOIN with the engine's greatest-tie rule pre-applied per instant.
+    */
+  private[queries] val evAsofJoinSql: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       p0 AS (SELECT user_id, ts, value,
+                row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+       p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+       SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+              epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
+       FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+  /** Shared by ev_attribution_linear and stream_lookback_parity: 3-day
+    * lookback join + integer-cent linear split, remainder to the most
+    * recent touch.
+    */
+  private[queries] val evAttributionLinearSql: String =
+    """WITH p AS (SELECT user_id, ts, event_id AS purchase_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts AS cts, event_id AS click_id
+             FROM events WHERE event_type = 'click'),
+       j AS (SELECT p.user_id, p.purchase_id, p.cents, x.click_id, x.cts
+             FROM p JOIN c x ON x.user_id = p.user_id AND x.cts <= p.ts
+                            AND x.cts >= p.ts - INTERVAL 3 DAY),
+       w AS (SELECT user_id, purchase_id, click_id, cents,
+               CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+               row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rn
+             FROM j)
+       SELECT user_id, purchase_id, click_id, n_touches,
+              CAST(cents // n_touches +
+                   CASE WHEN rn = 1 THEN cents % n_touches ELSE 0 END AS BIGINT) AS credit_cents
+       FROM w"""
+
+  private[queries] def cosSql(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE) /
+        (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS DOUBLE)) *
+         sqrt(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS DOUBLE))))"""
+
+  /** The Hashing.md5Long eval-stratum gate as SQL: md5 first-8-hex mod m. */
+  private[queries] def md5GateSql(x: String, m: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT) % $m = 0"
+
+  /** ann_recall_audit twin: brute-force truth plus all three approximate
+    * ranker chains (the ann_lsh_topk / ann_ivf_topk / ann_pq_topk oracle
+    * CTEs verbatim, re-gated to the md5 eval stratum and CTE-prefixed so
+    * they compose), then recall as exact integer ppm per ranker.
+    */
+  private[queries] lazy val recallAuditSql: String = {
+    val gate = md5GateSql("vec_id", 8)
+    val gateA = md5GateSql("a.vec_id", 8)
+    def hitRow(name: String, top: String): String =
+      s"""SELECT '$name' AS ranker, b.n_queries, b.n_truth, h.n_hits,
+            h.n_hits * 1000000 // b.n_truth AS recall_ppm
+          FROM rb b CROSS JOIN
+            (SELECT CAST(count(*) AS BIGINT) AS n_hits
+             FROM $top x JOIN truth t USING (query_id, cand_id)) h"""
+    qzCte + pqSubspaceCtesSql(4, 4, 16) + s"""
+        -- exact truth on the stratum (bruteForceTopK's separate-sqrt cosine)
+        , t_pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+          FROM qz a CROSS JOIN qz b
+          WHERE $gateA AND a.vec_id <> b.vec_id
+        ), t_scored AS (
+          SELECT p.query_id, p.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM t_pairs p
+          JOIN qz qa ON qa.vec_id = p.query_id
+          JOIN qz qb ON qb.vec_id = p.cand_id
+        ), truth AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM t_scored) WHERE rank <= 5
+        )
+        -- SRP-LSH chain (ann_lsh_topk verbatim, l_-prefixed)
+        , l_bkt AS (
+${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6, t * 6)} AS bucket FROM qz").mkString("\n          UNION ALL\n")}
+        ), l_probes AS (
+          SELECT vec_id AS query_id, tbl,
+                 unnest(list_distinct([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                                       xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)])) AS bucket
+          FROM l_bkt WHERE $gate
+        ), l_cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+          FROM l_probes p JOIN l_bkt c ON c.tbl = p.tbl AND c.bucket = p.bucket
+          WHERE c.vec_id <> p.query_id
+        ), l_scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM l_cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), l_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM l_scored) WHERE rank <= 5
+        )
+        -- IVF chain (ann_ivf_topk verbatim, i_-prefixed)
+        , i_cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+          FROM (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 16)
+        ), i_cdist AS (
+          SELECT z.vec_id, c.cell,
+                 list_sum(list_transform(range(1, 65), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+          FROM qz z CROSS JOIN i_cent c
+        ), i_assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM i_cdist) WHERE rn = 1
+        ), i_qprobe AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM i_cdist WHERE $gate) WHERE rn <= 4
+        ), i_cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+          FROM i_qprobe p JOIN i_assign a ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ), i_scored AS (
+          SELECT u.query_id, u.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+          FROM i_cand u
+          JOIN qz qa ON qa.vec_id = u.query_id
+          JOIN qz qb ON qb.vec_id = u.cand_id
+        ), i_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+            FROM i_scored) WHERE rank <= 5
+        )
+        -- PQ/ADC chain (ann_pq_topk's subspace CTEs above, p_-prefixed tail)
+        , p_pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+          FROM qz a CROSS JOIN qz b
+          WHERE $gateA AND a.vec_id <> b.vec_id
+        ), p_scored AS (
+          SELECT p.query_id, p.cand_id,
+                 CAST(${pqAdcSumSql(4)} AS BIGINT) AS adc
+          FROM p_pairs p
+          ${pqAdcJoinsSql(4, "p")}
+        ), p_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rk
+            FROM p_scored) WHERE rk <= 5
+        )
+        , rb AS (
+          SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                 CAST(count(*) AS BIGINT) AS n_truth
+          FROM truth
+        )
+        ${hitRow("ivf_16_4", "i_top")}
+        UNION ALL
+        ${hitRow("lsh_srp_4t", "l_top")}
+        UNION ALL
+        ${hitRow("pq_adc_4x4", "p_top")}"""
+  }
+
+}

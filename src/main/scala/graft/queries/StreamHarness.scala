@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ops.{TemporalOps, ZOrderOps}
+import graft.streaming.Sessionize
+
+/** The MemoryStream parity-harness runtime shared by every stream_* query
+  * (split out of Extensions.scala): the low-partition clone session, the
+  * pre-staged chunked feed, and the memory-sink drain.
+  */
+private[graft] object StreamHarness {
+
+  /** Materialize a memory-sink table into a local DataFrame and DROP the
+    * temp view. A memory sink holds its whole result set on the driver and
+    * bench runs each parity query three times (warmup + two timed passes),
+    * so leaving the per-invocation views registered accumulates dead result
+    * copies for the JVM's lifetime.
+    */
+  /** Isolated session for the streaming parity harnesses. Stateful
+    * streaming tasks commit one state store per shuffle partition per
+    * micro-batch; at harness scale (thousands of rows, 2-3 micro-batches)
+    * 32 partitions is pure commit overhead — a production deployment sizes
+    * this to its key cardinality, and the parity claim is partition-count
+    * independent. `newSession` shares the SparkContext but NOT runtime-set
+    * SQL confs, so the fixture-critical ones are copied over explicitly.
+    */
+  /** Test hook: the clone the most recent stream-parity query ran on.
+    * Sink views register in the CLONE's catalog, so hygiene specs must
+    * inspect this session — listing the base session's tables would pass
+    * vacuously even if `drainSink` stopped dropping the view.
+    */
+  @volatile private[graft] var lastStreamSession: SparkSession = _
+
+  private[queries] def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    // every micro-batch pays fixed planning + state-store load/commit
+    // (~0.3-0.6 s measured at harness scale), so the harness feeds each
+    // stream as ONE deterministic batch (feedChunked) plus at most one
+    // sentinel batch — and the automatic no-data batches that would fire
+    // after each watermark advance are pure overhead here (the explicit
+    // sentinel batch is what flushes append-mode state, and parity is
+    // batch-cadence independent)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // each parity query lives for 1-2 micro-batches and is never resumed
+    // (nanoTime-unique sinks), so checkpoint history and background state
+    // maintenance are pure overhead: retain one batch, push maintenance
+    // past the query lifetime
+    s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    // checkpoints (offset/commit logs + state snapshots) are fsync-heavy
+    // tiny-file writes; a RAM-backed root removes that fixed per-batch
+    // disk cost. Pid-scoped and deleted at JVM exit (Scratch); every sink
+    // name is nanoTime-unique so a run never resumes a prior checkpoint.
+    val ckptRoot =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s2.conf.set(
+      "spark.sql.streaming.checkpointLocation",
+      graft.queries.Scratch.dirAt(ckptRoot, "stream_ckpt", "root"))
+    s2.conf.set(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    s2.conf.set(
+      "spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    lastStreamSession = s2
+    s2
+  }
+
+  /** Stage `data` into the MemoryStream as ~16 blocks BEFORE the query
+    * starts. One addData call is one source block is one input partition,
+    * so a monolithic feed serializes the first micro-batch's map side on
+    * one thread; and feeding after `start()` races the trigger loop into
+    * an arbitrary batch split (observed: a 100k-row feed landing as 25k +
+    * 75k batches, each paying the fixed batch overhead). Pre-staged
+    * chunked blocks give exactly ONE micro-batch with a parallel map side
+    * — the availableNow shape. Callers needing a SECOND deterministic
+    * batch (sentinels, the index-maintenance cycles) addData after the
+    * first processAllAvailable returns, when the trigger loop is idle.
+    */
+  private[queries] def feedChunked[A](
+      mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      data: Seq[A]): Unit =
+    if (data.nonEmpty) {
+      val chunk = math.max(1, (data.length + 15) / 16)
+      data.grouped(chunk).foreach(g => mem.addData(g: _*))
+    }
+
+  private[queries] def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {
+    val shaped = shape(s.table(sink))
+    val rows = shaped.collect()
+    val schema = shaped.schema
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+}

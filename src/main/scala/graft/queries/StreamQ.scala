@@ -1,0 +1,859 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ops.{TemporalOps, ZOrderOps}
+import graft.streaming.Sessionize
+
+/** Stream/batch parity surfaces (split out of Extensions.scala): every
+  * stream_* query drives an operator through MemoryStream on the
+  * StreamHarness clone session and hash-matches its batch twin's DuckDB
+  * oracle — layout is execution, meaning must not change.
+  */
+object StreamQ {
+  import QShared._
+  import StreamHarness._
+  import OracleSql._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAM/BATCH PARITY: the Structured Streaming session_window twin run
+    // over MemoryStream on the same events fixture, hash-checked against the
+    // batch DuckDB oracle — proof the watermarked streaming formulation
+    // computes byte-identical sessions. Two far-future sentinel batches push
+    // the event-time watermark past every real session so append mode
+    // finalizes them all; the sentinel user is excluded from the output.
+    "stream_session_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[(Long, java.sql.Timestamp)] = Fixtures
+        .events(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .collect()
+      val maxMs = ev.iterator.map(_._2.getTime).max
+      val sentinel = -1L
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val stream = Sessionize.sessionWindowStream(
+        mem.toDF().toDF("user_id", "ts"), "user_id", "ts", gapMinutes = 30)
+      // unique per invocation: bench/warmup run the query repeatedly and a
+      // memory-sink name collision across runs must not bite
+      val sink = s"stream_session_parity_${System.nanoTime()}"
+      // data + first sentinel staged as ONE batch before start; the first
+      // sentinel advances the watermark past maxTs at batch-0 end, and the
+      // second sentinel's batch RUNS with that watermark so every real
+      // session emits — two micro-batches total
+      feedChunked(mem, ev.toSeq :+ ((sentinel, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000))))
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData((sentinel, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("user_id") =!= sentinel)
+          .select(
+            col("user_id"),
+            unix_micros(col("start")).as("start_us"),
+            unix_micros(col("end")).as("end_us"),
+            col("n_events")))
+    },
+    // sixth stream/batch parity surface: the CUSTOM-STATE sessionizer
+    // (flatMapGroupsWithState, the explicit state machine) against the
+    // batch window oracle. Gated on the integer-exact session fields
+    // (bounds + event count); total_value accumulates doubles in stream
+    // order and is audited in SessionizeSpec instead, since no SQL engine
+    // reproduces that exact float stream
+    "stream_state_session_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[Sessionize.SessionEvent] = Fixtures
+        .events(s, dir)
+        .select(col("user_id").cast("string"), col("ts"), col("value").cast("double"))
+        .as[(String, java.sql.Timestamp, Double)]
+        .collect()
+        .map(t => Sessionize.SessionEvent(t._1, t._2, t._3))
+      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val mem = MemoryStream[Sessionize.SessionEvent]
+      val out = Sessionize.sessionizeWithState(mem.toDS(), gapMinutes = 30)
+      val sink = s"stream_state_session_${System.nanoTime()}"
+      // one staged data+sentinel batch, one flush batch — see stream_session_parity
+      feedChunked(mem, ev.toSeq :+ Sessionize.SessionEvent(
+        "~sentinel", new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), 0.0))
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData(Sessionize.SessionEvent(
+          "~sentinel", new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("user_id") =!= "~sentinel")
+          .select(col("user_id"), col("start_us"), col("end_us"), col("n_events")))
+    },
+    // STREAM/BATCH PARITY for the as-of join: Structured Streaming has no
+    // native as-of, so this drives the explicit flatMapGroupsWithState
+    // state machine (TemporalStream.asofJoinStream — watermark-buffered
+    // prefix merge, one carried running-last register per key) and
+    // hash-matches the batch ev_asof_join oracle. The sentinel-watermark
+    // technique of stream_session_parity: data + one far-future sentinel
+    // staged as batch 0 (everything buffers at watermark 0), a second
+    // sentinel batch runs with the advanced watermark and finalizes every
+    // real row via the event-time timeout.
+    "stream_asof_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.TemporalStream
+      // side 0 = purchases (payload = value), side 1 = clicks (probes)
+      val ev: Array[TemporalStream.AsofIn] = Fixtures
+        .events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id"),
+          col("ts"),
+          when(col("event_type") === "click", 1).otherwise(0).as("side"),
+          col("event_id"),
+          col("value"))
+        .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+        .collect()
+        .map(t => TemporalStream.AsofIn(t._1, t._2, t._3, t._4, if (t._3 == 0) t._5 else 0.0))
+      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val mem = MemoryStream[TemporalStream.AsofIn]
+      val out = TemporalStream.asofJoinStream(mem.toDS())
+      val sink = s"stream_asof_parity_${System.nanoTime()}"
+      feedChunked(mem, ev.toSeq :+ TemporalStream.AsofIn(
+        -1L, new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), 1, -1L, 0.0))
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData(TemporalStream.AsofIn(
+          -1L, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 1, -1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("key") =!= -1L)
+          .select(
+            col("tie").as("event_id"),
+            col("key").as("user_id"),
+            col("ts_us"),
+            col("asof_us").as("purchase_us"),
+            col("asof_payload").as("purchase_value")))
+    },
+    // STREAM/BATCH PARITY for the bounded-lookback interval join: the
+    // NATIVE watermarked stream-stream inner join (both sides watermarked,
+    // horizon as the time-range condition the engine derives its state
+    // eviction bound from) — exactly the machinery where watermark bugs
+    // hide. Purchases and clicks ride two MemoryStreams; matched pairs
+    // emit in the join batch (inner-join append semantics need no
+    // sentinel), and the linear credit split — a deterministic per-
+    // purchase window — runs on the drained sink, hash-matched against
+    // the batch ev_attribution_linear oracle.
+    "stream_lookback_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.TemporalStream
+      val ev = Fixtures.events(s, dir)
+      val purchases: Array[(Long, java.sql.Timestamp, Long, Double)] = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)]
+        .collect()
+      val clicks: Array[(Long, java.sql.Timestamp, Long)] = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+        .collect()
+      val memP = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val memC = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val pDf = memP.toDF().toDF("user_id", "ts", "purchase_id", "value")
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .drop("value")
+      val cDf = memC.toDF().toDF("user_id", "cts", "click_id")
+      val joined = TemporalStream.lookbackJoinStream(
+        pDf, cDf, "user_id", "ts", "cts", horizonSec = 3L * 86400L)
+      val sink = s"stream_lookback_parity_${System.nanoTime()}"
+      feedChunked(memP, purchases.toSeq)
+      feedChunked(memC, clicks.toSeq)
+      val q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink) { df =>
+        val byP = Window.partitionBy(col("purchase_id"))
+        df.withColumn("n_touches", count(lit(1)).over(byP))
+          .withColumn(
+            "rn",
+            row_number().over(byP.orderBy(col("cts").desc, col("click_id").desc)))
+          .select(
+            col("user_id"),
+            col("purchase_id"),
+            col("click_id"),
+            col("n_touches"),
+            (expr("cents div n_touches") +
+              when(col("rn") === 1, expr("cents % n_touches")).otherwise(0L)).as("credit_cents"))
+      }
+    },
+    // third stream/batch parity surface: watermarked exact dedup over
+    // MemoryStream — first occurrences emit immediately in append mode, so
+    // no sentinel is needed; the surviving doc per digest is arrival-order-
+    // dependent, so the gated output is the DIGEST set (deterministic)
+    "stream_dedup_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val texts: Array[String] = t(s, dir, "documents").select(col("text")).as[String].collect()
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val dedup = Dedup.streamingExactDedup(
+        mem.toDF().toDF("ts", "text"), col("text"), "ts", "1 hour")
+      val sink = s"stream_dedup_parity_${System.nanoTime()}"
+      feedChunked(mem, texts.toSeq.map(x => (t0, x)))
+      val q = dedup.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(_.select(md5(col("text")).as("h")))
+    },
+    // second stream/batch parity surface: the watermarked tumbling-window
+    // aggregate over MemoryStream, hash-checked against the batch groupBy
+    // oracle (same sentinel technique as stream_session_parity)
+    "stream_tumbling_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[(java.sql.Timestamp, String)] = Fixtures
+        .events(s, dir)
+        .select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)]
+        .collect()
+      val maxMs = ev.iterator.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val stream = Sessionize.tumblingCountsStream(
+        mem.toDF().toDF("ts", "event_type"), "ts", "event_type")
+      val sink = s"stream_tumbling_parity_${System.nanoTime()}"
+      // one staged data+sentinel batch, one flush batch — see stream_session_parity
+      feedChunked(mem, ev.toSeq :+ ((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), "~sentinel")))
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("event_type") =!= "~sentinel")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"),
+            col("n")))
+    },
+    // fourth stream/batch parity surface: the watermarked SLIDING-window
+    // aggregate over MemoryStream vs the batch window() oracle — same
+    // sentinel technique as tumbling; every real window finalizes in
+    // append mode once the sentinels push the watermark past max ts
+    "stream_sliding_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev: Array[(java.sql.Timestamp, String)] = Fixtures
+        .events(s, dir)
+        .select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)]
+        .collect()
+      val maxMs = ev.iterator.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val stream = Sessionize.slidingCountsStream(
+        mem.toDF().toDF("ts", "event_type"), "ts", "event_type", 60, 30)
+      val sink = s"stream_sliding_parity_${System.nanoTime()}"
+      // one staged data+sentinel batch, one flush batch — see stream_session_parity
+      feedChunked(mem, ev.toSeq :+ ((new java.sql.Timestamp(maxMs + 4L * 3600 * 1000), "~sentinel")))
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("event_type") =!= "~sentinel")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"),
+            col("n")))
+    },
+    // fifth stream/batch parity surface: count-min cells accumulated by the
+    // single-stage streaming sketch (complete mode — legal unwatermarked
+    // because the group domain is the bounded depth×width cell grid), then
+    // probed exactly like the batch sketch; the drained cell table must be
+    // bit-identical for the estimates to hash-match the batch oracle
+    // streaming DP release parity: the grouped count is the ONLY stateful
+    // piece (complete-mode streaming aggregate); the Laplace release is
+    // stateless post-state algebra applied on drain — and must equal the
+    // batch privacy_dp_counts release bit-for-bit
+    "stream_dp_release_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows: Array[(java.sql.Timestamp, String)] = Fixtures.events(s, dir)
+        .select(col("ts"), col("event_type")).as[(java.sql.Timestamp, String)].collect()
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val counts = mem.toDF().toDF("ts", "event_type")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val sink = s"stream_dp_release_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink) { df =>
+        val noise = Curation.dpLaplaceNoise(
+          concat_ws("|", col("event_type").cast("string"), col("day").cast("string")), eps = 1.0)
+        df.select(
+          col("event_type"), col("day"),
+          round(col("n").cast("double") + noise, 6).as("n_dp"),
+          lit(1.0).as("epsilon"))
+      }
+    },
+    "stream_countmin_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      // token explosion feeds BOTH the stream and the batch-side exact
+      // counts; the plan-keyed spill tokenizes once across the two reads
+      // and across bench re-runs
+      val tokens = Dedup.spilled(
+        t(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+          .filter(length(col("token")) > 0),
+        "stream_toks")
+      val toks: Array[String] = tokens.as[String].collect()
+      val mem = MemoryStream[String]
+      val stream = Sketches.countMinCellsStream(
+        mem.toDF().toDF("token"), col("token"), depth = 4, width = 256)
+      val sink = s"stream_countmin_parity_${System.nanoTime()}"
+      feedChunked(mem, toks.toSeq)
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val cells = drainSink(s, sink)(identity)
+      val probes = Seq("spark", "table", "the", "zebra").toDF("item")
+      val est = Sketches.countMinEstimate(cells, probes, col("item"), depth = 4, width = 256)
+      val exact = tokens.groupBy(col("token").as("item")).agg(count(lit(1)).as("exact"))
+      est
+        .join(exact, Seq("item"), "left")
+        .select(col("item").as("token"), col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+    },
+    // seventh stream/batch parity surface: streaming LSH near-dup
+    // CANDIDATES — the watermarked stream-stream self-join on the band
+    // buckets — gated against the batch minhashLshPairs oracle. All docs
+    // share one event time inside the horizon, so the banding (identical
+    // signature pipeline) must yield exactly the batch candidate-pair set;
+    // inner-join matches emit as both sides arrive, no sentinel needed
+    "stream_lsh_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs: Array[(Long, String)] =
+        t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val stream = Dedup.streamingLshCandidates(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        col("doc_id"), col("text"), "ts",
+        watermark = "1 hour", horizonSeconds = 3600, n = 3, k = 8, bands = 4)
+      val sink = s"stream_lsh_parity_${System.nanoTime()}"
+      feedChunked(mem, docs.toSeq.map(d => (d._1, t0, d._2)))
+      val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // a pair surfaces once per colliding band in the stream; the batch
+      // twin reports it once — distinct on drain is the parity shape
+      drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
+    },
+    // ninth stream/batch parity surface: the REAL image decode running
+    // INSIDE a streaming plan. decodeImages is a stateless typed
+    // mapPartitions, so the exact same operator composes into Structured
+    // Streaming unchanged (append mode, no watermark/state) — the drained
+    // decode output must hash-match the batch mm_decode_real oracle
+    "stream_mm_decode_parity" -> { (s0, dir) =>
+      // micro-batch work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val assets: Array[(Long, String, Array[Byte])] = Multimodal
+        .synthImages(tPar(s, dir, "documents"), "doc_id")
+        .as[(Long, String, Array[Byte])]
+        .collect()
+      val mem = MemoryStream[(Long, String, Array[Byte])]
+      val decoded = Multimodal
+        .decodeImages(mem.toDF().toDF("asset_id", "media_type", "payload"))
+        .toDF()
+      val sink = s"stream_mm_decode_${System.nanoTime()}"
+      feedChunked(mem, assets.toSeq)
+      val q = decoded.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
+    // the full streaming near-dedup chain: streaming LSH candidates →
+    // exact-Jaccard verification (two stream-STATIC joins against the gram
+    // table — stateless, so the whole verify stage lives inside the
+    // watermarked streaming plan) → survivor selection. Cluster resolution
+    // is inherently iterative (connected components), so it runs on the
+    // drained verified-pair set — the foreachBatch shape a production
+    // pipeline uses for the non-incremental tail
+    "stream_lsh_survivors" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val docs: Array[(Long, String)] =
+        docsDf.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val cands = Dedup.streamingLshCandidates(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        col("doc_id"), col("text"), "ts",
+        watermark = "1 hour", horizonSeconds = 3600, n = 3, k = 8, bands = 4)
+      // shared across the three gram-verify stream surfaces AND their bench
+      // re-runs: the parity clones are fresh sessions, so the plan-keyed
+      // spill (not session-keyed) is what makes this compute-once
+      val g = Dedup.spilled(
+        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
+      val verified = cands
+        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
+        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
+        .select(col("id_lo"), col("id_hi"), Dedup.jaccardSorted(col("g_lo"), col("g_hi")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("id_lo"), col("id_hi"))
+      val sink = s"stream_lsh_survivors_${System.nanoTime()}"
+      feedChunked(mem, docs.toSeq.map(d => (d._1, t0, d._2)))
+      val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val pairs = drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
+      val clusters = Dedup.connectedComponents(pairs)
+      val labeled = docsDf
+        .select(col("doc_id"), col("n_chars"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      labeled
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+    },
+    // tenth stream/batch parity surface: INCREMENTAL ingestion dedup as a
+    // STATELESS stream-static join — the incoming batch arrives as a
+    // stream, probes the static corpus (band, bh) index, and the verified
+    // output must hash-match the batch dedup_incremental oracle. No
+    // watermark, no state store: the join is stateless by construction
+    "stream_incremental_parity" -> { (s0, dir) =>
+      // micro-batch work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+      val incoming: Array[(Long, String)] = docsDf
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .collect()
+      val mem = MemoryStream[(Long, String)]
+      val cands = Dedup.streamingIncrementalCandidates(
+        corpus, mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 3, k = 8, bands = 4)
+      // shared across the three gram-verify stream surfaces AND their bench
+      // re-runs: the parity clones are fresh sessions, so the plan-keyed
+      // spill (not session-keyed) is what makes this compute-once
+      val g = Dedup.spilled(
+        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
+      val verified = cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+      val sink = s"stream_incremental_parity_${System.nanoTime()}"
+      feedChunked(mem, incoming.toSeq)
+      val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // a pair surfaces once per colliding band; distinct on drain is the
+      // parity shape (same as stream_lsh_parity)
+      drainSink(s, sink)(_.distinct())
+    },
+    // twelfth stream/batch parity surface: the END-TO-END incremental-dedup
+    // MAINTENANCE loop. Each foreachBatch cycle (the production shape the
+    // incremental family implies): probe the PERSISTED bucketed index →
+    // verify with exact Jaccard → append the batch's own bands back into
+    // the index — so batch B's docs can match batch A's, which the
+    // stateless stream-static probe cannot do. The drained pair set must
+    // hash-match a batch oracle where (a, b) pairs exactly when a arrived
+    // strictly after b (corpus = epoch 0, batch A = 1, batch B = 2).
+    "stream_index_maintain" -> { (s0, dir) =>
+      // micro-batch work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      // incoming class 2 (mod 5), split A/B on mod 10: at sf0.01 this puts
+      // the near-dup pair (72, 377) in DIFFERENT stream batches, so one
+      // emitted pair exists ONLY because batch A's bands were appended —
+      // the split that actually witnesses the append-back semantics
+      // (incoming %5==0 had no cross-batch near-dups in the fixture)
+      val corpus = docsDf.filter(col("doc_id") % 5 =!= 2)
+      val table = Scratch.table("lsh_maint") // pid-scoped: see dedup_incremental_bucketed
+      // layout time: overwrite resets the index each invocation (bench runs
+      // the query three times in one JVM; a stale appended index would
+      // double-count batch A). The band computation itself is deterministic
+      // and shared across invocations via the plan-keyed spill — only the
+      // (small) bucketed write repeats.
+      graft.sources.Sources.writeBucketed(
+        Dedup.spilled(
+          Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+          "lsh_maint_bands"),
+        table, 8, "band", "bh")
+      // static verify store (harness simplification shared by the other
+      // stream surfaces: production would co-persist a doc/gram store)
+      // shared across the three gram-verify stream surfaces AND their bench
+      // re-runs: the parity clones are fresh sessions, so the plan-keyed
+      // spill (not session-keyed) is what makes this compute-once
+      val g = Dedup.spilled(
+        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
+      val outDir = Scratch.dir("lsh_maint", dir)
+      Scratch.reset(outDir)
+      val batchA: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val batchB: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read twice: probe, then append
+          try {
+            // the APPEND runs under the stream-execution clone's session
+            // (the batch frame's), which invalidates only ITS relation
+            // cache — this session's cached file listing for the table
+            // goes stale after cycle 1 and the probe would silently miss
+            // every previously-appended band (observed: the cross-batch
+            // pair dropped). Refresh HERE, in the session the probe reads
+            // through, once per cycle.
+            s.catalog.refreshTable(table)
+            // probe BEFORE append: the verified write materializes first,
+            // so this batch never pairs with itself (matches the oracle's
+            // strict arrival order)
+            val cands = Dedup.probeLshIndex(
+              s, table, b, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+            cands
+              .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+              .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+              .select(
+                col("new_id"), col("corpus_id"),
+                Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
+              .filter(col("jac_raw") >= 0.7)
+              .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+              .write.mode("append").parquet(outDir)
+            Dedup.appendLshIndex(
+              b, col("doc_id"), col("text"), table, buckets = 8, n = 3, k = 8, bands = 4)
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        // A and B must stay SEPARATE micro-batches (the append-back between
+        // them is the semantics under test), so B is fed only after the
+        // trigger loop drains A — one block each, no race with the trigger
+        mem.addData(batchA.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(batchB.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+    },
+    // eleventh stream/batch parity surface: CDC apply as a STREAMING
+    // max_by aggregation (complete mode, no watermark — state is one row
+    // per key, planned by Catalyst, no custom state code). The drained
+    // snapshot must hash-match the batch scd_changelog_apply oracle
+    "stream_changelog_parity" -> { (s0, dir) =>
+      // micro-batch state work runs on the low-partition clone (see streamSession)
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val asInserts = base.withColumn("op", lit("U")).withColumn("seq", lit(Long.MinValue))
+      val upserts = base
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+        .withColumn("seq", lit(1L))
+      val deletes = base
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D"))
+        .withColumn("seq", lit(2L))
+      val changelog: Array[(Long, Long, Double, String, String, Long)] = asInserts
+        .unionByName(upserts)
+        .unionByName(deletes)
+        .as[(Long, Long, Double, String, String, Long)]
+        .collect()
+      val mem = MemoryStream[(Long, Long, Double, String, String, Long)]
+      val snap = graft.ops.ChangeOps.applyChangelogAgg(
+        mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "op", "seq"),
+        Seq("o_orderkey"), "op", "seq",
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+      val sink = s"stream_changelog_parity_${System.nanoTime()}"
+      feedChunked(mem, changelog.toSeq)
+      val q = snap.writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
+    // thirteenth stream/batch parity surface: the KLL gate is a pure
+    // per-row filter (stateless, append mode) — stream the orders rows,
+    // drain the surviving sample, and the quantile read off the drained
+    // sketch must hash-match the batch sketch_kll_quantiles oracle
+    // verbatim (the sketch is a pure function of the multiset, so HOW the
+    // rows arrived cannot matter)
+    "stream_kll_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows: Array[(Long, Double)] = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Double)]
+        .collect()
+      val mem = MemoryStream[(Long, Double)]
+      val sk = Sketches.kllSketch(
+        mem.toDF().toDF("o_orderkey", "o_totalprice"),
+        col("o_totalprice"), col("o_orderkey"), level = 4)
+      val sink = s"stream_kll_parity_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = sk.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      Sketches.kllQuantiles(drainSink(s, sink)(identity), (1 to 9).map(_ / 10.0))
+    },
+    // fourteenth stream/batch parity surface: DSIR model SERVING. The
+    // weight table is trained batch-side (256 longs — model state), baked
+    // into a literal array, and the document stream is scored stateless
+    // map-only (dsirScoreColumn: one HOF pass, no explode/join/shuffle,
+    // append mode with no state store). The drained scores hash-match the
+    // exploded batch form's oracle, shared verbatim — the layout-vs-
+    // meaning contract for model serving.
+    // streaming twin of corpus_mix_temperature (SAME oracle): the √n̅
+    // weight table + bottleneck train relationally once, bake into the
+    // plan as literals, and the stream filter is a pure stateless gate —
+    // no state store, no join, the DSIR-serving pattern for mixing
+    "stream_mix_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val model = Curation.temperatureMixModel(docsDf, col("source"))
+      val rows: Array[(Long, String)] = docsDf.as[(Long, String)].collect()
+      val mem = MemoryStream[(Long, String)]
+      val kept = mem
+        .toDF()
+        .toDF("doc_id", "source")
+        .filter(Curation.temperatureGate(col("doc_id"), col("source"), model))
+      val sink = s"stream_mix_parity_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = kept.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
+    "stream_dsir_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val weights: Seq[Long] = Curation
+        .dsirBucketWeights(docsDf, docsDf.filter(col("lang") === "en"), col("text"))
+        .orderBy(col("bucket"))
+        .collect()
+        .map(_.getLong(1))
+        .toSeq
+      val rows: Array[(Long, String)] = docsDf
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .collect()
+      val mem = MemoryStream[(Long, String)]
+      val scored = mem
+        .toDF()
+        .toDF("doc_id", "text")
+        // the relational batch form DROPS tokenless docs; mirror that here
+        // (the serving column scores them 0) so the row sets agree
+        .filter(size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")) > 0)
+        .select(col("doc_id"), Curation.dsirScoreColumn(col("text"), weights).as("score"))
+      val sink = s"stream_dsir_parity_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = scored.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    // parity: the streaming candidate set must be EXACTLY the batch one
+    "stream_lsh_parity" -> minhashPairsOracleSql,
+    "stream_lsh_survivors" ->
+      (verifiedClusterChainSql + """
+        , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+        , lab AS (
+          SELECT d.doc_id, d.n_chars, coalesce(cl.canonical_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, cluster_id, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM lab)
+        WHERE rk = 1"""),
+    // the streaming stream-static probe must reduce to the batch answer
+    "stream_incremental_parity" -> incrementalProbeSql,
+    // maintenance-loop parity: (a, b) pairs exactly when a ARRIVED strictly
+    // after b — corpus is epoch 0, stream batch A (doc_id%10=2) is 1,
+    // batch B (doc_id%10=7) is 2. Same banding and verify tail as the
+    // other incremental oracles. At sf0.01 the pair (377 -> 72) crosses
+    // the two stream batches: it is emitted ONLY via the append-back.
+    "stream_index_maintain" ->
+      (gramsCte + sigBandedCte + """
+        , cands AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
+          WHERE (CASE WHEN a.doc_id % 5 <> 2 THEN 0 WHEN a.doc_id % 10 = 2 THEN 1 ELSE 2 END)
+              > (CASE WHEN b.doc_id % 5 <> 2 THEN 0 WHEN b.doc_id % 10 = 2 THEN 1 ELSE 2 END)
+        )
+        SELECT new_id, corpus_id,
+          round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.grams, gb.grams))), 6) AS jac
+        FROM cands
+        JOIN g ga ON ga.doc_id = new_id
+        JOIN g gb ON gb.doc_id = corpus_id
+        WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    // the streaming max_by aggregation must drain to the batch snapshot
+    "stream_changelog_parity" -> changelogApplySql,
+    // the state-machine sessionizer uses sessionizeBatch's strict-> gap
+    // rule, so its oracle is the batch session derivation projected to the
+    // integer-exact fields
+    "stream_state_session_parity" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+           FROM x
+         ), z AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         )
+         SELECT CAST(user_id AS VARCHAR) AS user_id,
+                epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+                count(*) AS n_events
+         FROM z GROUP BY user_id, session_id""",
+    // session_window merges on OVERLAP: a gap of exactly 30min starts a
+    // NEW session (>=), unlike sessionizeBatch's > — and end = last + gap
+    "stream_session_parity" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events
+         ), y AS (
+           SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                          THEN 1 ELSE 0 END AS brk
+           FROM x
+         ), z AS (
+           SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM y
+         )
+         SELECT user_id, epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) + 1800000000 AS end_us,
+           count(*) AS n_events
+         FROM z GROUP BY user_id, session_id""",
+    "stream_tumbling_parity" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "stream_dedup_parity" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents""",
+    "stream_sliding_parity" ->
+      """WITH half AS (
+           SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w0
+           FROM events
+         ), windows AS (
+           SELECT event_type, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS window_start
+           FROM half
+         )
+         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n
+         FROM windows GROUP BY 1, 2""",
+    "stream_countmin_parity" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item FROM documents),
+         tok2 AS (SELECT item FROM tok WHERE length(item) > 0),
+         cells AS (
+           SELECT j,
+             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tok2, range(0, 4) t(j) GROUP BY 1, 2),
+         probes AS (SELECT unnest(['spark', 'table', 'the', 'zebra']) AS item),
+         pc AS (SELECT item, j,
+                  CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '_', item)), 1, 8)) AS BIGINT) % 256 AS cell
+                FROM probes, range(0, 4) t(j)),
+         est AS (SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+                 FROM pc LEFT JOIN cells USING (j, cell) GROUP BY 1),
+         ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM tok2 GROUP BY 1)
+         SELECT e.item AS token, e.est, coalesce(x.exact, 0) AS exact
+         FROM est e LEFT JOIN ex x USING (item)""",
+    // parity: the streaming decode must be EXACTLY the batch decode
+    "stream_mm_decode_parity" -> decodeRealOracleSql,
+    "stream_dsir_parity" -> dsirScoresSql,
+    // layout differs (stateless stream gate vs batch join), meaning must
+    // not: the oracle is corpus_mix_temperature's verbatim
+    "stream_mix_parity" -> tempMixSql,
+    // the streaming as-of state machine must land byte-identical to the
+    // batch operator, so the twins share ONE oracle
+    "stream_asof_parity" -> evAsofJoinSql,
+    // the streaming release must equal the batch release bit-for-bit:
+    // state carries only the counts, the noise is post-state algebra
+    "stream_dp_release_parity" -> dpCountsOracleSql,
+    // the native watermarked stream-stream interval join must reproduce
+    // the batch lookback join exactly, so the twins share ONE oracle
+    "stream_lookback_parity" -> evAttributionLinearSql,
+    "stream_kll_parity" -> kllQuantilesSql,
+  )
+}

@@ -126,7 +126,7 @@ class PlanAuditSpec extends SparkSpecBase {
       // p8/j3 nation+region dims, j1/j5/vp customer-as-PIN-universe (see
       // doctrine comments at the sites), s10 DPP dim side
       "queries/Core.scala" -> 8,
-      // ANN query-vector frames in the index-maintenance stream twins
+      // ann_cosine_topk / ann_filtered_topk broadcast query-vector frames
       "queries/Extensions.scala" -> 2
     )
     val root = new java.io.File("src/main/scala/graft")

@@ -51,20 +51,20 @@ class QueryHygieneSpec extends SparkSpecBase {
   }
 
   test("stream-parity queries drop their memory-sink temp views and still return the result") {
-    val out = graft.queries.Extensions.queries("stream_dedup_parity")(spark, sfDir)
+    val out = graft.queries.StreamQ.queries("stream_dedup_parity")(spark, sfDir)
     // the drained result is a local DataFrame — usable after the view is gone
     assert(out.count() > 0)
     // sink views live in the low-partition CLONE's catalog, not the base
     // session's — assert against the session the query actually ran on
     // (the base-session listing would pass even with the drop removed)
-    val ran = graft.queries.Extensions.lastStreamSession
+    val ran = graft.queries.StreamHarness.lastStreamSession
     assert(ran != null, "stream-parity query did not record its stream session")
     val leaked = ran.catalog.listTables().collect().map(_.name).filter(_.startsWith("stream_"))
     assert(leaked.isEmpty, s"leaked memory-sink views: ${leaked.toSeq}")
   }
 
   test("tumbling stream parity matches its batch twin after the sink is drained") {
-    val streamed = graft.queries.Extensions.queries("stream_tumbling_parity")(spark, sfDir)
+    val streamed = graft.queries.StreamQ.queries("stream_tumbling_parity")(spark, sfDir)
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     val batch = graft.queries.Extensions.queries("ev_tumbling")(spark, sfDir)
       .select(
