@@ -246,6 +246,17 @@ object GraphOps {
     * vertex side when the survivor set is small, and every stage is
     * skew-splittable. No global state; `localCheckpoint` severs lineage
     * every 4th round (the pageRank pacing).
+    *
+    * ADJUDICATED (r14): the proposed incremental-degree peel (maintain
+    * degrees across rounds, subtract removed-edge deltas instead of
+    * re-aggregating the survivor frame) is NOT worth its complexity here.
+    * Under the denoised bench harness (min-of-5), graph_kcore measures a
+    * stable 2.55-2.56 s back-to-back at sf0.1 — the r13 8.4 s reading
+    * that motivated the task was scheduler noise from the min-of-2 era
+    * (bench_history/README.md records the measured band). The re-agg per
+    * round is partial-aggregated over a frame that only shrinks, so the
+    * asymptotics already match the incremental form's; deltas would save
+    * constants while adding a join against the removed-edge set per round.
     */
   def kcorePeel(
       edges: DataFrame,
