@@ -1128,8 +1128,13 @@ object Similarity {
       rankers: Seq[(String, (DataFrame, DataFrame) => DataFrame)]
   ): DataFrame = {
     require(rankers.nonEmpty, "need at least one ranker to audit")
-    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("cand_id"))
+    // truth is read by every ranker branch (one base agg + one semi-join
+    // each) — spill it once via the plan-keyed memo instead of re-running
+    // the brute-force scoring per branch
+    val truth = Dedup.spilled(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("cand_id")),
+      "recall_truth")
     val base = truth.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_truth"))
