@@ -3748,27 +3748,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
          FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts""",
     // nearest twin: backward + forward DuckDB ASOF joins combined with the
     // same strict-< forward pick and backward tie rule the engine applies
-    "ev_asof_nearest" ->
-      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-         p0 AS (SELECT user_id, ts, value,
-                  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-                FROM events WHERE event_type = 'purchase'),
-         p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1),
-         b AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
-               FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
-         f AS (SELECT c.event_id, p.ts AS fts, p.value AS fval
-               FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts),
-         j AS (SELECT b.event_id, b.user_id, b.ts, b.bts, b.bval, f.fts, f.fval,
-                 (b.bts IS NULL OR (f.fts IS NOT NULL AND
-                    epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts)))
-                   AS pick_f
-               FROM b JOIN f USING (event_id))
-         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                CASE WHEN pick_f THEN epoch_us(fts) ELSE epoch_us(bts) END AS purchase_us,
-                CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
-                     WHEN pick_f THEN 'F' ELSE 'B' END AS asof_dir,
-                CASE WHEN pick_f THEN fval ELSE bval END AS purchase_value
-         FROM j""",
+    "ev_asof_nearest" -> evAsofNearestSql,
     "ev_range_join" ->
       """WITH anchors AS (SELECT event_id AS anchor_id, user_id, ts AS a_ts FROM events WHERE event_type = 'error'),
          near AS (

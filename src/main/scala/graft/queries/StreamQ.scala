@@ -148,6 +148,57 @@ object StreamQ {
             col("asof_us").as("purchase_us"),
             col("asof_payload").as("purchase_value")))
     },
+    // STREAM/BATCH PARITY for the NEAREST as-of join: the bidirectional
+    // state machine (TemporalStream.nearestJoinStream) — rows buffer per
+    // key, a left row finalizes once the watermark passes ts + horizon
+    // (the bounded peek-ahead every streaming nearest-join needs to
+    // finalize at all), equidistant ties resolve backward, right ties to
+    // the greatest id. The harness horizon (400 days) exceeds the
+    // fixture's forward-match spread, so the result hash-matches the
+    // UNBOUNDED batch ev_asof_nearest oracle exactly; sentinels sit past
+    // maxTs + horizon so the watermark can finalize every real row.
+    "stream_nearest_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.TemporalStream
+      val ev: Array[TemporalStream.AsofIn] = Fixtures
+        .events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("user_id"),
+          col("ts"),
+          when(col("event_type") === "click", 1).otherwise(0).as("side"),
+          col("event_id"),
+          col("value"))
+        .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+        .collect()
+        .map(t => TemporalStream.AsofIn(t._1, t._2, t._3, t._4, if (t._3 == 0) t._5 else 0.0))
+      val maxMs = ev.iterator.map(_.ts.getTime).max
+      val horizonSec = 400L * 86400L
+      val mem = MemoryStream[TemporalStream.AsofIn]
+      val out = TemporalStream.nearestJoinStream(mem.toDS(), horizonSec)
+      val sink = s"stream_nearest_parity_${System.nanoTime()}"
+      feedChunked(mem, ev.toSeq :+ TemporalStream.AsofIn(
+        -1L, new java.sql.Timestamp(maxMs + (horizonSec + 4L * 3600) * 1000), 1, -1L, 0.0))
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData(TemporalStream.AsofIn(
+          -1L, new java.sql.Timestamp(maxMs + (horizonSec + 8L * 3600) * 1000), 1, -1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, sink)(
+        _.filter(col("key") =!= -1L)
+          .select(
+            col("tie").as("event_id"),
+            col("key").as("user_id"),
+            col("ts_us"),
+            col("asof_us").as("purchase_us"),
+            col("asof_dir"),
+            col("asof_payload").as("purchase_value")))
+    },
     // STREAM/BATCH PARITY for the bounded-lookback interval join: the
     // NATIVE watermarked stream-stream inner join (both sides watermarked,
     // horizon as the time-range condition the engine derives its state
@@ -848,6 +899,10 @@ object StreamQ {
     // the streaming as-of state machine must land byte-identical to the
     // batch operator, so the twins share ONE oracle
     "stream_asof_parity" -> evAsofJoinSql,
+    // the streaming nearest state machine shares the batch twin's oracle:
+    // the harness horizon exceeds the fixture's forward spread, so the
+    // bounded-peek-ahead answer IS the unbounded one
+    "stream_nearest_parity" -> evAsofNearestSql,
     // the streaming release must equal the batch release bit-for-bit:
     // state carries only the counts, the noise is post-state algebra
     "stream_dp_release_parity" -> dpCountsOracleSql,

@@ -118,6 +118,123 @@ object TemporalStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(flush)
   }
 
+  /** Per-key carried state for [[nearestJoinStream]] — same shape as
+    * [[AsofState]]: the compacted backward register (the latest right at
+    * or before the retention cut) plus the retained rows.
+    */
+  final case class NearestState(
+      lastUs: Option[Long],
+      lastTie: Option[Long],
+      lastPayload: Option[Double],
+      buffer: Seq[(Long, Int, Long, Double)]
+  )
+
+  /** One matched left row from [[nearestJoinStream]]: `asof_dir` is 'B'
+    * or 'F' (null when neither direction has a candidate).
+    */
+  final case class NearestOut(
+      key: Long,
+      tie: Long,
+      ts_us: Long,
+      asof_us: Option[Long],
+      asof_dir: Option[String],
+      asof_payload: Option[Double]
+  )
+
+  /** Streaming NEAREST-match as-of join — semantics of
+    * [[graft.ops.TemporalOps.asofJoinNearest]] (closest right row in
+    * absolute distance, equidistant ties resolve BACKWARD, same-instant
+    * rights count for both directions at distance 0, right-timestamp ties
+    * to the greatest tie id) with ONE addition the streaming form
+    * requires: the forward wait is bounded by `horizonSec`. An unbounded
+    * "wait for the next right row" never finalizes under event time —
+    * a key could stay silent forever — so production nearest-joins always
+    * bound the peek-ahead; a left row becomes FINAL (and emits) once the
+    * watermark passes `left.ts + horizon`, by which point every forward
+    * candidate in its horizon is itself final. Callers wanting batch
+    * parity pick a horizon past the data's forward-match spread.
+    *
+    * State bound: retained rows are those within `horizon + watermark
+    * delay` of the frontier; rights older than `watermark − horizon`
+    * compact into the single backward register (a future left's backward
+    * match at-or-before that cut can only be the LATEST such right,
+    * because arriving rows are at-or-after the watermark).
+    */
+  def nearestJoinStream(
+      tagged: Dataset[AsofIn],
+      horizonSec: Long,
+      watermarkDelay: String = "1 hour"
+  ): Dataset[NearestOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import tagged.sparkSession.implicits._
+    require(horizonSec > 0, "horizon must be positive")
+    val hUs = horizonSec * 1000000L
+
+    def flush(
+        key: Long,
+        rows: Iterator[AsofIn],
+        state: GroupState[NearestState]
+    ): Iterator[NearestOut] = {
+      val prior = state.getOption.getOrElse(NearestState(None, None, None, Nil))
+      val incoming = rows.map(r => (micros(r.ts), r.side, r.tie, r.payload)).toSeq
+      val all = ((prior.buffer ++ incoming).sortBy(r => (r._1, r._2, r._3))).toIndexedSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val cut = wmUs - hUs
+      val rights = all.filter(_._2 == 0)
+      // forward candidate: first right at-or-after ts (same-instant counts,
+      // distance 0); among equal timestamps the GREATEST tie wins
+      def forwardOf(ts: Long): Option[(Long, Long, Double)] = {
+        val i = rights.indexWhere(_._1 >= ts)
+        if (i < 0 || rights(i)._1 > ts + hUs) None
+        else {
+          val us = rights(i)._1
+          val sameUs = rights.slice(i, rights.length).takeWhile(_._1 == us)
+          val best = sameUs.maxBy(_._3)
+          Some((best._1, best._3, best._4))
+        }
+      }
+      var (lastUs, lastTie, lastPay) = (prior.lastUs, prior.lastTie, prior.lastPayload)
+      var (cutUs, cutTie, cutPay) = (prior.lastUs, prior.lastTie, prior.lastPayload)
+      val out = Seq.newBuilder[NearestOut]
+      val keep = Seq.newBuilder[(Long, Int, Long, Double)]
+      all.foreach { case row @ (us, side, tie, pay) =>
+        if (side == 0) {
+          lastUs = Some(us); lastTie = Some(tie); lastPay = Some(pay)
+          if (us <= cut) { cutUs = Some(us); cutTie = Some(tie); cutPay = Some(pay) }
+          else keep += row
+        } else if (us + hUs <= wmUs) {
+          val f = forwardOf(us)
+          val bd = lastUs.map(us - _)
+          val fd = f.map(_._1 - us)
+          val pickF = lastUs.isEmpty || (f.nonEmpty && fd.get < bd.get)
+          out += (if (f.isEmpty && lastUs.isEmpty)
+            NearestOut(key, tie, us, None, None, None)
+          else if (pickF)
+            NearestOut(key, tie, us, Some(f.get._1), Some("F"), Some(f.get._3))
+          else
+            NearestOut(key, tie, us, lastUs, Some("B"), lastPay))
+        } else keep += row
+      }
+      val pending = keep.result()
+      if (pending.isEmpty && cutUs.isEmpty) state.remove()
+      else {
+        state.update(NearestState(cutUs, cutTie, cutPay, pending))
+        val firstDue = pending.iterator.map {
+          case (us, 1, _, _) => us + hUs
+          case (us, _, _, _) => us
+        }.minOption
+        firstDue.foreach(d =>
+          state.setTimeoutTimestamp(math.max(d / 1000L, state.getCurrentWatermarkMs() + 1L)))
+      }
+      out.result().iterator
+    }
+
+    tagged
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(flush)
+  }
+
   /** Streaming bounded-lookback interval join — the native watermarked
     * stream-stream inner join, semantics identical to
     * [[graft.ops.TemporalOps.lookbackJoin]]: pairs with

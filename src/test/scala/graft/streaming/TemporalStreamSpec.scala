@@ -78,6 +78,99 @@ class TemporalStreamSpec extends SparkSpecBase {
     assert(runAsof(Seq(early, late)) == expectedAsof)
   }
 
+  private def runNearest(
+      batches: Seq[Seq[TemporalStream.AsofIn]],
+      horizonSec: Long): Set[(Long, Long, Option[Long], Option[String], Option[Double])] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TemporalStream.AsofIn]
+    val sink = s"temporal_nearest_${System.nanoTime()}"
+    val q = TemporalStream
+      .nearestJoinStream(mem.toDS(), horizonSec, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val far = ts("2024-01-01 00:00:00").getTime + (horizonSec + 48L * 3600) * 1000
+      mem.addData(TemporalStream.AsofIn(-1L, new Timestamp(far), 1, -1L, 0.0))
+      q.processAllAvailable()
+      mem.addData(TemporalStream.AsofIn(-1L, new Timestamp(far + 3600 * 1000), 1, -1L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sink)
+      .filter($"key" =!= -1L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[String]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toSet
+    spark.catalog.dropTempView(sink)
+    got
+  }
+
+  // u1: rights at 10:00 (tie 7, v=1) and 12:00 (tie 9, v=9).
+  //   left@09:30 -> F to 10:00 (no backward)
+  //   left@10:00 -> B at distance 0 (same instant)
+  //   left@10:45 -> B to 10:00 (45m back < 75m forward)
+  //   left@11:30 -> F to 12:00 (30m forward < 90m back)
+  //   left@11:00 -> B to 10:00 (equidistant 60m: ties resolve backward)
+  // u3: left only -> no match
+  private val nearestRows = Seq(
+    TemporalStream.AsofIn(1L, ts("2024-01-01 09:30:00"), 1, 100L, 0.0),
+    TemporalStream.AsofIn(1L, ts("2024-01-01 10:00:00"), 0, 7L, 1.0),
+    TemporalStream.AsofIn(1L, ts("2024-01-01 10:00:00"), 1, 101L, 0.0),
+    TemporalStream.AsofIn(1L, ts("2024-01-01 10:45:00"), 1, 102L, 0.0),
+    TemporalStream.AsofIn(1L, ts("2024-01-01 11:00:00"), 1, 103L, 0.0),
+    TemporalStream.AsofIn(1L, ts("2024-01-01 11:30:00"), 1, 104L, 0.0),
+    TemporalStream.AsofIn(1L, ts("2024-01-01 12:00:00"), 0, 9L, 9.0),
+    TemporalStream.AsofIn(3L, ts("2024-01-01 10:00:00"), 1, 300L, 0.0)
+  )
+
+  private def us(s: String) = ts(s).getTime * 1000L
+
+  private val expectedNearest = Set(
+    (100L, 1L, Some(us("2024-01-01 10:00:00")), Some("F"), Some(1.0)),
+    (101L, 1L, Some(us("2024-01-01 10:00:00")), Some("B"), Some(1.0)),
+    (102L, 1L, Some(us("2024-01-01 10:00:00")), Some("B"), Some(1.0)),
+    (103L, 1L, Some(us("2024-01-01 10:00:00")), Some("B"), Some(1.0)),
+    (104L, 1L, Some(us("2024-01-01 12:00:00")), Some("F"), Some(9.0)),
+    (300L, 3L, None, None, None)
+  )
+
+  test("nearestJoinStream: directions, distance-0, and equidistant-backward match the batch operator") {
+    val got = runNearest(Seq(nearestRows), horizonSec = 7L * 86400L)
+    assert(got == expectedNearest)
+    // cross-check the expectation against the batch operator itself
+    val clicks = nearestRows.filter(_.side == 1)
+      .map(r => (r.key, r.ts, r.tie)).toDF("user_id", "ts", "event_id")
+    val purch = nearestRows.filter(_.side == 0)
+      .map(r => (r.key, r.ts, r.payload, r.tie)).toDF("user_id", "pts", "value", "pid")
+    val batch = TemporalOps
+      .asofJoinNearest(clicks, purch, "user_id", "ts", "pts", Seq("value"), "pid")
+      .select($"event_id", $"user_id", unix_micros($"asof_ts"), $"asof_dir", $"asof_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[String]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(batch == expectedNearest)
+  }
+
+  test("nearestJoinStream: same answer across micro-batch boundaries (compacted register)") {
+    val (early, late) = nearestRows.partition(_.ts.getTime <= ts("2024-01-01 10:00:00").getTime)
+    assert(runNearest(Seq(early, late), horizonSec = 7L * 86400L) == expectedNearest)
+  }
+
+  test("nearestJoinStream: a forward match beyond the horizon is out of reach") {
+    // left@09:30 with horizon 15m: the 10:00 right is 30m ahead -> no match;
+    // left@10:45 keeps its backward match regardless of horizon
+    val got = runNearest(Seq(nearestRows), horizonSec = 15L * 60L)
+    val e100 = got.find(_._1 == 100L).get
+    assert(e100 == ((100L, 1L, None, None, None)))
+    val e102 = got.find(_._1 == 102L).get
+    assert(e102._4 == Some("B"))
+  }
+
   test("lookbackJoinStream matches the batch lookbackJoin at the horizon boundaries") {
     implicit val sqlCtx = spark.sqlContext
     // boundary cases: exactly at ts (include), exactly at ts - H (include),
