@@ -92,7 +92,11 @@ object TemporalStream {
       val incoming = rows.map(r => (micros(r.ts), r.side, r.tie, r.payload)).toSeq
       val all = (prior.buffer ++ incoming).sortBy(r => (r._1, r._2, r._3))
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val (ready, pending) = all.partition(_._1 <= wmUs)
+      // STRICT bound: the watermark contract only rules out data OLDER
+      // than the watermark — rows AT it can still arrive (a same-instant
+      // sibling split across micro-batches would otherwise finalize the
+      // left row before its greatest-tie right sibling showed up)
+      val (ready, pending) = all.partition(_._1 < wmUs)
       var (lastUs, lastTie, lastPay) = (prior.lastUs, prior.lastTie, prior.lastPayload)
       val out = Seq.newBuilder[AsofOut]
       ready.foreach { case (us, side, tie, pay) =>
@@ -202,7 +206,9 @@ object TemporalStream {
           lastUs = Some(us); lastTie = Some(tie); lastPay = Some(pay)
           if (us <= cut) { cutUs = Some(us); cutTie = Some(tie); cutPay = Some(pay) }
           else keep += row
-        } else if (us + hUs <= wmUs) {
+        } else if (us + hUs < wmUs) {
+          // STRICT bound, as in asofJoinStream: rows AT the watermark can
+          // still arrive, so a left finalizes only once wm passes ts + H
           val f = forwardOf(us)
           val bd = lastUs.map(us - _)
           val fd = f.map(_._1 - us)

@@ -171,6 +171,67 @@ class TemporalStreamSpec extends SparkSpecBase {
     assert(e102._4 == Some("B"))
   }
 
+  test("randomized cross-check: both state machines match their batch twins under arbitrary data and batch splits") {
+    // seeded RNG -> deterministic CI; the hour grid forces same-instant
+    // collisions (both sides), equidistant forward/backward pairs, and
+    // right-timestamp ties — every tie rule the machines implement
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 60).map { i =>
+        val key = 1L + rnd.nextInt(3)
+        val t = ts("2024-01-01 00:00:00").getTime + rnd.nextInt(30) * 3600L * 1000L
+        val side = if (rnd.nextBoolean()) 0 else 1
+        TemporalStream.AsofIn(
+          key, new Timestamp(t), side, 1000L + i,
+          if (side == 0) rnd.nextInt(100) / 10.0 else 0.0)
+      }
+      val clicks = rows.filter(_.side == 1).map(r => (r.key, r.ts, r.tie))
+        .toDF("user_id", "ts", "event_id")
+      val purch = rows.filter(_.side == 0).map(r => (r.key, r.ts, r.payload, r.tie))
+        .toDF("user_id", "pts", "value", "pid")
+      if (rows.exists(_.side == 1)) {
+        // event-time-ordered random split into up to 3 micro-batches. With
+        // delay 0 a cut may only fall where the timestamp strictly
+        // increases: rows equal to the watermark arriving in a LATER batch
+        // are late data under Spark's stateful-op filter (a real
+        // deployment's delay covers its disorder; the engine's strict
+        // finalization bound covers same-instant straddle there)
+        val ordered = rows.sortBy(r => (r.ts.getTime, r.side, r.tie))
+        val cutsOk = 0 +: (1 until ordered.length)
+          .filter(i => ordered(i - 1).ts.getTime < ordered(i).ts.getTime) :+ ordered.length
+        def pick() = cutsOk(rnd.nextInt(cutsOk.length))
+        val Seq(cut1, cut2) = Seq(pick(), pick()).sorted
+        val batches = Seq(
+          ordered.slice(0, cut1), ordered.slice(cut1, cut2), ordered.slice(cut2, ordered.length)
+        ).filter(_.nonEmpty)
+
+        def tuple5(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[String]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]))
+
+        // compare on (tie, key, payload) — runAsof drops the matched ts
+        val batchAsof = TemporalOps
+          .asofJoin(clicks, purch, "user_id", "ts", "pts", Seq("value"), "pid")
+          .select($"event_id", $"user_id", $"asof_value")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double])))
+          .toSet
+        assert(runAsof(batches) == batchAsof, s"asof mismatch in trial $trial")
+
+        val horizon = 72L * 3600L // beyond the 30h grid: parity is unbounded
+        val batchNearest = TemporalOps
+          .asofJoinNearest(clicks, purch, "user_id", "ts", "pts", Seq("value"), "pid")
+          .select($"event_id", $"user_id", unix_micros($"asof_ts"), $"asof_dir", $"asof_value")
+          .collect().map(tuple5).toSet
+        val streamNearest = runNearest(batches, horizon)
+        assert(streamNearest == batchNearest, s"nearest mismatch in trial $trial")
+      }
+    }
+  }
+
   test("lookbackJoinStream matches the batch lookbackJoin at the horizon boundaries") {
     implicit val sqlCtx = spark.sqlContext
     // boundary cases: exactly at ts (include), exactly at ts - H (include),
