@@ -157,6 +157,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(dp).size >= 2, s"no partial aggregation:\n$dp")
   }
 
+  test("ann_recall_audit: truth joins broadcast; no cartesian anywhere in the audit") {
+    // the truth side is the spilled |stratum|·k frame — every hit count
+    // must semi-join it broadcast (a sort-merge there would shuffle each
+    // ranker's candidates on a frame that is model-state-sized), and the
+    // only nested-loop joins are the one-row scalar crossJoins
+    val plan = planOf("ann_recall_audit")
+    assert(!plan.contains("CartesianProduct"), s"audit plans a cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"audit sort-merges a bounded frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"truth semi-joins lost their broadcast:\n$plan")
+  }
+
   test("ann_filtered_topk: the metadata predicate reaches the candidate parquet scan") {
     // pre-filter semantics are only cheap if the filter PUSHES — a
     // post-scan filter would decode every embedding to drop most of them
