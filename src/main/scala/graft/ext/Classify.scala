@@ -1,0 +1,198 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-engine supervised text classification — the trainable half of the
+  * quality/curation toolchain. A fasttext-style external classifier is the
+  * common way corpora get quality/language labels, but a multinomial Naive
+  * Bayes is the one classifier whose TRAINING is pure counting — two
+  * map-side-combinable aggregates — so both halves (fit and serve) stay
+  * inside the engine, deterministic, and SQL-oracle-replayable. That makes
+  * the label assignment itself an auditable query instead of an opaque
+  * model artifact.
+  *
+  * Determinism discipline (the [[TextStats.lmScoreDF]] millinat contract):
+  * every log-probability term quantizes to an integer millinat
+  * (`round(1000·ln r)`) BEFORE any sum, so scores are exact integer sums —
+  * merge-order-free and engine-replayable; argmax ties break on the class
+  * name, so the prediction is a pure function of the counts.
+  *
+  * Scale shape (what makes this runnable over 100 TB):
+  *   - the model is state-BOUNDED by construction: `vocabK` tokens ×
+  *     |classes| likelihood rows plus |classes| priors — broadcast is the
+  *     doctrinally correct plan for every serving join (model state, not
+  *     data grain);
+  *   - training is two partial-agg count pyramids over the (doc, token)
+  *     collapse; the collapse itself is shared between the vocabulary
+  *     pass, the count pass, and the scoring pass through the content-
+  *     keyed parquet spill (the lm-score discipline), so tokenize+explode
+  *     runs exactly once per corpus;
+  *   - serving is a broadcast hash join plus one (doc, class) aggregate —
+  *     no shuffle keyed on anything wider than doc_id, and the per-doc
+  *     argmax window partitions on doc_id with |classes| rows per key.
+  */
+object Classify {
+
+  private def tokens(textCol: Column): Column =
+    split(trim(coalesce(textCol, lit(""))), "\\s+")
+
+  /** Multinomial-NB train-and-serve audit: fit add-one-smoothed token
+    * likelihoods on the md5-gated train permille, score the held-out rest,
+    * and return the confusion matrix `(label, predicted, n_docs)` — the
+    * end-to-end check a label-assignment pipeline publishes before anyone
+    * trusts the labels.
+    *
+    * Semantics: P(c|d) ∝ ln P(c) + Σ_t m_t · ln((c_{t,c}+1)/(T_c+V)) over
+    * the `vocabK`-token vocabulary (top train-count, tiebreak token asc);
+    * out-of-vocabulary tokens are ignored (the standard restriction — they
+    * carry no trained signal), and a test doc with no vocab tokens falls
+    * back to the prior argmax. All ln terms are millinat-quantized
+    * integers; the argmax tiebreak is class-name ascending.
+    *
+    * @param trainPermille md5(doc_id) permille below which a doc trains
+    * @param vocabK        vocabulary cap — the model-state bound
+    * @param corpusKey     identifies the input corpus + gate for the spill
+    */
+  def nbConfusion(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      labelCol: Column,
+      trainPermille: Int,
+      vocabK: Int,
+      corpusKey: String): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000, "train gate must split both ways")
+    require(vocabK > 0, "vocabK must be positive")
+    require(corpusKey.nonEmpty, "corpusKey must identify the input corpus")
+    val base = df.select(
+      idCol.as("doc_id"),
+      labelCol.as("label"),
+      (graft.ops.Hashing.md5Mod(idCol.cast("string"), 1000L) < trainPermille).as("is_train"),
+      tokens(textCol).as("w"))
+    // ONE tokenize+explode+collapse per corpus, shared by the vocabulary,
+    // count, and scoring passes through the content-keyed spill. The fence
+    // keeps the Generate from re-evaluating the split per output element.
+    val perDocTok = Dedup.spilledAt(
+      graft.ops.PlanOps
+        .fence(base.select(col("doc_id"), col("label"), col("is_train"), explode(col("w")).as("tok")))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("doc_id"), col("label"), col("is_train"), col("tok"))
+        .agg(count(lit(1)).as("m")),
+      "nb_doctok", s"$corpusKey|gate=$trainPermille")
+    val train = perDocTok.filter(col("is_train"))
+    // model state from here down: vocabK rows, then vocabK × |classes|
+    val vocab = train
+      .groupBy(col("tok")).agg(sum(col("m")).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabK)
+      .select(col("tok"))
+    // priors count DOCS (incl. token-free ones), so they come off the base
+    // scan, not the token collapse
+    val classes = base.filter(col("is_train")).groupBy(col("label").as("cls")).agg(count(lit(1)).as("n_docs"))
+    val nTrain = classes.agg(sum(col("n_docs")).as("n"))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val cnt = train
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("label").as("cls"), col("tok"))
+      .agg(sum(col("m")).as("c"))
+    val tot = cnt.groupBy(col("cls")).agg(sum(col("c")).as("t"))
+    // dense (tok, cls) grid: unseen-in-class vocab tokens still get their
+    // smoothed ln(1/(T_c+V)) row — all frames here are model-state-sized,
+    // so the joins are trivially local however AQE plans them
+    val ll = vocab
+      .crossJoin(classes.select(col("cls")))
+      .join(cnt, Seq("tok", "cls"), "left")
+      .join(tot, Seq("cls"))
+      .crossJoin(vSize)
+      .select(
+        col("tok"),
+        col("cls"),
+        round(
+          lit(1000.0) * log(
+            (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+              (col("t") + col("v")).cast("double")),
+          0).cast("long").as("ll"))
+    val prior = classes
+      .crossJoin(nTrain)
+      .select(
+        col("cls"),
+        round(lit(1000.0) * log(col("n_docs").cast("double") / col("n").cast("double")), 0)
+          .cast("long").as("pr"))
+    val terms = perDocTok
+      .filter(!col("is_train"))
+      .join(broadcast(ll), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("m") * col("ll")).as("s"))
+    // score every held-out doc × class off the base scan so token-free docs
+    // still rank (on priors alone); the argmax window holds |classes| rows
+    // per doc_id key
+    val scored = base
+      .filter(!col("is_train"))
+      .select(col("doc_id"), col("label"))
+      .crossJoin(broadcast(prior))
+      .join(terms, Seq("doc_id", "cls"), "left")
+      .select(
+        col("doc_id"), col("label"), col("cls"),
+        (col("pr") + coalesce(col("s"), lit(0L))).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Class-based TF-IDF distinctive-term extraction (the BERTopic c-TF-IDF
+    * idea): for each class/cluster, the tokens whose in-class frequency is
+    * high relative to how many classes carry them — the human-readable
+    * label a corpus-cartography report attaches to each subcorpus.
+    *
+    * Score = round(10⁶ · (c_{t,cls}/T_cls) · ln((C+1)/df_t)) where df_t =
+    * number of classes containing t and C = number of classes — the one
+    * transcendental rides the micro-integer grid, and per-class ranking
+    * breaks ties on the token, so the top-k is count-deterministic.
+    *
+    * Scale shape: the candidate space is capped FIRST — only the `vocabK`
+    * globally-most-frequent tokens compete — so every frame after the one
+    * (cls, tok) count pyramid is model-state-sized and the joins broadcast
+    * by doctrine, not by luck. Output is |classes| × topK rows.
+    */
+  def ctfidfTerms(
+      df: DataFrame,
+      classCol: Column,
+      textCol: Column,
+      vocabK: Int,
+      topK: Int): DataFrame = {
+    require(vocabK > 0 && topK > 0, "vocabK and topK must be positive")
+    val tok = graft.ops.PlanOps
+      .fence(df.select(classCol.as("cls"), explode(tokens(textCol)).as("tok")))
+      .filter(length(col("tok")) > 0)
+    val ctc = tok.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = ctc
+      .groupBy(col("tok")).agg(sum(col("c")).as("g"))
+      .orderBy(col("g").desc, col("tok").asc)
+      .limit(vocabK)
+      .select(col("tok"))
+    val inVocab = ctc.join(broadcast(vocab), Seq("tok"))
+    val tcls = ctc.groupBy(col("cls")).agg(sum(col("c")).as("t")) // totals over ALL tokens
+    val dfc = inVocab.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val ncls = tcls.agg(count(lit(1)).as("nc"))
+    val scored = inVocab
+      .join(tcls, Seq("cls"))
+      .join(broadcast(dfc), Seq("tok"))
+      .crossJoin(ncls)
+      .select(
+        col("cls"), col("tok"),
+        round(
+          lit(1000000.0) * (col("c").cast("double") / col("t").cast("double")) *
+            log((col("nc") + lit(1L)).cast("double") / col("cf").cast("double")),
+          0).cast("long").as("score_micro"))
+    val w = Window.partitionBy(col("cls")).orderBy(col("score_micro").desc, col("tok").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("cls"), col("rk"), col("tok"), col("score_micro"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ext.{Classify, Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
 import graft.ops.{TemporalOps, ZOrderOps}
 import graft.streaming.Sessionize
 
@@ -427,6 +427,22 @@ object Extensions {
       TextStats.lmScoreDF(
         tPar(s, dir, "documents"), col("doc_id"), col("text"),
         corpusKey = s"documents|$dir", hotK = 64)
+    },
+    // in-engine trainable classifier: multinomial NB fit by pure counting
+    // on the md5-gated train 80%, served broadcast on the held-out 20% —
+    // the label-assignment audit (confusion matrix) as a query, with both
+    // fit and serve deterministic (millinat log-probs, class-asc argmax)
+    "text_nb_confusion" -> { (s, dir) =>
+      Classify.nbConfusion(
+        tPar(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
+        trainPermille = 800, vocabK = 64, corpusKey = s"documents|$dir")
+    },
+    // corpus cartography: per-source distinctive terms by class-based
+    // TF-IDF over a capped global vocabulary — every post-count frame is
+    // model-state-sized, so the serving joins broadcast by doctrine
+    "text_ctfidf_terms" -> { (s, dir) =>
+      Classify.ctfidfTerms(
+        tPar(s, dir, "documents"), col("source"), col("text"), vocabK = 256, topK = 5)
     },
     // dataset report ("data card"): doc counts, token sums and mean quality
     // per (split, lang) — the summary a training run publishes. The mean
@@ -2520,6 +2536,67 @@ object Extensions {
                         round(CAST(sum(term) AS DOUBLE) / (1000.0 * CAST(sum(m) AS DOUBLE)), 6) AS avg_lp
                  FROM trm GROUP BY doc_id)
          SELECT doc_id, n_bigrams, avg_lp, round(exp(-avg_lp), 4) AS ppl FROM agg""",
+    "text_nb_confusion" ->
+      """WITH base AS (
+           SELECT doc_id, lang AS label,
+                  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 800 AS is_train
+           FROM documents),
+         pd AS (SELECT doc_id, label, is_train, tok, CAST(count(*) AS BIGINT) AS m
+                FROM (SELECT doc_id, label, is_train, unnest(w) AS tok FROM base)
+                WHERE length(tok) > 0 GROUP BY 1, 2, 3, 4),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, sum(m) AS c FROM pd WHERE is_train GROUP BY tok
+             ORDER BY c DESC, tok ASC LIMIT 64)),
+         classes AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM base WHERE is_train GROUP BY 1),
+         ntr AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM classes),
+         vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         cnt AS (SELECT label AS cls, tok, CAST(sum(m) AS BIGINT) AS c
+                 FROM pd JOIN vocab USING (tok) WHERE is_train GROUP BY 1, 2),
+         tot AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         ll AS (SELECT v.tok, cl.cls,
+                  CAST(round(1000.0 * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+                                         CAST(t.t + vs.v AS DOUBLE)), 0) AS BIGINT) AS ll
+                FROM vocab v
+                CROSS JOIN (SELECT cls FROM classes) cl
+                LEFT JOIN cnt c ON c.tok = v.tok AND c.cls = cl.cls
+                JOIN tot t ON t.cls = cl.cls
+                CROSS JOIN vs),
+         pri AS (SELECT cls, CAST(round(1000.0 * ln(CAST(n_docs AS DOUBLE) / CAST(n.n AS DOUBLE)), 0) AS BIGINT) AS pr
+                 FROM classes CROSS JOIN ntr n),
+         trm AS (SELECT pd.doc_id, ll.cls, CAST(sum(pd.m * ll.ll) AS BIGINT) AS s
+                 FROM pd JOIN ll USING (tok) WHERE NOT pd.is_train GROUP BY 1, 2),
+         sc AS (SELECT b.doc_id, b.label, p.cls, p.pr + coalesce(t.s, 0) AS score
+                FROM (SELECT doc_id, label FROM base WHERE NOT is_train) b
+                CROSS JOIN pri p
+                LEFT JOIN trm t ON t.doc_id = b.doc_id AND t.cls = p.cls),
+         prd AS (SELECT doc_id, label, cls,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk
+                 FROM sc)
+         SELECT label, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+         FROM prd WHERE rk = 1 GROUP BY 1, 2""",
+    "text_ctfidf_terms" ->
+      """WITH tk AS (SELECT cls, tok FROM (
+             SELECT source AS cls,
+                    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+             FROM documents) WHERE length(tok) > 0),
+         ctc AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, sum(c) AS g FROM ctc GROUP BY tok
+             ORDER BY g DESC, tok ASC LIMIT 256)),
+         iv AS (SELECT ctc.* FROM ctc JOIN vocab USING (tok)),
+         tcls AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM ctc GROUP BY 1),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM iv GROUP BY 1),
+         ncl AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM tcls),
+         sc AS (SELECT iv.cls, iv.tok,
+                  CAST(round(1000000.0 * (CAST(iv.c AS DOUBLE) / CAST(tcls.t AS DOUBLE)) *
+                             ln(CAST(n.nc + 1 AS DOUBLE) / CAST(dfc.cf AS DOUBLE)), 0) AS BIGINT) AS score_micro
+                FROM iv JOIN tcls USING (cls) JOIN dfc USING (tok) CROSS JOIN ncl n),
+         rkd AS (SELECT cls, tok, score_micro,
+                   row_number() OVER (PARTITION BY cls ORDER BY score_micro DESC, tok ASC) AS rk
+                 FROM sc)
+         SELECT cls, rk, tok, score_micro FROM rkd WHERE rk <= 5""",
     "text_vocab_topk" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t

@@ -113,6 +113,9 @@ class PlanAuditSpec extends SparkSpecBase {
       "ext/Dedup.scala" -> 2,
       // corpus-level BM25 stats (one row)
       "ext/Ranking.scala" -> 1,
+      // NB model state (capped vocab, vocabK×|classes| likelihoods, priors)
+      // + c-TF-IDF capped vocab and its per-token class counts
+      "ext/Classify.scala" -> 5,
       // benchmark gram sets, per-stratum keep-rates, thresholds, score plans
       "ext/Curation.scala" -> 11,
       // sketch cells / candidate heavy-hitters / bloom bits / quantile probs
