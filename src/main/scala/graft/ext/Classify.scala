@@ -63,6 +63,106 @@ object Classify {
       trainPermille: Int,
       vocabK: Int,
       corpusKey: String): DataFrame = {
+    val f = nbFrames(df, idCol, textCol, labelCol, trainPermille, vocabK, corpusKey)
+    val terms = f.perDocTok
+      .filter(!col("is_train"))
+      .join(broadcast(f.ll), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("m") * col("ll")).as("s"))
+    // score every held-out doc × class off the base scan so token-free docs
+    // still rank (on priors alone); the argmax window holds |classes| rows
+    // per doc_id key
+    val scored = f.base
+      .filter(!col("is_train"))
+      .select(col("doc_id"), col("label"))
+      .crossJoin(broadcast(f.prior))
+      .join(terms, Seq("doc_id", "cls"), "left")
+      .select(
+        col("doc_id"), col("label"), col("cls"),
+        (col("pr") + coalesce(col("s"), lit(0L))).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The fitted model as driver-side state: class-asc priors plus the
+    * per-class token→millinat-ll map — `vocabK × |classes|` entries, the
+    * bounded model-state collect the broadcast doctrine whitelists. This
+    * is the handoff from relational training to stateless serving
+    * ([[nbServe]]); both derive from the SAME [[nbFrames]] plan, so the
+    * served scores are integer-identical to [[nbConfusion]]'s.
+    */
+  final case class NbModel(priors: Seq[(String, Long)], ll: Map[String, Map[String, Long]])
+
+  def nbFit(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      labelCol: Column,
+      trainPermille: Int,
+      vocabK: Int,
+      corpusKey: String): NbModel = {
+    val f = nbFrames(df, idCol, textCol, labelCol, trainPermille, vocabK, corpusKey)
+    val priors = f.prior
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      .toSeq
+    val ll = f.ll
+      .collect()
+      .map(r => (r.getString(1), r.getString(0), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (cls, rows) => cls -> rows.map(r => r._2 -> r._3).toMap }
+    NbModel(priors, ll)
+  }
+
+  /** Stateless serving column: the per-row prediction with the model baked
+    * in as literals — the DSIR/mixing serving discipline (map-only, no
+    * join, no state store), which is what lets the SAME classifier run
+    * unchanged inside an append-mode stream. Score algebra and tiebreak
+    * mirror [[nbConfusion]] exactly: integer millinat sums over in-vocab
+    * tokens (multiplicity via the token array), prior fallback for
+    * token-free rows, argmax ties to the class-name-ascending class.
+    */
+  def nbServe(textCol: Column, model: NbModel): Column = {
+    require(model.priors.nonEmpty, "model must have at least one trained class")
+    val toks = filter(tokens(textCol), t => length(t) > 0)
+    val clsAsc = model.priors.map(_._1)
+    val n = clsAsc.size
+    // per-class integer score; element_at misses (OOV) contribute 0
+    val scores = model.priors.map { case (cls, pr) =>
+      val m = typedLit(model.ll.getOrElse(cls, Map.empty[String, Long]))
+      aggregate(toks, lit(pr), (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    }
+    // argmax with class-ASC tiebreak: structs order by (score, revRank)
+    // and revRank decreases with class rank, so equal scores pick the
+    // lexicographically smallest class — same as the batch window
+    val packed = scores.zipWithIndex.map { case (s, i) =>
+      struct(s.as("s"), lit((n - 1 - i).toLong).as("r"))
+    }
+    val best = array_max(array(packed: _*))
+    clsAsc.zipWithIndex.tail.foldLeft(lit(clsAsc.head)) { case (acc, (cls, i)) =>
+      when(best.getField("r") === (n - 1 - i).toLong, cls).otherwise(acc)
+    }
+  }
+
+  private final case class NbFrames(base: DataFrame, perDocTok: DataFrame, ll: DataFrame, prior: DataFrame)
+
+  /** The shared training plan: md5-gated base scan, the one tokenize+
+    * explode+collapse (content-key-spilled), and the model-state frames —
+    * `ll (tok, cls, ll)` dense over vocab × classes and `prior (cls, pr)`.
+    */
+  private def nbFrames(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      labelCol: Column,
+      trainPermille: Int,
+      vocabK: Int,
+      corpusKey: String): NbFrames = {
     require(trainPermille > 0 && trainPermille < 1000, "train gate must split both ways")
     require(vocabK > 0, "vocabK must be positive")
     require(corpusKey.nonEmpty, "corpusKey must identify the input corpus")
@@ -120,28 +220,7 @@ object Classify {
         col("cls"),
         round(lit(1000.0) * log(col("n_docs").cast("double") / col("n").cast("double")), 0)
           .cast("long").as("pr"))
-    val terms = perDocTok
-      .filter(!col("is_train"))
-      .join(broadcast(ll), Seq("tok"))
-      .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("m") * col("ll")).as("s"))
-    // score every held-out doc × class off the base scan so token-free docs
-    // still rank (on priors alone); the argmax window holds |classes| rows
-    // per doc_id key
-    val scored = base
-      .filter(!col("is_train"))
-      .select(col("doc_id"), col("label"))
-      .crossJoin(broadcast(prior))
-      .join(terms, Seq("doc_id", "cls"), "left")
-      .select(
-        col("doc_id"), col("label"), col("cls"),
-        (col("pr") + coalesce(col("s"), lit(0L))).as("score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .groupBy(col("label"), col("cls").as("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
+    NbFrames(base, perDocTok, ll, prior)
   }
 
   /** Class-based TF-IDF distinctive-term extraction (the BERTopic c-TF-IDF

@@ -998,6 +998,58 @@ private[queries] object OracleSql {
          WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
                < r.r"""
 
+  /** Shared by text_nb_confusion and stream_nb_classify_parity: the full
+    * multinomial-NB fit + per-held-out-doc argmax (millinat log-probs,
+    * class-asc tiebreak) up to the ranked `prd` CTE — the two consumers
+    * differ only in the final select (confusion rollup vs per-doc
+    * predictions).
+    */
+  private[queries] val nbPrdCte: String =
+    """WITH base AS (
+           SELECT doc_id, lang AS label,
+                  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 800 AS is_train
+           FROM documents),
+         pd AS (SELECT doc_id, label, is_train, tok, CAST(count(*) AS BIGINT) AS m
+                FROM (SELECT doc_id, label, is_train, unnest(w) AS tok FROM base)
+                WHERE length(tok) > 0 GROUP BY 1, 2, 3, 4),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, sum(m) AS c FROM pd WHERE is_train GROUP BY tok
+             ORDER BY c DESC, tok ASC LIMIT 64)),
+         classes AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM base WHERE is_train GROUP BY 1),
+         ntr AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM classes),
+         vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         cnt AS (SELECT label AS cls, tok, CAST(sum(m) AS BIGINT) AS c
+                 FROM pd JOIN vocab USING (tok) WHERE is_train GROUP BY 1, 2),
+         tot AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         ll AS (SELECT v.tok, cl.cls,
+                  CAST(round(1000.0 * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
+                                         CAST(t.t + vs.v AS DOUBLE)), 0) AS BIGINT) AS ll
+                FROM vocab v
+                CROSS JOIN (SELECT cls FROM classes) cl
+                LEFT JOIN cnt c ON c.tok = v.tok AND c.cls = cl.cls
+                JOIN tot t ON t.cls = cl.cls
+                CROSS JOIN vs),
+         pri AS (SELECT cls, CAST(round(1000.0 * ln(CAST(n_docs AS DOUBLE) / CAST(n.n AS DOUBLE)), 0) AS BIGINT) AS pr
+                 FROM classes CROSS JOIN ntr n),
+         trm AS (SELECT pd.doc_id, ll.cls, CAST(sum(pd.m * ll.ll) AS BIGINT) AS s
+                 FROM pd JOIN ll USING (tok) WHERE NOT pd.is_train GROUP BY 1, 2),
+         sc AS (SELECT b.doc_id, b.label, p.cls, p.pr + coalesce(t.s, 0) AS score
+                FROM (SELECT doc_id, label FROM base WHERE NOT is_train) b
+                CROSS JOIN pri p
+                LEFT JOIN trm t ON t.doc_id = b.doc_id AND t.cls = p.cls),
+         prd AS (SELECT doc_id, label, cls,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rk
+                 FROM sc)"""
+
+  private[queries] val nbConfusionSql: String = nbPrdCte + """
+         SELECT label, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+         FROM prd WHERE rk = 1 GROUP BY 1, 2"""
+
+  private[queries] val nbPredictionsSql: String = nbPrdCte + """
+         SELECT doc_id, label, cls AS predicted FROM prd WHERE rk = 1"""
+
   /** Shared by ev_asof_join and stream_asof_parity: the DuckDB ASOF LEFT
     * JOIN with the engine's greatest-tie rule pre-applied per instant.
     */

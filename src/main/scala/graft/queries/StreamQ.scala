@@ -745,6 +745,42 @@ object StreamQ {
       finally q.stop()
       drainSink(s, sink)(identity)
     },
+    // streaming twin of the NB classifier's serving half: the model fits
+    // relationally batch-side (bounded state, vocabK × |classes|), bakes
+    // into the plan as literals via Classify.nbServe, and the stream is a
+    // pure stateless map — no join, no state store, the same discipline as
+    // DSIR/mixing serving. Per-doc predictions hash-match the batch
+    // argmax oracle, so "classify the firehose" is certified against
+    // "classify the table".
+    "stream_nb_classify_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val model = graft.ext.Classify.nbFit(
+        docs, col("doc_id"), col("text"), col("lang"),
+        trainPermille = 800, vocabK = 64, corpusKey = s"documents|$dir")
+      // harness feed: the held-out stratum (bounded fixture rows)
+      val rows: Array[(Long, String, String)] = docs
+        .filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 1000L) >= 800)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .collect()
+      val mem = MemoryStream[(Long, String, String)]
+      val pred = mem
+        .toDF()
+        .toDF("doc_id", "label", "text")
+        .select(
+          col("doc_id"), col("label"),
+          graft.ext.Classify.nbServe(col("text"), model).as("predicted"))
+      val sink = s"stream_nb_classify_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = pred.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
     "stream_dsir_parity" -> { (s0, dir) =>
       val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -893,6 +929,8 @@ object StreamQ {
     // parity: the streaming decode must be EXACTLY the batch decode
     "stream_mm_decode_parity" -> decodeRealOracleSql,
     "stream_dsir_parity" -> dsirScoresSql,
+    // the batch NB argmax per held-out doc, shared with text_nb_confusion
+    "stream_nb_classify_parity" -> nbPredictionsSql,
     // layout differs (stateless stream gate vs batch join), meaning must
     // not: the oracle is corpus_mix_temperature's verbatim
     "stream_mix_parity" -> tempMixSql,

