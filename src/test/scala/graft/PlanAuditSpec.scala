@@ -171,6 +171,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"truth semi-joins lost their broadcast:\n$plan")
   }
 
+  test("text_nb_confusion: model joins broadcast; argmax rides WindowGroupLimit") {
+    // the likelihood table (vocabK × |classes|) and priors are model state
+    // — their serving joins must broadcast; the only sort-merge allowed is
+    // the doc-grain (doc_id, cls) scored⋈terms join, which is genuinely
+    // data-sized on both sides. The rank-1 filter must push into the
+    // window (WindowGroupLimit), not materialize every class row.
+    val plan = planOf("text_nb_confusion")
+    assert(!plan.contains("CartesianProduct"), s"NB plans a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"model-state joins lost broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"argmax materializes the full window:\n$plan")
+    assert(
+      "SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"only the doc-grain scored join may sort-merge:\n$plan")
+  }
+
   test("ann_filtered_topk: the metadata predicate reaches the candidate parquet scan") {
     // pre-filter semantics are only cheap if the filter PUSHES — a
     // post-scan filter would decode every embedding to drop most of them
