@@ -444,6 +444,34 @@ object Extensions {
       Classify.ctfidfTerms(
         tPar(s, dir, "documents"), col("source"), col("text"), vocabK = 256, topK = 5)
     },
+    // ingest-boundary quarantine: parse a JSON-lines payload against a
+    // declared schema and ROUTE malformed rows instead of failing the scan
+    // — the ValidateOps.partition discipline applied where scraped corpora
+    // break first. Payload synthesized deterministically (same concat both
+    // engines); two corruption modes (head-chop, garbage swap) are both
+    // fully unparseable, so `all required fields non-null` == json-valid
+    "ingest_json_quarantine" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val p0 = concat(
+        lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), coalesce(col("lang"), lit("xx")),
+        lit("\",\"n\":"), col("n_chars").cast("string"), lit("}"))
+      val base = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 3, substring(p0, 2, 1000000))
+          .when(col("doc_id") % 11 === 5, concat(lit("garbage-"), col("doc_id").cast("string")))
+          .otherwise(p0)
+          .as("payload"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("lang", StringType), StructField("n", LongType)))
+      graft.ops.IngestOps
+        .parseWithQuarantine(base, col("payload"), schema, required = Seq("id", "lang", "n"))
+        .select(
+          col("doc_id"),
+          col("ingest_ok"),
+          when(col("ingest_ok"), col("parsed.lang")).as("lang_parsed"),
+          when(col("ingest_ok"), col("parsed.n")).as("n_parsed"))
+    },
     // dataset report ("data card"): doc counts, token sums and mean quality
     // per (split, lang) — the summary a training run publishes. The mean
     // rides an exact integer sum of the 4-decimal scores (one double
@@ -2537,6 +2565,26 @@ object Extensions {
                  FROM trm GROUP BY doc_id)
          SELECT doc_id, n_bigrams, avg_lp, round(exp(-avg_lp), 4) AS ppl FROM agg""",
     "text_nb_confusion" -> nbConfusionSql,
+    "ingest_json_quarantine" ->
+      """WITH raw AS (SELECT doc_id,
+             concat('{"id":', CAST(doc_id AS VARCHAR), ',"lang":"', coalesce(lang, 'xx'),
+                    '","n":', CAST(n_chars AS VARCHAR), '}') AS p0
+           FROM documents),
+         j AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN substr(p0, 2)
+                  WHEN doc_id % 11 = 5 THEN concat('garbage-', CAST(doc_id AS VARCHAR))
+                  ELSE p0 END AS payload FROM raw),
+         p AS (SELECT doc_id, payload,
+             CASE WHEN json_valid(payload)
+                  THEN json_extract(payload, '$.id') IS NOT NULL
+                       AND json_extract_string(payload, '$.lang') IS NOT NULL
+                       AND json_extract(payload, '$.n') IS NOT NULL
+                  ELSE false END AS ok
+           FROM j)
+         SELECT doc_id, ok AS ingest_ok,
+           CASE WHEN ok THEN json_extract_string(payload, '$.lang') END AS lang_parsed,
+           CASE WHEN ok THEN CAST(json_extract(payload, '$.n') AS BIGINT) END AS n_parsed
+         FROM p""",
     "text_ctfidf_terms" ->
       """WITH tk AS (SELECT cls, tok FROM (
              SELECT source AS cls,
