@@ -2565,26 +2565,7 @@ object Extensions {
                  FROM trm GROUP BY doc_id)
          SELECT doc_id, n_bigrams, avg_lp, round(exp(-avg_lp), 4) AS ppl FROM agg""",
     "text_nb_confusion" -> nbConfusionSql,
-    "ingest_json_quarantine" ->
-      """WITH raw AS (SELECT doc_id,
-             concat('{"id":', CAST(doc_id AS VARCHAR), ',"lang":"', coalesce(lang, 'xx'),
-                    '","n":', CAST(n_chars AS VARCHAR), '}') AS p0
-           FROM documents),
-         j AS (SELECT doc_id,
-             CASE WHEN doc_id % 7 = 3 THEN substr(p0, 2)
-                  WHEN doc_id % 11 = 5 THEN concat('garbage-', CAST(doc_id AS VARCHAR))
-                  ELSE p0 END AS payload FROM raw),
-         p AS (SELECT doc_id, payload,
-             CASE WHEN json_valid(payload)
-                  THEN json_extract(payload, '$.id') IS NOT NULL
-                       AND json_extract_string(payload, '$.lang') IS NOT NULL
-                       AND json_extract(payload, '$.n') IS NOT NULL
-                  ELSE false END AS ok
-           FROM j)
-         SELECT doc_id, ok AS ingest_ok,
-           CASE WHEN ok THEN json_extract_string(payload, '$.lang') END AS lang_parsed,
-           CASE WHEN ok THEN CAST(json_extract(payload, '$.n') AS BIGINT) END AS n_parsed
-         FROM p""",
+    "ingest_json_quarantine" -> ingestQuarantineSql,
     "text_ctfidf_terms" ->
       """WITH tk AS (SELECT cls, tok FROM (
              SELECT source AS cls,

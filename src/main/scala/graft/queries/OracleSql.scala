@@ -1050,6 +1050,30 @@ private[queries] object OracleSql {
   private[queries] val nbPredictionsSql: String = nbPrdCte + """
          SELECT doc_id, label, cls AS predicted FROM prd WHERE rk = 1"""
 
+  /** Shared by ingest_json_quarantine and its streaming twin: the same
+    * deterministic payload synthesis + json_valid routing.
+    */
+  private[queries] val ingestQuarantineSql: String =
+    """WITH raw AS (SELECT doc_id,
+             concat('{"id":', CAST(doc_id AS VARCHAR), ',"lang":"', coalesce(lang, 'xx'),
+                    '","n":', CAST(n_chars AS VARCHAR), '}') AS p0
+           FROM documents),
+         j AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN substr(p0, 2)
+                  WHEN doc_id % 11 = 5 THEN concat('garbage-', CAST(doc_id AS VARCHAR))
+                  ELSE p0 END AS payload FROM raw),
+         p AS (SELECT doc_id, payload,
+             CASE WHEN json_valid(payload)
+                  THEN json_extract(payload, '$.id') IS NOT NULL
+                       AND json_extract_string(payload, '$.lang') IS NOT NULL
+                       AND json_extract(payload, '$.n') IS NOT NULL
+                  ELSE false END AS ok
+           FROM j)
+         SELECT doc_id, ok AS ingest_ok,
+           CASE WHEN ok THEN json_extract_string(payload, '$.lang') END AS lang_parsed,
+           CASE WHEN ok THEN CAST(json_extract(payload, '$.n') AS BIGINT) END AS n_parsed
+         FROM p"""
+
   /** Shared by ev_asof_join and stream_asof_parity: the DuckDB ASOF LEFT
     * JOIN with the engine's greatest-tie rule pre-applied per instant.
     */

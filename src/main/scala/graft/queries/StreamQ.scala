@@ -745,6 +745,49 @@ object StreamQ {
       finally q.stop()
       drainSink(s, sink)(identity)
     },
+    // streaming twin of the ingest-boundary quarantine: the routing flag
+    // is a pure map-only column (JacksonParser in codegen, no state), so
+    // the SAME parseWithQuarantine call classifies the firehose — corrupt
+    // records on a stream must route, never kill the query. Hash-matches
+    // the batch json_valid oracle verbatim.
+    "stream_ingest_quarantine_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val p0 = concat(
+        lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), coalesce(col("lang"), lit("xx")),
+        lit("\",\"n\":"), col("n_chars").cast("string"), lit("}"))
+      val rows: Array[(Long, String)] = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 7 === 3, substring(p0, 2, 1000000))
+            .when(col("doc_id") % 11 === 5, concat(lit("garbage-"), col("doc_id").cast("string")))
+            .otherwise(p0)
+            .as("payload"))
+        .as[(Long, String)]
+        .collect()
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("lang", StringType), StructField("n", LongType)))
+      val mem = MemoryStream[(Long, String)]
+      val routed = graft.ops.IngestOps
+        .parseWithQuarantine(
+          mem.toDF().toDF("doc_id", "payload"),
+          col("payload"), schema, required = Seq("id", "lang", "n"))
+        .select(
+          col("doc_id"),
+          col("ingest_ok"),
+          when(col("ingest_ok"), col("parsed.lang")).as("lang_parsed"),
+          when(col("ingest_ok"), col("parsed.n")).as("n_parsed"))
+      val sink = s"stream_ingest_quarantine_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = routed.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
     // streaming twin of the NB classifier's serving half: the model fits
     // relationally batch-side (bounded state, vocabK × |classes|), bakes
     // into the plan as literals via Classify.nbServe, and the stream is a
@@ -931,6 +974,8 @@ object StreamQ {
     "stream_dsir_parity" -> dsirScoresSql,
     // the batch NB argmax per held-out doc, shared with text_nb_confusion
     "stream_nb_classify_parity" -> nbPredictionsSql,
+    // the batch routing oracle, shared with ingest_json_quarantine
+    "stream_ingest_quarantine_parity" -> ingestQuarantineSql,
     // layout differs (stateless stream gate vs batch join), meaning must
     // not: the oracle is corpus_mix_temperature's verbatim
     "stream_mix_parity" -> tempMixSql,
