@@ -109,6 +109,38 @@ class ClassifySpec extends SparkSpecBase {
     assert(serveConf == conf, s"serve-side confusion $serveConf != relational $conf")
   }
 
+  test("randomized cross-check: serve == relational on seeded random corpora (ties, empties, OOV)") {
+    // the TemporalStreamSpec discipline: a seeded generator covering the
+    // awkward strata — tiny vocab (forced ties), empty docs, docs that are
+    // entirely OOV under a binding cap — and byte-equality between the
+    // literal-baked serving column and the relational argmax on each
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val classes = Seq("A", "B", "C").take(2 + trial % 2)
+      val vocab = Seq("t0", "t1", "t2", "t3", "t4")
+      val docs = (0 until 50).map { i =>
+        val cls = classes(rnd.nextInt(classes.size))
+        val len = rnd.nextInt(6) // 0 ⇒ empty doc
+        val text = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, text, cls)
+      }
+      val df = docs.toDF("doc_id", "text", "label")
+      val key = s"spec-nb-rand-$trial"
+      val vocabK = 2 + trial // binds for every trial (5 candidate tokens)
+      val model = Classify.nbFit(df, col("doc_id"), col("text"), col("label"),
+        trainPermille = 800, vocabK = vocabK, corpusKey = key)
+      val conf = Classify.nbConfusion(df, col("doc_id"), col("text"), col("label"),
+        trainPermille = 800, vocabK = vocabK, corpusKey = key)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val serveConf = df
+        .filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 1000L) >= 800)
+        .select(col("label"), Classify.nbServe(col("text"), model).as("p"))
+        .as[(String, String)].collect()
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      assert(serveConf == conf, s"trial $trial: serve $serveConf != relational $conf")
+    }
+  }
+
   test("nbServe scores token-free rows on priors with class-asc tiebreak") {
     val df = Seq(
       (1L, "x y", "B"), (2L, "x", "B"), (3L, "y", "A"), (4L, "x y", "A")
