@@ -263,17 +263,45 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       k: Int,
-      rounds: Int
+      rounds: Int,
+      contentKey: Option[String] = None
+  ): DataFrame = {
+    // final survivors: vertices still meeting the bar over the peeled edges
+    coreDegrees(peeledEdges(edges, srcCol, dstCol, k, rounds, contentKey))
+      .filter(col("degree") >= k)
+  }
+
+  /** The R-round peeled edge frame, optionally content-key-spilled: the
+    * peel loop is integer-deterministic, so when a caller asserts the
+    * input's identity (corpus + pair-generation params) via `contentKey`,
+    * the peeled frame lands in the plan-keyed parquet memo and every
+    * consumer in the session — the core query AND its fixpoint
+    * certificate, which peels the IDENTICAL R rounds before its probe —
+    * pays for the loop once (the setsim-spill discipline one level up).
+    */
+  private def peeledEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int,
+      contentKey: Option[String]
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
-    var e = undirectedEdges(edges, srcCol, dstCol)
-    for (i <- 1 to rounds) {
-      e = peelRound(e, k)
-      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+    def loop: DataFrame = {
+      var e = undirectedEdges(edges, srcCol, dstCol)
+      for (i <- 1 to rounds) {
+        e = peelRound(e, k)
+        if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+      }
+      e
     }
-    // final survivors: vertices still meeting the bar over the peeled edges
-    coreDegrees(e).filter(col("degree") >= k)
+    contentKey match {
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(loop, "kcore_peeled", s"$key|k=$k|rounds=$rounds")
+      case None => loop
+    }
   }
 
   /** Multi-source BFS hop distances over the undirected graph, `rounds`
@@ -395,15 +423,14 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       k: Int,
-      rounds: Int
+      rounds: Int,
+      contentKey: Option[String] = None
   ): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(rounds >= 1 && rounds <= 15, "rounds must be in [1, 15] — one extra probe round runs")
-    var e = undirectedEdges(edges, srcCol, dstCol)
-    for (i <- 1 to rounds) {
-      e = peelRound(e, k)
-      if (i % 4 == 0) e = e.localCheckpoint()
-    }
+    require(rounds <= 15, "rounds must be in [1, 15] — one extra probe round runs")
+    // the R peel rounds are IDENTICAL to kcorePeel's — under a contentKey
+    // they ride the same spill entry, so the certificate costs one probe
+    // round plus the diff, never a recompute of the loop
+    val e = peeledEdges(edges, srcCol, dstCol, k, rounds, contentKey)
     val eNext = peelRound(e, k)
     val sR = coreDegrees(e).filter(col("degree") >= k).withColumn("in_r", lit(1))
     val sR1 = coreDegrees(eNext).filter(col("degree") >= k).withColumn("in_r1", lit(1))

@@ -606,7 +606,9 @@ object Extensions {
       val edges = Dedup
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
-      graft.ops.GraphOps.kcorePeel(edges, "id_lo", "id_hi", k = 2, rounds = 3)
+      graft.ops.GraphOps.kcorePeel(
+        edges, "id_lo", "id_hi", k = 2, rounds = 3,
+        contentKey = Some(s"documents|$dir|pf19-20"))
     },
     // fixpoint certificate for the fixed-round peel above: peel the same
     // 3 rounds plus ONE probe round and report whether the survivor set
@@ -618,7 +620,9 @@ object Extensions {
       val edges = Dedup
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
-      graft.ops.GraphOps.kcoreFixpoint(edges, "id_lo", "id_hi", k = 2, rounds = 3)
+      graft.ops.GraphOps.kcoreFixpoint(
+        edges, "id_lo", "id_hi", k = 2, rounds = 3,
+        contentKey = Some(s"documents|$dir|pf19-20"))
     },
     // convergence certificate for the synchronous label propagation: run
     // the same 3 rounds plus one probe round and count nodes whose label
