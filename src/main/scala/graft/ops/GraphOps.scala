@@ -140,16 +140,38 @@ object GraphOps {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int
+      iters: Int,
+      contentKey: Option[String] = None
+  ): DataFrame = lpaLabels(edges, srcCol, dstCol, iters, contentKey)
+
+  /** The round-`iters` label frame, optionally content-key-spilled: the
+    * synchronous rounds are deterministic, so the assignment AND its
+    * fixpoint certificate (which probes off the identical round-R frame)
+    * share one execution of the loop through the plan-keyed memo — the
+    * [[kcorePeel]] discipline.
+    */
+  private def lpaLabels(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      contentKey: Option[String]
   ): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16] — fixed unrolled rounds")
-    val adj = symmetricAdj(edges, srcCol, dstCol)
-    var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
-    for (i <- 1 to iters) {
-      labels = lpaRound(adj, labels)
-      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+    def loop: DataFrame = {
+      val adj = symmetricAdj(edges, srcCol, dstCol)
+      var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
+      for (i <- 1 to iters) {
+        labels = lpaRound(adj, labels)
+        if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint(false)
+      }
+      labels
     }
-    labels
+    contentKey match {
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(loop, "lpa_labels", s"$key|iters=$iters")
+      case None => loop
+    }
   }
 
   /** The canonical symmetric adjacency of an undirected edge frame:
@@ -199,15 +221,15 @@ object GraphOps {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int
+      iters: Int,
+      contentKey: Option[String] = None
   ): DataFrame = {
     require(iters >= 1 && iters <= 15, "iters must be in [1, 15] — one extra probe round runs")
+    // the R assignment rounds are IDENTICAL to labelPropagation's — under
+    // a contentKey they share one spill entry, so the certificate costs
+    // one probe round plus the node-keyed diff
     val adj = symmetricAdj(edges, srcCol, dstCol)
-    var labels = adj.select(col("node")).distinct().withColumn("label", col("node"))
-    for (i <- 1 to iters) {
-      labels = lpaRound(adj, labels)
-      if (i % 4 == 0) labels = labels.localCheckpoint()
-    }
+    val labels = lpaLabels(edges, srcCol, dstCol, iters, contentKey)
     val next = lpaRound(adj, labels).withColumnRenamed("label", "label_r1")
     // same node set on both sides (every node relabels every round), so
     // the comparison is a plain node-keyed inner join
@@ -293,7 +315,7 @@ object GraphOps {
       var e = undirectedEdges(edges, srcCol, dstCol)
       for (i <- 1 to rounds) {
         e = peelRound(e, k)
-        if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+        if (i % 4 == 0 && i < rounds) e = e.localCheckpoint(false)
       }
       e
     }
@@ -328,34 +350,66 @@ object GraphOps {
       dstCol: String,
       sources: DataFrame,
       srcIdCol: String,
-      rounds: Int
+      rounds: Int,
+      contentKey: Option[String] = None
+  ): DataFrame = bfsDist(edges, srcCol, dstCol, sources, srcIdCol, rounds, contentKey)
+
+  /** The round-R distance table, optionally content-key-spilled. The
+    * caller's `contentKey` must assert the SOURCE SET's identity as well
+    * as the edge frame's — both are inputs to the loop.
+    */
+  private def bfsDist(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: DataFrame,
+      srcIdCol: String,
+      rounds: Int,
+      contentKey: Option[String]
   ): DataFrame = {
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
+    def loop: DataFrame = {
+      val adj = bfsAdj(edges, srcCol, dstCol, rounds)
+      var dist = sources.select(col(srcIdCol).as("node")).distinct().withColumn("dist", lit(0))
+      var frontier = dist.select(col("node"))
+      for (i <- 1 to rounds) {
+        val newly = bfsRound(adj, frontier, dist, i)
+        dist = dist.unionByName(newly)
+        frontier = newly.select(col("node"))
+        // dist feeds BOTH the anti-join and the union next round — sever
+        // every other round or the plan doubles per round
+        if (i % 2 == 0 && i < rounds) {
+          dist = dist.localCheckpoint(false)
+          frontier = frontier.localCheckpoint(false)
+        }
+      }
+      dist
+    }
+    contentKey match {
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(loop, "bfs_dist", s"$key|rounds=$rounds")
+      case None => loop
+    }
+  }
+
+  /** The frontier-semi-joined adjacency of one BFS expansion: the nodes
+    * discovered at distance `i` (candidates minus the known set). */
+  private def bfsRound(adj: DataFrame, frontier: DataFrame, dist: DataFrame, i: Int): DataFrame = {
+    val cand = adj
+      .join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
+      .select(col("d").as("node"))
+      .distinct()
+    cand.join(dist, Seq("node"), "left_anti").withColumn("dist", lit(i))
+  }
+
+  private def bfsAdj(edges: DataFrame, srcCol: String, dstCol: String, rounds: Int): DataFrame = {
     val e = undirectedEdges(edges, srcCol, dstCol)
     val adj0 = e.select(col("u").as("s"), col("v").as("d"))
       .unionByName(e.select(col("v").as("s"), col("u").as("d")))
     // the adjacency sits at EVERY leaf of the unrolled round lineage —
     // materialize it once (multi-round only) or an expensive edge
     // derivation (a setsim pair build) replays per round per reference
-    val adj = if (rounds > 1) adj0.localCheckpoint() else adj0
-    var dist = sources.select(col(srcIdCol).as("node")).distinct().withColumn("dist", lit(0))
-    var frontier = dist.select(col("node"))
-    for (i <- 1 to rounds) {
-      val cand = adj
-        .join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
-        .select(col("d").as("node"))
-        .distinct()
-      val newly = cand.join(dist, Seq("node"), "left_anti").withColumn("dist", lit(i))
-      dist = dist.unionByName(newly)
-      frontier = newly.select(col("node"))
-      // dist feeds BOTH the anti-join and the union next round — sever
-      // every other round or the plan doubles per round
-      if (i % 2 == 0 && i < rounds) {
-        dist = dist.localCheckpoint()
-        frontier = frontier.localCheckpoint()
-      }
-    }
-    dist
+    if (rounds > 1) adj0.localCheckpoint(false) else adj0
   }
 
   /** Fixpoint CERTIFICATE for [[bfsDistances]]: run one PROBE round past
@@ -370,13 +424,20 @@ object GraphOps {
       dstCol: String,
       sources: DataFrame,
       srcIdCol: String,
-      rounds: Int
+      rounds: Int,
+      contentKey: Option[String] = None
   ): DataFrame = {
-    val probe = bfsDistances(edges, srcCol, dstCol, sources, srcIdCol, rounds + 1)
-    probe
+    // the R expansion rounds are IDENTICAL to bfsDistances' — under a
+    // contentKey the round-R table rides the shared spill and the probe
+    // is ONE more frontier expansion (frontier = the dist==R stratum),
+    // never a recompute of the loop
+    val distR = bfsDist(edges, srcCol, dstCol, sources, srcIdCol, rounds, contentKey)
+    val frontier = distR.filter(col("dist") === rounds).select(col("node"))
+    val newly = bfsRound(bfsAdj(edges, srcCol, dstCol, rounds = 1), frontier, distR, rounds + 1)
+    distR
       .agg(
-        sum(when(col("dist") <= rounds, 1L).otherwise(0L)).as("n_reached"),
-        sum(when(col("dist") === rounds + 1, 1L).otherwise(0L)).as("n_new_probe"))
+        sum(when(col("dist") <= rounds, 1L).otherwise(0L)).as("n_reached"))
+      .crossJoin(newly.agg(count(lit(1)).as("n_new_probe")))
       .select(
         lit(rounds).as("rounds"),
         col("n_reached"),

@@ -574,7 +574,9 @@ object Extensions {
       val edges = Dedup
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
-      graft.ops.GraphOps.labelPropagation(edges, "id_lo", "id_hi", iters = 3)
+      graft.ops.GraphOps.labelPropagation(
+        edges, "id_lo", "id_hi", iters = 3,
+        contentKey = Some(s"documents|$dir|pf19-20"))
     },
     // multi-source BFS over the same near-dup pair graph: minimal hop
     // distances from the benchmark-doc seed set (doc_id % 100 == 0) out
@@ -585,7 +587,9 @@ object Extensions {
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
       val sources = t(s, dir, "documents").filter(col("doc_id") % 100 === 0)
-      graft.ops.GraphOps.bfsDistances(edges, "id_lo", "id_hi", sources, "doc_id", rounds = 3)
+      graft.ops.GraphOps.bfsDistances(
+        edges, "id_lo", "id_hi", sources, "doc_id", rounds = 3,
+        contentKey = Some(s"documents|$dir|pf19-20|seed=mod100"))
     },
     // reachability-closure certificate for the bounded BFS: one probe
     // round past R — at_fixpoint=true proves nothing lies beyond 3 hops,
@@ -595,7 +599,9 @@ object Extensions {
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
       val sources = t(s, dir, "documents").filter(col("doc_id") % 100 === 0)
-      graft.ops.GraphOps.bfsFixpoint(edges, "id_lo", "id_hi", sources, "doc_id", rounds = 3)
+      graft.ops.GraphOps.bfsFixpoint(
+        edges, "id_lo", "id_hi", sources, "doc_id", rounds = 3,
+        contentKey = Some(s"documents|$dir|pf19-20|seed=mod100"))
     },
     // dense-subgraph certificate over the same near-dup pair graph (fourth
     // consumer of the shared setsim spill): 3 fixed rounds of bulk-
@@ -632,7 +638,9 @@ object Extensions {
       val edges = Dedup
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
-      graft.ops.GraphOps.labelPropFixpoint(edges, "id_lo", "id_hi", iters = 3)
+      graft.ops.GraphOps.labelPropFixpoint(
+        edges, "id_lo", "id_hi", iters = 3,
+        contentKey = Some(s"documents|$dir|pf19-20"))
     },
     "ngram_jaccard" -> { (s, dir) =>
       val g = Dedup.shingled(tPar(s, dir, "documents"), col("doc_id"), col("text"), 3)
