@@ -1,0 +1,233 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding LINEAR ALGEBRA: the dimensionality-structure toolkit an
+  * embedding pipeline runs between ingestion and indexing — exact
+  * integer-grid covariance, top-principal-component fit (power
+  * iteration), map-only projection serve, and a Johnson–Lindenstrauss
+  * distortion audit for the SRP sketch family.
+  *
+  * The family follows the engine's fit/serve doctrine (the NB classifier
+  * and k-means precedents):
+  *
+  *   - FIT is relational and combine-friendly: the co-moment pyramid is a
+  *     map-side HOF that emits the d(d+1)/2 upper-triangle products per
+  *     row and ONE partial-aggregated groupBy — the shuffle moves at most
+  *     d(d+1)/2 rows per map partition regardless of corpus size, and the
+  *     driver holds only the d×d model (the covariance), never data.
+  *   - The POWER ITERATION runs on the driver over that model — d²
+  *     integers, bounded by dimension, not rows — in exact BigInt
+  *     arithmetic with one fixed-order double renormalization per round,
+  *     so any engine replays it bit-for-bit.
+  *   - SERVE is map-only: the fitted component is baked into the plan as
+  *     literals and the projection is a per-row integer dot product —
+  *     the same column scores a table or a stream.
+  *
+  * Exactness contract (the [[Similarity.quantize]] grid): elements are
+  * milli-quantized half-up, every aggregate is an integer sum (order-
+  * free), and each double step is a fixed-order expression over
+  * exactly-cast integers — IEEE-identical in any engine.
+  */
+object EmbAlgebra {
+
+  /** Exact co-moment sums over the upper triangle (i ≤ j): one row per
+    * dimension pair with `(i, j, n, sx, sy, sxy)` — all integer sums of
+    * milli-quantized elements, plus the ppm covariance estimate
+    * `cov_ppm = round((n·Σxy − Σx·Σy) / n²)` (milli² per-pair units make
+    * the ratio directly parts-per-million of the raw covariance).
+    *
+    * Shape at 100 TB: the pair products are built per row by a
+    * higher-order function (no self-join — joining the exploded frame
+    * with itself would shuffle at data grain), the frame is fenced before
+    * the explode (the built array must not inline into the Generate and
+    * re-evaluate per element), and the single groupBy partial-aggregates
+    * to ≤ d(d+1)/2 groups per partition. The n·d² multiply work is
+    * covariance's inherent cost; the shuffle is model-sized.
+    *
+    * Overflow: with |x_q| ≤ 1000·max|x| the long sums hold past 10¹³
+    * rows of unit-normalized vectors; the cov numerator n·Σxy − Σx·Σy is
+    * computed in decimal(38,0) before one double division of exact
+    * integers.
+    */
+  def covariance(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
+    val q = df.select(Similarity.quantize(vecCol).as("q"))
+    val pairsArr = flatten(
+      transform(
+        sequence(lit(0), lit(dim - 1)),
+        i =>
+          transform(
+            sequence(i, lit(dim - 1)),
+            j =>
+              struct(
+                i.as("i"),
+                j.as("j"),
+                element_at(col("q"), i + 1).as("xi"),
+                element_at(col("q"), j + 1).as("xj")))))
+    val num = (col("n").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
+      - col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)"))
+    val den = col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+    graft.ops.PlanOps
+      .fence(q.select(pairsArr.as("p")))
+      .select(explode(col("p")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.xi").as("xi"), col("e.xj").as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"),
+        sum(col("xj")).as("sy"),
+        sum(col("xi") * col("xj")).as("sxy"))
+      .withColumn(
+        "cov_ppm",
+        floor(num.cast("double") / den.cast("double") + lit(0.5)).cast("long"))
+  }
+
+  /** Collect the fitted ppm covariance as a dense symmetric matrix —
+    * MODEL STATE: d(d+1)/2 integers bounded by dimension, the only thing
+    * that ever reaches the driver (the k-means-centroid discipline).
+    */
+  def covPpmMatrix(df: DataFrame, vecCol: Column, dim: Int): Array[Array[Long]] = {
+    val m = Array.ofDim[Long](dim, dim)
+    covariance(df, vecCol, dim)
+      .select(col("i"), col("j"), col("cov_ppm"))
+      .collect()
+      .foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        m(i)(j) = c
+        m(j)(i) = c
+      }
+    m
+  }
+
+  /** Top principal component by `rounds` fixed rounds of integer power
+    * iteration over the ppm covariance. Deterministic and replayable in
+    * any engine: v₀ = 10⁶·1⃗; each round s = C_q·v exactly in BigInt,
+    * then v′_i = floor(s_i/max|s| · 10⁶ + 0.5) — one fixed-order double
+    * step per component over exactly-cast integers (both casts are
+    * IEEE-correctly-rounded, so the renormalized grid vector cannot
+    * drift between engines). The sign is pinned by the all-positive
+    * start; a fixed round count keeps the loop bounded (the convergence
+    * DELTA is reported, not waited on — the fixpoint-certificate
+    * doctrine).
+    *
+    * @return (v_R, v_{R−1}, lambda_ppm) — the fitted component on the
+    *         10⁶ grid, the previous round (for the convergence delta),
+    *         and the Rayleigh quotient λ = vᵀCv / vᵀv in covariance ppm
+    *         units (exact BigInt sums, one double division).
+    */
+  def topComponent(cov: Array[Array[Long]], rounds: Int): (Array[Long], Array[Long], Long) = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
+    val dim = cov.length
+    var v = Array.fill(dim)(1000000L)
+    var prev = v
+    for (_ <- 1 to rounds) {
+      val s = Array.tabulate(dim) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < dim) { acc += BigInt(cov(i)(j)) * v(j); j += 1 }
+        acc
+      }
+      val m = s.map(_.abs).max
+      require(m > 0, "zero covariance matrix — nothing to iterate")
+      prev = v
+      v = s.map(x => math.floor(x.doubleValue / m.doubleValue * 1000000d + 0.5).toLong)
+    }
+    var num = BigInt(0)
+    var den = BigInt(0)
+    var i = 0
+    while (i < dim) {
+      var si = BigInt(0)
+      var j = 0
+      while (j < dim) { si += BigInt(cov(i)(j)) * v(j); j += 1 }
+      num += si * v(i)
+      den += BigInt(v(i)) * v(i)
+      i += 1
+    }
+    val lambda = math.floor(num.doubleValue / den.doubleValue + 0.5).toLong
+    (v, prev, lambda)
+  }
+
+  /** SERVE: project each embedding onto a fitted component — map-only,
+    * the component rides the plan as literals (like the NB model), so
+    * the identical column scores a batch table or a firehose. Score
+    * units: milli-element × 10⁶-grid component = 10⁹ × cosine-scale,
+    * far inside long range for any practical dimension.
+    */
+  def projectScore(vecCol: Column, component: Array[Long]): Column = {
+    val comp = array(component.toIndexedSeq.map(lit(_)): _*)
+    aggregate(
+      zip_with(Similarity.quantize(vecCol), comp, (x, w) => x * w),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** The exact integer dot/self-dot triple of two quantized vectors and
+    * the one-division cosine over them — the fixed-order double formula
+    * shared verbatim by the JL audit's original and projected spaces.
+    */
+  private[ext] def cosineOfSums(sab: Column, saa: Column, sbb: Column): Column =
+    sab.cast("double") / (sqrt(saa.cast("double")) * sqrt(sbb.cast("double")))
+
+  /** Johnson–Lindenstrauss DISTORTION AUDIT for the SRP sketch family:
+    * project a deterministic md5-gated stratum of vectors through the
+    * SAME md5-derived coefficient matrix the LSH buckets use
+    * ([[Similarity.srpCoefficients]]), pair the stratum (id_lo < id_hi),
+    * and histogram `cos(projected) − cos(original)` in 1%-wide ppm
+    * buckets. The quality gauge for every sketch consumer: how much
+    * cosine geometry K planes actually preserve.
+    *
+    * Scale: the gate fraction is fixed, so pair count grows as
+    * (gate·N)² — the caller tightens `gateMod` with corpus size exactly
+    * like the recall audit's stratum; the pair join is on the gated
+    * stratum only, never data-grain. All dots are exact integer sums;
+    * the two cosines and the bucket cut are fixed-order double steps.
+    */
+  def jlDistortion(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      dim: Int,
+      planes: Int,
+      gateMod: Int
+  ): DataFrame = {
+    val coef = Similarity.srpCoefficients(dim, planes)
+    val projArr = array((0 until planes).map { k =>
+      aggregate(
+        zip_with(col("q"), array(coef(k).map(lit(_)): _*), (x, w) => x * w),
+        lit(0L),
+        (acc, x) => acc + x)
+    }: _*)
+    val gated = df
+      .select(idCol.as("id"), Similarity.quantize(vecCol).as("q"))
+      .filter(graft.ops.Hashing.md5Mod(col("id").cast("string"), gateMod.toLong) === 0)
+      .withColumn("p", projArr)
+      .withColumn("qq", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("pp", aggregate(col("p"), lit(0L), (acc, x) => acc + x * x))
+    val fenced = graft.ops.PlanOps.fence(gated)
+    val a = fenced.select(
+      col("id").as("id_lo"), col("q").as("qa"), col("p").as("pa"),
+      col("qq").as("qqa"), col("pp").as("ppa"))
+    val b = fenced.select(
+      col("id").as("id_hi"), col("q").as("qb"), col("p").as("pb"),
+      col("qq").as("qqb"), col("pp").as("ppb"))
+    val pairs = a
+      .crossJoin(b)
+      .filter(col("id_lo") < col("id_hi"))
+      .filter(col("qqa") > 0 && col("qqb") > 0 && col("ppa") > 0 && col("ppb") > 0)
+      .withColumn(
+        "sq",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn(
+        "sp",
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("cos_o", cosineOfSums(col("sq"), col("qqa"), col("qqb")))
+      .withColumn("cos_p", cosineOfSums(col("sp"), col("ppa"), col("ppb")))
+      .withColumn(
+        "d_ppm",
+        floor((col("cos_p") - col("cos_o")) * lit(1000000d) + lit(0.5)).cast("long"))
+    pairs
+      .groupBy(floor(col("d_ppm").cast("double") / lit(10000d)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+}
