@@ -47,6 +47,25 @@ object Bench {
     // plan shape happens here, so the timed loop measures steady-state
     // execution rather than charging first-run JVM warmup to whichever
     // query iterates first.
+    // Host-load marker, captured at run START: 1-minute loadavg and the
+    // number of live JVMs on the box. Recorded into the bench_history entry
+    // so a cross-round comparison carries its own caveat — the r13->r14
+    // carried-query drift investigation showed per-query scatter up to
+    // ~0.45 s between same-HEAD runs under different host load, and without
+    // this marker that scatter is indistinguishable from a regression.
+    val hostLoad1: Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val hostJvms: Int =
+      try {
+        val proc = new java.io.File("/proc")
+        proc.listFiles((_, n) => n.forall(_.isDigit)).count { d =>
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(d.getPath, "comm"))).trim == "java"
+          catch { case _: Throwable => false }
+        }
+      } catch { case _: Throwable => -1 }
     val warmDir = "/root/testdata/sf0.001"
     // optional regex filter for targeted local perf work (driver sets none)
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
@@ -55,6 +74,16 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // Measure the stream-harness floor (fixed MemoryStream/micro-batch cost
+    // every stream_* query pays regardless of operator — see
+    // StreamHarness.harnessFloor). Min-of-3 after the warmup pass, same
+    // discipline as query timing; ~21 stream_* queries × a 1.5-4.5 s floor
+    // is ~40 s of the board total that is harness, not operator, and
+    // BenchDiff subtracts this floor before banding stream_* deltas.
+    def floorMin(stateful: Boolean): Double =
+      (0 until 3).map(_ => graft.queries.StreamHarness.harnessFloor(spark, stateful)).min
+    val floorStateless = try floorMin(stateful = false) catch { case _: Throwable => -1.0 }
+    val floorStateful = try floorMin(stateful = true) catch { case _: Throwable => -1.0 }
     var failed = Set.empty[String]
     case class Meas(sec: Double, shuffle: Long, spill: Long)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
@@ -141,7 +170,9 @@ object Bench {
     //    stdout, no matter how many queries register.
     val full =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size}}"""
+        s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size},""" +
+        s""""host_loadavg1":${f(hostLoad1)},"host_jvms":$hostJvms,""" +
+        s""""harness_floor_sec":${f(floorStateless)},"harness_floor_stateful_sec":${f(floorStateful)}}"""
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size}}"""

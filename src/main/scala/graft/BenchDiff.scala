@@ -38,6 +38,17 @@ object BenchDiff {
       .map(m => m.group(1) -> Q(m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
       .toMap
 
+  // Stream-harness floor recorded by Bench (the fixed MemoryStream /
+  // micro-batch cost every stream_* query pays — StreamHarness.harnessFloor).
+  // Absent in pre-r15 history files → 0.0, i.e. the old behavior.
+  private val floorRe = """"harness_floor_sec":(-?[0-9.]+)""".r
+  private def loadFloor(path: String): Double =
+    floorRe
+      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+      .map(_.group(1).toDouble)
+      .filter(_ >= 0)
+      .getOrElse(0.0)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenchDiff <before.json> <after.json> [topN] [noiseAbs] [noiseRel]")
     val before = load(args(0))
@@ -67,8 +78,19 @@ object BenchDiff {
       println(s"added (${f(added.iterator.map(after(_).sec).filter(_ >= 0).sum)}s): ${added.mkString(", ")}")
     if (removed.nonEmpty) println(s"removed: ${removed.mkString(", ")}")
 
-    def band(k: String) = math.max(noiseAbs, noiseRel * before(k).sec)
-    val deltas = carried.map(k => (k, after(k).sec - before(k).sec))
+    // stream_* queries: subtract each side's measured harness floor before
+    // banding, so the relative band applies to OPERATOR time, not the 1.5-4.5 s
+    // fixed micro-batch constant (under which a 0.5 s operator regression on a
+    // 4 s entry reads as 12% and drowns in the 30% relative band), and a
+    // floor shift between runs (host-load) doesn't masquerade as a movement.
+    val floorB = loadFloor(args(0))
+    val floorA = loadFloor(args(1))
+    if (floorB > 0 || floorA > 0)
+      println(s"stream harness floor subtracted for stream_* deltas: before=${f(floorB)}s after=${f(floorA)}s")
+    def adj(k: String, q: Q, floor: Double) =
+      if (k.startsWith("stream_")) math.max(0.0, q.sec - floor) else q.sec
+    def band(k: String) = math.max(noiseAbs, noiseRel * adj(k, before(k), floorB))
+    val deltas = carried.map(k => (k, adj(k, after(k), floorA) - adj(k, before(k), floorB)))
     val (moved, noise) = deltas.partition { case (k, d) => math.abs(d) > band(k) }
     println(s"movements beyond the noise band |d| > max(${f(noiseAbs)}s, ${f(noiseRel * 100)}% of before): " +
       s"${moved.size} (top $topN shown); ${noise.size} carried deltas within band suppressed as noise")

@@ -89,6 +89,49 @@ private[graft] object StreamHarness {
       data.grouped(chunk).foreach(g => mem.addData(g: _*))
     }
 
+  /** Fixed per-run cost of the MemoryStream parity harness itself, measured
+    * by running the harness machinery (streamSession clone, pre-staged feed,
+    * memory sink, two micro-batches, drain) around a near-empty query. Every
+    * stream_* bench entry pays this floor regardless of the operator under
+    * test, so BenchDiff subtracts it before applying the relative noise band
+    * — otherwise a 0.5 s operator regression drowns in a 2-4 s harness
+    * constant. Two shapes because they have different floors:
+    *   - stateless: projection only (no state store) — the lower bound
+    *   - stateful: watermarked window count in append mode — pays state-store
+    *     provider load + commit per partition per batch, the shape most
+    *     stream_* parity queries actually have
+    */
+  private[graft] def harnessFloor(spark: SparkSession, stateful: Boolean): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = System.nanoTime()
+    val s = streamSession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val base = new java.sql.Timestamp(86400000L)
+    feedChunked(mem, (1L to 64L).map(i => (i, new java.sql.Timestamp(i * 1000))))
+    val df =
+      if (stateful)
+        mem
+          .toDF()
+          .toDF("k", "ts")
+          .withWatermark("ts", "10 seconds")
+          .groupBy(window(col("ts"), "1 minute"))
+          .count()
+      else mem.toDF().toDF("k", "ts").select(col("k") + 1 as "k2")
+    val sink = s"harness_floor_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: the watermark-advancing sentinel every stateful parity
+      // query issues to flush append-mode state — part of the fixed shape
+      mem.addData((-1L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    drainSink(s, sink)(identity): Unit
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private[queries] def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {
     val shaped = shape(s.table(sink))
     val rows = shaped.collect()
