@@ -1,0 +1,481 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Classify, Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ops.{TemporalOps, ZOrderOps}
+import graft.streaming.Sessionize
+
+/** Multimodal family: JDK-only image/audio/video decode, perceptual
+  * hashing, histograms, fingerprints, scene cuts over binary payloads.
+  *
+  * Split out of Extensions.scala (round 15): same entries, same maps —
+  * [[Extensions]] aggregates the families, so the driver contract
+  * (SparkEntry.queries / oracleSql) is unchanged.
+  */
+private[queries] object QMultimodal {
+  import QShared._
+  import OracleSql._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_payload_meta" -> { (s, dir) =>
+      Multimodal
+        .fromText(t(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("asset_id"),
+          col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.digest").as("digest"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height")
+        )
+    },
+    // frame-sampling plumbing: one row per sampled frame with its byte range,
+    "mm_frame_sample" -> { (s, dir) =>
+      Multimodal
+        .sampleFrames(
+          Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 64, everyNth = 2
+        )
+        .select(col("asset_id"), col("sample_idx"), col("frame_idx"),
+          col("byte_start"), col("byte_len"))
+    },
+    // mapPartitions decode path (per-partition codec context; the stub
+    // codec's dims formula is deterministic byte arithmetic, reproduced in,
+    // the DuckDB twin via per-char code points — fixture text is ASCII)
+    "mm_decode_partitioned" -> { (s, dir) =>
+      Multimodal
+        .decodePartitioned(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+    },
+    // REAL image decode end-to-end: genuine PNG/BMP bytes are encoded
+    // executor-side (javax.imageio) from id-derived pixels, then decoded
+    // back by the real codec; the oracle recomputes dims + raw pixel sum
+    // arithmetically from the same id formula — a lossy or fake decode,
+    // path cannot hash-match it
+    "mm_decode_real" -> { (s, dir) =>
+      Multimodal
+        .decodeImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // blur detection: variance-of-Laplacian sharpness over the REAL
+    // decode path — exact Long 4-neighbour Laplacian squares, one rounded,
+    // mean; sub-3x3 images report 0/NULL instead of a fake score
+    "mm_image_sharpness" -> { (s, dir) =>
+      Multimodal
+        .imageSharpness(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // vision data-card: per-image 8-bin luma histogram over the REAL
+    // decode — the full brightness distribution next to the exposure,
+    // scalars; map-only flatMap, empty bins absent
+    "mm_image_histogram" -> { (s, dir) =>
+      Multimodal
+        .imageHistogram(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"), bins = 8)
+        .toDF()
+    },
+    // exposure audit: exact-integer mean luma, population RMS contrast
+    // (fixed-order IEEE √ tail), and histogram-rail clip counts over the,
+    // REAL decode path — the under/over-exposure + flat-frame gate
+    "mm_image_exposure" -> { (s, dir) =>
+      Multimodal
+        .imageExposure(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // REAL JPEG decode end-to-end: genuine baseline-JFIF bytes encoded
+    // executor-side at quality 1.0 from CONSTANT-gray id-derived images —
+    // the one shape lossy JPEG round-trips exactly (DC-only blocks) — then,
+    // decoded back by the real codec; oracle: pix_sum = w·h·v arithmetic
+    "mm_decode_jpeg" -> { (s, dir) =>
+      Multimodal
+        .decodeImages(Multimodal.synthJpegImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // REAL perceptual hash: genuine PNG/BMP bytes decoded, NN-sampled to a
+    // 9x7 grid (resizeImages' integer-div convention), 56-bit dHash; the
+    // oracle replays the grid sampling + gradient bits arithmetically from,
+    // the id-derived pixel formula — a wrong decode or sampling cannot match
+    "mm_image_dhash" -> { (s, dir) =>
+      Multimodal
+        .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // image near-dup pairs over the dHash fingerprints: 4x14-bit banded-LSH
+    // candidates + exact bit_count(xor) Hamming verify — the text-LSH shape,
+    // in Hamming space; oracle shares the dhash CTE and replays the bands
+    "mm_image_neardup" -> { (s, dir) =>
+      Multimodal
+        .dhashNearDupPairs(
+          Multimodal
+            .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+            .toDF(),
+          maxHamming = 8)
+    },
+    // REAL multi-frame decode end-to-end: genuine animated GIF89a bytes
+    // (explicit gray palette → lossless index coding) encoded executor-side,
+    // then getNumImages/read(i) samples every 2nd frame; the oracle,
+    // recomputes frame count, dims, and per-frame pixel sums arithmetically
+    "mm_frames_real" -> { (s, dir) =>
+      Multimodal
+        .decodeFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"),
+          everyNth = 2)
+        .toDF()
+    },
+    // REAL video demux end-to-end: genuine RIFF/AVI (MJPEG) containers
+    // assembled executor-side with constant-gray q=1.0 JPEG frames (the
+    // exact-round-trip shape); the demuxer walks the chunk tree, checks the,
+    // avih frame count, decodes every 2nd frame; oracle: pix_sum = w·h·v_f
+    "mm_video_frames" -> { (s, dir) =>
+      Multimodal
+        .demuxVideoFrames(
+          Multimodal.synthMjpegVideos(tPar(s, dir, "documents"), "doc_id"),
+          everyNth = 2)
+        .toDF()
+    },
+    // shot-boundary detection over the REAL demux+decode path: per-pixel
+    // mean luma delta between consecutive frames, cut at >100 (the synth
+    // frame values step by 17 mod 256, so only the mod-wrap transitions,
+    // fire — data-dependent across assets, arithmetic the oracle replays)
+    "mm_video_scene_cuts" -> { (s, dir) =>
+      Multimodal.sceneCuts(
+        Multimodal.synthMjpegVideos(tPar(s, dir, "documents"), "doc_id"),
+        thresholdPerPixel = 100)
+    },
+    // REAL audio decode end-to-end: genuine RIFF/WAVE PCM-16 bytes encoded
+    // executor-side (javax.sound.sampled) from id-derived samples, decoded
+    // back by the real codec; PCM is lossless so the oracle recomputes,
+    // rate/count/amplitude-sum arithmetically
+    "mm_decode_audio" -> { (s, dir) =>
+      Multimodal
+        .decodeAudio(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // REAL audio fingerprint: decode the WAV payload, 57 integer-div
+    // envelope frames, exact Σs² energies, 56 gradient bits; the oracle,
+    // replays the frame boundaries and energies from the id-derived PCM
+    "mm_audio_fingerprint" -> { (s, dir) =>
+      Multimodal
+        .audioFingerprints(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+    },
+    // audio near-dup pairs over the energy-envelope fingerprints — the,
+    // same banded Hamming LSH as the image dHash family
+    "mm_audio_neardup" -> { (s, dir) =>
+      Multimodal.hammingNearDupPairs(
+        Multimodal
+          .audioFingerprints(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
+          .toDF()
+          .withColumnRenamed("fingerprint", "fp"),
+        "fp",
+        maxHamming = 8)
+    },
+    // silence / dropout / clipping audit over the REAL WAV decode: exact
+    // counts under |s|<100 and at |s|>=1000, integer ppm share, and the
+    // longest consecutive silent run (row-local scan; the oracle needs a,
+    // gaps-and-islands window to replay it)
+    "mm_audio_silence" -> { (s, dir) =>
+      Multimodal
+        .audioSilence(
+          Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"),
+          silenceThreshold = 100, clipThreshold = 1000)
+        .toDF()
+    },
+    // REAL audio analysis end-to-end: decode the WAV payload, then frame
+    // the 16-bit sample stream (50 samples/frame) into short-time energy +
+    // zero-crossing counts — all integer math, so the oracle recomputes,
+    // every frame descriptor arithmetically from the synth formula
+    "mm_audio_features" -> { (s, dir) =>
+      Multimodal
+        .audioFrameFeatures(
+          Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"),
+          frameLen = 50)
+        .toDF()
+    },
+    // REAL resize end-to-end: synth → decode → integer-exact NN resample →
+    // re-encode → decode again; the oracle recomputes the resampled pixel
+    // sum arithmetically (all integer division, no float scale), so a,
+    // lossy re-encode or wrong sample mapping cannot hash-match
+    "mm_resize_real" -> { (s, dir) =>
+      Multimodal
+        .decodeImages(
+          Multimodal.resizeImages(
+            Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"), maxSide = 8))
+        .toDF()
+    },
+    // corpus-level line dedup (boilerplate removal, CCNet/RefinedWeb
+    // shape): frame every doc with synthetic nav/footer lines (the fixture
+    // has no newlines), then strip lines occurring in > maxDocs distinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_payload_meta" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS digest,
+         CAST(strpos('0123456789abcdef', substr(sha256(text), 1, 1)) * 64 AS INTEGER) AS width,
+         CAST(strpos('0123456789abcdef', substr(sha256(text), 2, 1)) * 64 AS INTEGER) AS height
+         FROM documents""",
+    "mm_decode_partitioned" ->
+      """WITH ch AS (
+           SELECT doc_id,
+             list_transform(range(1, length(coalesce(text, '')) + 1),
+               i -> ascii(substr(text, i, 1))) AS codes
+           FROM documents)
+         SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+           CAST(len(codes) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN len(codes) = 0 THEN 0
+                     ELSE (list_sum(codes) % 16 + 1) * 64 END AS INTEGER) AS width,
+           CAST(CASE WHEN len(codes) = 0 THEN 0
+                     ELSE (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(codes, c -> CAST(c % 16 AS BIGINT))),
+                            (a, b) -> xor(a, b)) + 1) * 64 END AS INTEGER) AS height
+         FROM ch""",
+    "mm_decode_real" -> decodeRealOracleSql,
+    // sharpness twin: the id-derived pixel formula replayed through the,
+    // 4-neighbour Laplacian on the interior grid; sums exact integers
+    "mm_image_sharpness" ->
+      """WITH dims AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS h
+           FROM documents),
+         lap AS (
+           SELECT d.id,
+             (4 * ((d.id * 31 + 7 * x.g + 13 * y.g) % 256)
+                - ((d.id * 31 + 7 * (x.g - 1) + 13 * y.g) % 256)
+                - ((d.id * 31 + 7 * (x.g + 1) + 13 * y.g) % 256)
+                - ((d.id * 31 + 7 * x.g + 13 * (y.g - 1)) % 256)
+                - ((d.id * 31 + 7 * x.g + 13 * (y.g + 1)) % 256)) AS l
+           FROM dims d
+           CROSS JOIN generate_series(1, 11) AS x(g)
+           CROSS JOIN generate_series(1, 9) AS y(g)
+           WHERE x.g <= d.w - 2 AND y.g <= d.h - 2),
+         agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n, CAST(sum(l * l) AS BIGINT) AS sq
+                 FROM lap GROUP BY id)
+         SELECT d.id AS asset_id,
+                CASE WHEN d.id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                d.w AS width, d.h AS height,
+                coalesce(agg.n, 0) AS n_interior,
+                coalesce(agg.sq, 0) AS lap_sq_sum,
+                CASE WHEN agg.n > 0 THEN round(CAST(agg.sq AS DOUBLE) / CAST(agg.n AS DOUBLE), 6) END
+                  AS lap_mean
+         FROM dims d LEFT JOIN agg ON agg.id = d.id""",
+    // histogram twin: the pixel formula bucketed by p // 32, zero bins out,
+    "mm_image_histogram" ->
+      """WITH dims AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS h
+           FROM documents),
+         px AS (
+           SELECT d.id, ((d.id * 31 + 7 * x.g + 13 * y.g) % 256) AS p
+           FROM dims d
+           CROSS JOIN generate_series(0, 12) AS x(g)
+           CROSS JOIN generate_series(0, 10) AS y(g)
+           WHERE x.g < d.w AND y.g < d.h)
+         SELECT id AS asset_id, CAST(p // 32 AS INTEGER) AS bin,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM px GROUP BY 1, 2""",
+    // exposure twin: the id-derived pixel formula over the FULL grid —,
+    // exact sums, the fixed-order √((n·Σp²−(Σp)²))/n tail, rail counts
+    "mm_image_exposure" ->
+      """WITH dims AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS w,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS h
+           FROM documents),
+         px AS (
+           SELECT d.id, d.w, d.h, ((d.id * 31 + 7 * x.g + 13 * y.g) % 256) AS p
+           FROM dims d
+           CROSS JOIN generate_series(0, 12) AS x(g)
+           CROSS JOIN generate_series(0, 10) AS y(g)
+           WHERE x.g < d.w AND y.g < d.h),
+         agg AS (SELECT id, w, h, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS s, CAST(sum(p * p) AS BIGINT) AS ss,
+                   CAST(sum(CASE WHEN p <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN p >= 253 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+                 FROM px GROUP BY 1, 2, 3)
+         SELECT id AS asset_id,
+                CASE WHEN id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                w AS width, h AS height, n AS n_px,
+                round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_luma,
+                round(sqrt(CAST(n * ss - s * s AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                  AS rms_contrast,
+                lo AS n_clip_lo, hi AS n_clip_hi
+         FROM agg""",
+    // silence twin: the id-derived PCM formula with a gaps-and-islands,
+    // window for the max consecutive silent run the engine scans row-local
+    "mm_audio_silence" ->
+      """WITH dims AS (
+           SELECT doc_id AS id, CAST(100 + doc_id % 200 AS INTEGER) AS n,
+                  CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+           FROM documents),
+         smp AS (SELECT d.id, d.n, d.rate, i.g AS i,
+                   abs((d.id * 31 + 7 * i.g) % 2003 - 1001) AS a
+                 FROM dims d CROSS JOIN generate_series(0, 298) AS i(g)
+                 WHERE i.g < d.n),
+         sil AS (SELECT id, i, i - row_number() OVER (PARTITION BY id ORDER BY i) AS grp
+                 FROM smp WHERE a < 100),
+         runs AS (SELECT id, CAST(count(*) AS BIGINT) AS run FROM sil GROUP BY id, grp),
+         mx AS (SELECT id, max(run) AS max_run FROM runs GROUP BY id),
+         agg AS (SELECT id, max(n) AS n, max(rate) AS rate,
+                   CAST(sum(CASE WHEN a < 100 THEN 1 ELSE 0 END) AS BIGINT) AS silent,
+                   CAST(sum(CASE WHEN a >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS clipped
+                 FROM smp GROUP BY id)
+         SELECT a.id AS asset_id, a.rate AS sample_rate, CAST(a.n AS BIGINT) AS n_samples,
+                a.silent AS n_silent,
+                CAST(a.silent * 1000000 // a.n AS BIGINT) AS silent_ppm,
+                coalesce(m.max_run, 0) AS max_silent_run,
+                a.clipped AS n_clipped
+         FROM agg a LEFT JOIN mx m ON m.id = a.id""",
+    "mm_image_dhash" -> dhashOracleSql,
+    "mm_image_neardup" -> dhashNearDupOracleSql,
+    "mm_audio_fingerprint" -> audioFpOracleSql,
+    "mm_audio_neardup" -> audioNearDupOracleSql,
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS asset_id,
+                'image/jpeg' AS media_type,
+                CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                CAST((1 + doc_id % 13) * (1 + doc_id % 11) * ((doc_id * 31) % 256) AS BIGINT) AS pix_sum
+         FROM documents""",
+    "mm_frames_real" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(5 + doc_id % 11 AS INTEGER) AS height,
+                  CAST(1 + doc_id % 4 AS INTEGER) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT id, width, height, n_frames, CAST(unnest(range(0, n_frames)) AS INTEGER) AS f
+           FROM a),
+         sel AS (SELECT * FROM fr WHERE f % 2 = 0)
+         SELECT s.id AS asset_id,
+                'image/gif' AS media_type,
+                s.f AS frame_idx,
+                s.n_frames,
+                s.width,
+                s.height,
+                CAST(sum((s.id * 31 + s.f * 17 + 7 * x.g + 13 * y.g) % 256) AS BIGINT) AS pix_sum
+         FROM sel s
+         CROSS JOIN generate_series(0, 12) AS x(g)
+         CROSS JOIN generate_series(0, 14) AS y(g)
+         WHERE x.g < s.width AND y.g < s.height
+         GROUP BY 1, 2, 3, 4, 5, 6""",
+    // scene-cut replay: frame value (id*31 + f*17) % 256, delta_sum =,
+    // w*h*|v_f - v_{f-1}|, cut iff |Δv| > 100 (the cross-multiplied form)
+    "mm_video_scene_cuts" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                  CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT id, width, height, CAST(unnest(range(0, n_frames)) AS INTEGER) AS f
+           FROM a),
+         fv AS (SELECT id, width, height, f, (id * 31 + f * 17) % 256 AS v FROM fr),
+         d AS (
+           SELECT id, width, height, f, v,
+                  lag(v) OVER (PARTITION BY id ORDER BY f) AS pv
+           FROM fv)
+         SELECT id AS asset_id, f AS frame_idx,
+                CAST(width * height * abs(v - pv) AS BIGINT) AS delta_sum,
+                abs(v - pv) > 100 AS is_cut
+         FROM d WHERE pv IS NOT NULL""",
+    "mm_video_frames" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(1 + doc_id % 13 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 11 AS INTEGER) AS height,
+                  CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT id, width, height, n_frames, CAST(unnest(range(0, n_frames)) AS INTEGER) AS f
+           FROM a)
+         SELECT id AS asset_id,
+                'video/x-msvideo' AS media_type,
+                f AS frame_idx,
+                n_frames,
+                width,
+                height,
+                CAST(width * height * ((id * 31 + f * 17) % 256) AS BIGINT) AS pix_sum
+         FROM fr
+         WHERE f % 2 = 0""",
+    "mm_decode_audio" ->
+      """WITH a AS (
+           SELECT doc_id AS id, CAST(100 + doc_id % 200 AS BIGINT) AS n
+           FROM documents)
+         SELECT a.id AS asset_id,
+                'audio/wav' AS media_type,
+                CAST(CASE WHEN a.id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER) AS sample_rate,
+                CAST(1 AS INTEGER) AS channels,
+                CAST(16 AS INTEGER) AS bits,
+                a.n AS n_samples,
+                CAST(sum((a.id * 31 + 7 * i.g) % 2003 - 1001) AS BIGINT) AS amp_sum
+         FROM a
+         CROSS JOIN generate_series(0, 298) AS i(g)
+         WHERE i.g < a.n
+         GROUP BY 1, 2, 3, 4, 5, 6""",
+    "mm_audio_features" ->
+      """WITH a AS (
+           SELECT doc_id AS id, CAST(100 + doc_id % 200 AS BIGINT) AS n
+           FROM documents),
+         s AS (
+           SELECT a.id, i.g AS i,
+                  (a.id * 31 + 7 * i.g) % 2003 - 1001 AS v,
+                  i.g // 50 AS f
+           FROM a CROSS JOIN generate_series(0, 298) AS i(g)
+           WHERE i.g < a.n),
+         w AS (
+           SELECT id, i, v, f,
+                  lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+           FROM s)
+         SELECT id AS asset_id,
+                CAST(f AS INTEGER) AS frame_idx,
+                CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(v * v) AS BIGINT) AS energy,
+                CAST(sum(CASE WHEN i % 50 > 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS zero_crossings
+         FROM w GROUP BY 1, 2""",
+    "mm_resize_real" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(1 + doc_id % 13 AS BIGINT) AS w,
+                  CAST(1 + doc_id % 11 AS BIGINT) AS h
+           FROM documents),
+         t AS (
+           SELECT doc_id, w, h,
+                  CASE WHEN w <= 8 AND h <= 8 THEN w
+                       ELSE greatest(1, (w * 8) // greatest(w, h)) END AS tw,
+                  CASE WHEN w <= 8 AND h <= 8 THEN h
+                       ELSE greatest(1, (h * 8) // greatest(w, h)) END AS th
+           FROM dims)
+         SELECT t.doc_id AS asset_id,
+                CASE WHEN t.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                CAST(t.tw AS INTEGER) AS width,
+                CAST(t.th AS INTEGER) AS height,
+                CAST(sum((t.doc_id * 31
+                          + 7 * ((x.g * t.w) // t.tw)
+                          + 13 * ((y.g * t.h) // t.th)) % 256) AS BIGINT) AS pix_sum
+         FROM t
+         CROSS JOIN generate_series(0, 12) AS x(g)
+         CROSS JOIN generate_series(0, 10) AS y(g)
+         WHERE x.g < t.tw AND y.g < t.th
+         GROUP BY 1, 2, 3, 4""",
+    "mm_frame_sample" ->
+      """WITH a AS (
+           SELECT doc_id AS asset_id,
+                  CAST(floor(octet_length(encode(text)) / 64) AS INTEGER) AS n
+           FROM documents)
+         SELECT asset_id,
+                CAST(f // 2 AS INTEGER) AS sample_idx,
+                CAST(f AS INTEGER) AS frame_idx,
+                CAST(f * 64 AS INTEGER) AS byte_start,
+                CAST(64 AS INTEGER) AS byte_len
+         FROM a, unnest(range(0, n)) t(f)
+         WHERE f % 2 = 0""",
+  )
+}

@@ -130,7 +130,8 @@ class PlanAuditSpec extends SparkSpecBase {
       // doctrine comments at the sites), s10 DPP dim side
       "queries/Core.scala" -> 8,
       // ann_cosine_topk / ann_filtered_topk broadcast query-vector frames
-      "queries/Extensions.scala" -> 2
+      // (moved from queries/Extensions.scala in the round-15 family split)
+      "queries/QAnn.scala" -> 2
     )
     val root = new java.io.File("src/main/scala/graft")
     def walk(f: java.io.File): Seq[java.io.File] =
