@@ -258,16 +258,27 @@ object Classify {
     val tcls = ctc.groupBy(col("cls")).agg(sum(col("c")).as("t")) // totals over ALL tokens
     val dfc = inVocab.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
     val ncls = tcls.agg(count(lit(1)).as("nc"))
+    // Exactness: the ONLY transcendental is quantized to an integer grid
+    // on its own — idf_milli = round(1000·ln((nc+1)/cf)) — before being
+    // combined (the nbFrames millinat discipline). Composing 1e6·(c/t)·ln
+    // in one double rounding instead would let a 1-ulp JVM-vs-DuckDB ln
+    // difference flip score_micro (hence top-k rank) on a .5 boundary;
+    // here everything after the idf grid is integer: c·idf_milli·1000 is
+    // an exact long (c ≤ corpus tokens ~1e9, idf_milli ≤ ~10⁴ → < 2⁶³),
+    // and `div t` is integral division in both engines. idf > 0 always
+    // (cf ≤ nc < nc+1), so half-up vs floor-div sign quirks never bite.
     val scored = inVocab
       .join(tcls, Seq("cls"))
       .join(broadcast(dfc), Seq("tok"))
       .crossJoin(ncls)
       .select(
         col("cls"), col("tok"),
-        round(
-          lit(1000000.0) * (col("c").cast("double") / col("t").cast("double")) *
-            log((col("nc") + lit(1L)).cast("double") / col("cf").cast("double")),
-          0).cast("long").as("score_micro"))
+        round(lit(1000.0) * log((col("nc") + lit(1L)).cast("double") / col("cf").cast("double")), 0)
+          .cast("long").as("idf_milli"),
+        col("c"), col("t"))
+      .select(
+        col("cls"), col("tok"),
+        expr("c * idf_milli * 1000 div t").as("score_micro"))
     val w = Window.partitionBy(col("cls")).orderBy(col("score_micro").desc, col("tok").asc)
     scored
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -487,6 +487,69 @@ object Similarity {
     *
     * @return codebooks[subspace][cell][dim within slice], quantized longs
     */
+  /** Driver-side fitted-MODEL memo — the [[Dedup.spilled]] discipline
+    * applied to model state instead of a frame: keyed by the corpus's
+    * canonicalized plan (+ semanticHash + schema + the exactness confs) and
+    * the training params; the value is the fitted model, bounded by
+    * (nsub·nlistSub·dsub) / (nlist·dim) longs — never data. Training is a
+    * deterministic function of the corpus (seeded by the lowest-id vectors,
+    * fixed iteration count), so every consumer of the same (corpus, params)
+    * gets byte-identical books from ONE training pass: ann_pq_topk,
+    * ann_ivfpq_topk, ann_index_scored and ann_recall_audit's pq ranker all
+    * train the same 4×4 books and previously paid four training scans per
+    * bench pass. Like the spill memo, session identity is deliberately NOT
+    * in the key (the stream harness clones sessions per invocation).
+    */
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def modelKey(corpus: DataFrame, params: String): String = {
+    val s = corpus.sparkSession
+    val confSig = Seq(
+      "spark.sql.session.timeZone",
+      "spark.sql.ansi.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong"
+    ).map(k => s.conf.getOption(k).getOrElse("")).mkString("|")
+    val a = corpus.queryExecution.analyzed
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((a.canonicalized.toString + "|" + a.semanticHash() + "|" +
+        corpus.schema.catalogString + "|" + confSig + "|" + params).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** [[pqTrain]] through the model memo — the registration-site entry
+    * point, so the audit and the serving queries share one training pass.
+    */
+  def pqTrainCached(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nsub: Int,
+      nlistSub: Int,
+      iters: Int
+  ): Array[Array[Seq[Long]]] =
+    modelMemo
+      .computeIfAbsent(
+        s"pq_${modelKey(corpus, s"$idCol|$vecCol|$nsub|$nlistSub|$iters")}",
+        _ => pqTrain(corpus, idCol, vecCol, nsub, nlistSub, iters))
+      .asInstanceOf[Array[Array[Seq[Long]]]]
+
+  /** [[kmeansCentroids]] through the model memo (the IVF coarse quantizer
+    * is retrained identically by ann_ivf_kmeans / ann_ivfpq_topk /
+    * ann_index_scored on the same corpus).
+    */
+  def kmeansCentroidsCached(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int
+  ): Array[Seq[Long]] =
+    modelMemo
+      .computeIfAbsent(
+        s"km_${modelKey(corpus, s"$idCol|$vecCol|$nlist|$iters")}",
+        _ => kmeansCentroids(corpus, idCol, vecCol, nlist, iters))
+      .asInstanceOf[Array[Seq[Long]]]
+
   def pqTrain(
       corpus: DataFrame,
       idCol: String,
@@ -1135,9 +1198,18 @@ object Similarity {
       bruteForceTopK(corpus, queries, idCol, vecCol, k)
         .select(col("query_id"), col("cand_id")),
       "recall_truth")
-    val base = truth.agg(
-      countDistinct(col("query_id")).as("n_queries"),
-      count(lit(1)).as("n_truth"))
+    // a misconfigured stratum gate (empty eval set) must fail the audit
+    // loudly, not read as a vacuous all-null-ppm pass: n_truth = 0 would
+    // otherwise make every recall_ppm a silent null under integer `div`
+    val base = truth
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .withColumn(
+        "n_truth",
+        when(col("n_truth") > 0, col("n_truth"))
+          .otherwise(raise_error(lit(
+            "recallAudit: empty eval stratum — the md5 gate selected no queries; widen the gate"))))
     rankers
       .map { case (name, rank) =>
         val hits = rank(corpus, queries)

@@ -130,7 +130,7 @@ private[queries] object QAnn {
     // head; the oracle replays training + assignment + the per-cell gate
     "curation_cluster_balance" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       Curation.clusterBalancedSample(e, col("vec_id"), col("embedding"), cents, k = 20)
     },
     // embedding-space outlier audit under the SAME trained quantizer:
@@ -139,7 +139,7 @@ private[queries] object QAnn {
     // order-statistic threshold, strict-> flags, full DuckDB replay
     "curation_emb_outliers" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       Curation.centroidOutliers(e, col("vec_id"), col("embedding"), cents, pNum = 9, pDen = 10)
     },
     // IVF variant (coarse quantizer cells, nprobe probing). The centroid
@@ -166,7 +166,7 @@ private[queries] object QAnn {
     // coding, and the ADC sum per subspace in exact integer math.,
     "ann_pq_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", books, k = 5)
     },
     // PQ as candidate generator, exact cosine as ranker — the honest
@@ -179,7 +179,7 @@ private[queries] object QAnn {
     // top-100 on isotropic data
     "ann_pq_rerank" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 8, nlistSub = 8, iters = 1)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 8, nlistSub = 8, iters = 1)
       Similarity.pqRerankTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", books, depth = 100, k = 5)
     },
@@ -189,8 +189,8 @@ private[queries] object QAnn {
     // codebooks as ann_pq_topk). The oracle composes both oracles' CTEs.
     "ann_ivfpq_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
-      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       Similarity.ivfPqTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", coarse, nprobe = 2, books, k = 5)
     },
@@ -202,8 +202,8 @@ private[queries] object QAnn {
     // probe predicate and k.
     "ann_index_scored" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
-      val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       val tbl = Scratch.table("ann_idx")
       Scratch.tableOnce(tbl, dir)(
         Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 8))
@@ -233,7 +233,7 @@ private[queries] object QAnn {
               c, q, "vec_id", "embedding",
               dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4)),
           "pq_adc_4x4" -> ((c, q) => {
-            val books = Similarity.pqTrain(c, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+            val books = Similarity.pqTrainCached(c, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
             Similarity.pqAdcTopK(c, q, "vec_id", "embedding", books, k = 5)
           })))
     },

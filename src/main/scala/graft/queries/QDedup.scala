@@ -228,14 +228,14 @@ private[queries] object QDedup {
     // embeddings top out near cos 0.51, so 0.42 prunes the densest tail.
     "dedup_semantic_pairs" -> { (s, dir) =>
       val e = tPar(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       Dedup.semanticPairs(e, col("vec_id"), col("embedding"), cents, tau = 0.42)
     },
     // the kept set under the greedy lowest-id rule: drop any vector with a,
     // lower-id within-cell neighbor at cos >= tau
     "dedup_semantic_survivors" -> { (s, dir) =>
       val e = tPar(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       Dedup.semanticSurvivors(e, col("vec_id"), col("embedding"), cents, tau = 0.42)
         .select(col("vec_id"))
     },
@@ -247,7 +247,7 @@ private[queries] object QDedup {
     // batches), so the oracle shares the ann_ivf_kmeans training CTEs.
     "dedup_semantic_incremental" -> { (s, dir) =>
       val e = tPar(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       val corpus = e.filter(col("vec_id") % 5 =!= 0)
       val incoming = e.filter(col("vec_id") % 5 === 0)
       val tbl = Scratch.table("sem_idx")

@@ -263,10 +263,12 @@ private[queries] object QText {
          tcls AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM ctc GROUP BY 1),
          dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM iv GROUP BY 1),
          ncl AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM tcls),
+         idf AS (SELECT dfc.tok,
+                   CAST(round(1000.0 * ln(CAST(n.nc + 1 AS DOUBLE) / CAST(dfc.cf AS DOUBLE)), 0) AS BIGINT) AS idf_milli
+                 FROM dfc CROSS JOIN ncl n),
          sc AS (SELECT iv.cls, iv.tok,
-                  CAST(round(1000000.0 * (CAST(iv.c AS DOUBLE) / CAST(tcls.t AS DOUBLE)) *
-                             ln(CAST(n.nc + 1 AS DOUBLE) / CAST(dfc.cf AS DOUBLE)), 0) AS BIGINT) AS score_micro
-                FROM iv JOIN tcls USING (cls) JOIN dfc USING (tok) CROSS JOIN ncl n),
+                  (iv.c * idf.idf_milli * 1000) // tcls.t AS score_micro
+                FROM iv JOIN tcls USING (cls) JOIN idf ON idf.tok = iv.tok),
          rkd AS (SELECT cls, tok, score_micro,
                    row_number() OVER (PARTITION BY cls ORDER BY score_micro DESC, tok ASC) AS rk
                  FROM sc)

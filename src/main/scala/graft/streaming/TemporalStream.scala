@@ -75,13 +75,29 @@ object TemporalStream {
     * next watermark advance flushes the remainder even if the key
     * receives no further data. Carried state is the register plus the
     * unfinalized buffer: bounded by the watermark delay, not history.
+    *
+    * State cardinality: with `registerTtlSec = 0` (the default, and what
+    * the parity harness uses) a key's register-only state — the compacted
+    * last-right summary with nothing left to emit — lingers until the
+    * query ends, so total state grows with DISTINCT KEY COUNT. That is the
+    * exact batch semantics (any future left still finds its backward
+    * match), and is fine when key cardinality is bounded (users, devices,
+    * parcels). A production deployment over an unbounded key space sets
+    * `registerTtlSec > 0`: register-only state is DROPPED once the
+    * watermark passes `lastRightTs + ttl`, trading exactly one thing — a
+    * left row arriving more than `ttl` after its key's last right row
+    * emits null instead of the stale match (the standard state-TTL trade,
+    * e.g. Flink's state retention).
     */
   def asofJoinStream(
       tagged: Dataset[AsofIn],
-      watermarkDelay: String = "1 hour"
+      watermarkDelay: String = "1 hour",
+      registerTtlSec: Long = 0L
   ): Dataset[AsofOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import tagged.sparkSession.implicits._
+    require(registerTtlSec >= 0, "registerTtlSec must be >= 0 (0 = keep registers until query end)")
+    val ttlUs = registerTtlSec * 1000000L
 
     def flush(
         key: Long,
@@ -104,14 +120,23 @@ object TemporalStream {
         else out += AsofOut(key, tie, us, lastUs, lastPay)
       }
       if (pending.isEmpty && lastUs.isEmpty) state.remove()
+      else if (ttlUs > 0 && pending.isEmpty && lastUs.exists(_ + ttlUs < wmUs))
+        // register TTL: nothing buffered and the watermark has passed the
+        // last right + ttl — drop the key's state entirely (see scaladoc)
+        state.remove()
       else {
         state.update(AsofState(lastUs, lastTie, lastPay, pending))
         if (pending.nonEmpty)
           // fire when the watermark passes the earliest unfinalized row
           // (never at-or-before the current watermark — Spark rejects that)
           state.setTimeoutTimestamp(math.max(pending.head._1 / 1000L, state.getCurrentWatermarkMs() + 1L))
-        // register-only state (no pending): nothing left to emit, so the
-        // state can linger until the query ends — no timeout needed
+        else if (ttlUs > 0)
+          // register-only under a TTL: arm the eviction timeout so the key
+          // is reaped on watermark advance even with no further data
+          state.setTimeoutTimestamp(
+            math.max((lastUs.get + ttlUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+        // register-only with ttl = 0: nothing left to emit, state lingers
+        // until the query ends — the documented bounded-key-space posture
       }
       out.result().iterator
     }
@@ -167,12 +192,16 @@ object TemporalStream {
   def nearestJoinStream(
       tagged: Dataset[AsofIn],
       horizonSec: Long,
-      watermarkDelay: String = "1 hour"
+      watermarkDelay: String = "1 hour",
+      registerTtlSec: Long = 0L
   ): Dataset[NearestOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import tagged.sparkSession.implicits._
     require(horizonSec > 0, "horizon must be positive")
+    require(registerTtlSec >= 0, "registerTtlSec must be >= 0 (0 = keep registers until query end)")
     val hUs = horizonSec * 1000000L
+    // same register-TTL contract as asofJoinStream (see its scaladoc)
+    val ttlUs = registerTtlSec * 1000000L
 
     def flush(
         key: Long,
@@ -223,6 +252,8 @@ object TemporalStream {
       }
       val pending = keep.result()
       if (pending.isEmpty && cutUs.isEmpty) state.remove()
+      else if (ttlUs > 0 && pending.isEmpty && lastUs.exists(_ + ttlUs < wmUs))
+        state.remove()
       else {
         state.update(NearestState(cutUs, cutTie, cutPay, pending))
         val firstDue = pending.iterator.map {
@@ -231,6 +262,9 @@ object TemporalStream {
         }.minOption
         firstDue.foreach(d =>
           state.setTimeoutTimestamp(math.max(d / 1000L, state.getCurrentWatermarkMs() + 1L)))
+        if (pending.isEmpty && ttlUs > 0)
+          state.setTimeoutTimestamp(
+            math.max((lastUs.get + ttlUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
       }
       out.result().iterator
     }

@@ -298,7 +298,13 @@ class SimilaritySpec extends SparkSpecBase {
             Similarity.ivfTopK(c, q, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 5)),
           "lsh_srp_4t" -> ((c, q) =>
             Similarity.lshBucketTopK(c, q, "vec_id", "embedding",
-              dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4))))
+              dim = 64, planes = 6, k = 5, multiProbe = true, tables = 4)),
+          "pq_adc_4x4" -> ((c, q) =>
+            Similarity.pqAdcTopK(c, q, "vec_id", "embedding",
+              Similarity.pqTrainCached(c, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1), k = 5)),
+          "pq_adc_8x8" -> ((c, q) =>
+            Similarity.pqAdcTopK(c, q, "vec_id", "embedding",
+              Similarity.pqTrainCached(c, "vec_id", "embedding", nsub = 8, nlistSub = 8, iters = 1), k = 5))))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
@@ -307,11 +313,24 @@ class SimilaritySpec extends SparkSpecBase {
       assert(nt == nq * 5, s"$name: truth must hold exactly k rows per query")
       assert(nh <= nt && ppm == nh * 1000000L / nt, s"$name: ppm must be exact integer recall")
     }
+    info(s"stratum ppm: ${rows.view.mapValues(_._4).toMap}")
     // measured on the fixture: ivf 0.53, lsh 0.67 — floors a margin below
     // (same discipline as the 10-query ladder above; the 67-query stratum
     // is what the driver-checked ann_recall_audit query ships)
     assert(rows("ivf_16_4")._4 >= 400000L, s"ivf recall ppm ${rows("ivf_16_4")._4} below floor")
     assert(rows("lsh_srp_4t")._4 >= 500000L, s"lsh recall ppm ${rows("lsh_srp_4t")._4} below floor")
+    // PQ floors on the SAME shipped stratum (previously only in the
+    // 10-query ladder): flat 4x4 ADC as a top-5 RANKER on isotropic
+    // vectors is known-weak (the rerank form is the serving posture), so
+    // its floor is a chance-level guard — chance is k/N = 5/500 = 10,000
+    // ppm; 3x that proves the codes carry signal — plus the resolution
+    // ladder: 8x8 codes must strictly beat 4x4 on the same stratum.
+    // Measured (deterministic — md5 gate + seeded training): 4x4 35,820,
+    // 8x8 119,402.
+    assert(rows("pq_adc_4x4")._4 >= 30000L,
+      s"pq 4x4 recall ppm ${rows("pq_adc_4x4")._4} at/below chance guard")
+    assert(rows("pq_adc_8x8")._4 > rows("pq_adc_4x4")._4,
+      s"resolution ladder inverted: 8x8 ${rows("pq_adc_8x8")._4} <= 4x4 ${rows("pq_adc_4x4")._4}")
   }
 
   test("lshRangeSearch: no false accepts, sims exact, recall floor vs brute-force truth") {

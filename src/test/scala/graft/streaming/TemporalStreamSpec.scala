@@ -39,12 +39,14 @@ class TemporalStreamSpec extends SparkSpecBase {
     (200L, 2L, None: Option[Double])
   )
 
-  private def runAsof(batches: Seq[Seq[TemporalStream.AsofIn]]): Set[(Long, Long, Option[Double])] = {
+  private def runAsof(
+      batches: Seq[Seq[TemporalStream.AsofIn]],
+      registerTtlSec: Long = 0L): Set[(Long, Long, Option[Double])] = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TemporalStream.AsofIn]
     val sink = s"temporal_asof_${System.nanoTime()}"
     val q = TemporalStream
-      .asofJoinStream(mem.toDS(), watermarkDelay = "0 seconds")
+      .asofJoinStream(mem.toDS(), watermarkDelay = "0 seconds", registerTtlSec = registerTtlSec)
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
@@ -66,6 +68,29 @@ class TemporalStreamSpec extends SparkSpecBase {
 
   test("asofJoinStream: single staged batch matches the batch operator's semantics") {
     assert(runAsof(Seq(taggedRows)) == expectedAsof)
+  }
+
+  test("asofJoinStream register TTL: idle registers are evicted; ttl=0 keeps batch semantics") {
+    // key 1: right@10:00 then left@10:15 (matches), a long idle gap while
+    // sentinels advance the watermark past lastRight+ttl (flushing the key
+    // register-only and — under the TTL — evicting it), then a late probe
+    // left@13:30. With ttl=0 the register lingers and the late probe still
+    // matches (exact batch semantics); with ttl=1h it emits null — the
+    // documented state-TTL trade for unbounded key spaces.
+    val batches = Seq(
+      Seq(
+        TemporalStream.AsofIn(1L, ts("2024-01-01 10:00:00"), 0, 7L, 1.0),
+        TemporalStream.AsofIn(1L, ts("2024-01-01 10:15:00"), 1, 100L, 0.0)),
+      Seq(TemporalStream.AsofIn(-1L, ts("2024-01-01 12:30:00"), 1, -1L, 0.0)),
+      Seq(TemporalStream.AsofIn(-1L, ts("2024-01-01 13:00:00"), 1, -1L, 0.0)),
+      Seq(TemporalStream.AsofIn(1L, ts("2024-01-01 13:30:00"), 1, 101L, 0.0)))
+    val kept = runAsof(batches, registerTtlSec = 0L)
+    assert(kept.contains((100L, 1L, Some(1.0))) && kept.contains((101L, 1L, Some(1.0))),
+      s"ttl=0 must keep the register for the late probe: $kept")
+    val evicted = runAsof(batches, registerTtlSec = 3600L)
+    assert(evicted.contains((100L, 1L, Some(1.0))), s"in-window probe must still match: $evicted")
+    assert(evicted.contains((101L, 1L, None)),
+      s"probe ${3600}s past the last right must see an evicted register: $evicted")
   }
 
   test("asofJoinStream: same answer when rows arrive across micro-batches (carried register)") {
