@@ -107,6 +107,41 @@ class SessionizeSpec extends SparkSpecBase {
     assert(sessions(1).n_events == 1L && sessions(1).total_value == 2.0)
   }
 
+  test("sessionizeWithState: checkpoint stop/restart recovers open sessions from the state store") {
+    // State-store round-trip for the custom session state machine: run 1
+    // leaves u1's 12:00 session OPEN in the store and stops; run 2 resumes
+    // from the checkpoint, a later event times the session out, and the
+    // flushed rows must equal the uninterrupted run's (two u1 sessions).
+    // File sink because memory sinks refuse checkpoint recovery.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val mem = MemoryStream[Sessionize.SessionEvent]
+    def start() = Sessionize.sessionizeWithState(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    mem.addData(
+      Sessionize.SessionEvent("u1", ts("2024-01-01 10:00:00"), 5.0),
+      Sessionize.SessionEvent("u1", ts("2024-01-01 10:10:00"), 5.0),
+      Sessionize.SessionEvent("u1", ts("2024-01-01 12:00:00"), 2.0))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // u1's 12:00 session is open — it exists only as serialized state
+    mem.addData(Sessionize.SessionEvent("u2", ts("2024-01-01 20:00:00"), 1.0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(Sessionize.SessionEvent("u2", ts("2024-01-01 23:00:00"), 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sessions = spark.read.parquet(outDir).as[Sessionize.ClosedSession].collect()
+      .filter(_.user_id == "u1").sortBy(_.start_us)
+    assert(sessions.length == 2, s"expected both u1 sessions after recovery: ${sessions.toSeq}")
+    assert(sessions(0).n_events == 2L && sessions(0).total_value == 10.0)
+    assert(sessions(1).n_events == 1L && sessions(1).total_value == 2.0)
+  }
+
   test("streamingExactDedup keeps first occurrence per digest within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

@@ -70,6 +70,48 @@ class TemporalStreamSpec extends SparkSpecBase {
     assert(runAsof(Seq(taggedRows)) == expectedAsof)
   }
 
+  test("asofJoinStream: checkpoint stop/restart recovers state-store state (output == uninterrupted)") {
+    // The one failure mode the single-run parity harnesses can't see:
+    // flatMapGroupsWithState state SERIALIZED to the state store by run 1
+    // and DESERIALIZED by run 2. Split the feed across two query starts
+    // sharing a checkpoint — run 1 buffers key 1's early rows (register +
+    // pending) and stops; run 2 must resume from the persisted state and
+    // finish with output identical to the uninterrupted run's expectation.
+    // Memory sinks refuse checkpoint recovery, so this uses the
+    // fault-tolerant file sink (exactly-once via the _spark_metadata log).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_asof_out").toString
+    val mem = MemoryStream[TemporalStream.AsofIn]
+    def start() = TemporalStream
+      .asofJoinStream(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val (early, late) = taggedRows.partition(_.ts.getTime <= ts("2024-01-01 10:00:00").getTime)
+    mem.addData(early: _*)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // key 1's register + unfinalized buffer now live ONLY in the state store
+    mem.addData(late: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(TemporalStream.AsofIn(-1L, ts("2024-01-02 00:00:00"), 1, -1L, 0.0))
+      q2.processAllAvailable()
+      mem.addData(TemporalStream.AsofIn(-1L, ts("2024-01-03 00:00:00"), 1, -1L, 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .filter($"key" =!= -1L)
+      .select($"tie", $"key", $"asof_payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(got == expectedAsof,
+      s"recovered run diverged from the uninterrupted expectation: $got vs $expectedAsof")
+  }
+
   test("asofJoinStream register TTL: idle registers are evicted; ttl=0 keeps batch semantics") {
     // key 1: right@10:00 then left@10:15 (matches), a long idle gap while
     // sentinels advance the watermark past lastRight+ttl (flushing the key
