@@ -100,6 +100,18 @@ object EmbAlgebra {
     m
   }
 
+  /** [[covPpmMatrix]] through [[Similarity.modelMemo]] (the fitted-model
+    * memo): the covariance is a deterministic function of (corpus, dim),
+    * so repeated invocations — bench passes, the fit+serve query — pay ONE
+    * aggregation pass. Model-state-sized value: d² longs.
+    */
+  def covPpmMatrixCached(df: DataFrame, vecCol: Column, dim: Int): Array[Array[Long]] =
+    Similarity.modelMemo
+      .computeIfAbsent(
+        s"cov_${Similarity.modelKey(df, s"$vecCol|$dim")}",
+        _ => covPpmMatrix(df, vecCol, dim))
+      .asInstanceOf[Array[Array[Long]]]
+
   /** Top principal component by `rounds` fixed rounds of integer power
     * iteration over the ppm covariance. Deterministic and replayable in
     * any engine: v₀ = 10⁶·1⃗; each round s = C_q·v exactly in BigInt,

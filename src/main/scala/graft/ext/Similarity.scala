@@ -500,9 +500,9 @@ object Similarity {
     * bench pass. Like the spill memo, session identity is deliberately NOT
     * in the key (the stream harness clones sessions per invocation).
     */
-  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[ext] val modelMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def modelKey(corpus: DataFrame, params: String): String = {
+  private[ext] def modelKey(corpus: DataFrame, params: String): String = {
     val s = corpus.sparkSession
     val confSig = Seq(
       "spark.sql.session.timeZone",

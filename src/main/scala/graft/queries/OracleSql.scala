@@ -923,6 +923,106 @@ private[queries] object OracleSql {
     * stay local — the SQL twin of Similarity.srpBucketQ(_, _, planes,
     * offset).
     */
+  /** EmbAlgebra.covariance twin prefix: per-row upper-triangle pair
+    * products via the range cross (the HOF's SQL shape), one grouped
+    * integer-sum pyramid, then the same decimal→double one-division
+    * cov_ppm estimate. Ends inside the WITH list (covu defined) so the
+    * PCA twin can extend it.
+    */
+  private[queries] val covPairsCtes: String = qzCte + """
+    , cprs AS (
+      SELECT CAST(ii.i AS INTEGER) AS i, CAST(jj.j AS INTEGER) AS j,
+             z.q[CAST(ii.i AS INTEGER) + 1] AS xi, z.q[CAST(jj.j AS INTEGER) + 1] AS xj
+      FROM qz z, range(0, 64) ii(i), range(0, 64) jj(j)
+      WHERE jj.j >= ii.i
+    ), cagg AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xj) AS BIGINT) AS sy,
+             CAST(sum(xi * xj) AS BIGINT) AS sxy
+      FROM cprs GROUP BY 1, 2
+    ), covu AS (
+      SELECT i, j, n, sx, sy, sxy,
+        CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                   CAST(CAST(n AS HUGEINT) * n AS DOUBLE) + 0.5) AS BIGINT) AS cov_ppm
+      FROM cagg
+    )"""
+
+  private[queries] val embCovarianceSql: String = covPairsCtes + """
+    SELECT i, j, n, sx, sy, sxy, cov_ppm FROM covu"""
+
+  /** EmbAlgebra.topComponent + projectScore twin: the driver's power
+    * iteration replayed as SIX UNROLLED CTE rounds (the fixed-round
+    * doctrine — `rounds <= 16` exists precisely so a SQL twin can unroll),
+    * each round one exact integer mat-vec (HUGEINT-safe sums) and one
+    * fixed-order double renormalization; then the Rayleigh quotient, the
+    * convergence delta vs round 5, and the map-only integer projection of
+    * every vector onto the fitted component.
+    */
+  private[queries] lazy val embPcaProjectSql: String = {
+    val rounds = (1 to 6).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s""", s$k AS (SELECT m.i, CAST(sum(m.c * v.v) AS BIGINT) AS s
+           FROM covm m JOIN $prev v ON v.i = m.j GROUP BY 1),
+         m$k AS (SELECT max(abs(s)) AS mx FROM s$k),
+         v$k AS (SELECT i, CAST(floor(CAST(s AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM s$k, m$k)"""
+    }.mkString("\n")
+    covPairsCtes + s"""
+    , covm AS (SELECT i, j, cov_ppm AS c FROM covu
+               UNION ALL SELECT j AS i, i AS j, cov_ppm AS c FROM covu WHERE i <> j),
+    v0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST(1000000 AS BIGINT) AS v FROM range(0, 64) t(i))
+    $rounds
+    , lam AS (SELECT CAST(floor(CAST(nm.num AS DOUBLE) / CAST(dn.den AS DOUBLE) + 0.5) AS BIGINT) AS lambda_ppm
+        FROM (SELECT sum(CAST(m.c AS HUGEINT) * va.v * vb.v) AS num
+              FROM covm m JOIN v6 va ON va.i = m.i JOIN v6 vb ON vb.i = m.j) nm,
+             (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM v6) dn),
+    dl AS (SELECT CAST(max(abs(a.v - b.v)) AS BIGINT) AS conv_delta
+           FROM v6 a JOIN v5 b ON b.i = a.i),
+    vl AS (SELECT list(v ORDER BY i) AS vl FROM v6)
+    SELECT z.vec_id,
+      CAST(list_sum(list_transform(range(1, 65), d -> z.q[d] * vl.vl[d])) AS BIGINT) AS score,
+      lam.lambda_ppm, dl.conv_delta
+    FROM qz z CROSS JOIN vl CROSS JOIN lam CROSS JOIN dl"""
+  }
+
+  /** EmbAlgebra.jlDistortion twin: the SAME md5-derived SRP coefficients
+    * the LSH buckets use (recomputed in SQL, no literals), per-plane
+    * integer projections, gated-pair exact dots, the shared
+    * cosineOfSums double formula for both spaces, and the 1%-wide ppm
+    * bucket histogram.
+    */
+  private[queries] lazy val embJlDistortionSql: String = {
+    def coef(p: Int) =
+      s"(CAST(concat('0x', substr(md5(concat('${p}_', CAST(i - 1 AS VARCHAR))), 1, 8)) AS BIGINT) % 1000 - 500)"
+    val projs = (0 until 6)
+      .map(p => s"list_sum(list_transform(range(1, 65), i -> q[i] * ${coef(p)}))")
+      .mkString("[", ",\n            ", "]")
+    qzCte + s"""
+    , gated AS (
+      SELECT vec_id, q, $projs AS p
+      FROM qz WHERE ${md5GateSql("vec_id", 4)}
+    ), gp AS (
+      SELECT vec_id, q, p,
+        CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS qq,
+        CAST(list_sum(list_transform(range(1, 7), k -> p[k] * p[k])) AS BIGINT) AS pp
+      FROM gated
+    ), jprs AS (
+      SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
+        CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS sq,
+        CAST(list_sum(list_transform(range(1, 7), k -> a.p[k] * b.p[k])) AS BIGINT) AS sp,
+        a.qq AS qqa, b.qq AS qqb, a.pp AS ppa, b.pp AS ppb
+      FROM gp a CROSS JOIN gp b
+      WHERE a.vec_id < b.vec_id AND a.qq > 0 AND b.qq > 0 AND a.pp > 0 AND b.pp > 0
+    ), dd AS (
+      SELECT CAST(floor((CAST(sp AS DOUBLE) / (sqrt(CAST(ppa AS DOUBLE)) * sqrt(CAST(ppb AS DOUBLE)))
+                   - CAST(sq AS DOUBLE) / (sqrt(CAST(qqa AS DOUBLE)) * sqrt(CAST(qqb AS DOUBLE))))
+                  * 1000000 + 0.5) AS BIGINT) AS d_ppm
+      FROM jprs)
+    SELECT CAST(floor(CAST(d_ppm AS DOUBLE) / 10000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM dd GROUP BY 1"""
+  }
+
   private[queries] def srpBucketSql(planes: Int, offset: Int = 0): String =
     (0 until planes)
       .map { j =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Classify, Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ext.{Classify, Curation, Dedup, EmbAlgebra, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
 import graft.ops.{TemporalOps, ZOrderOps}
 import graft.streaming.Sessionize
 
@@ -236,6 +236,36 @@ private[queries] object QAnn {
             val books = Similarity.pqTrainCached(c, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
             Similarity.pqAdcTopK(c, q, "vec_id", "embedding", books, k = 5)
           })))
+    },
+    // ---- embedding linear algebra (EmbAlgebra) ---------------------------
+    // exact integer-grid covariance: the d(d+1)/2 co-moment pyramid — the
+    // shuffle is model-sized (<= 2080 groups) regardless of corpus rows
+    "emb_covariance" -> { (s, dir) =>
+      EmbAlgebra.covariance(t(s, dir, "embeddings"), col("embedding"), dim = 64)
+    },
+    // fit/serve: covariance fit (memoized model state) + driver power
+    // iteration (6 fixed rounds, replayable — the oracle unrolls them as
+    // CTEs) + map-only projection serve; lambda_ppm is the Rayleigh
+    // quotient and conv_delta the round-6-vs-5 grid movement (the
+    // fixpoint-certificate doctrine: reported, not waited on)
+    "emb_pca_project" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cov = EmbAlgebra.covPpmMatrixCached(e, col("embedding"), dim = 64)
+      val (v, prev, lambda) = EmbAlgebra.topComponent(cov, rounds = 6)
+      val delta = v.zip(prev).map { case (a, b) => math.abs(a - b) }.max
+      e.select(
+        col("vec_id"),
+        EmbAlgebra.projectScore(col("embedding"), v).as("score"),
+        lit(lambda).as("lambda_ppm"),
+        lit(delta).as("conv_delta"))
+    },
+    // JL distortion audit for the SRP sketch family: cos(projected) −
+    // cos(original) histogram over an md5-gated pair stratum, same
+    // coefficients the LSH buckets use
+    "emb_jl_distortion" -> { (s, dir) =>
+      EmbAlgebra.jlDistortion(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        dim = 64, planes = 6, gateMod = 4)
     },
     // ---- text analysis ---------------------------------------------------,
     // order double arithmetic, bit-identical codes in any engine
@@ -522,6 +552,9 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "ann_ivfpq_topk" -> ivfPqSql,
     "ann_index_scored" -> annIndexScoredSql,
     "ann_recall_audit" -> recallAuditSql,
+    "emb_covariance" -> embCovarianceSql,
+    "emb_pca_project" -> embPcaProjectSql,
+    "emb_jl_distortion" -> embJlDistortionSql,
     "emb_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
              list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs

@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The embedding linear-algebra toolkit on hand-computable inputs: the
+  * integer-grid covariance pyramid, the deterministic power iteration
+  * (exact on an eigenvector start, dominant-direction + Rayleigh bounds on
+  * a generic one), and the map-only projection serve. The registered
+  * queries (emb_covariance / emb_pca_project / emb_jl_distortion) are
+  * DuckDB-oracle-checked by the driver; this spec pins the driver-side
+  * model math those queries bake into their plans.
+  */
+class EmbAlgebraSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // vectors (1,2), (3,6), (5,4): quantized (1000,2000),(3000,6000),(5000,4000)
+  // n=3; cov_ppm(0,0) = round((3*35e6 - 81e6)/9)  = 2_666_667
+  //      cov_ppm(0,1) = round((3*40e6 - 108e6)/9) = 1_333_333
+  //      cov_ppm(1,1) = round((3*56e6 - 144e6)/9) = 2_666_667
+  private def fixture =
+    Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f), Seq(5.0f, 4.0f)).toDF("v")
+
+  test("covariance emits exact integer co-moment sums and the half-up ppm estimate") {
+    val got = EmbAlgebra
+      .covariance(fixture, col("v"), dim = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got((0, 0)) == ((3L, 9000L, 9000L, 35000000L, 2666667L)))
+    assert(got((0, 1)) == ((3L, 9000L, 12000L, 40000000L, 1333333L)))
+    assert(got((1, 1)) == ((3L, 12000L, 12000L, 56000000L, 2666667L)))
+    assert(got.size == 3, s"upper triangle of dim 2 is 3 pairs: ${got.keySet}")
+  }
+
+  test("covPpmMatrix mirrors the upper triangle into a symmetric dense model") {
+    val m = EmbAlgebra.covPpmMatrix(fixture, col("v"), dim = 2)
+    assert(m(0)(0) == 2666667L && m(1)(1) == 2666667L)
+    assert(m(0)(1) == 1333333L && m(1)(0) == 1333333L)
+  }
+
+  test("topComponent is exact on an eigenvector start: fixpoint, zero delta, exact Rayleigh") {
+    // the fixture covariance has dominant eigenvector (1,1) — exactly v0 —
+    // with eigenvalue 2666667+1333333 = 4_000_000; every round must
+    // renormalize back to the same grid vector
+    val m = Array(Array(2666667L, 1333333L), Array(1333333L, 2666667L))
+    val (v, prev, lambda) = EmbAlgebra.topComponent(m, rounds = 4)
+    assert(v.toSeq == Seq(1000000L, 1000000L) && prev.toSeq == v.toSeq)
+    assert(lambda == 4000000L, s"Rayleigh quotient must be the exact eigenvalue, got $lambda")
+  }
+
+  test("topComponent converges to the dominant axis with the documented grid arithmetic") {
+    // diag(3e6, 1e6): each round divides the off-axis coordinate by 3 on
+    // the 1e6 grid (333333 -> 111111 -> 37037 -> 12346)
+    val m = Array(Array(3000000L, 0L), Array(0L, 1000000L))
+    val (v, prev, lambda) = EmbAlgebra.topComponent(m, rounds = 4)
+    assert(v.toSeq == Seq(1000000L, 12346L), s"round-4 grid vector: ${v.toSeq}")
+    assert(prev.toSeq == Seq(1000000L, 37037L), s"round-3 grid vector: ${prev.toSeq}")
+    assert(lambda > 2990000L && lambda <= 3000000L,
+      s"Rayleigh must approach the dominant eigenvalue from below: $lambda")
+  }
+
+  test("projectScore serves the exact integer dot with the component as plan literals") {
+    val got = fixture
+      .select(EmbAlgebra.projectScore(col("v"), Array(2L, 3L)).as("s"))
+      .as[Long].collect().sorted
+    // (1000,2000)*(2,3)=8000; (3000,6000)->24000; (5000,4000)->22000
+    assert(got.toSeq == Seq(8000L, 22000L, 24000L))
+  }
+
+  test("jlDistortion histogram covers every gated pair exactly once") {
+    val emb = graft.queries.Fixtures.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val gated = emb
+      .filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 2L) === 0)
+      .count()
+    val hist = EmbAlgebra
+      .jlDistortion(emb, col("vec_id"), col("embedding"), dim = 64, planes = 6, gateMod = 2)
+      .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(hist == gated * (gated - 1) / 2,
+      s"bucket counts must partition the ${gated}-choose-2 pair set, got $hist")
+  }
+}
