@@ -824,6 +824,40 @@ object StreamQ {
       finally q.stop()
       drainSink(s, sink)(identity)
     },
+    // fit-batch / serve-stream for the PCA family (the NB precedent): the
+    // component is fitted once relationally (through the fitted-model memo,
+    // so the batch emb_pca_project query and this twin share the pass) and
+    // baked into the plan as literals — the IDENTICAL map-only column then
+    // scores the firehose, and the output hash-matches the batch oracle.
+    "stream_pca_serve_parity" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cov = graft.ext.EmbAlgebra.covPpmMatrixCached(e, col("embedding"), dim = 64)
+      val (v, prev, lambda) = graft.ext.EmbAlgebra.topComponent(cov, rounds = 6)
+      val delta = v.zip(prev).map { case (a, b) => math.abs(a - b) }.max
+      val rows: Array[(Long, Seq[Float])] = e
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .collect()
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val scored = mem
+        .toDF()
+        .toDF("vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          graft.ext.EmbAlgebra.projectScore(col("embedding"), v).as("score"),
+          lit(lambda).as("lambda_ppm"),
+          lit(delta).as("conv_delta"))
+      val sink = s"stream_pca_serve_${System.nanoTime()}"
+      feedChunked(mem, rows.toSeq)
+      val q = scored.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      drainSink(s, sink)(identity)
+    },
     "stream_dsir_parity" -> { (s0, dir) =>
       val s = streamSession(s0)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -974,6 +1008,9 @@ object StreamQ {
     "stream_dsir_parity" -> dsirScoresSql,
     // the batch NB argmax per held-out doc, shared with text_nb_confusion
     "stream_nb_classify_parity" -> nbPredictionsSql,
+    // serve == batch on the same rows, so the stream twin shares the
+    // emb_pca_project oracle verbatim
+    "stream_pca_serve_parity" -> embPcaProjectSql,
     // the batch routing oracle, shared with ingest_json_quarantine
     "stream_ingest_quarantine_parity" -> ingestQuarantineSql,
     // layout differs (stateless stream gate vs batch join), meaning must

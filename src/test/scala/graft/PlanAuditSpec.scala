@@ -84,6 +84,33 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(n == 1, s"expected 1 user_id shuffle for both windows, got $n:\n$plan")
   }
 
+  test("emb_covariance: one model-sized shuffle, no join, pair build fenced out of the Generate") {
+    val plan = planOf("emb_covariance")
+    assert(!plan.contains("Join"), s"the co-moment pyramid is join-free:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly the one <=d(d+1)/2-group aggregation exchange, got $n:\n$plan")
+  }
+
+  test("emb_pca_project serve is map-only: component as literals, zero exchanges") {
+    // the fit runs driver-side through the model memo; the SERVED plan must
+    // be a pure scan+project — any exchange means the model leaked into a
+    // join instead of riding the plan as literals
+    val plan = planOf("emb_pca_project")
+    assert(!plan.contains("Exchange"), s"PCA serve must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"PCA serve must not join:\n$plan")
+  }
+
+  test("emb_jl_distortion: both pair sides read the fenced gated stratum, never the corpus") {
+    // the md5 gate + projections run ONCE, upstream of the fence; the pair
+    // join's two inputs must both be scans of that materialized stratum
+    // (ExistingRDD) — a parquet scan under the join would mean the N² pair
+    // space is built from the ungated corpus
+    val plan = planOf("emb_jl_distortion")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2,
+      s"expected the two pair sides to scan the fenced stratum:\n$plan")
+    assert(!plan.contains("Scan parquet"), s"pair join must not read the raw corpus:\n$plan")
+  }
+
   test("broadcast-hint ratchet: every force-broadcast site is adjudicated") {
     // Doctrine: a broadcast() hint is legal only on frames whose size is
     // bounded by something other than the fact tables — dimension tables
