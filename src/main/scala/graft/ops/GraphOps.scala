@@ -40,18 +40,47 @@ object GraphOps {
     * AQE-skew-splittable, with the degree orientation removing the one
     * structural skew source (power-law hubs) the planner can't split.
     */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = orientByDegree(edges, srcCol, dstCol)
+  def triangleStats(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      contentKey: Option[String] = None
+  ): DataFrame = {
+    // the oriented frame is referenced FIVE times below (degree table, the
+    // three wedge-join legs, the edge count) and each reference would
+    // otherwise replay the whole upstream chain — pair generation +
+    // verification when the edges come from a dedup candidate join. With a
+    // caller-asserted contentKey the orientation lands in the plan-keyed
+    // parquet memo once (the kcorePeel/lpa round-sharing discipline).
+    val oriented = orientByDegree(edges, srcCol, dstCol)
+    val e = contentKey match {
+      case Some(key) => graft.ext.Dedup.spilledAt(oriented, "tri_oriented", s"$key|orient")
+      case None => oriented
+    }
     val deg = e
       .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("d"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(
-        e.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // triangles = Σ over oriented edges (a,b) of |N⁺(a) ∩ N⁺(b)|: build the
+    // sorted out-neighbor array per vertex once (one model-shaped groupBy —
+    // total payload is exactly m ids), then ONE pass over the edge frame
+    // with two adjacency lookups and the zero-allocation native merge-walk
+    // intersect. This replaces the e⋈e⋈e wedge formulation, which
+    // MATERIALIZED every wedge as a join row before the closing probe —
+    // Σ outdeg² rows through an exchange; near-clique components (the
+    // dedup pair graph's shape) make that quadratic in clique size. The
+    // orientation bounds each array at O(√m), and AQE broadcasts the
+    // adjacency side when it is small. Ids ride as strings because the
+    // merge-walk kernel is ARRAY<STRING>; both arrays share sort_array's
+    // UTF8-byte order, the kernel's only precondition.
+    val adj = e
+      .groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b").cast("string"))).as("nbrs"))
+    val tri = e
+      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(call_function("graft_inter_sorted", col("na"), col("nb")).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val degStats = deg.agg(
       count(lit(1)).as("n_vertices"),
       expr("sum(d * (d - 1) div 2)").as("n_wedges"))

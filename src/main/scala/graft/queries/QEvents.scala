@@ -24,7 +24,8 @@ private[queries] object QEvents {
       val edges = Dedup
         .prefixFilterPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), 19, 20)
         .select(col("id_lo"), col("id_hi"))
-      graft.ops.GraphOps.triangleStats(edges, "id_lo", "id_hi")
+      graft.ops.GraphOps.triangleStats(
+        edges, "id_lo", "id_hi", contentKey = Some(s"documents|$dir|pf19-20"))
     },
     // community ids over the same near-dup pair graph (third consumer of
     // the shared setsim spill): 3 rounds of derandomized synchronous
