@@ -93,6 +93,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("graft_md5_lanes"),
+        new ExpressionInfo(
+          classOf[graft.functions.Md5Lanes].getName,
+          "graft_md5_lanes"
+        ),
+        (children: Seq[Expression]) => graft.functions.Md5Lanes(children(0))
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("graft_inter_sorted"),
         new ExpressionInfo(
           classOf[graft.functions.SortedIntersectCount].getName,

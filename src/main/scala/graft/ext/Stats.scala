@@ -243,14 +243,17 @@ object Stats {
       .select(groupCol.as("grp"), idCol.cast("string").as("__id"), valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
     // one md5 yields FOUR independent 32-bit lanes — 128 bits buys 4
-    // replicates, so 32 replicates cost 8 digests per row, not 32 (the
-    // digest dominates this query's profile; measured 4.8 s → the lanes
-    // cut it ~4×)
+    // replicates, so 32 replicates cost 8 digests per row, not 32. The
+    // lanes come from the native extractor (graft.functions.Md5Lanes):
+    // the hex-string idiom (substring + conv-through-BigInteger per lane)
+    // measured as 2.0 s of this query's 3.6 s at sf0.1; the native form is
+    // value-identical lane for lane, so the DuckDB twin keeps the
+    // conv(substring(md5…)) formulation
     val withHashes = (0 until (reps + 3) / 4).foldLeft(base)((d, g) =>
-      d.withColumn(s"__h$g", md5(concat(col("__id"), lit(s"_$g")))))
+      d.withColumn(s"__h$g", call_function("graft_md5_lanes", concat(col("__id"), lit(s"_$g")))))
     val weighted = (0 until reps).foldLeft(withHashes) { (d, b) =>
-      val u = (conv(substring(col(s"__h${b / 4}"), 1 + 8 * (b % 4), 8), 16, 10)
-        .cast("long") % 1000000L).cast("double") / lit(1000000.0)
+      val u = (element_at(col(s"__h${b / 4}"), b % 4 + 1) % 1000000L)
+        .cast("double") / lit(1000000.0)
       d.withColumn(
         s"__w$b",
         when(u < PoissonCdf(0), 0L)
