@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** First 8 hex chars of md5(c) as a long in [0, 2^32). */
+  /** First 8 hex chars of md5(c) as a long in [0, 2^32).
+    *
+    * MEASURED: do NOT route this through the native lane extractor
+    * ([[graft.functions.Md5Lanes]]) — a single-lane gate pays the full
+    * 4-lane digest, an UnsafeArrayData allocation, and (inside HOF
+    * lambdas) the interpreted eval path, and the sketch/gate family
+    * regressed 11.4 → 13.9 s at sf0.1 when md5Long was swapped wholesale
+    * (round 15). The native form wins only where MANY lanes amortize one
+    * digest — the Poisson-bootstrap weight synthesis uses it directly.
+    */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
