@@ -906,12 +906,13 @@ object Dedup {
       textCol: Column,
       n: Int = 3,
       maxDocFreq: Int = 10,
-      minRunGrams: Int = 2
+      minRunGrams: Int = 2,
+      contentKey: Option[String] = None
   ): DataFrame = {
     require(n >= 1, "n must be positive")
     require(maxDocFreq >= 1, "maxDocFreq must be positive")
     require(minRunGrams >= 1, "minRunGrams must be positive")
-    val g = rareGrams(df, idCol, textCol, n, maxDocFreq)
+    val g = rareGramsKeyed(df, idCol, textCol, n, maxDocFreq, contentKey)
     val lo = g.select(col("gram"), col("doc_id").as("id_lo"), col("pos").as("pos_lo"))
     val hi = g.select(col("gram"), col("doc_id").as("id_hi"), col("pos").as("pos_hi"))
     val m = lo
@@ -940,12 +941,13 @@ object Dedup {
       probeTextCol: Column,
       n: Int = 3,
       maxDocFreq: Int = 10,
-      minRunGrams: Int = 2
+      minRunGrams: Int = 2,
+      contentKey: Option[String] = None
   ): DataFrame = {
     require(n >= 1, "n must be positive")
     require(maxDocFreq >= 1, "maxDocFreq must be positive")
     require(minRunGrams >= 1, "minRunGrams must be positive")
-    val gt = rareGrams(train, idCol, textCol, n, maxDocFreq)
+    val gt = rareGramsKeyed(train, idCol, textCol, n, maxDocFreq, contentKey)
     val gp = positionalGrams(probe, probeIdCol, probeTextCol, n)
     val m = gt
       .join(
@@ -978,6 +980,31 @@ object Dedup {
     * rare-filtered rows and roots the frame so BOTH downstream self-join
     * sides reuse the entire chain.
     */
+  /** [[rareGrams]], optionally content-key-spilled (the kcorePeel
+    * round-sharing discipline): gram extraction + frequency quarantine is
+    * deterministic in (corpus, n, maxDocFreq), so when the caller asserts
+    * the input's identity the rare positional-gram index lands in the
+    * plan-keyed parquet memo ONCE and every consumer — the same-corpus
+    * runs query, the contamination probe, and repeated bench passes —
+    * reads the built index instead of replaying explode + doc-freq +
+    * quarantine join. The self-join sides re-shuffle only the
+    * rare-filtered rows off the spill (small by construction).
+    */
+  private def rareGramsKeyed(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      maxDocFreq: Int,
+      contentKey: Option[String]
+  ): DataFrame = {
+    val g = rareGrams(df, idCol, textCol, n, maxDocFreq)
+    contentKey match {
+      case Some(key) => spilledAt(g, "rare_grams", s"$key|n=$n|df=$maxDocFreq")
+      case None => g
+    }
+  }
+
   private def rareGrams(
       df: DataFrame,
       idCol: Column,

@@ -34,14 +34,16 @@ private[queries] object QDedup {
       Dedup.crossNgramRuns(
         docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
         docs.filter(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
-        n = 3, maxDocFreq = 10, minRunGrams = 2)
+        n = 3, maxDocFreq = 10, minRunGrams = 2,
+        contentKey = Some(s"documents|$dir|mod50ne0"))
     },
     // cross-document exact substring overlap: rare-gram inverted-index,
     // self-join + gaps-and-islands run resolution (Lee et al. 2022 shape)
     "dedup_ngram_runs" -> { (s, dir) =>
       Dedup.sharedNgramRuns(
         tPar(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, maxDocFreq = 10, minRunGrams = 2)
+        n = 3, maxDocFreq = 10, minRunGrams = 2,
+        contentKey = Some(s"documents|$dir"))
     },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashed(tPar(s, dir, "documents"), col("doc_id"), col("text"))
