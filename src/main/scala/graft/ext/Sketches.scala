@@ -165,15 +165,28 @@ object Sketches {
     * single distinct-then-explode pass with map-side combine on the final
     * distinct.
     */
+  /** The k bloom positions of one item: lane `j % 4` of
+    * `md5(("g<j/4>#" salt for groups past the first) ++ item)`, mod m —
+    * ONE digest serves four hash functions (the [[graft.functions
+    * .Md5Lanes]] amortization rule: the native extractor only wins where
+    * many lanes share a digest, and a bloom probe is exactly that shape).
+    * The j#-salted one-digest-per-hash family this replaced cost k
+    * digests + k hex parses per probed ROW in the bloom-gated join; the
+    * SQL twins express the same lanes as `substr(md5(..), 1+8·(j%4), 8)`.
+    */
+  private[graft] def bloomPositions(item: Column, m: Long, k: Int): Column = {
+    val laneArrs = (0 until (k + 3) / 4).map { g =>
+      val salted = if (g == 0) item else concat(lit(s"g$g#"), item)
+      call_function("graft_md5_lanes", salted)
+    }
+    array((0 until k).map(j => pmod(element_at(laneArrs(j / 4), j % 4 + 1), lit(m))): _*)
+  }
+
   def bloomBits(df: DataFrame, itemCol: Column, m: Long, k: Int): DataFrame = {
     require(m > 0 && k > 0, "m and k must be positive")
     df.select(itemCol.cast("string").as("item"))
-      .distinct() // vocabulary dedup before hashing: md5 runs k×|distinct|, not k×|corpus|
-      .withColumn("j", explode(array((0 until k).map(lit): _*)))
-      .select(
-        graft.ops.Hashing
-          .md5Mod(concat(col("j").cast("string"), lit("#"), col("item")), m)
-          .as("pos"))
+      .distinct() // vocabulary dedup before hashing: md5 runs on |distinct|, not |corpus|
+      .select(explode(bloomPositions(col("item"), m, k)).as("pos"))
       .distinct()
   }
 
@@ -189,10 +202,7 @@ object Sketches {
     probes
       .select(probeCol.cast("string").as("item"))
       .distinct()
-      .withColumn("j", explode(array((0 until k).map(lit): _*)))
-      .withColumn(
-        "pos",
-        graft.ops.Hashing.md5Mod(concat(col("j").cast("string"), lit("#"), col("item")), m))
+      .select(col("item"), explode(bloomPositions(col("item"), m, k)).as("pos"))
       .join(broadcast(bits.withColumn("set_bit", lit(1))), Seq("pos"), "left")
       .groupBy(col("item"))
       .agg((count(col("set_bit")) === k).as("maybe"))

@@ -130,17 +130,23 @@ object LinkOps {
         words((p / 64).toInt) |= 1L << (p % 64).toInt
       }
     val mask = lit(words)
-    val gate = (0 until k)
-      .map { j =>
-        val pos = Hashing.md5Mod(concat(lit(j.toString), lit("#"), col(bigKey).cast("string")), m)
+    // positions from the shared lane family (Sketches.bloomPositions —
+    // MUST match the family bloomBits built the words with): one digest
+    // serves four hash functions on the per-row probe path. `forall` is
+    // deliberate: filter codegen does NOT common-subexpression-eliminate,
+    // so k scalar references to the lanes expression re-digest k times
+    // (measured: the k-reference form was SLOWER than the retired
+    // j#-salted family) — the HOF evaluates the positions array ONCE and
+    // runs k bit probes over it.
+    val gate = forall(
+      graft.ext.Sketches.bloomPositions(col(bigKey).cast("string"), m, k),
+      pos =>
         // SQL shiftright takes an expression bits arg (the Scala-API
         // overload is Int-only), hence call_function
-        (call_function(
+        call_function(
           "shiftright",
           element_at(mask, (pos / 64).cast("int") + 1),
           (pos % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
-      }
-      .reduce(_ && _)
     big.filter(col(bigKey).isNotNull && gate).join(build, big(bigKey) === build(buildKey))
   }
 }

@@ -656,17 +656,19 @@ private[queries] object QStats {
          SELECT grp, register, max(CAST(24 - ($bitlen) + 1 AS INTEGER)) AS max_rho
          FROM r GROUP BY grp, register"""
     },
+    // lane family: position j = md5 hex chars 8j+1..8j+8 (digest lane j)
+    // mod m — the Sketches.bloomPositions twin (one digest, four lanes)
     "sketch_bloom_probe" ->
       """WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item FROM orders),
          bits AS (
            SELECT DISTINCT
-             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '#', item)), 1, 8)) AS BIGINT)
+             CAST(concat('0x', substr(md5(item), 1 + 8 * CAST(j AS INTEGER), 8)) AS BIGINT)
                % 65536 AS bpos
            FROM bk, range(0, 3) t(j)),
          pr AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS item FROM customer),
          pp AS (
            SELECT item, j,
-             CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '#', item)), 1, 8)) AS BIGINT)
+             CAST(concat('0x', substr(md5(item), 1 + 8 * CAST(j AS INTEGER), 8)) AS BIGINT)
                % 65536 AS pos
            FROM pr, range(0, 3) t(j)),
          mb AS (
