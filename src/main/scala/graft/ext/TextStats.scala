@@ -433,6 +433,24 @@ object TextStats {
     * order, string-exact — any engine's fold reproduces the corpus state
     * and therefore every later round's counts.
     */
+  /** The k fitted merges as driver-held model state, through the fitted-
+    * model memo ([[Similarity.modelMemo]]): training is k deterministic
+    * Spark rounds over (corpus, k), so the encode query, repeated bench
+    * passes, and any stream twin share ONE training loop. Rank-ordered
+    * (left, right) pairs — exactly what [[bpeEncode]] consumes.
+    */
+  def bpeMergesModel(df: DataFrame, idCol: Column, textCol: Column, k: Int): Seq[(String, String)] =
+    Similarity.modelMemo
+      .computeIfAbsent(
+        s"bpe_${Similarity.modelKey(df, s"$idCol|$textCol|$k")}",
+        _ =>
+          bpeMerges(df, idCol, textCol, k)
+            .orderBy(col("rank"))
+            .collect()
+            .map(r => (r.getString(1), r.getString(2)))
+            .toSeq)
+      .asInstanceOf[Seq[(String, String)]]
+
   def bpeMerges(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession

@@ -58,12 +58,8 @@ private[queries] object QText {
     // oracle replays training via the shared CTEs, then the same rewrites
     "text_bpe_encode" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val merges = TextStats
-        .bpeMerges(docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"), k = 8)
-        .orderBy(col("rank"))
-        .collect()
-        .map(r => (r.getString(1), r.getString(2)))
-        .toSeq
+      val merges = TextStats.bpeMergesModel(
+        docs.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"), k = 8)
       TextStats.bpeEncode(docs, col("doc_id"), col("text"), merges)
     },
     // corpus-familiarity quality signal: per-doc document-frequency stats
