@@ -522,6 +522,38 @@ object Dedup {
     * @param pairs (id_lo, id_hi) undirected candidate pairs
     * @return (doc_id, canonical_id) for every id appearing in `pairs`
     */
+  /** [[connectedComponents]] through the content-keyed spill. Unlike the
+    * fixed-round loops (kcore/LPA/BFS), the cc loop is EAGER — it runs
+    * per-round convergence counts and localCheckpoints while building —
+    * so the memo must wrap the builder itself, not its result frame: on a
+    * hit the loop never starts. Three same-corpus consumers
+    * (dedup_clusters, dedup_survivors, corpus_split_leakage_safe) compute
+    * identical labels; the caller asserts input identity via contentKey
+    * (corpus + pair-generation params), the spilledAt contract.
+    */
+  def connectedComponentsKeyed(
+      pairs: => DataFrame,
+      contentKey: String,
+      spark: org.apache.spark.sql.SparkSession,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val confSig = Seq(
+      "spark.sql.session.timeZone",
+      "spark.sql.ansi.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong"
+    ).map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$contentKey|cc|$maxIter|$confSig".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val key = s"cc_labels_$sig"
+    val path = spillMemo.computeIfAbsent(key, { k =>
+      val p = graft.queries.Scratch.dir("cc_labels", k)
+      connectedComponents(pairs, maxIter).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col("id_lo").as("a"), col("id_hi").as("b"))
     var edges = e0

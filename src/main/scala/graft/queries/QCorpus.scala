@@ -59,10 +59,12 @@ private[queries] object QCorpus {
     // straddling train/test is impossible by construction
     "corpus_split_leakage_safe" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val cands = Dedup.minhashLshPairs(
-        tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val clusters = Dedup.connectedComponentsKeyed(
+        Dedup.minhashLshPairs(
+          tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+        contentKey = s"documents|$dir|mh3-8-4", spark = s)
       val keyed = docs
-        .join(Dedup.connectedComponents(cands), Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
         .drop("canonical_id")
       Curation

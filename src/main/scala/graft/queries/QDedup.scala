@@ -149,8 +149,9 @@ private[queries] object QDedup {
     // cluster resolution: LSH candidates -> connected components -> one,
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
-      val cands = Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
-      Dedup.connectedComponents(cands)
+      Dedup.connectedComponentsKeyed(
+        Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+        contentKey = s"documents|$dir|mh3-8-4", spark = s)
     },
     // end-to-end near-dedup: cluster labels joined back onto the corpus,
     // one survivor per cluster by quality (max n_chars, id tiebreak) —
@@ -159,8 +160,9 @@ private[queries] object QDedup {
     "dedup_survivors" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val cands = Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
-      val clusters = Dedup.connectedComponents(cands)
+      val clusters = Dedup.connectedComponentsKeyed(
+        Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+        contentKey = s"documents|$dir|mh3-8-4", spark = s)
       val labeled = docs
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
