@@ -522,6 +522,40 @@ object Dedup {
     * @param pairs (id_lo, id_hi) undirected candidate pairs
     * @return (doc_id, canonical_id) for every id appearing in `pairs`
     */
+  /** LSH candidates verified by exact shingle Jaccard ≥ tau — the
+    * (id_lo, id_hi, jac_raw) pair set both the standalone verified-pairs
+    * query and the data-card near-dup rate consume. Optionally
+    * content-key-spilled: the signature chain + two shingle re-widen
+    * joins + the merge-walk verify run once per (corpus, params), and
+    * every consumer reads the verified pairs. jac_raw spills as the raw
+    * IEEE double (parquet round-trips doubles exactly); consumers round
+    * for OUTPUT only — rounding before the spill would move the tau
+    * boundary.
+    */
+  def verifiedNearDupPairs(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int,
+      k: Int,
+      bands: Int,
+      tau: Double,
+      contentKey: Option[String] = None
+  ): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, n, k, bands)
+    val g = shingled(docs, idCol, textCol, n)
+    val ver = cands
+      .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
+      .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
+      .select(col("id_lo"), col("id_hi"), jaccardSorted(col("g_lo"), col("g_hi")).as("jac_raw"))
+      .filter(col("jac_raw") >= tau)
+    contentKey match {
+      case Some(key) =>
+        spilledAt(ver, "near_verified", s"$key|n=$n|k=$k|b=$bands|tau=$tau")
+      case None => ver
+    }
+  }
+
   /** [[connectedComponents]] through the content-keyed spill. Unlike the
     * fixed-round loops (kcore/LPA/BFS), the cc loop is EAGER — it runs
     * per-round convergence counts and localCheckpoints while building —

