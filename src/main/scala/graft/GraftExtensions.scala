@@ -93,6 +93,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("graft_inter_sorted_l"),
+        new ExpressionInfo(
+          classOf[graft.functions.SortedIntersectCountLong].getName,
+          "graft_inter_sorted_l"
+        ),
+        (children: Seq[Expression]) =>
+          graft.functions.SortedIntersectCountLong(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("graft_md5_lanes"),
         new ExpressionInfo(
           classOf[graft.functions.Md5Lanes].getName,

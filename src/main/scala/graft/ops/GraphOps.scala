@@ -70,16 +70,18 @@ object GraphOps {
     // Σ outdeg² rows through an exchange; near-clique components (the
     // dedup pair graph's shape) make that quadratic in clique size. The
     // orientation bounds each array at O(√m), and AQE broadcasts the
-    // adjacency side when it is small. Ids ride as strings because the
-    // merge-walk kernel is ARRAY<STRING>; both arrays share sort_array's
-    // UTF8-byte order, the kernel's only precondition.
+    // adjacency side when it is small. Ids stay LONGS through the
+    // integer-key merge-walk kernel (graft_inter_sorted_l) — one `<` per
+    // step, no id→string casts, and its OWN static method so the string
+    // kernel's set-similarity profile cannot pollute this loop's JIT
+    // (see SortedIntersectCountLong's scaladoc for the measurement).
     val adj = e
       .groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b").cast("string"))).as("nbrs"))
+      .agg(sort_array(collect_list(col("b").cast("long"))).as("nbrs"))
     val tri = e
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
-      .select(call_function("graft_inter_sorted", col("na"), col("nb")).as("c"))
+      .select(call_function("graft_inter_sorted_l", col("na"), col("nb")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val degStats = deg.agg(
       count(lit(1)).as("n_vertices"),
