@@ -11,6 +11,29 @@ class QueryHygieneSpec extends SparkSpecBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("every contentKey at a registration site embeds the sf dir") {
+    // The content-keyed spill (Dedup.spilledAt and the wrappers built on
+    // it: rareGramsKeyed, connectedComponentsKeyed, verifiedNearDupPairs,
+    // triangleStats, kcorePeel/LPA/BFS) trusts the CALLER to identify the
+    // input data. One JVM runs the same query at multiple scale factors
+    // (bench warms at sf0.001, times at sf0.1), so a key that omits the
+    // data dir silently serves one scale's spill to another — wrong
+    // results that every per-sf gate would miss because each gate runs in
+    // its own JVM. Static check: every contentKey string literal under
+    // queries/ must interpolate `$dir`.
+    val root = new java.io.File("src/main/scala/graft/queries")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val keyRe = """contentKey\s*=\s*Some\(([^)]*)\)""".r
+    val bad = walk(root).filter(_.getName.endsWith(".scala")).flatMap { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      keyRe.findAllMatchIn(src).collect {
+        case m if !m.group(1).contains("$dir") => s"${f.getName}: ${m.matched}"
+      }
+    }
+    assert(bad.isEmpty, s"contentKeys missing the sf dir (cross-SF spill collision): $bad")
+  }
+
   test("every registered query has an oracle twin, and no oracle is orphaned") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
