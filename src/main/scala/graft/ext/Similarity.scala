@@ -43,9 +43,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine for each query vector: broadcast the (small)
-    * query set against the corpus, window-rank per query.
+    * query set against the corpus, admit into a BOUNDED per-query heap.
     * Ties broken by candidate id for determinism. Vectors are integer-
     * quantized (see [[quantize]]) so the ranking is engine-reproducible.
+    *
+    * Scale shape: the q×N scoring work is brute force's inherent cost,
+    * but the EXCHANGE is not — a window rank
+    * (`row_number() OVER (PARTITION BY query_id)`) would shuffle every
+    * scored pair (linear in corpus size: 80 MB at sf0.1, ~8 GB at
+    * 100×); the [[graft.ops.agg.TopKHeapSim]] typed Aggregator admits
+    * map-side into ≤k-element heaps and merges partials, so the shuffle
+    * carries at most q×k rows per map partition regardless of N. Same
+    * (sim DESC, cand_id ASC) total order as the window it replaced —
+    * hash-identical output (ordering parity argued at the Aggregator).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -54,7 +64,6 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // norms are staged once PER SIDE before the join — cosine() inside the
     // join condition would recompute the query norm N times and each
     // candidate norm Q times (values identical: exact integer math)
@@ -69,11 +78,7 @@ object Similarity {
     val scored = c
       .join(q, col("query_id") =!= col("cand_id"))
       .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    heapTopKDesc(scored, "sim", k).withColumn("sim", round(col("sim"), 6))
   }
 
   /** Deterministic training-free coarse quantizer: the `nlist` lowest-id
@@ -188,6 +193,47 @@ object Similarity {
     * candidate pair in PQ/IVFPQ ranking. Identical to [[adcSumHof]]
     * (parity spec-asserted in ArrayDistSpec).
     */
+  /** Per-query top-k of a scored candidate frame by (`simCol` DESC,
+    * cand_id ASC) through the BOUNDED heap ([[graft.ops.agg.TopKHeapSim]])
+    * — the shared ranking tail of every top-k server in this module. The
+    * window formulation it replaced (`row_number() OVER (PARTITION BY
+    * query_id ORDER BY sim DESC, cand_id)`) shuffles every scored
+    * candidate to keep k: at audit grain (625 queries × the corpus at
+    * sf0.1) that was 80 MB — linear in corpus size. The heap admits
+    * map-side and merges partials, so the exchange carries ≤ q×k rows
+    * per map partition. Identical total order → hash-identical output.
+    */
+  private[graft] def heapTopKDesc(scored: DataFrame, simCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.ops.agg.TopKHeapSim.column(k)(col(simCol), col("cand_id").cast("long")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col._2").as("cand_id"),
+        (col("pos") + 1).as("rank"),
+        col("col._1").as(simCol))
+
+  /** [[heapTopKDesc]] for ASCENDING integer distances (the ADC/PQ order:
+    * smallest distance first, candidate-id ties): rides the exact
+    * (Long, Long) heap on the NEGATED pair — greatest (−adc, −cand_id)
+    * is exactly (adc ASC, cand_id ASC) — so the integer distances never
+    * touch a float on their way through the heap.
+    */
+  private def heapBottomKLong(scored: DataFrame, valCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(
+        graft.ops.agg.TopKHeap
+          .column(k)(-col(valCol), -col("cand_id").cast("long"))
+          .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (-col("col._2")).as("cand_id"),
+        (col("pos") + 1).as("rank"),
+        (-col("col._1")).as(valCol))
+
   private[ext] def adcSum(tbl: Column, codes: Column): Column =
     call_function("graft_adc", tbl, codes)
 
@@ -224,7 +270,6 @@ object Similarity {
       k: Int,
       trainIters: Int = 0
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe <= nlist, "nprobe must be <= nlist")
     val centroids: Array[Seq[Long]] =
       if (trainIters == 0) sampleCentroids(corpus, idCol, vecCol, nlist)
@@ -273,14 +318,16 @@ object Similarity {
         .drop("__d")
     )
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    c.join(q, Seq("cell"))
+    // NO dedupe stage: a candidate carries exactly ONE cell (the argmin is
+    // scalar) and a query's probed cells are distinct by construction, so
+    // each (query_id, cand_id) pair surfaces at most once from the cell
+    // join — the dropDuplicates this replaced was a defensive no-op that
+    // cost a full candidate-grain exchange
+    val scored = c
+      .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    heapTopKDesc(scored, "sim", k).withColumn("sim", round(col("sim"), 6))
   }
 
   /** IVFPQ: FAISS's serving composition of the two halves built above —
@@ -306,7 +353,6 @@ object Similarity {
       books: Array[Array[Seq[Long]]],
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = coarse.length
     val probes = math.min(nprobe, cells)
     val nsub = books.length
@@ -339,14 +385,13 @@ object Similarity {
           )
         )
         .select(col("query_id"), col("cell"), col("tbl")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
-    c.join(q, Seq("cell"))
+    // no dedupe: one cell per candidate × distinct probed cells ⇒ each
+    // (query_id, cand_id) pair is unique off the cell join (see ivfTopK)
+    val scored = c
+      .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn("adc", adcSum(col("tbl"), col("codes")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
+    heapBottomKLong(scored, "adc", k)
   }
 
   /** The IVFPQ serving-index frame: (cand_id, cell, codes) — one corpus
@@ -419,7 +464,6 @@ object Similarity {
       nprobe: Int,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = coarse.length
     val probes = math.min(nprobe, cells)
     val nsub = books.length
@@ -450,15 +494,13 @@ object Similarity {
         )
       )
       .select(col("query_id"), col("cell"), col("tbl"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
-    s.table(table)
+    // no dedupe: one cell per stored row × distinct probed cells ⇒ each
+    // (query_id, cand_id) pair is unique off the cell join (see ivfTopK)
+    val scored = s.table(table)
       .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn("adc", adcSum(col("tbl"), col("codes")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
+    heapBottomKLong(scored, "adc", k)
   }
 
   /** floor(x*1000 + 0.5) integer quantization — deterministic in any engine
@@ -655,7 +697,6 @@ object Similarity {
       books: Array[Array[Seq[Long]]],
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nsub = books.length
     val dsub = books(0)(0).length
     val cm = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
@@ -670,12 +711,10 @@ object Similarity {
             sequence(lit(0), lit(nsub - 1)),
             j => distancesTo(element_at(cm, j + 1), slice(col("q"), j * dsub + 1, lit(dsub)))
           ).as("tbl")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("cand_id").asc)
-    c.join(q, col("query_id") =!= col("cand_id"))
+    val scored = c
+      .join(q, col("query_id") =!= col("cand_id"))
       .withColumn("adc", adcSum(col("tbl"), col("codes")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"))
+    heapBottomKLong(scored, "adc", k)
   }
 
   /** Per-group embedding centroids (mean-pool): one row per
@@ -822,7 +861,6 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(
       int8Codes(queries, col(idCol), col(vecCol))
         .select(col("id").as("query_id"), col("codes").as("qc")))
@@ -832,11 +870,20 @@ object Similarity {
       .join(q, col("query_id") =!= col("cand_id"))
       // native integer dot (graft_dotl) — exact long fold, see ArrayDot
       .withColumn("score", call_function("graft_dotl", col("qc"), col("cc")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id").asc)
+    // exact long heap on the NEGATED pair: greatest (score, −cand_id) is
+    // (score DESC, cand_id ASC) — the integer score never becomes a float
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), col("score"))
+      .groupBy(col("query_id"))
+      .agg(
+        graft.ops.agg.TopKHeap
+          .column(k)(col("score"), -col("cand_id").cast("long"))
+          .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        (-col("col._2")).as("cand_id"),
+        (col("pos") + 1).as("rank"),
+        col("col._1").as("score"))
   }
 
   /** Plane `p`'s component `d`: an INTEGER in [-500, 500) derived from
@@ -918,7 +965,6 @@ object Similarity {
       multiProbe: Boolean = false,
       tables: Int = 1
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(tables >= 1, "tables must be >= 1")
     // vectors are integer-quantized for ranking: the dot/norm sums are then
     // exact integer math (associative), so the reported sim is reproducible
@@ -964,14 +1010,13 @@ object Similarity {
     val scored = c
       .join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      // a candidate can surface via several probed buckets/tables — rank once
-      .dropDuplicates(Seq("query_id", "cand_id"))
+      // a candidate can surface via several probed buckets/tables — it
+      // must rank ONCE. No dropDuplicates stage: that was a candidate-
+      // grain exchange shuffling full vector rows; the duplicates carry
+      // a bit-identical (sim, cand_id) pair (same vectors, same
+      // expression), and TopKHeapSim's set semantics hold each pair once
       .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+    heapTopKDesc(scored, "sim", k).withColumn("sim", round(col("sim"), 6))
   }
 
   /** RADIUS search (range query) over the SRP-LSH buckets: every candidate

@@ -34,16 +34,15 @@ private[queries] object QAnn {
       val c = e
         .select(col("vec_id").as("cand_id"), qz(col("embedding")).as("cv"))
         .withColumn("ncc", ldot(col("cv"), col("cv")))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
-      c.join(q, col("query_id") =!= col("cand_id"))
-        .withColumn(
-          "sim",
-          ldot(col("qv"), col("cv")).cast("double") /
-            sqrt(col("naa").cast("double") * col("ncc").cast("double"))
-        )
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+      // bounded heap, not a window rank: the q×N scored pairs never
+      // shuffle — Similarity.heapTopKDesc carries ≤ q×k per partition
+      Similarity.heapTopKDesc(
+        c.join(q, col("query_id") =!= col("cand_id"))
+          .withColumn(
+            "sim",
+            ldot(col("qv"), col("cv")).cast("double") /
+              sqrt(col("naa").cast("double") * col("ncc").cast("double"))),
+        "sim", k = 5)
     },
     // k-center greedy coreset (Gonzalez farthest-point): the 8 most
     // mutually-distant vectors — diversity-maximizing data selection;
@@ -70,16 +69,13 @@ private[queries] object QAnn {
         .filter(col("label") === 3)
         .select(col("vec_id").as("cand_id"), qz(col("embedding")).as("cv"))
         .withColumn("ncc", ldot(col("cv"), col("cv")))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
-      c.join(q, col("query_id") =!= col("cand_id"))
-        .withColumn(
-          "sim",
-          ldot(col("qv"), col("cv")).cast("double") /
-            sqrt(col("naa").cast("double") * col("ncc").cast("double"))
-        )
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+      Similarity.heapTopKDesc(
+        c.join(q, col("query_id") =!= col("cand_id"))
+          .withColumn(
+            "sim",
+            ldot(col("qv"), col("cv")).cast("double") /
+              sqrt(col("naa").cast("double") * col("ncc").cast("double"))),
+        "sim", k = 5)
     },
     // Approximate path (SRP-bucketed). md5-derived planes + integer-exact,
     // quantized math => full DuckDB twin; recall also gated in SimilaritySpec.

@@ -199,6 +199,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"truth semi-joins lost their broadcast:\n$plan")
   }
 
+  test("bruteForceTopK truth pass: bounded heap, never a data-grain window rank") {
+    // the q×N scoring COMPUTE is brute force's inherent cost; the
+    // EXCHANGE is not — a row_number window would shuffle every scored
+    // pair (linear in corpus size), the TopKHeapSim aggregate carries
+    // ≤ q×k rows per map partition. Partial+final ObjectHashAggregate
+    // must both be present (map-side admission is the whole point).
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = graft.ext.Similarity
+      .bruteForceTopK(e, e.filter(col("vec_id") < 4), "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"truth pass ranks through a data-grain window:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"truth pass sorts globally:\n$plan")
+    assert(
+      "ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"heap lost its map-side partial aggregation:\n$plan")
+  }
+
   test("text_nb_confusion: model joins broadcast; argmax rides WindowGroupLimit") {
     // the likelihood table (vocabK × |classes|) and priors are model state
     // — their serving joins must broadcast; the only sort-merge allowed is
