@@ -154,8 +154,23 @@ object Bench {
     // decimals keeps the whole line comfortably inside it
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def mb(v: Long) = f(v / 1048576.0)
+    // stream_* entries additionally carry their APPLICABLE harness floor
+    // (stateful machines pay the state-store floor, map-only/foreachBatch
+    // pipelines the stateless one — StreamQ.statefulQueries) and the
+    // floor-subtracted operator time, so a committed bench_history file
+    // reads as operator cost without a BenchDiff run. BenchDiff prefers
+    // these per-entry floors over the file-level fallback.
+    def floorOf(k: String): Double =
+      if (!k.startsWith("stream_")) -1.0
+      else if (graft.queries.StreamQ.statefulQueries(k)) floorStateful
+      else floorStateless
     val qs = results.map { case (k, m) =>
-      s"\"" + k + s"\":{\"sec\":${f(m.sec)},\"shuffle_mb\":${mb(m.shuffle)},\"spill_mb\":${mb(m.spill)}}"
+      val fl = floorOf(k)
+      val floorPart =
+        if (fl >= 0 && m.sec >= 0)
+          s""","floor_sec":${f(fl)},"sec_over_floor":${f(math.max(0.0, m.sec - fl))}"""
+        else ""
+      s"\"" + k + s"\":{\"sec\":${f(m.sec)},\"shuffle_mb\":${mb(m.shuffle)},\"spill_mb\":${mb(m.spill)}$floorPart}"
     }.mkString("{", ",", "}")
     val ok = results.values.filter(_.sec >= 0)
     val total = ok.map(_.sec).sum

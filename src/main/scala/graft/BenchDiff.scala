@@ -27,15 +27,23 @@ package graft
   * have, and must keep working on partially-written files (best effort).
   */
 object BenchDiff {
-  private case class Q(sec: Double, shuffleMb: Double, spillMb: Double)
+  private case class Q(sec: Double, shuffleMb: Double, spillMb: Double, floorSec: Double = -1.0)
 
+  // floor_sec is optional (r16+ stream entries carry their applicable
+  // per-query harness floor; older files don't) — tolerate any trailing
+  // fields so the parser keeps reading every vintage of history file
   private val entry =
-    """"([^"]+)":\{"sec":(-?[0-9.]+),"shuffle_mb":(-?[0-9.]+),"spill_mb":(-?[0-9.]+)\}""".r
+    """"([^"]+)":\{"sec":(-?[0-9.]+),"shuffle_mb":(-?[0-9.]+),"spill_mb":(-?[0-9.]+)(?:,"floor_sec":(-?[0-9.]+))?[^}]*\}""".r
 
   private def load(path: String): Map[String, Q] =
     entry
       .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
-      .map(m => m.group(1) -> Q(m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
+      .map(m =>
+        m.group(1) -> Q(
+          m.group(2).toDouble,
+          m.group(3).toDouble,
+          m.group(4).toDouble,
+          Option(m.group(5)).map(_.toDouble).getOrElse(-1.0)))
       .toMap
 
   // Stream-harness floor recorded by Bench (the fixed MemoryStream /
@@ -83,12 +91,21 @@ object BenchDiff {
     // fixed micro-batch constant (under which a 0.5 s operator regression on a
     // 4 s entry reads as 12% and drowns in the 30% relative band), and a
     // floor shift between runs (host-load) doesn't masquerade as a movement.
+    // r16+ entries carry their own `floor_sec` (the APPLICABLE floor —
+    // stateful machines pay the state-store floor, map-only pipelines the
+    // stateless one); older files fall back to the file-level stateless
+    // floor, which under-adjusts stateful entries by the ~0.5 s floor gap.
     val floorB = loadFloor(args(0))
     val floorA = loadFloor(args(1))
     if (floorB > 0 || floorA > 0)
-      println(s"stream harness floor subtracted for stream_* deltas: before=${f(floorB)}s after=${f(floorA)}s")
-    def adj(k: String, q: Q, floor: Double) =
-      if (k.startsWith("stream_")) math.max(0.0, q.sec - floor) else q.sec
+      println(
+        s"stream harness floor subtracted for stream_* deltas: per-entry floor_sec where " +
+          s"present, else file-level fallback before=${f(floorB)}s after=${f(floorA)}s " +
+          "(fallback under-adjusts stateful entries)")
+    def adj(k: String, q: Q, fileFloor: Double) =
+      if (k.startsWith("stream_"))
+        math.max(0.0, q.sec - (if (q.floorSec >= 0) q.floorSec else fileFloor))
+      else q.sec
     def band(k: String) = math.max(noiseAbs, noiseRel * adj(k, before(k), floorB))
     val deltas = carried.map(k => (k, adj(k, after(k), floorA) - adj(k, before(k), floorB)))
     val (moved, noise) = deltas.partition { case (k, d) => math.abs(d) > band(k) }

@@ -46,6 +46,18 @@ object GraphOps {
       dstCol: String,
       contentKey: Option[String] = None
   ): DataFrame = {
+    // the adjacency arrays key on LONG ids (the integer merge-walk
+    // kernel); a lossy .cast("long") on a non-numeric id column would
+    // NULL every neighbor silently and report n_triangles = 0 — require
+    // an integral id type so a string-keyed graph fails loudly instead
+    // (hash/md5 string ids to longs at the call site, or key the walk on
+    // the string kernel)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idTypes = Seq(srcCol, dstCol).map(c => edges.schema(c).dataType)
+    require(
+      idTypes.forall(t => Seq(ByteType, ShortType, IntegerType, LongType).contains(t)),
+      s"triangleStats: vertex id columns ($srcCol, $dstCol) must be integral, got " +
+        idTypes.map(_.simpleString).mkString(", "))
     // the oriented frame is referenced FIVE times below (degree table, the
     // three wedge-join legs, the edge count) and each reference would
     // otherwise replay the whole upstream chain — pair generation +

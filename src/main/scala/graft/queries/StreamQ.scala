@@ -17,6 +17,34 @@ object StreamQ {
   import StreamHarness._
   import OracleSql._
 
+  /** The stream_* queries whose pipeline holds STATE-STORE state
+    * (windowed/complete-mode aggregation, dropDuplicates, session
+    * windows, `flatMapGroupsWithState` machines) — they pay the
+    * STATEFUL harness floor ([[StreamHarness.harnessFloor]]: state-store
+    * init + commit per micro-batch, ~0.8 s vs ~0.3 s for a map-only
+    * sink). Everything else registered here is map-only or
+    * foreachBatch-driven (batch jobs per micro-batch, no state store).
+    * Bench attributes each stream entry its applicable floor from this
+    * set (`floor_sec`/`sec_over_floor` in bench_history), and BenchDiff
+    * bands OPERATOR time, not the harness constant. Misclassification
+    * cost is bounded by the ~0.5 s floor difference — bench metadata,
+    * never correctness.
+    */
+  val statefulQueries: Set[String] = Set(
+    "stream_session_parity",       // session_window aggregation
+    "stream_state_session_parity", // flatMapGroupsWithState sessionizer
+    "stream_asof_parity",          // as-of join state machine
+    "stream_nearest_parity",       // nearest-event state machine
+    "stream_lookback_parity",      // bounded-lookback state machine
+    "stream_dedup_parity",         // streaming exact-dedup state
+    "stream_tumbling_parity",      // tumbling windowed aggregation
+    "stream_sliding_parity",       // sliding windowed aggregation
+    "stream_dp_release_parity",    // complete-mode aggregation
+    "stream_countmin_parity",      // complete-mode sketch aggregation
+    "stream_changelog_parity",     // complete-mode changelog aggregation
+    "stream_kll_parity"            // KLL sketch aggregation
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // STREAM/BATCH PARITY: the Structured Streaming session_window twin run
     // over MemoryStream on the same events fixture, hash-checked against the

@@ -132,9 +132,14 @@ object TemporalStream {
           state.setTimeoutTimestamp(math.max(pending.head._1 / 1000L, state.getCurrentWatermarkMs() + 1L))
         else if (ttlUs > 0)
           // register-only under a TTL: arm the eviction timeout so the key
-          // is reaped on watermark advance even with no further data
+          // is reaped on watermark advance even with no further data.
+          // Armed one ms PAST the truncated expiry: the remove condition
+          // is strict (lastUs + ttlUs < wmUs), and a timeout firing at
+          // exactly floor((lastUs+ttlUs)/1000) ms has wmUs ≤ lastUs+ttlUs
+          // — the condition is false, the key re-arms at wm+1, and if the
+          // stream then quiesces the eviction never happens
           state.setTimeoutTimestamp(
-            math.max((lastUs.get + ttlUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            math.max((lastUs.get + ttlUs) / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
         // register-only with ttl = 0: nothing left to emit, state lingers
         // until the query ends — the documented bounded-key-space posture
       }
@@ -263,8 +268,11 @@ object TemporalStream {
         firstDue.foreach(d =>
           state.setTimeoutTimestamp(math.max(d / 1000L, state.getCurrentWatermarkMs() + 1L)))
         if (pending.isEmpty && ttlUs > 0)
+          // +1 ms past the truncated expiry — same one-firing guarantee as
+          // the as-of machine (the strict remove condition needs wmUs to
+          // be STRICTLY past lastUs + ttlUs when the timeout fires)
           state.setTimeoutTimestamp(
-            math.max((lastUs.get + ttlUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            math.max((lastUs.get + ttlUs) / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
       }
       out.result().iterator
     }

@@ -24,7 +24,12 @@ class QueryHygieneSpec extends SparkSpecBase {
     val root = new java.io.File("src/main/scala/graft/queries")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val keyRe = """contentKey\s*=\s*Some\(([^)]*)\)""".r
+    // matches BOTH forms at a registration site: `contentKey = Some(s"…")`
+    // (the Option-typed spill entry points) and `contentKey = s"…"` (the
+    // String-typed wrappers, e.g. connectedComponentsKeyed) — the r15
+    // regex only caught the former, so String-typed call sites escaped
+    // the very check whose comment claims to cover them
+    val keyRe = """contentKey\s*=\s*(?:Some\()?(s?"[^"]*")""".r
     val bad = walk(root).filter(_.getName.endsWith(".scala")).flatMap { f =>
       val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       keyRe.findAllMatchIn(src).collect {

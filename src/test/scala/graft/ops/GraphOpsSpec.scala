@@ -62,6 +62,16 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 0.75, s"clustering: $r")
   }
 
+  test("triangleStats: non-integral vertex ids fail loudly, never count 0 silently") {
+    // the adjacency arrays cast ids to long — a string-keyed graph would
+    // otherwise null every neighbor and report zero triangles
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.triangleStats(edges, "s", "d")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("triangleStats: a triangle-free path graph reports zero with live wedges") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
     val r = GraphOps.triangleStats(edges, "s", "d").collect().head
