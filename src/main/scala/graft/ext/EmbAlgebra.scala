@@ -128,10 +128,25 @@ object EmbAlgebra {
     *         and the Rayleigh quotient λ = vᵀCv / vᵀv in covariance ppm
     *         units (exact BigInt sums, one double division).
     */
-  def topComponent(cov: Array[Array[Long]], rounds: Int): (Array[Long], Array[Long], Long) = {
+  def topComponent(cov: Array[Array[Long]], rounds: Int): (Array[Long], Array[Long], Long) =
+    topComponent(cov, rounds, _ => 1000000L)
+
+  /** [[topComponent]] with an explicit start vector rule.
+    * [[topComponents]] passes the index-perturbed start `10⁶ + i`: the
+    * flat all-10⁶ start can be EXACTLY orthogonal to the dominant
+    * eigenvector of a deflated matrix (e.g. any symmetric 2×2 — its
+    * second eigenvector is (1, −1)), which zeroes the very first matvec;
+    * the per-index perturbation breaks that orthogonality while staying
+    * a pure literal any SQL twin replays.
+    */
+  def topComponent(
+      cov: Array[Array[Long]],
+      rounds: Int,
+      start: Int => Long
+  ): (Array[Long], Array[Long], Long) = {
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] — fixed unrolled rounds")
     val dim = cov.length
-    var v = Array.fill(dim)(1000000L)
+    var v = Array.tabulate(dim)(start)
     var prev = v
     for (_ <- 1 to rounds) {
       val s = Array.tabulate(dim) { i =>
@@ -159,6 +174,64 @@ object EmbAlgebra {
     val lambda = math.floor(num.doubleValue / den.doubleValue + 0.5).toLong
     (v, prev, lambda)
   }
+
+  /** Top-`m` principal components by DEFLATION over [[topComponent]]'s
+    * fixed-round power iteration: fit component k on the k-times-deflated
+    * matrix, then subtract its rank-1 term — `c′_ij = c_ij −
+    * floor(λ·v_i·v_j / (vᵀv) + 0.5)`, exact HUGEINT products and ONE
+    * correctly-rounded double division per entry (the lambda rule), so a
+    * SQL twin replays the whole fit verbatim, deflations included. The
+    * standard d→m dimensionality reduction an embedding pipeline runs
+    * before indexing (PCA → IVF); still d²-bounded driver model state,
+    * never data.
+    *
+    * Convergence caveats inherit from [[topComponent]]: fixed rounds
+    * (certificate, not wait), sign pinned by the all-positive start, and
+    * grid-rounded deflation means the components are NEAR-orthogonal on
+    * the ppm grid, not exactly — the serving contract is determinism,
+    * not textbook orthogonality (spec-audited within tolerance).
+    *
+    * @return one (component, lambda_ppm) per rank, strongest first
+    */
+  def topComponents(cov: Array[Array[Long]], m: Int, rounds: Int): Seq[(Array[Long], Long)] = {
+    val dim = cov.length
+    require(m >= 1 && m <= dim, s"m must be in [1, $dim]")
+    var c = cov.map(_.clone())
+    (1 to m).map { _ =>
+      val (v, _, lambda) = topComponent(c, rounds, i => 1000000L + i)
+      var den = BigInt(0)
+      var i = 0
+      while (i < dim) { den += BigInt(v(i)) * v(i); i += 1 }
+      c = Array.tabulate(dim, dim) { (a, b) =>
+        val num = BigInt(lambda) * v(a) * v(b)
+        c(a)(b) - math.floor(num.doubleValue / den.doubleValue + 0.5).toLong
+      }
+      (v, lambda)
+    }
+  }
+
+  /** SERVE, multi-component: the m integer projection scores of an
+    * ALREADY-quantized vector attribute — one native exact long dot per
+    * component against its literal, no re-quantization per component
+    * (callers stage `quantize(vec)` once, the staging discipline).
+    */
+  def projectScoresQ(qCol: Column, comps: Seq[Array[Long]]): Column =
+    array(comps.map(v => call_function("graft_dotl", qCol, typedLit(v.toSeq))): _*)
+
+  /** The REDUCED d→m coordinate of a quantized vector: per component,
+    * `floor(score/10⁶ + 0.5)` — one half-up double division of the exact
+    * integer score, scaling the 10⁹-ish projection back to the milli
+    * grid (|r| ≤ ~2.6·10⁵ for unit-ish vectors, exactly representable in
+    * FLOAT, so the reduced vector feeds the existing ANN machinery —
+    * whose own quantize step multiplies the integer by 1000 losslessly).
+    */
+  def pcaReducedVec(qCol: Column, comps: Seq[Array[Long]]): Column =
+    array(comps.map { v =>
+      floor(
+        call_function("graft_dotl", qCol, typedLit(v.toSeq)).cast("double") / lit(1000000d)
+          + lit(0.5)
+      ).cast("float")
+    }: _*)
 
   /** SERVE: project each embedding onto a fitted component — map-only,
     * the component rides the plan as literals (like the NB model), so

@@ -446,6 +446,51 @@ object Similarity {
     graft.sources.Sources.writeBucketed(
       ivfPqIndexFrame(corpus, idCol, vecCol, coarse, books), table, buckets, "cell")
 
+  /** MAINTENANCE — append new vectors to a [[persistAnnIndex]] table,
+    * encoded with the FITTED model (the memoized coarse/books — no
+    * retrain, no rebuild): one map-side coding pass over the incoming
+    * batch, one bucketed append. The correctness contract is
+    * result-equivalence: under a pinned model, append-then-probe must
+    * equal one-shot-rebuild-then-probe exactly (the driver's
+    * ann_index_append oracle checks precisely that), because cell and
+    * codes are per-row functions of the model alone. The LSH text index's
+    * cycle ([[Dedup.appendLshIndex]]) is the precedent. Model drift is
+    * the trade — audit it with [[pqQuantError]] before trusting an aged
+    * model on shifted data.
+    */
+  def appendAnnIndex(
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      books: Array[Array[Seq[Long]]],
+      table: String,
+      buckets: Int
+  ): Unit =
+    graft.sources.Sources.appendBucketed(
+      ivfPqIndexFrame(incoming, idCol, vecCol, coarse, books), table, buckets, "cell")
+
+  /** STALENESS SIGNAL — the PQ quantization error of an ALREADY-quantized
+    * vector under fitted codebooks: Σ over subspaces of the minimum exact
+    * integer squared-L2 distance from the slice to its codebook (the
+    * distance the assigned code achieves, since coding is argmin).
+    * Map-only, model as literals. Rising mean error on appended batches
+    * vs the training-time population is the "retrain the quantizer"
+    * signal an aging [[appendAnnIndex]] index emits — quantization error
+    * bounds ADC ranking fidelity.
+    */
+  def pqQuantError(qCol: Column, books: Array[Array[Seq[Long]]]): Column = {
+    val dsub = books(0)(0).length
+    books.indices
+      .map { j =>
+        array_min(
+          distancesTo(
+            typedLit(books(j).map(_.toSeq).toSeq),
+            slice(qCol, j * dsub + 1, dsub)))
+      }
+      .reduce(_ + _)
+  }
+
   /** QUERY TIME, batch form — score a LARGE query frame (too big to
     * broadcast) against a [[persistAnnIndex]] table: each query row
     * carries its nprobe probed cells and its ADC table (nsub·nlist

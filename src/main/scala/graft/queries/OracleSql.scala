@@ -845,12 +845,12 @@ private[queries] object OracleSql {
     * are identical to the inline composition (layout is execution, not
     * meaning), so the oracle differs only in predicate and k.
     */
-  private[queries] lazy val annIndexScoredSql: String = {
+  private[queries] def annIndexScoredSqlFor(queryPred: String, k: Int): String = {
     val nsub = 4
     val sb = new StringBuilder
     sb ++= qzCte
     sb ++= "\n        "
-    sb ++= ivfKmeansCtes("vec_id < 50", 2)
+    sb ++= ivfKmeansCtes(queryPred, 2)
     sb ++= """
       , cand AS (
         SELECT DISTINCT p.query_id, a.vec_id AS cand_id
@@ -869,8 +869,66 @@ private[queries] object OracleSql {
                CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
         FROM scored
       )
-      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 3"""
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= $k"""
     sb.toString
+  }
+
+  private[queries] lazy val annIndexScoredSql: String =
+    annIndexScoredSqlFor("vec_id < 50", 3)
+
+  /** ann_index_append twin: the ONE-SHOT index over the full corpus with
+    * the append query's probe set — under a pinned model, append-then-
+    * probe must hash-equal rebuild-then-probe (the equivalence contract
+    * of Similarity.appendAnnIndex).
+    */
+  private[queries] lazy val annIndexAppendSql: String =
+    annIndexScoredSqlFor("vec_id >= 50 AND vec_id < 80", 3)
+
+  /** ann_index_staleness twin: per-population mean PQ quantization error
+    * under the 1-iteration-trained codebooks (pqSubspaceCtesSql's c1_j) —
+    * the base population reuses d2_j's distances (min over cells IS the
+    * assigned code's distance), the drifted batch recomputes them from
+    * the +0.25-shifted quantization.
+    */
+  private[queries] lazy val annIndexStalenessSql: String = {
+    val nsub = 4
+    val dsub = 16
+    // join-shaped per-subspace minima (no correlated subqueries — DuckDB
+    // lambdas cannot capture correlated outer columns): the base
+    // population's min over cells IS the assigned code's distance, read
+    // straight off d2_j; the drifted batch recomputes distances from the
+    // shifted quantization against the same trained c1_j codebooks
+    val baseMins = (0 until nsub)
+      .map(j => s"""
+      , qb_$j AS (SELECT vec_id, min(d) AS qe FROM d2_$j GROUP BY vec_id)""")
+      .mkString
+    val driftMins = (0 until nsub)
+      .map(j => s"""
+      , qa_$j AS (
+        SELECT z.vec_id, min(list_sum(list_transform(range(1, ${dsub + 1}),
+          i -> (z.q[i + ${j * dsub}] - c.cq[i]) * (z.q[i + ${j * dsub}] - c.cq[i])))) AS qe
+        FROM qzd z CROSS JOIN c1_$j c GROUP BY z.vec_id)""")
+      .mkString
+    def sumJoin(prefix: String): String =
+      s"""SELECT a0.vec_id, ${(0 until nsub).map(j => s"a$j.qe").mkString(" + ")} AS qe
+        FROM ${prefix}_0 a0 ${(1 until nsub)
+          .map(j => s"JOIN ${prefix}_$j a$j ON a$j.vec_id = a0.vec_id")
+          .mkString(" ")}"""
+    qzCte + pqSubspaceCtesSql(nsub, 4, dsub) + s"""
+      , qzd AS (
+        SELECT vec_id, list_transform(range(1, 65), i ->
+          CAST(floor((CAST(embedding[i] AS DOUBLE) + 0.25) * 1000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings WHERE ${md5GateSql("vec_id", 4)})
+      $baseMins
+      $driftMins
+      , qb AS (${sumJoin("qb")})
+      , qa AS (${sumJoin("qa")})
+      SELECT population, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(qe) AS BIGINT) AS sum_qerr,
+             CAST(floor(CAST(sum(qe) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_qerr
+      FROM (SELECT 'base' AS population, qe FROM qb
+            UNION ALL SELECT 'appended_drifted' AS population, qe FROM qa)
+      GROUP BY population"""
   }
 
   /** The KLL quantile read (level-4 gate over orders, deciles) — shared by
@@ -983,6 +1041,159 @@ private[queries] object OracleSql {
       CAST(list_sum(list_transform(range(1, 65), d -> z.q[d] * vl.vl[d])) AS BIGINT) AS score,
       lam.lambda_ppm, dl.conv_delta
     FROM qz z CROSS JOIN vl CROSS JOIN lam CROSS JOIN dl"""
+  }
+
+  /** EmbAlgebra.topComponents twin: per component k over the (k−1)-times
+    * deflated matrix — `rounds` unrolled power rounds (the embPcaProjectSql
+    * shape), the Rayleigh lambda, then the rank-1 deflation
+    * `c′ = c − floor(λ·v_i·v_j / (vᵀv) + 0.5)` in exact HUGEINT products
+    * with one double division per entry. Ends inside the WITH list:
+    * pccov{0..m−1} (matrices), pcv{k}_{rounds} (components), pclam{k}.
+    */
+  private[queries] def pcaFitCtes(m: Int, rounds: Int): String = {
+    // MATERIALIZED everywhere: DuckDB inlines plain CTEs per reference,
+    // and each power round references the previous round's vector twice —
+    // 8 components × 6 rounds of doubling would inline the embeddings
+    // scan exponentially many times (observed as file-handle exhaustion);
+    // materializing pins every stage to ONE evaluation, which is also the
+    // engine's execution shape (the driver model is computed once)
+    val sb = new StringBuilder
+    sb.append("""
+    , pccov0 AS MATERIALIZED (SELECT i, j, cov_ppm AS c FROM covu
+                 UNION ALL SELECT j AS i, i AS j, cov_ppm AS c FROM covu WHERE i <> j)""")
+    for (k <- 1 to m) {
+      val mat = s"pccov${k - 1}"
+      // index-perturbed start 10⁶+i (see EmbAlgebra.topComponents: the
+      // flat start can be exactly orthogonal to a deflated eigenvector)
+      sb.append(s"""
+    , pcv${k}_0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST(1000000 + t.i AS BIGINT) AS v FROM range(0, 64) t(i))""")
+      for (r <- 1 to rounds) sb.append(s"""
+    , pcs${k}_$r AS MATERIALIZED (SELECT m.i, CAST(sum(m.c * v.v) AS BIGINT) AS s
+        FROM $mat m JOIN pcv${k}_${r - 1} v ON v.i = m.j GROUP BY 1),
+      pcm${k}_$r AS (SELECT max(abs(s)) AS mx FROM pcs${k}_$r),
+      pcv${k}_$r AS MATERIALIZED (SELECT i, CAST(floor(CAST(s AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+        FROM pcs${k}_$r, pcm${k}_$r)""")
+      sb.append(s"""
+    , pclam$k AS MATERIALIZED (SELECT CAST(floor(CAST(nm.num AS DOUBLE) / CAST(dn.den AS DOUBLE) + 0.5) AS BIGINT) AS lambda
+        FROM (SELECT sum(CAST(m.c AS HUGEINT) * va.v * vb.v) AS num
+              FROM $mat m JOIN pcv${k}_$rounds va ON va.i = m.i JOIN pcv${k}_$rounds vb ON vb.i = m.j) nm,
+             (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM pcv${k}_$rounds) dn)""")
+      if (k < m) sb.append(s"""
+    , pccov$k AS MATERIALIZED (SELECT m.i, m.j,
+          m.c - CAST(floor(CAST(CAST(l.lambda AS HUGEINT) * va.v * vb.v AS DOUBLE) /
+                           CAST(d.den AS DOUBLE) + 0.5) AS BIGINT) AS c
+        FROM $mat m
+        JOIN pcv${k}_$rounds va ON va.i = m.i
+        JOIN pcv${k}_$rounds vb ON vb.i = m.j,
+        pclam$k l,
+        (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM pcv${k}_$rounds) d)""")
+    }
+    sb.toString
+  }
+
+  /** emb_pca_topm twin: the m=8 deflated fits (pcaFitCtes) and the
+    * map-only integer projection of every vector onto each component.
+    */
+  private[queries] lazy val embPcaTopmSql: String = {
+    val m = 8
+    val rounds = 6
+    val compsUnion = (1 to m)
+      .map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS pc, l.lambda,
+           (SELECT list(v ORDER BY i) FROM pcv${k}_$rounds) AS vl FROM pclam$k l""")
+      .mkString("\n          UNION ALL\n")
+    covPairsCtes + pcaFitCtes(m, rounds) + s"""
+    , pccomps AS ($compsUnion)
+    SELECT z.vec_id, c.pc,
+      CAST(list_sum(list_transform(range(1, 65), d -> z.q[d] * c.vl[d])) AS BIGINT) AS score,
+      c.lambda AS lambda_ppm
+    FROM qz z CROSS JOIN pccomps c"""
+  }
+
+  /** Twin of Similarity.cosine over quantized vectors of dimension n
+    * (the 64-dim [[cosSql]] generalized for reduced spaces).
+    */
+  private[queries] def cosSqlDim(a: String, b: String, n: Int): String =
+    s"""(CAST(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])) AS DOUBLE) /
+        (sqrt(CAST(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $a[i])) AS DOUBLE)) *
+         sqrt(CAST(list_sum(list_transform(range(1, ${n + 1}), i -> $b[i] * $b[i])) AS DOUBLE))))"""
+
+  /** ann_pca_reduced twin: the PCA fit (pcaFitCtes), the milli-grid
+    * reduction `floor(score/10⁶ + 0.5) × 1000` (×1000 is the serving
+    * path's quantize of the exact-in-FLOAT reduced coordinate), the
+    * ann_ivf_topk chain at dimension m over the reduced vectors, the
+    * full-dimension brute-force truth (recallAuditSql's verbatim), and
+    * one exact-ppm recall row.
+    */
+  private[queries] lazy val annPcaReducedSql: String = {
+    val m = 8
+    val rounds = 6
+    val gate = md5GateSql("vec_id", 8)
+    val gateA = md5GateSql("a.vec_id", 8)
+    val compsUnion = (1 to m)
+      .map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS pc,
+           (SELECT list(v ORDER BY i) FROM pcv${k}_$rounds) AS vl FROM pclam$k""")
+      .mkString("\n          UNION ALL\n")
+    covPairsCtes + pcaFitCtes(m, rounds) + s"""
+    , pccomps AS MATERIALIZED ($compsUnion)
+    , pcred AS MATERIALIZED (
+      SELECT z.vec_id,
+        list(CAST(floor(CAST(CAST(list_sum(list_transform(range(1, 65), d -> z.q[d] * c.vl[d])) AS BIGINT) AS DOUBLE)
+                  / 1000000 + 0.5) AS BIGINT) * 1000 ORDER BY c.pc) AS q
+      FROM qz z CROSS JOIN pccomps c GROUP BY z.vec_id)
+    , r_cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, q AS cq
+      FROM (SELECT vec_id, q FROM pcred ORDER BY vec_id LIMIT 16))
+    , r_cdist AS (
+      SELECT z.vec_id, c.cell,
+             list_sum(list_transform(range(1, ${m + 1}), i -> (z.q[i] - c.cq[i]) * (z.q[i] - c.cq[i]))) AS d
+      FROM pcred z CROSS JOIN r_cent c)
+    , r_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM r_cdist) WHERE rn = 1)
+    , r_qprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM r_cdist WHERE $gate) WHERE rn <= 4)
+    , r_cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM r_qprobe p JOIN r_assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id)
+    , r_scored AS (
+      SELECT u.query_id, u.cand_id, ${cosSqlDim("qa.q", "qb.q", m)} AS sim
+      FROM r_cand u
+      JOIN pcred qa ON qa.vec_id = u.query_id
+      JOIN pcred qb ON qb.vec_id = u.cand_id)
+    , r_top AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        FROM r_scored) WHERE rank <= 5)
+    , t_pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id
+      FROM qz a CROSS JOIN qz b
+      WHERE $gateA AND a.vec_id <> b.vec_id)
+    , t_scored AS (
+      SELECT p.query_id, p.cand_id, ${cosSql("qa.q", "qb.q")} AS sim
+      FROM t_pairs p
+      JOIN qz qa ON qa.vec_id = p.query_id
+      JOIN qz qb ON qb.vec_id = p.cand_id)
+    , truth AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        FROM t_scored) WHERE rank <= 5)
+    , rb AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_truth
+      FROM truth)
+    SELECT 'ivf_pca_m8' AS ranker, b.n_queries, b.n_truth, h.n_hits,
+           h.n_hits * 1000000 // b.n_truth AS recall_ppm
+    FROM rb b CROSS JOIN
+      (SELECT CAST(count(*) AS BIGINT) AS n_hits
+       FROM r_top x JOIN truth t USING (query_id, cand_id)) h"""
   }
 
   /** EmbAlgebra.jlDistortion twin: the SAME md5-derived SRP coefficients

@@ -207,6 +207,53 @@ private[queries] object QAnn {
         s, tbl, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         coarse, books, nprobe = 2, k = 3)
     },
+    // index MAINTENANCE cycle: build the bucketed index from one era,
+    // append the next era ENCODED WITH THE SAME FITTED (memoized) model —
+    // no retrain, no rebuild — then probe the grown table. The oracle is
+    // the one-shot index over the full corpus: under a pinned model,
+    // append-then-probe must equal rebuild-then-probe EXACTLY (cell and
+    // codes are per-row functions of the model alone), so a hash match IS
+    // the equivalence proof. LSH text-index cycle precedent: appendLshIndex
+    "ann_index_append" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val tbl = Scratch.table("ann_idx_app")
+      Scratch.tableOnce(tbl, dir) {
+        val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+        Similarity.persistAnnIndex(
+          e.filter(g =!= 0), "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+        Similarity.appendAnnIndex(
+          e.filter(g === 0), "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+      }
+      Similarity.scoreAgainstAnnIndex(
+        s, tbl, e.filter(col("vec_id") >= 50 && col("vec_id") < 80), "vec_id", "embedding",
+        coarse, books, nprobe = 2, k = 3)
+    },
+    // index STALENESS audit: mean PQ quantization error of the training-
+    // time population vs an appended batch under simulated drift (every
+    // element shifted +0.25 — a deterministic distribution shift both
+    // engines replay exactly). Rising mean_qerr on appended batches is
+    // the retrain signal an aging appendAnnIndex index emits; all sums
+    // exact integers, the mean one half-up double division
+    "ann_index_staleness" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+      val shifted = transform(
+        col("embedding"),
+        x => floor((x.cast("double") + lit(0.25)) * 1000 + lit(0.5)).cast("long"))
+      val base = e.select(lit("base").as("population"), qz(col("embedding")).as("q"))
+      val drifted = e.filter(g === 0)
+        .select(lit("appended_drifted").as("population"), shifted.as("q"))
+      base.unionByName(drifted)
+        .select(col("population"), Similarity.pqQuantError(col("q"), books).as("qe"))
+        .groupBy(col("population"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("qe")).as("sum_qerr"))
+        .withColumn(
+          "mean_qerr",
+          floor(col("sum_qerr").cast("double") / col("n_vecs").cast("double") + 0.5).cast("long"))
+    },
     // recall@k as a DRIVER-CHECKED number, not just a spec-side assertion:
     // the three approximate serving paths (4-table multiprobe SRP-LSH,
     // sample-centroid IVF 16/4, 4x4 PQ/ADC) audited against brute-force
@@ -254,6 +301,57 @@ private[queries] object QAnn {
         EmbAlgebra.projectScore(col("embedding"), v).as("score"),
         lit(lambda).as("lambda_ppm"),
         lit(delta).as("conv_delta"))
+    },
+    // multi-component fit/serve: m=8 deflated power-iteration components
+    // over the SAME memoized covariance (one aggregation pass feeds
+    // emb_pca_project, this, and ann_pca_reduced), served as a map-only
+    // posexplode of 8 exact integer projections per vector; the oracle
+    // unrolls all 8 fits (6 rounds each) AND the deflations as CTEs
+    "emb_pca_topm" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cov = EmbAlgebra.covPpmMatrixCached(e, col("embedding"), dim = 64)
+      val comps = EmbAlgebra.topComponents(cov, m = 8, rounds = 6)
+      val lams = typedLit(comps.map(_._2))
+      val staged = graft.ops.PlanOps.fence(
+        e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+          .select(
+            col("vec_id"),
+            EmbAlgebra.projectScoresQ(col("q"), comps.map(_._1)).as("scores")))
+      staged
+        .select(col("vec_id"), posexplode(col("scores")).as(Seq("pc0", "score")))
+        .select(
+          col("vec_id"),
+          (col("pc0") + 1).cast("long").as("pc"),
+          col("score"),
+          element_at(lams, col("pc0") + 1).as("lambda_ppm"))
+    },
+    // the dim-reduction serving composition (PCA -> IVF): project corpus
+    // and queries onto the 8 fitted components, round to the milli grid,
+    // build IVF(16, probe 4) over the REDUCED vectors, and recall-audit
+    // against the FULL-dimension brute-force truth (the same memo-spilled
+    // truth set ann_recall_audit reads). 8-dim dots instead of 64-dim on
+    // the serving path — the standard cost/recall trade, measured here as
+    // an exact-ppm driver-checked number. On this ISOTROPIC fixture the
+    // honest reading is low (~10x chance at sf0.1): random vectors have
+    // no low-dim structure for PCA to keep — exactly what the audit is
+    // for; on clustered data the same composition holds a 0.80 recall
+    // floor (SimilaritySpec "PCA-reduced IVF")
+    "ann_pca_reduced" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cov = EmbAlgebra.covPpmMatrixCached(e, col("embedding"), dim = 64)
+      val comps = EmbAlgebra.topComponents(cov, m = 8, rounds = 6).map(_._1)
+      val stratum = e.filter(
+        graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 8L) === 0)
+      def reduced(df: DataFrame): DataFrame =
+        graft.ops.PlanOps.fence(
+          df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+            .select(col("vec_id"), EmbAlgebra.pcaReducedVec(col("q"), comps).as("rvec")))
+      Similarity.recallAudit(
+        e, stratum, "vec_id", "embedding", k = 5,
+        rankers = Seq(
+          "ivf_pca_m8" -> ((c, q) =>
+            Similarity.ivfTopK(
+              reduced(c), reduced(q), "vec_id", "rvec", nlist = 16, nprobe = 4, k = 5))))
     },
     // JL distortion audit for the SRP sketch family: cos(projected) −
     // cos(original) histogram over an md5-gated pair stratum, same
@@ -547,9 +645,13 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "ann_ivfpq_topk" -> ivfPqSql,
     "ann_index_scored" -> annIndexScoredSql,
+    "ann_index_append" -> annIndexAppendSql,
+    "ann_index_staleness" -> annIndexStalenessSql,
     "ann_recall_audit" -> recallAuditSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_pca_project" -> embPcaProjectSql,
+    "emb_pca_topm" -> embPcaTopmSql,
+    "ann_pca_reduced" -> annPcaReducedSql,
     "emb_jl_distortion" -> embJlDistortionSql,
     "emb_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

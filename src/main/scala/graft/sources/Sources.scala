@@ -112,6 +112,24 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** APPEND into an existing [[writeBucketed]] table with the same bucket
+    * spec — the maintenance half of a persisted-index cycle (new rows
+    * arrive encoded, the table is never rebuilt). Each append adds its
+    * own file set per bucket id; a multi-file bucket still scans with the
+    * bucketed OUTPUT PARTITIONING (no exchange on the index side of a
+    * bucket-key join) — only the per-file sort guarantee weakens, which a
+    * downstream sort-merge join re-establishes locally. The bucket count
+    * and keys must match the table's existing spec (saveAsTable validates
+    * on append).
+    */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int, key: String, moreKeys: String*): Unit =
+    df.write
+      .mode("append")
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S9 (packaging half): zip a sink output directory into ONE archive —
     * the engine twin of the reference's `zip -r` CI step
     * (.github/workflows/extract-chicago-permits.yaml:86-96).

@@ -61,6 +61,51 @@ class EmbAlgebraSpec extends SparkSpecBase {
       s"Rayleigh must approach the dominant eigenvalue from below: $lambda")
   }
 
+  test("topComponents: deflation recovers the exact second eigenpair on a 2x2") {
+    // [[2666667,1333333],[1333333,2666667]]: eigenpairs (1,1)/4e6 and
+    // (1,−1)/1333334. The rank-1 deflation is EXACT here (λ·v_i·v_j/vᵀv
+    // = 2e6 for every entry), leaving [[666667,−666667],[−666667,666667]];
+    // the index-perturbed start (1e6, 1e6+1) has a nonzero (1,−1)
+    // component, and one matvec lands exactly on the grid eigenvector.
+    val m = Array(Array(2666667L, 1333333L), Array(1333333L, 2666667L))
+    val comps = EmbAlgebra.topComponents(m, m = 2, rounds = 4)
+    assert(comps(0)._1.toSeq == Seq(1000000L, 1000000L) && comps(0)._2 == 4000000L,
+      s"first component: ${comps(0)._1.toSeq} λ=${comps(0)._2}")
+    assert(comps(1)._1.toSeq == Seq(-1000000L, 1000000L) && comps(1)._2 == 1333334L,
+      s"second component: ${comps(1)._1.toSeq} λ=${comps(1)._2}")
+  }
+
+  test("topComponents: descending lambdas and axis recovery on a diagonal matrix") {
+    val m = Array(
+      Array(3000000L, 0L, 0L),
+      Array(0L, 2000000L, 0L),
+      Array(0L, 0L, 1000000L))
+    val comps = EmbAlgebra.topComponents(m, m = 3, rounds = 8)
+    val axes = comps.map(_._1.zipWithIndex.maxBy(p => math.abs(p._1))._2)
+    assert(axes == Seq(0, 1, 2), s"components must recover the axes in order: $axes")
+    val lams = comps.map(_._2)
+    assert(lams.zip(lams.tail).forall { case (a, b) => a >= b },
+      s"lambdas must be non-increasing: $lams")
+    assert(lams(0) > 2900000L && lams(1) > 1900000L && lams(2) > 900000L,
+      s"each lambda must approach its eigenvalue: $lams")
+  }
+
+  test("pcaReducedVec: half-up milli-grid reduction of the exact scores, FLOAT-exact") {
+    val comps = Seq(Array(2L, 3L), Array(-1L, 1L))
+    // quantized rows (1000,2000),(3000,6000),(5000,4000); scores c1:
+    // 8000,24000,22000 → floor(s/1e6+0.5) = 0,0,0... use bigger comps to
+    // exercise the rounding: scale by 1e5 → scores 8e8,24e8,22e8 →
+    // 800,2400,2200; c2 scores 1000,3000,-1000 → ·1e5 → 100,300,-100
+    val big = comps.map(_.map(_ * 100000L))
+    val got = fixture
+      .select(EmbAlgebra.pcaReducedVec(Similarity.quantize(col("v")), big).as("r"))
+      .collect()
+      .map(_.getSeq[Float](0).toSeq)
+      .sortBy(_.head)
+      .toSeq
+    assert(got == Seq(Seq(800.0f, 100.0f), Seq(2200.0f, -100.0f), Seq(2400.0f, 300.0f)), got)
+  }
+
   test("projectScore serves the exact integer dot with the component as plan literals") {
     val got = fixture
       .select(EmbAlgebra.projectScore(col("v"), Array(2L, 3L)).as("s"))

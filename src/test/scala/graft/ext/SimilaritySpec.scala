@@ -422,6 +422,81 @@ class SimilaritySpec extends SparkSpecBase {
     assert(trained >= 0.99, f"trained-IVF must fully recover the clusters, got $trained%.2f")
   }
 
+  test("appendAnnIndex: append-then-probe hash-equals one-shot rebuild under a pinned model") {
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    val oneShot = s"annspec_oneshot_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, oneShot, buckets = 4)
+    val grown = s"annspec_grown_${System.nanoTime()}"
+    Similarity.persistAnnIndex(
+      e.filter($"vec_id" % 2 === 0), "vec_id", "embedding", coarse, books, grown, buckets = 4)
+    Similarity.appendAnnIndex(
+      e.filter($"vec_id" % 2 === 1), "vec_id", "embedding", coarse, books, grown, buckets = 4)
+    def rows(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    assert(rows(grown) == rows(oneShot),
+      "append-then-probe must equal rebuild-then-probe under the same fitted model")
+    // an appended candidate (odd id) must actually be servable
+    assert(rows(grown).exists(_._2 % 2 == 1), s"no appended row surfaced: ${rows(grown)}")
+  }
+
+  test("pqQuantError: zero on codebook seeds, grows under distribution shift") {
+    val e = fixtureEmb
+    // iters = 0: codebooks ARE the slices of the 4 lowest-id vectors, so
+    // those vectors quantize with error exactly 0
+    val seedBooks = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 0)
+    val qe = e.select($"vec_id",
+        Similarity.pqQuantError(Similarity.quantize($"embedding"), seedBooks).as("qe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 3L).foreach(id => assert(qe(id) == 0L, s"seed $id must reconstruct exactly: ${qe(id)}"))
+    assert(qe.values.forall(_ >= 0L), "squared error cannot be negative")
+    // shift every element by +0.25: mean error must strictly rise — the
+    // staleness signal ann_index_staleness reports
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val shifted = transform($"embedding", x => floor((x.cast("double") + lit(0.25)) * 1000 + lit(0.5)).cast("long"))
+    def meanQe(q: org.apache.spark.sql.Column): Double = e
+      .select(Similarity.pqQuantError(q, books).as("qe"))
+      .agg(avg($"qe")).collect()(0).getDouble(0)
+    val base = meanQe(Similarity.quantize($"embedding"))
+    val drifted = meanQe(shifted)
+    info(f"mean qerr base=$base%.0f drifted=$drifted%.0f")
+    assert(drifted > base, s"drifted batch must show higher quantization error: $drifted <= $base")
+  }
+
+  test("PCA-reduced IVF: 16d -> 4d keeps clustered recall@5 above the floor") {
+    // same 4-axis-cluster construction as the trained-IVF audit: the top-4
+    // principal components are (near) the cluster axes, so the d->m
+    // reduction preserves the neighborhoods and the reduced-dimension IVF
+    // serves 4-long dots instead of 16-long ones — the PCA->IVF serving
+    // composition ann_pca_reduced drives, recall-floored here
+    val dim = 16; val perC = 50
+    val rows = (0 until 4 * perC).map { id =>
+      val c = id / perC
+      val v = (0 until dim).map { d =>
+        val base = if (d == c) 100.0f else 0.0f
+        base + ((id * 31 + d * 7) % 11 - 5).toFloat
+      }
+      (id.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" % perC === 25)
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val cov = EmbAlgebra.covPpmMatrix(e, $"embedding", dim)
+    val comps = EmbAlgebra.topComponents(cov, m = 4, rounds = 6).map(_._1)
+    def reduced(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.PlanOps.fence(
+        df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+          .select(col("vec_id"), EmbAlgebra.pcaReducedVec(col("q"), comps).as("rvec")))
+    val got = pairs(Similarity.ivfTopK(
+      reduced(e), reduced(q), "vec_id", "rvec", nlist = 4, nprobe = 1, k = 5, trainIters = 2))
+    val recall = recallAtK(got, exact)
+    info(f"PCA-reduced(4d) trained-IVF clustered recall@5 = $recall%.2f")
+    assert(recall >= 0.80, f"reduced-dimension recall $recall%.2f below floor")
+  }
+
   test("pqCodes: one code per subspace, codes within the codebook, deterministic") {
     val e = fixtureEmb
     val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
