@@ -193,6 +193,18 @@ object Bench {
         s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench_out.json"), full + "\n")
     catch { case _: Throwable => () }
+    // Memo observability: the fitted-model memo and the content-keyed
+    // parquet spill both grow without eviction for the JVM's life (by
+    // design — short-lived JVMs, model-sized values); this line makes that
+    // growth a NUMBER in every bench log instead of an article of faith.
+    // QueryHygieneSpec bounds what classes/sizes may enter the model memo.
+    try {
+      val mc = graft.ext.Similarity.modelMemoCensus()
+      val sc = graft.ext.Dedup.spillCensus()
+      System.err.println(
+        s"[bench] memo census: model entries=${mc.size} bytes~${mc.map(_._3).sum}; " +
+          s"spill entries=${sc.size} disk_bytes=${sc.map(_._2).sum}")
+    } catch { case e: Throwable => System.err.println(s"[bench] memo census failed: ${e.getMessage}") }
     // Versioned per-query history: the same full map lands in the repo at
     // bench_history/latest.json, so a round-over-round drift is a one-line
     // `runMain graft.BenchDiff` instead of an unattributable total (the r12

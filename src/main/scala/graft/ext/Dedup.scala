@@ -17,6 +17,24 @@ object Dedup {
 
   private val spillMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** OBSERVABILITY — census of the content/plan-keyed parquet spill: one
+    * (key, onDiskBytes) row per memoized spill. The spill is scratch-FS
+    * state (pid-scoped dir, deleted at JVM exit), not heap, so "bytes"
+    * here is disk footprint; Bench prints the totals so a long session's
+    * spill growth is a number, not a surprise. Entries whose directory
+    * vanished (external cleanup) report 0.
+    */
+  private[graft] def spillCensus(): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    def dirBytes(p: java.io.File): Long =
+      if (!p.exists()) 0L
+      else if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.iterator.map(dirBytes).sum).getOrElse(0L)
+    spillMemo.asScala.toSeq
+      .map { case (k, p) => (k, dirBytes(new java.io.File(p))) }
+      .sortBy(_._1)
+  }
+
   /** Materialize `df` once as a parquet spill and return a scan of it, so a
     * plan that references the same subtree N times computes it once instead
     * of N times (exchange reuse does not fire across differently-projected

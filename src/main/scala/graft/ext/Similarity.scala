@@ -589,6 +589,36 @@ object Similarity {
     */
   private[ext] val modelMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** OBSERVABILITY — census of the fitted-model memo: one (key,
+    * valueClass, approxBytes) row per entry. The memo grows without
+    * eviction for the life of the JVM by design (bench/driver JVMs are
+    * short-lived and every entry is model-state-sized); this census is
+    * what keeps that posture honest — Bench prints the totals at the end
+    * of every run, and QueryHygieneSpec bounds the value classes and
+    * per-entry size so a data-sized value can never silently enter.
+    */
+  private[graft] def modelMemoCensus(): Seq[(String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    modelMemo.asScala.toSeq
+      .map { case (k, v) => (k, v.getClass.getName, approxModelBytes(v)) }
+      .sortBy(_._1)
+  }
+
+  /** Conservative in-heap size estimate of a memoized model value —
+    * recursive over the shapes the memo actually holds (nested arrays /
+    * seqs of longs, string pairs for BPE merges). Unknown leaves count a
+    * flat 64 bytes; the hygiene spec rejects their classes anyway.
+    */
+  private[graft] def approxModelBytes(v: Any): Long = v match {
+    case _: Long | _: Int | _: Double | _: java.lang.Long | _: java.lang.Integer |
+        _: java.lang.Double => 8L
+    case s: String => 40L + 2L * s.length
+    case (a, b) => 24L + approxModelBytes(a) + approxModelBytes(b)
+    case arr: Array[_] => 16L + arr.iterator.map(approxModelBytes).sum
+    case seq: scala.collection.Seq[_] => 24L + seq.iterator.map(approxModelBytes).sum
+    case _ => 64L
+  }
+
   private[ext] def modelKey(corpus: DataFrame, params: String): String = {
     val s = corpus.sparkSession
     val confSig = Seq(

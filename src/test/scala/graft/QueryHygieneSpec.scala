@@ -39,6 +39,34 @@ class QueryHygieneSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"contentKeys missing the sf dir (cross-SF spill collision): $bad")
   }
 
+  test("model memo holds only model-shaped, bounded values; spill census reads clean") {
+    // populate the memo through its real entry points: a covariance fit,
+    // a PQ training, a k-means training, a BPE merge model
+    val e = graft.queries.Fixtures.t(spark, sfDir, "embeddings")
+    graft.ext.EmbAlgebra.covPpmMatrixCached(e, col("embedding"), dim = 64)
+    graft.ext.Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    graft.ext.Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 1)
+    val docs = graft.queries.Fixtures.t(spark, sfDir, "documents")
+    graft.ext.TextStats.bpeMergesModel(docs, col("doc_id"), col("text"), k = 8)
+    val census = graft.ext.Similarity.modelMemoCensus()
+    assert(census.nonEmpty, "the memo entry points above must have populated the census")
+    // the contract: ONLY model-state classes, each bounded — a data-sized
+    // value (a collected DataFrame, a row array) must never enter
+    val allowedPrefixes = Seq("cov_", "pq_", "km_", "bpe_")
+    census.foreach { case (key, cls, bytes) =>
+      assert(allowedPrefixes.exists(key.startsWith),
+        s"memo key '$key' outside the registered model families")
+      assert(cls.startsWith("[") || cls.startsWith("scala.collection."),
+        s"memo value for '$key' is not an array/seq model: $cls")
+      assert(bytes > 0 && bytes <= 16L * 1024 * 1024,
+        s"memo value for '$key' is not model-state-sized: $bytes bytes")
+    }
+    // the spill census must read without throwing and report real paths
+    graft.ext.Dedup.spillCensus().foreach { case (key, bytes) =>
+      assert(bytes >= 0, s"spill census for '$key' negative: $bytes")
+    }
+  }
+
   test("every registered query has an oracle twin, and no oracle is orphaned") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
