@@ -546,6 +546,13 @@ object Multimodal {
       hashCol: String,
       maxHamming: Int
   ): DataFrame = {
+    // NO forced band repartition here (unlike the text-LSH band join):
+    // the banded fingerprint row is 3 longs — the planner broadcasts one
+    // side at any realistic fingerprint-table size, and a measured
+    // attempt to pin both sides to one reused exchange (r16) doubled the
+    // query's time by forcing the shuffle broadcast avoids. The query's
+    // remaining exchange is the pair-output distinct — output-grain,
+    // not corpus-grain: a pair ships only once it verified ≤ maxHamming.
     val banded = hashes
       .select(
         col("asset_id"),

@@ -1160,14 +1160,23 @@ object Similarity {
           ).as("bucket")
         )
     val dec = "decimal(38,0)"
+    // score and threshold BEFORE the dedupe, then dedupe on a NARROW
+    // projection: the old order shuffled full 64-long vector rows for
+    // every bucket collision just to drop duplicates — scoring first is
+    // map-side (dup multiplicity is the small table/probe co-collision
+    // count), the threshold discards non-matches pre-exchange, and the
+    // exchange then carries five numeric columns for matches only.
+    // Duplicates are identical in all five columns (same vectors, same
+    // exact integer math), so dedupe placement cannot change the set.
     c.join(broadcast(probed), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates(Seq("query_id", "cand_id"))
       .withColumn("d", dot(col("q_vec"), col("c_vec")))
       .filter(
         col("d") >= 0 &&
           col("d").cast(dec) * col("d").cast(dec) * lit(tauDen.toLong * tauDen) >=
           col("qq").cast(dec) * col("cc").cast(dec) * lit(tauNum.toLong * tauNum))
+      .select(col("query_id"), col("cand_id"), col("d"), col("qq"), col("cc"))
+      .dropDuplicates(Seq("query_id", "cand_id"))
       .select(
         col("query_id"),
         col("cand_id"),

@@ -890,6 +890,37 @@ private[queries] object OracleSql {
     * assigned code's distance), the drifted batch recomputes them from
     * the +0.25-shifted quantization.
     */
+  /** stream_ann_index_maintain twin: the IVFPQ serving chain under the
+    * full-corpus-trained model, with ARRIVAL-ORDER candidate visibility —
+    * the era-0 corpus is visible to every probe; batch A (gated, even id)
+    * is visible only to batch B's probes (gated, odd id), because batch
+    * A's vectors entered the index via the append BETWEEN the batches.
+    */
+  private[queries] lazy val streamAnnMaintainSql: String = {
+    val nsub = 4
+    val gate = md5GateSql("vec_id", 4)
+    val gateA = md5GateSql("a.vec_id", 4)
+    qzCte + "\n        " + ivfKmeansCtes(gate, 2) + s"""
+      , cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+        FROM qprobe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+          AND ( NOT ($gateA)
+                OR (a.vec_id % 2 = 0 AND p.query_id % 2 = 1) )
+      )""" + pqSubspaceCtesSql(nsub, 4, 16) + s"""
+      , scored AS (
+        SELECT c.query_id, c.cand_id,
+               CAST(${pqAdcSumSql(nsub)} AS BIGINT) AS adc
+        FROM cand c
+        ${pqAdcJoinsSql(nsub, "c")}
+      ), ranked AS (
+        SELECT query_id, cand_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS INTEGER) AS rank
+        FROM scored
+      )
+      SELECT query_id, cand_id, rank, adc FROM ranked WHERE rank <= 3"""
+  }
+
   private[queries] lazy val annIndexStalenessSql: String = {
     val nsub = 4
     val dsub = 16

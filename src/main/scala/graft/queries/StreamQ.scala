@@ -677,6 +677,64 @@ object StreamQ {
       } finally q.stop()
       s.read.parquet(outDir)
     },
+    // the VECTOR index maintenance cycle on a stream — the ANN twin of
+    // stream_index_maintain: vectors arrive in micro-batches; each batch
+    // probes the persisted bucketed IVFPQ index (top-k under the PINNED
+    // memoized model), then appends itself encoded with that same model
+    // (appendAnnIndex — no retrain). Batch B's probe sees batch A's
+    // vectors ONLY because the append ran; the oracle replays the
+    // arrival-order visibility (era-0 always, batch A visible to batch B)
+    "stream_ann_index_maintain" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+      val table = Scratch.table("ann_maint")
+      // layout time: overwrite resets the index each invocation (bench
+      // reruns the query in one JVM; a stale appended index would
+      // double-count batch A) — the model itself rides the memo, so only
+      // the small bucketed write repeats
+      Similarity.persistAnnIndex(
+        e.filter(g =!= 0), "vec_id", "embedding", coarse, books, table, buckets = 8)
+      val outDir = Scratch.dir("ann_maint", dir)
+      Scratch.reset(outDir)
+      val batchA: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      val batchB: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read twice: probe, then append
+          try {
+            // refresh in THIS session (the probe's): the append runs under
+            // the stream-execution clone and invalidates only its own
+            // relation cache — same staleness trap stream_index_maintain
+            // documents
+            s.catalog.refreshTable(table)
+            // probe BEFORE append: a batch never pairs with itself
+            Similarity.scoreAgainstAnnIndex(
+              s, table, b, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+              .write.mode("append").parquet(outDir)
+            Similarity.appendAnnIndex(
+              b, "vec_id", "embedding", coarse, books, table, buckets = 8)
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        // A and B must stay SEPARATE micro-batches (the append-back between
+        // them is the semantics under test)
+        mem.addData(batchA.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(batchB.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir)
+    },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
     // max_by aggregation (complete mode, no watermark — state is one row
     // per key, planned by Catalyst, no custom state code). The drained
@@ -955,6 +1013,9 @@ object StreamQ {
         JOIN g gb ON gb.doc_id = corpus_id
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    // the ANN index maintenance cycle: arrival-order candidate visibility
+    // (era-0 always; batch A only to batch B) under the pinned model
+    "stream_ann_index_maintain" -> streamAnnMaintainSql,
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
     // the state-machine sessionizer uses sessionizeBatch's strict-> gap
