@@ -52,6 +52,40 @@ object EmbAlgebra {
     * integers.
     */
   def covariance(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
+    import graft.ops.agg.CoMomentPyramid
+    val q = df.select(Similarity.quantize(vecCol).as("q"))
+    // ONE bounded-buffer aggregate accumulates the whole pyramid per
+    // partition (tight primitive loop, ~17 KB buffer through the
+    // exchange) instead of exploding d(d+1)/2 struct rows per vector
+    // into a 2080-group hash aggregate — same exact integer sums, same
+    // output rows (parity with covarianceHof is spec-pinned)
+    val flat = q.agg(CoMomentPyramid.column(dim)(col("q")).as("m"))
+    val (is, js) = CoMomentPyramid.pairCoords(dim)
+    val num = (col("n").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
+      - col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)"))
+    val den = col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+    flat
+      .select(col("m"), posexplode(slice(col("m"), dim + 2, dim * (dim + 1) / 2)).as(Seq("p", "sxy")))
+      .select(
+        element_at(typedLit(is), col("p") + 1).as("i"),
+        element_at(typedLit(js), col("p") + 1).as("j"),
+        element_at(col("m"), 1).as("n"),
+        element_at(col("m"), element_at(typedLit(is), col("p") + 1) + 2).as("sx"),
+        element_at(col("m"), element_at(typedLit(js), col("p") + 1) + 2).as("sy"),
+        col("sxy"))
+      // empty-input parity with the HOF form: no vectors → no rows (the
+      // zero buffer would otherwise emit an all-zero pyramid with n = 0)
+      .filter(col("n") > 0)
+      .withColumn(
+        "cov_ppm",
+        floor(num.cast("double") / den.cast("double") + lit(0.5)).cast("long"))
+  }
+
+  /** The HOF formulation of [[covariance]] — kept as the executable
+    * definition of the exactness contract the bounded-buffer aggregate
+    * must match (parity spec-asserted), exactly like dot/dotHof.
+    */
+  private[graft] def covarianceHof(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
     val q = df.select(Similarity.quantize(vecCol).as("q"))
     val pairsArr = flatten(
       transform(

@@ -84,11 +84,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(n == 1, s"expected 1 user_id shuffle for both windows, got $n:\n$plan")
   }
 
-  test("emb_covariance: one model-sized shuffle, no join, pair build fenced out of the Generate") {
+  test("emb_covariance: one bounded-buffer aggregate, no join, no data-grain explode") {
+    // the co-moment pyramid rides CoMomentPyramid (one ~17 KB buffer per
+    // partition through a single-group aggregate); the posexplode in the
+    // plan unflattens the ONE finished buffer row, never data
     val plan = planOf("emb_covariance")
     assert(!plan.contains("Join"), s"the co-moment pyramid is join-free:\n$plan")
-    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(n == 1, s"expected exactly the one <=d(d+1)/2-group aggregation exchange, got $n:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"single-group aggregate must not hash-shuffle:\n$plan")
+    assert(
+      "ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"pyramid buffer lost its map-side partial aggregation:\n$plan")
   }
 
   test("emb_pca_project serve is map-only: component as literals, zero exchanges") {

@@ -34,6 +34,21 @@ class EmbAlgebraSpec extends SparkSpecBase {
     assert(got.size == 3, s"upper triangle of dim 2 is 3 pairs: ${got.keySet}")
   }
 
+  test("covariance bounded-buffer aggregate is bit-identical to the HOF contract") {
+    // the dot/dotHof discipline: the fast kernel's executable definition
+    // is the HOF form — every field of every pair row must match on a
+    // fixture with negatives, ties, and a larger dim than the toy
+    val emb = graft.queries.Fixtures.t(spark, "/root/testdata/sf0.001", "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val fast = rows(EmbAlgebra.covariance(emb, col("embedding"), dim = 64))
+    val hof = rows(EmbAlgebra.covarianceHof(emb, col("embedding"), dim = 64))
+    assert(fast.size == 64 * 65 / 2 && fast == hof)
+  }
+
   test("covPpmMatrix mirrors the upper triangle into a symmetric dense model") {
     val m = EmbAlgebra.covPpmMatrix(fixture, col("v"), dim = 2)
     assert(m(0)(0) == 2666667L && m(1)(1) == 2666667L)
