@@ -202,7 +202,8 @@ object Bench {
       val mc = graft.ext.Similarity.modelMemoCensus()
       val sc = graft.ext.Dedup.spillCensus()
       System.err.println(
-        s"[bench] memo census: model entries=${mc.size} bytes~${mc.map(_._3).sum}; " +
+        s"[bench] memo census: model entries=${mc.size} bytes~${mc.map(_._3).sum} " +
+          s"evicted=${graft.ext.Similarity.modelMemoEvictions}; " +
           s"spill entries=${sc.size} disk_bytes=${sc.map(_._2).sum}")
     } catch { case e: Throwable => System.err.println(s"[bench] memo census failed: ${e.getMessage}") }
     // Versioned per-query history: the same full map lands in the repo at

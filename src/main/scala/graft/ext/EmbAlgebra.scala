@@ -140,11 +140,8 @@ object EmbAlgebra {
     * aggregation pass. Model-state-sized value: d² longs.
     */
   def covPpmMatrixCached(df: DataFrame, vecCol: Column, dim: Int): Array[Array[Long]] =
-    Similarity.modelMemo
-      .computeIfAbsent(
-        s"cov_${Similarity.modelKey(df, s"$vecCol|$dim")}",
-        _ => covPpmMatrix(df, vecCol, dim))
-      .asInstanceOf[Array[Array[Long]]]
+    Similarity.memoized(s"cov_${Similarity.modelKey(df, s"$vecCol|$dim")}")(
+      covPpmMatrix(df, vecCol, dim))
 
   /** Top principal component by `rounds` fixed rounds of integer power
     * iteration over the ppm covariance. Deterministic and replayable in

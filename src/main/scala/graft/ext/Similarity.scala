@@ -588,14 +588,45 @@ object Similarity {
     * in the key (the stream harness clones sessions per invocation).
     */
   private[ext] val modelMemo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val memoInsertOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val memoEvictions = new java.util.concurrent.atomic.LongAdder
+  // Bounded for long-lived serving sessions: the memo is a pure
+  // performance cache (every value is a deterministic recompute of its
+  // corpus + params), so evicting the OLDEST entries is always safe —
+  // a re-request just pays one training pass again. Bench/driver JVMs
+  // never approach the bound; the env knob exists for serving processes.
+  private val memoMaxEntries: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_MODEL_MEMO_MAX", "256").toInt)
+
+  /** The single write path into [[modelMemo]]: compute-if-absent, track
+    * insertion order, and evict the oldest entries past the bound (never
+    * the entry just requested). All fitted-model cachers route here.
+    */
+  private[ext] def memoized[T <: AnyRef](key: String)(compute: => T): T = {
+    val v = modelMemo.computeIfAbsent(key, { k =>
+      memoInsertOrder.add(k)
+      compute
+    })
+    var guard = 0
+    while (modelMemo.size > memoMaxEntries && guard < 4096) {
+      val old = memoInsertOrder.poll()
+      if (old == null) guard = 4096
+      else if (old == key) memoInsertOrder.add(old) // keep the live request
+      else if (modelMemo.remove(old) != null) memoEvictions.increment()
+      guard += 1
+    }
+    v.asInstanceOf[T]
+  }
+
+  private[graft] def modelMemoEvictions: Long = memoEvictions.sum()
 
   /** OBSERVABILITY — census of the fitted-model memo: one (key,
-    * valueClass, approxBytes) row per entry. The memo grows without
-    * eviction for the life of the JVM by design (bench/driver JVMs are
-    * short-lived and every entry is model-state-sized); this census is
-    * what keeps that posture honest — Bench prints the totals at the end
-    * of every run, and QueryHygieneSpec bounds the value classes and
-    * per-entry size so a data-sized value can never silently enter.
+    * valueClass, approxBytes) row per entry. Entries are bounded at
+    * `memoMaxEntries` with oldest-first eviction (see [[memoized]]);
+    * this census is what keeps the posture honest — Bench prints the
+    * totals (and the eviction count) at the end of every run, and
+    * QueryHygieneSpec bounds the value classes and per-entry size so a
+    * data-sized value can never silently enter.
     */
   private[graft] def modelMemoCensus(): Seq[(String, String, Long)] = {
     import scala.jdk.CollectionConverters._
@@ -644,11 +675,8 @@ object Similarity {
       nlistSub: Int,
       iters: Int
   ): Array[Array[Seq[Long]]] =
-    modelMemo
-      .computeIfAbsent(
-        s"pq_${modelKey(corpus, s"$idCol|$vecCol|$nsub|$nlistSub|$iters")}",
-        _ => pqTrain(corpus, idCol, vecCol, nsub, nlistSub, iters))
-      .asInstanceOf[Array[Array[Seq[Long]]]]
+    memoized(s"pq_${modelKey(corpus, s"$idCol|$vecCol|$nsub|$nlistSub|$iters")}")(
+      pqTrain(corpus, idCol, vecCol, nsub, nlistSub, iters))
 
   /** [[kmeansCentroids]] through the model memo (the IVF coarse quantizer
     * is retrained identically by ann_ivf_kmeans / ann_ivfpq_topk /
@@ -661,11 +689,8 @@ object Similarity {
       nlist: Int,
       iters: Int
   ): Array[Seq[Long]] =
-    modelMemo
-      .computeIfAbsent(
-        s"km_${modelKey(corpus, s"$idCol|$vecCol|$nlist|$iters")}",
-        _ => kmeansCentroids(corpus, idCol, vecCol, nlist, iters))
-      .asInstanceOf[Array[Seq[Long]]]
+    memoized(s"km_${modelKey(corpus, s"$idCol|$vecCol|$nlist|$iters")}")(
+      kmeansCentroids(corpus, idCol, vecCol, nlist, iters))
 
   def pqTrain(
       corpus: DataFrame,

@@ -440,16 +440,12 @@ object TextStats {
     * (left, right) pairs — exactly what [[bpeEncode]] consumes.
     */
   def bpeMergesModel(df: DataFrame, idCol: Column, textCol: Column, k: Int): Seq[(String, String)] =
-    Similarity.modelMemo
-      .computeIfAbsent(
-        s"bpe_${Similarity.modelKey(df, s"$idCol|$textCol|$k")}",
-        _ =>
-          bpeMerges(df, idCol, textCol, k)
-            .orderBy(col("rank"))
-            .collect()
-            .map(r => (r.getString(1), r.getString(2)))
-            .toSeq)
-      .asInstanceOf[Seq[(String, String)]]
+    Similarity.memoized(s"bpe_${Similarity.modelKey(df, s"$idCol|$textCol|$k")}")(
+      bpeMerges(df, idCol, textCol, k)
+        .orderBy(col("rank"))
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq)
 
   def bpeMerges(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

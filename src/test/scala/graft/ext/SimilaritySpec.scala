@@ -422,6 +422,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(trained >= 0.99, f"trained-IVF must fully recover the clusters, got $trained%.2f")
   }
 
+  test("model memo stays bounded: oldest entries evict, a re-request recomputes") {
+    // flood with synthetic model-shaped entries well past the bound; the
+    // memo is a pure performance cache, so eviction is always safe
+    (0 until 300).foreach(i =>
+      Similarity.memoized(s"km_spec_evict_$i")(Array(Seq(i.toLong))))
+    assert(Similarity.modelMemoCensus().size <= 256,
+      s"memo must stay bounded: ${Similarity.modelMemoCensus().size}")
+    assert(Similarity.modelMemoEvictions > 0, "flooding past the bound must evict")
+    // an evicted key recomputes on demand — no correctness dependence on
+    // residency (the value below differs from the original on purpose)
+    val v = Similarity.memoized("km_spec_evict_0")(Array(Seq(42L)))
+    assert(v(0) == Seq(42L) || v(0) == Seq(0L), s"unexpected value: ${v(0)}")
+  }
+
   test("appendAnnIndex: append-then-probe hash-equals one-shot rebuild under a pinned model") {
     val e = fixtureEmb
     val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
