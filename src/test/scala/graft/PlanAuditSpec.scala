@@ -104,6 +104,12 @@ class PlanAuditSpec extends SparkSpecBase {
     val plan = planOf("emb_pca_project")
     assert(!plan.contains("Exchange"), s"PCA serve must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"PCA serve must not join:\n$plan")
+    // same contract for the multi-component serve: all 8 fitted
+    // components ride the plan as literals; the posexplode unflattens the
+    // per-row score array, never a shuffled frame
+    val topm = planOf("emb_pca_topm")
+    assert(!topm.contains("Exchange"), s"top-m PCA serve must not shuffle:\n$topm")
+    assert(!topm.contains("Join"), s"top-m PCA serve must not join:\n$topm")
   }
 
   test("emb_jl_distortion: both pair sides read the fenced gated stratum, never the corpus") {
