@@ -47,6 +47,41 @@ class TopKHeapSimSpec extends SparkSpecBase {
     assert(out.head._2 == 7L && out(1) == (0.99, 2L))
   }
 
+  test("seeded randomized parity: heap == window+dropDuplicates across ties and duplicates") {
+    // the heap now carries every ANN ranker; this drives it through 20
+    // seeded random frames dense with exact ties (sims drawn from a
+    // 5-value grid) and duplicated rows (the multi-probe shape), and
+    // demands EXACT agreement with the window formulation it replaced
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"cand_id".asc)
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      // sim is a FUNCTION of (q, c): duplicates in production carry
+      // bit-identical sims (same vectors, same expression), so the
+      // generator must never give one pair two different scores
+      val base = (0 until 200).map { _ =>
+        val q = rnd.nextInt(5).toLong
+        val c = rnd.nextInt(40).toLong
+        (q, c, ((q * 7 + c * 13) % 5) * 0.2)
+      }.distinct
+      val dups = base.filter(_ => rnd.nextBoolean())
+      val k = 1 + rnd.nextInt(6)
+      val rows = (base ++ dups).toDF("query_id", "cand_id", "sim")
+      val heaped = rows
+        .groupBy($"query_id")
+        .agg(TopKHeapSim.column(k)($"sim", $"cand_id").as("top"))
+        .select($"query_id", posexplode($"top"))
+        .select($"query_id", $"col._2".as("cand_id"), ($"pos" + 1).as("rank"), $"col._1".as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+      val windowed = rows
+        .dropDuplicates(Seq("query_id", "cand_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2))).sorted.toSeq
+      assert(heaped == windowed, s"seed $seed k=$k diverged")
+    }
+  }
+
   test("column form matches the window formulation on duplicated candidates") {
     // the LSH shape: the same (query, cand, sim) row surfaces through
     // several buckets; window-after-dropDuplicates and the set-heap must
