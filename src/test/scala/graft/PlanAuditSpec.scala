@@ -398,6 +398,34 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("APPENDED ANN index: multi-file buckets still scan exchange-free") {
+    // appendBucketed adds a second file set per bucket id; the scan must
+    // keep reporting the bucketed output partitioning (the whole point of
+    // the append path — an exchange here would mean maintenance degraded
+    // the serving layout to a plain table)
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    Similarity.persistAnnIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", coarse, books,
+      table = "graft_ann_idx_app_audit", buckets = 4)
+    Similarity.appendAnnIndex(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", coarse, books,
+      table = "graft_ann_idx_app_audit", buckets = 4)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scored = Similarity.scoreAgainstAnnIndex(
+        spark, "graft_ann_idx_app_audit", e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"appended index scan lost its bucketing:\n$plan")
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"append degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
   test("persisted semantic index: the probe joins exchange-free off the bucketed cell scan") {
     import org.apache.spark.sql.functions.col
     import graft.ext.{Dedup, Similarity}
