@@ -74,6 +74,14 @@ class QueryHygieneSpec extends SparkSpecBase {
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("statefulQueries names real stream_* queries (bench floor attribution can't drift)") {
+    val q = SparkEntry.queries.keySet
+    val stale = graft.queries.StreamQ.statefulQueries.filterNot(q)
+    assert(stale.isEmpty, s"statefulQueries entries no longer registered: ${stale.toSeq.sorted}")
+    assert(graft.queries.StreamQ.statefulQueries.forall(_.startsWith("stream_")),
+      "floor attribution applies only to stream_* entries")
+  }
+
   test("attribution splits conserve cents exactly for every credited purchase") {
     // the defining invariant of both multi-touch schemes: however the
     // credit is divided (equal shares / 40-20-40 with remainders), the
