@@ -69,8 +69,16 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     // optional regex filter for targeted local perf work (driver sets none)
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
+    // SORTED name order, not Map hash order: with a HashMap, ADDING one
+    // query reshuffles the execution order of every other — which changes
+    // each query's JIT warm-up neighbors and showed up as a reproducible
+    // +0.8 s on the profile-sensitive gram-walk kernel the round five
+    // queries were added (bench_history/README.md round-16 adjudication).
+    // Sorted order pays one final reshuffle now and is then stable: a new
+    // query inserts at one position instead of permuting the board.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter(_._1.matches(nameFilter))
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (_, fn) =>
+      ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -118,9 +126,9 @@ object Bench {
     // Two passes for everyone; >1 s queries get extra passes below.
     // Shuffle/spill come from the SAME pass the reported time comes from,
     // so the three numbers in each entry describe one coherent execution.
-    val timed = SparkEntry.queries.filter(_._1.matches(nameFilter))
-    val pass1 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
-    val pass2 = timed.map { case (name, fn) => name -> timeOne(name, fn) }
+    val timed = ordered // sorted name order — see the warmup note above
+    val pass1 = timed.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    val pass2 = timed.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     val twoPass = pass1.map { case (name, a) =>
       val b = pass2.getOrElse(name, Meas(-1.0, 0L, 0L))
       val best = if (b.sec >= 0 && (a.sec < 0 || b.sec < a.sec)) b else a
@@ -137,7 +145,7 @@ object Bench {
     val slow = twoPass.collect { case (n, m) if m.sec > 1.0 && !failed(n) => n }.toSet
     var acc = twoPass
     for (_ <- 0 until slowPasses) {
-      val p = timed.filter(kv => slow(kv._1)).map { case (name, fn) => name -> timeOne(name, fn) }
+      val p = timed.filter(kv => slow(kv._1)).map { case (name, fn) => name -> timeOne(name, fn) }.toMap
       acc = acc.map { case (name, cur) =>
         name -> (p.get(name) match {
           case Some(b) if b.sec >= 0 && (cur.sec < 0 || b.sec < cur.sec) => b
