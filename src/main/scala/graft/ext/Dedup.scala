@@ -449,9 +449,65 @@ object Dedup {
   ): DataFrame =
     bandedIds(incoming, idCol, textCol, n, k, bands)
       .select(col("band"), col("bh"), col("id").as("new_id"))
-      .join(s.table(table), Seq("band", "bh"))
+      .join(lshIndexLive(s, table), Seq("band", "bh"))
       .select(col("new_id"), col("corpus_id"))
       .distinct() // a pair collides in several bands; report it once
+
+  /** MAINTENANCE TIME — the delete/retract half of the
+    * [[appendLshIndex]] cycle: record retracted document ids in the
+    * index's tombstone table; every [[probeLshIndex]] anti-joins them out
+    * (broadcast — the bucketed corpus scan keeps its exchange-free
+    * layout). Mirrors [[graft.ext.Similarity.deleteFromAnnIndex]], and
+    * like it descends from the reference's J4 anti-join retraction
+    * (chicago/permit_cleaning.py:838-883): the contract is
+    * delete-then-probe ≡ rebuild-without-deleted-then-probe, which the
+    * driver's dedup_index_delete oracle checks hash-exactly. Fold the
+    * tombstones into the files with [[compactLshIndex]].
+    */
+  def deleteFromLshIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      ids: DataFrame,
+      idCol: Column
+  ): Unit = {
+    graft.sources.Sources.dropStaleLocation(s, graft.ext.Similarity.tombTable(table))
+    ids
+      .select(idCol.cast("long").as("corpus_id"))
+      .distinct()
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(graft.ext.Similarity.tombTable(table))
+  }
+
+  /** The live rows of a persisted LSH index: the bucketed scan minus its
+    * tombstones (broadcast anti-join; bare scan when none exist, so the
+    * pre-delete plans are unchanged).
+    */
+  private def lshIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    val idx = s.table(table)
+    if (s.catalog.tableExists(tomb))
+      idx.join(broadcast(s.table(tomb)), Seq("corpus_id"), "left_anti")
+    else idx
+  }
+
+  /** MAINTENANCE — bucket-preserving compaction of a [[persistLshIndex]]
+    * table: folds accumulated tombstones into the files and merges each
+    * (band, bh) bucket's append file-sets back to one file per bucket,
+    * keeping the bucket hashing (probes stay exchange-free — layout, not
+    * meaning; probe results are hash-identical before/after).
+    */
+  def compactLshIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int
+  ): Unit = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    graft.sources.Sources.compactBucketed(
+      s, table, buckets, Seq("band", "bh"), lshIndexLive(s, table))
+    s.sql(s"DROP TABLE IF EXISTS $tomb")
+  }
 
   /** One (id, band, bh) row per document per band — the LSH bucket keys the
     * pair self-join runs on.
@@ -684,6 +740,39 @@ object Dedup {
       )
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  /** QUALITY-AWARE survivor election: one row per cluster, keeping the
+    * member with the HIGHEST score (ties → smallest id) — the RefinedWeb
+    * convention (keep the best document of a duplicate cluster, not the
+    * arbitrary minimum id the CC label happens to pin). Compose with
+    * [[connectedComponentsKeyed]] for the labels and any scoring column
+    * ([[TextStats.qualityScore]], length, recency) for the election.
+    *
+    * Scale shape: ONE hash aggregate — the election is
+    * `max(struct(score, −id))` (struct ordering = score DESC, then id
+    * ASC via the negation), so partials combine map-side and the shuffle
+    * carries one ≤(score, id, cluster) row per cluster per partition —
+    * never the window formulation's full-cluster sort.
+    *
+    * @param labeled one row per doc with the cluster and score columns
+    *                already attached (unclustered docs are their own
+    *                cluster — coalesce the label upstream)
+    * @return (cluster_id, doc_id, `scoreName`) — the elected survivor
+    */
+  def survivorsBy(
+      labeled: DataFrame,
+      clusterCol: Column,
+      idCol: Column,
+      scoreCol: Column,
+      scoreName: String = "score"
+  ): DataFrame =
+    labeled
+      .groupBy(clusterCol.as("cluster_id"))
+      .agg(max(struct(scoreCol.as("s"), (-idCol).as("nid"))).as("w"))
+      .select(
+        (-col("w.nid")).as("doc_id"),
+        col("cluster_id"),
+        col("w.s").as(scoreName))
 
   /** Release a localCheckpoint'ed frame's persisted blocks. The blocks are
     * RDD-level persists (not CacheManager entries), so `Dataset.unpersist`

@@ -470,6 +470,82 @@ object Similarity {
     graft.sources.Sources.appendBucketed(
       ivfPqIndexFrame(incoming, idCol, vecCol, coarse, books), table, buckets, "cell")
 
+  /** The tombstone companion table of a persisted index — one `cand_id`
+    * per retracted vector, model/metadata-sized (takedown scale, never
+    * corpus scale).
+    */
+  private[graft] def tombTable(table: String): String = table + "_tomb"
+
+  /** MAINTENANCE — the delete/retract half of the [[appendAnnIndex]]
+    * cycle: record the retracted ids in the index's tombstone table, and
+    * every probe anti-joins them out before ranking. The index files are
+    * untouched (no bucket rewrite on the takedown path); the tombstone
+    * side rides a BROADCAST anti-join, so the index scan keeps its
+    * bucketed, exchange-free layout. The correctness contract mirrors the
+    * append contract: delete-then-probe must equal
+    * rebuild-without-deleted-then-probe exactly (the driver's
+    * ann_index_delete oracle checks precisely that). Accumulated
+    * tombstones are folded into the files by [[compactAnnIndex]].
+    *
+    * This is the engine twin of the reference's signature retraction
+    * join — the J4 anti-dedupe that removes already-uploaded rows from a
+    * new batch (chicago/permit_cleaning.py:838-883) — applied to the
+    * serving index instead of the upload frame.
+    *
+    * Deleting an id also makes a LATER re-append of that id visible
+    * again only after the tombstone is compacted away — callers that
+    * re-ingest retracted ids must compact between the delete and the
+    * re-append (delete is "remove this id's CURRENT rows", and the
+    * anti-join cannot date-partition rows it never sees).
+    */
+  def deleteFromAnnIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      ids: DataFrame,
+      idCol: String
+  ): Unit = {
+    graft.sources.Sources.dropStaleLocation(s, tombTable(table))
+    ids
+      .select(col(idCol).cast("long").as("cand_id"))
+      .distinct()
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(tombTable(table))
+  }
+
+  /** The live rows of a persisted ANN index: the bucketed scan minus its
+    * tombstones (broadcast anti-join — the index side's bucketed output
+    * partitioning survives, PlanAuditSpec-asserted). No tombstone table ⇒
+    * the bare scan, byte-identical plan to the pre-delete era.
+    */
+  private def annIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val idx = s.table(table)
+    if (s.catalog.tableExists(tombTable(table)))
+      idx.join(broadcast(s.table(tombTable(table))), Seq("cand_id"), "left_anti")
+    else idx
+  }
+
+  /** MAINTENANCE — fold the tombstones into the files and merge each
+    * bucket's accumulated append file-sets back to one file per bucket,
+    * WITHOUT changing the bucket hashing (the exchange-free probe
+    * property survives — asserted in PlanAuditSpec). Needed after enough
+    * [[appendAnnIndex]]/[[deleteFromAnnIndex]] cycles: each append adds
+    * `buckets` more files (listing + open cost grows per cycle) and each
+    * delete grows the anti-join's broadcast. Probe results are
+    * hash-identical before/after — compaction is layout, not meaning.
+    */
+  def compactAnnIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int
+  ): Unit = {
+    val tomb = tombTable(table)
+    graft.sources.Sources.compactBucketed(s, table, buckets, Seq("cell"), annIndexLive(s, table))
+    // the rewrite materialized the anti-join — retire the applied tombstones
+    s.sql(s"DROP TABLE IF EXISTS $tomb")
+  }
+
   /** STALENESS SIGNAL — the PQ quantization error of an ALREADY-quantized
     * vector under fitted codebooks: Σ over subspaces of the minimum exact
     * integer squared-L2 distance from the slice to its codebook (the
@@ -540,8 +616,10 @@ object Similarity {
       )
       .select(col("query_id"), col("cell"), col("tbl"))
     // no dedupe: one cell per stored row × distinct probed cells ⇒ each
-    // (query_id, cand_id) pair is unique off the cell join (see ivfTopK)
-    val scored = s.table(table)
+    // (query_id, cand_id) pair is unique off the cell join (see ivfTopK);
+    // tombstoned ids ([[deleteFromAnnIndex]]) anti-join out BEFORE the
+    // cell join — broadcast, so the index side stays exchange-free
+    val scored = annIndexLive(s, table)
       .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adc", adcSum(col("tbl"), col("codes")))

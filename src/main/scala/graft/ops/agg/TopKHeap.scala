@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions.udaf
   *
   * The k bound rides instance state (one instance per query plan) —
   * the model-parameter-in-the-plan discipline, like the Bloom mask.
+  *
+  * SET semantics, same contract as [[TopKHeapSim]]: an element EXACTLY
+  * equal to one already held (same value, same id) is skipped. The ADC
+  * rankers feed this heap off a persisted-index join — a candidate row
+  * stored twice (an at-least-once `foreachBatch` retry re-appending a
+  * batch, an overlapping append) carries the same codes, hence the same
+  * integer distance, hence a bit-identical (value, id) pair; without the
+  * skip it would occupy two of the k slots and silently corrupt top-k vs
+  * the dedupe+window oracle. Same correctness argument as TopKHeapSim:
+  * the weakest-held entry only strengthens, so a duplicate of anything
+  * evicted/never-admitted fails the ordinary admission compare, and a
+  * duplicate of a held entry hits the equality check; distinct
+  * candidates always differ in id, so no real pair is conflated.
   */
 final class TopKHeap(k: Int) extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
   require(k > 0, "k must be positive")
@@ -32,11 +45,20 @@ final class TopKHeap(k: Int) extends Aggregator[(Long, Long), List[(Long, Long)]
   private def admit(buf: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] =
     if (buf.lengthCompare(k) < 0) insert(buf, e)
     else if (implicitly[Ordering[(Long, Long)]].lteq(e, buf.head)) buf
-    else insert(buf.tail, e)
+    else {
+      // insert returns its argument UNCHANGED (same reference) when e is
+      // an exact duplicate of a held entry — then the weakest must NOT
+      // be evicted, the duplicate displaced nothing
+      val ins = insert(buf.tail, e)
+      if (ins eq buf.tail) buf else ins
+    }
 
   private def insert(buf: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
     val (lo, hi) = buf.span(implicitly[Ordering[(Long, Long)]].lt(_, e))
-    lo ::: e :: hi
+    // set semantics: an exact duplicate is the same candidate seen again
+    // (a twice-stored index row) — hold it once
+    if (hi.nonEmpty && hi.head == e) buf
+    else lo ::: e :: hi
   }
 
   override def reduce(buf: List[(Long, Long)], in: (Long, Long)): List[(Long, Long)] =

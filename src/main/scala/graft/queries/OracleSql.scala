@@ -451,11 +451,18 @@ private[queries] object OracleSql {
     * (`stream_incremental_parity`) — the parity claim IS one oracle.
     */
   private[queries] lazy val incrementalProbeSql: String =
-    gramsCte + sigBandedCte + """
+    incrementalProbeSqlFor("a.doc_id % 5 = 0", "b.doc_id % 5 <> 0")
+
+  /** The probe chain with explicit batch/corpus membership predicates —
+    * the delete twin (`dedup_index_delete`) narrows the corpus side to
+    * rebuild-WITHOUT-deleted, exactly mirroring the tombstone anti-join.
+    */
+  private[queries] def incrementalProbeSqlFor(newPred: String, corpusPred: String): String =
+    gramsCte + sigBandedCte + s"""
         , cands AS (
           SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh
-          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          WHERE ($newPred) AND ($corpusPred)
         )
         SELECT new_id, corpus_id,
           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
@@ -465,6 +472,16 @@ private[queries] object OracleSql {
         JOIN g gb ON gb.doc_id = corpus_id
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""
+
+  /** dedup_index_delete twin: the incremental probe against the corpus
+    * index REBUILT WITHOUT the retracted md5 stratum — tombstone-then-
+    * probe ≡ rebuild-without-deleted-then-probe (Dedup.deleteFromLshIndex,
+    * the serving-index form of the reference's J4 anti-join retraction).
+    */
+  private[queries] lazy val dedupIndexDeleteSql: String =
+    incrementalProbeSqlFor(
+      "a.doc_id % 5 = 0",
+      s"b.doc_id % 5 <> 0 AND NOT (${md5GateSql("b.doc_id", 7)})")
 
   /** The batch LSH candidate-pair derivation — shared verbatim by the
     * batch query's oracle and the streaming-parity oracle (the parity claim
@@ -845,17 +862,24 @@ private[queries] object OracleSql {
     * are identical to the inline composition (layout is execution, not
     * meaning), so the oracle differs only in predicate and k.
     */
-  private[queries] def annIndexScoredSqlFor(queryPred: String, k: Int): String = {
+  private[queries] def annIndexScoredSqlFor(
+      queryPred: String,
+      k: Int,
+      candExclude: String = ""
+  ): String = {
     val nsub = 4
     val sb = new StringBuilder
     sb ++= qzCte
     sb ++= "\n        "
     sb ++= ivfKmeansCtes(queryPred, 2)
-    sb ++= """
+    // candExclude models a RETRACTION (ann_index_delete/compact): the
+    // rebuild-without-deleted corpus is the index scan minus the gated ids
+    val excl = if (candExclude.isEmpty) "" else s"\n          AND NOT ($candExclude)"
+    sb ++= s"""
       , cand AS (
         SELECT DISTINCT p.query_id, a.vec_id AS cand_id
         FROM qprobe p JOIN assign a ON a.cell = p.cell
-        WHERE a.vec_id <> p.query_id
+        WHERE a.vec_id <> p.query_id$excl
       )"""
     sb ++= pqSubspaceCtesSql(nsub, 4, 16)
     sb ++= s"""
@@ -883,6 +907,25 @@ private[queries] object OracleSql {
     */
   private[queries] lazy val annIndexAppendSql: String =
     annIndexScoredSqlFor("vec_id >= 50 AND vec_id < 80", 3)
+
+  /** ann_index_delete twin: the REBUILD-WITHOUT-DELETED index — the scored
+    * oracle with the retracted md5 stratum excluded from the candidate
+    * side (queries may still be retracted docs; only the INDEX forgets
+    * them). Hash equality IS the delete contract: tombstone-then-probe ≡
+    * rebuild-without-deleted-then-probe (Similarity.deleteFromAnnIndex).
+    */
+  private[queries] lazy val annIndexDeleteSql: String =
+    annIndexScoredSqlFor(
+      "vec_id >= 100 AND vec_id < 140", 3, candExclude = md5GateSql("a.vec_id", 5))
+
+  /** ann_index_compact twin: identical CONTENT contract as the delete
+    * twin under a different probe stratum — compaction (fold tombstones,
+    * merge each bucket's append file-sets to one file) is layout, not
+    * meaning, so the oracle is again rebuild-without-deleted.
+    */
+  private[queries] lazy val annIndexCompactSql: String =
+    annIndexScoredSqlFor(
+      "vec_id >= 140 AND vec_id < 180", 3, candExclude = md5GateSql("a.vec_id", 5))
 
   /** ann_index_staleness twin: per-population mean PQ quantization error
     * under the 1-iteration-trained codebooks (pqSubspaceCtesSql's c1_j) —

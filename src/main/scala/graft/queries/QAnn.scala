@@ -254,6 +254,62 @@ private[queries] object QAnn {
           "mean_qerr",
           floor(col("sum_qerr").cast("double") / col("n_vecs").cast("double") + 0.5).cast("long"))
     },
+    // index RETRACTION — the delete half of the maintenance cycle the
+    // append query opened: build the index over the FULL corpus, tombstone
+    // an md5-gated stratum (Similarity.deleteFromAnnIndex — the J4
+    // anti-join retraction applied to the serving index), then probe. The
+    // oracle is the rebuild WITHOUT the deleted ids: under tombstone
+    // semantics, delete-then-probe must hash-equal
+    // rebuild-without-deleted-then-probe. Probe stays exchange-free on
+    // the index side (the tombstones ride a broadcast anti-join —
+    // PlanAuditSpec)
+    "ann_index_delete" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val tbl = Scratch.table("ann_idx_del")
+      Scratch.registerTable(Similarity.tombTable(tbl))
+      Scratch.tableOnce(tbl, dir) {
+        Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+        Similarity.deleteFromAnnIndex(
+          s, tbl,
+          e.filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0),
+          "vec_id")
+      }
+      Similarity.scoreAgainstAnnIndex(
+        s, tbl, e.filter(col("vec_id") >= 100 && col("vec_id") < 140), "vec_id", "embedding",
+        coarse, books, nprobe = 2, k = 3)
+    },
+    // index COMPACTION — the full maintenance lifecycle: build one era,
+    // append the next (multi-file buckets), tombstone a stratum, then
+    // compactAnnIndex folds the tombstones into the files and merges each
+    // bucket back to ONE file WITHOUT changing the bucket hashing. The
+    // oracle is again rebuild-without-deleted: compaction is layout, not
+    // meaning (and the file-count drop + preserved exchange-free probe are
+    // asserted in PlanAuditSpec/SimilaritySpec)
+    "ann_index_compact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val tbl = Scratch.table("ann_idx_cmp")
+      Scratch.registerTable(Similarity.tombTable(tbl))
+      Scratch.registerTable(tbl + "__compact_stage")
+      Scratch.tableOnce(tbl, dir) {
+        val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+        Similarity.persistAnnIndex(
+          e.filter(g =!= 0), "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+        Similarity.appendAnnIndex(
+          e.filter(g === 0), "vec_id", "embedding", coarse, books, tbl, buckets = 8)
+        Similarity.deleteFromAnnIndex(
+          s, tbl,
+          e.filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0),
+          "vec_id")
+        Similarity.compactAnnIndex(s, tbl, buckets = 8)
+      }
+      Similarity.scoreAgainstAnnIndex(
+        s, tbl, e.filter(col("vec_id") >= 140 && col("vec_id") < 180), "vec_id", "embedding",
+        coarse, books, nprobe = 2, k = 3)
+    },
     // recall@k as a DRIVER-CHECKED number, not just a spec-side assertion:
     // the three approximate serving paths (4-table multiprobe SRP-LSH,
     // sample-centroid IVF 16/4, 4x4 PQ/ADC) audited against brute-force
@@ -646,6 +702,8 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "ann_ivfpq_topk" -> ivfPqSql,
     "ann_index_scored" -> annIndexScoredSql,
     "ann_index_append" -> annIndexAppendSql,
+    "ann_index_delete" -> annIndexDeleteSql,
+    "ann_index_compact" -> annIndexCompactSql,
     "ann_index_staleness" -> annIndexStalenessSql,
     "ann_recall_audit" -> recallAuditSql,
     "emb_covariance" -> embCovarianceSql,

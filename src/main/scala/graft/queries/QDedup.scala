@@ -144,6 +144,41 @@ private[queries] object QDedup {
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
     },
+    // index RETRACTION — the delete half of the LSH maintenance cycle:
+    // persist the corpus index, tombstone an md5-gated stratum
+    // (Dedup.deleteFromLshIndex — takedowns/re-crawls retracting docs),
+    // then run the same probe + exact-Jaccard verify chain. Oracle =
+    // rebuild WITHOUT the deleted ids: tombstone-then-probe must
+    // hash-equal rebuild-without-deleted-then-probe. The tombstones ride
+    // a broadcast anti-join, so the bucketed corpus scan stays
+    // exchange-free (PlanAuditSpec)
+    "dedup_index_delete" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val idxTable = Scratch.table("lsh_idx_del")
+      Scratch.registerTable(graft.ext.Similarity.tombTable(idxTable))
+      Scratch.tableOnce(idxTable, dir) {
+        Dedup.persistLshIndex(
+          corpus, col("doc_id"), col("text"), table = idxTable, buckets = 8,
+          n = 3, k = 8, bands = 4)
+        Dedup.deleteFromLshIndex(
+          s, idxTable,
+          docs.filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 7L) === 0),
+          col("doc_id"))
+      }
+      val cands = Dedup.probeLshIndex(
+        s, idxTable, incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+    },
     // cluster resolution: LSH candidates -> connected components -> one,
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
@@ -169,6 +204,24 @@ private[queries] object QDedup {
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+    },
+    // QUALITY-AWARE survivor election (the RefinedWeb convention): per
+    // near-dup cluster keep argmax(TextStats.qualityScore, tie → min id) —
+    // composing the CC labels with the text-quality signal instead of the
+    // quality-blind min-id/max-length elections above. ONE hash aggregate
+    // (max over (score, −id) structs — partials combine map-side, no
+    // full-cluster window sort); oracle replays quality scoring AND the,
+    // election over the same recursive cluster chain
+    "dedup_survivors_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clusters = Dedup.connectedComponentsKeyed(
+        Dedup.minhashLshPairs(tPar(s, dir, "documents"), col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+        contentKey = s"documents|$dir|mh3-8-4", spark = s)
+      val labeled = docs
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+      Dedup.survivorsBy(labeled, col("cluster_id"), col("doc_id"), col("quality"), "quality")
     },
     // corpus vocabulary: top-50 tokens by exact count (tie-broken by token
     // so the LIMIT boundary is deterministic in any engine)
@@ -452,6 +505,7 @@ private[queries] object QDedup {
     // the persisted-bucketed probe is an EXECUTION-layout variant: the,
     // pair set is defined identically, so the oracle is shared verbatim
     "dedup_incremental_bucketed" -> incrementalProbeSql,
+    "dedup_index_delete" -> dedupIndexDeleteSql,
     "dedup_clusters" ->
       (clusterChainSql + """
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),
@@ -464,6 +518,35 @@ private[queries] object QDedup {
         SELECT doc_id, cluster_id, n_chars FROM (
           SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
           FROM lab)
+        WHERE rk = 1"""),
+    // the quality election replays text_quality's scoring formula verbatim
+    // (padded-lowered occ counts, the 0.4/0.4/0.2 weights, 4dp round) and
+    // elects per cluster by (quality DESC, doc_id ASC)
+    "dedup_survivors_quality" ->
+      (clusterChainSql + s"""
+        , cl AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id)
+        , qbase AS (
+          SELECT doc_id,
+            concat(' ', lower(coalesce(text, '')), ' ') AS p,
+            CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+            CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+            CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+          FROM documents
+        ), qual AS (
+          SELECT doc_id,
+            round(
+              CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1.0 ELSE 0.0 END * 0.4
+              + least((CASE WHEN n_tokens > 0 THEN CAST((${TextStats.StopwordLexicons.flatMap(_._2).map(occSql).mkString(" + ")}) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 2.0, 1.0) * 0.4
+              + CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END,
+              4) AS quality
+          FROM qbase
+        ), qlab AS (
+          SELECT q.doc_id, q.quality, coalesce(cl.canonical_id, q.doc_id) AS cluster_id
+          FROM qual q LEFT JOIN cl USING (doc_id))
+        SELECT doc_id, cluster_id, quality FROM (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rk
+          FROM qlab)
         WHERE rk = 1"""),
     "ngram_jaccard" ->
       (gramsCte + """

@@ -80,6 +80,16 @@ object Scratch {
     t
   }
 
+  /** Register an out-of-band COMPANION table's warehouse directory for
+    * exit-time deletion: tombstone (`<idx>_tomb`) and compaction-stage
+    * (`<idx>__compact_stage`) tables derive their names from the index
+    * table's, so [[table]] never mints them — the query that triggers
+    * their creation registers them here.
+    */
+  def registerTable(name: String): Unit = {
+    created.add(new java.io.File("spark-warehouse", name).getAbsolutePath): Unit
+  }
+
   /** Pid-scoped tag for [[graft.ops.BucketOps.bucketedEquiJoin]], which
     * derives its two table names as `graft_bkt_<tag>_l/_r` — both
     * warehouse directories registered for exit-time deletion.

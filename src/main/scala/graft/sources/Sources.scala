@@ -130,6 +130,83 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Delete a table's DEFAULT warehouse location when the catalog does
+    * not know the table — the leftover-directory case [[writeBucketed]]
+    * handles inline, factored out for every derived-table writer
+    * (tombstone tables, compaction stages): an in-memory catalog cannot
+    * adopt a previous JVM's files, and `saveAsTable` would either refuse
+    * the stale dir or silently adopt its rows as data. A catalog that
+    * DOES know the table is left alone — then the files are the table.
+    */
+  private[graft] def dropStaleLocation(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+
+  /** BUCKET-PRESERVING compaction of a [[writeBucketed]] table: rewrite
+    * the accumulated per-append file sets back to AT MOST ONE FILE PER
+    * BUCKET without changing the bucket hashing — every downstream
+    * bucket-key join stays exchange-free on the index side, but the
+    * listing/open cost stops growing with maintenance cycles (N appends ⇒
+    * N files per bucket; [[graft.ops.LayoutOps.compact]] would merge the
+    * files but DESTROY the bucket layout — this keeps both).
+    *
+    * `content` is the frame to survive the rewrite — normally
+    * `s.table(table)`, or the tombstone-filtered live view when
+    * compaction also folds in deletes. It necessarily READS the table
+    * being overwritten, so the rewrite stages through a scratch catalog
+    * table first (plain parquet), then rewrites the target from the
+    * stage. Two sequential full copies is compaction's inherent cost —
+    * never done per query, only per maintenance epoch.
+    *
+    * One file per bucket: the stage scan is `repartition(buckets, keys)`
+    * — Spark's bucket id IS `pmod(murmur3(keys), buckets)`, the same
+    * function hash-repartitioning applies, so each write task holds
+    * exactly one bucket's rows and emits exactly one file (an empty
+    * bucket emits none). The explicit numPartitions keeps AQE from
+    * coalescing the alignment away.
+    */
+  def compactBucketed(
+      s: SparkSession,
+      table: String,
+      buckets: Int,
+      keys: Seq[String],
+      content: DataFrame
+  ): Unit = {
+    require(keys.nonEmpty, "compactBucketed needs at least one bucket key")
+    require(
+      table.matches("[A-Za-z0-9_]+"),
+      s"compactBucketed requires a plain unqualified table name, got '$table'"
+    )
+    val stage = table + "__compact_stage"
+    s.sql(s"DROP TABLE IF EXISTS `$stage`")
+    dropStaleLocation(s, stage) // a crashed prior JVM's leftover stage dir
+    content.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    import org.apache.spark.sql.functions.col
+    val realigned = s.table(stage).repartition(buckets, keys.map(col): _*)
+    writeBucketed(realigned, table, buckets, keys.head, keys.tail: _*)
+    s.sql(s"DROP TABLE IF EXISTS `$stage`")
+  }
+
+  /** File count of a catalog table's storage directory — the compaction
+    * observability hook ([[compactBucketed]]'s "done" signal): data files
+    * only, markers/_SUCCESS excluded.
+    */
+  def tableFileCount(s: SparkSession, table: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else
+      fs.listStatus(path)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+  }
+
   /** S9 (packaging half): zip a sink output directory into ONE archive —
     * the engine twin of the reference's `zip -r` CI step
     * (.github/workflows/extract-chicago-permits.yaml:86-96).

@@ -146,10 +146,12 @@ class PlanAuditSpec extends SparkSpecBase {
       // crosswalk/pin-map lookup + parcel-universe membership
       "pipeline/PermitPipeline.scala" -> 2,
       "pipeline/LegacyPipeline.scala" -> 2,
-      // query vectors / probed centroid ids / candidate id lists (top-k state)
-      "ext/Similarity.scala" -> 9,
-      // common-lines boilerplate set (doc-freq capped), rare-gram hi side
-      "ext/Dedup.scala" -> 2,
+      // query vectors / probed centroid ids / candidate id lists (top-k
+      // state) + the ANN-index tombstone anti-join (takedown-scale id set)
+      "ext/Similarity.scala" -> 10,
+      // common-lines boilerplate set (doc-freq capped), rare-gram hi side,
+      // LSH-index tombstone anti-join (takedown-scale id set)
+      "ext/Dedup.scala" -> 3,
       // corpus-level BM25 stats (one row)
       "ext/Ranking.scala" -> 1,
       // NB model state (capped vocab, vocabK×|classes| likelihoods, priors)
@@ -423,6 +425,89 @@ class PlanAuditSpec extends SparkSpecBase {
       val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
       assert(cellExchanges == 1,
         s"append degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
+  test("TOMBSTONED ANN index: the delete anti-join broadcasts; the index side stays exchange-free") {
+    // deleteFromAnnIndex must not cost the index its layout: the tombstone
+    // set rides a BroadcastHashJoin LeftAnti (takedown-scale ids), which
+    // PRESERVES the streamed side's bucketed output partitioning — so the
+    // probe still plans exactly one (query-side) cell exchange
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    Similarity.persistAnnIndex(
+      e, "vec_id", "embedding", coarse, books, table = "graft_ann_idx_del_audit", buckets = 4)
+    Similarity.deleteFromAnnIndex(
+      spark, "graft_ann_idx_del_audit", e.filter(col("vec_id") % 3 === 0), "vec_id")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scored = Similarity.scoreAgainstAnnIndex(
+        spark, "graft_ann_idx_del_audit", e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"tombstoned index scan lost its bucketing:\n$plan")
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,
+        s"tombstones must anti-join via broadcast:\n$plan")
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"delete degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
+  test("COMPACTED ANN index: one file per bucket and the probe still plans exchange-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    Similarity.persistAnnIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", coarse, books,
+      table = "graft_ann_idx_cmp_audit", buckets = 4)
+    Similarity.appendAnnIndex(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", coarse, books,
+      table = "graft_ann_idx_cmp_audit", buckets = 4)
+    Similarity.deleteFromAnnIndex(
+      spark, "graft_ann_idx_cmp_audit", e.filter(col("vec_id") % 3 === 0), "vec_id")
+    Similarity.compactAnnIndex(spark, "graft_ann_idx_cmp_audit", buckets = 4)
+    // layout healed: at most one file per bucket (empty buckets write none)
+    val files = graft.sources.Sources.tableFileCount(spark, "graft_ann_idx_cmp_audit")
+    assert(files <= 4, s"compaction must leave at most one file per bucket, got $files")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scored = Similarity.scoreAgainstAnnIndex(
+        spark, "graft_ann_idx_cmp_audit", e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"compacted index scan lost its bucketing:\n$plan")
+      // tombstones were folded in and retired — no anti-join remains
+      assert(!plan.contains("LeftAnti"), s"compacted probe still anti-joins:\n$plan")
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"compaction degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
+  test("TOMBSTONED LSH index: the delete anti-join broadcasts; the corpus side stays exchange-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.persistLshIndex(
+      corpus, col("doc_id"), col("text"), table = "graft_lsh_idx_del_audit", buckets = 8)
+    Dedup.deleteFromLshIndex(
+      spark, "graft_lsh_idx_del_audit", docs.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = Dedup.probeLshIndex(
+        spark, "graft_lsh_idx_del_audit", incoming, col("doc_id"), col("text"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"tombstoned index scan lost its bucketing:\n$plan")
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,
+        s"tombstones must anti-join via broadcast:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"delete degraded the layout: expected 1 batch-side exchange, got $bandExchanges:\n$plan")
     }
   }
 

@@ -522,4 +522,70 @@ class DedupSpec extends SparkSpecBase {
     // A ⊂ B at full strength; NO other ordered pair reaches 90%
     assert(out == Map((1L, 2L) -> 1000000L), s"got $out")
   }
+
+  test("deleteFromLshIndex: tombstone-then-probe equals rebuild-without-deleted-then-probe") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rebuilt = s"lshspec_nodel_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"), rebuilt, buckets = 4)
+    val tombed = s"lshspec_tomb_${System.nanoTime()}"
+    Dedup.persistLshIndex(corpus, col("doc_id"), col("text"), tombed, buckets = 4)
+    val before = probe(tombed)
+    Dedup.deleteFromLshIndex(
+      spark, tombed, all.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    val after = probe(tombed)
+    assert(after == probe(rebuilt),
+      "tombstone-then-probe must equal rebuild-without-deleted-then-probe")
+    // observable retraction: the %3 stratum must actually lose matches
+    assert(before.exists(_._2 % 3 == 0), s"fixture too weak — no deleted id matched before")
+    assert(!after.exists(_._2 % 3 == 0), s"deleted corpus ids still matched: $after")
+  }
+
+  test("compactLshIndex folds tombstones, merges bucket files, probe unchanged") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val tbl = s"lshspec_cmp_${System.nanoTime()}"
+    // repartition(3): each era writes from 3 tasks — deterministic
+    // multi-file buckets for compaction to heal
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 2 === 0).repartition(3), col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.appendLshIndex(
+      corpus.filter(col("doc_id") % 2 === 1).repartition(3), col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.deleteFromLshIndex(spark, tbl, all.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    val preFiles = graft.sources.Sources.tableFileCount(spark, tbl)
+    assert(preFiles > 4, s"persist+append must leave multi-file buckets, got $preFiles")
+    val pre = probe(tbl)
+    Dedup.compactLshIndex(spark, tbl, buckets = 4)
+    assert(probe(tbl) == pre, "compaction changed probe results")
+    val postFiles = graft.sources.Sources.tableFileCount(spark, tbl)
+    assert(postFiles <= 4, s"compaction must leave at most one file per bucket, got $postFiles")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)),
+      "applied tombstones must be retired by compaction")
+  }
+
+  test("survivorsBy elects max-quality (tie min id) — diverging from the min-id winner") {
+    // cluster {1,2,4}: doc 2 has strictly higher score than the min-id
+    // member, so the quality election and the min-id election DISAGREE;
+    // singleton 3 survives as its own cluster; exact tie {5,6} breaks to
+    // the smaller id
+    val labeled = Seq(
+      (1L, 1L, 0.40), (2L, 1L, 0.90), (4L, 1L, 0.40),
+      (3L, 3L, 0.10),
+      (5L, 5L, 0.70), (6L, 5L, 0.70)
+    ).toDF("doc_id", "cluster_id", "quality")
+    val out = Dedup
+      .survivorsBy(labeled, col("cluster_id"), col("doc_id"), col("quality"), "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(out == Seq((2L, 1L, 0.90), (3L, 3L, 0.10), (5L, 5L, 0.70)), s"got $out")
+    assert(out.head._1 != 1L, "quality election must not degenerate to the min-id winner")
+  }
 }

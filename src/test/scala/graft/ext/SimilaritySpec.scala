@@ -457,6 +457,65 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(grown).exists(_._2 % 2 == 1), s"no appended row surfaced: ${rows(grown)}")
   }
 
+  test("deleteFromAnnIndex: delete-then-probe equals rebuild-without-deleted-then-probe") {
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    def probe(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    // rebuild-without-deleted: the ground truth the tombstone path must hit
+    val rebuilt = s"annspec_nodel_${System.nanoTime()}"
+    Similarity.persistAnnIndex(
+      e.filter($"vec_id" % 3 =!= 0), "vec_id", "embedding", coarse, books, rebuilt, buckets = 4)
+    // full index + tombstoned stratum
+    val tombed = s"annspec_tomb_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tombed, buckets = 4)
+    val before = probe(tombed)
+    Similarity.deleteFromAnnIndex(spark, tombed, e.filter($"vec_id" % 3 === 0), "vec_id")
+    val after = probe(tombed)
+    assert(after == probe(rebuilt),
+      "tombstone-then-probe must equal rebuild-without-deleted-then-probe")
+    // the retraction must be OBSERVABLE: a deleted id that ranked before
+    // may not rank after (the %3 stratum includes former candidates)
+    assert(before.exists(_._2 % 3 == 0), s"fixture too weak — no deleted id ranked before: $before")
+    assert(!after.exists(_._2 % 3 == 0), s"deleted ids still served: $after")
+  }
+
+  test("compactAnnIndex: folds tombstones + merges buckets to one file, probe hash-identical") {
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    def probe(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    val tbl = s"annspec_cmp_${System.nanoTime()}"
+    // repartition(3): each era writes from 3 tasks, so a populated bucket
+    // holds up to 3 files per era — the multi-file accumulation compaction
+    // exists to heal, made deterministic at fixture scale
+    Similarity.persistAnnIndex(
+      e.filter($"vec_id" % 2 === 0).repartition(3), "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    Similarity.appendAnnIndex(
+      e.filter($"vec_id" % 2 === 1).repartition(3), "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    Similarity.deleteFromAnnIndex(spark, tbl, e.filter($"vec_id" % 3 === 0), "vec_id")
+    val preFiles = graft.sources.Sources.tableFileCount(spark, tbl)
+    assert(preFiles > 4, s"persist+append must leave multi-file buckets, got $preFiles")
+    val pre = probe(tbl)
+    Similarity.compactAnnIndex(spark, tbl, buckets = 4)
+    // layout, not meaning: same rows, ≤ one file per bucket, tombs retired
+    assert(probe(tbl) == pre, "compaction changed probe results")
+    val postFiles = graft.sources.Sources.tableFileCount(spark, tbl)
+    assert(postFiles <= 4, s"compaction must leave at most one file per bucket, got $postFiles")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)),
+      "applied tombstones must be retired by compaction")
+    assert(!spark.catalog.tableExists(tbl + "__compact_stage"), "stage table must be dropped")
+    // a LATER delete on the compacted table still works (fresh tomb table)
+    Similarity.deleteFromAnnIndex(spark, tbl, e.filter($"vec_id" % 5 === 0), "vec_id")
+    assert(!probe(tbl).exists(_._2 % 5 == 0), "post-compact delete must still retract")
+  }
+
   test("pqQuantError: zero on codebook seeds, grows under distribution shift") {
     val e = fixtureEmb
     // iters = 0: codebooks ARE the slices of the 4 lowest-id vectors, so

@@ -82,6 +82,21 @@ class TopKHeapSimSpec extends SparkSpecBase {
     }
   }
 
+  test("NON-identical duplicate scores for one id are DISTINCT entries — the call-site precondition") {
+    // the set-semantics contract ONLY dedupes bit-identical (sim, id)
+    // pairs: production duplicates are the same scored pair re-surfaced
+    // through another LSH bucket, so their sims are bit-equal by
+    // construction. A ranker that feeds the SAME candidate with two
+    // DIFFERENT scores violates that precondition — the heap then holds
+    // the id twice (documented in TopKHeapSim's scaladoc). This pin makes
+    // the behavior explicit so a future ranker can't assume the heap
+    // silently max-reduces per id.
+    val h = heap(3)
+    val out = h.finish(Seq((0.9, 10L), (0.8, 10L), (0.5, 11L)).foldLeft(h.zero)(h.reduce))
+    assert(out == Seq((0.9, 10L), (0.8, 10L), (0.5, 11L)),
+      s"non-identical duplicate must occupy two slots (precondition, not dedupe): $out")
+  }
+
   test("column form matches the window formulation on duplicated candidates") {
     // the LSH shape: the same (query, cand, sim) row surfaces through
     // several buckets; window-after-dropDuplicates and the set-heap must
