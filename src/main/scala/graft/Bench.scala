@@ -93,9 +93,14 @@ object Bench {
     val floorStateless = try floorMin(stateful = false) catch { case _: Throwable => -1.0 }
     val floorStateful = try floorMin(stateful = true) catch { case _: Throwable => -1.0 }
     var failed = Set.empty[String]
+    // statefulness OBSERVED off each stream run's executed plan
+    // (StreamHarness.stopRecording) — the floor attribution source; the
+    // hand-pinned StreamQ.statefulQueries set is only cross-checked
+    val observedStateful = scala.collection.mutable.Map.empty[String, Boolean]
     case class Meas(sec: Double, shuffle: Long, spill: Long)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
       drain()
+      if (name.startsWith("stream_")) graft.queries.StreamHarness.resetStateObservation()
       val s0 = shuffleBytes.sum()
       val p0 = spillBytes.sum()
       val t0 = System.nanoTime()
@@ -105,6 +110,8 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         drain()
+        if (name.startsWith("stream_") && graft.queries.StreamHarness.stateOpsSeen >= 0)
+          observedStateful(name) = graft.queries.StreamHarness.stateOpsSeen > 0
         Meas(sec, shuffleBytes.sum() - s0, spillBytes.sum() - p0)
       } catch {
         case e: Throwable =>
@@ -164,14 +171,28 @@ object Bench {
     def mb(v: Long) = f(v / 1048576.0)
     // stream_* entries additionally carry their APPLICABLE harness floor
     // (stateful machines pay the state-store floor, map-only/foreachBatch
-    // pipelines the stateless one — StreamQ.statefulQueries) and the
-    // floor-subtracted operator time, so a committed bench_history file
-    // reads as operator cost without a BenchDiff run. BenchDiff prefers
-    // these per-entry floors over the file-level fallback.
+    // pipelines the stateless one) and the floor-subtracted operator
+    // time, so a committed bench_history file reads as operator cost
+    // without a BenchDiff run. BenchDiff prefers these per-entry floors
+    // over the file-level fallback. Statefulness comes from the EXECUTED
+    // plan (state operators observed in the run's streaming progress),
+    // falling back to the pinned StreamQ.statefulQueries set only when no
+    // run completed; the pin is cross-checked below and a mismatch is
+    // reported in the JSON — a misclassified entry can no longer silently
+    // draw the wrong floor.
+    def isStateful(k: String): Boolean =
+      observedStateful.getOrElse(k, graft.queries.StreamQ.statefulQueries(k))
     def floorOf(k: String): Double =
       if (!k.startsWith("stream_")) -1.0
-      else if (graft.queries.StreamQ.statefulQueries(k)) floorStateful
+      else if (isStateful(k)) floorStateful
       else floorStateless
+    val misclassified = observedStateful.collect {
+      case (k, obs) if obs != graft.queries.StreamQ.statefulQueries(k) => k
+    }.toSeq.sorted
+    if (misclassified.nonEmpty)
+      System.err.println(
+        s"[bench] statefulQueries pin disagrees with the executed plans: " +
+          misclassified.mkString(", "))
     val qs = results.map { case (k, m) =>
       val fl = floorOf(k)
       val floorPart =
@@ -195,6 +216,7 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""shuffle_mb":${mb(totalShuffle)},"spill_mb":${mb(totalSpill)},"failed":${failed.size},""" +
         s""""host_loadavg1":${f(hostLoad1)},"host_jvms":$hostJvms,""" +
+        s""""floor_misclassified":${misclassified.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""harness_floor_sec":${f(floorStateless)},"harness_floor_stateful_sec":${f(floorStateful)}}"""
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir",""" +

@@ -102,12 +102,23 @@ object BenchDiff {
         s"stream harness floor subtracted for stream_* deltas: per-entry floor_sec where " +
           s"present, else file-level fallback before=${f(floorB)}s after=${f(floorA)}s " +
           "(fallback under-adjusts stateful entries)")
-    def adj(k: String, q: Q, fileFloor: Double) =
+    // per-entry floor with a SYMMETRIC fallback: when exactly one side
+    // lacks floor_sec (an r15-or-older file), borrow the OTHER side's —
+    // floors are host constants, not per-run, and the old asymmetric
+    // fallback (stateful after-side floor ~0.8 s vs stateless file-level
+    // ~0.3 s on the before side) biased stateful stream deltas down by
+    // the ~0.5 s floor gap, masking real regressions of that size.
+    def floorFor(own: Q, other: Q, ownFile: Double) =
+      if (own.floorSec >= 0) own.floorSec
+      else if (other.floorSec >= 0) other.floorSec
+      else ownFile
+    def adj(k: String, q: Q, other: Q, fileFloor: Double) =
       if (k.startsWith("stream_"))
-        math.max(0.0, q.sec - (if (q.floorSec >= 0) q.floorSec else fileFloor))
+        math.max(0.0, q.sec - floorFor(q, other, fileFloor))
       else q.sec
-    def band(k: String) = math.max(noiseAbs, noiseRel * adj(k, before(k), floorB))
-    val deltas = carried.map(k => (k, adj(k, after(k), floorA) - adj(k, before(k), floorB)))
+    def band(k: String) = math.max(noiseAbs, noiseRel * adj(k, before(k), after(k), floorB))
+    val deltas =
+      carried.map(k => (k, adj(k, after(k), before(k), floorA) - adj(k, before(k), after(k), floorB)))
     val (moved, noise) = deltas.partition { case (k, d) => math.abs(d) > band(k) }
     println(s"movements beyond the noise band |d| > max(${f(noiseAbs)}s, ${f(noiseRel * 100)}% of before): " +
       s"${moved.size} (top $topN shown); ${noise.size} carried deltas within band suppressed as noise")

@@ -143,6 +143,76 @@ object EmbAlgebra {
     Similarity.memoized(s"cov_${Similarity.modelKey(df, s"$vecCol|$dim")}")(
       covPpmMatrix(df, vecCol, dim))
 
+  /** FIT state in RAW-SUM form: the flat co-moment pyramid
+    * `[n, Σx_i (d), Σx_i·x_j (d(d+1)/2, row-major i ≤ j)]` over
+    * milli-quantized elements — the covariance SUFFICIENT STATISTIC,
+    * which (unlike the derived ppm matrix) is ADDITIVE across corpora:
+    * sums over a union are the elementwise sums of the parts. This is
+    * what makes the model REFRESHABLE under index maintenance: fold an
+    * appended batch's pyramid in with [[mergeCoMoments]] and re-derive
+    * components via [[covPpmFromSums]] — one aggregation pass over the
+    * BATCH, never a retrain over the union. Model-sized driver state:
+    * 1 + d + d(d+1)/2 longs (2145 for d = 64).
+    */
+  def coMomentFlat(df: DataFrame, vecCol: Column, dim: Int): Array[Long] = {
+    import graft.ops.agg.CoMomentPyramid
+    df.select(Similarity.quantize(vecCol).as("q"))
+      .agg(CoMomentPyramid.column(dim)(col("q")).as("m"))
+      .collect()(0)
+      .getSeq[Long](0)
+      .toArray
+  }
+
+  /** [[coMomentFlat]] through the fitted-model memo — repeated refresh
+    * cycles pay ONE aggregation pass per distinct (corpus, dim).
+    */
+  def coMomentFlatCached(df: DataFrame, vecCol: Column, dim: Int): Array[Long] =
+    Similarity.memoized(s"comom_${Similarity.modelKey(df, s"$vecCol|$dim")}")(
+      coMomentFlat(df, vecCol, dim))
+
+  /** MERGE two co-moment pyramids — exact elementwise long addition (the
+    * same merge the distributed aggregate runs), so
+    * `mergeCoMoments(fit(A), fit(B)) == fit(A ∪ B)` holds bit-for-bit
+    * and a refreshed model is INDISTINGUISHABLE from a full retrain.
+    */
+  def mergeCoMoments(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length, s"pyramid lengths differ: ${a.length} != ${b.length}")
+    Array.tabulate(a.length)(i => a(i) + b(i))
+  }
+
+  /** Derive the ppm covariance matrix from a raw-sum pyramid — the SAME
+    * `floor((n·Σxy − Σx·Σy) / n² + 0.5)` rule [[covariance]] computes
+    * relationally (exact integer products, then ONE correctly-rounded
+    * double division), so the derived matrix equals [[covPpmMatrix]] of
+    * the same corpus exactly (spec-pinned) and every downstream consumer
+    * ([[topComponent]], [[topComponents]], the reduced-dim IVF chain)
+    * serves refresh-fit and full-fit models identically.
+    */
+  def covPpmFromSums(flat: Array[Long], dim: Int): Array[Array[Long]] = {
+    require(
+      flat.length == 1 + dim + dim * (dim + 1) / 2,
+      s"pyramid length ${flat.length} != ${1 + dim + dim * (dim + 1) / 2} for dim $dim")
+    val n = BigInt(flat(0))
+    require(n > 0, "empty corpus — no covariance to derive")
+    val den = (n * n).doubleValue
+    val m = Array.ofDim[Long](dim, dim)
+    var p = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val num = n * BigInt(flat(p)) - BigInt(flat(1 + i)) * BigInt(flat(1 + j))
+        val c = math.floor(num.doubleValue / den + 0.5).toLong
+        m(i)(j) = c
+        m(j)(i) = c
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
   /** Top principal component by `rounds` fixed rounds of integer power
     * iteration over the ppm covariance. Deterministic and replayable in
     * any engine: v₀ = 10⁶·1⃗; each round s = C_q·v exactly in BigInt,

@@ -681,10 +681,18 @@ object Similarity {
     * the entry just requested). All fitted-model cachers route here.
     */
   private[ext] def memoized[T <: AnyRef](key: String)(compute: => T): T = {
-    val v = modelMemo.computeIfAbsent(key, { k =>
-      memoInsertOrder.add(k)
+    // enqueue only AFTER the mapping function SUCCEEDS: a compute that
+    // throws (failed training job) must not leave a queue entry with no
+    // map entry — repeated failures would grow the queue unboundedly and
+    // each stale key would burn an eviction-loop iteration later. The
+    // flag is safe under computeIfAbsent's per-key mutual exclusion (at
+    // most one caller runs the mapping function for a given key).
+    var ran = false
+    val v = modelMemo.computeIfAbsent(key, { _ =>
+      ran = true
       compute
     })
+    if (ran) memoInsertOrder.add(key)
     var guard = 0
     while (modelMemo.size > memoMaxEntries && guard < 4096) {
       val old = memoInsertOrder.poll()
@@ -697,6 +705,7 @@ object Similarity {
   }
 
   private[graft] def modelMemoEvictions: Long = memoEvictions.sum()
+  private[graft] def modelMemoQueueSize: Int = memoInsertOrder.size()
 
   /** OBSERVABILITY — census of the fitted-model memo: one (key,
     * valueClass, approxBytes) row per entry. Entries are bounded at

@@ -381,6 +381,37 @@ private[queries] object QAnn {
           col("score"),
           element_at(lams, col("pc0") + 1).as("lambda_ppm"))
     },
+    // INCREMENTAL model refresh — closing the loop ann_index_staleness
+    // opened: the covariance sufficient statistic (the raw co-moment
+    // pyramid) is ADDITIVE, so an appended batch folds into the memoized
+    // base-era sums with one aggregation pass over the BATCH (never a
+    // retrain over the union), and the components re-derive from the
+    // merged sums. The oracle is emb_pca_topm's fit-on-the-full-corpus
+    // twin VERBATIM: refresh(base, batch) must hash-equal fit(base ∪
+    // batch) — a refreshed model is indistinguishable from a full
+    // retrain (EmbAlgebra.mergeCoMoments)
+    "emb_pca_refresh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+      val sumsBase = EmbAlgebra.coMomentFlatCached(e.filter(g =!= 0), col("embedding"), dim = 64)
+      val sumsBatch = EmbAlgebra.coMomentFlatCached(e.filter(g === 0), col("embedding"), dim = 64)
+      val cov = EmbAlgebra.covPpmFromSums(
+        EmbAlgebra.mergeCoMoments(sumsBase, sumsBatch), dim = 64)
+      val comps = EmbAlgebra.topComponents(cov, m = 8, rounds = 6)
+      val lams = typedLit(comps.map(_._2))
+      val staged = graft.ops.PlanOps.fence(
+        e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+          .select(
+            col("vec_id"),
+            EmbAlgebra.projectScoresQ(col("q"), comps.map(_._1)).as("scores")))
+      staged
+        .select(col("vec_id"), posexplode(col("scores")).as(Seq("pc0", "score")))
+        .select(
+          col("vec_id"),
+          (col("pc0") + 1).cast("long").as("pc"),
+          col("score"),
+          element_at(lams, col("pc0") + 1).as("lambda_ppm"))
+    },
     // the dim-reduction serving composition (PCA -> IVF): project corpus
     // and queries onto the 8 fitted components, round to the milli grid,
     // build IVF(16, probe 4) over the REDUCED vectors, and recall-audit
@@ -709,6 +740,10 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "emb_covariance" -> embCovarianceSql,
     "emb_pca_project" -> embPcaProjectSql,
     "emb_pca_topm" -> embPcaTopmSql,
+    // refresh ≡ retrain: the additive-sufficient-statistic contract means
+    // the refreshed model's oracle IS the fit-on-union twin, shared
+    // verbatim with emb_pca_topm
+    "emb_pca_refresh" -> embPcaTopmSql,
     "ann_pca_reduced" -> annPcaReducedSql,
     "emb_jl_distortion" -> embJlDistortionSql,
     "emb_quantize_int8" ->

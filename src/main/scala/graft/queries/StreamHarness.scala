@@ -132,6 +132,32 @@ private[graft] object StreamHarness {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Observed state-operator count across the streaming queries the
+    * current stream_* run drove: −1 = nothing observed yet, 0 = streams
+    * ran stateless, >0 = at least one state-store operator executed.
+    * [[stopRecording]] max-accumulates (a run driving several streams is
+    * stateful if ANY of them is); Bench resets per measured run and uses
+    * the observation — not the hand-pinned StreamQ.statefulQueries set —
+    * to attribute each entry's harness floor, cross-checking the pin and
+    * reporting any misclassification in the bench JSON.
+    */
+  @volatile private[graft] var stateOpsSeen: Int = -1
+
+  private[graft] def resetStateObservation(): Unit = stateOpsSeen = -1
+
+  /** Record the finished stream's statefulness OFF THE EXECUTED PLAN'S
+    * progress (`lastProgress.stateOperators` is populated synchronously at
+    * batch completion, so it is reliable after `processAllAvailable`),
+    * then stop. Every stream_* call site routes its stop here — that is
+    * what lets floor attribution be derived instead of hand-pinned.
+    */
+  private[graft] def stopRecording(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val p = q.lastProgress
+      val n = if (p == null || p.stateOperators == null) 0 else p.stateOperators.length
+      stateOpsSeen = math.max(stateOpsSeen, n)
+    } finally q.stop()
+
   private[queries] def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {
     val shaped = shape(s.table(sink))
     val rows = shaped.collect()

@@ -81,7 +81,7 @@ object StreamQ {
         q.processAllAvailable()
         mem.addData((sentinel, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000)))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       drainSink(s, sink)(
         _.filter(col("user_id") =!= sentinel)
           .select(
@@ -121,7 +121,7 @@ object StreamQ {
         mem.addData(Sessionize.SessionEvent(
           "~sentinel", new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 0.0))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       drainSink(s, sink)(
         _.filter(col("user_id") =!= "~sentinel")
           .select(col("user_id"), col("start_us"), col("end_us"), col("n_events")))
@@ -166,7 +166,7 @@ object StreamQ {
         mem.addData(TemporalStream.AsofIn(
           -1L, new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 1, -1L, 0.0))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       drainSink(s, sink)(
         _.filter(col("key") =!= -1L)
           .select(
@@ -216,7 +216,7 @@ object StreamQ {
         mem.addData(TemporalStream.AsofIn(
           -1L, new java.sql.Timestamp(maxMs + (horizonSec + 8L * 3600) * 1000), 1, -1L, 0.0))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       drainSink(s, sink)(
         _.filter(col("key") =!= -1L)
           .select(
@@ -266,7 +266,7 @@ object StreamQ {
       feedChunked(memC, clicks.toSeq)
       val q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink) { df =>
         val byP = Window.partitionBy(col("purchase_id"))
         df.withColumn("n_touches", count(lit(1)).over(byP))
@@ -301,7 +301,7 @@ object StreamQ {
       feedChunked(mem, texts.toSeq.map(x => (t0, x)))
       val q = dedup.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(_.select(md5(col("text")).as("h")))
     },
     // second stream/batch parity surface: the watermarked tumbling-window
@@ -330,7 +330,7 @@ object StreamQ {
         q.processAllAvailable()
         mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       drainSink(s, sink)(
         _.filter(col("event_type") =!= "~sentinel")
           .select(
@@ -365,7 +365,7 @@ object StreamQ {
         q.processAllAvailable()
         mem.addData((new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), "~sentinel"))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       drainSink(s, sink)(
         _.filter(col("event_type") =!= "~sentinel")
           .select(
@@ -399,7 +399,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = counts.writeStream.format("memory").queryName(sink).outputMode("complete").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink) { df =>
         val noise = Curation.dpLaplaceNoise(
           concat_ws("|", col("event_type").cast("string"), col("day").cast("string")), eps = 1.0)
@@ -431,7 +431,7 @@ object StreamQ {
       feedChunked(mem, toks.toSeq)
       val q = stream.writeStream.format("memory").queryName(sink).outputMode("complete").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       val cells = drainSink(s, sink)(identity)
       val probes = Seq("spark", "table", "the", "zebra").toDF("item")
       val est = Sketches.countMinEstimate(cells, probes, col("item"), depth = 4, width = 256)
@@ -464,7 +464,7 @@ object StreamQ {
       feedChunked(mem, docs.toSeq.map(d => (d._1, t0, d._2)))
       val q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       // a pair surfaces once per colliding band in the stream; the batch
       // twin reports it once — distinct on drain is the parity shape
       drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
@@ -492,7 +492,7 @@ object StreamQ {
       feedChunked(mem, assets.toSeq)
       val q = decoded.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
     // the full streaming near-dedup chain: streaming LSH candidates →
@@ -532,7 +532,7 @@ object StreamQ {
       feedChunked(mem, docs.toSeq.map(d => (d._1, t0, d._2)))
       val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       val pairs = drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
       val clusters = Dedup.connectedComponents(pairs)
       val labeled = docsDf
@@ -584,7 +584,7 @@ object StreamQ {
       feedChunked(mem, incoming.toSeq)
       val q = verified.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       // a pair surfaces once per colliding band; distinct on drain is the
       // parity shape (same as stream_lsh_parity)
       drainSink(s, sink)(_.distinct())
@@ -674,7 +674,7 @@ object StreamQ {
         q.processAllAvailable()
         mem.addData(batchB.toSeq: _*)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       s.read.parquet(outDir)
     },
     // the VECTOR index maintenance cycle on a stream — the ANN twin of
@@ -732,7 +732,7 @@ object StreamQ {
         q.processAllAvailable()
         mem.addData(batchB.toSeq: _*)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally stopRecording(q)
       s.read.parquet(outDir)
     },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
@@ -771,7 +771,7 @@ object StreamQ {
       feedChunked(mem, changelog.toSeq)
       val q = snap.writeStream.format("memory").queryName(sink).outputMode("complete").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
     // thirteenth stream/batch parity surface: the KLL gate is a pure
@@ -797,7 +797,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = sk.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       Sketches.kllQuantiles(drainSink(s, sink)(identity), (1 to 9).map(_ / 10.0))
     },
     // fourteenth stream/batch parity surface: DSIR model SERVING. The
@@ -828,7 +828,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = kept.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
     // streaming twin of the ingest-boundary quarantine: the routing flag
@@ -871,7 +871,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = routed.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
     // streaming twin of the NB classifier's serving half: the model fits
@@ -907,7 +907,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = pred.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
     // fit-batch / serve-stream for the PCA family (the NB precedent): the
@@ -941,7 +941,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = scored.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
     "stream_dsir_parity" -> { (s0, dir) =>
@@ -972,7 +972,7 @@ object StreamQ {
       feedChunked(mem, rows.toSeq)
       val q = scored.writeStream.format("memory").queryName(sink).outputMode("append").start()
       try q.processAllAvailable()
-      finally q.stop()
+      finally stopRecording(q)
       drainSink(s, sink)(identity)
     },
   )

@@ -82,6 +82,29 @@ class QueryHygieneSpec extends SparkSpecBase {
       "floor attribution applies only to stream_* entries")
   }
 
+  test("stream statefulness observation matches the pin on both classes (plan-derived floors)") {
+    // Bench now derives each stream entry's floor from the EXECUTED
+    // plan's state operators (StreamHarness.stopRecording) and only
+    // cross-checks the pinned set. This drives one representative of
+    // each class through the real harness and asserts the observation
+    // mechanism sees what the pin claims — a future query whose pipeline
+    // gains/loses a state store is then caught by Bench's
+    // floor_misclassified report, not silently mis-floored.
+    for ((name, expectStateful) <- Seq(
+        "stream_tumbling_parity" -> true, // windowed aggregation: state store
+        "stream_pca_serve_parity" -> false // map-only model serve: no state store
+      )) {
+      graft.queries.StreamHarness.resetStateObservation()
+      SparkEntry.queries(name)(spark, sfDir).collect(): Unit
+      val seen = graft.queries.StreamHarness.stateOpsSeen
+      assert(seen >= 0, s"$name: no stream observation recorded — stop not routed through stopRecording?")
+      assert((seen > 0) == expectStateful,
+        s"$name: observed stateOperators=$seen disagrees with expected stateful=$expectStateful")
+      assert(graft.queries.StreamQ.statefulQueries(name) == expectStateful,
+        s"$name: the pinned classification drifted from this spec's expectation")
+    }
+  }
+
   test("attribution splits conserve cents exactly for every credited purchase") {
     // the defining invariant of both multi-touch schemes: however the
     // credit is divided (equal shares / 40-20-40 with remainders), the

@@ -140,4 +140,59 @@ class EmbAlgebraSpec extends SparkSpecBase {
     assert(hist == gated * (gated - 1) / 2,
       s"bucket counts must partition the ${gated}-choose-2 pair set, got $hist")
   }
+
+  test("coMomentFlat sums are additive and covPpmFromSums equals the relational fit exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val merged = EmbAlgebra.mergeCoMoments(
+      EmbAlgebra.coMomentFlat(base, col("embedding"), dim = 64),
+      EmbAlgebra.coMomentFlat(batch, col("embedding"), dim = 64))
+    // additivity: merge of the parts IS the union's pyramid, bit-for-bit
+    val union = EmbAlgebra.coMomentFlat(emb, col("embedding"), dim = 64)
+    assert(merged.sameElements(union), "merged co-moment sums must equal the union fit")
+    // derivation parity: the driver-side rule equals the relational one
+    val fromSums = EmbAlgebra.covPpmFromSums(merged, dim = 64)
+    val relational = EmbAlgebra.covPpmMatrix(emb, col("embedding"), dim = 64)
+    assert(
+      fromSums.indices.forall(i => fromSums(i).sameElements(relational(i))),
+      "covPpmFromSums must reproduce covPpmMatrix exactly — refresh ≡ retrain")
+  }
+
+  test("refresh responds to drift: refreshed components cut the drifted batch's residual") {
+    // base era varies along axis 0 only; the appended era drifts onto
+    // axis 1 — the shape ann_index_staleness flags. A STALE model (fit on
+    // base alone) cannot represent the new axis; the refreshed model
+    // (merged sums, no retrain over the union) must reduce the drifted
+    // batch's PCA residual — the staleness-drop the refresh loop exists
+    // to deliver.
+    val dim = 4
+    def vec(axis: Int, mag: Int, id: Int) =
+      (0 until dim).map(d => if (d == axis) mag.toFloat else (id % 3).toFloat - 1f)
+    val base = (0 until 40).map(i => (i.toLong, vec(0, 50 + (i % 7) * 10, i)))
+    val drifted = (40 until 80).map(i => (i.toLong, vec(1, 60 + (i % 5) * 10, i)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val driftDf = drifted.toDF("vec_id", "embedding")
+    val sumsBase = EmbAlgebra.coMomentFlat(baseDf, col("embedding"), dim)
+    val sumsDrift = EmbAlgebra.coMomentFlat(driftDf, col("embedding"), dim)
+    val stale = EmbAlgebra.topComponents(EmbAlgebra.covPpmFromSums(sumsBase, dim), m = 1, rounds = 6)
+    val fresh = EmbAlgebra.topComponents(
+      EmbAlgebra.covPpmFromSums(EmbAlgebra.mergeCoMoments(sumsBase, sumsDrift), dim), m = 2, rounds = 6)
+    // residual of the drifted batch after removing the model's subspace:
+    // ||q||² − Σ_k (q·v_k / |v_k|)² in plain double math (a test gauge,
+    // not an engine contract)
+    def residual(comps: Seq[Array[Long]]): Double = drifted.map { case (_, v) =>
+      val q = v.map(x => math.floor(x * 1000 + 0.5))
+      val qq = q.map(x => x * x).sum
+      qq - comps.map { c =>
+        val dot = q.zip(c).map { case (a, b) => a * b.toDouble }.sum
+        dot * dot / c.map(x => x.toDouble * x).sum
+      }.sum
+    }.sum
+    val rStale = residual(stale.map(_._1))
+    val rFresh = residual(fresh.map(_._1))
+    info(f"drifted-batch residual stale=$rStale%.3e refreshed=$rFresh%.3e")
+    assert(rFresh < rStale * 0.5,
+      s"refreshed components must absorb the drift axis: $rFresh !< ${rStale * 0.5}")
+  }
 }

@@ -436,6 +436,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(v(0) == Seq(42L) || v(0) == Seq(0L), s"unexpected value: ${v(0)}")
   }
 
+  test("memoized: a throwing compute leaves no queue residue and the key stays computable") {
+    val qBefore = Similarity.modelMemoQueueSize
+    for (_ <- 1 to 5)
+      intercept[RuntimeException](
+        Similarity.memoized[AnyRef]("km_spec_fail")(throw new RuntimeException("training failed")))
+    // failures must not enqueue: a stale queue key with no map entry
+    // would burn eviction-loop iterations forever
+    assert(Similarity.modelMemoQueueSize == qBefore,
+      s"failed computes leaked queue entries: $qBefore -> ${Similarity.modelMemoQueueSize}")
+    // the key is not poisoned — a later successful fit lands normally
+    // (queue grows by AT MOST one: when the memo sits at its bound, the
+    // eviction loop retires an oldest entry in the same call)
+    val v = Similarity.memoized("km_spec_fail")(Array(Seq(7L)))
+    assert(v(0) == Seq(7L))
+    assert(Similarity.modelMemoQueueSize <= qBefore + 1)
+  }
+
   test("appendAnnIndex: append-then-probe hash-equals one-shot rebuild under a pinned model") {
     val e = fixtureEmb
     val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
