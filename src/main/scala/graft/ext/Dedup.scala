@@ -504,8 +504,11 @@ object Dedup {
       buckets: Int
   ): Unit = {
     val tomb = graft.ext.Similarity.tombTable(table)
+    // exact-duplicate rows from an overlapping append are inert at probe
+    // time (probeLshIndex distincts pairs) but index bloat — compaction
+    // heals them, mirroring compactAnnIndex
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("band", "bh"), lshIndexLive(s, table))
+      s, table, buckets, Seq("band", "bh"), lshIndexLive(s, table).dropDuplicates())
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 

@@ -541,7 +541,14 @@ object Similarity {
       buckets: Int
   ): Unit = {
     val tomb = tombTable(table)
-    graft.sources.Sources.compactBucketed(s, table, buckets, Seq("cell"), annIndexLive(s, table))
+    // dropDuplicates: an OVERLAPPING append (at-least-once foreachBatch
+    // retry) stores a row twice with identical (cand_id, cell, codes) —
+    // semantically inert at probe time (TopKHeap's set semantics hold the
+    // pair once) but index bloat; compaction is the healing point. Exact
+    // full-row dedup only — distinct ids with different codes are distinct
+    // rows by contract (delete-then-reappend goes through compaction).
+    graft.sources.Sources.compactBucketed(
+      s, table, buckets, Seq("cell"), annIndexLive(s, table).dropDuplicates())
     // the rewrite materialized the anti-join — retire the applied tombstones
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }

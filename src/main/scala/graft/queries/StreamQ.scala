@@ -42,7 +42,14 @@ object StreamQ {
     "stream_dp_release_parity",    // complete-mode aggregation
     "stream_countmin_parity",      // complete-mode sketch aggregation
     "stream_changelog_parity",     // complete-mode changelog aggregation
-    "stream_kll_parity"            // KLL sketch aggregation
+    "stream_lsh_parity",           // watermarked band self-join: JOIN state store
+    "stream_lsh_survivors"         // same streamingLshCandidates join inside
+    // NOT stream_kll_parity: kllSketch in append mode is per-batch map-only
+    // compaction — no state store. All three corrections above were found
+    // by the r17 plan-derived observation (Bench floor_misclassified):
+    // the lsh pair had been silently drawing the stateless floor and kll
+    // the stateful one, exactly the misclassification ADVICE r16 predicted
+    // a hand-pinned set could hide.
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

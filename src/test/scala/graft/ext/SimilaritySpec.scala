@@ -533,6 +533,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!probe(tbl).exists(_._2 % 5 == 0), "post-compact delete must still retract")
   }
 
+  test("compactAnnIndex heals an OVERLAPPING append: duplicate rows drop, probe unchanged") {
+    // the at-least-once retry shape: the same batch appended twice stores
+    // every row twice — inert at probe time (TopKHeap set semantics) but
+    // index bloat; compaction dedupes exact full rows
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    def probe(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    val tbl = s"annspec_retry_${System.nanoTime()}"
+    Similarity.persistAnnIndex(
+      e.filter($"vec_id" % 2 === 0), "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    val retryBatch = e.filter($"vec_id" % 2 === 1)
+    Similarity.appendAnnIndex(retryBatch, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    Similarity.appendAnnIndex(retryBatch, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    val n = e.count()
+    assert(spark.table(tbl).count() > n, "double append must have bloated the index")
+    // the probe is CORRECT even while bloated — the heap's set semantics
+    val pre = probe(tbl)
+    Similarity.compactAnnIndex(spark, tbl, buckets = 4)
+    assert(spark.table(tbl).count() == n, "compaction must drop exact-duplicate rows")
+    assert(probe(tbl) == pre, "healing the bloat must not change probe results")
+  }
+
   test("pqQuantError: zero on codebook seeds, grows under distribution shift") {
     val e = fixtureEmb
     // iters = 0: codebooks ARE the slices of the 4 lowest-id vectors, so
