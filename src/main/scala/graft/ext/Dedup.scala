@@ -1606,13 +1606,95 @@ object Dedup {
         .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm")),
       table, buckets, "cell")
 
+  /** MAINTENANCE — append a batch to a [[persistSemanticIndex]] table,
+    * assigned with the PINNED centroid matrix (no retrain, no rebuild):
+    * one map-side cell assignment over the batch, one bucketed append.
+    * Same contract as the other two indexes' appends ([[appendLshIndex]],
+    * [[Similarity.appendAnnIndex]]): under a pinned model,
+    * append-then-probe ≡ rebuild-then-probe exactly, because cell/nrm are
+    * per-row functions of (vector, model) alone. A re-trained quantizer
+    * is a NEW index — never append rows assigned under different
+    * centroids.
+    *
+    * OVERLAP CAVEAT (differs from the other two indexes): the semantic
+    * probe emits one pair per matching index ROW (no distinct — justified
+    * by one-cell-per-id), so a batch appended twice (at-least-once retry)
+    * produces DUPLICATE pairs at probe time until [[compactSemanticIndex]]
+    * dedupes the rows. Retry-prone writers should compact after recovery,
+    * or make the append idempotent upstream.
+    */
+  def appendSemanticIndex(
+      incoming: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      table: String,
+      buckets: Int
+  ): Unit =
+    graft.sources.Sources.appendBucketed(
+      semanticAssigned(incoming, idCol, vecCol, cents)
+        .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm")),
+      table, buckets, "cell")
+
+  /** MAINTENANCE — the delete/retract half for the semantic cell index:
+    * tombstone table + broadcast anti-join at probe time, the same
+    * doctrine as [[deleteFromLshIndex]] / [[Similarity.deleteFromAnnIndex]]
+    * (all three descend from the reference's J4 anti-join retraction,
+    * chicago/permit_cleaning.py:838-883). Contract: delete-then-probe ≡
+    * rebuild-without-deleted-then-probe.
+    */
+  def deleteFromSemanticIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      ids: DataFrame,
+      idCol: Column
+  ): Unit = {
+    graft.sources.Sources.dropStaleLocation(s, graft.ext.Similarity.tombTable(table))
+    ids
+      .select(idCol.cast("long").as("corpus_id"))
+      .distinct()
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(graft.ext.Similarity.tombTable(table))
+  }
+
+  /** MAINTENANCE — bucket-preserving compaction for the semantic index:
+    * folds tombstones into the files, dedupes exact-duplicate rows from
+    * overlapping appends, and merges each cell bucket back to one file
+    * without changing the bucket hashing (probes stay exchange-free and
+    * hash-identical).
+    */
+  def compactSemanticIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int
+  ): Unit = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    graft.sources.Sources.compactBucketed(
+      s, table, buckets, Seq("cell"), semanticIndexLive(s, table).dropDuplicates())
+    s.sql(s"DROP TABLE IF EXISTS $tomb")
+  }
+
+  /** The live rows of a persisted semantic index: the bucketed scan minus
+    * its tombstones (broadcast anti-join; bare scan when none exist).
+    */
+  private def semanticIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    val idx = s.table(table)
+    if (s.catalog.tableExists(tomb))
+      idx.join(broadcast(s.table(tomb)), Seq("corpus_id"), "left_anti")
+    else idx
+  }
+
   /** QUERY TIME — paid per batch, corpus side exchange-free: assign the
     * incoming vectors to their cells (map-side, same shared assignment)
     * and join the persisted index on `cell`; keep cross-side pairs with
     * cosine ≥ tau. Identical pair semantics to restricting
     * [[semanticPairs]] to cross-side pairs — layout is execution, not
     * meaning. Each vector lives in exactly ONE cell, so no distinct is
-    * needed (unlike the banded LSH probe).
+    * needed (unlike the banded LSH probe). Tombstoned ids
+    * ([[deleteFromSemanticIndex]]) anti-join out before the cell join.
     *
     * @return (new_id, corpus_id, sim) pairs with sim ≥ tau
     */
@@ -1628,7 +1710,7 @@ object Dedup {
     semanticAssigned(incoming, idCol, vecCol, cents)
       .select(col("cell"), col("id").as("new_id"), col("vec").as("vec_new"),
         col("nrm").as("nrm_new"))
-      .join(s.table(table), Seq("cell"))
+      .join(semanticIndexLive(s, table), Seq("cell"))
       .select(
         col("new_id"),
         col("corpus_id"),

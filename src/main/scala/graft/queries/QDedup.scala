@@ -310,6 +310,36 @@ private[queries] object QDedup {
         Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, tbl, buckets = 8))
       Dedup.probeSemanticIndex(s, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.42)
     },
+    // the semantic index's FULL maintenance lifecycle in one query —
+    // build one era, append the next with the PINNED centroids, tombstone
+    // an md5-gated stratum, compact (fold tombstones, one file per cell
+    // bucket), then probe. Oracle = the one-shot index over the corpus
+    // MINUS the deleted stratum: append ≡ rebuild and delete-then-probe ≡
+    // rebuild-without-deleted, composed — the same contracts the LSH and
+    // IVFPQ indexes carry, now symmetric across all THREE persisted,
+    // indexes
+    "dedup_semantic_maintained" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val incoming = e.filter(col("vec_id") % 5 === 0)
+      val tbl = Scratch.table("sem_idx_mnt")
+      Scratch.registerTable(Similarity.tombTable(tbl))
+      Scratch.registerTable(tbl + "__compact_stage")
+      Scratch.tableOnce(tbl, dir) {
+        val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+        Dedup.persistSemanticIndex(
+          corpus.filter(g =!= 0), col("vec_id"), col("embedding"), cents, tbl, buckets = 8)
+        Dedup.appendSemanticIndex(
+          corpus.filter(g === 0), col("vec_id"), col("embedding"), cents, tbl, buckets = 8)
+        Dedup.deleteFromSemanticIndex(
+          s, tbl,
+          e.filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 7L) === 0),
+          col("vec_id"))
+        Dedup.compactSemanticIndex(s, tbl, buckets = 8)
+      }
+      Dedup.probeSemanticIndex(s, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.42)
+    },
     // ---- curation: packing / scrubbing / repetition / sketches / rank ----
     // sequence packing: token-budget packs per salt group (distributed —,
     // segment guarantee is exact; oracle replays fixture, blocks, verify
@@ -356,6 +386,23 @@ private[queries] object QDedup {
     // paying for a salting rewrite — top-20 heaviest user_ids with integer
     // ppm share and ×-mean weight; per-key partial agg + scalar totals, no,
   )
+
+  /** The semantic-index probe chain (trained-quantizer cell join + exact
+    * cosine) with explicit batch/corpus membership predicates — shared by
+    * the incremental probe and the full-lifecycle (append/delete/compact)
+    * twin, whose corpus side is rebuild-without-deleted.
+    */
+  private def semanticProbeSqlFor(newPred: String, corpusPred: String): String =
+    qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , av AS (
+          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
+        ), sprs AS (
+          SELECT x.vec_id AS new_id, y.vec_id AS corpus_id,
+                 round(${cosSql("x.q", "y.q")}, 6) AS sim
+          FROM av x JOIN av y
+            ON x.cell = y.cell AND ($newPred) AND ($corpusPred)
+        )
+        SELECT new_id, corpus_id, sim FROM sprs WHERE sim >= 0.42"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -632,16 +679,14 @@ private[queries] object QDedup {
         SELECT vec_id FROM qz
         WHERE vec_id NOT IN (SELECT id_hi FROM sprs WHERE sim >= 0.42)"""),
     "dedup_semantic_incremental" ->
-      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
-        , av AS (
-          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
-        ), sprs AS (
-          SELECT x.vec_id AS new_id, y.vec_id AS corpus_id,
-                 round(${cosSql("x.q", "y.q")}, 6) AS sim
-          FROM av x JOIN av y
-            ON x.cell = y.cell AND x.vec_id % 5 = 0 AND y.vec_id % 5 <> 0
-        )
-        SELECT new_id, corpus_id, sim FROM sprs WHERE sim >= 0.42"""),
+      semanticProbeSqlFor("x.vec_id % 5 = 0", "y.vec_id % 5 <> 0"),
+    // lifecycle twin: the corpus side is rebuild-WITHOUT-deleted (the
+    // tombstoned md5 stratum excluded) — append/delete/compact are all
+    // layout under a pinned model, so one probe oracle covers the cycle
+    "dedup_semantic_maintained" ->
+      semanticProbeSqlFor(
+        "x.vec_id % 5 = 0",
+        s"y.vec_id % 5 <> 0 AND NOT (${md5GateSql("y.vec_id", 7)})"),
     "fuzzy_name_pairs" ->
       """WITH names AS (
            SELECT doc_id AS id,

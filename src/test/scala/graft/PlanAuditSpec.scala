@@ -150,8 +150,8 @@ class PlanAuditSpec extends SparkSpecBase {
       // state) + the ANN-index tombstone anti-join (takedown-scale id set)
       "ext/Similarity.scala" -> 10,
       // common-lines boilerplate set (doc-freq capped), rare-gram hi side,
-      // LSH-index tombstone anti-join (takedown-scale id set)
-      "ext/Dedup.scala" -> 3,
+      // LSH- and semantic-index tombstone anti-joins (takedown-scale ids)
+      "ext/Dedup.scala" -> 4,
       // corpus-level BM25 stats (one row)
       "ext/Ranking.scala" -> 1,
       // NB model state (capped vocab, vocabK×|classes| likelihoods, priors)

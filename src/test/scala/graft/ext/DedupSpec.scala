@@ -572,6 +572,44 @@ class DedupSpec extends SparkSpecBase {
       "applied tombstones must be retired by compaction")
   }
 
+  test("semantic index lifecycle: append ≡ rebuild, delete ≡ rebuild-without-deleted, compact heals") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val incoming = e.filter(col("vec_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeSemanticIndex(spark, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2)).toSeq
+    // ground truth: one-shot index over corpus-minus-deleted
+    val truth = s"semspec_truth_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      corpus.filter(col("vec_id") % 3 =!= 0), col("vec_id"), col("embedding"), cents, truth, buckets = 4)
+    // lifecycle: build era-0, append era-1 TWICE (retry shape), delete, compact
+    val tbl = s"semspec_mnt_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      corpus.filter(col("vec_id") % 2 === 0).repartition(3),
+      col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    val era1 = corpus.filter(col("vec_id") % 2 === 1).repartition(3)
+    Dedup.appendSemanticIndex(era1, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    Dedup.appendSemanticIndex(era1, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    Dedup.deleteFromSemanticIndex(
+      spark, tbl, e.filter(col("vec_id") % 3 === 0), col("vec_id"))
+    // NOTE: unlike the ANN heap (set semantics) and the LSH probe
+    // (distinct), the semantic probe relies on one-row-per-id — a
+    // double-appended index emits duplicate pairs until compaction
+    // dedupes the rows (documented in appendSemanticIndex); hence the
+    // probe parity is asserted on the POST-compact table
+    Dedup.compactSemanticIndex(spark, tbl, buckets = 4)
+    assert(probe(tbl) == probe(truth),
+      "append+delete+compact must equal one-shot rebuild-without-deleted")
+    assert(spark.table(tbl).count() == corpus.filter(col("vec_id") % 3 =!= 0).count(),
+      "compaction must fold tombstones and drop the double-append duplicates")
+    val files = graft.sources.Sources.tableFileCount(spark, tbl)
+    assert(files <= 4, s"compaction must leave at most one file per cell bucket, got $files")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)),
+      "applied tombstones must be retired")
+  }
+
   test("survivorsBy elects max-quality (tie min id) — diverging from the min-id winner") {
     // cluster {1,2,4}: doc 2 has strictly higher score than the min-id
     // member, so the quality election and the min-id election DISAGREE;
