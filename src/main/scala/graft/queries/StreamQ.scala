@@ -684,6 +684,93 @@ object StreamQ {
       } finally stopRecording(q)
       s.read.parquet(outDir)
     },
+    // the CDC MAINTENANCE loop — stream_index_maintain plus the RETRACT
+    // half: events carry an op column (U = ingest, D = takedown). Each
+    // foreachBatch cycle probes the persisted index with the batch's U
+    // docs (seeing the index state from STRICTLY EARLIER batches), then
+    // appends the U bands and tombstones the D ids. Batch A carries the
+    // takedowns, so batch A's own probes still match the retracted docs
+    // (probe-before-delete), batch B's probes must NOT — and must still
+    // match batch A's appended docs. The oracle encodes exactly that
+    // arrival-order × retraction visibility; at sf0.01 the fixture
+    // witnesses all three clauses (92→450 kept pre-delete, 267→45/413 and
+    // 447→70 dropped post-delete, 377→72 kept via the append-back)
+    "stream_index_retract" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val corpus = docsDf.filter(col("doc_id") % 5 =!= 2)
+      val table = Scratch.table("lsh_retract")
+      val tomb = Similarity.tombTable(table)
+      Scratch.registerTable(tomb)
+      // layout time: overwrite resets the index each invocation; the TOMB
+      // table must reset with it (bench reruns — a stale tombstone set
+      // would hide batch-A probes' retracted partners too early). The band
+      // frame is shared verbatim with stream_index_maintain's spill.
+      s.sql(s"DROP TABLE IF EXISTS $tomb")
+      graft.sources.Sources.writeBucketed(
+        Dedup.spilled(
+          Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+          "lsh_maint_bands"),
+        table, 8, "band", "bh")
+      val g = Dedup.spilled(
+        Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
+      val outDir = Scratch.dir("lsh_retract", dir)
+      Scratch.reset(outDir)
+      // takedowns target EXISTING corpus docs only (an id never arrives
+      // as both U and D — the delete-then-reappend footgun is a compact-
+      // time workflow, not a stream event; see deleteFromLshIndex)
+      val delIds: Array[Long] = corpus
+        .filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 3L) === 0)
+        .select(col("doc_id")).as[Long].collect()
+      val upsA: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val upsB: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val batchA: Seq[(String, Long, String)] =
+        upsA.toSeq.map(d => ("U", d._1, d._2)) ++ delIds.toSeq.map(id => ("D", id, ""))
+      val batchB: Seq[(String, Long, String)] = upsB.toSeq.map(d => ("U", d._1, d._2))
+      val mem = MemoryStream[(String, Long, String)]
+      val q = mem.toDF().toDF("op", "doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read three ways: probe, append, delete
+          try {
+            // same cross-session relation-cache concern as
+            // stream_index_maintain: refresh in the session the probe
+            // reads through, once per cycle
+            s.catalog.refreshTable(table)
+            if (s.catalog.tableExists(tomb)) s.catalog.refreshTable(tomb)
+            val ups = b.filter(col("op") === "U").select(col("doc_id"), col("text"))
+            val cands = Dedup.probeLshIndex(
+              s, table, ups, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+            cands
+              .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+              .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+              .select(
+                col("new_id"), col("corpus_id"),
+                Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
+              .filter(col("jac_raw") >= 0.7)
+              .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+              .write.mode("append").parquet(outDir)
+            Dedup.appendLshIndex(
+              ups, col("doc_id"), col("text"), table, buckets = 8, n = 3, k = 8, bands = 4)
+            val dels = b.filter(col("op") === "D").select(col("doc_id"))
+            if (!dels.isEmpty) Dedup.deleteFromLshIndex(s, table, dels, col("doc_id"))
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        // A and B stay SEPARATE micro-batches — the append+delete between
+        // them is the semantics under test
+        mem.addData(batchA: _*)
+        q.processAllAvailable()
+        mem.addData(batchB: _*)
+        q.processAllAvailable()
+      } finally stopRecording(q)
+      s.read.parquet(outDir)
+    },
     // the VECTOR index maintenance cycle on a stream — the ANN twin of
     // stream_index_maintain: vectors arrive in micro-batches; each batch
     // probes the persisted bucketed IVFPQ index (top-k under the PINNED
@@ -1020,6 +1107,19 @@ object StreamQ {
         JOIN g gb ON gb.doc_id = corpus_id
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
+    // CDC-loop parity: arrival order AND retraction — a pair exists when
+    // the new doc arrived strictly after the corpus doc AND the corpus
+    // doc was not retracted before the new doc's batch. Batch-A news
+    // (doc_id%10=2) see all of epoch 0 (probe-before-delete); batch-B
+    // news (doc_id%10=7) see epoch 0 minus the md5%3 takedown stratum,
+    // plus batch A's appended docs.
+    "stream_index_retract" ->
+      incrementalProbeSqlFor(
+        "a.doc_id % 10 IN (2, 7)",
+        s"""(a.doc_id % 10 = 2 AND b.doc_id % 5 <> 2)
+              OR (a.doc_id % 10 = 7 AND (
+                   (b.doc_id % 5 <> 2 AND NOT (${md5GateSql("b.doc_id", 3)}))
+                   OR b.doc_id % 10 = 2))"""),
     // the ANN index maintenance cycle: arrival-order candidate visibility
     // (era-0 always; batch A only to batch B) under the pinned model
     "stream_ann_index_maintain" -> streamAnnMaintainSql,
