@@ -939,17 +939,39 @@ private[queries] object OracleSql {
     * is visible only to batch B's probes (gated, odd id), because batch
     * A's vectors entered the index via the append BETWEEN the batches.
     */
-  private[queries] lazy val streamAnnMaintainSql: String = {
+  private[queries] lazy val streamAnnMaintainSql: String =
+    streamAnnCycleSqlFor(
+      s"NOT (${md5GateSql("a.vec_id", 4)}) OR (a.vec_id % 2 = 0 AND p.query_id % 2 = 1)")
+
+  /** stream_ann_index_retract twin: the maintain visibility PLUS the
+    * retraction — era-0 candidates stay visible to batch-A queries
+    * (probe-before-delete) but the md5%5 takedown stratum vanishes for
+    * batch-B queries; batch A's appended vectors still serve batch B.
+    */
+  private[queries] lazy val streamAnnRetractSql: String =
+    // the batch-A disjunct must be GATED (unlike maintain's, where the
+    // laxity was absorbed by the era-0 disjunct): an era-0 even id denied
+    // by the retraction clause must not be re-granted as "batch A"
+    streamAnnCycleSqlFor(
+      s"""( NOT (${md5GateSql("a.vec_id", 4)})
+                  AND (p.query_id % 2 = 0 OR NOT (${md5GateSql("a.vec_id", 5)})) )
+                OR ( (${md5GateSql("a.vec_id", 4)})
+                  AND a.vec_id % 2 = 0 AND p.query_id % 2 = 1 )""")
+
+  /** The shared two-batch ANN maintenance-cycle oracle: IVFPQ serving
+    * under the full-corpus-trained model with an explicit candidate
+    * VISIBILITY predicate (arrival order, retraction) over probe pairs
+    * (p = query rows, a = candidate assignment rows).
+    */
+  private[queries] def streamAnnCycleSqlFor(visibility: String): String = {
     val nsub = 4
     val gate = md5GateSql("vec_id", 4)
-    val gateA = md5GateSql("a.vec_id", 4)
     qzCte + "\n        " + ivfKmeansCtes(gate, 2) + s"""
       , cand AS (
         SELECT DISTINCT p.query_id, a.vec_id AS cand_id
         FROM qprobe p JOIN assign a ON a.cell = p.cell
         WHERE a.vec_id <> p.query_id
-          AND ( NOT ($gateA)
-                OR (a.vec_id % 2 = 0 AND p.query_id % 2 = 1) )
+          AND ( $visibility )
       )""" + pqSubspaceCtesSql(nsub, 4, 16) + s"""
       , scored AS (
         SELECT c.query_id, c.cand_id,

@@ -829,6 +829,74 @@ object StreamQ {
       } finally stopRecording(q)
       s.read.parquet(outDir)
     },
+    // the vector index's CDC loop — stream_ann_index_maintain plus the
+    // RETRACT half (the ANN twin of stream_index_retract): batch A
+    // carries U vectors AND D takedowns of an era-0 md5%5 stratum; each
+    // cycle probes under the pinned model (probe-before-delete), appends
+    // the U rows, tombstones the D ids. Batch-A queries still rank the
+    // soon-to-be-deleted vectors; batch-B queries must not — and must
+    // still see batch A's appends. One oracle encodes the joint
+    // visibility (streamAnnRetractSql)
+    "stream_ann_index_retract" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+      val table = Scratch.table("ann_retract")
+      val tomb = Similarity.tombTable(table)
+      Scratch.registerTable(tomb)
+      // layout time: index AND tombstones reset each invocation (bench
+      // reruns in one JVM — stale tombstones would hide batch-A probes'
+      // retracted partners too early)
+      s.sql(s"DROP TABLE IF EXISTS $tomb")
+      Similarity.persistAnnIndex(
+        e.filter(g =!= 0), "vec_id", "embedding", coarse, books, table, buckets = 8)
+      val outDir = Scratch.dir("ann_retract", dir)
+      Scratch.reset(outDir)
+      // takedowns target era-0 vectors only (disjoint from the gated
+      // U batches — delete-then-reappend is a compact-time workflow)
+      val delIds: Array[Long] = e
+        .filter(g =!= 0 && graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0)
+        .select(col("vec_id")).as[Long].collect()
+      val upsA: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      val upsB: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      val batchA: Seq[(String, Long, Seq[Float])] =
+        upsA.toSeq.map(v => ("U", v._1, v._2)) ++ delIds.toSeq.map(id => ("D", id, Seq.empty[Float]))
+      val batchB: Seq[(String, Long, Seq[Float])] = upsB.toSeq.map(v => ("U", v._1, v._2))
+      val mem = MemoryStream[(String, Long, Seq[Float])]
+      val q = mem.toDF().toDF("op", "vec_id", "embedding").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read three ways: probe, append, delete
+          try {
+            // cross-session relation-cache refresh, index and tombstones
+            // both (the stream_index_maintain staleness trap)
+            s.catalog.refreshTable(table)
+            if (s.catalog.tableExists(tomb)) s.catalog.refreshTable(tomb)
+            val ups = b.filter(col("op") === "U").select(col("vec_id"), col("embedding"))
+            Similarity.scoreAgainstAnnIndex(
+              s, table, ups, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+              .write.mode("append").parquet(outDir)
+            Similarity.appendAnnIndex(
+              ups, "vec_id", "embedding", coarse, books, table, buckets = 8)
+            val dels = b.filter(col("op") === "D").select(col("vec_id"))
+            if (!dels.isEmpty) Similarity.deleteFromAnnIndex(s, table, dels, "vec_id")
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        mem.addData(batchA: _*)
+        q.processAllAvailable()
+        mem.addData(batchB: _*)
+        q.processAllAvailable()
+      } finally stopRecording(q)
+      s.read.parquet(outDir)
+    },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
     // max_by aggregation (complete mode, no watermark — state is one row
     // per key, planned by Catalyst, no custom state code). The drained
@@ -1123,6 +1191,9 @@ object StreamQ {
     // the ANN index maintenance cycle: arrival-order candidate visibility
     // (era-0 always; batch A only to batch B) under the pinned model
     "stream_ann_index_maintain" -> streamAnnMaintainSql,
+    // plus retraction: the md5%5 era-0 stratum vanishes for batch-B
+    // queries (probe-before-delete keeps it for batch A's)
+    "stream_ann_index_retract" -> streamAnnRetractSql,
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
     // the state-machine sessionizer uses sessionizeBatch's strict-> gap
