@@ -591,6 +591,32 @@ object Similarity {
       books: Array[Array[Seq[Long]]],
       nprobe: Int,
       k: Int
+  ): DataFrame =
+    scoreAgainstAnnIndexWhere(s, table, queries, idCol, vecCol, coarse, books, nprobe, k, None)
+
+  /** [[scoreAgainstAnnIndex]] with a candidate PRE-FILTER — the
+    * metadata-filtered vector search every serving stack needs ("only
+    * documents ingested before X", "only this tenant"): the predicate
+    * applies to the index scan BEFORE the cell join and ranking, so each
+    * query still gets k survivors FROM THE ALLOWED SET (post-filtering a
+    * top-k would under-fill it). A sargable predicate (range/equality/IN
+    * on stored columns — ids are ingest-ordered, so recency cutoffs are
+    * id ranges) pushes into the parquet scan (`PushedFilters`,
+    * plan-asserted): non-qualifying row groups never decode, and the scan
+    * keeps its bucketed output partitioning — filter + exchange-free
+    * probe compose.
+    */
+  def scoreAgainstAnnIndexWhere(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      books: Array[Array[Seq[Long]]],
+      nprobe: Int,
+      k: Int,
+      candPred: Option[Column]
   ): DataFrame = {
     val cells = coarse.length
     val probes = math.min(nprobe, cells)
@@ -625,8 +651,10 @@ object Similarity {
     // no dedupe: one cell per stored row × distinct probed cells ⇒ each
     // (query_id, cand_id) pair is unique off the cell join (see ivfTopK);
     // tombstoned ids ([[deleteFromAnnIndex]]) anti-join out BEFORE the
-    // cell join — broadcast, so the index side stays exchange-free
-    val scored = annIndexLive(s, table)
+    // cell join — broadcast, so the index side stays exchange-free; the
+    // caller's candidate pre-filter lands on the scan itself
+    val live = annIndexLive(s, table)
+    val scored = candPred.fold(live)(live.filter)
       .join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("adc", adcSum(col("tbl"), col("codes")))

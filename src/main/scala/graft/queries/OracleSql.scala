@@ -908,6 +908,14 @@ private[queries] object OracleSql {
   private[queries] lazy val annIndexAppendSql: String =
     annIndexScoredSqlFor("vec_id >= 50 AND vec_id < 80", 3)
 
+  /** ann_index_filtered twin: the scored oracle with the candidate
+    * pre-filter as an exclusion of its complement — filter-then-rank,
+    * never rank-then-filter (k survivors from the ALLOWED set).
+    */
+  private[queries] lazy val annIndexFilteredSql: String =
+    annIndexScoredSqlFor(
+      "vec_id >= 180 AND vec_id < 220", 3, candExclude = "a.vec_id >= 300")
+
   /** ann_index_delete twin: the REBUILD-WITHOUT-DELETED index — the scored
     * oracle with the retracted md5 stratum excluded from the candidate
     * side (queries may still be retracted docs; only the INDEX forgets

@@ -207,6 +207,26 @@ private[queries] object QAnn {
         s, tbl, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         coarse, books, nprobe = 2, k = 3)
     },
+    // metadata-FILTERED serving against the persisted index — the
+    // filter+rank composition every vector store needs: the predicate
+    // (ids are ingest-ordered, so a recency cutoff IS an id range)
+    // restricts the index scan BEFORE ranking, so each query's k
+    // survivors come from the allowed set (post-filtering a top-k would
+    // under-fill it). The range predicate pushes into the parquet scan
+    // (PushedFilters, plan-asserted) and the scan keeps its bucketed
+    // layout — filter and exchange-free probe compose. Same table as
+    // ann_index_scored (one build serves both)
+    "ann_index_filtered" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val tbl = Scratch.table("ann_idx")
+      Scratch.tableOnce(tbl, dir)(
+        Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 8))
+      Similarity.scoreAgainstAnnIndexWhere(
+        s, tbl, e.filter(col("vec_id") >= 180 && col("vec_id") < 220), "vec_id", "embedding",
+        coarse, books, nprobe = 2, k = 3, candPred = Some(col("cand_id") < 300))
+    },
     // index MAINTENANCE cycle: build the bucketed index from one era,
     // append the next era ENCODED WITH THE SAME FITTED (memoized) model —
     // no retrain, no rebuild — then probe the grown table. The oracle is
@@ -732,6 +752,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
         SELECT query_id, cand_id, rank, round(sim, 6) AS sim FROM ranked WHERE rank <= 5"""),
     "ann_ivfpq_topk" -> ivfPqSql,
     "ann_index_scored" -> annIndexScoredSql,
+    "ann_index_filtered" -> annIndexFilteredSql,
     "ann_index_append" -> annIndexAppendSql,
     "ann_index_delete" -> annIndexDeleteSql,
     "ann_index_compact" -> annIndexCompactSql,

@@ -488,6 +488,32 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("FILTERED ANN index probe: the predicate pushes into the bucketed scan, no extra exchange") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    Similarity.persistAnnIndex(
+      e, "vec_id", "embedding", coarse, books, table = "graft_ann_idx_filt_audit", buckets = 4)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scored = Similarity.scoreAgainstAnnIndexWhere(
+        spark, "graft_ann_idx_filt_audit", e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", coarse, books, nprobe = 2, k = 3,
+        candPred = Some(col("cand_id") < 300))
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"filtered index scan lost its bucketing:\n$plan")
+      // the sargable range predicate must reach the parquet reader — a
+      // filter evaluated only post-scan decodes every row group for
+      // nothing at 100 TB
+      assert("PushedFilters: \\[[^\\]]*LessThan\\(cand_id,300\\)".r.findFirstIn(plan).nonEmpty,
+        s"candidate predicate did not push into the scan:\n$plan")
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"filter degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
   test("TOMBSTONED LSH index: the delete anti-join broadcasts; the corpus side stays exchange-free") {
     import org.apache.spark.sql.functions.col
     import graft.ext.Dedup
