@@ -553,6 +553,40 @@ object Similarity {
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
+  /** MAINTENANCE — blue/green REBUILD, the staleness loop's last arc:
+    * when [[pqQuantError]] says the aged model no longer fits the corpus
+    * (append-only maintenance under a pinned model can only drift), build
+    * the retrained index ASIDE under `<table>__next` — serving reads are
+    * untouched while the full-corpus encode runs — then swap it into the
+    * serving name and clear the old tombstones (the new index is built
+    * from the already-retraction-applied corpus; stale tombstones would
+    * wrongly hide re-crawled ids).
+    *
+    * The swap is drop-then-rename through the session catalog — LAST
+    * WRITER WINS, not transactional: a probe planned in the gap sees a
+    * missing table. True atomic swap needs a transactional table format
+    * (Delta/Iceberg `REPLACE TABLE`); on a plain catalog, serve-side
+    * retry-on-missing or a scheduled maintenance window covers the gap.
+    * The bucket spec is catalog metadata and survives the rename —
+    * post-swap probes still plan exchange-free (spec-asserted).
+    */
+  def rebuildAnnIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Seq[Long]],
+      books: Array[Array[Seq[Long]]],
+      buckets: Int
+  ): Unit = {
+    val next = table + "__next"
+    persistAnnIndex(corpus, idCol, vecCol, coarse, books, next, buckets)
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    s.sql(s"DROP TABLE IF EXISTS `${tombTable(table)}`")
+    s.sql(s"ALTER TABLE `$next` RENAME TO `$table`")
+  }
+
   /** STALENESS SIGNAL — the PQ quantization error of an ALREADY-quantized
     * vector under fitted codebooks: Σ over subspaces of the minimum exact
     * integer squared-L2 distance from the slice to its codebook (the

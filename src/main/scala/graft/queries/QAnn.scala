@@ -250,6 +250,38 @@ private[queries] object QAnn {
         s, tbl, e.filter(col("vec_id") >= 50 && col("vec_id") < 80), "vec_id", "embedding",
         coarse, books, nprobe = 2, k = 3)
     },
+    // blue/green REBUILD — the staleness loop's last arc: the serving
+    // index was built from one era under an AGED model (trained on that
+    // era alone) and carries accumulated tombstones; the rebuild retrains
+    // on the full corpus, builds the new index ASIDE (<tbl>__next), swaps
+    // it into the serving name, and clears the stale tombstones. The
+    // oracle is simply the fresh full-corpus index probe: post-swap, no
+    // trace of the aged model, the old era split, or the old tombstones
+    // may remain — a hash match IS that proof
+    "ann_index_rebuild" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 2 === 0)
+      val staleCoarse = Similarity.kmeansCentroidsCached(old, "vec_id", "embedding", nlist = 8, iters = 2)
+      val staleBooks = Similarity.pqTrainCached(old, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val tbl = Scratch.table("ann_idx_bg")
+      Scratch.registerTable(tbl + "__next")
+      Scratch.registerTable(Similarity.tombTable(tbl))
+      Scratch.tableOnce(tbl, dir) {
+        Similarity.persistAnnIndex(
+          old, "vec_id", "embedding", staleCoarse, staleBooks, tbl, buckets = 8)
+        Similarity.deleteFromAnnIndex(
+          s, tbl,
+          e.filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0),
+          "vec_id")
+        Similarity.rebuildAnnIndex(
+          s, tbl, e, "vec_id", "embedding", coarse, books, buckets = 8)
+      }
+      Similarity.scoreAgainstAnnIndex(
+        s, tbl, e.filter(col("vec_id") >= 220 && col("vec_id") < 260), "vec_id", "embedding",
+        coarse, books, nprobe = 2, k = 3)
+    },
     // index STALENESS audit: mean PQ quantization error of the training-
     // time population vs an appended batch under simulated drift (every
     // element shifted +0.25 — a deterministic distribution shift both
@@ -756,6 +788,9 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "ann_index_append" -> annIndexAppendSql,
     "ann_index_delete" -> annIndexDeleteSql,
     "ann_index_compact" -> annIndexCompactSql,
+    // post-swap there is no trace of the aged model, old era, or old
+    // tombstones: the oracle is the plain fresh full-corpus index probe
+    "ann_index_rebuild" -> annIndexScoredSqlFor("vec_id >= 220 AND vec_id < 260", 3),
     "ann_index_staleness" -> annIndexStalenessSql,
     "ann_recall_audit" -> recallAuditSql,
     "emb_covariance" -> embCovarianceSql,

@@ -56,10 +56,15 @@ object Scratch {
     * the production posture the persisted-index operators exist to model.
     */
   def tableOnce(table: String, key: String)(build: => Unit): Unit =
-    if (tableBuilt.get(table) != key) {
-      build
-      tableBuilt.put(table, key): Unit
-    }
+    // compute (not check-then-act) serializes same-table builders: two
+    // queries sharing one index table (ann_index_scored/filtered) run
+    // concurrently under Verify, and an unguarded double-build lets one
+    // scan the table mid-DROP/rewrite. Same rationale as `once` above;
+    // a failed build stores nothing, so the next caller retries.
+    tableBuilt.compute(table, (_, cur) => {
+      if (cur != key) build
+      key
+    }): Unit
 
   /** Delete a scratch path's CURRENT contents now (for queries that append
     * into a dir and re-run within one JVM — bench's warmup + two timed

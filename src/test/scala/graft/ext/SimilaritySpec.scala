@@ -559,6 +559,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probe(tbl) == pre, "healing the bloat must not change probe results")
   }
 
+  test("rebuildAnnIndex: blue/green swap serves the retrained index, clears stale state") {
+    val e = fixtureEmb
+    val old = e.filter($"vec_id" % 2 === 0)
+    val staleCoarse = Similarity.kmeansCentroids(old, "vec_id", "embedding", nlist = 4, iters = 1)
+    val staleBooks = Similarity.pqTrain(old, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    def probe(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    // ground truth: a fresh index under the retrained model
+    val fresh = s"annspec_fresh_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, fresh, buckets = 4)
+    // blue: aged model over the old era, with accumulated tombstones
+    val tbl = s"annspec_bg_${System.nanoTime()}"
+    Similarity.persistAnnIndex(
+      old, "vec_id", "embedding", staleCoarse, staleBooks, tbl, buckets = 4)
+    Similarity.deleteFromAnnIndex(spark, tbl, e.filter($"vec_id" % 3 === 0), "vec_id")
+    Similarity.rebuildAnnIndex(spark, tbl, e, "vec_id", "embedding", coarse, books, buckets = 4)
+    // green serves under the same name, identical to the fresh build —
+    // and the %3 tombstones are GONE (they belonged to the blue era)
+    assert(probe(tbl) == probe(fresh), "post-swap probe must equal the fresh rebuild")
+    assert(probe(tbl).exists(_._2 % 3 == 0), "stale tombstones must not survive the swap")
+    assert(!spark.catalog.tableExists(tbl + "__next"), "the staging name must be gone")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)), "old tombstones must be dropped")
+    // the bucket spec is catalog metadata and survives the rename: the
+    // probe still plans exchange-free off the bucketed scan
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Similarity
+        .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"rename lost the bucket spec:\n$plan")
+      assert("Exchange hashpartitioning\\(cell".r.findAllIn(plan).size == 1,
+        s"rename degraded the layout:\n$plan")
+    }
+  }
+
   test("pqQuantError: zero on codebook seeds, grows under distribution shift") {
     val e = fixtureEmb
     // iters = 0: codebooks ARE the slices of the 4 lowest-id vectors, so
