@@ -388,11 +388,17 @@ object Dedup {
       n: Int = 3,
       k: Int = 8,
       bands: Int = 4,
-      maxBucket: Int = 0
-  ): Unit =
+      maxBucket: Int = 0,
+      era: Long = 0L
+  ): Unit = {
+    // fresh build ⇒ fresh retraction history (a stale tomb table under the
+    // same name would silently over-delete the new content)
+    corpus.sparkSession.sql(
+      s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
     graft.sources.Sources.writeBucketed(
-      lshIndex(corpus, idCol, textCol, n, k, bands, maxBucket),
+      lshIndex(corpus, idCol, textCol, n, k, bands, maxBucket).withColumn("seq", lit(era)),
       table, buckets, "band", "bh")
+  }
 
   /** MAINTENANCE TIME — paid per ingested batch: append the batch's own
     * (band, bh, id) rows into a [[persistLshIndex]] table, so LATER
@@ -419,9 +425,11 @@ object Dedup {
       buckets: Int,
       n: Int = 3,
       k: Int = 8,
-      bands: Int = 4
+      bands: Int = 4,
+      era: Long = graft.ext.Similarity.nextEra()
   ): Unit =
     lshIndex(incoming, idCol, textCol, n, k, bands)
+      .withColumn("seq", lit(era))
       .write
       .mode("append")
       .bucketBy(buckets, "band", "bh")
@@ -463,16 +471,21 @@ object Dedup {
     * delete-then-probe ≡ rebuild-without-deleted-then-probe, which the
     * driver's dedup_index_delete oracle checks hash-exactly. Fold the
     * tombstones into the files with [[compactLshIndex]].
+    *
+    * ERA-AWARE like the ANN twin: the tombstone hides rows appended at
+    * era ≤ `era` only, so a later re-append of a retracted id is visible
+    * immediately (no forced compaction between takedown and re-crawl).
     */
   def deleteFromLshIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
       ids: DataFrame,
-      idCol: Column
+      idCol: Column,
+      era: Long = graft.ext.Similarity.nextEra()
   ): Unit = {
     graft.sources.Sources.dropStaleLocation(s, graft.ext.Similarity.tombTable(table))
     ids
-      .select(idCol.cast("long").as("corpus_id"))
+      .select(idCol.cast("long").as("corpus_id"), lit(era).as("tomb_seq"))
       .distinct()
       .write
       .mode("append")
@@ -481,15 +494,20 @@ object Dedup {
   }
 
   /** The live rows of a persisted LSH index: the bucketed scan minus its
-    * tombstones (broadcast anti-join; bare scan when none exist, so the
-    * pre-delete plans are unchanged).
+    * era-qualified tombstones (broadcast anti-join on id with the
+    * `seq ≤ tomb_seq` condition riding the same broadcast; bare scan when
+    * none exist, so the pre-delete plans are unchanged).
     */
   private def lshIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val tomb = graft.ext.Similarity.tombTable(table)
     val idx = s.table(table)
-    if (s.catalog.tableExists(tomb))
-      idx.join(broadcast(s.table(tomb)), Seq("corpus_id"), "left_anti")
-    else idx
+    if (s.catalog.tableExists(tomb)) {
+      val t = s.table(tomb)
+      idx.join(
+        broadcast(t),
+        idx("corpus_id") === t("corpus_id") && idx("seq") <= t("tomb_seq"),
+        "left_anti")
+    } else idx
   }
 
   /** MAINTENANCE — bucket-preserving compaction of a [[persistLshIndex]]
@@ -504,11 +522,17 @@ object Dedup {
       buckets: Int
   ): Unit = {
     val tomb = graft.ext.Similarity.tombTable(table)
-    // exact-duplicate rows from an overlapping append are inert at probe
-    // time (probeLshIndex distincts pairs) but index bloat — compaction
-    // heals them, mirroring compactAnnIndex
+    // content dedup keeping the highest era: duplicate rows from an
+    // overlapping append are inert at probe time (probeLshIndex distincts
+    // pairs) but index bloat — compaction heals them, mirroring
+    // compactAnnIndex; max(seq) keeps the survivor deterministic and
+    // maximally visible against future explicit-era tombstones
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("band", "bh"), lshIndexLive(s, table).dropDuplicates())
+      s, table, buckets, Seq("band", "bh"),
+      lshIndexLive(s, table)
+        .groupBy(col("band"), col("bh"), col("corpus_id"))
+        .agg(max(col("seq")).as("seq"))
+        .select(col("band"), col("bh"), col("corpus_id"), col("seq")))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
@@ -1562,6 +1586,42 @@ object Dedup {
     df.join(dropped, idCol === col("__drop"), "left_anti")
   }
 
+  /** QUALITY-AWARE [[semanticSurvivors]] — the RefinedWeb convention
+    * ([[survivorsBy]]) applied to the semantic path: per near-dup pair,
+    * drop the member with the LOWER score (ties → keep the lower id, the
+    * same tiebreak as the quality-blind form). The greedy pairwise shape
+    * is kept on purpose — in any pair exactly one member loses, so the
+    * kept set is total-order-reproducible and the corpus still shuffles
+    * once; only the election key changed from id order to (score, −id)
+    * order.
+    *
+    * Scale shape: the pair frame is output-grain (small); its two score
+    * joins broadcast the pairs, and the final anti-join's dropped side is
+    * ≤ one id per pair.
+    *
+    * @param scoreCol quality score column of `df` (higher = better —
+    *                 [[TextStats.qualityScore]], length, recency)
+    */
+  def semanticSurvivorsBy(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      tau: Double,
+      scoreCol: Column,
+      maxCell: Int = 0
+  ): DataFrame = {
+    val sc = df.select(idCol.as("__sid"), scoreCol.as("__s"))
+    val dropped = semanticPairs(df, idCol, vecCol, cents, tau, maxCell)
+      .join(sc.select(col("__sid").as("id_lo"), col("__s").as("s_lo")), "id_lo")
+      .join(sc.select(col("__sid").as("id_hi"), col("__s").as("s_hi")), "id_hi")
+      // id_lo < id_hi by construction, so the tie keeps the lower id
+      .select(
+        when(col("s_lo") >= col("s_hi"), col("id_hi")).otherwise(col("id_lo")).as("__drop"))
+      .distinct()
+    df.join(dropped, idCol === col("__drop"), "left_anti")
+  }
+
   /** One (id, vec, cell, nrm) row per vector: quantize, assign the nearest
     * trained cell (map-side argmin, first-min tie rule — the IVF
     * assignment shape), stage the norm. Shared by the self-join pair
@@ -1599,12 +1659,17 @@ object Dedup {
       vecCol: Column,
       cents: Array[Seq[Long]],
       table: String,
-      buckets: Int
-  ): Unit =
+      buckets: Int,
+      era: Long = 0L
+  ): Unit = {
+    // fresh build ⇒ fresh retraction history, like the other two indexes
+    corpus.sparkSession.sql(
+      s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
     graft.sources.Sources.writeBucketed(
       semanticAssigned(corpus, idCol, vecCol, cents)
-        .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm")),
+        .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm"), lit(era).as("seq")),
       table, buckets, "cell")
+  }
 
   /** MAINTENANCE — append a batch to a [[persistSemanticIndex]] table,
     * assigned with the PINNED centroid matrix (no retrain, no rebuild):
@@ -1620,8 +1685,10 @@ object Dedup {
     * probe emits one pair per matching index ROW (no distinct — justified
     * by one-cell-per-id), so a batch appended twice (at-least-once retry)
     * produces DUPLICATE pairs at probe time until [[compactSemanticIndex]]
-    * dedupes the rows. Retry-prone writers should compact after recovery,
-    * or make the append idempotent upstream.
+    * dedupes the rows. Retry-prone writers pass
+    * `distinctPairs = true` to [[probeSemanticIndex]] (the enforced
+    * at-least-once posture — DedupSpec pins both behaviors) or compact
+    * after recovery.
     */
   def appendSemanticIndex(
       incoming: DataFrame,
@@ -1629,11 +1696,12 @@ object Dedup {
       vecCol: Column,
       cents: Array[Seq[Long]],
       table: String,
-      buckets: Int
+      buckets: Int,
+      era: Long = graft.ext.Similarity.nextEra()
   ): Unit =
     graft.sources.Sources.appendBucketed(
       semanticAssigned(incoming, idCol, vecCol, cents)
-        .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm")),
+        .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm"), lit(era).as("seq")),
       table, buckets, "cell")
 
   /** MAINTENANCE — the delete/retract half for the semantic cell index:
@@ -1647,11 +1715,12 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession,
       table: String,
       ids: DataFrame,
-      idCol: Column
+      idCol: Column,
+      era: Long = graft.ext.Similarity.nextEra()
   ): Unit = {
     graft.sources.Sources.dropStaleLocation(s, graft.ext.Similarity.tombTable(table))
     ids
-      .select(idCol.cast("long").as("corpus_id"))
+      .select(idCol.cast("long").as("corpus_id"), lit(era).as("tomb_seq"))
       .distinct()
       .write
       .mode("append")
@@ -1671,20 +1740,31 @@ object Dedup {
       buckets: Int
   ): Unit = {
     val tomb = graft.ext.Similarity.tombTable(table)
+    // content dedup keeping the highest era (overlapping-append healing,
+    // same doctrine as the other two indexes' compactions)
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("cell"), semanticIndexLive(s, table).dropDuplicates())
+      s, table, buckets, Seq("cell"),
+      semanticIndexLive(s, table)
+        .groupBy(col("cell"), col("corpus_id"), col("vec"), col("nrm"))
+        .agg(max(col("seq")).as("seq"))
+        .select(col("cell"), col("corpus_id"), col("vec"), col("nrm"), col("seq")))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
   /** The live rows of a persisted semantic index: the bucketed scan minus
-    * its tombstones (broadcast anti-join; bare scan when none exist).
+    * its era-qualified tombstones (broadcast anti-join on id with the
+    * `seq ≤ tomb_seq` condition; bare scan when none exist).
     */
   private def semanticIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val tomb = graft.ext.Similarity.tombTable(table)
     val idx = s.table(table)
-    if (s.catalog.tableExists(tomb))
-      idx.join(broadcast(s.table(tomb)), Seq("corpus_id"), "left_anti")
-    else idx
+    if (s.catalog.tableExists(tomb)) {
+      val t = s.table(tomb)
+      idx.join(
+        broadcast(t),
+        idx("corpus_id") === t("corpus_id") && idx("seq") <= t("tomb_seq"),
+        "left_anti")
+    } else idx
   }
 
   /** QUERY TIME — paid per batch, corpus side exchange-free: assign the
@@ -1693,7 +1773,12 @@ object Dedup {
     * cosine ≥ tau. Identical pair semantics to restricting
     * [[semanticPairs]] to cross-side pairs — layout is execution, not
     * meaning. Each vector lives in exactly ONE cell, so no distinct is
-    * needed (unlike the banded LSH probe). Tombstoned ids
+    * needed (unlike the banded LSH probe) — UNLESS the index may hold
+    * duplicate rows from an at-least-once append retry or a
+    * delete-then-reappend (the re-appended row coexists with the
+    * tombstoned one until compaction folds them): `distinctPairs = true`
+    * is the enforced posture for such writers, paying one output-grain
+    * distinct for exactly-once pair semantics. Tombstoned ids
     * ([[deleteFromSemanticIndex]]) anti-join out before the cell join.
     *
     * @return (new_id, corpus_id, sim) pairs with sim ≥ tau
@@ -1705,9 +1790,10 @@ object Dedup {
       idCol: Column,
       vecCol: Column,
       cents: Array[Seq[Long]],
-      tau: Double
-  ): DataFrame =
-    semanticAssigned(incoming, idCol, vecCol, cents)
+      tau: Double,
+      distinctPairs: Boolean = false
+  ): DataFrame = {
+    val pairs = semanticAssigned(incoming, idCol, vecCol, cents)
       .select(col("cell"), col("id").as("new_id"), col("vec").as("vec_new"),
         col("nrm").as("nrm_new"))
       .join(semanticIndexLive(s, table), Seq("cell"))
@@ -1717,4 +1803,6 @@ object Dedup {
         round(Similarity.dot(col("vec_new"), col("vec")) / (col("nrm_new") * col("nrm")), 6)
           .as("sim"))
       .filter(col("sim") >= tau)
+    if (distinctPairs) pairs.distinct() else pairs
+  }
 }

@@ -553,24 +553,166 @@ object Multimodal {
     // query's time by forcing the shuffle broadcast avoids. The query's
     // remaining exchange is the pair-output distinct — output-grain,
     // not corpus-grain: a pair ships only once it verified ≤ maxHamming.
-    val banded = hashes
-      .select(
-        col("asset_id"),
-        col(hashCol).as("__h"),
-        explode(
-          array((0 until 4).map(b =>
-            struct(lit(b).as("band"), shiftright(col(hashCol), b * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
-        ).as("bb")
-      )
-      .select(col("asset_id"), col("__h"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val lo = banded.select(col("band"), col("bv"), col("asset_id").as("id_lo"), col("__h").as("h_lo"))
-    val hi = banded.select(col("band"), col("bv"), col("asset_id").as("id_hi"), col("__h").as("h_hi"))
+    val banded = bandedFingerprints(hashes, "asset_id", hashCol)
+    val lo = banded.select(col("band"), col("bv"), col("id").as("id_lo"), col("fp").as("h_lo"))
+    val hi = banded.select(col("band"), col("bv"), col("id").as("id_hi"), col("fp").as("h_hi"))
     lo.join(hi, Seq("band", "bv"))
       .filter(col("id_lo") < col("id_hi"))
       .select(col("id_lo"), col("id_hi"), bit_count(col("h_lo").bitwiseXOR(col("h_hi"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** One (band, bv, id, fp) row per fingerprint per band — the shared
+    * banding of the Hamming-LSH family (4 × 14-bit slices of a 56-bit
+    * fingerprint), factored so the self-join pair generator and the
+    * persisted index cannot drift in band assignment.
+    */
+  private def bandedFingerprints(hashes: DataFrame, idCol: String, hashCol: String): DataFrame =
+    hashes
+      .select(
+        col(idCol).as("id"),
+        col(hashCol).as("fp"),
+        explode(
+          array((0 until 4).map(b =>
+            struct(lit(b).as("band"), shiftright(col(hashCol), b * 14).bitwiseAND(lit(16383L)).as("bv"))): _*)
+        ).as("bb")
+      )
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("id"), col("fp"))
+
+  /** LAYOUT TIME — persist the image near-dup index: dHash band buckets
+    * written `bucketBy(band, bv)`, the same lifecycle doctrine as the text
+    * LSH index ([[graft.ext.Dedup.persistLshIndex]]) applied to the image
+    * modality. Every later batch of incoming images probes the corpus side
+    * EXCHANGE-FREE ("does this new image dup the corpus" — the production
+    * shape the self-join pair generator cannot serve incrementally). The
+    * stored row is (band, bv, corpus_id, fp, seq): the full fingerprint
+    * rides along so the exact `bit_count(xor)` verify needs no second
+    * corpus join, and `seq` is the append era the tombstone half keys on.
+    */
+  def persistImageIndex(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      table: String,
+      buckets: Int,
+      era: Long = 0L
+  ): Unit = {
+    // fresh build ⇒ fresh retraction history (same doctrine as the other
+    // persisted indexes)
+    hashes.sparkSession.sql(
+      s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
+    graft.sources.Sources.writeBucketed(
+      bandedFingerprints(hashes, idCol, hashCol)
+        .select(col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
+      table, buckets, "band", "bv")
+  }
+
+  /** MAINTENANCE — append a batch's fingerprints to a
+    * [[persistImageIndex]] table under the same bucket spec: one map-side
+    * banding pass, one bucketed append; the table stays exchange-free for
+    * every future probe. Append-then-probe ≡ rebuild-then-probe exactly
+    * (banding is a per-row function of the fingerprint alone).
+    */
+  def appendImageIndex(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      table: String,
+      buckets: Int,
+      era: Long = graft.ext.Similarity.nextEra()
+  ): Unit =
+    graft.sources.Sources.appendBucketed(
+      bandedFingerprints(hashes, idCol, hashCol)
+        .select(col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
+      table, buckets, "band", "bv")
+
+  /** MAINTENANCE — the retraction half (takedown of corpus images):
+    * era-stamped tombstones, broadcast anti-joined out of every probe —
+    * the image twin of [[graft.ext.Dedup.deleteFromLshIndex]]. A later
+    * re-append of the same id (higher era) is visible immediately.
+    */
+  def deleteFromImageIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      ids: DataFrame,
+      idCol: Column,
+      era: Long = graft.ext.Similarity.nextEra()
+  ): Unit = {
+    graft.sources.Sources.dropStaleLocation(s, graft.ext.Similarity.tombTable(table))
+    ids
+      .select(idCol.cast("long").as("corpus_id"), lit(era).as("tomb_seq"))
+      .distinct()
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(graft.ext.Similarity.tombTable(table))
+  }
+
+  /** The live rows of a persisted image index: the bucketed scan minus its
+    * era-qualified tombstones (broadcast anti-join; bare scan when none
+    * exist, so pre-delete plans are unchanged).
+    */
+  private def imageIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    val idx = s.table(table)
+    if (s.catalog.tableExists(tomb)) {
+      val t = s.table(tomb)
+      idx.join(
+        broadcast(t),
+        idx("corpus_id") === t("corpus_id") && idx("seq") <= t("tomb_seq"),
+        "left_anti")
+    } else idx
+  }
+
+  /** MAINTENANCE — bucket-preserving compaction: folds tombstones into
+    * the files, dedupes overlapping-append rows on content keeping the
+    * highest era, merges each (band, bv) bucket back to one file without
+    * changing the bucket hashing (probes stay exchange-free and
+    * hash-identical).
+    */
+  def compactImageIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int
+  ): Unit = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    graft.sources.Sources.compactBucketed(
+      s, table, buckets, Seq("band", "bv"),
+      imageIndexLive(s, table)
+        .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
+        .agg(max(col("seq")).as("seq"))
+        .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq")))
+    s.sql(s"DROP TABLE IF EXISTS $tomb")
+  }
+
+  /** QUERY TIME — probe a [[persistImageIndex]] table with a batch of
+    * incoming fingerprints: band the batch map-side, join the live index
+    * on (band, bv) with NO exchange on the corpus side (PlanAuditSpec),
+    * verify candidates exactly with `bit_count(xor)`. Identical pair
+    * semantics to [[hammingNearDupPairs]] restricted to cross-side pairs;
+    * self-pairs (a re-crawled id probing its own stored row) are excluded
+    * by id.
+    *
+    * @return (new_id, corpus_id, hamming) with hamming ≤ maxHamming, distinct
+    */
+  def probeImageIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int
+  ): DataFrame =
+    bandedFingerprints(incoming, idCol, hashCol)
+      .select(col("band"), col("bv"), col("id").as("new_id"), col("fp").as("h_new"))
+      .join(imageIndexLive(s, table), Seq("band", "bv"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(
+        col("new_id"), col("corpus_id"),
+        bit_count(col("h_new").bitwiseXOR(col("fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
 
   /** Target-dimension arithmetic alone (no pixels) — kept as the cheap
     * metadata projection for non-image media whose decode the JDK lacks.

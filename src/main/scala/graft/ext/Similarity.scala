@@ -441,10 +441,18 @@ object Similarity {
       coarse: Array[Seq[Long]],
       books: Array[Array[Seq[Long]]],
       table: String,
-      buckets: Int
-  ): Unit =
+      buckets: Int,
+      era: Long = 0L
+  ): Unit = {
+    // a fresh build starts a fresh retraction history: leftover tombstones
+    // from a previous fixture/epoch under the same name would silently
+    // over-delete the new content (observed risk: tableOnce rebuilds across
+    // sf keys appended into a stale tomb table)
+    corpus.sparkSession.sql(s"DROP TABLE IF EXISTS `${tombTable(table)}`")
     graft.sources.Sources.writeBucketed(
-      ivfPqIndexFrame(corpus, idCol, vecCol, coarse, books), table, buckets, "cell")
+      ivfPqIndexFrame(corpus, idCol, vecCol, coarse, books).withColumn("seq", lit(era)),
+      table, buckets, "cell")
+  }
 
   /** MAINTENANCE — append new vectors to a [[persistAnnIndex]] table,
     * encoded with the FITTED model (the memoized coarse/books — no
@@ -465,16 +473,60 @@ object Similarity {
       coarse: Array[Seq[Long]],
       books: Array[Array[Seq[Long]]],
       table: String,
-      buckets: Int
+      buckets: Int,
+      era: Long = nextEra()
   ): Unit =
     graft.sources.Sources.appendBucketed(
-      ivfPqIndexFrame(incoming, idCol, vecCol, coarse, books), table, buckets, "cell")
+      ivfPqIndexFrame(incoming, idCol, vecCol, coarse, books).withColumn("seq", lit(era)),
+      servingTable(incoming.sparkSession, table), buckets, "cell")
 
-  /** The tombstone companion table of a persisted index — one `cand_id`
-    * per retracted vector, model/metadata-sized (takedown scale, never
-    * corpus scale).
+  /** The tombstone companion table of a persisted index — one
+    * (`cand_id`, `tomb_seq`) row per retraction, model/metadata-sized
+    * (takedown scale, never corpus scale). `tomb_seq` is the retraction's
+    * ERA: the tombstone hides index rows of that id whose append era is
+    * ≤ `tomb_seq`, so a LATER re-append of the same id is visible
+    * immediately — delete-then-reappend composes without waiting for a
+    * compaction (the reference-rooted contract: J4's retraction composes
+    * with new arrivals, chicago/permit_cleaning.py:838-883).
     */
   private[graft] def tombTable(table: String): String = table + "_tomb"
+
+  /** Strictly-increasing era stamp for index maintenance operations:
+    * wall-clock anchored (so independently-restarted maintenance JVMs
+    * still order correctly at takedown timescales) and monotonic within
+    * the JVM (so probe→append→delete inside one micro-batch orders even
+    * under a frozen clock). Era VALUES never appear in query results —
+    * only their relative order carries meaning — so auto-stamped eras
+    * keep every probe output deterministic.
+    */
+  private val eraCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def nextEra(): Long =
+    eraCounter.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
+  /** Resolve the SERVING physical table of a logical index name: the
+    * highest published version `<table>__v<N>` if any rebuild has run,
+    * else the bare `<table>`. [[rebuildAnnIndex]] publishes a fully-built
+    * version with one atomic catalog RENAME and retires only versions two
+    * generations back, so a reader that resolved here keeps a physical
+    * table whose files never move for at least one full rebuild cycle —
+    * no missing-table window, no mixed-era reads (the drop-then-rename
+    * swap this replaces had both).
+    */
+  private[graft] def servingTable(s: org.apache.spark.sql.SparkSession, table: String): String =
+    servingVersion(s, table) match {
+      case 0 => table
+      case n => s"${table}__v$n"
+    }
+
+  private val VersionSuffix = "__v(\\d+)$".r
+
+  private[graft] def servingVersion(s: org.apache.spark.sql.SparkSession, table: String): Int = {
+    val db = s.sessionState.catalog.getCurrentDatabase
+    s.sessionState.catalog
+      .listTables(db, s"${table}__v*")
+      .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
+      .sorted.lastOption.getOrElse(0)
+  }
 
   /** MAINTENANCE — the delete/retract half of the [[appendAnnIndex]]
     * cycle: record the retracted ids in the index's tombstone table, and
@@ -492,21 +544,22 @@ object Similarity {
     * new batch (chicago/permit_cleaning.py:838-883) — applied to the
     * serving index instead of the upload frame.
     *
-    * Deleting an id also makes a LATER re-append of that id visible
-    * again only after the tombstone is compacted away — callers that
-    * re-ingest retracted ids must compact between the delete and the
-    * re-append (delete is "remove this id's CURRENT rows", and the
-    * anti-join cannot date-partition rows it never sees).
+    * ERA-AWARE: the tombstone is stamped with `era` and hides only index
+    * rows appended at era ≤ `era` (delete is "remove this id's rows AS OF
+    * now"). A later re-append of the same id lands at a higher era and is
+    * visible immediately — no forced compaction between a takedown
+    * reversal and its re-crawl.
     */
   def deleteFromAnnIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
       ids: DataFrame,
-      idCol: String
+      idCol: String,
+      era: Long = nextEra()
   ): Unit = {
     graft.sources.Sources.dropStaleLocation(s, tombTable(table))
     ids
-      .select(col(idCol).cast("long").as("cand_id"))
+      .select(col(idCol).cast("long").as("cand_id"), lit(era).as("tomb_seq"))
       .distinct()
       .write
       .mode("append")
@@ -514,16 +567,22 @@ object Similarity {
       .saveAsTable(tombTable(table))
   }
 
-  /** The live rows of a persisted ANN index: the bucketed scan minus its
-    * tombstones (broadcast anti-join — the index side's bucketed output
-    * partitioning survives, PlanAuditSpec-asserted). No tombstone table ⇒
-    * the bare scan, byte-identical plan to the pre-delete era.
+  /** The live rows of a persisted ANN index: the serving version's
+    * bucketed scan minus its era-qualified tombstones (broadcast anti-join
+    * on id with the `seq ≤ tomb_seq` era condition riding the same
+    * broadcast — the index side's bucketed output partitioning survives,
+    * PlanAuditSpec-asserted). No tombstone table ⇒ the bare scan,
+    * byte-identical plan to the pre-delete era.
     */
   private def annIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
-    val idx = s.table(table)
-    if (s.catalog.tableExists(tombTable(table)))
-      idx.join(broadcast(s.table(tombTable(table))), Seq("cand_id"), "left_anti")
-    else idx
+    val idx = s.table(servingTable(s, table))
+    if (s.catalog.tableExists(tombTable(table))) {
+      val tomb = s.table(tombTable(table))
+      idx.join(
+        broadcast(tomb),
+        idx("cand_id") === tomb("cand_id") && idx("seq") <= tomb("tomb_seq"),
+        "left_anti")
+    } else idx
   }
 
   /** MAINTENANCE — fold the tombstones into the files and merge each
@@ -541,14 +600,19 @@ object Similarity {
       buckets: Int
   ): Unit = {
     val tomb = tombTable(table)
-    // dropDuplicates: an OVERLAPPING append (at-least-once foreachBatch
-    // retry) stores a row twice with identical (cand_id, cell, codes) —
-    // semantically inert at probe time (TopKHeap's set semantics hold the
-    // pair once) but index bloat; compaction is the healing point. Exact
-    // full-row dedup only — distinct ids with different codes are distinct
-    // rows by contract (delete-then-reappend goes through compaction).
+    // content dedup keeping the HIGHEST era: an OVERLAPPING append
+    // (at-least-once foreachBatch retry) stores a row twice with identical
+    // (cand_id, cell, codes) but distinct auto-eras — semantically inert at
+    // probe time (TopKHeap's set semantics hold the pair once) but index
+    // bloat; compaction is the healing point. max(seq) keeps the survivor
+    // deterministic AND maximally visible against any future explicit-era
+    // tombstone. Distinct ids with different codes are distinct rows.
+    val live = annIndexLive(s, table)
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("cell"), annIndexLive(s, table).dropDuplicates())
+      s, servingTable(s, table), buckets, Seq("cell"),
+      live.groupBy(col("cand_id"), col("cell"), col("codes"))
+        .agg(max(col("seq")).as("seq"))
+        .select(col("cand_id"), col("cell"), col("codes"), col("seq")))
     // the rewrite materialized the anti-join — retire the applied tombstones
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
@@ -556,19 +620,26 @@ object Similarity {
   /** MAINTENANCE — blue/green REBUILD, the staleness loop's last arc:
     * when [[pqQuantError]] says the aged model no longer fits the corpus
     * (append-only maintenance under a pinned model can only drift), build
-    * the retrained index ASIDE under `<table>__next` — serving reads are
-    * untouched while the full-corpus encode runs — then swap it into the
-    * serving name and clear the old tombstones (the new index is built
-    * from the already-retraction-applied corpus; stale tombstones would
-    * wrongly hide re-crawled ids).
+    * the retrained index ASIDE — serving reads are untouched while the
+    * full-corpus encode runs — then PUBLISH it as the next serving
+    * version.
     *
-    * The swap is drop-then-rename through the session catalog — LAST
-    * WRITER WINS, not transactional: a probe planned in the gap sees a
-    * missing table. True atomic swap needs a transactional table format
-    * (Delta/Iceberg `REPLACE TABLE`); on a plain catalog, serve-side
-    * retry-on-missing or a scheduled maintenance window covers the gap.
-    * The bucket spec is catalog metadata and survives the rename —
-    * post-swap probes still plan exchange-free (spec-asserted).
+    * PROBE-SAFE publication on a plain (non-transactional) catalog:
+    * versions are immutable physical tables `<table>__v<N>`; the build
+    * stages under `<table>__v<N>__build` (never resolved by readers) and
+    * publication is ONE catalog RENAME `__build → __v<N>` — a reader's
+    * [[servingTable]] resolution sees either version N−1 or N, never a
+    * missing name and never a half-written table. The previous version is
+    * RETIRED ONLY ON THE NEXT REBUILD (grace of one full rebuild cycle —
+    * full-corpus encodes take far longer than any probe), so a probe that
+    * resolved the old version keeps files that never move. The bucket
+    * spec is catalog metadata and survives the rename — post-publish
+    * probes still plan exchange-free (spec-asserted).
+    *
+    * The new version's rows are stamped at a FRESH era, so tombstones
+    * accumulated against the old version (lower eras) cannot hide any
+    * re-crawled id in it — the tombstone drop afterwards is hygiene, not
+    * a correctness window.
     */
   def rebuildAnnIndex(
       s: org.apache.spark.sql.SparkSession,
@@ -580,11 +651,19 @@ object Similarity {
       books: Array[Array[Seq[Long]]],
       buckets: Int
   ): Unit = {
-    val next = table + "__next"
-    persistAnnIndex(corpus, idCol, vecCol, coarse, books, next, buckets)
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val cur = servingVersion(s, table)
+    val next = s"${table}__v${cur + 1}"
+    val bld = next + "__build"
+    // persistAnnIndex drops tombTable(bld) — a no-op companion; the real
+    // tombstones (keyed by the LOGICAL name) stay live for current readers
+    persistAnnIndex(corpus, idCol, vecCol, coarse, books, bld, buckets, era = nextEra())
+    s.sql(s"ALTER TABLE `$bld` RENAME TO `$next`") // atomic publication
+    // hygiene: stale tombstones can't hide the new era's rows, and the new
+    // index is built from the already-retraction-applied corpus
     s.sql(s"DROP TABLE IF EXISTS `${tombTable(table)}`")
-    s.sql(s"ALTER TABLE `$next` RENAME TO `$table`")
+    // retire generations ≤ cur−1; version cur stays as the reader grace set
+    (1 until cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
+    if (cur >= 1) s.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
   /** STALENESS SIGNAL — the PQ quantization error of an ALREADY-quantized

@@ -926,6 +926,16 @@ private[queries] object OracleSql {
     annIndexScoredSqlFor(
       "vec_id >= 100 AND vec_id < 140", 3, candExclude = md5GateSql("a.vec_id", 5))
 
+  /** ann_index_reappend twin: rebuild WITH the re-appended even half of
+    * the retracted stratum — era-stamped tombstones (hide rows at era ≤
+    * tomb_seq only) make a delete-then-reappend visible immediately, so
+    * the excluded set is the deleted stratum MINUS its re-appends.
+    */
+  private[queries] lazy val annIndexReappendSql: String =
+    annIndexScoredSqlFor(
+      "vec_id >= 260 AND vec_id < 300", 3,
+      candExclude = s"(${md5GateSql("a.vec_id", 5)}) AND a.vec_id % 2 <> 0")
+
   /** ann_index_compact twin: identical CONTENT contract as the delete
     * twin under a different probe stratum — compaction (fold tombstones,
     * merge each bucket's append file-sets to one file) is layout, not
@@ -951,30 +961,46 @@ private[queries] object OracleSql {
     streamAnnCycleSqlFor(
       s"NOT (${md5GateSql("a.vec_id", 4)}) OR (a.vec_id % 2 = 0 AND p.query_id % 2 = 1)")
 
-  /** stream_ann_index_retract twin: the maintain visibility PLUS the
-    * retraction — era-0 candidates stay visible to batch-A queries
-    * (probe-before-delete) but the md5%5 takedown stratum vanishes for
-    * batch-B queries; batch A's appended vectors still serve batch B.
+  /** stream_ann_index_retract twin: arrival order, retraction AND
+    * re-append over THREE stream batches. Era-0 candidates stay visible
+    * to epoch-1 queries (probe-before-delete); the md5%5 takedown stratum
+    * vanishes for epoch-2 queries (batch B's own U set plus the
+    * re-appended vectors themselves, which probe too); epoch-3 queries
+    * see the takedown stratum's RE-APPENDED even half again (its fresh
+    * era beats the tombstone — the D-then-U visibility) plus both earlier
+    * batches' appends.
     */
-  private[queries] lazy val streamAnnRetractSql: String =
-    // the batch-A disjunct must be GATED (unlike maintain's, where the
-    // laxity was absorbed by the era-0 disjunct): an era-0 even id denied
-    // by the retraction clause must not be re-granted as "batch A"
+  private[queries] lazy val streamAnnRetractSql: String = {
+    val mdA = md5GateSql("a.vec_id", 4) // candidate is stream-stratum (gated)
+    val delA = md5GateSql("a.vec_id", 5) // candidate is takedown-gated
+    val mq = md5GateSql("p.query_id", 4) // query is stream-stratum
+    // query is a re-appended takedown vector (probes in batch B)
+    val rvq = s"(NOT (${md5GateSql("p.query_id", 4)}) AND (${md5GateSql("p.query_id", 5)}) AND p.query_id % 2 = 0)"
     streamAnnCycleSqlFor(
-      s"""( NOT (${md5GateSql("a.vec_id", 4)})
-                  AND (p.query_id % 2 = 0 OR NOT (${md5GateSql("a.vec_id", 5)})) )
-                OR ( (${md5GateSql("a.vec_id", 4)})
-                  AND a.vec_id % 2 = 0 AND p.query_id % 2 = 1 )""")
+      s"""( NOT ($mdA) AND (
+                    ( ($mq) AND p.query_id % 2 = 0 )
+                    OR ( ( (($mq) AND p.query_id % 4 = 1) OR $rvq ) AND NOT ($delA) )
+                    OR ( ($mq) AND p.query_id % 4 = 3
+                         AND (NOT ($delA) OR a.vec_id % 2 = 0) )
+                  ) )
+                OR ( ($mdA) AND a.vec_id % 2 = 0
+                     AND ( (($mq) AND p.query_id % 2 = 1) OR $rvq ) )
+                OR ( ($mdA) AND a.vec_id % 4 = 1 AND ($mq) AND p.query_id % 4 = 3 )""",
+      queryPred =
+        s"(${md5GateSql("vec_id", 4)}) OR (NOT (${md5GateSql("vec_id", 4)}) AND (${md5GateSql("vec_id", 5)}) AND vec_id % 2 = 0)")
+  }
 
   /** The shared two-batch ANN maintenance-cycle oracle: IVFPQ serving
     * under the full-corpus-trained model with an explicit candidate
     * VISIBILITY predicate (arrival order, retraction) over probe pairs
     * (p = query rows, a = candidate assignment rows).
     */
-  private[queries] def streamAnnCycleSqlFor(visibility: String): String = {
+  private[queries] def streamAnnCycleSqlFor(
+      visibility: String,
+      queryPred: String = md5GateSql("vec_id", 4)
+  ): String = {
     val nsub = 4
-    val gate = md5GateSql("vec_id", 4)
-    qzCte + "\n        " + ivfKmeansCtes(gate, 2) + s"""
+    qzCte + "\n        " + ivfKmeansCtes(queryPred, 2) + s"""
       , cand AS (
         SELECT DISTINCT p.query_id, a.vec_id AS cand_id
         FROM qprobe p JOIN assign a ON a.cell = p.cell
@@ -1033,6 +1059,74 @@ private[queries] object OracleSql {
       FROM (SELECT 'base' AS population, qe FROM qb
             UNION ALL SELECT 'appended_drifted' AS population, qe FROM qa)
       GROUP BY population"""
+  }
+
+  /** index_maintenance_plan twin: the staleness oracle's drift sums
+    * reduced to ONE exact integer ppm ratio (HUGEINT cross-multiplied
+    * floor division — bit-identical to the engine's remainder-subtraction
+    * decimal form), the two other indexes' censuses derived from the same
+    * md5/modulo strata their fixtures are built from, and the decision
+    * CASE replaying the engine's plan-literal thresholds verbatim.
+    * `append_eras` per index is a fixture constant (the build recipe:
+    * ANN = persist + one append = 2; LSH/semantic = persist only = 1).
+    */
+  private[queries] lazy val indexMaintenancePlanSql: String = {
+    val nsub = 4
+    val dsub = 16
+    val baseMins = (0 until nsub)
+      .map(j => s"""
+      , qb_$j AS (SELECT vec_id, min(d) AS qe FROM d2_$j GROUP BY vec_id)""")
+      .mkString
+    val driftMins = (0 until nsub)
+      .map(j => s"""
+      , qa_$j AS (
+        SELECT z.vec_id, min(list_sum(list_transform(range(1, ${dsub + 1}),
+          i -> (z.q[i + ${j * dsub}] - c.cq[i]) * (z.q[i + ${j * dsub}] - c.cq[i])))) AS qe
+        FROM qzd z CROSS JOIN c1_$j c GROUP BY z.vec_id)""")
+      .mkString
+    def sumJoin(prefix: String): String =
+      s"""SELECT a0.vec_id, ${(0 until nsub).map(j => s"a$j.qe").mkString(" + ")} AS qe
+        FROM ${prefix}_0 a0 ${(1 until nsub)
+          .map(j => s"JOIN ${prefix}_$j a$j ON a$j.vec_id = a0.vec_id")
+          .mkString(" ")}"""
+    qzCte + pqSubspaceCtesSql(nsub, 4, dsub) + s"""
+      , qzd AS (
+        SELECT vec_id, list_transform(range(1, 65), i ->
+          CAST(floor((CAST(embedding[i] AS DOUBLE) + 0.25) * 1000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings WHERE ${md5GateSql("vec_id", 4)})
+      $baseMins
+      $driftMins
+      , qb AS (${sumJoin("qb")})
+      , qa AS (${sumJoin("qa")})
+      , drift AS (
+        SELECT CAST(
+          (CAST((SELECT sum(qe) FROM qa) AS HUGEINT) * (SELECT count(*) FROM qb) * 1000000)
+          // (CAST((SELECT sum(qe) FROM qb) AS HUGEINT) * (SELECT count(*) FROM qa))
+          AS BIGINT) AS drift_ppm)
+      , census AS (
+        SELECT 'ann_ivfpq' AS index_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS index_docs,
+               CAST(0 AS BIGINT) AS tomb_entries,
+               CAST(2 AS BIGINT) AS append_eras,
+               (SELECT drift_ppm FROM drift) AS drift_ppm
+        UNION ALL
+        SELECT 'lsh_text',
+               (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 <> 0),
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE doc_id % 5 <> 0 AND (${md5GateSql("doc_id", 3)})),
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'semantic_cell',
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0),
+               CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      SELECT index_name, index_docs, tomb_entries, append_eras,
+             (tomb_entries * 1000000) // greatest(index_docs, 1) AS tomb_ppm,
+             drift_ppm,
+             CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
+                  WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
+                       OR append_eras >= 4 THEN 'compact'
+                  ELSE 'none' END AS decision
+      FROM census"""
   }
 
   /** The KLL quantile read (level-4 gate over orders, deciles) — shared by

@@ -179,6 +179,43 @@ private[queries] object QDedup {
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
     },
+    // DELETE-THEN-REAPPEND — the takedown-reversal/re-crawl workflow the
+    // id-only tombstone could not express (a re-appended id stayed hidden
+    // behind its own stale tombstone until compaction): tombstones are now
+    // ERA-stamped and hide only rows appended at era ≤ tomb_seq, so the
+    // re-appended even half of the retracted stratum is visible
+    // IMMEDIATELY — no compaction between the delete and the re-append.
+    // Oracle = rebuild WITH the re-appended docs: at sf0.01 the pairs
+    // 455→26, 120→332, 295→374, 435→486 exist ONLY via the re-append,
+    // while 45→413 and 420→393 (odd, not re-appended) stay retracted
+    "dedup_index_reappend" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val idxTable = Scratch.table("lsh_idx_reapp")
+      Scratch.registerTable(graft.ext.Similarity.tombTable(idxTable))
+      val delGate = graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 7L) === 0
+      Scratch.tableOnce(idxTable, dir) {
+        Dedup.persistLshIndex(
+          corpus, col("doc_id"), col("text"), table = idxTable, buckets = 8,
+          n = 3, k = 8, bands = 4)
+        Dedup.deleteFromLshIndex(s, idxTable, docs.filter(delGate), col("doc_id"))
+        Dedup.appendLshIndex(
+          corpus.filter(delGate && col("doc_id") % 2 === 0),
+          col("doc_id"), col("text"), idxTable, buckets = 8, n = 3, k = 8, bands = 4)
+      }
+      val cands = Dedup.probeLshIndex(
+        s, idxTable, incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+    },
     // cluster resolution: LSH candidates -> connected components -> one,
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
@@ -292,6 +329,21 @@ private[queries] object QDedup {
       val e = tPar(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       Dedup.semanticSurvivors(e, col("vec_id"), col("embedding"), cents, tau = 0.42)
+        .select(col("vec_id"))
+    },
+    // QUALITY-AWARE semantic survivors (the RefinedWeb election the CC
+    // path got in dedup_survivors_quality, now on the semantic path too):
+    // per within-cell pair at cos >= tau, drop the member with the LOWER
+    // quality (doc length via the vec_id = doc_id fixture join; ties ->
+    // keep the lower id). Differs from the quality-blind kept set
+    // wherever a pair's higher id is the longer document
+    "dedup_semantic_survivors_quality" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      val q = t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("n_chars"))
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      Dedup.semanticSurvivorsBy(
+        e.join(q, "vec_id"), col("vec_id"), col("embedding"), cents,
+        tau = 0.42, scoreCol = col("n_chars"))
         .select(col("vec_id"))
     },
     // the PERSISTED-index form: the corpus's (cell, id, vec, nrm) frame is
@@ -553,6 +605,13 @@ private[queries] object QDedup {
     // pair set is defined identically, so the oracle is shared verbatim
     "dedup_incremental_bucketed" -> incrementalProbeSql,
     "dedup_index_delete" -> dedupIndexDeleteSql,
+    // rebuild WITH the re-appended docs: the retracted md5%7 stratum is
+    // excluded EXCEPT its re-appended even half — era-stamped tombstones
+    // make the re-append visible immediately (delete-then-reappend needs
+    // no compaction)
+    "dedup_index_reappend" -> incrementalProbeSqlFor(
+      "a.doc_id % 5 = 0",
+      s"b.doc_id % 5 <> 0 AND (NOT (${md5GateSql("b.doc_id", 7)}) OR b.doc_id % 2 = 0)"),
     "dedup_clusters" ->
       (clusterChainSql + """
         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id"""),
@@ -678,6 +737,23 @@ private[queries] object QDedup {
         )
         SELECT vec_id FROM qz
         WHERE vec_id NOT IN (SELECT id_hi FROM sprs WHERE sim >= 0.42)"""),
+    // quality election twin: per pair drop the SHORTER document (ties ->
+    // drop the higher id), replayed over the same trained-cell pair CTEs
+    "dedup_semantic_survivors_quality" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , av AS (
+          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
+        ), sprs AS (
+          SELECT x.cell, x.vec_id AS id_lo, y.vec_id AS id_hi,
+                 round(${cosSql("x.q", "y.q")}, 6) AS sim
+          FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ), drp AS (
+          SELECT CASE WHEN ca.n_chars >= cb.n_chars THEN p.id_hi ELSE p.id_lo END AS d
+          FROM (SELECT id_lo, id_hi FROM sprs WHERE sim >= 0.42) p
+          JOIN documents ca ON ca.doc_id = p.id_lo
+          JOIN documents cb ON cb.doc_id = p.id_hi
+        )
+        SELECT vec_id FROM qz WHERE vec_id NOT IN (SELECT d FROM drp)"""),
     "dedup_semantic_incremental" ->
       semanticProbeSqlFor("x.vec_id % 5 = 0", "y.vec_id % 5 <> 0"),
     // lifecycle twin: the corpus side is rebuild-WITHOUT-deleted (the

@@ -112,6 +112,54 @@ private[queries] object QMultimodal {
             .toDF(),
           maxHamming = 8)
     },
+    // PERSISTED image-hash index — the production shape the self-join
+    // cannot serve: "does this new image dup the corpus". The corpus
+    // images' dHash band buckets are written bucketBy(band, bv) ONCE
+    // (layout time, the text-LSH doctrine applied to the image modality);
+    // each incoming batch then probes the corpus side EXCHANGE-FREE
+    // (PlanAuditSpec) with the exact bit_count(xor) verify riding the
+    // stored fingerprint — no second corpus join
+    "mm_index_probe" -> { (s, dir) =>
+      val hashes = Multimodal
+        .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+      val tbl = Scratch.table("img_idx")
+      Scratch.tableOnce(tbl, dir)(
+        Multimodal.persistImageIndex(
+          hashes.filter(col("asset_id") % 5 =!= 0), "asset_id", "dhash", tbl, buckets = 8))
+      Multimodal.probeImageIndex(
+        s, tbl, hashes.filter(col("asset_id") % 5 === 0), "asset_id", "dhash", maxHamming = 8)
+    },
+    // the image index's FULL maintenance lifecycle (the same
+    // build→append→delete→compact symmetry the text/vector/semantic
+    // indexes carry): build one era, append the next under the same
+    // bucket spec, tombstone an md5%7 takedown stratum (era-stamped,
+    // broadcast anti-join), compact back to one file per bucket, probe.
+    // Oracle = rebuild-without-deleted: append and compaction are layout,
+    // the tombstone is meaning
+    "mm_index_maintain" -> { (s, dir) =>
+      val hashes = Multimodal
+        .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+      val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+      val tbl = Scratch.table("img_idx_mnt")
+      Scratch.registerTable(graft.ext.Similarity.tombTable(tbl))
+      Scratch.registerTable(tbl + "__compact_stage")
+      Scratch.tableOnce(tbl, dir) {
+        val g = graft.ops.Hashing.md5Mod(col("asset_id").cast("string"), 4L)
+        Multimodal.persistImageIndex(
+          corpus.filter(g =!= 0), "asset_id", "dhash", tbl, buckets = 8)
+        Multimodal.appendImageIndex(
+          corpus.filter(g === 0), "asset_id", "dhash", tbl, buckets = 8)
+        Multimodal.deleteFromImageIndex(
+          s, tbl,
+          hashes.filter(graft.ops.Hashing.md5Mod(col("asset_id").cast("string"), 7L) === 0),
+          col("asset_id"))
+        Multimodal.compactImageIndex(s, tbl, buckets = 8)
+      }
+      Multimodal.probeImageIndex(
+        s, tbl, hashes.filter(col("asset_id") % 5 === 0), "asset_id", "dhash", maxHamming = 8)
+    },
     // REAL multi-frame decode end-to-end: genuine animated GIF89a bytes
     // (explicit gray palette → lossless index coding) encoded executor-side,
     // then getNumImages/read(i) samples every 2nd frame; the oracle,
@@ -332,6 +380,33 @@ private[queries] object QMultimodal {
          FROM agg a LEFT JOIN mx m ON m.id = a.id""",
     "mm_image_dhash" -> dhashOracleSql,
     "mm_image_neardup" -> dhashNearDupOracleSql,
+    // incremental probe twin: cross-side banded collisions only (incoming
+    // %5 stratum vs the persisted corpus), exact Hamming verify — layout
+    // (bucketed index vs recompute) is execution, not meaning
+    "mm_index_probe" ->
+      s"""$dhashCtesSql,
+       bands AS (
+         SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
+              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
+         AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
+    // lifecycle twin: the corpus side is rebuild-WITHOUT-deleted (the
+    // tombstoned md5%7 stratum excluded) — append/compaction are layout
+    // under the same banding, so one probe oracle covers the cycle
+    "mm_index_maintain" ->
+      s"""$dhashCtesSql,
+       bands AS (
+         SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
+              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
+         AND NOT (${md5GateSql("r.id", 7)})
+         AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
     "mm_audio_fingerprint" -> audioFpOracleSql,
     "mm_audio_neardup" -> audioNearDupOracleSql,
     "mm_decode_jpeg" ->

@@ -55,16 +55,27 @@ object Scratch {
     * serving index is built once per corpus, not once per query, which is
     * the production posture the persisted-index operators exist to model.
     */
-  def tableOnce(table: String, key: String)(build: => Unit): Unit =
-    // compute (not check-then-act) serializes same-table builders: two
-    // queries sharing one index table (ann_index_scored/filtered) run
-    // concurrently under Verify, and an unguarded double-build lets one
-    // scan the table mid-DROP/rewrite. Same rationale as `once` above;
-    // a failed build stores nothing, so the next caller retries.
-    tableBuilt.compute(table, (_, cur) => {
-      if (cur != key) build
-      key
-    }): Unit
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def tableOnce(table: String, key: String)(build: => Unit): Unit = {
+    // a PER-TABLE lock object serializes same-table builders: two queries
+    // sharing one index table (ann_index_scored/filtered) run concurrently
+    // under Verify, and an unguarded double-build lets one scan the table
+    // mid-DROP/rewrite. The lock is NOT the CHM bin lock (an earlier
+    // compute()-based version held a bin lock across a multi-minute Spark
+    // build — unrelated tables hashing to the same bin blocked behind it,
+    // and a re-entrant tableOnce from inside a build would have thrown
+    // 'recursive update'); monitors are re-entrant and per-table, so only
+    // genuine same-table contention waits. A failed build stores nothing —
+    // the next caller retries.
+    val lock = tableLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      if (tableBuilt.get(table) != key) {
+        build
+        tableBuilt.put(table, key): Unit
+      }
+    }
+  }
 
   /** Delete a scratch path's CURRENT contents now (for queries that append
     * into a dir and re-run within one JVM — bench's warmup + two timed

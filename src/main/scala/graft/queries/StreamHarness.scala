@@ -140,10 +140,19 @@ private[graft] object StreamHarness {
     * the observation — not the hand-pinned StreamQ.statefulQueries set —
     * to attribute each entry's harness floor, cross-checking the pin and
     * reporting any misclassification in the bench JSON.
+    *
+    * THREAD-LOCAL: a stream query function runs start() →
+    * processAllAvailable → stopRecording inline on its caller's thread, so
+    * keying the observation by thread makes reset/read pair up with
+    * exactly the query that thread drove — concurrent stream queries in
+    * one JVM (Verify runs queries in parallel) no longer cross-contaminate
+    * a Bench observation the way a process-global max did.
     */
-  @volatile private[graft] var stateOpsSeen: Int = -1
+  private val stateOps = ThreadLocal.withInitial[Integer](() => -1)
 
-  private[graft] def resetStateObservation(): Unit = stateOpsSeen = -1
+  private[graft] def stateOpsSeen: Int = stateOps.get()
+
+  private[graft] def resetStateObservation(): Unit = stateOps.set(-1)
 
   /** Record the finished stream's statefulness OFF THE EXECUTED PLAN'S
     * progress (`lastProgress.stateOperators` is populated synchronously at
@@ -155,7 +164,7 @@ private[graft] object StreamHarness {
     try {
       val p = q.lastProgress
       val n = if (p == null || p.stateOperators == null) 0 else p.stateOperators.length
-      stateOpsSeen = math.max(stateOpsSeen, n)
+      stateOps.set(math.max(stateOpsSeen, n))
     } finally q.stop()
 
   private[queries] def drainSink(s: SparkSession, sink: String)(shape: DataFrame => DataFrame): DataFrame = {

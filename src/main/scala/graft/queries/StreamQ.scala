@@ -626,7 +626,7 @@ object StreamQ {
       graft.sources.Sources.writeBucketed(
         Dedup.spilled(
           Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
-          "lsh_maint_bands"),
+          "lsh_maint_bands").withColumn("seq", lit(0L)), // era 0 (the appendLshIndex schema)
         table, 8, "band", "bh")
       // static verify store (harness simplification shared by the other
       // stream surfaces: production would co-persist a doc/gram store)
@@ -713,25 +713,38 @@ object StreamQ {
       graft.sources.Sources.writeBucketed(
         Dedup.spilled(
           Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
-          "lsh_maint_bands"),
+          "lsh_maint_bands").withColumn("seq", lit(0L)), // era 0 (the appendLshIndex schema)
         table, 8, "band", "bh")
       val g = Dedup.spilled(
         Dedup.shingled(docsDf, col("doc_id"), col("text"), 3), "stream_grams")
       val outDir = Scratch.dir("lsh_retract", dir)
       Scratch.reset(outDir)
-      // takedowns target EXISTING corpus docs only (an id never arrives
-      // as both U and D — the delete-then-reappend footgun is a compact-
-      // time workflow, not a stream event; see deleteFromLshIndex)
+      // takedowns target EXISTING corpus docs (batch A); batch B then
+      // RE-APPENDS two of them as fresh U events — the D-then-U case the
+      // r17 id-only tombstone could not express. Era-stamped tombstones
+      // hide only rows appended at era <= tomb_seq, so the re-appended
+      // docs are visible to batch C's probes immediately (no compaction
+      // between the takedown and the re-crawl). At sf0.01 the witnesses:
+      // 267->45 and 447->70 are emitted ONLY via the re-append (their
+      // probes moved to batch C), while 267->413 (retracted, not
+      // re-appended) stays dropped.
       val delIds: Array[Long] = corpus
         .filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 3L) === 0)
         .select(col("doc_id")).as[Long].collect()
       val upsA: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 2)
         .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-      val upsB: Array[(Long, String)] = docsDf.filter(col("doc_id") % 10 === 7)
+      val upsB: Array[(Long, String)] = docsDf
+        .filter(col("doc_id") % 10 === 7 && !col("doc_id").isin(267L, 447L))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val reapp: Array[(Long, String)] = docsDf.filter(col("doc_id").isin(45L, 70L))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val upsC: Array[(Long, String)] = docsDf.filter(col("doc_id").isin(267L, 447L))
         .select(col("doc_id"), col("text")).as[(Long, String)].collect()
       val batchA: Seq[(String, Long, String)] =
         upsA.toSeq.map(d => ("U", d._1, d._2)) ++ delIds.toSeq.map(id => ("D", id, ""))
-      val batchB: Seq[(String, Long, String)] = upsB.toSeq.map(d => ("U", d._1, d._2))
+      val batchB: Seq[(String, Long, String)] =
+        (upsB.toSeq ++ reapp.toSeq).map(d => ("U", d._1, d._2))
+      val batchC: Seq[(String, Long, String)] = upsC.toSeq.map(d => ("U", d._1, d._2))
       val mem = MemoryStream[(String, Long, String)]
       val q = mem.toDF().toDF("op", "doc_id", "text").writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -762,11 +775,14 @@ object StreamQ {
         }
         .start()
       try {
-        // A and B stay SEPARATE micro-batches — the append+delete between
-        // them is the semantics under test
+        // A, B, C stay SEPARATE micro-batches — the append+delete between
+        // them (and the re-append's era beating the tombstone's) is the
+        // semantics under test
         mem.addData(batchA: _*)
         q.processAllAvailable()
         mem.addData(batchB: _*)
+        q.processAllAvailable()
+        mem.addData(batchC: _*)
         q.processAllAvailable()
       } finally stopRecording(q)
       s.read.parquet(outDir)
@@ -857,18 +873,30 @@ object StreamQ {
         e.filter(g =!= 0), "vec_id", "embedding", coarse, books, table, buckets = 8)
       val outDir = Scratch.dir("ann_retract", dir)
       Scratch.reset(outDir)
-      // takedowns target era-0 vectors only (disjoint from the gated
-      // U batches — delete-then-reappend is a compact-time workflow)
+      // takedowns target era-0 vectors (batch A); batch B then RE-APPENDS
+      // the retracted stratum's even half as fresh U events — the
+      // D-then-U case. Era-stamped tombstones hide only rows appended at
+      // era <= tomb_seq, so the re-appended vectors are rankable to batch
+      // C's queries immediately (no compaction between takedown and
+      // re-crawl); the odd half stays retracted.
+      val del5 = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0
       val delIds: Array[Long] = e
-        .filter(g =!= 0 && graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0)
+        .filter(g =!= 0 && del5)
         .select(col("vec_id")).as[Long].collect()
       val upsA: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
-      val upsB: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 2 === 1)
+      val upsB: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      val reapp: Array[(Long, Seq[Float])] = e
+        .filter(g =!= 0 && del5 && col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      val upsC: Array[(Long, Seq[Float])] = e.filter(g === 0 && col("vec_id") % 4 === 3)
         .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
       val batchA: Seq[(String, Long, Seq[Float])] =
         upsA.toSeq.map(v => ("U", v._1, v._2)) ++ delIds.toSeq.map(id => ("D", id, Seq.empty[Float]))
-      val batchB: Seq[(String, Long, Seq[Float])] = upsB.toSeq.map(v => ("U", v._1, v._2))
+      val batchB: Seq[(String, Long, Seq[Float])] =
+        (upsB.toSeq ++ reapp.toSeq).map(v => ("U", v._1, v._2))
+      val batchC: Seq[(String, Long, Seq[Float])] = upsC.toSeq.map(v => ("U", v._1, v._2))
       val mem = MemoryStream[(String, Long, Seq[Float])]
       val q = mem.toDF().toDF("op", "vec_id", "embedding").writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -893,6 +921,8 @@ object StreamQ {
         mem.addData(batchA: _*)
         q.processAllAvailable()
         mem.addData(batchB: _*)
+        q.processAllAvailable()
+        mem.addData(batchC: _*)
         q.processAllAvailable()
       } finally stopRecording(q)
       s.read.parquet(outDir)
@@ -1175,19 +1205,27 @@ object StreamQ {
         JOIN g gb ON gb.doc_id = corpus_id
         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.7"""),
-    // CDC-loop parity: arrival order AND retraction — a pair exists when
-    // the new doc arrived strictly after the corpus doc AND the corpus
-    // doc was not retracted before the new doc's batch. Batch-A news
-    // (doc_id%10=2) see all of epoch 0 (probe-before-delete); batch-B
-    // news (doc_id%10=7) see epoch 0 minus the md5%3 takedown stratum,
-    // plus batch A's appended docs.
+    // CDC-loop parity: arrival order, retraction AND re-append — a pair
+    // exists when the corpus doc has a live index row from a batch
+    // strictly earlier than the new doc's. Epoch 1 queries (doc_id%10=2)
+    // see all of epoch 0 (probe-before-delete); epoch 2 queries (%10=7
+    // minus the two moved probes, plus the re-appended 45/70 themselves)
+    // see epoch 0 minus the md5%3 takedowns, plus epoch 1's appends;
+    // epoch 3 queries (267, 447) ADDITIONALLY see epoch 2's appends —
+    // including the RE-APPENDED 45/70, whose fresh era beats their
+    // tombstone (the D-then-U visibility era-aware tombstones add).
     "stream_index_retract" ->
       incrementalProbeSqlFor(
-        "a.doc_id % 10 IN (2, 7)",
+        "a.doc_id % 10 IN (2, 7) OR a.doc_id IN (45, 70)",
         s"""(a.doc_id % 10 = 2 AND b.doc_id % 5 <> 2)
-              OR (a.doc_id % 10 = 7 AND (
+              OR (((a.doc_id % 10 = 7 AND a.doc_id NOT IN (267, 447)) OR a.doc_id IN (45, 70)) AND (
                    (b.doc_id % 5 <> 2 AND NOT (${md5GateSql("b.doc_id", 3)}))
-                   OR b.doc_id % 10 = 2))"""),
+                   OR b.doc_id % 10 = 2))
+              OR (a.doc_id IN (267, 447) AND (
+                   (b.doc_id % 5 <> 2 AND NOT (${md5GateSql("b.doc_id", 3)}))
+                   OR b.doc_id % 10 = 2
+                   OR (b.doc_id % 10 = 7 AND b.doc_id NOT IN (267, 447))
+                   OR b.doc_id IN (45, 70)))"""),
     // the ANN index maintenance cycle: arrival-order candidate visibility
     // (era-0 always; batch A only to batch B) under the pinned model
     "stream_ann_index_maintain" -> streamAnnMaintainSql,

@@ -167,6 +167,9 @@ class PlanAuditSpec extends SparkSpecBase {
       "ext/Web.scala" -> 1,
       // heavy-hitter gram/bigram sets, bounded vocab
       "ext/TextStats.scala" -> 6,
+      // image-index tombstone anti-join (takedown-scale id set, the same
+      // doctrine as the other three persisted indexes)
+      "ext/Multimodal.scala" -> 1,
       // p8/j3 nation+region dims, j1/j5/vp customer-as-PIN-universe (see
       // doctrine comments at the sites), s10 DPP dim side
       "queries/Core.scala" -> 8,
@@ -453,6 +456,64 @@ class PlanAuditSpec extends SparkSpecBase {
       val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
       assert(cellExchanges == 1,
         s"delete degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
+  test("REAPPENDED ANN index: era tombstones keep the broadcast anti-join; index side exchange-free") {
+    // the delete-then-reappend composition must not change the plan shape:
+    // the era condition (seq <= tomb_seq) rides the SAME broadcast
+    // anti-join, the bucketed scan keeps its layout
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    Similarity.persistAnnIndex(
+      e, "vec_id", "embedding", coarse, books, table = "graft_ann_idx_reapp_audit", buckets = 4)
+    Similarity.deleteFromAnnIndex(
+      spark, "graft_ann_idx_reapp_audit", e.filter(col("vec_id") % 3 === 0), "vec_id")
+    Similarity.appendAnnIndex(
+      e.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+      "vec_id", "embedding", coarse, books, "graft_ann_idx_reapp_audit", buckets = 4)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val scored = Similarity.scoreAgainstAnnIndex(
+        spark, "graft_ann_idx_reapp_audit", e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"reappended index scan lost its bucketing:\n$plan")
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,
+        s"era tombstones must still anti-join via broadcast:\n$plan")
+      val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"reappend degraded the layout: expected 1 query-side exchange, got $cellExchanges:\n$plan")
+    }
+  }
+
+  test("persisted IMAGE index probe: corpus side exchange-free; tombstones broadcast") {
+    // the image modality's index carries the same plan contract as the
+    // text/vector ones: bucketed (band, bv) scan, one batch-side exchange,
+    // takedown tombstones on a broadcast anti-join
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashes = Multimodal.dHashImages(Multimodal.synthImages(docs, "doc_id")).toDF()
+    val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+    val incoming = hashes.filter(col("asset_id") % 5 === 0)
+    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", "graft_img_idx_audit", buckets = 8)
+    Multimodal.deleteFromImageIndex(
+      spark, "graft_img_idx_audit",
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")), col("doc_id"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = Multimodal.probeImageIndex(
+        spark, "graft_img_idx_audit", incoming, "asset_id", "dhash", maxHamming = 8)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"image probe did not sort-merge:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"image index scan is not bucketed:\n$plan")
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,
+        s"image tombstones must anti-join via broadcast:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected 1 batch-side exchange, got $bandExchanges:\n$plan")
     }
   }
 

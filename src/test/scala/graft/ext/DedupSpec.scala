@@ -610,6 +610,110 @@ class DedupSpec extends SparkSpecBase {
       "applied tombstones must be retired")
   }
 
+  test("deleteFromLshIndex then re-append: era tombstones match the re-appended doc immediately") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // ground truth: rebuild WITH the re-appended even half of the stratum
+    val rebuilt = s"lshspec_reapp_truth_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0 || col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), rebuilt, buckets = 4)
+    val tbl = s"lshspec_reapp_${System.nanoTime()}"
+    Dedup.persistLshIndex(corpus, col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.deleteFromLshIndex(spark, tbl, all.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    Dedup.appendLshIndex(
+      corpus.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), tbl, buckets = 4)
+    val after = probe(tbl)
+    assert(after == probe(rebuilt),
+      "delete-then-reappend-then-probe must equal rebuild-with-reappended (no compaction needed)")
+    assert(after.exists(p => p._2 % 3 == 0 && p._2 % 2 == 0),
+      s"fixture too weak — no re-appended doc matched: $after")
+    assert(!after.exists(p => p._2 % 3 == 0 && p._2 % 2 == 1),
+      s"non-reappended deleted docs must stay hidden: $after")
+  }
+
+  test("probeSemanticIndex: overlap append duplicates pairs; distinctPairs enforces exactly-once") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val incoming = e.filter(col("vec_id") % 5 === 0)
+    def probe(tbl: String, dp: Boolean) = Dedup
+      .probeSemanticIndex(spark, tbl, incoming, col("vec_id"), col("embedding"), cents,
+        tau = 0.2, distinctPairs = dp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2)).toSeq
+    val truth = s"semspec_dp_truth_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, truth, buckets = 4)
+    val expected = probe(truth, dp = false)
+    // the at-least-once retry shape: era-1 lands twice (distinct auto eras)
+    val tbl = s"semspec_dp_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      corpus.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    val era1 = corpus.filter(col("vec_id") % 2 === 1)
+    Dedup.appendSemanticIndex(era1, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    Dedup.appendSemanticIndex(era1, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    // the documented asymmetry, now spec-pinned from BOTH sides: the bare
+    // probe duplicates exactly the odd-corpus pairs ...
+    val bare = probe(tbl, dp = false)
+    assert(bare != expected && bare.size > expected.size,
+      "fixture too weak — the double append produced no duplicate pairs")
+    assert(bare.distinct == expected, s"duplicates must be copies, not new pairs")
+    // ... and distinctPairs = true is the enforced at-least-once posture
+    assert(probe(tbl, dp = true) == expected,
+      "distinctPairs must restore exactly-once pair semantics over a bloated index")
+    // compaction heals the bloat for bare probes too
+    Dedup.compactSemanticIndex(spark, tbl, buckets = 4)
+    assert(probe(tbl, dp = false) == expected, "post-compact bare probe must be clean")
+  }
+
+  test("semantic index delete-then-reappend: the re-appended vector pairs again immediately") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val incoming = e.filter(col("vec_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeSemanticIndex(spark, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2)).toSeq
+    val truth = s"semspec_reapp_truth_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      corpus.filter(col("vec_id") % 3 =!= 0 || col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), cents, truth, buckets = 4)
+    val tbl = s"semspec_reapp_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    Dedup.deleteFromSemanticIndex(spark, tbl, e.filter(col("vec_id") % 3 === 0), col("vec_id"))
+    Dedup.appendSemanticIndex(
+      corpus.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    // the tombstoned original row is anti-joined out and the re-appended
+    // row (higher era) serves — so NO duplicate pair appears either
+    assert(probe(tbl) == probe(truth),
+      "semantic delete-then-reappend-then-probe must equal rebuild-with-reappended")
+  }
+
+  test("semanticSurvivorsBy keeps the higher-score member of a pair; ties keep the lower id") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1L),
+      (2L, Seq(0.999f, 0.001f, 0.0f, 0.0f), 5L), // near-dup of 1, higher score
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 2L),
+      (4L, Seq(0.0f, 0.999f, 0.001f, 0.0f), 2L), // near-dup of 3, exact tie
+      (7L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 0L) // isolated: survives regardless of score
+    ).toDF("vec_id", "embedding", "score")
+    val cents = Array(Seq(1000L, 0L, 0L, 0L), Seq(0L, 1000L, 0L, 0L), Seq(0L, 0L, 1000L, 0L))
+    def kept(out: org.apache.spark.sql.DataFrame) =
+      out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val quality = kept(Dedup.semanticSurvivorsBy(
+      df, col("vec_id"), col("embedding"), cents, tau = 0.9, scoreCol = col("score")))
+    assert(quality == Seq(2L, 3L, 7L), s"got $quality")
+    // the quality-blind greedy keeps the LOWER id of the first pair — the
+    // two elections must actually disagree on this fixture
+    val blind = kept(Dedup.semanticSurvivors(df, col("vec_id"), col("embedding"), cents, tau = 0.9))
+    assert(blind == Seq(1L, 3L, 7L), s"got $blind")
+  }
+
   test("survivorsBy elects max-quality (tie min id) — diverging from the min-id winner") {
     // cluster {1,2,4}: doc 2 has strictly higher score than the min-id
     // member, so the quality election and the min-id election DISAGREE;

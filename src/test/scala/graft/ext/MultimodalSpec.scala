@@ -441,4 +441,70 @@ class MultimodalSpec extends SparkSpecBase {
     val fake = Multimodal.decodePartitioned(txt).collect().head
     assert(fake.width % 64 == 0 && fake.height % 64 == 0)
   }
+
+  private def imgHashes = Multimodal
+    .dHashImages(Multimodal.synthImages(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id"))
+    .toDF()
+
+  test("probeImageIndex equals the cross-side restriction of the self-join pairs") {
+    val hashes = imgHashes
+    val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+    val incoming = hashes.filter(col("asset_id") % 5 === 0)
+    val tbl = s"imgspec_idx_${System.nanoTime()}"
+    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", tbl, buckets = 4)
+    val probed = Multimodal
+      .probeImageIndex(spark, tbl, incoming, "asset_id", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // the self-join pairs restricted to (incoming, corpus) sides, with the
+    // probe's (new, corpus) orientation
+    val expected = Multimodal.dhashNearDupPairs(hashes, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (lo, hi, d) => Seq((lo, hi, d), (hi, lo, d)) }
+      .filter { case (n, c, _) => n % 5 == 0 && c % 5 != 0 }
+      .sorted.toSeq
+    assert(probed.nonEmpty, "fixture too weak — no cross-side image pair")
+    assert(probed == expected, s"probe/self-join divergence:\n$probed\nvs\n$expected")
+  }
+
+  test("image index lifecycle: delete, re-append, compact all keep the probe contract") {
+    val hashes = imgHashes
+    val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+    val incoming = hashes.filter(col("asset_id") % 5 === 0)
+    def probe(tbl: String) = Multimodal
+      .probeImageIndex(spark, tbl, incoming, "asset_id", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // truth A: rebuild without the %3 takedown stratum
+    val truthDel = s"imgspec_tdel_${System.nanoTime()}"
+    Multimodal.persistImageIndex(
+      corpus.filter(col("asset_id") % 3 =!= 0), "asset_id", "dhash", truthDel, buckets = 4)
+    // truth B: rebuild with the stratum's re-appended even half
+    val truthReapp = s"imgspec_treapp_${System.nanoTime()}"
+    Multimodal.persistImageIndex(
+      corpus.filter(col("asset_id") % 3 =!= 0 || col("asset_id") % 2 === 0),
+      "asset_id", "dhash", truthReapp, buckets = 4)
+    // lifecycle: build era 0 + era 1, delete, probe, re-append, compact
+    val tbl = s"imgspec_mnt_${System.nanoTime()}"
+    Multimodal.persistImageIndex(
+      corpus.filter(col("asset_id") % 2 === 0).repartition(3), "asset_id", "dhash", tbl, buckets = 4)
+    Multimodal.appendImageIndex(
+      corpus.filter(col("asset_id") % 2 === 1).repartition(3), "asset_id", "dhash", tbl, buckets = 4)
+    Multimodal.deleteFromImageIndex(
+      spark, tbl, hashes.filter(col("asset_id") % 3 === 0).select(col("asset_id")), col("asset_id"))
+    assert(probe(tbl) == probe(truthDel),
+      "delete-then-probe must equal rebuild-without-deleted")
+    Multimodal.appendImageIndex(
+      corpus.filter(col("asset_id") % 3 === 0 && col("asset_id") % 2 === 0),
+      "asset_id", "dhash", tbl, buckets = 4)
+    assert(probe(tbl) == probe(truthReapp),
+      "era tombstones must serve the re-appended images immediately")
+    val pre = probe(tbl)
+    val preFiles = graft.sources.Sources.tableFileCount(spark, tbl)
+    assert(preFiles > 4, s"multi-era writes must leave multi-file buckets, got $preFiles")
+    Multimodal.compactImageIndex(spark, tbl, buckets = 4)
+    assert(probe(tbl) == pre, "compaction changed probe results")
+    assert(graft.sources.Sources.tableFileCount(spark, tbl) <= 4)
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)),
+      "applied tombstones must be retired by compaction")
+  }
 }

@@ -559,6 +559,101 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probe(tbl) == pre, "healing the bloat must not change probe results")
   }
 
+  test("deleteFromAnnIndex then re-append: era tombstones serve the re-appended id immediately") {
+    // the takedown-reversal workflow: the tombstone hides only rows at
+    // era <= tomb_seq, so a LATER append of the same id is visible with
+    // NO compaction in between — delete-then-reappend-then-probe must
+    // equal rebuild-with-reappended-then-probe
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    def probe(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    // ground truth: rebuild WITH the re-appended even half of the stratum
+    val rebuilt = s"annspec_reapp_truth_${System.nanoTime()}"
+    Similarity.persistAnnIndex(
+      e.filter($"vec_id" % 3 =!= 0 || $"vec_id" % 2 === 0),
+      "vec_id", "embedding", coarse, books, rebuilt, buckets = 4)
+    // lifecycle path: full build, delete %3 stratum, re-append its evens
+    val tbl = s"annspec_reapp_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    Similarity.deleteFromAnnIndex(spark, tbl, e.filter($"vec_id" % 3 === 0), "vec_id")
+    val hidden = probe(tbl)
+    Similarity.appendAnnIndex(
+      e.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === 0),
+      "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    val after = probe(tbl)
+    assert(after == probe(rebuilt),
+      "delete-then-reappend-then-probe must equal rebuild-with-reappended")
+    // observability of BOTH halves: a re-appended id serves again, an
+    // odd deleted id stays retracted
+    assert(!hidden.exists(_._2 % 3 == 0), s"delete did not retract: $hidden")
+    assert(after.exists(c => c._2 % 3 == 0 && c._2 % 2 == 0),
+      s"fixture too weak — no re-appended id ranked: $after")
+    assert(!after.exists(c => c._2 % 3 == 0 && c._2 % 2 == 1),
+      s"non-reappended deleted ids must stay hidden: $after")
+    // a SECOND delete retracts the re-appended rows too (its fresh era
+    // covers them)
+    Similarity.deleteFromAnnIndex(spark, tbl, e.filter($"vec_id" % 3 === 0), "vec_id")
+    assert(!probe(tbl).exists(_._2 % 3 == 0), "second delete must cover the re-appended era")
+  }
+
+  test("rebuildAnnIndex is probe-safe: concurrent probes never miss the table or mix eras") {
+    // versioned publication: a probe planned at ANY point during (or
+    // between) rebuilds must resolve a complete, immutable version —
+    // never a missing name, never a half-written table, never a blend of
+    // two eras. The probe thread hammers while the main thread rebuilds
+    // back and forth between two corpora; every observed result must be
+    // byte-equal to one of the two era truths.
+    val e = fixtureEmb
+    val evens = e.filter($"vec_id" % 2 === 0)
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val q = e.filter($"vec_id" < 5)
+    def probe(tbl: String) = Similarity
+      .scoreAgainstAnnIndex(spark, tbl, q, "vec_id", "embedding", coarse, books, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    val truthEvens = s"annspec_swap_te_${System.nanoTime()}"
+    val truthAll = s"annspec_swap_ta_${System.nanoTime()}"
+    Similarity.persistAnnIndex(evens, "vec_id", "embedding", coarse, books, truthEvens, buckets = 4)
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, truthAll, buckets = 4)
+    val eras = Set(probe(truthEvens), probe(truthAll))
+    val tbl = s"annspec_swap_${System.nanoTime()}"
+    Similarity.persistAnnIndex(evens, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    probe(tbl): Unit // JIT/codegen warm-up so in-flight probes are era-scale fast
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val r = probe(tbl)
+          probes.incrementAndGet()
+          if (!eras.contains(r)) { failure.set(s"mixed-era result: $r"); stop.set(true) }
+        } catch {
+          case t: Throwable => failure.set(s"probe failed mid-swap: $t"); stop.set(true)
+        }
+      }
+    })
+    prober.start()
+    try {
+      (1 to 3).foreach { i =>
+        val corpus = if (i % 2 == 1) e else evens
+        Similarity.rebuildAnnIndex(spark, tbl, corpus, "vec_id", "embedding", coarse, books, buckets = 4)
+      }
+    } finally { stop.set(true); prober.join(60000) }
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(probes.get() > 0, "the probe thread never completed a probe — the race was not exercised")
+    // the final serving version is rebuild #3's corpus (all), under the
+    // logical name, with only the grace version retained behind it
+    assert(probe(tbl) == probe(truthAll), "post-rebuild probe must serve the last era")
+    assert(Similarity.servingVersion(spark, tbl) == 3)
+    assert(!spark.catalog.tableExists(s"${tbl}__v1"), "retired versions must be dropped")
+    assert(spark.catalog.tableExists(s"${tbl}__v2"), "the grace version must be retained")
+  }
+
   test("rebuildAnnIndex: blue/green swap serves the retrained index, clears stale state") {
     val e = fixtureEmb
     val old = e.filter($"vec_id" % 2 === 0)
