@@ -435,7 +435,7 @@ object Dedup {
       .bucketBy(buckets, "band", "bh")
       .sortBy("band", "bh")
       .format("parquet")
-      .saveAsTable(table)
+      .saveAsTable(graft.ext.Similarity.servingTable(incoming.sparkSession, table))
 
   /** QUERY TIME — paid per batch, corpus side exchange-free: probe a
     * [[persistLshIndex]] table with an incoming batch. Identical pair
@@ -500,7 +500,7 @@ object Dedup {
     */
   private def lshIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val tomb = graft.ext.Similarity.tombTable(table)
-    val idx = s.table(table)
+    val idx = s.table(graft.ext.Similarity.servingTable(s, table))
     if (s.catalog.tableExists(tomb)) {
       val t = s.table(tomb)
       idx.join(
@@ -528,13 +528,43 @@ object Dedup {
     // compactAnnIndex; max(seq) keeps the survivor deterministic and
     // maximally visible against future explicit-era tombstones
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("band", "bh"),
+      s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bh"),
       lshIndexLive(s, table)
         .groupBy(col("band"), col("bh"), col("corpus_id"))
         .agg(max(col("seq")).as("seq"))
         .select(col("band"), col("bh"), col("corpus_id"), col("seq")))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
+
+  /** MAINTENANCE — versioned probe-safe REBUILD of a [[persistLshIndex]]
+    * table, the text twin of [[graft.ext.Similarity.rebuildAnnIndex]]:
+    * when the corpus is re-cleaned or the shingling policy changes (an
+    * LSH index has no trained model, so its "retrain" is a re-shingle),
+    * build the fresh index ASIDE and publish it as the next immutable
+    * version via the shared single-RENAME machinery
+    * ([[graft.ext.Similarity.publishVersion]]) — concurrent probes
+    * resolve version N−1 or N, never a missing table. Accumulated
+    * tombstones drop with the publication: the rebuild corpus is the new
+    * authority, so previously retracted ids it re-includes are VISIBLE
+    * after the swap (the takedown-reversal shape, same contract as the
+    * ANN rebuild).
+    */
+  def rebuildLshIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      corpus: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      buckets: Int,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0
+  ): Unit =
+    graft.ext.Similarity.publishVersion(s, table)(bld =>
+      persistLshIndex(
+        corpus, idCol, textCol, bld, buckets, n, k, bands, maxBucket,
+        era = graft.ext.Similarity.nextEra()))
 
   /** One (id, band, bh) row per document per band — the LSH bucket keys the
     * pair self-join runs on.
@@ -569,9 +599,11 @@ object Dedup {
 
   /** Drop members of buckets larger than `maxBucket` (window count on the
     * bucket key — same shuffle key as the pair join that follows). No-op
-    * when maxBucket <= 0.
+    * when maxBucket <= 0. Shared with the Hamming fingerprint family
+    * ([[Multimodal.persistHammingIndex]]) — one cap, one quarantine
+    * doctrine across the banded-LSH indexes.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+  private[ext] def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
     else {
       import org.apache.spark.sql.expressions.Window
@@ -1702,7 +1734,7 @@ object Dedup {
     graft.sources.Sources.appendBucketed(
       semanticAssigned(incoming, idCol, vecCol, cents)
         .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm"), lit(era).as("seq")),
-      table, buckets, "cell")
+      graft.ext.Similarity.servingTable(incoming.sparkSession, table), buckets, "cell")
 
   /** MAINTENANCE — the delete/retract half for the semantic cell index:
     * tombstone table + broadcast anti-join at probe time, the same
@@ -1743,7 +1775,7 @@ object Dedup {
     // content dedup keeping the highest era (overlapping-append healing,
     // same doctrine as the other two indexes' compactions)
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("cell"),
+      s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("cell"),
       semanticIndexLive(s, table)
         .groupBy(col("cell"), col("corpus_id"), col("vec"), col("nrm"))
         .agg(max(col("seq")).as("seq"))
@@ -1751,13 +1783,37 @@ object Dedup {
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
+  /** MAINTENANCE — versioned probe-safe REBUILD of a
+    * [[persistSemanticIndex]] table: the semantic index's model IS the
+    * pinned centroid matrix, so re-clustering (new `cents`) demands a
+    * full re-assign of the corpus — never append rows assigned under
+    * different centroids (the appendSemanticIndex contract). The fresh
+    * index builds ASIDE under the shared versioned-publication machinery
+    * ([[graft.ext.Similarity.publishVersion]]): one catalog RENAME
+    * publishes it, concurrent probes resolve the previous or the new
+    * version, accumulated tombstones drop with the new authority.
+    */
+  def rebuildSemanticIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      corpus: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cents: Array[Seq[Long]],
+      buckets: Int
+  ): Unit =
+    graft.ext.Similarity.publishVersion(s, table)(bld =>
+      persistSemanticIndex(
+        corpus, idCol, vecCol, cents, bld, buckets,
+        era = graft.ext.Similarity.nextEra()))
+
   /** The live rows of a persisted semantic index: the bucketed scan minus
     * its era-qualified tombstones (broadcast anti-join on id with the
     * `seq ≤ tomb_seq` condition; bare scan when none exist).
     */
   private def semanticIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val tomb = graft.ext.Similarity.tombTable(table)
-    val idx = s.table(table)
+    val idx = s.table(graft.ext.Similarity.servingTable(s, table))
     if (s.catalog.tableExists(tomb)) {
       val t = s.table(tomb)
       idx.join(

@@ -122,4 +122,63 @@ object Maintenance {
         col("index_name"), col("index_docs"), col("tomb_entries"),
         col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("decision"))
   }
+
+  /** The EXECUTOR's handle on one managed index: where it lives, which
+    * stored column carries the indexed id (for the post-action census),
+    * and the two maintenance actions the policy can demand — `compact`
+    * (fold tombstones + merge per-bucket files, e.g.
+    * [[graft.ext.Dedup.compactLshIndex]]) and `rebuild` (versioned
+    * probe-safe re-encode, e.g. [[Similarity.rebuildAnnIndex]]). The
+    * thunks close over the family-specific parameters (bucket count,
+    * model, corpus) so the executor stays family-agnostic.
+    */
+  final case class ManagedIndex(
+      table: String,
+      idColName: String,
+      compact: () => Unit,
+      rebuild: () => Unit)
+
+  /** The EXECUTOR — closes the observability→decision→ACTION loop:
+    * [[indexMaintenancePlan]] said what each index needs; this runs it.
+    * The plan is one row per index (fleet-metadata-sized — the collect is
+    * the same model-scale driver step every maintenance scheduler has,
+    * never corpus-grain), applied in index-name order so a fixed fleet
+    * yields a deterministic action sequence. Unknown index names fail
+    * fast — a plan row with no registered actions is a fleet
+    * misconfiguration, not a skippable row.
+    *
+    * @return the post-action AUDIT: the re-taken census per index
+    *         ([[indexCensus]] after the action ran) plus the decision
+    *         that drove it — `compact`/`rebuild` rows must show zero
+    *         tombstones and a single append era (the healed state),
+    *         `none` rows the untouched pre-state. The driver's
+    *         `index_maintenance_apply` oracle replays exactly that
+    *         contract in SQL.
+    */
+  def applyMaintenancePlan(
+      s: SparkSession,
+      plan: DataFrame,
+      indexes: Map[String, ManagedIndex]
+  ): DataFrame = {
+    val decisions = plan
+      .select(col("index_name"), col("decision"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    val audits = decisions.map { case (name, decision) =>
+      val ix = indexes.getOrElse(
+        name,
+        throw new IllegalArgumentException(
+          s"plan names index '$name' but no ManagedIndex is registered for it"))
+      decision match {
+        case "compact" => ix.compact()
+        case "rebuild" => ix.rebuild()
+        case "none"    => ()
+        case other =>
+          throw new IllegalArgumentException(s"unknown decision '$other' for index '$name'")
+      }
+      indexCensus(s, ix.table, ix.idColName, name).withColumn("decision", lit(decision))
+    }
+    audits.reduce(_.unionByName(_))
+  }
 }

@@ -491,31 +491,69 @@ object Multimodal {
         val codec = new ImageCodec
         rows.map { case (id, payload) =>
           val img = codec.decode(payload, s"asset $id")
-          val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
-          // 9x7 NN sample grid of band 0 (resizeImages' div convention)
-          val g = Array.ofDim[Int](7, 9)
-          var y = 0
-          while (y < 7) {
-            val sy = y * h / 7
-            var x = 0
-            while (x < 9) {
-              g(y)(x) = raster.getSample(x * w / 9, sy, 0)
-              x += 1
-            }
-            y += 1
+          ImageHash(id, img.getWidth, img.getHeight, dhash9x7(img))
+        }
+      }
+  }
+
+  /** The shared 56-bit gradient hash: 9×7 NN sample grid of raster band 0
+    * (resizeImages' integer-div convention), one horizontal-gradient bit
+    * per adjacent pair — used verbatim by the whole-image hash
+    * ([[dHashImages]]) and the per-frame hash ([[dHashFrames]]) so the
+    * two can never drift in grid convention.
+    */
+  private def dhash9x7(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Int](7, 9)
+    var y = 0
+    while (y < 7) {
+      val sy = y * h / 7
+      var x = 0
+      while (x < 9) {
+        g(y)(x) = raster.getSample(x * w / 9, sy, 0)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    y = 0
+    while (y < 7) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  final case class FrameHash(
+      asset_id: Long, frame_idx: Int, n_frames: Int, width: Int, height: Int, dhash: Long)
+
+  /** Per-FRAME dHash over multi-frame payloads (animated GIF / keyframe
+    * sets) — the video modality's entry into the Hamming fingerprint
+    * family: decode every `everyNth` frame with the real codec and hash
+    * each with the SAME 9×7 gradient grid as [[dHashImages]]. Keyed by
+    * (asset, frame), these rows ride the persisted
+    * [[persistHammingIndex]] lifecycle unchanged, answering the
+    * FRAME-level production question the whole-asset hash cannot: "does
+    * any frame of this new clip near-dup any frame of the corpus" (clip
+    * containment / re-edit detection). Map-only like every decode here.
+    */
+  def dHashFrames(assets: DataFrame, everyNth: Int): Dataset[FrameHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.flatMap { case (id, payload) =>
+          codec.decodeGifFrames(payload, s"asset $id", everyNth).map { case (f, n, img) =>
+            FrameHash(id, f, n, img.getWidth, img.getHeight, dhash9x7(img))
           }
-          var hash = 0L
-          y = 0
-          while (y < 7) {
-            var x = 0
-            while (x < 8) {
-              if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
-              x += 1
-            }
-            y += 1
-          }
-          ImageHash(id, w, h, hash)
         }
       }
   }
@@ -544,7 +582,8 @@ object Multimodal {
   def hammingNearDupPairs(
       hashes: DataFrame,
       hashCol: String,
-      maxHamming: Int
+      maxHamming: Int,
+      maxBucket: Int = 0
   ): DataFrame = {
     // NO forced band repartition here (unlike the text-LSH band join):
     // the banded fingerprint row is 3 longs — the planner broadcasts one
@@ -553,7 +592,12 @@ object Multimodal {
     // query's time by forcing the shuffle broadcast avoids. The query's
     // remaining exchange is the pair-output distinct — output-grain,
     // not corpus-grain: a pair ships only once it verified ≤ maxHamming.
-    val banded = bandedFingerprints(hashes, "asset_id", hashCol)
+    // `maxBucket > 0` drops over-popular band values before pairing —
+    // candidates are Σ bucket², and fingerprint spaces have boilerplate
+    // buckets too (saturated-gradient slices: dark frames, test cards) —
+    // the text-LSH cap + quarantine doctrine (Dedup.capBuckets), shared.
+    val banded = graft.ext.Dedup.capBuckets(
+      bandedFingerprints(hashes, "asset_id", hashCol), Seq("band", "bv"), maxBucket)
     val lo = banded.select(col("band"), col("bv"), col("id").as("id_lo"), col("fp").as("h_lo"))
     val hi = banded.select(col("band"), col("bv"), col("id").as("id_hi"), col("fp").as("h_hi"))
     lo.join(hi, Seq("band", "bv"))
@@ -580,41 +624,50 @@ object Multimodal {
       )
       .select(col("bb.band").as("band"), col("bb.bv").as("bv"), col("id"), col("fp"))
 
-  /** LAYOUT TIME — persist the image near-dup index: dHash band buckets
-    * written `bucketBy(band, bv)`, the same lifecycle doctrine as the text
-    * LSH index ([[graft.ext.Dedup.persistLshIndex]]) applied to the image
-    * modality. Every later batch of incoming images probes the corpus side
-    * EXCHANGE-FREE ("does this new image dup the corpus" — the production
-    * shape the self-join pair generator cannot serve incrementally). The
-    * stored row is (band, bv, corpus_id, fp, seq): the full fingerprint
-    * rides along so the exact `bit_count(xor)` verify needs no second
-    * corpus join, and `seq` is the append era the tombstone half keys on.
+  /** LAYOUT TIME — persist a Hamming near-dup index over ANY 56-bit
+    * fingerprint column (image dHash, audio energy envelope — the
+    * modality-agnostic doctrine of [[hammingNearDupPairs]], persisted):
+    * band buckets written `bucketBy(band, bv)`, the same lifecycle as the
+    * text LSH index ([[graft.ext.Dedup.persistLshIndex]]). Every later
+    * batch of incoming fingerprints probes the corpus side EXCHANGE-FREE
+    * ("does this new image/clip dup the corpus" — the production shape
+    * the self-join pair generator cannot serve incrementally). The stored
+    * row is (band, bv, corpus_id, fp, seq): the full fingerprint rides
+    * along so the exact `bit_count(xor)` verify needs no second corpus
+    * join, and `seq` is the append era the tombstone half keys on.
     */
-  def persistImageIndex(
+  def persistHammingIndex(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
       table: String,
       buckets: Int,
-      era: Long = 0L
+      era: Long = 0L,
+      maxBucket: Int = 0
   ): Unit = {
     // fresh build ⇒ fresh retraction history (same doctrine as the other
     // persisted indexes)
     hashes.sparkSession.sql(
       s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
+    // `maxBucket > 0` quarantines boilerplate band values AT LAYOUT TIME
+    // (every probe against a hot bucket pays its full membership; frame
+    // corpora concentrate hard — saturated gradients, black frames), the
+    // persistLshIndex cap applied to the fingerprint family
     graft.sources.Sources.writeBucketed(
-      bandedFingerprints(hashes, idCol, hashCol)
+      graft.ext.Dedup.capBuckets(
+        bandedFingerprints(hashes, idCol, hashCol), Seq("band", "bv"), maxBucket)
         .select(col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
       table, buckets, "band", "bv")
   }
 
   /** MAINTENANCE — append a batch's fingerprints to a
-    * [[persistImageIndex]] table under the same bucket spec: one map-side
-    * banding pass, one bucketed append; the table stays exchange-free for
-    * every future probe. Append-then-probe ≡ rebuild-then-probe exactly
-    * (banding is a per-row function of the fingerprint alone).
+    * [[persistHammingIndex]] table under the same bucket spec: one
+    * map-side banding pass, one bucketed append; the table stays
+    * exchange-free for every future probe. Append-then-probe ≡
+    * rebuild-then-probe exactly (banding is a per-row function of the
+    * fingerprint alone).
     */
-  def appendImageIndex(
+  def appendHammingIndex(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
@@ -625,14 +678,14 @@ object Multimodal {
     graft.sources.Sources.appendBucketed(
       bandedFingerprints(hashes, idCol, hashCol)
         .select(col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
-      table, buckets, "band", "bv")
+      graft.ext.Similarity.servingTable(hashes.sparkSession, table), buckets, "band", "bv")
 
-  /** MAINTENANCE — the retraction half (takedown of corpus images):
+  /** MAINTENANCE — the retraction half (takedown of corpus assets):
     * era-stamped tombstones, broadcast anti-joined out of every probe —
-    * the image twin of [[graft.ext.Dedup.deleteFromLshIndex]]. A later
-    * re-append of the same id (higher era) is visible immediately.
+    * the fingerprint twin of [[graft.ext.Dedup.deleteFromLshIndex]]. A
+    * later re-append of the same id (higher era) is visible immediately.
     */
-  def deleteFromImageIndex(
+  def deleteFromHammingIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
       ids: DataFrame,
@@ -649,13 +702,14 @@ object Multimodal {
       .saveAsTable(graft.ext.Similarity.tombTable(table))
   }
 
-  /** The live rows of a persisted image index: the bucketed scan minus its
-    * era-qualified tombstones (broadcast anti-join; bare scan when none
-    * exist, so pre-delete plans are unchanged).
+  /** The live rows of a persisted Hamming index: the serving version's
+    * bucketed scan minus its era-qualified tombstones (broadcast
+    * anti-join; bare scan when none exist, so pre-delete plans are
+    * unchanged).
     */
-  private def imageIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+  private def hammingIndexLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val tomb = graft.ext.Similarity.tombTable(table)
-    val idx = s.table(table)
+    val idx = s.table(graft.ext.Similarity.servingTable(s, table))
     if (s.catalog.tableExists(tomb)) {
       val t = s.table(tomb)
       idx.join(
@@ -671,22 +725,44 @@ object Multimodal {
     * changing the bucket hashing (probes stay exchange-free and
     * hash-identical).
     */
-  def compactImageIndex(
+  def compactHammingIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
       buckets: Int
   ): Unit = {
     val tomb = graft.ext.Similarity.tombTable(table)
     graft.sources.Sources.compactBucketed(
-      s, table, buckets, Seq("band", "bv"),
-      imageIndexLive(s, table)
+      s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bv"),
+      hammingIndexLive(s, table)
         .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
         .agg(max(col("seq")).as("seq"))
         .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq")))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
-  /** QUERY TIME — probe a [[persistImageIndex]] table with a batch of
+  /** MAINTENANCE — versioned probe-safe REBUILD of a
+    * [[persistHammingIndex]] table: the fingerprint index has no trained
+    * model, so its rebuild trigger is a corpus re-crawl / re-decode (new
+    * payload bytes ⇒ new fingerprints). The fresh index builds ASIDE and
+    * publishes as the next immutable version via the shared
+    * single-RENAME machinery ([[graft.ext.Similarity.publishVersion]]) —
+    * concurrent probes resolve the previous or the new version, never a
+    * missing table; accumulated tombstones drop with the new authority
+    * (re-included ids are visible after the swap).
+    */
+  def rebuildHammingIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      buckets: Int
+  ): Unit =
+    graft.ext.Similarity.publishVersion(s, table)(bld =>
+      persistHammingIndex(
+        hashes, idCol, hashCol, bld, buckets, era = graft.ext.Similarity.nextEra()))
+
+  /** QUERY TIME — probe a [[persistHammingIndex]] table with a batch of
     * incoming fingerprints: band the batch map-side, join the live index
     * on (band, bv) with NO exchange on the corpus side (PlanAuditSpec),
     * verify candidates exactly with `bit_count(xor)`. Identical pair
@@ -696,7 +772,7 @@ object Multimodal {
     *
     * @return (new_id, corpus_id, hamming) with hamming ≤ maxHamming, distinct
     */
-  def probeImageIndex(
+  def probeHammingIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
       incoming: DataFrame,
@@ -706,13 +782,52 @@ object Multimodal {
   ): DataFrame =
     bandedFingerprints(incoming, idCol, hashCol)
       .select(col("band"), col("bv"), col("id").as("new_id"), col("fp").as("h_new"))
-      .join(imageIndexLive(s, table), Seq("band", "bv"))
+      .join(hammingIndexLive(s, table), Seq("band", "bv"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select(
         col("new_id"), col("corpus_id"),
         bit_count(col("h_new").bitwiseXOR(col("fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+
+  /** The image-modality names of the fingerprint-index lifecycle — thin
+    * forwards over the modality-agnostic `*HammingIndex` core (the
+    * [[dhashNearDupPairs]]/[[hammingNearDupPairs]] precedent): image
+    * callers read "image index", audio callers use the generic names over
+    * [[audioFingerprints]]' envelope hashes.
+    */
+  def persistImageIndex(
+      hashes: DataFrame, idCol: String, hashCol: String, table: String,
+      buckets: Int, era: Long = 0L): Unit =
+    persistHammingIndex(hashes, idCol, hashCol, table, buckets, era)
+
+  /** See [[persistImageIndex]]. */
+  def appendImageIndex(
+      hashes: DataFrame, idCol: String, hashCol: String, table: String,
+      buckets: Int, era: Long = graft.ext.Similarity.nextEra()): Unit =
+    appendHammingIndex(hashes, idCol, hashCol, table, buckets, era)
+
+  /** See [[persistImageIndex]]. */
+  def deleteFromImageIndex(
+      s: org.apache.spark.sql.SparkSession, table: String, ids: DataFrame,
+      idCol: Column, era: Long = graft.ext.Similarity.nextEra()): Unit =
+    deleteFromHammingIndex(s, table, ids, idCol, era)
+
+  /** See [[persistImageIndex]]. */
+  def compactImageIndex(s: org.apache.spark.sql.SparkSession, table: String, buckets: Int): Unit =
+    compactHammingIndex(s, table, buckets)
+
+  /** See [[persistImageIndex]]. */
+  def rebuildImageIndex(
+      s: org.apache.spark.sql.SparkSession, table: String, hashes: DataFrame,
+      idCol: String, hashCol: String, buckets: Int): Unit =
+    rebuildHammingIndex(s, table, hashes, idCol, hashCol, buckets)
+
+  /** See [[persistImageIndex]]. */
+  def probeImageIndex(
+      s: org.apache.spark.sql.SparkSession, table: String, incoming: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int): DataFrame =
+    probeHammingIndex(s, table, incoming, idCol, hashCol, maxHamming)
 
   /** Target-dimension arithmetic alone (no pixels) — kept as the cheap
     * metadata projection for non-image media whose decode the JDK lacks.

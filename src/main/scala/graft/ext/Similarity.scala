@@ -650,13 +650,36 @@ object Similarity {
       coarse: Array[Seq[Long]],
       books: Array[Array[Seq[Long]]],
       buckets: Int
-  ): Unit = {
+  ): Unit =
+    // persistAnnIndex drops tombTable(bld) — a no-op companion; the real
+    // tombstones (keyed by the LOGICAL name) stay live for current readers
+    publishVersion(s, table)(bld =>
+      persistAnnIndex(corpus, idCol, vecCol, coarse, books, bld, buckets, era = nextEra()))
+
+  /** The versioned-publication machinery behind every index REBUILD,
+    * shared by all four persisted-index families (IVFPQ vector, LSH text,
+    * semantic cell, Hamming fingerprint) so the probe-safety argument is
+    * proved once: `build` writes a complete index under the staging name
+    * it is given (`<table>__v<N>__build`, never resolved by readers),
+    * publication is ONE catalog RENAME to `<table>__v<N>`, the logical
+    * name's tombstones drop (the fresh-era rows can't be hidden by them —
+    * hygiene, not a correctness window), and versions two generations
+    * back retire. A concurrent [[servingTable]] resolution sees version
+    * N−1 or N — never a missing name, never a half-written table.
+    */
+  private[graft] def publishVersion(
+      s: org.apache.spark.sql.SparkSession,
+      table: String
+  )(build: String => Unit): Unit = {
     val cur = servingVersion(s, table)
     val next = s"${table}__v${cur + 1}"
     val bld = next + "__build"
-    // persistAnnIndex drops tombTable(bld) — a no-op companion; the real
-    // tombstones (keyed by the LOGICAL name) stay live for current readers
-    persistAnnIndex(corpus, idCol, vecCol, coarse, books, bld, buckets, era = nextEra())
+    build(bld)
+    // a prior JVM's leftover __v<N+1> DIRECTORY (its in-memory catalog
+    // died with it, so servingVersion cannot see the version) would make
+    // the RENAME refuse the target location — same stale-location doctrine
+    // as writeBucketed: a location the catalog doesn't own is garbage
+    graft.sources.Sources.dropStaleLocation(s, next)
     s.sql(s"ALTER TABLE `$bld` RENAME TO `$next`") // atomic publication
     // hygiene: stale tombstones can't hide the new era's rows, and the new
     // index is built from the already-retraction-applied corpus

@@ -1070,7 +1070,58 @@ private[queries] object OracleSql {
     * `append_eras` per index is a fixture constant (the build recipe:
     * ANN = persist + one append = 2; LSH/semantic = persist only = 1).
     */
-  private[queries] lazy val indexMaintenancePlanSql: String = {
+  private[queries] lazy val indexMaintenancePlanSql: String =
+    maintenanceCensusCtes + """
+      SELECT index_name, index_docs, tomb_entries, append_eras,
+             (tomb_entries * 1000000) // greatest(index_docs, 1) AS tomb_ppm,
+             drift_ppm,
+             CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
+                  WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
+                       OR append_eras >= 4 THEN 'compact'
+                  ELSE 'none' END AS decision
+      FROM census"""
+
+  /** index_maintenance_apply twin: the SAME census + threshold replay as
+    * the plan twin, then the post-ACTION state per decision — the healed
+    * contract the executor's audit must show. `rebuild` re-encodes that
+    * index's registered corpus (the fleet registration: ANN over all
+    * embeddings, LSH over the %5 corpus, semantic over the %5 vectors) at
+    * one fresh era with no tombstones; `compact` folds the tombstones
+    * into the files (every tombstone in this fixture hides exactly one
+    * indexed id) and merges eras; `none` leaves the census untouched.
+    */
+  private[queries] lazy val indexMaintenanceApplySql: String =
+    maintenanceCensusCtes + """
+      , planned AS (
+        SELECT index_name, index_docs, tomb_entries, append_eras,
+               CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
+                    WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
+                         OR append_eras >= 4 THEN 'compact'
+                    ELSE 'none' END AS decision
+        FROM census)
+      SELECT index_name,
+             CASE WHEN decision = 'rebuild' THEN
+                    CASE index_name
+                      WHEN 'ann_ivfpq' THEN (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                      WHEN 'lsh_text' THEN
+                        (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 <> 0)
+                      ELSE
+                        (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0)
+                    END
+                  WHEN decision = 'compact' THEN index_docs - tomb_entries
+                  ELSE index_docs END AS index_docs,
+             CASE WHEN decision = 'none' THEN tomb_entries
+                  ELSE CAST(0 AS BIGINT) END AS tomb_entries,
+             CASE WHEN decision = 'none' THEN append_eras
+                  ELSE CAST(1 AS BIGINT) END AS append_eras,
+             decision
+      FROM planned"""
+
+  /** The shared body of the two maintenance twins: drift CTEs + the
+    * three-index census (see [[indexMaintenancePlanSql]]'s doc for the
+    * replay rationale; both fixtures build the same fleet recipe).
+    */
+  private[queries] lazy val maintenanceCensusCtes: String = {
     val nsub = 4
     val dsub = 16
     val baseMins = (0 until nsub)
@@ -1118,15 +1169,7 @@ private[queries] object OracleSql {
         UNION ALL
         SELECT 'semantic_cell',
                (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0),
-               CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
-      SELECT index_name, index_docs, tomb_entries, append_eras,
-             (tomb_entries * 1000000) // greatest(index_docs, 1) AS tomb_ppm,
-             drift_ppm,
-             CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
-                  WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
-                       OR append_eras >= 4 THEN 'compact'
-                  ELSE 'none' END AS decision
-      FROM census"""
+               CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))"""
   }
 
   /** The KLL quantile read (level-4 gate over orders, deciles) — shared by

@@ -357,28 +357,12 @@ private[queries] object QAnn {
           e.filter(col("vec_id") % 5 =!= 0), col("vec_id"), col("embedding"), coarse,
           semTbl, buckets = 8))
       // quantizer drift of the NEXT incoming batch (the +0.25-shifted
-      // stratum, measured BEFORE appending — the staleness workflow):
-      // drift_ppm = mean_qerr(drifted) / mean_qerr(base) in ppm, computed
-      // as one exact integer floor-division (remainder subtraction) so
-      // the DuckDB HUGEINT twin hash-matches bit-for-bit
-      val qz = Similarity.quantize(col("embedding"))
-      val shifted = transform(
-        col("embedding"),
-        x => floor((x.cast("double") + lit(0.25)) * 1000 + lit(0.5)).cast("long"))
-      val qeSums = e
-        .select(
-          Similarity.pqQuantError(qz, books).as("qe_b"),
-          when(g === 0, Similarity.pqQuantError(shifted, books)).as("qe_d"))
-        .agg(
-          sum(col("qe_b")).as("sum_b"), count(col("qe_b")).as("n_b"),
-          sum(col("qe_d")).as("sum_d"), count(col("qe_d")).as("n_d"))
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val num = col("sum_d").cast(dec) * col("n_b") * lit(1000000L)
-      val den = col("sum_b").cast(dec) * col("n_d")
-      val driftPpm = ((num - pmod(num, den)) / den).cast("long").as("drift_ppm")
+      // stratum, measured BEFORE appending — the staleness workflow); one
+      // definition shared with index_maintenance_apply so the two
+      // fixtures' plans cannot drift
       val annCensus = Maintenance
         .indexCensus(s, annTbl, "cand_id", "ann_ivfpq")
-        .crossJoin(qeSums.select(driftPpm))
+        .crossJoin(quantDriftPpmFrame(e, books, g))
       val lshCensus = Maintenance
         .indexCensus(s, lshTbl, "corpus_id", "lsh_text")
         .withColumn("drift_ppm", lit(0L))
@@ -390,6 +374,93 @@ private[queries] object QAnn {
         rebuildDriftPpm = 1200000L,
         compactTombPpm = 100000L,
         compactAppendEras = 4L)
+    },
+    // the maintenance EXECUTOR — closes the observability→decision→ACTION
+    // loop the plan query opened: the same three-index fleet (drifted ANN
+    // ⇒ rebuild, tombstoned LSH ⇒ compact, fresh semantic ⇒ none) is
+    // PLANNED then APPLIED (Maintenance.applyMaintenancePlan running the
+    // real rebuildAnnIndex / compactLshIndex actions), and the result is
+    // the post-action AUDIT: re-taken census per index + the decision
+    // that drove it. Rebuilt/compacted rows must show zero tombstones and
+    // one append era — the healed state; the oracle replays the plan's
+    // thresholds AND the per-decision post-state over the same strata.
+    // The audit persists at build time (re-planning after the apply would
+    // see the healed fleet and decide 'none' — the decision is an
+    // artifact of the PRE-state)
+    "index_maintenance_apply" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+      val dcorp = docs.filter(col("doc_id") % 5 =!= 0)
+      val scorp = e.filter(col("vec_id") % 5 =!= 0)
+      val annTbl = Scratch.table("ann_idx_apl")
+      val lshTbl = Scratch.table("lsh_idx_apl")
+      val semTbl = Scratch.table("sem_idx_apl")
+      val auditTbl = Scratch.table("mnt_audit")
+      Seq(annTbl, lshTbl, semTbl).foreach { tb =>
+        Scratch.registerTable(Similarity.tombTable(tb))
+        Scratch.registerTable(tb + "__compact_stage")
+        (1 to 3).foreach { v =>
+          Scratch.registerTable(s"${tb}__v$v")
+          Scratch.registerTable(s"${tb}__v${v}__build")
+        }
+      }
+      Scratch.tableOnce(auditTbl, dir) {
+        // the same fleet recipe as index_maintenance_plan, fresh tables
+        // (apply MUTATES them — the plan query's fleet must stay pristine)
+        Similarity.persistAnnIndex(
+          e.filter(g =!= 0), "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
+        Similarity.appendAnnIndex(
+          e.filter(g === 0), "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
+        Dedup.persistLshIndex(
+          dcorp, col("doc_id"), col("text"), table = lshTbl, buckets = 8,
+          n = 3, k = 8, bands = 4)
+        Dedup.deleteFromLshIndex(
+          s, lshTbl,
+          dcorp.filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 3L) === 0),
+          col("doc_id"))
+        Dedup.persistSemanticIndex(
+          scorp, col("vec_id"), col("embedding"), coarse, semTbl, buckets = 8)
+        val census = Maintenance
+          .indexCensus(s, annTbl, "cand_id", "ann_ivfpq")
+          .crossJoin(quantDriftPpmFrame(e, books, g))
+          .unionByName(Maintenance
+            .indexCensus(s, lshTbl, "corpus_id", "lsh_text")
+            .withColumn("drift_ppm", lit(0L)))
+          .unionByName(Maintenance
+            .indexCensus(s, semTbl, "corpus_id", "semantic_cell")
+            .withColumn("drift_ppm", lit(0L)))
+        val plan = Maintenance.indexMaintenancePlan(
+          census,
+          rebuildDriftPpm = 1200000L,
+          compactTombPpm = 100000L,
+          compactAppendEras = 4L)
+        val audit = Maintenance.applyMaintenancePlan(
+          s, plan,
+          Map(
+            "ann_ivfpq" -> Maintenance.ManagedIndex(
+              annTbl, "cand_id",
+              compact = () => Similarity.compactAnnIndex(s, annTbl, buckets = 8),
+              rebuild = () =>
+                Similarity.rebuildAnnIndex(
+                  s, annTbl, e, "vec_id", "embedding", coarse, books, buckets = 8)),
+            "lsh_text" -> Maintenance.ManagedIndex(
+              lshTbl, "corpus_id",
+              compact = () => Dedup.compactLshIndex(s, lshTbl, buckets = 8),
+              rebuild = () =>
+                Dedup.rebuildLshIndex(
+                  s, lshTbl, dcorp, col("doc_id"), col("text"), buckets = 8)),
+            "semantic_cell" -> Maintenance.ManagedIndex(
+              semTbl, "corpus_id",
+              compact = () => Dedup.compactSemanticIndex(s, semTbl, buckets = 8),
+              rebuild = () =>
+                Dedup.rebuildSemanticIndex(
+                  s, semTbl, scorp, col("vec_id"), col("embedding"), coarse, buckets = 8))))
+        audit.write.mode("overwrite").format("parquet").saveAsTable(auditTbl)
+      }
+      s.table(auditTbl)
     },
     // index RETRACTION — the delete half of the maintenance cycle the
     // append query opened: build the index over the FULL corpus, tombstone
@@ -636,6 +707,35 @@ private[queries] object QAnn {
     // EWMA smoothing (α=1/4, 8-row tail) per user: integer weight algebra,
     // one rounded division — the monitoring smoother beside ev_rolling,
   )
+
+  /** One-row (`drift_ppm`) frame: quantizer drift of the +0.25-shifted
+    * md5-gated stratum vs the training population, as ONE exact integer
+    * floor-division (remainder subtraction over DecimalType(38,0), so the
+    * DuckDB HUGEINT twin hash-matches bit-for-bit). Shared by
+    * `index_maintenance_plan` and `index_maintenance_apply` — one
+    * definition so the two fixtures' staleness signals cannot drift.
+    */
+  private def quantDriftPpmFrame(
+      e: DataFrame,
+      books: Array[Array[Seq[Long]]],
+      gate: Column
+  ): DataFrame = {
+    val qz = Similarity.quantize(col("embedding"))
+    val shifted = transform(
+      col("embedding"),
+      x => floor((x.cast("double") + lit(0.25)) * 1000 + lit(0.5)).cast("long"))
+    val qeSums = e
+      .select(
+        Similarity.pqQuantError(qz, books).as("qe_b"),
+        when(gate === 0, Similarity.pqQuantError(shifted, books)).as("qe_d"))
+      .agg(
+        sum(col("qe_b")).as("sum_b"), count(col("qe_b")).as("n_b"),
+        sum(col("qe_d")).as("sum_d"), count(col("qe_d")).as("n_d"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = col("sum_d").cast(dec) * col("n_b") * lit(1000000L)
+    val den = col("sum_b").cast(dec) * col("n_d")
+    qeSums.select(((num - pmod(num, den)) / den).cast("long").as("drift_ppm"))
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -904,6 +1004,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "ann_index_rebuild" -> annIndexScoredSqlFor("vec_id >= 220 AND vec_id < 260", 3),
     "ann_index_staleness" -> annIndexStalenessSql,
     "index_maintenance_plan" -> indexMaintenancePlanSql,
+    "index_maintenance_apply" -> indexMaintenanceApplySql,
     "ann_recall_audit" -> recallAuditSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_pca_project" -> embPcaProjectSql,

@@ -216,6 +216,51 @@ private[queries] object QDedup {
         .filter(col("jac_raw") >= 0.7)
         .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
     },
+    // versioned probe-safe REBUILD — the text index's blue/green arc
+    // (Dedup.rebuildLshIndex over the shared publishVersion machinery):
+    // a STALE index (half the corpus) with an md5%7 takedown stratum
+    // tombstoned is replaced by a full-corpus rebuild published as an
+    // immutable __v1 version in one catalog RENAME; the tombstones drop
+    // with the new authority, so the re-crawled stratum is visible and
+    // the probe equals the fresh-full-corpus index exactly (oracle =
+    // incrementalProbeSql, shared verbatim with dedup_incremental_bucketed
+    // — the rebuild-equivalence claim IS one oracle)
+    "dedup_index_rebuild" -> { (s, dir) =>
+      val docs = tPar(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val idxTable = Scratch.table("lsh_idx_rb")
+      // one version per tableOnce key change in this JVM (bench: warmup sf
+      // + timed sf) — register the versions and their build stages
+      (1 to 3).foreach { v =>
+        Scratch.registerTable(s"${idxTable}__v$v")
+        Scratch.registerTable(s"${idxTable}__v${v}__build")
+      }
+      Scratch.registerTable(graft.ext.Similarity.tombTable(idxTable))
+      Scratch.tableOnce(idxTable, dir) {
+        Dedup.persistLshIndex(
+          corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+          table = idxTable, buckets = 8, n = 3, k = 8, bands = 4)
+        Dedup.deleteFromLshIndex(
+          s, idxTable,
+          docs.filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 7L) === 0),
+          col("doc_id"))
+        Dedup.rebuildLshIndex(
+          s, idxTable, corpus, col("doc_id"), col("text"), buckets = 8,
+          n = 3, k = 8, bands = 4)
+      }
+      val cands = Dedup.probeLshIndex(
+        s, idxTable, incoming, col("doc_id"), col("text"), n = 3, k = 8, bands = 4)
+      val g = Dedup.shingled(docs, col("doc_id"), col("text"), 3)
+      cands
+        .join(g.select(col("doc_id").as("new_id"), col("grams").as("g_new")), "new_id")
+        .join(g.select(col("doc_id").as("corpus_id"), col("grams").as("g_old")), "corpus_id")
+        .select(
+          col("new_id"), col("corpus_id"),
+          Dedup.jaccardSorted(col("g_new"), col("g_old")).as("jac_raw"))
+        .filter(col("jac_raw") >= 0.7)
+        .select(col("new_id"), col("corpus_id"), round(col("jac_raw"), 6).as("jac"))
+    },
     // cluster resolution: LSH candidates -> connected components -> one,
     // canonical doc per near-dup cluster (the production dedup tail)
     "dedup_clusters" -> { (s, dir) =>
@@ -389,6 +434,42 @@ private[queries] object QDedup {
           e.filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 7L) === 0),
           col("vec_id"))
         Dedup.compactSemanticIndex(s, tbl, buckets = 8)
+      }
+      Dedup.probeSemanticIndex(s, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.42)
+    },
+    // versioned probe-safe REBUILD for the semantic index — the
+    // re-clustering arc: the semantic index's model IS its pinned centroid
+    // matrix, so a retrain means a full re-assign (never append rows
+    // assigned under different centroids). A STALE index (half the corpus,
+    // centroids fitted on that half) with an md5%7 takedown stratum
+    // tombstoned is replaced by a full-corpus rebuild under the FRESH
+    // centroids, published as an immutable version in one catalog RENAME;
+    // the probe (same fresh centroids) equals the fresh-full-corpus index
+    // exactly — oracle shared verbatim with dedup_semantic_incremental
+    "dedup_semantic_rebuild" -> { (s, dir) =>
+      val e = tPar(s, dir, "embeddings")
+      val stale = e.filter(col("vec_id") % 2 === 0)
+      val staleCents =
+        Similarity.kmeansCentroidsCached(stale, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val incoming = e.filter(col("vec_id") % 5 === 0)
+      val tbl = Scratch.table("sem_idx_rb")
+      (1 to 3).foreach { v =>
+        Scratch.registerTable(s"${tbl}__v$v")
+        Scratch.registerTable(s"${tbl}__v${v}__build")
+      }
+      Scratch.registerTable(Similarity.tombTable(tbl))
+      Scratch.tableOnce(tbl, dir) {
+        Dedup.persistSemanticIndex(
+          corpus.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+          staleCents, tbl, buckets = 8)
+        Dedup.deleteFromSemanticIndex(
+          s, tbl,
+          e.filter(graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 7L) === 0),
+          col("vec_id"))
+        Dedup.rebuildSemanticIndex(
+          s, tbl, corpus, col("vec_id"), col("embedding"), cents, buckets = 8)
       }
       Dedup.probeSemanticIndex(s, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.42)
     },
@@ -604,6 +685,10 @@ private[queries] object QDedup {
     // the persisted-bucketed probe is an EXECUTION-layout variant: the,
     // pair set is defined identically, so the oracle is shared verbatim
     "dedup_incremental_bucketed" -> incrementalProbeSql,
+    // rebuild-equivalence: the versioned rebuild's serving state IS the
+    // fresh full-corpus index, so the probe oracle is shared verbatim
+    // with dedup_incremental_bucketed
+    "dedup_index_rebuild" -> incrementalProbeSql,
     "dedup_index_delete" -> dedupIndexDeleteSql,
     // rebuild WITH the re-appended docs: the retracted md5%7 stratum is
     // excluded EXCEPT its re-appended even half — era-stamped tombstones
@@ -755,6 +840,11 @@ private[queries] object QDedup {
         )
         SELECT vec_id FROM qz WHERE vec_id NOT IN (SELECT d FROM drp)"""),
     "dedup_semantic_incremental" ->
+      semanticProbeSqlFor("x.vec_id % 5 = 0", "y.vec_id % 5 <> 0"),
+    // rebuild-equivalence, semantic form: post-rebuild serving state =
+    // fresh full-corpus index under the fresh centroids — the incremental
+    // probe's oracle, shared verbatim
+    "dedup_semantic_rebuild" ->
       semanticProbeSqlFor("x.vec_id % 5 = 0", "y.vec_id % 5 <> 0"),
     // lifecycle twin: the corpus side is rebuild-WITHOUT-deleted (the
     // tombstoned md5 stratum excluded) — append/delete/compact are all

@@ -160,6 +160,121 @@ private[queries] object QMultimodal {
       Multimodal.probeImageIndex(
         s, tbl, hashes.filter(col("asset_id") % 5 === 0), "asset_id", "dhash", maxHamming = 8)
     },
+    // versioned probe-safe REBUILD for the image index — the re-crawl
+    // arc: a STALE index (half the corpus) with an md5%7 takedown stratum
+    // tombstoned is replaced by a full-corpus rebuild published as an
+    // immutable version in one catalog RENAME (the shared publishVersion
+    // machinery all four index families ride); the tombstones drop with
+    // the new authority, so the probe equals the fresh-full-corpus index
+    // exactly — oracle shared verbatim with mm_index_probe
+    "mm_index_rebuild" -> { (s, dir) =>
+      val hashes = Multimodal
+        .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+      val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+      val tbl = Scratch.table("img_idx_rb")
+      (1 to 3).foreach { v =>
+        Scratch.registerTable(s"${tbl}__v$v")
+        Scratch.registerTable(s"${tbl}__v${v}__build")
+      }
+      Scratch.registerTable(graft.ext.Similarity.tombTable(tbl))
+      Scratch.tableOnce(tbl, dir) {
+        Multimodal.persistImageIndex(
+          corpus.filter(col("asset_id") % 2 === 0), "asset_id", "dhash", tbl, buckets = 8)
+        Multimodal.deleteFromImageIndex(
+          s, tbl,
+          hashes.filter(graft.ops.Hashing.md5Mod(col("asset_id").cast("string"), 7L) === 0),
+          col("asset_id"))
+        Multimodal.rebuildImageIndex(s, tbl, corpus, "asset_id", "dhash", buckets = 8)
+      }
+      Multimodal.probeImageIndex(
+        s, tbl, hashes.filter(col("asset_id") % 5 === 0), "asset_id", "dhash", maxHamming = 8)
+    },
+    // PERSISTED audio near-dup index — the energy-envelope fingerprints
+    // through the SAME modality-agnostic Hamming index the image dHash
+    // rides (persistHammingIndex/probeHammingIndex): corpus fingerprints
+    // bucketed once on (band, bv), each incoming batch probes the corpus
+    // side exchange-free with the exact bit_count(xor) verify. With this,
+    // every fingerprinted modality has the full persisted lifecycle
+    "mm_audio_index_probe" -> { (s, dir) =>
+      val fps = Multimodal
+        .audioFingerprints(Multimodal.synthWavAudio(tPar(s, dir, "documents"), "doc_id"))
+        .toDF()
+      val tbl = Scratch.table("aud_idx")
+      Scratch.tableOnce(tbl, dir)(
+        Multimodal.persistHammingIndex(
+          fps.filter(col("asset_id") % 5 =!= 0), "asset_id", "fingerprint", tbl, buckets = 8))
+      Multimodal.probeHammingIndex(
+        s, tbl, fps.filter(col("asset_id") % 5 === 0), "asset_id", "fingerprint",
+        maxHamming = 8)
+    },
+    // FRAME-level fingerprint index — the video modality's entry into the
+    // shared Hamming lifecycle: every frame of the corpus clips is
+    // dHashed (same 9×7 gradient grid as the image hash) and persisted
+    // keyed by (asset*8 + frame); an incoming clip's frames then probe
+    // the corpus exchange-free — "does any frame of this new clip
+    // near-dup any corpus frame", the clip-containment / re-edit
+    // detection shape whole-asset hashing cannot answer
+    "mm_frame_index_probe" -> { (s, dir) =>
+      val fh = Multimodal
+        .dHashFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
+        .toDF()
+        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val tbl = Scratch.table("frm_idx")
+      // maxBucket = 64: frame fingerprints concentrate HARD (the all-ones
+      // 14-bit band value — saturated monotone gradients — holds ~29% of
+      // all frames in this corpus, the dark-frame/test-card shape of real
+      // video), and candidates are Σ bucket²; the cap quarantines the
+      // boilerplate buckets at layout time, measured 93 MB → ~1 MB of
+      // pair-distinct shuffle at sf0.1 for the same non-boilerplate pairs
+      Scratch.tableOnce(tbl, dir)(
+        Multimodal.persistHammingIndex(
+          fh.filter(col("asset_id") % 5 =!= 0), "frame_key", "dhash", tbl, buckets = 8,
+          maxBucket = 64))
+      Multimodal.probeHammingIndex(
+        s, tbl, fh.filter(col("asset_id") % 5 === 0), "frame_key", "dhash", maxHamming = 8)
+    },
+    // CLIP CONTAINMENT — the asset-grain decision on top of the frame
+    // pairs: how many of an incoming clip's frames near-dup frames of
+    // one corpus clip, as an exact integer ppm of the incoming clip's
+    // frame count; kept at ≥ half. Frame pairs are evidence, this is the
+    // verdict (the video twin of dedup_containment's asymmetric
+    // containment): output is ASSET-grain — the frame-pair volume never
+    // leaves the aggregation
+    "mm_clip_containment" -> { (s, dir) =>
+      val fh = Multimodal
+        .dHashFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
+        .toDF()
+        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val tbl = Scratch.table("frm_idx")
+      Scratch.tableOnce(tbl, dir)(
+        Multimodal.persistHammingIndex(
+          fh.filter(col("asset_id") % 5 =!= 0), "frame_key", "dhash", tbl, buckets = 8,
+          maxBucket = 64))
+      val pairs = Multimodal.probeHammingIndex(
+        s, tbl, fh.filter(col("asset_id") % 5 === 0), "frame_key", "dhash", maxHamming = 8)
+      val matched = pairs
+        .select(
+          floor(col("new_id") / 8).cast("long").as("new_asset"),
+          pmod(col("new_id"), lit(8)).as("new_frame"),
+          floor(col("corpus_id") / 8).cast("long").as("corpus_asset"))
+        .groupBy(col("new_asset"), col("corpus_asset"))
+        .agg(countDistinct(col("new_frame")).as("n_matched"))
+      val nf = fh
+        .filter(col("asset_id") % 5 === 0)
+        .groupBy(col("asset_id").as("new_asset"))
+        .agg(max(col("n_frames")).cast("long").as("n_frames"))
+      val num = col("n_matched") * lit(1000000L)
+      matched
+        .join(nf, "new_asset")
+        .select(
+          col("new_asset"), col("corpus_asset"), col("n_matched"), col("n_frames"),
+          ((num - pmod(num, col("n_frames"))) / col("n_frames")).cast("long")
+            .as("containment_ppm"))
+        .filter(col("containment_ppm") >= 500000L)
+    },
     // REAL multi-frame decode end-to-end: genuine animated GIF89a bytes
     // (explicit gray palette → lossless index coding) encoded executor-side,
     // then getNumImages/read(i) samples every 2nd frame; the oracle,
@@ -256,6 +371,56 @@ private[queries] object QMultimodal {
     // shape): frame every doc with synthetic nav/footer lines (the fixture
     // has no newlines), then strip lines occurring in > maxDocs distinct,
   )
+
+  /** Shared frame-fingerprint CTEs: replay the per-frame dHash
+    * arithmetically from the GIF fixture formula (dims 1+id%13 × 5+id%11,
+    * nf = 1+id%4, pixel = (id·31 + f·17 + 7x + 13y) mod 256 — lossless
+    * palette round-trip), band the 56-bit hashes, and derive the
+    * corpus-side bucket census for the layout-time maxBucket = 64 cap.
+    * Shared by the frame-pair twin and the clip-containment twin — one
+    * definition so the hash/banding/cap replay cannot drift.
+    */
+  private lazy val frameBandsCtesSql: String =
+    """WITH dims AS (
+         SELECT doc_id AS id,
+                1 + doc_id % 13 AS w,
+                5 + doc_id % 11 AS h,
+                1 + doc_id % 4 AS nf
+         FROM documents),
+       frames AS (
+         SELECT d.id, d.w, d.h, f.g AS f
+         FROM dims d JOIN generate_series(0, 3) AS f(g) ON f.g < d.nf),
+       grid AS (
+         SELECT fr.id, fr.f, x.g AS x, y.g AS y,
+                (fr.id * 31 + fr.f * 17
+                 + 7 * ((x.g * fr.w) // 9) + 13 * ((y.g * fr.h) // 7)) % 256 AS v
+         FROM frames fr
+         CROSS JOIN generate_series(0, 8) AS x(g)
+         CROSS JOIN generate_series(0, 6) AS y(g)),
+       bits AS (
+         SELECT a.id, a.f, CAST(a.y * 8 + a.x AS BIGINT) AS bit
+         FROM grid a JOIN grid b ON a.id = b.id AND a.f = b.f AND a.y = b.y AND b.x = a.x + 1
+         WHERE a.x < 8 AND b.v > a.v),
+       hashes AS (
+         SELECT fr.id, fr.f, fr.id * 8 + fr.f AS key,
+                CAST(COALESCE(bit_or(1::BIGINT << b.bit), 0) AS BIGINT) AS dhash
+         FROM frames fr LEFT JOIN bits b ON b.id = fr.id AND b.f = fr.f
+         GROUP BY fr.id, fr.f),
+       bands AS (
+         SELECT key, id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g)),
+       cb AS (
+         SELECT band, bv, count(*) AS n FROM bands WHERE id % 5 <> 0 GROUP BY 1, 2),
+       fpairs AS (
+         SELECT DISTINCT l.key AS new_id, l.id AS new_asset, l.f AS new_frame,
+                r.key AS corpus_id, r.id AS corpus_asset,
+                CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+         FROM (SELECT b.*, h.f FROM bands b JOIN hashes h ON h.key = b.key) l
+         JOIN bands r ON l.band = r.band AND l.bv = r.bv
+         JOIN cb ON cb.band = r.band AND cb.bv = r.bv
+         WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.key <> r.key
+           AND cb.n <= 64
+           AND bit_count(xor(l.dhash, r.dhash)) <= 8)"""
 
   val oracles: Map[String, String] = Map(
     "mm_payload_meta" ->
@@ -407,8 +572,53 @@ private[queries] object QMultimodal {
        WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
          AND NOT (${md5GateSql("r.id", 7)})
          AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
+    // rebuild-equivalence: the versioned rebuild's serving state IS the
+    // fresh full-corpus index, so the probe oracle is the mm_index_probe
+    // twin verbatim
+    "mm_index_rebuild" ->
+      s"""$dhashCtesSql,
+       bands AS (
+         SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
+              CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
+         AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
+    // frame-index twin: the shared frame CTEs (hash replay + banding +
+    // the layout-time corpus bucket cap) reduced to the pair output
+    "mm_frame_index_probe" ->
+      s"""$frameBandsCtesSql
+         SELECT new_id, corpus_id, hamming FROM fpairs""",
+    // clip-containment twin: the same pairs rolled up to ASSET grain —
+    // distinct matched incoming frames per (new, corpus) asset pair,
+    // exact integer ppm of the incoming clip's frame count, kept ≥ half
+    "mm_clip_containment" ->
+      s"""$frameBandsCtesSql,
+         m AS (
+           SELECT new_asset, corpus_asset,
+                  CAST(count(DISTINCT new_frame) AS BIGINT) AS n_matched
+           FROM fpairs GROUP BY 1, 2)
+         SELECT m.new_asset, m.corpus_asset, m.n_matched,
+                CAST(d.nf AS BIGINT) AS n_frames,
+                (m.n_matched * 1000000) // d.nf AS containment_ppm
+         FROM m JOIN dims d ON d.id = m.new_asset
+         WHERE (m.n_matched * 1000000) // d.nf >= 500000""",
     "mm_audio_fingerprint" -> audioFpOracleSql,
     "mm_audio_neardup" -> audioNearDupOracleSql,
+    // audio index probe twin: the audio-FP CTEs replay the envelope
+    // fingerprints arithmetically, then the same cross-side banded
+    // collision + exact Hamming verify the image index twin uses
+    "mm_audio_index_probe" ->
+      s"""$audioFpCtesSql,
+       bands AS (
+         SELECT id, fingerprint, b.g AS band, (fingerprint >> (b.g * 14)) & 16383 AS bv
+         FROM fps CROSS JOIN generate_series(0, 3) AS b(g))
+       SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
+              CAST(bit_count(xor(l.fingerprint, r.fingerprint)) AS INTEGER) AS hamming
+       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
+         AND bit_count(xor(l.fingerprint, r.fingerprint)) <= 8""",
     "mm_decode_jpeg" ->
       """SELECT doc_id AS asset_id,
                 'image/jpeg' AS media_type,

@@ -380,6 +380,56 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("REBUILT LSH index: the bucket spec survives the version rename; probe stays exchange-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    // stale build, then a versioned rebuild: the probe now resolves
+    // graft_lsh_idx_rb_audit__v1, whose bucket metadata rode the catalog
+    // RENAME — the 100 TB corpus side must still scan bucketed with no
+    // exchange above it
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+      table = "graft_lsh_idx_rb_audit", buckets = 8)
+    Dedup.rebuildLshIndex(
+      spark, "graft_lsh_idx_rb_audit", corpus, col("doc_id"), col("text"), buckets = 8)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = Dedup.probeLshIndex(
+        spark, "graft_lsh_idx_rb_audit", incoming, col("doc_id"), col("text"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"probe did not sort-merge:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"rebuilt index scan is not bucketed:\n$plan")
+      assert(plan.contains("graft_lsh_idx_rb_audit__v1"),
+        s"probe must resolve the published version:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1, s"expected 1 batch-side exchange, got $bandExchanges:\n$plan")
+    }
+  }
+
+  test("persisted AUDIO fingerprint index probe: corpus side exchange-free off the band buckets") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Multimodal
+    val fps = Multimodal
+      .audioFingerprints(
+        Multimodal.synthWavAudio(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))
+      .toDF()
+    Multimodal.persistHammingIndex(
+      fps.filter(col("asset_id") % 5 =!= 0), "asset_id", "fingerprint",
+      table = "graft_aud_idx_audit", buckets = 8)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val probe = Multimodal.probeHammingIndex(
+        spark, "graft_aud_idx_audit", fps.filter(col("asset_id") % 5 === 0),
+        "asset_id", "fingerprint", maxHamming = 8)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"audio probe did not sort-merge:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"audio index scan is not bucketed:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1, s"expected 1 batch-side exchange, got $bandExchanges:\n$plan")
+    }
+  }
+
   test("persisted ANN index: batch scoring joins exchange-free off the bucketed cell scan") {
     import org.apache.spark.sql.functions.col
     import graft.ext.Similarity

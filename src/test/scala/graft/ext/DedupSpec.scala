@@ -730,4 +730,118 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Seq((2L, 1L, 0.90), (3L, 3L, 0.10), (5L, 5L, 0.70)), s"got $out")
     assert(out.head._1 != 1L, "quality election must not degenerate to the min-id winner")
   }
+
+  test("rebuildLshIndex publishes a version: probe equals a fresh full-corpus index, tombstones clear") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fresh = s"lshspec_rb_truth_${System.nanoTime()}"
+    Dedup.persistLshIndex(corpus, col("doc_id"), col("text"), fresh, buckets = 4)
+    // stale serving state: half the corpus, plus a tombstoned stratum
+    val tbl = s"lshspec_rb_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.deleteFromLshIndex(spark, tbl, all.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    Dedup.rebuildLshIndex(spark, tbl, corpus, col("doc_id"), col("text"), buckets = 4)
+    val after = probe(tbl)
+    assert(after == probe(fresh),
+      "rebuild-then-probe must equal a fresh full-corpus index")
+    // the stale tombstones dropped with the new authority: previously
+    // retracted ids the rebuild corpus re-includes are visible again
+    assert(after.exists(_._2 % 3 == 0),
+      s"rebuild must clear the old tombstones (re-included ids visible): $after")
+    // versioned publication: the serving state lives under __v1, the bare
+    // name is gone, and the tombstone companion is retired
+    assert(spark.catalog.tableExists(s"${tbl}__v1"), "rebuild must publish __v1")
+    // the pre-rebuild bare table stays ONE cycle as the reader grace set;
+    // serving resolution must already point at the published version
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)))
+  }
+
+  test("LSH lifecycle continues on the serving version after a rebuild: append, delete, compact") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fresh = s"lshspec_rbl_truth_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"), fresh, buckets = 4)
+    val tbl = s"lshspec_rbl_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), tbl, buckets = 4)
+    // rebuild to HALF the corpus, then run the whole maintenance cycle
+    // against the versioned serving table: append the other half, delete
+    // the %3 stratum, compact — every step must resolve __v1, not the
+    // retired bare name
+    Dedup.rebuildLshIndex(
+      spark, tbl, corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), buckets = 4)
+    Dedup.appendLshIndex(
+      corpus.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.deleteFromLshIndex(spark, tbl, all.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    val pre = probe(tbl)
+    assert(pre == probe(fresh),
+      "append+delete against the serving version must equal rebuild-without-deleted")
+    Dedup.compactLshIndex(spark, tbl, buckets = 4)
+    assert(probe(tbl) == pre, "compaction on the serving version changed probe results")
+    val files = graft.sources.Sources.tableFileCount(spark, s"${tbl}__v1")
+    assert(files <= 4, s"compaction must heal the VERSION table's buckets, got $files files")
+  }
+
+  test("publishVersion recovers from a crashed prior rebuild: leftover __build staging is overwritten") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fresh = s"lshspec_crash_truth_${System.nanoTime()}"
+    Dedup.persistLshIndex(corpus, col("doc_id"), col("text"), fresh, buckets = 4)
+    val tbl = s"lshspec_crash_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), tbl, buckets = 4)
+    // a prior rebuild died after staging: its half-written __build table is
+    // still in the catalog under the name the NEXT rebuild will stage to —
+    // the retry must overwrite it, not adopt or refuse it
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
+      s"${tbl}__v1__build", buckets = 4)
+    Dedup.rebuildLshIndex(spark, tbl, corpus, col("doc_id"), col("text"), buckets = 4)
+    assert(probe(tbl) == probe(fresh),
+      "a retried rebuild over a crashed staging table must serve the retry's corpus")
+    assert(!spark.catalog.tableExists(s"${tbl}__v1__build"),
+      "publication must consume the staging name")
+  }
+
+  test("rebuildSemanticIndex re-assigns under fresh centroids: probe equals a fresh index") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val incoming = e.filter(col("vec_id") % 5 === 0)
+    val staleCents =
+      Similarity.kmeansCentroids(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4, iters = 1)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    def probe(tbl: String) = Dedup
+      .probeSemanticIndex(spark, tbl, incoming, col("vec_id"), col("embedding"), cents, tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2)).toSeq
+    val fresh = s"semspec_rb_truth_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(corpus, col("vec_id"), col("embedding"), cents, fresh, buckets = 4)
+    val tbl = s"semspec_rb_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      corpus.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), staleCents, tbl,
+      buckets = 4)
+    Dedup.deleteFromSemanticIndex(spark, tbl, e.filter(col("vec_id") % 3 === 0), col("vec_id"))
+    Dedup.rebuildSemanticIndex(spark, tbl, corpus, col("vec_id"), col("embedding"), cents, buckets = 4)
+    assert(probe(tbl) == probe(fresh),
+      "rebuild under fresh centroids must equal a fresh full-corpus index")
+    assert(spark.catalog.tableExists(s"${tbl}__v1"), "rebuild must publish __v1")
+    // the pre-rebuild bare table stays ONE cycle as the reader grace set;
+    // serving resolution must already point at the published version
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)))
+  }
 }

@@ -103,4 +103,72 @@ class MaintenanceSpec extends SparkSpecBase {
     Dedup.compactSemanticIndex(spark, tbl, buckets = 4)
     assert(Maintenance.filesPerBucket(spark, tbl, buckets = 4) == 1L)
   }
+
+  test("applyMaintenancePlan runs each decision's real action and audits the healed census") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val n = System.nanoTime()
+    val reb = s"mntspec_apl_reb_$n"
+    val cmp = s"mntspec_apl_cmp_$n"
+    val non = s"mntspec_apl_non_$n"
+    // a drift-stale index over half the corpus, a tombstoned index (1/5 of
+    // ids hidden → 200000 ppm ≥ the 100000 threshold), and a healthy one
+    Dedup.persistSemanticIndex(
+      e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents, reb, buckets = 4)
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, cmp, buckets = 4)
+    Dedup.deleteFromSemanticIndex(spark, cmp, e.filter(col("vec_id") % 5 === 0), col("vec_id"))
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, non, buckets = 4)
+    // real censuses; the drift signal is caller-measured by contract, so
+    // the stale index carries a synthetic over-threshold reading
+    val census = Maintenance.indexCensus(spark, reb, "corpus_id", "reb")
+      .withColumn("drift_ppm", lit(2000000L))
+      .unionByName(Maintenance.indexCensus(spark, cmp, "corpus_id", "cmp")
+        .withColumn("drift_ppm", lit(0L)))
+      .unionByName(Maintenance.indexCensus(spark, non, "corpus_id", "non")
+        .withColumn("drift_ppm", lit(0L)))
+    val plan = Maintenance.indexMaintenancePlan(
+      census, rebuildDriftPpm = 1200000L, compactTombPpm = 100000L)
+    val audit = Maintenance.applyMaintenancePlan(
+      spark, plan,
+      Map(
+        "reb" -> Maintenance.ManagedIndex(
+          reb, "corpus_id",
+          compact = () => Dedup.compactSemanticIndex(spark, reb, buckets = 4),
+          rebuild = () =>
+            Dedup.rebuildSemanticIndex(
+              spark, reb, e, col("vec_id"), col("embedding"), cents, buckets = 4)),
+        "cmp" -> Maintenance.ManagedIndex(
+          cmp, "corpus_id",
+          compact = () => Dedup.compactSemanticIndex(spark, cmp, buckets = 4),
+          rebuild = () => fail("healthy-layout index must not rebuild")),
+        "non" -> Maintenance.ManagedIndex(
+          non, "corpus_id",
+          compact = () => fail("healthy index must not compact"),
+          rebuild = () => fail("healthy index must not rebuild"))))
+      .collect()
+      .map(r => r.getAs[String]("index_name") ->
+        (r.getAs[Long]("index_docs"), r.getAs[Long]("tomb_entries"),
+          r.getAs[Long]("append_eras"), r.getAs[String]("decision")))
+      .toMap
+    val total = e.count()
+    // rebuild re-encoded the FULL corpus at one fresh era, no tombstones
+    assert(audit("reb") == ((total, 0L, 1L, "rebuild")), s"got ${audit("reb")}")
+    assert(spark.catalog.tableExists(s"${reb}__v1"), "rebuild must publish a version")
+    // compact folded the 1/5 tombstoned stratum into the files
+    assert(audit("cmp") == ((total - e.filter(col("vec_id") % 5 === 0).count(), 0L, 1L, "compact")),
+      s"got ${audit("cmp")}")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(cmp)),
+      "compact must retire the applied tombstones")
+    // none left the healthy index untouched
+    assert(audit("non") == ((total, 0L, 1L, "none")), s"got ${audit("non")}")
+  }
+
+  test("applyMaintenancePlan fails fast when the plan names an unregistered index") {
+    val plan = Seq(("ghost", "compact"))
+      .toDF("index_name", "decision")
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(spark, plan, Map.empty)
+    }
+    assert(ex.getMessage.contains("ghost"))
+  }
 }

@@ -507,4 +507,123 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)),
       "applied tombstones must be retired by compaction")
   }
+
+  test("rebuildHammingIndex publishes a version: probe equals fresh full-corpus, tombstones clear") {
+    val hashes = imgHashes
+    val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+    val incoming = hashes.filter(col("asset_id") % 5 === 0)
+    def probe(tbl: String) = Multimodal
+      .probeImageIndex(spark, tbl, incoming, "asset_id", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val fresh = s"imgspec_rb_truth_${System.nanoTime()}"
+    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", fresh, buckets = 4)
+    val tbl = s"imgspec_rb_${System.nanoTime()}"
+    Multimodal.persistImageIndex(
+      corpus.filter(col("asset_id") % 2 === 0), "asset_id", "dhash", tbl, buckets = 4)
+    Multimodal.deleteFromImageIndex(
+      spark, tbl, hashes.filter(col("asset_id") % 3 === 0).select(col("asset_id")), col("asset_id"))
+    Multimodal.rebuildImageIndex(spark, tbl, corpus, "asset_id", "dhash", buckets = 4)
+    assert(probe(tbl) == probe(fresh),
+      "rebuild-then-probe must equal a fresh full-corpus index")
+    assert(spark.catalog.tableExists(s"${tbl}__v1"), "rebuild must publish __v1")
+    // the pre-rebuild bare table stays ONE cycle as the reader grace set;
+    // serving resolution must already point at the published version
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+    assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)))
+  }
+
+  test("Hamming maxBucket quarantines the boilerplate bucket, corpus side only") {
+    // 30 identical fingerprints — ONE hot (band, bv) bucket per band, the
+    // dark-frame/test-card shape; cap 10 quarantines it at layout time
+    val boiler = (1L to 30L).map(i => (i, 42L)).toDF("asset_id", "fp")
+    val incoming = Seq((100L, 42L)).toDF("asset_id", "fp")
+    val capped = s"hamspec_cap_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(boiler, "asset_id", "fp", capped, buckets = 4, maxBucket = 10)
+    assert(
+      Multimodal.probeHammingIndex(spark, capped, incoming, "asset_id", "fp", maxHamming = 8).count() == 0,
+      "capped boilerplate bucket must not produce pairs")
+    val uncapped = s"hamspec_nocap_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(boiler, "asset_id", "fp", uncapped, buckets = 4)
+    assert(
+      Multimodal.probeHammingIndex(spark, uncapped, incoming, "asset_id", "fp", maxHamming = 8).count() == 30,
+      "uncapped probe pairs the dup with every corpus copy")
+    // the self-join generator takes the same shared cap
+    assert(Multimodal.hammingNearDupPairs(boiler, "fp", maxHamming = 8, maxBucket = 10).count() == 0)
+    assert(Multimodal.hammingNearDupPairs(boiler, "fp", maxHamming = 8).count() == 30L * 29 / 2)
+  }
+
+  test("dHashFrames: per-frame hash replays the GIF pixel formula on the shared 9x7 grid") {
+    val ids = Seq(0L, 3L, 15L, 142L)
+    val fh = Multimodal
+      .dHashFrames(Multimodal.synthGifAnimations(ids.toDF("doc_id"), "doc_id"), everyNth = 1)
+      .collect().map(f => (f.asset_id, f.frame_idx) -> f).toMap
+    ids.foreach { id =>
+      val w = (1 + id % 13).toInt
+      val h = (5 + id % 11).toInt
+      val nf = (1 + id % 4).toInt
+      (0 until nf).foreach { f =>
+        def v(gx: Int, gy: Int): Long =
+          (id * 31 + f * 17 + 7L * (gx * w / 9) + 13L * (gy * h / 7)) % 256
+        var expect = 0L
+        for (y <- 0 until 7; x <- 0 until 8) if (v(x + 1, y) > v(x, y)) expect |= 1L << (y * 8 + x)
+        val got = fh((id, f))
+        assert((got.n_frames, got.width, got.height) == ((nf, w, h)), s"id=$id f=$f dims")
+        assert(got.dhash == expect, s"id=$id f=$f hash ${got.dhash} != $expect")
+      }
+    }
+    // everyNth sampling drops the in-between frames but keeps their index
+    val sampled = Multimodal
+      .dHashFrames(Multimodal.synthGifAnimations(Seq(3L).toDF("doc_id"), "doc_id"), everyNth = 2)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(sampled == Seq(0, 2), s"got $sampled") // id 3 → 4 frames → 0 and 2
+  }
+
+  test("frame-level Hamming index: probe equals the cross-side self-join over frame keys") {
+    val fh = Multimodal
+      .dHashFrames(
+        Multimodal.synthGifAnimations(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id"),
+        everyNth = 1)
+      .toDF()
+      .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+    val tbl = s"frmspec_idx_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(
+      fh.filter(col("asset_id") % 5 =!= 0), "frame_key", "dhash", tbl, buckets = 4)
+    val probed = Multimodal
+      .probeHammingIndex(
+        spark, tbl, fh.filter(col("asset_id") % 5 === 0), "frame_key", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val expected = Multimodal
+      .hammingNearDupPairs(
+        fh.select(col("frame_key").as("asset_id"), col("dhash").as("fp")), "fp", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (lo, hi, d) => Seq((lo, hi, d), (hi, lo, d)) }
+      .filter { case (n, c, _) => (n / 8) % 5 == 0 && (c / 8) % 5 != 0 }
+      .sorted.toSeq
+    assert(probed.nonEmpty, "fixture too weak — no cross-side frame pair")
+    assert(probed == expected, s"probe/self-join divergence:\n$probed\nvs\n$expected")
+  }
+
+  test("audio fingerprints ride the generic Hamming index: probe equals cross-side self-join") {
+    val fps = Multimodal
+      .audioFingerprints(Multimodal.synthWavAudio(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id"))
+      .toDF()
+    val tbl = s"audspec_idx_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(
+      fps.filter(col("asset_id") % 5 =!= 0), "asset_id", "fingerprint", tbl, buckets = 4)
+    val probed = Multimodal
+      .probeHammingIndex(
+        spark, tbl, fps.filter(col("asset_id") % 5 === 0), "asset_id", "fingerprint",
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val expected = Multimodal
+      .hammingNearDupPairs(fps.withColumnRenamed("fingerprint", "fp"), "fp", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .flatMap { case (lo, hi, d) => Seq((lo, hi, d), (hi, lo, d)) }
+      .filter { case (n, c, _) => n % 5 == 0 && c % 5 != 0 }
+      .sorted.toSeq
+    assert(probed.nonEmpty, "fixture too weak — no cross-side audio pair")
+    assert(probed == expected, s"probe/self-join divergence:\n$probed\nvs\n$expected")
+  }
 }
