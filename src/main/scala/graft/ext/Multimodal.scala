@@ -790,6 +790,29 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
 
+  /** The quarantine side of the Hamming cap ([[persistHammingIndex]]'s
+    * `maxBucket`): (band, bv, n_members) for every band value whose
+    * membership exceeds the cap — the boilerplate fingerprint clusters
+    * (saturated gradients, black frames) excluded from the index at
+    * layout time, surfaced for upstream handling. The
+    * [[graft.ext.Dedup.oversizedBuckets]] twin in Hamming space; same
+    * contract: `maxBucket` must be the positive cap actually used at
+    * layout (an uncapped layout quarantines nothing — asking for its
+    * quarantine is a caller error).
+    */
+  def oversizedHammingBuckets(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxBucket: Int
+  ): DataFrame = {
+    require(maxBucket > 0, "oversizedHammingBuckets needs the positive cap used at layout")
+    bandedFingerprints(hashes, idCol, hashCol)
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+  }
+
   /** The image-modality names of the fingerprint-index lifecycle — thin
     * forwards over the modality-agnostic `*HammingIndex` core (the
     * [[dhashNearDupPairs]]/[[hammingNearDupPairs]] precedent): image

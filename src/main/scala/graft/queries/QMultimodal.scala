@@ -235,6 +235,21 @@ private[queries] object QMultimodal {
       Multimodal.probeHammingIndex(
         s, tbl, fh.filter(col("asset_id") % 5 === 0), "frame_key", "dhash", maxHamming = 8)
     },
+    // the QUARANTINE census of the frame index's layout-time cap: which
+    // band values were too popular to index (the boilerplate clusters —
+    // saturated gradients / dark frames) and how populous each was —
+    // surfaced for upstream handling, the oversizedBuckets twin in
+    // Hamming space; an operator, because "what did the cap silently
+    // drop" is the first question a capped index gets asked
+    "mm_frame_quarantine" -> { (s, dir) =>
+      val fh = Multimodal
+        .dHashFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
+        .toDF()
+        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      Multimodal.oversizedHammingBuckets(
+        fh.filter(col("asset_id") % 5 =!= 0), "frame_key", "dhash", maxBucket = 64)
+    },
     // CLIP CONTAINMENT — the asset-grain decision on top of the frame
     // pairs: how many of an incoming clip's frames near-dup frames of
     // one corpus clip, as an exact integer ppm of the incoming clip's
@@ -590,6 +605,12 @@ private[queries] object QMultimodal {
     "mm_frame_index_probe" ->
       s"""$frameBandsCtesSql
          SELECT new_id, corpus_id, hamming FROM fpairs""",
+    // quarantine twin: the corpus bucket census above the cap
+    "mm_frame_quarantine" ->
+      s"""$frameBandsCtesSql
+         SELECT CAST(band AS INTEGER) AS band, bv,
+                CAST(n AS BIGINT) AS n_members
+         FROM cb WHERE n > 64""",
     // clip-containment twin: the same pairs rolled up to ASSET grain —
     // distinct matched incoming frames per (new, corpus) asset pair,
     // exact integer ppm of the incoming clip's frame count, kept ≥ half

@@ -550,6 +550,13 @@ class MultimodalSpec extends SparkSpecBase {
     // the self-join generator takes the same shared cap
     assert(Multimodal.hammingNearDupPairs(boiler, "fp", maxHamming = 8, maxBucket = 10).count() == 0)
     assert(Multimodal.hammingNearDupPairs(boiler, "fp", maxHamming = 8).count() == 30L * 29 / 2)
+    // the quarantine census surfaces exactly what the cap dropped: one
+    // 30-member bucket per band
+    val over = Multimodal.oversizedHammingBuckets(boiler, "asset_id", "fp", maxBucket = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(over.map(_._1) == Seq(0, 1, 2, 3) && over.forall(_._3 == 30L), s"got $over")
+    intercept[IllegalArgumentException](
+      Multimodal.oversizedHammingBuckets(boiler, "asset_id", "fp", maxBucket = 0))
   }
 
   test("dHashFrames: per-frame hash replays the GIF pixel formula on the shared 9x7 grid") {
