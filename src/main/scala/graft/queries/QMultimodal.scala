@@ -250,6 +250,43 @@ private[queries] object QMultimodal {
       Multimodal.oversizedHammingBuckets(
         fh.filter(col("asset_id") % 5 =!= 0), "frame_key", "dhash", maxBucket = 64)
     },
+    // the CAP-EXCLUSION audit — measure, don't guess, what the layout
+    // cap costs: probe a SAMPLE of the incoming frames (1/5 stratum)
+    // against both the capped and an uncapped index and report the kept
+    // pair fraction as exact integer ppm. The excluded pairs are
+    // boilerplate by design (that's the cap's thesis); this query is the
+    // number that keeps the thesis honest per corpus. Sampling bounds
+    // the uncapped probe's candidate volume — the audit is a
+    // maintenance-epoch measurement, never a serving-path cost
+    "mm_frame_cap_audit" -> { (s, dir) =>
+      val fh = Multimodal
+        .dHashFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
+        .toDF()
+        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val corpus = fh.filter(col("asset_id") % 5 =!= 0)
+      val sample = fh.filter(col("asset_id") % 25 === 0) // 1/5 of the incoming stratum
+      val capped = Scratch.table("frm_idx") // shared build with mm_frame_index_probe
+      Scratch.tableOnce(capped, dir)(
+        Multimodal.persistHammingIndex(
+          corpus, "frame_key", "dhash", capped, buckets = 8, maxBucket = 64))
+      val uncapped = Scratch.table("frm_idx_unc")
+      Scratch.tableOnce(uncapped, dir)(
+        Multimodal.persistHammingIndex(corpus, "frame_key", "dhash", uncapped, buckets = 8))
+      val nC = Multimodal
+        .probeHammingIndex(s, capped, sample, "frame_key", "dhash", maxHamming = 8)
+        .agg(count(lit(1)).as("pairs_capped"))
+      val nU = Multimodal
+        .probeHammingIndex(s, uncapped, sample, "frame_key", "dhash", maxHamming = 8)
+        .agg(count(lit(1)).as("pairs_uncapped"))
+      val nS = sample.agg(count(lit(1)).as("n_probe_frames"))
+      val num = col("pairs_capped") * lit(1000000L)
+      val den = greatest(col("pairs_uncapped"), lit(1L))
+      nS.crossJoin(nU).crossJoin(nC)
+        .select(
+          col("n_probe_frames"), col("pairs_uncapped"), col("pairs_capped"),
+          ((num - pmod(num, den)) / den).cast("long").as("kept_ppm"))
+    },
     // CLIP CONTAINMENT — the asset-grain decision on top of the frame
     // pairs: how many of an incoming clip's frames near-dup frames of
     // one corpus clip, as an exact integer ppm of the incoming clip's
@@ -611,6 +648,22 @@ private[queries] object QMultimodal {
          SELECT CAST(band AS INTEGER) AS band, bv,
                 CAST(n AS BIGINT) AS n_members
          FROM cb WHERE n > 64""",
+    // cap-audit twin: the sampled probe's pair counts with and without
+    // the corpus bucket filter, one exact integer ppm
+    "mm_frame_cap_audit" ->
+      s"""$frameBandsCtesSql,
+         up AS (
+           SELECT DISTINCT l.key AS nk, r.key AS ck
+           FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+           WHERE l.id % 25 = 0 AND r.id % 5 <> 0 AND l.key <> r.key
+             AND bit_count(xor(l.dhash, r.dhash)) <= 8),
+         cp AS (
+           SELECT DISTINCT new_id, corpus_id FROM fpairs WHERE new_asset % 25 = 0)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM hashes WHERE id % 25 = 0) AS n_probe_frames,
+                (SELECT CAST(count(*) AS BIGINT) FROM up) AS pairs_uncapped,
+                (SELECT CAST(count(*) AS BIGINT) FROM cp) AS pairs_capped,
+                ((SELECT count(*) FROM cp) * 1000000)
+                  // greatest((SELECT count(*) FROM up), 1) AS kept_ppm""",
     // clip-containment twin: the same pairs rolled up to ASSET grain —
     // distinct matched incoming frames per (new, corpus) asset pair,
     // exact integer ppm of the incoming clip's frame count, kept ≥ half
