@@ -392,9 +392,11 @@ object Dedup {
       era: Long = 0L
   ): Unit = {
     // fresh build ⇒ fresh retraction history (a stale tomb table under the
-    // same name would silently over-delete the new content)
+    // same name would silently over-delete the new content) AND fresh
+    // version history (published __v<N> would outrank the new bare table)
     corpus.sparkSession.sql(
       s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
+    graft.ext.Similarity.resetVersions(corpus.sparkSession, table)
     graft.sources.Sources.writeBucketed(
       lshIndex(corpus, idCol, textCol, n, k, bands, maxBucket).withColumn("seq", lit(era)),
       table, buckets, "band", "bh")
@@ -1694,9 +1696,11 @@ object Dedup {
       buckets: Int,
       era: Long = 0L
   ): Unit = {
-    // fresh build ⇒ fresh retraction history, like the other two indexes
+    // fresh build ⇒ fresh retraction history AND fresh version history,
+    // like the other index families
     corpus.sparkSession.sql(
       s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
+    graft.ext.Similarity.resetVersions(corpus.sparkSession, table)
     graft.sources.Sources.writeBucketed(
       semanticAssigned(corpus, idCol, vecCol, cents)
         .select(col("cell"), col("id").as("corpus_id"), col("vec"), col("nrm"), lit(era).as("seq")),

@@ -179,6 +179,17 @@ object Maintenance {
       }
       indexCensus(s, ix.table, ix.idColName, name).withColumn("decision", lit(decision))
     }
-    audits.reduce(_.unionByName(_))
+    // an empty plan (empty fleet, or every index filtered out upstream)
+    // audits as EMPTY, not as an error — reduce would throw on it
+    if (audits.isEmpty)
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("index_name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("index_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tomb_entries", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("append_eras", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("decision", org.apache.spark.sql.types.StringType))))
+    else audits.reduce(_.unionByName(_))
   }
 }

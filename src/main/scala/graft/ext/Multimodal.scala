@@ -645,10 +645,11 @@ object Multimodal {
       era: Long = 0L,
       maxBucket: Int = 0
   ): Unit = {
-    // fresh build ⇒ fresh retraction history (same doctrine as the other
-    // persisted indexes)
+    // fresh build ⇒ fresh retraction history AND fresh version history
+    // (same doctrine as the other persisted indexes)
     hashes.sparkSession.sql(
       s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
+    graft.ext.Similarity.resetVersions(hashes.sparkSession, table)
     // `maxBucket > 0` quarantines boilerplate band values AT LAYOUT TIME
     // (every probe against a hot bucket pays its full membership; frame
     // corpora concentrate hard — saturated gradients, black frames), the

@@ -447,8 +447,11 @@ object Similarity {
     // a fresh build starts a fresh retraction history: leftover tombstones
     // from a previous fixture/epoch under the same name would silently
     // over-delete the new content (observed risk: tableOnce rebuilds across
-    // sf keys appended into a stale tomb table)
+    // sf keys appended into a stale tomb table) — and a fresh VERSION
+    // history: published __v<N> versions would otherwise keep outranking
+    // the new bare table at serving resolution
     corpus.sparkSession.sql(s"DROP TABLE IF EXISTS `${tombTable(table)}`")
+    resetVersions(corpus.sparkSession, table)
     graft.sources.Sources.writeBucketed(
       ivfPqIndexFrame(corpus, idCol, vecCol, coarse, books).withColumn("seq", lit(era)),
       table, buckets, "cell")
@@ -519,6 +522,19 @@ object Similarity {
     }
 
   private val VersionSuffix = "__v(\\d+)$".r
+
+  /** A FRESH `persist*Index` build under a logical name is a new
+    * authority epoch: it must retire any published versions of that name,
+    * or the split-brain follows — the persist writes the BARE table while
+    * append/census/live keep resolving the highest `__v<N>` (stale
+    * content). Every index family's persist calls this beside its
+    * tombstone-history reset — fresh build ⇒ fresh retraction history ⇒
+    * fresh version history.
+    */
+  private[graft] def resetVersions(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val cur = servingVersion(s, table)
+    (1 to cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
+  }
 
   private[graft] def servingVersion(s: org.apache.spark.sql.SparkSession, table: String): Int = {
     val db = s.sessionState.catalog.getCurrentDatabase

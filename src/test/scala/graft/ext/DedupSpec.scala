@@ -793,6 +793,31 @@ class DedupSpec extends SparkSpecBase {
     assert(files <= 4, s"compaction must heal the VERSION table's buckets, got $files files")
   }
 
+  test("a fresh persist after a versioned rebuild retires the versions: new epoch serves") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val tbl = s"lshspec_epoch_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.rebuildLshIndex(spark, tbl, corpus, col("doc_id"), col("text"), buckets = 4)
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+    // a NEW index epoch under the same logical name (fresh corpus build):
+    // without version retirement the bare write would be outranked by the
+    // stale __v1 at every append/census/live resolution — split-brain
+    val truth = s"lshspec_epoch_truth_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"), truth, buckets = 4)
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"), tbl, buckets = 4)
+    assert(Similarity.servingTable(spark, tbl) == tbl,
+      "fresh persist must retire published versions — the bare table is the new authority")
+    assert(probe(tbl) == probe(truth), "the new epoch's content must serve")
+  }
+
   test("publishVersion recovers from a crashed prior rebuild: leftover __build staging is overwritten") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = all.filter(col("doc_id") % 5 =!= 0)

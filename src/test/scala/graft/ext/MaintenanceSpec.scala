@@ -171,4 +171,12 @@ class MaintenanceSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("ghost"))
   }
+
+  test("applyMaintenancePlan audits an empty fleet as empty, not as an error") {
+    val empty = Seq.empty[(String, String)].toDF("index_name", "decision")
+    val audit = Maintenance.applyMaintenancePlan(spark, empty, Map.empty)
+    assert(audit.count() == 0)
+    assert(audit.columns.toSeq ==
+      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "decision"))
+  }
 }
