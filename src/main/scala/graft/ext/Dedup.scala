@@ -563,10 +563,10 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 0
   ): Unit =
-    graft.ext.Similarity.publishVersion(s, table)(bld =>
+    graft.ext.Similarity.publishVersion(s, table)((bld, era) =>
       persistLshIndex(
         corpus, idCol, textCol, bld, buckets, n, k, bands, maxBucket,
-        era = graft.ext.Similarity.nextEra()))
+        era = era))
 
   /** One (id, band, bh) row per document per band — the LSH bucket keys the
     * pair self-join runs on.
@@ -630,10 +630,17 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       maxBucket: Int
-  ): DataFrame = {
-    require(maxBucket > 0, "oversizedBuckets needs the positive cap used for pairing")
-    bandedIds(df, idCol, textCol, n, k, bands)
-      .groupBy(col("band"), col("bh"))
+  ): DataFrame =
+    oversized(bandedIds(df, idCol, textCol, n, k, bands), Seq("band", "bh"), maxBucket)
+
+  /** The quarantine census core shared with the Hamming family
+    * ([[Multimodal.oversizedHammingBuckets]]) — one definition of "what
+    * did the cap drop", like [[capBuckets]] is one definition of the cap.
+    */
+  private[ext] def oversized(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "oversizedBuckets needs the positive cap actually used for pairing")
+    banded
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > maxBucket)
   }
@@ -1806,10 +1813,10 @@ object Dedup {
       cents: Array[Seq[Long]],
       buckets: Int
   ): Unit =
-    graft.ext.Similarity.publishVersion(s, table)(bld =>
+    graft.ext.Similarity.publishVersion(s, table)((bld, era) =>
       persistSemanticIndex(
         corpus, idCol, vecCol, cents, bld, buckets,
-        era = graft.ext.Similarity.nextEra()))
+        era = era))
 
   /** The live rows of a persisted semantic index: the bucketed scan minus
     * its era-qualified tombstones (broadcast anti-join on id with the

@@ -664,9 +664,14 @@ object Multimodal {
   /** MAINTENANCE — append a batch's fingerprints to a
     * [[persistHammingIndex]] table under the same bucket spec: one
     * map-side banding pass, one bucketed append; the table stays
-    * exchange-free for every future probe. Append-then-probe ≡
-    * rebuild-then-probe exactly (banding is a per-row function of the
-    * fingerprint alone).
+    * exchange-free for every future probe. For an UNCAPPED layout,
+    * append-then-probe ≡ rebuild-then-probe exactly (banding is a
+    * per-row function of the fingerprint alone). Under a `maxBucket`
+    * cap that equivalence is layout-epoch-scoped: the cap is a
+    * corpus-global census taken at persist/rebuild time, and appends
+    * are NOT re-capped — appended rows land in (and can regrow)
+    * quarantined buckets until the next [[rebuildHammingIndex]] at the
+    * same cap, which is the re-cap point.
     */
   def appendHammingIndex(
       hashes: DataFrame,
@@ -757,11 +762,16 @@ object Multimodal {
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
-      buckets: Int
+      buckets: Int,
+      maxBucket: Int = 0
   ): Unit =
-    graft.ext.Similarity.publishVersion(s, table)(bld =>
+    // maxBucket rides through: a capped index's rebuild IS the re-cap
+    // point (appends are never re-capped — see appendHammingIndex), so a
+    // rebuild that silently dropped the cap would republish every
+    // quarantined boilerplate bucket
+    graft.ext.Similarity.publishVersion(s, table)((bld, era) =>
       persistHammingIndex(
-        hashes, idCol, hashCol, bld, buckets, era = graft.ext.Similarity.nextEra()))
+        hashes, idCol, hashCol, bld, buckets, era = era, maxBucket = maxBucket))
 
   /** QUERY TIME — probe a [[persistHammingIndex]] table with a batch of
     * incoming fingerprints: band the batch map-side, join the live index
@@ -806,13 +816,9 @@ object Multimodal {
       idCol: String,
       hashCol: String,
       maxBucket: Int
-  ): DataFrame = {
-    require(maxBucket > 0, "oversizedHammingBuckets needs the positive cap used at layout")
-    bandedFingerprints(hashes, idCol, hashCol)
-      .groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") > maxBucket)
-  }
+  ): DataFrame =
+    graft.ext.Dedup.oversized(
+      bandedFingerprints(hashes, idCol, hashCol), Seq("band", "bv"), maxBucket)
 
   /** The image-modality names of the fingerprint-index lifecycle — thin
     * forwards over the modality-agnostic `*HammingIndex` core (the
@@ -844,8 +850,8 @@ object Multimodal {
   /** See [[persistImageIndex]]. */
   def rebuildImageIndex(
       s: org.apache.spark.sql.SparkSession, table: String, hashes: DataFrame,
-      idCol: String, hashCol: String, buckets: Int): Unit =
-    rebuildHammingIndex(s, table, hashes, idCol, hashCol, buckets)
+      idCol: String, hashCol: String, buckets: Int, maxBucket: Int = 0): Unit =
+    rebuildHammingIndex(s, table, hashes, idCol, hashCol, buckets, maxBucket)
 
   /** See [[persistImageIndex]]. */
   def probeImageIndex(

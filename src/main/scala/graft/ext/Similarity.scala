@@ -669,37 +669,58 @@ object Similarity {
   ): Unit =
     // persistAnnIndex drops tombTable(bld) — a no-op companion; the real
     // tombstones (keyed by the LOGICAL name) stay live for current readers
-    publishVersion(s, table)(bld =>
-      persistAnnIndex(corpus, idCol, vecCol, coarse, books, bld, buckets, era = nextEra()))
+    publishVersion(s, table)((bld, era) =>
+      persistAnnIndex(corpus, idCol, vecCol, coarse, books, bld, buckets, era = era))
 
   /** The versioned-publication machinery behind every index REBUILD,
     * shared by all four persisted-index families (IVFPQ vector, LSH text,
     * semantic cell, Hamming fingerprint) so the probe-safety argument is
     * proved once: `build` writes a complete index under the staging name
-    * it is given (`<table>__v<N>__build`, never resolved by readers),
-    * publication is ONE catalog RENAME to `<table>__v<N>`, the logical
-    * name's tombstones drop (the fresh-era rows can't be hidden by them —
-    * hygiene, not a correctness window), and versions two generations
-    * back retire. A concurrent [[servingTable]] resolution sees version
-    * N−1 or N — never a missing name, never a half-written table.
+    * it is given (`<table>__v<N>__build`, never resolved by readers) at
+    * the era it is given (minted HERE, before the build starts),
+    * publication is ONE catalog RENAME to `<table>__v<N>`, and versions
+    * two generations back retire. A concurrent [[servingTable]]
+    * resolution sees version N−1 or N — never a missing name, never a
+    * half-written table.
+    *
+    * Tombstone handling is ERA-SPLIT, not a blanket drop: retractions
+    * recorded BEFORE the build era are inert against the new version
+    * (its rows carry `seq = era > tomb_seq`) and are purged as hygiene,
+    * but a takedown recorded DURING the build window (full-corpus
+    * encodes are the longest maintenance op) carries `tomb_seq > era`
+    * and MUST survive publication — the build's corpus snapshot predates
+    * it, so only the tombstone hides the retracted id in the new
+    * version. The survivor rewrite stages through `<tomb>__keep` and
+    * republishes under the tombstone name (same rename doctrine).
     */
   private[graft] def publishVersion(
       s: org.apache.spark.sql.SparkSession,
       table: String
-  )(build: String => Unit): Unit = {
+  )(build: (String, Long) => Unit): Unit = {
     val cur = servingVersion(s, table)
     val next = s"${table}__v${cur + 1}"
     val bld = next + "__build"
-    build(bld)
+    val era = nextEra()
+    build(bld, era)
     // a prior JVM's leftover __v<N+1> DIRECTORY (its in-memory catalog
     // died with it, so servingVersion cannot see the version) would make
     // the RENAME refuse the target location — same stale-location doctrine
     // as writeBucketed: a location the catalog doesn't own is garbage
     graft.sources.Sources.dropStaleLocation(s, next)
     s.sql(s"ALTER TABLE `$bld` RENAME TO `$next`") // atomic publication
-    // hygiene: stale tombstones can't hide the new era's rows, and the new
-    // index is built from the already-retraction-applied corpus
-    s.sql(s"DROP TABLE IF EXISTS `${tombTable(table)}`")
+    val tomb = tombTable(table)
+    if (s.catalog.tableExists(tomb)) {
+      val midBuild = s.table(tomb).filter(col("tomb_seq") >= era)
+      if (midBuild.isEmpty) s.sql(s"DROP TABLE IF EXISTS `$tomb`")
+      else {
+        val keep = tomb + "__keep"
+        s.sql(s"DROP TABLE IF EXISTS `$keep`")
+        graft.sources.Sources.dropStaleLocation(s, keep)
+        midBuild.write.format("parquet").saveAsTable(keep)
+        s.sql(s"DROP TABLE IF EXISTS `$tomb`")
+        s.sql(s"ALTER TABLE `$keep` RENAME TO `$tomb`")
+      }
+    }
     // retire generations ≤ cur−1; version cur stays as the reader grace set
     (1 until cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
     if (cur >= 1) s.sql(s"DROP TABLE IF EXISTS `$table`")

@@ -266,14 +266,9 @@ private[queries] object QAnn {
       val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
       val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
       val tbl = Scratch.table("ann_idx_bg")
-      // rebuilds publish immutable VERSIONS now (probe-safe swap): one per
-      // tableOnce key change in this JVM (bench: warmup sf + timed sf) —
-      // register the version names and their build stages for exit cleanup
-      (1 to 3).foreach { v =>
-        Scratch.registerTable(s"${tbl}__v$v")
-        Scratch.registerTable(s"${tbl}__v${v}__build")
-      }
-      Scratch.registerTable(Similarity.tombTable(tbl))
+      // rebuilds publish immutable VERSIONS (probe-safe swap) — register
+      // the whole versioned name family for exit cleanup
+      Scratch.registerVersionedIndex(tbl)
       Scratch.tableOnce(tbl, dir) {
         Similarity.persistAnnIndex(
           old, "vec_id", "embedding", staleCoarse, staleBooks, tbl, buckets = 8)
@@ -399,14 +394,7 @@ private[queries] object QAnn {
       val lshTbl = Scratch.table("lsh_idx_apl")
       val semTbl = Scratch.table("sem_idx_apl")
       val auditTbl = Scratch.table("mnt_audit")
-      Seq(annTbl, lshTbl, semTbl).foreach { tb =>
-        Scratch.registerTable(Similarity.tombTable(tb))
-        Scratch.registerTable(tb + "__compact_stage")
-        (1 to 3).foreach { v =>
-          Scratch.registerTable(s"${tb}__v$v")
-          Scratch.registerTable(s"${tb}__v${v}__build")
-        }
-      }
+      Seq(annTbl, lshTbl, semTbl).foreach(Scratch.registerVersionedIndex(_))
       Scratch.tableOnce(auditTbl, dir) {
         // the same fleet recipe as index_maintenance_plan, fresh tables
         // (apply MUTATES them — the plan query's fleet must stay pristine)

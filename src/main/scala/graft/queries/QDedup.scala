@@ -230,13 +230,7 @@ private[queries] object QDedup {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val incoming = docs.filter(col("doc_id") % 5 === 0)
       val idxTable = Scratch.table("lsh_idx_rb")
-      // one version per tableOnce key change in this JVM (bench: warmup sf
-      // + timed sf) — register the versions and their build stages
-      (1 to 3).foreach { v =>
-        Scratch.registerTable(s"${idxTable}__v$v")
-        Scratch.registerTable(s"${idxTable}__v${v}__build")
-      }
-      Scratch.registerTable(graft.ext.Similarity.tombTable(idxTable))
+      Scratch.registerVersionedIndex(idxTable)
       Scratch.tableOnce(idxTable, dir) {
         Dedup.persistLshIndex(
           corpus.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
@@ -455,11 +449,7 @@ private[queries] object QDedup {
       val corpus = e.filter(col("vec_id") % 5 =!= 0)
       val incoming = e.filter(col("vec_id") % 5 === 0)
       val tbl = Scratch.table("sem_idx_rb")
-      (1 to 3).foreach { v =>
-        Scratch.registerTable(s"${tbl}__v$v")
-        Scratch.registerTable(s"${tbl}__v${v}__build")
-      }
-      Scratch.registerTable(Similarity.tombTable(tbl))
+      Scratch.registerVersionedIndex(tbl)
       Scratch.tableOnce(tbl, dir) {
         Dedup.persistSemanticIndex(
           corpus.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),

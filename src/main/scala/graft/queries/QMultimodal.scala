@@ -173,11 +173,7 @@ private[queries] object QMultimodal {
         .toDF()
       val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
       val tbl = Scratch.table("img_idx_rb")
-      (1 to 3).foreach { v =>
-        Scratch.registerTable(s"${tbl}__v$v")
-        Scratch.registerTable(s"${tbl}__v${v}__build")
-      }
-      Scratch.registerTable(graft.ext.Similarity.tombTable(tbl))
+      Scratch.registerVersionedIndex(tbl)
       Scratch.tableOnce(tbl, dir) {
         Multimodal.persistImageIndex(
           corpus.filter(col("asset_id") % 2 === 0), "asset_id", "dhash", tbl, buckets = 8)

@@ -106,6 +106,24 @@ object Scratch {
     created.add(new java.io.File("spark-warehouse", name).getAbsolutePath): Unit
   }
 
+  /** [[registerTable]] for a versioned index's WHOLE name family: the
+    * logical table, its tombstone companion (plus the companion's
+    * `__keep` rewrite stage), and `maxV` generations of published
+    * versions with their build and compaction stages — every name the
+    * persisted-index lifecycle (publishVersion / compact / delete) can
+    * mint for one logical index. One call per index beats five
+    * hand-maintained registration lists drifting from the naming scheme.
+    */
+  def registerVersionedIndex(table: String, maxV: Int = 3): Unit = {
+    val tomb = graft.ext.Similarity.tombTable(table)
+    Seq(table, tomb, tomb + "__keep", table + "__compact_stage").foreach(registerTable)
+    (1 to maxV).foreach { v =>
+      registerTable(s"${table}__v$v")
+      registerTable(s"${table}__v${v}__build")
+      registerTable(s"${table}__v${v}__compact_stage")
+    }
+  }
+
   /** Pid-scoped tag for [[graft.ops.BucketOps.bucketedEquiJoin]], which
     * derives its two table names as `graft_bkt_<tag>_l/_r` — both
     * warehouse directories registered for exit-time deletion.

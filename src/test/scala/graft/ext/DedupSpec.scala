@@ -818,6 +818,39 @@ class DedupSpec extends SparkSpecBase {
     assert(probe(tbl) == probe(truth), "the new epoch's content must serve")
   }
 
+  test("publishVersion keeps takedowns recorded DURING the build window, purges pre-build ones") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    def probe(tbl: String) = Dedup
+      .probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val tbl = s"lshspec_midtomb_${System.nanoTime()}"
+    Dedup.persistLshIndex(corpus, col("doc_id"), col("text"), tbl, buckets = 4)
+    // PRE-build takedown: the rebuild corpus re-includes these ids, so the
+    // tombstone is inert against the new era and must be purged
+    Dedup.deleteFromLshIndex(spark, tbl, all.filter(col("doc_id") % 2 === 0), col("doc_id"))
+    // rebuild from the full corpus; a takedown lands MID-BUILD (the thunk
+    // IS the build window — full-corpus encodes are the longest op)
+    Similarity.publishVersion(spark, tbl) { (bld, era) =>
+      Dedup.persistLshIndex(corpus, col("doc_id"), col("text"), bld, buckets = 4, era = era)
+      Dedup.deleteFromLshIndex(spark, tbl, all.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    }
+    val truth = s"lshspec_midtomb_truth_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"), truth, buckets = 4)
+    val after = probe(tbl)
+    assert(after == probe(truth),
+      "the mid-build takedown must hide its ids in the published version; " +
+        "pre-build tombstones must not hide the re-included ids")
+    assert(!after.exists(_._2 % 3 == 0), "mid-build takedown leaked into the probe")
+    assert(after.exists(_._2 % 2 == 0), "pre-build tombstones must purge at publication")
+    // only the surviving (mid-build) retractions remain in the companion
+    val tombs = spark.table(Similarity.tombTable(tbl))
+      .select(col("corpus_id")).collect().map(_.getLong(0)).toSet
+    assert(tombs.nonEmpty && tombs.forall(_ % 3 == 0), s"got $tombs")
+  }
+
   test("publishVersion recovers from a crashed prior rebuild: leftover __build staging is overwritten") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = all.filter(col("doc_id") % 5 =!= 0)

@@ -128,7 +128,7 @@ class MaintenanceSpec extends SparkSpecBase {
         .withColumn("drift_ppm", lit(0L)))
     val plan = Maintenance.indexMaintenancePlan(
       census, rebuildDriftPpm = 1200000L, compactTombPpm = 100000L)
-    val audit = Maintenance.applyMaintenancePlan(
+    val auditDf = Maintenance.applyMaintenancePlan(
       spark, plan,
       Map(
         "reb" -> Maintenance.ManagedIndex(
@@ -145,6 +145,11 @@ class MaintenanceSpec extends SparkSpecBase {
           non, "corpus_id",
           compact = () => fail("healthy index must not compact"),
           rebuild = () => fail("healthy index must not rebuild"))))
+    // schema tripwire: the real audit and the empty-fleet audit (hand-built
+    // StructType) must agree — a census column change must trip BOTH tests
+    assert(auditDf.columns.toSeq ==
+      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "decision"))
+    val audit = auditDf
       .collect()
       .map(r => r.getAs[String]("index_name") ->
         (r.getAs[Long]("index_docs"), r.getAs[Long]("tomb_entries"),
