@@ -521,20 +521,26 @@ object Dedup {
   def compactLshIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
-      buckets: Int
+      buckets: Int,
+      maxBucket: Int = 0
   ): Unit = {
     val tomb = graft.ext.Similarity.tombTable(table)
     // content dedup keeping the highest era: duplicate rows from an
     // overlapping append are inert at probe time (probeLshIndex distincts
     // pairs) but index bloat — compaction heals them, mirroring
     // compactAnnIndex; max(seq) keeps the survivor deterministic and
-    // maximally visible against future explicit-era tombstones
+    // maximally visible against future explicit-era tombstones.
+    // `maxBucket > 0` additionally RE-CAPS the layout (appends are never
+    // capped, so boilerplate buckets regrow between epochs; compaction
+    // rewrites every live row anyway, so the census filter is free —
+    // the Hamming family's compactHammingIndex doctrine, shared)
+    val healed = lshIndexLive(s, table)
+      .groupBy(col("band"), col("bh"), col("corpus_id"))
+      .agg(max(col("seq")).as("seq"))
+      .select(col("band"), col("bh"), col("corpus_id"), col("seq"))
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bh"),
-      lshIndexLive(s, table)
-        .groupBy(col("band"), col("bh"), col("corpus_id"))
-        .agg(max(col("seq")).as("seq"))
-        .select(col("band"), col("bh"), col("corpus_id"), col("seq")))
+      capBuckets(healed, Seq("band", "bh"), maxBucket))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 

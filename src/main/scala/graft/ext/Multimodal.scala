@@ -734,15 +734,26 @@ object Multimodal {
   def compactHammingIndex(
       s: org.apache.spark.sql.SparkSession,
       table: String,
-      buckets: Int
+      buckets: Int,
+      maxBucket: Int = 0
   ): Unit = {
     val tomb = graft.ext.Similarity.tombTable(table)
+    // `maxBucket > 0` makes compaction a RE-CAP point: appends are never
+    // re-capped ([[appendHammingIndex]]), so hot buckets regrow between
+    // layout epochs — and compaction already rewrites every live row, so
+    // re-applying the census cap here costs nothing extra, versus a full
+    // rebuild (re-hash + re-band of the whole corpus) whose only cap
+    // advantage over this is a refreshed fingerprint computation. The cap
+    // counts the CONTENT-deduped census (after the overlap-append
+    // healing), so compact-at-cap equals rebuild-at-cap exactly even when
+    // retried appends stored a row twice.
+    val healed = hammingIndexLive(s, table)
+      .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
+      .agg(max(col("seq")).as("seq"))
+      .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq"))
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bv"),
-      hammingIndexLive(s, table)
-        .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
-        .agg(max(col("seq")).as("seq"))
-        .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq")))
+      graft.ext.Dedup.capBuckets(healed, Seq("band", "bv"), maxBucket))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
@@ -844,8 +855,10 @@ object Multimodal {
     deleteFromHammingIndex(s, table, ids, idCol, era)
 
   /** See [[persistImageIndex]]. */
-  def compactImageIndex(s: org.apache.spark.sql.SparkSession, table: String, buckets: Int): Unit =
-    compactHammingIndex(s, table, buckets)
+  def compactImageIndex(
+      s: org.apache.spark.sql.SparkSession, table: String, buckets: Int,
+      maxBucket: Int = 0): Unit =
+    compactHammingIndex(s, table, buckets, maxBucket)
 
   /** See [[persistImageIndex]]. */
   def rebuildImageIndex(

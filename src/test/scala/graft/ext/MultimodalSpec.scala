@@ -559,6 +559,39 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.oversizedHammingBuckets(boiler, "asset_id", "fp", maxBucket = 0))
   }
 
+  test("compactHammingIndex re-caps: regrown hot buckets quarantine without a rebuild") {
+    // capped layout (cap 10 over 8 boilerplate members keeps them), then
+    // appends regrow the bucket past the cap; compact-at-cap must equal a
+    // fresh capped persist over the union — quarantining the regrown
+    // bucket with no re-hash
+    val fp0 = (1L to 8L).map(i => (i, 42L))
+    val grown = (9L to 30L).map(i => (i, 42L))
+    // the 56-bit complement of 42: hamming 56 from the boilerplate and no
+    // shared band value, so it can only pair with itself
+    val far = (1L << 56) - 1 - 42
+    val distinctRow = Seq((99L, far))
+    val incoming = Seq((100L, 42L), (101L, far)).toDF("asset_id", "fp")
+    def probe(tbl: String) = Multimodal
+      .probeHammingIndex(spark, tbl, incoming, "asset_id", "fp", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val tbl = s"hamspec_recap_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(
+      (fp0 ++ distinctRow).toDF("asset_id", "fp"), "asset_id", "fp", tbl, buckets = 4,
+      maxBucket = 10)
+    Multimodal.appendHammingIndex(grown.toDF("asset_id", "fp"), "asset_id", "fp", tbl, buckets = 4)
+    // regrown: the boilerplate bucket now exceeds the cap but still probes
+    assert(probe(tbl).count(_._2 != 99L) == 30, "appends are not re-capped (by contract)")
+    Multimodal.compactHammingIndex(spark, tbl, buckets = 4, maxBucket = 10)
+    val truth = s"hamspec_recap_truth_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(
+      (fp0 ++ grown ++ distinctRow).toDF("asset_id", "fp"), "asset_id", "fp", truth, buckets = 4,
+      maxBucket = 10)
+    assert(probe(tbl) == probe(truth),
+      "compact-at-cap must equal a fresh capped persist over the same corpus")
+    assert(probe(tbl) == Seq((101L, 99L)),
+      "the regrown boilerplate bucket must quarantine; the small bucket must survive")
+  }
+
   test("dHashFrames: per-frame hash replays the GIF pixel formula on the shared 9x7 grid") {
     val ids = Seq(0L, 3L, 15L, 142L)
     val fh = Multimodal
