@@ -540,7 +540,8 @@ object Dedup {
       .select(col("band"), col("bh"), col("corpus_id"), col("seq"))
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bh"),
-      capBuckets(healed, Seq("band", "bh"), maxBucket))
+      graft.ext.Similarity.collapsedToMaxEra(
+        capBuckets(healed, Seq("band", "bh"), maxBucket)))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 
@@ -1793,10 +1794,11 @@ object Dedup {
     // same doctrine as the other two indexes' compactions)
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("cell"),
-      semanticIndexLive(s, table)
-        .groupBy(col("cell"), col("corpus_id"), col("vec"), col("nrm"))
-        .agg(max(col("seq")).as("seq"))
-        .select(col("cell"), col("corpus_id"), col("vec"), col("nrm"), col("seq")))
+      graft.ext.Similarity.collapsedToMaxEra(
+        semanticIndexLive(s, table)
+          .groupBy(col("cell"), col("corpus_id"), col("vec"), col("nrm"))
+          .agg(max(col("seq")).as("seq"))
+          .select(col("cell"), col("corpus_id"), col("vec"), col("nrm"), col("seq"))))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 

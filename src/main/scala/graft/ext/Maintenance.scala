@@ -1,17 +1,19 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Index-maintenance POLICY: compose the observability signals the
   * persisted-index lifecycles emit (tombstone load, append-era count,
-  * quantizer drift, file amplification) into a none/compact/rebuild
-  * decision per index — the loop-closer over the per-family actions
-  * ([[graft.ext.Dedup.compactLshIndex]], [[Similarity.compactAnnIndex]],
-  * [[Similarity.rebuildAnnIndex]], …). The reference's pipelines encode
-  * the same shape manually (re-pull cache vs reuse, chicago
-  * permit_cleaning.py's per-year CSV memo); at 100 TB the decision has to
-  * be an operator, not an operator's operator.
+  * quantizer drift, file amplification, capped-bucket regrowth) into a
+  * none/compact/rebuild decision per index — the loop-closer over the
+  * per-family actions ([[graft.ext.Dedup.compactLshIndex]],
+  * [[Similarity.compactAnnIndex]], [[Similarity.rebuildAnnIndex]], …).
+  * The reference's pipelines encode the same shape manually (re-pull
+  * cache vs reuse, chicago permit_cleaning.py's per-year CSV memo); at
+  * 100 TB the decision has to be an operator, not an operator's
+  * operator.
   *
   * Everything here is declarative column logic over a CENSUS frame, so
   * the decision replays exactly in any engine given the same census —
@@ -24,18 +26,39 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** One census row for a persisted index table: distinct indexed ids,
-    * live tombstone entries, distinct append eras — all table-derived,
-    * aggregation-only (the scan is one column set; no collect). The
-    * tombstone side is its own tiny aggregate cross-joined in (both sides
-    * are one row).
+    * live tombstone entries, distinct append eras, and — for a CAPPED
+    * banded layout ([[Multimodal.persistHammingIndex]]'s `maxBucket`,
+    * [[Dedup.persistLshIndex]]'s) — the capped-bucket REGROWTH signal
+    * `capped_ppm`: stored rows sitting in buckets whose membership
+    * exceeds the layout cap, per million stored rows. Appends are never
+    * re-capped (the documented posture: the cap is a layout-epoch
+    * census), so an append-heavy loop regrows quarantined buckets and
+    * probe cost degrades until a compact/rebuild re-caps — this signal
+    * is how the policy notices, instead of an operator reading
+    * SCALING.md. All table-derived, aggregation-only (the bucket census
+    * groups on the table's own bucket keys, so the scan is
+    * exchange-free; no collect). The tombstone side is its own tiny
+    * aggregate cross-joined in (both sides are one row).
     *
-    * @param idColName the stored id column (`cand_id` / `corpus_id`)
+    * The bucket census counts STORED rows (layout grain — what a probe's
+    * join touches), not tombstone-filtered live rows: retraction load is
+    * already its own signal (`tomb_entries`), and mixing the two would
+    * let heavy takedowns mask genuine bucket regrowth.
+    *
+    * @param idColName  the stored id column (`cand_id` / `corpus_id`)
+    * @param bucketKeys the banded layout's bucket key columns (e.g.
+    *                   `band, bv`) — required with `bucketCap` for the
+    *                   regrowth signal; empty ⇒ `capped_ppm = 0`
+    * @param bucketCap  the `maxBucket` cap actually used at layout time;
+    *                   0 (uncapped layout) ⇒ `capped_ppm = 0`
     */
   def indexCensus(
       s: SparkSession,
       table: String,
       idColName: String,
-      name: String
+      name: String,
+      bucketKeys: Seq[String] = Nil,
+      bucketCap: Int = 0
   ): DataFrame = {
     val idx = s.table(Similarity.servingTable(s, table))
     val base = idx.agg(
@@ -46,13 +69,31 @@ object Maintenance {
       if (s.catalog.tableExists(tombT))
         s.table(tombT).agg(count(lit(1)).as("tomb_entries"))
       else s.range(1).select(lit(0L).as("tomb_entries"))
+    val capped =
+      if (bucketKeys.nonEmpty && bucketCap > 0) {
+        val perBucket = idx
+          .groupBy(bucketKeys.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+        val totals = perBucket.agg(
+          coalesce(sum(when(col("__n") > bucketCap, col("__n")).otherwise(0L)), lit(0L))
+            .as("__capped"),
+          coalesce(sum(col("__n")), lit(0L)).as("__total"))
+        // exact integer floor-div (same remainder-subtraction form as
+        // tomb_ppm below, so the value hash-matches an integer-division
+        // oracle bit-for-bit)
+        val num: Column = col("__capped") * lit(1000000L)
+        val den: Column = greatest(col("__total"), lit(1L))
+        totals.select(((num - pmod(num, den)) / den).cast("long").as("capped_ppm"))
+      } else s.range(1).select(lit(0L).as("capped_ppm"))
     base
       .crossJoin(tomb)
+      .crossJoin(capped)
       .select(
         lit(name).as("index_name"),
         col("index_docs"),
         col("tomb_entries"),
-        col("append_eras"))
+        col("append_eras"),
+        col("capped_ppm"))
   }
 
   /** Physical file amplification of a bucketed index table — the
@@ -80,34 +121,45 @@ object Maintenance {
     *     ppm of the indexed ids (every probe pays the anti-join over
     *     them), or the index has accumulated `compactAppendEras`+ append
     *     eras (listing/open cost grows per cycle), or the caller-supplied
-    *     `files_per_bucket` column reaches `compactFilesPerBucket`.
+    *     `files_per_bucket` column reaches `compactFilesPerBucket`, or —
+    *     for a capped banded layout — at least `compactCappedPpm` ppm of
+    *     the stored rows have regrown into over-cap buckets
+    *     ([[indexCensus]]'s `capped_ppm`; compaction is the cheap re-cap
+    *     point, so bucket regrowth is compaction pressure, not rebuild
+    *     pressure).
     *   - else `none`.
     *
     * Required census columns: `index_name`, `index_docs`,
     * `tomb_entries`, `append_eras` ([[indexCensus]]); `drift_ppm`
     * (caller-measured; 0 for modalities without a trained quantizer) and
-    * optionally `files_per_bucket` ([[filesPerBucket]] as a literal).
+    * optionally `capped_ppm` ([[indexCensus]] with bucket keys + cap;
+    * absent ⇒ 0) and `files_per_bucket` ([[filesPerBucket]] as a
+    * literal).
     *
     * @return (index_name, index_docs, tomb_entries, append_eras,
-    *         tomb_ppm, drift_ppm, decision)
+    *         tomb_ppm, drift_ppm, capped_ppm, decision)
     */
   def indexMaintenancePlan(
       census: DataFrame,
       rebuildDriftPpm: Long,
       compactTombPpm: Long,
       compactAppendEras: Long = Long.MaxValue,
-      compactFilesPerBucket: Long = Long.MaxValue
+      compactFilesPerBucket: Long = Long.MaxValue,
+      compactCappedPpm: Long = Long.MaxValue
   ): DataFrame = {
     val withFiles =
       if (census.columns.contains("files_per_bucket")) census
       else census.withColumn("files_per_bucket", lit(0L))
+    val withCapped =
+      if (withFiles.columns.contains("capped_ppm")) withFiles
+      else withFiles.withColumn("capped_ppm", lit(0L))
     // exact integer floor-div (long `/` is double division in Spark — the
     // remainder subtraction makes the quotient exact, so the ppm value
     // hash-matches an integer-division oracle bit-for-bit)
     val tombNum: Column = col("tomb_entries") * lit(1000000L)
     val tombDen: Column = greatest(col("index_docs"), lit(1L))
     val tombPpm: Column = ((tombNum - pmod(tombNum, tombDen)) / tombDen).cast("long")
-    withFiles
+    withCapped
       .withColumn("tomb_ppm", tombPpm)
       .withColumn(
         "decision",
@@ -115,12 +167,14 @@ object Maintenance {
           .when(
             col("tomb_ppm") >= compactTombPpm
               || col("append_eras") >= compactAppendEras
-              || col("files_per_bucket") >= compactFilesPerBucket,
+              || col("files_per_bucket") >= compactFilesPerBucket
+              || col("capped_ppm") >= compactCappedPpm,
             lit("compact"))
           .otherwise(lit("none")))
       .select(
         col("index_name"), col("index_docs"), col("tomb_entries"),
-        col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("decision"))
+        col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("capped_ppm"),
+        col("decision"))
   }
 
   /** The EXECUTOR's handle on one managed index: where it lives, which
@@ -131,29 +185,54 @@ object Maintenance {
     * probe-safe re-encode, e.g. [[Similarity.rebuildAnnIndex]]). The
     * thunks close over the family-specific parameters (bucket count,
     * model, corpus) so the executor stays family-agnostic.
+    * `bucketKeys`/`bucketCap` describe a capped banded layout so the
+    * post-action census carries the same `capped_ppm` signal the plan
+    * census did (defaults: uncapped, signal 0).
     */
   final case class ManagedIndex(
       table: String,
       idColName: String,
       compact: () => Unit,
-      rebuild: () => Unit)
+      rebuild: () => Unit,
+      bucketKeys: Seq[String] = Nil,
+      bucketCap: Int = 0)
+
+  private val auditSchema = StructType(Seq(
+    StructField("index_name", StringType),
+    StructField("index_docs", LongType),
+    StructField("tomb_entries", LongType),
+    StructField("append_eras", LongType),
+    StructField("capped_ppm", LongType),
+    StructField("decision", StringType)))
 
   /** The EXECUTOR — closes the observability→decision→ACTION loop:
     * [[indexMaintenancePlan]] said what each index needs; this runs it.
     * The plan is one row per index (fleet-metadata-sized — the collect is
     * the same model-scale driver step every maintenance scheduler has,
-    * never corpus-grain), applied in index-name order so a fixed fleet
-    * yields a deterministic action sequence. Unknown index names fail
-    * fast — a plan row with no registered actions is a fleet
-    * misconfiguration, not a skippable row.
+    * never corpus-grain). Every plan row is VALIDATED against the
+    * registry (membership and decision vocabulary) before the first
+    * action runs — a fleet misconfiguration fails fast and whole, never
+    * after part of the fleet has already been mutated with no audit.
+    *
+    * Actions run CONCURRENTLY (bounded pool): compact/rebuild are
+    * independent full-table jobs on distinct tables, each probe-safe on
+    * its own (tombstone-folding rewrites and versioned rebuilds never
+    * leave a reader a missing table), so fleet maintenance wall-clock is
+    * the slowest action, not the sum. Determinism is preserved where it
+    * matters — the AUDIT: censuses are taken after ALL actions complete,
+    * in index-name order, and failures surface as the name-ordered first
+    * error after every submitted action has finished (no abandoned
+    * half-running rewrite behind a thrown exception).
     *
     * @return the post-action AUDIT: the re-taken census per index
     *         ([[indexCensus]] after the action ran) plus the decision
     *         that drove it — `compact`/`rebuild` rows must show zero
     *         tombstones and a single append era (the healed state),
-    *         `none` rows the untouched pre-state. The driver's
-    *         `index_maintenance_apply` oracle replays exactly that
-    *         contract in SQL.
+    *         `none` rows the untouched pre-state. The audit is collected
+    *         EAGERLY (a local snapshot, not a lazy re-scan), so later
+    *         index mutations cannot rewrite what this apply observed.
+    *         The driver's `index_maintenance_apply` oracle replays
+    *         exactly that contract in SQL.
     */
   def applyMaintenancePlan(
       s: SparkSession,
@@ -165,31 +244,47 @@ object Maintenance {
       .collect()
       .map(r => (r.getString(0), r.getString(1)))
       .sortBy(_._1)
-    val audits = decisions.map { case (name, decision) =>
+    // validate EVERY row before executing ANY action: a plan naming an
+    // unregistered index (or an unknown decision) must not leave the
+    // fleet partially applied
+    val resolved = decisions.map { case (name, decision) =>
       val ix = indexes.getOrElse(
         name,
         throw new IllegalArgumentException(
           s"plan names index '$name' but no ManagedIndex is registered for it"))
-      decision match {
-        case "compact" => ix.compact()
-        case "rebuild" => ix.rebuild()
-        case "none"    => ()
-        case other =>
-          throw new IllegalArgumentException(s"unknown decision '$other' for index '$name'")
-      }
-      indexCensus(s, ix.table, ix.idColName, name).withColumn("decision", lit(decision))
+      if (decision != "compact" && decision != "rebuild" && decision != "none")
+        throw new IllegalArgumentException(
+          s"unknown decision '$decision' for index '$name'")
+      (name, decision, ix)
     }
-    // an empty plan (empty fleet, or every index filtered out upstream)
-    // audits as EMPTY, not as an error — reduce would throw on it
-    if (audits.isEmpty)
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("index_name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("index_docs", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("tomb_entries", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("append_eras", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("decision", org.apache.spark.sql.types.StringType))))
-    else audits.reduce(_.unionByName(_))
+    val actions = resolved.filter(_._2 != "none")
+    if (actions.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, actions.length))
+      val futures = actions.map { case (_, decision, ix) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = if (decision == "compact") ix.compact() else ix.rebuild()
+        })
+      }
+      // drain ALL futures before propagating (name-ordered first) failure:
+      // throwing mid-pool would abandon live table rewrites behind the
+      // exception
+      val failures = futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+      pool.shutdown()
+      failures.headOption.foreach {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+        case e                                          => throw e
+      }
+    }
+    // eager snapshot: one census row per index (fleet metadata, not data
+    // grain), materialized NOW — the returned frame is immune to any
+    // index mutation after this apply
+    val audit = resolved.map { case (name, decision, ix) =>
+      val r = indexCensus(s, ix.table, ix.idColName, name, ix.bucketKeys, ix.bucketCap)
+        .collect().head
+      Row(name, r.getAs[Long]("index_docs"), r.getAs[Long]("tomb_entries"),
+        r.getAs[Long]("append_eras"), r.getAs[Long]("capped_ppm"), decision)
+    }
+    s.createDataFrame(java.util.Arrays.asList(audit: _*), auditSchema)
   }
 }

@@ -644,19 +644,32 @@ object Multimodal {
       buckets: Int,
       era: Long = 0L,
       maxBucket: Int = 0
+  ): Unit =
+    persistHammingIndexRows(
+      bandedFingerprints(hashes, idCol, hashCol), table, buckets, era, maxBucket)
+
+  /** The banded-row core of [[persistHammingIndex]] — takes the
+    * already-banded (band, bv, id, fp) frame so lifecycle specs can pin
+    * cap/regrowth semantics on hand-built bucket layouts.
+    */
+  private[graft] def persistHammingIndexRows(
+      banded: DataFrame,
+      table: String,
+      buckets: Int,
+      era: Long = 0L,
+      maxBucket: Int = 0
   ): Unit = {
     // fresh build ⇒ fresh retraction history AND fresh version history
     // (same doctrine as the other persisted indexes)
-    hashes.sparkSession.sql(
+    banded.sparkSession.sql(
       s"DROP TABLE IF EXISTS `${graft.ext.Similarity.tombTable(table)}`")
-    graft.ext.Similarity.resetVersions(hashes.sparkSession, table)
+    graft.ext.Similarity.resetVersions(banded.sparkSession, table)
     // `maxBucket > 0` quarantines boilerplate band values AT LAYOUT TIME
     // (every probe against a hot bucket pays its full membership; frame
     // corpora concentrate hard — saturated gradients, black frames), the
     // persistLshIndex cap applied to the fingerprint family
     graft.sources.Sources.writeBucketed(
-      graft.ext.Dedup.capBuckets(
-        bandedFingerprints(hashes, idCol, hashCol), Seq("band", "bv"), maxBucket)
+      graft.ext.Dedup.capBuckets(banded, Seq("band", "bv"), maxBucket)
         .select(col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
       table, buckets, "band", "bv")
   }
@@ -681,10 +694,21 @@ object Multimodal {
       buckets: Int,
       era: Long = graft.ext.Similarity.nextEra()
   ): Unit =
+    appendHammingIndexRows(bandedFingerprints(hashes, idCol, hashCol), table, buckets, era)
+
+  /** The banded-row core of [[appendHammingIndex]] (see
+    * [[persistHammingIndexRows]]).
+    */
+  private[graft] def appendHammingIndexRows(
+      banded: DataFrame,
+      table: String,
+      buckets: Int,
+      era: Long = graft.ext.Similarity.nextEra()
+  ): Unit =
     graft.sources.Sources.appendBucketed(
-      bandedFingerprints(hashes, idCol, hashCol)
+      banded
         .select(col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
-      graft.ext.Similarity.servingTable(hashes.sparkSession, table), buckets, "band", "bv")
+      graft.ext.Similarity.servingTable(banded.sparkSession, table), buckets, "band", "bv")
 
   /** MAINTENANCE — the retraction half (takedown of corpus assets):
     * era-stamped tombstones, broadcast anti-joined out of every probe —
@@ -745,15 +769,23 @@ object Multimodal {
     // rebuild (re-hash + re-band of the whole corpus) whose only cap
     // advantage over this is a refreshed fingerprint computation. The cap
     // counts the CONTENT-deduped census (after the overlap-append
-    // healing), so compact-at-cap equals rebuild-at-cap exactly even when
-    // retried appends stored a row twice.
+    // healing), so for buckets that were UNDER the cap at layout time
+    // compact-at-cap equals rebuild-at-cap exactly even when retried
+    // appends stored a row twice. The censuses differ in SCOPE, though:
+    // compaction re-caps relative to STORED content, a rebuild relative
+    // to the FULL corpus — a bucket quarantined at persist (its original
+    // members never stored) whose appended rows alone stay under the cap
+    // SURVIVES compaction but would be re-quarantined by a rebuild at the
+    // same cap (MultimodalSpec pins the divergence). Compact heals
+    // regrowth; only rebuild re-decides the original quarantine.
     val healed = hammingIndexLive(s, table)
       .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
       .agg(max(col("seq")).as("seq"))
       .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq"))
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bv"),
-      graft.ext.Dedup.capBuckets(healed, Seq("band", "bv"), maxBucket))
+      graft.ext.Similarity.collapsedToMaxEra(
+        graft.ext.Dedup.capBuckets(healed, Seq("band", "bv"), maxBucket)))
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }
 

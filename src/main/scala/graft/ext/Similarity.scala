@@ -601,6 +601,28 @@ object Similarity {
     } else idx
   }
 
+  /** Collapse a healed compaction rewrite to ONE era — the maximum LIVE
+    * era, so no row becomes "newer" than the newest real append. Shared
+    * by all four families' compacts. Compaction is an ERA HORIZON: its
+    * tombstones are folded and retired with it, so an explicit-era
+    * retraction dated BEFORE the compaction is spent (as-of-past deletes
+    * do not reach across a compaction epoch — the rows it would have
+    * hidden were either folded out or re-authorized by the rewrite), and
+    * the post-compact census reads a single append era. That census
+    * reset is load-bearing for the maintenance policy: an eras-triggered
+    * compact that did NOT collapse eras would re-trigger on every
+    * subsequent plan — the fixed point `index_maintenance_fixpoint`
+    * witnesses depends on this. The max is one driver-side Long
+    * (model-scale; compaction already rewrites the whole table).
+    */
+  private[graft] def collapsedToMaxEra(healed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val maxEra = healed
+      .agg(coalesce(max(col("seq")), lit(0L)))
+      .collect()(0).getLong(0)
+    healed.withColumn("seq", lit(maxEra))
+  }
+
   /** MAINTENANCE — fold the tombstones into the files and merge each
     * bucket's accumulated append file-sets back to one file per bucket,
     * WITHOUT changing the bucket hashing (the exchange-free probe
@@ -608,7 +630,9 @@ object Similarity {
     * [[appendAnnIndex]]/[[deleteFromAnnIndex]] cycles: each append adds
     * `buckets` more files (listing + open cost grows per cycle) and each
     * delete grows the anti-join's broadcast. Probe results are
-    * hash-identical before/after — compaction is layout, not meaning.
+    * hash-identical before/after — compaction is layout, not meaning;
+    * surviving rows collapse to the newest live era
+    * ([[collapsedToMaxEra]]), so the era census heals with the layout.
     */
   def compactAnnIndex(
       s: org.apache.spark.sql.SparkSession,
@@ -626,9 +650,10 @@ object Similarity {
     val live = annIndexLive(s, table)
     graft.sources.Sources.compactBucketed(
       s, servingTable(s, table), buckets, Seq("cell"),
-      live.groupBy(col("cand_id"), col("cell"), col("codes"))
-        .agg(max(col("seq")).as("seq"))
-        .select(col("cand_id"), col("cell"), col("codes"), col("seq")))
+      collapsedToMaxEra(
+        live.groupBy(col("cand_id"), col("cell"), col("codes"))
+          .agg(max(col("seq")).as("seq"))
+          .select(col("cand_id"), col("cell"), col("codes"), col("seq"))))
     // the rewrite materialized the anti-join — retire the applied tombstones
     s.sql(s"DROP TABLE IF EXISTS $tomb")
   }

@@ -1064,62 +1064,143 @@ private[queries] object OracleSql {
   /** index_maintenance_plan twin: the staleness oracle's drift sums
     * reduced to ONE exact integer ppm ratio (HUGEINT cross-multiplied
     * floor division — bit-identical to the engine's remainder-subtraction
-    * decimal form), the two other indexes' censuses derived from the same
-    * md5/modulo strata their fixtures are built from, and the decision
-    * CASE replaying the engine's plan-literal thresholds verbatim.
-    * `append_eras` per index is a fixture constant (the build recipe:
-    * ANN = persist + one append = 2; LSH/semantic = persist only = 1).
+    * decimal form), the other indexes' censuses derived from the same
+    * md5/modulo strata their fixtures are built from (the Hamming frame
+    * index's capped-bucket regrowth replayed from the shared frame-hash
+    * CTEs), and the decision CASE replaying the engine's plan-literal
+    * thresholds verbatim. `append_eras` per index is a fixture constant
+    * (the build recipe: ANN/Hamming = persist + one append = 2;
+    * LSH/semantic = persist only = 1).
     */
   private[queries] lazy val indexMaintenancePlanSql: String =
-    maintenanceCensusCtes + """
+    maintenanceCensusCtes + s"""
       SELECT index_name, index_docs, tomb_entries, append_eras,
              (tomb_entries * 1000000) // greatest(index_docs, 1) AS tomb_ppm,
-             drift_ppm,
-             CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
-                  WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
-                       OR append_eras >= 4 THEN 'compact'
-                  ELSE 'none' END AS decision
+             drift_ppm, capped_ppm,
+             $maintenanceDecisionSql AS decision
       FROM census"""
 
+  /** The decision CASE both maintenance twins replay — one definition so
+    * the plan and apply (and fixpoint) rounds cannot drift from the
+    * engine's plan literals (rebuildDriftPpm 1200000, compactTombPpm
+    * 100000, compactAppendEras 4, compactCappedPpm 50000).
+    */
+  private[queries] lazy val maintenanceDecisionSql: String =
+    """CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
+            WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
+                 OR append_eras >= 4 OR capped_ppm >= 50000 THEN 'compact'
+            ELSE 'none' END"""
+
+  /** The post-ACTION census per decision — the healed contract the
+    * executor's audit must show, shared by the apply and fixpoint twins.
+    * `rebuild` re-encodes that index's registered corpus (the fleet
+    * registration: ANN over all embeddings, LSH over the %5 corpus,
+    * semantic over the %5 vectors) at one fresh era with no tombstones;
+    * `compact` folds the tombstones into the files (every tombstone in
+    * this fixture hides exactly one indexed id) and merges eras — for the
+    * capped Hamming layout, compaction is also the RE-CAP point, so its
+    * surviving ids are the re-capped census (`hrecap`) and its
+    * `capped_ppm` returns to zero; `none` leaves the census untouched.
+    * Emits `post(index_name, index_docs, tomb_entries, append_eras,
+    * capped_ppm, decision)`; requires `planned`.
+    */
+  private[queries] lazy val maintenancePostStateCtes: String =
+    """
+      , post AS (
+        SELECT index_name,
+               CASE WHEN decision = 'rebuild' THEN
+                      CASE index_name
+                        WHEN 'ann_ivfpq' THEN (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                        WHEN 'lsh_text' THEN
+                          (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 <> 0)
+                        ELSE
+                          (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0)
+                      END
+                    WHEN decision = 'compact' THEN
+                      CASE index_name
+                        WHEN 'hamming_frame' THEN
+                          (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM hrecap)
+                        ELSE index_docs - tomb_entries END
+                    ELSE index_docs END AS index_docs,
+               CASE WHEN decision = 'none' THEN tomb_entries
+                    ELSE CAST(0 AS BIGINT) END AS tomb_entries,
+               CASE WHEN decision = 'none' THEN append_eras
+                    ELSE CAST(1 AS BIGINT) END AS append_eras,
+               CASE WHEN decision = 'none' THEN capped_ppm
+                    ELSE CAST(0 AS BIGINT) END AS capped_ppm,
+               decision
+        FROM planned)"""
+
   /** index_maintenance_apply twin: the SAME census + threshold replay as
-    * the plan twin, then the post-ACTION state per decision — the healed
-    * contract the executor's audit must show. `rebuild` re-encodes that
-    * index's registered corpus (the fleet registration: ANN over all
-    * embeddings, LSH over the %5 corpus, semantic over the %5 vectors) at
-    * one fresh era with no tombstones; `compact` folds the tombstones
-    * into the files (every tombstone in this fixture hides exactly one
-    * indexed id) and merges eras; `none` leaves the census untouched.
+    * the plan twin, then the post-ACTION state per decision
+    * ([[maintenancePostStateCtes]]).
     */
   private[queries] lazy val indexMaintenanceApplySql: String =
-    maintenanceCensusCtes + """
+    maintenanceCensusCtes + s"""
       , planned AS (
-        SELECT index_name, index_docs, tomb_entries, append_eras,
-               CASE WHEN drift_ppm >= 1200000 THEN 'rebuild'
-                    WHEN (tomb_entries * 1000000) // greatest(index_docs, 1) >= 100000
-                         OR append_eras >= 4 THEN 'compact'
-                    ELSE 'none' END AS decision
-        FROM census)
-      SELECT index_name,
-             CASE WHEN decision = 'rebuild' THEN
-                    CASE index_name
-                      WHEN 'ann_ivfpq' THEN (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
-                      WHEN 'lsh_text' THEN
-                        (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 <> 0)
-                      ELSE
-                        (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0)
-                    END
-                  WHEN decision = 'compact' THEN index_docs - tomb_entries
-                  ELSE index_docs END AS index_docs,
-             CASE WHEN decision = 'none' THEN tomb_entries
-                  ELSE CAST(0 AS BIGINT) END AS tomb_entries,
-             CASE WHEN decision = 'none' THEN append_eras
-                  ELSE CAST(1 AS BIGINT) END AS append_eras,
-             decision
-      FROM planned"""
+        SELECT index_name, index_docs, tomb_entries, append_eras, capped_ppm,
+               $maintenanceDecisionSql AS decision
+        FROM census)""" + maintenancePostStateCtes + """
+      SELECT index_name, index_docs, tomb_entries, append_eras, capped_ppm, decision
+      FROM post"""
 
-  /** The shared body of the two maintenance twins: drift CTEs + the
-    * three-index census (see [[indexMaintenancePlanSql]]'s doc for the
-    * replay rationale; both fixtures build the same fleet recipe).
+  /** index_maintenance_fixpoint twin: the plan round, the post-action
+    * state, then the SECOND plan round over the healed fleet — whose
+    * drift signal is the NEXT (unshifted) incoming batch's quantization
+    * error vs the training population (`drift2`, the ~10⁶-ppm self-ratio
+    * of an undrifted crawl), and whose other signals are the post-state
+    * columns. The healed fleet must decide all-`none`: the policy's own
+    * fixed point, replayed threshold-for-threshold.
+    */
+  private[queries] lazy val indexMaintenanceFixpointSql: String = {
+    val nsub = 4
+    val dsub = 16
+    val unshiftedMins = (0 until nsub)
+      .map(j => s"""
+      , qn_$j AS (
+        SELECT z.vec_id, min(list_sum(list_transform(range(1, ${dsub + 1}),
+          i -> (z.q[i + ${j * dsub}] - c.cq[i]) * (z.q[i + ${j * dsub}] - c.cq[i])))) AS qe
+        FROM qzn z CROSS JOIN c1_$j c GROUP BY z.vec_id)""")
+      .mkString
+    maintenanceCensusCtes + s"""
+      , planned AS (
+        SELECT index_name, index_docs, tomb_entries, append_eras, capped_ppm,
+               $maintenanceDecisionSql AS decision
+        FROM census)""" + maintenancePostStateCtes + s"""
+      , qzn AS (
+        SELECT vec_id, q FROM qz WHERE ${md5GateSql("vec_id", 4)})
+      $unshiftedMins
+      , qn AS (SELECT a0.vec_id, ${(0 until nsub).map(j => s"a$j.qe").mkString(" + ")} AS qe
+        FROM qn_0 a0 ${(1 until nsub)
+        .map(j => s"JOIN qn_$j a$j ON a$j.vec_id = a0.vec_id")
+        .mkString(" ")})
+      , drift2 AS (
+        SELECT CAST(
+          (CAST((SELECT sum(qe) FROM qn) AS HUGEINT) * (SELECT count(*) FROM qb) * 1000000)
+          // (CAST((SELECT sum(qe) FROM qb) AS HUGEINT) * (SELECT count(*) FROM qn))
+          AS BIGINT) AS drift_ppm)
+      , census2 AS (
+        SELECT index_name, index_docs, tomb_entries, append_eras,
+               CASE WHEN index_name = 'ann_ivfpq' THEN (SELECT drift_ppm FROM drift2)
+                    ELSE CAST(0 AS BIGINT) END AS drift_ppm,
+               capped_ppm
+        FROM post)
+      SELECT index_name, index_docs, tomb_entries, append_eras,
+             (tomb_entries * 1000000) // greatest(index_docs, 1) AS tomb_ppm,
+             drift_ppm, capped_ppm,
+             $maintenanceDecisionSql AS decision
+      FROM census2"""
+  }
+
+  /** The shared body of the maintenance twins: drift CTEs + the
+    * four-index census (see [[indexMaintenancePlanSql]]'s doc for the
+    * replay rationale; the fixtures build the same fleet recipe). The
+    * Hamming frame index's stored layout is replayed from the shared
+    * frame-hash CTEs ([[QMultimodal.frameHashCtesBody]]): persist-time
+    * corpus census capped at 64 (`hkept`), the never-re-capped append
+    * (`happ`), the stored-bucket census (`hbc`) whose over-cap rows are
+    * the `capped_ppm` regrowth signal, and the re-capped survivor set
+    * (`hrecap` — compaction's layout, used by the post-state twins).
     */
   private[queries] lazy val maintenanceCensusCtes: String = {
     val nsub = 4
@@ -1154,22 +1235,47 @@ private[queries] object OracleSql {
           (CAST((SELECT sum(qe) FROM qa) AS HUGEINT) * (SELECT count(*) FROM qb) * 1000000)
           // (CAST((SELECT sum(qe) FROM qb) AS HUGEINT) * (SELECT count(*) FROM qa))
           AS BIGINT) AS drift_ppm)
+      , ${QMultimodal.frameHashCtesBody}
+      , hperT AS (
+        SELECT band, bv, count(*) AS n FROM bands
+        WHERE id % 5 <> 0 AND id % 3 <> 0 GROUP BY 1, 2)
+      , hkept AS (
+        SELECT b.key, b.band, b.bv FROM bands b
+        JOIN hperT c ON c.band = b.band AND c.bv = b.bv
+        WHERE b.id % 5 <> 0 AND b.id % 3 <> 0 AND c.n <= 64)
+      , happ AS (SELECT key, band, bv FROM bands WHERE id % 5 <> 0 AND id % 3 = 0)
+      , hstored AS (SELECT * FROM hkept UNION ALL SELECT * FROM happ)
+      , hbc AS (SELECT band, bv, count(*) AS n FROM hstored GROUP BY 1, 2)
+      , hstats AS (
+        SELECT CAST(sum(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT) AS capped_rows,
+               CAST(sum(n) AS BIGINT) AS total_rows FROM hbc)
+      , hrecap AS (
+        SELECT s.key FROM hstored s
+        JOIN hbc c ON c.band = s.band AND c.bv = s.bv
+        WHERE c.n <= 64)
       , census AS (
         SELECT 'ann_ivfpq' AS index_name,
                (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS index_docs,
                CAST(0 AS BIGINT) AS tomb_entries,
                CAST(2 AS BIGINT) AS append_eras,
-               (SELECT drift_ppm FROM drift) AS drift_ppm
+               (SELECT drift_ppm FROM drift) AS drift_ppm,
+               CAST(0 AS BIGINT) AS capped_ppm
         UNION ALL
         SELECT 'lsh_text',
                (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 <> 0),
                (SELECT CAST(count(*) AS BIGINT) FROM documents
                 WHERE doc_id % 5 <> 0 AND (${md5GateSql("doc_id", 3)})),
-               CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         UNION ALL
         SELECT 'semantic_cell',
                (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <> 0),
-               CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))"""
+               CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'hamming_frame',
+               (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM hstored),
+               CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+               (SELECT CAST(capped_rows * 1000000 // greatest(total_rows, 1) AS BIGINT)
+                FROM hstats))"""
   }
 
   /** The KLL quantile read (level-4 gate over orders, deciles) — shared by

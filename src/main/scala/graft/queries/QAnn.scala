@@ -351,6 +351,24 @@ private[queries] object QAnn {
         Dedup.persistSemanticIndex(
           e.filter(col("vec_id") % 5 =!= 0), col("vec_id"), col("embedding"), coarse,
           semTbl, buckets = 8))
+      // Hamming frame index: CAPPED at layout (maxBucket = 64, the frame
+      // family's production posture), then an append regrows the
+      // quarantined boilerplate buckets — appends are never re-capped, so
+      // ONLY the capped_ppm regrowth signal (no tombstones, eras below
+      // threshold, no trained model to drift) demands the compact that
+      // re-caps. This is the loop-closure over the documented gap:
+      // quarantine regrowth is noticed by the POLICY, not by an operator
+      // reading SCALING.md
+      val hamTbl = Scratch.table("frm_idx_cen")
+      Scratch.tableOnce(hamTbl, dir) {
+        val fh = frameHashes(s, dir)
+        Multimodal.persistHammingIndex(
+          fh.filter(col("asset_id") % 5 =!= 0 && col("asset_id") % 3 =!= 0),
+          "frame_key", "dhash", hamTbl, buckets = 8, maxBucket = 64)
+        Multimodal.appendHammingIndex(
+          fh.filter(col("asset_id") % 5 =!= 0 && col("asset_id") % 3 === 0),
+          "frame_key", "dhash", hamTbl, buckets = 8)
+      }
       // quantizer drift of the NEXT incoming batch (the +0.25-shifted
       // stratum, measured BEFORE appending — the staleness workflow); one
       // definition shared with index_maintenance_apply so the two
@@ -364,11 +382,17 @@ private[queries] object QAnn {
       val semCensus = Maintenance
         .indexCensus(s, semTbl, "corpus_id", "semantic_cell")
         .withColumn("drift_ppm", lit(0L))
+      val hamCensus = Maintenance
+        .indexCensus(
+          s, hamTbl, "corpus_id", "hamming_frame",
+          bucketKeys = Seq("band", "bv"), bucketCap = 64)
+        .withColumn("drift_ppm", lit(0L))
       Maintenance.indexMaintenancePlan(
-        annCensus.unionByName(lshCensus).unionByName(semCensus),
+        annCensus.unionByName(lshCensus).unionByName(semCensus).unionByName(hamCensus),
         rebuildDriftPpm = 1200000L,
         compactTombPpm = 100000L,
-        compactAppendEras = 4L)
+        compactAppendEras = 4L,
+        compactCappedPpm = 50000L)
     },
     // the maintenance EXECUTOR — closes the observability→decision→ACTION
     // loop the plan query opened: the same three-index fleet (drifted ANN
@@ -383,72 +407,61 @@ private[queries] object QAnn {
     // see the healed fleet and decide 'none' — the decision is an
     // artifact of the PRE-state)
     "index_maintenance_apply" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val docs = t(s, dir, "documents")
-      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
-      val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
-      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
-      val dcorp = docs.filter(col("doc_id") % 5 =!= 0)
-      val scorp = e.filter(col("vec_id") % 5 =!= 0)
-      val annTbl = Scratch.table("ann_idx_apl")
-      val lshTbl = Scratch.table("lsh_idx_apl")
-      val semTbl = Scratch.table("sem_idx_apl")
       val auditTbl = Scratch.table("mnt_audit")
-      Seq(annTbl, lshTbl, semTbl).foreach(Scratch.registerVersionedIndex(_))
       Scratch.tableOnce(auditTbl, dir) {
-        // the same fleet recipe as index_maintenance_plan, fresh tables
-        // (apply MUTATES them — the plan query's fleet must stay pristine)
-        Similarity.persistAnnIndex(
-          e.filter(g =!= 0), "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
-        Similarity.appendAnnIndex(
-          e.filter(g === 0), "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
-        Dedup.persistLshIndex(
-          dcorp, col("doc_id"), col("text"), table = lshTbl, buckets = 8,
-          n = 3, k = 8, bands = 4)
-        Dedup.deleteFromLshIndex(
-          s, lshTbl,
-          dcorp.filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 3L) === 0),
-          col("doc_id"))
-        Dedup.persistSemanticIndex(
-          scorp, col("vec_id"), col("embedding"), coarse, semTbl, buckets = 8)
-        val census = Maintenance
-          .indexCensus(s, annTbl, "cand_id", "ann_ivfpq")
-          .crossJoin(quantDriftPpmFrame(e, books, g))
-          .unionByName(Maintenance
-            .indexCensus(s, lshTbl, "corpus_id", "lsh_text")
-            .withColumn("drift_ppm", lit(0L)))
-          .unionByName(Maintenance
-            .indexCensus(s, semTbl, "corpus_id", "semantic_cell")
-            .withColumn("drift_ppm", lit(0L)))
-        val plan = Maintenance.indexMaintenancePlan(
-          census,
-          rebuildDriftPpm = 1200000L,
-          compactTombPpm = 100000L,
-          compactAppendEras = 4L)
-        val audit = Maintenance.applyMaintenancePlan(
-          s, plan,
-          Map(
-            "ann_ivfpq" -> Maintenance.ManagedIndex(
-              annTbl, "cand_id",
-              compact = () => Similarity.compactAnnIndex(s, annTbl, buckets = 8),
-              rebuild = () =>
-                Similarity.rebuildAnnIndex(
-                  s, annTbl, e, "vec_id", "embedding", coarse, books, buckets = 8)),
-            "lsh_text" -> Maintenance.ManagedIndex(
-              lshTbl, "corpus_id",
-              compact = () => Dedup.compactLshIndex(s, lshTbl, buckets = 8),
-              rebuild = () =>
-                Dedup.rebuildLshIndex(
-                  s, lshTbl, dcorp, col("doc_id"), col("text"), buckets = 8)),
-            "semantic_cell" -> Maintenance.ManagedIndex(
-              semTbl, "corpus_id",
-              compact = () => Dedup.compactSemanticIndex(s, semTbl, buckets = 8),
-              rebuild = () =>
-                Dedup.rebuildSemanticIndex(
-                  s, semTbl, scorp, col("vec_id"), col("embedding"), coarse, buckets = 8))))
+        val (plan, fleet) = buildMaintenanceFleet(s, dir, "apl")
+        val audit = Maintenance.applyMaintenancePlan(s, plan, fleet)
         audit.write.mode("overwrite").format("parquet").saveAsTable(auditTbl)
       }
       s.table(auditTbl)
+    },
+    // the maintenance FIXED POINT — plan → apply → REPLAN in one arc: the
+    // replanned fleet must decide all-`none`, because the healed state is
+    // the policy's own fixed point (closes the audit-is-pre-state caveat:
+    // the apply query's audit is a snapshot of the decision's pre-state
+    // artifact; THIS query re-runs the decision on the post-state). The
+    // replan's drift signal is the NEXT incoming batch — a fresh,
+    // UNSHIFTED crawl, whose quantization error vs the training
+    // population is the ~10⁶-ppm self-ratio of undrifted data, below the
+    // rebuild threshold (drift is a property of batch × model: the
+    // rebuild absorbed the re-crawl, and the next batch arrives clean).
+    // The oracle replays BOTH rounds of thresholds; MaintenanceSpec pins
+    // non-vacuity (a too-low threshold does NOT reach the fixpoint)
+    "index_maintenance_fixpoint" -> { (s, dir) =>
+      val fxTbl = Scratch.table("mnt_fixpoint")
+      Scratch.tableOnce(fxTbl, dir) {
+        val e = t(s, dir, "embeddings")
+        val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+        val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+        val (plan, fleet) = buildMaintenanceFleet(s, dir, "fx")
+        Maintenance.applyMaintenancePlan(s, plan, fleet).collect(): Unit
+        // REPLAN over the healed fleet: post-state censuses (the same
+        // bucket-cap signal riding along) + the unshifted next batch's
+        // drift, decided under the SAME plan literals
+        val census2 = Maintenance
+          .indexCensus(s, fleet("ann_ivfpq").table, "cand_id", "ann_ivfpq")
+          .crossJoin(quantDriftPpmFrame(e, books, g, shift = 0.0))
+          .unionByName(Maintenance
+            .indexCensus(s, fleet("lsh_text").table, "corpus_id", "lsh_text")
+            .withColumn("drift_ppm", lit(0L)))
+          .unionByName(Maintenance
+            .indexCensus(s, fleet("semantic_cell").table, "corpus_id", "semantic_cell")
+            .withColumn("drift_ppm", lit(0L)))
+          .unionByName(Maintenance
+            .indexCensus(
+              s, fleet("hamming_frame").table, "corpus_id", "hamming_frame",
+              bucketKeys = Seq("band", "bv"), bucketCap = 64)
+            .withColumn("drift_ppm", lit(0L)))
+        Maintenance
+          .indexMaintenancePlan(
+            census2,
+            rebuildDriftPpm = 1200000L,
+            compactTombPpm = 100000L,
+            compactAppendEras = 4L,
+            compactCappedPpm = 50000L)
+          .write.mode("overwrite").format("parquet").saveAsTable(fxTbl)
+      }
+      s.table(fxTbl)
     },
     // index RETRACTION — the delete half of the maintenance cycle the
     // append query opened: build the index over the FULL corpus, tombstone
@@ -696,22 +709,42 @@ private[queries] object QAnn {
     // one rounded division — the monitoring smoother beside ev_rolling,
   )
 
-  /** One-row (`drift_ppm`) frame: quantizer drift of the +0.25-shifted
+  /** Frame-grain dHash fingerprints keyed `asset·8 + frame` — the Hamming
+    * index family's input, the SAME grain QMultimodal's frame queries use
+    * (one definition here for the maintenance fixtures; the formula-level
+    * replay lives in the shared frame CTE the oracles compose).
+    */
+  private def frameHashes(s: SparkSession, dir: String): DataFrame =
+    // plan-keyed disk spill: three maintenance fixtures (plan / apply /
+    // fixpoint) share one GIF-decode+dHash pass per sf
+    Dedup.spilled(
+      Multimodal
+        .dHashFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
+        .toDF()
+        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx")),
+      "mnt_frame_hashes")
+
+  /** One-row (`drift_ppm`) frame: quantizer drift of the `shift`-shifted
     * md5-gated stratum vs the training population, as ONE exact integer
     * floor-division (remainder subtraction over DecimalType(38,0), so the
     * DuckDB HUGEINT twin hash-matches bit-for-bit). Shared by
-    * `index_maintenance_plan` and `index_maintenance_apply` — one
-    * definition so the two fixtures' staleness signals cannot drift.
+    * `index_maintenance_plan` and the apply/fixpoint fleet — one
+    * definition so the fixtures' staleness signals cannot drift.
+    * `shift = 0.0` measures an UNDRIFTED batch (the fixpoint replan's
+    * next-crawl signal — the ratio degenerates to the stratum's
+    * ~10⁶-ppm self-ratio against the population).
     */
   private def quantDriftPpmFrame(
       e: DataFrame,
       books: Array[Array[Seq[Long]]],
-      gate: Column
+      gate: Column,
+      shift: Double = 0.25
   ): DataFrame = {
     val qz = Similarity.quantize(col("embedding"))
     val shifted = transform(
       col("embedding"),
-      x => floor((x.cast("double") + lit(0.25)) * 1000 + lit(0.5)).cast("long"))
+      x => floor((x.cast("double") + lit(shift)) * 1000 + lit(0.5)).cast("long"))
     val qeSums = e
       .select(
         Similarity.pqQuantError(qz, books).as("qe_b"),
@@ -723,6 +756,101 @@ private[queries] object QAnn {
     val num = col("sum_d").cast(dec) * col("n_b") * lit(1000000L)
     val den = col("sum_b").cast(dec) * col("n_d")
     qeSums.select(((num - pmod(num, den)) / den).cast("long").as("drift_ppm"))
+  }
+
+  /** Build the FOUR-index maintenance fleet on fresh `_<suffix>` tables
+    * (the executor MUTATES them — the plan query's fleet must stay
+    * pristine): drifted ANN ⇒ rebuild, tombstoned LSH ⇒ compact, fresh
+    * semantic ⇒ none, append-regrown capped Hamming ⇒ compact (the
+    * capped_ppm branch running END-TO-END: the policy notices quarantine
+    * regrowth and the compact re-caps it). Returns the round-1 PLAN
+    * (decided under the same plan literals the plan query publishes) and
+    * the executor registry with the real per-family actions — shared by
+    * `index_maintenance_apply` and `index_maintenance_fixpoint` so the
+    * two fixtures cannot drift.
+    */
+  private def buildMaintenanceFleet(
+      s: SparkSession,
+      dir: String,
+      suffix: String
+  ): (DataFrame, Map[String, Maintenance.ManagedIndex]) = {
+    val e = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+    val dcorp = docs.filter(col("doc_id") % 5 =!= 0)
+    val scorp = e.filter(col("vec_id") % 5 =!= 0)
+    val fh = frameHashes(s, dir)
+    val hcorp = fh.filter(col("asset_id") % 5 =!= 0)
+    val annTbl = Scratch.table(s"ann_idx_$suffix")
+    val lshTbl = Scratch.table(s"lsh_idx_$suffix")
+    val semTbl = Scratch.table(s"sem_idx_$suffix")
+    val hamTbl = Scratch.table(s"frm_idx_$suffix")
+    Seq(annTbl, lshTbl, semTbl, hamTbl).foreach(Scratch.registerVersionedIndex(_))
+    Similarity.persistAnnIndex(
+      e.filter(g =!= 0), "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
+    Similarity.appendAnnIndex(
+      e.filter(g === 0), "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
+    Dedup.persistLshIndex(
+      dcorp, col("doc_id"), col("text"), table = lshTbl, buckets = 8, n = 3, k = 8, bands = 4)
+    Dedup.deleteFromLshIndex(
+      s, lshTbl,
+      dcorp.filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 3L) === 0),
+      col("doc_id"))
+    Dedup.persistSemanticIndex(
+      scorp, col("vec_id"), col("embedding"), coarse, semTbl, buckets = 8)
+    Multimodal.persistHammingIndex(
+      hcorp.filter(col("asset_id") % 3 =!= 0), "frame_key", "dhash", hamTbl,
+      buckets = 8, maxBucket = 64)
+    Multimodal.appendHammingIndex(
+      hcorp.filter(col("asset_id") % 3 === 0), "frame_key", "dhash", hamTbl, buckets = 8)
+    val census = Maintenance
+      .indexCensus(s, annTbl, "cand_id", "ann_ivfpq")
+      .crossJoin(quantDriftPpmFrame(e, books, g))
+      .unionByName(Maintenance
+        .indexCensus(s, lshTbl, "corpus_id", "lsh_text")
+        .withColumn("drift_ppm", lit(0L)))
+      .unionByName(Maintenance
+        .indexCensus(s, semTbl, "corpus_id", "semantic_cell")
+        .withColumn("drift_ppm", lit(0L)))
+      .unionByName(Maintenance
+        .indexCensus(
+          s, hamTbl, "corpus_id", "hamming_frame",
+          bucketKeys = Seq("band", "bv"), bucketCap = 64)
+        .withColumn("drift_ppm", lit(0L)))
+    val plan = Maintenance.indexMaintenancePlan(
+      census,
+      rebuildDriftPpm = 1200000L,
+      compactTombPpm = 100000L,
+      compactAppendEras = 4L,
+      compactCappedPpm = 50000L)
+    val fleet = Map(
+      "ann_ivfpq" -> Maintenance.ManagedIndex(
+        annTbl, "cand_id",
+        compact = () => Similarity.compactAnnIndex(s, annTbl, buckets = 8),
+        rebuild = () =>
+          Similarity.rebuildAnnIndex(
+            s, annTbl, e, "vec_id", "embedding", coarse, books, buckets = 8)),
+      "lsh_text" -> Maintenance.ManagedIndex(
+        lshTbl, "corpus_id",
+        compact = () => Dedup.compactLshIndex(s, lshTbl, buckets = 8),
+        rebuild = () =>
+          Dedup.rebuildLshIndex(s, lshTbl, dcorp, col("doc_id"), col("text"), buckets = 8)),
+      "semantic_cell" -> Maintenance.ManagedIndex(
+        semTbl, "corpus_id",
+        compact = () => Dedup.compactSemanticIndex(s, semTbl, buckets = 8),
+        rebuild = () =>
+          Dedup.rebuildSemanticIndex(
+            s, semTbl, scorp, col("vec_id"), col("embedding"), coarse, buckets = 8)),
+      "hamming_frame" -> Maintenance.ManagedIndex(
+        hamTbl, "corpus_id",
+        compact = () => Multimodal.compactHammingIndex(s, hamTbl, buckets = 8, maxBucket = 64),
+        rebuild = () =>
+          Multimodal.rebuildHammingIndex(
+            s, hamTbl, hcorp, "frame_key", "dhash", buckets = 8, maxBucket = 64),
+        bucketKeys = Seq("band", "bv"), bucketCap = 64))
+    (plan, fleet)
   }
 
   val oracles: Map[String, String] = Map(
@@ -993,6 +1121,7 @@ ${(0 until 4).map(t => s"          SELECT vec_id, q, $t AS tbl, ${srpBucketSql(6
     "ann_index_staleness" -> annIndexStalenessSql,
     "index_maintenance_plan" -> indexMaintenancePlanSql,
     "index_maintenance_apply" -> indexMaintenanceApplySql,
+    "index_maintenance_fixpoint" -> indexMaintenanceFixpointSql,
     "ann_recall_audit" -> recallAuditSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_pca_project" -> embPcaProjectSql,

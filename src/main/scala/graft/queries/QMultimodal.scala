@@ -428,8 +428,8 @@ private[queries] object QMultimodal {
     * Shared by the frame-pair twin and the clip-containment twin — one
     * definition so the hash/banding/cap replay cannot drift.
     */
-  private lazy val frameBandsCtesSql: String =
-    """WITH dims AS (
+  private[queries] lazy val frameHashCtesBody: String =
+    """dims AS (
          SELECT doc_id AS id,
                 1 + doc_id % 13 AS w,
                 5 + doc_id % 11 AS h,
@@ -456,7 +456,10 @@ private[queries] object QMultimodal {
          GROUP BY fr.id, fr.f),
        bands AS (
          SELECT key, id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
-         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g)),
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))"""
+
+  private[queries] lazy val frameBandsCtesSql: String =
+    "WITH " + frameHashCtesBody + """,
        cb AS (
          SELECT band, bv, count(*) AS n FROM bands WHERE id % 5 <> 0 GROUP BY 1, 2),
        fpairs AS (

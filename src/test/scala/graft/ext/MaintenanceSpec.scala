@@ -62,6 +62,20 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(decisionOf(census("a", 1000, 0, 1, 0))._1 == "none")
   }
 
+  test("compact branch via capped-bucket regrowth, exact threshold; absent column defaults 0") {
+    def withCapped(ppm: Long) = census("a", 1000, 0, 1, 0).withColumn("capped_ppm", lit(ppm))
+    def run(df: org.apache.spark.sql.DataFrame) = Maintenance
+      .indexMaintenancePlan(df, rebuildDriftPpm = 1200000L, compactTombPpm = 100000L,
+        compactCappedPpm = 50000L)
+      .collect().head.getAs[String]("decision")
+    assert(run(withCapped(50000L)) == "compact")
+    assert(run(withCapped(49999L)) == "none")
+    // an absent capped_ppm column defaults to 0 — never a spurious compact
+    assert(run(census("a", 1000, 0, 1, 0)) == "none")
+    // rebuild precedence holds over the capped signal too
+    assert(run(withCapped(999999L).withColumn("drift_ppm", lit(1200000L))) == "rebuild")
+  }
+
   test("empty index never divides by zero; tombstones against it still force compaction") {
     val (d, ppm) = decisionOf(census("a", 0, 1, 1, 0))
     assert(d == "compact" && ppm == 1000000L)
@@ -86,6 +100,77 @@ class MaintenanceSpec extends SparkSpecBase {
     Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, clean, buckets = 4)
     val c = Maintenance.indexCensus(spark, clean, "corpus_id", "clean").collect().head
     assert(c.getAs[Long]("tomb_entries") == 0L && c.getAs[Long]("append_eras") == 1L)
+    // no bucket keys / cap supplied ⇒ the regrowth signal reads 0, never errors
+    assert(c.getAs[Long]("capped_ppm") == 0L)
+  }
+
+  test("indexCensus capped_ppm: appends regrow quarantined buckets, compact-at-cap heals") {
+    // hand-built banded layout (the Hamming index schema) with a cap of 2:
+    // persist-time census caps bucket (0, 7) — its three members are
+    // quarantined; the append then lands three MORE rows in that same
+    // bucket (appends are never re-capped) plus one in a small bucket
+    val tbl = s"mntspec_cap_${System.nanoTime()}"
+    val persistRows = Seq(
+      (0, 7L, 1L, 11L), (0, 7L, 2L, 12L), (0, 7L, 3L, 13L), // capped away at layout
+      (0, 5L, 4L, 14L), (1, 6L, 5L, 15L))
+      .toDF("band", "bv", "id", "fp")
+    graft.ext.Multimodal.persistHammingIndexRows(persistRows, tbl, buckets = 2, maxBucket = 2)
+    val fresh = Maintenance
+      .indexCensus(spark, tbl, "corpus_id", "cap", bucketKeys = Seq("band", "bv"), bucketCap = 2)
+      .collect().head
+    assert(fresh.getAs[Long]("capped_ppm") == 0L, "a freshly capped layout has no regrowth")
+    val appendRows = Seq(
+      (0, 7L, 6L, 16L), (0, 7L, 7L, 17L), (0, 7L, 8L, 18L), // regrow the quarantined bucket
+      (1, 9L, 9L, 19L))
+      .toDF("band", "bv", "id", "fp")
+    graft.ext.Multimodal.appendHammingIndexRows(appendRows, tbl, buckets = 2)
+    val grown = Maintenance
+      .indexCensus(spark, tbl, "corpus_id", "cap", bucketKeys = Seq("band", "bv"), bucketCap = 2)
+      .collect().head
+    // stored: 2 persist survivors + 4 appended = 6 rows; bucket (0,7) holds
+    // 3 (> cap) ⇒ 3/6 = 500000 ppm exactly
+    assert(grown.getAs[Long]("capped_ppm") == 500000L, s"got $grown")
+    // compaction re-caps relative to stored content: the regrown bucket is
+    // quarantined again and the signal returns to zero
+    graft.ext.Multimodal.compactHammingIndex(spark, tbl, buckets = 2, maxBucket = 2)
+    val healed = Maintenance
+      .indexCensus(spark, tbl, "corpus_id", "cap", bucketKeys = Seq("band", "bv"), bucketCap = 2)
+      .collect().head
+    assert(healed.getAs[Long]("capped_ppm") == 0L, s"got $healed")
+    // compaction is an ERA HORIZON: the persist-era and append-era rows
+    // collapse to ONE era, so the eras census heals with the layout (an
+    // eras-triggered compact that kept era diversity would re-trigger on
+    // every subsequent plan — no fixed point)
+    assert(healed.getAs[Long]("append_eras") == 1L, s"got $healed")
+  }
+
+  test("plan→apply→replan reaches the fixed point — and NOT under a too-low threshold") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val tbl = s"mntspec_fx_${System.nanoTime()}"
+    // a tombstoned, twice-appended index: plan says compact, the apply
+    // heals it (tombs folded, eras collapsed)
+    Dedup.persistSemanticIndex(
+      e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    Dedup.appendSemanticIndex(
+      e.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    Dedup.deleteFromSemanticIndex(spark, tbl, e.filter(col("vec_id") % 5 === 0), col("vec_id"))
+    val fleet = Map("fx" -> Maintenance.ManagedIndex(
+      tbl, "corpus_id",
+      compact = () => Dedup.compactSemanticIndex(spark, tbl, buckets = 4),
+      rebuild = () => fail("the tombstone load demands compact, not rebuild")))
+    def planNow(eraThreshold: Long) = Maintenance.indexMaintenancePlan(
+      Maintenance.indexCensus(spark, tbl, "corpus_id", "fx").withColumn("drift_ppm", lit(0L)),
+      rebuildDriftPpm = 1200000L, compactTombPpm = 100000L, compactAppendEras = eraThreshold)
+    val round1 = planNow(4L)
+    assert(round1.collect().head.getAs[String]("decision") == "compact")
+    Maintenance.applyMaintenancePlan(spark, round1, fleet).collect(): Unit
+    // the healed state is the policy's own fixed point...
+    assert(planNow(4L).collect().head.getAs[String]("decision") == "none")
+    // ...and NOT vacuously: a threshold at/below the healed state's own
+    // census (every compacted index still has one era) never converges
+    assert(planNow(1L).collect().head.getAs[String]("decision") == "compact",
+      "the replan must re-read the post-state census, not echo 'none'")
   }
 
   test("filesPerBucket tracks append amplification and compaction resets it to 1") {
@@ -148,7 +233,7 @@ class MaintenanceSpec extends SparkSpecBase {
     // schema tripwire: the real audit and the empty-fleet audit (hand-built
     // StructType) must agree — a census column change must trip BOTH tests
     assert(auditDf.columns.toSeq ==
-      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "decision"))
+      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "capped_ppm", "decision"))
     val audit = auditDf
       .collect()
       .map(r => r.getAs[String]("index_name") ->
@@ -177,11 +262,91 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("ghost"))
   }
 
+  test("applyMaintenancePlan validates the WHOLE plan before running any action") {
+    // the valid row sorts FIRST ('aaa' < 'ghost'), so a lazy per-row
+    // resolution would have compacted it before hitting the ghost — the
+    // misconfiguration must leave the fleet untouched instead
+    val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val plan = Seq(("aaa", "compact"), ("ghost", "compact"))
+      .toDF("index_name", "decision")
+    val fleet = Map("aaa" -> Maintenance.ManagedIndex(
+      "whatever", "corpus_id",
+      compact = () => { ran.set(true); () },
+      rebuild = () => { ran.set(true); () }))
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(spark, plan, fleet)
+    }
+    assert(ex.getMessage.contains("ghost"))
+    assert(!ran.get(), "no action may run when any plan row fails validation")
+    // unknown decision vocabulary trips the same pre-flight validation
+    val bad = Seq(("aaa", "defragment")).toDF("index_name", "decision")
+    val ex2 = intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(spark, bad, fleet)
+    }
+    assert(ex2.getMessage.contains("defragment"))
+    assert(!ran.get())
+  }
+
+  test("applyMaintenancePlan runs independent actions concurrently, audit in name order") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val n = System.nanoTime()
+    val a = s"mntspec_par_a_$n"
+    val b = s"mntspec_par_b_$n"
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, a, buckets = 4)
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, b, buckets = 4)
+    // each compact first WAITS for the other to have started: if the
+    // executor ran them sequentially, the barrier would time out
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def gatedCompact(tbl: String): Unit = {
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      Dedup.compactSemanticIndex(spark, tbl, buckets = 4)
+    }
+    val plan = Seq(("par_b", "compact"), ("par_a", "compact"))
+      .toDF("index_name", "decision")
+    val audit = Maintenance.applyMaintenancePlan(
+      spark, plan,
+      Map(
+        "par_a" -> Maintenance.ManagedIndex(
+          a, "corpus_id", compact = () => gatedCompact(a), rebuild = () => fail("no rebuild")),
+        "par_b" -> Maintenance.ManagedIndex(
+          b, "corpus_id", compact = () => gatedCompact(b), rebuild = () => fail("no rebuild"))))
+      .collect()
+    // deterministic assembly: name order regardless of plan/finish order
+    assert(audit.map(_.getAs[String]("index_name")).toSeq == Seq("par_a", "par_b"))
+    assert(audit.forall(_.getAs[String]("decision") == "compact"))
+    assert(Maintenance.filesPerBucket(spark, a, buckets = 4) == 1L)
+    assert(Maintenance.filesPerBucket(spark, b, buckets = 4) == 1L)
+  }
+
+  test("the audit is an eager snapshot — later index mutations cannot rewrite it") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val tbl = s"mntspec_snap_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    val plan = Seq(("snap", "none")).toDF("index_name", "decision")
+    val audit = Maintenance.applyMaintenancePlan(
+      spark, plan,
+      Map("snap" -> Maintenance.ManagedIndex(
+        tbl, "corpus_id",
+        compact = () => fail("none must not compact"),
+        rebuild = () => fail("none must not rebuild"))))
+    val before = audit.collect().head.getAs[Long]("index_docs")
+    // mutate AFTER the apply returned: a lazily re-scanning audit would
+    // now report the appended rows as the 'post-action' state
+    Dedup.appendSemanticIndex(
+      e.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    assert(audit.collect().head.getAs[Long]("index_docs") == before,
+      "the audit must snapshot the state observed at apply time")
+    assert(before == e.filter(col("vec_id") % 2 === 0).count())
+  }
+
   test("applyMaintenancePlan audits an empty fleet as empty, not as an error") {
     val empty = Seq.empty[(String, String)].toDF("index_name", "decision")
     val audit = Maintenance.applyMaintenancePlan(spark, empty, Map.empty)
     assert(audit.count() == 0)
     assert(audit.columns.toSeq ==
-      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "decision"))
+      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "capped_ppm", "decision"))
   }
 }

@@ -666,4 +666,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(probed.nonEmpty, "fixture too weak — no cross-side audio pair")
     assert(probed == expected, s"probe/self-join divergence:\n$probed\nvs\n$expected")
   }
+
+  test("cap scope divergence: compact re-caps STORED content, rebuild re-caps the corpus") {
+    // bucket (0,7) holds 3 corpus members — over the cap of 2, so the
+    // persist quarantines it and stores NOTHING from it. The append then
+    // lands 2 rows there (appends are never re-capped) — under the cap
+    // counted ALONE, over it counted with the quarantined originals.
+    val n = System.nanoTime()
+    val persistRows = Seq(
+      (0, 7L, 1L, 11L), (0, 7L, 2L, 12L), (0, 7L, 3L, 13L),
+      (0, 5L, 4L, 14L))
+      .toDF("band", "bv", "id", "fp")
+    val appendRows = Seq((0, 7L, 6L, 16L), (0, 7L, 7L, 17L)).toDF("band", "bv", "id", "fp")
+    val cmpTbl = s"mmspec_capscope_c_$n"
+    Multimodal.persistHammingIndexRows(persistRows, cmpTbl, buckets = 2, maxBucket = 2)
+    Multimodal.appendHammingIndexRows(appendRows, cmpTbl, buckets = 2)
+    Multimodal.compactHammingIndex(spark, cmpTbl, buckets = 2, maxBucket = 2)
+    val afterCompact = spark.table(cmpTbl)
+      .select(col("corpus_id")).as[Long].collect().sorted.toSeq
+    // compaction's census sees only the 2 appended rows in (0,7) — they
+    // SURVIVE the re-cap (plus the small bucket's id 4)
+    assert(afterCompact == Seq(4L, 6L, 7L),
+      s"compact re-caps relative to stored content; got $afterCompact")
+    // a rebuild at the same cap censuses the FULL corpus: (0,7) counts
+    // 3 + 2 = 5 > 2 and is quarantined again — appended rows included
+    val rbTbl = s"mmspec_capscope_r_$n"
+    Multimodal.persistHammingIndexRows(
+      persistRows.unionByName(appendRows), rbTbl, buckets = 2, maxBucket = 2)
+    val afterRebuild = spark.table(rbTbl)
+      .select(col("corpus_id")).as[Long].collect().sorted.toSeq
+    assert(afterRebuild == Seq(4L),
+      s"rebuild re-caps relative to the full corpus; got $afterRebuild")
+  }
 }
