@@ -709,22 +709,6 @@ private[queries] object QAnn {
     // one rounded division — the monitoring smoother beside ev_rolling,
   )
 
-  /** Frame-grain dHash fingerprints keyed `asset·8 + frame` — the Hamming
-    * index family's input, the SAME grain QMultimodal's frame queries use
-    * (one definition here for the maintenance fixtures; the formula-level
-    * replay lives in the shared frame CTE the oracles compose).
-    */
-  private def frameHashes(s: SparkSession, dir: String): DataFrame =
-    // plan-keyed disk spill: three maintenance fixtures (plan / apply /
-    // fixpoint) share one GIF-decode+dHash pass per sf
-    Dedup.spilled(
-      Multimodal
-        .dHashFrames(
-          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
-        .toDF()
-        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx")),
-      "mnt_frame_hashes")
-
   /** One-row (`drift_ppm`) frame: quantizer drift of the `shift`-shifted
     * md5-gated stratum vs the training population, as ONE exact integer
     * floor-division (remainder subtraction over DecimalType(38,0), so the

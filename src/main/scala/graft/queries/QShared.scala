@@ -29,6 +29,22 @@ private[queries] object QShared {
     */
   private[queries] def qz(v: Column): Column = Similarity.quantize(v)
 
+  /** Frame-grain dHash fingerprints keyed `asset·8 + frame` — the Hamming
+    * index family's input, the SAME grain QMultimodal's frame queries use
+    * (one definition for the maintenance fleet fixtures and the
+    * frame-index CDC stream; the formula-level replay lives in the shared
+    * frame CTE the oracles compose). Plan-keyed disk spill: every fixture
+    * shares one GIF-decode+dHash pass per sf.
+    */
+  private[queries] def frameHashes(s: SparkSession, dir: String): DataFrame =
+    Dedup.spilled(
+      Multimodal
+        .dHashFrames(
+          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
+        .toDF()
+        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx")),
+      "mnt_frame_hashes")
+
   /** Synthetic fuzzy-name fixture shared by the matcher and the ER
     * composition: groups of 5 docs derive one canonical 9-char name, four
     * of them perturbed by one substitution at an id-dependent position.

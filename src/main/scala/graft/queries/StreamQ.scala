@@ -927,6 +927,85 @@ object StreamQ {
       } finally stopRecording(q)
       s.read.parquet(outDir)
     },
+    // the FINGERPRINT index's CDC loop — the Hamming family was the one
+    // persisted index without a streaming lifecycle witness: frame-grain
+    // events (op, frame_key = asset·8 + frame, dhash) arrive in three
+    // micro-batches over the CAPPED corpus index (maxBucket = 64, the
+    // frame family's production posture). Each cycle probes the batch's
+    // U fingerprints (seeing the index state from strictly earlier
+    // batches), appends them back (appends are never re-capped — the
+    // documented posture, so the stream also witnesses the cap/append
+    // interplay), and tombstones the D keys. Batch A carries takedowns
+    // of the md5%3 corpus-asset stratum at FRAME grain
+    // (probe-before-delete keeps batch A's matches); batch B re-appends
+    // the even-asset half of the takedowns as fresh U events — the
+    // D-then-U case on the composite frame_key, pinning that the
+    // asset·8+frame id scheme survives at-least-once delivery; batch
+    // C's probes must see the re-appended rows (their era beats the
+    // tombstone) and must NOT see the still-retracted odd half. The
+    // oracle replays arrival-order × retraction visibility with the
+    // layout cap riding ONLY the era-0 corpus rows
+    "stream_mm_index_retract" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val fh = frameHashes(s, dir)
+      val corpus = fh.filter(col("asset_id") % 5 =!= 0)
+      val table = Scratch.table("mm_retract")
+      val tomb = Similarity.tombTable(table)
+      Scratch.registerTable(tomb)
+      // layout time: persist resets index, tombstones AND version history
+      // each invocation (bench reruns in one JVM); the spilled hash frame
+      // keeps the GIF decode out of the per-invocation cost
+      Multimodal.persistHammingIndex(
+        corpus, "frame_key", "dhash", table, buckets = 8, maxBucket = 64)
+      val outDir = Scratch.dir("mm_retract", dir)
+      Scratch.reset(outDir)
+      val g3 = graft.ops.Hashing.md5Mod(col("asset_id").cast("string"), 3L) === 0
+      val delKeys: Array[Long] = corpus.filter(g3).select(col("frame_key")).as[Long].collect()
+      def keyed(df: DataFrame): Seq[(Long, Long)] =
+        df.select(col("frame_key"), col("dhash")).as[(Long, Long)].collect().toSeq
+      val upsA = keyed(fh.filter(col("asset_id") % 15 === 0))
+      val upsB = keyed(fh.filter(col("asset_id") % 15 === 5)) ++
+        keyed(corpus.filter(g3 && col("asset_id") % 2 === 0))
+      val upsC = keyed(fh.filter(col("asset_id") % 15 === 10))
+      val batchA: Seq[(String, Long, Long)] =
+        upsA.map(v => ("U", v._1, v._2)) ++ delKeys.toSeq.map(k => ("D", k, 0L))
+      val batchB: Seq[(String, Long, Long)] = upsB.map(v => ("U", v._1, v._2))
+      val batchC: Seq[(String, Long, Long)] = upsC.map(v => ("U", v._1, v._2))
+      val mem = MemoryStream[(String, Long, Long)]
+      val q = mem.toDF().toDF("op", "frame_key", "dhash").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read three ways: probe, append, delete
+          try {
+            // cross-session relation-cache refresh, index and tombstones
+            // both (the stream_index_maintain staleness trap)
+            s.catalog.refreshTable(table)
+            if (s.catalog.tableExists(tomb)) s.catalog.refreshTable(tomb)
+            val ups = b.filter(col("op") === "U").select(col("frame_key"), col("dhash"))
+            Multimodal
+              .probeHammingIndex(s, table, ups, "frame_key", "dhash", maxHamming = 8)
+              .write.mode("append").parquet(outDir)
+            Multimodal.appendHammingIndex(ups, "frame_key", "dhash", table, buckets = 8)
+            val dels = b.filter(col("op") === "D").select(col("frame_key"))
+            if (!dels.isEmpty) Multimodal.deleteFromHammingIndex(s, table, dels, col("frame_key"))
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        // A, B, C stay SEPARATE micro-batches — the append+delete between
+        // them (and the re-append's era beating the tombstone's) is the
+        // semantics under test
+        mem.addData(batchA: _*)
+        q.processAllAvailable()
+        mem.addData(batchB: _*)
+        q.processAllAvailable()
+        mem.addData(batchC: _*)
+        q.processAllAvailable()
+      } finally stopRecording(q)
+      s.read.parquet(outDir)
+    },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
     // max_by aggregation (complete mode, no watermark — state is one row
     // per key, planned by Catalyst, no custom state code). The drained
@@ -1232,6 +1311,38 @@ object StreamQ {
     // plus retraction: the md5%5 era-0 stratum vanishes for batch-B
     // queries (probe-before-delete keeps it for batch A's)
     "stream_ann_index_retract" -> streamAnnRetractSql,
+    // the Hamming-family CDC loop: arrival-order × retraction visibility
+    // over the shared frame-hash replay. Probe epochs: %15=0 → 1,
+    // %15=5 → 2, %15=10 → 3, the re-appended takedown assets (corpus ∧
+    // md5%3 ∧ even) probe as batch B (epoch 2). A candidate row is
+    // visible when it arrived strictly earlier AND is live: era-0
+    // corpus rows ride the layout cap (bucket ≤ 64) and vanish for
+    // epochs ≥ 2 if tombstoned (md5%3); appended rows are UNCAPPED by
+    // contract — epoch-1 appends visible to 2+, epoch-2 appends
+    // (incoming %15=5 AND the re-appends, whose fresh era beats their
+    // tombstone) visible to epoch 3 only
+    "stream_mm_index_retract" ->
+      ("WITH " + QMultimodal.frameHashCtesBody + s""",
+        cbv AS (SELECT band, bv, count(*) AS n FROM bands WHERE id % 5 <> 0 GROUP BY 1, 2),
+        probes AS (
+          SELECT b.*,
+                 CASE WHEN id % 15 = 0 THEN 1 WHEN id % 15 = 5 THEN 2
+                      WHEN id % 15 = 10 THEN 3 ELSE 2 END AS e
+          FROM bands b
+          WHERE id % 5 = 0
+             OR (id % 5 <> 0 AND (${md5GateSql("id", 3)}) AND id % 2 = 0))
+        SELECT DISTINCT l.key AS new_id, r.key AS corpus_id,
+               CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+        FROM probes l
+        JOIN bands r ON l.band = r.band AND l.bv = r.bv
+        LEFT JOIN cbv ON cbv.band = r.band AND cbv.bv = r.bv
+        WHERE l.key <> r.key AND bit_count(xor(l.dhash, r.dhash)) <= 8
+          AND ( (r.id % 5 <> 0 AND cbv.n <= 64
+                 AND (NOT (${md5GateSql("r.id", 3)}) OR l.e = 1))
+             OR (r.id % 15 = 0 AND l.e >= 2)
+             OR ((r.id % 15 = 5
+                  OR (r.id % 5 <> 0 AND (${md5GateSql("r.id", 3)}) AND r.id % 2 = 0))
+                 AND l.e = 3) )"""),
     // the streaming max_by aggregation must drain to the batch snapshot
     "stream_changelog_parity" -> changelogApplySql,
     // the state-machine sessionizer uses sessionizeBatch's strict-> gap
