@@ -868,11 +868,21 @@ object Multimodal {
     * [[dhashNearDupPairs]]/[[hammingNearDupPairs]] precedent): image
     * callers read "image index", audio callers use the generic names over
     * [[audioFingerprints]]' envelope hashes.
+    *
+    * The image-named persist/rebuild CAP BY DEFAULT (`maxBucket = 64`):
+    * the uncapped whole-asset posture was scale-laddered (SCALING.md r19)
+    * and measured QUADRATIC — 10× corpus → 101× verified pair volume at
+    * sf0.01→0.1, the same boilerplate concentration the frame grain
+    * showed (duplicate-heavy image corpora collapse to few hashes, and
+    * probe cost is Σ bucket²). The cap bounds that to ~3× per 10× data
+    * (measured), and [[oversizedHammingBuckets]] surfaces what it
+    * quarantined. Pass `maxBucket = 0` to opt out where exhaustive pair
+    * recall over boilerplate clusters is genuinely wanted.
     */
   def persistImageIndex(
       hashes: DataFrame, idCol: String, hashCol: String, table: String,
-      buckets: Int, era: Long = 0L): Unit =
-    persistHammingIndex(hashes, idCol, hashCol, table, buckets, era)
+      buckets: Int, era: Long = 0L, maxBucket: Int = 64): Unit =
+    persistHammingIndex(hashes, idCol, hashCol, table, buckets, era, maxBucket)
 
   /** See [[persistImageIndex]]. */
   def appendImageIndex(
@@ -892,10 +902,13 @@ object Multimodal {
       maxBucket: Int = 0): Unit =
     compactHammingIndex(s, table, buckets, maxBucket)
 
-  /** See [[persistImageIndex]]. */
+  /** See [[persistImageIndex]] — the rebuild carries the same capped
+    * default (a rebuild that silently dropped the cap would republish
+    * every quarantined boilerplate bucket).
+    */
   def rebuildImageIndex(
       s: org.apache.spark.sql.SparkSession, table: String, hashes: DataFrame,
-      idCol: String, hashCol: String, buckets: Int, maxBucket: Int = 0): Unit =
+      idCol: String, hashCol: String, buckets: Int, maxBucket: Int = 64): Unit =
     rebuildHammingIndex(s, table, hashes, idCol, hashCol, buckets, maxBucket)
 
   /** See [[persistImageIndex]]. */

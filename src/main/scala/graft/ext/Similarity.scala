@@ -523,6 +523,27 @@ object Similarity {
 
   private val VersionSuffix = "__v(\\d+)$".r
 
+  /** JVM-scoped memo of the resolved serving VERSION per logical index
+    * name (keyed db-qualified; all sessions of one JVM share the external
+    * catalog, so one memo serves them all). Version resolution otherwise
+    * LISTS the catalog with a pattern per call — a metadata scan per
+    * probe, hundreds of times per session. The memo is invalidated by the
+    * only two version-history writers ([[publishVersion]],
+    * [[resetVersions]]), and a memoized version N ≥ 1 is trust-but-verify
+    * (one exact-name `tableExists`, an O(1) catalog lookup) so even an
+    * out-of-band drop degrades to a recompute, never a missing-table
+    * read. A probe that resolves version N−1 concurrently with a publish
+    * is the documented reader grace, not staleness.
+    */
+  private val versionMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def memoKey(s: org.apache.spark.sql.SparkSession, table: String): String =
+    s.sessionState.catalog.getCurrentDatabase + "." + table
+
+  private def invalidateVersionMemo(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    versionMemo.remove(memoKey(s, table)): Unit
+  }
+
   /** A FRESH `persist*Index` build under a logical name is a new
     * authority epoch: it must retire any published versions of that name,
     * or the split-brain follows — the persist writes the BARE table while
@@ -534,14 +555,23 @@ object Similarity {
   private[graft] def resetVersions(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val cur = servingVersion(s, table)
     (1 to cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
+    invalidateVersionMemo(s, table)
   }
 
   private[graft] def servingVersion(s: org.apache.spark.sql.SparkSession, table: String): Int = {
-    val db = s.sessionState.catalog.getCurrentDatabase
-    s.sessionState.catalog
-      .listTables(db, s"${table}__v*")
-      .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
-      .sorted.lastOption.getOrElse(0)
+    val key = memoKey(s, table)
+    val memo = versionMemo.get(key)
+    if (memo != null && (memo.intValue == 0 || s.catalog.tableExists(s"${table}__v$memo")))
+      memo.intValue
+    else {
+      val db = s.sessionState.catalog.getCurrentDatabase
+      val v = s.sessionState.catalog
+        .listTables(db, s"${table}__v*")
+        .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
+        .sorted.lastOption.getOrElse(0)
+      versionMemo.put(key, Integer.valueOf(v))
+      v
+    }
   }
 
   /** MAINTENANCE — the delete/retract half of the [[appendAnnIndex]]
@@ -733,6 +763,10 @@ object Similarity {
     // as writeBucketed: a location the catalog doesn't own is garbage
     graft.sources.Sources.dropStaleLocation(s, next)
     s.sql(s"ALTER TABLE `$bld` RENAME TO `$next`") // atomic publication
+    // invalidate BEFORE retiring old generations: a resolution between the
+    // rename and here reads the memoized N−1 (the reader grace set, which
+    // survives this publication); after here it recomputes N
+    invalidateVersionMemo(s, table)
     val tomb = tombTable(table)
     if (s.catalog.tableExists(tomb)) {
       val midBuild = s.table(tomb).filter(col("tomb_seq") >= era)

@@ -118,7 +118,11 @@ private[queries] object QMultimodal {
     // (layout time, the text-LSH doctrine applied to the image modality);
     // each incoming batch then probes the corpus side EXCHANGE-FREE
     // (PlanAuditSpec) with the exact bit_count(xor) verify riding the
-    // stored fingerprint — no second corpus join
+    // stored fingerprint — no second corpus join. The persist rides the
+    // image family's DEFAULT cap (maxBucket = 64): the uncapped posture
+    // was scale-laddered and measured QUADRATIC (10× corpus → 101× pair
+    // volume, SCALING.md r19), so capped is the production default and
+    // oversizedHammingBuckets is the quarantine audit
     "mm_index_probe" -> { (s, dir) =>
       val hashes = Multimodal
         .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
@@ -132,11 +136,13 @@ private[queries] object QMultimodal {
     },
     // the image index's FULL maintenance lifecycle (the same
     // build→append→delete→compact symmetry the text/vector/semantic
-    // indexes carry): build one era, append the next under the same
-    // bucket spec, tombstone an md5%7 takedown stratum (era-stamped,
-    // broadcast anti-join), compact back to one file per bucket, probe.
-    // Oracle = rebuild-without-deleted: append and compaction are layout,
-    // the tombstone is meaning
+    // indexes carry): build one era CAPPED (the family default), append
+    // the next under the same bucket spec (appends are never re-capped),
+    // tombstone an md5%7 takedown stratum (era-stamped, broadcast
+    // anti-join), compact back to one file per bucket, probe. Oracle =
+    // the capped-era census ∪ the uncapped append, minus the takedowns:
+    // append and compaction are layout, the cap and the tombstone are
+    // meaning
     "mm_index_maintain" -> { (s, dir) =>
       val hashes = Multimodal
         .dHashImages(Multimodal.synthImages(tPar(s, dir, "documents"), "doc_id"))
@@ -598,43 +604,62 @@ private[queries] object QMultimodal {
     "mm_image_neardup" -> dhashNearDupOracleSql,
     // incremental probe twin: cross-side banded collisions only (incoming
     // %5 stratum vs the persisted corpus), exact Hamming verify — layout
-    // (bucketed index vs recompute) is execution, not meaning
+    // (bucketed index vs recompute) is execution, not meaning. The corpus
+    // side rides the image family's DEFAULT layout cap (maxBucket = 64 —
+    // the scale-ladder flip, SCALING.md r19): buckets over the cap are
+    // quarantined at persist and never probed
     "mm_index_probe" ->
       s"""$dhashCtesSql,
        bands AS (
          SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
-         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g)),
+       cb AS (
+         SELECT band, bv, count(*) AS n FROM bands WHERE id % 5 <> 0 GROUP BY 1, 2)
        SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
               CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
        FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       JOIN cb ON cb.band = r.band AND cb.bv = r.bv
        WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
+         AND cb.n <= 64
          AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
-    // lifecycle twin: the corpus side is rebuild-WITHOUT-deleted (the
-    // tombstoned md5%7 stratum excluded) — append/compaction are layout
-    // under the same banding, so one probe oracle covers the cycle
+    // lifecycle twin under the CAPPED default: the persist-era stratum
+    // (md5%4 ≠ 0) is capped against its own layout-time census, the
+    // appended stratum (md5%4 = 0) is never re-capped (the documented
+    // append posture), and the tombstoned md5%7 stratum is excluded —
+    // append/compaction are layout under the same banding, the cap and
+    // the tombstone are meaning
     "mm_index_maintain" ->
       s"""$dhashCtesSql,
        bands AS (
          SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
-         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g)),
+       cbp AS (
+         SELECT band, bv, count(*) AS n FROM bands
+         WHERE id % 5 <> 0 AND NOT (${md5GateSql("id", 4)}) GROUP BY 1, 2)
        SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
               CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
        FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       LEFT JOIN cbp ON cbp.band = r.band AND cbp.bv = r.bv
        WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
          AND NOT (${md5GateSql("r.id", 7)})
+         AND ((${md5GateSql("r.id", 4)}) OR cbp.n <= 64)
          AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
     // rebuild-equivalence: the versioned rebuild's serving state IS the
-    // fresh full-corpus index, so the probe oracle is the mm_index_probe
-    // twin verbatim
+    // fresh full-corpus index at the same cap, so the probe oracle is the
+    // mm_index_probe twin verbatim
     "mm_index_rebuild" ->
       s"""$dhashCtesSql,
        bands AS (
          SELECT id, dhash, b.g AS band, (dhash >> (b.g * 14)) & 16383 AS bv
-         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g))
+         FROM hashes CROSS JOIN generate_series(0, 3) AS b(g)),
+       cb AS (
+         SELECT band, bv, count(*) AS n FROM bands WHERE id % 5 <> 0 GROUP BY 1, 2)
        SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
               CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
        FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+       JOIN cb ON cb.band = r.band AND cb.bv = r.bv
        WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
+         AND cb.n <= 64
          AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
     // frame-index twin: the shared frame CTEs (hash replay + banding +
     // the layout-time corpus bucket cap) reduced to the pair output

@@ -29,7 +29,13 @@ class ScaleLadderSpec extends SparkSpecBase {
       // frame-grain near-dup: the family whose uncapped form measured 93 MB
       // of pair-distinct at sf0.1 — the maxBucket quarantine is the
       // contract under audit here
-      "mm_frame_index_probe")) {
+      "mm_frame_index_probe",
+      // whole-asset image probe: its UNCAPPED form measured QUADRATIC on
+      // this ladder (10× corpus → 101× verified pairs, 6,646 → 672,452 at
+      // sf0.01→0.1 — SCALING.md r19), which flipped the image persist to
+      // the capped default (measured ~3× pairs per 10× data); this entry
+      // keeps the flipped posture honest
+      "mm_index_probe")) {
     test(s"$q: measured growth over sf0.001→0.01→0.1 stays sub-quadratic") {
       assume(ladder.forall(d => new java.io.File(d).isDirectory))
       // untimed pass at the smallest sf: JIT + codegen compile happen here,

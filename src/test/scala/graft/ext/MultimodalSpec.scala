@@ -452,7 +452,11 @@ class MultimodalSpec extends SparkSpecBase {
     val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
     val incoming = hashes.filter(col("asset_id") % 5 === 0)
     val tbl = s"imgspec_idx_${System.nanoTime()}"
-    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", tbl, buckets = 4)
+    // explicit uncapped posture: this test pins probe ≡ self-join pair
+    // equality, which only holds census-free (the capped DEFAULT's
+    // quarantine semantics are pinned separately below and in the
+    // cap-scope / capped_ppm tests)
+    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", tbl, buckets = 4, maxBucket = 0)
     val probed = Multimodal
       .probeImageIndex(spark, tbl, incoming, "asset_id", "dhash", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
@@ -477,16 +481,19 @@ class MultimodalSpec extends SparkSpecBase {
     // truth A: rebuild without the %3 takedown stratum
     val truthDel = s"imgspec_tdel_${System.nanoTime()}"
     Multimodal.persistImageIndex(
-      corpus.filter(col("asset_id") % 3 =!= 0), "asset_id", "dhash", truthDel, buckets = 4)
+      corpus.filter(col("asset_id") % 3 =!= 0), "asset_id", "dhash", truthDel, buckets = 4,
+      maxBucket = 0)
     // truth B: rebuild with the stratum's re-appended even half
     val truthReapp = s"imgspec_treapp_${System.nanoTime()}"
     Multimodal.persistImageIndex(
       corpus.filter(col("asset_id") % 3 =!= 0 || col("asset_id") % 2 === 0),
-      "asset_id", "dhash", truthReapp, buckets = 4)
+      "asset_id", "dhash", truthReapp, buckets = 4, maxBucket = 0)
     // lifecycle: build era 0 + era 1, delete, probe, re-append, compact
     val tbl = s"imgspec_mnt_${System.nanoTime()}"
+    // uncapped: delete ≡ rebuild-without-deleted only holds census-free
     Multimodal.persistImageIndex(
-      corpus.filter(col("asset_id") % 2 === 0).repartition(3), "asset_id", "dhash", tbl, buckets = 4)
+      corpus.filter(col("asset_id") % 2 === 0).repartition(3), "asset_id", "dhash", tbl,
+      buckets = 4, maxBucket = 0)
     Multimodal.appendImageIndex(
       corpus.filter(col("asset_id") % 2 === 1).repartition(3), "asset_id", "dhash", tbl, buckets = 4)
     Multimodal.deleteFromImageIndex(
@@ -516,13 +523,16 @@ class MultimodalSpec extends SparkSpecBase {
       .probeImageIndex(spark, tbl, incoming, "asset_id", "dhash", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     val fresh = s"imgspec_rb_truth_${System.nanoTime()}"
-    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", fresh, buckets = 4)
+    // uncapped: rebuild ≡ fresh-full-corpus only holds census-free
+    Multimodal.persistImageIndex(corpus, "asset_id", "dhash", fresh, buckets = 4, maxBucket = 0)
     val tbl = s"imgspec_rb_${System.nanoTime()}"
     Multimodal.persistImageIndex(
-      corpus.filter(col("asset_id") % 2 === 0), "asset_id", "dhash", tbl, buckets = 4)
+      corpus.filter(col("asset_id") % 2 === 0), "asset_id", "dhash", tbl, buckets = 4,
+      maxBucket = 0)
     Multimodal.deleteFromImageIndex(
       spark, tbl, hashes.filter(col("asset_id") % 3 === 0).select(col("asset_id")), col("asset_id"))
-    Multimodal.rebuildImageIndex(spark, tbl, corpus, "asset_id", "dhash", buckets = 4)
+    Multimodal.rebuildImageIndex(spark, tbl, corpus, "asset_id", "dhash", buckets = 4,
+      maxBucket = 0)
     assert(probe(tbl) == probe(fresh),
       "rebuild-then-probe must equal a fresh full-corpus index")
     assert(spark.catalog.tableExists(s"${tbl}__v1"), "rebuild must publish __v1")

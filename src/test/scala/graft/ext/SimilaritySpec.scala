@@ -654,6 +654,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(spark.catalog.tableExists(s"${tbl}__v2"), "the grace version must be retained")
   }
 
+  test("servingVersion memo: publish and reset invalidate it, out-of-band drops degrade safely") {
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val tbl = s"annspec_memo_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    // memoized bare resolution, then a memo hit
+    assert(Similarity.servingTable(spark, tbl) == tbl)
+    assert(Similarity.servingTable(spark, tbl) == tbl)
+    // publication must invalidate: the next resolution serves __v1, not a
+    // stale memoized bare name
+    Similarity.rebuildAnnIndex(spark, tbl, e, "vec_id", "embedding", coarse, books, buckets = 4)
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+    Similarity.rebuildAnnIndex(spark, tbl, e, "vec_id", "embedding", coarse, books, buckets = 4)
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v2")
+    // a fresh persist under the same logical name resets version history;
+    // resolution must return to the bare table, not the retired __v2
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    assert(Similarity.servingTable(spark, tbl) == tbl)
+    // out-of-band version drop (neither publish nor reset saw it): the
+    // memoized version fails its exact-name existence check and resolution
+    // recomputes — degraded to the bare table, never a missing-table read
+    Similarity.rebuildAnnIndex(spark, tbl, e, "vec_id", "embedding", coarse, books, buckets = 4)
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+    spark.sql(s"DROP TABLE `${tbl}__v1`")
+    assert(Similarity.servingTable(spark, tbl) == tbl)
+  }
+
   test("rebuildAnnIndex: blue/green swap serves the retrained index, clears stale state") {
     val e = fixtureEmb
     val old = e.filter($"vec_id" % 2 === 0)
