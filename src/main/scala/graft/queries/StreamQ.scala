@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
+import graft.ext.{Curation, Dedup, Maintenance, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
 import graft.ops.{TemporalOps, ZOrderOps}
 import graft.streaming.Sessionize
 
@@ -1006,6 +1006,94 @@ object StreamQ {
       } finally stopRecording(q)
       s.read.parquet(outDir)
     },
+    // the maintenance POLICY as a SCHEDULED LOOP — the production shape
+    // the batch plan/apply/fixpoint queries rehearse one arc of: four
+    // micro-batches of incoming docs append into the persisted LSH
+    // index, and EVERY cycle runs census → indexMaintenancePlan →
+    // applyMaintenancePlan (the real executor, real compactLshIndex).
+    // Era pressure builds (persist = 1 era, each append +1), the
+    // compactAppendEras = 3 literal fires on every second batch, the
+    // compact collapses the survivors to ONE era (the r19 era-horizon
+    // contract — without it the policy would re-trigger forever), and
+    // the NEXT cycle's census replans over the healed state: the
+    // decision trace none → compact → none → compact IS the policy's
+    // limit cycle under constant append pressure. Output = the per-cycle
+    // plan rows (batch, census, decision); the oracle re-derives the era
+    // recurrence and the cumulative doc census arithmetically
+    "stream_index_maintenance_loop" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docsDf = t(s, dir, "documents")
+      val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+      val table = Scratch.table("lsh_mloop")
+      Scratch.registerVersionedIndex(table)
+      s.sql(s"DROP TABLE IF EXISTS ${Similarity.tombTable(table)}")
+      graft.sources.Sources.writeBucketed(
+        Dedup.spilled(
+          Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
+          "lsh_maint_bands").withColumn("seq", lit(0L)),
+        table, 8, "band", "bh")
+      val outDir = Scratch.dir("lsh_mloop", dir)
+      Scratch.reset(outDir)
+      // four batches: the incoming %5 stratum split by (doc_id%20)/5
+      val feed: Seq[Seq[(Long, Long, String)]] = (0 until 4).map { b4 =>
+        docsDf.filter(col("doc_id") % 5 === 0 && (col("doc_id") % 20) / 5 === b4)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+          .map(d => (b4 + 1L, d._1, d._2))
+      }
+      val fleet = Map("lsh_text" -> Maintenance.ManagedIndex(
+        table, "corpus_id",
+        compact = () => Dedup.compactLshIndex(s, table, buckets = 8),
+        // drift is 0 for a model-free text index, so this fixture never
+        // reaches rebuild; the registration is still the real authority
+        // rebuild (the executor contract wants a complete ManagedIndex)
+        rebuild = () =>
+          Dedup.rebuildLshIndex(s, table, docsDf, col("doc_id"), col("text"), buckets = 8)))
+      val mem = MemoryStream[(Long, Long, String)]
+      val q = mem.toDF().toDF("batch", "doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            s.catalog.refreshTable(table)
+            val bid = b.agg(max(col("batch"))).collect()(0).getLong(0)
+            Dedup.appendLshIndex(
+              b.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+              table, buckets = 8, n = 3, k = 8, bands = 4)
+            // the appended files land through the stream-execution clone;
+            // THIS session's census must see them
+            s.catalog.refreshTable(table)
+            val census = Maintenance
+              .indexCensus(s, table, "corpus_id", "lsh_text")
+              .withColumn("drift_ppm", lit(0L))
+            val plan = Maintenance.indexMaintenancePlan(
+              census,
+              rebuildDriftPpm = 1200000L,
+              compactTombPpm = 100000L,
+              compactAppendEras = 3L)
+            // materialize ONCE: the recorded row and the applied decision
+            // must be the same observation (a lazy plan would re-census)
+            val planRows = plan.collect()
+            val planDf = s.createDataFrame(
+              java.util.Arrays.asList(planRows: _*), plan.schema)
+            planDf.withColumn("batch", lit(bid)).write.mode("append").parquet(outDir)
+            Maintenance.applyMaintenancePlan(s, planDf, fleet): Unit
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        feed.foreach { events =>
+          mem.addData(events: _*)
+          q.processAllAvailable()
+        }
+      } finally stopRecording(q)
+      s.read.parquet(outDir)
+        .select(
+          col("batch"), col("index_name"), col("index_docs"), col("tomb_entries"),
+          col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("capped_ppm"),
+          col("decision"))
+    },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
     // max_by aggregation (complete mode, no watermark — state is one row
     // per key, planned by Catalyst, no custom state code). The drained
@@ -1311,6 +1399,32 @@ object StreamQ {
     // plus retraction: the md5%5 era-0 stratum vanishes for batch-B
     // queries (probe-before-delete keeps it for batch A's)
     "stream_ann_index_retract" -> streamAnnRetractSql,
+    // the scheduled-maintenance-loop trace, re-derived arithmetically:
+    // index_docs at batch b = |corpus| + Σ strata ≤ b (appends add
+    // distinct ids, nothing retracts); the era recurrence under the
+    // compactAppendEras = 3 literal is a period-2 limit cycle — persist
+    // holds 1 era, each append adds one, the compact that fires at 3
+    // collapses the survivors to ONE era (the era-horizon contract), so
+    // eras(b) = 2 for odd b (→ none), 3 for even b (→ compact); all the
+    // other signals are identically zero for a model-free, uncapped,
+    // untombstoned text index
+    "stream_index_maintenance_loop" ->
+      """WITH c AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 5 <> 0),
+         i AS (
+           SELECT (doc_id % 20) // 5 + 1 AS b, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+         t AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS batch)
+         SELECT t.batch, 'lsh_text' AS index_name,
+                CAST(c.n + (SELECT COALESCE(sum(n), 0) FROM i WHERE i.b <= t.batch)
+                     AS BIGINT) AS index_docs,
+                CAST(0 AS BIGINT) AS tomb_entries,
+                CAST(CASE WHEN t.batch % 2 = 1 THEN 2 ELSE 3 END AS BIGINT) AS append_eras,
+                CAST(0 AS BIGINT) AS tomb_ppm,
+                CAST(0 AS BIGINT) AS drift_ppm,
+                CAST(0 AS BIGINT) AS capped_ppm,
+                CASE WHEN t.batch % 2 = 1 THEN 'none' ELSE 'compact' END AS decision
+         FROM t CROSS JOIN c""",
     // the Hamming-family CDC loop: arrival-order × retraction visibility
     // over the shared frame-hash replay. Probe epochs: %15=0 → 1,
     // %15=5 → 2, %15=10 → 3, the re-appended takedown assets (corpus ∧
