@@ -643,7 +643,10 @@ object Similarity {
     * compact that did NOT collapse eras would re-trigger on every
     * subsequent plan — the fixed point `index_maintenance_fixpoint`
     * witnesses depends on this. The max is one driver-side Long
-    * (model-scale; compaction already rewrites the whole table).
+    * (model-scale), at the cost of a SECOND streaming pass over the
+    * healed frame (the agg, then the rewrite) — deliberately NOT
+    * persisted/cached: at compaction scale the healed frame is the whole
+    * index, and two streaming passes beat pinning it in executor memory.
     */
   private[graft] def collapsedToMaxEra(healed: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

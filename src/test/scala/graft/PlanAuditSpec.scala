@@ -567,6 +567,27 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("indexCensus capped_ppm aggregation plans exchange-free on the bucketed index") {
+    // the regrowth signal's bucket census groups on the table's OWN
+    // bucket keys — the layout is the grouping, so the partial aggregate
+    // must consume the scan with no (band, bv) exchange (the one
+    // single-partition exchange for the final one-row rollup is inherent
+    // to any scalar aggregate and allowed)
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Maintenance, Multimodal}
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => ((i % 4).toInt, i % 7, i, i * 31))
+      .toDF("band", "bv", "id", "fp")
+    Multimodal.persistHammingIndexRows(rows, "graft_census_audit", buckets = 4, maxBucket = 8)
+    val census = Maintenance.indexCensus(
+      spark, "graft_census_audit", "corpus_id", "audit",
+      bucketKeys = Seq("band", "bv"), bucketCap = 8)
+    val plan = census.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).isEmpty,
+      s"the bucket census re-shuffled the bucketed index:\n$plan")
+    assert(census.collect().head.getAs[Long]("capped_ppm") >= 0L)
+  }
+
   test("COMPACTED ANN index: one file per bucket and the probe still plans exchange-free") {
     import org.apache.spark.sql.functions.col
     import graft.ext.Similarity
