@@ -524,7 +524,9 @@ object Dedup {
       buckets: Int,
       maxBucket: Int = 0
   ): Unit = {
-    val tomb = graft.ext.Similarity.tombTable(table)
+    // takedowns recorded during the rewrite survive the retirement
+    // (the shared era-split — see Similarity.retireTombstonesBelow)
+    val horizon = graft.ext.Similarity.nextEra()
     // content dedup keeping the highest era: duplicate rows from an
     // overlapping append are inert at probe time (probeLshIndex distincts
     // pairs) but index bloat — compaction heals them, mirroring
@@ -542,7 +544,7 @@ object Dedup {
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bh"),
       graft.ext.Similarity.collapsedToMaxEra(
         capBuckets(healed, Seq("band", "bh"), maxBucket)))
-    s.sql(s"DROP TABLE IF EXISTS $tomb")
+    graft.ext.Similarity.retireTombstonesBelow(s, table, horizon)
   }
 
   /** MAINTENANCE — versioned probe-safe REBUILD of a [[persistLshIndex]]
@@ -1789,7 +1791,9 @@ object Dedup {
       table: String,
       buckets: Int
   ): Unit = {
-    val tomb = graft.ext.Similarity.tombTable(table)
+    // takedowns recorded during the rewrite survive the retirement
+    // (the shared era-split — see Similarity.retireTombstonesBelow)
+    val horizon = graft.ext.Similarity.nextEra()
     // content dedup keeping the highest era (overlapping-append healing,
     // same doctrine as the other two indexes' compactions)
     graft.sources.Sources.compactBucketed(
@@ -1799,7 +1803,7 @@ object Dedup {
           .groupBy(col("cell"), col("corpus_id"), col("vec"), col("nrm"))
           .agg(max(col("seq")).as("seq"))
           .select(col("cell"), col("corpus_id"), col("vec"), col("nrm"), col("seq"))))
-    s.sql(s"DROP TABLE IF EXISTS $tomb")
+    graft.ext.Similarity.retireTombstonesBelow(s, table, horizon)
   }
 
   /** MAINTENANCE — versioned probe-safe REBUILD of a

@@ -246,7 +246,17 @@ object Maintenance {
       .sortBy(_._1)
     // validate EVERY row before executing ANY action: a plan naming an
     // unregistered index (or an unknown decision) must not leave the
-    // fleet partially applied
+    // fleet partially applied — and a DUPLICATE index name must not reach
+    // the pool at all: two rows for one name would submit two concurrent
+    // full-table rewrites of the SAME table (racing on its compaction
+    // stage), which the sequential executor merely wasted and the
+    // concurrent one corrupts
+    val dup = decisions.map(_._1).groupBy(identity).collectFirst {
+      case (name, occ) if occ.length > 1 => name
+    }
+    dup.foreach(name =>
+      throw new IllegalArgumentException(
+        s"plan names index '$name' more than once — one decision per index"))
     val resolved = decisions.map { case (name, decision) =>
       val ix = indexes.getOrElse(
         name,
@@ -266,15 +276,24 @@ object Maintenance {
           def call(): Unit = if (decision == "compact") ix.compact() else ix.rebuild()
         })
       }
-      // drain ALL futures before propagating (name-ordered first) failure:
-      // throwing mid-pool would abandon live table rewrites behind the
-      // exception
-      val failures = futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
-      pool.shutdown()
-      failures.headOption.foreach {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
-        case e                                          => throw e
-      }
+      // drain ALL futures before propagating the (name-ordered first)
+      // failure: throwing mid-pool would abandon live table rewrites
+      // behind the exception. catch Throwable, not Try/NonFatal — a
+      // driver-thread InterruptedException must also record-and-continue
+      // (once the flag is set the remaining get()s fail fast, so the
+      // drain still terminates immediately); shutdown() runs regardless
+      // and lets in-flight rewrites finish instead of leaking the pool
+      val failures =
+        try
+          futures.flatMap { f =>
+            try { f.get(); None }
+            catch {
+              case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+              case e: Throwable                               => Some(e)
+            }
+          }
+        finally pool.shutdown()
+      failures.headOption.foreach(e => throw e)
     }
     // eager snapshot: one census row per index (fleet metadata, not data
     // grain), materialized NOW — the returned frame is immune to any

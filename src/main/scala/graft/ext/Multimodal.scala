@@ -761,7 +761,6 @@ object Multimodal {
       buckets: Int,
       maxBucket: Int = 0
   ): Unit = {
-    val tomb = graft.ext.Similarity.tombTable(table)
     // `maxBucket > 0` makes compaction a RE-CAP point: appends are never
     // re-capped ([[appendHammingIndex]]), so hot buckets regrow between
     // layout epochs — and compaction already rewrites every live row, so
@@ -778,6 +777,9 @@ object Multimodal {
     // SURVIVES compaction but would be re-quarantined by a rebuild at the
     // same cap (MultimodalSpec pins the divergence). Compact heals
     // regrowth; only rebuild re-decides the original quarantine.
+    // takedowns recorded during the rewrite survive the retirement
+    // (the shared era-split — see Similarity.retireTombstonesBelow)
+    val horizon = graft.ext.Similarity.nextEra()
     val healed = hammingIndexLive(s, table)
       .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
       .agg(max(col("seq")).as("seq"))
@@ -786,7 +788,7 @@ object Multimodal {
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bv"),
       graft.ext.Similarity.collapsedToMaxEra(
         graft.ext.Dedup.capBuckets(healed, Seq("band", "bv"), maxBucket)))
-    s.sql(s"DROP TABLE IF EXISTS $tomb")
+    graft.ext.Similarity.retireTombstonesBelow(s, table, horizon)
   }
 
   /** MAINTENANCE — versioned probe-safe REBUILD of a
@@ -896,10 +898,19 @@ object Multimodal {
       idCol: Column, era: Long = graft.ext.Similarity.nextEra()): Unit =
     deleteFromHammingIndex(s, table, ids, idCol, era)
 
-  /** See [[persistImageIndex]]. */
+  /** See [[persistImageIndex]] — compaction carries the SAME capped
+    * default as the persist/rebuild pair, because compaction is the
+    * cheap re-cap point: a default-capped image index whose compact did
+    * NOT re-cap could never heal the `capped_ppm` regrowth signal, and a
+    * maintenance policy watching it would re-decide `compact` forever (a
+    * full-table rewrite per cycle — the same no-fixed-point failure mode
+    * the era collapse closes for `append_eras`). Opting out of the cap
+    * means opting out EVERYWHERE (persist, rebuild, compact) — mixed
+    * postures across one index's lifecycle are the livelock.
+    */
   def compactImageIndex(
       s: org.apache.spark.sql.SparkSession, table: String, buckets: Int,
-      maxBucket: Int = 0): Unit =
+      maxBucket: Int = 64): Unit =
     compactHammingIndex(s, table, buckets, maxBucket)
 
   /** See [[persistImageIndex]] — the rebuild carries the same capped

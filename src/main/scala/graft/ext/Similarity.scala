@@ -530,10 +530,29 @@ object Similarity {
     * probe, hundreds of times per session. The memo is invalidated by the
     * only two version-history writers ([[publishVersion]],
     * [[resetVersions]]), and a memoized version N ≥ 1 is trust-but-verify
-    * (one exact-name `tableExists`, an O(1) catalog lookup) so even an
-    * out-of-band drop degrades to a recompute, never a missing-table
-    * read. A probe that resolves version N−1 concurrently with a publish
-    * is the documented reader grace, not staleness.
+    * (one exact-name `tableExists`, an O(1) catalog lookup) so an
+    * out-of-band drop of the memoized version degrades to a recompute,
+    * never a missing-table read. A probe that resolves version N−1
+    * concurrently with a publish is the documented reader grace, not
+    * staleness.
+    *
+    * The recompute path inserts via `computeIfAbsent`, which is ATOMIC
+    * against the writers' `remove`: either the invalidation lands first
+    * and the compute lists the post-publish catalog, or the compute's
+    * (possibly stale) value is inserted first and the invalidation
+    * removes it — a plain get-then-put would let a resolution that
+    * STARTED before a publish re-install the pre-publish version after
+    * the invalidation, and that stale value would then pass
+    * trust-but-verify forever (the grace version keeps existing) and
+    * derail the NEXT publish's version arithmetic.
+    *
+    * SCOPE: the memo assumes version-history writers share this JVM's
+    * catalog — the single-writer posture the whole lifecycle already
+    * assumes (the in-memory catalog is JVM-local, so an out-of-JVM
+    * publisher is invisible to a fresh LISTING too, memo or no memo). A
+    * deployment on a shared external metastore with out-of-band
+    * publishers wants a TTL'd or disabled memo — a catalog-service
+    * concern, beside the shared era source it would also need.
     */
   private val versionMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
@@ -564,13 +583,18 @@ object Similarity {
     if (memo != null && (memo.intValue == 0 || s.catalog.tableExists(s"${table}__v$memo")))
       memo.intValue
     else {
-      val db = s.sessionState.catalog.getCurrentDatabase
-      val v = s.sessionState.catalog
-        .listTables(db, s"${table}__v*")
-        .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
-        .sorted.lastOption.getOrElse(0)
-      versionMemo.put(key, Integer.valueOf(v))
-      v
+      // failed trust-but-verify: retire exactly the entry we read (the
+      // value-qualified remove never clobbers a concurrent writer's state)
+      if (memo != null) versionMemo.remove(key, memo): Unit
+      versionMemo.computeIfAbsent(
+        key,
+        _ => {
+          val db = s.sessionState.catalog.getCurrentDatabase
+          Integer.valueOf(s.sessionState.catalog
+            .listTables(db, s"${table}__v*")
+            .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
+            .sorted.lastOption.getOrElse(0))
+        }).intValue
     }
   }
 
@@ -672,7 +696,10 @@ object Similarity {
       table: String,
       buckets: Int
   ): Unit = {
-    val tomb = tombTable(table)
+    // minted BEFORE the live snapshot: a takedown recorded during the
+    // rewrite carries tomb_seq >= horizon and survives the retirement
+    // ([[retireTombstonesBelow]] — the publication-side era-split shared)
+    val horizon = nextEra()
     // content dedup keeping the HIGHEST era: an OVERLAPPING append
     // (at-least-once foreachBatch retry) stores a row twice with identical
     // (cand_id, cell, codes) but distinct auto-eras — semantically inert at
@@ -687,8 +714,9 @@ object Similarity {
         live.groupBy(col("cand_id"), col("cell"), col("codes"))
           .agg(max(col("seq")).as("seq"))
           .select(col("cand_id"), col("cell"), col("codes"), col("seq"))))
-    // the rewrite materialized the anti-join — retire the applied tombstones
-    s.sql(s"DROP TABLE IF EXISTS $tomb")
+    // the rewrite materialized the anti-join — retire the applied
+    // tombstones, preserving any recorded during the rewrite window
+    retireTombstonesBelow(s, table, horizon)
   }
 
   /** MAINTENANCE — blue/green REBUILD, the staleness loop's last arc:
@@ -770,22 +798,47 @@ object Similarity {
     // rename and here reads the memoized N−1 (the reader grace set, which
     // survives this publication); after here it recomputes N
     invalidateVersionMemo(s, table)
+    retireTombstonesBelow(s, table, era)
+    // retire generations ≤ cur−1; version cur stays as the reader grace set
+    (1 until cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
+    if (cur >= 1) s.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
+  /** Retire tombstone entries recorded BEFORE `horizon`, preserving the
+    * later ones — the ERA-SPLIT shared by the two maintenance rewrites
+    * (version publication and compaction). An entry with
+    * `tomb_seq >= horizon` was recorded during or after the rewrite's
+    * corpus/live snapshot (which therefore predates the takedown): only
+    * the tombstone hides that id in the rewritten table, so it MUST
+    * survive — a blanket drop would silently resurrect a mid-rewrite
+    * takedown (the publication side learned this in r18; compaction
+    * inherits the same split in r19, since a compact's live snapshot is
+    * materialized well before its tombstone retirement on a large
+    * index). Entries below the horizon are folded/outranked and purge as
+    * hygiene. The survivor rewrite stages through `<tomb>__keep` under
+    * the same rename doctrine as publication; a delete landing inside
+    * that staging window is the residual metadata-speed race both
+    * rewrites share — orders of magnitude narrower than the full-rewrite
+    * window this split closes.
+    */
+  private[graft] def retireTombstonesBelow(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      horizon: Long
+  ): Unit = {
     val tomb = tombTable(table)
     if (s.catalog.tableExists(tomb)) {
-      val midBuild = s.table(tomb).filter(col("tomb_seq") >= era)
-      if (midBuild.isEmpty) s.sql(s"DROP TABLE IF EXISTS `$tomb`")
+      val late = s.table(tomb).filter(col("tomb_seq") >= horizon)
+      if (late.isEmpty) s.sql(s"DROP TABLE IF EXISTS `$tomb`")
       else {
         val keep = tomb + "__keep"
         s.sql(s"DROP TABLE IF EXISTS `$keep`")
         graft.sources.Sources.dropStaleLocation(s, keep)
-        midBuild.write.format("parquet").saveAsTable(keep)
+        late.write.format("parquet").saveAsTable(keep)
         s.sql(s"DROP TABLE IF EXISTS `$tomb`")
         s.sql(s"ALTER TABLE `$keep` RENAME TO `$tomb`")
       }
     }
-    // retire generations ≤ cur−1; version cur stays as the reader grace set
-    (1 until cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
-    if (cur >= 1) s.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
   /** STALENESS SIGNAL — the PQ quantization error of an ALREADY-quantized

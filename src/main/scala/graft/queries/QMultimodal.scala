@@ -218,11 +218,7 @@ private[queries] object QMultimodal {
     // near-dup any corpus frame", the clip-containment / re-edit
     // detection shape whole-asset hashing cannot answer
     "mm_frame_index_probe" -> { (s, dir) =>
-      val fh = Multimodal
-        .dHashFrames(
-          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
-        .toDF()
-        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val fh = frameHashes(s, dir) // the shared spilled frame-key grain
       val tbl = Scratch.table("frm_idx")
       // maxBucket = 64: frame fingerprints concentrate HARD (the all-ones
       // 14-bit band value — saturated monotone gradients — holds ~29% of
@@ -244,11 +240,7 @@ private[queries] object QMultimodal {
     // Hamming space; an operator, because "what did the cap silently
     // drop" is the first question a capped index gets asked
     "mm_frame_quarantine" -> { (s, dir) =>
-      val fh = Multimodal
-        .dHashFrames(
-          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
-        .toDF()
-        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val fh = frameHashes(s, dir) // the shared spilled frame-key grain
       Multimodal.oversizedHammingBuckets(
         fh.filter(col("asset_id") % 5 =!= 0), "frame_key", "dhash", maxBucket = 64)
     },
@@ -261,11 +253,7 @@ private[queries] object QMultimodal {
     // the uncapped probe's candidate volume — the audit is a
     // maintenance-epoch measurement, never a serving-path cost
     "mm_frame_cap_audit" -> { (s, dir) =>
-      val fh = Multimodal
-        .dHashFrames(
-          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
-        .toDF()
-        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val fh = frameHashes(s, dir) // the shared spilled frame-key grain
       val corpus = fh.filter(col("asset_id") % 5 =!= 0)
       val sample = fh.filter(col("asset_id") % 25 === 0) // 1/5 of the incoming stratum
       val capped = Scratch.table("frm_idx") // shared build with mm_frame_index_probe
@@ -297,11 +285,7 @@ private[queries] object QMultimodal {
     // containment): output is ASSET-grain — the frame-pair volume never
     // leaves the aggregation
     "mm_clip_containment" -> { (s, dir) =>
-      val fh = Multimodal
-        .dHashFrames(
-          Multimodal.synthGifAnimations(tPar(s, dir, "documents"), "doc_id"), everyNth = 1)
-        .toDF()
-        .withColumn("frame_key", col("asset_id") * 8 + col("frame_idx"))
+      val fh = frameHashes(s, dir) // the shared spilled frame-key grain
       val tbl = Scratch.table("frm_idx")
       Scratch.tableOnce(tbl, dir)(
         Multimodal.persistHammingIndex(
@@ -625,9 +609,11 @@ private[queries] object QMultimodal {
     // lifecycle twin under the CAPPED default: the persist-era stratum
     // (md5%4 ≠ 0) is capped against its own layout-time census, the
     // appended stratum (md5%4 = 0) is never re-capped (the documented
-    // append posture), and the tombstoned md5%7 stratum is excluded —
-    // append/compaction are layout under the same banding, the cap and
-    // the tombstone are meaning
+    // append posture), the tombstoned md5%7 stratum is excluded, and the
+    // COMPACT then RE-CAPS the tombstone-filtered live set against its
+    // own census (compaction is the cheap re-cap point — the family
+    // default) — append/compaction are layout under the same banding,
+    // the caps and the tombstone are meaning
     "mm_index_maintain" ->
       s"""$dhashCtesSql,
        bands AS (
@@ -635,14 +621,21 @@ private[queries] object QMultimodal {
          FROM hashes CROSS JOIN generate_series(0, 3) AS b(g)),
        cbp AS (
          SELECT band, bv, count(*) AS n FROM bands
-         WHERE id % 5 <> 0 AND NOT (${md5GateSql("id", 4)}) GROUP BY 1, 2)
+         WHERE id % 5 <> 0 AND NOT (${md5GateSql("id", 4)}) GROUP BY 1, 2),
+       live AS (
+         SELECT b.* FROM bands b
+         LEFT JOIN cbp ON cbp.band = b.band AND cbp.bv = b.bv
+         WHERE b.id % 5 <> 0
+           AND NOT (${md5GateSql("b.id", 7)})
+           AND ((${md5GateSql("b.id", 4)}) OR cbp.n <= 64)),
+       lcb AS (SELECT band, bv, count(*) AS n FROM live GROUP BY 1, 2)
        SELECT DISTINCT l.id AS new_id, r.id AS corpus_id,
               CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
-       FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
-       LEFT JOIN cbp ON cbp.band = r.band AND cbp.bv = r.bv
-       WHERE l.id % 5 = 0 AND r.id % 5 <> 0 AND l.id <> r.id
-         AND NOT (${md5GateSql("r.id", 7)})
-         AND ((${md5GateSql("r.id", 4)}) OR cbp.n <= 64)
+       FROM bands l
+       JOIN live r ON l.band = r.band AND l.bv = r.bv
+       JOIN lcb ON lcb.band = r.band AND lcb.bv = r.bv
+       WHERE l.id % 5 = 0 AND l.id <> r.id
+         AND lcb.n <= 64
          AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
     // rebuild-equivalence: the versioned rebuild's serving state IS the
     // fresh full-corpus index at the same cap, so the probe oracle is the

@@ -262,6 +262,24 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("ghost"))
   }
 
+  test("applyMaintenancePlan rejects duplicate index names before running any action") {
+    // two rows for one name would submit two CONCURRENT full-table
+    // rewrites of the same table under the parallel executor — a data
+    // race, not a wasteful no-op; validation must refuse the whole plan
+    val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val plan = Seq(("dup", "compact"), ("dup", "rebuild"))
+      .toDF("index_name", "decision")
+    val fleet = Map("dup" -> Maintenance.ManagedIndex(
+      "whatever", "corpus_id",
+      compact = () => { ran.set(true); () },
+      rebuild = () => { ran.set(true); () }))
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(spark, plan, fleet)
+    }
+    assert(ex.getMessage.contains("dup") && ex.getMessage.contains("more than once"))
+    assert(!ran.get(), "no action may run for a duplicate-name plan")
+  }
+
   test("applyMaintenancePlan validates the WHOLE plan before running any action") {
     // the valid row sorts FIRST ('aaa' < 'ghost'), so a lazy per-row
     // resolution would have compacted it before hitting the ghost — the

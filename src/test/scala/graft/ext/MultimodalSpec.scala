@@ -508,7 +508,7 @@ class MultimodalSpec extends SparkSpecBase {
     val pre = probe(tbl)
     val preFiles = graft.sources.Sources.tableFileCount(spark, tbl)
     assert(preFiles > 4, s"multi-era writes must leave multi-file buckets, got $preFiles")
-    Multimodal.compactImageIndex(spark, tbl, buckets = 4)
+    Multimodal.compactImageIndex(spark, tbl, buckets = 4, maxBucket = 0) // uncapped lifecycle
     assert(probe(tbl) == pre, "compaction changed probe results")
     assert(graft.sources.Sources.tableFileCount(spark, tbl) <= 4)
     assert(!spark.catalog.tableExists(Similarity.tombTable(tbl)),
@@ -675,6 +675,30 @@ class MultimodalSpec extends SparkSpecBase {
       .sorted.toSeq
     assert(probed.nonEmpty, "fixture too weak — no cross-side audio pair")
     assert(probed == expected, s"probe/self-join divergence:\n$probed\nvs\n$expected")
+  }
+
+  test("compaction preserves a takedown recorded during its rewrite window (era-split)") {
+    val tbl = s"mmspec_midtomb_${System.nanoTime()}"
+    val rows = Seq((0, 5L, 1L, 11L), (0, 6L, 2L, 12L), (1, 3L, 3L, 13L))
+      .toDF("band", "bv", "id", "fp")
+    Multimodal.persistHammingIndexRows(rows, tbl, buckets = 2)
+    // a normal pre-compact takedown: folded into the rewrite and retired
+    Multimodal.deleteFromHammingIndex(spark, tbl, Seq(3L).toDF("id"), col("id"))
+    // a takedown stamped at a FUTURE era stands in for one landing while
+    // the compact's rewrite is in flight (the rewrite's snapshot predates
+    // it, so ONLY the tombstone hides the id) — compaction must keep it,
+    // not blanket-drop the tombstone table
+    Multimodal.deleteFromHammingIndex(
+      spark, tbl, Seq(2L).toDF("id"), col("id"),
+      era = Similarity.nextEra() + 10000000L)
+    Multimodal.compactHammingIndex(spark, tbl, buckets = 2)
+    val stored = spark.table(tbl).select(col("corpus_id")).as[Long].collect().toSet
+    assert(stored == Set(1L), s"both takedowns must apply; stored $stored")
+    val tomb = Similarity.tombTable(tbl)
+    assert(spark.catalog.tableExists(tomb),
+      "the mid-rewrite takedown must survive compaction's tombstone retirement")
+    val kept = spark.table(tomb).select(col("corpus_id")).as[Long].collect().toSeq
+    assert(kept == Seq(2L), s"only the mid-rewrite entry survives retirement; got $kept")
   }
 
   test("cap scope divergence: compact re-caps STORED content, rebuild re-caps the corpus") {
