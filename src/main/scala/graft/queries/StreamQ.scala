@@ -1006,6 +1006,89 @@ object StreamQ {
       } finally stopRecording(q)
       s.read.parquet(outDir)
     },
+    // the SEMANTIC index's CDC loop — the last of the four persisted
+    // families to gain a streaming lifecycle witness (LSH r18, IVFPQ r18,
+    // Hamming r19): vectors arrive as (op, vec_id, embedding) events in
+    // three micro-batches over the cell-bucketed semantic index under the
+    // PINNED full-corpus centroids; each cycle probes (cosine ≥ τ within
+    // the assigned cell, seeing strictly-earlier state), appends, and
+    // tombstones the D ids. Batch A carries takedowns of the era-0 md5%5
+    // stratum (probe-before-delete keeps batch A's matches); batch B
+    // re-appends its even half (D-then-U — fresh era beats the
+    // tombstone); batch C's probes see the re-appends, not the
+    // still-retracted odd half. Same strata as the ANN twin so the two
+    // families' fixtures stay comparable; the oracle replays the
+    // arrival-order × retraction visibility over the trained-quantizer
+    // cell assignment
+    "stream_sem_index_retract" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
+      val table = Scratch.table("sem_retract")
+      val tomb = Similarity.tombTable(table)
+      Scratch.registerTable(tomb)
+      // layout time: index AND tombstones reset each invocation (bench
+      // reruns in one JVM — stale tombstones would hide batch-A probes'
+      // retracted partners too early)
+      s.sql(s"DROP TABLE IF EXISTS $tomb")
+      Dedup.persistSemanticIndex(
+        e.filter(g =!= 0), col("vec_id"), col("embedding"), cents, table, buckets = 8)
+      val outDir = Scratch.dir("sem_retract", dir)
+      Scratch.reset(outDir)
+      val del5 = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 5L) === 0
+      val delIds: Array[Long] = e
+        .filter(g =!= 0 && del5)
+        .select(col("vec_id")).as[Long].collect()
+      def vecs(df: DataFrame): Seq[(Long, Seq[Float])] =
+        df.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+      val upsA = vecs(e.filter(g === 0 && col("vec_id") % 2 === 0))
+      val upsB = vecs(e.filter(g === 0 && col("vec_id") % 4 === 1)) ++
+        vecs(e.filter(g =!= 0 && del5 && col("vec_id") % 2 === 0))
+      val upsC = vecs(e.filter(g === 0 && col("vec_id") % 4 === 3))
+      val batchA: Seq[(String, Long, Seq[Float])] =
+        upsA.map(v => ("U", v._1, v._2)) ++ delIds.toSeq.map(id => ("D", id, Seq.empty[Float]))
+      val batchB: Seq[(String, Long, Seq[Float])] = upsB.map(v => ("U", v._1, v._2))
+      val batchC: Seq[(String, Long, Seq[Float])] = upsC.map(v => ("U", v._1, v._2))
+      val mem = MemoryStream[(String, Long, Seq[Float])]
+      val q = mem.toDF().toDF("op", "vec_id", "embedding").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist() // read three ways: probe, append, delete
+          try {
+            // cross-session relation-cache refresh, index and tombstones
+            // both (the stream_index_maintain staleness trap)
+            s.catalog.refreshTable(table)
+            if (s.catalog.tableExists(tomb)) s.catalog.refreshTable(tomb)
+            val ups = b.filter(col("op") === "U").select(col("vec_id"), col("embedding"))
+            // tau = 0.25, witness-driven: at 0.42 the g0 stratum splits
+            // produce only era-0 pairs at sf0.01 (the append-back and
+            // D-then-U clauses would pass vacuously); at 0.25 every
+            // visibility clause has measured witnesses (6 re-append
+            // pairs, 30+ cross-batch append pairs, 39 probe-before-delete)
+            Dedup
+              .probeSemanticIndex(
+                s, table, ups, col("vec_id"), col("embedding"), cents, tau = 0.25)
+              .write.mode("append").parquet(outDir)
+            Dedup.appendSemanticIndex(
+              ups, col("vec_id"), col("embedding"), cents, table, buckets = 8)
+            val dels = b.filter(col("op") === "D").select(col("vec_id"))
+            if (!dels.isEmpty) Dedup.deleteFromSemanticIndex(s, table, dels, col("vec_id"))
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        mem.addData(batchA: _*)
+        q.processAllAvailable()
+        mem.addData(batchB: _*)
+        q.processAllAvailable()
+        mem.addData(batchC: _*)
+        q.processAllAvailable()
+      } finally stopRecording(q)
+      s.read.parquet(outDir)
+    },
     // the maintenance POLICY as a SCHEDULED LOOP — the production shape
     // the batch plan/apply/fixpoint queries rehearse one arc of: four
     // micro-batches of incoming docs append into the persisted LSH
@@ -1399,6 +1482,42 @@ object StreamQ {
     // plus retraction: the md5%5 era-0 stratum vanishes for batch-B
     // queries (probe-before-delete keeps it for batch A's)
     "stream_ann_index_retract" -> streamAnnRetractSql,
+    // the semantic family's CDC loop: the trained-quantizer cell probe
+    // (qz + kmeans CTEs shared with the batch semantic twins) under
+    // arrival-order × retraction visibility. Probe epochs: the g0 (md5%4)
+    // incoming stratum splits 1/2/3 on %2 / %4, and the re-appended
+    // takedown ids (corpus ∧ md5%5 ∧ even) probe as batch B (epoch 2).
+    // Candidate visibility: era-0 corpus rows vanish for epochs ≥ 2 when
+    // tombstoned; epoch-1 appends visible to 2+; epoch-2 appends
+    // (incoming %4=1 AND the re-appends, whose fresh era beats their
+    // tombstone) visible to epoch 3 only
+    "stream_sem_index_retract" ->
+      (qzCte + "\n        " + ivfKmeansCtesSql + s"""
+        , av AS (
+          SELECT a.cell, a.vec_id, z.q FROM assign a JOIN qz z USING (vec_id)
+        ), pr AS (
+          SELECT av.*,
+                 CASE WHEN (${md5GateSql("vec_id", 4)}) AND vec_id % 2 = 0 THEN 1
+                      WHEN (${md5GateSql("vec_id", 4)}) AND vec_id % 4 = 1 THEN 2
+                      WHEN (${md5GateSql("vec_id", 4)}) AND vec_id % 4 = 3 THEN 3
+                      ELSE 2 END AS e
+          FROM av
+          WHERE (${md5GateSql("vec_id", 4)})
+             OR (NOT (${md5GateSql("vec_id", 4)}) AND (${md5GateSql("vec_id", 5)})
+                 AND vec_id % 2 = 0)
+        ), sprs AS (
+          SELECT x.vec_id AS new_id, y.vec_id AS corpus_id,
+                 round(${cosSql("x.q", "y.q")}, 6) AS sim
+          FROM pr x JOIN av y ON x.cell = y.cell
+          WHERE (NOT (${md5GateSql("y.vec_id", 4)})
+                 AND (NOT (${md5GateSql("y.vec_id", 5)}) OR x.e = 1))
+             OR ((${md5GateSql("y.vec_id", 4)}) AND y.vec_id % 2 = 0 AND x.e >= 2)
+             OR ((((${md5GateSql("y.vec_id", 4)}) AND y.vec_id % 4 = 1)
+                  OR (NOT (${md5GateSql("y.vec_id", 4)}) AND (${md5GateSql("y.vec_id", 5)})
+                      AND y.vec_id % 2 = 0))
+                 AND x.e = 3)
+        )
+        SELECT new_id, corpus_id, sim FROM sprs WHERE sim >= 0.25"""),
     // the scheduled-maintenance-loop trace, re-derived arithmetically:
     // index_docs at batch b = |corpus| + Σ strata ≤ b (appends add
     // distinct ids, nothing retracts); the era recurrence under the
