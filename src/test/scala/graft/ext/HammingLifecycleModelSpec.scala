@@ -29,6 +29,7 @@ class HammingLifecycleModelSpec extends SparkSpecBase {
     // (band, bv, id, fp, era)
     var rows: Vector[(Int, Long, Long, Long, Long)] = Vector.empty
     var tombs: Map[Long, Long] = Map.empty
+    var tombRows: Long = 0L // census grain: one stored row per (id, delete-call)
     private var clock = 0L
     private def tick(): Long = { clock += 1; clock }
 
@@ -45,6 +46,7 @@ class HammingLifecycleModelSpec extends SparkSpecBase {
         if (cap <= 0) banded
         else banded.filter(r => census((r._1, r._2)) <= cap)
       tombs = Map.empty
+      tombRows = 0L
     }
 
     def append(batch: Seq[(Long, Long)]): Unit = {
@@ -57,6 +59,22 @@ class HammingLifecycleModelSpec extends SparkSpecBase {
     def delete(ids: Seq[Long]): Unit = {
       val era = tick()
       ids.foreach(id => tombs += id -> era)
+      tombRows += ids.size
+    }
+
+    /** The maintenance-census signals as [[Maintenance.indexCensus]]
+      * derives them: STORED grain (not tombstone-filtered) for docs,
+      * eras, and the capped regrowth signal; tombstone ROWS (one per
+      * id per delete call) for the retraction-load signal.
+      */
+    def census(cap: Int): (Long, Long, Long, Long) = {
+      val docs = rows.map(_._3).distinct.size.toLong
+      val eras = rows.map(_._5).distinct.size.toLong
+      val perBucket = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.size.toLong)
+      val total = rows.size.toLong
+      val capped = perBucket.values.filter(_ > cap).sum
+      val ppm = if (total == 0) 0L else capped * 1000000L / total
+      (docs, tombRows, eras, ppm)
     }
 
     def compact(cap: Int): Unit = {
@@ -74,6 +92,7 @@ class HammingLifecycleModelSpec extends SparkSpecBase {
       // the horizon split: every tombstone in this sequential script
       // predates the compaction, so all retire
       tombs = tombs.filter { case (_, t) => t >= horizon }
+      tombRows = 0L
     }
 
     def probe(incoming: Seq[(Long, Long)]): Seq[(Long, Long, Int)] = {
@@ -111,6 +130,16 @@ class HammingLifecycleModelSpec extends SparkSpecBase {
       val want = model.probe(probes)
       assert(got == want,
         s"engine/model divergence after $opName: engine ${got.size} pairs, model ${want.size}")
+      // the POLICY's inputs must also agree under interleavings — these
+      // are what indexMaintenancePlan decides from
+      val c = Maintenance
+        .indexCensus(spark, tbl, "corpus_id", "m", bucketKeys = Seq("band", "bv"), bucketCap = cap)
+        .collect().head
+      val gotCensus = (c.getAs[Long]("index_docs"), c.getAs[Long]("tomb_entries"),
+        c.getAs[Long]("append_eras"), c.getAs[Long]("capped_ppm"))
+      val wantCensus = model.census(cap)
+      assert(gotCensus == wantCensus,
+        s"census divergence after $opName: engine $gotCensus, model $wantCensus")
     }
     check("persist")
 
