@@ -268,6 +268,17 @@ object Maintenance {
       (name, decision, ix)
     }
     val actions = resolved.filter(_._2 != "none")
+    // the duplicate-NAME guard above is necessary but not sufficient: two
+    // distinct registry names can resolve to the same physical table (a
+    // mis-registered alias), and two non-'none' decisions on one table are
+    // the same concurrent same-table rewrite race under the pool — reject
+    // before anything is submitted
+    actions.groupBy(_._3.table).collectFirst {
+      case (table, rows) if rows.length > 1 =>
+        throw new IllegalArgumentException(
+          s"plan schedules ${rows.length} actions (${rows.map(_._1).mkString(", ")}) " +
+            s"on the same physical table '$table' — one action per table")
+    }
     if (actions.nonEmpty) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(4, actions.length))
@@ -289,7 +300,13 @@ object Maintenance {
             try { f.get(); None }
             catch {
               case e: java.util.concurrent.ExecutionException => Some(e.getCause)
-              case e: Throwable                               => Some(e)
+              case e: InterruptedException =>
+                // record-and-continue like any failure, but RE-SET the
+                // interrupt flag: if the name-ordered first failure turns
+                // out to be some other action's error, the caller must
+                // still see the driver thread as interrupted
+                Thread.currentThread().interrupt(); Some(e)
+              case e: Throwable => Some(e)
             }
           }
         finally pool.shutdown()

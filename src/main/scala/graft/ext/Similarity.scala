@@ -551,8 +551,11 @@ object Similarity {
     * assumes (the in-memory catalog is JVM-local, so an out-of-JVM
     * publisher is invisible to a fresh LISTING too, memo or no memo). A
     * deployment on a shared external metastore with out-of-band
-    * publishers wants a TTL'd or disabled memo — a catalog-service
-    * concern, beside the shared era source it would also need.
+    * publishers sets `spark.graft.index.versionMemo.enabled=false`
+    * (session conf, read per resolution): the kill switch drops straight
+    * to a fresh catalog listing per call, so a catalog-restore or
+    * external publisher is visible immediately — the escape hatch costs
+    * only the metadata scan the memo was built to amortize.
     */
   private val versionMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
@@ -577,7 +580,23 @@ object Similarity {
     invalidateVersionMemo(s, table)
   }
 
+  private[graft] val VersionMemoEnabledKey = "spark.graft.index.versionMemo.enabled"
+
+  private def listedVersion(s: org.apache.spark.sql.SparkSession, table: String): Int = {
+    val db = s.sessionState.catalog.getCurrentDatabase
+    s.sessionState.catalog
+      .listTables(db, s"${table}__v*")
+      .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
+      .sorted.lastOption.getOrElse(0)
+  }
+
   private[graft] def servingVersion(s: org.apache.spark.sql.SparkSession, table: String): Int = {
+    // kill switch for shared-metastore deployments: bypass the memo (and
+    // drop any cached entry, so re-enabling starts clean) and list fresh
+    if (!s.conf.get(VersionMemoEnabledKey, "true").toBoolean) {
+      versionMemo.remove(memoKey(s, table)): Unit
+      return listedVersion(s, table)
+    }
     val key = memoKey(s, table)
     val memo = versionMemo.get(key)
     if (memo != null && (memo.intValue == 0 || s.catalog.tableExists(s"${table}__v$memo")))
@@ -586,15 +605,7 @@ object Similarity {
       // failed trust-but-verify: retire exactly the entry we read (the
       // value-qualified remove never clobbers a concurrent writer's state)
       if (memo != null) versionMemo.remove(key, memo): Unit
-      versionMemo.computeIfAbsent(
-        key,
-        _ => {
-          val db = s.sessionState.catalog.getCurrentDatabase
-          Integer.valueOf(s.sessionState.catalog
-            .listTables(db, s"${table}__v*")
-            .flatMap(t => VersionSuffix.findFirstMatchIn(t.table).map(_.group(1).toInt))
-            .sorted.lastOption.getOrElse(0))
-        }).intValue
+      versionMemo.computeIfAbsent(key, _ => Integer.valueOf(listedVersion(s, table))).intValue
     }
   }
 

@@ -1138,7 +1138,9 @@ object StreamQ {
       val q = mem.toDF().toDF("batch", "doc_id", "text").writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.persist()
-          try {
+          // empty micro-batch (a feed stratum can be empty at small SF):
+          // max over zero rows is null — skip the cycle instead of NPEing
+          try if (!b.isEmpty) {
             s.catalog.refreshTable(table)
             val bid = b.agg(max(col("batch"))).collect()(0).getLong(0)
             Dedup.appendLshIndex(

@@ -280,6 +280,40 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(!ran.get(), "no action may run for a duplicate-name plan")
   }
 
+  test("applyMaintenancePlan rejects two actions resolving to one physical table") {
+    // distinct registry NAMES are not enough: a mis-registered alias maps
+    // two names onto one table, and two non-'none' decisions there are the
+    // same concurrent same-table rewrite race the duplicate-name guard
+    // exists for — the resolved-table guard must refuse the whole plan
+    val ran = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val plan = Seq(("alias_a", "compact"), ("alias_b", "rebuild"))
+      .toDF("index_name", "decision")
+    def ix = Maintenance.ManagedIndex(
+      "shared_physical", "corpus_id",
+      compact = () => { ran.set(true); () },
+      rebuild = () => { ran.set(true); () })
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(
+        spark, plan, Map("alias_a" -> ix, "alias_b" -> ix))
+    }
+    assert(ex.getMessage.contains("shared_physical")
+      && ex.getMessage.contains("alias_a") && ex.getMessage.contains("alias_b"))
+    assert(!ran.get(), "no action may run for a same-table plan")
+    // a 'none' on the alias is NOT a conflict: only real rewrites race
+    val ok = Seq(("alias_a", "none"), ("alias_b", "none")).toDF("index_name", "decision")
+    val tbl = s"mntspec_alias_${System.nanoTime()}"
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    def live = Maintenance.ManagedIndex(
+      tbl, "corpus_id",
+      compact = () => fail("none must not compact"),
+      rebuild = () => fail("none must not rebuild"))
+    val audit = Maintenance.applyMaintenancePlan(
+      spark, ok, Map("alias_a" -> live, "alias_b" -> live))
+    assert(audit.count() == 2L)
+  }
+
   test("applyMaintenancePlan validates the WHOLE plan before running any action") {
     // the valid row sorts FIRST ('aaa' < 'ghost'), so a lazy per-row
     // resolution would have compacted it before hitting the ghost — the

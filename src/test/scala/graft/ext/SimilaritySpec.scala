@@ -682,6 +682,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.servingTable(spark, tbl) == tbl)
   }
 
+  test("servingVersion kill switch: memo disabled sees out-of-band catalog changes") {
+    // a shared-metastore deployment disables the memo; resolution must
+    // then list the catalog FRESH per call, so an out-of-band publish or
+    // restore (a __v<N> table materialized by another writer, never via
+    // publishVersion in this JVM) is visible immediately — the blind spot
+    // the memo's single-JVM posture documents
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val tbl = s"annspec_killsw_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    // memoize the bare resolution (version 0), then simulate an external
+    // publisher: copy the bare table to __v1 WITHOUT touching the memo
+    assert(Similarity.servingTable(spark, tbl) == tbl)
+    spark.table(tbl).write.saveAsTable(s"${tbl}__v1")
+    // memo enabled: version 0 is a trusted memo hit, the external __v1
+    // stays invisible — the exact stale-serve the advisor flagged
+    assert(Similarity.servingTable(spark, tbl) == tbl)
+    // kill switch on: fresh listing finds the external version
+    spark.conf.set(Similarity.VersionMemoEnabledKey, "false")
+    try {
+      assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v1")
+      // and a second external change is also seen (no residual caching)
+      spark.table(tbl).write.saveAsTable(s"${tbl}__v2")
+      assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v2")
+    } finally spark.conf.set(Similarity.VersionMemoEnabledKey, "true")
+    // re-enabled: the bypass dropped the stale entry, so the first
+    // memoized resolution recomputes from the post-change catalog
+    assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v2")
+  }
+
   test("rebuildAnnIndex: blue/green swap serves the retrained index, clears stale state") {
     val e = fixtureEmb
     val old = e.filter($"vec_id" % 2 === 0)
