@@ -624,6 +624,22 @@ object Dedup {
         .drop("__bsz")
     }
 
+  /** The COMPLEMENT of [[capBuckets]] — the member rows the cap dropped
+    * (same window count, opposite filter), factored so the persisted
+    * quarantine ([[Multimodal.quarantineHammingIndex]]) and the cap can
+    * never disagree about which side of the boundary a row fell on.
+    * Requires a positive cap (the [[oversized]] doctrine: asking for the
+    * drops of an uncapped run is a caller error, not "everything").
+    */
+  private[ext] def capDropped(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "capDropped needs the positive cap actually used at layout")
+    import org.apache.spark.sql.expressions.Window
+    banded
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz") > maxBucket)
+      .drop("__bsz")
+  }
+
   /** The quarantine side of [[minhashLshPairs]]' cap: (band, bh, n_members)
     * for every bucket whose membership exceeds `maxBucket` — the boilerplate
     * clusters excluded from pair generation, surfaced for upstream handling.

@@ -85,15 +85,32 @@ object Maintenance {
         val den: Column = greatest(col("__total"), lit(1L))
         totals.select(((num - pmod(num, den)) / den).cast("long").as("capped_ppm"))
       } else s.range(1).select(lit(0L).as("capped_ppm"))
+    // the sweep watermark of a capped layout's persisted quarantine
+    // ([[Multimodal.quarantineHammingIndex]]): how far the bounded
+    // recovery sweep has progressed, and how many quarantined buckets
+    // remain unswept — the policy's `sweep` pressure signal. One tiny
+    // one-row table (the bucket total is snapshotted there at
+    // quarantine/reset time), zero cost for indexes without a quarantine
+    val wmT = Similarity.quarWmTable(table)
+    val quarWm =
+      if (s.catalog.tableExists(wmT))
+        s.table(wmT).select(
+          col("swept_through"),
+          (col("quar_buckets") - col("swept_through")).as("quar_unswept"))
+      else
+        s.range(1).select(lit(0L).as("swept_through"), lit(0L).as("quar_unswept"))
     base
       .crossJoin(tomb)
       .crossJoin(capped)
+      .crossJoin(quarWm)
       .select(
         lit(name).as("index_name"),
         col("index_docs"),
         col("tomb_entries"),
         col("append_eras"),
-        col("capped_ppm"))
+        col("capped_ppm"),
+        col("swept_through"),
+        col("quar_unswept"))
   }
 
   /** Physical file amplification of a bucketed index table — the
@@ -127,14 +144,23 @@ object Maintenance {
     *     ([[indexCensus]]'s `capped_ppm`; compaction is the cheap re-cap
     *     point, so bucket regrowth is compaction pressure, not rebuild
     *     pressure).
+    *   - else `sweep` when the index keeps a persisted quarantine with at
+    *     least `sweepUnsweptBuckets` buckets not yet swept
+    *     ([[indexCensus]]'s `quar_unswept`): the capped layout's dropped
+    *     recall is recovered in bounded installments
+    *     ([[Multimodal.sweepHammingQuarantine]]). Sweep ranks BELOW
+    *     compact/rebuild: both rewrites re-decide the quarantine and
+    *     reset the watermark, so sweeping first would be work thrown
+    *     away.
     *   - else `none`.
     *
     * Required census columns: `index_name`, `index_docs`,
     * `tomb_entries`, `append_eras` ([[indexCensus]]); `drift_ppm`
     * (caller-measured; 0 for modalities without a trained quantizer) and
     * optionally `capped_ppm` ([[indexCensus]] with bucket keys + cap;
-    * absent ⇒ 0) and `files_per_bucket` ([[filesPerBucket]] as a
-    * literal).
+    * absent ⇒ 0), `quar_unswept` ([[indexCensus]] reads it from the
+    * quarantine sweep watermark; absent ⇒ 0) and `files_per_bucket`
+    * ([[filesPerBucket]] as a literal).
     *
     * @return (index_name, index_docs, tomb_entries, append_eras,
     *         tomb_ppm, drift_ppm, capped_ppm, decision)
@@ -145,14 +171,18 @@ object Maintenance {
       compactTombPpm: Long,
       compactAppendEras: Long = Long.MaxValue,
       compactFilesPerBucket: Long = Long.MaxValue,
-      compactCappedPpm: Long = Long.MaxValue
+      compactCappedPpm: Long = Long.MaxValue,
+      sweepUnsweptBuckets: Long = Long.MaxValue
   ): DataFrame = {
     val withFiles =
       if (census.columns.contains("files_per_bucket")) census
       else census.withColumn("files_per_bucket", lit(0L))
+    val withQuar =
+      if (withFiles.columns.contains("quar_unswept")) withFiles
+      else withFiles.withColumn("quar_unswept", lit(0L))
     val withCapped =
-      if (withFiles.columns.contains("capped_ppm")) withFiles
-      else withFiles.withColumn("capped_ppm", lit(0L))
+      if (withQuar.columns.contains("capped_ppm")) withQuar
+      else withQuar.withColumn("capped_ppm", lit(0L))
     // exact integer floor-div (long `/` is double division in Spark — the
     // remainder subtraction makes the quotient exact, so the ppm value
     // hash-matches an integer-division oracle bit-for-bit)
@@ -170,6 +200,7 @@ object Maintenance {
               || col("files_per_bucket") >= compactFilesPerBucket
               || col("capped_ppm") >= compactCappedPpm,
             lit("compact"))
+          .when(col("quar_unswept") >= sweepUnsweptBuckets, lit("sweep"))
           .otherwise(lit("none")))
       .select(
         col("index_name"), col("index_docs"), col("tomb_entries"),
@@ -187,7 +218,12 @@ object Maintenance {
     * model, corpus) so the executor stays family-agnostic.
     * `bucketKeys`/`bucketCap` describe a capped banded layout so the
     * post-action census carries the same `capped_ppm` signal the plan
-    * census did (defaults: uncapped, signal 0).
+    * census did (defaults: uncapped, signal 0). `sweep` is the optional
+    * third action — one bounded quarantine-recovery tick
+    * ([[Multimodal.sweepHammingQuarantine]] plus wherever the recovered
+    * pairs sink); indexes without a quarantine side leave it `None`, and
+    * a plan that decides `sweep` for such an index fails validation
+    * whole, before any action runs.
     */
   final case class ManagedIndex(
       table: String,
@@ -195,7 +231,8 @@ object Maintenance {
       compact: () => Unit,
       rebuild: () => Unit,
       bucketKeys: Seq[String] = Nil,
-      bucketCap: Int = 0)
+      bucketCap: Int = 0,
+      sweep: Option[() => Unit] = None)
 
   private val auditSchema = StructType(Seq(
     StructField("index_name", StringType),
@@ -262,9 +299,14 @@ object Maintenance {
         name,
         throw new IllegalArgumentException(
           s"plan names index '$name' but no ManagedIndex is registered for it"))
-      if (decision != "compact" && decision != "rebuild" && decision != "none")
+      if (decision != "compact" && decision != "rebuild" && decision != "sweep"
+          && decision != "none")
         throw new IllegalArgumentException(
           s"unknown decision '$decision' for index '$name'")
+      if (decision == "sweep" && ix.sweep.isEmpty)
+        throw new IllegalArgumentException(
+          s"plan decides 'sweep' for index '$name' but its ManagedIndex registers " +
+            "no sweep action (no quarantine side)")
       (name, decision, ix)
     }
     val actions = resolved.filter(_._2 != "none")
@@ -284,7 +326,11 @@ object Maintenance {
         math.min(4, actions.length))
       val futures = actions.map { case (_, decision, ix) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = if (decision == "compact") ix.compact() else ix.rebuild()
+          def call(): Unit = decision match {
+            case "compact" => ix.compact()
+            case "rebuild" => ix.rebuild()
+            case _         => ix.sweep.get()
+          }
         })
       }
       // drain ALL futures before propagating the (name-ordered first)

@@ -784,6 +784,28 @@ object Multimodal {
       .groupBy(col("band"), col("bv"), col("corpus_id"), col("fp"))
       .agg(max(col("seq")).as("seq"))
       .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq"))
+    // an index that KEEPS a quarantine side must keep it current through
+    // the re-cap, in BOTH directions: rows this compact is about to drop
+    // (appends that regrew a bucket past the cap) join the quarantine —
+    // without that they would be dropped UNRECOVERABLY, the silent-loss
+    // posture the quarantine exists to close — and TOMBSTONED quarantine
+    // rows leave it, because the tombstone retirement below assumes every
+    // store hiding behind a tombstone was rewritten (an append-only
+    // capture would resurrect a takedown on the next sweep pass the
+    // moment retirement purged its tombstone). One staged rewrite
+    // (compactBucketed) of the quarantine = live survivors ∪ new drops,
+    // materialized BEFORE the index rewrite below, while `healed` still
+    // reads the pre-compact files. An index without a quarantine side
+    // keeps the plain capped contract (the drops are audit-only).
+    if (maxBucket > 0 && s.catalog.tableExists(graft.ext.Similarity.quarTable(table))) {
+      val qT = graft.ext.Similarity.quarTable(table)
+      val newDrops = graft.ext.Dedup.capDropped(healed, Seq("band", "bv"), maxBucket)
+        .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq"))
+      graft.sources.Sources.compactBucketed(
+        s, qT, buckets, Seq("band", "bv"),
+        quarantineLive(s, table).unionByName(newDrops))
+      resetQuarantineSweep(s, table)
+    }
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bv"),
       graft.ext.Similarity.collapsedToMaxEra(
@@ -809,7 +831,7 @@ object Multimodal {
       hashCol: String,
       buckets: Int,
       maxBucket: Int = 0
-  ): Unit =
+  ): Unit = {
     // maxBucket rides through: a capped index's rebuild IS the re-cap
     // point (appends are never re-capped — see appendHammingIndex), so a
     // rebuild that silently dropped the cap would republish every
@@ -817,6 +839,16 @@ object Multimodal {
     graft.ext.Similarity.publishVersion(s, table)((bld, era) =>
       persistHammingIndex(
         hashes, idCol, hashCol, bld, buckets, era = era, maxBucket = maxBucket))
+    // an index that keeps a quarantine side gets it RE-DECIDED against
+    // the rebuild's own corpus (a rebuild re-caps relative to the FULL
+    // corpus — the scope divergence compactHammingIndex documents), after
+    // publication: a probe landing between the rename and here pairs the
+    // new index with the previous quarantine — one maintenance-epoch of
+    // sweep-side grace, same order as the version grace readers already
+    // have
+    if (maxBucket > 0 && s.catalog.tableExists(graft.ext.Similarity.quarTable(table)))
+      quarantineHammingIndex(s, table, hashes, idCol, hashCol, buckets, maxBucket)
+  }
 
   /** QUERY TIME — probe a [[persistHammingIndex]] table with a batch of
     * incoming fingerprints: band the batch map-side, join the live index
@@ -864,6 +896,171 @@ object Multimodal {
   ): DataFrame =
     graft.ext.Dedup.oversized(
       bandedFingerprints(hashes, idCol, hashCol), Seq("band", "bv"), maxBucket)
+
+  /** LAYOUT TIME — persist the RECOVERY side of a capped Hamming layout:
+    * the banded rows the cap dropped ([[graft.ext.Dedup.capDropped]], the
+    * exact complement of the rows [[persistHammingIndex]] stored), written
+    * `bucketBy(band, bv)` under `<table>_quar` so the sweep's per-bucket
+    * joins stay exchange-free on the quarantine side. Resets the sweep
+    * watermark (a fresh quarantine is a fresh sweep pass).
+    *
+    * This closes the capped posture's one gap: the cap trades recall for
+    * probe cost, and before this the dropped side had observability
+    * ([[oversizedHammingBuckets]]) but no recovery — duplicates living in
+    * hot buckets were permanently unprobeable. With the quarantine
+    * persisted, [[sweepHammingQuarantine]] recovers them in bounded
+    * per-tick batches, and capped-probe ∪ completed-sweep equals the
+    * uncapped probe exactly (the driver's mm_quarantine_sweep oracle).
+    *
+    * Scale shape: one banding pass over the corpus fingerprints (tiny
+    * rows — id + 56-bit hash), one window count on the same (band, bv)
+    * key the index layout shuffles on. The quarantine's row count is the
+    * over-cap mass the cap excluded — large in members, SMALL in buckets
+    * (each holds > cap members by definition), which is what makes the
+    * bucket-at-a-time sweep bounded.
+    */
+  def quarantineHammingIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      buckets: Int,
+      maxBucket: Int,
+      era: Long = 0L
+  ): Unit = {
+    val dropped = graft.ext.Dedup.capDropped(
+      bandedFingerprints(hashes, idCol, hashCol), Seq("band", "bv"), maxBucket)
+    graft.sources.Sources.writeBucketed(
+      dropped.select(
+        col("band"), col("bv"), col("id").as("corpus_id"), col("fp"), lit(era).as("seq")),
+      graft.ext.Similarity.quarTable(table), buckets, "band", "bv")
+    resetQuarantineSweep(s, table)
+  }
+
+  /** The sweep's progress state: `(swept_through, quar_buckets)` — how
+    * many of the quarantine's buckets (in sweep rank order: membership
+    * DESC, then band, bv) have been swept, out of how many. (0, 0) when
+    * the index has no quarantine side. The bucket total is snapshotted
+    * into the watermark table at quarantine/reset time so the policy
+    * census ([[Maintenance.indexCensus]]'s `swept_through` /
+    * `quar_unswept`) reads one tiny table, not a quarantine scan.
+    */
+  def quarantineWatermark(
+      s: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
+    val wmT = graft.ext.Similarity.quarWmTable(table)
+    if (s.catalog.tableExists(wmT)) {
+      val r = s.table(wmT).collect().head
+      (r.getAs[Long]("swept_through"), r.getAs[Long]("quar_buckets"))
+    } else (0L, 0L)
+  }
+
+  /** Begin a fresh sweep PASS over the current quarantine: watermark back
+    * to zero, bucket total re-snapshotted from the quarantine table.
+    * Called by the quarantine writers (fresh layout, compact capture —
+    * content changed, so ranks changed) and by a scheduler starting a new
+    * periodic pass over an unchanged quarantine (a new probe batch wants
+    * the whole quarantine swept again).
+    */
+  def resetQuarantineSweep(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val qT = graft.ext.Similarity.quarTable(table)
+    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
+    val total = s.table(qT).select(col("band"), col("bv")).distinct().count()
+    writeQuarWm(s, table, swept = 0L, total = total)
+  }
+
+  /** The live rows of a persisted quarantine: the stored drops minus the
+    * index's era-qualified tombstones — the same anti-join contract as
+    * the serving scan ([[hammingIndexLive]]), because a takedown hides an
+    * id wherever its rows live, stored or quarantined.
+    */
+  private def quarantineLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val quar = s.table(graft.ext.Similarity.quarTable(table))
+    val tomb = graft.ext.Similarity.tombTable(table)
+    if (s.catalog.tableExists(tomb)) {
+      val t = s.table(tomb)
+      quar.join(
+        broadcast(t),
+        quar("corpus_id") === t("corpus_id") && quar("seq") <= t("tomb_seq"),
+        "left_anti")
+    } else quar
+  }
+
+  private def writeQuarWm(
+      s: org.apache.spark.sql.SparkSession, table: String, swept: Long, total: Long): Unit = {
+    val wmT = graft.ext.Similarity.quarWmTable(table)
+    // maintenance-epoch metadata with a single scheduled writer (the
+    // sweep action runs under applyMaintenancePlan's one-action-per-table
+    // guard), so a plain drop-and-replace suffices — no rename staging
+    s.sql(s"DROP TABLE IF EXISTS `$wmT`")
+    graft.sources.Sources.dropStaleLocation(s, wmT)
+    s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(swept, total)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("swept_through", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("quar_buckets", org.apache.spark.sql.types.LongType))))
+      .write.format("parquet").saveAsTable(wmT)
+  }
+
+  /** MAINTENANCE — one bounded TICK of the quarantine sweep: exact
+    * `bit_count(xor)` verification of the incoming batch against the
+    * quarantined members of the next `maxBucketsPerTick` unswept buckets
+    * (sweep order: membership DESC — the regrowth-heaviest boilerplate
+    * first — then band, bv for determinism), advancing the persisted
+    * watermark. Emits the SAME pair schema as [[probeHammingIndex]]
+    * (`new_id, corpus_id, hamming`), so capped-probe ∪ sweep composes by
+    * plain union: once the watermark closes, the union IS the uncapped
+    * probe (self-pairs excluded by id both sides, tombstones anti-joined
+    * out here exactly as the serving scan does).
+    *
+    * Cost per tick is the point: a hot bucket's pair volume is its
+    * membership × the incoming rows banding into it, and this touches at
+    * most `maxBucketsPerTick` buckets — the quadratic boilerplate mass
+    * the cap evicted from the serving path is repaid in scheduled,
+    * bounded installments instead of never ([[Maintenance]]'s `sweep`
+    * decision schedules it). The tick's bucket range is captured as PLAN
+    * LITERALS before the watermark advances, so the returned frame is
+    * stable however late it executes. The bucket ranking is a window over
+    * the quarantine's BUCKET census (quarantine buckets number at most
+    * corpus/cap and in practice far fewer — the boilerplate shape is few,
+    * huge buckets), never the member grain.
+    */
+  def sweepHammingQuarantine(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      maxBucketsPerTick: Int
+  ): DataFrame = {
+    require(maxBucketsPerTick > 0, "sweep ticks must make progress: maxBucketsPerTick >= 1")
+    val qT = graft.ext.Similarity.quarTable(table)
+    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
+    val (swept, total) = quarantineWatermark(s, table)
+    val hi = math.min(swept + maxBucketsPerTick, total)
+    if (hi > swept) writeQuarWm(s, table, swept = hi, total = total)
+    import org.apache.spark.sql.expressions.Window
+    val quar = s.table(qT)
+    val tickBuckets = quar
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn(
+        "__rank",
+        row_number().over(Window.orderBy(col("__n").desc, col("band"), col("bv"))))
+      .filter(col("__rank") > swept && col("__rank") <= hi)
+      .select(col("band"), col("bv"))
+    val members = quarantineLive(s, table).join(broadcast(tickBuckets), Seq("band", "bv"))
+    bandedFingerprints(incoming, idCol, hashCol)
+      .select(col("band"), col("bv"), col("id").as("new_id"), col("fp").as("h_new"))
+      .join(members, Seq("band", "bv"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(
+        col("new_id"), col("corpus_id"),
+        bit_count(col("h_new").bitwiseXOR(col("fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** The image-modality names of the fingerprint-index lifecycle — thin
     * forwards over the modality-agnostic `*HammingIndex` core (the
@@ -927,6 +1124,24 @@ object Multimodal {
       s: org.apache.spark.sql.SparkSession, table: String, incoming: DataFrame,
       idCol: String, hashCol: String, maxHamming: Int): DataFrame =
     probeHammingIndex(s, table, incoming, idCol, hashCol, maxHamming)
+
+  /** See [[quarantineHammingIndex]] — the image-named recovery side of the
+    * family's capped default: persist the quarantined banded rows so
+    * [[sweepImageQuarantine]] can repay the cap's dropped recall in
+    * bounded installments. Opt-in beside the persist (one extra banding
+    * pass over the fingerprints at layout time); once present, compaction
+    * and rebuild keep it current automatically.
+    */
+  def quarantineImageIndex(
+      s: org.apache.spark.sql.SparkSession, table: String, hashes: DataFrame,
+      idCol: String, hashCol: String, buckets: Int, maxBucket: Int = 64): Unit =
+    quarantineHammingIndex(s, table, hashes, idCol, hashCol, buckets, maxBucket)
+
+  /** See [[sweepHammingQuarantine]]. */
+  def sweepImageQuarantine(
+      s: org.apache.spark.sql.SparkSession, table: String, incoming: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int, maxBucketsPerTick: Int): DataFrame =
+    sweepHammingQuarantine(s, table, incoming, idCol, hashCol, maxHamming, maxBucketsPerTick)
 
   /** Target-dimension arithmetic alone (no pixels) — kept as the cheap
     * metadata projection for non-image media whose decode the JDK lacks.

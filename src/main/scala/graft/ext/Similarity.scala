@@ -494,6 +494,17 @@ object Similarity {
     */
   private[graft] def tombTable(table: String): String = table + "_tomb"
 
+  /** Companion-table names of a capped index's QUARANTINE side (the
+    * banded rows a layout cap dropped, persisted for bounded recovery —
+    * [[Multimodal.quarantineHammingIndex]]) and its sweep WATERMARK (one
+    * row: how far the bounded sweep has progressed through the
+    * quarantined buckets, plus the bucket total the policy census reads).
+    * Logical-name scoped like [[tombTable]]: the quarantine outlives
+    * version publications (a rebuild re-decides it explicitly).
+    */
+  private[graft] def quarTable(table: String): String = table + "_quar"
+  private[graft] def quarWmTable(table: String): String = table + "_quar_wm"
+
   /** Strictly-increasing era stamp for index maintenance operations:
     * wall-clock anchored (so independently-restarted maintenance JVMs
     * still order correctly at takedown timescales) and monotonic within

@@ -76,6 +76,79 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(run(withCapped(999999L).withColumn("drift_ppm", lit(1200000L))) == "rebuild")
   }
 
+  test("sweep branch: unswept quarantine schedules a sweep, below every rewrite's precedence") {
+    def withQuar(unswept: Long) = census("a", 1000, 0, 1, 0)
+      .withColumn("quar_unswept", lit(unswept))
+    def run(df: org.apache.spark.sql.DataFrame) = Maintenance
+      .indexMaintenancePlan(df, rebuildDriftPpm = 1200000L, compactTombPpm = 100000L,
+        sweepUnsweptBuckets = 1L)
+      .collect().head.getAs[String]("decision")
+    assert(run(withQuar(1L)) == "sweep")
+    assert(run(withQuar(0L)) == "none")
+    // an absent quar_unswept column defaults to 0 — never a spurious sweep
+    assert(run(census("a", 1000, 0, 1, 0)) == "none")
+    // the default threshold (MaxValue) never fires — pre-sweep plans are
+    // byte-identical to pre-r20 plans
+    assert(Maintenance
+      .indexMaintenancePlan(withQuar(999999L), rebuildDriftPpm = 1200000L,
+        compactTombPpm = 100000L)
+      .collect().head.getAs[String]("decision") == "none")
+    // precedence: both rewrites re-decide the quarantine and reset the
+    // watermark, so either outranks a pending sweep
+    assert(run(withQuar(5L).withColumn("drift_ppm", lit(1200000L))) == "rebuild")
+    assert(run(census("a", 1000, 200, 1, 0).withColumn("quar_unswept", lit(5L))) == "compact")
+  }
+
+  test("applyMaintenancePlan runs a registered sweep action; rejects sweep without one") {
+    val swept = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val tbl = s"mntspec_sweep_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    val plan = Seq(("swp", "sweep")).toDF("index_name", "decision")
+    def fleet(sweep: Option[() => Unit]) = Map("swp" -> Maintenance.ManagedIndex(
+      tbl, "corpus_id",
+      compact = () => fail("sweep plan must not compact"),
+      rebuild = () => fail("sweep plan must not rebuild"),
+      sweep = sweep))
+    // an index with no quarantine side (sweep = None) fails validation
+    // WHOLE, before any action runs
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(spark, plan, fleet(None))
+    }
+    assert(ex.getMessage.contains("swp") && ex.getMessage.contains("sweep"))
+    assert(swept.get() == 0)
+    // a registered sweep runs as a first-class action and audits as such
+    val audit = Maintenance
+      .applyMaintenancePlan(spark, plan, fleet(Some(() => { swept.incrementAndGet(); () })))
+      .collect().head
+    assert(swept.get() == 1)
+    assert(audit.getAs[String]("decision") == "sweep")
+    assert(audit.getAs[Long]("index_docs") == e.count())
+  }
+
+  test("indexCensus carries the sweep watermark of a real quarantined Hamming index") {
+    import spark.implicits._
+    val corpus = (1L to 12L).map(i => (i, 42L)).toDF("asset_id", "fp")
+    val tbl = s"mntspec_quarcensus_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(corpus, "asset_id", "fp", tbl, buckets = 4, maxBucket = 10)
+    // no quarantine side yet: the census signals stay zero (the default
+    // every pre-sweep fleet reads)
+    val c0 = Maintenance.indexCensus(spark, tbl, "corpus_id", "q").collect().head
+    assert((c0.getAs[Long]("swept_through"), c0.getAs[Long]("quar_unswept")) == ((0L, 0L)))
+    Multimodal.quarantineHammingIndex(
+      spark, tbl, corpus, "asset_id", "fp", buckets = 4, maxBucket = 10)
+    val c1 = Maintenance.indexCensus(spark, tbl, "corpus_id", "q").collect().head
+    assert((c1.getAs[Long]("swept_through"), c1.getAs[Long]("quar_unswept")) == ((0L, 4L)),
+      "a fresh quarantine exposes its four hot band buckets as unswept")
+    Multimodal.sweepHammingQuarantine(
+      spark, tbl, Seq((100L, 42L)).toDF("asset_id", "fp"), "asset_id", "fp",
+      maxHamming = 8, maxBucketsPerTick = 3)
+    val c2 = Maintenance.indexCensus(spark, tbl, "corpus_id", "q").collect().head
+    assert((c2.getAs[Long]("swept_through"), c2.getAs[Long]("quar_unswept")) == ((3L, 1L)),
+      "a bounded tick advances the watermark by its bucket budget")
+  }
+
   test("empty index never divides by zero; tombstones against it still force compaction") {
     val (d, ppm) = decisionOf(census("a", 0, 1, 1, 0))
     assert(d == "compact" && ppm == 1000000L)

@@ -602,6 +602,100 @@ class MultimodalSpec extends SparkSpecBase {
       "the regrown boilerplate bucket must quarantine; the small bucket must survive")
   }
 
+  test("quarantine sweep: capped-probe ∪ completed sweep equals the uncapped probe, tick-bounded") {
+    // two boilerplate clusters of DIFFERENT size (15× fp 42, 12× its
+    // 56-bit complement) plus one small stored cluster (3× a fp with bv=1
+    // in every band — no band value shared with either hot cluster, so
+    // the expected pair sets stay cluster-pure); cap 10 quarantines both
+    // hot clusters' buckets (4 band buckets each, the larger cluster
+    // ranks first in every sweep order) and keeps the small one
+    val far = (1L << 56) - 1 - 42
+    val small = (1L << 42) | (1L << 28) | (1L << 14) | 1L
+    val corpus = ((1L to 15L).map(i => (i, 42L)) ++ (21L to 32L).map(i => (i, far)) ++
+      (41L to 43L).map(i => (i, small))).toDF("asset_id", "fp")
+    val incoming = Seq((100L, 42L), (101L, far), (102L, small)).toDF("asset_id", "fp")
+    val tbl = s"hamspec_sweep_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(corpus, "asset_id", "fp", tbl, buckets = 4, maxBucket = 10)
+    Multimodal.quarantineHammingIndex(
+      spark, tbl, corpus, "asset_id", "fp", buckets = 4, maxBucket = 10)
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((0L, 8L)),
+      "two 4-band hot clusters quarantine eight buckets")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def sweepTick() = pairsOf(Multimodal.sweepHammingQuarantine(
+      spark, tbl, incoming, "asset_id", "fp", maxHamming = 8, maxBucketsPerTick = 4))
+    // capped probe sees only the small stored cluster
+    val probed = pairsOf(
+      Multimodal.probeHammingIndex(spark, tbl, incoming, "asset_id", "fp", maxHamming = 8))
+    assert(probed == (41L to 43L).map((102L, _)), s"got $probed")
+    // tick 1 sweeps the LARGER cluster's four buckets only (rank order is
+    // membership DESC): pairs touch cluster A alone — the per-tick cost
+    // bound is real, not cosmetic
+    val t1 = sweepTick()
+    assert(t1 == (1L to 15L).map((100L, _)), s"tick 1 must sweep only the 15-member cluster: $t1")
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((4L, 8L)))
+    // tick 2 drains the rest; a third tick sweeps nothing and leaves the
+    // watermark closed
+    val t2 = sweepTick()
+    assert(t2 == (21L to 32L).map((101L, _)), s"tick 2 must sweep the 12-member cluster: $t2")
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((8L, 8L)))
+    assert(sweepTick().isEmpty, "a closed watermark sweeps nothing")
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((8L, 8L)))
+    // the contract the whole mechanism exists for: capped-probe ∪ sweep
+    // ≡ uncapped-probe
+    val uncapped = s"hamspec_sweep_unc_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(corpus, "asset_id", "fp", uncapped, buckets = 4)
+    val want = pairsOf(
+      Multimodal.probeHammingIndex(spark, uncapped, incoming, "asset_id", "fp", maxHamming = 8))
+    assert((probed ++ t1 ++ t2).sorted == want,
+      "capped probe plus completed sweep must equal the uncapped probe")
+    // a new pass re-opens the same quarantine for the next probe batch
+    Multimodal.resetQuarantineSweep(spark, tbl)
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((0L, 8L)))
+  }
+
+  test("quarantine sweep respects tombstones; compact capture keeps regrown drops sweepable") {
+    // the small cluster's fp has bv=1 in every band: no band value shared
+    // with the 42-cluster, so pair sets stay cluster-pure (see above)
+    val small = (1L << 42) | (1L << 28) | (1L << 14) | 1L
+    val corpus = ((1L to 12L).map(i => (i, 42L)) ++ Seq((41L, small), (42L, small)))
+      .toDF("asset_id", "fp")
+    val incoming = Seq((100L, 42L), (102L, small)).toDF("asset_id", "fp")
+    val tbl = s"hamspec_sweeptomb_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(corpus, "asset_id", "fp", tbl, buckets = 4, maxBucket = 10)
+    Multimodal.quarantineHammingIndex(
+      spark, tbl, corpus, "asset_id", "fp", buckets = 4, maxBucket = 10)
+    // a takedown of quarantined ids must hide them from the sweep exactly
+    // as the serving scan hides stored rows
+    Multimodal.deleteFromHammingIndex(
+      spark, tbl, Seq(3L, 7L).toDF("id"), col("id"))
+    def sweepAll() = {
+      Multimodal.resetQuarantineSweep(spark, tbl)
+      val (_, total) = Multimodal.quarantineWatermark(spark, tbl)
+      (1L to (total + 3) / 4).flatMap(_ => Multimodal.sweepHammingQuarantine(
+        spark, tbl, incoming, "asset_id", "fp", maxHamming = 8, maxBucketsPerTick = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))).distinct.sorted
+    }
+    val afterDelete = sweepAll()
+    assert(afterDelete == (1L to 12L).filterNot(Set(3L, 7L)).map((100L, _)),
+      s"tombstoned quarantine members must not resurrect via the sweep: $afterDelete")
+    // regrow the SMALL stored bucket past the cap, then compact-at-cap:
+    // the newly dropped rows must land in the quarantine (not vanish),
+    // and the watermark must reset for the new content
+    Multimodal.appendHammingIndex(
+      (51L to 62L).map(i => (i, small)).toDF("asset_id", "fp"), "asset_id", "fp", tbl, buckets = 4)
+    Multimodal.compactHammingIndex(spark, tbl, buckets = 4, maxBucket = 10)
+    assert(Multimodal.quarantineWatermark(spark, tbl)._1 == 0L,
+      "compact capture must reset the sweep watermark")
+    assert(
+      Multimodal.probeHammingIndex(spark, tbl, incoming, "asset_id", "fp", maxHamming = 8)
+        .count() == 0, "the regrown bucket must be re-capped out of the serving path")
+    val afterCompact = sweepAll()
+    val wantSmall = ((41L to 42L) ++ (51L to 62L)).map((102L, _))
+    assert(afterCompact == (afterDelete ++ wantSmall).sorted,
+      s"compact-dropped rows must be sweepable: $afterCompact")
+  }
+
   test("dHashFrames: per-frame hash replays the GIF pixel formula on the shared 9x7 grid") {
     val ids = Seq(0L, 3L, 15L, 142L)
     val fh = Multimodal
