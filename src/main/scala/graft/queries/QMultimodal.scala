@@ -277,6 +277,113 @@ private[queries] object QMultimodal {
           col("n_probe_frames"), col("pairs_uncapped"), col("pairs_capped"),
           ((num - pmod(num, den)) / den).cast("long").as("kept_ppm"))
     },
+    // the RECOVERY side of the frame index's layout cap: the quarantine
+    // had observability (mm_frame_quarantine) but no recovery — dups in
+    // hot buckets were permanently unprobeable. Persist the dropped
+    // banded rows beside the capped index, then sweep them in BOUNDED
+    // ticks (16 hottest unswept buckets each, watermark-tracked) against
+    // a bounded incoming stratum (%25 — the cap-audit sampling doctrine:
+    // recovered boilerplate pair volume is quadratic in the stratum, so
+    // the probe side is sampled, the sweep amortized). Output =
+    // capped-probe ∪ completed sweep; the oracle computes the UNCAPPED
+    // probe directly — equality IS the recovery contract
+    "mm_quarantine_sweep" -> { (s, dir) =>
+      val fh = frameHashes(s, dir) // the shared spilled frame-key grain
+      val corpus = fh.filter(col("asset_id") % 5 =!= 0)
+      val incoming = fh.filter(col("asset_id") % 25 === 0)
+      val tbl = Scratch.table("frm_idx_sw")
+      Scratch.registerTable(Similarity.quarTable(tbl))
+      Scratch.registerTable(Similarity.quarWmTable(tbl))
+      Scratch.tableOnce(tbl, dir) {
+        Multimodal.persistHammingIndex(
+          corpus, "frame_key", "dhash", tbl, buckets = 8, maxBucket = 64)
+        Multimodal.quarantineHammingIndex(
+          s, tbl, corpus, "frame_key", "dhash", buckets = 8, maxBucket = 64)
+      }
+      // fresh PASS per run (the fixture index builds once, bench re-runs
+      // the query): watermark back to zero, per-run sweep sink
+      Multimodal.resetQuarantineSweep(s, tbl)
+      val sink = Scratch.dir("quar_sweep", dir)
+      Scratch.reset(sink)
+      var (swept, total) = Multimodal.quarantineWatermark(s, tbl)
+      var wrote = false
+      while (swept < total) {
+        Multimodal
+          .sweepHammingQuarantine(
+            s, tbl, incoming, "frame_key", "dhash", maxHamming = 8, maxBucketsPerTick = 16)
+          .write.mode("append").parquet(sink)
+        wrote = true
+        val st = Multimodal.quarantineWatermark(s, tbl)
+        swept = st._1
+        total = st._2
+      }
+      val probed = Multimodal.probeHammingIndex(
+        s, tbl, incoming, "frame_key", "dhash", maxHamming = 8)
+      (if (wrote) probed.unionByName(s.read.parquet(sink)) else probed).distinct()
+    },
+    // the sweep as a SCHEDULED MAINTENANCE ACTION — the policy loop over
+    // the new third decision: census reads the sweep watermark, the plan
+    // decides `sweep` while quarantined buckets remain unswept (below
+    // compact/rebuild precedence — those reset the watermark), the
+    // executor runs the registered bounded tick, and the trace converges
+    // to `none` in ceil(quar_buckets/16)+1 ticks. Output = the per-tick
+    // decision trace; the oracle re-derives the watermark recurrence from
+    // the quarantined-bucket census arithmetically
+    "mm_sweep_scheduled" -> { (s, dir) =>
+      val fh = frameHashes(s, dir) // the shared spilled frame-key grain
+      val corpus = fh.filter(col("asset_id") % 5 =!= 0)
+      val incoming = fh.filter(col("asset_id") % 25 === 0)
+      val tbl = Scratch.table("frm_idx_sched")
+      Scratch.registerTable(Similarity.quarTable(tbl))
+      Scratch.registerTable(Similarity.quarWmTable(tbl))
+      Scratch.tableOnce(tbl, dir) {
+        Multimodal.persistHammingIndex(
+          corpus, "frame_key", "dhash", tbl, buckets = 8, maxBucket = 64)
+        Multimodal.quarantineHammingIndex(
+          s, tbl, corpus, "frame_key", "dhash", buckets = 8, maxBucket = 64)
+      }
+      val sink = Scratch.dir("sched_sweep", dir)
+      Scratch.reset(sink)
+      val fleet = Map("frame_hamming" -> graft.ext.Maintenance.ManagedIndex(
+        tbl, "corpus_id",
+        compact = () => Multimodal.compactHammingIndex(s, tbl, buckets = 8, maxBucket = 64),
+        rebuild = () => Multimodal.rebuildHammingIndex(
+          s, tbl, corpus, "frame_key", "dhash", buckets = 8, maxBucket = 64),
+        bucketKeys = Seq("band", "bv"), bucketCap = 64,
+        sweep = Some(() => Multimodal
+          .sweepHammingQuarantine(
+            s, tbl, incoming, "frame_key", "dhash", maxHamming = 8, maxBucketsPerTick = 16)
+          .write.mode("append").parquet(sink))))
+      Multimodal.resetQuarantineSweep(s, tbl)
+      val recs = scala.collection.mutable.ListBuffer[(Long, String, Long, Long, String)]()
+      var tick = 1L
+      var continue = true
+      while (continue && tick <= 1024) {
+        val censusDf = graft.ext.Maintenance
+          .indexCensus(s, tbl, "corpus_id", "frame_hamming", Seq("band", "bv"), 64)
+          .withColumn("drift_ppm", lit(0L))
+        // materialize ONCE: the recorded row and the applied decision
+        // must be one observation (the stream-loop doctrine)
+        val cRows = censusDf.collect()
+        val cDf = s.createDataFrame(java.util.Arrays.asList(cRows: _*), censusDf.schema)
+        val plan = graft.ext.Maintenance.indexMaintenancePlan(
+          cDf,
+          rebuildDriftPpm = 1200000L,
+          compactTombPpm = 1000000L,
+          sweepUnsweptBuckets = 1L)
+        val pRows = plan.collect()
+        val decision = pRows.head.getAs[String]("decision")
+        val c = cRows.head
+        recs += ((tick, "frame_hamming",
+          c.getAs[Long]("swept_through"), c.getAs[Long]("quar_unswept"), decision))
+        graft.ext.Maintenance.applyMaintenancePlan(
+          s, s.createDataFrame(java.util.Arrays.asList(pRows: _*), plan.schema), fleet): Unit
+        continue = decision == "sweep"
+        tick += 1
+      }
+      import s.implicits._
+      recs.toSeq.toDF("tick", "index_name", "swept_through", "quar_unswept", "decision")
+    },
     // CLIP CONTAINMENT — the asset-grain decision on top of the frame
     // pairs: how many of an incoming clip's frames near-dup frames of
     // one corpus clip, as an exact integer ppm of the incoming clip's
@@ -681,6 +788,37 @@ private[queries] object QMultimodal {
                 (SELECT CAST(count(*) AS BIGINT) FROM cp) AS pairs_capped,
                 ((SELECT count(*) FROM cp) * 1000000)
                   // greatest((SELECT count(*) FROM up), 1) AS kept_ppm""",
+    // quarantine-sweep twin: the recovery contract is capped-probe ∪
+    // completed-sweep ≡ UNCAPPED probe on the sampled stratum, so the
+    // oracle is the banded collision join with NO bucket cap — which
+    // side of the cap a candidate pair rode through is execution, the
+    // pair set is meaning
+    "mm_quarantine_sweep" ->
+      s"""WITH $frameHashCtesBody
+         SELECT DISTINCT l.key AS new_id, r.key AS corpus_id,
+                CAST(bit_count(xor(l.dhash, r.dhash)) AS INTEGER) AS hamming
+         FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+         WHERE l.id % 25 = 0 AND r.id % 5 <> 0 AND l.key <> r.key
+           AND bit_count(xor(l.dhash, r.dhash)) <= 8""",
+    // scheduled-sweep twin: the watermark recurrence re-derived from the
+    // quarantined-bucket census — tick t sees least((t-1)*16, total)
+    // swept, decides sweep while any bucket remains, and the trace runs
+    // ceil(total/16)+1 ticks (the closing none included)
+    "mm_sweep_scheduled" ->
+      s"""WITH $frameHashCtesBody,
+         cb AS (
+           SELECT band, bv, count(*) AS n FROM bands WHERE id % 5 <> 0 GROUP BY 1, 2),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS total FROM cb WHERE n > 64),
+         ticks AS (
+           SELECT CAST(t.g AS BIGINT) AS tick, nq.total AS total
+           FROM generate_series(1, 4096) AS t(g), nq
+           WHERE t.g <= (nq.total + 15) // 16 + 1)
+         SELECT tick, 'frame_hamming' AS index_name,
+                least((tick - 1) * 16, total) AS swept_through,
+                total - least((tick - 1) * 16, total) AS quar_unswept,
+                CASE WHEN total - least((tick - 1) * 16, total) >= 1
+                     THEN 'sweep' ELSE 'none' END AS decision
+         FROM ticks""",
     // clip-containment twin: the same pairs rolled up to ASSET grain —
     // distinct matched incoming frames per (new, corpus) asset pair,
     // exact integer ppm of the incoming clip's frame count, kept ≥ half

@@ -167,9 +167,11 @@ class PlanAuditSpec extends SparkSpecBase {
       "ext/Web.scala" -> 1,
       // heavy-hitter gram/bigram sets, bounded vocab
       "ext/TextStats.scala" -> 6,
-      // image-index tombstone anti-join (takedown-scale id set, the same
-      // doctrine as the other three persisted indexes)
-      "ext/Multimodal.scala" -> 1,
+      // image-index tombstone anti-joins (takedown-scale id set, the same
+      // doctrine as the other three persisted indexes) ×2 — serving scan
+      // and quarantine scan — plus the sweep's tick-bucket set (at most
+      // maxBucketsPerTick rows by construction)
+      "ext/Multimodal.scala" -> 3,
       // p8/j3 nation+region dims, j1/j5/vp customer-as-PIN-universe (see
       // doctrine comments at the sites), s10 DPP dim side
       "queries/Core.scala" -> 8,
