@@ -110,7 +110,13 @@ object Maintenance {
         col("append_eras"),
         col("capped_ppm"),
         col("swept_through"),
-        col("quar_unswept"))
+        col("quar_unswept"),
+        // abandoned-rebuild storage pressure: build stages a killed
+        // publishVersion left behind (catalog-state snapshot at census
+        // time, like the tombstone existence check above — spec-pinned
+        // beside files_per_bucket, since catalog state is not
+        // oracle-portable). The `janitor` decision drops them.
+        lit(Similarity.abandonedBuilds(s, table).size.toLong).as("stale_builds"))
   }
 
   /** Physical file amplification of a bucketed index table — the
@@ -144,6 +150,13 @@ object Maintenance {
     *     ([[indexCensus]]'s `capped_ppm`; compaction is the cheap re-cap
     *     point, so bucket regrowth is compaction pressure, not rebuild
     *     pressure).
+    *   - else `janitor` when at least `janitorStaleBuilds` ABANDONED
+    *     build stages exist ([[indexCensus]]'s `stale_builds`: a rebuild
+    *     killed between staging and publication leaks a fully-written
+    *     `__v<N>__build` table nothing resolves) — the executor drops
+    *     them ([[Similarity.dropAbandonedBuilds]]); ranked below the
+    *     rewrites (a successful publish recycles the stage name anyway)
+    *     and above sweep (metadata-cheap storage reclaim first).
     *   - else `sweep` when the index keeps a persisted quarantine with at
     *     least `sweepUnsweptBuckets` buckets not yet swept
     *     ([[indexCensus]]'s `quar_unswept`): the capped layout's dropped
@@ -172,14 +185,18 @@ object Maintenance {
       compactAppendEras: Long = Long.MaxValue,
       compactFilesPerBucket: Long = Long.MaxValue,
       compactCappedPpm: Long = Long.MaxValue,
-      sweepUnsweptBuckets: Long = Long.MaxValue
+      sweepUnsweptBuckets: Long = Long.MaxValue,
+      janitorStaleBuilds: Long = Long.MaxValue
   ): DataFrame = {
     val withFiles =
       if (census.columns.contains("files_per_bucket")) census
       else census.withColumn("files_per_bucket", lit(0L))
+    val withStale =
+      if (withFiles.columns.contains("stale_builds")) withFiles
+      else withFiles.withColumn("stale_builds", lit(0L))
     val withQuar =
-      if (withFiles.columns.contains("quar_unswept")) withFiles
-      else withFiles.withColumn("quar_unswept", lit(0L))
+      if (withStale.columns.contains("quar_unswept")) withStale
+      else withStale.withColumn("quar_unswept", lit(0L))
     val withCapped =
       if (withQuar.columns.contains("capped_ppm")) withQuar
       else withQuar.withColumn("capped_ppm", lit(0L))
@@ -200,6 +217,7 @@ object Maintenance {
               || col("files_per_bucket") >= compactFilesPerBucket
               || col("capped_ppm") >= compactCappedPpm,
             lit("compact"))
+          .when(col("stale_builds") >= janitorStaleBuilds, lit("janitor"))
           .when(col("quar_unswept") >= sweepUnsweptBuckets, lit("sweep"))
           .otherwise(lit("none")))
       .select(
@@ -224,6 +242,16 @@ object Maintenance {
     * pairs sink); indexes without a quarantine side leave it `None`, and
     * a plan that decides `sweep` for such an index fails validation
     * whole, before any action runs.
+    *
+    * `drift` is the index's own STALENESS MEASUREMENT: a thunk producing
+    * a one-row `(drift_ppm)` frame, closing over the pinned quantizer
+    * model and the incoming batch (e.g. [[Similarity.pqQuantError]] of
+    * the batch vs the training population, the ANN recipe). Registered
+    * here so [[fleetCensus]] measures every family uniformly — the plan
+    * is built from registry + batch alone, instead of each caller
+    * hand-wiring a drift column per fleet member. `None` (modalities
+    * without a trained model: text LSH, Hamming fingerprints) reads as
+    * drift 0.
     */
   final case class ManagedIndex(
       table: String,
@@ -232,7 +260,26 @@ object Maintenance {
       rebuild: () => Unit,
       bucketKeys: Seq[String] = Nil,
       bucketCap: Int = 0,
-      sweep: Option[() => Unit] = None)
+      sweep: Option[() => Unit] = None,
+      drift: Option[() => DataFrame] = None)
+
+  /** Registry-driven FLEET census: one [[indexCensus]] row per managed
+    * index, each cross-joined with its own drift measurement
+    * ([[ManagedIndex.drift]]; absent ⇒ 0) — the input
+    * [[indexMaintenancePlan]] expects, derived from the registry and the
+    * batch alone. Name-sorted for a deterministic row order. Every
+    * per-index census is fleet-metadata-sized, so the union is one row
+    * per index however large the fleet's tables are.
+    */
+  def fleetCensus(s: SparkSession, indexes: Map[String, ManagedIndex]): DataFrame =
+    indexes.toSeq
+      .sortBy(_._1)
+      .map { case (name, ix) =>
+        indexCensus(s, ix.table, ix.idColName, name, ix.bucketKeys, ix.bucketCap)
+          .crossJoin(
+            ix.drift.map(f => f()).getOrElse(s.range(1).select(lit(0L).as("drift_ppm"))))
+      }
+      .reduce(_ unionByName _)
 
   private val auditSchema = StructType(Seq(
     StructField("index_name", StringType),
@@ -300,7 +347,7 @@ object Maintenance {
         throw new IllegalArgumentException(
           s"plan names index '$name' but no ManagedIndex is registered for it"))
       if (decision != "compact" && decision != "rebuild" && decision != "sweep"
-          && decision != "none")
+          && decision != "janitor" && decision != "none")
         throw new IllegalArgumentException(
           s"unknown decision '$decision' for index '$name'")
       if (decision == "sweep" && ix.sweep.isEmpty)
@@ -329,6 +376,10 @@ object Maintenance {
           def call(): Unit = decision match {
             case "compact" => ix.compact()
             case "rebuild" => ix.rebuild()
+            // family-agnostic by construction (abandoned stages are a
+            // publishVersion artifact shared by all four index families),
+            // so the executor owns the arc — no ManagedIndex thunk
+            case "janitor" => Similarity.dropAbandonedBuilds(s, ix.table)
             case _         => ix.sweep.get()
           }
         })

@@ -588,6 +588,10 @@ object Similarity {
   private[graft] def resetVersions(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val cur = servingVersion(s, table)
     (1 to cur).foreach(v => s.sql(s"DROP TABLE IF EXISTS `${table}__v$v`"))
+    // fresh build ⇒ fresh version history INCLUDING any abandoned build
+    // stage a killed rebuild left behind — otherwise the orphan would
+    // carry a version number the fresh epoch will re-mint
+    dropAbandonedBuilds(s, table)
     invalidateVersionMemo(s, table)
   }
 
@@ -801,6 +805,45 @@ object Similarity {
     * version. The survivor rewrite stages through `<tomb>__keep` and
     * republishes under the tombstone name (same rename doctrine).
     */
+  /** JVM-local registry of build stages currently INSIDE a
+    * [[publishVersion]] call — the ground truth that separates an
+    * in-flight stage from an ABANDONED one (a rebuild killed between
+    * staging and publication leaves a fully-written `__v<N>__build`
+    * table that nothing resolves and nothing cleans). Same single-JVM
+    * posture as the version memo: the in-memory catalog where a crashed
+    * OTHER JVM's stage would live dies with that JVM (only its
+    * directory leaks, which dropStaleLocation already reaps at the next
+    * build), so within the catalog's lifetime this set is exact.
+    */
+  private val inFlightBuilds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The ABANDONED build stages of a logical index: catalog tables named
+    * `<table>__v<N>__build` with no [[publishVersion]] call currently
+    * driving them. Storage-leak pressure for the maintenance policy
+    * ([[Maintenance.indexCensus]]'s `stale_builds`; the `janitor`
+    * decision drops them). Catalog-state derived, so spec-pinned rather
+    * than oracle-checked — the [[Maintenance.filesPerBucket]] precedent.
+    */
+  private[graft] def abandonedBuilds(
+      s: org.apache.spark.sql.SparkSession, table: String): Seq[String] = {
+    val db = s.sessionState.catalog.getCurrentDatabase
+    val stageRe = (java.util.regex.Pattern.quote(table) + "__v\\d+__build$").r
+    s.sessionState.catalog
+      .listTables(db, s"${table}__v*__build")
+      .map(_.table)
+      .filter(t => stageRe.pattern.matcher(t).matches())
+      .filterNot(t => inFlightBuilds.contains(s"$db.$t"))
+  }
+
+  /** Drop a logical index's abandoned build stages — the executor arc
+    * behind the policy's `janitor` decision. Idempotent; never touches a
+    * stage registered in-flight.
+    */
+  private[graft] def dropAbandonedBuilds(
+      s: org.apache.spark.sql.SparkSession, table: String): Unit =
+    abandonedBuilds(s, table).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+
   private[graft] def publishVersion(
       s: org.apache.spark.sql.SparkSession,
       table: String
@@ -809,13 +852,21 @@ object Similarity {
     val next = s"${table}__v${cur + 1}"
     val bld = next + "__build"
     val era = nextEra()
-    build(bld, era)
-    // a prior JVM's leftover __v<N+1> DIRECTORY (its in-memory catalog
-    // died with it, so servingVersion cannot see the version) would make
-    // the RENAME refuse the target location — same stale-location doctrine
-    // as writeBucketed: a location the catalog doesn't own is garbage
-    graft.sources.Sources.dropStaleLocation(s, next)
-    s.sql(s"ALTER TABLE `$bld` RENAME TO `$next`") // atomic publication
+    // registered from first write THROUGH the rename (not merely the
+    // build call): a concurrently-running census must not flag a LIVE
+    // stage as abandoned, and a concurrent janitor must not drop it in
+    // the instant between build completion and publication
+    val bldKey = s.sessionState.catalog.getCurrentDatabase + "." + bld
+    inFlightBuilds.add(bldKey)
+    try {
+      build(bld, era)
+      // a prior JVM's leftover __v<N+1> DIRECTORY (its in-memory catalog
+      // died with it, so servingVersion cannot see the version) would make
+      // the RENAME refuse the target location — same stale-location doctrine
+      // as writeBucketed: a location the catalog doesn't own is garbage
+      graft.sources.Sources.dropStaleLocation(s, next)
+      s.sql(s"ALTER TABLE `$bld` RENAME TO `$next`") // atomic publication
+    } finally inFlightBuilds.remove(bldKey): Unit
     // invalidate BEFORE retiring old generations: a resolution between the
     // rename and here reads the memoized N−1 (the reader grace set, which
     // survives this publication); after here it recomputes N

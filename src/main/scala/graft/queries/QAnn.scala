@@ -369,26 +369,17 @@ private[queries] object QAnn {
           fh.filter(col("asset_id") % 5 =!= 0 && col("asset_id") % 3 === 0),
           "frame_key", "dhash", hamTbl, buckets = 8)
       }
-      // quantizer drift of the NEXT incoming batch (the +0.25-shifted
-      // stratum, measured BEFORE appending — the staleness workflow); one
-      // definition shared with index_maintenance_apply so the two
-      // fixtures' plans cannot drift
-      val annCensus = Maintenance
-        .indexCensus(s, annTbl, "cand_id", "ann_ivfpq")
-        .crossJoin(quantDriftPpmFrame(e, books, g))
-      val lshCensus = Maintenance
-        .indexCensus(s, lshTbl, "corpus_id", "lsh_text")
-        .withColumn("drift_ppm", lit(0L))
-      val semCensus = Maintenance
-        .indexCensus(s, semTbl, "corpus_id", "semantic_cell")
-        .withColumn("drift_ppm", lit(0L))
-      val hamCensus = Maintenance
-        .indexCensus(
-          s, hamTbl, "corpus_id", "hamming_frame",
-          bucketKeys = Seq("band", "bv"), bucketCap = 64)
-        .withColumn("drift_ppm", lit(0L))
+      // the plan is built from REGISTRY + BATCH alone: each family's
+      // ManagedIndex carries its own drift measurement (the ANN thunk
+      // closes over the pinned codebooks and the +0.25-shifted incoming
+      // stratum, measured BEFORE appending — the staleness workflow;
+      // model-free families read 0), and fleetCensus derives the policy
+      // input uniformly — no hand-wired per-member census columns
+      val registry = maintenanceRegistry(
+        s, dir, annTbl, lshTbl, semTbl, hamTbl,
+        annDrift = () => quantDriftPpmFrame(e, books, g))
       Maintenance.indexMaintenancePlan(
-        annCensus.unionByName(lshCensus).unionByName(semCensus).unionByName(hamCensus),
+        Maintenance.fleetCensus(s, registry),
         rebuildDriftPpm = 1200000L,
         compactTombPpm = 100000L,
         compactAppendEras = 4L,
@@ -435,26 +426,17 @@ private[queries] object QAnn {
         val g = graft.ops.Hashing.md5Mod(col("vec_id").cast("string"), 4L)
         val (plan, fleet) = buildMaintenanceFleet(s, dir, "fx")
         Maintenance.applyMaintenancePlan(s, plan, fleet).collect(): Unit
-        // REPLAN over the healed fleet: post-state censuses (the same
-        // bucket-cap signal riding along) + the unshifted next batch's
-        // drift, decided under the SAME plan literals
-        val census2 = Maintenance
-          .indexCensus(s, fleet("ann_ivfpq").table, "cand_id", "ann_ivfpq")
-          .crossJoin(quantDriftPpmFrame(e, books, g, shift = 0.0))
-          .unionByName(Maintenance
-            .indexCensus(s, fleet("lsh_text").table, "corpus_id", "lsh_text")
-            .withColumn("drift_ppm", lit(0L)))
-          .unionByName(Maintenance
-            .indexCensus(s, fleet("semantic_cell").table, "corpus_id", "semantic_cell")
-            .withColumn("drift_ppm", lit(0L)))
-          .unionByName(Maintenance
-            .indexCensus(
-              s, fleet("hamming_frame").table, "corpus_id", "hamming_frame",
-              bucketKeys = Seq("band", "bv"), bucketCap = 64)
-            .withColumn("drift_ppm", lit(0L)))
+        // REPLAN over the healed fleet: the SAME registry with only the
+        // ANN drift thunk rebound to the unshifted next batch (drift is a
+        // property of batch × model — the registry carries the model, the
+        // tick supplies the batch), decided under the same plan literals
+        val fleet2 = fleet.updated(
+          "ann_ivfpq",
+          fleet("ann_ivfpq").copy(
+            drift = Some(() => quantDriftPpmFrame(e, books, g, shift = 0.0))))
         Maintenance
           .indexMaintenancePlan(
-            census2,
+            Maintenance.fleetCensus(s, fleet2),
             rebuildDriftPpm = 1200000L,
             compactTombPpm = 100000L,
             compactAppendEras = 4L,
@@ -742,16 +724,68 @@ private[queries] object QAnn {
     qeSums.select(((num - pmod(num, den)) / den).cast("long").as("drift_ppm"))
   }
 
+  /** The four-family EXECUTOR REGISTRY over the given tables — one
+    * definition of the fleet's names, id columns, real actions, bucket
+    * specs, and the ANN drift measurement ([[Maintenance.ManagedIndex]]'s
+    * `drift` thunk; the model-free families read 0), shared by the
+    * plan/apply/fixpoint fixtures and the fleet stream loop so the
+    * recipes cannot drift. With the registry in hand the policy input is
+    * `Maintenance.fleetCensus(s, registry)` — registry + batch alone.
+    */
+  private[queries] def maintenanceRegistry(
+      s: SparkSession,
+      dir: String,
+      annTbl: String,
+      lshTbl: String,
+      semTbl: String,
+      hamTbl: String,
+      annDrift: () => DataFrame
+  ): Map[String, Maintenance.ManagedIndex] = {
+    val e = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents")
+    val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val dcorp = docs.filter(col("doc_id") % 5 =!= 0)
+    val scorp = e.filter(col("vec_id") % 5 =!= 0)
+    val hcorp = frameHashes(s, dir).filter(col("asset_id") % 5 =!= 0)
+    Map(
+      "ann_ivfpq" -> Maintenance.ManagedIndex(
+        annTbl, "cand_id",
+        compact = () => Similarity.compactAnnIndex(s, annTbl, buckets = 8),
+        rebuild = () =>
+          Similarity.rebuildAnnIndex(
+            s, annTbl, e, "vec_id", "embedding", coarse, books, buckets = 8),
+        drift = Some(annDrift)),
+      "lsh_text" -> Maintenance.ManagedIndex(
+        lshTbl, "corpus_id",
+        compact = () => Dedup.compactLshIndex(s, lshTbl, buckets = 8),
+        rebuild = () =>
+          Dedup.rebuildLshIndex(s, lshTbl, dcorp, col("doc_id"), col("text"), buckets = 8)),
+      "semantic_cell" -> Maintenance.ManagedIndex(
+        semTbl, "corpus_id",
+        compact = () => Dedup.compactSemanticIndex(s, semTbl, buckets = 8),
+        rebuild = () =>
+          Dedup.rebuildSemanticIndex(
+            s, semTbl, scorp, col("vec_id"), col("embedding"), coarse, buckets = 8)),
+      "hamming_frame" -> Maintenance.ManagedIndex(
+        hamTbl, "corpus_id",
+        compact = () => Multimodal.compactHammingIndex(s, hamTbl, buckets = 8, maxBucket = 64),
+        rebuild = () =>
+          Multimodal.rebuildHammingIndex(
+            s, hamTbl, hcorp, "frame_key", "dhash", buckets = 8, maxBucket = 64),
+        bucketKeys = Seq("band", "bv"), bucketCap = 64))
+  }
+
   /** Build the FOUR-index maintenance fleet on fresh `_<suffix>` tables
     * (the executor MUTATES them — the plan query's fleet must stay
     * pristine): drifted ANN ⇒ rebuild, tombstoned LSH ⇒ compact, fresh
     * semantic ⇒ none, append-regrown capped Hamming ⇒ compact (the
     * capped_ppm branch running END-TO-END: the policy notices quarantine
     * regrowth and the compact re-caps it). Returns the round-1 PLAN
-    * (decided under the same plan literals the plan query publishes) and
-    * the executor registry with the real per-family actions — shared by
-    * `index_maintenance_apply` and `index_maintenance_fixpoint` so the
-    * two fixtures cannot drift.
+    * (decided under the same plan literals the plan query publishes,
+    * from `fleetCensus` over the registry) and the registry itself —
+    * shared by `index_maintenance_apply` and `index_maintenance_fixpoint`
+    * so the two fixtures cannot drift.
     */
   private def buildMaintenanceFleet(
       s: SparkSession,
@@ -789,51 +823,15 @@ private[queries] object QAnn {
       buckets = 8, maxBucket = 64)
     Multimodal.appendHammingIndex(
       hcorp.filter(col("asset_id") % 3 === 0), "frame_key", "dhash", hamTbl, buckets = 8)
-    val census = Maintenance
-      .indexCensus(s, annTbl, "cand_id", "ann_ivfpq")
-      .crossJoin(quantDriftPpmFrame(e, books, g))
-      .unionByName(Maintenance
-        .indexCensus(s, lshTbl, "corpus_id", "lsh_text")
-        .withColumn("drift_ppm", lit(0L)))
-      .unionByName(Maintenance
-        .indexCensus(s, semTbl, "corpus_id", "semantic_cell")
-        .withColumn("drift_ppm", lit(0L)))
-      .unionByName(Maintenance
-        .indexCensus(
-          s, hamTbl, "corpus_id", "hamming_frame",
-          bucketKeys = Seq("band", "bv"), bucketCap = 64)
-        .withColumn("drift_ppm", lit(0L)))
+    val fleet = maintenanceRegistry(
+      s, dir, annTbl, lshTbl, semTbl, hamTbl,
+      annDrift = () => quantDriftPpmFrame(e, books, g))
     val plan = Maintenance.indexMaintenancePlan(
-      census,
+      Maintenance.fleetCensus(s, fleet),
       rebuildDriftPpm = 1200000L,
       compactTombPpm = 100000L,
       compactAppendEras = 4L,
       compactCappedPpm = 50000L)
-    val fleet = Map(
-      "ann_ivfpq" -> Maintenance.ManagedIndex(
-        annTbl, "cand_id",
-        compact = () => Similarity.compactAnnIndex(s, annTbl, buckets = 8),
-        rebuild = () =>
-          Similarity.rebuildAnnIndex(
-            s, annTbl, e, "vec_id", "embedding", coarse, books, buckets = 8)),
-      "lsh_text" -> Maintenance.ManagedIndex(
-        lshTbl, "corpus_id",
-        compact = () => Dedup.compactLshIndex(s, lshTbl, buckets = 8),
-        rebuild = () =>
-          Dedup.rebuildLshIndex(s, lshTbl, dcorp, col("doc_id"), col("text"), buckets = 8)),
-      "semantic_cell" -> Maintenance.ManagedIndex(
-        semTbl, "corpus_id",
-        compact = () => Dedup.compactSemanticIndex(s, semTbl, buckets = 8),
-        rebuild = () =>
-          Dedup.rebuildSemanticIndex(
-            s, semTbl, scorp, col("vec_id"), col("embedding"), coarse, buckets = 8)),
-      "hamming_frame" -> Maintenance.ManagedIndex(
-        hamTbl, "corpus_id",
-        compact = () => Multimodal.compactHammingIndex(s, hamTbl, buckets = 8, maxBucket = 64),
-        rebuild = () =>
-          Multimodal.rebuildHammingIndex(
-            s, hamTbl, hcorp, "frame_key", "dhash", buckets = 8, maxBucket = 64),
-        bucketKeys = Seq("band", "bv"), bucketCap = 64))
     (plan, fleet)
   }
 

@@ -1179,6 +1179,111 @@ object StreamQ {
           col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("capped_ppm"),
           col("decision"))
     },
+    // the scheduled loop GENERALIZED TO THE FLEET: every micro-batch runs
+    // ONE census→plan→apply over all four persisted-index families
+    // through the shared registry recipe (QAnn.maintenanceRegistry — the
+    // same ManagedIndex entries the batch plan/apply/fixpoint queries
+    // use), with per-family pressure STAGGERED so each tick's decision
+    // vector mixes compact and none: cycle 1 finds the LSH index carrying
+    // its md5%3 takedown tombstones (compact; the other three healthy),
+    // cycle 2 arrives carrying the frame index's %3 append stratum —
+    // appends are never re-capped, so the quarantined boilerplate buckets
+    // regrow and ONLY capped_ppm demands that compact (LSH is healed by
+    // now: none). ANN and semantic members never mutate, so their tables
+    // build once per corpus (tableOnce); the two mutated members rebuild
+    // per run. Output = the per-cycle plan rows; the oracle re-derives
+    // both cycles' censuses from the md5/modulo strata and the shared
+    // frame-hash replay arithmetically
+    "stream_fleet_maintenance_loop" -> { (s0, dir) =>
+      val s = streamSession(s0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val coarse = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 8, iters = 2)
+      val dcorp = docs.filter(col("doc_id") % 5 =!= 0)
+      val scorp = e.filter(col("vec_id") % 5 =!= 0)
+      val hcorp = frameHashes(s, dir).filter(col("asset_id") % 5 =!= 0)
+      val annTbl = Scratch.table("ann_floop")
+      Scratch.registerVersionedIndex(annTbl)
+      Scratch.tableOnce(annTbl, dir) {
+        val books = Similarity.pqTrainCached(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+        Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, annTbl, buckets = 8)
+      }
+      val semTbl = Scratch.table("sem_floop")
+      Scratch.registerVersionedIndex(semTbl)
+      Scratch.tableOnce(semTbl, dir)(
+        Dedup.persistSemanticIndex(scorp, col("vec_id"), col("embedding"), coarse, semTbl, buckets = 8))
+      val lshTbl = Scratch.table("lsh_floop")
+      Scratch.registerVersionedIndex(lshTbl)
+      Dedup.persistLshIndex(
+        dcorp, col("doc_id"), col("text"), table = lshTbl, buckets = 8, n = 3, k = 8, bands = 4)
+      Dedup.deleteFromLshIndex(
+        s, lshTbl,
+        dcorp.filter(graft.ops.Hashing.md5Mod(col("doc_id").cast("string"), 3L) === 0),
+        col("doc_id"))
+      val hamTbl = Scratch.table("frm_floop")
+      Scratch.registerVersionedIndex(hamTbl)
+      Multimodal.persistHammingIndex(
+        hcorp.filter(col("asset_id") % 3 =!= 0), "frame_key", "dhash", hamTbl,
+        buckets = 8, maxBucket = 64)
+      // the loop models the steady-state scheduler: each tick's crawl is
+      // fresh and undrifted, so the ANN drift thunk is the zero literal
+      // (the MEASURED-drift arc is index_maintenance_plan/fixpoint's job)
+      val registry = QAnn.maintenanceRegistry(
+        s, dir, annTbl, lshTbl, semTbl, hamTbl,
+        annDrift = () => s.range(1).select(lit(0L).as("drift_ppm")))
+      val outDir = Scratch.dir("fleet_mloop", dir)
+      Scratch.reset(outDir)
+      // cycle 1: a bare scheduler tick (marker row, no appends);
+      // cycle 2: the frame index's never-re-capped append stratum
+      val appendRows: Seq[(Long, Long, Long)] = hcorp
+        .filter(col("asset_id") % 3 === 0)
+        .select(col("frame_key"), col("dhash")).as[(Long, Long)].collect().toSeq
+        .map(r => (2L, r._1, r._2))
+      val mem = MemoryStream[(Long, Long, Long)]
+      val q = mem.toDF().toDF("batch", "frame_key", "dhash").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          try if (!b.isEmpty) {
+            s.catalog.refreshTable(hamTbl)
+            val bid = b.agg(max(col("batch"))).collect()(0).getLong(0)
+            val appends = b.filter(col("frame_key") >= 0).select(col("frame_key"), col("dhash"))
+            if (!appends.isEmpty) {
+              Multimodal.appendHammingIndex(appends, "frame_key", "dhash", hamTbl, buckets = 8)
+              // appended files land through the stream-execution clone;
+              // THIS session's census must see them
+              s.catalog.refreshTable(hamTbl)
+            }
+            val plan = Maintenance.indexMaintenancePlan(
+              Maintenance.fleetCensus(s, registry),
+              rebuildDriftPpm = 1200000L,
+              compactTombPpm = 100000L,
+              compactAppendEras = 4L,
+              compactCappedPpm = 50000L)
+            // materialize ONCE: the recorded rows and the applied
+            // decisions must be the same observation
+            val planRows = plan.collect()
+            val planDf = s.createDataFrame(
+              java.util.Arrays.asList(planRows: _*), plan.schema)
+            planDf.withColumn("batch", lit(bid)).write.mode("append").parquet(outDir)
+            Maintenance.applyMaintenancePlan(s, planDf, registry): Unit
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try {
+        Seq(Seq((1L, -1L, 0L)), appendRows).foreach { events =>
+          mem.addData(events: _*)
+          q.processAllAvailable()
+        }
+      } finally stopRecording(q)
+      s.read.parquet(outDir)
+        .select(
+          col("batch"), col("index_name"), col("index_docs"), col("tomb_entries"),
+          col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("capped_ppm"),
+          col("decision"))
+    },
     // eleventh stream/batch parity surface: CDC apply as a STREAMING
     // max_by aggregation (complete mode, no watermark — state is one row
     // per key, planned by Catalyst, no custom state code). The drained
@@ -1546,6 +1651,61 @@ object StreamQ {
                 CAST(0 AS BIGINT) AS capped_ppm,
                 CASE WHEN t.batch % 2 = 1 THEN 'none' ELSE 'compact' END AS decision
          FROM t CROSS JOIN c""",
+    // the fleet loop's two-cycle decision trace, re-derived
+    // arithmetically per family: ANN/semantic are single-era pristine
+    // builds (none both cycles); LSH carries the md5%3 takedown stratum
+    // at cycle 1 (tomb_ppm ≈ 333 333 ≥ 100 000 → compact) and reads
+    // healed at cycle 2 (docs minus the folded stratum, none); the frame
+    // index is the capped persist stratum (%3≠0, capped_ppm 0, none) at
+    // cycle 1, then the never-re-capped %3 append regrows the
+    // boilerplate buckets — cycle 2's capped_ppm is the over-cap stored
+    // mass from the shared frame-hash replay (≥ 50 000 → compact)
+    "stream_fleet_maintenance_loop" ->
+      ("WITH " + QMultimodal.frameHashCtesBody + s""",
+         hper AS (
+           SELECT band, bv, count(*) AS n FROM bands
+           WHERE id % 5 <> 0 AND id % 3 <> 0 GROUP BY 1, 2),
+         hkept AS (
+           SELECT b.key, b.band, b.bv FROM bands b
+           JOIN hper c ON c.band = b.band AND c.bv = b.bv
+           WHERE b.id % 5 <> 0 AND b.id % 3 <> 0 AND c.n <= 64),
+         happ AS (SELECT key, band, bv FROM bands WHERE id % 5 <> 0 AND id % 3 = 0),
+         hstored AS (SELECT * FROM hkept UNION ALL SELECT * FROM happ),
+         hbc AS (SELECT band, bv, count(*) AS n FROM hstored GROUP BY 1, 2),
+         hstats AS (
+           SELECT CAST(sum(CASE WHEN n > 64 THEN n ELSE 0 END) AS BIGINT) AS capped_rows,
+                  CAST(sum(n) AS BIGINT) AS total_rows FROM hbc),
+         nl AS (
+           SELECT CAST(count(*) AS BIGINT) AS docs,
+                  CAST(count(CASE WHEN ${md5GateSql("doc_id", 3)} THEN 1 END) AS BIGINT)
+                    AS tombs
+           FROM documents WHERE doc_id % 5 <> 0),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 5 <> 0),
+         hk AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n FROM hkept),
+         hs AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n FROM hstored)
+         SELECT CAST(1 AS BIGINT) AS batch, 'ann_ivfpq' AS index_name,
+                (SELECT n FROM ne) AS index_docs, CAST(0 AS BIGINT) AS tomb_entries,
+                CAST(1 AS BIGINT) AS append_eras, CAST(0 AS BIGINT) AS tomb_ppm,
+                CAST(0 AS BIGINT) AS drift_ppm, CAST(0 AS BIGINT) AS capped_ppm,
+                'none' AS decision
+         UNION ALL
+         SELECT 1, 'lsh_text', (SELECT docs FROM nl), (SELECT tombs FROM nl), 1,
+                (SELECT (tombs * 1000000) // greatest(docs, 1) FROM nl), 0, 0, 'compact'
+         UNION ALL
+         SELECT 1, 'semantic_cell', (SELECT n FROM ns), 0, 1, 0, 0, 0, 'none'
+         UNION ALL
+         SELECT 1, 'hamming_frame', (SELECT n FROM hk), 0, 1, 0, 0, 0, 'none'
+         UNION ALL
+         SELECT 2, 'ann_ivfpq', (SELECT n FROM ne), 0, 1, 0, 0, 0, 'none'
+         UNION ALL
+         SELECT 2, 'lsh_text', (SELECT docs - tombs FROM nl), 0, 1, 0, 0, 0, 'none'
+         UNION ALL
+         SELECT 2, 'semantic_cell', (SELECT n FROM ns), 0, 1, 0, 0, 0, 'none'
+         UNION ALL
+         SELECT 2, 'hamming_frame', (SELECT n FROM hs), 0, 2, 0, 0,
+                (SELECT capped_rows * 1000000 // greatest(total_rows, 1) FROM hstats),
+                'compact'"""),
     // the Hamming-family CDC loop: arrival-order × retraction visibility
     // over the shared frame-hash replay. Probe epochs: %15=0 → 1,
     // %15=5 → 2, %15=10 → 3, the re-appended takedown assets (corpus ∧

@@ -35,7 +35,16 @@ class ScaleLadderSpec extends SparkSpecBase {
       // sf0.01→0.1 — SCALING.md r19), which flipped the image persist to
       // the capped default (measured ~3× pairs per 10× data); this entry
       // keeps the flipped posture honest
-      "mm_index_probe")) {
+      "mm_index_probe",
+      // text-LSH incremental probe against the persisted bucketed index —
+      // the third persisted family on the ladder: candidates are
+      // Σ (incoming-in-bucket × stored-in-bucket), never a cartesian, and
+      // the corpus side scans exchange-free (SCALING.md r20 numbers)
+      "dedup_incremental_bucketed",
+      // semantic (embedding-cell) incremental probe — the fourth family:
+      // candidate volume is Σ per-cell cross products under the shared
+      // cell quantizer; completes the all-four-families ladder coverage
+      "dedup_semantic_incremental")) {
     test(s"$q: measured growth over sf0.001→0.01→0.1 stays sub-quadratic") {
       assume(ladder.forall(d => new java.io.File(d).isDirectory))
       // untimed pass at the smallest sf: JIT + codegen compile happen here,

@@ -99,6 +99,24 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(run(census("a", 1000, 200, 1, 0).withColumn("quar_unswept", lit(5L))) == "compact")
   }
 
+  test("janitor branch: stale build stages schedule a drop, between compact and sweep") {
+    def withStale(n: Long) = census("a", 1000, 0, 1, 0)
+      .withColumn("stale_builds", lit(n))
+    def run(df: org.apache.spark.sql.DataFrame) = Maintenance
+      .indexMaintenancePlan(df, rebuildDriftPpm = 1200000L, compactTombPpm = 100000L,
+        janitorStaleBuilds = 1L, sweepUnsweptBuckets = 1L)
+      .collect().head.getAs[String]("decision")
+    assert(run(withStale(1L)) == "janitor")
+    assert(run(withStale(0L)) == "none")
+    // an absent stale_builds column defaults to 0 — never a spurious drop
+    assert(run(census("a", 1000, 0, 1, 0)) == "none")
+    // precedence: the rewrites recycle the stage name anyway, so either
+    // outranks a janitor; the janitor's metadata-cheap reclaim outranks a
+    // pending sweep
+    assert(run(census("a", 1000, 200, 1, 0).withColumn("stale_builds", lit(2L))) == "compact")
+    assert(run(withStale(1L).withColumn("quar_unswept", lit(9L))) == "janitor")
+  }
+
   test("applyMaintenancePlan runs a registered sweep action; rejects sweep without one") {
     val swept = new java.util.concurrent.atomic.AtomicInteger(0)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

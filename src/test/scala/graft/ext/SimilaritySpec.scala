@@ -713,6 +713,71 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.servingTable(spark, tbl) == s"${tbl}__v2")
   }
 
+  test("abandoned build stage: killed rebuild is flagged, janitor heals, fixpoint holds") {
+    val e = fixtureEmb
+    val coarse = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", nsub = 4, nlistSub = 4, iters = 1)
+    val tbl = s"annspec_janitor_${System.nanoTime()}"
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    Similarity.rebuildAnnIndex(spark, tbl, e, "vec_id", "embedding", coarse, books, buckets = 4)
+    assert(Similarity.servingVersion(spark, tbl) == 1)
+    // kill a rebuild BETWEEN staging and publication: the stage table is
+    // fully written, the rename never runs — and while the build is
+    // in-flight it must NOT read as abandoned
+    intercept[RuntimeException] {
+      Similarity.publishVersion(spark, tbl) { (bld, era) =>
+        Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, bld, buckets = 4)
+        assert(Similarity.abandonedBuilds(spark, tbl).isEmpty,
+          "a stage inside a live publishVersion call is in-flight, not abandoned")
+        throw new RuntimeException(s"killed before publishing era $era")
+      }
+    }
+    assert(spark.catalog.tableExists(s"${tbl}__v2__build"), "the killed stage leaks")
+    assert(Similarity.servingVersion(spark, tbl) == 1, "version arithmetic untouched by the abort")
+    assert(Similarity.abandonedBuilds(spark, tbl) == Seq(s"${tbl}__v2__build"))
+    // the policy notices (stale_builds census signal), the executor heals
+    // (janitor drops the stage), and the replan reaches the fixed point
+    def planOf() = {
+      val c = Maintenance
+        .indexCensus(spark, tbl, "cand_id", "ann")
+        .withColumn("drift_ppm", lit(0L))
+      Maintenance.indexMaintenancePlan(
+        c, rebuildDriftPpm = 1200000L, compactTombPpm = 1000000L, janitorStaleBuilds = 1L)
+    }
+    val p1 = planOf().collect().head
+    assert(p1.getAs[String]("decision") == "janitor")
+    val fleet = Map("ann" -> Maintenance.ManagedIndex(
+      tbl, "cand_id",
+      compact = () => fail("janitor plan must not compact"),
+      rebuild = () => fail("janitor plan must not rebuild")))
+    val audit = Maintenance.applyMaintenancePlan(
+      spark,
+      planOf().select(col("index_name"), col("decision")),
+      fleet)
+    assert(audit.collect().head.getAs[String]("decision") == "janitor")
+    assert(!spark.catalog.tableExists(s"${tbl}__v2__build"), "janitor must drop the stage")
+    assert(Similarity.abandonedBuilds(spark, tbl).isEmpty)
+    assert(planOf().collect().head.getAs[String]("decision") == "none",
+      "post-janitor replan must reach the all-none fixed point")
+    // version arithmetic stays intact END TO END: the next real rebuild
+    // publishes v2 and serves it
+    Similarity.rebuildAnnIndex(spark, tbl, e, "vec_id", "embedding", coarse, books, buckets = 4)
+    assert(Similarity.servingVersion(spark, tbl) == 2)
+    // a fresh persist under the same name also reaps a leaked stage (the
+    // fresh-epoch doctrine), not just the janitor
+    intercept[RuntimeException] {
+      Similarity.publishVersion(spark, tbl) { (bld, _) =>
+        Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, bld, buckets = 4)
+        throw new RuntimeException("killed again")
+      }
+    }
+    assert(Similarity.abandonedBuilds(spark, tbl).nonEmpty)
+    Similarity.persistAnnIndex(e, "vec_id", "embedding", coarse, books, tbl, buckets = 4)
+    assert(Similarity.abandonedBuilds(spark, tbl).isEmpty,
+      "resetVersions must reap abandoned stages with the rest of the version history")
+    assert(Similarity.servingVersion(spark, tbl) == 0)
+  }
+
   test("rebuildAnnIndex: blue/green swap serves the retrained index, clears stale state") {
     val e = fixtureEmb
     val old = e.filter($"vec_id" % 2 === 0)
