@@ -17,6 +17,79 @@ object Dedup {
 
   private val spillMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** EVICTION BOUND for the spill memo: the content-keyed parquet spill
+    * is a pure re-read cache, fine to grow for a short bench JVM (96
+    * entries / 22 MB at sf0.1, r19 census) but unbounded for a
+    * long-lived service. When total on-disk bytes exceed the cap, the
+    * OLDEST-UNUSED entries (a monotonic touch tick per acquisition — LRU
+    * without clock reads) are deleted (dir + memo entry) until the total
+    * fits; the entry just acquired is never evicted. Contract the
+    * eviction leans on: a spill's readers execute promptly after
+    * acquisition (the same assumption Scratch's exit-time deletion
+    * already makes) — an evicted key's next acquisition simply
+    * recomputes. Default cap 4 GiB; `-Dgraft.spill.capBytes=` overrides,
+    * specs use [[setSpillCapBytes]].
+    */
+  private val spillCapBytes = new java.util.concurrent.atomic.AtomicLong(
+    sys.props.get("graft.spill.capBytes").map(_.toLong).getOrElse(4L << 30))
+  private val spillTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val spillLastUse = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val spillEvicted = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def setSpillCapBytes(n: Long): Long = spillCapBytes.getAndSet(n)
+  private[graft] def spillEvictions: Long = spillEvicted.get()
+
+  private def dirBytes(p: java.io.File): Long =
+    if (!p.exists()) 0L
+    else if (p.isFile) p.length()
+    else Option(p.listFiles()).map(_.iterator.map(dirBytes).sum).getOrElse(0L)
+
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteDir))
+    f.delete(): Unit
+  }
+
+  /** Insert-time byte accounting so the acquire-side hook is O(1): one
+    * directory walk per NEW spill (not per acquisition — an every-acquire
+    * census walk measured as a uniform ~70 ms smear across the whole
+    * board), a running total, and the eviction walk only when the cheap
+    * counter check says the cap is actually exceeded.
+    */
+  private val spillSizes = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val spillTotalBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def recordSpillSize(key: String, path: String): Unit = {
+    val bytes = dirBytes(new java.io.File(path))
+    if (spillSizes.putIfAbsent(key, bytes) == null) spillTotalBytes.addAndGet(bytes): Unit
+  }
+
+  /** Acquire-side hook every spill site calls: stamp recency (O(1)), and
+    * only when the recorded total exceeds the cap, evict
+    * oldest-unused-first. Synchronized — eviction is rare (never at
+    * fixture scale) and must not race itself; the common path is one
+    * atomic compare.
+    */
+  private def touchAndEnforceSpillCap(key: String): Unit = {
+    spillLastUse.put(key, spillTick.incrementAndGet())
+    if (spillTotalBytes.get() > spillCapBytes.get()) spillMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      val cap = spillCapBytes.get()
+      val byAge = spillMemo.asScala.toSeq
+        .filter(_._1 != key)
+        .sortBy { case (k, _) => spillLastUse.getOrDefault(k, 0L) }
+      byAge.iterator
+        .takeWhile(_ => spillTotalBytes.get() > cap)
+        .foreach { case (k, p) =>
+          deleteDir(new java.io.File(p))
+          spillMemo.remove(k)
+          spillLastUse.remove(k)
+          spillTotalBytes.addAndGet(-spillSizes.getOrDefault(k, 0L))
+          spillSizes.remove(k)
+          spillEvicted.incrementAndGet()
+        }
+    }
+  }
+
   /** OBSERVABILITY — census of the content/plan-keyed parquet spill: one
     * (key, onDiskBytes) row per memoized spill. The spill is scratch-FS
     * state (pid-scoped dir, deleted at JVM exit), not heap, so "bytes"
@@ -26,10 +99,6 @@ object Dedup {
     */
   private[graft] def spillCensus(): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
-    def dirBytes(p: java.io.File): Long =
-      if (!p.exists()) 0L
-      else if (p.isFile) p.length()
-      else Option(p.listFiles()).map(_.iterator.map(dirBytes).sum).getOrElse(0L)
     spillMemo.asScala.toSeq
       .map { case (k, p) => (k, dirBytes(new java.io.File(p))) }
       .sortBy(_._1)
@@ -74,8 +143,10 @@ object Dedup {
     val path = spillMemo.computeIfAbsent(key, { k =>
       val p = graft.queries.Scratch.dir(tag, k)
       df.write.mode("overwrite").parquet(p)
+      recordSpillSize(k, p)
       p
     })
+    touchAndEnforceSpillCap(key)
     s.read.parquet(path)
   }
 
@@ -102,8 +173,10 @@ object Dedup {
     val path = spillMemo.computeIfAbsent(key, { k =>
       val p = graft.queries.Scratch.dir(tag, k)
       df.write.mode("overwrite").parquet(p)
+      recordSpillSize(k, p)
       p
     })
+    touchAndEnforceSpillCap(key)
     s.read.parquet(path)
   }
 
@@ -750,8 +823,10 @@ object Dedup {
     val path = spillMemo.computeIfAbsent(key, { k =>
       val p = graft.queries.Scratch.dir("cc_labels", k)
       connectedComponents(pairs, maxIter).write.mode("overwrite").parquet(p)
+      recordSpillSize(k, p)
       p
     })
+    touchAndEnforceSpillCap(key)
     spark.read.parquet(path)
   }
 

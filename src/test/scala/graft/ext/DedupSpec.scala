@@ -876,6 +876,47 @@ class DedupSpec extends SparkSpecBase {
       "publication must consume the staging name")
   }
 
+  test("spill memo evicts oldest-unused beyond the byte cap; evicted keys recompute") {
+    val n = System.nanoTime()
+    def mk(i: Int) = Seq((i.toLong, s"spill fixture $i $n")).toDF("id", "text")
+    def census() = Dedup.spillCensus().filter(_._1.startsWith("evspec_")).toMap
+    def acquire(i: Int) = Dedup.spilledAt(mk(i), "evspec", s"evict_fixture_${n}_$i")
+    val before = Dedup.spillEvictions
+    val cap0 = Dedup.setSpillCapBytes(Long.MaxValue)
+    try {
+      // three tiny spills under a generous cap: all retained; record each
+      // entry's memo key as it appears (census delta per acquisition)
+      val keys = (1 to 3).map { i =>
+        val pre = census().keySet
+        acquire(i).count(): Unit
+        (census().keySet -- pre).head
+      }
+      assert(census().size == 3 && census().values.forall(_ > 0))
+      // refresh 1 and 3, leaving 2 the OLDEST-UNUSED, then shrink the cap
+      // to ~3 spills: the 4th acquisition must evict exactly entry 2 —
+      // LRU order, and never the newcomer itself
+      acquire(1).count(): Unit
+      acquire(3).count(): Unit
+      // 3.5 spills' worth: the 4th pushes over, ONE eviction brings it
+      // back under (the four spills are byte-identical single-row parquet)
+      val perSpill = census().values.max
+      Dedup.setSpillCapBytes(perSpill * 7 / 2): Unit
+      acquire(4).count(): Unit
+      val after = census()
+      assert(Dedup.spillEvictions > before, "the cap must have evicted")
+      assert(!after.contains(keys(1)), "the oldest-unused entry (2) must be the eviction")
+      assert(after.contains(keys(0)) && after.contains(keys(2)),
+        "recently-touched entries must survive")
+      assert(after.size == 3, s"post-eviction census: ${after.keys}")
+      // a re-request of ANY content — evicted or live — recomputes/serves
+      // correctly (the memo is a pure performance cache)
+      (1 to 4).foreach { i =>
+        assert(acquire(i).collect().map(_.getLong(0)).toSeq == Seq(i.toLong),
+          s"post-eviction re-request of spill $i must serve the right content")
+      }
+    } finally Dedup.setSpillCapBytes(cap0): Unit
+  }
+
   test("rebuildSemanticIndex re-assigns under fresh centroids: probe equals a fresh index") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") % 5 =!= 0)
