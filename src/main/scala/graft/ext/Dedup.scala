@@ -613,11 +613,101 @@ object Dedup {
       .groupBy(col("band"), col("bh"), col("corpus_id"))
       .agg(max(col("seq")).as("seq"))
       .select(col("band"), col("bh"), col("corpus_id"), col("seq"))
+    // an index that keeps a quarantine side keeps it current through the
+    // re-cap in BOTH directions — new drops join it, tombstoned rows
+    // leave it (tombstone retirement below assumes every hiding store
+    // was rewritten) — the compactHammingIndex doctrine, shared via the
+    // quarantine core; materialized before the index rewrite, while
+    // `healed` still reads the pre-compact files
+    if (maxBucket > 0
+        && s.catalog.tableExists(graft.ext.Similarity.quarTable(table))) {
+      graft.sources.Sources.compactBucketed(
+        s, graft.ext.Similarity.quarTable(table), buckets, Seq("band", "bh"),
+        graft.ext.Similarity.quarLive(s, table)
+          .unionByName(capDropped(healed, Seq("band", "bh"), maxBucket)
+            .select(col("band"), col("bh"), col("corpus_id"), col("seq"))))
+      resetLshQuarantineSweep(s, table)
+    }
     graft.sources.Sources.compactBucketed(
       s, graft.ext.Similarity.servingTable(s, table), buckets, Seq("band", "bh"),
       graft.ext.Similarity.collapsedToMaxEra(
         capBuckets(healed, Seq("band", "bh"), maxBucket)))
     graft.ext.Similarity.retireTombstonesBelow(s, table, horizon)
+  }
+
+  /** LAYOUT TIME — the RECOVERY side of a capped LSH layout: persist the
+    * banded rows the cap dropped ([[capDropped]], the exact complement of
+    * the rows [[persistLshIndex]] stored) under `<table>_quar`, bucketed
+    * on the same (band, bh) keys, and reset the sweep watermark — the
+    * text twin of [[Multimodal.quarantineHammingIndex]], riding the same
+    * shared quarantine core. (Measured honesty: the synthetic `documents`
+    * corpus never concentrates — max bucket 6 at sf0.1 — so the capped
+    * LSH posture stays OPT-IN; real web corpora with boilerplate pages do
+    * concentrate, which is what the cap + this recovery exist for.
+    * Spec-pinned on an engineered boilerplate stratum.)
+    */
+  def quarantineLshIndex(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      corpus: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      buckets: Int,
+      maxBucket: Int,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      era: Long = 0L
+  ): Unit = {
+    val dropped = capDropped(
+      bandedIds(corpus, idCol, textCol, n, k, bands), Seq("band", "bh"), maxBucket)
+    graft.sources.Sources.writeBucketed(
+      dropped.select(
+        col("band"), col("bh"), col("id").as("corpus_id"), lit(era).as("seq")),
+      graft.ext.Similarity.quarTable(table), buckets, "band", "bh")
+    resetLshQuarantineSweep(s, table)
+  }
+
+  /** See [[Multimodal.quarantineWatermark]] — the LSH family's reader. */
+  def lshQuarantineWatermark(
+      s: org.apache.spark.sql.SparkSession, table: String): (Long, Long) =
+    graft.ext.Similarity.quarWatermark(s, table)
+
+  /** Begin a fresh sweep pass over the LSH quarantine. */
+  def resetLshQuarantineSweep(s: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.ext.Similarity.quarReset(s, table, Seq("band", "bh"))
+
+  /** MAINTENANCE — one bounded TICK of the LSH quarantine sweep:
+    * candidate pairs of the incoming batch against the quarantined
+    * members of the next `maxBucketsPerTick` unswept buckets
+    * (membership-heaviest first), emitting [[probeLshIndex]]'s pair
+    * schema (`new_id, corpus_id` — LSH emits candidates; the exact
+    * Jaccard verify is the caller's composition, as everywhere else in
+    * the family) and advancing the shared watermark. Once the watermark
+    * closes, capped-probe ∪ sweep ≡ uncapped-probe, tombstones respected
+    * (DedupSpec pins it on an engineered boilerplate stratum).
+    */
+  def sweepLshQuarantine(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxBucketsPerTick: Int,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4
+  ): DataFrame = {
+    val tickBuckets = graft.ext.Similarity
+      .quarTickBuckets(s, table, Seq("band", "bh"), maxBucketsPerTick)
+    val members = graft.ext.Similarity.quarLive(s, table)
+      .join(broadcast(tickBuckets), Seq("band", "bh"))
+    bandedIds(incoming, idCol, textCol, n, k, bands)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(members, Seq("band", "bh"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
   }
 
   /** MAINTENANCE — versioned probe-safe REBUILD of a [[persistLshIndex]]
@@ -644,11 +734,18 @@ object Dedup {
       k: Int = 8,
       bands: Int = 4,
       maxBucket: Int = 0
-  ): Unit =
+  ): Unit = {
     graft.ext.Similarity.publishVersion(s, table)((bld, era) =>
       persistLshIndex(
         corpus, idCol, textCol, bld, buckets, n, k, bands, maxBucket,
         era = era))
+    // an index that keeps a quarantine side gets it RE-DECIDED against
+    // the rebuild's own corpus after publication (the Hamming doctrine:
+    // one maintenance-epoch of sweep-side grace between rename and here)
+    if (maxBucket > 0
+        && s.catalog.tableExists(graft.ext.Similarity.quarTable(table)))
+      quarantineLshIndex(s, table, corpus, idCol, textCol, buckets, maxBucket, n, k, bands)
+  }
 
   /** One (id, band, bh) row per document per band — the LSH bucket keys the
     * pair self-join runs on.

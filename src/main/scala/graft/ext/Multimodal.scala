@@ -803,7 +803,7 @@ object Multimodal {
         .select(col("band"), col("bv"), col("corpus_id"), col("fp"), col("seq"))
       graft.sources.Sources.compactBucketed(
         s, qT, buckets, Seq("band", "bv"),
-        quarantineLive(s, table).unionByName(newDrops))
+        graft.ext.Similarity.quarLive(s, table).unionByName(newDrops))
       resetQuarantineSweep(s, table)
     }
     graft.sources.Sources.compactBucketed(
@@ -947,13 +947,8 @@ object Multimodal {
     * `quar_unswept`) reads one tiny table, not a quarantine scan.
     */
   def quarantineWatermark(
-      s: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
-    val wmT = graft.ext.Similarity.quarWmTable(table)
-    if (s.catalog.tableExists(wmT)) {
-      val r = s.table(wmT).collect().head
-      (r.getAs[Long]("swept_through"), r.getAs[Long]("quar_buckets"))
-    } else (0L, 0L)
-  }
+      s: org.apache.spark.sql.SparkSession, table: String): (Long, Long) =
+    graft.ext.Similarity.quarWatermark(s, table)
 
   /** Begin a fresh sweep PASS over the current quarantine: watermark back
     * to zero, bucket total re-snapshotted from the quarantine table.
@@ -962,45 +957,8 @@ object Multimodal {
     * periodic pass over an unchanged quarantine (a new probe batch wants
     * the whole quarantine swept again).
     */
-  def resetQuarantineSweep(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val qT = graft.ext.Similarity.quarTable(table)
-    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
-    val total = s.table(qT).select(col("band"), col("bv")).distinct().count()
-    writeQuarWm(s, table, swept = 0L, total = total)
-  }
-
-  /** The live rows of a persisted quarantine: the stored drops minus the
-    * index's era-qualified tombstones — the same anti-join contract as
-    * the serving scan ([[hammingIndexLive]]), because a takedown hides an
-    * id wherever its rows live, stored or quarantined.
-    */
-  private def quarantineLive(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
-    val quar = s.table(graft.ext.Similarity.quarTable(table))
-    val tomb = graft.ext.Similarity.tombTable(table)
-    if (s.catalog.tableExists(tomb)) {
-      val t = s.table(tomb)
-      quar.join(
-        broadcast(t),
-        quar("corpus_id") === t("corpus_id") && quar("seq") <= t("tomb_seq"),
-        "left_anti")
-    } else quar
-  }
-
-  private def writeQuarWm(
-      s: org.apache.spark.sql.SparkSession, table: String, swept: Long, total: Long): Unit = {
-    val wmT = graft.ext.Similarity.quarWmTable(table)
-    // maintenance-epoch metadata with a single scheduled writer (the
-    // sweep action runs under applyMaintenancePlan's one-action-per-table
-    // guard), so a plain drop-and-replace suffices — no rename staging
-    s.sql(s"DROP TABLE IF EXISTS `$wmT`")
-    graft.sources.Sources.dropStaleLocation(s, wmT)
-    s.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(swept, total)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("swept_through", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("quar_buckets", org.apache.spark.sql.types.LongType))))
-      .write.format("parquet").saveAsTable(wmT)
-  }
+  def resetQuarantineSweep(s: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.ext.Similarity.quarReset(s, table, Seq("band", "bv"))
 
   /** MAINTENANCE — one bounded TICK of the quarantine sweep: exact
     * `bit_count(xor)` verification of the incoming batch against the
@@ -1034,23 +992,10 @@ object Multimodal {
       maxHamming: Int,
       maxBucketsPerTick: Int
   ): DataFrame = {
-    require(maxBucketsPerTick > 0, "sweep ticks must make progress: maxBucketsPerTick >= 1")
-    val qT = graft.ext.Similarity.quarTable(table)
-    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
-    val (swept, total) = quarantineWatermark(s, table)
-    val hi = math.min(swept + maxBucketsPerTick, total)
-    if (hi > swept) writeQuarWm(s, table, swept = hi, total = total)
-    import org.apache.spark.sql.expressions.Window
-    val quar = s.table(qT)
-    val tickBuckets = quar
-      .groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn(
-        "__rank",
-        row_number().over(Window.orderBy(col("__n").desc, col("band"), col("bv"))))
-      .filter(col("__rank") > swept && col("__rank") <= hi)
-      .select(col("band"), col("bv"))
-    val members = quarantineLive(s, table).join(broadcast(tickBuckets), Seq("band", "bv"))
+    val tickBuckets = graft.ext.Similarity
+      .quarTickBuckets(s, table, Seq("band", "bv"), maxBucketsPerTick)
+    val members = graft.ext.Similarity.quarLive(s, table)
+      .join(broadcast(tickBuckets), Seq("band", "bv"))
     bandedFingerprints(incoming, idCol, hashCol)
       .select(col("band"), col("bv"), col("id").as("new_id"), col("fp").as("h_new"))
       .join(members, Seq("band", "bv"))

@@ -505,6 +505,109 @@ object Similarity {
   private[graft] def quarTable(table: String): String = table + "_quar"
   private[graft] def quarWmTable(table: String): String = table + "_quar_wm"
 
+  // ---- shared quarantine-sweep core ------------------------------------
+  // One definition of the recovery side's state machinery for every
+  // capped banded family (Hamming fingerprints over (band, bv), text LSH
+  // over (band, bh)): watermark read/write/reset, the tombstone-filtered
+  // live view, and the bounded tick's bucket selection. The family
+  // operators ([[Multimodal.sweepHammingQuarantine]],
+  // [[Dedup.sweepLshQuarantine]]) own only their banding and their
+  // verify step — the cap doctrine is shared, so its recovery is too.
+
+  /** `(swept_through, quar_buckets)` of a logical index's sweep watermark;
+    * (0, 0) when the index has no quarantine side.
+    */
+  private[ext] def quarWatermark(
+      s: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
+    val wmT = quarWmTable(table)
+    if (s.catalog.tableExists(wmT)) {
+      val r = s.table(wmT).collect().head
+      (r.getAs[Long]("swept_through"), r.getAs[Long]("quar_buckets"))
+    } else (0L, 0L)
+  }
+
+  private[ext] def quarWmWrite(
+      s: org.apache.spark.sql.SparkSession, table: String, swept: Long, total: Long): Unit = {
+    val wmT = quarWmTable(table)
+    // maintenance-epoch metadata with a single scheduled writer (the
+    // sweep action runs under applyMaintenancePlan's one-action-per-table
+    // guard), so a plain drop-and-replace suffices — no rename staging
+    s.sql(s"DROP TABLE IF EXISTS `$wmT`")
+    graft.sources.Sources.dropStaleLocation(s, wmT)
+    s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(swept, total)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "swept_through", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "quar_buckets", org.apache.spark.sql.types.LongType))))
+      .write.format("parquet").saveAsTable(wmT)
+  }
+
+  /** Begin a fresh sweep PASS: watermark to zero, bucket total
+    * re-snapshotted from the quarantine under the family's bucket keys.
+    */
+  private[ext] def quarReset(
+      s: org.apache.spark.sql.SparkSession, table: String, bucketKeys: Seq[String]): Unit = {
+    val qT = quarTable(table)
+    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
+    val total = s.table(qT).select(bucketKeys.map(col): _*).distinct().count()
+    quarWmWrite(s, table, swept = 0L, total = total)
+  }
+
+  /** The live rows of a persisted quarantine: the stored drops minus the
+    * index's era-qualified tombstones — the same anti-join contract as
+    * the serving scan, because a takedown hides an id wherever its rows
+    * live, stored or quarantined.
+    */
+  private[ext] def quarLive(
+      s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val quar = s.table(quarTable(table))
+    val tomb = tombTable(table)
+    if (s.catalog.tableExists(tomb)) {
+      val t = s.table(tomb)
+      quar.join(
+        broadcast(t),
+        quar("corpus_id") === t("corpus_id") && quar("seq") <= t("tomb_seq"),
+        "left_anti")
+    } else quar
+  }
+
+  /** Advance the watermark by one bounded tick and return the tick's
+    * bucket-key set (rank order: membership DESC — the regrowth-heaviest
+    * boilerplate first — then the bucket keys for determinism; ranks are
+    * stable because the quarantine changes only at re-quarantine points,
+    * which reset the watermark). The range is captured as PLAN LITERALS
+    * before the watermark advances, so the returned frame is stable
+    * however late it executes. The ranking is a window over the
+    * quarantine's BUCKET census — at most corpus/cap buckets and in
+    * practice far fewer (the boilerplate shape is few, huge buckets) —
+    * never the member grain.
+    */
+  private[ext] def quarTickBuckets(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      bucketKeys: Seq[String],
+      maxBucketsPerTick: Int
+  ): DataFrame = {
+    require(maxBucketsPerTick > 0, "sweep ticks must make progress: maxBucketsPerTick >= 1")
+    val qT = quarTable(table)
+    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
+    val (swept, total) = quarWatermark(s, table)
+    val hi = math.min(swept + maxBucketsPerTick, total)
+    if (hi > swept) quarWmWrite(s, table, swept = hi, total = total)
+    import org.apache.spark.sql.expressions.Window
+    s.table(qT)
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn(
+        "__rank",
+        row_number().over(
+          Window.orderBy(col("__n").desc +: bucketKeys.map(col): _*)))
+      .filter(col("__rank") > swept && col("__rank") <= hi)
+      .select(bucketKeys.map(col): _*)
+  }
+
   /** Strictly-increasing era stamp for index maintenance operations:
     * wall-clock anchored (so independently-restarted maintenance JVMs
     * still order correctly at takedown timescales) and monotonic within

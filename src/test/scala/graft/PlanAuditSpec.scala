@@ -148,10 +148,12 @@ class PlanAuditSpec extends SparkSpecBase {
       "pipeline/LegacyPipeline.scala" -> 2,
       // query vectors / probed centroid ids / candidate id lists (top-k
       // state) + the ANN-index tombstone anti-join (takedown-scale id set)
-      "ext/Similarity.scala" -> 10,
+      // + the shared quarantine core's tombstone anti-join (quarLive)
+      "ext/Similarity.scala" -> 11,
       // common-lines boilerplate set (doc-freq capped), rare-gram hi side,
-      // LSH- and semantic-index tombstone anti-joins (takedown-scale ids)
-      "ext/Dedup.scala" -> 4,
+      // LSH- and semantic-index tombstone anti-joins (takedown-scale ids),
+      // the LSH sweep's tick-bucket set (≤ maxBucketsPerTick rows)
+      "ext/Dedup.scala" -> 5,
       // corpus-level BM25 stats (one row)
       "ext/Ranking.scala" -> 1,
       // NB model state (capped vocab, vocabK×|classes| likelihoods, priors)
@@ -167,11 +169,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "ext/Web.scala" -> 1,
       // heavy-hitter gram/bigram sets, bounded vocab
       "ext/TextStats.scala" -> 6,
-      // image-index tombstone anti-joins (takedown-scale id set, the same
-      // doctrine as the other three persisted indexes) ×2 — serving scan
-      // and quarantine scan — plus the sweep's tick-bucket set (at most
-      // maxBucketsPerTick rows by construction)
-      "ext/Multimodal.scala" -> 3,
+      // image-index tombstone anti-join (serving scan; the quarantine
+      // scan's moved to Similarity.quarLive) + the Hamming sweep's
+      // tick-bucket set (at most maxBucketsPerTick rows by construction)
+      "ext/Multimodal.scala" -> 2,
       // p8/j3 nation+region dims, j1/j5/vp customer-as-PIN-universe (see
       // doctrine comments at the sites), s10 DPP dim side
       "queries/Core.scala" -> 8,

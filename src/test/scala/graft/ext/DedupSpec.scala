@@ -917,6 +917,72 @@ class DedupSpec extends SparkSpecBase {
     } finally Dedup.setSpillCapBytes(cap0): Unit
   }
 
+  test("LSH quarantine sweep: capped-probe ∪ sweep equals uncapped, tombstones respected") {
+    // engineered boilerplate stratum (identical text ⇒ identical signature
+    // ⇒ one hot (band, bh) bucket per band — the cookie-banner shape the
+    // cap exists for; the synthetic documents corpus never concentrates,
+    // max bucket 6 at sf0.1, so the capped-LSH posture is opt-in and this
+    // spec is its recovery witness): 12× boilerplate A, 2× boilerplate B
+    val textA = "accept all cookies to continue to the site you were reading before this banner"
+    val textB = "subscribe to our newsletter for weekly updates delivered straight to your inbox"
+    val corpus = ((1L to 12L).map((_, textA)) ++ Seq((41L, textB), (42L, textB)))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, textA), (102L, textB)).toDF("doc_id", "text")
+    val tbl = s"lshspec_sweep_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus, col("doc_id"), col("text"), tbl, buckets = 4, maxBucket = 10)
+    Dedup.quarantineLshIndex(
+      spark, tbl, corpus, col("doc_id"), col("text"), buckets = 4, maxBucket = 10)
+    assert(Dedup.lshQuarantineWatermark(spark, tbl) == ((0L, 4L)),
+      "the boilerplate cluster quarantines one bucket per band")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // capped probe sees only the small stored cluster
+    val probed = pairsOf(
+      Dedup.probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text")))
+    assert(probed == Seq((102L, 41L), (102L, 42L)), s"got $probed")
+    // a takedown of quarantined ids hides them from the sweep too
+    Dedup.deleteFromLshIndex(spark, tbl, Seq(3L, 7L).toDF("id"), col("id"))
+    // bounded ticks drain the quarantine: tick 1 takes 3 of the 4 buckets,
+    // tick 2 the last; a third tick sweeps nothing
+    def tick() = pairsOf(Dedup.sweepLshQuarantine(
+      spark, tbl, incoming, col("doc_id"), col("text"), maxBucketsPerTick = 3))
+    val want100 = (1L to 12L).filterNot(Set(3L, 7L)).map((100L, _))
+    val t1 = tick()
+    assert(t1 == want100, s"tick 1: $t1")
+    assert(Dedup.lshQuarantineWatermark(spark, tbl) == ((3L, 4L)))
+    val t2 = tick()
+    assert(t2 == want100, "the last bucket repeats the same candidates (4-band redundancy)")
+    assert(Dedup.lshQuarantineWatermark(spark, tbl) == ((4L, 4L)))
+    assert(tick().isEmpty && Dedup.lshQuarantineWatermark(spark, tbl) == ((4L, 4L)))
+    // the recovery contract vs an UNCAPPED index over the live corpus
+    val unc = s"lshspec_sweep_unc_${System.nanoTime()}"
+    Dedup.persistLshIndex(
+      corpus.filter(!col("doc_id").isin(3L, 7L)), col("doc_id"), col("text"), unc, buckets = 4)
+    val want = pairsOf(Dedup.probeLshIndex(spark, unc, incoming, col("doc_id"), col("text")))
+    assert((probed ++ t1).distinct.sorted == want,
+      "capped probe plus completed sweep must equal the uncapped probe")
+    // compact capture: regrow the stored B bucket past the cap, compact
+    // at cap — the newly dropped rows must land in the quarantine (reset
+    // watermark) and stay sweepable, and the tombstoned A rows must leave
+    // it (retirement assumes every hiding store was rewritten)
+    Dedup.appendLshIndex(
+      (51L to 62L).map((_, textB)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), tbl, buckets = 4)
+    Dedup.compactLshIndex(spark, tbl, buckets = 4, maxBucket = 10)
+    assert(Dedup.lshQuarantineWatermark(spark, tbl)._1 == 0L,
+      "compact capture must reset the sweep watermark")
+    assert(
+      Dedup.probeLshIndex(spark, tbl, incoming, col("doc_id"), col("text")).count() == 0,
+      "the regrown bucket must be re-capped out of the serving path")
+    Dedup.resetLshQuarantineSweep(spark, tbl)
+    val (_, total) = Dedup.lshQuarantineWatermark(spark, tbl)
+    val afterCompact = (1L to (total + 2) / 3).flatMap(_ => tick()).distinct.sorted
+    val wantB = ((41L to 42L) ++ (51L to 62L)).map((102L, _))
+    assert(afterCompact == (want100 ++ wantB).sorted,
+      s"compact-dropped rows must be sweepable, tombstones still hidden: $afterCompact")
+  }
+
   test("rebuildSemanticIndex re-assigns under fresh centroids: probe equals a fresh index") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = e.filter(col("vec_id") % 5 =!= 0)
