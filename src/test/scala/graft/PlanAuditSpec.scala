@@ -570,6 +570,40 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("quarantine sweep tick: quarantine side exchange-free, bounded sides broadcast") {
+    // the recovery path carries the same plan contract as the serving
+    // probe: the quarantine table is bucketed on the SAME (band, bv)
+    // keys, so a tick's join reads it exchange-free; the tick-bucket set
+    // (≤ maxBucketsPerTick rows) and the tombstones broadcast
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Multimodal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashes = Multimodal.dHashImages(Multimodal.synthImages(docs, "doc_id")).toDF()
+    val corpus = hashes.filter(col("asset_id") % 5 =!= 0)
+    val incoming = hashes.filter(col("asset_id") % 5 === 0)
+    // low cap so the tiny audit corpus genuinely quarantines buckets
+    Multimodal.persistImageIndex(
+      corpus, "asset_id", "dhash", "graft_img_sweep_audit", buckets = 8, maxBucket = 2)
+    Multimodal.quarantineImageIndex(
+      spark, "graft_img_sweep_audit", corpus, "asset_id", "dhash", buckets = 8, maxBucket = 2)
+    Multimodal.deleteFromImageIndex(
+      spark, "graft_img_sweep_audit",
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")), col("doc_id"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val tick = Multimodal.sweepImageQuarantine(
+        spark, "graft_img_sweep_audit", incoming, "asset_id", "dhash",
+        maxHamming = 8, maxBucketsPerTick = 4)
+      val plan = tick.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"quarantine scan is not bucketed:\n$plan")
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,
+        s"sweep tombstones must anti-join via broadcast:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected 1 batch-side exchange only (quarantine side exchange-free), " +
+          s"got $bandExchanges:\n$plan")
+    }
+  }
+
   test("indexCensus capped_ppm aggregation plans exchange-free on the bucketed index") {
     // the regrowth signal's bucket census groups on the table's OWN
     // bucket keys — the layout is the grouping, so the partial aggregate
