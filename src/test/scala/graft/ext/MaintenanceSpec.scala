@@ -99,6 +99,38 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(run(census("a", 1000, 200, 1, 0).withColumn("quar_unswept", lit(5L))) == "compact")
   }
 
+  test("fleetCensus: one row per registry member, name-sorted, drift thunk or zero") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val n = System.nanoTime()
+    val tblB = s"mntspec_fc_b_$n"
+    val tblA = s"mntspec_fc_a_$n"
+    Dedup.persistSemanticIndex(e, col("vec_id"), col("embedding"), cents, tblB, buckets = 4)
+    Dedup.persistSemanticIndex(
+      e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents, tblA,
+      buckets = 4)
+    def ix(tbl: String, drift: Option[() => org.apache.spark.sql.DataFrame]) =
+      Maintenance.ManagedIndex(
+        tbl, "corpus_id",
+        compact = () => fail("census must not act"),
+        rebuild = () => fail("census must not act"),
+        drift = drift)
+    val rows = Maintenance
+      .fleetCensus(spark, Map(
+        // registered out of name order; the census must sort
+        "zz_with_drift" -> ix(tblB, Some(() =>
+          spark.range(1).select(lit(777L).as("drift_ppm")))),
+        "aa_no_drift" -> ix(tblA, None)))
+      .collect()
+      .map(r => (r.getAs[String]("index_name"), r.getAs[Long]("index_docs"),
+        r.getAs[Long]("drift_ppm")))
+      .toSeq
+    assert(rows == Seq(
+      ("aa_no_drift", e.filter(col("vec_id") % 2 === 0).count(), 0L),
+      ("zz_with_drift", e.count(), 777L)),
+      s"got $rows")
+  }
+
   test("janitor branch: stale build stages schedule a drop, between compact and sweep") {
     def withStale(n: Long) = census("a", 1000, 0, 1, 0)
       .withColumn("stale_builds", lit(n))
