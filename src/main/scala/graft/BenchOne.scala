@@ -5,10 +5,10 @@ object BenchOne {
     val names = args(0).split(",")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = EngineIO.configure(SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+      .config("spark.sql.extensions", "graft.GraftExtensions")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       // timed through the noop sink like Bench — count() would let Catalyst

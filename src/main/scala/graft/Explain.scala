@@ -2,10 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = EngineIO.configure(SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+      .config("spark.sql.extensions", "graft.GraftExtensions")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       println(s"==== $name ====")

@@ -8,12 +8,12 @@ import org.apache.spark.sql.SparkSession
 object Smoke {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = EngineIO.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = SparkEntry.entry(spark).count()

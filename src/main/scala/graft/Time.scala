@@ -9,11 +9,11 @@ object Time {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = EngineIO.configure(SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+      .config("spark.sql.extensions", "graft.GraftExtensions")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>
       (1 to 2).foreach { pass =>

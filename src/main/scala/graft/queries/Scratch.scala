@@ -92,7 +92,7 @@ object Scratch {
     */
   def table(tag: String): String = {
     val t = s"graft_${tag}_${ProcessHandle.current().pid()}"
-    created.add(new java.io.File("spark-warehouse", t).getAbsolutePath)
+    created.add(new java.io.File(graft.EngineIO.warehouseDir, t).getAbsolutePath)
     t
   }
 
@@ -103,7 +103,7 @@ object Scratch {
     * their creation registers them here.
     */
   def registerTable(name: String): Unit = {
-    created.add(new java.io.File("spark-warehouse", name).getAbsolutePath): Unit
+    created.add(new java.io.File(graft.EngineIO.warehouseDir, name).getAbsolutePath): Unit
   }
 
   /** [[registerTable]] for a versioned index's WHOLE name family: the
@@ -130,15 +130,16 @@ object Scratch {
     */
   def bucketTag(tag: String): String = {
     val t = s"${tag}_${ProcessHandle.current().pid()}"
-    created.add(new java.io.File("spark-warehouse", s"graft_bkt_${t}_l").getAbsolutePath)
-    created.add(new java.io.File("spark-warehouse", s"graft_bkt_${t}_r").getAbsolutePath)
+    created.add(new java.io.File(graft.EngineIO.warehouseDir, s"graft_bkt_${t}_l").getAbsolutePath)
+    created.add(new java.io.File(graft.EngineIO.warehouseDir, s"graft_bkt_${t}_r").getAbsolutePath)
     t
   }
 
-  /** `/tmp/graft_cache/<tag>_<pid>_<sanitized key>`, registered for
-    * deletion at JVM exit.
+  /** `<EngineIO.scratchRoot>/graft_<tag>_<pid>_<sanitized key>` (RAM-backed
+    * `/dev/shm/graft_cache` where available — see [[graft.EngineIO]]),
+    * registered for deletion at JVM exit.
     */
-  def dir(tag: String, key: String): String = dirAt("/tmp/graft_cache", tag, key)
+  def dir(tag: String, key: String): String = dirAt(graft.EngineIO.scratchRoot, tag, key)
 
   /** Same pid-scoped exit-deleted contract under an arbitrary root (e.g. a
     * RAM-backed /dev/shm for streaming checkpoint logs).
