@@ -323,10 +323,20 @@ object Maintenance {
     *         The driver's `index_maintenance_apply` oracle replays
     *         exactly that contract in SQL.
     */
+  /** @param audit when false, skip the post-action census snapshot and
+    *               return an empty (schema-correct) audit frame. For the
+    *               SCHEDULED loops that discard the audit (each tick's
+    *               observability is the NEXT tick's census anyway), the
+    *               per-index re-census was pure thrown-away work — the r21
+    *               profile measured mm_sweep_scheduled at ~12 jobs/tick of
+    *               which the discarded audit was ~a third. Callers that
+    *               consume the audit keep the default eager snapshot.
+    */
   def applyMaintenancePlan(
       s: SparkSession,
       plan: DataFrame,
-      indexes: Map[String, ManagedIndex]
+      indexes: Map[String, ManagedIndex],
+      audit: Boolean = true
   ): DataFrame = {
     val decisions = plan
       .select(col("index_name"), col("decision"))
@@ -417,12 +427,14 @@ object Maintenance {
     // eager snapshot: one census row per index (fleet metadata, not data
     // grain), materialized NOW — the returned frame is immune to any
     // index mutation after this apply
-    val audit = resolved.map { case (name, decision, ix) =>
-      val r = indexCensus(s, ix.table, ix.idColName, name, ix.bucketKeys, ix.bucketCap)
-        .collect().head
-      Row(name, r.getAs[Long]("index_docs"), r.getAs[Long]("tomb_entries"),
-        r.getAs[Long]("append_eras"), r.getAs[Long]("capped_ppm"), decision)
-    }
-    s.createDataFrame(java.util.Arrays.asList(audit: _*), auditSchema)
+    val auditRows =
+      if (!audit) Array.empty[Row]
+      else resolved.map { case (name, decision, ix) =>
+        val r = indexCensus(s, ix.table, ix.idColName, name, ix.bucketKeys, ix.bucketCap)
+          .collect().head
+        Row(name, r.getAs[Long]("index_docs"), r.getAs[Long]("tomb_entries"),
+          r.getAs[Long]("append_eras"), r.getAs[Long]("capped_ppm"), decision)
+      }
+    s.createDataFrame(java.util.Arrays.asList(auditRows: _*), auditSchema)
   }
 }

@@ -333,7 +333,9 @@ private[queries] object QEvents {
         .filter(col("src").isNotNull)
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("w"))
-      graft.ops.GraphOps.pageRank(edges, "src", "dst", "w", iters = 3)
+      graft.ops.GraphOps.pageRank(
+        edges, "src", "dst", "w", iters = 3,
+        contentKey = Some(s"events|$dir|props-k-lag-transitions"))
     },
     // last-touch attribution: every purchase credits the latest click
     // at-or-before it — the as-of join composed over a filtered stream,

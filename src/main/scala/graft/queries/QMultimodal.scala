@@ -376,8 +376,12 @@ private[queries] object QMultimodal {
         val c = cRows.head
         recs += ((tick, "frame_hamming",
           c.getAs[Long]("swept_through"), c.getAs[Long]("quar_unswept"), decision))
+        // audit = false: this loop discards the post-action audit (the next
+        // tick's census IS the observability), so the re-census per tick is
+        // skipped — decisions and recorded rows are unchanged
         graft.ext.Maintenance.applyMaintenancePlan(
-          s, s.createDataFrame(java.util.Arrays.asList(pRows: _*), plan.schema), fleet): Unit
+          s, s.createDataFrame(java.util.Arrays.asList(pRows: _*), plan.schema), fleet,
+          audit = false): Unit
         continue = decision == "sweep"
         tick += 1
       }

@@ -36,6 +36,11 @@ private[graft] object StreamHarness {
 
   private[queries] def streamSession(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
+    // 2, measured as the local-harness sweet spot (r21): 32 is pure
+    // state-store commit overhead at harness scale, but 1 SERIALIZES the
+    // foreachBatch maintenance work the index loops route through this
+    // clone (probes/appends/compactions) — a measured -20 s regression
+    // across the stream family. Production sizes this to key cardinality.
     s2.conf.set("spark.sql.shuffle.partitions", "2")
     // every micro-batch pays fixed planning + state-store load/commit
     // (~0.3-0.6 s measured at harness scale), so the harness feeds each

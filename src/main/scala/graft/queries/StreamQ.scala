@@ -1163,7 +1163,9 @@ object StreamQ {
             val planDf = s.createDataFrame(
               java.util.Arrays.asList(planRows: _*), plan.schema)
             planDf.withColumn("batch", lit(bid)).write.mode("append").parquet(outDir)
-            Maintenance.applyMaintenancePlan(s, planDf, fleet): Unit
+            // audit = false: the loop records the PLAN rows, not the audit —
+            // the discarded per-cycle re-census was pure overhead
+            Maintenance.applyMaintenancePlan(s, planDf, fleet, audit = false): Unit
           } finally { b.unpersist(); () }
         }
         .start()
@@ -1268,7 +1270,8 @@ object StreamQ {
             val planDf = s.createDataFrame(
               java.util.Arrays.asList(planRows: _*), plan.schema)
             planDf.withColumn("batch", lit(bid)).write.mode("append").parquet(outDir)
-            Maintenance.applyMaintenancePlan(s, planDf, registry): Unit
+            // audit = false: same discarded-audit shape as the single-index loop
+            Maintenance.applyMaintenancePlan(s, planDf, registry, audit = false): Unit
           } finally { b.unpersist(); () }
         }
         .start()

@@ -233,8 +233,15 @@ object Xlsx {
       styleFills: IndexedSeq[String]
   ): (Seq[Seq[String]], Seq[Seq[String]]) = {
     val r = newReader(bytes)
-    val rows = Seq.newBuilder[Seq[String]]
-    val fillRows = Seq.newBuilder[Seq[String]]
+    // IndexedSeq (Vector), NOT the default List builder: every consumer of
+    // a parsed sheet aligns rows with fills by POSITION (`fills(ri)` /
+    // `fills.length` inside a per-row loop — scan's alignment, the QC
+    // rewrite, the workbook builder), and a List makes that loop O(rows²):
+    // the r21 profile measured the 15k-row S5 data pass at 3.1 s of which
+    // ~2.5 s was exactly this linear-indexing walk (the parse itself is
+    // 0.08 s).
+    val rows = IndexedSeq.newBuilder[Seq[String]]
+    val fillRows = IndexedSeq.newBuilder[Seq[String]]
     var cells: scala.collection.mutable.ArrayBuffer[String] = null
     var fills: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = -1

@@ -524,4 +524,32 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(audit.columns.toSeq ==
       Seq("index_name", "index_docs", "tomb_entries", "append_eras", "capped_ppm", "decision"))
   }
+
+  test("applyMaintenancePlan audit=false still runs actions, skips the re-census") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroidsCached(e, "vec_id", "embedding", nlist = 4, iters = 1)
+    val tbl = s"mntspec_noaudit_${System.nanoTime()}"
+    Dedup.persistSemanticIndex(
+      e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), cents, tbl, buckets = 4)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val plan = Seq(("na", "compact")).toDF("index_name", "decision")
+    val audit = Maintenance.applyMaintenancePlan(
+      spark, plan,
+      Map("na" -> Maintenance.ManagedIndex(
+        tbl, "corpus_id",
+        compact = () => { ran.incrementAndGet(); () },
+        rebuild = () => fail("compact must not rebuild"))),
+      audit = false)
+    assert(ran.get() == 1, "the decided action must still run under audit=false")
+    // schema-correct but EMPTY: the caller declared the audit unobserved,
+    // so no per-index re-census job is spent producing it
+    assert(audit.count() == 0)
+    assert(audit.columns.toSeq ==
+      Seq("index_name", "index_docs", "tomb_entries", "append_eras", "capped_ppm", "decision"))
+    // validation still guards the whole plan first, audited or not
+    val bad = Seq(("ghost", "compact")).toDF("index_name", "decision")
+    intercept[IllegalArgumentException] {
+      Maintenance.applyMaintenancePlan(spark, bad, Map.empty, audit = false)
+    }
+  }
 }
