@@ -498,7 +498,12 @@ private[queries] object QDedup {
       val pairs = graft.ops.FuzzyOps
         .editBlockedPairs(names, col("id"), col("s"), maxDist = 2, maxBlock = 64)
         .select(col("id_lo"), col("id_hi"))
-      val clusters = Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "id")
+      // keyed CC (the dedup_clusters discipline): the pairs are a pure
+      // function of the fixture + blocker params, so the label loop's
+      // per-round jobs run once per corpus instead of per invocation
+      val clusters = Dedup
+        .connectedComponentsKeyed(pairs, contentKey = s"fuzzy|$dir|ed2-b64", spark = s)
+        .withColumnRenamed("doc_id", "id")
       names
         .join(clusters, Seq("id"), "left")
         .withColumn("entity_id", coalesce(col("canonical_id"), col("id")))

@@ -541,7 +541,12 @@ object StreamQ {
       try q.processAllAvailable()
       finally stopRecording(q)
       val pairs = drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
-      val clusters = Dedup.connectedComponents(pairs)
+      // keyed CC: the drained pair set is a deterministic function of the
+      // corpus (verified ≥0.7 LSH pairs over documents), so the label
+      // loop's per-round jobs run once per corpus — the stream run itself
+      // (the parity witness) still executes every invocation
+      val clusters = Dedup.connectedComponentsKeyed(
+        pairs, contentKey = s"documents|$dir|stream-lsh-survivors-mh3-8-4", spark = s)
       val labeled = docsDf
         .select(col("doc_id"), col("n_chars"))
         .join(clusters, Seq("doc_id"), "left")
