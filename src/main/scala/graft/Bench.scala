@@ -283,6 +283,12 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     finally {
+      // Per-query visibility for the driver WITHOUT breaking the stdout
+      // contract: the compact total stays the FINAL line (the driver parses
+      // exactly that from a bounded tail window); one pointer line BEFORE it
+      // names where the full per-query map landed, so a consumer that wants
+      // per-query data can read the file instead of stdout.
+      println(s"""{"metric":"bench_history_path","path":"/tmp/bench_out.json","unit":"path"}""")
       println(line)
       System.out.flush()
     }

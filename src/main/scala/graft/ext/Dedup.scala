@@ -694,12 +694,39 @@ object Dedup {
       idCol: Column,
       textCol: Column,
       maxBucketsPerTick: Int,
+      sink: String,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4
+  ): Unit = {
+    val (lo, hi, total) =
+      graft.ext.Similarity.quarTickRange(s, table, maxBucketsPerTick)
+    if (hi > lo) {
+      sweepLshTickFrame(s, table, incoming, idCol, textCol, lo, hi, n, k, bands)
+        .write.mode("append").parquet(sink)
+      // commit AFTER the write — the at-least-once discipline
+      // [[Multimodal.sweepHammingQuarantine]] documents
+      graft.ext.Similarity.quarTickCommit(s, table, hi, total)
+    }
+  }
+
+  /** One tick's candidate frame over bucket ranks `(lo, hi]` — the pure
+    * computation behind [[sweepLshQuarantine]].
+    */
+  private[graft] def sweepLshTickFrame(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      lo: Long,
+      hi: Long,
       n: Int = 3,
       k: Int = 8,
       bands: Int = 4
   ): DataFrame = {
-    val tickBuckets = graft.ext.Similarity
-      .quarTickBuckets(s, table, Seq("band", "bh"), maxBucketsPerTick)
+    val tickBuckets =
+      graft.ext.Similarity.quarBucketsAt(s, table, Seq("band", "bh"), lo, hi)
     val members = graft.ext.Similarity.quarLive(s, table)
       .join(broadcast(tickBuckets), Seq("band", "bh"))
     bandedIds(incoming, idCol, textCol, n, k, bands)
@@ -928,19 +955,32 @@ object Dedup {
   }
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Pacing: LAZY local checkpoints + a fused convergence count. Each
+    // round runs exactly ONE Spark action (the `changed` count), which as a
+    // side effect materializes the round's checkpointed label frame AND any
+    // not-yet-materialized lazy checkpoint feeding it (the previous
+    // contraction's edge frame). The eager pacing this replaces paid three
+    // driver-synced jobs per round — checkpoint(updated), count,
+    // checkpoint(edges) — which dominated the loop's wall clock at fixture
+    // scale (r21 verdict item 5). Lineage is still severed every round
+    // (localCheckpoint truncates the logical plan whether or not the RDD
+    // has materialized), so plan size stays bounded.
     val e0 = pairs.select(col("id_lo").as("a"), col("id_hi").as("b"))
     var edges = e0
       .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // labels over the ORIGINAL node set (contraction rewrites edges to run
     // between component representatives, so they leave the node set)
     var labels = edges
       .select(col("a").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // the superseded edge frame backs the CURRENT edges' lazy checkpoint
+    // until the next count job materializes it — freed one round late
+    var edgesToFree: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -968,10 +1008,14 @@ object Dedup {
           col("prev"),
           least(col("l1"), coalesce(col("jlab"), col("l1"))).as("next")
         )
-        .localCheckpoint()
+        .localCheckpoint(false)
+      // the round's ONE action: counts convergence and materializes
+      // `updated` (and, transitively, this round's lazy edge checkpoint)
       changed = updated.filter(col("next") < col("prev")).count()
-      // the new round's frames are eagerly materialized — release the
-      // previous round's checkpoint blocks so storage stays 2×, not rounds×
+      // everything the count just superseded is now safe to release, so
+      // storage stays 2×, not rounds×
+      edgesToFree.foreach(freeCheckpoint)
+      edgesToFree = None
       freeCheckpoint(labels)
       labels = updated.select(col("id"), col("next").as("label"))
       // (3) contract: rewrite edges through the new labels, drop self-loops
@@ -987,9 +1031,13 @@ object Dedup {
           .select(col("a2").as("a"), col("label").as("b"))
           .filter(col("a") =!= col("b"))
           .distinct()
-          .localCheckpoint()
-        freeCheckpoint(edges)
+          .localCheckpoint(false)
+        // edges is an input of nextEdges' unmaterialized checkpoint — free
+        // it only after the NEXT round's count job runs
+        edgesToFree = Some(edges)
         edges = nextEdges
+      } else {
+        freeCheckpoint(edges)
       }
       i += 1
     }

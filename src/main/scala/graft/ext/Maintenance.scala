@@ -286,6 +286,20 @@ object Maintenance {
       }
       .reduce(_ unionByName _)
 
+  /** The schema [[indexMaintenancePlan]] returns — exposed so callers that
+    * buffer collected plan rows (the scheduled loops' driver-grain trace)
+    * can rebuild a frame without re-deriving it from a dummy plan.
+    */
+  val planSchema: StructType = StructType(Seq(
+    StructField("index_name", StringType),
+    StructField("index_docs", LongType),
+    StructField("tomb_entries", LongType),
+    StructField("append_eras", LongType),
+    StructField("tomb_ppm", LongType),
+    StructField("drift_ppm", LongType),
+    StructField("capped_ppm", LongType),
+    StructField("decision", StringType)))
+
   private val auditSchema = StructType(Seq(
     StructField("index_name", StringType),
     StructField("index_docs", LongType),

@@ -990,10 +990,40 @@ object Multimodal {
       idCol: String,
       hashCol: String,
       maxHamming: Int,
-      maxBucketsPerTick: Int
+      maxBucketsPerTick: Int,
+      sink: String
+  ): Unit = {
+    val (lo, hi, total) =
+      graft.ext.Similarity.quarTickRange(s, table, maxBucketsPerTick)
+    if (hi > lo) {
+      sweepHammingTickFrame(s, table, incoming, idCol, hashCol, maxHamming, lo, hi)
+        .write.mode("append").parquet(sink)
+      // commit AFTER the tick's pairs are durably in the sink: a tick that
+      // dies mid-write leaves the watermark unmoved and the next tick
+      // re-covers the same bucket range (at-least-once — replayed pairs
+      // are absorbed by the sink's distinct() consumers). The old
+      // advance-before-execute shape could skip a failed tick's buckets
+      // forever (r20 verdict item 1).
+      graft.ext.Similarity.quarTickCommit(s, table, hi, total)
+    }
+  }
+
+  /** One tick's pair frame over bucket ranks `(lo, hi]` — the pure
+    * computation behind [[sweepHammingQuarantine]], exposed for plan
+    * audits and spec-level composition.
+    */
+  private[graft] def sweepHammingTickFrame(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      incoming: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      lo: Long,
+      hi: Long
   ): DataFrame = {
-    val tickBuckets = graft.ext.Similarity
-      .quarTickBuckets(s, table, Seq("band", "bv"), maxBucketsPerTick)
+    val tickBuckets =
+      graft.ext.Similarity.quarBucketsAt(s, table, Seq("band", "bv"), lo, hi)
     val members = graft.ext.Similarity.quarLive(s, table)
       .join(broadcast(tickBuckets), Seq("band", "bv"))
     bandedFingerprints(incoming, idCol, hashCol)
@@ -1085,8 +1115,9 @@ object Multimodal {
   /** See [[sweepHammingQuarantine]]. */
   def sweepImageQuarantine(
       s: org.apache.spark.sql.SparkSession, table: String, incoming: DataFrame,
-      idCol: String, hashCol: String, maxHamming: Int, maxBucketsPerTick: Int): DataFrame =
-    sweepHammingQuarantine(s, table, incoming, idCol, hashCol, maxHamming, maxBucketsPerTick)
+      idCol: String, hashCol: String, maxHamming: Int, maxBucketsPerTick: Int,
+      sink: String): Unit =
+    sweepHammingQuarantine(s, table, incoming, idCol, hashCol, maxHamming, maxBucketsPerTick, sink)
 
   /** Target-dimension arithmetic alone (no pixels) — kept as the cheap
     * metadata projection for non-image media whose decode the JDK lacks.

@@ -514,34 +514,62 @@ object Similarity {
   // [[Dedup.sweepLshQuarantine]]) own only their banding and their
   // verify step — the cap doctrine is shared, so its recovery is too.
 
+  /** Driver-side MIRROR of the persisted sweep watermark, keyed by the
+    * watermark table name. Single-writer discipline holds per table within
+    * a JVM (the scheduled executor's one-action-per-table guard; the batch
+    * sweep loops are single-threaded), and every write goes through
+    * [[quarWmWrite]], so the mirror is coherent — it exists so the
+    * per-tick progress READ is a map lookup instead of a 1-row table scan
+    * job (r21 verdict item 4). The TABLE stays the durable source of
+    * truth: the policy census scans it, and a fresh JVM reads it cold
+    * through the fallback below.
+    */
+  private val wmMirror =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** `(swept_through, quar_buckets)` of a logical index's sweep watermark;
     * (0, 0) when the index has no quarantine side.
     */
   private[ext] def quarWatermark(
       s: org.apache.spark.sql.SparkSession, table: String): (Long, Long) = {
     val wmT = quarWmTable(table)
-    if (s.catalog.tableExists(wmT)) {
-      val r = s.table(wmT).collect().head
-      (r.getAs[Long]("swept_through"), r.getAs[Long]("quar_buckets"))
-    } else (0L, 0L)
+    wmMirror.get(wmT) match {
+      case null =>
+        if (s.catalog.tableExists(wmT)) {
+          val r = s.table(wmT).collect().head
+          val v = (r.getAs[Long]("swept_through"), r.getAs[Long]("quar_buckets"))
+          wmMirror.put(wmT, v)
+          v
+        } else (0L, 0L)
+      case v => v
+    }
   }
 
   private[ext] def quarWmWrite(
       s: org.apache.spark.sql.SparkSession, table: String, swept: Long, total: Long): Unit = {
     val wmT = quarWmTable(table)
-    // maintenance-epoch metadata with a single scheduled writer (the
-    // sweep action runs under applyMaintenancePlan's one-action-per-table
-    // guard), so a plain drop-and-replace suffices — no rename staging
-    s.sql(s"DROP TABLE IF EXISTS `$wmT`")
-    graft.sources.Sources.dropStaleLocation(s, wmT)
-    s.createDataFrame(
+    val df = s.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(swept, total)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(
           "swept_through", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(
           "quar_buckets", org.apache.spark.sql.types.LongType))))
-      .write.format("parquet").saveAsTable(wmT)
+    // maintenance-epoch metadata with a single scheduled writer (the
+    // sweep action runs under applyMaintenancePlan's one-action-per-table
+    // guard): an in-place INSERT OVERWRITE replaces the data files without
+    // the DROP + CREATE catalog churn the old drop-and-replace paid per
+    // tick; the first write still creates the table.
+    if (s.catalog.tableExists(wmT)) {
+      df.write.mode("overwrite").insertInto(wmT)
+      // the census reads the table through whatever session planned it —
+      // keep relation/file-listing caches honest after the rewrite
+      s.catalog.refreshTable(wmT)
+    } else {
+      graft.sources.Sources.dropStaleLocation(s, wmT)
+      df.write.format("parquet").saveAsTable(wmT)
+    }
+    wmMirror.put(wmT, (swept, total))
   }
 
   /** Begin a fresh sweep PASS: watermark to zero, bucket total
@@ -551,9 +579,39 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession, table: String, bucketKeys: Seq[String]): Unit = {
     val qT = quarTable(table)
     require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
-    val total = s.table(qT).select(bucketKeys.map(col): _*).distinct().count()
+    // a reset begins a fresh pass over possibly-new quarantine content:
+    // drop the pass's rank snapshot and re-rank (the snapshot's length IS
+    // the bucket total the watermark records — one scan serves both)
+    rankMirror.remove(qT)
+    val total = quarRankedBuckets(s, table, bucketKeys).size.toLong
     quarWmWrite(s, table, swept = 0L, total = total)
   }
+
+  /** Per-PASS snapshot of the quarantine's ranked bucket list (membership
+    * DESC, then bucket keys — the sweep order). Ranks are constant between
+    * re-quarantine points, and every quarantine-content writer calls
+    * [[quarReset]] (spec-pinned), which invalidates this — so within one
+    * sweep pass the ranking is computed ONCE instead of re-windowed per
+    * tick. Bucket-census grain (at most corpus/cap buckets, in practice
+    * few), never the member grain, so the driver-side snapshot is
+    * fleet-metadata-sized.
+    */
+  private val rankMirror =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[org.apache.spark.sql.Row]]()
+
+  private[ext] def quarRankedBuckets(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      bucketKeys: Seq[String]): Seq[org.apache.spark.sql.Row] =
+    rankMirror.computeIfAbsent(quarTable(table), { qT =>
+      s.table(qT)
+        .groupBy(bucketKeys.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc +: bucketKeys.map(col): _*)
+        .select(bucketKeys.map(col): _*)
+        .collect()
+        .toSeq
+    })
 
   /** The live rows of a persisted quarantine: the stored drops minus the
     * index's era-qualified tombstones — the same anti-join contract as
@@ -573,39 +631,56 @@ object Similarity {
     } else quar
   }
 
-  /** Advance the watermark by one bounded tick and return the tick's
-    * bucket-key set (rank order: membership DESC — the regrowth-heaviest
-    * boilerplate first — then the bucket keys for determinism; ranks are
-    * stable because the quarantine changes only at re-quarantine points,
-    * which reset the watermark). The range is captured as PLAN LITERALS
-    * before the watermark advances, so the returned frame is stable
-    * however late it executes. The ranking is a window over the
-    * quarantine's BUCKET census — at most corpus/cap buckets and in
-    * practice far fewer (the boilerplate shape is few, huge buckets) —
-    * never the member grain.
+  /** The next bounded tick's `(swept, hi, total)` range — a pure READ of
+    * the watermark (mirror-backed, no job). The caller COMMITS the advance
+    * via [[quarTickCommit]] only after the tick's output is durably
+    * written: a tick that dies mid-write leaves the watermark unmoved and
+    * the next tick re-covers the same bucket range (at-least-once; the
+    * sweep sinks are consumed through `distinct()`, so a replayed pair
+    * cannot change any result). The advance-before-execute shape this
+    * replaces could silently skip a failed tick's buckets forever
+    * (r20 verdict item 1).
     */
-  private[ext] def quarTickBuckets(
+  private[ext] def quarTickRange(
+      s: org.apache.spark.sql.SparkSession,
+      table: String,
+      maxBucketsPerTick: Int
+  ): (Long, Long, Long) = {
+    require(maxBucketsPerTick > 0, "sweep ticks must make progress: maxBucketsPerTick >= 1")
+    require(
+      s.catalog.tableExists(quarTable(table)),
+      s"index '$table' has no quarantine side to sweep")
+    val (swept, total) = quarWatermark(s, table)
+    (swept, math.min(swept + maxBucketsPerTick, total), total)
+  }
+
+  /** Commit one tick: advance the persisted watermark to `hi`. */
+  private[ext] def quarTickCommit(
+      s: org.apache.spark.sql.SparkSession, table: String, hi: Long, total: Long): Unit =
+    quarWmWrite(s, table, swept = hi, total = total)
+
+  /** The bucket-key set of ranks `(lo, hi]` in sweep rank order:
+    * membership DESC — the regrowth-heaviest boilerplate first — then the
+    * bucket keys for determinism; ranks are stable because the quarantine
+    * changes only at re-quarantine points, which reset the watermark. The
+    * slice comes off the pass's rank SNAPSHOT ([[quarRankedBuckets]]) as a
+    * local relation, so a tick costs a broadcast of ≤ `maxBucketsPerTick`
+    * key rows instead of a window re-ranking the bucket census per tick
+    * (the old per-tick window was the measured cost floor of the sweep
+    * loops at fixture scale).
+    */
+  private[ext] def quarBucketsAt(
       s: org.apache.spark.sql.SparkSession,
       table: String,
       bucketKeys: Seq[String],
-      maxBucketsPerTick: Int
+      lo: Long,
+      hi: Long
   ): DataFrame = {
-    require(maxBucketsPerTick > 0, "sweep ticks must make progress: maxBucketsPerTick >= 1")
-    val qT = quarTable(table)
-    require(s.catalog.tableExists(qT), s"index '$table' has no quarantine side to sweep")
-    val (swept, total) = quarWatermark(s, table)
-    val hi = math.min(swept + maxBucketsPerTick, total)
-    if (hi > swept) quarWmWrite(s, table, swept = hi, total = total)
-    import org.apache.spark.sql.expressions.Window
-    s.table(qT)
-      .groupBy(bucketKeys.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .withColumn(
-        "__rank",
-        row_number().over(
-          Window.orderBy(col("__n").desc +: bucketKeys.map(col): _*)))
-      .filter(col("__rank") > swept && col("__rank") <= hi)
-      .select(bucketKeys.map(col): _*)
+    val ranked = quarRankedBuckets(s, table, bucketKeys)
+    val slice = ranked.slice(lo.toInt, hi.toInt)
+    val schema = org.apache.spark.sql.types.StructType(
+      s.table(quarTable(table)).select(bucketKeys.map(col): _*).schema)
+    s.createDataFrame(java.util.Arrays.asList(slice: _*), schema)
   }
 
   /** Strictly-increasing era stamp for index maintenance operations:

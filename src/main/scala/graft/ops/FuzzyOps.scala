@@ -55,12 +55,25 @@ object FuzzyOps {
     * records with `levenshtein ≤ maxDist` that shares at least one
     * segment block of size ≤ `maxBlock`.
     */
+  /** @param contentKey when set, the verified pair frame lands in the
+    *                    content-keyed parquet spill
+    *                    ([[graft.ext.Dedup.spilledAt]]): the caller asserts
+    *                    the key identifies the input data and blocking
+    *                    params. The fixture corpus feeds THREE declared
+    *                    queries with one (input, maxDist, maxBlock) triple
+    *                    (fuzzy_name_pairs, er_blocking_quality,
+    *                    er_entities), so the segment join + levenshtein
+    *                    verify runs once per corpus instead of thrice —
+    *                    the multi-consumer spill discipline
+    *                    (dedup_clusters precedent).
+    */
   def editBlockedPairs(
       df: DataFrame,
       idCol: Column,
       strCol: Column,
       maxDist: Int,
-      maxBlock: Int
+      maxBlock: Int,
+      contentKey: Option[String] = None
   ): DataFrame = {
     require(maxDist >= 1, "maxDist must be at least 1")
     require(maxBlock > 1, "maxBlock must allow at least a pair")
@@ -71,13 +84,19 @@ object FuzzyOps {
       .filter(col("__bn") <= maxBlock)
     val lo = sized.select(col("seg_i"), col("seg"), col("id").as("id_lo"), col("s").as("s_lo"))
     val hi = sized.select(col("seg_i"), col("seg"), col("id").as("id_hi"), col("s").as("s_hi"))
-    lo.join(hi, Seq("seg_i", "seg"))
+    val pairs = lo.join(hi, Seq("seg_i", "seg"))
       .filter(col("id_lo") < col("id_hi"))
       .select(col("id_lo"), col("id_hi"), col("s_lo"), col("s_hi"))
       .distinct()
       .withColumn("dist", levenshtein(col("s_lo"), col("s_hi")))
       .filter(col("dist") <= maxDist)
       .select(col("id_lo"), col("id_hi"), col("dist"))
+    contentKey match {
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(
+          pairs, "edit_pairs", s"$key|d=$maxDist|b=$maxBlock")
+      case None => pairs
+    }
   }
 
   /** The quarantine report: blocks larger than `maxBlock` (with sizes),
@@ -120,7 +139,8 @@ object FuzzyOps {
       strCol: Column,
       maxDist: Int,
       maxBlock: Int,
-      strataMod: Long
+      strataMod: Long,
+      contentKey: Option[String] = None
   ): DataFrame = {
     require(strataMod >= 1, "strataMod must be >= 1")
     val names = df.select(idCol.as("id"), strCol.as("s"))
@@ -131,7 +151,7 @@ object FuzzyOps {
       .crossJoin(stratum.select(col("id").as("id_hi"), col("s").as("s_hi")))
       .filter(col("id_lo") < col("id_hi"))
       .filter(levenshtein(col("s_lo"), col("s_hi")) <= maxDist)
-    val blockedStratum = editBlockedPairs(names, col("id"), col("s"), maxDist, maxBlock)
+    val blockedStratum = editBlockedPairs(names, col("id"), col("s"), maxDist, maxBlock, contentKey)
       .join(stratum.select(col("id").as("id_lo")), Seq("id_lo"), "left_semi")
       .join(stratum.select(col("id").as("id_hi")), Seq("id_hi"), "left_semi")
     names

@@ -467,8 +467,11 @@ private[queries] object QDedup {
     // sequence packing: token-budget packs per salt group (distributed —,
     // segment guarantee is exact; oracle replays fixture, blocks, verify
     "fuzzy_name_pairs" -> { (s, dir) =>
+      // content-keyed: three declared queries (this, er_blocking_quality,
+      // er_entities) consume the same blocked-pair frame — computed once
       graft.ops.FuzzyOps.editBlockedPairs(
-        fuzzyNames(s, dir), col("id"), col("s"), maxDist = 2, maxBlock = 64)
+        fuzzyNames(s, dir), col("id"), col("s"), maxDist = 2, maxBlock = 64,
+        contentKey = Some(s"fuzzy|$dir"))
     },
     // asymmetric containment join over 3-gram sets (|A∩B|/|A| >= 9/10):
     // the quote/subset detector Jaccard misses — containment prefix on
@@ -486,7 +489,8 @@ private[queries] object QDedup {
     "er_blocking_quality" -> { (s, dir) =>
       graft.ops.FuzzyOps.blockingQuality(
         fuzzyNames(s, dir), col("id"), col("s"),
-        maxDist = 2, maxBlock = 64, strataMod = 20L)
+        maxDist = 2, maxBlock = 64, strataMod = 20L,
+        contentKey = Some(s"fuzzy|$dir"))
     },
     // end-to-end entity resolution: the blocked edit-distance matcher's
     // pairs become entity clusters via pointer-jumping CC, singletons keep
@@ -496,13 +500,17 @@ private[queries] object QDedup {
       import org.apache.spark.sql.expressions.Window
       val names = fuzzyNames(s, dir)
       val pairs = graft.ops.FuzzyOps
-        .editBlockedPairs(names, col("id"), col("s"), maxDist = 2, maxBlock = 64)
+        .editBlockedPairs(
+          names, col("id"), col("s"), maxDist = 2, maxBlock = 64,
+          contentKey = Some(s"fuzzy|$dir"))
         .select(col("id_lo"), col("id_hi"))
-      // keyed CC (the dedup_clusters discipline): the pairs are a pure
-      // function of the fixture + blocker params, so the label loop's
-      // per-round jobs run once per corpus instead of per invocation
+      // plain CC, computed every invocation: the keyed memo that briefly
+      // lived here had exactly ONE consumer, so it saved nothing within a
+      // run and only flattered the bench's min-of-passes (r21 verdict) —
+      // the label loop itself is the honest cost, and it is paced to one
+      // Spark job per round (connectedComponents)
       val clusters = Dedup
-        .connectedComponentsKeyed(pairs, contentKey = s"fuzzy|$dir|ed2-b64", spark = s)
+        .connectedComponents(pairs)
         .withColumnRenamed("doc_id", "id")
       names
         .join(clusters, Seq("id"), "left")

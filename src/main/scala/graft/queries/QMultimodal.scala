@@ -305,13 +305,15 @@ private[queries] object QMultimodal {
       Multimodal.resetQuarantineSweep(s, tbl)
       val sink = Scratch.dir("quar_sweep", dir)
       Scratch.reset(sink)
+      // watermark reads are mirror-backed (no job per tick); the sweep
+      // itself writes the tick's pairs to the sink and commits the
+      // watermark AFTER the write (at-least-once — see the operator doc)
       var (swept, total) = Multimodal.quarantineWatermark(s, tbl)
       var wrote = false
       while (swept < total) {
-        Multimodal
-          .sweepHammingQuarantine(
-            s, tbl, incoming, "frame_key", "dhash", maxHamming = 8, maxBucketsPerTick = 16)
-          .write.mode("append").parquet(sink)
+        Multimodal.sweepHammingQuarantine(
+          s, tbl, incoming, "frame_key", "dhash",
+          maxHamming = 8, maxBucketsPerTick = 16, sink = sink)
         wrote = true
         val st = Multimodal.quarantineWatermark(s, tbl)
         swept = st._1
@@ -350,10 +352,9 @@ private[queries] object QMultimodal {
         rebuild = () => Multimodal.rebuildHammingIndex(
           s, tbl, corpus, "frame_key", "dhash", buckets = 8, maxBucket = 64),
         bucketKeys = Seq("band", "bv"), bucketCap = 64,
-        sweep = Some(() => Multimodal
-          .sweepHammingQuarantine(
-            s, tbl, incoming, "frame_key", "dhash", maxHamming = 8, maxBucketsPerTick = 16)
-          .write.mode("append").parquet(sink))))
+        sweep = Some(() => Multimodal.sweepHammingQuarantine(
+          s, tbl, incoming, "frame_key", "dhash",
+          maxHamming = 8, maxBucketsPerTick = 16, sink = sink))))
       Multimodal.resetQuarantineSweep(s, tbl)
       val recs = scala.collection.mutable.ListBuffer[(Long, String, Long, Long, String)]()
       var tick = 1L

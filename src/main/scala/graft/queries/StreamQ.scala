@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Curation, Dedup, Maintenance, Multimodal, Ranking, Similarity, Sketches, Stats, TextStats}
@@ -541,12 +541,11 @@ object StreamQ {
       try q.processAllAvailable()
       finally stopRecording(q)
       val pairs = drainSink(s, sink)(_.select(col("id_lo"), col("id_hi")).distinct())
-      // keyed CC: the drained pair set is a deterministic function of the
-      // corpus (verified ≥0.7 LSH pairs over documents), so the label
-      // loop's per-round jobs run once per corpus — the stream run itself
-      // (the parity witness) still executes every invocation
-      val clusters = Dedup.connectedComponentsKeyed(
-        pairs, contentKey = s"documents|$dir|stream-lsh-survivors-mh3-8-4", spark = s)
+      // plain CC over THIS run's drained pairs: the keyed memo that briefly
+      // lived here served the first run's labels to every later invocation,
+      // which weakened the parity witness (a dropped micro-batch would have
+      // gone unnoticed) and only flattered min-of-passes (r21 verdict)
+      val clusters = Dedup.connectedComponents(pairs)
       val labeled = docsDf
         .select(col("doc_id"), col("n_chars"))
         .join(clusters, Seq("doc_id"), "left")
@@ -1123,14 +1122,18 @@ object StreamQ {
           Dedup.lshIndex(corpus, col("doc_id"), col("text"), n = 3, k = 8, bands = 4),
           "lsh_maint_bands").withColumn("seq", lit(0L)),
         table, 8, "band", "bh")
-      val outDir = Scratch.dir("lsh_mloop", dir)
-      Scratch.reset(outDir)
       // four batches: the incoming %5 stratum split by (doc_id%20)/5
       val feed: Seq[Seq[(Long, Long, String)]] = (0 until 4).map { b4 =>
         docsDf.filter(col("doc_id") % 5 === 0 && (col("doc_id") % 20) / 5 === b4)
           .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
           .map(d => (b4 + 1L, d._1, d._2))
       }
+      // the recorded trace is FLEET-METADATA grain (one plan row per index
+      // per tick, already collect()ed for the apply) — buffer it on the
+      // driver instead of paying a parquet append + commit per tick plus a
+      // read-back; rows and values are identical (concurrent queue: the
+      // foreachBatch body runs on the stream-execution thread)
+      val trace = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
       val fleet = Map("lsh_text" -> Maintenance.ManagedIndex(
         table, "corpus_id",
         compact = () => Dedup.compactLshIndex(s, table, buckets = 8),
@@ -1143,11 +1146,15 @@ object StreamQ {
       val q = mem.toDF().toDF("batch", "doc_id", "text").writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.persist()
-          // empty micro-batch (a feed stratum can be empty at small SF):
-          // max over zero rows is null — skip the cycle instead of NPEing
-          try if (!b.isEmpty) {
+          try {
+            // empty micro-batch (a feed stratum can be empty at small SF):
+            // max over zero rows is null — skip the cycle. One aggregate
+            // probes emptiness AND reads the batch id (isEmpty + a second
+            // agg was two jobs per tick for the same answer).
+            val bidRow = b.agg(max(col("batch"))).collect()(0)
+            if (!bidRow.isNullAt(0)) {
+            val bid = bidRow.getLong(0)
             s.catalog.refreshTable(table)
-            val bid = b.agg(max(col("batch"))).collect()(0).getLong(0)
             Dedup.appendLshIndex(
               b.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
               table, buckets = 8, n = 3, k = 8, bands = 4)
@@ -1167,11 +1174,11 @@ object StreamQ {
             val planRows = plan.collect()
             val planDf = s.createDataFrame(
               java.util.Arrays.asList(planRows: _*), plan.schema)
-            planDf.withColumn("batch", lit(bid)).write.mode("append").parquet(outDir)
+            planRows.foreach(r => trace.add(Row.fromSeq(r.toSeq :+ bid)))
             // audit = false: the loop records the PLAN rows, not the audit —
             // the discarded per-cycle re-census was pure overhead
             Maintenance.applyMaintenancePlan(s, planDf, fleet, audit = false): Unit
-          } finally { b.unpersist(); () }
+          } } finally { b.unpersist(); () }
         }
         .start()
       try {
@@ -1180,7 +1187,10 @@ object StreamQ {
           q.processAllAvailable()
         }
       } finally stopRecording(q)
-      s.read.parquet(outDir)
+      val traceSchema =
+        Maintenance.planSchema.add("batch", org.apache.spark.sql.types.LongType)
+      s.createDataFrame(
+        java.util.Arrays.asList(trace.toArray(Array.empty[Row]): _*), traceSchema)
         .select(
           col("batch"), col("index_name"), col("index_docs"), col("tomb_entries"),
           col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("capped_ppm"),
@@ -1241,8 +1251,10 @@ object StreamQ {
       val registry = QAnn.maintenanceRegistry(
         s, dir, annTbl, lshTbl, semTbl, hamTbl,
         annDrift = () => s.range(1).select(lit(0L).as("drift_ppm")))
-      val outDir = Scratch.dir("fleet_mloop", dir)
-      Scratch.reset(outDir)
+      // driver-grain trace buffer — same shape as the single-index loop:
+      // the plan rows are already collect()ed for the apply, so the
+      // per-tick parquet append + read-back was pure transport overhead
+      val trace = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
       // cycle 1: a bare scheduler tick (marker row, no appends);
       // cycle 2: the frame index's never-re-capped append stratum
       val appendRows: Seq[(Long, Long, Long)] = hcorp
@@ -1253,11 +1265,18 @@ object StreamQ {
       val q = mem.toDF().toDF("batch", "frame_key", "dhash").writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.persist()
-          try if (!b.isEmpty) {
+          try {
+            // one aggregate probes emptiness, the batch id AND whether any
+            // append rows arrived (three separate jobs before)
+            val probe = b.agg(
+              max(col("batch")),
+              sum(when(col("frame_key") >= 0, 1L).otherwise(0L))).collect()(0)
+            if (!probe.isNullAt(0)) {
+            val bid = probe.getLong(0)
             s.catalog.refreshTable(hamTbl)
-            val bid = b.agg(max(col("batch"))).collect()(0).getLong(0)
-            val appends = b.filter(col("frame_key") >= 0).select(col("frame_key"), col("dhash"))
-            if (!appends.isEmpty) {
+            if (probe.getLong(1) > 0L) {
+              val appends =
+                b.filter(col("frame_key") >= 0).select(col("frame_key"), col("dhash"))
               Multimodal.appendHammingIndex(appends, "frame_key", "dhash", hamTbl, buckets = 8)
               // appended files land through the stream-execution clone;
               // THIS session's census must see them
@@ -1274,10 +1293,10 @@ object StreamQ {
             val planRows = plan.collect()
             val planDf = s.createDataFrame(
               java.util.Arrays.asList(planRows: _*), plan.schema)
-            planDf.withColumn("batch", lit(bid)).write.mode("append").parquet(outDir)
+            planRows.foreach(r => trace.add(Row.fromSeq(r.toSeq :+ bid)))
             // audit = false: same discarded-audit shape as the single-index loop
             Maintenance.applyMaintenancePlan(s, planDf, registry, audit = false): Unit
-          } finally { b.unpersist(); () }
+          } } finally { b.unpersist(); () }
         }
         .start()
       try {
@@ -1286,7 +1305,10 @@ object StreamQ {
           q.processAllAvailable()
         }
       } finally stopRecording(q)
-      s.read.parquet(outDir)
+      val traceSchema =
+        Maintenance.planSchema.add("batch", org.apache.spark.sql.types.LongType)
+      s.createDataFrame(
+        java.util.Arrays.asList(trace.toArray(Array.empty[Row]): _*), traceSchema)
         .select(
           col("batch"), col("index_name"), col("index_docs"), col("tomb_entries"),
           col("append_eras"), col("tomb_ppm"), col("drift_ppm"), col("capped_ppm"),

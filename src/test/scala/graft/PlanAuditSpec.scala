@@ -590,9 +590,9 @@ class PlanAuditSpec extends SparkSpecBase {
       spark, "graft_img_sweep_audit",
       docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")), col("doc_id"))
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val tick = Multimodal.sweepImageQuarantine(
+      val tick = Multimodal.sweepHammingTickFrame(
         spark, "graft_img_sweep_audit", incoming, "asset_id", "dhash",
-        maxHamming = 8, maxBucketsPerTick = 4)
+        maxHamming = 8, lo = 0L, hi = 4L)
       val plan = tick.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"quarantine scan is not bucketed:\n$plan")
       assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty,

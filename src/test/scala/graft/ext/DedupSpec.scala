@@ -945,8 +945,18 @@ class DedupSpec extends SparkSpecBase {
     Dedup.deleteFromLshIndex(spark, tbl, Seq(3L, 7L).toDF("id"), col("id"))
     // bounded ticks drain the quarantine: tick 1 takes 3 of the 4 buckets,
     // tick 2 the last; a third tick sweeps nothing
-    def tick() = pairsOf(Dedup.sweepLshQuarantine(
-      spark, tbl, incoming, col("doc_id"), col("text"), maxBucketsPerTick = 3))
+    var tickNo = 0
+    def tick() = {
+      tickNo += 1
+      val sink = java.nio.file.Files
+        .createTempDirectory("lshspec_sweep").resolve(s"t$tickNo").toString
+      Dedup.sweepLshQuarantine(
+        spark, tbl, incoming, col("doc_id"), col("text"),
+        maxBucketsPerTick = 3, sink = sink)
+      if (new java.io.File(sink).exists)
+        pairsOf(spark.read.parquet(sink).select("new_id", "corpus_id"))
+      else Seq.empty[(Long, Long)]
+    }
     val want100 = (1L to 12L).filterNot(Set(3L, 7L)).map((100L, _))
     val t1 = tick()
     assert(t1 == want100, s"tick 1: $t1")

@@ -622,8 +622,20 @@ class MultimodalSpec extends SparkSpecBase {
       "two 4-band hot clusters quarantine eight buckets")
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    def sweepTick() = pairsOf(Multimodal.sweepHammingQuarantine(
-      spark, tbl, incoming, "asset_id", "fp", maxHamming = 8, maxBucketsPerTick = 4))
+    // the sweep now writes its tick to a sink and commits the watermark
+    // AFTER the write — each test tick reads its own sink back
+    var tickNo = 0
+    def sweepTick() = {
+      tickNo += 1
+      val sink = java.nio.file.Files
+        .createTempDirectory("hamspec_sweep").resolve(s"t$tickNo").toString
+      Multimodal.sweepHammingQuarantine(
+        spark, tbl, incoming, "asset_id", "fp",
+        maxHamming = 8, maxBucketsPerTick = 4, sink = sink)
+      if (new java.io.File(sink).exists)
+        pairsOf(spark.read.parquet(sink).select("new_id", "corpus_id"))
+      else Seq.empty[(Long, Long)]
+    }
     // capped probe sees only the small stored cluster
     val probed = pairsOf(
       Multimodal.probeHammingIndex(spark, tbl, incoming, "asset_id", "fp", maxHamming = 8))
@@ -672,9 +684,16 @@ class MultimodalSpec extends SparkSpecBase {
     def sweepAll() = {
       Multimodal.resetQuarantineSweep(spark, tbl)
       val (_, total) = Multimodal.quarantineWatermark(spark, tbl)
-      (1L to (total + 3) / 4).flatMap(_ => Multimodal.sweepHammingQuarantine(
-        spark, tbl, incoming, "asset_id", "fp", maxHamming = 8, maxBucketsPerTick = 4)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))).distinct.sorted
+      val sink = java.nio.file.Files
+        .createTempDirectory("hamspec_sweeptomb").resolve("all").toString
+      (1L to (total + 3) / 4).foreach(_ => Multimodal.sweepHammingQuarantine(
+        spark, tbl, incoming, "asset_id", "fp",
+        maxHamming = 8, maxBucketsPerTick = 4, sink = sink))
+      if (new java.io.File(sink).exists)
+        spark.read.parquet(sink)
+          .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")))
+          .distinct.sorted.toSeq
+      else Seq.empty[(Long, Long)]
     }
     val afterDelete = sweepAll()
     assert(afterDelete == (1L to 12L).filterNot(Set(3L, 7L)).map((100L, _)),
@@ -694,6 +713,39 @@ class MultimodalSpec extends SparkSpecBase {
     val wantSmall = ((41L to 42L) ++ (51L to 62L)).map((102L, _))
     assert(afterCompact == (afterDelete ++ wantSmall).sorted,
       s"compact-dropped rows must be sweepable: $afterCompact")
+  }
+
+  test("quarantine sweep tick commits AFTER the write: a failed tick re-covers its buckets") {
+    import spark.implicits._
+    val corpus = (1L to 12L).map(i => (i, 42L)).toDF("asset_id", "fp")
+    val incoming = Seq((100L, 42L)).toDF("asset_id", "fp")
+    val tbl = s"hamspec_sweepfail_${System.nanoTime()}"
+    Multimodal.persistHammingIndex(corpus, "asset_id", "fp", tbl, buckets = 4, maxBucket = 10)
+    Multimodal.quarantineHammingIndex(
+      spark, tbl, corpus, "asset_id", "fp", buckets = 4, maxBucket = 10)
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((0L, 4L)))
+    // a sink path that is an existing FILE: the tick dies mid-write, before
+    // its pairs are durable
+    val bad = java.nio.file.Files.createTempFile("hamspec_sweepfail", ".notadir").toString
+    intercept[Exception] {
+      Multimodal.sweepHammingQuarantine(
+        spark, tbl, incoming, "asset_id", "fp",
+        maxHamming = 8, maxBucketsPerTick = 4, sink = bad)
+    }
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((0L, 4L)),
+      "a tick that died before its output was durable must NOT advance the watermark")
+    // the retry covers the SAME bucket range and recovers every pair — the
+    // at-least-once contract (the old advance-before-execute shape skipped
+    // a failed tick's buckets forever)
+    val good = java.nio.file.Files
+      .createTempDirectory("hamspec_sweepfail").resolve("t1").toString
+    Multimodal.sweepHammingQuarantine(
+      spark, tbl, incoming, "asset_id", "fp",
+      maxHamming = 8, maxBucketsPerTick = 4, sink = good)
+    assert(Multimodal.quarantineWatermark(spark, tbl) == ((4L, 4L)))
+    val got = spark.read.parquet(good)
+      .select("corpus_id").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 12L), s"the retried tick must recover the full bucket range: $got")
   }
 
   test("dHashFrames: per-frame hash replays the GIF pixel formula on the shared 9x7 grid") {
