@@ -180,7 +180,7 @@ object Classify {
         .filter(length(col("tok")) > 0)
         .groupBy(col("doc_id"), col("label"), col("is_train"), col("tok"))
         .agg(count(lit(1)).as("m")),
-      "nb_doctok", s"$corpusKey|gate=$trainPermille")
+      "nb_doctok", s"$corpusKey|gate=$trainPermille", df.sparkSession)
     val train = perDocTok.filter(col("is_train"))
     // model state from here down: vocabK rows, then vocabK × |classes|
     val vocab = train

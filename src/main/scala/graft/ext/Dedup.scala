@@ -127,17 +127,31 @@ object Dedup {
     * plan never repeats and a plan-keyed memo would rebuild every time).
     * The caller asserts `contentKey` identifies the input data and every
     * parameter the spilled content depends on (corpus path + op params);
-    * the schema and the exactness-relevant confs still ride the key.
+    * the exactness-relevant confs still ride the key.
+    *
+    * `df` is BY-NAME and evaluated only on a memo miss: the unrolled loop
+    * builders behind several keys (BFS/kcore/LPA rounds) run eager lazy-
+    * checkpoint planning (`toRdd`) at frame CONSTRUCTION, so a memo hit
+    * that still constructed the frame paid the full multi-round Catalyst
+    * pass per invocation just to be handed a parquet path — measured as
+    * the bulk of graph_bfs' steady-state time. The schema consequently no
+    * longer rides the key (it required building the frame); the caller's
+    * content-identity assertion covers it, and the memo is pid-scoped —
+    * one code version per JVM, so a schema change cannot alias a key
+    * within a memo's lifetime.
     */
-  private[graft] def spilledAt(df: DataFrame, tag: String, contentKey: String): DataFrame = {
-    val s = df.sparkSession
+  private[graft] def spilledAt(
+      df: => DataFrame,
+      tag: String,
+      contentKey: String,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val confSig = Seq(
       "spark.sql.session.timeZone",
       "spark.sql.ansi.enabled",
       "spark.sql.legacy.parquet.nanosAsLong"
-    ).map(k => s.conf.getOption(k).getOrElse("")).mkString("|")
+    ).map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
     val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest((contentKey + "|" + df.schema.catalogString + "|" + confSig).getBytes("UTF-8"))
+      .digest((contentKey + "|" + confSig).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val key = s"${tag}_$sig"
     val path = spillMemo.computeIfAbsent(key, { k =>
@@ -147,7 +161,7 @@ object Dedup {
       p
     })
     touchAndEnforceSpillCap(key)
-    s.read.parquet(path)
+    spark.read.parquet(path)
   }
 
   private[graft] def spilled(df: DataFrame, tag: String): DataFrame = {
@@ -915,7 +929,7 @@ object Dedup {
       .filter(col("jac_raw") >= tau)
     contentKey match {
       case Some(key) =>
-        spilledAt(ver, "near_verified", s"$key|n=$n|k=$k|b=$bands|tau=$tau")
+        spilledAt(ver, "near_verified", s"$key|n=$n|k=$k|b=$bands|tau=$tau", docs.sparkSession)
       case None => ver
     }
   }
@@ -1486,7 +1500,7 @@ object Dedup {
   ): DataFrame = {
     val g = rareGrams(df, idCol, textCol, n, maxDocFreq)
     contentKey match {
-      case Some(key) => spilledAt(g, "rare_grams", s"$key|n=$n|df=$maxDocFreq")
+      case Some(key) => spilledAt(g, "rare_grams", s"$key|n=$n|df=$maxDocFreq", df.sparkSession)
       case None => g
     }
   }

@@ -634,7 +634,7 @@ object TextStats {
     // + explode + collapse runs exactly once per corpus
     val perDoc = Dedup.spilledAt(
       bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m")),
-      "lm_bigrams", corpusKey)
+      "lm_bigrams", corpusKey, df.sparkSession)
     val model = perDoc.groupBy(col("b")).agg(sum(col("m")).as("cb"))
     val heads = model
       .groupBy(substring_index(col("b"), " ", 1).as("w1"))
@@ -645,7 +645,7 @@ object TextStats {
       graft.ops.PlanOps
         .fence(words.select(explode(col("w")).as("tok")).filter(length(col("tok")) > 0))
         .agg(count_distinct(col("tok")).as("v")),
-      "lm_vocab", corpusKey)
+      "lm_vocab", corpusKey, df.sparkSession)
     val hot = model.orderBy(col("cb").desc, col("b")).limit(hotK)
     val probe = perDoc.withColumn("w1", substring_index(col("b"), " ", 1))
     val hotHits = probe.join(broadcast(hot), Seq("b"))

@@ -94,7 +94,7 @@ object FuzzyOps {
     contentKey match {
       case Some(key) =>
         graft.ext.Dedup.spilledAt(
-          pairs, "edit_pairs", s"$key|d=$maxDist|b=$maxBlock")
+          pairs, "edit_pairs", s"$key|d=$maxDist|b=$maxBlock", df.sparkSession)
       case None => pairs
     }
   }

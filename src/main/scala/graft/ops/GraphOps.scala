@@ -66,7 +66,8 @@ object GraphOps {
     // parquet memo once (the kcorePeel/lpa round-sharing discipline).
     val oriented = orientByDegree(edges, srcCol, dstCol)
     val e = contentKey match {
-      case Some(key) => graft.ext.Dedup.spilledAt(oriented, "tri_oriented", s"$key|orient")
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(oriented, "tri_oriented", s"$key|orient", edges.sparkSession)
       case None => oriented
     }
     val deg = e
@@ -212,7 +213,7 @@ object GraphOps {
     }
     contentKey match {
       case Some(key) =>
-        graft.ext.Dedup.spilledAt(loop, "lpa_labels", s"$key|iters=$iters")
+        graft.ext.Dedup.spilledAt(loop, "lpa_labels", s"$key|iters=$iters", edges.sparkSession)
       case None => loop
     }
   }
@@ -364,7 +365,8 @@ object GraphOps {
     }
     contentKey match {
       case Some(key) =>
-        graft.ext.Dedup.spilledAt(loop, "kcore_peeled", s"$key|k=$k|rounds=$rounds")
+        graft.ext.Dedup.spilledAt(
+          loop, "kcore_peeled", s"$key|k=$k|rounds=$rounds", edges.sparkSession)
       case None => loop
     }
   }
@@ -430,7 +432,8 @@ object GraphOps {
     }
     contentKey match {
       case Some(key) =>
-        graft.ext.Dedup.spilledAt(loop, "bfs_dist", s"$key|rounds=$rounds")
+        graft.ext.Dedup.spilledAt(
+          loop, "bfs_dist", s"$key|rounds=$rounds", edges.sparkSession)
       case None => loop
     }
   }
@@ -600,7 +603,8 @@ object GraphOps {
     val prepared = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
     val e = contentKey match {
-      case Some(key) => graft.ext.Dedup.spilledAt(prepared, "pr_edges", s"$key|edges")
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(prepared, "pr_edges", s"$key|edges", edges.sparkSession)
       case None => prepared
     }
     // nodes and out-weights are likewise referenced once per unrolled
@@ -610,7 +614,8 @@ object GraphOps {
     // remainder being the rank recurrence's own join/agg rounds)
     val nodes0 = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
     val nodes = contentKey match {
-      case Some(key) => graft.ext.Dedup.spilledAt(nodes0, "pr_nodes", s"$key|nodes")
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(nodes0, "pr_nodes", s"$key|nodes", edges.sparkSession)
       case None => nodes0
     }
     // |V| is the one driver scalar (model size, not data): the teleport
@@ -620,7 +625,8 @@ object GraphOps {
     val base = scale / n
     val outw0 = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val outw = contentKey match {
-      case Some(key) => graft.ext.Dedup.spilledAt(outw0, "pr_outw", s"$key|outw")
+      case Some(key) =>
+        graft.ext.Dedup.spilledAt(outw0, "pr_outw", s"$key|outw", edges.sparkSession)
       case None => outw0
     }
     var ranks = nodes.withColumn("rank", lit(base))

@@ -880,7 +880,7 @@ class DedupSpec extends SparkSpecBase {
     val n = System.nanoTime()
     def mk(i: Int) = Seq((i.toLong, s"spill fixture $i $n")).toDF("id", "text")
     def census() = Dedup.spillCensus().filter(_._1.startsWith("evspec_")).toMap
-    def acquire(i: Int) = Dedup.spilledAt(mk(i), "evspec", s"evict_fixture_${n}_$i")
+    def acquire(i: Int) = Dedup.spilledAt(mk(i), "evspec", s"evict_fixture_${n}_$i", spark)
     val before = Dedup.spillEvictions
     val cap0 = Dedup.setSpillCapBytes(Long.MaxValue)
     try {
