@@ -15,9 +15,10 @@ import org.apache.spark.sql.SparkSession
   * root (`/dev/shm`, present on every Linux host) removes that fixed
   * cost without touching what any query computes: nothing is memoized
   * across runs (tables stay pid-scoped and are deleted at JVM exit;
-  * every bench invocation still computes from the parquet inputs). A
-  * measured A/B on the index/stream subset (r21): 91.3 s → 84.1 s from
-  * the warehouse/local-dir move + commit algorithm v2 alone.
+  * every bench invocation still computes from the parquet inputs). The
+  * WAREHOUSE + scratch legs carry that rationale; the `spark.local.dir`
+  * leg was measured a net negative at 32 cores and reverted (see
+  * [[localDir]]).
   *
   * At cluster scale the same knobs exist and are deployment decisions
   * (fast local SSDs for `spark.local.dir`, a real distributed FS for the
@@ -51,9 +52,17 @@ object EngineIO {
 
   /** spark.local.dir (shuffle files, broadcast disk store, block-manager
     * spill). None ⇒ leave Spark's default (java.io.tmpdir).
+    *
+    * r21 defaulted this to `/dev/shm` alongside the warehouse move; the
+    * r22 same-host 32-core A/B (two interleaved full-board pairs, same
+    * binary, OPTIMIZATION_r22.md §9) measured the tmpfs leg as a NET
+    * NEGATIVE: 249.6 vs 223.3 s and 265.7 vs 241.3 s, ~25 s concentrated
+    * on the state-store-heavy stream family. Reverted to Spark's default
+    * local dir; the env override remains the deployment knob (fast local
+    * SSDs at cluster scale).
     */
   val localDir: Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse(shm.map(_ + "/graft_spark_local"))
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
 
   /** Root for [[graft.queries.Scratch.dir]] (spill memo, query-local
     * fixture/sink dirs).

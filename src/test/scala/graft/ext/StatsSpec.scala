@@ -436,6 +436,25 @@ class StatsSpec extends SparkSpecBase {
     assert(again("spread") == lo)
   }
 
+  test("bootstrapMeanCI: overflow guard routes huge values through the decimal fallback") {
+    // 4·n·max|v| ≥ 2^63 for these rows, so the guarded long plan must
+    // discard itself and recompute in decimal(38,0) — a constant group
+    // still collapses to a point CI, proving the fallback produced exact
+    // sums instead of wrapped longs
+    // 2^61: w=4 times it overflows a long per ROW (ANSI throws in the long
+    // plan), and being a power of two keeps every double in the CI tail
+    // exact, so the point-CI assertion below is ulp-safe
+    val big = 1L << 61
+    val df = (1 to 64).map(i => ("g", i.toLong, big)).toDF("g", "id", "v")
+    val out = Stats.bootstrapMeanCI(df, col("g"), col("id"), col("v"), reps = 32)
+      .collect().head
+    assert(out.getAs[Long]("n") == 64L)
+    val mean = out.getAs[Double]("mean")
+    assert(mean == big.toDouble, s"wrapped-long corruption would skew the mean: $mean")
+    assert(out.getAs[Double]("ci_lo") == mean && out.getAs[Double]("ci_hi") == mean,
+      s"constant group must collapse to a point CI: $out")
+  }
+
   test("groupedQuantiles: one pass serves all quartiles; robustScale handles IQR 0") {
     val rows = (0 to 8).map(v => ("g", v.toLong, v.toLong)) ++
       (1 to 4).map(i => ("const", 100L + i, 7L))
